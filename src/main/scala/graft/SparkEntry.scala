@@ -1,13 +1,671 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TroughFunctions
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 expressed
+  * Spark-first (DataFrame/Dataset API, Catalyst-optimizable); the matching
+  * [[oracleSql]] entry is the DuckDB-equivalent SQL the driver uses for the
+  * differential correctness check. Column names/aliases are kept identical
+  * on both sides (the driver sorts columns by name before hashing).
+  *
+  * Determinism rules used throughout:
+  *  - every result has a total ORDER BY on both sides;
+  *  - double aggregates are round()ed (sum order across partitions is
+  *    nondeterministic in the last ulp);
+  *  - DuckDB sum(BIGINT)->HUGEINT and floor/ceil->DECIMAL are cast back to
+  *    BIGINT in the oracle so schemas line up with Spark's LongType;
+  *  - raw `events.ts` is never emitted (parquet ns truncates to µs in
+  *    Spark) — always date_trunc'ed first.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue per nation (TPC-H Q5 shape): broadcast the bounded dims,
+    * shuffle only the fact-side aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Relational surface (SURVEY §2.B — the per-segment SQL surface trough
+  // guarantees by embedding SQLite, re-expressed on Catalyst).
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.B scan + filter: predicate pushdown to parquet (BETWEEN, =, range)
+    "q01_scan_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+            $"l_returnflag" === "R" && $"l_quantity".between(10, 20))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // §2.B projection expressions: arithmetic + CASE WHEN + string fn
+    "q02_project_case" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 100 === 0)
+        .select(
+          $"l_orderkey",
+          $"l_linenumber",
+          round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 2)
+            .as("charge"),
+          when($"l_quantity" < 10, "small")
+            .when($"l_quantity" < 40, "medium")
+            .otherwise("large")
+            .as("qty_band"),
+          concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // §2.B aggregation: TPC-H Q1 pricing summary (partial agg map-side,
+    // 6-group output — shuffle is trivially small at any scale)
+    "q03_agg_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2)
+            .as("sum_charge"),
+          round(avg($"l_quantity"), 2).as("avg_qty"),
+          round(avg($"l_extendedprice"), 2).as("avg_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // §2.B aggregation: COUNT DISTINCT + HAVING
+    "q04_agg_distinct_having" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_custs"),
+          round(sum($"o_totalprice"), 2).as("total"))
+        .filter($"n_orders" > 10)
+        .orderBy($"o_orderpriority")
+    }),
+
+    // §2.B joins: 6-table star join. Bounded dims broadcast; the
+    // customer/orders/lineitem chain shuffles on its join keys and AQE
+    // re-plans at runtime. TPC-H Q5 shape.
+    "q05_join_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val supplier = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      lineitem
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .join(customer, $"o_custkey" === $"c_custkey")
+        .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .filter(
+          $"r_name" === "ASIA" &&
+            $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    // §2.B filter + global aggregate (TPC-H Q6: forecast revenue change)
+    "q06_agg_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter(
+          $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+            $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+    }),
+
+    // §2.B LEFT OUTER join (customers with zero orders preserved)
+    "q07_join_left" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"))
+      t(s, dir, "customer")
+        .join(agg, $"c_custkey" === $"o_custkey", "left")
+        .select(
+          $"c_custkey",
+          $"c_name",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          round(coalesce($"total", lit(0.0)), 2).as("total"))
+        .orderBy($"c_custkey")
+    }),
+
+    // §2.B FULL OUTER join with USING-style coalesced key
+    "q08_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val y96 = t(s, dir, "orders")
+        .filter(year($"o_orderdate") === 1996)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n96"))
+      val y97 = t(s, dir, "orders")
+        .filter(year($"o_orderdate") === 1997)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n97"))
+      y96
+        .join(y97, Seq("o_custkey"), "full")
+        .select(
+          $"o_custkey",
+          coalesce($"n96", lit(0L)).as("n96"),
+          coalesce($"n97", lit(0L)).as("n97"))
+        .orderBy($"o_custkey")
+    }),
+
+    // §2.B EXISTS subquery -> left_semi join
+    "q09_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "orders").filter($"o_totalprice" > 150000)
+      t(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // §2.B NOT EXISTS subquery -> left_anti join
+    "q10_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val o97 = t(s, dir, "orders").filter(year($"o_orderdate") === 1997)
+      t(s, dir, "customer")
+        .join(o97, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // §2.B CROSS join (both sides bounded dims)
+    "q11_cross_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "region")
+        .crossJoin(t(s, dir, "nation"))
+        .filter($"r_regionkey" =!= $"n_regionkey")
+        .select($"r_name", $"n_name")
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // §2.B window: ranking, top-k per group (row_number + filter)
+    "q12_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"c_nationkey".cast("long").as("c_nationkey"), $"rnk", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_nationkey", $"rnk")
+    }),
+
+    // §2.B window: running sum, lag, moving average (ROWS frames)
+    "q13_window_running" -> ((s, dir) => {
+      import s.implicits._
+      // Exact-decimal arithmetic end-to-end: double sums round-trip through
+      // round() nondeterministically at .xx5 boundaries across engines, so
+      // cast to DECIMAL(18,2) first — window sums are then exact integers
+      // scaled by 100 and hash-match the oracle bit-for-bit.
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val mov = w.rowsBetween(-2, 0)
+      val dec = $"o_totalprice".cast("decimal(18,2)")
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 100)
+        .select(
+          $"o_custkey",
+          $"o_orderkey",
+          sum(dec).over(cum).cast("decimal(18,2)").as("running"),
+          lag(dec, 1).over(w).as("prev"),
+          (sum(dec).over(mov).cast("double") / count(lit(1)).over(mov).cast("double"))
+            .as("mavg"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // §2.B window: ntile / percent_rank / cume_dist / dense_rank
+    "q14_window_rank_funcs" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"s_acctbal", $"s_suppkey")
+      t(s, dir, "supplier")
+        .select(
+          $"s_suppkey",
+          $"s_acctbal",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          dense_rank().over(Window.orderBy($"s_nationkey")).cast("long").as("nat_rank"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // §2.B ORDER BY ... LIMIT ... OFFSET (top-k with offset)
+    "q15_limit_offset" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+        .offset(10)
+        .limit(20)
+        .select($"p_partkey", $"p_name", $"p_retailprice")
+    }),
+
+    // §2.B set operations: INTERSECT / EXCEPT / UNION ALL
+    "q16_setops" -> ((s, dir) => {
+      import s.implicits._
+      val y96 = t(s, dir, "orders").filter(year($"o_orderdate") === 1996).select($"o_custkey")
+      val y97 = t(s, dir, "orders").filter(year($"o_orderdate") === 1997).select($"o_custkey")
+      val both = y96.intersect(y97).withColumn("tag", lit("both"))
+      val only96 = y96.except(y97).withColumn("tag", lit("only96"))
+      both.unionAll(only96).orderBy($"tag", $"o_custkey")
+    }),
+
+    // §2.B CTE + scalar subquery + IN subquery (Catalyst decorrelation)
+    "q17_cte_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH big AS (
+          SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, round(spend, 2) AS spend
+        FROM customer JOIN big ON c_custkey = o_custkey
+        WHERE spend > (SELECT avg(spend) FROM big)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        ORDER BY c_custkey
+      """)
+    }),
+
+    // §2.B string functions
+    "q18_strings" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_partkey" % 50 === 0)
+        .select(
+          $"p_partkey",
+          length($"p_name").cast("long").as("name_len"),
+          upper(substring($"p_name", 1, 8)).as("head"),
+          lower($"p_brand").as("brand_lc"),
+          regexp_replace($"p_type", " ", "_").as("type_us"),
+          instr($"p_name", "a").cast("long").as("first_a"),
+          trim(concat(lit("  "), $"p_name", lit("  "))).as("trimmed"),
+          lpad($"p_size".cast("string"), 4, "0").as("size_pad"))
+        .orderBy($"p_partkey")
+    }),
+
+    // §2.B date/time: extract + group by month
+    "q19_datetime" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(
+          year($"o_orderdate").cast("long").as("yr"),
+          month($"o_orderdate").cast("long").as("mon"))
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"yr", $"mon")
+    }),
+
+    // §2.B math functions
+    "q20_math" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 500 === 0)
+        .select(
+          $"l_orderkey",
+          $"l_linenumber",
+          abs($"l_quantity" - 25).as("abs_dev"),
+          round(sqrt($"l_extendedprice"), 3).as("sq"),
+          floor($"l_quantity" / 7).as("fl"),
+          ceil($"l_discount" * 100).as("ce"),
+          round(log($"l_extendedprice" + 1), 6).as("lnv"),
+          ($"l_partkey" % 10).as("pmod"),
+          signum($"l_quantity" - 25).cast("long").as("sgn"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // §2.B conditional / null handling: COALESCE NULLIF CASE
+    "q21_conditional" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderkey" % 100 === 0)
+        .select(
+          $"o_orderkey",
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status2"),
+          when($"o_totalprice" > 200000, "high")
+            .when($"o_totalprice" > 100000, "mid")
+            .otherwise("low")
+            .as("band"),
+          when($"o_orderpriority" === "1-URGENT", 1).otherwise(0).as("urgent"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // §2.B JSON access over the TEXT props column (json1-surface analog)
+    "q22_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .filter($"event_id" % 100 === 0)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .orderBy($"event_id")
+    }),
+
+    // §2.B group_concat (SQLite) -> deterministic ordered string_agg
+    "q23_group_concat" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(array_join(array_sort(collect_list($"s_name")), ",").as("suppliers"))
+        .orderBy($"n_name")
+    }),
+
+    // §2.B SELECT DISTINCT
+    "q24_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus")
+        .distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // SURVEY §2.A A6: fan-out query (distributed union over segments).
+    // segment_id is the shard key; one declarative query covers all
+    // shards and Catalyst parallelizes — trough needed client-side asyncio.
+    "q25_fanout_union" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("segment_id", concat(lit("seg"), ($"o_custkey" % 16).cast("string")))
+        .groupBy($"segment_id")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"segment_id")
+    }),
+
+    // SURVEY §2.A A7: segment pruning by regex (CONNECT MATCHING)
+    "q26_segment_regex" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("segment_id", concat(lit("seg"), ($"o_custkey" % 16).cast("string")))
+        .filter($"segment_id".rlike("^seg1[0-3]$"))
+        .groupBy($"segment_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"segment_id")
+    }),
+
+    // SURVEY §2.A A9: REGEXP UDF with trough's exact NULL semantics
+    "q27_regexp_udf" -> ((s, dir) => {
+      import s.implicits._
+      TroughFunctions.register(s)
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          $"p_type",
+          expr("REGEXP('^(ECONOMY|LARGE)', p_type)").as("matched"))
+        .filter($"p_partkey" % 20 === 0)
+        .orderBy($"p_partkey")
+    }),
+
+    // SURVEY §2.A A10: SEEDCRAWLEDSTATUS UDF over crawler-ish codes
+    "q28_seedcrawledstatus" -> ((s, dir) => {
+      import s.implicits._
+      TroughFunctions.register(s)
+      t(s, dir, "events")
+        .filter($"event_id" % 10 === 0)
+        .withColumn(
+          "code",
+          when($"event_id" % 7 === 0, -9998)
+            .when($"event_id" % 7 === 1, -5003)
+            .when($"event_id" % 7 === 2, 0)
+            .when($"event_id" % 7 === 3, 200)
+            .when($"event_id" % 7 === 4, 301)
+            .when($"event_id" % 7 === 5, 404)
+            .otherwise(-1))
+        .select(
+          $"event_id",
+          $"code",
+          expr("SEEDCRAWLEDSTATUS(cast(code AS string))").as("status"))
+        .orderBy($"event_id")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — one per query above, same column names, same
+  // ORDER BY. Dialect notes: sum(BIGINT)::BIGINT (DuckDB widens to
+  // HUGEINT), floor/ceil cast back to BIGINT (DuckDB yields DECIMAL).
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+      ORDER BY l_orderkey, l_linenumber""",
+    "q02_project_case" -> """
+      SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+        CASE WHEN l_quantity < 10 THEN 'small'
+             WHEN l_quantity < 40 THEN 'medium'
+             ELSE 'large' END AS qty_band,
+        concat(l_returnflag, '/', l_linestatus) AS flag
+      FROM lineitem WHERE l_orderkey % 100 = 0
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_agg_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 2) AS avg_qty,
+        round(avg(l_extendedprice), 2) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q04_agg_distinct_having" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+        count(DISTINCT o_custkey) AS n_custs,
+        round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_orderpriority HAVING count(*) > 10
+      ORDER BY o_orderpriority""",
+    "q05_join_revenue" -> """
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q06_agg_filter" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q07_join_left" -> """
+      SELECT c_custkey, c_name,
+        coalesce(n_orders, 0) AS n_orders,
+        round(coalesce(total, 0.0), 2) AS total
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+        FROM orders GROUP BY o_custkey
+      ) o ON c_custkey = o_custkey
+      ORDER BY c_custkey""",
+    "q08_join_full" -> """
+      SELECT o_custkey, coalesce(n96, 0) AS n96, coalesce(n97, 0) AS n97
+      FROM (SELECT o_custkey, count(*) AS n96 FROM orders
+            WHERE extract(year FROM o_orderdate) = 1996 GROUP BY o_custkey) a
+      FULL JOIN (SELECT o_custkey, count(*) AS n97 FROM orders
+            WHERE extract(year FROM o_orderdate) = 1997 GROUP BY o_custkey) b
+      USING (o_custkey)
+      ORDER BY o_custkey""",
+    "q09_join_semi" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      ORDER BY c_custkey""",
+    "q10_join_anti" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND extract(year FROM o_orderdate) = 1997)
+      ORDER BY c_custkey""",
+    "q11_cross_join" -> """
+      SELECT r_name, n_name
+      FROM region CROSS JOIN nation
+      WHERE r_regionkey <> n_regionkey
+      ORDER BY r_name, n_name""",
+    "q12_window_topk" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rnk, c_custkey, c_acctbal
+      FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+              row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey) AS rnk
+            FROM customer)
+      WHERE rnk <= 3
+      ORDER BY c_nationkey, rnk""",
+    "q13_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running,
+        lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS prev,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(count(*) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mavg
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey""",
+    "q14_window_rank_funcs" -> """
+      SELECT s_suppkey, s_acctbal,
+        ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS quartile,
+        round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+        round(cume_dist() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cdist,
+        dense_rank() OVER (ORDER BY s_nationkey) AS nat_rank
+      FROM supplier
+      ORDER BY s_suppkey""",
+    "q15_limit_offset" -> """
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part
+      ORDER BY p_retailprice DESC, p_partkey
+      LIMIT 20 OFFSET 10""",
+    "q16_setops" -> """
+      SELECT o_custkey, 'both' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997)
+      UNION ALL
+      SELECT o_custkey, 'only96' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997)
+      ORDER BY tag, o_custkey""",
+    "q17_cte_subquery" -> """
+      WITH big AS (
+        SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+      )
+      SELECT c_custkey, c_name, round(spend, 2) AS spend
+      FROM customer JOIN big ON c_custkey = o_custkey
+      WHERE spend > (SELECT avg(spend) FROM big)
+        AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      ORDER BY c_custkey""",
+    "q18_strings" -> """
+      SELECT p_partkey,
+        length(p_name) AS name_len,
+        upper(substr(p_name, 1, 8)) AS head,
+        lower(p_brand) AS brand_lc,
+        replace(p_type, ' ', '_') AS type_us,
+        CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        trim(concat('  ', p_name, '  ')) AS trimmed,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+      FROM part WHERE p_partkey % 50 = 0
+      ORDER BY p_partkey""",
+    "q19_datetime" -> """
+      SELECT extract(year FROM o_orderdate) AS yr,
+        extract(month FROM o_orderdate) AS mon,
+        count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY yr, mon ORDER BY yr, mon""",
+    "q20_math" -> """
+      SELECT l_orderkey, l_linenumber,
+        abs(l_quantity - 25) AS abs_dev,
+        round(sqrt(l_extendedprice), 3) AS sq,
+        CAST(floor(l_quantity / 7) AS BIGINT) AS fl,
+        CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+        round(ln(l_extendedprice + 1), 6) AS lnv,
+        l_partkey % 10 AS pmod,
+        CAST(sign(l_quantity - 25) AS BIGINT) AS sgn
+      FROM lineitem WHERE l_orderkey % 500 = 0
+      ORDER BY l_orderkey, l_linenumber""",
+    "q21_conditional" -> """
+      SELECT o_orderkey,
+        coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+        CASE WHEN o_totalprice > 200000 THEN 'high'
+             WHEN o_totalprice > 100000 THEN 'mid'
+             ELSE 'low' END AS band,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent
+      FROM orders WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey""",
+    "q22_json" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_id % 100 = 0
+      ORDER BY event_id""",
+    "q23_group_concat" -> """
+      SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q24_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem ORDER BY l_returnflag, l_linestatus""",
+    "q25_fanout_union" -> """
+      SELECT concat('seg', CAST(o_custkey % 16 AS VARCHAR)) AS segment_id,
+        count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY segment_id ORDER BY segment_id""",
+    "q26_segment_regex" -> """
+      SELECT segment_id, count(*) AS n
+      FROM (SELECT concat('seg', CAST(o_custkey % 16 AS VARCHAR)) AS segment_id
+            FROM orders)
+      WHERE regexp_matches(segment_id, '^seg1[0-3]$')
+      GROUP BY segment_id ORDER BY segment_id""",
+    "q27_regexp_udf" -> """
+      SELECT p_partkey, p_type,
+        coalesce(regexp_matches(p_type, '^(ECONOMY|LARGE)'), false) AS matched
+      FROM part WHERE p_partkey % 20 = 0
+      ORDER BY p_partkey""",
+    "q28_seedcrawledstatus" -> """
+      SELECT event_id, code,
+        CASE WHEN code >= 300 AND code < 400 THEN 'Redirected'
+             WHEN code >= 400 THEN concat('Crawled (HTTP error ', CAST(code AS VARCHAR), ')')
+             WHEN code > 0 THEN 'Crawled'
+             WHEN code IN (0, -5003, -5004) THEN 'Not crawled (queued)'
+             WHEN code = -9998 THEN 'Not crawled (blocked by robots)'
+             ELSE concat('Not crawled (', CAST(code AS VARCHAR), ')') END AS status
+      FROM (SELECT event_id,
+              CASE WHEN event_id % 7 = 0 THEN -9998
+                   WHEN event_id % 7 = 1 THEN -5003
+                   WHEN event_id % 7 = 2 THEN 0
+                   WHEN event_id % 7 = 3 THEN 200
+                   WHEN event_id % 7 = 4 THEN 301
+                   WHEN event_id % 7 = 5 THEN 404
+                   ELSE -1 END AS code
+            FROM events WHERE event_id % 10 = 0)
+      ORDER BY event_id"""
+  )
 }
