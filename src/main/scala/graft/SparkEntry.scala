@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TroughFunctions
+import graft.pipeline.{Dedup, Multimodal, PipelineFunctions, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -438,6 +439,159 @@ object SparkEntry {
           $"code",
           expr("SEEDCRAWLEDSTATUS(cast(code AS string))").as("status"))
         .orderBy($"event_id")
+    }),
+
+    // -------------------------------------------------------------------
+    // Training-data pipeline operators (north-star extensions beyond
+    // trough parity — dedup, similarity search, text analysis, multimodal)
+    // -------------------------------------------------------------------
+
+    // Exact dedup: one hash-partitioned aggregation; map-side combine
+    // collapses duplicates before the shuffle.
+    "q29_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exact(t(s, dir, "documents"))
+        .select(md5($"norm_text").as("text_hash"), $"keep_id", $"n_dups")
+        .orderBy($"keep_id")
+    }),
+
+    // MinHash+LSH near-dup join (b=32,r=2 ⇒ recall ≈ 1-6e-7 at j=0.6),
+    // verified with exact integer-arithmetic Jaccard — hash-matches the
+    // exact-join oracle while pruning the quadratic candidate space.
+    "q30_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashCandidates(t(s, dir, "documents"), thresholdNum = 6, thresholdDen = 10)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // SimHash near-dup: 64-bit simhash, 16-bit-chunk banding (lossless for
+    // hamming ≤ 3 by pigeonhole), exact bit_count verification.
+    // No SQL oracle (simhash is not expressible in DuckDB) → rows-only.
+    "q31_simhash" -> ((s, dir) => {
+      import s.implicits._
+      PipelineFunctions.register(s)
+      Dedup.simhashNearDup(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Exact bigram-shingle Jaccard similarity join (inverted index).
+    "q32_jaccard_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.jaccardJoinExact(t(s, dir, "documents"),
+          thresholdNum = 1, thresholdDen = 2, shingleLen = 2)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Brute-force cosine top-k: broadcast 10 query vectors against the
+    // corpus — one scan of the big side, no corpus shuffle.
+    "q33_embed_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.filter($"vec_id" < 10), k = 5)
+        .select($"query_id", $"neighbor_id", $"rnk", round($"score", 6).as("score"))
+        .orderBy($"query_id", $"rnk")
+    }),
+
+    // Top-20 most-similar embedding pairs on a 10% slice (deterministic
+    // regardless of the corpus's similarity structure).
+    "q34_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.bruteForceNearDup(
+          t(s, dir, "embeddings").filter($"vec_id" % 10 === 0), threshold = -1.0)
+        .orderBy($"score".desc, $"id_a", $"id_b")
+        .limit(20)
+        .select($"id_a", $"id_b", round($"score", 6).as("score"))
+    }),
+
+    // Language ID: marker-word n-gram heuristic, argmax with fixed
+    // tie-break — pure Catalyst HOF expressions, fully SQL-expressible.
+    "q35_langid" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          $"lang",
+          TextOps.langId(toks).as("pred"),
+          TextOps.markerHits(toks, TextOps.langMarkers("en")).as("c_en"),
+          TextOps.markerHits(toks, TextOps.langMarkers("es")).as("c_es"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: length / avg word length / stopword ratio.
+    "q36_quality" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val n = size(toks).cast("long")
+      val stops = TextOps.markerHits(toks, TextOps.langMarkers("en"))
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("chars"),
+          n.as("n_tokens"),
+          (((length($"text") - (n - lit(1))).cast("double")) / n.cast("double"))
+            .as("avg_word_len"),
+          (stops.cast("double") / n.cast("double")).as("stop_ratio"),
+          when(n < 20, "short").when(stops * 10 >= n, "stopword_heavy")
+            .otherwise("ok").as("band"))
+        .orderBy($"doc_id")
+    }),
+
+    // Token counting: whitespace split + BPE-ish regex token count.
+    "q37_tokens" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("re_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // Document fingerprint (content hash; rolling-hash winnowing variant
+    // is q40): canonical md5 of the normalized text.
+    "q38_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          md5(lower(trim($"text"))).as("fp"),
+          substring(md5(lower(trim($"text"))), 1, 8).as("fp_head"))
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal plumbing: binary payload column + mapPartitions decode
+    // stub + feature projection. Payload is unhex(md5(text)) so the
+    // oracle can reproduce byte_len/head_hex; width/height come from the
+    // stub decoder's first/last-byte rule.
+    "q39_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeFeatures(Multimodal.withFakeMedia(t(s, dir, "documents")))
+        .select($"media_id", $"byte_len", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"), $"head_hex")
+        .orderBy($"media_id")
+    }),
+
+    // Winnowing fingerprints (Schleimer et al.): k-gram rolling hashes,
+    // per-window minima. JVM UDF (bit/window loops) → rows-only check.
+    "q40_winnow" -> ((s, dir) => {
+      import s.implicits._
+      PipelineFunctions.register(s)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          explode(call_udf("winnow", TextOps.tokens($"text"), lit(4), lit(8))).as("fp"))
+        .orderBy($"doc_id", $"fp")
+    }),
+
+    // SRP-LSH bucketed similarity (the ANN scale path): compare only
+    // within sign-random-projection buckets. Approximate → rows-only.
+    "q41_embed_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.lshBucketed(t(s, dir, "embeddings"), threshold = 0.2,
+          numPlanes = 8, dim = 64)
+        .select($"id_a", $"id_b", round($"score", 6).as("score"))
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -666,6 +820,103 @@ object SparkEntry {
                    WHEN event_id % 7 = 5 THEN 404
                    ELSE -1 END AS code
             FROM events WHERE event_id % 10 = 0)
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+    "q29_dedup_exact" -> """
+      SELECT md5(lower(trim(text))) AS text_hash,
+        min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY lower(trim(text))
+      ORDER BY keep_id""",
+    "q30_minhash_lsh" -> """
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
+               i -> array_to_string(tk[i+1:i+3], ' '))) AS s
+             FROM toks WHERE len(tk) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT doc_a, doc_b, inter, (len(x.s) + len(y.s) - inter) AS un
+            FROM pairs JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+      SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
+      FROM j WHERE 10 * inter >= 6 * un
+      ORDER BY doc_a, doc_b""",
+    "q32_jaccard_exact" -> """
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(len(tk)-1),
+               i -> array_to_string(tk[i+1:i+2], ' '))) AS s
+             FROM toks WHERE len(tk) >= 2),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT doc_a, doc_b, inter, (len(x.s) + len(y.s) - inter) AS un
+            FROM pairs JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+      SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
+      FROM j WHERE 2 * inter >= un
+      ORDER BY doc_a, doc_b""",
+    "q33_embed_knn" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+      s AS (SELECT query_id, vec_id AS neighbor_id,
+              list_dot_product(qv, e)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e))) AS sc
+            FROM q JOIN v ON vec_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, sc,
+              row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rnk
+            FROM s)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(sc, 6) AS score
+      FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk""",
+    "q34_embed_neardup" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 10 = 0),
+      s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sc
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(sc, 6) AS score
+      FROM s ORDER BY sc DESC, id_a, id_b LIMIT 20""",
+    "q35_langid" -> """
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      c AS (SELECT doc_id, lang,
+        len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS c_en,
+        len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es','por','los'], x))) AS c_es,
+        len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','nicht','ein','zu','mit','den'], x))) AS c_de,
+        len(list_filter(tk, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','les'], x))) AS c_fr
+        FROM t)
+      SELECT doc_id, lang,
+        CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred,
+        c_en, c_es
+      FROM c ORDER BY doc_id""",
+    "q36_quality" -> """
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      c AS (SELECT doc_id, length(text) AS chars, len(tk) AS n_tokens,
+        len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS stops
+        FROM t)
+      SELECT doc_id, chars, n_tokens,
+        CAST(chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_word_len,
+        CAST(stops AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        CASE WHEN n_tokens < 20 THEN 'short'
+             WHEN stops * 10 >= n_tokens THEN 'stopword_heavy'
+             ELSE 'ok' END AS band
+      FROM c ORDER BY doc_id""",
+    "q37_tokens" -> """
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+      FROM documents ORDER BY doc_id""",
+    "q38_fingerprint" -> """
+      SELECT doc_id, md5(lower(trim(text))) AS fp,
+        substr(md5(lower(trim(text))), 1, 8) AS fp_head
+      FROM documents ORDER BY doc_id""",
+    "q39_multimodal" -> """
+      SELECT doc_id AS media_id,
+        CAST(octet_length(unhex(md5(text))) AS BIGINT) AS byte_len,
+        CAST((CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) & 127) + 1 AS BIGINT) AS width,
+        CAST((CAST(concat('0x', substr(md5(text), 31, 2)) AS INTEGER) & 127) + 1 AS BIGINT) AS height,
+        substr(md5(text), 1, 8) AS head_hex
+      FROM documents ORDER BY media_id"""
   )
 }

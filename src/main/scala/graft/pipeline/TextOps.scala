@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline operators.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (incl.
+  * higher-order array functions) so the expressions stay inside Catalyst —
+  * no Python, no serialization boundary — and compose with predicate
+  * pushdown / column pruning on the `documents` scan.
+  *
+  * Determinism: all hashing is `xxhash64` with literal seeds; no RNG.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (corpus text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (for Jaccard-style set similarity). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Empty when the
+    * document has fewer than `n` tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  /** MinHash signature of a shingle *set*: k independent hash functions
+    * simulated as `xxhash64(seed_j, shingle)`, signature[j] = min over
+    * shingles. Null for empty shingle sets. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleSet, s => xxhash64(j, s))))
+
+  /** LSH band keys over a MinHash signature: `b` bands of `r = k/b` rows;
+    * key = hash of the band's slice (band index is part of the join key so
+    * different bands never collide). Returns array<struct<band:int,key:long>>.
+    */
+  def lshBands(signature: Column, b: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(b - 1)),
+      i =>
+        struct(
+          i.cast("int").as("band"),
+          xxhash64(i, slice(signature, i * lit(r) + lit(1), lit(r))).as("key")))
+
+  /** Exact Jaccard similarity of two pre-distincted arrays, as double. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0d, lit(0d)).otherwise(inter / union)
+  }
+
+  /** English/Spanish/German/French stopword marker sets for the n-gram
+    * language-ID heuristic. Tiny on purpose: the heuristic is
+    * count-markers-and-argmax, SQL-expressible on both engines. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"))
+
+  /** Count of tokens that appear in `markers` (with repetition — frequency
+    * matters for language ID, unlike set intersection). */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+
+  /** Argmax language with deterministic tie-break order en > es > de > fr. */
+  def langId(toks: Column): Column = {
+    val en = markerHits(toks, langMarkers("en"))
+    val es = markerHits(toks, langMarkers("es"))
+    val de = markerHits(toks, langMarkers("de"))
+    val fr = markerHits(toks, langMarkers("fr"))
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+}
