@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{SchemaRegistry, SegmentStore, Shell, TroughEngine}
+
+/** Walkthrough of the engine's public API — the same lifecycle a trough
+  * user drives over HTTP (provision → write script → segment-scoped read
+  * → fan-out → promote → shred), against a scratch data root. Run with:
+  * `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val durable = java.nio.file.Files.createTempDirectory("graft-demo-durable").toString
+    val engine = new TroughEngine(spark, new SegmentStore(spark, root), new SchemaRegistry)
+
+    engine.schemas.put("crawl",
+      "CREATE TABLE pages (id INTEGER PRIMARY KEY AUTOINCREMENT, url TEXT, status INTEGER);")
+
+    Seq("crawl-2024-01", "crawl-2024-02").foreach(engine.provisionWritable(_, "crawl"))
+    engine.write("crawl-2024-01",
+      """INSERT INTO pages (url, status) VALUES ('http://a/', 200), ('http://b/', 301);
+         INSERT INTO pages (url, status) VALUES ('http://c/', 404);""")
+    engine.write("crawl-2024-02",
+      "INSERT INTO pages (url, status) VALUES ('http://d/', 200);")
+
+    println("== segment-scoped read (JSON wire shape) ==")
+    print(engine.resultJson(engine.read("crawl-2024-01",
+      "SELECT id, url, SEEDCRAWLEDSTATUS(cast(status AS string)) AS s FROM pages ORDER BY id;")))
+
+    println("== fan-out with per-segment isolation ==")
+    print(Shell.fanoutReport(engine.fanout(
+      engine.store.listSegments("^crawl-"), "SELECT count(*) AS n FROM pages;")))
+
+    println("== one declarative query over all segments ==")
+    engine.readAll(
+      "SELECT segment_id, count(*) AS n FROM pages GROUP BY segment_id ORDER BY segment_id;")
+      .show()
+
+    println("== promote + shred ==")
+    println("promoted to: " + engine.promote("crawl-2024-01", durable))
+    engine.releaseWriteLock("crawl-2024-02")
+    engine.deleteSegment("crawl-2024-02")
+    println("remaining segments: " + engine.store.listSegments().mkString(", "))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** SQLite `CREATE TABLE` DDL → Spark schema translation.
+  *
+  * SQLite's dynamic type system is *affinity*-based (reference schemas use
+  * `INTEGER PRIMARY KEY AUTOINCREMENT`, `varchar(4)`, bare `text` —
+  * tests/test_read.py:21, tests/wsgi/test_segment_manager.py:174). We
+  * normalize to Spark types per SURVEY §1.3: INTEGER affinity → LongType,
+  * REAL → DoubleType, TEXT → StringType, BLOB → BinaryType; date/time
+  * declarations stay TEXT (trough stores ISO-8601 text via the client's
+  * `datetime('<iso>')` literals).
+  */
+object SqliteDdl {
+
+  final case class TableDef(
+      name: String,
+      schema: StructType,
+      primaryKey: Seq[String],
+      autoIncrement: Option[String],
+      ifNotExists: Boolean)
+
+  /** SQLite type-affinity rules (https://sqlite.org/datatype3.html §3.1),
+    * mapped to Spark types. */
+  def affinity(declared: String): DataType = {
+    val t = declared.toUpperCase
+    if (t.contains("INT")) LongType
+    else if (t.contains("CHAR") || t.contains("CLOB") || t.contains("TEXT")) StringType
+    else if (t.isEmpty || t.contains("BLOB")) BinaryType
+    else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB")) DoubleType
+    else if (t.contains("BOOL")) LongType
+    else if (t.contains("DATE") || t.contains("TIME")) StringType // ISO text
+    else DoubleType // NUMERIC affinity
+  }
+
+  private val createRe =
+    """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)\s*(?:WITHOUT\s+ROWID\s*)?$""".r
+
+  /** Parse a SQLite CREATE TABLE statement. Throws on anything that isn't
+    * one (callers dispatch on the first keyword before calling). */
+  def parseCreateTable(stmt: String): TableDef = {
+    val m = createRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse CREATE TABLE statement: $stmt"))
+    val ifNotExists = m.group(1) != null
+    val name = SqlScript.unquoteIdent(m.group(2))
+    val body = m.group(3)
+
+    var pk = Vector.empty[String]
+    var autoInc: Option[String] = None
+    val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+
+    SqlScript.splitTopLevel(body).foreach { defn =>
+      val upper = defn.toUpperCase
+      if (upper.startsWith("PRIMARY KEY")) {
+        val cols = defn.substring(defn.indexOf('(') + 1, defn.lastIndexOf(')'))
+        pk = SqlScript.splitTopLevel(cols).map(SqlScript.unquoteIdent).toVector
+      } else if (upper.startsWith("UNIQUE") || upper.startsWith("CHECK") ||
+          upper.startsWith("FOREIGN KEY") || upper.startsWith("CONSTRAINT")) {
+        // constraints don't shape the schema; single-writer-per-segment
+        // makes uniqueness the writer's problem, FK/CHECK are unused in
+        // the reference's schemas
+      } else {
+        // column-def: name [type-name] [constraints...]
+        val tokens = tokenizeColumnDef(defn)
+        val colName = SqlScript.unquoteIdent(tokens.head)
+        val constraintStart = tokens.indexWhere(t =>
+          Set("PRIMARY", "NOT", "NULL", "UNIQUE", "CHECK", "DEFAULT", "COLLATE",
+            "REFERENCES", "AUTOINCREMENT", "GENERATED").contains(t.toUpperCase))
+        val typeTokens =
+          if (constraintStart < 0) tokens.drop(1) else tokens.slice(1, constraintStart)
+        val declared = typeTokens.mkString(" ")
+        val upperDef = defn.toUpperCase
+        if (upperDef.contains("PRIMARY KEY")) {
+          pk = pk :+ colName
+          if (upperDef.contains("AUTOINCREMENT") ||
+              // SQLite: INTEGER PRIMARY KEY is an alias for rowid and
+              // auto-assigns on NULL/omitted insert even without the keyword
+              declared.toUpperCase == "INTEGER")
+            autoInc = Some(colName)
+        }
+        fields += StructField(colName, affinity(declared), nullable = true)
+      }
+    }
+    TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists)
+  }
+
+  /** Tokenize a column definition, keeping parenthesized type args (e.g.
+    * `varchar(100)`) attached to their type token. */
+  private def tokenizeColumnDef(defn: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    defn.foreach { c =>
+      if (c == '(') { depth += 1; cur.append(c) }
+      else if (c == ')') { depth -= 1; cur.append(c) }
+      else if (c.isWhitespace && depth == 0) {
+        if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+      } else cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+}

@@ -1,0 +1,296 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TroughFunctions
+
+/** The trough-compatible query engine, Spark-first.
+  *
+  * Observable semantics preserved from the reference (SURVEY §7.1):
+  *  - segment-scoped single-SELECT reads returning ujson-shaped rows
+  *    (trough/read.py:33-67): [[read]] / [[resultJsonIter]]
+  *  - arbitrary write *scripts*, atomic per request, single writer per
+  *    segment (trough/write.py:23-57): [[write]]
+  *  - named-schema provisioning with validation
+  *    (trough/sync.py:152-173, 749-756): [[provisionWritable]]
+  *  - promote = durability flush, delete refuses while write-locked
+  *    (trough/sync.py:1112-1188, 439-509): [[promote]] / [[deleteSegment]]
+  *  - regex segment discovery + fan-out reads with per-segment error
+  *    isolation (trough/client.py:171-218, shell/__init__.py:242-262):
+  *    [[fanout]] — plus the strictly-better native mode [[readAll]]
+  *    (one declarative query over every segment; Catalyst parallelizes
+  *    where the reference needed client-side asyncio).
+  *
+  * The control plane (elections, heartbeats, hash rings, HDFS sync —
+  * sync.py:278-650) dissolves into Spark's driver/scheduler; locks are
+  * JVM-local because exactly one driver owns the write path.
+  */
+class TroughEngine(
+    val spark: SparkSession,
+    val store: SegmentStore,
+    val schemas: SchemaRegistry) {
+
+  TroughFunctions.register(spark)
+  SqliteCompat.register(spark)
+
+  /** node name reported in lock errors (reference: settings['HOSTNAME']) */
+  val nodeName: String = "local"
+
+  private val writeLocks = new ConcurrentHashMap[String, String]() // segment -> node
+  private val scriptLocks = new ConcurrentHashMap[String, Object]()
+
+  // ------------------------------------------------------------------- read
+
+  /** Isolated child session for one read: per-call temp view scoping,
+    * trough UDFs, and SQLite-style double-quoted identifiers
+    * (`SELECT * FROM "test"` — used by the reference's own tests,
+    * test_read.py:29). Dialect deviation, documented: a double-quoted
+    * *string literal* inside a read query must use single quotes (SQLite
+    * itself only falls back to string semantics when the identifier
+    * doesn't resolve — a lookup-dependent ambiguity Spark won't emulate). */
+  private def readSession(): SparkSession = {
+    val sess = spark.newSession()
+    TroughFunctions.register(sess)
+    SqliteCompat.register(sess)
+    sess.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    sess
+  }
+
+  /** Single-SELECT gate (trough/read.py:58-59). Parses with Catalyst and
+    * rejects multi-statement bodies and anything that isn't a query, with
+    * the reference's exact error message. */
+  def validateRead(sql: String, session: SparkSession = null): String = {
+    val sess = if (session != null) session else readSession()
+    val stmts = SqlScript.split(sql)
+    if (stmts.length != 1)
+      throw new IllegalArgumentException("Exactly one SELECT query per request, please.")
+    // parsePlan consults the *active* session's SQLConf (thread-local),
+    // not the parser's owning session — activate sess so the SQLite
+    // dialect flags (double-quoted identifiers) apply at the gate too
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(sess)
+    val plan: LogicalPlan =
+      try sess.sessionState.sqlParser.parsePlan(stmts.head)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(e.getMessage, e)
+      } finally prev.foreach(SparkSession.setActiveSession)
+    val bad = plan.isInstanceOf[Command] ||
+      plan.getClass.getSimpleName.matches(".*(Insert|Create|Drop|Alter|Delete|Update|Merge).*")
+    if (bad)
+      throw new IllegalArgumentException("Exactly one SELECT query per request, please.")
+    stmts.head
+  }
+
+  /** Segment-scoped read: the statement runs against views of the
+    * segment's tables in an isolated child session (temp views don't leak
+    * across concurrent reads). Returns the lazy DataFrame — callers pick
+    * collection shape ([[resultJsonIter]] for wire parity). */
+  def read(segmentId: String, sql: String): DataFrame = {
+    val sess = readSession()
+    val stmt = validateRead(sql, sess)
+    require(store.segmentExists(segmentId), s"no such segment: $segmentId")
+    store.tables(segmentId).foreach { t =>
+      store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
+    }
+    sess.sql(stmt)
+  }
+
+  /** One query over *all* segments (or a regex subset): the fan-out A6
+    * re-expressed as a single declarative plan — each table becomes the
+    * union of its per-segment data tagged with `segment_id`, so Catalyst
+    * can prune partitions, push filters, and parallelize the whole thing
+    * in one job instead of N client-side HTTP calls. */
+  def readAll(sql: String, segmentRegex: String = ".*"): DataFrame = {
+    val sess = readSession()
+    val stmt = validateRead(sql, sess)
+    val segs = store.listSegments(segmentRegex)
+    require(segs.nonEmpty, s"no segments match regex: $segmentRegex")
+    val byTable = segs.flatMap(s => store.tables(s).map(t => (t, s))).groupBy(_._1)
+    byTable.foreach { case (t, pairs) =>
+      val unioned = pairs.map { case (_, seg) =>
+        store.loadTable(seg, t, sess).withColumn("segment_id", lit(seg))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      unioned.createOrReplaceTempView(t)
+    }
+    sess.sql(stmt)
+  }
+
+  /** Streaming JSON result shape, byte-compatible with the reference's
+    * `sql_result_json_iter` (trough/read.py:33-52): `[` + rows joined by
+    * `,\n` + `]\n`; each row a `{col: value}` object in select-list
+    * order, nulls included, non-ASCII escaped (ujson ensure_ascii). */
+  def resultJsonIter(df: DataFrame): Iterator[String] = {
+    val schema = df.schema
+    val rows = df.toLocalIterator()
+    new Iterator[String] {
+      private var state = 0 // 0 = "[", 1 = rows, 2 = "]\n", 3 = done
+      private var first = true
+      def hasNext: Boolean = state < 3
+      def next(): String = state match {
+        case 0 => state = 1; "["
+        case 1 =>
+          if (rows.hasNext) {
+            val prefix = if (first) "" else ",\n"
+            first = false
+            prefix + JsonShape.rowJson(rows.next(), schema)
+          } else { state = 3; "]\n" }
+        case _ => state = 3; "]\n"
+      }
+    }
+  }
+
+  def resultJson(df: DataFrame): String = resultJsonIter(df).mkString
+
+  // ------------------------------------------------------------- provision
+
+  /** Provision a writable segment (reference provision cascade
+    * sync.py:673-725 minus placement — Spark has no placement choice to
+    * make): register/validate schema, create the segment dir + DDL,
+    * acquire the write lock. Idempotent. */
+  def provisionWritable(segmentId: String, schemaId: String = "default"): Unit = {
+    val schemaSql = schemas.get(schemaId).getOrElse(
+      throw new IllegalArgumentException(s"no such schema: $schemaId"))
+    store.provision(segmentId, schemaSql)
+    writeLocks.putIfAbsent(segmentId, nodeName)
+  }
+
+  def writeLockHolder(segmentId: String): Option[String] =
+    Option(writeLocks.get(segmentId))
+
+  def releaseWriteLock(segmentId: String): Unit = writeLocks.remove(segmentId)
+
+  // ------------------------------------------------------------------ write
+
+  /** Execute a write script: any statements, one atomic unit per request
+    * (reference wraps in BEGIN TRANSACTION…COMMIT, write.py:33-40),
+    * serialized per segment (single-writer, write.py:55-57). */
+  def write(segmentId: String, script: String): String = {
+    if (script == null || script.trim.isEmpty)
+      throw new IllegalArgumentException("No query provided.")
+    val lock = writeLocks.get(segmentId)
+    if (lock == null || lock != nodeName)
+      throw new IllegalStateException(
+        s"This node ($nodeName) cannot write to segment '$segmentId'. There is no " +
+        s"write lock set, or the write lock authorizes another node. Write lock: " +
+        s"${Option(lock).getOrElse("None")}")
+    if (store.isCold(segmentId))
+      throw new IllegalStateException(s"segment $segmentId is in cold storage (read-only)")
+    val mutex = scriptLocks.computeIfAbsent(segmentId, _ => new Object)
+    mutex.synchronized {
+      val txn = new WriteTxn(this, segmentId)
+      SqlScript.split(script).foreach(txn.execute)
+      txn.commit()
+    }
+    "OK\n"
+  }
+
+  /** Flush a segment to the durable root (reference promotion,
+    * sync.py:1112-1188). Returns the remote path, as the reference's
+    * promote API does. */
+  def promote(segmentId: String, durableRoot: String): String =
+    store.promote(segmentId, durableRoot)
+
+  /** Delete ("shred") a segment — refused while a write lock exists
+    * (reference sync.py:452-456). */
+  def deleteSegment(segmentId: String): Unit = {
+    if (writeLocks.containsKey(segmentId))
+      throw new IllegalStateException(
+        s"cannot delete segment $segmentId because it has a write lock")
+    store.deleteSegment(segmentId)
+  }
+
+  // ----------------------------------------------------------------- fanout
+
+  final case class FanoutResult(
+      perSegment: Seq[(String, Try[Seq[Row]])], totalRows: Long)
+
+  /** Fan-out: the same SELECT against N segments as independent parallel
+    * jobs with per-segment error isolation — one bad segment reports its
+    * error without failing the others (reference async_fanout semantics,
+    * shell/__init__.py:242-262; SURVEY §3.3 notes this is the one place
+    * a single union query would *lose* reference semantics). */
+  def fanout(segmentIds: Seq[String], sql: String): FanoutResult = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = segmentIds.map { seg =>
+      Future { seg -> Try(read(seg, sql).collect().toSeq) }
+    }
+    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    FanoutResult(results, results.map(_._2.map(_.size).getOrElse(0)).map(_.toLong).sum)
+  }
+}
+
+/** ujson-compatible row/value serialization (reference read.py:43-44:
+  * `ujson.dumps(dict, escape_forward_slashes=False)` with default
+  * ensure_ascii=True). */
+object JsonShape {
+  def rowJson(row: Row, schema: StructType): String = {
+    val sb = new StringBuilder("{")
+    var i = 0
+    schema.fields.foreach { f =>
+      if (i > 0) sb.append(",")
+      sb.append(str(f.name)).append(":")
+      sb.append(value(if (row.isNullAt(i)) null else row.get(i)))
+      i += 1
+    }
+    sb.append("}").toString
+  }
+
+  def value(v: Any): String = v match {
+    case null => "null"
+    case s: String => str(s)
+    case b: Boolean => if (b) "true" else "false"
+    case b: Array[Byte] => str(new String(b, "ISO-8859-1"))
+    case d: java.math.BigDecimal => d.toPlainString
+    case t: java.sql.Timestamp => str(t.toLocalDateTime.toString.replace('T', ' '))
+    case d: java.sql.Date => str(d.toString)
+    case seq: scala.collection.Seq[_] => seq.map(value).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => str(k.toString) + ":" + value(mv) }.mkString("{", ",", "}")
+    case r: Row => rowJson(r, r.schema)
+    case other => other.toString
+  }
+
+  def str(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}
+
+/** SQLite dialect compat shims registered on every engine session
+  * (SURVEY §7.3: the `datetime()` literal round-trip is the load-bearing
+  * one — the reference client emits `datetime('<iso>')` literals,
+  * client.py:114-115, which SQLite renders as 'YYYY-MM-DD HH:MM:SS'). */
+object SqliteCompat {
+  def datetimeCompat(s: String): String = {
+    if (s == null) return null
+    val iso = s.trim.replace(" ", "T")
+    val ldt =
+      if (iso.equalsIgnoreCase("now")) java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      else java.time.LocalDateTime.parse(iso)
+    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("datetime", (s: String) => datetimeCompat(s))
+  }
+}

@@ -1,0 +1,295 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+import graft.engine.SegmentStore.TableMeta
+
+/** One write script = one transaction (reference trough/write.py:33-40
+  * wraps the whole script in BEGIN TRANSACTION…COMMIT).
+  *
+  * Statements mutate a *staged* working set of DataFrames; nothing
+  * touches storage until [[commit]], which rewrites each dirty table via
+  * the store's atomic directory swap. A failed statement aborts the whole
+  * script with no storage change — the same all-or-nothing contract as
+  * the reference, without SQLite's journal.
+  *
+  * Statement coverage = what the reference ecosystem actually executes
+  * (SURVEY §7.4 risk 2): CREATE TABLE / CREATE INDEX / DROP / ALTER,
+  * INSERT [OR REPLACE|IGNORE] (VALUES and SELECT forms), UPDATE (incl.
+  * BUILDREDIRECTARRAY upserts), DELETE, BEGIN/COMMIT no-ops. TRIGGERs are
+  * rejected (unused in the reference's schemas/tests; SURVEY §2.B).
+  */
+private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
+  private val spark: SparkSession = engine.spark
+  private val store = engine.store
+
+  private val working = mutable.LinkedHashMap[String, (TableMeta, DataFrame)]()
+  private val dirty = mutable.LinkedHashSet[String]()
+  private val created = mutable.LinkedHashSet[String]()
+  private val dropped = mutable.LinkedHashSet[String]()
+  private val appendedOnly = mutable.LinkedHashMap[String, DataFrame]()
+
+  private def tableNames: Seq[String] =
+    (store.tables(segmentId).filterNot(dropped.contains) ++ created).distinct
+
+  private def load(table: String): (TableMeta, DataFrame) =
+    working.getOrElseUpdate(table, {
+      if (dropped.contains(table) || !store.tableExists(segmentId, table))
+        throw new IllegalArgumentException(s"no such table: $table")
+      val meta = store.tableMeta(segmentId, table)
+      (meta, store.loadTable(segmentId, table))
+    })
+
+  private def stage(table: String, meta: TableMeta, df: DataFrame): Unit = {
+    working(table) = (meta, df)
+    dirty += table
+    appendedOnly.remove(table)
+  }
+
+  // ------------------------------------------------------------- dispatch
+
+  def execute(stmt: String): Unit = SqlScript.firstWord(stmt) match {
+    case "BEGIN" | "COMMIT" | "END" => ()
+    case "CREATE" =>
+      val upper = stmt.toUpperCase
+      if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) ()
+      else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?TRIGGER.*"))
+        throw new UnsupportedOperationException("TRIGGERs are not supported")
+      else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*"))
+        throw new UnsupportedOperationException("VIEWs are not supported in write scripts")
+      else createTable(stmt)
+    case "DROP" => dropTable(stmt)
+    case "INSERT" | "REPLACE" => insert(stmt)
+    case "UPDATE" => update(stmt)
+    case "DELETE" => delete(stmt)
+    case "ALTER" => alter(stmt)
+    case other =>
+      throw new UnsupportedOperationException(s"unsupported write statement: $other")
+  }
+
+  def commit(): Unit = {
+    // force evaluation of every staged plan *before* mutating storage so
+    // a bad expression can't leave a half-applied script
+    val materialized = dirty.toSeq.map { t =>
+      val (meta, df) = working(t)
+      (t, meta, df.localCheckpoint(eager = true))
+    }
+    dropped.foreach { t => if (store.tableExists(segmentId, t)) store.dropTable(segmentId, t) }
+    created.foreach { t =>
+      if (!store.tableExists(segmentId, t)) {
+        val (meta, _) = working(t)
+        store.createTable(segmentId, t, meta, failIfExists = false)
+      }
+    }
+    materialized.foreach { case (t, meta, df) =>
+      store.replaceTableData(segmentId, t, df, Some(meta))
+    }
+    appendedOnly.foreach { case (t, df) => store.appendTableData(segmentId, t, df) }
+  }
+
+  // ----------------------------------------------------------------- DDL
+
+  private def createTable(stmt: String): Unit = {
+    val td = SqliteDdl.parseCreateTable(stmt)
+    if (tableNames.contains(td.name)) {
+      if (td.ifNotExists) return
+      throw new IllegalStateException(s"table ${td.name} already exists")
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema)
+    created += td.name
+    stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement), empty)
+  }
+
+  private val dropRe = "(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*$".r
+  private def dropTable(stmt: String): Unit = {
+    val m = dropRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse: $stmt"))
+    val name = SqlScript.unquoteIdent(m.group(2))
+    if (!tableNames.contains(name)) {
+      if (m.group(1) != null) return
+      throw new IllegalArgumentException(s"no such table: $name")
+    }
+    working.remove(name); dirty -= name; created -= name; appendedOnly.remove(name)
+    dropped += name
+  }
+
+  private val alterAddRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\S+)\\s+ADD(\\s+COLUMN)?\\s+(.+)$".r
+  private val alterRenameRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\S+)\\s+RENAME\\s+TO\\s+(\\S+)\\s*$".r
+  private def alter(stmt: String): Unit = stmt match {
+    case alterRenameRe(from, to) =>
+      val (meta, df) = load(SqlScript.unquoteIdent(from))
+      val target = SqlScript.unquoteIdent(to)
+      working.remove(SqlScript.unquoteIdent(from))
+      dirty -= SqlScript.unquoteIdent(from)
+      dropped += SqlScript.unquoteIdent(from)
+      created += target
+      stage(target, meta, df)
+    case alterAddRe(table, _, colDef) =>
+      val name = SqlScript.unquoteIdent(table)
+      val (meta, df) = load(name)
+      val parts = colDef.trim.split("\\s+", 2)
+      val colName = SqlScript.unquoteIdent(parts(0))
+      val colType = SqliteDdl.affinity(if (parts.length > 1) parts(1) else "")
+      val newSchema = meta.schema.add(StructField(colName, colType, nullable = true))
+      stage(name, TableMeta(newSchema, meta.primaryKey, meta.autoIncrement),
+        df.withColumn(colName, lit(null).cast(colType)))
+    case _ => throw new IllegalArgumentException(s"cannot parse ALTER statement: $stmt")
+  }
+
+  // ----------------------------------------------------------------- DML
+
+  private val insertRe =
+    ("(?is)^\\s*(?:INSERT(?:\\s+OR\\s+(REPLACE|IGNORE))?|(REPLACE))\\s+INTO\\s+" +
+      "([^\\s(]+)\\s*(?:\\(([^)]*)\\))?\\s*(VALUES\\s*(.*)|SELECT\\b.*)$").r
+
+  private def insert(stmt: String): Unit = {
+    val m = insertRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse INSERT statement: $stmt"))
+    val conflict = Option(m.group(1)).map(_.toUpperCase)
+      .orElse(Option(m.group(2)).map(_ => "REPLACE"))
+    val table = SqlScript.unquoteIdent(m.group(3))
+    val colList = Option(m.group(4)).map(
+      s => SqlScript.splitTopLevel(s).map(SqlScript.unquoteIdent))
+    val (meta, existing) = load(table)
+
+    val body = m.group(5)
+    val incoming: DataFrame =
+      if (body.toUpperCase.startsWith("VALUES")) {
+        // Evaluate each tuple as a SELECT so arbitrary expressions work
+        // (incl. the client's datetime('<iso>') literals, which are UDF
+        // calls and therefore not allowed in Spark inline VALUES tables).
+        val tuples = SqlScript.splitTopLevel(m.group(6))
+        val targetCols = colList.getOrElse(meta.schema.fieldNames.toSeq)
+        val selects = tuples.map { t =>
+          val inner = t.trim.stripPrefix("(").stripSuffix(")")
+          val exprs = SqlScript.splitTopLevel(inner)
+          require(exprs.length == targetCols.length,
+            s"INSERT arity mismatch: ${exprs.length} values for ${targetCols.length} columns")
+          "SELECT " + exprs.zip(targetCols)
+            .map { case (e, c) => s"$e AS `$c`" }.mkString(", ")
+        }
+        runSelect(selects.mkString(" UNION ALL "))
+      } else {
+        val df = runSelect(body)
+        val targetCols = colList.getOrElse(meta.schema.fieldNames.toSeq)
+        require(df.columns.length == targetCols.length,
+          s"INSERT arity mismatch: ${df.columns.length} vs ${targetCols.length}")
+        df.toDF(targetCols: _*)
+      }
+
+    // complete missing columns (nulls), then auto-assign the rowid-style
+    // column if it was omitted (safe: single writer per segment)
+    var full = incoming
+    meta.schema.fieldNames
+      .filterNot(f => full.columns.exists(_.equalsIgnoreCase(f)))
+      .foreach { missing0 => full = full.withColumn(missing0, lit(null)) }
+    meta.autoIncrement.foreach { ai =>
+      val aiMissing = colList.exists(cl => !cl.exists(_.equalsIgnoreCase(ai)))
+      if (aiMissing) {
+        val maxRow = existing.agg(max(col(ai))).head()
+        val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        full = full.withColumn(ai,
+          lit(base) + row_number().over(Window.orderBy(monotonically_increasing_id())))
+      }
+    }
+    val aligned = full.select(meta.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    val merged = conflict match {
+      case Some("REPLACE") if meta.primaryKey.nonEmpty =>
+        existing.join(aligned.select(meta.primaryKey.map(col): _*),
+          meta.primaryKey.toSeq, "left_anti").unionByName(aligned)
+      case Some("IGNORE") if meta.primaryKey.nonEmpty =>
+        existing.unionByName(
+          aligned.join(existing.select(meta.primaryKey.map(col): _*),
+            meta.primaryKey.toSeq, "left_anti")
+            .dropDuplicates(meta.primaryKey))
+      case _ => existing.unionByName(aligned)
+    }
+    stage(table, meta, merged)
+  }
+
+  private val updateRe =
+    "(?is)^\\s*UPDATE\\s+(\\S+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$".r
+  private def update(stmt: String): Unit = {
+    val m = updateRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse UPDATE statement: $stmt"))
+    val table = SqlScript.unquoteIdent(m.group(1))
+    val (meta, df) = load(table)
+    val pred = Option(m.group(3)).map(expr).getOrElse(lit(true))
+    var out = df
+    SqlScript.splitTopLevel(m.group(2)).foreach { assignment =>
+      val eq = topLevelEq(assignment)
+      val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
+      val valueExpr = expr(assignment.substring(eq + 1).trim)
+      val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $colName"))
+      out = out.withColumn(field.name,
+        when(pred, valueExpr.cast(field.dataType)).otherwise(col(field.name)))
+    }
+    stage(table, meta, out)
+  }
+
+  /** index of the first top-level '=' (not inside quotes/parens, not part
+    * of '==', '<=', '>=', '!='). */
+  private def topLevelEq(s: String): Int = {
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '=' if depth == 0 =>
+          val prev = if (i > 0) s.charAt(i - 1) else ' '
+          val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+          if (prev != '<' && prev != '>' && prev != '!' && prev != '=' && next != '=') return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"cannot parse assignment: $s")
+  }
+
+  private val deleteRe = "(?is)^\\s*DELETE\\s+FROM\\s+(\\S+)(?:\\s+WHERE\\s+(.*))?$".r
+  private def delete(stmt: String): Unit = {
+    val m = deleteRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse DELETE statement: $stmt"))
+    val table = SqlScript.unquoteIdent(m.group(1))
+    val (meta, df) = load(table)
+    val out = Option(m.group(2)) match {
+      case Some(pred) => df.where(!coalesce(expr(pred).cast("boolean"), lit(false)))
+      case None => df.limit(0)
+    }
+    stage(table, meta, out)
+  }
+
+  /** Run a SELECT with the txn's current table state visible as views.
+    * View registration happens on the engine session (the staged
+    * DataFrames belong to it), guarded by a global mutex; `spark.sql`
+    * analyzes (and therefore resolves the views) eagerly, so the views
+    * can be dropped again before the mutex is released. */
+  private def runSelect(select: String): DataFrame = WriteTxn.selectMutex.synchronized {
+    val names = tableNames
+    try {
+      names.foreach { t =>
+        val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t))
+        df.createOrReplaceTempView(t)
+      }
+      spark.sql(select)
+    } finally names.foreach(t => spark.catalog.dropTempView(t))
+  }
+}
+
+private[engine] object WriteTxn {
+  val selectMutex = new Object
+}

@@ -13,39 +13,36 @@ import org.apache.spark.sql.SparkSession
 object TroughFunctions {
 
   /** REGEXP(expr, item) — reference trough/sync.py:41-49.
-    * Python `re.search` semantics: NULL item => false (not NULL!);
-    * invalid pattern => error propagates. Java regex `.find()` is the
-    * `re.search` equivalent (unanchored).
-    */
+    * Python `re.search` semantics: NULL item => false (not NULL!), and
+    * the null check happens *before* pattern compilation, so
+    * REGEXP('[', NULL) is false rather than an error; invalid pattern
+    * with a non-null item => error propagates. Java regex `.find()` is
+    * the `re.search` equivalent (unanchored). */
   def regexp(expr: String, item: String): Boolean = {
-    val p = java.util.regex.Pattern.compile(expr) // invalid pattern throws
-    if (item == null) false else p.matcher(item).find()
+    if (item == null) return false
+    java.util.regex.Pattern.compile(expr).matcher(item).find() // bad pattern throws
   }
 
   /** SEEDCRAWLEDSTATUS(status_code) — reference trough/sync.py:52-70.
     * Maps crawler status codes to human-readable strings. The reference
-    * coerces with Python int(); non-numeric input falls through to
-    * 'Not crawled (%s)'.
-    */
+    * coerces with Python int() catching only TypeError: NULL (int(None))
+    * → 'Not crawled (None)'; a non-numeric *string* raises ValueError,
+    * which propagates as a query error. */
   def seedCrawledStatus(statusCode: String): String = {
-    val asInt: Option[Int] =
-      if (statusCode == null) None
-      else
-        try Some(statusCode.trim.toInt)
-        catch {
-          case _: NumberFormatException =>
-            try Some(statusCode.trim.toDouble.toInt)
-            catch { case _: NumberFormatException => None }
-        }
-    asInt match {
-      case Some(c) if c >= 300 && c < 400            => "Redirected"
-      case Some(c) if c >= 400                       => s"Crawled (HTTP error $c)"
-      case Some(c) if c > 0                          => "Crawled"
-      case Some(c) if c == 0 || c == -5003 || c == -5004 => "Not crawled (queued)"
-      case Some(c) if c == -9998                     => "Not crawled (blocked by robots)"
-      case Some(c)                                   => s"Not crawled ($c)"
-      case None                                      => s"Not crawled ($statusCode)"
-    }
+    if (statusCode == null) return "Not crawled (None)"
+    val c =
+      try statusCode.trim.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid literal for int() with base 10: '$statusCode'")
+      }
+    if (c >= 300 && c < 400) "Redirected"
+    else if (c >= 400) s"Crawled (HTTP error $c)"
+    else if (c > 0) "Crawled"
+    else if (c == 0 || c == -5003 || c == -5004) "Not crawled (queued)"
+    else if (c == -9998) "Not crawled (blocked by robots)"
+    else s"Not crawled ($c)"
   }
 
   /** JSON string literal, Python-json.dumps-compatible (ensure_ascii). */
@@ -65,10 +62,12 @@ object TroughFunctions {
 
   /** BUILDREDIRECTARRAY(url, status, hop_path, json_list) — reference
     * trough/sync.py:72-82. Parses `json_list` (TEXT) as a JSON array of
-    * null | {"seed":…, "status":…}, extends it with nulls to
-    * len(hop_path), sets element [hop_no-1] = {seed: url, status:
-    * SEEDCRAWLEDSTATUS(status)}, returns JSON text with Python
-    * json.dumps separators (", " / ": ").
+    * null | {"seed":…, "status":…}, extends it with nulls when
+    * len(hop_path) exceeds its length, sets element [hop_no-1] =
+    * {seed: url, status: SEEDCRAWLEDSTATUS(status)} — with Python
+    * negative-index semantics when hop_path is empty (index -1 = last
+    * element; IndexError on an empty list) — and returns JSON text with
+    * Python json.dumps separators (", " / ": ").
     */
   def buildRedirectArray(
       redirectUrl: String,
@@ -82,7 +81,10 @@ object TroughFunctions {
     val size = math.max(hopNo, existing.length)
     val out = Array.fill[(String, String)](size)(null)
     existing.copyToArray(out)
-    out(hopNo - 1) = (redirectUrl, seedCrawledStatus(redirectStatus))
+    val idx = if (hopNo - 1 >= 0) hopNo - 1 else size + (hopNo - 1) // Python negative index
+    if (idx < 0 || idx >= size)
+      throw new IndexOutOfBoundsException("list assignment index out of range")
+    out(idx) = (redirectUrl, seedCrawledStatus(redirectStatus))
     out
       .map {
         case null => "null"

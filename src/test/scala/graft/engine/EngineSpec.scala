@@ -1,0 +1,278 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** End-to-end behavioral port of the reference's read/write/lifecycle
+  * tests (tests/test_read.py, tests/test_write.py,
+  * tests/wsgi/test_segment_manager.py) against the Spark engine. */
+class EngineSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-engine").toString
+  private lazy val durable = Files.createTempDirectory("graft-durable").toString
+  private lazy val engine = {
+    val store = new SegmentStore(spark, root,
+      coldRoot = None, coldPredicate = _.startsWith("cold"))
+    new TroughEngine(spark, store, new SchemaRegistry)
+  }
+
+  private val testDdl =
+    "CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, test varchar(4));"
+
+  // ------------------------------------------------------- schema registry
+
+  test("schema registry: default schema is the empty string (sync.py:159-164)") {
+    assert(engine.schemas.get("default").contains(""))
+  }
+
+  test("schema registry: valid DDL registers, invalid is rejected (segment_manager 400s)") {
+    engine.schemas.put("seg-schema", testDdl)
+    assert(engine.schemas.get("seg-schema").contains(testDdl))
+    intercept[Exception](engine.schemas.put("bad id!", testDdl))
+    intercept[Exception](engine.schemas.put("bad-sql", "INSERT INTO x VALUES (1);"))
+    intercept[Exception](engine.schemas.put("bad-ddl", "CREATE GIBBERISH"))
+  }
+
+  // ----------------------------------------------- read path (test_read.py)
+
+  test("empty read: provisioned table, no rows -> [] (test_read.py:18-35)") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("seg-empty", "s1")
+    val json = engine.resultJson(engine.read("seg-empty", "SELECT * FROM \"test\";"))
+    assert(json == "[]\n")
+  }
+
+  test("single-row round trip to JSON (test_read.py:36-57)") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("seg-read", "s1")
+    engine.write("seg-read", "INSERT INTO test (test) VALUES ('test');")
+    val json = engine.resultJson(engine.read("seg-read", "SELECT * FROM test;"))
+    assert(json == "[{\"id\":1,\"test\":\"test\"}]\n")
+  }
+
+  test("rows stream in the reference's wire shape: [ , \\n separators, ]\\n") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("seg-multi", "s1")
+    engine.write("seg-multi",
+      "INSERT INTO test (test) VALUES ('a'); INSERT INTO test (test) VALUES ('b');")
+    val json = engine.resultJson(engine.read("seg-multi", "SELECT * FROM test ORDER BY id;"))
+    assert(json == "[{\"id\":1,\"test\":\"a\"},\n{\"id\":2,\"test\":\"b\"}]\n")
+  }
+
+  test("null rendering in JSON results") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("seg-null", "s1")
+    engine.write("seg-null", "INSERT INTO test (id, test) VALUES (7, null);")
+    val json = engine.resultJson(engine.read("seg-null", "SELECT * FROM test;"))
+    assert(json == "[{\"id\":7,\"test\":null}]\n")
+  }
+
+  test("write on the read path is rejected (test_read.py:58-76)") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("seg-ro", "s1")
+    val e = intercept[IllegalArgumentException](
+      engine.read("seg-ro", "INSERT INTO test (test) VALUES ('x');"))
+    assert(e.getMessage == "Exactly one SELECT query per request, please.")
+  }
+
+  test("multi-statement read is rejected (read.py:58)") {
+    val e = intercept[IllegalArgumentException](
+      engine.validateRead("SELECT 1; SELECT 2;"))
+    assert(e.getMessage == "Exactly one SELECT query per request, please.")
+  }
+
+  test("trough UDFs are available on the read path (read.py:63-64)") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("seg-udf", "s1")
+    engine.write("seg-udf", "INSERT INTO test (test) VALUES ('abc');")
+    val json = engine.resultJson(engine.read("seg-udf",
+      "SELECT test FROM test WHERE REGEXP('^a', test);"))
+    assert(json == "[{\"test\":\"abc\"}]\n")
+  }
+
+  // --------------------------------------------- write path (test_write.py)
+
+  test("empty write raises 'No query provided.' (test_write.py:14-21)") {
+    engine.provisionWritable("seg-w0")
+    val e = intercept[IllegalArgumentException](engine.write("seg-w0", "  "))
+    assert(e.getMessage == "No query provided.")
+  }
+
+  test("write without a lock is refused with the reference's message shape (write.py:55-57)") {
+    val e = intercept[IllegalStateException](
+      engine.write("seg-unprovisioned", "CREATE TABLE t (a INT);"))
+    assert(e.getMessage.contains("cannot write to segment"))
+    assert(e.getMessage.contains("no write lock"))
+  }
+
+  test("DDL+DML script round trip, atomic per request (test_write.py:30-50)") {
+    engine.provisionWritable("seg-w1") // default empty schema
+    engine.write("seg-w1",
+      """CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, test varchar(4));
+         INSERT INTO test (test) VALUES ('test');""")
+    val json = engine.resultJson(engine.read("seg-w1", "SELECT * FROM test;"))
+    assert(json == "[{\"id\":1,\"test\":\"test\"}]\n")
+  }
+
+  test("autoincrement assigns sequential rowids across requests") {
+    engine.provisionWritable("seg-auto")
+    engine.write("seg-auto", testDdl)
+    engine.write("seg-auto", "INSERT INTO test (test) VALUES ('a');")
+    engine.write("seg-auto",
+      "INSERT INTO test (test) VALUES ('b'); INSERT INTO test (test) VALUES ('c');")
+    val json = engine.resultJson(engine.read("seg-auto", "SELECT id FROM test ORDER BY id;"))
+    assert(json == "[{\"id\":1},\n{\"id\":2},\n{\"id\":3}]\n")
+  }
+
+  test("failed script leaves no partial state (BEGIN...COMMIT contract, write.py:33-40)") {
+    engine.provisionWritable("seg-atomic")
+    engine.write("seg-atomic", testDdl)
+    intercept[Exception](engine.write("seg-atomic",
+      "INSERT INTO test (test) VALUES ('keep'); INSERT INTO nonexistent VALUES (1);"))
+    val json = engine.resultJson(engine.read("seg-atomic", "SELECT count(*) AS n FROM test;"))
+    assert(json == "[{\"n\":0}]\n")
+  }
+
+  test("INSERT OR REPLACE / OR IGNORE honor the primary key") {
+    engine.provisionWritable("seg-upsert")
+    engine.write("seg-upsert", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
+    engine.write("seg-upsert", "INSERT INTO kv (k, v) VALUES (1, 'one'), (2, 'two');")
+    engine.write("seg-upsert", "INSERT OR REPLACE INTO kv (k, v) VALUES (2, 'TWO');")
+    engine.write("seg-upsert", "INSERT OR IGNORE INTO kv (k, v) VALUES (1, 'clobber'), (3, 'three');")
+    val json = engine.resultJson(engine.read("seg-upsert", "SELECT * FROM kv ORDER BY k;"))
+    assert(json == "[{\"k\":1,\"v\":\"one\"},\n{\"k\":2,\"v\":\"TWO\"},\n{\"k\":3,\"v\":\"three\"}]\n")
+  }
+
+  test("UPDATE with WHERE, DELETE with and without WHERE") {
+    engine.provisionWritable("seg-dml")
+    engine.write("seg-dml", "CREATE TABLE t (a INTEGER, b TEXT);")
+    engine.write("seg-dml", "INSERT INTO t (a, b) VALUES (1, 'x'), (2, 'y'), (3, 'z');")
+    engine.write("seg-dml", "UPDATE t SET b = 'updated' WHERE a >= 2;")
+    assert(engine.resultJson(engine.read("seg-dml", "SELECT * FROM t ORDER BY a;"))
+      == "[{\"a\":1,\"b\":\"x\"},\n{\"a\":2,\"b\":\"updated\"},\n{\"a\":3,\"b\":\"updated\"}]\n")
+    engine.write("seg-dml", "DELETE FROM t WHERE a = 2;")
+    assert(engine.resultJson(engine.read("seg-dml", "SELECT count(*) AS n FROM t;"))
+      == "[{\"n\":2}]\n")
+    engine.write("seg-dml", "DELETE FROM t;")
+    assert(engine.resultJson(engine.read("seg-dml", "SELECT count(*) AS n FROM t;"))
+      == "[{\"n\":0}]\n")
+  }
+
+  test("BUILDREDIRECTARRAY upsert — the reference's real-world UPDATE pattern") {
+    engine.provisionWritable("seg-redir")
+    engine.write("seg-redir", "CREATE TABLE seeds (id INTEGER PRIMARY KEY, redirects TEXT);")
+    engine.write("seg-redir", "INSERT INTO seeds (id, redirects) VALUES (1, null);")
+    engine.write("seg-redir",
+      "UPDATE seeds SET redirects = BUILDREDIRECTARRAY('http://x/', '301', 'R', redirects) WHERE id = 1;")
+    val json = engine.resultJson(engine.read("seg-redir", "SELECT redirects FROM seeds;"))
+    assert(json ==
+      "[{\"redirects\":\"[{\\\"seed\\\": \\\"http://x/\\\", \\\"status\\\": \\\"Redirected\\\"}]\"}]\n")
+  }
+
+  test("datetime() literal compat: client-style datetime('<iso>') values round-trip") {
+    engine.provisionWritable("seg-dt")
+    engine.write("seg-dt", "CREATE TABLE ev (id INTEGER, at DATETIME);")
+    engine.write("seg-dt", "INSERT INTO ev (id, at) VALUES (1, datetime('2024-01-02T03:04:05'));")
+    val json = engine.resultJson(engine.read("seg-dt", "SELECT at FROM ev;"))
+    assert(json == "[{\"at\":\"2024-01-02 03:04:05\"}]\n")
+  }
+
+  test("ALTER TABLE ADD COLUMN and DROP TABLE") {
+    engine.provisionWritable("seg-alter")
+    engine.write("seg-alter", "CREATE TABLE t (a INTEGER);")
+    engine.write("seg-alter", "INSERT INTO t (a) VALUES (1);")
+    engine.write("seg-alter", "ALTER TABLE t ADD COLUMN b TEXT;")
+    assert(engine.resultJson(engine.read("seg-alter", "SELECT * FROM t;"))
+      == "[{\"a\":1,\"b\":null}]\n")
+    engine.write("seg-alter", "DROP TABLE t;")
+    assert(!engine.store.tableExists("seg-alter", "t"))
+  }
+
+  // ----------------------------------------------------------- lifecycle
+
+  test("promote copies the segment to durable storage and returns remote path (sync.py:1112-1188)") {
+    engine.provisionWritable("seg-promote")
+    engine.write("seg-promote", testDdl)
+    engine.write("seg-promote", "INSERT INTO test (test) VALUES ('p');")
+    val remote = engine.promote("seg-promote", durable)
+    assert(remote.endsWith("seg-promote"))
+    assert(Files.isDirectory(java.nio.file.Paths.get(durable, "seg-promote", "test", "data")))
+    assert(!Files.exists(java.nio.file.Paths.get(durable, "seg-promote._COPYING_")))
+  }
+
+  test("delete refuses while write-locked, succeeds after release (sync.py:452-456)") {
+    engine.provisionWritable("seg-shred")
+    engine.write("seg-shred", testDdl)
+    val e = intercept[IllegalStateException](engine.deleteSegment("seg-shred"))
+    assert(e.getMessage.contains("write lock"))
+    engine.releaseWriteLock("seg-shred")
+    engine.deleteSegment("seg-shred")
+    assert(!engine.store.segmentExists("seg-shred"))
+  }
+
+  test("cold-tier segments are read-only (sync.py:693-697, 1050-1067)") {
+    intercept[IllegalStateException](engine.provisionWritable("cold-seg1"))
+  }
+
+  // ---------------------------------------------------- fan-out + discovery
+
+  test("segment discovery by regex (client.py:171-218)") {
+    engine.schemas.put("s1", testDdl)
+    Seq("fan1", "fan2", "fan3").foreach(engine.provisionWritable(_, "s1"))
+    assert(engine.store.listSegments("^fan[12]$") == Seq("fan1", "fan2"))
+  }
+
+  test("fanout: per-segment results with error isolation (shell async_fanout)") {
+    engine.schemas.put("s1", testDdl)
+    Seq("fanA", "fanB").foreach(engine.provisionWritable(_, "s1"))
+    engine.write("fanA", "INSERT INTO test (test) VALUES ('a1'), ('a2');")
+    engine.write("fanB", "INSERT INTO test (test) VALUES ('b1');")
+    // fanC exists but has no 'test' table -> error isolated to that segment
+    engine.provisionWritable("fanC", "default")
+    val result = engine.fanout(Seq("fanA", "fanB", "fanC"), "SELECT test FROM test;")
+    val bySeg = result.perSegment.toMap
+    assert(bySeg("fanA").isSuccess && bySeg("fanA").get.size == 2)
+    assert(bySeg("fanB").isSuccess && bySeg("fanB").get.size == 1)
+    assert(bySeg("fanC").isFailure)
+    assert(result.totalRows == 3)
+  }
+
+  test("readAll: one declarative query over all segments with segment_id column") {
+    engine.schemas.put("s1", testDdl)
+    Seq("uniA", "uniB").foreach(engine.provisionWritable(_, "s1"))
+    engine.write("uniA", "INSERT INTO test (test) VALUES ('x');")
+    engine.write("uniB", "INSERT INTO test (test) VALUES ('y'), ('z');")
+    val df = engine.readAll(
+      "SELECT segment_id, count(*) AS n FROM test GROUP BY segment_id ORDER BY segment_id;",
+      "^uni")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("uniA", 1L), ("uniB", 2L)))
+  }
+
+  // ----------------------------------------------------------- shell (A22/23)
+
+  test("SHOW TABLES / SHOW CREATE TABLE / SHOW SCHEMAS / SHOW SEGMENTS") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("seg-show", "s1")
+    assert(Shell.showTables(engine, "seg-show") == Seq("test"))
+    val ddl = Shell.showCreateTable(engine, "seg-show", "test")
+    assert(ddl.contains("id INTEGER PRIMARY KEY AUTOINCREMENT"))
+    assert(ddl.contains("test TEXT"))
+    assert(Shell.showSchemas(engine).contains("s1"))
+    assert(Shell.showSegments(engine, "^seg-show$") == Seq("seg-show"))
+  }
+
+  test("table formatter: id first, then ascending width, <null> rendering (shell/__init__.py:66-100)") {
+    engine.provisionWritable("seg-fmt")
+    engine.write("seg-fmt",
+      """CREATE TABLE f (id INTEGER, wide_column TEXT, z TEXT);
+         INSERT INTO f (id, wide_column, z) VALUES (1, 'wiiiiiiiiiiiiide', null);""")
+    val df = engine.read("seg-fmt", "SELECT * FROM f;")
+    val out = Shell.table(df.collect().toSeq, df.schema)
+    val lines = out.split("\n")
+    // id first despite being narrow; z (width 6: "<null>") before wide_column
+    assert(lines(1) == "| id | z      | wide_column      |")
+    assert(lines(3) == "| 1  | <null> | wiiiiiiiiiiiiide |")
+  }
+}
