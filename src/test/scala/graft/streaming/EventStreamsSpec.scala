@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Streaming operators driven through actual incremental execution
+  * (MemoryStream → micro-batches → memory sink), not just batch-mode
+  * equivalence. */
+class EventStreamsSpec extends SparkSpecBase {
+
+  private def eventDf(rows: Seq[(Long, String, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .select(
+        col("event_id"),
+        to_timestamp(col("ts_str")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+  }
+
+  test("windowedCounts: tumbling windows aggregate by event type (batch parity)") {
+    val df = eventDf(Seq(
+      (1L, "2024-01-01 00:05:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:25:00", 2L, "click", 2.0),
+      (3L, "2024-01-01 01:10:00", 1L, "error", 3.0)))
+    val out = EventStreams.windowedCounts(df).orderBy("window_start", "event_type").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("event_type") == "click")
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(out(1).getAs[String]("event_type") == "error")
+  }
+
+  test("windowedCounts runs incrementally with watermark state (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_str")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+    val query = EventStreams.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("wc_test").outputMode("append").start()
+    try {
+      mem.addData((1L, "2024-01-01 00:05:00", 1L, "click", 1.0))
+      mem.addData((2L, "2024-01-01 00:25:00", 2L, "click", 2.0))
+      query.processAllAvailable()
+      // append mode: window not emitted until watermark passes its end —
+      // push the watermark beyond 01:00 + 10min
+      mem.addData((3L, "2024-01-01 02:00:00", 1L, "error", 3.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM wc_test").collect()
+      assert(rows.length == 1) // the closed 00:00-01:00 click window
+      assert(rows(0).getAs[Long]("n") == 2L)
+      assert(rows(0).getAs[String]("event_type") == "click")
+    } finally query.stop()
+  }
+
+  test("sessionCounts: session_window groups by gap") {
+    val df = eventDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:10:00", 1L, "click", 1.0),  // same session (10 min gap)
+      (3L, "2024-01-01 02:00:00", 1L, "click", 1.0),  // new session
+      (4L, "2024-01-01 00:00:00", 2L, "click", 1.0)))
+    val out = EventStreams.sessionCounts(df).orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+  }
+
+  test("statefulSessions: flatMapGroupsWithState emits gap-separated sessions") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1000L), (1L, 2000L), (1L, 100000L), // user 1: 2 sessions (gap 10s)
+      (2L, 5000L)).toDS()
+    val out = EventStreams.statefulSessions(events, gapMs = 10000L)
+      .collect().sortBy(s => (s.userId, s.startMs))
+    assert(out.length == 3)
+    assert(out(0) == EventStreams.SessionOut(1L, 1000L, 2000L, 2))
+    assert(out(1) == EventStreams.SessionOut(1L, 100000L, 100000L, 1))
+    assert(out(2) == EventStreams.SessionOut(2L, 5000L, 5000L, 1))
+  }
+
+  test("flushToParquet: foreachBatch lands micro-batches durably (promoter analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-flush").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Long]
+    val query = EventStreams.flushToParquet(mem.toDF(), outDir, ckpt)
+    try {
+      mem.addData(1L, 2L, 3L)
+      query.processAllAvailable()
+      mem.addData(4L)
+      query.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 4)
+    } finally query.stop()
+  }
+}
