@@ -474,11 +474,12 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // Exact bigram-shingle Jaccard similarity join (inverted index).
+    // Exact 3-gram-shingle Jaccard similarity join (inverted index,
+    // hashed-postings count-join; prefix-filter variant available).
     "q32_jaccard_exact" -> ((s, dir) => {
       import s.implicits._
       Dedup.jaccardJoinExact(t(s, dir, "documents"),
-          thresholdNum = 1, thresholdDen = 2, shingleLen = 2)
+          thresholdNum = 3, thresholdDen = 10, shingleLen = 3)
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -842,9 +843,9 @@ object SparkEntry {
       ORDER BY doc_a, doc_b""",
     "q32_jaccard_exact" -> """
       WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(len(tk)-1),
-               i -> array_to_string(tk[i+1:i+2], ' '))) AS s
-             FROM toks WHERE len(tk) >= 2),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
+               i -> array_to_string(tk[i+1:i+3], ' '))) AS s
+             FROM toks WHERE len(tk) >= 3),
       ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                 FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -852,7 +853,7 @@ object SparkEntry {
       j AS (SELECT doc_a, doc_b, inter, (len(x.s) + len(y.s) - inter) AS un
             FROM pairs JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
       SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
-      FROM j WHERE 2 * inter >= un
+      FROM j WHERE 10 * inter >= 3 * un
       ORDER BY doc_a, doc_b""",
     "q33_embed_knn" -> """
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

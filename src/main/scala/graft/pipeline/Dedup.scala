@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation.
@@ -55,12 +56,31 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
     val r = numHashes / bands
-    val sh = array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen))
-    val sets = docs.select(col(idCol).as("id"), sh.as("sh")).where(size(col("sh")) > 0)
-    val keyed = sets
-      .select(col("id"),
-        explode(TextOps.lshBands(TextOps.minhashSignature(col("sh"), numHashes), bands, r)).as("bk"))
+    // Stage tokens through a select so the shingle lambda binds an
+    // attribute, not the split() expression — otherwise every shingle
+    // evaluation re-tokenizes the document (O(n^2) per doc).
+    // eagerly materialized: referenced by the band join AND twice by
+    // the verification joins — lazy persist would let the three scans
+    // race to populate the cache inside one job, recomputing the
+    // pipeline; an eager local checkpoint computes it exactly once.
+    val sets = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), array_distinct(TextOps.shingles(col("toks"), shingleLen)).as("sh"))
+      .where(size(col("sh")) > 0).localCheckpoint(true)
+    // hash each shingle string once; the k-hash family then rehashes the
+    // fixed-width longs (xxhash64 over 8 bytes ≈ 10x cheaper than over
+    // the ~20-byte shingle text, and it's the inner 64x loop)
+    val hashed = sets.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("hs"))
+    // stage the signature as a bound column before banding — inlining it
+    // into the band lambda would re-evaluate all k min-hashes once per
+    // band (k×b hash evaluations per doc instead of k)
+    val sig = hashed.select(col("id"),
+      TextOps.minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    val keyed = sig
+      .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(true) // self-joined below; see `sets` note
     val rhs = keyed.select(col("id").as("id2"), col("band").as("band2"), col("key").as("key2"))
     val candidates = keyed
       .join(rhs, col("band") === col("band2") && col("key") === col("key2") &&
@@ -77,31 +97,79 @@ object Dedup {
       .where(col("inter") * thresholdDen >= col("un") * thresholdNum)
   }
 
-  /** Exact n-gram Jaccard similarity join via inverted index (shingle →
-    * doc postings, pair counts by co-occurrence). The verifier/baseline;
-    * worst-case quadratic on hot shingles — the LSH path is the one that
-    * survives 100×. Same exact-integer threshold contract as
-    * [[minhashCandidates]]; returns (doc_a, doc_b, inter, un). */
+  /** Exact n-gram Jaccard similarity join via inverted index, with two
+    * lossless candidate-generation strategies:
+    *  - count-join (default): postings on 64-bit shingle hashes, pair
+    *    intersection counted by a map-side-combinable aggregation.
+    *  - prefixFilter=true: PPJoin prefix filtering (Xiao et al., WWW'08
+    *    — public algorithm) — index only each doc's rarest
+    *    `n - ceil(t*n) + 1` shingles; better on Zipfian vocabularies.
+    * Same exact-integer threshold contract as [[minhashCandidates]];
+    * returns (doc_a, doc_b, inter, un). */
   def jaccardJoinExact(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       thresholdNum: Int = 1,
       thresholdDen: Int = 2,
-      shingleLen: Int = 1): DataFrame = {
-    val sh =
-      if (shingleLen == 1) TextOps.tokenSet(col(textCol))
-      else array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen))
-    val sets = docs.select(col(idCol).as("id"), sh.as("sh")).where(size(col("sh")) > 0)
-    val postings = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val p2 = postings.select(col("id").as("id2"), col("n").as("n2"), col("s").as("s2"))
-    postings
-      .join(p2, col("s") === col("s2") && col("id") < col("id2"))
-      .groupBy(col("id").as("doc_a"), col("id2").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), first(col("n")).as("na"), first(col("n2")).as("nb"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na") + col("nb") - col("inter")).cast("long").as("un"))
-      .where(col("inter") * thresholdDen >= col("un") * thresholdNum)
+      shingleLen: Int = 1,
+      prefixFilter: Boolean = false): DataFrame = {
+    val shingleCol =
+      if (shingleLen == 1) array_distinct(col("toks"))
+      else array_distinct(TextOps.shingles(col("toks"), shingleLen))
+    val sets = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), shingleCol.as("sh"))
+      .where(size(col("sh")) > 0).localCheckpoint(true) // multiply referenced
+
+    if (prefixFilter) {
+      // PPJoin-style candidate generation: order each doc's shingles by
+      // global document frequency (rarest first), index only the prefix
+      // of length n - ceil(t*n) + 1. Lossless for Jaccard >= t; wins on
+      // Zipfian vocabularies where hot tokens would otherwise join
+      // quadratically. Verification = exact set intersection.
+      val postings = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val freq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val ceilTn = (col("n") * thresholdNum + thresholdDen - 1)
+        .divide(thresholdDen).cast("long")
+      val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+      val prefix = postings.join(freq, "s")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= col("n") - ceilTn + 1)
+        .select(col("id"), xxhash64(col("s")).as("h"))
+      val p2 = prefix.select(col("id").as("id2"), col("h").as("h2"))
+      val candidates = prefix
+        .join(p2, col("h") === col("h2") && col("id") < col("id2"))
+        .select(col("id").as("doc_a"), col("id2").as("doc_b"))
+        .distinct()
+      candidates
+        .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), (col("sz") - col("inter")).as("un"))
+        .where(col("inter") * thresholdDen >= col("un") * thresholdNum)
+    } else {
+      // Count-join: inverted index on 64-bit shingle hashes (long join
+      // keys shuffle ~5x cheaper than the shingle text), intersection
+      // sizes from a map-side-combinable pair count — no arrays cross
+      // the shuffle at all. The right default for dense vocabularies.
+      val postings = sets.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("h"))
+      val p2 = postings.select(col("id").as("id2"), col("h").as("h2"))
+      val inter = postings
+        .join(p2, col("h") === col("h2") && col("id") < col("id2"))
+        .groupBy(col("id").as("doc_a"), col("id2").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n"))
+      inter
+        .join(broadcast(sizes.select(col("id").as("doc_a"), col("n").as("na"))), "doc_a")
+        .join(broadcast(sizes.select(col("id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("un"))
+        .where(col("inter") * thresholdDen >= col("un") * thresholdNum)
+    }
   }
 
   /** 64-bit SimHash of a token multiset: per bit, sum ±1 weighted by token

@@ -15,22 +15,39 @@ import org.apache.spark.sql.functions._
   *    shrink the candidate set from O(N) to O(N / 2^planes) per probe;
   *    the bucket join shuffles on the bucket key. Deterministic
   *    hyperplanes (hash-derived, no RNG) keep results reproducible.
-  *  - Dot products run through `zip_with`+`aggregate` on doubles —
-  *    sequential accumulation in array order, which is what vector
-  *    engines (and the DuckDB oracle's list_dot_product) do, so scores
-  *    are bit-comparable across engines.
+  *  - Pairwise dot products run through a native codegen'd Catalyst
+  *    expression ([[graft.functions.DotProduct]]) with per-vector norms
+  *    precomputed; accumulation is sequential in array order, which is
+  *    what vector engines (and the DuckDB oracle's list_dot_product)
+  *    do, so scores are bit-comparable across engines.
   */
 object Similarity {
 
-  /** Sequential-order dot product of two array<double> columns. */
+  /** Sequential-order dot product via HOFs — works without any session
+    * registration; bit-identical to the native expression below. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd native dot product ([[graft.functions.DotProduct]]) — the
+    * hot-path form; requires [[graft.functions.VectorExpressions.register]]
+    * on the session (done by every entry point in this object). */
+  private def ndot(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   /** Cosine similarity with the canonical dot/(|a|·|b|) formula. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Project (id, vec, norm) with the norm computed once per vector —
+    * pairwise scoring then does one dot product per pair instead of
+    * three (norms recomputed per pair is the classic ANN-scan mistake). */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      .withColumn(normAs, sqrt(call_function("dot_product", col(vecAs), col(vecAs))))
+  }
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * `queries` is expected to be small (it is broadcast). */
@@ -40,13 +57,12 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
@@ -61,10 +77,11 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = vectors.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    val a = withNorm(vectors, idCol, vecCol, "id_a", "va", "na")
+    val b = withNorm(vectors, idCol, vecCol, "id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("score"))
+      .select(col("id_a"), col("id_b"),
+        (ndot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
       .where(col("score") >= threshold)
   }
 
@@ -100,12 +117,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val v = withNorm(vectors, idCol, vecCol, "id", "v", "n")
       .withColumn("bucket", srpBucket(col("v"), planes))
-    val rhs = v.select(col("id").as("id2"), col("v").as("v2"), col("bucket").as("bucket2"))
+      .localCheckpoint(true) // self-joined below
+    val rhs = v.select(col("id").as("id2"), col("v").as("v2"),
+      col("n").as("n2"), col("bucket").as("bucket2"))
     v.join(rhs, col("bucket") === col("bucket2") && col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b"),
-        cosine(col("v"), col("v2")).as("score"))
+        (ndot(col("v"), col("v2")) / (col("n") * col("n2"))).as("score"))
       .where(col("score") >= threshold)
   }
 }

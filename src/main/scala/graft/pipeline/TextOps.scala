@@ -37,6 +37,14 @@ object TextOps {
       sequence(lit(0), lit(k - 1)),
       j => array_min(transform(shingleSet, s => xxhash64(j, s))))
 
+  /** Same signature family over pre-hashed shingles (array<long>) — the
+    * hot-path form: the per-shingle string hash happens once, the k-way
+    * family rehashes fixed-width longs. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(hashes, h => xxhash64(j, h))))
+
   /** LSH band keys over a MinHash signature: `b` bands of `r = k/b` rows;
     * key = hash of the band's slice (band index is part of the join key so
     * different bands never collide). Returns array<struct<band:int,key:long>>.
