@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -70,10 +70,213 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native single-pass MinHash signature over pre-hashed shingles.
+  *
+  * The HOF formulation (`transform(sequence(0,k-1), j ->
+  * array_min(transform(hs, h -> xxhash64(j, h))))`) materializes k
+  * intermediate arrays per row and pays interpreted-lambda overhead on
+  * every element — ~18 s for 5k docs × ~2k shingles × k=64 at sf0.1.
+  * This expression runs one mixing pass per shingle (murmur fmix64) and
+  * k multiply-add permutations per element (the classic multiply-shift
+  * minwise family: g_j(u) = a_j·u + b_j with odd a_j, a bijection on
+  * Z/2^64), keeping the whole kernel inside whole-stage codegen with a
+  * single output allocation.
+  *
+  * The hash family intentionally differs from the HOF form: MinHash
+  * signatures are internal to candidate generation — callers verify
+  * candidates with exact set intersection, so only recall (band
+  * collision probability), not the specific family, is observable.
+  *
+  * Returns array<long> of length k; input must be array<long>
+  * (pre-hashed shingles, e.g. `transform(sh, s -> xxhash64(s))`).
+  */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) if right.foldable && right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "minhash_signature requires (array<bigint>, foldable int k), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val k: Int = right.eval().asInstanceOf[Int]
+  // Deterministic per-row-hash permutation coefficients (no RNG).
+  private lazy val coefA: Array[Long] =
+    Array.tabulate(k)(j => 2L * MinHashSignature.fmix64(0x9E3779B97F4A7C15L * (j + 1)) + 1L)
+  private lazy val coefB: Array[Long] =
+    Array.tabulate(k)(j => MinHashSignature.fmix64(0xC2B2AE3D27D4EB4FL * (j + 1)))
+
+  override def nullSafeEval(a: Any, kv: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val u = MinHashSignature.fmix64(arr.getLong(i))
+      var j = 0
+      while (j < k) {
+        val g = coefA(j) * u + coefB(j)
+        if (g < sig(j)) sig(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val u = ctx.freshName("u")
+      val g = ctx.freshName("g")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $u = $arr.getLong($i);
+         |  $u ^= $u >>> 33; $u *= 0xff51afd7ed558ccdL;
+         |  $u ^= $u >>> 33; $u *= 0xc4ceb9fe1a85ec53L;
+         |  $u ^= $u >>> 33;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $g = $aRef[$j] * $u + $bRef[$j];
+         |    if ($g < $sig[$j]) $sig[$j] = $g;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSignature =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSignature {
+  /** Murmur3 64-bit finalizer — full-avalanche mixing. */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+}
+
+/** Word n-gram shingle hashes straight from text bytes: single-space
+  * tokenization (matching `split(text, ' ')`), FNV-1a per token,
+  * polynomial window combine + fmix64, sorted-distinct output.
+  *
+  * Replaces the `array_distinct(transform(sequence…, slice+array_join))`
+  * shingle builder, which allocates one joined string per window — the
+  * whole per-document cost collapses to one pass over the text bytes
+  * plus an O(w log w) sort. Distinctness over 64-bit window hashes is
+  * equivalent to distinctness over shingle strings up to hash collisions
+  * (~w²/2⁶⁵ per doc ≈ 1e-13 — negligible even for oracle hash-matching).
+  *
+  * Semantics: null text → null; fewer than n tokens → empty array.
+  * Output order is ascending (callers treat it as a set).
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.foldable && right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "shingle_hashes requires (string, foldable int n), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, nv: Any): Any = {
+    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      ShingleHashes.compute(bytes, n))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.ShingleHashes.compute($text.getBytes(), $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  /** One pass over UTF-8 bytes: FNV-1a per space-separated token, ring
+    * buffer of the last n token hashes, polynomial combine + fmix64 per
+    * full window; sort + in-place dedup at the end. Static so generated
+    * code can call it — a JIT-compiled helper beats inlining 40 lines
+    * into every codegen site. */
+  def compute(bytes: Array[Byte], n: Int): Array[Long] = {
+    val len = bytes.length
+    // token count = spaces + 1 under single-space split semantics
+    var spaces = 0
+    var p = 0
+    while (p < len) { if (bytes(p) == ' ') spaces += 1; p += 1 }
+    val windows = spaces + 2 - n
+    if (windows <= 0) return Array.emptyLongArray
+    val ring = new Array[Long](n)
+    val out = new Array[Long](windows)
+    var tokIdx = 0
+    var outIdx = 0
+    var h = 0xcbf29ce484222325L // FNV-1a offset basis
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        ring(tokIdx % n) = h
+        tokIdx += 1
+        if (tokIdx >= n) {
+          // polynomial combine of the window's token hashes, oldest first
+          var w = 0L
+          var j = tokIdx - n
+          while (j < tokIdx) { w = w * 0x100000001b3L + ring(j % n); j += 1 }
+          out(outIdx) = MinHashSignature.fmix64(w)
+          outIdx += 1
+        }
+        h = 0xcbf29ce484222325L
+      } else {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted window hashes
+    var d = 0
+    var s = 1
+    while (s < out.length) {
+      if (out(s) != out(d)) { d += 1; out(d) = out(s) }
+      s += 1
+    }
+    if (d + 1 == out.length) out else java.util.Arrays.copyOf(out, d + 1)
+  }
+}
+
 object VectorExpressions {
   /** Register `dot_product(array<double>, array<double>) -> double` as a
     * native function (usable from SQL and via `call_function`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product",
       (exprs: Seq[Expression]) => {
@@ -81,4 +284,19 @@ object VectorExpressions {
         DotProduct(exprs(0), exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "minhash_signature takes exactly 2 arguments")
+        MinHashSignature(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "shingle_hashes takes exactly 2 arguments")
+        ShingleHashes(exprs(0), exprs(1))
+      },
+      "built-in")
+  }
 }

@@ -56,27 +56,21 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
     val r = numHashes / bands
-    // Stage tokens through a select so the shingle lambda binds an
-    // attribute, not the split() expression — otherwise every shingle
-    // evaluation re-tokenizes the document (O(n^2) per doc).
-    // eagerly materialized: referenced by the band join AND twice by
-    // the verification joins — lazy persist would let the three scans
-    // race to populate the cache inside one job, recomputing the
-    // pipeline; an eager local checkpoint computes it exactly once.
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    // Native text→shingle-hash kernel (ShingleHashes): one pass over the
+    // bytes, no shingle strings materialized. Eagerly checkpointed:
+    // referenced by the band join AND twice by the verification joins —
+    // lazy persist would let the three scans race to populate the cache
+    // inside one job; an eager local checkpoint computes it exactly once.
     val sets = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), array_distinct(TextOps.shingles(col("toks"), shingleLen)).as("sh"))
+      .select(col(idCol).as("id"),
+        call_function("shingle_hashes", col(textCol), lit(shingleLen)).as("sh"))
       .where(size(col("sh")) > 0).localCheckpoint(true)
-    // hash each shingle string once; the k-hash family then rehashes the
-    // fixed-width longs (xxhash64 over 8 bytes ≈ 10x cheaper than over
-    // the ~20-byte shingle text, and it's the inner 64x loop)
-    val hashed = sets.select(col("id"),
-      transform(col("sh"), s => xxhash64(s)).as("hs"))
-    // stage the signature as a bound column before banding — inlining it
-    // into the band lambda would re-evaluate all k min-hashes once per
-    // band (k×b hash evaluations per doc instead of k)
-    val sig = hashed.select(col("id"),
-      TextOps.minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    // native single-pass minhash kernel (see MinHashSignature scaladoc);
+    // staged as a bound column before banding — inlining it into the
+    // band lambda would re-evaluate all k min-hashes once per band
+    val sig = sets.select(col("id"),
+      call_function("minhash_signature", col("sh"), lit(numHashes)).as("sig"))
     val keyed = sig
       .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -114,12 +108,12 @@ object Dedup {
       thresholdDen: Int = 2,
       shingleLen: Int = 1,
       prefixFilter: Boolean = false): DataFrame = {
-    val shingleCol =
-      if (shingleLen == 1) array_distinct(col("toks"))
-      else array_distinct(TextOps.shingles(col("toks"), shingleLen))
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    // sh = sorted-distinct 64-bit shingle hashes (see ShingleHashes);
+    // works for shingleLen == 1 too (distinct token hashes).
     val sets = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), shingleCol.as("sh"))
+      .select(col(idCol).as("id"),
+        call_function("shingle_hashes", col(textCol), lit(shingleLen)).as("sh"))
       .where(size(col("sh")) > 0).localCheckpoint(true) // multiply referenced
 
     if (prefixFilter) {
@@ -136,7 +130,7 @@ object Dedup {
       val prefix = postings.join(freq, "s")
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= col("n") - ceilTn + 1)
-        .select(col("id"), xxhash64(col("s")).as("h"))
+        .select(col("id"), col("s").as("h"))
       val p2 = prefix.select(col("id").as("id2"), col("h").as("h2"))
       val candidates = prefix
         .join(p2, col("h") === col("h2") && col("id") < col("id2"))
@@ -155,8 +149,7 @@ object Dedup {
       // keys shuffle ~5x cheaper than the shingle text), intersection
       // sizes from a map-side-combinable pair count — no arrays cross
       // the shuffle at all. The right default for dense vocabularies.
-      val postings = sets.select(col("id"), explode(col("sh")).as("s"))
-        .select(col("id"), xxhash64(col("s")).as("h"))
+      val postings = sets.select(col("id"), explode(col("sh")).as("h"))
       val p2 = postings.select(col("id").as("id2"), col("h").as("h2"))
       val inter = postings
         .join(p2, col("h") === col("h2") && col("id") < col("id2"))

@@ -1,0 +1,114 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the native Catalyst expressions: dot_product,
+  * minhash_signature, shingle_hashes. Each is checked against an
+  * equivalent built-in/HOF formulation so codegen and interpreted
+  * paths can't drift from declarative semantics. */
+class VectorExpressionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  VectorExpressions.register(spark)
+
+  test("dot_product matches the HOF formulation bit-for-bit") {
+    val df = Seq((Seq(0.1, 0.2, 0.3), Seq(0.7, 0.11, 0.13))).toDF("a", "b")
+    val Array(native, hof) = df.select(
+      call_function("dot_product", $"a", $"b"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(native == hof)
+  }
+
+  test("dot_product null and empty semantics") {
+    val row = spark.sql(
+      """SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) n,
+        |       dot_product(CAST(array() AS ARRAY<DOUBLE>),
+        |                   CAST(array() AS ARRAY<DOUBLE>)) e""".stripMargin).collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.getDouble(1) == 0.0)
+  }
+
+  test("dot_product rejects non-double arrays with a named error") {
+    val e = intercept[Exception](
+      spark.sql("SELECT dot_product(array('a'), array(1.0d))").collect())
+    assert(e.getMessage.contains("dot_product requires two array<do"))
+  }
+
+  test("shingle_hashes: count, distinctness and ordering semantics") {
+    val df = Seq(
+      ("a b c d", 3),   // windows: "a b c","b c d" -> 2
+      ("a b a b a", 2), // windows: "a b","b a","a b","b a" -> 2 distinct
+      ("a b", 3),       // fewer than n tokens -> empty
+      ("xyz", 1)        // single token, n=1 -> 1
+    ).toDF("text", "n")
+    val out = df.select(
+      size(call_function("shingle_hashes", $"text", lit(3))).as("s3"),
+      size(call_function("shingle_hashes", $"text", lit(2))).as("s2"),
+      size(call_function("shingle_hashes", $"text", lit(1))).as("s1"))
+      .collect()
+    assert(out(0).getInt(0) == 2 && out(0).getInt(1) == 3 && out(0).getInt(2) == 4)
+    assert(out(1).getInt(1) == 2 && out(1).getInt(2) == 2)
+    assert(out(2).getInt(0) == 0)
+    assert(out(3).getInt(2) == 1)
+    // sorted ascending, distinct
+    val arr = Seq("e d c b a e d").toDF("text")
+      .select(call_function("shingle_hashes", $"text", lit(2)))
+      .collect()(0).getSeq[Long](0)
+    assert(arr == arr.sorted && arr.distinct == arr)
+  }
+
+  test("shingle_hashes equals distinct count of string shingles") {
+    // same corpus-shaped text via the HOF shingle builder
+    val df = Seq("the quick brown fox jumps over the lazy dog the quick brown fox")
+      .toDF("text")
+    val toks = split($"text", " ")
+    val strShingles = array_distinct(
+      transform(sequence(lit(0), size(toks) - 3),
+        i => array_join(slice(toks, i + lit(1), lit(3)), " ")))
+    val row = df.select(
+      size(strShingles),
+      size(call_function("shingle_hashes", $"text", lit(3)))).collect()(0)
+    assert(row.getInt(0) == row.getInt(1))
+  }
+
+  test("minhash_signature: length k, permutation-min invariants") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L, 5L), "a"),
+      (Seq(1L, 2L, 3L, 4L, 5L), "b"),   // identical set -> identical signature
+      (Seq(9L, 10L), "c")
+    ).toDF("hs", "tag")
+    val sigs = df.select(call_function("minhash_signature", $"hs", lit(16)))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash_signature: signature of a union is elementwise min") {
+    // minhash invariant: sig(A ∪ B)[j] == min(sig(A)[j], sig(B)[j])
+    val a = Seq(1L, 2L, 3L)
+    val b = Seq(100L, 200L)
+    val df = Seq((a, b, a ++ b)).toDF("a", "b", "u")
+    val row = df.select(
+      call_function("minhash_signature", $"a", lit(8)),
+      call_function("minhash_signature", $"b", lit(8)),
+      call_function("minhash_signature", $"u", lit(8))).collect()(0)
+    val (sa, sb, su) =
+      (row.getSeq[Long](0), row.getSeq[Long](1), row.getSeq[Long](2))
+    assert(su == sa.zip(sb).map { case (x, y) => math.min(x, y) })
+  }
+
+  test("minhash similarity estimates Jaccard for near-identical sets") {
+    val base = (1L to 1000L).toSeq
+    val mod = base.drop(100) ++ (2001L to 2100L) // jaccard = 900/1100 ≈ 0.818
+    val df = Seq((base, mod)).toDF("a", "b")
+    val row = df.select(
+      call_function("minhash_signature", $"a", lit(256)),
+      call_function("minhash_signature", $"b", lit(256))).collect()(0)
+    val est = row.getSeq[Long](0).zip(row.getSeq[Long](1))
+      .count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 900.0 / 1100.0) < 0.1)
+  }
+}
