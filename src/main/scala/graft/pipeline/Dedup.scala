@@ -81,9 +81,18 @@ object Dedup {
         col("id") < col("id2"))
       .select(col("id").as("doc_a"), col("id2").as("doc_b"))
       .distinct() // same pair may collide in several bands
+      .localCheckpoint(true) // referenced 3x below (id-prune + both joins)
+    // Semi-join prune before verification: candidates are a vanishing
+    // fraction of the corpus, but without this the verification joins
+    // shuffle EVERY doc's shingle array (the dominant bytes at scale —
+    // ~16 KB/doc) twice; after the prune only candidate docs' arrays
+    // move. The prune itself ships only ids.
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
+    val needed = sets.join(candIds, Seq("id"), "left_semi")
     candidates
-      .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(needed.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(needed.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz"))
@@ -136,9 +145,15 @@ object Dedup {
         .join(p2, col("h") === col("h2") && col("id") < col("id2"))
         .select(col("id").as("doc_a"), col("id2").as("doc_b"))
         .distinct()
+        .localCheckpoint(true) // referenced 3x (id-prune + both joins)
+      // semi-join prune: see minhashCandidates — only candidate docs'
+      // shingle arrays should cross the verification shuffle
+      val candIds = candidates
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
+      val needed = sets.join(candIds, Seq("id"), "left_semi")
       candidates
-        .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(needed.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(needed.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
           (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz"))
@@ -155,10 +170,13 @@ object Dedup {
         .join(p2, col("h") === col("h2") && col("id") < col("id2"))
         .groupBy(col("id").as("doc_a"), col("id2").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
+      // No broadcast hint: sizes has one row per document, which is NOT
+      // broadcastable at corpus scale — plain equi-joins let AQE pick
+      // broadcast when small and shuffle-join (pairs ≪ docs) when not.
       val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n"))
       inter
-        .join(broadcast(sizes.select(col("id").as("doc_a"), col("n").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .join(sizes.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("inter"),
           (col("na") + col("nb") - col("inter")).as("un"))
         .where(col("inter") * thresholdDen >= col("un") * thresholdNum)
