@@ -115,6 +115,20 @@ class EngineSpec extends SparkSpecBase {
     assert(json == "[{\"id\":1,\"test\":\"test\"}]\n")
   }
 
+  test("reference byte-shapes: double-quoted VALUES literal + quoted table read " +
+      "(test_write.py:41-42, test_read.py:49-50)") {
+    // SQLite's quirk: "test" is a string literal in VALUES (no identifier
+    // resolves) but an identifier in FROM. The write path evaluates VALUES
+    // on the base session (double quote = literal); the read session sets
+    // doubleQuotedIdentifiers, so both reference test shapes work verbatim.
+    engine.provisionWritable("seg-dq")
+    engine.write("seg-dq",
+      "CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, test varchar(4));")
+    engine.write("seg-dq", "INSERT INTO test (test) VALUES (\"test\");")
+    val json = engine.resultJson(engine.read("seg-dq", "SELECT * FROM \"test\";"))
+    assert(json == "[{\"id\":1,\"test\":\"test\"}]\n")
+  }
+
   test("autoincrement assigns sequential rowids across requests") {
     engine.provisionWritable("seg-auto")
     engine.write("seg-auto", testDdl)
