@@ -97,34 +97,82 @@ object Similarity {
       (z.toDouble / Long.MaxValue.toDouble)
     }
 
+  /** Per-plane signed projections (margins) as array<double> — one
+    * native dot product per plane. Bucket bits are the margin signs;
+    * |margin| measures how close the vector sits to each boundary
+    * (the multi-probe ordering criterion). */
+  def srpMargins(vec: Column, planes: Array[Array[Double]]): Column =
+    array(planes.map(p => ndot(vec, array(p.map(lit): _*))): _*)
+
+  /** Bucket id from a *bound* margins column (stage it through a select
+    * first — inlining re-evaluates every dot per bit). */
+  private def bucketFromMargins(marg: Column, numPlanes: Int): Column =
+    aggregate(
+      sequence(lit(1), lit(numPlanes)),
+      lit(0L),
+      (acc, j) => acc + when(element_at(marg, j) >= 0d,
+        call_function("shiftleft", lit(1L), j - 1)).otherwise(lit(0L)))
+
   /** Sign-random-projection LSH bucket id (one probe). */
-  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(vec, planeCol) >= 0d, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    bucketFromMargins(srpMargins(vec, planes), planes.length)
 
   /** LSH-bucketed near-dup: compare only within SRP buckets, verify with
     * exact cosine. Approximate (bucket boundaries lose some recall) —
-    * that's the scale trade; `numPlanes` controls bucket granularity. */
+    * that's the scale trade; `numPlanes` controls bucket granularity and
+    * `multiProbe` buys recall back: each vector additionally probes the
+    * `multiProbe` buckets reached by flipping its lowest-|margin| bits
+    * (the boundaries it sits closest to — where its true neighbors most
+    * likely landed on the other side). Probing multiplies candidate
+    * volume by ≤ (1 + multiProbe) but adds no new shuffle shapes: the
+    * probe side explodes, the build side stays one row per vector. */
   def lshBucketed(
       vectors: DataFrame,
       threshold: Double,
       numPlanes: Int,
       dim: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      multiProbe: Int = 0): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val v = withNorm(vectors, idCol, vecCol, "id", "v", "n")
-      .withColumn("bucket", srpBucket(col("v"), planes))
+    val v0 = withNorm(vectors, idCol, vecCol, "id", "v", "n")
+      .withColumn("marg", srpMargins(col("v"), planes))
+    val v = v0
+      .withColumn("bucket", bucketFromMargins(col("marg"), numPlanes))
       .localCheckpoint(true) // self-joined below
-    val rhs = v.select(col("id").as("id2"), col("v").as("v2"),
-      col("n").as("n2"), col("bucket").as("bucket2"))
-    v.join(rhs, col("bucket") === col("bucket2") && col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"),
-        (ndot(col("v"), col("v2")) / (col("n") * col("n2"))).as("score"))
-      .where(col("score") >= threshold)
+
+    if (multiProbe <= 0) {
+      val rhs = v.select(col("id").as("id2"), col("v").as("v2"),
+        col("n").as("n2"), col("bucket").as("bucket2"))
+      v.join(rhs, col("bucket") === col("bucket2") && col("id") < col("id2"))
+        .select(col("id").as("id_a"), col("id2").as("id_b"),
+          (ndot(col("v"), col("v2")) / (col("n") * col("n2"))).as("score"))
+        .where(col("score") >= threshold)
+    } else {
+      // probe buckets = primary + flips of the multiProbe lowest-|margin|
+      // bits, ranked via array_sort on (|margin|, plane index) structs
+      val ranked = slice(
+        array_sort(transform(sequence(lit(1), lit(numPlanes)),
+          j => struct(abs(element_at(col("marg"), j)).as("m"), (j - 1).as("j")))),
+        1, multiProbe)
+      val probes = concat(
+        array(col("bucket")),
+        transform(ranked, s =>
+          col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("j")))))
+      // ids-only candidate generation, then vectors joined back for
+      // scoring (only candidate vectors cross the scoring shuffle)
+      val lhs = v.select(col("id"), explode(probes).as("pb"))
+      val rhs = v.select(col("id").as("id2"), col("bucket").as("bucket2"))
+      val cand = lhs.join(rhs, col("pb") === col("bucket2") && col("id") =!= col("id2"))
+        .select(least(col("id"), col("id2")).as("id_a"),
+          greatest(col("id"), col("id2")).as("id_b"))
+        .distinct()
+      cand
+        .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+        .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (ndot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+        .where(col("score") >= threshold)
+    }
   }
 }

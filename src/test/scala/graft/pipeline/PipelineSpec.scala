@@ -106,6 +106,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(0).getAs[String]("head_hex").length == 8)
   }
 
+  test("lshBucketed multi-probe: recall ≥ single-probe, precision exact") {
+    import spark.implicits._
+    // deterministic synthetic vectors: clusters of near-identical
+    // directions plus noise vectors
+    def mix(i: Int, k: Int): Double = {
+      var z = (i.toLong << 32) + k
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L; z = z ^ (z >>> 27)
+      z.toDouble / Long.MaxValue
+    }
+    val vecs = (0 until 60).map { i =>
+      val base = i % 12 // 12 cluster centers, 5 members each
+      (i.toLong, (0 until 8).map(k => mix(base, k) + 0.02 * mix(i + 1000, k)).toArray)
+    }.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceNearDup(vecs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def found(mp: Int) = Similarity
+      .lshBucketed(vecs, 0.95, numPlanes = 10, dim = 8, multiProbe = mp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = found(0)
+    val probed = found(3)
+    assert(single.subsetOf(truth) && probed.subsetOf(truth)) // no false pairs
+    assert(single.subsetOf(probed)) // probing only adds
+    assert(probed.size >= single.size)
+    assert(truth.nonEmpty && probed.size >= (truth.size * 0.6)) // useful recall
+  }
+
   test("langId: marker argmax with deterministic tie-break") {
     import spark.implicits._
     val df = docs(
