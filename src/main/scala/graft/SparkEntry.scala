@@ -593,6 +593,43 @@ object SparkEntry {
           numPlanes = 8, dim = 64)
         .select($"id_a", $"id_b", round($"score", 6).as("score"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Batch sessionization: gap-based sessions via lag + running sum —
+    // the classic composition, partition-parallel per user (the
+    // streaming analog with true state lives in streaming/EventStreams).
+    // Epoch seconds on both engines (events.ts is TIMESTAMP(NANOS)
+    // parquet: Spark reads ns-long, DuckDB µs — seconds agree).
+    "q42_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+      val gapSec = 4 * 3600L
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", expr("ts div 1000000000").as("sec"), $"value")
+        .withColumn("is_new",
+          when($"sec" - lag($"sec", 1).over(w) > gapSec || lag($"sec", 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum($"is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_no")
+        .agg(
+          min($"sec").as("session_start"),
+          max($"sec").as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("total_value"))
+        .orderBy($"user_id", $"session_no")
+    }),
+
+    // IVF ANN: every 25th vector is a coarse centroid (deterministic
+    // quantizer stand-in), nprobe=2 lists searched per query, exact
+    // cosine within probed lists.
+    "q43_embed_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter($"vec_id" < 10), k = 5,
+          centroidStride = 25L, nprobe = 2)
+        .select($"query_id", $"neighbor_id", $"rnk", round($"score", 6).as("score"))
+        .orderBy($"query_id", $"rnk")
     })
   )
 
@@ -918,6 +955,44 @@ object SparkEntry {
         CAST((CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) & 127) + 1 AS BIGINT) AS width,
         CAST((CAST(concat('0x', substr(md5(text), 31, 2)) AS INTEGER) & 127) + 1 AS BIGINT) AS height,
         substr(md5(text), 1, 8) AS head_hex
-      FROM documents ORDER BY media_id"""
+      FROM documents ORDER BY media_id""",
+    "q42_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id,
+                   CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec, value
+                 FROM events),
+      m AS (SELECT *, CASE WHEN sec - lag(sec) OVER w > 14400
+                             OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+              ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM m)
+      SELECT user_id, session_no, min(sec) AS session_start,
+        max(sec) AS session_end, count(*) AS n_events,
+        round(sum(value), 2) AS total_value
+      FROM s GROUP BY user_id, session_no
+      ORDER BY user_id, session_no""",
+    "q43_embed_ivf" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),
+      c AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+      a0 AS (SELECT vn.vec_id, vn.e, vn.n, c.cid,
+               row_number() OVER (PARTITION BY vn.vec_id
+                 ORDER BY list_dot_product(vn.e, c.ce) / (vn.n * c.cn) DESC, c.cid) AS arnk
+             FROM vn CROSS JOIN c),
+      a AS (SELECT vec_id, e, n, cid FROM a0 WHERE arnk = 1),
+      q0 AS (SELECT vn.vec_id AS query_id, vn.e AS qe, vn.n AS qn, c.cid,
+               row_number() OVER (PARTITION BY vn.vec_id
+                 ORDER BY list_dot_product(vn.e, c.ce) / (vn.n * c.cn) DESC, c.cid) AS prnk
+             FROM vn CROSS JOIN c WHERE vn.vec_id < 10),
+      p AS (SELECT query_id, qe, qn, cid FROM q0 WHERE prnk <= 2),
+      sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_dot_product(p.qe, a.e) / (p.qn * a.n) AS s
+             FROM p JOIN a USING (cid) WHERE a.vec_id <> p.query_id),
+      r AS (SELECT query_id, neighbor_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk
+            FROM sc)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(s, 6) AS score
+      FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk"""
   )
 }

@@ -97,6 +97,60 @@ object Similarity {
       (z.toDouble / Long.MaxValue.toDouble)
     }
 
+  /** IVF-style ANN search: a coarse quantizer partitions the corpus into
+    * inverted lists; queries probe only their `nprobe` nearest lists.
+    *
+    * The quantizer here selects every `centroidStride`-th vector as a
+    * centroid — deterministic and oracle-reproducible. In production the
+    * centroid set comes from an offline k-means job; everything that
+    * makes IVF scale (bounded centroid set, broadcastable; one
+    * assignment pass over the corpus at N×nlist dots; query cost
+    * nprobe/nlist of a full scan) is independent of how centroids were
+    * trained, and swapping the centroid DataFrame is the only change.
+    *
+    * Scale shape: centroids broadcast (nlist ≈ √N rows); assignment is
+    * one corpus scan (no shuffle until the per-vector argmax window,
+    * partitioned by vector id); the search join shuffles candidates by
+    * list id — hot lists are AQE-split. Returns (query_id, neighbor_id,
+    * rnk, score). */
+  def ivfKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroidStride: Long,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = withNorm(corpus, idCol, vecCol, "id", "cv", "cn")
+    val cents = broadcast(v.where(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("cv").as("ce"), col("cn").as("cen")))
+
+    val assignW = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
+    val assigned = v.crossJoin(cents)
+      .select(col("id"), col("cv"), col("cn"), col("cid"),
+        (ndot(col("cv"), col("ce")) / (col("cn") * col("cen"))).as("csc"))
+      .withColumn("arnk", row_number().over(assignW))
+      .where(col("arnk") === 1)
+      .select(col("id"), col("cid"), col("cv"), col("cn"))
+
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("qsc").desc, col("cid"))
+    val probes = q.crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        (ndot(col("qv"), col("ce")) / (col("qn") * col("cen"))).as("qsc"))
+      .withColumn("prnk", row_number().over(probeW))
+      .where(col("prnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    probes.join(assigned, "cid")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Per-plane signed projections (margins) as array<double> — one
     * native dot product per plane. Bucket bits are the margin signs;
     * |margin| measures how close the vector sits to each boundary
