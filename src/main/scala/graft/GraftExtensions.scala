@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Session-extensions entry point: registers the engine's native
   * Catalyst expressions at session build, so a cluster deployment can
@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "shingle_hashes takes exactly 2 arguments")
         ShingleHashes(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64]),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(exprs(0))
       }))
   }
 }

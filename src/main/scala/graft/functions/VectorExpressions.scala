@@ -273,6 +273,62 @@ object ShingleHashes {
   }
 }
 
+/** Native 64-bit SimHash straight from text bytes: single-space
+  * tokenization, XXH64(seed 42) per token (identical family to the
+  * `simhash64` Scala closure in [[graft.pipeline.Dedup.simhash64]] and
+  * Spark's `xxhash64` — outputs are bit-identical to the UDF form),
+  * ±1 bit votes per token, sign → bit. Replaces a Scala UDF whose cost
+  * was dominated by Seq[String] deserialization per row. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash64.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SimHash64.compute($t.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** One pass over UTF-8 bytes; XXH64(seed 42) per space-separated token
+    * (empty tokens included — split(' ') semantics); branchless votes. */
+  def compute(bytes: Array[Byte]): Long = {
+    val counts = new Array[Int](64)
+    val len = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        var j = 0
+        while (j < 64) {
+          counts(j) += (((h >>> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
 object VectorExpressions {
   /** Register `dot_product(array<double>, array<double>) -> double` as a
     * native function (usable from SQL and via `call_function`). */
@@ -296,6 +352,13 @@ object VectorExpressions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "shingle_hashes takes exactly 2 arguments")
         ShingleHashes(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(exprs(0))
       },
       "built-in")
   }

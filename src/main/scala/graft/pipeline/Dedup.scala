@@ -216,7 +216,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val sim = call_udf("simhash64", TextOps.tokens(col(textCol)))
+    // native byte-level kernel; bit-identical to Dedup.simhash64 over
+    // split(text, ' ') (same XXH64-seed-42 per-token family)
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val sim = call_function("simhash64", col(textCol))
     val withSim = docs.select(col(idCol).as("id"), sim.as("sim"))
     val chunked = withSim.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),

@@ -36,7 +36,9 @@ object PipelineFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("simhash64", (toks: Seq[String]) => Dedup.simhash64(toks))
+    // simhash64 is served by the native expression in
+    // graft.functions.VectorExpressions (same hash family as
+    // Dedup.simhash64, which remains the JVM-callable reference impl)
     spark.udf.register("winnow",
       (toks: Seq[String], k: Int, w: Int) => winnow(toks, k, w))
   }

@@ -100,6 +100,17 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(su == sa.zip(sb).map { case (x, y) => math.min(x, y) })
   }
 
+  test("simhash64 native expression is bit-identical to the JVM reference impl") {
+    val texts = Seq("alpha beta gamma", "the quick brown fox", "x", "", "a  b",
+      "gamma alpha beta")
+    val df = texts.toDF("text")
+      .select($"text", call_function("simhash64", $"text").as("native"))
+    df.collect().foreach { r =>
+      val expected = graft.pipeline.Dedup.simhash64(r.getString(0).split(" ", -1).toSeq)
+      assert(r.getLong(1) == expected, s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("minhash similarity estimates Jaccard for near-identical sets") {
     val base = (1L to 1000L).toSeq
     val mod = base.drop(100) ++ (2001L to 2100L) // jaccard = 900/1100 ≈ 0.818
