@@ -290,7 +290,43 @@ object SqliteCompat {
       f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
   }
 
+  /** SQLite GLOB pattern → Java regex: `*` → `.*`, `?` → `.`,
+    * `[set]` / `[^set]` character classes pass through, everything else
+    * is matched literally. Case-sensitive, whole-string anchored —
+    * SQLite's glob semantics (unlike LIKE, which is case-insensitive). */
+  def globToRegex(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = pattern.indexOf(']', i + 2) // ']' first in set is literal
+          if (close < 0) { sb.append("\\["); }
+          else {
+            val body = pattern.substring(i + 1, close)
+            sb.append('[')
+            sb.append(if (body.startsWith("^")) body else body.replace("\\", "\\\\"))
+            sb.append(']')
+            i = close
+          }
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** `glob(pattern, string)` — SQLite's function form of `x GLOB y`
+    * (`glob(Y, X)` ⇔ `X GLOB Y`); NULL in → NULL out. */
+  def glob(pattern: String, s: String): java.lang.Boolean = {
+    if (pattern == null || s == null) return null
+    java.util.regex.Pattern.compile(globToRegex(pattern)).matcher(s).matches()
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("datetime", (s: String) => datetimeCompat(s))
+    spark.udf.register("glob", (p: String, s: String) => glob(p, s))
   }
 }

@@ -129,6 +129,27 @@ class EngineSpec extends SparkSpecBase {
     assert(json == "[{\"id\":1,\"test\":\"test\"}]\n")
   }
 
+  test("glob() compat function on the read path (SQLite GLOB semantics)") {
+    engine.provisionWritable("seg-glob")
+    engine.write("seg-glob",
+      """CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, name TEXT);
+         INSERT INTO t (name) VALUES ('alpha'); INSERT INTO t (name) VALUES ('Alpha');
+         INSERT INTO t (name) VALUES ('beta1'); INSERT INTO t (name) VALUES (null);""")
+    // case-sensitive star/question/class patterns, whole-string anchored
+    val out = engine.read("seg-glob",
+      "SELECT name FROM t WHERE glob('a*', name) ORDER BY name;")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("alpha")) // not 'Alpha' (case), not 'beta1' (anchor)
+    val cls = engine.read("seg-glob",
+      "SELECT name FROM t WHERE glob('[ab]*[0-9]', name);")
+      .collect().map(_.getString(0)).toSeq
+    assert(cls == Seq("beta1"))
+    val q = engine.read("seg-glob",
+      "SELECT count(*) AS n FROM t WHERE glob('?lpha', name);")
+      .collect()(0).getLong(0)
+    assert(q == 2) // '?' matches exactly one char: alpha + Alpha
+  }
+
   test("autoincrement assigns sequential rowids across requests") {
     engine.provisionWritable("seg-auto")
     engine.write("seg-auto", testDdl)
