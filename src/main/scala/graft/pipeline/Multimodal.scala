@@ -75,6 +75,46 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Resize: nearest-neighbor downsample/upsample of the decoded pixel
+    * buffer to `outW`×`outH`. Same per-partition batch contract as
+    * [[decodeFeatures]] — decode state initialized once per partition,
+    * one pass, no shuffle; a codec-backed implementation swaps
+    * [[fakeDecode]] and the sampling loop for the library call. The
+    * fake decode treats the payload as a w×h byte raster (row-major),
+    * so the resampling arithmetic — source index = (y·h/outH)·w +
+    * x·w/outW — is the real thing. */
+  def resize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val (w, h, pixels) = fakeDecode(payload)
+        if (w == 0 || h == 0 || pixels.length < w.toLong * h) Row(id, 0, 0, Array.emptyByteArray)
+        else {
+          val out = new Array[Byte](outW * outH)
+          var y = 0
+          while (y < outH) {
+            val sy = (y.toLong * h / outH).toInt
+            var x = 0
+            while (x < outW) {
+              out(y * outW + x) = pixels(sy * w + (x.toLong * w / outW).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, outW, outH, out)
+        }
+      }
+    }(encoder)
+  }
+
   /** Frame sampling stub for video-like payloads: every `stride`-th byte
     * window as a "frame". Pure binary slicing — `substring` works on
     * binary natively so this stays codegen-friendly. */

@@ -97,6 +97,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(frames(1).getAs[Array[Byte]]("frame").sameElements(payload.slice(4, 8)))
   }
 
+  test("multimodal: resize does nearest-neighbor resampling of the decoded raster") {
+    import spark.implicits._
+    // payload crafted so fakeDecode yields a consistent 4x2 raster:
+    // first byte 3 -> w=4, last byte 1 -> h=2, length 8 = w*h
+    val payload = Array[Byte](3, 10, 20, 30, 40, 50, 60, 1)
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.resize(media, outW = 2, outH = 1).collect()(0)
+    assert(out.getInt(1) == 2 && out.getInt(2) == 1)
+    // out(0,0) <- src(0,0)=payload(0); out(0,1) <- src(0, 1*4/2=2)=payload(2)
+    assert(out.getAs[Array[Byte]]("pixels").toSeq == Seq[Byte](3, 20))
+    // inconsistent raster (md5 fake blobs) degrades to empty, not a crash
+    val fake = Multimodal.resize(
+      Multimodal.withFakeMedia(docs((2L, "hello"))), 4, 4).collect()(0)
+    assert(fake.getInt(1) == 0 && fake.getAs[Array[Byte]]("pixels").isEmpty)
+  }
+
   test("multimodal: decodeFeatures runs the mapPartitions contract end-to-end") {
     import spark.implicits._
     val media = Multimodal.withFakeMedia(docs((1L, "hello"), (2L, "world")))
