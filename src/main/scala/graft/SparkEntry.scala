@@ -575,13 +575,14 @@ object SparkEntry {
     }),
 
     // Winnowing fingerprints (Schleimer et al.): k-gram rolling hashes,
-    // per-window minima. JVM UDF (bit/window loops) → rows-only check.
+    // per-window minima. Native byte-level kernel → rows-only check
+    // (the window-min algorithm is not expressible in DuckDB SQL).
     "q40_winnow" -> ((s, dir) => {
       import s.implicits._
-      PipelineFunctions.register(s)
+      graft.functions.VectorExpressions.register(s)
       t(s, dir, "documents")
         .select($"doc_id",
-          explode(call_udf("winnow", TextOps.tokens($"text"), lit(4), lit(8))).as("fp"))
+          explode(call_function("winnow_fingerprints", $"text", lit(4), lit(8))).as("fp"))
         .orderBy($"doc_id", $"fp")
     }),
 

@@ -329,6 +329,92 @@ object SimHash64 {
   }
 }
 
+/** Native winnowing fingerprints (Schleimer et al., SIGMOD'03) straight
+  * from text bytes. Because tokens are single-space separated, every
+  * word k-gram string is a contiguous byte slice of the text, so the
+  * per-gram XXH64(seed 42) here is bit-identical to hashing the joined
+  * gram string — outputs match [[graft.pipeline.PipelineFunctions.winnow]]
+  * exactly. Args: (text, k, w); returns sorted-distinct fingerprints. */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType &&
+        Seq(second, third).forall(e => e.foldable && e.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "winnow_fingerprints requires (string, foldable int k, foldable int w)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  private lazy val k: Int = second.eval().asInstanceOf[Int]
+  private lazy val w: Int = third.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, kv: Any, wv: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      WinnowFingerprints.compute(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, k, w))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _, _) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.WinnowFingerprints.compute($text.getBytes(), $k, $w));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFingerprints =
+    copy(first = f, second = s, third = t)
+}
+
+object WinnowFingerprints {
+  /** Token boundaries → per-gram XXH64 over the gram's byte slice →
+    * sliding-window minima (rightmost on ties, LinkedHashSet-order
+    * equivalent) → sorted distinct. Matches PipelineFunctions.winnow. */
+  def compute(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    val len = bytes.length
+    // token start offsets under split(' ') semantics
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var p = 0
+    while (p < len) { if (bytes(p) == ' ') starts += (p + 1); p += 1 }
+    val nTok = starts.length
+    if (nTok < k) return Array.emptyLongArray
+    val nGrams = nTok - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val until = if (i + k < nTok) starts(i + k) - 1 else len // exclude trailing space
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var min = hashes(0)
+      var j = 1
+      while (j < nGrams) { if (hashes(j) < min) min = hashes(j); j += 1 }
+      out.add(min)
+    } else {
+      var s = 0
+      while (s + w <= nGrams) {
+        var minIdx = s
+        var j = s
+        while (j < s + w) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+        out.add(hashes(minIdx))
+        s += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    arr
+  }
+}
+
 object VectorExpressions {
   /** Register `dot_product(array<double>, array<double>) -> double` as a
     * native function (usable from SQL and via `call_function`). */
@@ -359,6 +445,13 @@ object VectorExpressions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64 takes exactly 1 argument")
         SimHash64(exprs(0))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "winnow_fingerprints takes exactly 3 arguments")
+        WinnowFingerprints(exprs(0), exprs(1), exprs(2))
       },
       "built-in")
   }

@@ -111,6 +111,20 @@ class VectorExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("winnow_fingerprints native expression is bit-identical to the JVM impl") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away home",
+      "a b c d", "a b c", "one two",  // boundary: = k, < k
+      "x x x x x x x x x x x x x x x x x x x x")
+    val df = texts.toDF("text")
+      .select($"text", call_function("winnow_fingerprints", $"text", lit(4), lit(8)).as("fp"))
+    df.collect().foreach { r =>
+      val expected = graft.pipeline.PipelineFunctions
+        .winnow(r.getString(0).split(" ", -1).toSeq, 4, 8)
+      assert(r.getSeq[Long](1) == expected, s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("minhash similarity estimates Jaccard for near-identical sets") {
     val base = (1L to 1000L).toSeq
     val mod = base.drop(100) ++ (2001L to 2100L) // jaccard = 900/1100 ≈ 0.818
