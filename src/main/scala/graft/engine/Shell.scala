@@ -46,6 +46,50 @@ object Shell {
 
   def showSchemas(engine: TroughEngine): Seq[String] = engine.schemas.list()
 
+  // ------------------------------------------------- connections (stateful)
+
+  /** One row of SHOW CONNECTIONS: segment id plus the engine-side analogs
+    * of the reference's read/write urls — whether the segment is readable
+    * (exists) and who holds its write lock (shell/__init__.py:157-172;
+    * urls themselves dissolve with the HTTP topology). */
+  final case class ConnectionInfo(
+      segmentId: String, readable: Boolean, writeLockHolder: Option[String])
+
+  /** Stateful shell session: a connected-segment set driving fan-out
+    * selects, mirroring the reference shell's CONNECT / CONNECT MATCHING
+    * / SHOW CONNECTIONS loop (shell/__init__.py:157-172, 192-212).
+    * CONNECT *replaces* the set (reference semantics, not additive). */
+  final class Session(engine: TroughEngine) {
+    private var connectedIds: Seq[String] = Seq.empty
+
+    /** CONNECT segment [segment...] — replaces the connected set. */
+    def connect(segments: Seq[String]): Seq[String] = {
+      connectedIds = segments.map(_.trim).filter(_.nonEmpty).distinct
+      connectedIds
+    }
+
+    /** CONNECT MATCHING <regex> — replaces the set with matching readable
+      * segments (client.read_urls_for_regex semantics). */
+    def connectMatching(regex: String): Seq[String] = {
+      connectedIds = engine.store.listSegments(regex).sorted
+      connectedIds
+    }
+
+    def connected: Seq[String] = connectedIds
+
+    /** SHOW CONNECTIONS — sorted by segment id like the reference. */
+    def connections(): Seq[ConnectionInfo] =
+      connectedIds.sorted.map { seg =>
+        ConnectionInfo(seg, engine.store.segmentExists(seg), engine.writeLockHolder(seg))
+      }
+
+    /** Fan-out SELECT over the connected set (do_select → async_fanout). */
+    def select(sql: String): TroughEngine#FanoutResult = {
+      require(connectedIds.nonEmpty, "not connected to any segments")
+      engine.fanout(connectedIds, sql)
+    }
+  }
+
   // ------------------------------------------------------------- formatter
 
   /** Column-width table rendering, porting the reference's ordering rule

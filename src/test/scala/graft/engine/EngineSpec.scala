@@ -129,6 +129,29 @@ class EngineSpec extends SparkSpecBase {
     assert(json == "[{\"id\":1,\"test\":\"test\"}]\n")
   }
 
+  test("shell session: CONNECT / CONNECT MATCHING / SHOW CONNECTIONS / fanout select") {
+    Seq("conn-a-1", "conn-a-2", "conn-b-1").foreach { seg =>
+      engine.provisionWritable(seg)
+      engine.write(seg, "CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT);" +
+        s"INSERT INTO t (v) VALUES ('$seg');")
+    }
+    val sess = new Shell.Session(engine)
+    // CONNECT replaces, not appends (reference do_connect semantics)
+    sess.connect(Seq("conn-b-1"))
+    assert(sess.connectMatching("conn-a-.*") == Seq("conn-a-1", "conn-a-2"))
+    assert(sess.connected == Seq("conn-a-1", "conn-a-2"))
+    val conns = sess.connections()
+    assert(conns.map(_.segmentId) == Seq("conn-a-1", "conn-a-2"))
+    assert(conns.forall(_.readable))
+    assert(conns.forall(_.writeLockHolder.isDefined)) // provisioned => locked
+    val result = sess.select("SELECT v FROM t;")
+    assert(result.totalRows == 2)
+    assert(result.perSegment.map(_._1) == Seq("conn-a-1", "conn-a-2"))
+    intercept[IllegalArgumentException] {
+      new Shell.Session(engine).select("SELECT 1;") // not connected
+    }
+  }
+
   test("glob() compat function on the read path (SQLite GLOB semantics)") {
     engine.provisionWritable("seg-glob")
     engine.write("seg-glob",
