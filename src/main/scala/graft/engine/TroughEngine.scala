@@ -280,12 +280,46 @@ object JsonShape {
   * one — the reference client emits `datetime('<iso>')` literals,
   * client.py:114-115, which SQLite renders as 'YYYY-MM-DD HH:MM:SS'). */
 object SqliteCompat {
-  def datetimeCompat(s: String): String = {
+  def datetimeCompat(s: String): String = datetimeCompat(s, Seq.empty)
+
+  /** `datetime(timevalue, modifier, ...)` with the modifier subset the
+    * SQLite docs define and real schemas use: `±N days/hours/minutes/
+    * seconds/months/years`, `start of day/month/year`, `unixepoch`
+    * (marks a numeric timevalue as seconds-since-epoch), `localtime`/
+    * `utc` (no-ops here — the engine is UTC-pinned). Unknown modifiers
+    * throw, like SQLite returning NULL would surface in tests. */
+  def datetimeCompat(s: String, modifiers: Seq[String]): String = {
     if (s == null) return null
-    val iso = s.trim.replace(" ", "T")
-    val ldt =
-      if (iso.equalsIgnoreCase("now")) java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-      else java.time.LocalDateTime.parse(iso)
+    val trimmed = s.trim
+    val wantsEpoch = modifiers.exists(_.trim.equalsIgnoreCase("unixepoch"))
+    var ldt =
+      if (trimmed.equalsIgnoreCase("now")) java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      else if (wantsEpoch || trimmed.matches("-?\\d+"))
+        java.time.LocalDateTime.ofEpochSecond(trimmed.toLong, 0, java.time.ZoneOffset.UTC)
+      else java.time.LocalDateTime.parse(trimmed.replace(" ", "T"))
+    val modRe = "(?i)^([+-]?\\d+)\\s+(day|hour|minute|second|month|year)s?$".r
+    modifiers.map(_.trim).filter(_.nonEmpty).foreach {
+      case m if m.equalsIgnoreCase("unixepoch") ||
+        m.equalsIgnoreCase("localtime") || m.equalsIgnoreCase("utc") => ()
+      case m if m.equalsIgnoreCase("start of day") =>
+        ldt = ldt.toLocalDate.atStartOfDay
+      case m if m.equalsIgnoreCase("start of month") =>
+        ldt = ldt.toLocalDate.withDayOfMonth(1).atStartOfDay
+      case m if m.equalsIgnoreCase("start of year") =>
+        ldt = ldt.toLocalDate.withDayOfYear(1).atStartOfDay
+      case modRe(n, unit) =>
+        val amount = n.toLong
+        ldt = unit.toLowerCase match {
+          case "day" => ldt.plusDays(amount)
+          case "hour" => ldt.plusHours(amount)
+          case "minute" => ldt.plusMinutes(amount)
+          case "second" => ldt.plusSeconds(amount)
+          case "month" => ldt.plusMonths(amount)
+          case "year" => ldt.plusYears(amount)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported datetime modifier: $other")
+    }
     f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
       f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
   }
@@ -326,7 +360,46 @@ object SqliteCompat {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("datetime", (s: String) => datetimeCompat(s))
+    // variadic like SQLite: datetime(tv[, modifier, ...]) — one name,
+    // any arity, so reference queries parse unchanged
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "datetime",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.nonEmpty, "datetime requires at least 1 argument")
+        DatetimeCompatExpr(exprs)
+      },
+      "built-in")
     spark.udf.register("glob", (p: String, s: String) => glob(p, s))
+    // SQLite random(): signed 64-bit integer (Spark's rand() is a double
+    // in [0,1) — different type AND name)
+    val rng = new java.security.SecureRandom()
+    spark.udf.register("random", udf(() => rng.nextLong()).asNondeterministic())
   }
+}
+
+/** Variadic `datetime(timevalue[, modifier, ...])` — SQLite's function
+  * shape under a single name (a UDF registration can't dispatch on
+  * arity). CodegenFallback: this is a compatibility shim for client
+  * literals and modifier arithmetic, never a hot scan path. */
+case class DatetimeCompatExpr(
+    children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+  extends org.apache.spark.sql.catalyst.expressions.Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "datetime"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val strs = vals.map(_.toString)
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      SqliteCompat.datetimeCompat(strs.head, strs.tail))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : DatetimeCompatExpr = copy(children = newChildren)
 }

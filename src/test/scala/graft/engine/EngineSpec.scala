@@ -152,6 +152,26 @@ class EngineSpec extends SparkSpecBase {
     }
   }
 
+  test("datetime() modifiers and random() int64 on the read path") {
+    engine.provisionWritable("seg-dt")
+    engine.write("seg-dt", "CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT);" +
+      "INSERT INTO t (v) VALUES ('x');")
+    val row = engine.read("seg-dt",
+      """SELECT datetime('2024-03-15T10:30:45') AS plain,
+        |       datetime('2024-03-15 10:30:45', '+1 day') AS plus_day,
+        |       datetime('2024-03-15 10:30:45', 'start of month') AS som,
+        |       datetime('2024-03-15 10:30:45', '-2 hours', 'start of day') AS chain,
+        |       datetime('1710498645', 'unixepoch') AS epoch,
+        |       random() AS r
+        |FROM t;""".stripMargin).collect()(0)
+    assert(row.getString(0) == "2024-03-15 10:30:45")
+    assert(row.getString(1) == "2024-03-16 10:30:45")
+    assert(row.getString(2) == "2024-03-01 00:00:00")
+    assert(row.getString(3) == "2024-03-15 00:00:00")
+    assert(row.getString(4) == "2024-03-15 10:30:45")
+    assert(row.schema("r").dataType.typeName == "long") // int64, not double
+  }
+
   test("glob() compat function on the read path (SQLite GLOB semantics)") {
     engine.provisionWritable("seg-glob")
     engine.write("seg-glob",
