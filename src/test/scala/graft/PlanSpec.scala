@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * SCALE.md documents must stay true as queries evolve — dims broadcast,
+  * filters and projections reach the parquet scan, the kNN query side
+  * broadcasts, and no accidental cartesian products sneak in.
+  * Runs against sf0.001 (plan shape is scale-independent here: the dims
+  * are broadcast because they're *bounded*, not because AQE measured
+  * them small — the hints/ratios hold at any SF). */
+class PlanSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(SimpleMode)
+  }
+
+  test("q05 star join: all five dims broadcast, single fact scan, no SMJ") {
+    val p = plan("q05_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 5, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    // exactly one lineitem scan, column-pruned to the join/agg columns
+    val scans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toSeq
+    assert(scans.length == 1)
+    assert(scans.head.contains("l_extendedprice") && !scans.head.contains("l_comment"))
+  }
+
+  test("q01 scan: predicate pushdown and column pruning reach parquet") {
+    val p = plan("q01_scan_filter")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("PushedFilters:") && scan.contains("l_shipdate"),
+      scan.take(400))
+    assert(!scan.contains("l_comment")) // pruned
+  }
+
+  test("q33 brute-force kNN: query side broadcasts, corpus never shuffles pre-score") {
+    val p = plan("q33_embed_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // the only Exchanges are for the top-k window + final order
+    val exchanges = p.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(e =>
+      e.contains("hashpartitioning(query_id") || e.contains("rangepartitioning")),
+      exchanges.mkString("\n"))
+  }
+
+  test("q03 aggregation is two-phase (partial map-side, final after shuffle)") {
+    val p = plan("q03_agg_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(600))
+  }
+
+  test("no query plans an unintended CartesianProduct") {
+    // cross joins are legitimate only where declared (q11 cross_join,
+    // kNN/IVF probe joins are broadcast nested loops, never Cartesian)
+    SparkEntry.queries.keys.filterNot(_ == "q11_cross_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+  }
+}
