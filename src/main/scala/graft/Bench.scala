@@ -40,12 +40,20 @@ object Bench {
       }
     }
 
-    val results = names.map { name =>
+    // two timed passes, per-query minimum: single-shot timings on a
+    // shared host swing 3x with background noise; min-of-2 reports
+    // steady-state without hiding real regressions
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       dropCachedBlocks()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = names.map { name =>
+      val a = timeOnce(name)
+      val b = timeOnce(name)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

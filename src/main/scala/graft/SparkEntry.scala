@@ -278,7 +278,10 @@ object SparkEntry {
 
     // §2.B CTE + scalar subquery + IN subquery (Catalyst decorrelation)
     "q17_cte_subquery" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      // register only the referenced tables (registerAll would re-read
+      // 10 parquet footers per invocation)
+      Seq("orders", "customer", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
       s.sql("""
         WITH big AS (
           SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey

@@ -29,21 +29,10 @@ object TextOps {
           sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
 
-  /** MinHash signature of a shingle *set*: k independent hash functions
-    * simulated as `xxhash64(seed_j, shingle)`, signature[j] = min over
-    * shingles. Null for empty shingle sets. */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleSet, s => xxhash64(j, s))))
-
-  /** Same signature family over pre-hashed shingles (array<long>) — the
-    * hot-path form: the per-shingle string hash happens once, the k-way
-    * family rehashes fixed-width longs. */
-  def minhashSignatureFromHashes(hashes: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(hashes, h => xxhash64(j, h))))
+  // MinHash signatures are computed by the native codegen kernel
+  // graft.functions.MinHashSignature (registered as minhash_signature);
+  // the HOF formulation that used to live here materialized k arrays
+  // per row and cost ~40x — see that expression's scaladoc.
 
   /** LSH band keys over a MinHash signature: `b` bands of `r = k/b` rows;
     * key = hash of the band's slice (band index is part of the join key so
