@@ -61,8 +61,13 @@ object SparkEntry {
         .select(
           $"l_orderkey",
           $"l_linenumber",
-          round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 2)
-            .as("charge"),
+          // exact DECIMAL arithmetic: the double product lands on .xx5
+          // boundaries where Spark (HALF_UP on BigDecimal) and DuckDB
+          // (scaled-double) round differently — first observed at sf0.1
+          round($"l_extendedprice".cast("decimal(18,2)")
+              * (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
+              * (lit(1).cast("decimal(18,2)") + $"l_tax".cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)").as("charge"),
           when($"l_quantity" < 10, "small")
             .when($"l_quantity" < 40, "medium")
             .otherwise("large")
@@ -652,7 +657,9 @@ object SparkEntry {
       ORDER BY l_orderkey, l_linenumber""",
     "q02_project_case" -> """
       SELECT l_orderkey, l_linenumber,
-        round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS charge,
         CASE WHEN l_quantity < 10 THEN 'small'
              WHEN l_quantity < 40 THEN 'medium'
              ELSE 'large' END AS qty_band,
