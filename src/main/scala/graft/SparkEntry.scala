@@ -629,6 +629,21 @@ object SparkEntry {
         .orderBy($"user_id", $"session_no")
     }),
 
+    // ROLLUP with grouping_id: multi-level aggregation in one pass —
+    // beyond SQLite's surface (it has no grouping sets at all), free on
+    // Catalyst, and exactly oracle-checkable in DuckDB.
+    "q44_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum($"l_quantity".cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)").as("sum_qty"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
     // IVF ANN: every 25th vector is a coarse centroid (deterministic
     // quantizer stand-in), nprobe=2 lists searched per query, exact
     // cosine within probed lists.
@@ -982,6 +997,14 @@ object SparkEntry {
         round(sum(value), 2) AS total_value
       FROM s GROUP BY user_id, session_no
       ORDER BY user_id, session_no""",
+    "q44_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        count(*) AS n,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q43_embed_ivf" -> """
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),
