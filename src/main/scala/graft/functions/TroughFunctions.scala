@@ -20,7 +20,22 @@ object TroughFunctions {
     * the `re.search` equivalent (unanchored). */
   def regexp(expr: String, item: String): Boolean = {
     if (item == null) return false
-    java.util.regex.Pattern.compile(expr).matcher(item).find() // bad pattern throws
+    compiled(expr).matcher(item).find() // bad pattern throws
+  }
+
+  // Per-thread last-pattern cache: the pattern is almost always a query
+  // constant, and Python's re module memoizes compiles — without this the
+  // port would recompile per row, dominating the predicate cost on scans.
+  private val lastPattern =
+    new ThreadLocal[(String, java.util.regex.Pattern)]()
+  private def compiled(expr: String): java.util.regex.Pattern = {
+    val cached = lastPattern.get()
+    if (cached != null && cached._1 == expr) cached._2
+    else {
+      val p = java.util.regex.Pattern.compile(expr)
+      lastPattern.set((expr, p))
+      p
+    }
   }
 
   /** SEEDCRAWLEDSTATUS(status_code) — reference trough/sync.py:52-70.

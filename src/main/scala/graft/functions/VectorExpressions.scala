@@ -117,12 +117,14 @@ case class MinHashSignature(left: Expression, right: Expression)
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val u = MinHashSignature.fmix64(arr.getLong(i))
-      var j = 0
-      while (j < k) {
-        val g = coefA(j) * u + coefB(j)
-        if (g < sig(j)) sig(j) = g
-        j += 1
+      if (!arr.isNullAt(i)) { // null slots are absent set members, not 0s
+        val u = MinHashSignature.fmix64(arr.getLong(i))
+        var j = 0
+        while (j < k) {
+          val g = coefA(j) * u + coefB(j)
+          if (g < sig(j)) sig(j) = g
+          j += 1
+        }
       }
       i += 1
     }
@@ -144,6 +146,7 @@ case class MinHashSignature(left: Expression, right: Expression)
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) continue;
          |  long $u = $arr.getLong($i);
          |  $u ^= $u >>> 33; $u *= 0xff51afd7ed558ccdL;
          |  $u ^= $u >>> 33; $u *= 0xc4ceb9fe1a85ec53L;

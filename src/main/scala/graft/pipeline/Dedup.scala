@@ -55,6 +55,9 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes with rows-per-band >= 1, got k=$numHashes b=$bands " +
+        "(r=0 would make every doc collide in every band; a remainder silently drops hashes)")
     val r = numHashes / bands
     graft.functions.VectorExpressions.register(docs.sparkSession)
     // Native text→shingle-hash kernel (ShingleHashes): one pass over the
@@ -192,9 +195,10 @@ object Dedup {
     if (toks != null) toks.foreach { t =>
       // Inline xxhash64-compatible per-token hash: reuse Spark's own
       // XxHash64 so SQL-side and closure-side hashes agree.
+      val bytes = t.getBytes("UTF-8")
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(t.getBytes("UTF-8"),
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, t.getBytes("UTF-8").length, 42L)
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -216,6 +220,9 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: the 4x16-bit chunk banding is lossless only for " +
+        "distance <= 3 (pigeonhole); larger thresholds would silently miss pairs")
     // native byte-level kernel; bit-identical to Dedup.simhash64 over
     // split(text, ' ') (same XXH64-seed-42 per-token family)
     graft.functions.VectorExpressions.register(docs.sparkSession)

@@ -119,7 +119,12 @@ object Multimodal {
     * window as a "frame". Pure binary slicing — `substring` works on
     * binary natively so this stays codegen-friendly. */
   def sampleFrames(media: DataFrame, frameLen: Int, stride: Int): DataFrame =
-    media.select(
+    media
+      // empty payloads yield no frames (sequence(0, greatest(-1,0))
+      // would otherwise emit one phantom empty frame); null payloads
+      // already explode to nothing
+      .where(coalesce(length(col("payload")), lit(0)) > 0)
+      .select(
       col("media_id"),
       posexplode(
         transform(

@@ -47,6 +47,10 @@ object Similarity {
     graft.functions.VectorExpressions.register(df.sparkSession)
     df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
       .withColumn(normAs, sqrt(call_function("dot_product", col(vecAs), col(vecAs))))
+      // zero-norm vectors (failed/padded embeddings) have undefined
+      // cosine; without this guard their 0/0 = NaN scores rank FIRST in
+      // top-k (Spark orders NaN above every number) and pass >= filters
+      .where(col(normAs) > 0d)
   }
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
@@ -114,15 +118,33 @@ object Similarity {
     graft.functions.VectorExpressions.register(spark)
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(true) // scanned once per iteration
-    val n = v.count()
-    val stride = math.max(n / k, 1L)
-    // deterministic seeds: rank by id, take every stride-th vector
-    val seedW = Window.orderBy(col("id"))
-    var centroids: Array[(Long, Seq[Double])] = v
-      .withColumn("rk", row_number().over(seedW) - 1)
-      .where(col("rk") % stride === 0 && col("rk") / stride < k)
-      .select((col("rk") / stride).cast("long").as("cid"), col("v"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(!v.isEmpty, "trainCentroids: empty corpus")
+    // Deterministic, scale-safe init: farthest-point greedy on a
+    // hash-ordered sample. orderBy().limit(S) runs as per-partition
+    // top-k + merge — never a global single-partition sort (a
+    // row_number() over an unpartitioned window would funnel the whole
+    // corpus through one task). The greedy spread (k-means++-style,
+    // deterministic) guards against the random-init failure mode of k
+    // seeds missing a cluster entirely; only S ≈ 8k sample rows ever
+    // reach the driver.
+    val sampleSize = math.min(math.max(8 * k, 64), 4096)
+    val sample: Array[Seq[Double]] = v
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .select(col("id"), col("v"))
+      .as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2)
+    def cosDist(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0d || nb == 0d) 1d else 1d - dot / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (chosen.length < math.min(k, sample.length)) {
+      chosen += sample.maxBy(s => chosen.map(c => cosDist(s, c)).min)
+    }
+    var centroids: Array[(Long, Seq[Double])] =
+      chosen.zipWithIndex.map { case (vec, i) => (i.toLong, vec) }.toArray
 
     for (_ <- 0 until iters) {
       val centDf = broadcast(centroids.toSeq.toDF("cid", "ce")

@@ -178,6 +178,30 @@ class PipelineSpec extends SparkSpecBase {
     res.foreach(r => assert(r.getDouble(2) > 0.99)) // score column
   }
 
+  test("review fixes: zero-norm guard, phantom frames, parameter validation") {
+    import spark.implicits._
+    // zero-norm embedding must not become anyone's NaN rank-1 neighbor
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 1), k = 2).collect()
+    assert(knn.map(_.getLong(1)).toSet == Set(2L)) // zero vector excluded entirely
+    assert(Similarity.bruteForceNearDup(vecs, 0.0).collect()
+      .forall(r => !r.getDouble(2).isNaN))
+    // empty payload -> zero frames (was one phantom empty frame)
+    val media = Seq((1L, Array.emptyByteArray), (2L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, frameLen = 2, stride = 2).collect()
+    assert(frames.forall(_.getLong(0) == 2L))
+    // banding preconditions are validated, not silently violated
+    intercept[IllegalArgumentException](
+      Dedup.minhashCandidates(docs((1L, "a b c")), numHashes = 64, bands = 128))
+    intercept[IllegalArgumentException](
+      Dedup.minhashCandidates(docs((1L, "a b c")), numHashes = 64, bands = 24))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDup(docs((1L, "a b c")), maxHamming = 4))
+  }
+
   test("langId: marker argmax with deterministic tie-break") {
     import spark.implicits._
     val df = docs(
