@@ -58,6 +58,19 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("slidingRates: each event lands in every overlapping 1h/5m window") {
+    val df = eventDf(Seq(
+      (1L, "2024-01-01 01:02:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 01:03:00", 2L, "click", 1.0)))
+    val out = EventStreams.slidingRates(df).orderBy("window_start").collect()
+    // a 1-hour window sliding every 5 minutes covers each instant 12x
+    assert(out.length == 12)
+    assert(out.forall(_.getAs[Long]("n") == 2L))
+    // windows slide on 5-minute boundaries around the events
+    val starts = out.map(_.getTimestamp(0).toString)
+    assert(starts.head == "2024-01-01 00:05:00.0" && starts.last == "2024-01-01 01:00:00.0")
+  }
+
   test("sessionCounts: session_window groups by gap") {
     val df = eventDf(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "click", 1.0),
