@@ -65,8 +65,12 @@ class SegmentStore(
     def ls(root: String): Seq[String] = {
       val p = Paths.get(root)
       if (!Files.isDirectory(p)) Seq.empty
-      else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq
+      else {
+        val stream = Files.list(p)
+        try stream.iterator.asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).toSeq
+        finally stream.close() // directory streams leak fds until GC otherwise
+      }
     }
     (ls(dataRoot) ++ coldRoot.toSeq.flatMap(ls)).distinct.sorted
   }
@@ -131,8 +135,12 @@ class SegmentStore(
   def tables(segmentId: String): Seq[String] = {
     val dir = rootFor(segmentId)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator.asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally stream.close()
+    }
   }
 
   def tableExists(segmentId: String, table: String): Boolean =
@@ -177,7 +185,13 @@ class SegmentStore(
   def loadTable(segmentId: String, table: String,
       session: SparkSession = spark): DataFrame = {
     val meta = tableMeta(segmentId, table)
-    session.read.schema(meta.schema).parquet(tableDir(segmentId, table).resolve("data").toString)
+    val dir = tableDir(segmentId, table)
+    // crash recovery: replaceTableData's swap has a window between
+    // moving data→data_old and data_tmp→data; if a crash landed there,
+    // serve (and restore) the previous committed state
+    if (!Files.isDirectory(dir.resolve("data")) && Files.isDirectory(dir.resolve("data_old")))
+      Files.move(dir.resolve("data_old"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    session.read.schema(meta.schema).parquet(dir.resolve("data").toString)
   }
 
   /** Atomically replace a table's data: write to a temp dir, then swap
@@ -186,22 +200,35 @@ class SegmentStore(
     * over immutable parquet. */
   def replaceTableData(
       segmentId: String, table: String, df: DataFrame, newMeta: Option[TableMeta] = None): Unit = {
-    val dir = tableDir(segmentId, table)
-    val tmp = dir.resolve("data_tmp")
-    val old = dir.resolve("data_old")
+    prepareTableData(segmentId, table, df)
+    swapPreparedData(segmentId, table, newMeta)
+  }
+
+  /** Phase 1 of the replace: write the new data to `data_tmp`. Any
+    * failure here leaves the live `data` dir untouched (a stale tmp dir
+    * is overwritten by the next prepare). Split out so a multi-table
+    * transaction can prepare every table before swapping any —
+    * shrinking the non-atomic window from "all parquet writes" to "a
+    * few directory renames" (WriteTxn.commit). */
+  def prepareTableData(segmentId: String, table: String, df: DataFrame): Unit = {
+    val tmp = tableDir(segmentId, table).resolve("data_tmp")
     if (Files.exists(tmp)) deleteRecursively(tmp)
     df.write.mode("overwrite").parquet(tmp.toString)
+  }
+
+  /** Phase 2: swap `data_tmp` into place. The data→data_old /
+    * data_tmp→data rename pair has a crash window with no `data` dir;
+    * loadTable self-heals from `data_old` if it finds that state. */
+  def swapPreparedData(
+      segmentId: String, table: String, newMeta: Option[TableMeta] = None): Unit = {
+    val dir = tableDir(segmentId, table)
+    val old = dir.resolve("data_old")
     if (Files.exists(old)) deleteRecursively(old)
     Files.move(dir.resolve("data"), old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(dir.resolve("data_tmp"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
     newMeta.foreach(writeMeta(segmentId, table, _))
   }
-
-  /** Append rows (INSERT without conflict handling): new parquet files
-    * into the live dir — no rewrite of existing data. */
-  def appendTableData(segmentId: String, table: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(tableDir(segmentId, table).resolve("data").toString)
 
   def dropTable(segmentId: String, table: String): Unit = {
     val dir = tableDir(segmentId, table)
@@ -210,28 +237,25 @@ class SegmentStore(
     deleteRecursively(dir)
   }
 
-  def renameTable(segmentId: String, from: String, to: String): Unit = {
-    if (tableExists(segmentId, to))
-      throw new IllegalStateException(s"table $to already exists")
-    Files.move(tableDir(segmentId, from), tableDir(segmentId, to),
-      StandardCopyOption.ATOMIC_MOVE)
-  }
-
   // ------------------------------------------------------------------ utils
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator.asScala.foreach(deleteRecursively)
+      finally stream.close()
+    }
     Files.deleteIfExists(p)
   }
 
   private def copyRecursively(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
-    Files.walk(src).iterator.asScala.foreach { p =>
+    val stream = Files.walk(src)
+    try stream.iterator.asScala.foreach { p =>
       val rel = src.relativize(p)
       val target = dst.resolve(rel)
       if (Files.isDirectory(p)) Files.createDirectories(target)
       else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally stream.close()
   }
 }

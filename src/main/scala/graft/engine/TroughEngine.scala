@@ -292,10 +292,13 @@ object SqliteCompat {
     if (s == null) return null
     val trimmed = s.trim
     val wantsEpoch = modifiers.exists(_.trim.equalsIgnoreCase("unixepoch"))
+    if (wantsEpoch && !trimmed.matches("-?\\d+")) return null // SQLite: NULL, not an error
     var ldt =
       if (trimmed.equalsIgnoreCase("now")) java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
       else if (wantsEpoch || trimmed.matches("-?\\d+"))
         java.time.LocalDateTime.ofEpochSecond(trimmed.toLong, 0, java.time.ZoneOffset.UTC)
+      else if (trimmed.matches("\\d{4}-\\d{2}-\\d{2}")) // date-only → midnight (SQLite)
+        java.time.LocalDate.parse(trimmed).atStartOfDay
       else java.time.LocalDateTime.parse(trimmed.replace(" ", "T"))
     val modRe = "(?i)^([+-]?\\d+)\\s+(day|hour|minute|second|month|year)s?$".r
     modifiers.map(_.trim).filter(_.nonEmpty).foreach {
@@ -336,13 +339,17 @@ object SqliteCompat {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
-          val close = pattern.indexOf(']', i + 2) // ']' first in set is literal
+          // ']' first in the set (after optional '^') is literal
+          val searchFrom =
+            if (i + 1 < pattern.length && pattern.charAt(i + 1) == '^') i + 3 else i + 2
+          val close = pattern.indexOf(']', searchFrom)
           if (close < 0) { sb.append("\\["); }
           else {
             val body = pattern.substring(i + 1, close)
-            sb.append('[')
-            sb.append(if (body.startsWith("^")) body else body.replace("\\", "\\\\"))
-            sb.append(']')
+            val (neg, set) = if (body.startsWith("^")) ("^", body.drop(1)) else ("", body)
+            sb.append('[').append(neg)
+              .append(set.replace("\\", "\\\\")) // backslash is literal in SQLite sets
+              .append(']')
             i = close
           }
         case c => sb.append(java.util.regex.Pattern.quote(c.toString))

@@ -2,7 +2,7 @@ package graft.engine
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructField
@@ -23,6 +23,14 @@ import graft.engine.SegmentStore.TableMeta
   * INSERT [OR REPLACE|IGNORE] (VALUES and SELECT forms), UPDATE (incl.
   * BUILDREDIRECTARRAY upserts), DELETE, BEGIN/COMMIT no-ops. TRIGGERs are
   * rejected (unused in the reference's schemas/tests; SURVEY §2.B).
+  *
+  * Known dialect deviation: expressions here parse on the base session,
+  * where double quotes are string literals (matching the reference
+  * test's `VALUES ("test")`); a double-quoted *identifier* in a write
+  * WHERE clause (`WHERE "a" = 'x'` — valid SQLite when column a exists)
+  * therefore compares two literals. SQLite's identifier-if-resolvable
+  * fallback is lookup-dependent and can't be emulated at parse time;
+  * use unquoted or backtick identifiers in write predicates.
   */
 private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private val spark: SparkSession = engine.spark
@@ -32,7 +40,6 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private val dirty = mutable.LinkedHashSet[String]()
   private val created = mutable.LinkedHashSet[String]()
   private val dropped = mutable.LinkedHashSet[String]()
-  private val appendedOnly = mutable.LinkedHashMap[String, DataFrame]()
 
   private def tableNames: Seq[String] =
     (store.tables(segmentId).filterNot(dropped.contains) ++ created).distinct
@@ -48,7 +55,6 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private def stage(table: String, meta: TableMeta, df: DataFrame): Unit = {
     working(table) = (meta, df)
     dirty += table
-    appendedOnly.remove(table)
   }
 
   // ------------------------------------------------------------- dispatch
@@ -86,10 +92,15 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         store.createTable(segmentId, t, meta, failIfExists = false)
       }
     }
-    materialized.foreach { case (t, meta, df) =>
-      store.replaceTableData(segmentId, t, df, Some(meta))
+    // two-phase across tables: write EVERY table's parquet to its tmp
+    // dir first (any failure — disk full, codec error — aborts with no
+    // visible change), then swap all via cheap renames. Shrinks the
+    // non-atomic window from "all parquet writes" to a few renames,
+    // and loadTable self-heals the rename crash window from data_old.
+    materialized.foreach { case (t, _, df) => store.prepareTableData(segmentId, t, df) }
+    materialized.foreach { case (t, meta, _) =>
+      store.swapPreparedData(segmentId, t, Some(meta))
     }
-    appendedOnly.foreach { case (t, df) => store.appendTableData(segmentId, t, df) }
   }
 
   // ----------------------------------------------------------------- DDL
@@ -115,7 +126,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (m.group(1) != null) return
       throw new IllegalArgumentException(s"no such table: $name")
     }
-    working.remove(name); dirty -= name; created -= name; appendedOnly.remove(name)
+    working.remove(name); dirty -= name; created -= name
     dropped += name
   }
 
@@ -137,10 +148,19 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val (meta, df) = load(name)
       val parts = colDef.trim.split("\\s+", 2)
       val colName = SqlScript.unquoteIdent(parts(0))
-      val colType = SqliteDdl.affinity(if (parts.length > 1) parts(1) else "")
+      val tail = if (parts.length > 1) parts(1) else ""
+      val colType = SqliteDdl.affinity(tail)
+      // SQLite backfills existing rows with the declared DEFAULT (or
+      // NULL when absent) — dropping it would silently NULL-fill rows
+      // that queries then expect to hold the default
+      val defaultRe = "(?is).*\\bDEFAULT\\s+((?:'[^']*')|(?:[-+]?[\\d.]+)|NULL|\\S+).*".r
+      val backfill = tail match {
+        case defaultRe(literal) => expr(literal).cast(colType)
+        case _ => lit(null).cast(colType)
+      }
       val newSchema = meta.schema.add(StructField(colName, colType, nullable = true))
       stage(name, TableMeta(newSchema, meta.primaryKey, meta.autoIncrement),
-        df.withColumn(colName, lit(null).cast(colType)))
+        df.withColumn(colName, backfill))
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER statement: $stmt")
   }
 
@@ -200,41 +220,89 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           lit(base) + row_number().over(Window.orderBy(monotonically_increasing_id())))
       }
     }
-    val aligned = full.select(meta.schema.fields.map(f =>
+    val aligned0 = full.select(meta.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-
+    // intra-statement duplicate PKs: SQLite's OR REPLACE keeps the LAST
+    // occurrence, OR IGNORE the FIRST — arrival order tracked with a
+    // monotonic id (union order for VALUES tuples)
+    def dedupByArrival(df: DataFrame, keepLast: Boolean): DataFrame = {
+      val ord = if (keepLast) col("__seq").desc else col("__seq").asc
+      val w = Window.partitionBy(meta.primaryKey.map(col): _*).orderBy(ord)
+      df.withColumn("__seq", monotonically_increasing_id())
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__seq", "__rn")
+    }
     val merged = conflict match {
       case Some("REPLACE") if meta.primaryKey.nonEmpty =>
+        val aligned = dedupByArrival(aligned0, keepLast = true)
         existing.join(aligned.select(meta.primaryKey.map(col): _*),
           meta.primaryKey.toSeq, "left_anti").unionByName(aligned)
       case Some("IGNORE") if meta.primaryKey.nonEmpty =>
+        val aligned = dedupByArrival(aligned0, keepLast = false)
         existing.unionByName(
           aligned.join(existing.select(meta.primaryKey.map(col): _*),
-            meta.primaryKey.toSeq, "left_anti")
-            .dropDuplicates(meta.primaryKey))
-      case _ => existing.unionByName(aligned)
+            meta.primaryKey.toSeq, "left_anti"))
+      case _ => existing.unionByName(aligned0)
     }
     stage(table, meta, merged)
   }
 
-  private val updateRe =
-    "(?is)^\\s*UPDATE\\s+(\\S+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$".r
+  /** Index of the last top-level occurrence of ` WHERE ` (case-
+    * insensitive, outside quotes and parens), or -1. Last occurrence
+    * because SET/DELETE bodies may contain subqueries with their own
+    * WHERE; a regex split would also match WHERE inside string
+    * literals (`SET note = 'see WHERE docs'`). */
+  private def topLevelWhere(s: String): Int = {
+    var depth = 0; var quote: Char = 0; var i = 0; var found = -1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 && i + 6 <= s.length &&
+            s.substring(i, i + 5).equalsIgnoreCase("where") &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+          found = i
+        case _ => ()
+      }
+      i += 1
+    }
+    found
+  }
+
+  private val updateHeadRe = "(?is)^\\s*UPDATE\\s+(\\S+)\\s+SET\\s+(.*)$".r
   private def update(stmt: String): Unit = {
-    val m = updateRe.findFirstMatchIn(stmt).getOrElse(
+    val m = updateHeadRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse UPDATE statement: $stmt"))
     val table = SqlScript.unquoteIdent(m.group(1))
     val (meta, df) = load(table)
-    val pred = Option(m.group(3)).map(expr).getOrElse(lit(true))
-    var out = df
-    SqlScript.splitTopLevel(m.group(2)).foreach { assignment =>
-      val eq = topLevelEq(assignment)
-      val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
-      val valueExpr = expr(assignment.substring(eq + 1).trim)
-      val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
-        throw new IllegalArgumentException(s"no such column: $colName"))
-      out = out.withColumn(field.name,
-        when(pred, valueExpr.cast(field.dataType)).otherwise(col(field.name)))
-    }
+    val body = m.group(2)
+    val whereAt = topLevelWhere(body)
+    val (setPart, predPart) =
+      if (whereAt < 0) (body, None)
+      else (body.substring(0, whereAt), Some(body.substring(whereAt + 5)))
+    val pred = predPart.map(expr).getOrElse(lit(true))
+    val assignments: Map[String, Column] =
+      SqlScript.splitTopLevel(setPart).map { assignment =>
+        val eq = topLevelEq(assignment)
+        val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
+        val valueExpr = expr(assignment.substring(eq + 1).trim)
+        val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $colName"))
+        field.name -> valueExpr.cast(field.dataType)
+      }.toMap
+    // single projection: WHERE and every RHS evaluate against the
+    // pre-statement row state (SQLite semantics) — sequential
+    // withColumn would let later assignments see earlier ones and
+    // re-evaluate the predicate against already-updated columns
+    val out = df.select(meta.schema.fields.map { f =>
+      assignments.get(f.name)
+        .map(v => when(pred, v).otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }.toSeq: _*)
     stage(table, meta, out)
   }
 
@@ -260,16 +328,20 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     throw new IllegalArgumentException(s"cannot parse assignment: $s")
   }
 
-  private val deleteRe = "(?is)^\\s*DELETE\\s+FROM\\s+(\\S+)(?:\\s+WHERE\\s+(.*))?$".r
+  private val deleteHeadRe = "(?is)^\\s*DELETE\\s+FROM\\s+(\\S+)\\s*(.*)$".r
   private def delete(stmt: String): Unit = {
-    val m = deleteRe.findFirstMatchIn(stmt).getOrElse(
+    val m = deleteHeadRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse DELETE statement: $stmt"))
     val table = SqlScript.unquoteIdent(m.group(1))
     val (meta, df) = load(table)
-    val out = Option(m.group(2)) match {
-      case Some(pred) => df.where(!coalesce(expr(pred).cast("boolean"), lit(false)))
-      case None => df.limit(0)
-    }
+    val rest = m.group(2).trim
+    val out =
+      if (rest.isEmpty) df.limit(0)
+      else {
+        require(rest.length > 5 && rest.substring(0, 5).equalsIgnoreCase("where") &&
+          rest.charAt(5).isWhitespace, s"cannot parse DELETE statement: $stmt")
+        df.where(!coalesce(expr(rest.substring(6)).cast("boolean"), lit(false)))
+      }
     stage(table, meta, out)
   }
 

@@ -193,6 +193,61 @@ class EngineSpec extends SparkSpecBase {
     assert(q == 2) // '?' matches exactly one char: alpha + Alpha
   }
 
+  test("UPDATE evaluates WHERE and all RHS against pre-statement state (SQLite semantics)") {
+    engine.provisionWritable("seg-upd")
+    engine.write("seg-upd",
+      """CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER);
+         INSERT INTO t (id, a, b) VALUES (1, 1, 2), (2, 5, 6);""")
+    // assignment rewrites the predicate column first: b must still update
+    engine.write("seg-upd", "UPDATE t SET a = 0, b = 9 WHERE a = 1;")
+    val r1 = engine.read("seg-upd", "SELECT a, b FROM t WHERE id = 1;").collect()(0)
+    assert(r1.getLong(0) == 0L && r1.getLong(1) == 9L)
+    // swap: both columns read the OLD values
+    engine.write("seg-upd", "UPDATE t SET a = b, b = a WHERE id = 2;")
+    val r2 = engine.read("seg-upd", "SELECT a, b FROM t WHERE id = 2;").collect()(0)
+    assert(r2.getLong(0) == 6L && r2.getLong(1) == 5L)
+    // a string literal containing ' WHERE ' must not split the statement
+    engine.write("seg-upd", "CREATE TABLE notes (id INTEGER PRIMARY KEY, note TEXT);" +
+      "INSERT INTO notes (id, note) VALUES (1, 'x');")
+    engine.write("seg-upd", "UPDATE notes SET note = 'see WHERE clause docs' WHERE id = 1;")
+    assert(engine.read("seg-upd", "SELECT note FROM notes;").collect()(0)
+      .getString(0) == "see WHERE clause docs")
+  }
+
+  test("INSERT OR REPLACE/IGNORE intra-statement duplicate PKs (last/first wins)") {
+    engine.provisionWritable("seg-dup")
+    engine.write("seg-dup", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
+    engine.write("seg-dup", "INSERT OR REPLACE INTO kv (k, v) VALUES (1, 'a'), (1, 'b');")
+    val rep = engine.read("seg-dup", "SELECT v FROM kv WHERE k = 1;").collect()
+    assert(rep.length == 1 && rep(0).getString(0) == "b") // SQLite keeps the last
+    engine.write("seg-dup", "INSERT OR IGNORE INTO kv (k, v) VALUES (2, 'x'), (2, 'y');")
+    val ign = engine.read("seg-dup", "SELECT v FROM kv WHERE k = 2;").collect()
+    assert(ign.length == 1 && ign(0).getString(0) == "x") // IGNORE keeps the first
+  }
+
+  test("ALTER TABLE ADD COLUMN backfills the declared DEFAULT") {
+    engine.provisionWritable("seg-def")
+    engine.write("seg-def",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT); INSERT INTO t (id, v) VALUES (1, 'x');")
+    engine.write("seg-def", "ALTER TABLE t ADD COLUMN flag INTEGER NOT NULL DEFAULT 0;")
+    assert(engine.read("seg-def", "SELECT flag FROM t WHERE id = 1;")
+      .collect()(0).getLong(0) == 0L)
+    engine.write("seg-def", "ALTER TABLE t ADD COLUMN note TEXT DEFAULT 'n/a';")
+    assert(engine.read("seg-def", "SELECT note FROM t WHERE id = 1;")
+      .collect()(0).getString(0) == "n/a")
+  }
+
+  test("datetime date-only input and glob negated-class escaping") {
+    engine.provisionWritable("seg-misc")
+    engine.write("seg-misc", "CREATE TABLE t (id INTEGER PRIMARY KEY); INSERT INTO t VALUES (1);")
+    // NB double backslash: Spark string literals process escapes, so
+    // '[^\\]' reaches glob() as the SQLite pattern [^\]
+    val row = engine.read("seg-misc",
+      """SELECT datetime('2024-03-15') AS d, glob('[^\\]', 'x') AS g FROM t;""").collect()(0)
+    assert(row.getString(0) == "2024-03-15 00:00:00") // SQLite: midnight, not an error
+    assert(row.getBoolean(1)) // [^\] = any char except backslash
+  }
+
   test("autoincrement assigns sequential rowids across requests") {
     engine.provisionWritable("seg-auto")
     engine.write("seg-auto", testDdl)
