@@ -629,6 +629,23 @@ object SparkEntry {
         .orderBy($"user_id", $"session_no")
     }),
 
+    // Correlated EXISTS / NOT EXISTS — Catalyst's RewritePredicateSubquery
+    // decorrelates both into semi/anti joins (the §2.B subquery surface
+    // in its SQL form; q09/q10 are the declarative equivalents).
+    "q45_exists" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+      """)
+    }),
+
     // ROLLUP with grouping_id: multi-level aggregation in one pass —
     // beyond SQLite's surface (it has no grouping sets at all), free on
     // Catalyst, and exactly oracle-checkable in DuckDB.
@@ -997,6 +1014,14 @@ object SparkEntry {
         round(sum(value), 2) AS total_value
       FROM s GROUP BY user_id, session_no
       ORDER BY user_id, session_no""",
+    "q45_exists" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
     "q44_rollup" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
