@@ -63,11 +63,15 @@ object SparkEntry {
           $"l_linenumber",
           // exact DECIMAL arithmetic: the double product lands on .xx5
           // boundaries where Spark (HALF_UP on BigDecimal) and DuckDB
-          // (scaled-double) round differently — first observed at sf0.1
+          // (scaled-double) round differently — first observed at sf0.1.
+          // Final cast to DOUBLE, not DECIMAL: the driver's comparator
+          // hashes decimal columns differently across engines (all three
+          // r01 hash mismatches were decimal-typed outputs), while a
+          // 2-dp value casts to the identical nearest double everywhere.
           round($"l_extendedprice".cast("decimal(18,2)")
               * (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))
               * (lit(1).cast("decimal(18,2)") + $"l_tax".cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)").as("charge"),
+            .cast("double").as("charge"),
           when($"l_quantity" < 10, "small")
             .when($"l_quantity" < 40, "medium")
             .otherwise("large")
@@ -229,7 +233,9 @@ object SparkEntry {
       // Exact-decimal arithmetic end-to-end: double sums round-trip through
       // round() nondeterministically at .xx5 boundaries across engines, so
       // cast to DECIMAL(18,2) first — window sums are then exact integers
-      // scaled by 100 and hash-match the oracle bit-for-bit.
+      // scaled by 100. Output columns cast back to DOUBLE (exact for 2-dp
+      // values): the driver's comparator hashes decimal columns
+      // differently across engines (see q02 note).
       val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       val cum = w.rowsBetween(Window.unboundedPreceding, 0)
       val mov = w.rowsBetween(-2, 0)
@@ -239,8 +245,8 @@ object SparkEntry {
         .select(
           $"o_custkey",
           $"o_orderkey",
-          sum(dec).over(cum).cast("decimal(18,2)").as("running"),
-          lag(dec, 1).over(w).as("prev"),
+          sum(dec).over(cum).cast("double").as("running"),
+          lag(dec, 1).over(w).cast("double").as("prev"),
           (sum(dec).over(mov).cast("double") / count(lit(1)).over(mov).cast("double"))
             .as("mavg"))
         .orderBy($"o_custkey", $"o_orderkey")
@@ -656,8 +662,9 @@ object SparkEntry {
         .agg(
           grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
+          // exact decimal sum, DOUBLE at the boundary (see q02 note)
           round(sum($"l_quantity".cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)").as("sum_qty"))
+            .cast("double").as("sum_qty"))
         .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
@@ -691,7 +698,7 @@ object SparkEntry {
       SELECT l_orderkey, l_linenumber,
         CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS charge,
+               * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge,
         CASE WHEN l_quantity < 10 THEN 'small'
              WHEN l_quantity < 40 THEN 'medium'
              ELSE 'large' END AS qty_band,
@@ -778,9 +785,9 @@ object SparkEntry {
       SELECT o_custkey, o_orderkey,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running,
-        lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey
-          ORDER BY o_orderdate, o_orderkey) AS prev,
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+        CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -1026,7 +1033,7 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus,
         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
         count(*) AS n,
-        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_qty
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",

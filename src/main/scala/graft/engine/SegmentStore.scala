@@ -41,6 +41,16 @@ class SegmentStore(
 
   private val mapper = new ObjectMapper()
 
+  /** Per-segment monitor serializing directory swaps with the read-side
+    * crash self-heal: without it the mid-swap state (data absent,
+    * data_old present) is indistinguishable from a crash, and a
+    * concurrent read restoring data_old would make the in-flight
+    * data_tmp→data rename throw, leaving a multi-table transaction
+    * partially swapped. */
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def swapLock(segmentId: String): Object =
+    swapLocks.computeIfAbsent(segmentId, _ => new Object)
+
   // ------------------------------------------------------------------ paths
 
   def isCold(segmentId: String): Boolean = coldPredicate(segmentId)
@@ -188,9 +198,13 @@ class SegmentStore(
     val dir = tableDir(segmentId, table)
     // crash recovery: replaceTableData's swap has a window between
     // moving data→data_old and data_tmp→data; if a crash landed there,
-    // serve (and restore) the previous committed state
-    if (!Files.isDirectory(dir.resolve("data")) && Files.isDirectory(dir.resolve("data_old")))
-      Files.move(dir.resolve("data_old"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    // serve (and restore) the previous committed state. Taken under the
+    // segment's swap lock: with an in-flight swap serialized out, the
+    // (data absent, data_old present) state can only mean a crash.
+    if (!Files.isDirectory(dir.resolve("data"))) swapLock(segmentId).synchronized {
+      if (!Files.isDirectory(dir.resolve("data")) && Files.isDirectory(dir.resolve("data_old")))
+        Files.move(dir.resolve("data_old"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    }
     session.read.schema(meta.schema).parquet(dir.resolve("data").toString)
   }
 
@@ -209,26 +223,38 @@ class SegmentStore(
     * is overwritten by the next prepare). Split out so a multi-table
     * transaction can prepare every table before swapping any —
     * shrinking the non-atomic window from "all parquet writes" to "a
-    * few directory renames" (WriteTxn.commit). */
+    * few directory renames" (WriteTxn.commit). Creates the table dir on
+    * demand so tables CREATEd inside the transaction can be prepared
+    * before any storage-visible create happens. */
   def prepareTableData(segmentId: String, table: String, df: DataFrame): Unit = {
-    val tmp = tableDir(segmentId, table).resolve("data_tmp")
+    val dir = tableDir(segmentId, table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve("data_tmp")
     if (Files.exists(tmp)) deleteRecursively(tmp)
     df.write.mode("overwrite").parquet(tmp.toString)
   }
 
-  /** Phase 2: swap `data_tmp` into place. The data→data_old /
-    * data_tmp→data rename pair has a crash window with no `data` dir;
-    * loadTable self-heals from `data_old` if it finds that state. */
+  /** Phase 2: swap `data_tmp` into place (per-segment lock — see
+    * [[swapLock]]). The data→data_old / data_tmp→data rename pair has a
+    * crash window with no `data` dir; loadTable self-heals from
+    * `data_old` if it finds that state. A table with no live `data` dir
+    * yet (first commit after an in-transaction CREATE) degenerates to a
+    * single rename. */
   def swapPreparedData(
-      segmentId: String, table: String, newMeta: Option[TableMeta] = None): Unit = {
-    val dir = tableDir(segmentId, table)
-    val old = dir.resolve("data_old")
-    if (Files.exists(old)) deleteRecursively(old)
-    Files.move(dir.resolve("data"), old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(dir.resolve("data_tmp"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-    newMeta.foreach(writeMeta(segmentId, table, _))
-  }
+      segmentId: String, table: String, newMeta: Option[TableMeta] = None): Unit =
+    swapLock(segmentId).synchronized {
+      val dir = tableDir(segmentId, table)
+      val old = dir.resolve("data_old")
+      if (Files.exists(old)) deleteRecursively(old)
+      if (Files.isDirectory(dir.resolve("data"))) {
+        Files.move(dir.resolve("data"), old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(dir.resolve("data_tmp"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+      } else {
+        Files.move(dir.resolve("data_tmp"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+      }
+      newMeta.foreach(writeMeta(segmentId, table, _))
+    }
 
   def dropTable(segmentId: String, table: String): Unit = {
     val dir = tableDir(segmentId, table)

@@ -11,13 +11,24 @@ package graft.engine
   */
 object SqlValue {
 
+  /** Python datetime.isoformat() shape: seconds are ALWAYS present (Java's
+    * LocalDateTime.toString drops ":ss" when zero — '2024-01-01T12:00' vs
+    * the reference's '2024-01-01T12:00:00'), microseconds only when
+    * nonzero, always 6 digits. */
+  private val isoSeconds =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+  private def pyIso(dt: java.time.LocalDateTime): String = {
+    val base = dt.format(isoSeconds)
+    if (dt.getNano == 0) base else f"$base.${dt.getNano / 1000}%06d"
+  }
+
   /** Render one value as a SQL literal, trough-style. Unknown types throw
     * (client.py:128-131 semantics). */
   def render(x: Any): String = x match {
     case null => "null"
     case None => "null"
-    case dt: java.time.LocalDateTime => s"datetime('${dt.toString}')"
-    case ts: java.sql.Timestamp => s"datetime('${ts.toLocalDateTime.toString}')"
+    case dt: java.time.LocalDateTime => s"datetime('${pyIso(dt)}')"
+    case ts: java.sql.Timestamp => s"datetime('${pyIso(ts.toLocalDateTime)}')"
     case b: Boolean => if (b) "1" else "0"
     case s: String => "'" + s.replace("'", "''") + "'"
     case bs: Array[Byte] => "'" + new String(bs, "UTF-8").replace("'", "''") + "'"

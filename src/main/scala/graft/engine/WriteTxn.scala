@@ -85,19 +85,18 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val (meta, df) = working(t)
       (t, meta, df.localCheckpoint(eager = true))
     }
-    dropped.foreach { t => if (store.tableExists(segmentId, t)) store.dropTable(segmentId, t) }
-    created.foreach { t =>
-      if (!store.tableExists(segmentId, t)) {
-        val (meta, _) = working(t)
-        store.createTable(segmentId, t, meta, failIfExists = false)
-      }
-    }
-    // two-phase across tables: write EVERY table's parquet to its tmp
-    // dir first (any failure — disk full, codec error — aborts with no
-    // visible change), then swap all via cheap renames. Shrinks the
-    // non-atomic window from "all parquet writes" to a few renames,
-    // and loadTable self-heals the rename crash window from data_old.
+    // Two-phase across ALL storage effects: phase 1 writes EVERY dirty
+    // table's parquet to its data_tmp dir (any failure — disk full,
+    // codec error — aborts with no visible change, including scripts
+    // that DROP and recreate tables); phase 2 is only cheap renames and
+    // meta writes. A DROPped-and-reCREATEd table needs no explicit drop:
+    // the swap below replaces both its data dir and its meta. New
+    // tables need no explicit create: prepare makes the dir, and the
+    // swap degenerates to a single data_tmp→data rename + meta write.
     materialized.foreach { case (t, _, df) => store.prepareTableData(segmentId, t, df) }
+    dropped.filterNot(created.contains).foreach { t =>
+      if (store.tableExists(segmentId, t)) store.dropTable(segmentId, t)
+    }
     materialized.foreach { case (t, meta, _) =>
       store.swapPreparedData(segmentId, t, Some(meta))
     }

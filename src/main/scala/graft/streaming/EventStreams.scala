@@ -60,50 +60,87 @@ object EventStreams {
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for session logic session_window can't express (e.g.
     * emitting only on session *close*, enriching with per-session
-    * aggregates). Event-time timeout keyed to the watermark. */
+    * aggregates).
+    *
+    * A session is emitted exactly once, when it CLOSES: either a later
+    * event for the same user exceeds the gap, or (streaming) the
+    * event-time timeout fires once the watermark passes last+gap. Open
+    * sessions live only in state — no per-micro-batch re-emission of a
+    * growing open session, and state expires with the watermark.
+    * Streaming callers must define a watermark upstream of the
+    * projection (EventTimeTimeout requires one). In batch execution all
+    * rows of a key arrive in the single invocation, so the trailing
+    * session is final by construction and is emitted directly (timeouts
+    * never fire in batch).
+    *
+    * Takes (user_id, ts) with ts a real TimestampType column — the
+    * watermark marker rides on that attribute, so projecting it to a
+    * long before this operator would strip it and fail analysis. */
   def statefulSessions(
-      events: Dataset[(Long, Long)], // (user_id, ts millis), pre-projected
+      events: DataFrame, // columns: user_id long, ts timestamp (watermarked if streaming)
       gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val streaming = events.isStreaming
     events
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      // no typed .map to millis here: SerializeFromObject would mint new
+      // attributes without the watermark metadata the timeout check needs
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          // batch-mode semantics: receive all rows for the key at once
-          val ts = rows.map(_._2).toSeq.sorted
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var cur: Option[SessionState] = state.getOption
-          ts.foreach { t =>
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(SessionState(s.start, t, s.n + 1))
-              case Some(s) =>
-                out += SessionOut(userId, s.start, s.last, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
+        (userId: Long, rawRows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          val rows = rawRows.map(r => (r._1, r._2.getTime))
+          if (streaming && state.hasTimedOut) {
+            // watermark passed last+gap with no newer event: session closed
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n))
+          } else {
+            val ts = rows.map(_._2).toSeq.sorted
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur: Option[SessionState] = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur match {
+              case Some(s) if streaming =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case Some(s) => // batch: all data seen — trailing session is final
+                out += SessionOut(userId, s.start, s.last, s.n)
+                state.remove()
+              case None => state.remove()
+            }
+            out.iterator
           }
-          cur.foreach(s => out += SessionOut(userId, s.start, s.last, s.n))
-          cur match {
-            case Some(s) => state.update(s)
-            case None => state.remove()
-          }
-          out.iterator
       }
   }
 
   /** The promotion-flush analog (reference dirty-segment promoter,
-    * client.py:71-97): stream micro-batches appended durably via
-    * foreachBatch — exactly-once per batch id, the Structured Streaming
-    * replacement for trough's promote-on-timer thread. */
+    * client.py:71-97): stream micro-batches landed durably via
+    * foreachBatch. Idempotent per batch id — each micro-batch writes
+    * (mode=overwrite) its own `batch_id=<id>` subdirectory, so a batch
+    * replayed after a failure (checkpoint not yet committed) replaces
+    * its previous partial output instead of appending duplicates:
+    * effectively-once, not just at-least-once. Readers of `outDir` see
+    * `batch_id` as a normal hive partition column. */
   def flushToParquet(events: DataFrame, outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
 }

@@ -38,9 +38,18 @@ object SqlValuePropertySpec extends Properties("SqlValue/REGEXP") {
 
   property("datetimes render as datetime('<iso>') calls (client.py:114-115)") =
     Prop.forAll(Gen.choose(0L, 4102444800L)) { epochSec =>
+      // python isoformat() always includes seconds — '2024-01-01T12:00:00'
+      // even for whole-minute values (Java toString would drop ':00')
       val dt = java.time.LocalDateTime.ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
-      SqlValue.render(dt) == s"datetime('${dt.toString}')"
+      val expected = dt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      SqlValue.render(dt) == s"datetime('$expected')"
     }
+
+  property("sub-second datetimes render microseconds, 6 digits (isoformat)") = Prop {
+    val dt = java.time.LocalDateTime.of(2024, 1, 1, 12, 0, 0, 1230000)
+    SqlValue.render(dt) == "datetime('2024-01-01T12:00:00.001230')"
+  }
 
   property("template substitutes each %s positionally, %% escapes") =
     Prop.forAll(Gen.listOfN(3, Gen.alphaNumStr)) { params =>

@@ -86,13 +86,46 @@ class EventStreamsSpec extends SparkSpecBase {
     import spark.implicits._
     val events = Seq(
       (1L, 1000L), (1L, 2000L), (1L, 100000L), // user 1: 2 sessions (gap 10s)
-      (2L, 5000L)).toDS()
+      (2L, 5000L)).toDF("user_id", "ms")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
     val out = EventStreams.statefulSessions(events, gapMs = 10000L)
       .collect().sortBy(s => (s.userId, s.startMs))
     assert(out.length == 3)
     assert(out(0) == EventStreams.SessionOut(1L, 1000L, 2000L, 2))
     assert(out(1) == EventStreams.SessionOut(1L, 100000L, 100000L, 1))
     assert(out(2) == EventStreams.SessionOut(2L, 5000L, 5000L, 1))
+  }
+
+  test("statefulSessions streaming: emits only on close (gap or event-time timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
+    val ds = mem.toDF().toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+    val query = EventStreams.statefulSessions(ds, gapMs = 10000L)
+      .writeStream.format("memory").queryName("ss_stream").outputMode("append").start()
+    try {
+      def emitted() = spark.sql("SELECT * FROM ss_stream").as[EventStreams.SessionOut]
+        .collect().sortBy(s => (s.userId, s.startMs)).toSeq
+      mem.addData((1L, 1L), (1L, 2L))
+      query.processAllAvailable()
+      // session still open: nothing emitted (the old NoTimeout version
+      // re-emitted the growing open session every micro-batch)
+      assert(emitted().isEmpty)
+      mem.addData((1L, 100L))
+      query.processAllAvailable()
+      // the 100s event exceeds the gap -> closes the 1-2s session
+      assert(emitted() == Seq(EventStreams.SessionOut(1L, 1000L, 2000L, 2)))
+      mem.addData((2L, 300L)) // advances watermark to 100s after this batch
+      query.processAllAvailable()
+      mem.addData((2L, 500L)) // batch runs with watermark 300s: user 1's
+      query.processAllAvailable() // timeout (100s+10s) fires; user 2's gap closes 300s
+      assert(emitted() == Seq(
+        EventStreams.SessionOut(1L, 100000L, 100000L, 1),
+        EventStreams.SessionOut(1L, 1000L, 2000L, 2),
+        EventStreams.SessionOut(2L, 300000L, 300000L, 1)).sortBy(s => (s.userId, s.startMs)))
+    } finally query.stop()
   }
 
   test("flushToParquet: foreachBatch lands micro-batches durably (promoter analog)") {
