@@ -1,0 +1,206 @@
+package graft.engine
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Like, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graft.SqlInternals
+import org.apache.spark.sql.types.StringType
+
+/** SQLite *operator* dialect, applied as a parse-tree rewrite.
+  *
+  * The reference's read contract is the whole SQLite dialect — queries go
+  * straight to `cursor.execute(query)` (trough/read.py:63-67) — and three
+  * of SQLite's operators silently disagree with Spark's:
+  *
+  *  1. `LIKE` is ASCII-case-insensitive in SQLite; Spark's is
+  *     case-sensitive. A raw `WHERE name LIKE 'a%'` would silently drop
+  *     rows. Rewrite: both operands through [[AsciiLower]] (codegen'd,
+  *     byte-exact SQLite folding — NOT Unicode lower, see its doc).
+  *  2. `/` on two integers is integer division in SQLite (`7/2 = 3`,
+  *     truncating toward zero) and REAL division in Spark. Rewrite:
+  *     [[SqliteDiv]], which dispatches on operand types at analysis and
+  *     yields NULL on division by zero like SQLite.
+  *  3. `x GLOB y` is infix syntax Spark's parser rejects. Rewritten
+  *     textually (quote-aware, precedence-correct for SQLite's grammar
+  *     where GLOB sits in the equality tier) to the registered
+  *     `glob(y, x)` function before parsing.
+  *
+  * The rewrite happens on the PARSED (unresolved) plan, before analysis,
+  * so types propagate naturally through subqueries and aliases — an
+  * optimizer-stage rewrite would run after constant folding (losing
+  * `SELECT 7/2`) and after type coercion had already widened the plan.
+  * This is the same injection point Spark reserves for dialect work
+  * (`spark.sql.extensions` parser hooks); a session-tagged rewrite keeps
+  * it scoped to the trough read/write paths instead of globally.
+  */
+object SqliteDialect {
+
+  /** The parser reads the *active* session's SQLConf (thread-local), not
+    * its owning session's — activate `sess` so its dialect flags
+    * (double-quoted identifiers) apply, exactly like `sess.sql` does. */
+  private def withActive[T](sess: SparkSession)(body: => T): T = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(sess)
+    try body finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+  }
+
+  /** Run one SQLite-dialect SELECT on `sess`: infix-GLOB pre-rewrite,
+    * parse, operator rewrite, analyze. The session should already have
+    * [[SqliteCompat.register]] applied (function-name surface). */
+  def sql(sess: SparkSession, stmt: String): DataFrame = withActive(sess) {
+    SqlInternals.ofRows(sess, rewriteParsed(
+      sess.sessionState.sqlParser.parsePlan(rewriteGlob(stmt))))
+  }
+
+  /** Parse one SQLite-dialect scalar expression (write-path predicates,
+    * SET clauses, VALUES tuples) with the same operator rewrites. */
+  def expr(sess: SparkSession, exprSql: String): Column = withActive(sess) {
+    SqlInternals.column(rewriteExpr(
+      sess.sessionState.sqlParser.parseExpression(rewriteGlob(exprSql))))
+  }
+
+  // ------------------------------------------------------ plan rewrite
+
+  def rewriteParsed(plan: LogicalPlan): LogicalPlan =
+    plan transformAllExpressions rewriteRule
+
+  def rewriteExpr(e: Expression): Expression = e transform rewriteRule
+
+  private lazy val rewriteRule: PartialFunction[Expression, Expression] = {
+    // Cast-to-string first: SQLite LIKEs numerics via text affinity
+    // (`3 LIKE 3` is true); Cast(string, string) is a no-op Catalyst
+    // removes, so string operands are untouched.
+    case Like(l, r, esc) if !l.isInstanceOf[AsciiLower] =>
+      Like(AsciiLower(Cast(l, StringType)), AsciiLower(Cast(r, StringType)), esc)
+    case Divide(l, r, _) => SqliteDiv(l, r)
+    case s: SubqueryExpression => s.withNewPlan(rewriteParsed(s.plan))
+  }
+
+  // ------------------------------------------------- infix GLOB rewrite
+
+  /** Keywords that terminate a GLOB operand scan. Everything SQLite
+    * gives *lower* precedence than the equality tier (where GLOB sits),
+    * plus clause keywords. Comparison operators are included too: SQLite
+    * technically allows `a < b GLOB p`, but no real query does, and
+    * stopping there keeps the scan conservative. */
+  private val boundaryWords = Set(
+    "select", "from", "where", "and", "or", "not", "on", "join", "inner",
+    "left", "right", "full", "cross", "when", "then", "else", "case", "end",
+    "group", "order", "having", "limit", "offset", "by", "as", "asc", "desc",
+    "union", "intersect", "except", "all", "distinct", "between", "in", "is",
+    "like", "escape", "values", "set", "collate")
+
+  private final case class Tok(text: String, start: Int, end: Int) {
+    def lower: String = text.toLowerCase(Locale.ROOT)
+  }
+
+  /** Quote-aware tokenization: string/identifier literals are single
+    * tokens; words, parens, commas, and operator characters tokenized
+    * individually. */
+  private def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"' || c == '`') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == c) {
+            if (i + 1 < n && sql.charAt(i + 1) == c) i += 2 // doubled quote
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        out += Tok(sql.substring(start, i), start, i)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        out += Tok(sql.substring(start, i), start, i)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '.')) i += 1
+        out += Tok(sql.substring(start, i), start, i)
+      } else {
+        out += Tok(c.toString, i, i + 1)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Rewrite every infix `X [NOT] GLOB Y` to `[NOT] glob(Y, X)`. The
+    * function-call form `glob(...)` is left untouched. Idempotent on SQL
+    * without infix GLOB. */
+  def rewriteGlob(sql: String): String = {
+    val toks = tokenize(sql)
+    val globIdx = toks.zipWithIndex.find { case (t, i) =>
+      t.lower == "glob" &&
+        // not the function-call form
+        !(i + 1 < toks.length && toks(i + 1).text == "(") &&
+        // must have operands on both sides
+        i > 0 && i + 1 < toks.length
+    }.map(_._2)
+
+    globIdx match {
+      case None => sql
+      case Some(g) =>
+        // RHS: forward until a boundary at the operator's paren depth
+        var depth = 0
+        var j = g + 1
+        var rhsEnd = toks.length
+        var scanning = true
+        while (j < toks.length && scanning) {
+          val t = toks(j)
+          t.text match {
+            case "(" => depth += 1
+            case ")" if depth == 0 => rhsEnd = j; scanning = false
+            case ")" => depth -= 1
+            case "," | ";" if depth == 0 => rhsEnd = j; scanning = false
+            case "=" | "<" | ">" | "!" if depth == 0 => rhsEnd = j; scanning = false
+            case _ if depth == 0 && boundaryWords.contains(t.lower) =>
+              rhsEnd = j; scanning = false
+            case _ => ()
+          }
+          if (scanning) j += 1
+        }
+        // NOT GLOB?
+        val negated = toks(g - 1).lower == "not"
+        val lhsScanEnd = if (negated) g - 1 else g
+        // LHS: backward until a boundary at depth 0
+        depth = 0
+        var k = lhsScanEnd - 1
+        var lhsStart = 0
+        scanning = true
+        while (k >= 0 && scanning) {
+          val t = toks(k)
+          t.text match {
+            case ")" => depth += 1
+            case "(" if depth == 0 => lhsStart = k + 1; scanning = false
+            case "(" => depth -= 1
+            case "," | ";" if depth == 0 => lhsStart = k + 1; scanning = false
+            case "=" | "<" | ">" | "!" if depth == 0 => lhsStart = k + 1; scanning = false
+            case _ if depth == 0 && boundaryWords.contains(t.lower) =>
+              lhsStart = k + 1; scanning = false
+            case _ => ()
+          }
+          if (scanning) k -= 1
+        }
+        require(lhsStart < lhsScanEnd && g + 1 < rhsEnd,
+          s"cannot locate the operands of infix GLOB in: $sql")
+        val lhs = sql.substring(toks(lhsStart).start, toks(lhsScanEnd - 1).end)
+        val rhs = sql.substring(toks(g + 1).start, toks(rhsEnd - 1).end)
+        val replacement = (if (negated) "NOT " else "") + s"glob($rhs, $lhs)"
+        val rewritten = sql.substring(0, toks(lhsStart).start) + replacement +
+          sql.substring(toks(rhsEnd - 1).end)
+        rewriteGlob(rewritten) // handle further GLOBs
+    }
+  }
+}

@@ -1,0 +1,320 @@
+package graft.engine
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions backing the SQLite dialect layer.
+  *
+  * [[AsciiLower]] and [[SqliteDiv]] are the hot-path pair (every LIKE and
+  * `/` in a read query routes through them — see
+  * [[SqliteDialect.rewriteParsed]]) and are fully codegen'd; the rest are
+  * CodegenFallback compat shims for function names that appear in
+  * projections, never in tight scan loops.
+  */
+
+/** ASCII-only lowercase — SQLite's case-folding rule for LIKE
+  * (`'ÄBC' LIKE 'äbc'` is FALSE in SQLite; a Unicode lower() would make
+  * it true). Only bytes A-Z change; UTF-8 multibyte sequences are ≥ 0x80
+  * and pass through untouched. */
+case class AsciiLower(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ascii_lower requires a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ascii_lower"
+
+  override def nullSafeEval(v: Any): Any =
+    AsciiLower.lower(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.engine.AsciiLower.lower($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiLower =
+    copy(child = newChild)
+}
+
+object AsciiLower {
+  def lower(s: UTF8String): UTF8String = {
+    val b = s.getBytes.clone() // getBytes may expose the internal array
+    var i = 0
+    var changed = false
+    while (i < b.length) {
+      if (b(i) >= 'A' && b(i) <= 'Z') { b(i) = (b(i) + 32).toByte; changed = true }
+      i += 1
+    }
+    if (changed) UTF8String.fromBytes(b) else s
+  }
+}
+
+/** SQLite `/`: INTEGER (64-bit, truncating toward zero — Java long
+  * division) when both operands are integral, REAL otherwise; division
+  * by zero yields NULL in both modes (SQLite returns NULL, Spark's ANSI
+  * mode would throw and non-ANSI Divide is always REAL). Strings coerce
+  * to REAL via the NumericType implicit cast (SQLite numeric affinity). */
+case class SqliteDiv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case _: NumericType | StringType | NullType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sqlite_div requires numeric or string operands, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def prettyName: String = "sqlite_div"
+  override def nullable: Boolean = true
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private lazy val integral = isIntegral(left.dataType) && isIntegral(right.dataType)
+
+  override def dataType: DataType = if (integral) LongType else DoubleType
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    if (integral) {
+      val rv = r.asInstanceOf[Number].longValue()
+      if (rv == 0L) null else l.asInstanceOf[Number].longValue() / rv
+    } else {
+      val rv = toDouble(r)
+      if (rv == 0.0) null else toDouble(l) / rv
+    }
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => SqliteDiv.strToDouble(other.toString)
+  }
+
+  private def javaDouble(value: String, dt: DataType): String = dt match {
+    case _: DecimalType => s"$value.toDouble()"
+    case StringType => s"graft.engine.SqliteDiv.strToDouble($value.toString())"
+    case _ => s"(double)($value)"
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val javaType = if (integral) "long" else "double"
+    val divisor = ctx.freshName("divisor")
+    val compute =
+      if (integral)
+        s"""
+           |long $divisor = (long)(${rightGen.value});
+           |if ($divisor != 0L) {
+           |  ${ev.isNull} = false;
+           |  ${ev.value} = (long)(${leftGen.value}) / $divisor;
+           |}
+         """.stripMargin
+      else
+        s"""
+           |double $divisor = ${javaDouble(rightGen.value.toString, right.dataType)};
+           |if ($divisor != 0.0) {
+           |  ${ev.isNull} = false;
+           |  ${ev.value} = ${javaDouble(leftGen.value.toString, left.dataType)} / $divisor;
+           |}
+         """.stripMargin
+    ev.copy(code = code"""
+      |${leftGen.code}
+      |boolean ${ev.isNull} = true;
+      |$javaType ${ev.value} = ${if (integral) "0L" else "0.0"};
+      |if (!${leftGen.isNull}) {
+      |  ${rightGen.code}
+      |  if (!${rightGen.isNull}) {
+      |    $compute
+      |  }
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqliteDiv =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqliteDiv {
+  /** SQLite numeric affinity for text: the longest numeric prefix, or 0
+    * when there is none (`'abc'/2` is 0 in SQLite, not an error). */
+  def strToDouble(s: String): Double = {
+    val m = "^\\s*[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?".r.findFirstIn(s)
+    m.map(_.trim.toDouble).getOrElse(0.0)
+  }
+}
+
+/** SQLite `typeof(x)`: 'null' | 'integer' | 'real' | 'text' | 'blob',
+  * decided by the column's static type + runtime null check (SQLite is
+  * dynamically typed per value; Spark columns are statically typed, so
+  * the static type IS the value type). */
+case class SqliteTypeOf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "typeof"
+
+  private lazy val typeName: String = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => "integer"
+    case FloatType | DoubleType | _: DecimalType => "real"
+    case BinaryType => "blob"
+    case NullType => "null"
+    case _ => "text"
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    UTF8String.fromString(if (v == null) "null" else typeName)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteTypeOf =
+    copy(child = newChild)
+}
+
+/** SQLite `quote(x)`: render a value as an SQL literal — strings get
+  * single quotes with `''` doubling, blobs render `X'HEX'`, NULL renders
+  * the string 'NULL', numbers render bare. */
+case class SqliteQuote(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "quote"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val s = v match {
+      case null => "NULL"
+      case u: UTF8String => "'" + u.toString.replace("'", "''") + "'"
+      case b: Array[Byte] =>
+        b.map(x => f"${x & 0xff}%02X").mkString("X'", "", "'")
+      case b: Boolean => if (b) "1" else "0"
+      case other => other.toString
+    }
+    UTF8String.fromString(s)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteQuote =
+    copy(child = newChild)
+}
+
+/** SQLite `json_array(...)` / `json_object(k,v,...)`: render values with
+  * their own runtime types. A variadic expression holding the raw
+  * arguments — carrying them through CreateArray would let the analyzer
+  * coerce them to a common type, and `json_array(1,'a')` must stay
+  * `[1,"a"]`. */
+case class SqliteJsonRender(children: Seq[Expression], obj: Boolean)
+    extends Expression with CodegenFallback {
+  private def args: Seq[Expression] = children
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = if (obj) "json_object" else "json_array"
+
+  private def render(v: Any): String = v match {
+    case null => "null"
+    case u: UTF8String => jsonStr(u.toString)
+    case b: Boolean => if (b) "1" else "0" // SQLite has no json booleans from SQL
+    case d: Decimal => d.toBigDecimal.bigDecimal.toPlainString
+    case other => other.toString
+  }
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vals = args.map(_.eval(input))
+    val s =
+      if (obj) vals.grouped(2).map { case Seq(k, v) =>
+        require(k != null, "json_object labels must not be NULL")
+        jsonStr(k.toString) + ":" + render(v)
+      }.mkString("{", ",", "}")
+      else vals.map(render).mkString("[", ",", "]")
+    UTF8String.fromString(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteJsonRender =
+    copy(children = newChildren)
+}
+
+/** Variadic SQLite date/time family under one expression: `datetime`,
+  * `date`, `time`, `julianday`, `strftime` — a UDF registration can't
+  * dispatch on arity and SQLite's modifiers are trailing varargs.
+  * CodegenFallback: compat shims for client literals and projections,
+  * never a hot scan path. NULL anywhere (input, format, modifier) or an
+  * unparseable timevalue yields NULL, matching sqlite3 (golden-tested). */
+case class SqliteTimeExpr(mode: SqliteTimeExpr.Mode, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType =
+    if (mode == SqliteTimeExpr.Julianday) DoubleType else StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = mode.name
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val minArity = if (mode == SqliteTimeExpr.Strftime) 2 else 1
+    if (children.length >= minArity) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${mode.name} requires at least $minArity argument(s)")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val strs = vals.map(_.toString)
+    mode match {
+      case SqliteTimeExpr.Datetime =>
+        Option(SqliteCompat.datetimeCompat(strs.head, strs.tail))
+          .map(UTF8String.fromString).orNull
+      case SqliteTimeExpr.Date =>
+        Option(SqliteCompat.dateCompat(strs.head, strs.tail))
+          .map(UTF8String.fromString).orNull
+      case SqliteTimeExpr.Time =>
+        Option(SqliteCompat.timeCompat(strs.head, strs.tail))
+          .map(UTF8String.fromString).orNull
+      case SqliteTimeExpr.Julianday =>
+        val d = SqliteCompat.juliandayCompat(strs.head, strs.tail)
+        if (d == null) null else d.doubleValue()
+      case SqliteTimeExpr.Strftime =>
+        Option(SqliteCompat.strftimeCompat(strs.head, strs(1), strs.drop(2)))
+          .map(UTF8String.fromString).orNull
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteTimeExpr =
+    copy(children = newChildren)
+}
+
+object SqliteTimeExpr {
+  sealed abstract class Mode(val name: String)
+  case object Datetime extends Mode("datetime")
+  case object Date extends Mode("date")
+  case object Time extends Mode("time")
+  case object Julianday extends Mode("julianday")
+  case object Strftime extends Mode("strftime")
+}

@@ -74,13 +74,16 @@ class TroughEngine(
     val stmts = SqlScript.split(sql)
     if (stmts.length != 1)
       throw new IllegalArgumentException("Exactly one SELECT query per request, please.")
+    // infix GLOB is SQLite syntax Spark's parser rejects — rewrite to the
+    // registered glob() function form before the gate parses
+    val stmt = SqliteDialect.rewriteGlob(stmts.head)
     // parsePlan consults the *active* session's SQLConf (thread-local),
     // not the parser's owning session — activate sess so the SQLite
     // dialect flags (double-quoted identifiers) apply at the gate too
     val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(sess)
     val plan: LogicalPlan =
-      try sess.sessionState.sqlParser.parsePlan(stmts.head)
+      try sess.sessionState.sqlParser.parsePlan(stmt)
       catch {
         case e: Exception => throw new IllegalArgumentException(e.getMessage, e)
       } finally prev.foreach(SparkSession.setActiveSession)
@@ -88,7 +91,7 @@ class TroughEngine(
       plan.getClass.getSimpleName.matches(".*(Insert|Create|Drop|Alter|Delete|Update|Merge).*")
     if (bad)
       throw new IllegalArgumentException("Exactly one SELECT query per request, please.")
-    stmts.head
+    stmt
   }
 
   /** Segment-scoped read: the statement runs against views of the
@@ -102,7 +105,7 @@ class TroughEngine(
     store.tables(segmentId).foreach { t =>
       store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
     }
-    sess.sql(stmt)
+    SqliteDialect.sql(sess, stmt)
   }
 
   /** One query over *all* segments (or a regex subset): the fan-out A6
@@ -122,7 +125,7 @@ class TroughEngine(
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       unioned.createOrReplaceTempView(t)
     }
-    sess.sql(stmt)
+    SqliteDialect.sql(sess, stmt)
   }
 
   /** Streaming JSON result shape, byte-compatible with the reference's
@@ -275,138 +278,6 @@ object JsonShape {
   }
 }
 
-/** SQLite dialect compat shims registered on every engine session
-  * (SURVEY §7.3: the `datetime()` literal round-trip is the load-bearing
-  * one — the reference client emits `datetime('<iso>')` literals,
-  * client.py:114-115, which SQLite renders as 'YYYY-MM-DD HH:MM:SS'). */
-object SqliteCompat {
-  def datetimeCompat(s: String): String = datetimeCompat(s, Seq.empty)
-
-  /** `datetime(timevalue, modifier, ...)` with the modifier subset the
-    * SQLite docs define and real schemas use: `±N days/hours/minutes/
-    * seconds/months/years`, `start of day/month/year`, `unixepoch`
-    * (marks a numeric timevalue as seconds-since-epoch), `localtime`/
-    * `utc` (no-ops here — the engine is UTC-pinned). Unknown modifiers
-    * throw, like SQLite returning NULL would surface in tests. */
-  def datetimeCompat(s: String, modifiers: Seq[String]): String = {
-    if (s == null) return null
-    val trimmed = s.trim
-    val wantsEpoch = modifiers.exists(_.trim.equalsIgnoreCase("unixepoch"))
-    if (wantsEpoch && !trimmed.matches("-?\\d+")) return null // SQLite: NULL, not an error
-    var ldt =
-      if (trimmed.equalsIgnoreCase("now")) java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-      else if (wantsEpoch || trimmed.matches("-?\\d+"))
-        java.time.LocalDateTime.ofEpochSecond(trimmed.toLong, 0, java.time.ZoneOffset.UTC)
-      else if (trimmed.matches("\\d{4}-\\d{2}-\\d{2}")) // date-only → midnight (SQLite)
-        java.time.LocalDate.parse(trimmed).atStartOfDay
-      else java.time.LocalDateTime.parse(trimmed.replace(" ", "T"))
-    val modRe = "(?i)^([+-]?\\d+)\\s+(day|hour|minute|second|month|year)s?$".r
-    modifiers.map(_.trim).filter(_.nonEmpty).foreach {
-      case m if m.equalsIgnoreCase("unixepoch") ||
-        m.equalsIgnoreCase("localtime") || m.equalsIgnoreCase("utc") => ()
-      case m if m.equalsIgnoreCase("start of day") =>
-        ldt = ldt.toLocalDate.atStartOfDay
-      case m if m.equalsIgnoreCase("start of month") =>
-        ldt = ldt.toLocalDate.withDayOfMonth(1).atStartOfDay
-      case m if m.equalsIgnoreCase("start of year") =>
-        ldt = ldt.toLocalDate.withDayOfYear(1).atStartOfDay
-      case modRe(n, unit) =>
-        val amount = n.toLong
-        ldt = unit.toLowerCase match {
-          case "day" => ldt.plusDays(amount)
-          case "hour" => ldt.plusHours(amount)
-          case "minute" => ldt.plusMinutes(amount)
-          case "second" => ldt.plusSeconds(amount)
-          case "month" => ldt.plusMonths(amount)
-          case "year" => ldt.plusYears(amount)
-        }
-      case other =>
-        throw new IllegalArgumentException(s"unsupported datetime modifier: $other")
-    }
-    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
-      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
-  }
-
-  /** SQLite GLOB pattern → Java regex: `*` → `.*`, `?` → `.`,
-    * `[set]` / `[^set]` character classes pass through, everything else
-    * is matched literally. Case-sensitive, whole-string anchored —
-    * SQLite's glob semantics (unlike LIKE, which is case-insensitive). */
-  def globToRegex(pattern: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < pattern.length) {
-      pattern.charAt(i) match {
-        case '*' => sb.append(".*")
-        case '?' => sb.append('.')
-        case '[' =>
-          // ']' first in the set (after optional '^') is literal
-          val searchFrom =
-            if (i + 1 < pattern.length && pattern.charAt(i + 1) == '^') i + 3 else i + 2
-          val close = pattern.indexOf(']', searchFrom)
-          if (close < 0) { sb.append("\\["); }
-          else {
-            val body = pattern.substring(i + 1, close)
-            val (neg, set) = if (body.startsWith("^")) ("^", body.drop(1)) else ("", body)
-            sb.append('[').append(neg)
-              .append(set.replace("\\", "\\\\")) // backslash is literal in SQLite sets
-              .append(']')
-            i = close
-          }
-        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
-      }
-      i += 1
-    }
-    sb.toString
-  }
-
-  /** `glob(pattern, string)` — SQLite's function form of `x GLOB y`
-    * (`glob(Y, X)` ⇔ `X GLOB Y`); NULL in → NULL out. */
-  def glob(pattern: String, s: String): java.lang.Boolean = {
-    if (pattern == null || s == null) return null
-    java.util.regex.Pattern.compile(globToRegex(pattern)).matcher(s).matches()
-  }
-
-  def register(spark: SparkSession): Unit = {
-    // variadic like SQLite: datetime(tv[, modifier, ...]) — one name,
-    // any arity, so reference queries parse unchanged
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "datetime",
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.nonEmpty, "datetime requires at least 1 argument")
-        DatetimeCompatExpr(exprs)
-      },
-      "built-in")
-    spark.udf.register("glob", (p: String, s: String) => glob(p, s))
-    // SQLite random(): signed 64-bit integer (Spark's rand() is a double
-    // in [0,1) — different type AND name)
-    val rng = new java.security.SecureRandom()
-    spark.udf.register("random", udf(() => rng.nextLong()).asNondeterministic())
-  }
-}
-
-/** Variadic `datetime(timevalue[, modifier, ...])` — SQLite's function
-  * shape under a single name (a UDF registration can't dispatch on
-  * arity). CodegenFallback: this is a compatibility shim for client
-  * literals and modifier arithmetic, never a hot scan path. */
-case class DatetimeCompatExpr(
-    children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-  extends org.apache.spark.sql.catalyst.expressions.Expression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  override def dataType: org.apache.spark.sql.types.DataType =
-    org.apache.spark.sql.types.StringType
-  override def nullable: Boolean = true
-  override def prettyName: String = "datetime"
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val vals = children.map(_.eval(input))
-    if (vals.exists(_ == null)) return null
-    val strs = vals.map(_.toString)
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      SqliteCompat.datetimeCompat(strs.head, strs.tail))
-  }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression])
-    : DatetimeCompatExpr = copy(children = newChildren)
-}
+/* SqliteCompat (function-name surface) lives in SqliteCompat.scala;
+ * SqliteDialect (operator rewrites: nocase LIKE, integer division,
+ * infix GLOB) lives in SqliteDialect.scala. */

@@ -36,6 +36,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private val spark: SparkSession = engine.spark
   private val store = engine.store
 
+  /** Parse a scalar expression with the SQLite operator dialect applied
+    * (ASCII-nocase LIKE, integer `/`, infix GLOB) — write predicates and
+    * SET clauses go through the same SQLite contract as reads. */
+  private def dexpr(s: String): Column = SqliteDialect.expr(spark, s)
+
   private val working = mutable.LinkedHashMap[String, (TableMeta, DataFrame)]()
   private val dirty = mutable.LinkedHashSet[String]()
   private val created = mutable.LinkedHashSet[String]()
@@ -154,7 +159,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // that queries then expect to hold the default
       val defaultRe = "(?is).*\\bDEFAULT\\s+((?:'[^']*')|(?:[-+]?[\\d.]+)|NULL|\\S+).*".r
       val backfill = tail match {
-        case defaultRe(literal) => expr(literal).cast(colType)
+        case defaultRe(literal) => dexpr(literal).cast(colType)
         case _ => lit(null).cast(colType)
       }
       val newSchema = meta.schema.add(StructField(colName, colType, nullable = true))
@@ -283,12 +288,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val (setPart, predPart) =
       if (whereAt < 0) (body, None)
       else (body.substring(0, whereAt), Some(body.substring(whereAt + 5)))
-    val pred = predPart.map(expr).getOrElse(lit(true))
+    val pred = predPart.map(dexpr).getOrElse(lit(true))
     val assignments: Map[String, Column] =
       SqlScript.splitTopLevel(setPart).map { assignment =>
         val eq = topLevelEq(assignment)
         val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
-        val valueExpr = expr(assignment.substring(eq + 1).trim)
+        val valueExpr = dexpr(assignment.substring(eq + 1).trim)
         val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
         field.name -> valueExpr.cast(field.dataType)
@@ -339,7 +344,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       else {
         require(rest.length > 5 && rest.substring(0, 5).equalsIgnoreCase("where") &&
           rest.charAt(5).isWhitespace, s"cannot parse DELETE statement: $stmt")
-        df.where(!coalesce(expr(rest.substring(6)).cast("boolean"), lit(false)))
+        df.where(!coalesce(dexpr(rest.substring(6)).cast("boolean"), lit(false)))
       }
     stage(table, meta, out)
   }
@@ -356,7 +361,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t))
         df.createOrReplaceTempView(t)
       }
-      spark.sql(select)
+      SqliteDialect.sql(spark, select)
     } finally names.foreach(t => spark.catalog.dropTempView(t))
   }
 }
