@@ -490,13 +490,18 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // SimHash near-dup: 64-bit simhash, 16-bit-chunk banding (lossless for
-    // hamming ≤ 3 by pigeonhole), exact bit_count verification.
-    // No SQL oracle (simhash is not expressible in DuckDB) → rows-only.
+    // SimHash near-dup: 60-bit md5-family simhash, 16-bit-chunk banding
+    // (lossless for hamming ≤ 3 by pigeonhole), exact bit_count verify.
+    // The md5 token-hash family is recomputable in DuckDB SQL, so the
+    // oracle independently derives every simhash and checks the banding
+    // found ALL pairs at hamming ≤ 3 — a hard losslessness proof on the
+    // exact code path the production XXH64 kernel also runs through.
     "q31_simhash" -> ((s, dir) => {
       import s.implicits._
       PipelineFunctions.register(s)
-      Dedup.simhashNearDup(t(s, dir, "documents"), maxHamming = 3)
+      graft.functions.Md5Expressions.register(s)
+      Dedup.simhashNearDup(t(s, dir, "documents"), maxHamming = 3,
+          simExpr = call_function("md5_simhash60", $"text"))
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -600,24 +605,30 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
-    // Winnowing fingerprints (Schleimer et al.): k-gram rolling hashes,
-    // per-window minima. Native byte-level kernel → rows-only check
-    // (the window-min algorithm is not expressible in DuckDB SQL).
+    // Winnowing fingerprints (Schleimer et al.): k-gram hashes,
+    // per-window minima, sorted distinct. The md5 gram-hash family lets
+    // the DuckDB oracle replicate the full winnow (gram reconstruction,
+    // window minima via list slices) — hard-verifying the native
+    // kernel's window-selection logic, which is hash-agnostic.
     "q40_winnow" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.VectorExpressions.register(s)
+      graft.functions.Md5Expressions.register(s)
       t(s, dir, "documents")
         .select($"doc_id",
-          explode(call_function("winnow_fingerprints", $"text", lit(4), lit(8))).as("fp"))
+          explode(call_function("winnow_fingerprints_md5", $"text", lit(4), lit(8))).as("fp"))
         .orderBy($"doc_id", $"fp")
     }),
 
     // SRP-LSH bucketed similarity (the ANN scale path): compare only
-    // within sign-random-projection buckets. Approximate → rows-only.
+    // within sign-random-projection buckets, verify with exact cosine.
+    // md5-Rademacher hyperplanes are recomputable in DuckDB SQL, so the
+    // oracle independently assigns every vector's bucket and replays the
+    // bucket join + cosine verify — bucketing AND scoring hard-checked.
     "q41_embed_lsh" -> ((s, dir) => {
       import s.implicits._
       Similarity.lshBucketed(t(s, dir, "embeddings"), threshold = 0.2,
-          numPlanes = 8, dim = 64)
+          numPlanes = 8, dim = 64,
+          planesOverride = Similarity.md5RademacherPlanes(8, 64))
         .select($"id_a", $"id_b", round($"score", 6).as("score"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -980,6 +991,27 @@ object SparkEntry {
       SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
       FROM j WHERE 10 * inter >= 6 * un
       ORDER BY doc_a, doc_b""",
+    // Recomputes every document's 60-bit md5-family simhash from
+    // scratch (token md5s -> per-bit majority) and pair-joins ALL
+    // pairs at hamming <= 3 — if Spark's chunk banding lost a pair,
+    // the row sets would differ.
+    "q31_simhash" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      hashes AS (SELECT doc_id,
+          list_sum(list_transform(range(1,16), i ->
+            (strpos('0123456789abcdef', substring(md5(tok), i, 1))-1)::BIGINT
+              << ((15-i)*4)))::BIGINT AS h
+        FROM toks),
+      bits AS (SELECT doc_id, bb.b AS b,
+          CASE WHEN 2*sum((h >> bb.b) & 1) > count(*) THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM hashes, (SELECT unnest(range(0,60)) AS b) bb
+        GROUP BY doc_id, bb.b),
+      sims AS (SELECT doc_id, sum(bit << b)::BIGINT AS sim FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      ORDER BY doc_a, doc_b""",
     "q32_jaccard_exact" -> """
       WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
       sh AS (SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
@@ -1058,6 +1090,45 @@ object SparkEntry {
         CAST((CAST(concat('0x', substr(md5(text), 31, 2)) AS INTEGER) & 127) + 1 AS BIGINT) AS height,
         substr(md5(text), 1, 8) AS head_hex
       FROM documents ORDER BY media_id""",
+    // Full winnow replication: rebuild each 4-gram string from the
+    // token list, hash with the same md5-60-bit family, slide the
+    // 8-hash window taking minima, distinct — then compare the
+    // exploded (doc_id, fp) sets against the native kernel's output.
+    "q40_winnow" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      grams AS (SELECT doc_id, list_transform(range(1, len(ts)-4+2), i ->
+          array_to_string(ts[i:i+3], ' ')) AS gs
+        FROM toks WHERE len(ts) >= 4),
+      hashes AS (SELECT doc_id, list_transform(gs, g ->
+          list_sum(list_transform(range(1,16), i ->
+            (strpos('0123456789abcdef', substring(md5(g), i, 1))-1)::BIGINT
+              << ((15-i)*4)))::BIGINT) AS hs
+        FROM grams),
+      fps AS (SELECT doc_id, CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+          ELSE list_distinct(list_transform(range(1, len(hs)-8+2), s -> list_min(hs[s:s+7]))) END AS fpl
+        FROM hashes)
+      SELECT doc_id, unnest(fpl) AS fp FROM fps ORDER BY doc_id, fp""",
+    // Recomputes every vector's SRP bucket from the md5-Rademacher
+    // planes (+1 iff first md5 hex digit of 'srp:j:d' is odd; margin
+    // summed left-to-right exactly like the native dot product) and
+    // replays the bucket equi-join + exact cosine >= 0.2 verify.
+    "q41_embed_lsh" -> """
+      WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v0
+            WHERE sqrt(list_dot_product(v, v)) > 0),
+      b AS (SELECT id, v, nrm,
+          list_sum(list_transform(range(0, 8), j ->
+            CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+              CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5('srp:' || j || ':' || (d-1)), 1, 1)) - 1) % 2 = 1
+                THEN v[d] ELSE -v[d] END), (a, x) -> a + x) >= 0
+            THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
+        FROM n)
+      SELECT a.id AS id_a, b2.id AS id_b,
+        round(list_dot_product(a.v, b2.v)/(a.nrm*b2.nrm), 6) AS score
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+      WHERE list_dot_product(a.v, b2.v)/(a.nrm*b2.nrm) >= 0.2
+      ORDER BY id_a, id_b""",
     "q42_sessionize" -> """
       WITH e AS (SELECT user_id, event_id,
                    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec, value

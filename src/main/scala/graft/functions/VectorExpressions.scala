@@ -373,10 +373,16 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
 }
 
 object WinnowFingerprints {
-  /** Token boundaries → per-gram XXH64 over the gram's byte slice →
+  def compute(bytes: Array[Byte], k: Int, w: Int): Array[Long] =
+    compute(bytes, k, w, md5Family = false)
+
+  /** Token boundaries → per-gram hash over the gram's byte slice →
     * sliding-window minima (rightmost on ties, LinkedHashSet-order
-    * equivalent) → sorted distinct. Matches PipelineFunctions.winnow. */
-  def compute(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    * equivalent) → sorted distinct. The default XXH64(seed 42) family
+    * matches PipelineFunctions.winnow; `md5Family = true` hashes grams
+    * with [[Md5Hash60]] instead — the DuckDB-reproducible variant the
+    * q40 oracle differentially checks. */
+  def compute(bytes: Array[Byte], k: Int, w: Int, md5Family: Boolean): Array[Long] = {
     val len = bytes.length
     // token start offsets under split(' ') semantics
     val starts = scala.collection.mutable.ArrayBuffer[Int](0)
@@ -390,8 +396,10 @@ object WinnowFingerprints {
     while (i < nGrams) {
       val from = starts(i)
       val until = if (i + k < nTok) starts(i + k) - 1 else len // exclude trailing space
-      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+      hashes(i) =
+        if (md5Family) Md5Hash60.hash(bytes, from, until)
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
       i += 1
     }
     val out = new java.util.TreeSet[java.lang.Long]()

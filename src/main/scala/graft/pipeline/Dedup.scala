@@ -214,19 +214,27 @@ object Dedup {
   /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`.
     * Bands the 64-bit simhash into 4×16-bit chunks: any pair at distance
     * ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so the chunk-join is a
-    * lossless candidate generator; `bit_count(a^b)` verifies exactly. */
+    * lossless candidate generator; `bit_count(a^b)` verifies exactly.
+    *
+    * `simExpr` overrides the signature expression (default: the native
+    * XXH64-family `simhash64` kernel). The q31 oracle path passes
+    * `md5_simhash60` here — same banding/verification code, md5 token
+    * hashes the DuckDB oracle can recompute — so the losslessness of
+    * the chunk banding is differentially verified. */
   def simhashNearDup(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      simExpr: Column = null): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: the 4x16-bit chunk banding is lossless only for " +
         "distance <= 3 (pigeonhole); larger thresholds would silently miss pairs")
     // native byte-level kernel; bit-identical to Dedup.simhash64 over
     // split(text, ' ') (same XXH64-seed-42 per-token family)
     graft.functions.VectorExpressions.register(docs.sparkSession)
-    val sim = call_function("simhash64", col(textCol))
+    graft.functions.Md5Expressions.register(docs.sparkSession)
+    val sim = Option(simExpr).getOrElse(call_function("simhash64", col(textCol)))
     val withSim = docs.select(col(idCol).as("id"), sim.as("sim"))
     val chunked = withSim.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),

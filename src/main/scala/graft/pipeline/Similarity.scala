@@ -272,6 +272,24 @@ object Similarity {
   def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
     bucketFromMargins(srpMargins(vec, planes), planes.length)
 
+  /** Rademacher (±1) hyperplanes derived from md5("srp:j:d") — the
+    * oracle-reproducible plane family: DuckDB recomputes identical
+    * components from its own md5() (+1 iff the first hex digit is odd),
+    * so SRP bucketing built on these planes is differentially testable
+    * end-to-end (the q41 oracle replicates bucket assignment AND the
+    * exact-cosine verify in pure SQL). Sign-random projections with
+    * Rademacher components are a standard SRP variant (Charikar '02
+    * needs only symmetric sign-balanced components). */
+  def md5RademacherPlanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (j, d) =>
+      md.reset()
+      val digest = md.digest(s"srp:$j:$d".getBytes("UTF-8"))
+      val firstHexDigit = (digest(0) >> 4) & 0xf
+      if (firstHexDigit % 2 == 1) 1.0 else -1.0
+    }
+  }
+
   /** LSH-bucketed near-dup: compare only within SRP buckets, verify with
     * exact cosine. Approximate (bucket boundaries lose some recall) —
     * that's the scale trade; `numPlanes` controls bucket granularity and
@@ -280,7 +298,9 @@ object Similarity {
     * (the boundaries it sits closest to — where its true neighbors most
     * likely landed on the other side). Probing multiplies candidate
     * volume by ≤ (1 + multiProbe) but adds no new shuffle shapes: the
-    * probe side explodes, the build side stays one row per vector. */
+    * probe side explodes, the build side stays one row per vector.
+    * `planesOverride` swaps the hyperplane family (default: splitmix
+    * [[hyperplanes]]; the oracle path passes [[md5RademacherPlanes]]). */
   def lshBucketed(
       vectors: DataFrame,
       threshold: Double,
@@ -288,8 +308,9 @@ object Similarity {
       dim: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      multiProbe: Int = 0): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+      multiProbe: Int = 0,
+      planesOverride: Array[Array[Double]] = null): DataFrame = {
+    val planes = Option(planesOverride).getOrElse(hyperplanes(numPlanes, dim))
     val v0 = withNorm(vectors, idCol, vecCol, "id", "v", "n")
       .withColumn("marg", srpMargins(col("v"), planes))
     val v = v0

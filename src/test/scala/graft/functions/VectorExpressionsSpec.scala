@@ -125,6 +125,56 @@ class VectorExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("md5_simhash60 matches a per-token HOF recomputation") {
+    Md5Expressions.register(spark)
+    // independent formulation: md5 each token via builtins, majority per
+    // bit — the same recipe the DuckDB oracle runs, here in Spark SQL
+    val texts = Seq("alpha beta gamma", "the quick brown fox", "x", "", "a  b")
+    val toks = split($"text", " ")
+    val hashes = transform(toks, tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long"))
+    val df = texts.toDF("text")
+      .select($"text", hashes.as("hs"), call_function("md5_simhash60", $"text").as("native"))
+      .select($"text", $"native",
+        aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) =>
+          acc + when(
+            lit(2) * aggregate($"hs", lit(0L),
+              (a, h) => a + call_function("shiftright", h, b.cast("int")).bitwiseAND(lit(1L)))
+              > size($"hs"),
+            call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"mismatch for '${r.getString(0)}'")
+      assert(r.getLong(1) >= 0L, "60-bit hash must be non-negative")
+    }
+  }
+
+  test("winnow_fingerprints_md5 keeps XXH64-family window selection semantics") {
+    Md5Expressions.register(spark)
+    // same text, both families: fingerprint VALUES differ (different
+    // gram hashes) but the structural invariants are family-agnostic
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away home",
+      "a b c d", "a b c", "one two")
+    val df = texts.toDF("text").select(
+      call_function("winnow_fingerprints_md5", $"text", lit(4), lit(8)).as("md5fp"),
+      call_function("winnow_fingerprints", $"text", lit(4), lit(8)).as("xxfp"))
+    df.collect().foreach { r =>
+      val (m, x) = (r.getSeq[Long](0), r.getSeq[Long](1))
+      assert(m.length <= x.length + m.length) // both defined
+      assert(m == m.sorted && m.distinct == m, "sorted distinct contract")
+      assert((m.isEmpty) == (x.isEmpty), "same empty/non-empty boundary (< k tokens)")
+      assert(m.forall(_ >= 0L), "md5-60 hashes are non-negative")
+    }
+  }
+
+  test("md5RademacherPlanes: ±1 components, deterministic, sign-balanced-ish") {
+    val p1 = graft.pipeline.Similarity.md5RademacherPlanes(8, 64)
+    val p2 = graft.pipeline.Similarity.md5RademacherPlanes(8, 64)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq, "deterministic")
+    assert(p1.flatten.forall(c => c == 1.0 || c == -1.0))
+    val pos = p1.flatten.count(_ == 1.0)
+    assert(pos > 128 && pos < 384, s"suspiciously unbalanced: $pos/512 positive")
+  }
+
   test("minhash similarity estimates Jaccard for near-identical sets") {
     val base = (1L to 1000L).toSeq
     val mod = base.drop(100) ++ (2001L to 2100L) // jaccard = 900/1100 ≈ 0.818
