@@ -46,7 +46,11 @@ class SegmentStore(
     * data_old present) is indistinguishable from a crash, and a
     * concurrent read restoring data_old would make the in-flight
     * data_tmp→data rename throw, leaving a multi-table transaction
-    * partially swapped. */
+    * partially swapped. Scope: mutual exclusion is PER INSTANCE (a JVM
+    * monitor) — concurrent writers must share one SegmentStore, which
+    * is the single-writer-per-segment model the engine enforces via
+    * write locks anyway (reference sync.py's one-writer placement).
+    * Entries are removed in [[deleteSegment]]. */
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def swapLock(segmentId: String): Object =
     swapLocks.computeIfAbsent(segmentId, _ => new Object)
@@ -122,6 +126,10 @@ class SegmentStore(
   def deleteSegment(segmentId: String): Unit = {
     val dir = rootFor(segmentId)
     if (Files.isDirectory(dir)) deleteRecursively(dir)
+    // drop the segment's swap monitor with it — long-lived stores cycling
+    // many segments would otherwise grow this map without bound (the
+    // lock's mutual exclusion is per-instance; see swapLocks scaladoc)
+    swapLocks.remove(segmentId)
   }
 
   /** Durable copy of every table of a segment, with the temp-name-then-
@@ -142,19 +150,30 @@ class SegmentStore(
 
   // ----------------------------------------------------------------- tables
 
+  /** Visible tables of a segment. Visibility is keyed on meta.json
+    * presence, NOT the bare directory: prepareTableData creates the
+    * directory (and data_tmp) for in-transaction CREATEs *before* the
+    * commit point, and meta.json lands only at swap time — so a crash
+    * between prepare and swap must leave the half-prepared dir
+    * invisible (readers would otherwise see a phantom table whose
+    * loadTable throws, and a retried CREATE would refuse with "already
+    * exists"), upholding WriteTxn's aborts-leave-no-visible-change
+    * contract. */
   def tables(segmentId: String): Seq[String] = {
     val dir = rootFor(segmentId)
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val stream = Files.list(dir)
-      try stream.iterator.asScala.filter(Files.isDirectory(_))
+      try stream.iterator.asScala
+        .filter(p => Files.isRegularFile(p.resolve("meta.json")))
         .map(_.getFileName.toString).toSeq.sorted
       finally stream.close()
     }
   }
 
+  /** meta.json-keyed, like [[tables]] — a half-prepared dir is not a table. */
   def tableExists(segmentId: String, table: String): Boolean =
-    Files.isDirectory(tableDir(segmentId, table))
+    Files.isRegularFile(tableDir(segmentId, table).resolve("meta.json"))
 
   def tableMeta(segmentId: String, table: String): TableMeta = {
     val metaPath = tableDir(segmentId, table).resolve("meta.json")
@@ -168,7 +187,11 @@ class SegmentStore(
   def createTable(
       segmentId: String, table: String, meta: TableMeta, failIfExists: Boolean): Unit = {
     val dir = tableDir(segmentId, table)
-    if (Files.exists(dir)) {
+    // existence = visibility (meta.json), not the bare dir: a leftover
+    // half-prepared dir from an aborted transaction must not block a
+    // retried CREATE — create through it (stale data_tmp is overwritten
+    // by the next prepare; createDirectories is idempotent)
+    if (tableExists(segmentId, table)) {
       if (failIfExists)
         throw new IllegalStateException(s"table $table already exists")
       return
@@ -258,7 +281,7 @@ class SegmentStore(
 
   def dropTable(segmentId: String, table: String): Unit = {
     val dir = tableDir(segmentId, table)
-    if (!Files.isDirectory(dir))
+    if (!tableExists(segmentId, table)) // phantom dirs are not tables
       throw new IllegalStateException(s"no such table: $table")
     deleteRecursively(dir)
   }

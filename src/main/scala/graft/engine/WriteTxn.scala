@@ -99,11 +99,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // tables need no explicit create: prepare makes the dir, and the
     // swap degenerates to a single data_tmp→data rename + meta write.
     materialized.foreach { case (t, _, df) => store.prepareTableData(segmentId, t, df) }
-    dropped.filterNot(created.contains).foreach { t =>
-      if (store.tableExists(segmentId, t)) store.dropTable(segmentId, t)
-    }
     materialized.foreach { case (t, meta, _) =>
       store.swapPreparedData(segmentId, t, Some(meta))
+    }
+    // Explicit drops go LAST: every other phase-2 effect (the swaps) is
+    // self-healing after a crash (data_old restore, re-runnable renames),
+    // but a dropped table is gone irrecoverably — sequencing the
+    // non-healable effect after all healable ones means a crash anywhere
+    // in phase 2 leaves either a fully-consistent pre-drop state or only
+    // the drops themselves unfinished (re-running just the drops heals).
+    dropped.filterNot(created.contains).foreach { t =>
+      if (store.tableExists(segmentId, t)) store.dropTable(segmentId, t)
     }
   }
 

@@ -104,8 +104,23 @@ object EventStreams {
             var cur: Option[SessionState] = state.getOption
             ts.foreach { t =>
               cur match {
+                // Spark drops rows strictly below the watermark before
+                // this operator, but the watermark lags the state by a
+                // batch (it is computed from the PREVIOUS batch's max
+                // event time), so rows still arrive out of order w.r.t.
+                // the restored state: t < s.last, and under a long
+                // watermark delay even t < s.start - gap. Every branch
+                // must tolerate that.
+                case Some(s) if t < s.start - gapMs =>
+                  // so late its session closed before the current one
+                  // began: emit as its own already-closed session
+                  // rather than corrupting the open session's bounds
+                  out += SessionOut(userId, t, t, 1)
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1))
+                  // merge; max/min (not `last = t`) so a late in-gap
+                  // event can't REGRESS the session end — that bug
+                  // shrank sessions and poisoned the next gap check
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   out += SessionOut(userId, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))
@@ -116,7 +131,16 @@ object EventStreams {
             cur match {
               case Some(s) if streaming =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.last + gapMs)
+                // clamp: if last+gap lands at/below the current
+                // watermark, setTimeoutTimestamp throws and kills the
+                // whole streaming query. Spark's pre-operator late-row
+                // filter makes that unreachable today (rows >= watermark
+                // keep last+gap above it), but that filter is Spark's
+                // internal behavior, not a contract this operator should
+                // lean its availability on — schedule one ms past the
+                // watermark and the session closes on the next trigger
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
               case Some(s) => // batch: all data seen — trailing session is final
                 out += SessionOut(userId, s.start, s.last, s.n)
                 state.remove()

@@ -267,6 +267,62 @@ class EngineSpec extends SparkSpecBase {
     assert(json == "[{\"n\":0}]\n")
   }
 
+  test("aborted phase-1 leaves no phantom table: visibility is keyed on meta.json") {
+    import spark.implicits._
+    engine.provisionWritable("seg-phantom")
+    engine.write("seg-phantom", "CREATE TABLE real_t (x INTEGER);")
+    // simulate a crash between prepare and swap for an in-transaction
+    // CREATE: prepare makes the table dir + data_tmp; meta.json only
+    // lands at swap time — the half-prepared dir must stay invisible
+    engine.store.prepareTableData("seg-phantom", "ghost", Seq(1).toDF("x"))
+    assert(!engine.store.tableExists("seg-phantom", "ghost"))
+    assert(engine.store.tables("seg-phantom") == Seq("real_t"))
+    // and a retried CREATE goes through cleanly (pre-fix this threw
+    // "table ghost already exists" against a table no read could see)
+    engine.write("seg-phantom",
+      "CREATE TABLE ghost (y INTEGER); INSERT INTO ghost (y) VALUES (7);")
+    assert(engine.resultJson(engine.read("seg-phantom", "SELECT y FROM ghost;"))
+      == "[{\"y\":7}]\n")
+  }
+
+  test("crash mid-commit: explicit drops sequence after all swaps (nothing irrecoverable)") {
+    val crashRoot = Files.createTempDirectory("graft-crash").toString
+    var swaps = 0
+    var failAtSwap = Int.MaxValue
+    val store = new SegmentStore(spark, crashRoot) {
+      override def swapPreparedData(segmentId: String, table: String,
+          newMeta: Option[SegmentStore.TableMeta]): Unit = {
+        swaps += 1
+        if (swaps >= failAtSwap) throw new RuntimeException("simulated crash")
+        super.swapPreparedData(segmentId, table, newMeta)
+      }
+    }
+    val eng = new TroughEngine(spark, store, new SchemaRegistry)
+    eng.provisionWritable("seg-crash")
+    eng.write("seg-crash",
+      "CREATE TABLE a (x INTEGER); CREATE TABLE b (x INTEGER); CREATE TABLE c (x INTEGER);")
+    eng.write("seg-crash",
+      "INSERT INTO a (x) VALUES (1); INSERT INTO b (x) VALUES (1); INSERT INTO c (x) VALUES (1);")
+    // crash on the SECOND swap of the next commit: b swapped, c not, and
+    // crucially the DROP of a has not run yet (drops sequence last)
+    swaps = 0; failAtSwap = 2
+    intercept[RuntimeException](
+      eng.write("seg-crash", "DROP TABLE a; UPDATE b SET x = 2; UPDATE c SET x = 2;"))
+    swaps = 0; failAtSwap = Int.MaxValue
+    // pre-fix ordering ran drops between prepare and swaps: this crash
+    // would have lost table a forever while b/c kept their old data
+    assert(store.tableExists("seg-crash", "a"))
+    assert(eng.resultJson(eng.read("seg-crash", "SELECT x FROM a;")) == "[{\"x\":1}]\n")
+    // every surviving table is in SOME committed state (old or new)...
+    assert(eng.resultJson(eng.read("seg-crash", "SELECT x FROM b;")) == "[{\"x\":2}]\n")
+    assert(eng.resultJson(eng.read("seg-crash", "SELECT x FROM c;")) == "[{\"x\":1}]\n")
+    // ...so simply re-running the idempotent script heals to the target state
+    eng.write("seg-crash", "DROP TABLE a; UPDATE b SET x = 2; UPDATE c SET x = 2;")
+    assert(!store.tableExists("seg-crash", "a"))
+    assert(eng.resultJson(eng.read("seg-crash", "SELECT x FROM b;")) == "[{\"x\":2}]\n")
+    assert(eng.resultJson(eng.read("seg-crash", "SELECT x FROM c;")) == "[{\"x\":2}]\n")
+  }
+
   test("INSERT OR REPLACE / OR IGNORE honor the primary key") {
     engine.provisionWritable("seg-upsert")
     engine.write("seg-upsert", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")

@@ -128,6 +128,44 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("statefulSessions streaming: out-of-order events can't regress or corrupt sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60s watermark delay: rows up to 60s behind the max seen event time
+    // still reach the operator — out of order w.r.t. the restored state.
+    val mem = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
+    val ds = mem.toDF().toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+      .withWatermark("ts", "60 seconds")
+    val query = EventStreams.statefulSessions(ds, gapMs = 10000L)
+      .writeStream.format("memory").queryName("ss_late").outputMode("append").start()
+    try {
+      def emitted() = spark.sql("SELECT * FROM ss_late").as[EventStreams.SessionOut]
+        .collect().sortBy(s => (s.userId, s.startMs)).toSeq
+      mem.addData((1L, 100L))
+      query.processAllAvailable() // watermark 40s; session open at [100s, 100s]
+      // Out-of-order event more than a gap before the open session's
+      // start (50s < 100s - 10s): its session was already over before the
+      // open one began — emitted as its own closed singleton. Pre-fix the
+      // merge branch swallowed it AND regressed the session end to 50s.
+      mem.addData((1L, 50L))
+      query.processAllAvailable()
+      assert(emitted() == Seq(EventStreams.SessionOut(1L, 50000L, 50000L, 1)),
+        "a beyond-gap out-of-order event is its own already-closed session")
+      // Out-of-order event within the gap of the open session: merges,
+      // extending the session START backwards without touching its end.
+      mem.addData((1L, 95L))
+      query.processAllAvailable()
+      // Gap-breaking event closes the merged session: bounds must be
+      // [95s, 100s] — an end of 95s would mean the merge regressed it
+      // (pre-fix `last = t` produced end < start here).
+      mem.addData((1L, 300L))
+      query.processAllAvailable()
+      assert(emitted().contains(EventStreams.SessionOut(1L, 95000L, 100000L, 2)),
+        s"merged session must keep its 100s end, got ${emitted()}")
+    } finally query.stop()
+  }
+
   test("flushToParquet: foreachBatch lands micro-batches durably (promoter analog)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
