@@ -4,32 +4,47 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType, StringType}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-/** Partitioned storage for trough segments.
+/** Partitioned storage for trough segments — TABLE-MAJOR hive layout.
   *
   * A *segment* (reference trough/sync.py:179-253 — one SQLite file, the
-  * unit of sharding/replication/locking) maps to one directory of
-  * per-table parquet data:
+  * unit of sharding/replication/locking) is a slice across per-table
+  * partition directories:
   *
-  * {{{ dataRoot/<segmentId>/<table>/meta.json   # schema + pk + autoincrement
-  *     dataRoot/<segmentId>/<table>/data/       # parquet files }}}
+  * {{{ dataRoot/_segments/<segmentId>           # registry marker
+  *     dataRoot/<table>/_meta/<segmentId>.json  # schema + pk + autoincrement
+  *     dataRoot/<table>/segment_id=<segmentId>/ # live parquet files
+  *     dataRoot/<table>/._tmp_<segmentId>/      # phase-1 staging (hidden)
+  *     dataRoot/<table>/._old_<segmentId>/      # swap backup (hidden) }}}
   *
-  * Scale: a directory-per-segment layout is exactly a hive-partitioned
-  * table keyed on segment_id — executors read only the segments a query
-  * names (partition pruning), and a 1000-node cluster splits segments by
-  * the same directory boundaries. Trough's placement ring / replication
-  * (sync.py:511-650) dissolves into the durable store; what this class
-  * keeps is the *observable* lifecycle: provision / promote (durable
-  * copy with the `._COPYING_` → rename convention, sync.py:1129-1146) /
-  * delete-refuses-while-locked (sync.py:452-456) / cold read-only tier
-  * (sync.py:218-224, 693-697).
+  * Why table-major: every table IS a hive-partitioned parquet dataset
+  * keyed on `segment_id`, so a query over all segments ([[loadTableAll]])
+  * plans ONE FileScan with `segment_id` partition filters — file-listing-
+  * level pruning, no N-way union. At trough's real scale (tens of
+  * thousands of segments, reference conf/settings.yml:4-5) the previous
+  * segment-major layout made readAll a driver-side analysis bomb: 10⁴
+  * relations unioned per query. Here 10⁴ segments are just 10⁴ partition
+  * directories of one relation — exactly what Spark's InMemoryFileIndex
+  * parallelizes and prunes natively. `_`/`.`-prefixed paths are invisible
+  * to Spark's file listing (its hidden-file filter), which is what makes
+  * the registry, metadata, and two-phase staging dirs coexist with scans.
+  *
+  * The *observable* lifecycle is unchanged from the reference: provision
+  * / promote (durable copy with the `._COPYING_` → rename convention,
+  * sync.py:1129-1146; exported in segment-major shape, the natural
+  * interchange format for one segment) / delete-refuses-while-locked
+  * (sync.py:452-456) / cold read-only tier (sync.py:218-224, 693-697).
   */
 object SegmentStore {
   final case class TableMeta(
       schema: StructType, primaryKey: Seq[String], autoIncrement: Option[String])
+
+  /** Chars that survive verbatim as a hive partition value and a file
+    * name; leading `_`/`.` would make the partition invisible to scans. */
+  private[engine] val SegmentIdPattern = "[A-Za-z0-9][A-Za-z0-9._-]*".r
 }
 
 class SegmentStore(
@@ -42,15 +57,15 @@ class SegmentStore(
   private val mapper = new ObjectMapper()
 
   /** Per-segment monitor serializing directory swaps with the read-side
-    * crash self-heal: without it the mid-swap state (data absent,
-    * data_old present) is indistinguishable from a crash, and a
-    * concurrent read restoring data_old would make the in-flight
-    * data_tmp→data rename throw, leaving a multi-table transaction
-    * partially swapped. Scope: mutual exclusion is PER INSTANCE (a JVM
-    * monitor) — concurrent writers must share one SegmentStore, which
-    * is the single-writer-per-segment model the engine enforces via
-    * write locks anyway (reference sync.py's one-writer placement).
-    * Entries are removed in [[deleteSegment]]. */
+    * crash self-heal: without it the mid-swap state (live absent,
+    * `._old_` present) is indistinguishable from a crash, and a
+    * concurrent read restoring the backup would make the in-flight
+    * tmp→live rename throw, leaving a multi-table transaction partially
+    * swapped. Scope: mutual exclusion is PER INSTANCE (a JVM monitor) —
+    * concurrent writers must share one SegmentStore, which is the
+    * single-writer-per-segment model the engine enforces via write
+    * locks anyway (reference sync.py's one-writer placement). Entries
+    * are removed in [[deleteSegment]]. */
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def swapLock(segmentId: String): Object =
     swapLocks.computeIfAbsent(segmentId, _ => new Object)
@@ -59,39 +74,59 @@ class SegmentStore(
 
   def isCold(segmentId: String): Boolean = coldPredicate(segmentId)
 
-  private def rootFor(segmentId: String): Path = {
+  private def tierRoot(segmentId: String): Path = {
     val root = if (isCold(segmentId)) {
       coldRoot.getOrElse(
         throw new IllegalStateException(s"segment $segmentId is cold but no cold root configured"))
     } else dataRoot
-    Paths.get(root, segmentId)
+    Paths.get(root)
   }
 
-  private def tableDir(segmentId: String, table: String): Path =
-    rootFor(segmentId).resolve(table)
+  private def tierRoots: Seq[Path] =
+    (Seq(dataRoot) ++ coldRoot.toSeq).map(Paths.get(_))
+
+  private def marker(segmentId: String): Path =
+    tierRoot(segmentId).resolve("_segments").resolve(segmentId)
+
+  private def tableRoot(root: Path, table: String): Path = root.resolve(table)
+
+  private def liveDir(root: Path, segmentId: String, table: String): Path =
+    tableRoot(root, table).resolve(s"segment_id=$segmentId")
+  private def tmpDir(root: Path, segmentId: String, table: String): Path =
+    tableRoot(root, table).resolve(s"._tmp_$segmentId")
+  private def oldDir(root: Path, segmentId: String, table: String): Path =
+    tableRoot(root, table).resolve(s"._old_$segmentId")
+  private def metaPath(root: Path, segmentId: String, table: String): Path =
+    tableRoot(root, table).resolve("_meta").resolve(s"$segmentId.json")
+
+  private def isTableDir(p: Path): Boolean = {
+    val n = p.getFileName.toString
+    Files.isDirectory(p) && !n.startsWith("_") && !n.startsWith(".")
+  }
 
   // -------------------------------------------------------------- lifecycle
 
-  def segmentExists(segmentId: String): Boolean = Files.isDirectory(rootFor(segmentId))
+  def segmentExists(segmentId: String): Boolean = Files.isRegularFile(marker(segmentId))
 
   /** All known segment ids (hot + cold tiers). */
   def listSegments(): Seq[String] = {
-    def ls(root: String): Seq[String] = {
-      val p = Paths.get(root)
+    def ls(root: Path): Seq[String] = {
+      val p = root.resolve("_segments")
       if (!Files.isDirectory(p)) Seq.empty
       else {
         val stream = Files.list(p)
-        try stream.iterator.asScala.filter(Files.isDirectory(_))
+        try stream.iterator.asScala.filter(Files.isRegularFile(_))
           .map(_.getFileName.toString).toSeq
         finally stream.close() // directory streams leak fds until GC otherwise
       }
     }
-    (ls(dataRoot) ++ coldRoot.toSeq.flatMap(ls)).distinct.sorted
+    tierRoots.flatMap(ls).distinct.sorted
   }
 
   /** Segment discovery by regex — reference `readable_segments(regex)`
-    * (trough/client.py:203-218) / shell `CONNECT MATCHING`. Resolved
-    * driver-side so downstream reads prune to exactly these directories. */
+    * (trough/client.py:203-218) / shell `CONNECT MATCHING`. `find()`
+    * semantics = unanchored, matching java's rlike — so the same regex
+    * drives the partition filter in [[TroughEngine.readAll]]. */
   def listSegments(regex: String): Seq[String] = {
     val p = java.util.regex.Pattern.compile(regex)
     listSegments().filter(id => p.matcher(id).find())
@@ -103,8 +138,12 @@ class SegmentStore(
     if (isCold(segmentId))
       throw new IllegalStateException(
         s"cannot provision segment $segmentId: cold storage is read-only")
+    require(SegmentStore.SegmentIdPattern.matches(segmentId),
+      s"segment id '$segmentId' must match ${SegmentStore.SegmentIdPattern} " +
+        "(it becomes a hive partition value and a file name)")
     if (!segmentExists(segmentId)) {
-      Files.createDirectories(rootFor(segmentId))
+      Files.createDirectories(marker(segmentId).getParent)
+      Files.writeString(marker(segmentId), "")
       SqlScript.split(schemaSql).foreach { stmt =>
         SqlScript.firstWord(stmt) match {
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*") =>
@@ -121,11 +160,21 @@ class SegmentStore(
     }
   }
 
-  /** Drop the whole segment (reference "shred", sync.py:439-509). The
-    * caller (engine) enforces refuse-while-write-locked. */
+  /** Drop the whole segment (reference "shred", sync.py:439-509): its
+    * slice of every table, then the registry marker. The caller (engine)
+    * enforces refuse-while-write-locked. */
   def deleteSegment(segmentId: String): Unit = {
-    val dir = rootFor(segmentId)
-    if (Files.isDirectory(dir)) deleteRecursively(dir)
+    val root = tierRoot(segmentId)
+    if (Files.isDirectory(root)) {
+      val stream = Files.list(root)
+      try stream.iterator.asScala.filter(isTableDir).foreach { td =>
+        val t = td.getFileName.toString
+        Seq(liveDir(root, segmentId, t), tmpDir(root, segmentId, t),
+          oldDir(root, segmentId, t)).foreach(deleteRecursively)
+        Files.deleteIfExists(metaPath(root, segmentId, t))
+      } finally stream.close()
+    }
+    Files.deleteIfExists(marker(segmentId))
     // drop the segment's swap monitor with it — long-lived stores cycling
     // many segments would otherwise grow this map without bound (the
     // lock's mutual exclusion is per-instance; see swapLocks scaladoc)
@@ -135,14 +184,22 @@ class SegmentStore(
   /** Durable copy of every table of a segment, with the temp-name-then-
     * rename convention the reference uses for HDFS promotion
     * (`foo._COPYING_` → `foo`, sync.py:1129-1146; same idea as Hadoop
-    * output committers). Returns the remote segment path. */
+    * output committers). The export is segment-major
+    * (`<seg>/<table>/{meta.json,data/}`) — the natural interchange shape
+    * for one segment. Returns the remote segment path. */
   def promote(segmentId: String, durableRoot: String): String = {
-    val src = rootFor(segmentId)
-    require(Files.isDirectory(src), s"segment $segmentId does not exist")
+    require(segmentExists(segmentId), s"segment $segmentId does not exist")
+    val root = tierRoot(segmentId)
     val dstFinal = Paths.get(durableRoot, segmentId)
     val dstTmp = Paths.get(durableRoot, segmentId + "._COPYING_")
     if (Files.exists(dstTmp)) deleteRecursively(dstTmp)
-    copyRecursively(src, dstTmp)
+    tables(segmentId).foreach { t =>
+      val tDst = dstTmp.resolve(t)
+      Files.createDirectories(tDst)
+      Files.copy(metaPath(root, segmentId, t), tDst.resolve("meta.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+      copyRecursively(liveDir(root, segmentId, t), tDst.resolve("data"))
+    }
     if (Files.exists(dstFinal)) deleteRecursively(dstFinal)
     Files.move(dstTmp, dstFinal, StandardCopyOption.ATOMIC_MOVE)
     dstFinal.toString
@@ -150,34 +207,60 @@ class SegmentStore(
 
   // ----------------------------------------------------------------- tables
 
-  /** Visible tables of a segment. Visibility is keyed on meta.json
-    * presence, NOT the bare directory: prepareTableData creates the
-    * directory (and data_tmp) for in-transaction CREATEs *before* the
-    * commit point, and meta.json lands only at swap time — so a crash
-    * between prepare and swap must leave the half-prepared dir
-    * invisible (readers would otherwise see a phantom table whose
-    * loadTable throws, and a retried CREATE would refuse with "already
-    * exists"), upholding WriteTxn's aborts-leave-no-visible-change
-    * contract. */
+  /** Visible tables of a segment. Visibility is keyed on the meta file,
+    * NOT data directories: prepareTableData stages into a hidden
+    * `._tmp_` dir for in-transaction CREATEs *before* the commit point,
+    * and the meta file lands only at swap time — so a crash between
+    * prepare and swap leaves nothing visible (readers would otherwise
+    * see a phantom table whose loadTable throws, and a retried CREATE
+    * would refuse with "already exists"), upholding WriteTxn's
+    * aborts-leave-no-visible-change contract. */
   def tables(segmentId: String): Seq[String] = {
-    val dir = rootFor(segmentId)
-    if (!Files.isDirectory(dir)) Seq.empty
+    val root = tierRoot(segmentId)
+    if (!Files.isDirectory(root)) Seq.empty
     else {
-      val stream = Files.list(dir)
-      try stream.iterator.asScala
-        .filter(p => Files.isRegularFile(p.resolve("meta.json")))
+      val stream = Files.list(root)
+      try stream.iterator.asScala.filter(isTableDir)
+        .filter(td => Files.isRegularFile(metaPath(root, segmentId, td.getFileName.toString)))
         .map(_.getFileName.toString).toSeq.sorted
       finally stream.close()
     }
   }
 
-  /** meta.json-keyed, like [[tables]] — a half-prepared dir is not a table. */
-  def tableExists(segmentId: String, table: String): Boolean =
-    Files.isRegularFile(tableDir(segmentId, table).resolve("meta.json"))
+  /** Every table name visible in ANY segment, across tiers — one
+    * directory listing, independent of segment count. */
+  def allTables(): Seq[String] =
+    tierRoots.flatMap { root =>
+      if (!Files.isDirectory(root)) Seq.empty
+      else {
+        val stream = Files.list(root)
+        try stream.iterator.asScala.filter(isTableDir)
+          .filter(td => metaCount(td) > 0)
+          .map(_.getFileName.toString).toSeq
+        finally stream.close()
+      }
+    }.distinct.sorted
 
-  def tableMeta(segmentId: String, table: String): TableMeta = {
-    val metaPath = tableDir(segmentId, table).resolve("meta.json")
-    val node = mapper.readTree(Files.readString(metaPath))
+  private def metaCount(tableDir: Path): Int = {
+    val m = tableDir.resolve("_meta")
+    if (!Files.isDirectory(m)) 0
+    else {
+      val stream = Files.list(m)
+      try stream.iterator.asScala.count(p => p.getFileName.toString.endsWith(".json"))
+      finally stream.close()
+    }
+  }
+
+  /** meta-keyed, like [[tables]] — a half-prepared staging dir is not a
+    * table. */
+  def tableExists(segmentId: String, table: String): Boolean =
+    Files.isRegularFile(metaPath(tierRoot(segmentId), segmentId, table))
+
+  def tableMeta(segmentId: String, table: String): TableMeta =
+    readMeta(metaPath(tierRoot(segmentId), segmentId, table))
+
+  private def readMeta(p: Path): TableMeta = {
+    val node = mapper.readTree(Files.readString(p))
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
@@ -186,17 +269,16 @@ class SegmentStore(
 
   def createTable(
       segmentId: String, table: String, meta: TableMeta, failIfExists: Boolean): Unit = {
-    val dir = tableDir(segmentId, table)
-    // existence = visibility (meta.json), not the bare dir: a leftover
-    // half-prepared dir from an aborted transaction must not block a
-    // retried CREATE — create through it (stale data_tmp is overwritten
-    // by the next prepare; createDirectories is idempotent)
+    // existence = visibility (the meta file), not bare dirs: leftover
+    // staging dirs from an aborted transaction must not block a retried
+    // CREATE — create through them (stale tmp is overwritten by the
+    // next prepare; createDirectories is idempotent)
     if (tableExists(segmentId, table)) {
       if (failIfExists)
         throw new IllegalStateException(s"table $table already exists")
       return
     }
-    Files.createDirectories(dir.resolve("data"))
+    Files.createDirectories(liveDir(tierRoot(segmentId), segmentId, table))
     writeMeta(segmentId, table, meta)
   }
 
@@ -209,81 +291,132 @@ class SegmentStore(
       case Some(c) => root.put("autoIncrement", c)
       case None => root.putNull("autoIncrement")
     }
-    Files.writeString(tableDir(segmentId, table).resolve("meta.json"), root.toString)
+    val p = metaPath(tierRoot(segmentId), segmentId, table)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, root.toString)
   }
 
-  /** Read a table; explicit schema from meta.json so empty tables (no
-    * parquet files yet) still resolve. `session` lets callers bind the
-    * scan into an isolated child session (per-read temp view scoping). */
+  /** Read one segment's slice of a table; explicit schema from the meta
+    * file so empty tables (no parquet files yet) still resolve. Reading
+    * the partition directory directly yields no `segment_id` column —
+    * the segment-scoped contract (reference reads are per-segment).
+    * `session` lets callers bind the scan into an isolated child session
+    * (per-read temp view scoping). */
   def loadTable(segmentId: String, table: String,
       session: SparkSession = spark): DataFrame = {
     val meta = tableMeta(segmentId, table)
-    val dir = tableDir(segmentId, table)
-    // crash recovery: replaceTableData's swap has a window between
-    // moving data→data_old and data_tmp→data; if a crash landed there,
-    // serve (and restore) the previous committed state. Taken under the
+    val root = tierRoot(segmentId)
+    val live = liveDir(root, segmentId, table)
+    // crash recovery: swapPreparedData's rename pair has a window between
+    // moving live→._old_ and ._tmp_→live; if a crash landed there, serve
+    // (and restore) the previous committed state. Taken under the
     // segment's swap lock: with an in-flight swap serialized out, the
-    // (data absent, data_old present) state can only mean a crash.
-    if (!Files.isDirectory(dir.resolve("data"))) swapLock(segmentId).synchronized {
-      if (!Files.isDirectory(dir.resolve("data")) && Files.isDirectory(dir.resolve("data_old")))
-        Files.move(dir.resolve("data_old"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    // (live absent, ._old_ present) state can only mean a crash.
+    if (!Files.isDirectory(live)) swapLock(segmentId).synchronized {
+      if (!Files.isDirectory(live) && Files.isDirectory(oldDir(root, segmentId, table)))
+        Files.move(oldDir(root, segmentId, table), live, StandardCopyOption.ATOMIC_MOVE)
     }
-    session.read.schema(meta.schema).parquet(dir.resolve("data").toString)
+    session.read.schema(meta.schema).parquet(live.toString)
   }
 
-  /** Atomically replace a table's data: write to a temp dir, then swap
-    * directories. Segments are small by design (reference README.rst:23-25)
-    * so a partition rewrite is the intended cost model for UPDATE/DELETE
-    * over immutable parquet. */
+  /** One scan over EVERY segment's slice of a table: the whole table
+    * directory as a hive-partitioned dataset with `segment_id` as the
+    * partition column. Predicates on `segment_id` become partition
+    * filters — pruned at file-listing level, never read. This is the
+    * scale path for [[TroughEngine.readAll]]: one relation regardless
+    * of segment count (the hot and cold tiers union as at most two).
+    *
+    * Schema = the union of every segment's meta schema (fields added by
+    * per-segment ALTERs read as null elsewhere — same semantics as the
+    * previous unionByName(allowMissingColumns) form, without its N-way
+    * plan). First-seen field type wins on cross-segment conflicts. */
+  def loadTableAll(table: String, session: SparkSession = spark): DataFrame = {
+    val perTier = tierRoots.filter(r => Files.isDirectory(tableRoot(r, table)))
+      .map { root =>
+        val metas = {
+          val m = tableRoot(root, table).resolve("_meta")
+          if (!Files.isDirectory(m)) Seq.empty[TableMeta]
+          else {
+            val stream = Files.list(m)
+            try stream.iterator.asScala.filter(_.getFileName.toString.endsWith(".json"))
+              .toSeq.sortBy(_.getFileName.toString).map(readMeta)
+            finally stream.close()
+          }
+        }
+        (root, metas)
+      }
+      .filter(_._2.nonEmpty)
+    require(perTier.nonEmpty, s"no such table in any segment: $table")
+    val merged = perTier.flatMap(_._2).map(_.schema).reduce(mergeSchemas)
+    perTier.map { case (root, _) =>
+      // explicit schema: data fields + the partition column, so the
+      // partition value type is never inferred and empty tables resolve
+      session.read
+        .schema(StructType(merged.fields :+ StructField("segment_id", StringType, nullable = true)))
+        .parquet(tableRoot(root, table).toString)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def mergeSchemas(a: StructType, b: StructType): StructType =
+    StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+
+  /** Atomically replace a table's data: write to a hidden staging dir,
+    * then swap directories. Segments are small by design (reference
+    * README.rst:23-25) so a partition rewrite is the intended cost model
+    * for UPDATE/DELETE over immutable parquet. */
   def replaceTableData(
       segmentId: String, table: String, df: DataFrame, newMeta: Option[TableMeta] = None): Unit = {
     prepareTableData(segmentId, table, df)
     swapPreparedData(segmentId, table, newMeta)
   }
 
-  /** Phase 1 of the replace: write the new data to `data_tmp`. Any
-    * failure here leaves the live `data` dir untouched (a stale tmp dir
-    * is overwritten by the next prepare). Split out so a multi-table
+  /** Phase 1 of the replace: write the new data to `._tmp_<segment>`.
+    * The dot prefix keeps it invisible to Spark's file listing, so an
+    * in-flight prepare never pollutes concurrent whole-table scans. Any
+    * failure here leaves the live dir untouched (a stale staging dir is
+    * overwritten by the next prepare). Split out so a multi-table
     * transaction can prepare every table before swapping any —
     * shrinking the non-atomic window from "all parquet writes" to "a
     * few directory renames" (WriteTxn.commit). Creates the table dir on
     * demand so tables CREATEd inside the transaction can be prepared
     * before any storage-visible create happens. */
   def prepareTableData(segmentId: String, table: String, df: DataFrame): Unit = {
-    val dir = tableDir(segmentId, table)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve("data_tmp")
+    val root = tierRoot(segmentId)
+    Files.createDirectories(tableRoot(root, table))
+    val tmp = tmpDir(root, segmentId, table)
     if (Files.exists(tmp)) deleteRecursively(tmp)
     df.write.mode("overwrite").parquet(tmp.toString)
   }
 
-  /** Phase 2: swap `data_tmp` into place (per-segment lock — see
-    * [[swapLock]]). The data→data_old / data_tmp→data rename pair has a
-    * crash window with no `data` dir; loadTable self-heals from
-    * `data_old` if it finds that state. A table with no live `data` dir
-    * yet (first commit after an in-transaction CREATE) degenerates to a
-    * single rename. */
+  /** Phase 2: swap the staged data into place (per-segment lock — see
+    * [[swapLock]]). The live→`._old_` / `._tmp_`→live rename pair has a
+    * crash window with no live dir; loadTable self-heals from `._old_`
+    * if it finds that state. A table with no live dir yet (first commit
+    * after an in-transaction CREATE) degenerates to a single rename. */
   def swapPreparedData(
       segmentId: String, table: String, newMeta: Option[TableMeta] = None): Unit =
     swapLock(segmentId).synchronized {
-      val dir = tableDir(segmentId, table)
-      val old = dir.resolve("data_old")
+      val root = tierRoot(segmentId)
+      val live = liveDir(root, segmentId, table)
+      val old = oldDir(root, segmentId, table)
       if (Files.exists(old)) deleteRecursively(old)
-      if (Files.isDirectory(dir.resolve("data"))) {
-        Files.move(dir.resolve("data"), old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(dir.resolve("data_tmp"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+      if (Files.isDirectory(live)) {
+        Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmpDir(root, segmentId, table), live, StandardCopyOption.ATOMIC_MOVE)
         deleteRecursively(old)
       } else {
-        Files.move(dir.resolve("data_tmp"), dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmpDir(root, segmentId, table), live, StandardCopyOption.ATOMIC_MOVE)
       }
       newMeta.foreach(writeMeta(segmentId, table, _))
     }
 
   def dropTable(segmentId: String, table: String): Unit = {
-    val dir = tableDir(segmentId, table)
-    if (!tableExists(segmentId, table)) // phantom dirs are not tables
+    if (!tableExists(segmentId, table)) // staging leftovers are not tables
       throw new IllegalStateException(s"no such table: $table")
-    deleteRecursively(dir)
+    val root = tierRoot(segmentId)
+    Seq(liveDir(root, segmentId, table), tmpDir(root, segmentId, table),
+      oldDir(root, segmentId, table)).foreach(deleteRecursively)
+    Files.deleteIfExists(metaPath(root, segmentId, table))
   }
 
   // ------------------------------------------------------------------ utils

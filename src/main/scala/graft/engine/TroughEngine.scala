@@ -109,21 +109,26 @@ class TroughEngine(
   }
 
   /** One query over *all* segments (or a regex subset): the fan-out A6
-    * re-expressed as a single declarative plan — each table becomes the
-    * union of its per-segment data tagged with `segment_id`, so Catalyst
-    * can prune partitions, push filters, and parallelize the whole thing
-    * in one job instead of N client-side HTTP calls. */
+    * re-expressed as a single declarative plan — each table is ONE
+    * hive-partitioned scan with `segment_id` as the partition column
+    * ([[SegmentStore.loadTableAll]]), the regex applied as an rlike
+    * partition filter. Catalyst prunes the matching partition
+    * directories at file-listing time and never reads the rest — the
+    * plan is a single FileScan per table regardless of segment count,
+    * where a union-per-segment form was a driver-side analysis bomb at
+    * the reference's tens-of-thousands-of-segments scale. `rlike` is
+    * unanchored, matching the reference's `re.search` discovery
+    * semantics (client.py:203-218) and `listSegments(regex)`. */
   def readAll(sql: String, segmentRegex: String = ".*"): DataFrame = {
     val sess = readSession()
     val stmt = validateRead(sql, sess)
-    val segs = store.listSegments(segmentRegex)
-    require(segs.nonEmpty, s"no segments match regex: $segmentRegex")
-    val byTable = segs.flatMap(s => store.tables(s).map(t => (t, s))).groupBy(_._1)
-    byTable.foreach { case (t, pairs) =>
-      val unioned = pairs.map { case (_, seg) =>
-        store.loadTable(seg, t, sess).withColumn("segment_id", lit(seg))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      unioned.createOrReplaceTempView(t)
+    require(store.listSegments(segmentRegex).nonEmpty,
+      s"no segments match regex: $segmentRegex")
+    store.allTables().foreach { t =>
+      val all = store.loadTableAll(t, sess)
+      val scoped = if (segmentRegex == ".*") all
+        else all.where(col("segment_id").rlike(segmentRegex))
+      scoped.createOrReplaceTempView(t)
     }
     SqliteDialect.sql(sess, stmt)
   }

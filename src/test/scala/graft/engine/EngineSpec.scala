@@ -439,6 +439,32 @@ class EngineSpec extends SparkSpecBase {
     assert(rows == Seq(("uniA", 1L), ("uniB", 2L)))
   }
 
+  test("readAll at segment scale: one FileScan per table, segment regex as partition filter") {
+    // 120 provisioned segments, data in three — the table-major layout
+    // must plan ONE pruned scan per table regardless of segment count
+    // (the previous segment-major layout unioned 120 relations here,
+    // which at the reference's 10^4-segment scale was a driver-side
+    // analysis bomb)
+    engine.schemas.put("kv-schema", "CREATE TABLE skv (k INTEGER PRIMARY KEY, v TEXT);")
+    (0 until 120).foreach(i => engine.provisionWritable(f"scale-$i%03d", "kv-schema"))
+    Seq(3, 57, 99).foreach(i =>
+      engine.write(f"scale-$i%03d", s"INSERT INTO skv (k, v) VALUES ($i, 'v$i');"))
+    val df = engine.readAll("SELECT count(*) AS n FROM skv;", "^scale-0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"expected exactly one scan, got:\n${plan.take(1200)}")
+    assert("PartitionFilters: \\[[^\\]]*RLIKE\\(segment_id#\\d+, \\^scale-0\\)".r
+        .findFirstIn(plan).isDefined,
+      s"segment regex must prune as a partition filter:\n${plan.take(1200)}")
+    // ^scale-0 rlike-matches scale-000..scale-099 (not scale-1xx): all
+    // three data-bearing segments are in range
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // and an exact-id regex prunes to a single partition
+    val one = engine.readAll("SELECT v FROM skv;", "^scale-057$")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("v57"))
+    (0 until 120).foreach(i => engine.releaseWriteLock(f"scale-$i%03d"))
+  }
+
   // ----------------------------------------------------------- shell (A22/23)
 
   test("SHOW TABLES / SHOW CREATE TABLE / SHOW SCHEMAS / SHOW SEGMENTS") {
