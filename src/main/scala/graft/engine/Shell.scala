@@ -58,9 +58,23 @@ object Shell {
   /** Stateful shell session: a connected-segment set driving fan-out
     * selects, mirroring the reference shell's CONNECT / CONNECT MATCHING
     * / SHOW CONNECTIONS loop (shell/__init__.py:157-172, 192-212).
-    * CONNECT *replaces* the set (reference semantics, not additive). */
+    * CONNECT *replaces* the set (reference semantics, not additive).
+    * FORMAT TABLE|PRETTY|RAW selects the display mode (do_format,
+    * shell/__init__.py:214-231). */
   final class Session(engine: TroughEngine) {
     private var connectedIds: Seq[String] = Seq.empty
+    private var fmt: String = "table"
+
+    def format: String = fmt
+
+    /** FORMAT [table|pretty|raw] — no argument reports the current mode;
+      * an unknown mode is rejected (the reference re-prints help). */
+    def setFormat(arg: String): String = arg.trim.toLowerCase match {
+      case "" => s"Format is '$fmt'"
+      case a @ ("table" | "pretty" | "raw") => fmt = a; s"Format is now '$fmt'"
+      case other =>
+        throw new IllegalArgumentException(s"unknown format: $other (TABLE|PRETTY|RAW)")
+    }
 
     /** CONNECT segment [segment...] — replaces the connected set. */
     def connect(segments: Seq[String]): Seq[String] = {
@@ -95,40 +109,80 @@ object Shell {
   /** Column-width table rendering, porting the reference's ordering rule
     * exactly (shell/__init__.py:77-83): `id` first, then ascending
     * max-rendered-width with column name as tiebreak; nulls render as
-    * `<null>`. */
+    * `<null>`. Works entirely by column INDEX — duplicate result names
+    * (`SELECT a.id, b.id`) are distinct columns with their own widths
+    * and cells (a by-name lookup rendered the first `id` twice). */
   def table(rows: Seq[Row], schema: StructType): String = {
     require(rows.nonEmpty, "table() requires at least one row")
-    val names = schema.fieldNames.toSeq
+    val names = schema.fieldNames
     def render(v: Any): String = if (v == null) "<null>" else v.toString
-    val maxLengths: Map[String, Int] = names.map { n =>
-      val idx = names.indexOf(n)
-      n -> (Seq(n.length) ++ rows.map(r => render(r.get(idx)).length)).max
-    }.toMap
-    val ordered = names.sortBy(k => if (k == "id") (0, "!") else (maxLengths(k), k))
-    val border = "+" + ordered.map(k => "-" * (maxLengths(k) + 2)).mkString("+") + "+\n"
+    val widths: IndexedSeq[Int] = names.indices.map { i =>
+      (Seq(names(i).length) ++ rows.map(r => render(r.get(i)).length)).max
+    }
+    val ordered: Seq[Int] = names.indices
+      .sortBy(i => if (names(i) == "id") (0, "!", i) else (widths(i), names(i), i))
+    val border = "+" + ordered.map(i => "-" * (widths(i) + 2)).mkString("+") + "+\n"
     def line(vals: Seq[String]): String =
-      "| " + ordered.zip(vals).map { case (k, v) => v.padTo(maxLengths(k), ' ') }
+      "| " + ordered.zip(vals).map { case (i, v) => v.padTo(widths(i), ' ') }
         .mkString(" | ") + " |\n"
     val sb = new StringBuilder
-    sb.append(border).append(line(ordered)).append(border)
+    sb.append(border).append(line(ordered.map(names(_)))).append(border)
     rows.foreach { r =>
-      sb.append(line(ordered.map(k => render(r.get(names.indexOf(k))))))
+      sb.append(line(ordered.map(i => render(r.get(i)))))
     }
     sb.append(border)
     sb.toString
   }
 
+  /** The shell's three display modes (display(), shell/__init__.py:102-124):
+    * `table` renders [[table]]; `raw` is python `json.dumps(rows)` (one
+    * line, `", "`/`": "` separators); `pretty` is `json.dumps(rows,
+    * indent=2)`. All three print `<no results>` for an empty set. Scalar
+    * rendering reuses the engine's ujson-shaped values (ensure_ascii
+    * escaping — python json.dumps defaults match). */
+  def display(rows: Seq[Row], schema: StructType, format: String = "table"): String =
+    format match {
+      case _ if rows.isEmpty => "<no results>\n"
+      case "table" => table(rows, schema)
+      case "raw" =>
+        rows.map(r => rowJsonSpaced(r, schema, None)).mkString("[", ", ", "]") + "\n"
+      case "pretty" =>
+        rows.map(r => rowJsonSpaced(r, schema, Some(2)))
+          .mkString("[\n", ",\n", "\n]") + "\n"
+      case other =>
+        throw new IllegalArgumentException(s"unknown format: $other (TABLE|PRETTY|RAW)")
+    }
+
+  /** One row as a python-json.dumps-shaped object: `", "`/`": "`
+    * separators flat, or indent-aware with 2-space nesting. */
+  private def rowJsonSpaced(row: Row, schema: StructType, indent: Option[Int]): String =
+    indent match {
+      case None =>
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          JsonShape.str(f.name) + ": " +
+            JsonShape.value(if (row.isNullAt(i)) null else row.get(i))
+        }.mkString("{", ", ", "}")
+      case Some(n) =>
+        val pad = " " * n
+        val inner = " " * (2 * n)
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          inner + JsonShape.str(f.name) + ": " +
+            JsonShape.value(if (row.isNullAt(i)) null else row.get(i))
+        }.mkString(pad + "{\n", ",\n", "\n" + pad + "}")
+    }
+
   /** Fan-out display: per-segment result blocks with the reference's
     * banner, errors reported inline without failing other segments, total
-    * row count last (shell/__init__.py:233-262). */
-  def fanoutReport(result: TroughEngine#FanoutResult): String = {
+    * row count last (shell/__init__.py:233-262). `format` selects the
+    * per-block display mode (table/pretty/raw — the Session's FORMAT). */
+  def fanoutReport(result: TroughEngine#FanoutResult, format: String = "table"): String = {
     val sb = new StringBuilder
     result.perSegment.foreach { case (seg, rowsTry) =>
       sb.append(s"+++++ results from segment $seg +++++\n")
       rowsTry match {
         case scala.util.Success(rows) =>
           if (rows.isEmpty) sb.append("<no results>\n")
-          else sb.append(table(rows, rows.head.schema))
+          else sb.append(display(rows, rows.head.schema, format))
         case scala.util.Failure(e) =>
           sb.append(s"error: ${e.getMessage}\n")
       }

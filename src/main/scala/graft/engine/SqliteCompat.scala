@@ -68,7 +68,10 @@ object SqliteCompat {
 
     val modRe = "(?i)^([+-]?\\d+(?:\\.\\d+)?)\\s+(day|hour|minute|second|month|year)s?$".r
     val weekdayRe = "(?i)^weekday\\s+([0-6])$".r
-    modifiers.map(_.trim).filter(_.nonEmpty).foreach {
+    // same try/return-null contract as the timevalue parse above:
+    // modifier arithmetic can also leave java.time's year range
+    // (datetime('2024-01-01','+20000 years')) where SQLite yields NULL
+    try modifiers.map(_.trim).filter(_.nonEmpty).foreach {
       case m if m.equalsIgnoreCase("unixepoch") ||
         m.equalsIgnoreCase("localtime") || m.equalsIgnoreCase("utc") => ()
       case m if m.equalsIgnoreCase("start of day") =>
@@ -99,7 +102,12 @@ object SqliteCompat {
           case "year" => addMonthsSqlite(ldt, whole * 12)
         }
       case _ => return null // SQLite: unknown modifier → NULL
-    }
+    } catch { case _: Exception => return null }
+    // modifier arithmetic can exit SQLite's supported julian range
+    // (golden: datetime('2024-01-01','+8000 years') is NULL even though
+    // java.time would happily represent year 10024)
+    val jd = toJulian(ldt)
+    if (jd < 0 || jd > 5373484.5) return null
     ldt
   }
 
@@ -267,9 +275,12 @@ object SqliteCompat {
     // yields NULL when ANY argument is NULL (golden-tested); 1-arg stays
     // the aggregate, so this shadows the builtins compatibly
     def scalarOrAgg(exprs: Seq[Expression], scalar: Seq[Expression] => Expression,
-        agg: Expression => Expression): Expression =
+        agg: Expression => Expression): Expression = {
+      // clean parse error, not a NoSuchElementException, on zero args
+      require(exprs.nonEmpty, "min/max require at least one argument")
       if (exprs.length <= 1) agg(exprs.head)
       else If(exprs.map(IsNull(_): Expression).reduce(Or), Literal(null), scalar(exprs))
+    }
     fn("min")(e => scalarOrAgg(e, Least(_), Min(_)))
     fn("max")(e => scalarOrAgg(e, Greatest(_), Max(_)))
 

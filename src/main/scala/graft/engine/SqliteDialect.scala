@@ -3,7 +3,7 @@ package graft.engine
 import java.util.Locale
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Like, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Like, Remainder, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graft.SqlInternals
 import org.apache.spark.sql.types.StringType
@@ -54,31 +54,49 @@ object SqliteDialect {
     * [[SqliteCompat.register]] applied (function-name surface). */
   def sql(sess: SparkSession, stmt: String): DataFrame = withActive(sess) {
     SqlInternals.ofRows(sess, rewriteParsed(
-      sess.sessionState.sqlParser.parsePlan(rewriteGlob(stmt))))
+      sess.sessionState.sqlParser.parsePlan(rewriteGlob(stmt)),
+      keepLikeEscape = hasEscapeClause(stmt)))
   }
 
   /** Parse one SQLite-dialect scalar expression (write-path predicates,
     * SET clauses, VALUES tuples) with the same operator rewrites. */
   def expr(sess: SparkSession, exprSql: String): Column = withActive(sess) {
     SqlInternals.column(rewriteExpr(
-      sess.sessionState.sqlParser.parseExpression(rewriteGlob(exprSql))))
+      sess.sessionState.sqlParser.parseExpression(rewriteGlob(exprSql)),
+      keepLikeEscape = hasEscapeClause(exprSql)))
   }
 
   // ------------------------------------------------------ plan rewrite
 
-  def rewriteParsed(plan: LogicalPlan): LogicalPlan =
-    plan transformAllExpressions rewriteRule
+  def rewriteParsed(plan: LogicalPlan, keepLikeEscape: Boolean = false): LogicalPlan =
+    plan transformAllExpressions rewriteRule(keepLikeEscape)
 
-  def rewriteExpr(e: Expression): Expression = e transform rewriteRule
+  def rewriteExpr(e: Expression, keepLikeEscape: Boolean = false): Expression =
+    e transform rewriteRule(keepLikeEscape)
 
-  private lazy val rewriteRule: PartialFunction[Expression, Expression] = {
+  /** SQLite LIKE without an ESCAPE clause has NO escape character — a
+    * backslash in the pattern is a literal backslash, where Spark's
+    * default escape is '\'. The parsed Like can't tell "no clause" from
+    * an explicit ESCAPE '\', so the statement TEXT decides: if it spells
+    * ESCAPE anywhere (outside quotes — the tokenizer skips them), every
+    * '\'-escaped Like keeps Spark semantics; otherwise the escape is
+    * replaced by NUL, a character no pattern contains, disabling
+    * escaping exactly like SQLite. */
+  private def hasEscapeClause(sql: String): Boolean =
+    tokenize(sql).exists(_.lower == "escape")
+
+  private def rewriteRule(keepLikeEscape: Boolean): PartialFunction[Expression, Expression] = {
     // Cast-to-string first: SQLite LIKEs numerics via text affinity
     // (`3 LIKE 3` is true); Cast(string, string) is a no-op Catalyst
     // removes, so string operands are untouched.
     case Like(l, r, esc) if !l.isInstanceOf[AsciiLower] =>
-      Like(AsciiLower(Cast(l, StringType)), AsciiLower(Cast(r, StringType)), esc)
+      val escape = if (esc == '\\' && !keepLikeEscape) '\u0000' else esc
+      Like(AsciiLower(Cast(l, StringType)), AsciiLower(Cast(r, StringType)), escape)
     case Divide(l, r, _) => SqliteDiv(l, r)
-    case s: SubqueryExpression => s.withNewPlan(rewriteParsed(s.plan))
+    // SQLite %: both operands cast to INTEGER, NULL on mod-by-zero —
+    // Spark's Remainder keeps fractional operands and (ANSI) throws
+    case Remainder(l, r, _) => SqliteMod(l, r)
+    case s: SubqueryExpression => s.withNewPlan(rewriteParsed(s.plan, keepLikeEscape))
   }
 
   // ------------------------------------------------- infix GLOB rewrite
@@ -101,7 +119,8 @@ object SqliteDialect {
 
   /** Quote-aware tokenization: string/identifier literals are single
     * tokens; words, parens, commas, and operator characters tokenized
-    * individually. */
+    * individually. `--` line and `/* */` block comments are skipped
+    * entirely — a `glob` inside a comment is not an operator. */
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
@@ -109,7 +128,13 @@ object SqliteDialect {
     while (i < n) {
       val c = sql.charAt(i)
       if (c.isWhitespace) i += 1
-      else if (c == '\'' || c == '"' || c == '`') {
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+      } else if (c == '\'' || c == '"' || c == '`') {
         val start = i
         i += 1
         var done = false
@@ -136,17 +161,35 @@ object SqliteDialect {
     out.result()
   }
 
+  /** Whether a token can END the left operand of an infix operator: a
+    * closing paren, a quoted literal, a number, or a non-keyword word.
+    * `glob` right after SELECT / AS / a comma is an identifier in a
+    * position where SQLite's grammar also reads it as one (a column or
+    * alias legally named glob), never the operator. */
+  private def operandEnd(t: Tok): Boolean = {
+    val c = t.text.charAt(0)
+    c == ')' || c == '\'' || c == '"' || c == '`' || c.isDigit ||
+      ((c.isLetter || c == '_') && !boundaryWords.contains(t.lower))
+  }
+
   /** Rewrite every infix `X [NOT] GLOB Y` to `[NOT] glob(Y, X)`. The
-    * function-call form `glob(...)` is left untouched. Idempotent on SQL
-    * without infix GLOB. */
+    * function-call form `glob(...)` is left untouched, as is a bare
+    * `glob` used as an identifier (SELECT a AS glob). If an apparent
+    * infix GLOB's operands can't be located, the text is left for the
+    * parser to reject with its own error rather than corrupted here.
+    * Idempotent on SQL without infix GLOB. */
   def rewriteGlob(sql: String): String = {
     val toks = tokenize(sql)
     val globIdx = toks.zipWithIndex.find { case (t, i) =>
       t.lower == "glob" &&
         // not the function-call form
         !(i + 1 < toks.length && toks(i + 1).text == "(") &&
-        // must have operands on both sides
-        i > 0 && i + 1 < toks.length
+        // must have operands on both sides...
+        i > 0 && i + 1 < toks.length &&
+        // ...and the left neighbor must plausibly end one ("X glob" or
+        // "X NOT glob" — not "AS glob", "SELECT glob", ", glob")
+        (operandEnd(toks(i - 1)) ||
+          (toks(i - 1).lower == "not" && i > 1 && operandEnd(toks(i - 2))))
     }.map(_._2)
 
     globIdx match {
@@ -193,8 +236,9 @@ object SqliteDialect {
           }
           if (scanning) k -= 1
         }
-        require(lhsStart < lhsScanEnd && g + 1 < rhsEnd,
-          s"cannot locate the operands of infix GLOB in: $sql")
+        // unlocatable operands: leave the text alone — the parser's own
+        // error beats corrupting the statement here
+        if (lhsStart >= lhsScanEnd || g + 1 >= rhsEnd) return sql
         val lhs = sql.substring(toks(lhsStart).start, toks(lhsScanEnd - 1).end)
         val rhs = sql.substring(toks(g + 1).start, toks(rhsEnd - 1).end)
         val replacement = (if (negated) "NOT " else "") + s"glob($rhs, $lhs)"

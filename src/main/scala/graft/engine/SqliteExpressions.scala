@@ -63,7 +63,7 @@ case class SqliteDiv(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case _: NumericType | StringType | NullType => true
+      case _: NumericType | StringType | NullType | BooleanType => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
@@ -75,7 +75,8 @@ case class SqliteDiv(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   private def isIntegral(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => true
+    // SQLite stores booleans as the integers 0/1 — integer affinity
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => true
     case _ => false
   }
   private lazy val integral = isIntegral(left.dataType) && isIntegral(right.dataType)
@@ -88,8 +89,8 @@ case class SqliteDiv(left: Expression, right: Expression)
     val r = right.eval(input)
     if (r == null) return null
     if (integral) {
-      val rv = r.asInstanceOf[Number].longValue()
-      if (rv == 0L) null else l.asInstanceOf[Number].longValue() / rv
+      val rv = SqliteDiv.anyToLong(r)
+      if (rv == 0L) null else SqliteDiv.anyToLong(l) / rv
     } else {
       val rv = toDouble(r)
       if (rv == 0.0) null else toDouble(l) / rv
@@ -98,6 +99,7 @@ case class SqliteDiv(left: Expression, right: Expression)
 
   private def toDouble(v: Any): Double = v match {
     case d: Decimal => d.toDouble
+    case b: Boolean => if (b) 1.0 else 0.0
     case n: Number => n.doubleValue()
     case other => SqliteDiv.strToDouble(other.toString)
   }
@@ -105,7 +107,13 @@ case class SqliteDiv(left: Expression, right: Expression)
   private def javaDouble(value: String, dt: DataType): String = dt match {
     case _: DecimalType => s"$value.toDouble()"
     case StringType => s"graft.engine.SqliteDiv.strToDouble($value.toString())"
+    case BooleanType => s"($value ? 1.0 : 0.0)"
     case _ => s"(double)($value)"
+  }
+
+  private def javaLong(value: String, dt: DataType): String = dt match {
+    case BooleanType => s"($value ? 1L : 0L)"
+    case _ => s"(long)($value)"
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -116,10 +124,10 @@ case class SqliteDiv(left: Expression, right: Expression)
     val compute =
       if (integral)
         s"""
-           |long $divisor = (long)(${rightGen.value});
+           |long $divisor = ${javaLong(rightGen.value.toString, right.dataType)};
            |if ($divisor != 0L) {
            |  ${ev.isNull} = false;
-           |  ${ev.value} = (long)(${leftGen.value}) / $divisor;
+           |  ${ev.value} = ${javaLong(leftGen.value.toString, left.dataType)} / $divisor;
            |}
          """.stripMargin
       else
@@ -155,6 +163,100 @@ object SqliteDiv {
     val m = "^\\s*[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?".r.findFirstIn(s)
     m.map(_.trim.toDouble).getOrElse(0.0)
   }
+
+  /** SQLite CAST-to-INTEGER of any runtime value: truncate reals toward
+    * zero, numeric-prefix text, booleans as 0/1. */
+  def anyToLong(v: Any): Long = v match {
+    case b: Boolean => if (b) 1L else 0L
+    case d: Decimal => d.toDouble.toLong
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case f: Float => f.toLong
+    case d: Double => d.toLong
+    case other => strToDouble(other.toString).toLong
+  }
+}
+
+/** SQLite `%`: both operands CAST to INTEGER (reals truncate toward
+  * zero, text takes its numeric prefix — so `7.5 % 2` computes `7 % 2`)
+  * and mod-by-zero yields NULL (Spark's ANSI Remainder throws
+  * DIVIDE_BY_ZERO, and its non-ANSI form keeps fractional operands).
+  * The result TYPE follows operand affinity like SQLite (golden:
+  * `7.5 % 2 = 1.0`, `'5.7' % 3 = 2.0` — REAL when either operand is
+  * non-integral, INTEGER otherwise); the VALUE is always the integer
+  * remainder, sign following the dividend (C semantics, shared by
+  * Java). */
+case class SqliteMod(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case _: NumericType | StringType | NullType | BooleanType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sqlite_mod requires numeric or string operands, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def prettyName: String = "sqlite_mod"
+  override def nullable: Boolean = true
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => true
+    case _ => false
+  }
+  private lazy val integral = isIntegral(left.dataType) && isIntegral(right.dataType)
+
+  override def dataType: DataType = if (integral) LongType else DoubleType
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val rv = SqliteDiv.anyToLong(r)
+    if (rv == 0L) null
+    else {
+      val m = SqliteDiv.anyToLong(l) % rv
+      if (integral) m else m.toDouble
+    }
+  }
+
+  private def javaLong(value: String, dt: DataType): String = dt match {
+    case BooleanType => s"($value ? 1L : 0L)"
+    case _: DecimalType => s"(long)($value.toDouble())"
+    case StringType => s"(long)graft.engine.SqliteDiv.strToDouble($value.toString())"
+    case _ => s"(long)($value)"
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val divisor = ctx.freshName("divisor")
+    val javaType = if (integral) "long" else "double"
+    val resultCast = if (integral) "" else "(double)"
+    ev.copy(code = code"""
+      |${leftGen.code}
+      |boolean ${ev.isNull} = true;
+      |$javaType ${ev.value} = ${if (integral) "0L" else "0.0"};
+      |if (!${leftGen.isNull}) {
+      |  ${rightGen.code}
+      |  if (!${rightGen.isNull}) {
+      |    long $divisor = ${javaLong(rightGen.value.toString, right.dataType)};
+      |    if ($divisor != 0L) {
+      |      ${ev.isNull} = false;
+      |      ${ev.value} = $resultCast(${javaLong(leftGen.value.toString, left.dataType)} % $divisor);
+      |    }
+      |  }
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqliteMod =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SQLite `typeof(x)`: 'null' | 'integer' | 'real' | 'text' | 'blob',

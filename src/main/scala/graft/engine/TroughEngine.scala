@@ -41,7 +41,23 @@ class TroughEngine(
     val schemas: SchemaRegistry) {
 
   TroughFunctions.register(spark)
-  SqliteCompat.register(spark)
+
+  /** Engine-owned session for the write path. The SQLite function-name
+    * surface (SqliteCompat) shadows core Spark builtins — min, max,
+    * date, time, strftime, total — so it must never be registered on the
+    * shared parent session, where unrelated code would silently get
+    * SQLite semantics (e.g. date() returning a formatted string). Reads
+    * already run in per-call child sessions ([[readSession]]); this is
+    * the write path's equivalent. Unlike readSession, double-quoted
+    * identifiers stay OFF here: write-script VALUES must read ("test")
+    * as a string literal (SQLite's lookup-dependent quirk — see the
+    * readSession doc and the EngineSpec byte-shape test). */
+  private[engine] val writeSession: SparkSession = {
+    val s = spark.newSession()
+    TroughFunctions.register(s)
+    SqliteCompat.register(s)
+    s
+  }
 
   /** node name reported in lock errors (reference: settings['HOSTNAME']) */
   val nodeName: String = "local"

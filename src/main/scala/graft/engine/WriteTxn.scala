@@ -33,7 +33,10 @@ import graft.engine.SegmentStore.TableMeta
   * use unquoted or backtick identifiers in write predicates.
   */
 private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
-  private val spark: SparkSession = engine.spark
+  // the engine-owned write session: SQLite function names registered,
+  // double-quoted identifiers off (VALUES byte-shape), and none of it
+  // leaking onto the shared parent session
+  private val spark: SparkSession = engine.writeSession
   private val store = engine.store
 
   /** Parse a scalar expression with the SQLite operator dialect applied
@@ -54,7 +57,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (dropped.contains(table) || !store.tableExists(segmentId, table))
         throw new IllegalArgumentException(s"no such table: $table")
       val meta = store.tableMeta(segmentId, table)
-      (meta, store.loadTable(segmentId, table))
+      // bound into the write session: expressions referencing SQLite
+      // function names must resolve where SqliteCompat is registered
+      (meta, store.loadTable(segmentId, table, spark))
     })
 
   private def stage(table: String, meta: TableMeta, df: DataFrame): Unit = {
@@ -364,7 +369,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val names = tableNames
     try {
       names.foreach { t =>
-        val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t))
+        val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t, spark))
         df.createOrReplaceTempView(t)
       }
       SqliteDialect.sql(spark, select)

@@ -490,4 +490,43 @@ class EngineSpec extends SparkSpecBase {
     assert(lines(1) == "| id | z      | wide_column      |")
     assert(lines(3) == "| 1  | <null> | wiiiiiiiiiiiiide |")
   }
+
+  test("table formatter: duplicate column names keep their own cells and widths") {
+    engine.provisionWritable("seg-dup")
+    engine.write("seg-dup",
+      """CREATE TABLE a (id INTEGER, v TEXT); CREATE TABLE b (id INTEGER, w TEXT);
+         INSERT INTO a (id, v) VALUES (1, 'x');
+         INSERT INTO b (id, w) VALUES (77777, 'y');""")
+    val df = engine.read("seg-dup",
+      "SELECT a.id, b.id, a.v FROM a JOIN b ON a.v = 'x';")
+    val out = Shell.table(df.collect().toSeq, df.schema)
+    val lines = out.split("\n")
+    // both id columns render their OWN values (the by-name lookup bug
+    // rendered the first id twice), each padded to its own width
+    assert(lines(1) == "| id | id    | v |", lines(1))
+    assert(lines(3) == "| 1  | 77777 | x |", lines(3))
+  }
+
+  test("FORMAT raw|pretty|table display modes (do_format, shell/__init__.py:214-231)") {
+    engine.provisionWritable("seg-disp")
+    engine.write("seg-disp",
+      "CREATE TABLE d (id INTEGER, v TEXT); " +
+        "INSERT INTO d (id, v) VALUES (1, 'a'), (2, null);")
+    val df = engine.read("seg-disp", "SELECT * FROM d ORDER BY id;")
+    val (rows, schema) = (df.collect().toSeq, df.schema)
+    // goldens generated with python json.dumps / json.dumps(indent=2)
+    assert(Shell.display(rows, schema, "raw")
+      == "[{\"id\": 1, \"v\": \"a\"}, {\"id\": 2, \"v\": null}]\n")
+    assert(Shell.display(rows, schema, "pretty")
+      == "[\n  {\n    \"id\": 1,\n    \"v\": \"a\"\n  },\n  {\n    \"id\": 2,\n    \"v\": null\n  }\n]\n")
+    assert(Shell.display(rows, schema, "table") == Shell.table(rows, schema))
+    assert(Shell.display(Seq.empty, schema, "raw") == "<no results>\n")
+    // the session's FORMAT command: stateful, reports, rejects unknowns
+    val sess = new Shell.Session(engine)
+    assert(sess.format == "table")
+    assert(sess.setFormat("") == "Format is 'table'")
+    assert(sess.setFormat("RAW") == "Format is now 'raw'")
+    assert(sess.format == "raw")
+    intercept[IllegalArgumentException](sess.setFormat("yaml"))
+  }
 }
