@@ -297,6 +297,12 @@ object SqliteCompat {
     }
 
     // --- SQLite scalar names
+    // the NOCASE collation's folding function (SqliteDialect.rewriteCollate
+    // emits it); cast keeps non-string collated operands text-affine
+    fn("ascii_lower") { exprs =>
+      require(exprs.length == 1, "ascii_lower takes exactly 1 argument")
+      AsciiLower(Cast(exprs.head, StringType))
+    }
     fn("iif") { exprs =>
       require(exprs.length == 3, "iif takes exactly 3 arguments")
       If(Cast(exprs(0), BooleanType), exprs(1), exprs(2))

@@ -3,10 +3,11 @@ package graft.engine
 import java.util.Locale
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Like, Remainder, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Divide, Expression, GreaterThanOrEqual, LessThan, Like, Literal, Or, Remainder, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graft.SqlInternals
 import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQLite *operator* dialect, applied as a parse-tree rewrite.
   *
@@ -54,7 +55,7 @@ object SqliteDialect {
     * [[SqliteCompat.register]] applied (function-name surface). */
   def sql(sess: SparkSession, stmt: String): DataFrame = withActive(sess) {
     SqlInternals.ofRows(sess, rewriteParsed(
-      sess.sessionState.sqlParser.parsePlan(rewriteGlob(stmt)),
+      sess.sessionState.sqlParser.parsePlan(rewriteGlob(rewriteCollate(stmt))),
       keepLikeEscape = hasEscapeClause(stmt)))
   }
 
@@ -62,7 +63,7 @@ object SqliteDialect {
     * SET clauses, VALUES tuples) with the same operator rewrites. */
   def expr(sess: SparkSession, exprSql: String): Column = withActive(sess) {
     SqlInternals.column(rewriteExpr(
-      sess.sessionState.sqlParser.parseExpression(rewriteGlob(exprSql)),
+      sess.sessionState.sqlParser.parseExpression(rewriteGlob(rewriteCollate(exprSql))),
       keepLikeEscape = hasEscapeClause(exprSql)))
   }
 
@@ -91,13 +92,46 @@ object SqliteDialect {
     // removes, so string operands are untouched.
     case Like(l, r, esc) if !l.isInstanceOf[AsciiLower] =>
       val escape = if (esc == '\\' && !keepLikeEscape) '\u0000' else esc
-      Like(AsciiLower(Cast(l, StringType)), AsciiLower(Cast(r, StringType)), escape)
+      val nocase = Like(AsciiLower(Cast(l, StringType)), AsciiLower(Cast(r, StringType)), escape)
+      // The AsciiLower wrap forfeits parquet's StartsWith/prefix
+      // pushdown. For a literal pattern with an alphabetic first
+      // character, conjoin a coarse-but-exact prefilter on the RAW
+      // column -- two first-character ranges covering both cases -- that
+      // parquet CAN push (row-group min/max pruning). At 100 TB the
+      // difference is reading every row group vs skipping the ones whose
+      // stats exclude both case variants of the prefix.
+      nocaseLikePrefilter(l, r, escape)
+        .map(p => And(p, nocase)).getOrElse(nocase)
     case Divide(l, r, _) => SqliteDiv(l, r)
     // SQLite %: both operands cast to INTEGER, NULL on mod-by-zero —
     // Spark's Remainder keeps fractional operands and (ANSI) throws
     case Remainder(l, r, _) => SqliteMod(l, r)
     case s: SubqueryExpression => s.withNewPlan(rewriteParsed(s.plan, keepLikeEscape))
   }
+
+  /** Pushable companion predicate for the nocase LIKE rewrite: rows
+    * matching `ascii_lower(col) LIKE 'abc…'` must start with 'a' or 'A',
+    * i.e. `(col >= 'a' AND col < 'b') OR (col >= 'A' AND col < 'B')` —
+    * plain ranges on the raw column that reach parquet statistics. Only
+    * for a foldable string pattern whose first literal character (before
+    * any wildcard/escape) is an ASCII letter; the Cast(string) is a
+    * no-op the optimizer removes for string columns, and for non-string
+    * operands it just matches the LIKE's own text affinity. */
+  private def nocaseLikePrefilter(
+      l: Expression, pattern: Expression, escape: Char): Option[Expression] =
+    pattern match {
+      case Literal(p: UTF8String, StringType) =>
+        val prefix = p.toString.takeWhile(c =>
+          c != '%' && c != '_' && c != '\\' && c != escape)
+        prefix.headOption.collect {
+          case c if (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') =>
+            def range(ch: Char): Expression = And(
+              GreaterThanOrEqual(Cast(l, StringType), Literal(ch.toString)),
+              LessThan(Cast(l, StringType), Literal((ch + 1).toChar.toString)))
+            Or(range(c.toLower), range(c.toUpper))
+        }
+      case _ => None
+    }
 
   // ------------------------------------------------- infix GLOB rewrite
 
@@ -172,6 +206,73 @@ object SqliteDialect {
       ((c.isLetter || c == '_') && !boundaryWords.contains(t.lower))
   }
 
+  /** Backward scan for the start of the operand ending just before token
+    * `end` (exclusive), honoring paren depth and [[boundaryWords]].
+    * Returns `end` when no operand precedes. */
+  private def operandStartBefore(toks: Vector[Tok], end: Int): Int = {
+    var depth = 0
+    var k = end - 1
+    var start = 0
+    var scanning = true
+    while (k >= 0 && scanning) {
+      val t = toks(k)
+      t.text match {
+        case ")" => depth += 1
+        case "(" if depth == 0 => start = k + 1; scanning = false
+        case "(" => depth -= 1
+        case "," | ";" if depth == 0 => start = k + 1; scanning = false
+        case "=" | "<" | ">" | "!" if depth == 0 => start = k + 1; scanning = false
+        case _ if depth == 0 && boundaryWords.contains(t.lower) =>
+          start = k + 1; scanning = false
+        case _ => ()
+      }
+      if (scanning) k -= 1
+    }
+    if (start > end) end else start
+  }
+
+  /** SQLite `expr COLLATE NOCASE|BINARY` — Spark's parser has no COLLATE
+    * expression syntax, so it rewrites textually like infix GLOB. BINARY
+    * is the default collation on both engines: the clause is dropped.
+    * NOCASE folds through ascii_lower (SQLite's ASCII-only rule): a
+    * comparison to the left of the collated operand wraps BOTH sides
+    * (golden: `'ABC' = 'abc' COLLATE NOCASE` is 1, `'ÄBC' = 'äbc'` is
+    * 0); a bare operand (`ORDER BY name COLLATE NOCASE`) wraps alone.
+    * The RTRIM collation stays unsupported — the parser reports it
+    * (documented deviation; unused by the reference corpus). */
+  def rewriteCollate(sql: String): String = {
+    val toks = tokenize(sql)
+    val found = toks.indices.find { i =>
+      toks(i).lower == "collate" && i > 0 && i + 1 < toks.length &&
+        Set("nocase", "binary").contains(toks(i + 1).lower)
+    }
+    found match {
+      case None => sql
+      case Some(i) =>
+        if (toks(i + 1).lower == "binary")
+          return rewriteCollate(
+            sql.substring(0, toks(i).start) + sql.substring(toks(i + 1).end))
+        val yStart = operandStartBefore(toks, i)
+        if (yStart >= i) return sql // no operand: the parser reports it
+        val y = sql.substring(toks(yStart).start, toks(i - 1).end)
+        // operator run directly left of the operand → wrap both sides
+        var opStart = yStart
+        while (opStart > 0 && Set("=", "<", ">", "!").contains(toks(opStart - 1).text))
+          opStart -= 1
+        if (opStart < yStart) {
+          val xStart = operandStartBefore(toks, opStart)
+          if (xStart < opStart) {
+            val x = sql.substring(toks(xStart).start, toks(opStart - 1).end)
+            val op = sql.substring(toks(opStart).start, toks(yStart - 1).end)
+            return rewriteCollate(sql.substring(0, toks(xStart).start) +
+              s"ascii_lower($x) $op ascii_lower($y)" + sql.substring(toks(i + 1).end))
+          }
+        }
+        rewriteCollate(sql.substring(0, toks(yStart).start) +
+          s"ascii_lower($y)" + sql.substring(toks(i + 1).end))
+    }
+  }
+
   /** Rewrite every infix `X [NOT] GLOB Y` to `[NOT] glob(Y, X)`. The
     * function-call form `glob(...)` is left untouched, as is a bare
     * `glob` used as an identifier (SELECT a AS glob). If an apparent
@@ -218,24 +319,7 @@ object SqliteDialect {
         val negated = toks(g - 1).lower == "not"
         val lhsScanEnd = if (negated) g - 1 else g
         // LHS: backward until a boundary at depth 0
-        depth = 0
-        var k = lhsScanEnd - 1
-        var lhsStart = 0
-        scanning = true
-        while (k >= 0 && scanning) {
-          val t = toks(k)
-          t.text match {
-            case ")" => depth += 1
-            case "(" if depth == 0 => lhsStart = k + 1; scanning = false
-            case "(" => depth -= 1
-            case "," | ";" if depth == 0 => lhsStart = k + 1; scanning = false
-            case "=" | "<" | ">" | "!" if depth == 0 => lhsStart = k + 1; scanning = false
-            case _ if depth == 0 && boundaryWords.contains(t.lower) =>
-              lhsStart = k + 1; scanning = false
-            case _ => ()
-          }
-          if (scanning) k -= 1
-        }
+        val lhsStart = operandStartBefore(toks, lhsScanEnd)
         // unlocatable operands: leave the text alone — the parser's own
         // error beats corrupting the statement here
         if (lhsStart >= lhsScanEnd || g + 1 >= rhsEnd) return sql

@@ -90,9 +90,9 @@ class TroughEngine(
     val stmts = SqlScript.split(sql)
     if (stmts.length != 1)
       throw new IllegalArgumentException("Exactly one SELECT query per request, please.")
-    // infix GLOB is SQLite syntax Spark's parser rejects — rewrite to the
-    // registered glob() function form before the gate parses
-    val stmt = SqliteDialect.rewriteGlob(stmts.head)
+    // infix GLOB and COLLATE are SQLite syntax Spark's parser rejects —
+    // rewrite to registered function forms before the gate parses
+    val stmt = SqliteDialect.rewriteGlob(SqliteDialect.rewriteCollate(stmts.head))
     // parsePlan consults the *active* session's SQLConf (thread-local),
     // not the parser's owning session — activate sess so the SQLite
     // dialect flags (double-quoted identifiers) apply at the gate too
@@ -273,7 +273,23 @@ object JsonShape {
     case null => "null"
     case s: String => str(s)
     case b: Boolean => if (b) "true" else "false"
-    case b: Array[Byte] => str(new String(b, "ISO-8859-1"))
+    // BLOB boundary (read.py:44): ujson decodes bytes as UTF-8 — valid
+    // sequences serialize as their decoded string (matched here byte for
+    // byte). On INVALID UTF-8 the reference's generator dies mid-stream,
+    // leaving a truncated response with no closing bracket (read.py:47-49
+    // logs and stops). Documented deviation: raise a clean error instead
+    // of reproducing the malformed stream.
+    case b: Array[Byte] =>
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try str(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+      catch {
+        case e: java.nio.charset.CharacterCodingException =>
+          throw new IllegalArgumentException(
+            "cannot serialize BLOB value: not valid UTF-8 (the reference's " +
+              "ujson serializer aborts the response stream here)", e)
+      }
     case d: java.math.BigDecimal => d.toPlainString
     case t: java.sql.Timestamp => str(t.toLocalDateTime.toString.replace('T', ' '))
     case d: java.sql.Date => str(d.toString)

@@ -323,6 +323,20 @@ class EngineSpec extends SparkSpecBase {
     assert(eng.resultJson(eng.read("seg-crash", "SELECT x FROM c;")) == "[{\"x\":2}]\n")
   }
 
+  test("BLOB JSON boundary: valid UTF-8 decodes like ujson, invalid errors cleanly") {
+    engine.provisionWritable("seg-blob")
+    engine.write("seg-blob", "CREATE TABLE bt (id INTEGER PRIMARY KEY, data BLOB);")
+    engine.write("seg-blob", "INSERT INTO bt (id, data) VALUES (1, X'68690A');") // "hi\n"
+    assert(engine.resultJson(engine.read("seg-blob", "SELECT data FROM bt;"))
+      == "[{\"data\":\"hi\\n\"}]\n")
+    // invalid UTF-8: the reference's ujson kills the stream mid-response
+    // (read.py:44, 47-49); we raise a clean error — documented deviation
+    engine.write("seg-blob", "INSERT INTO bt (id, data) VALUES (2, X'FF00');")
+    val e = intercept[Exception](
+      engine.resultJson(engine.read("seg-blob", "SELECT data FROM bt WHERE id = 2;")))
+    assert(e.getMessage.contains("not valid UTF-8"), e.getMessage)
+  }
+
   test("INSERT OR REPLACE / OR IGNORE honor the primary key") {
     engine.provisionWritable("seg-upsert")
     engine.write("seg-upsert", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
