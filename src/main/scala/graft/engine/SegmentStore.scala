@@ -45,6 +45,14 @@ object SegmentStore {
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
   private[engine] val SegmentIdPattern = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** `segment_id` is the layout's partition column: a data column of the
+    * same name would collide in every cross-segment scan's schema.
+    * Checked at table-staging time (clean pre-commit error), not at
+    * writeMeta (which runs inside the phase-2 swap). */
+  private[engine] def requireNoReservedColumns(meta: TableMeta): Unit =
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase("segment_id")),
+      "column name 'segment_id' is reserved (it is the cross-segment partition column)")
 }
 
 class SegmentStore(
@@ -88,7 +96,17 @@ class SegmentStore(
   private def marker(segmentId: String): Path =
     tierRoot(segmentId).resolve("_segments").resolve(segmentId)
 
-  private def tableRoot(root: Path, table: String): Path = root.resolve(table)
+  // every table operation funnels through here: names the layout would
+  // hide must be rejected, not silently created — a '_'/'.'-prefixed dir
+  // is invisible to tables()/scans (and '_segments' is the registry), so
+  // such a table would be writable but unreadable. SQLite would accept
+  // these names; clean-error deviation, documented in the class doc.
+  private def tableRoot(root: Path, table: String): Path = {
+    require(SegmentStore.SegmentIdPattern.matches(table) && table != "_segments",
+      s"table name '$table' is not supported by the table-major layout " +
+        s"(must match ${SegmentStore.SegmentIdPattern}, not '_segments')")
+    root.resolve(table)
+  }
 
   private def liveDir(root: Path, segmentId: String, table: String): Path =
     tableRoot(root, table).resolve(s"segment_id=$segmentId")
@@ -179,6 +197,7 @@ class SegmentStore(
     // many segments would otherwise grow this map without bound (the
     // lock's mutual exclusion is per-instance; see swapLocks scaladoc)
     swapLocks.remove(segmentId)
+    mergedSchemaCache.clear() // this segment's metas no longer contribute
   }
 
   /** Durable copy of every table of a segment, with the temp-name-then-
@@ -278,6 +297,7 @@ class SegmentStore(
         throw new IllegalStateException(s"table $table already exists")
       return
     }
+    SegmentStore.requireNoReservedColumns(meta)
     Files.createDirectories(liveDir(tierRoot(segmentId), segmentId, table))
     writeMeta(segmentId, table, meta)
   }
@@ -294,6 +314,7 @@ class SegmentStore(
     val p = metaPath(tierRoot(segmentId), segmentId, table)
     Files.createDirectories(p.getParent)
     Files.writeString(p, root.toString)
+    mergedSchemaCache.remove(table) // schema may have widened
   }
 
   /** Read one segment's slice of a table; explicit schema from the meta
@@ -331,30 +352,37 @@ class SegmentStore(
     * previous unionByName(allowMissingColumns) form, without its N-way
     * plan). First-seen field type wins on cross-segment conflicts. */
   def loadTableAll(table: String, session: SparkSession = spark): DataFrame = {
-    val perTier = tierRoots.filter(r => Files.isDirectory(tableRoot(r, table)))
-      .map { root =>
-        val metas = {
-          val m = tableRoot(root, table).resolve("_meta")
-          if (!Files.isDirectory(m)) Seq.empty[TableMeta]
-          else {
-            val stream = Files.list(m)
-            try stream.iterator.asScala.filter(_.getFileName.toString.endsWith(".json"))
-              .toSeq.sortBy(_.getFileName.toString).map(readMeta)
-            finally stream.close()
-          }
-        }
-        (root, metas)
-      }
-      .filter(_._2.nonEmpty)
-    require(perTier.nonEmpty, s"no such table in any segment: $table")
-    val merged = perTier.flatMap(_._2).map(_.schema).reduce(mergeSchemas)
-    perTier.map { case (root, _) =>
+    val roots = tierRoots.filter(r =>
+      Files.isDirectory(tableRoot(r, table)) && metaCount(tableRoot(r, table)) > 0)
+    require(roots.nonEmpty, s"no such table in any segment: $table")
+    // the merged schema folds EVERY segment's meta file — O(segments)
+    // reads+parses — so it's cached per table and invalidated on DDL
+    // (writeMeta/dropTable/deleteSegment). Sound in-process because the
+    // engine's single-writer locks route all DDL through this store.
+    val merged = mergedSchemaCache.computeIfAbsent(table, _ =>
+      roots.flatMap(r => listMetaFiles(tableRoot(r, table)))
+        .map(readMeta).map(_.schema).reduce(mergeSchemas))
+    roots.map { root =>
       // explicit schema: data fields + the partition column, so the
       // partition value type is never inferred and empty tables resolve
       session.read
         .schema(StructType(merged.fields :+ StructField("segment_id", StringType, nullable = true)))
         .parquet(tableRoot(root, table).toString)
     }.reduce(_.unionByName(_))
+  }
+
+  private val mergedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def listMetaFiles(tableDir: Path): Seq[Path] = {
+    val m = tableDir.resolve("_meta")
+    if (!Files.isDirectory(m)) Seq.empty
+    else {
+      val stream = Files.list(m)
+      try stream.iterator.asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
   }
 
   private def mergeSchemas(a: StructType, b: StructType): StructType =
@@ -417,6 +445,7 @@ class SegmentStore(
     Seq(liveDir(root, segmentId, table), tmpDir(root, segmentId, table),
       oldDir(root, segmentId, table)).foreach(deleteRecursively)
     Files.deleteIfExists(metaPath(root, segmentId, table))
+    mergedSchemaCache.remove(table)
   }
 
   // ------------------------------------------------------------------ utils

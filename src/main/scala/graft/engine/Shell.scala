@@ -142,7 +142,9 @@ object Shell {
     * escaping — python json.dumps defaults match). */
   def display(rows: Seq[Row], schema: StructType, format: String = "table"): String =
     format match {
-      case _ if rows.isEmpty => "<no results>\n"
+      // validate the format BEFORE the empty-set shortcut — an unknown
+      // format must error regardless of whether the query returned rows
+      case "table" | "raw" | "pretty" if rows.isEmpty => "<no results>\n"
       case "table" => table(rows, schema)
       case "raw" =>
         rows.map(r => rowJsonSpaced(r, schema, None)).mkString("[", ", ", "]") + "\n"

@@ -78,13 +78,20 @@ object SqliteDialect {
   /** SQLite LIKE without an ESCAPE clause has NO escape character — a
     * backslash in the pattern is a literal backslash, where Spark's
     * default escape is '\'. The parsed Like can't tell "no clause" from
-    * an explicit ESCAPE '\', so the statement TEXT decides: if it spells
-    * ESCAPE anywhere (outside quotes — the tokenizer skips them), every
-    * '\'-escaped Like keeps Spark semantics; otherwise the escape is
-    * replaced by NUL, a character no pattern contains, disabling
-    * escaping exactly like SQLite. */
-  private def hasEscapeClause(sql: String): Boolean =
-    tokenize(sql).exists(_.lower == "escape")
+    * an explicit ESCAPE '\', so the statement TEXT decides: an ESCAPE
+    * keyword followed by a string literal (the only clause shape —
+    * `escape` alone can also be a quoted identifier) keeps Spark
+    * semantics for every '\'-escaped Like in the statement; otherwise
+    * the escape is replaced by NUL, a character no pattern contains,
+    * disabling escaping exactly like SQLite. Known coarse edge,
+    * documented: one statement mixing an ESCAPE-clause LIKE with a
+    * separate backslash-pattern LIKE keeps escape semantics for both
+    * (the flag is per-statement, not per-LIKE). */
+  private def hasEscapeClause(sql: String): Boolean = {
+    val toks = tokenize(sql)
+    toks.indices.exists(i => toks(i).lower == "escape" &&
+      i + 1 < toks.length && toks(i + 1).text.startsWith("'"))
+  }
 
   private def rewriteRule(keepLikeEscape: Boolean): PartialFunction[Expression, Expression] = {
     // Cast-to-string first: SQLite LIKEs numerics via text affinity
@@ -206,6 +213,29 @@ object SqliteDialect {
       ((c.isLetter || c == '_') && !boundaryWords.contains(t.lower))
   }
 
+  /** Forward scan for the (exclusive) end of the operand starting at
+    * token `start`, honoring paren depth and [[boundaryWords]]. */
+  private def operandEndAfter(toks: Vector[Tok], start: Int): Int = {
+    var depth = 0
+    var j = start
+    var end = toks.length
+    var scanning = true
+    while (j < toks.length && scanning) {
+      val t = toks(j)
+      t.text match {
+        case "(" => depth += 1
+        case ")" if depth == 0 => end = j; scanning = false
+        case ")" => depth -= 1
+        case "," | ";" if depth == 0 => end = j; scanning = false
+        case "=" | "<" | ">" | "!" if depth == 0 => end = j; scanning = false
+        case _ if depth == 0 && boundaryWords.contains(t.lower) => end = j; scanning = false
+        case _ => ()
+      }
+      if (scanning) j += 1
+    }
+    end
+  }
+
   /** Backward scan for the start of the operand ending just before token
     * `end` (exclusive), honoring paren depth and [[boundaryWords]].
     * Returns `end` when no operand precedes. */
@@ -255,9 +285,10 @@ object SqliteDialect {
         val yStart = operandStartBefore(toks, i)
         if (yStart >= i) return sql // no operand: the parser reports it
         val y = sql.substring(toks(yStart).start, toks(i - 1).end)
+        val opChars = Set("=", "<", ">", "!")
         // operator run directly left of the operand → wrap both sides
         var opStart = yStart
-        while (opStart > 0 && Set("=", "<", ">", "!").contains(toks(opStart - 1).text))
+        while (opStart > 0 && opChars.contains(toks(opStart - 1).text))
           opStart -= 1
         if (opStart < yStart) {
           val xStart = operandStartBefore(toks, opStart)
@@ -266,6 +297,22 @@ object SqliteDialect {
             val op = sql.substring(toks(opStart).start, toks(yStart - 1).end)
             return rewriteCollate(sql.substring(0, toks(xStart).start) +
               s"ascii_lower($x) $op ascii_lower($y)" + sql.substring(toks(i + 1).end))
+          }
+        }
+        // operator run directly RIGHT of the collation — the common
+        // left-operand idiom `x COLLATE NOCASE = y` (golden:
+        // 'ABC' COLLATE NOCASE = 'abc' is 1): the collation still
+        // governs the whole comparison, so wrap both sides
+        var opEnd = i + 2
+        while (opEnd < toks.length && opChars.contains(toks(opEnd).text))
+          opEnd += 1
+        if (opEnd > i + 2) {
+          val zEnd = operandEndAfter(toks, opEnd)
+          if (zEnd > opEnd) {
+            val op = sql.substring(toks(i + 2).start, toks(opEnd - 1).end)
+            val z = sql.substring(toks(opEnd).start, toks(zEnd - 1).end)
+            return rewriteCollate(sql.substring(0, toks(yStart).start) +
+              s"ascii_lower($y) $op ascii_lower($z)" + sql.substring(toks(zEnd - 1).end))
           }
         }
         rewriteCollate(sql.substring(0, toks(yStart).start) +
@@ -297,24 +344,7 @@ object SqliteDialect {
       case None => sql
       case Some(g) =>
         // RHS: forward until a boundary at the operator's paren depth
-        var depth = 0
-        var j = g + 1
-        var rhsEnd = toks.length
-        var scanning = true
-        while (j < toks.length && scanning) {
-          val t = toks(j)
-          t.text match {
-            case "(" => depth += 1
-            case ")" if depth == 0 => rhsEnd = j; scanning = false
-            case ")" => depth -= 1
-            case "," | ";" if depth == 0 => rhsEnd = j; scanning = false
-            case "=" | "<" | ">" | "!" if depth == 0 => rhsEnd = j; scanning = false
-            case _ if depth == 0 && boundaryWords.contains(t.lower) =>
-              rhsEnd = j; scanning = false
-            case _ => ()
-          }
-          if (scanning) j += 1
-        }
+        val rhsEnd = operandEndAfter(toks, g + 1)
         // NOT GLOB?
         val negated = toks(g - 1).lower == "not"
         val lhsScanEnd = if (negated) g - 1 else g

@@ -203,11 +203,19 @@ case class SqliteMod(left: Expression, right: Expression)
   override def prettyName: String = "sqlite_mod"
   override def nullable: Boolean = true
 
-  private def isIntegral(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | BooleanType => true
+  /** SQLite's affinity for `%` is per-VALUE at runtime; a static type
+    * can honor it exactly for integral types and for foldable text
+    * (golden: '8' % 3 = 2 integer, '8.0' % 3 = 2.0 real, 'abc' % 2 = 0
+    * integer). Non-foldable text columns stay REAL — documented static-
+    * typing deviation (same class as the json typed-extract one). */
+  private def integralLike(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType | NullType => true
+    case StringType if e.foldable =>
+      val v = e.eval()
+      v != null && SqliteMod.integerAffinityText(v.toString)
     case _ => false
   }
-  private lazy val integral = isIntegral(left.dataType) && isIntegral(right.dataType)
+  private lazy val integral = integralLike(left) && integralLike(right)
 
   override def dataType: DataType = if (integral) LongType else DoubleType
 
@@ -257,6 +265,20 @@ case class SqliteMod(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqliteMod =
     copy(left = newLeft, right = newRight)
+}
+
+object SqliteMod {
+  /** SQLite text numeric affinity: the longest numeric prefix decides —
+    * no prefix or an integral prefix ('abc' → 0, '8', '8x', ' 12 ') is
+    * INTEGER; a fractional/exponent prefix ('8.0', '5.7', '1e3') is
+    * REAL. */
+  def integerAffinityText(s: String): Boolean = {
+    val m = "^\\s*[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?".r.findFirstIn(s)
+    m match {
+      case None => true
+      case Some(p) => !p.contains('.') && !p.toLowerCase(java.util.Locale.ROOT).contains('e')
+    }
+  }
 }
 
 /** SQLite `typeof(x)`: 'null' | 'integer' | 'real' | 'text' | 'blob',

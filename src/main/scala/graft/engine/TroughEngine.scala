@@ -140,13 +140,33 @@ class TroughEngine(
     val stmt = validateRead(sql, sess)
     require(store.listSegments(segmentRegex).nonEmpty,
       s"no segments match regex: $segmentRegex")
-    store.allTables().foreach { t =>
-      val all = store.loadTableAll(t, sess)
-      val scoped = if (segmentRegex == ".*") all
-        else all.where(col("segment_id").rlike(segmentRegex))
-      scoped.createOrReplaceTempView(t)
-    }
+    // register only the tables the query references: registering the
+    // whole catalog would cost O(tables × segments) driver-side meta
+    // I/O per query, and a schema problem in an unrelated table would
+    // fail queries that never touch it
+    val referenced = referencedTables(stmt, sess)
+    store.allTables()
+      .filter(t => referenced.contains(t.toLowerCase(java.util.Locale.ROOT)))
+      .foreach { t =>
+        val all = store.loadTableAll(t, sess)
+        val scoped = if (segmentRegex == ".*") all
+          else all.where(col("segment_id").rlike(segmentRegex))
+        scoped.createOrReplaceTempView(t)
+      }
     SqliteDialect.sql(sess, stmt)
+  }
+
+  /** Table names referenced by an (already dialect-rewritten) statement,
+    * lowercased — includes subquery/CTE bodies; CTE aliases collected
+    * harmlessly (they intersect with nothing in the store). */
+  private def referencedTables(stmt: String, sess: SparkSession): Set[String] = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(sess)
+    try sess.sessionState.sqlParser.parsePlan(stmt).collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    finally prev.foreach(SparkSession.setActiveSession)
   }
 
   /** Streaming JSON result shape, byte-compatible with the reference's

@@ -63,6 +63,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     })
 
   private def stage(table: String, meta: TableMeta, df: DataFrame): Unit = {
+    // reject reserved columns at stage time — every CREATE/ALTER path
+    // funnels through here, and commit-phase failures are the wrong
+    // place to discover a schema problem
+    SegmentStore.requireNoReservedColumns(meta)
     working(table) = (meta, df)
     dirty += table
   }

@@ -101,6 +101,12 @@ object EventStreams {
           } else {
             val ts = rows.map(_._2).toSeq.sorted
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            // Events so late their session closed before the open one
+            // began (t < start - gap) are collected here and sessionized
+            // among THEMSELVES below — emitting each as a singleton
+            // would split one late session into N when several related
+            // late events share a batch.
+            val stale = scala.collection.mutable.ArrayBuffer[Long]()
             var cur: Option[SessionState] = state.getOption
             ts.foreach { t =>
               cur match {
@@ -112,10 +118,7 @@ object EventStreams {
                 // watermark delay even t < s.start - gap. Every branch
                 // must tolerate that.
                 case Some(s) if t < s.start - gapMs =>
-                  // so late its session closed before the current one
-                  // began: emit as its own already-closed session
-                  // rather than corrupting the open session's bounds
-                  out += SessionOut(userId, t, t, 1)
+                  stale += t
                 case Some(s) if t - s.last <= gapMs =>
                   // merge; max/min (not `last = t`) so a late in-gap
                   // event can't REGRESS the session end — that bug
@@ -128,6 +131,39 @@ object EventStreams {
                   cur = Some(SessionState(t, t, 1))
               }
             }
+            // A later in-gap merge can move the open session's start
+            // backwards, pulling an earlier "stale" event back into
+            // range — re-merge until stable before declaring anything
+            // truly stale.
+            var pending = stale.toList.sorted.reverse // nearest-first
+            var changed = true
+            while (changed) {
+              changed = false
+              pending = pending.filter { t =>
+                cur match {
+                  case Some(s) if t >= s.start - gapMs =>
+                    cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                    changed = true
+                    false
+                  case _ => true
+                }
+              }
+            }
+            // gap-sessionize the remaining stale events (ascending): all
+            // are > gap before the open session's start, so every stale
+            // session is closed by construction and emitted immediately
+            var st: Option[SessionState] = None
+            pending.reverse.foreach { t =>
+              st match {
+                case Some(x) if t - x.last <= gapMs =>
+                  st = Some(SessionState(x.start, math.max(x.last, t), x.n + 1))
+                case Some(x) =>
+                  out += SessionOut(userId, x.start, x.last, x.n)
+                  st = Some(SessionState(t, t, 1))
+                case None => st = Some(SessionState(t, t, 1))
+              }
+            }
+            st.foreach(x => out += SessionOut(userId, x.start, x.last, x.n))
             cur match {
               case Some(s) if streaming =>
                 state.update(s)

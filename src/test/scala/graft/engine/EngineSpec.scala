@@ -285,6 +285,24 @@ class EngineSpec extends SparkSpecBase {
       == "[{\"y\":7}]\n")
   }
 
+  test("layout-hostile names are clean errors: '_'-prefixed tables, segment_id column") {
+    engine.provisionWritable("seg-names")
+    // a '_'/'.'-prefixed table would be writable but invisible to scans
+    // (hidden-file filter) — must be rejected up front, not half-created
+    val e1 = intercept[Exception](
+      engine.write("seg-names", "CREATE TABLE _audit (x INTEGER);"))
+    assert(e1.getMessage.contains("not supported by the table-major layout"), e1.getMessage)
+    assert(engine.store.tables("seg-names").isEmpty)
+    // segment_id is the cross-segment partition column
+    val e2 = intercept[Exception](
+      engine.write("seg-names", "CREATE TABLE audit (segment_id TEXT, msg TEXT);"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    assert(engine.store.tables("seg-names").isEmpty)
+    // and a failed CREATE leaves the segment fully usable
+    engine.write("seg-names", "CREATE TABLE audit (seg TEXT, msg TEXT);")
+    assert(engine.store.tables("seg-names") == Seq("audit"))
+  }
+
   test("crash mid-commit: explicit drops sequence after all swaps (nothing irrecoverable)") {
     val crashRoot = Files.createTempDirectory("graft-crash").toString
     var swaps = 0

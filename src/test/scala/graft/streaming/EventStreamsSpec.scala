@@ -144,14 +144,16 @@ class EventStreamsSpec extends SparkSpecBase {
         .collect().sortBy(s => (s.userId, s.startMs)).toSeq
       mem.addData((1L, 100L))
       query.processAllAvailable() // watermark 40s; session open at [100s, 100s]
-      // Out-of-order event more than a gap before the open session's
-      // start (50s < 100s - 10s): its session was already over before the
-      // open one began — emitted as its own closed singleton. Pre-fix the
-      // merge branch swallowed it AND regressed the session end to 50s.
-      mem.addData((1L, 50L))
+      // Out-of-order events more than a gap before the open session's
+      // start (both < 100s - 10s): their session was already over before
+      // the open one began — emitted as ONE closed session (45s and 50s
+      // are within a gap of each other; per-event singletons would split
+      // it). Pre-fix the merge branch swallowed them AND regressed the
+      // open session's end.
+      mem.addData((1L, 50L), (1L, 45L))
       query.processAllAvailable()
-      assert(emitted() == Seq(EventStreams.SessionOut(1L, 50000L, 50000L, 1)),
-        "a beyond-gap out-of-order event is its own already-closed session")
+      assert(emitted() == Seq(EventStreams.SessionOut(1L, 45000L, 50000L, 2)),
+        "beyond-gap out-of-order events sessionize among themselves")
       // Out-of-order event within the gap of the open session: merges,
       // extending the session START backwards without touching its end.
       mem.addData((1L, 95L))
