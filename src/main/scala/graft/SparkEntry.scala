@@ -620,14 +620,16 @@ object SparkEntry {
     }),
 
     // SRP-LSH bucketed similarity (the ANN scale path): compare only
-    // within sign-random-projection buckets, verify with exact cosine.
+    // within sign-random-projection buckets — multi-probing the 2
+    // nearest-boundary flips for recall — then verify with exact cosine.
     // md5-Rademacher hyperplanes are recomputable in DuckDB SQL, so the
-    // oracle independently assigns every vector's bucket and replays the
-    // bucket join + cosine verify — bucketing AND scoring hard-checked.
+    // oracle independently assigns every vector's bucket AND its probe
+    // set (same lowest-|margin| ranking) and replays the probe join +
+    // cosine verify — bucketing, probing, and scoring all hard-checked.
     "q41_embed_lsh" -> ((s, dir) => {
       import s.implicits._
       Similarity.lshBucketed(t(s, dir, "embeddings"), threshold = 0.2,
-          numPlanes = 8, dim = 64,
+          numPlanes = 8, dim = 64, multiProbe = 2,
           planesOverride = Similarity.md5RademacherPlanes(8, 64))
         .select($"id_a", $"id_b", round($"score", 6).as("score"))
         .orderBy($"id_a", $"id_b")
@@ -1108,25 +1110,36 @@ object SparkEntry {
           ELSE list_distinct(list_transform(range(1, len(hs)-8+2), s -> list_min(hs[s:s+7]))) END AS fpl
         FROM hashes)
       SELECT doc_id, unnest(fpl) AS fp FROM fps ORDER BY doc_id, fp""",
-    // Recomputes every vector's SRP bucket from the md5-Rademacher
-    // planes (+1 iff first md5 hex digit of 'srp:j:d' is odd; margin
-    // summed left-to-right exactly like the native dot product) and
-    // replays the bucket equi-join + exact cosine >= 0.2 verify.
+    // Recomputes every vector's SRP bucket AND probe set from the
+    // md5-Rademacher planes (+1 iff first md5 hex digit of 'srp:j:d' is
+    // odd; margins summed left-to-right exactly like the native dot
+    // product; probes = flips of the 2 lowest-|margin| bits, ties by
+    // plane index like Spark's struct array_sort), then replays the
+    // probe join + exact cosine >= 0.2 verify.
     "q41_embed_lsh" -> """
       WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v0
             WHERE sqrt(list_dot_product(v, v)) > 0),
-      b AS (SELECT id, v, nrm,
-          list_sum(list_transform(range(0, 8), j ->
-            CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+      m AS (SELECT id, v, nrm,
+          list_transform(range(0, 8), j ->
+            list_reduce(list_transform(range(1, 65), d ->
               CASE WHEN (strpos('0123456789abcdef',
                            substring(md5('srp:' || j || ':' || (d-1)), 1, 1)) - 1) % 2 = 1
-                THEN v[d] ELSE -v[d] END), (a, x) -> a + x) >= 0
-            THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
-        FROM n)
+                THEN v[d] ELSE -v[d] END), (a, x) -> a + x)) AS marg
+        FROM n),
+      b AS (SELECT id, v, nrm, marg,
+          list_sum(list_transform(range(0, 8), j ->
+            CASE WHEN marg[j+1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
+        FROM m),
+      p AS (SELECT id, v, nrm, bucket,
+          [bucket] || list_transform(
+            list_sort(list_transform(range(0, 8), j -> {'m': abs(marg[j+1]), 'j': j}))[1:2],
+            s -> xor(bucket, 1::BIGINT << s.j)) AS probes
+        FROM b)
       SELECT a.id AS id_a, b2.id AS id_b,
         round(list_dot_product(a.v, b2.v)/(a.nrm*b2.nrm), 6) AS score
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+      FROM p a JOIN p b2 ON a.id < b2.id
+        AND (list_contains(a.probes, b2.bucket) OR list_contains(b2.probes, a.bucket))
       WHERE list_dot_product(a.v, b2.v)/(a.nrm*b2.nrm) >= 0.2
       ORDER BY id_a, id_b""",
     "q42_sessionize" -> """

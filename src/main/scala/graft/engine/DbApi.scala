@@ -1,0 +1,103 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** PEP-249-shaped access facade, porting the reference's `trough.db_api`
+  * (trough/db_api.py:17-141: TroughCursor / TroughConnection / connect)
+  * minus its HTTP/rethinkdb plumbing, which dissolves into direct engine
+  * calls.
+  *
+  * Observable semantics preserved:
+  *  - `execute(sql, params)`: positional parameter splicing, then routed
+  *    to the READ path when `force == "read"` or the statement starts
+  *    with SELECT (db_api.py:95-99), else the WRITE path (which demands
+  *    the segment's write lock, like the reference's provision+post).
+  *  - `fetchall()` returns the last read's rows as column→value maps in
+  *    select-list order — the shape of `json.loads(response)`
+  *    (db_api.py:113-114); `fetchmany(size)` is a prefix slice
+  *    (db_api.py:115-116); `fetchone()` returns the FIRST row's values
+  *    (db_api.py:117-118 — the reference does not advance a row pointer;
+  *    matched, and documented as reference-faithful rather than
+  *    DB-API-faithful).
+  *  - `executemany`/`executescript` require all statements to be of one
+  *    kind (SELECT vs write) and run them as one request
+  *    (db_api.py:100-107 — the reference's own implementation of the
+  *    check crashes on mixed input; the documented INTENT is enforced
+  *    here with a clean error).
+  *  - `commit()`/`close()` are no-ops: every write request is already
+  *    one atomic transaction (write.py:33-40).
+  *
+  * Documented deviation: parameters render through [[SqlValue.render]]
+  * (the client's `sql_value`, client.py:110-131) rather than python
+  * `repr()` (db_api.py:95) — `repr` produces invalid SQL for `None` and
+  * misquotes embedded quotes; sql_value is the reference's own canonical
+  * renderer everywhere else.
+  */
+object DbApi {
+
+  def connect(engine: TroughEngine, segmentId: String): Connection =
+    new Connection(engine, segmentId)
+
+  final class Connection(engine: TroughEngine, segmentId: String) {
+    def cursor(): Cursor = new Cursor(engine, segmentId)
+    def execute(sql: String, params: Seq[Any] = Seq.empty): Cursor = {
+      val c = cursor()
+      c.execute(sql, params)
+      c
+    }
+    def executemany(script: String): Cursor = {
+      val c = cursor()
+      c.executemany(script)
+      c
+    }
+    def executescript(script: String): Cursor = executemany(script)
+    def commit(): Unit = ()
+    def close(): Unit = ()
+  }
+
+  final class Cursor(engine: TroughEngine, segmentId: String) {
+    private var lastResults: Seq[ListMap[String, Any]] = null
+
+    private def isSelect(stmt: String): Boolean =
+      stmt.trim.take(6).equalsIgnoreCase("select")
+
+    /** Route one statement (with `%s` params spliced) to read or write. */
+    def execute(sql: String, params: Seq[Any] = Seq.empty, force: String = null): Unit = {
+      val query = if (params.isEmpty) sql else SqlValue.template(sql, params)
+      if (force == "read" || (force == null && isSelect(query))) {
+        val df = engine.read(segmentId, query)
+        val schema = df.schema
+        lastResults = df.collect().toSeq.map { row =>
+          ListMap(schema.fields.zipWithIndex.map { case (f, i) =>
+            f.name -> JsonShape.plainValue(if (row.isNullAt(i)) null else row.get(i))
+          }: _*)
+        }
+      } else {
+        engine.write(segmentId, query)
+        lastResults = null // the reference clears results on write (db_api.py:93)
+      }
+    }
+
+    /** All statements must be one kind — SELECTs run as a fanout-free
+      * single read each (results of the LAST one are retained, like a
+      * sqlite3 script), writes run as ONE atomic script. */
+    def executemany(script: String): Unit = {
+      val stmts = SqlScript.split(script)
+      require(stmts.nonEmpty, "no statements given")
+      val kinds = stmts.map(isSelect).toSet
+      require(kinds.size == 1,
+        "Queries passed to executemany() must be exclusively SELECT or non-SELECT queries.")
+      if (kinds.head) stmts.foreach(s => execute(s, force = "read"))
+      else engine.write(segmentId, script)
+    }
+
+    def executescript(script: String): Unit = executemany(script)
+
+    def fetchall(): Seq[ListMap[String, Any]] = lastResults
+    def fetchmany(size: Int = 100): Seq[ListMap[String, Any]] = lastResults.take(size)
+    /** First row's VALUES in select-list order (reference shape —
+      * db_api.py:117-118 — which never advances; see class doc). */
+    def fetchone(): Seq[Any] = lastResults.head.values.toSeq
+    def close(): Unit = ()
+  }
+}

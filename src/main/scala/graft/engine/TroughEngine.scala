@@ -299,17 +299,7 @@ object JsonShape {
     // leaving a truncated response with no closing bracket (read.py:47-49
     // logs and stops). Documented deviation: raise a clean error instead
     // of reproducing the malformed stream.
-    case b: Array[Byte] =>
-      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-      try str(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
-      catch {
-        case e: java.nio.charset.CharacterCodingException =>
-          throw new IllegalArgumentException(
-            "cannot serialize BLOB value: not valid UTF-8 (the reference's " +
-              "ujson serializer aborts the response stream here)", e)
-      }
+    case b: Array[Byte] => str(blobUtf8(b))
     case d: java.math.BigDecimal => d.toPlainString
     case t: java.sql.Timestamp => str(t.toLocalDateTime.toString.replace('T', ' '))
     case d: java.sql.Date => str(d.toString)
@@ -317,6 +307,44 @@ object JsonShape {
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, mv) => str(k.toString) + ":" + value(mv) }.mkString("{", ",", "}")
     case r: Row => rowJson(r, r.schema)
+    case other => other.toString
+  }
+
+  private def blobUtf8(b: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          "cannot serialize BLOB value: not valid UTF-8 (the reference's " +
+            "ujson serializer aborts the response stream here)", e)
+    }
+  }
+
+  /** The JVM-side equivalent of `json.loads` over [[value]]'s output:
+    * JSON scalar types with the same rendering rules (integers as Long,
+    * reals as Double, UTF-8-decoded BLOBs, space-separated timestamp
+    * strings). The db_api facade returns these — its reference parses
+    * the read response back into dicts (db_api.py:52). */
+  def plainValue(v: Any): Any = v match {
+    case null => null
+    case s: String => s
+    case b: Boolean => b
+    case b: Array[Byte] => blobUtf8(b)
+    case t: java.sql.Timestamp => t.toLocalDateTime.toString.replace('T', ' ')
+    case d: java.sql.Date => d.toString
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case f: Float => f.toDouble
+    case d: Double => d
+    case d: java.math.BigDecimal => d
+    case seq: scala.collection.Seq[_] => seq.map(plainValue)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => k.toString -> plainValue(mv) }
     case other => other.toString
   }
 
