@@ -187,6 +187,27 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the incremental analog of
+    * [[graft.pipeline.Dedup.exact]]: drop rows whose dedup key was
+    * already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). State is bounded by the horizon
+    * × key cardinality, NOT stream length — the property that makes
+    * continuous dedup viable on an unbounded 100 TB/day ingest stream;
+    * a key recurring after the horizon passes is treated as new (the
+    * batch `Dedup.exact` over the landed corpus is the exhaustive
+    * backstop, same pairing as q29→q30). Works identically for batch
+    * DataFrames (exact distinct-by-key). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "dedup needs at least one key column")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+  }
+
   /** The promotion-flush analog (reference dirty-segment promoter,
     * client.py:71-97): stream micro-batches landed durably via
     * foreachBatch. Idempotent per batch id — each micro-batch writes

@@ -168,6 +168,28 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark: duplicates inside the horizon drop, state expires past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (content_hash, epoch seconds)
+    val ds = mem.toDF().toDF("content_hash", "sec")
+      .select(col("content_hash"), timestamp_seconds(col("sec")).as("ts"))
+    val query = EventStreams.dedupWithinWatermark(ds, Seq("content_hash"), "30 seconds")
+      .writeStream.format("memory").queryName("dd_stream").outputMode("append").start()
+    try {
+      def n() = spark.sql("SELECT count(*) FROM dd_stream").collect()(0).getLong(0)
+      mem.addData((7L, 100L), (7L, 110L), (8L, 105L))
+      query.processAllAvailable()
+      assert(n() == 2, "duplicate key within the horizon must be dropped")
+      // push the watermark far past 110s + 30s so key 7's state expires
+      mem.addData((9L, 1000L))
+      query.processAllAvailable()
+      mem.addData((7L, 1010L)) // same key, new epoch: state expired → emits
+      query.processAllAvailable()
+      assert(n() == 4, "a key recurring after the horizon is new again")
+    } finally query.stop()
+  }
+
   test("flushToParquet: foreachBatch lands micro-batches durably (promoter analog)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
