@@ -497,6 +497,22 @@ class EngineSpec extends SparkSpecBase {
     (0 until 120).foreach(i => engine.releaseWriteLock(f"scale-$i%03d"))
   }
 
+  test("in-flight prepare is invisible to cross-segment scans (hidden staging dirs)") {
+    import spark.implicits._
+    engine.provisionWritable("seg-iso")
+    engine.write("seg-iso", "CREATE TABLE it (x INTEGER); INSERT INTO it (x) VALUES (1);")
+    // phase 1 only: staged parquet sits in ._tmp_<seg>, which Spark's
+    // hidden-file filter keeps out of every listing — a concurrent
+    // whole-table scan must see exactly the committed state
+    engine.store.prepareTableData("seg-iso", "it", Seq(2L, 3L).toDF("x"))
+    val rows = engine.readAll("SELECT x FROM it;", "^seg-iso$").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+      "staged-but-unswapped data leaked into a scan")
+    engine.store.swapPreparedData("seg-iso", "it")
+    assert(engine.readAll("SELECT count(*) AS n FROM it;", "^seg-iso$")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   // ----------------------------------------------------------- shell (A22/23)
 
   test("SHOW TABLES / SHOW CREATE TABLE / SHOW SCHEMAS / SHOW SEGMENTS") {
