@@ -743,7 +743,19 @@ object SparkEntry {
     "q50_sqlite_total_glob" -> ((s, dir) => sqliteSql(s, dir, Seq("supplier"),
       "SELECT s_nationkey AS nk, total(s_suppkey) AS tot, count(*) AS n " +
         "FROM supplier WHERE s_name NOT GLOB '*[05]' " +
-        "GROUP BY s_nationkey ORDER BY nk"))
+        "GROUP BY s_nationkey ORDER BY nk")),
+
+    // WITH RECURSIVE — SQLite supports it and Spark 4 executes it
+    // natively (UnionLoop), so SURVEY §2.B's one "no Spark equivalent"
+    // note is closed: recursive month series joined against orders.
+    "q51_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q51")
+      s.sql("""WITH RECURSIVE m(mn) AS (
+          SELECT 1 UNION ALL SELECT mn + 1 FROM m WHERE mn < 12)
+        SELECT CAST(mn AS BIGINT) AS mn, count(o_orderkey) AS n_orders
+        FROM m LEFT JOIN orders_q51 ON month(o_orderdate) = mn
+        GROUP BY mn ORDER BY mn""")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1220,6 +1232,12 @@ object SparkEntry {
     "q50_sqlite_total_glob" -> """
       SELECT s_nationkey AS nk, CAST(coalesce(sum(s_suppkey), 0) AS DOUBLE) AS tot, count(*) AS n
       FROM supplier WHERE NOT (s_name GLOB '*[05]')
-      GROUP BY s_nationkey ORDER BY nk"""
+      GROUP BY s_nationkey ORDER BY nk""",
+    "q51_recursive_cte" -> """
+      WITH RECURSIVE m(mn) AS (
+        SELECT 1 UNION ALL SELECT mn + 1 FROM m WHERE mn < 12)
+      SELECT CAST(mn AS BIGINT) AS mn, count(o_orderkey) AS n_orders
+      FROM m LEFT JOIN orders ON month(o_orderdate) = mn
+      GROUP BY mn ORDER BY mn"""
   )
 }
