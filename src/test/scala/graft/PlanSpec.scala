@@ -52,6 +52,38 @@ class PlanSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(600))
   }
 
+  test("bucketed fact-fact join plans with zero pre-join Exchange (100 TB co-location)") {
+    // SCALE.md's claim for repeated fact-fact joins: bucket both tables
+    // on the join key at write time and the shuffle disappears. Proven
+    // here: orders ⋈ lineitem on orderkey over bucketed tables must
+    // sort-merge with NO Exchange below the join (broadcast disabled to
+    // force the join shape a 100 TB fact-fact join would take).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+      Tables.load(spark, dir, "orders").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bkt")
+      Tables.load(spark, dir, "lineitem").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"),
+          spark.table("lineitem_bkt")("l_orderkey") === spark.table("orders_bkt")("o_orderkey"))
+        .select("l_quantity", "o_totalprice")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(1200)}")
+      assert("SelectedBucketsCount".r.findAllIn(plan).length == 2, plan.take(1200))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("no query plans an unintended CartesianProduct") {
     // cross joins are legitimate only where declared (q11 cross_join,
     // kNN/IVF probe joins are broadcast nested loops, never Cartesian)

@@ -212,4 +212,30 @@ class PipelineSpec extends SparkSpecBase {
     val out = df.orderBy("doc_id").collect().map(_.getString(1)).toSeq
     assert(out == Seq("en", "es", "en"))
   }
+
+  test("saltedJoin: identical results to the plain join on a hot key") {
+    import spark.implicits._
+    // hot key: 500 of 600 fact rows share key 1
+    val fact = ((1 to 500).map(i => (1L, i.toLong)) ++ (1 to 100).map(i => (2L, i.toLong)))
+      .toDF("k", "row_id")
+    val dim = Seq((1L, "hot"), (2L, "warm"), (3L, "unmatched")).toDF("dk", "label")
+    val plain = fact.join(dim, $"k" === $"dk")
+      .select($"k", $"row_id", $"label").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(fact, "k", "row_id", dim, "dk", salts = 8)
+      .select($"k", $"row_id", $"label").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 600)
+  }
+
+  test("saltedCollectList: two-phase merge equals the direct sorted collect") {
+    import spark.implicits._
+    val df = ((1 to 300).map(i => (7L, i.toLong)) ++ Seq((8L, 1L), (8L, 2L)))
+      .toDF("k", "v")
+    val direct = df.groupBy($"k").agg(array_sort(collect_list($"v")).as("v_list"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val salted = Skew.saltedCollectList(df, "k", "v", "v", salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(salted == direct)
+    assert(salted(7L) == (1L to 300L))
+  }
 }
