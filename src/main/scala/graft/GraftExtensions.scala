@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{DotProduct, Md5SimHash60, Md5WinnowFingerprints, MinHashSignature, ShingleHashes, SimHash64, WinnowFingerprints}
 
 /** Session-extensions entry point: registers the engine's native
   * Catalyst expressions at session build, so a cluster deployment can
@@ -54,6 +54,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64 takes exactly 1 argument")
         SimHash64(exprs(0))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", classOf[WinnowFingerprints]),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "winnow_fingerprints takes exactly 3 arguments")
+        WinnowFingerprints(exprs(0), exprs(1), exprs(2))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("md5_simhash60"),
+      info("md5_simhash60", classOf[Md5SimHash60]),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "md5_simhash60 takes exactly 1 argument")
+        Md5SimHash60(exprs(0))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("winnow_fingerprints_md5"),
+      info("winnow_fingerprints_md5", classOf[Md5WinnowFingerprints]),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "winnow_fingerprints_md5 takes exactly 3 arguments")
+        Md5WinnowFingerprints(exprs(0), exprs(1), exprs(2))
       }))
   }
 }

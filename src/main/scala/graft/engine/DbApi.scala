@@ -68,9 +68,8 @@ object DbApi {
         val df = engine.read(segmentId, query)
         val schema = df.schema
         lastResults = df.collect().toSeq.map { row =>
-          ListMap(schema.fields.zipWithIndex.map { case (f, i) =>
-            f.name -> JsonShape.plainValue(if (row.isNullAt(i)) null else row.get(i))
-          }: _*)
+          ListMap(JsonShape.fields(row, schema)
+            .map { case (n, v) => n -> JsonShape.plainValue(v) }: _*)
         }
       } else {
         engine.write(segmentId, query)
@@ -93,11 +92,20 @@ object DbApi {
 
     def executescript(script: String): Unit = executemany(script)
 
+    /** null after a write or before any execute — the reference's
+      * `_last_results = None` (db_api.py:93); fetchmany/fetchone demand
+      * a result set with a clean error instead of the reference's
+      * TypeError-on-None. */
     def fetchall(): Seq[ListMap[String, Any]] = lastResults
-    def fetchmany(size: Int = 100): Seq[ListMap[String, Any]] = lastResults.take(size)
+    private def results: Seq[ListMap[String, Any]] = {
+      if (lastResults == null) throw new IllegalStateException(
+        "no result set: the last statement was a write (or nothing was executed)")
+      lastResults
+    }
+    def fetchmany(size: Int = 100): Seq[ListMap[String, Any]] = results.take(size)
     /** First row's VALUES in select-list order (reference shape —
       * db_api.py:117-118 — which never advances; see class doc). */
-    def fetchone(): Seq[Any] = lastResults.head.values.toSeq
+    def fetchone(): Seq[Any] = results.head.values.toSeq
     def close(): Unit = ()
   }
 }

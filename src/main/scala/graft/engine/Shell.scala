@@ -157,21 +157,17 @@ object Shell {
 
   /** One row as a python-json.dumps-shaped object: `", "`/`": "`
     * separators flat, or indent-aware with 2-space nesting. */
-  private def rowJsonSpaced(row: Row, schema: StructType, indent: Option[Int]): String =
+  private def rowJsonSpaced(row: Row, schema: StructType, indent: Option[Int]): String = {
+    val kvs = JsonShape.fields(row, schema)
+      .map { case (n, v) => JsonShape.str(n) + ": " + JsonShape.value(v) }
     indent match {
-      case None =>
-        schema.fields.zipWithIndex.map { case (f, i) =>
-          JsonShape.str(f.name) + ": " +
-            JsonShape.value(if (row.isNullAt(i)) null else row.get(i))
-        }.mkString("{", ", ", "}")
+      case None => kvs.mkString("{", ", ", "}")
       case Some(n) =>
         val pad = " " * n
         val inner = " " * (2 * n)
-        schema.fields.zipWithIndex.map { case (f, i) =>
-          inner + JsonShape.str(f.name) + ": " +
-            JsonShape.value(if (row.isNullAt(i)) null else row.get(i))
-        }.mkString(pad + "{\n", ",\n", "\n" + pad + "}")
+        kvs.map(inner + _).mkString(pad + "{\n", ",\n", "\n" + pad + "}")
     }
+  }
 
   /** Fan-out display: per-segment result blocks with the reference's
     * banner, errors reported inline without failing other segments, total

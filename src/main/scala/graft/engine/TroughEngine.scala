@@ -277,16 +277,29 @@ class TroughEngine(
   * `ujson.dumps(dict, escape_forward_slashes=False)` with default
   * ensure_ascii=True). */
 object JsonShape {
-  def rowJson(row: Row, schema: StructType): String = {
-    val sb = new StringBuilder("{")
-    var i = 0
-    schema.fields.foreach { f =>
-      if (i > 0) sb.append(",")
-      sb.append(str(f.name)).append(":")
-      sb.append(value(if (row.isNullAt(i)) null else row.get(i)))
-      i += 1
+  /** (name, raw value | null) pairs in select-list order — the one row
+    * walk shared by the wire JSON, the shell display modes, and the
+    * db_api fetch shape (duplicate column names keep their own cells). */
+  def fields(row: Row, schema: StructType): Seq[(String, Any)] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      f.name -> (if (row.isNullAt(i)) null else row.get(i))
     }
-    sb.append("}").toString
+
+  def rowJson(row: Row, schema: StructType): String =
+    fields(row, schema)
+      .map { case (n, v) => str(n) + ":" + value(v) }
+      .mkString("{", ",", "}")
+
+  /** python str(datetime) shape: seconds ALWAYS present (Java's
+    * LocalDateTime.toString drops ':ss' at whole minutes), microseconds
+    * 6 digits only when nonzero — same gotcha SqlValue.pyIso documents,
+    * with a space separator at this boundary. */
+  private val tsSeconds =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  def tsString(t: java.sql.Timestamp): String = {
+    val ldt = t.toLocalDateTime
+    val base = ldt.format(tsSeconds)
+    if (ldt.getNano == 0) base else f"$base.${ldt.getNano / 1000}%06d"
   }
 
   def value(v: Any): String = v match {
@@ -301,7 +314,7 @@ object JsonShape {
     // of reproducing the malformed stream.
     case b: Array[Byte] => str(blobUtf8(b))
     case d: java.math.BigDecimal => d.toPlainString
-    case t: java.sql.Timestamp => str(t.toLocalDateTime.toString.replace('T', ' '))
+    case t: java.sql.Timestamp => str(tsString(t))
     case d: java.sql.Date => str(d.toString)
     case seq: scala.collection.Seq[_] => seq.map(value).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
@@ -333,7 +346,7 @@ object JsonShape {
     case s: String => s
     case b: Boolean => b
     case b: Array[Byte] => blobUtf8(b)
-    case t: java.sql.Timestamp => t.toLocalDateTime.toString.replace('T', ' ')
+    case t: java.sql.Timestamp => tsString(t)
     case d: java.sql.Date => d.toString
     case b: Byte => b.toLong
     case s: Short => s.toLong
@@ -341,7 +354,12 @@ object JsonShape {
     case l: Long => l
     case f: Float => f.toDouble
     case d: Double => d
-    case d: java.math.BigDecimal => d
+    // json.loads of [[value]]'s toPlainString: a rendering without
+    // '.'/'e' parses as an int, otherwise a float
+    case d: java.math.BigDecimal =>
+      val rendered = d.toPlainString
+      if (rendered.contains('.') || rendered.toLowerCase.contains('e')) d.doubleValue
+      else try d.longValueExact catch { case _: ArithmeticException => d.doubleValue }
     case seq: scala.collection.Seq[_] => seq.map(plainValue)
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, mv) => k.toString -> plainValue(mv) }

@@ -24,10 +24,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val row = withExt.sql(
         """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) d,
           |       size(minhash_signature(array(1L, 2L, 3L), 8)) k,
-          |       size(shingle_hashes('a b c d', 2)) s""".stripMargin).collect()(0)
+          |       size(shingle_hashes('a b c d', 2)) s,
+          |       simhash64('a b c') h,
+          |       size(winnow_fingerprints('a b c d e f g h i j', 4, 8)) w,
+          |       md5_simhash60('a b c') m,
+          |       size(winnow_fingerprints_md5('a b c d e f g h i j', 4, 8)) wm
+          |""".stripMargin).collect()(0)
       assert(row.getDouble(0) == 11.0)
       assert(row.getInt(1) == 8)
       assert(row.getInt(2) == 3)
+      assert(!row.isNullAt(3))
+      assert(row.getInt(4) > 0)
+      assert(row.getLong(5) >= 0L) // 60-bit md5 family is non-negative
+      assert(row.getInt(6) > 0)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -60,13 +60,19 @@ class PlanSpec extends SparkSpecBase {
     // force the join shape a 100 TB fact-fact join would take).
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // external tables in a fresh temp dir: a managed-table location in
+    // the default warehouse would survive a killed JVM while the
+    // in-memory catalog forgot it, wedging every later run's saveAsTable
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed")
     try {
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
       Tables.load(spark, dir, "orders").write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bkt")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", loc.resolve("orders_bkt").toString).saveAsTable("orders_bkt")
       Tables.load(spark, dir, "lineitem").write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", loc.resolve("lineitem_bkt").toString).saveAsTable("lineitem_bkt")
       val joined = spark.table("lineitem_bkt")
         .join(spark.table("orders_bkt"),
           spark.table("lineitem_bkt")("l_orderkey") === spark.table("orders_bkt")("o_orderkey"))

@@ -355,6 +355,19 @@ class EngineSpec extends SparkSpecBase {
     assert(e.getMessage.contains("not valid UTF-8"), e.getMessage)
   }
 
+  test("JSON boundary: whole-minute timestamps keep :ss; decimals parse like json.loads") {
+    // Java's LocalDateTime.toString drops ':00' at whole minutes; the
+    // reference (python str(datetime)) never does
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    assert(JsonShape.value(ts) == "\"2024-01-01 12:00:00\"")
+    assert(JsonShape.plainValue(ts) == "2024-01-01 12:00:00")
+    val tsMicros = java.sql.Timestamp.valueOf("2024-01-01 12:00:00.25")
+    assert(JsonShape.value(tsMicros) == "\"2024-01-01 12:00:00.250000\"")
+    // plainValue = json.loads of value's rendering: '.'-free → int
+    assert(JsonShape.plainValue(new java.math.BigDecimal("1.5")) == 1.5d)
+    assert(JsonShape.plainValue(new java.math.BigDecimal("42")) == 42L)
+  }
+
   test("INSERT OR REPLACE / OR IGNORE honor the primary key") {
     engine.provisionWritable("seg-upsert")
     engine.write("seg-upsert", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
