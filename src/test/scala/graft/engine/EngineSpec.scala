@@ -449,6 +449,30 @@ class EngineSpec extends SparkSpecBase {
     intercept[IllegalStateException](engine.provisionWritable("cold-seg1"))
   }
 
+  test("cold tier: per-segment reads route to it; readAll unions hot+cold tiers") {
+    val hotRoot = Files.createTempDirectory("graft-hot").toString
+    val coldRoot = Files.createTempDirectory("graft-cold").toString
+    // seed the cold tier through a staging store that treats it as hot —
+    // the promotion-to-cold pipeline's effect, without the pipeline
+    val seeder = new TroughEngine(spark,
+      new SegmentStore(spark, coldRoot), new SchemaRegistry)
+    seeder.provisionWritable("cold-2019")
+    seeder.write("cold-2019", "CREATE TABLE ev (x INTEGER); INSERT INTO ev (x) VALUES (1);")
+    // the serving engine: hot root + cold routing by id prefix
+    val eng = new TroughEngine(spark,
+      new SegmentStore(spark, hotRoot, Some(coldRoot), _.startsWith("cold")),
+      new SchemaRegistry)
+    eng.provisionWritable("warm-2024")
+    eng.write("warm-2024", "CREATE TABLE ev (x INTEGER); INSERT INTO ev (x) VALUES (2);")
+    assert(eng.resultJson(eng.read("cold-2019", "SELECT x FROM ev;")) == "[{\"x\":1}]\n")
+    val rows = eng.readAll("SELECT segment_id, x FROM ev ORDER BY segment_id;").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("cold-2019", 1L), ("warm-2024", 2L)))
+    intercept[IllegalStateException](eng.provisionWritable("cold-2019"))
+    intercept[IllegalStateException](
+      eng.write("cold-2019", "INSERT INTO ev (x) VALUES (9);"))
+  }
+
   // ---------------------------------------------------- fan-out + discovery
 
   test("segment discovery by regex (client.py:171-218)") {

@@ -168,6 +168,34 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("statefulSessions: a later in-gap merge pulls an earlier 'stale' event back into range") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ds = mem.toDF().toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+      .withWatermark("ts", "60 seconds")
+    val query = EventStreams.statefulSessions(ds, gapMs = 10000L)
+      .writeStream.format("memory").queryName("ss_pull").outputMode("append").start()
+    try {
+      mem.addData((1L, 100L))
+      query.processAllAvailable() // state [100s,100s], watermark 40s
+      // one batch delivers 85s then 95s: 85s is beyond-gap vs start=100s,
+      // but 95s merges and extends start to 95s — which brings 85s
+      // (>= 95s - 10s) into range. Correct result: ONE session, not a
+      // stale singleton plus a merged pair.
+      mem.addData((1L, 85L), (1L, 95L))
+      query.processAllAvailable()
+      mem.addData((1L, 300L)) // gap-close
+      query.processAllAvailable()
+      val out = spark.sql("SELECT * FROM ss_pull").as[EventStreams.SessionOut]
+        .collect().toSeq
+      assert(out.contains(EventStreams.SessionOut(1L, 85000L, 100000L, 3)), out.toString)
+      assert(!out.exists(s => s.nEvents == 1 && s.startMs == 85000L),
+        s"85s must not emit as a stale singleton: $out")
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark: duplicates inside the horizon drop, state expires past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
