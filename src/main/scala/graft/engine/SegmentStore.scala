@@ -224,6 +224,42 @@ class SegmentStore(
     dstFinal.toString
   }
 
+  /** Inverse of [[promote]]: restore a segment-major export
+    * (`<seg>/<table>/{meta.json,data/}`) back into the table-major
+    * store — the reference's local-sync pull from HDFS
+    * (copy_segment_from_hdfs, sync.py:803-817). Table by table through
+    * the same staged-swap commit as writes (file copy into the hidden
+    * staging dir, then rename + meta), so a crash mid-import never
+    * corrupts a previously-live table. Existing same-named tables are
+    * replaced; tables absent from the export are left untouched. */
+  def importSegment(segmentId: String, durableRoot: String): Unit = {
+    if (isCold(segmentId))
+      throw new IllegalStateException(
+        s"cannot import segment $segmentId: cold storage is read-only")
+    val src = Paths.get(durableRoot, segmentId)
+    require(Files.isDirectory(src), s"no exported segment at $src")
+    require(SegmentStore.SegmentIdPattern.matches(segmentId),
+      s"segment id '$segmentId' must match ${SegmentStore.SegmentIdPattern}")
+    if (!segmentExists(segmentId)) {
+      Files.createDirectories(marker(segmentId).getParent)
+      Files.writeString(marker(segmentId), "")
+    }
+    val root = tierRoot(segmentId)
+    val stream = Files.list(src)
+    val tableDirs =
+      try stream.iterator.asScala.filter(isTableDir).toSeq
+      finally stream.close()
+    tableDirs.foreach { td =>
+      val table = td.getFileName.toString
+      val meta = readMeta(td.resolve("meta.json"))
+      Files.createDirectories(tableRoot(root, table))
+      val tmp = tmpDir(root, segmentId, table)
+      if (Files.exists(tmp)) deleteRecursively(tmp)
+      copyRecursively(td.resolve("data"), tmp)
+      swapPreparedData(segmentId, table, Some(meta))
+    }
+  }
+
   // ----------------------------------------------------------------- tables
 
   /** Visible tables of a segment. Visibility is keyed on the meta file,

@@ -435,6 +435,27 @@ class EngineSpec extends SparkSpecBase {
     assert(!Files.exists(java.nio.file.Paths.get(durable, "seg-promote._COPYING_")))
   }
 
+  test("promote → shred → importSegment restores the identical segment (sync pull analog)") {
+    engine.provisionWritable("seg-restore")
+    engine.write("seg-restore",
+      """CREATE TABLE a (id INTEGER PRIMARY KEY, v TEXT); CREATE TABLE b (x INTEGER);
+         INSERT INTO a (id, v) VALUES (1, 'one'), (2, 'two'); INSERT INTO b (x) VALUES (9);""")
+    val before = engine.resultJson(engine.read("seg-restore", "SELECT * FROM a ORDER BY id;"))
+    engine.promote("seg-restore", durable)
+    engine.releaseWriteLock("seg-restore")
+    engine.deleteSegment("seg-restore")
+    assert(!engine.store.segmentExists("seg-restore"))
+    engine.store.importSegment("seg-restore", durable)
+    assert(engine.store.tables("seg-restore") == Seq("a", "b"))
+    assert(engine.resultJson(engine.read("seg-restore", "SELECT * FROM a ORDER BY id;")) == before)
+    assert(engine.resultJson(engine.read("seg-restore", "SELECT x FROM b;")) == "[{\"x\":9}]\n")
+    // restored meta keeps pk/autoincrement: a new write continues the contract
+    engine.provisionWritable("seg-restore")
+    engine.write("seg-restore", "INSERT INTO a (id, v) VALUES (3, 'three');")
+    assert(engine.resultJson(engine.read("seg-restore", "SELECT count(*) AS n FROM a;"))
+      == "[{\"n\":3}]\n")
+  }
+
   test("delete refuses while write-locked, succeeds after release (sync.py:452-456)") {
     engine.provisionWritable("seg-shred")
     engine.write("seg-shred", testDdl)
