@@ -745,6 +745,27 @@ object SparkEntry {
         "FROM supplier WHERE s_name NOT GLOB '*[05]' " +
         "GROUP BY s_nationkey ORDER BY nk")),
 
+    // GROUPS-mode window frame + EXCLUDE CURRENT ROW — the two SQLite
+    // frame features Spark's windows lack, emulated exactly:
+    // GROUPS(p,f) == RANGE(p,f) over dense_rank of the ORDER BY key
+    // (WindowCompat), EXCLUDE CURRENT ROW == frame sum − own value.
+    // The oracle recomputes the frames with a JOIN formulation
+    // (per-group sums, |Δdense_rank| <= 1 self-join) — a different
+    // algorithm agreeing row-for-row. Closes SURVEY §2.B's windows
+    // partial. Integer sums: exact on both engines.
+    "q52_window_groups_frame" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber",
+        $"l_returnflag", $"l_quantity".cast("long").as("qty"), $"l_shipdate")
+      graft.functions.WindowCompat.groupsFrameAgg(li, "frame_sum", sum($"qty"),
+          Seq($"l_returnflag"), $"l_shipdate", 1, 1)
+        .withColumn("frame_sum_excl", $"frame_sum" - $"qty")
+        .where($"l_orderkey" % 211 === 0)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          $"frame_sum", $"frame_sum_excl")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // WITH RECURSIVE — SQLite supports it and Spark 4 executes it
     // natively (UnionLoop), so SURVEY §2.B's one "no Spark equivalent"
     // note is closed: recursive month series joined against orders.
@@ -1238,6 +1259,24 @@ object SparkEntry {
         SELECT 1 UNION ALL SELECT mn + 1 FROM m WHERE mn < 12)
       SELECT CAST(mn AS BIGINT) AS mn, count(o_orderkey) AS n_orders
       FROM m LEFT JOIN orders ON month(o_orderdate) = mn
-      GROUP BY mn ORDER BY mn"""
+      GROUP BY mn ORDER BY mn""",
+    // join formulation of the GROUPS frame: per-(partition, dense_rank)
+    // group sums, then a |delta rank| <= 1 self-join — independent of
+    // any window-frame machinery
+    "q52_window_groups_frame" -> """
+      WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+          CAST(l_quantity AS BIGINT) AS qty,
+          dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_shipdate) AS dr
+        FROM lineitem),
+      g AS (SELECT l_returnflag, dr, sum(qty) AS gq FROM d GROUP BY 1, 2),
+      s AS (SELECT a.l_returnflag, a.dr, sum(b.gq) AS frame_sum
+            FROM g a JOIN g b ON a.l_returnflag = b.l_returnflag AND abs(a.dr - b.dr) <= 1
+            GROUP BY 1, 2)
+      SELECT d.l_orderkey, CAST(d.l_linenumber AS BIGINT) AS l_linenumber,
+        CAST(s.frame_sum AS BIGINT) AS frame_sum,
+        CAST(s.frame_sum - d.qty AS BIGINT) AS frame_sum_excl
+      FROM d JOIN s ON d.l_returnflag = s.l_returnflag AND d.dr = s.dr
+      WHERE d.l_orderkey % 211 = 0
+      ORDER BY l_orderkey, l_linenumber"""
   )
 }

@@ -175,6 +175,18 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(pos > 128 && pos < 384, s"suspiciously unbalanced: $pos/512 positive")
   }
 
+  test("WindowCompat.groupsFrameAgg: GROUPS(1,1) frame over hand-computed peer groups") {
+    // ORDER BY key k has peer groups: {10,10}, {20}, {30,30,30} with
+    // values 1,2 | 4 | 8,16,32. GROUPS 1 PRECEDING..1 FOLLOWING sums:
+    // group(10) rows: (1+2)+4 = 7; group(20): all = 63; group(30): 4+56 = 60
+    val df = Seq((10, 1L), (10, 2L), (20, 4L), (30, 8L), (30, 16L), (30, 32L))
+      .toDF("k", "v").withColumn("p", lit("x"))
+    val out = graft.functions.WindowCompat
+      .groupsFrameAgg(df, "fs", sum($"v"), Seq($"p"), $"k", 1, 1)
+      .orderBy($"k", $"v").collect()
+    assert(out.map(_.getAs[Long]("fs")).toSeq == Seq(7L, 7L, 63L, 60L, 60L, 60L))
+  }
+
   test("minhash similarity estimates Jaccard for near-identical sets") {
     val base = (1L to 1000L).toSeq
     val mod = base.drop(100) ++ (2001L to 2100L) // jaccard = 900/1100 ≈ 0.818
