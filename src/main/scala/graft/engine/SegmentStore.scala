@@ -3,8 +3,8 @@ package graft.engine
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType, StringType}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType, StringType}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -197,7 +197,7 @@ class SegmentStore(
     // many segments would otherwise grow this map without bound (the
     // lock's mutual exclusion is per-instance; see swapLocks scaladoc)
     swapLocks.remove(segmentId)
-    mergedSchemaCache.clear() // this segment's metas no longer contribute
+    tablePlanCache.clear() // this segment's metas no longer contribute
   }
 
   /** Durable copy of every table of a segment, with the temp-name-then-
@@ -350,7 +350,7 @@ class SegmentStore(
     val p = metaPath(tierRoot(segmentId), segmentId, table)
     Files.createDirectories(p.getParent)
     Files.writeString(p, root.toString)
-    mergedSchemaCache.remove(table) // schema may have widened
+    tablePlanCache.remove(table) // schema may have widened
   }
 
   /** Read one segment's slice of a table; explicit schema from the meta
@@ -386,29 +386,97 @@ class SegmentStore(
     * Schema = the union of every segment's meta schema (fields added by
     * per-segment ALTERs read as null elsewhere — same semantics as the
     * previous unionByName(allowMissingColumns) form, without its N-way
-    * plan). First-seen field type wins on cross-segment conflicts. */
+    * plan).
+    *
+    * Cross-segment type conflicts (legal — each segment owns its schema,
+    * so one segment may CREATE a column INTEGER and another TEXT) can't
+    * be served by forcing one physical read schema onto every segment's
+    * parquet: the conversion fails at execution. Instead segments are
+    * grouped by their declared types for the conflicting columns, each
+    * group scanned with its own physical schema, the conflict columns
+    * cast to a widened type (LONG+DOUBLE → DOUBLE, anything else →
+    * STRING — the coercion the old unionByName form applied), and the
+    * groups unioned. The common no-conflict case stays one relation per
+    * tier, so partition pruning and plan size are unaffected. */
   def loadTableAll(table: String, session: SparkSession = spark): DataFrame = {
-    val roots = tierRoots.filter(r =>
-      Files.isDirectory(tableRoot(r, table)) && metaCount(tableRoot(r, table)) > 0)
-    require(roots.nonEmpty, s"no such table in any segment: $table")
-    // the merged schema folds EVERY segment's meta file — O(segments)
+    // the plan folds EVERY segment's meta file — O(segments)
     // reads+parses — so it's cached per table and invalidated on DDL
     // (writeMeta/dropTable/deleteSegment). Sound in-process because the
     // engine's single-writer locks route all DDL through this store.
-    val merged = mergedSchemaCache.computeIfAbsent(table, _ =>
-      roots.flatMap(r => listMetaFiles(tableRoot(r, table)))
-        .map(readMeta).map(_.schema).reduce(mergeSchemas))
-    roots.map { root =>
+    val plan = tablePlanCache.computeIfAbsent(table, _ => buildTablePlan(table))
+    val part = StructField("segment_id", StringType, nullable = true)
+    plan.groups.map { g =>
       // explicit schema: data fields + the partition column, so the
       // partition value type is never inferred and empty tables resolve
-      session.read
-        .schema(StructType(merged.fields :+ StructField("segment_id", StringType, nullable = true)))
-        .parquet(tableRoot(root, table).toString)
+      val df = session.read
+        .option("basePath", g.basePath.toString)
+        .schema(StructType(g.readSchema.fields :+ part))
+        .parquet(g.paths.map(_.toString): _*)
+      if (g.readSchema == plan.widened) df
+      else df.select(plan.widened.fields.map(f =>
+        functions.col(f.name).cast(f.dataType)) :+ functions.col("segment_id"): _*)
     }.reduce(_.unionByName(_))
   }
 
-  private val mergedSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private final case class ScanGroup(basePath: Path, paths: Seq[Path], readSchema: StructType)
+  private final case class TablePlan(widened: StructType, groups: Seq[ScanGroup])
+
+  private def buildTablePlan(table: String): TablePlan = {
+    val roots = tierRoots.filter(r =>
+      Files.isDirectory(tableRoot(r, table)) && metaCount(tableRoot(r, table)) > 0)
+    require(roots.nonEmpty, s"no such table in any segment: $table")
+    // (tier table root, segment partition dir, declared schema) per segment
+    val metas: Seq[(Path, Path, StructType)] = roots.flatMap { r =>
+      val tr = tableRoot(r, table)
+      listMetaFiles(tr).map { m =>
+        val seg = m.getFileName.toString.stripSuffix(".json")
+        (tr, tr.resolve(s"segment_id=$seg"), readMeta(m).schema)
+      }
+    }
+    val widened = metas.map(_._3).reduce(widenSchemas)
+    val conflictCols: Set[String] = widened.fieldNames.filter { n =>
+      metas.flatMap(_._3.fields.find(_.name == n)).map(_.dataType).distinct.size > 1
+    }.toSet
+    if (conflictCols.isEmpty)
+      TablePlan(widened,
+        roots.map(r => ScanGroup(tableRoot(r, table), Seq(tableRoot(r, table)), widened)))
+    else {
+      // Group by (tier, declared type per conflict column). A segment
+      // lacking a conflict column entirely reads it as null under any
+      // type, so absent joins the widened-type signature.
+      val groups = metas
+        .groupBy { case (tr, _, s) =>
+          (tr, conflictCols.toSeq.sorted.map(c => s.fields.find(_.name == c).map(_.dataType)))
+        }
+        .toSeq.sortBy { case (_, ms) => ms.head._2.toString } // deterministic plan order
+        .flatMap { case ((tr, _), ms) =>
+          val sig: Map[String, DataType] =
+            ms.head._3.fields.filter(f => conflictCols.contains(f.name))
+              .map(f => f.name -> f.dataType).toMap
+          val readSchema = StructType(widened.fields.map(f =>
+            sig.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+          // a segment CREATEd in-transaction may have a meta but no data
+          // dir yet; explicit-path reads require the dir to exist
+          val dirs = ms.map(_._2).filter(Files.isDirectory(_))
+          if (dirs.isEmpty) None else Some(ScanGroup(tr, dirs, readSchema))
+        }
+      TablePlan(widened, groups)
+    }
+  }
+
+  /** Widened cross-segment type: the only numeric pair the DDL type map
+    * produces (SqliteDdl: LONG/DOUBLE/STRING/BINARY) widens numerically;
+    * every other mismatch goes to STRING, which every type casts to —
+    * matching SQLite's text affinity for mixed-type columns. */
+  private def widenType(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else (a, b) match {
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case _ => StringType
+    }
+
+  private val tablePlanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TablePlan]()
 
   private def listMetaFiles(tableDir: Path): Seq[Path] = {
     val m = tableDir.resolve("_meta")
@@ -421,8 +489,15 @@ class SegmentStore(
     }
   }
 
-  private def mergeSchemas(a: StructType, b: StructType): StructType =
-    StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+  private def widenSchemas(a: StructType, b: StructType): StructType =
+    StructType(
+      a.fields.map { f =>
+        b.fields.find(_.name == f.name) match {
+          case Some(g) if g.dataType != f.dataType =>
+            f.copy(dataType = widenType(f.dataType, g.dataType))
+          case _ => f
+        }
+      } ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
 
   /** Atomically replace a table's data: write to a hidden staging dir,
     * then swap directories. Segments are small by design (reference
@@ -481,7 +556,7 @@ class SegmentStore(
     Seq(liveDir(root, segmentId, table), tmpDir(root, segmentId, table),
       oldDir(root, segmentId, table)).foreach(deleteRecursively)
     Files.deleteIfExists(metaPath(root, segmentId, table))
-    mergedSchemaCache.remove(table)
+    tablePlanCache.remove(table)
   }
 
   // ------------------------------------------------------------------ utils

@@ -529,6 +529,36 @@ class EngineSpec extends SparkSpecBase {
     assert(rows == Seq(("uniA", 1L), ("uniB", 2L)))
   }
 
+  test("readAll: cross-segment type conflict widens instead of failing the scan") {
+    // each segment owns its schema, so the same column may be CREATEd
+    // INTEGER in one segment and TEXT in another. Forcing one merged
+    // read schema onto every segment's parquet fails at execution
+    // (parquet can't convert int64 -> string in-scan); the store must
+    // group segments by declared type and cast to the widened type.
+    engine.schemas.put("conf-int", "CREATE TABLE cft (k INTEGER PRIMARY KEY, v INTEGER);")
+    engine.schemas.put("conf-txt", "CREATE TABLE cft (k INTEGER PRIMARY KEY, v TEXT);")
+    engine.schemas.put("conf-real", "CREATE TABLE cfr (k INTEGER PRIMARY KEY, v REAL);")
+    engine.provisionWritable("confA", "conf-int")
+    engine.provisionWritable("confB", "conf-txt")
+    engine.write("confA", "INSERT INTO cft (k, v) VALUES (1, 5);")
+    engine.write("confB", "INSERT INTO cft (k, v) VALUES (1, 'five');")
+    val rows = engine.readAll("SELECT segment_id, v FROM cft ORDER BY segment_id;", "^conf")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // long 5 coerces to '5' — the same result the old per-segment
+    // unionByName(allowMissingColumns) coercion produced
+    assert(rows == Seq(("confA", "5"), ("confB", "five")))
+    // numeric pair widens numerically, not to text
+    engine.provisionWritable("confC", "conf-real")
+    engine.schemas.put("conf-int2", "CREATE TABLE cfr (k INTEGER PRIMARY KEY, v INTEGER);")
+    engine.provisionWritable("confD", "conf-int2")
+    engine.write("confC", "INSERT INTO cfr (k, v) VALUES (1, 1.5);")
+    engine.write("confD", "INSERT INTO cfr (k, v) VALUES (1, 2);")
+    val nums = engine.readAll("SELECT v FROM cfr ORDER BY v;", "^conf")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(nums == Seq(1.5, 2.0))
+    Seq("confA", "confB", "confC", "confD").foreach(engine.releaseWriteLock)
+  }
+
   test("readAll at segment scale: one FileScan per table, segment regex as partition filter") {
     // 120 provisioned segments, data in three — the table-major layout
     // must plan ONE pruned scan per table regardless of segment count
