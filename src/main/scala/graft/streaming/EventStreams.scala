@@ -99,71 +99,39 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionOut(userId, s.start, s.last, s.n))
           } else {
-            val ts = rows.map(_._2).toSeq.sorted
+            // Sessionize the restored open session (an interval item)
+            // and this batch's events (point items) in ONE sorted
+            // interval-merge pass. Spark drops rows strictly below the
+            // watermark before this operator, but the watermark lags the
+            // state by a batch (it is computed from the PREVIOUS batch's
+            // max event time), so rows still arrive out of order w.r.t.
+            // the restored state — in-gap behind it, or even more than a
+            // gap before its start. Sorting state+events together by
+            // start handles every such ordering uniformly: a late event
+            // merges into whichever session it gap-touches — including
+            // one that CLOSES later in this same pass — or forms its
+            // own. (The previous two-phase stale-event re-merge only
+            // reconsidered late events against the still-open session,
+            // so a late event whose session closed within the same batch
+            // was wrongly emitted as a singleton, splitting the session.)
+            val items = (state.getOption.toSeq ++ rows.map { case (_, t) => SessionState(t, t, 1) })
+              .sortBy(s => (s.start, s.last))
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            // Events so late their session closed before the open one
-            // began (t < start - gap) are collected here and sessionized
-            // among THEMSELVES below — emitting each as a singleton
-            // would split one late session into N when several related
-            // late events share a batch.
-            val stale = scala.collection.mutable.ArrayBuffer[Long]()
-            var cur: Option[SessionState] = state.getOption
-            ts.foreach { t =>
+            var cur: Option[SessionState] = None
+            items.foreach { s =>
               cur match {
-                // Spark drops rows strictly below the watermark before
-                // this operator, but the watermark lags the state by a
-                // batch (it is computed from the PREVIOUS batch's max
-                // event time), so rows still arrive out of order w.r.t.
-                // the restored state: t < s.last, and under a long
-                // watermark delay even t < s.start - gap. Every branch
-                // must tolerate that.
-                case Some(s) if t < s.start - gapMs =>
-                  stale += t
-                case Some(s) if t - s.last <= gapMs =>
-                  // merge; max/min (not `last = t`) so a late in-gap
-                  // event can't REGRESS the session end — that bug
-                  // shrank sessions and poisoned the next gap check
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  out += SessionOut(userId, s.start, s.last, s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+                // sorted by start, so s.start >= c.start and the gap
+                // check against c.last is the full merge condition (an
+                // item inside the current interval has s.start - c.last
+                // <= 0); max() so a contained item can't REGRESS the end
+                case Some(c) if s.start - c.last <= gapMs =>
+                  cur = Some(SessionState(c.start, math.max(c.last, s.last), c.n + s.n))
+                case Some(c) =>
+                  out += SessionOut(userId, c.start, c.last, c.n)
+                  cur = Some(s)
+                case None => cur = Some(s)
               }
             }
-            // A later in-gap merge can move the open session's start
-            // backwards, pulling an earlier "stale" event back into
-            // range — re-merge until stable before declaring anything
-            // truly stale.
-            var pending = stale.toList.sorted.reverse // nearest-first
-            var changed = true
-            while (changed) {
-              changed = false
-              pending = pending.filter { t =>
-                cur match {
-                  case Some(s) if t >= s.start - gapMs =>
-                    cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                    changed = true
-                    false
-                  case _ => true
-                }
-              }
-            }
-            // gap-sessionize the remaining stale events (ascending): all
-            // are > gap before the open session's start, so every stale
-            // session is closed by construction and emitted immediately
-            var st: Option[SessionState] = None
-            pending.reverse.foreach { t =>
-              st match {
-                case Some(x) if t - x.last <= gapMs =>
-                  st = Some(SessionState(x.start, math.max(x.last, t), x.n + 1))
-                case Some(x) =>
-                  out += SessionOut(userId, x.start, x.last, x.n)
-                  st = Some(SessionState(t, t, 1))
-                case None => st = Some(SessionState(t, t, 1))
-              }
-            }
-            st.foreach(x => out += SessionOut(userId, x.start, x.last, x.n))
             cur match {
               case Some(s) if streaming =>
                 state.update(s)

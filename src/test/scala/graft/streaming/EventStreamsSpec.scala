@@ -196,6 +196,32 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("statefulSessions: a stale event merges into a session that closes in the SAME batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ds = mem.toDF().toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+      .withWatermark("ts", "60 seconds")
+    val query = EventStreams.statefulSessions(ds, gapMs = 10000L)
+      .writeStream.format("memory").queryName("ss_close").outputMode("append").start()
+    try {
+      mem.addData((1L, 100L))
+      query.processAllAvailable() // state [100s,100s], watermark 40s
+      // one batch delivers 85s, 95s AND the gap-breaking 200s: the
+      // restored session merges to [85s,100s] and is CLOSED by 200s in
+      // this same batch. 85s must land in that emitted session — the
+      // old re-merge only reconsidered stale events against the still-
+      // open session ([200s,200s] here), so 85s split off as a
+      // singleton.
+      mem.addData((1L, 85L), (1L, 95L), (1L, 200L))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT * FROM ss_close").as[EventStreams.SessionOut]
+        .collect().toSeq
+      assert(out == Seq(EventStreams.SessionOut(1L, 85000L, 100000L, 3)), out.toString)
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark: duplicates inside the horizon drop, state expires past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
