@@ -54,51 +54,77 @@ object SqliteDialect {
     * parse, operator rewrite, analyze. The session should already have
     * [[SqliteCompat.register]] applied (function-name surface). */
   def sql(sess: SparkSession, stmt: String): DataFrame = withActive(sess) {
+    val text = prepareText(stmt) // origins index into THIS text
     SqlInternals.ofRows(sess, rewriteParsed(
-      sess.sessionState.sqlParser.parsePlan(rewriteGlob(rewriteCollate(stmt))),
-      keepLikeEscape = hasEscapeClause(stmt)))
+      sess.sessionState.sqlParser.parsePlan(text), sqlText = Some(text)))
   }
 
   /** Parse one SQLite-dialect scalar expression (write-path predicates,
     * SET clauses, VALUES tuples) with the same operator rewrites. */
   def expr(sess: SparkSession, exprSql: String): Column = withActive(sess) {
+    val text = prepareText(exprSql)
     SqlInternals.column(rewriteExpr(
-      sess.sessionState.sqlParser.parseExpression(rewriteGlob(rewriteCollate(exprSql))),
-      keepLikeEscape = hasEscapeClause(exprSql)))
+      sess.sessionState.sqlParser.parseExpression(text), sqlText = Some(text)))
   }
+
+  /** The full textual pre-parse pipeline: COLLATE and infix-GLOB to
+    * function forms (both consume SQLite-raw literal text), then
+    * re-quote string literals into Spark's escape convention LAST. The
+    * output is what the parser sees — expression Origins index into it. */
+  def prepareText(stmt: String): String =
+    rewriteStringLiterals(rewriteGlob(rewriteCollate(stmt)))
 
   // ------------------------------------------------------ plan rewrite
 
-  def rewriteParsed(plan: LogicalPlan, keepLikeEscape: Boolean = false): LogicalPlan =
-    plan transformAllExpressions rewriteRule(keepLikeEscape)
+  def rewriteParsed(plan: LogicalPlan, sqlText: Option[String] = None): LogicalPlan =
+    plan transformAllExpressions rewriteRule(sqlText)
 
-  def rewriteExpr(e: Expression, keepLikeEscape: Boolean = false): Expression =
-    e transform rewriteRule(keepLikeEscape)
+  def rewriteExpr(e: Expression, sqlText: Option[String] = None): Expression =
+    e transform rewriteRule(sqlText)
 
   /** SQLite LIKE without an ESCAPE clause has NO escape character — a
     * backslash in the pattern is a literal backslash, where Spark's
     * default escape is '\'. The parsed Like can't tell "no clause" from
-    * an explicit ESCAPE '\', so the statement TEXT decides: an ESCAPE
-    * keyword followed by a string literal (the only clause shape —
-    * `escape` alone can also be a quoted identifier) keeps Spark
-    * semantics for every '\'-escaped Like in the statement; otherwise
-    * the escape is replaced by NUL, a character no pattern contains,
-    * disabling escaping exactly like SQLite. Known coarse edge,
-    * documented: one statement mixing an ESCAPE-clause LIKE with a
-    * separate backslash-pattern LIKE keeps escape semantics for both
-    * (the flag is per-statement, not per-LIKE). */
+    * an explicit ESCAPE '\' (both carry '\\'), so the SOURCE TEXT of
+    * this specific Like decides: Spark's parser records each parsed
+    * expression's character span on its Origin (startIndex/stopIndex,
+    * covering the whole predicate including any ESCAPE clause), and the
+    * clause is present iff the span's trailing tokens are `ESCAPE
+    * '<lit>'` (a string literal — `escape` followed by anything else is
+    * a quoted identifier or alias). When absent, the escape char is
+    * replaced by NUL, a character no pattern contains, disabling
+    * escaping exactly like SQLite. Per-LIKE, so one statement mixing an
+    * ESCAPE-clause LIKE with a backslash-pattern LIKE gives each its own
+    * SQLite-correct semantics (previously one statement-level flag
+    * silently kept Spark escaping for both). A Like without a usable
+    * span (synthetic/programmatic) falls back to statement-level clause
+    * presence — the previous coarse behavior — or, with no statement
+    * text either, to SQLite's no-escape default. */
+  private def likeHasOwnEscapeClause(like: Like, sqlText: Option[String]): Boolean =
+    sqlText match {
+      case Some(sql) =>
+        (like.origin.startIndex, like.origin.stopIndex) match {
+          case (Some(si), Some(ei)) if si >= 0 && si <= ei && ei < sql.length =>
+            val toks = tokenize(sql.substring(si, ei + 1))
+            toks.length >= 2 && toks(toks.length - 2).lower == "escape" &&
+              toks.last.text.startsWith("'")
+          case _ => hasEscapeClause(sql)
+        }
+      case None => false
+    }
+
   private def hasEscapeClause(sql: String): Boolean = {
     val toks = tokenize(sql)
     toks.indices.exists(i => toks(i).lower == "escape" &&
       i + 1 < toks.length && toks(i + 1).text.startsWith("'"))
   }
 
-  private def rewriteRule(keepLikeEscape: Boolean): PartialFunction[Expression, Expression] = {
+  private def rewriteRule(sqlText: Option[String]): PartialFunction[Expression, Expression] = {
     // Cast-to-string first: SQLite LIKEs numerics via text affinity
     // (`3 LIKE 3` is true); Cast(string, string) is a no-op Catalyst
     // removes, so string operands are untouched.
-    case Like(l, r, esc) if !l.isInstanceOf[AsciiLower] =>
-      val escape = if (esc == '\\' && !keepLikeEscape) '\u0000' else esc
+    case like @ Like(l, r, esc) if !l.isInstanceOf[AsciiLower] =>
+      val escape = if (esc == '\\' && !likeHasOwnEscapeClause(like, sqlText)) '\u0000' else esc
       val nocase = Like(AsciiLower(Cast(l, StringType)), AsciiLower(Cast(r, StringType)), escape)
       // The AsciiLower wrap forfeits parquet's StartsWith/prefix
       // pushdown. For a literal pattern with an alphabetic first
@@ -113,7 +139,7 @@ object SqliteDialect {
     // SQLite %: both operands cast to INTEGER, NULL on mod-by-zero —
     // Spark's Remainder keeps fractional operands and (ANSI) throws
     case Remainder(l, r, _) => SqliteMod(l, r)
-    case s: SubqueryExpression => s.withNewPlan(rewriteParsed(s.plan, keepLikeEscape))
+    case s: SubqueryExpression => s.withNewPlan(rewriteParsed(s.plan, sqlText))
   }
 
   /** Pushable companion predicate for the nocase LIKE rewrite: rows
@@ -270,6 +296,67 @@ object SqliteDialect {
     * 0); a bare operand (`ORDER BY name COLLATE NOCASE`) wraps alone.
     * The RTRIM collation stays unsupported — the parser reports it
     * (documented deviation; unused by the reference corpus). */
+  /** SQLite string literals are RAW: the only escape is a doubled quote
+    * (sqlite.org/lang_expr.html); a backslash is an ordinary character.
+    * Spark's default lexer instead processes backslash escapes ('\n' →
+    * newline) and DROPS unknown ones ('a\xb' → 'axb'), silently
+    * corrupting any literal containing '\' — including the common
+    * `ESCAPE '\'` clause, whose lexeme can't even terminate (the lexer
+    * reads the backslash as escaping the closing quote). Spark's legacy
+    * escapedStringLiterals mode is no help: its lexer still eats `\'`
+    * and it stops collapsing doubled quotes (SQLite's one true escape).
+    * So the dialect re-quotes TEXTUALLY before parsing: inside every
+    * single-quoted literal each backslash is doubled, which Spark's
+    * default unescaper maps back to exactly the raw SQLite bytes, while
+    * doubled-quote collapsing (shared by both dialects) still applies.
+    * Backtick/double-quoted tokens are identifier territory and copied
+    * verbatim (a backslash inside an identifier stays an identifier
+    * char), as are comments and blob literals' hex bodies (no '\' in
+    * the alphabet). DuckDB — the oracle — lexes raw like SQLite, so
+    * this also keeps differential tests honest. */
+  def rewriteStringLiterals(sql: String): String = {
+    if (sql.indexOf('\\') < 0) return sql
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i)
+        val stop = if (e < 0) n else e + 1
+        out.append(sql, i, stop); i = stop
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        val stop = if (e < 0) n else e + 2
+        out.append(sql, i, stop); i = stop
+      } else if (c == '\'') {
+        out.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = sql.charAt(i)
+          if (d == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { out.append("''"); i += 2 }
+            else { out.append('\''); i += 1; done = true }
+          } else if (d == '\\') { out.append("\\\\"); i += 1 }
+          else { out.append(d); i += 1 }
+        }
+      } else if (c == '"' || c == '`') {
+        val q = c
+        out.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = sql.charAt(i)
+          out.append(d); i += 1
+          if (d == q) {
+            if (i < n && sql.charAt(i) == q) { out.append(q); i += 1 }
+            else done = true
+          }
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   def rewriteCollate(sql: String): String = {
     val toks = tokenize(sql)
     val found = toks.indices.find { i =>

@@ -90,9 +90,10 @@ class TroughEngine(
     val stmts = SqlScript.split(sql)
     if (stmts.length != 1)
       throw new IllegalArgumentException("Exactly one SELECT query per request, please.")
-    // infix GLOB and COLLATE are SQLite syntax Spark's parser rejects —
-    // rewrite to registered function forms before the gate parses
-    val stmt = SqliteDialect.rewriteGlob(SqliteDialect.rewriteCollate(stmts.head))
+    // infix GLOB / COLLATE are SQLite syntax Spark's parser rejects and
+    // SQLite-raw string literals lex differently — apply the dialect's
+    // full textual pre-parse pipeline before the gate parses
+    val stmt = SqliteDialect.prepareText(stmts.head)
     // parsePlan consults the *active* session's SQLConf (thread-local),
     // not the parser's owning session — activate sess so the SQLite
     // dialect flags (double-quoted identifiers) apply at the gate too
