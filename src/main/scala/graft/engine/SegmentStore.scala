@@ -405,17 +405,30 @@ class SegmentStore(
     // engine's single-writer locks route all DDL through this store.
     val plan = tablePlanCache.computeIfAbsent(table, _ => buildTablePlan(table))
     val part = StructField("segment_id", StringType, nullable = true)
-    plan.groups.map { g =>
-      // explicit schema: data fields + the partition column, so the
-      // partition value type is never inferred and empty tables resolve
-      val df = session.read
-        .option("basePath", g.basePath.toString)
-        .schema(StructType(g.readSchema.fields :+ part))
-        .parquet(g.paths.map(_.toString): _*)
-      if (g.readSchema == plan.widened) df
-      else df.select(plan.widened.fields.map(f =>
-        functions.col(f.name).cast(f.dataType)) :+ functions.col("segment_id"): _*)
-    }.reduce(_.unionByName(_))
+    val frames = plan.groups.flatMap { g =>
+      // existence is checked FRESH per read, never cached: a segment
+      // CREATEd in-transaction may have a meta but no data dir yet, and
+      // the swap rename pair has a momentary no-live-dir window — a
+      // cached snapshot would drop that segment from every subsequent
+      // scan until unrelated DDL invalidated the plan
+      val dirs = g.paths.filter(Files.isDirectory(_))
+      if (dirs.isEmpty) None
+      else Some {
+        // explicit schema: data fields + the partition column, so the
+        // partition value type is never inferred and empty tables resolve
+        val df = session.read
+          .option("basePath", g.basePath.toString)
+          .schema(StructType(g.readSchema.fields :+ part))
+          .parquet(dirs.map(_.toString): _*)
+        if (g.readSchema == plan.widened) df
+        else df.select(plan.widened.fields.map(f =>
+          functions.col(f.name).cast(f.dataType)) :+ functions.col("segment_id"): _*)
+      }
+    }
+    if (frames.isEmpty)
+      session.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(plan.widened.fields :+ part))
+    else frames.reduce(_.unionByName(_))
   }
 
   private final case class ScanGroup(basePath: Path, paths: Seq[Path], readSchema: StructType)
@@ -449,16 +462,16 @@ class SegmentStore(
           (tr, conflictCols.toSeq.sorted.map(c => s.fields.find(_.name == c).map(_.dataType)))
         }
         .toSeq.sortBy { case (_, ms) => ms.head._2.toString } // deterministic plan order
-        .flatMap { case ((tr, _), ms) =>
+        .map { case ((tr, _), ms) =>
           val sig: Map[String, DataType] =
             ms.head._3.fields.filter(f => conflictCols.contains(f.name))
               .map(f => f.name -> f.dataType).toMap
           val readSchema = StructType(widened.fields.map(f =>
             sig.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
-          // a segment CREATEd in-transaction may have a meta but no data
-          // dir yet; explicit-path reads require the dir to exist
-          val dirs = ms.map(_._2).filter(Files.isDirectory(_))
-          if (dirs.isEmpty) None else Some(ScanGroup(tr, dirs, readSchema))
+          // dir existence deliberately NOT checked here — the plan is
+          // cached, and existence is transient (mid-swap window, metas
+          // before first commit); loadTableAll filters fresh per read
+          ScanGroup(tr, ms.map(_._2), readSchema)
         }
       TablePlan(widened, groups)
     }

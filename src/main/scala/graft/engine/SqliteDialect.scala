@@ -53,8 +53,15 @@ object SqliteDialect {
   /** Run one SQLite-dialect SELECT on `sess`: infix-GLOB pre-rewrite,
     * parse, operator rewrite, analyze. The session should already have
     * [[SqliteCompat.register]] applied (function-name surface). */
-  def sql(sess: SparkSession, stmt: String): DataFrame = withActive(sess) {
-    val text = prepareText(stmt) // origins index into THIS text
+  def sql(sess: SparkSession, stmt: String): DataFrame =
+    sqlPrepared(sess, prepareText(stmt))
+
+  /** [[sql]] for text that ALREADY went through [[prepareText]] (e.g.
+    * the engine's read gate, which prepares once for validation and
+    * must not prepare again — [[rewriteStringLiterals]] is not
+    * idempotent: a second pass would double the doubled backslashes). */
+  def sqlPrepared(sess: SparkSession, text: String): DataFrame = withActive(sess) {
+    // origins index into `text` — the exact string the parser sees
     SqlInternals.ofRows(sess, rewriteParsed(
       sess.sessionState.sqlParser.parsePlan(text), sqlText = Some(text)))
   }

@@ -122,7 +122,7 @@ class TroughEngine(
     store.tables(segmentId).foreach { t =>
       store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
     }
-    SqliteDialect.sql(sess, stmt)
+    SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
   }
 
   /** One query over *all* segments (or a regex subset): the fan-out A6
@@ -154,7 +154,7 @@ class TroughEngine(
           else all.where(col("segment_id").rlike(segmentRegex))
         scoped.createOrReplaceTempView(t)
       }
-    SqliteDialect.sql(sess, stmt)
+    SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
   }
 
   /** Table names referenced by an (already dialect-rewritten) statement,
