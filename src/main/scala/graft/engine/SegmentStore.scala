@@ -187,6 +187,11 @@ class SegmentStore(
       val stream = Files.list(root)
       try stream.iterator.asScala.filter(isTableDir).foreach { td =>
         val t = td.getFileName.toString
+        // invalidate only tables this segment actually contributed a
+        // slice to (meta present): a blanket cache clear would force
+        // every cached table to replan — O(segments) meta re-reads each
+        // — after ANY segment delete, needlessly quadratic under churn
+        if (Files.isRegularFile(metaPath(root, segmentId, t))) tablePlanCache.remove(t)
         Seq(liveDir(root, segmentId, t), tmpDir(root, segmentId, t),
           oldDir(root, segmentId, t)).foreach(deleteRecursively)
         Files.deleteIfExists(metaPath(root, segmentId, t))
@@ -197,7 +202,6 @@ class SegmentStore(
     // many segments would otherwise grow this map without bound (the
     // lock's mutual exclusion is per-instance; see swapLocks scaladoc)
     swapLocks.remove(segmentId)
-    tablePlanCache.clear() // this segment's metas no longer contribute
   }
 
   /** Durable copy of every table of a segment, with the temp-name-then-
@@ -490,6 +494,12 @@ class SegmentStore(
 
   private val tablePlanCache =
     new java.util.concurrent.ConcurrentHashMap[String, TablePlan]()
+
+  /** Test hook: which tables currently have a cached scan plan —
+    * lets specs assert the targeted invalidation in [[deleteSegment]]
+    * (unrelated tables keep their plans across a segment delete). */
+  private[engine] def cachedPlanTables: Set[String] =
+    tablePlanCache.keySet().asScala.toSet
 
   private def listMetaFiles(tableDir: Path): Seq[Path] = {
     val m = tableDir.resolve("_meta")

@@ -263,15 +263,48 @@ class TroughEngine(
     * jobs with per-segment error isolation — one bad segment reports its
     * error without failing the others (reference async_fanout semantics,
     * shell/__init__.py:242-262; SURVEY §3.3 notes this is the one place
-    * a single union query would *lose* reference semantics). */
-  def fanout(segmentIds: Seq[String], sql: String): FanoutResult = {
+    * a single union query would *lose* reference semantics).
+    *
+    * Driver-memory hardening: results land on the driver (the shell
+    * display contract), so each segment's rows are pulled through
+    * `toLocalIterator` — one partition resident at a time, never the
+    * whole result — and capped at `maxRowsPerSegment` (a fanout of
+    * `SELECT *` over N large segments must not be a driver OOM; the
+    * reference at least streamed each HTTP response). The overall wait
+    * is bounded by `timeoutSeconds`, defaulting to the reference
+    * client's read timeout (client.py:266: `timeout=600`). Analytics
+    * callers that want unbounded results should use [[readAll]], which
+    * never collects. */
+  def fanout(
+      segmentIds: Seq[String], sql: String,
+      maxRowsPerSegment: Int = TroughEngine.DefaultFanoutRowCap,
+      timeoutSeconds: Long = 600L): FanoutResult = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futures = segmentIds.map { seg =>
-      Future { seg -> Try(read(seg, sql).collect().toSeq) }
+      Future {
+        seg -> Try {
+          val rows = read(seg, sql).toLocalIterator()
+          val out = Seq.newBuilder[Row]
+          var n = 0
+          while (rows.hasNext && n < maxRowsPerSegment) { out += rows.next(); n += 1 }
+          if (rows.hasNext)
+            throw new IllegalStateException(
+              s"fanout result for segment '$seg' exceeds $maxRowsPerSegment rows; " +
+                "raise maxRowsPerSegment or use readAll for unbounded results")
+          out.result()
+        }
+      }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    val results = Await.result(Future.sequence(futures), Duration(timeoutSeconds, "s"))
     FanoutResult(results, results.map(_._2.map(_.size).getOrElse(0)).map(_.toLong).sum)
   }
+}
+
+object TroughEngine {
+  /** Default per-segment row cap for [[TroughEngine.fanout]] — generous
+    * for the shell-display use the reference puts fanout to, small
+    * enough that a 10k-segment fanout cannot OOM the driver. */
+  val DefaultFanoutRowCap: Int = 100000
 }
 
 /** ujson-compatible row/value serialization (reference read.py:43-44:

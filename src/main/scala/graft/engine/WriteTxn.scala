@@ -75,6 +75,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
   def execute(stmt: String): Unit = SqlScript.firstWord(stmt) match {
     case "BEGIN" | "COMMIT" | "END" => ()
+    // the reference write path runs whatever SQLite accepts (write.py:40)
+    // and real-world scripts commonly carry PRAGMA lines (journal_mode,
+    // synchronous, page cache). All of them tune SQLite's physical layer,
+    // which has no analog over immutable parquet — accept as a no-op,
+    // same treatment as CREATE INDEX.
+    case "PRAGMA" => ()
     case "CREATE" =>
       val upper = stmt.toUpperCase
       if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) ()

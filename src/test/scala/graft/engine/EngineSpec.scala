@@ -665,4 +665,62 @@ class EngineSpec extends SparkSpecBase {
     assert(sess.format == "raw")
     intercept[IllegalArgumentException](sess.setFormat("yaml"))
   }
+
+  // --------------------------------------------- round-7 hardening items
+
+  test("PRAGMA lines in write scripts are accepted as physical no-ops") {
+    engine.provisionWritable("seg-pragma")
+    // real-world scripts interleave PRAGMAs with DDL/DML — the script
+    // must commit identically with and without them (the reference's
+    // executescript runs whatever SQLite accepts, write.py:40)
+    engine.write("seg-pragma",
+      "PRAGMA journal_mode=WAL; " +
+        "CREATE TABLE p (id INTEGER PRIMARY KEY, v TEXT); " +
+        "PRAGMA synchronous = OFF; " +
+        "INSERT INTO p (id, v) VALUES (1, 'a'); " +
+        "PRAGMA user_version = 7;")
+    val json = engine.resultJson(engine.read("seg-pragma", "SELECT * FROM p;"))
+    assert(json == "[{\"id\":1,\"v\":\"a\"}]\n")
+    // unknown statements still error (PRAGMA is not a wildcard)
+    intercept[UnsupportedOperationException](
+      engine.write("seg-pragma", "VACUUM;"))
+  }
+
+  test("fanout row cap: oversized segment reports a clean per-segment error") {
+    engine.schemas.put("s1", testDdl)
+    Seq("capA", "capB").foreach(engine.provisionWritable(_, "s1"))
+    engine.write("capA",
+      "INSERT INTO test (test) VALUES " + (1 to 20).map(i => s"('r$i')").mkString(", ") + ";")
+    engine.write("capB", "INSERT INTO test (test) VALUES ('b1');")
+    val res = engine.fanout(Seq("capA", "capB"), "SELECT test FROM test;",
+      maxRowsPerSegment = 5)
+    val bySeg = res.perSegment.toMap
+    // the oversized segment fails in isolation; the small one succeeds
+    assert(bySeg("capA").isFailure)
+    assert(bySeg("capA").failed.get.getMessage.contains("exceeds 5 rows"))
+    assert(bySeg("capB").isSuccess && bySeg("capB").get.size == 1)
+    assert(res.totalRows == 1)
+    // at-cap results are complete, not truncated
+    val ok = engine.fanout(Seq("capA"), "SELECT test FROM test;", maxRowsPerSegment = 20)
+    assert(ok.perSegment.head._2.get.size == 20)
+  }
+
+  test("deleteSegment invalidates only the deleted segment's tables in the plan cache") {
+    engine.schemas.put("pc-a", "CREATE TABLE pca (k INTEGER PRIMARY KEY, v TEXT);")
+    engine.schemas.put("pc-b", "CREATE TABLE pcb (k INTEGER PRIMARY KEY, v TEXT);")
+    engine.provisionWritable("pcsegA", "pc-a")
+    engine.provisionWritable("pcsegB", "pc-b")
+    engine.write("pcsegA", "INSERT INTO pca (k, v) VALUES (1, 'x');")
+    engine.write("pcsegB", "INSERT INTO pcb (k, v) VALUES (1, 'y');")
+    // populate the plan cache for both tables
+    engine.readAll("SELECT count(*) AS n FROM pca;", "^pcseg").collect()
+    engine.readAll("SELECT count(*) AS n FROM pcb;", "^pcseg").collect()
+    assert(engine.store.cachedPlanTables.contains("pca"))
+    assert(engine.store.cachedPlanTables.contains("pcb"))
+    engine.releaseWriteLock("pcsegA")
+    engine.deleteSegment("pcsegA")
+    // pcb had no slice in pcsegA: its plan survives; pca's is dropped
+    assert(!engine.store.cachedPlanTables.contains("pca"))
+    assert(engine.store.cachedPlanTables.contains("pcb"))
+  }
 }
