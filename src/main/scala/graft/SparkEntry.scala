@@ -776,6 +776,54 @@ object SparkEntry {
         SELECT CAST(mn AS BIGINT) AS mn, count(o_orderkey) AS n_orders
         FROM m LEFT JOIN orders_q51 ON month(o_orderdate) = mn
         GROUP BY mn ORDER BY mn""")
+    }),
+
+    // Native .sqlite segment ingest, end-to-end: write the documents
+    // table into a REAL SQLite database via the sqlite3 CLI (512-byte
+    // pages force interior B-tree pages; long document texts force
+    // overflow chains), parse it back with the pure-Scala SqliteFile
+    // reader (no JDBC, no native lib), commit through the segment
+    // store's staged-swap path, and read through the engine. The oracle
+    // sees none of that machinery — it just reads documents.parquet —
+    // so a hash match proves the whole ingest pipeline is lossless.
+    "q53_sqlite_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text").collect()
+      val script = new StringBuilder(
+        "PRAGMA page_size=512;\nCREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\n")
+      docs.foreach { r =>
+        val lit =
+          if (r.isNullAt(1)) "NULL" else "'" + r.getString(1).replace("'", "''") + "'"
+        script.append(s"INSERT INTO docs VALUES (${r.getLong(0)}, $lit);\n")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q53")
+      val db = tmp.resolve("docs.sqlite")
+      val in = new java.io.ByteArrayInputStream(
+        script.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      import scala.sys.process._
+      val rc = (Seq("sqlite3", db.toString) #< in).!
+      require(rc == 0, s"sqlite3 exited $rc")
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
+      val eng = new graft.engine.TroughEngine(s, store, new graft.engine.SchemaRegistry)
+      store.ingestSqliteSegment(db.toString, "q53seg")
+      eng.read("q53seg", "SELECT doc_id, text FROM docs;")
+        .select($"doc_id", length($"text").cast("long").as("n_chars"), $"text")
+        .orderBy($"doc_id")
+    }),
+
+    // Real multimodal decode: deterministic PNGs generated per doc_id
+    // (width/height/shade arithmetic in the id), decoded with
+    // javax.imageio inside the per-partition batch contract. Every 97th
+    // id carries a corrupt payload — the decoder must isolate it to a
+    // null-dims row (ok=false), never fail the partition. PNG is
+    // lossless, so mean_px replays the encoded shade exactly and the
+    // oracle derives every column arithmetically.
+    "q54_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImageFeatures(
+          Multimodal.syntheticImages(t(s, dir, "documents")))
+        .select($"media_id", $"width", $"height", $"mean_px", $"ok")
+        .orderBy($"media_id")
     })
   )
 
@@ -1277,6 +1325,21 @@ object SparkEntry {
         CAST(s.frame_sum - d.qty AS BIGINT) AS frame_sum_excl
       FROM d JOIN s ON d.l_returnflag = s.l_returnflag AND d.dr = s.dr
       WHERE d.l_orderkey % 211 = 0
-      ORDER BY l_orderkey, l_linenumber"""
+      ORDER BY l_orderkey, l_linenumber""",
+    // the Spark side routed documents through a real SQLite file and
+    // the pure-Scala ingest; a hash match against the raw parquet
+    // proves the round trip lossless
+    "q53_sqlite_ingest" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+      FROM documents ORDER BY doc_id""",
+    // every output column of the real ImageIO decode is arithmetic in
+    // doc_id (deterministic PNG fixtures; corrupt every 97th id)
+    "q54_image_decode" -> """
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 13 + 1 AS BIGINT) END AS width,
+        CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 7 + 1 AS BIGINT) END AS height,
+        CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 251 AS BIGINT) END AS mean_px,
+        doc_id % 97 <> 0 AS ok
+      FROM documents ORDER BY media_id"""
   )
 }

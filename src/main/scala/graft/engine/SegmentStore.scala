@@ -3,8 +3,8 @@ package graft.engine
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType, StringType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StructField, StructType, StringType}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -261,6 +261,114 @@ class SegmentStore(
       if (Files.exists(tmp)) deleteRecursively(tmp)
       copyRecursively(td.resolve("data"), tmp)
       swapPreparedData(segmentId, table, Some(meta))
+    }
+  }
+
+  /** Ingest a native trough segment: one `.sqlite` file (the reference's
+    * on-disk unit, sync.py:237-240) parsed with the pure-Scala
+    * [[SqliteFile]] reader and committed table-by-table through the same
+    * staged-swap path as writes — a crash mid-ingest never corrupts a
+    * previously-live table. Existing same-named tables are replaced
+    * (import semantics, like [[importSegment]]); the segment is
+    * registered if absent. Returns the ingested table names.
+    *
+    * Schema: each table's `sqlite_master` DDL goes through the same
+    * [[SqliteDdl]] affinity mapping as provisioned schemas
+    * (INTEGER→LONG, REAL→DOUBLE, TEXT→STRING, BLOB→BINARY), so an
+    * ingested segment is indistinguishable from a provisioned one. An
+    * `INTEGER PRIMARY KEY` column is SQLite's rowid alias — stored as
+    * NULL in every record, materialized here from the B-tree key.
+    * Because SQLite cells are dynamically typed, a stored value that
+    * cannot losslessly coerce to the column's declared affinity (e.g.
+    * non-numeric TEXT in an INTEGER column) is a clean per-cell error
+    * naming table/rowid/column, not a silent null.
+    *
+    * Scale shape: one segment = one file = one bounded unit (segments
+    * are small by design, reference README.rst:23-25) decoded
+    * page-at-a-time on the driver. A bulk migration of tens of
+    * thousands of segments parallelizes trivially across FILES —
+    * each call is independent — which is the same unit of parallelism
+    * the reference's HDFS sync used (sync.py:941-1047). */
+  def ingestSqliteSegment(sqlitePath: String, segmentId: String): Seq[String] = {
+    if (isCold(segmentId))
+      throw new IllegalStateException(
+        s"cannot ingest into segment $segmentId: cold storage is read-only")
+    require(SegmentStore.SegmentIdPattern.matches(segmentId),
+      s"segment id '$segmentId' must match ${SegmentStore.SegmentIdPattern}")
+    val file = SqliteFile.open(Paths.get(sqlitePath))
+    try {
+      val masters = file.userTables
+      if (!segmentExists(segmentId)) {
+        Files.createDirectories(marker(segmentId).getParent)
+        Files.writeString(marker(segmentId), "")
+      }
+      val root = tierRoot(segmentId)
+      masters.map { m =>
+        val td = SqliteDdl.parseCreateTable(m.sql)
+        val meta = TableMeta(td.schema, td.primaryKey, td.autoIncrement)
+        SegmentStore.requireNoReservedColumns(meta)
+        val fields = td.schema.fields
+        val rowidIdx = meta.autoIncrement
+          .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
+        val rows = new java.util.ArrayList[Row]()
+        file.rows(m.rootPage).foreach { case (rowid, vals) =>
+          val out = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            // records may be shorter than the schema (rows written
+            // before an ALTER TABLE ADD COLUMN): missing slots read as
+            // null, matching SQLite's behavior for a NULL-default column
+            val raw = if (i < vals.length) vals(i) else null
+            out(i) =
+              if (i == rowidIdx) rowid // rowid alias: record slot is NULL
+              else coerceCell(raw, fields(i).dataType, m.name, rowid, fields(i).name)
+            i += 1
+          }
+          rows.add(Row.fromSeq(out.toIndexedSeq))
+        }
+        val df = spark.createDataFrame(rows, td.schema)
+        Files.createDirectories(tableRoot(root, td.name))
+        prepareTableData(segmentId, td.name, df)
+        swapPreparedData(segmentId, td.name, Some(meta))
+        td.name
+      }
+    } finally file.close()
+  }
+
+  /** SQLite storage-class value → the column's declared Spark type.
+    * Lossless coercions only (SQLite's own affinity conversions); a
+    * value that can't convert is a clean error with full context. */
+  private def coerceCell(
+      v: Any, target: DataType, table: String, rowid: Long, col: String): Any = {
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"cannot coerce ${v.getClass.getSimpleName} value to $target " +
+        s"(table $table, rowid $rowid, column $col)")
+    v match {
+      case null => null
+      case l: Long => target match {
+        case LongType => l
+        case DoubleType => l.toDouble
+        case StringType => l.toString
+        case _ => fail()
+      }
+      case d: Double => target match {
+        case DoubleType => d
+        case LongType => if (d == d.toLong.toDouble) d.toLong else fail()
+        case StringType => d.toString
+        case _ => fail()
+      }
+      case s: String => target match {
+        case StringType => s
+        case LongType => try s.trim.toLong catch { case _: NumberFormatException => fail() }
+        case DoubleType => try s.trim.toDouble catch { case _: NumberFormatException => fail() }
+        case BinaryType => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case _ => fail()
+      }
+      case b: Array[Byte] => target match {
+        case BinaryType => b
+        case _ => fail()
+      }
+      case _ => fail()
     }
   }
 

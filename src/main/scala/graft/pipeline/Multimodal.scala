@@ -7,13 +7,20 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The container has no media codecs, so the *decode* step is a
-  * clearly-marked deterministic stub ([[fakeDecode]]); everything around
-  * it — the schema contract, the partition-preserving `mapPartitions`
-  * batch shape, the feature projection — is the real Spark plumbing a
-  * codec-backed implementation would drop into unchanged (swap
-  * [[fakeDecode]] for the JNI/FFmpeg call; at 100 TB this runs one
-  * decoder instance per partition, no shuffle).
+  * Two decoder tiers share the same partition-preserving `mapPartitions`
+  * batch contract (one decoder per partition, constant memory, payloads
+  * never shuffle — the shape that matters at 100 TB):
+  *
+  *  - [[decodeImage]] / [[decodeImageFeatures]]: REAL image decode via
+  *    `javax.imageio` (ships in the JDK — PNG/JPEG/GIF/BMP need no
+  *    external codec), with per-row error isolation: a corrupt payload
+  *    yields a null-dims row, never a failed partition.
+  *  - [[fakeDecode]] / [[decodeFeatures]]: a deterministic byte-rule
+  *    decoder standing in for formats the JDK can't read (video,
+  *    audio) — kept because its outputs are arithmetically predictable
+  *    from the payload, which is what lets an external oracle verify
+  *    the *plumbing* (schema, batching, projection) independent of any
+  *    codec.
   */
 object Multimodal {
 
@@ -27,12 +34,12 @@ object Multimodal {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true))), nullable = true)))
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * decode (codec libraries are not available in this environment).
-    * Derives "decoded" properties purely from the payload bytes so tests
-    * are reproducible: width/height from the first bytes, "pixels" = the
-    * payload itself. A real implementation replaces only this function.
-    */
+  /** Deterministic byte-rule decoder for payload formats the JDK has no
+    * codec for (video/audio — real *image* decode is [[decodeImage]]).
+    * Derives "decoded" properties purely from the payload bytes so an
+    * external oracle can predict them: width/height from the first/last
+    * byte, "pixels" = the payload itself. A codec-backed implementation
+    * replaces only this function; the batch plumbing stays. */
   def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (payload == null || payload.isEmpty) (0, 0, Array.emptyByteArray)
     else {
@@ -40,6 +47,107 @@ object Multimodal {
       val h = (payload(payload.length - 1) & 0x7F) + 1
       (w, h, payload)
     }
+  }
+
+  // ------------------------------------------------------------ real decode
+
+  /** Deterministic single-shade PNG — the fixture generator for the real
+    * decoder. Pure JDK (`BufferedImage` + `ImageIO.write`), safe on
+    * executors and in headless JVMs; PNG is lossless, so the decoded
+    * pixel values reproduce `shade` exactly and an oracle can predict
+    * every output of [[decodeImageFeatures]] arithmetically. */
+  def pngPayload(width: Int, height: Int, shade: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad size ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (shade & 0xFF) * 0x010101
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via `javax.imageio` (in the JDK; PNG/JPEG/GIF/BMP).
+    * Returns (width, height, mean gray level over the red channel), or
+    * None for null/empty/undecodable payloads — ImageIO signals corrupt
+    * input by returning null or throwing, both mapped to None so one bad
+    * row can never fail its partition. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+          y += 1
+        }
+        Some((w, h, sum / (w.toLong * h)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode + feature-extract with the real decoder, same per-partition
+    * batch contract as [[decodeFeatures]]. Output per media row:
+    * byte_len always; width/height/mean_px from the actual decode, null
+    * with ok=false when the payload is corrupt (per-row isolation). */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("byte_len", LongType),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("mean_px", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      // ImageIO reader instances initialize lazily per partition here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val len = if (payload == null) 0L else payload.length.toLong
+        decodeImage(payload) match {
+          case Some((w, h, mean)) => Row(id, len, w.toLong, h.toLong, mean, true)
+          case None => Row(id, len, null, null, null, false)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Deterministic image corpus over a `doc_id` column: a real PNG whose
+    * dims/shade derive arithmetically from the id — except every 97th
+    * id, which gets a deliberately corrupt payload (PNG magic + garbage)
+    * to exercise the decoder's per-row error isolation. The id→property
+    * rules are the oracle's contract: width = id%13+1, height = id%7+1,
+    * shade = id%251, corrupt ⇔ id%97=0. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("format", StringType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 97 == 0)
+          // valid PNG signature, garbage body: ImageIO must reject it
+          Row(id, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 1, 2, 3),
+            "image/png")
+        else
+          Row(id, pngPayload((id % 13 + 1).toInt, (id % 7 + 1).toInt, (id % 251).toInt),
+            "image/png")
+      }
+    }(encoder)
   }
 
   /** Attach fake media payloads to the documents table (md5 of the text as

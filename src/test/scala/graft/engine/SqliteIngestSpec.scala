@@ -1,0 +1,175 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import scala.sys.process._
+
+import graft.SparkSpecBase
+
+/** Native `.sqlite` segment ingest: fixtures are generated with the
+  * sandbox's real sqlite3 CLI, so every byte the [[SqliteFile]] reader
+  * parses was written by SQLite itself — header, B-tree pages, varints,
+  * record serial types, overflow chains, both text encodings. */
+class SqliteIngestSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-sqlite-ingest").toString
+  private lazy val engine = {
+    val store = new SegmentStore(spark, root)
+    new TroughEngine(spark, store, new SchemaRegistry)
+  }
+
+  /** Run a SQL script through the sqlite3 CLI into a fresh db file. The
+    * script goes in via stdin as UTF-8 bytes — argv would be re-encoded
+    * with the platform charset (ASCII in this container), mangling
+    * non-ASCII fixture text before SQLite ever saw it. */
+  private def makeDb(name: String, sql: String): Path = {
+    val dir = Files.createTempDirectory("sqlite-fixture")
+    val db = dir.resolve(s"$name.sqlite")
+    val in = new java.io.ByteArrayInputStream(
+      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rc = (Seq("sqlite3", db.toString) #< in).!
+    assert(rc == 0, s"sqlite3 exited $rc")
+    db
+  }
+
+  test("reference test shape round-trips byte-exactly through read() (test_read.py:21-27)") {
+    // the reference's own read-test DDL + row
+    val db = makeDb("refshape",
+      "CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, test varchar(4));" +
+        "INSERT INTO test (test) VALUES ('test');")
+    val tables = engine.store.ingestSqliteSegment(db.toString, "ref-shape")
+    assert(tables == Seq("test"))
+    // identical wire JSON to a natively-provisioned segment (test_read.py:36-57)
+    val json = engine.resultJson(engine.read("ref-shape", "SELECT * FROM test;"))
+    assert(json == "[{\"id\":1,\"test\":\"test\"}]\n")
+  }
+
+  test("multi-table db: all five storage classes decode to the declared affinities") {
+    val db = makeDb("classes",
+      """CREATE TABLE vals (id INTEGER PRIMARY KEY, i INTEGER, r REAL, t TEXT, b BLOB);
+        |INSERT INTO vals VALUES (1, 0, 1.5, 'héllo', X'DEADBEEF');
+        |INSERT INTO vals VALUES (2, 1, -2.25, '', X'');
+        |INSERT INTO vals VALUES (3, NULL, NULL, NULL, NULL);
+        |INSERT INTO vals VALUES (4, 127, 3e18, 'x', NULL);          -- 1-byte int
+        |INSERT INTO vals VALUES (5, -129, 0.0, 'y', NULL);          -- 2-byte int
+        |INSERT INTO vals VALUES (6, 40000, 0.0, 'z', NULL);         -- 3-byte int
+        |INSERT INTO vals VALUES (7, 2147483647, 0.0, 'w', NULL);    -- 4-byte int
+        |INSERT INTO vals VALUES (8, 140737488355327, 0.0, 'v', NULL); -- 6-byte int
+        |INSERT INTO vals VALUES (9, 9223372036854775807, 0.0, 'u', NULL); -- 8-byte int
+        |INSERT INTO vals VALUES (10, -9223372036854775808, 0.0, 's', NULL);
+        |CREATE TABLE other (k INTEGER PRIMARY KEY, name TEXT);
+        |INSERT INTO other VALUES (7, 'seven');""".stripMargin)
+    val tables = engine.store.ingestSqliteSegment(db.toString, "classes")
+    assert(tables.sorted == Seq("other", "vals"))
+    val rows = engine.read("classes", "SELECT * FROM vals ORDER BY id;").collect()
+    assert(rows.length == 10)
+    val r1 = rows(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 0L && r1.getDouble(2) == 1.5)
+    assert(r1.getString(3) == "héllo")
+    assert(r1.getAs[Array[Byte]](4).toSeq ==
+      Array(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte).toSeq)
+    assert(rows(1).getDouble(2) == -2.25 && rows(1).getString(3) == "")
+    assert(rows(1).getAs[Array[Byte]](4).length == 0)
+    assert((0 to 4).forall(rows(2).isNullAt)== false) // id materialized from rowid
+    assert(rows(2).getLong(0) == 3L && rows(2).isNullAt(1) && rows(2).isNullAt(3))
+    // integer width ladder incl. Long.MinValue/MaxValue
+    assert(rows(3).getLong(1) == 127L && rows(4).getLong(1) == -129L)
+    assert(rows(5).getLong(1) == 40000L && rows(6).getLong(1) == 2147483647L)
+    assert(rows(7).getLong(1) == 140737488355327L)
+    assert(rows(8).getLong(1) == Long.MaxValue && rows(9).getLong(1) == Long.MinValue)
+    assert(rows(3).getDouble(2) == 3e18)
+    val other = engine.read("classes", "SELECT * FROM other;").collect()
+    assert(other.head.getLong(0) == 7L && other.head.getString(1) == "seven")
+  }
+
+  test("overflow-page TEXT reassembles across the chain") {
+    // default 4096-byte pages; 100 kB of text spans ~25 overflow pages
+    val big = "abcdefghij" * 10000
+    val db = makeDb("overflow",
+      s"CREATE TABLE doc (id INTEGER PRIMARY KEY, body TEXT);" +
+        s"INSERT INTO doc VALUES (1, '$big');" +
+        s"INSERT INTO doc VALUES (2, 'small');")
+    engine.store.ingestSqliteSegment(db.toString, "overflow")
+    val rows = engine.read("overflow", "SELECT id, length(body) AS n, body FROM doc ORDER BY id;")
+      .collect()
+    assert(rows(0).getInt(1) == 100000)
+    assert(rows(0).getString(2) == big) // content, not just length
+    assert(rows(1).getString(2) == "small")
+  }
+
+  test("multi-page B-tree (interior pages) walks every leaf in rowid order") {
+    // 512-byte pages force a multi-level table B-tree at 5000 rows
+    val inserts = (1 to 5000).map(i => s"($i, 'name-$i', ${i * 2})").mkString(",")
+    val db = makeDb("btree",
+      "PRAGMA page_size=512;" +
+        "CREATE TABLE big (id INTEGER PRIMARY KEY, name TEXT, v INTEGER);" +
+        s"INSERT INTO big VALUES $inserts;")
+    engine.store.ingestSqliteSegment(db.toString, "btree")
+    val rows = engine.read("btree",
+      "SELECT count(*) AS n, sum(v) AS s, min(id) AS lo, max(id) AS hi FROM big;").collect()
+    assert(rows.head.getLong(0) == 5000L)
+    assert(rows.head.getLong(1) == 5000L * 5001L) // sum(2i) = n(n+1)
+    assert(rows.head.getLong(2) == 1L && rows.head.getLong(3) == 5000L)
+    val spot = engine.read("btree", "SELECT name FROM big WHERE id = 4321;").collect()
+    assert(spot.head.getString(0) == "name-4321")
+  }
+
+  test("UTF-16 encoded database text decodes correctly") {
+    val db = makeDb("utf16",
+      "PRAGMA encoding='UTF-16le';" +
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT);" +
+        "INSERT INTO t VALUES (1, 'ascii'), (2, 'späß — 日本語');")
+    engine.store.ingestSqliteSegment(db.toString, "utf16")
+    val rows = engine.read("utf16", "SELECT s FROM t ORDER BY id;").collect()
+    assert(rows(0).getString(0) == "ascii")
+    assert(rows(1).getString(0) == "späß — 日本語")
+  }
+
+  test("rows predating ALTER TABLE ADD COLUMN read the missing slot as null") {
+    val db = makeDb("altered",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, a TEXT);" +
+        "INSERT INTO t VALUES (1, 'old');" + // 2-column record on disk
+        "ALTER TABLE t ADD COLUMN b INTEGER;" +
+        "INSERT INTO t VALUES (2, 'new', 42);") // 3-column record
+    engine.store.ingestSqliteSegment(db.toString, "altered")
+    val rows = engine.read("altered", "SELECT id, a, b FROM t ORDER BY id;").collect()
+    assert(rows(0).getString(1) == "old" && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) == "new" && rows(1).getLong(2) == 42L)
+  }
+
+  test("WITHOUT ROWID tables and WAL sidecars are clean errors") {
+    val db = makeDb("worid",
+      "CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID;" +
+        "INSERT INTO w VALUES ('a', 1);")
+    intercept[UnsupportedOperationException](
+      engine.store.ingestSqliteSegment(db.toString, "worid"))
+
+    val db2 = makeDb("waldb", "CREATE TABLE t (id INTEGER PRIMARY KEY);")
+    Files.write(db2.resolveSibling(db2.getFileName.toString + "-wal"),
+      "frames".getBytes)
+    val e = intercept[IllegalStateException](
+      engine.store.ingestSqliteSegment(db2.toString, "waldb"))
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
+  test("ingested segment is a first-class citizen: readAll, promote, write all work") {
+    val db = makeDb("firstclass",
+      "CREATE TABLE ev (id INTEGER PRIMARY KEY, x INTEGER);" +
+        "INSERT INTO ev VALUES (1, 10), (2, 20);")
+    engine.store.ingestSqliteSegment(db.toString, "ing-a")
+    // cross-segment scan sees it next to natively-provisioned segments
+    engine.schemas.put("ev-ddl", "CREATE TABLE ev (id INTEGER PRIMARY KEY, x INTEGER);")
+    engine.provisionWritable("ing-b", "ev-ddl")
+    engine.write("ing-b", "INSERT INTO ev (id, x) VALUES (3, 30);")
+    val all = engine.readAll(
+      "SELECT segment_id, sum(x) AS s FROM ev GROUP BY segment_id ORDER BY segment_id;",
+      "^ing-")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("ing-a", 30L), ("ing-b", 30L)))
+    // writes apply on top of ingested data after taking the lock
+    engine.provisionWritable("ing-a", "default")
+    engine.write("ing-a", "UPDATE ev SET x = x + 1 WHERE id = 1;")
+    val rows = engine.read("ing-a", "SELECT x FROM ev ORDER BY id;").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(11L, 20L))
+  }
+}

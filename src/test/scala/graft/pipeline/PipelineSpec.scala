@@ -113,6 +113,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(fake.getInt(1) == 0 && fake.getAs[Array[Byte]]("pixels").isEmpty)
   }
 
+  test("multimodal: real ImageIO decode round-trips PNG dims+shade, isolates corrupt rows") {
+    import spark.implicits._
+    // real PNG per row + one corrupt payload and one null payload:
+    // per-row isolation means the good rows still decode in the same
+    // partition as the bad ones
+    val rows = Seq(
+      (1L, Multimodal.pngPayload(5, 3, 200), "image/png"),
+      (2L, Multimodal.pngPayload(1, 1, 0), "image/png"),
+      (3L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3), "image/png"),
+      (4L, null.asInstanceOf[Array[Byte]], "image/png"))
+      .toDF("media_id", "payload", "format").coalesce(1)
+    val out = Multimodal.decodeImageFeatures(rows).orderBy("media_id").collect()
+    assert(out(0).getLong(2) == 5L && out(0).getLong(3) == 3L && out(0).getLong(4) == 200L)
+    assert(out(0).getBoolean(5))
+    assert(out(1).getLong(2) == 1L && out(1).getLong(4) == 0L)
+    // corrupt: byte_len recorded, dims null, ok=false — row survives
+    assert(out(2).getLong(1) == 7L && out(2).isNullAt(2) && !out(2).getBoolean(5))
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(2) && !out(3).getBoolean(5))
+    // a JPEG written by ImageIO decodes too (decoder is format-sniffing)
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val Some((jw, jh, _)) = Multimodal.decodeImage(bos.toByteArray): @unchecked
+    assert(jw == 4 && jh == 2)
+  }
+
   test("multimodal: decodeFeatures runs the mapPartitions contract end-to-end") {
     import spark.implicits._
     val media = Multimodal.withFakeMedia(docs((1L, "hello"), (2L, "world")))
