@@ -62,16 +62,29 @@ object EventStreams {
     * emitting only on session *close*, enriching with per-session
     * aggregates).
     *
-    * A session is emitted exactly once, when it CLOSES: either a later
-    * event for the same user exceeds the gap, or (streaming) the
-    * event-time timeout fires once the watermark passes last+gap. Open
-    * sessions live only in state — no per-micro-batch re-emission of a
-    * growing open session, and state expires with the watermark.
+    * A session is emitted exactly once, when it is WATERMARK-SAFE:
+    * `last + gap < watermark`, i.e. no event the stream can still
+    * deliver could extend or bridge it. That is a strictly stronger
+    * condition than "a later event exceeded the gap": with out-of-order
+    * delivery (any nonzero watermark delay), a gap-separated pair of
+    * sessions can be BRIDGED by an event that arrives later but falls
+    * between them — so gap-break emission would split what is really
+    * one session. (A differential property test against the batch
+    * formulation caught exactly that: event A arrives alone, looks
+    * gap-isolated, is emitted; then B arrives bridging A to C.) The
+    * state therefore holds ALL not-yet-safe sessions of the key — a
+    * sorted, gap-separated interval list, merged with each batch's
+    * events in one interval-merge pass — and each invocation (data or
+    * event-time timeout) emits the prefix that became safe. State stays
+    * bounded by the watermark horizon: a session retained past its gap
+    * is emitted as soon as the watermark crosses it, and the horizon
+    * bounds how many distinct unsafe sessions can coexist per key.
+    *
     * Streaming callers must define a watermark upstream of the
     * projection (EventTimeTimeout requires one). In batch execution all
-    * rows of a key arrive in the single invocation, so the trailing
-    * session is final by construction and is emitted directly (timeouts
-    * never fire in batch).
+    * rows of a key arrive in the single invocation and nothing can
+    * arrive later, so every merged session is emitted directly
+    * (timeouts never fire in batch).
     *
     * Takes (user_id, ts) with ts a real TimestampType column — the
     * watermark marker rides on that attribute, so projecting it to a
@@ -87,70 +100,47 @@ object EventStreams {
       // no typed .map to millis here: SerializeFromObject would mint new
       // attributes without the watermark metadata the timeout check needs
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append,
         if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
         (userId: Long, rawRows: Iterator[(Long, java.sql.Timestamp)],
-            state: GroupState[SessionState]) =>
-          val rows = rawRows.map(r => (r._1, r._2.getTime))
-          if (streaming && state.hasTimedOut) {
-            // watermark passed last+gap with no newer event: session closed
-            val s = state.get
+            state: GroupState[List[SessionState]]) =>
+          // One pass handles every invocation shape — data batch, timeout
+          // firing (empty rows), or both: merge state intervals + event
+          // points sorted by start, then split safe/unsafe on the current
+          // watermark. Sorting by start makes the gap check against the
+          // running interval's `last` the full merge condition; max() so
+          // a contained item can't regress the end.
+          val incoming = rawRows.map(r => { val t = r._2.getTime; SessionState(t, t, 1) }).toSeq
+          val items = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(s => (s.start, s.last))
+          val merged = scala.collection.mutable.ArrayBuffer[SessionState]()
+          items.foreach { s =>
+            merged.lastOption match {
+              case Some(c) if s.start - c.last <= gapMs =>
+                merged(merged.length - 1) =
+                  SessionState(c.start, math.max(c.last, s.last), c.n + s.n)
+              case _ => merged += s
+            }
+          }
+          if (!streaming) {
+            // batch: the single invocation saw everything — all final
             state.remove()
-            Iterator.single(SessionOut(userId, s.start, s.last, s.n))
+            merged.iterator.map(s => SessionOut(userId, s.start, s.last, s.n))
           } else {
-            // Sessionize the restored open session (an interval item)
-            // and this batch's events (point items) in ONE sorted
-            // interval-merge pass. Spark drops rows strictly below the
-            // watermark before this operator, but the watermark lags the
-            // state by a batch (it is computed from the PREVIOUS batch's
-            // max event time), so rows still arrive out of order w.r.t.
-            // the restored state — in-gap behind it, or even more than a
-            // gap before its start. Sorting state+events together by
-            // start handles every such ordering uniformly: a late event
-            // merges into whichever session it gap-touches — including
-            // one that CLOSES later in this same pass — or forms its
-            // own. (The previous two-phase stale-event re-merge only
-            // reconsidered late events against the still-open session,
-            // so a late event whose session closed within the same batch
-            // was wrongly emitted as a singleton, splitting the session.)
-            val items = (state.getOption.toSeq ++ rows.map { case (_, t) => SessionState(t, t, 1) })
-              .sortBy(s => (s.start, s.last))
-            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            var cur: Option[SessionState] = None
-            items.foreach { s =>
-              cur match {
-                // sorted by start, so s.start >= c.start and the gap
-                // check against c.last is the full merge condition (an
-                // item inside the current interval has s.start - c.last
-                // <= 0); max() so a contained item can't REGRESS the end
-                case Some(c) if s.start - c.last <= gapMs =>
-                  cur = Some(SessionState(c.start, math.max(c.last, s.last), c.n + s.n))
-                case Some(c) =>
-                  out += SessionOut(userId, c.start, c.last, c.n)
-                  cur = Some(s)
-                case None => cur = Some(s)
-              }
+            val wm = state.getCurrentWatermarkMs()
+            val (safe, open) = merged.partition(s => s.last + gapMs < wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open.toList)
+              // wake when the earliest retained session crosses the
+              // watermark. Clamped one past the current watermark:
+              // setTimeoutTimestamp at/below it throws and would kill
+              // the whole query (reachable when a safe-boundary session
+              // is retained because wm advanced mid-batch).
+              state.setTimeoutTimestamp(
+                math.max(open.map(s => s.last + gapMs).min + 1, wm + 1))
             }
-            cur match {
-              case Some(s) if streaming =>
-                state.update(s)
-                // clamp: if last+gap lands at/below the current
-                // watermark, setTimeoutTimestamp throws and kills the
-                // whole streaming query. Spark's pre-operator late-row
-                // filter makes that unreachable today (rows >= watermark
-                // keep last+gap above it), but that filter is Spark's
-                // internal behavior, not a contract this operator should
-                // lean its availability on — schedule one ms past the
-                // watermark and the session closes on the next trigger
-                state.setTimeoutTimestamp(
-                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-              case Some(s) => // batch: all data seen — trailing session is final
-                out += SessionOut(userId, s.start, s.last, s.n)
-                state.remove()
-              case None => state.remove()
-            }
-            out.iterator
+            safe.iterator.map(s => SessionOut(userId, s.start, s.last, s.n))
           }
       }
   }

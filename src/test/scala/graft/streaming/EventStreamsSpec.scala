@@ -96,7 +96,7 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(out(2) == EventStreams.SessionOut(2L, 5000L, 5000L, 1))
   }
 
-  test("statefulSessions streaming: emits only on close (gap or event-time timeout)") {
+  test("statefulSessions streaming: emission is watermark-gated, exactly once per session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
@@ -107,7 +107,7 @@ class EventStreamsSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("ss_stream").outputMode("append").start()
     try {
       def emitted() = spark.sql("SELECT * FROM ss_stream").as[EventStreams.SessionOut]
-        .collect().sortBy(s => (s.userId, s.startMs)).toSeq
+        .collect().toSeq
       mem.addData((1L, 1L), (1L, 2L))
       query.processAllAvailable()
       // session still open: nothing emitted (the old NoTimeout version
@@ -115,16 +115,28 @@ class EventStreamsSpec extends SparkSpecBase {
       assert(emitted().isEmpty)
       mem.addData((1L, 100L))
       query.processAllAvailable()
-      // the 100s event exceeds the gap -> closes the 1-2s session
-      assert(emitted() == Seq(EventStreams.SessionOut(1L, 1000L, 2000L, 2)))
-      mem.addData((2L, 300L)) // advances watermark to 100s after this batch
+      // 100s exceeds the gap, but emission is WATERMARK-gated, not
+      // gap-break-gated: a bridging event at e.g. 7s could still arrive
+      // (watermark was 2s while this batch ran), so [1s,2s] is retained
+      // until the watermark passes 2s+gap
+      mem.addData((2L, 300L)) // watermark during next batch: 100s
       query.processAllAvailable()
-      mem.addData((2L, 500L)) // batch runs with watermark 300s: user 1's
-      query.processAllAvailable() // timeout (100s+10s) fires; user 2's gap closes 300s
-      assert(emitted() == Seq(
-        EventStreams.SessionOut(1L, 100000L, 100000L, 1),
+      assert(emitted().contains(EventStreams.SessionOut(1L, 1000L, 2000L, 2)),
+        s"12s < wm 100s: the 1-2s session must have emitted; got ${emitted()}")
+      mem.addData((2L, 500L)) // wm 300s -> user 1's [100s] session safe
+      query.processAllAvailable()
+      mem.addData((2L, 700L)) // wm 500s -> user 2's [300s] session safe
+      query.processAllAvailable()
+      val must = Set(
         EventStreams.SessionOut(1L, 1000L, 2000L, 2),
-        EventStreams.SessionOut(2L, 300000L, 300000L, 1)).sortBy(s => (s.userId, s.startMs)))
+        EventStreams.SessionOut(1L, 100000L, 100000L, 1),
+        EventStreams.SessionOut(2L, 300000L, 300000L, 1))
+      // [500s] may emit if a timeout-only batch ran after wm reached
+      // 700s; [700s] can never have (its safety needs wm > 710s)
+      val may = must + EventStreams.SessionOut(2L, 500000L, 500000L, 1)
+      val got = emitted()
+      assert(got.toSet.subsetOf(may) && must.subsetOf(got.toSet), got.toString)
+      assert(got.size == got.toSet.size, s"duplicate emission: $got")
     } finally query.stop()
   }
 
@@ -145,24 +157,26 @@ class EventStreamsSpec extends SparkSpecBase {
       mem.addData((1L, 100L))
       query.processAllAvailable() // watermark 40s; session open at [100s, 100s]
       // Out-of-order events more than a gap before the open session's
-      // start (both < 100s - 10s): their session was already over before
-      // the open one began — emitted as ONE closed session (45s and 50s
-      // are within a gap of each other; per-event singletons would split
-      // it). Pre-fix the merge branch swallowed them AND regressed the
-      // open session's end.
+      // start (both < 100s - 10s): sessionize among themselves as ONE
+      // session (45s and 50s are within a gap of each other; per-event
+      // singletons would split it). They stay in state — not emitted —
+      // until the watermark passes 50s+gap: a bridging event could
+      // still arrive. Pre-fix the merge branch swallowed them AND
+      // regressed the open session's end.
       mem.addData((1L, 50L), (1L, 45L))
       query.processAllAvailable()
-      assert(emitted() == Seq(EventStreams.SessionOut(1L, 45000L, 50000L, 2)),
-        "beyond-gap out-of-order events sessionize among themselves")
       // Out-of-order event within the gap of the open session: merges,
       // extending the session START backwards without touching its end.
       mem.addData((1L, 95L))
       query.processAllAvailable()
-      // Gap-breaking event closes the merged session: bounds must be
-      // [95s, 100s] — an end of 95s would mean the merge regressed it
-      // (pre-fix `last = t` produced end < start here).
-      mem.addData((1L, 300L))
+      mem.addData((1L, 300L)) // wm during batch still 40s
       query.processAllAvailable()
+      mem.addData((1L, 400L)) // wm 240s: both retained sessions now safe
+      query.processAllAvailable()
+      assert(emitted().contains(EventStreams.SessionOut(1L, 45000L, 50000L, 2)),
+        s"beyond-gap out-of-order events sessionize among themselves: ${emitted()}")
+      // bounds [95s, 100s]: an end of 95s would mean the merge
+      // regressed it (pre-fix `last = t` produced end < start here)
       assert(emitted().contains(EventStreams.SessionOut(1L, 95000L, 100000L, 2)),
         s"merged session must keep its 100s end, got ${emitted()}")
     } finally query.stop()
@@ -186,7 +200,9 @@ class EventStreamsSpec extends SparkSpecBase {
       // stale singleton plus a merged pair.
       mem.addData((1L, 85L), (1L, 95L))
       query.processAllAvailable()
-      mem.addData((1L, 300L)) // gap-close
+      mem.addData((1L, 300L))
+      query.processAllAvailable()
+      mem.addData((1L, 400L)) // wm 240s: the [85s,100s] session is safe
       query.processAllAvailable()
       val out = spark.sql("SELECT * FROM ss_pull").as[EventStreams.SessionOut]
         .collect().toSeq
@@ -208,18 +224,100 @@ class EventStreamsSpec extends SparkSpecBase {
     try {
       mem.addData((1L, 100L))
       query.processAllAvailable() // state [100s,100s], watermark 40s
-      // one batch delivers 85s, 95s AND the gap-breaking 200s: the
-      // restored session merges to [85s,100s] and is CLOSED by 200s in
-      // this same batch. 85s must land in that emitted session — the
-      // old re-merge only reconsidered stale events against the still-
-      // open session ([200s,200s] here), so 85s split off as a
-      // singleton.
+      // one batch delivers 85s, 95s AND the gap-separated 200s: the
+      // restored session merges to [85s,100s]; 85s must land in that
+      // session — the old re-merge only reconsidered stale events
+      // against the newest session ([200s,200s] here), so 85s split
+      // off as a singleton.
       mem.addData((1L, 85L), (1L, 95L), (1L, 200L))
+      query.processAllAvailable()
+      mem.addData((1L, 400L)) // wm 140s: [85s,100s] safe (110s < 140s)
       query.processAllAvailable()
       val out = spark.sql("SELECT * FROM ss_close").as[EventStreams.SessionOut]
         .collect().toSeq
-      assert(out == Seq(EventStreams.SessionOut(1L, 85000L, 100000L, 3)), out.toString)
+      assert(out.contains(EventStreams.SessionOut(1L, 85000L, 100000L, 3)), out.toString)
+      assert(!out.exists(s => s.nEvents == 1 && s.startMs == 85000L), out.toString)
     } finally query.stop()
+  }
+
+  test("statefulSessions differential property: streaming == batch == lag/running-sum " +
+      "reference under random events, random micro-batch splits, random arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Independent reference implementation: the q42 batch algorithm
+    // (sort per user, split where the gap exceeds, min/max/count) —
+    // a different formulation than the interval-merge in the operator.
+    def referenceSessions(
+        events: Seq[(Long, Long)], gapMs: Long): Set[EventStreams.SessionOut] =
+      events.groupBy(_._1).flatMap { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        val out = scala.collection.mutable.ArrayBuffer[EventStreams.SessionOut]()
+        var start = ts.head; var last = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - last > gapMs) {
+            out += EventStreams.SessionOut(u, start, last, n)
+            start = t; n = 0
+          }
+          last = t; n += 1
+        }
+        out += EventStreams.SessionOut(u, start, last, n)
+        out
+      }.toSet
+
+    val rnd = new scala.util.Random(20260812L) // fixed seed: reproducible trials
+    val SentinelMs = 5000L * 1000
+    for (trial <- 1 to 12) {
+      val gapMs = Seq(5000L, 10000L, 30000L)(rnd.nextInt(3))
+      val users = 1 + rnd.nextInt(3)
+      val n = 5 + rnd.nextInt(35)
+      // duplicates allowed (same user+ms twice): both must be counted.
+      // Times start at 1s: an epoch-0 event ties the INITIAL watermark
+      // and Spark's stateful late-row filter drops eventTime <= wm —
+      // a harness artifact, not sessionizer behavior under test.
+      val events = Seq.fill(n)(
+        (1L + rnd.nextInt(users).toLong, (1 + rnd.nextInt(300)) * 1000L))
+      val expected = referenceSessions(events, gapMs)
+
+      // batch mode of the operator itself
+      val batchDf = events.toDF("user_id", "ms")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+      val batchOut = EventStreams.statefulSessions(batchDf, gapMs).collect().toSet
+      assert(batchOut == expected,
+        s"trial $trial (gap $gapMs): batch operator diverged\n events=$events")
+
+      // streaming mode: shuffled arrival order, random micro-batch split,
+      // then a sentinel event per user that gap-closes every open session.
+      // Watermark delay exceeds the event span so no row is ever dropped —
+      // the operator must sessionize fully out-of-order input correctly.
+      val shuffled = rnd.shuffle(events)
+      val nBatches = 1 + rnd.nextInt(5)
+      val batches = shuffled.grouped(math.max(1, (shuffled.size + nBatches - 1) / nBatches))
+        .toSeq
+      val mem = MemoryStream[(Long, Long)]
+      val ds = mem.toDF().toDF("user_id", "ms")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+        .withWatermark("ts", "1000 seconds")
+      val sink = s"ss_prop_$trial"
+      val query = EventStreams.statefulSessions(ds, gapMs)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+        // two sentinel rounds: the first advances the watermark past
+        // every real session's last+gap, the second delivers a data
+        // batch that runs WITH that watermark so the now-safe sessions
+        // emit (no reliance on timeout-only empty batches)
+        Seq(SentinelMs, SentinelMs + 2000 * 1000).foreach { sm =>
+          mem.addData((1L to users).map(u => (u, sm)): _*)
+          query.processAllAvailable()
+        }
+        val streamOut = spark.sql(s"SELECT * FROM $sink")
+          .as[EventStreams.SessionOut].collect().toSet
+          .filterNot(_.startMs >= SentinelMs) // the sentinels' own sessions
+        assert(streamOut == expected,
+          s"trial $trial (gap $gapMs, ${batches.size} batches): streaming diverged\n" +
+            s" events=$events\n batches=$batches\n got=$streamOut\n want=$expected")
+      } finally query.stop()
+    }
   }
 
   test("dedupWithinWatermark: duplicates inside the horizon drop, state expires past it") {
