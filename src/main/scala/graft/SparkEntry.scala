@@ -790,12 +790,14 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text").collect()
       val script = new StringBuilder(
-        "PRAGMA page_size=512;\nCREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\n")
+        "PRAGMA page_size=512;\nCREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\n" +
+          "BEGIN;\n") // one txn: per-INSERT autocommit would fsync 5000×
       docs.foreach { r =>
         val lit =
           if (r.isNullAt(1)) "NULL" else "'" + r.getString(1).replace("'", "''") + "'"
         script.append(s"INSERT INTO docs VALUES (${r.getLong(0)}, $lit);\n")
       }
+      script.append("COMMIT;\n")
       val tmp = java.nio.file.Files.createTempDirectory("graft-q53")
       val db = tmp.resolve("docs.sqlite")
       val in = new java.io.ByteArrayInputStream(

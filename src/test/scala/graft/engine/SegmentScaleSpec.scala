@@ -1,0 +1,53 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** Segment-count ramp guard: the reference runs tens of thousands of
+  * segments per cluster (conf/settings.yml:4-5 — Archive-It crawl ids),
+  * and the table-major layout's core claim is that segment count does
+  * not enter the plan: one FileScan per table with `segment_id` as a
+  * partition column, O(segments) work confined to file listing (which
+  * Spark's InMemoryFileIndex parallelizes), never to analysis. This
+  * spec holds that claim at 5,000 segments. */
+class SegmentScaleSpec extends SparkSpecBase {
+
+  test("5k segments: readAll plans one FileScan per table; planning time bounded") {
+    val root = Files.createTempDirectory("graft-ramp").toString
+    val store = new SegmentStore(spark, root)
+    val engine = new TroughEngine(spark, store, new SchemaRegistry)
+    engine.schemas.put("ramp-kv", "CREATE TABLE rkv (k INTEGER PRIMARY KEY, v TEXT);")
+    val nSegs = 5000
+    (0 until nSegs).foreach { i =>
+      store.provision(f"ramp-$i%04d", "CREATE TABLE rkv (k INTEGER PRIMARY KEY, v TEXT);")
+    }
+    // data in a handful — the other 4,997 are empty partitions that the
+    // scan schema (from meta) must still resolve without reading
+    Seq(17, 2048, 4999).foreach { i =>
+      engine.provisionWritable(f"ramp-$i%04d", "ramp-kv")
+      engine.write(f"ramp-$i%04d", s"INSERT INTO rkv (k, v) VALUES ($i, 'v$i');")
+    }
+    assert(store.listSegments().size == nSegs)
+
+    val t0 = System.nanoTime()
+    val df = engine.readAll("SELECT count(*) AS n, sum(k) AS s FROM rkv;")
+    val plan = df.queryExecution.executedPlan.toString // forces full planning
+    val planSecs = (System.nanoTime() - t0) / 1e9
+    // ONE scan regardless of segment count — the property that dies
+    // first if the layout regresses to per-segment relations
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"expected exactly one scan over $nSegs segments, got:\n${plan.take(1200)}")
+    // generous bound: locally this plans in ~1-2s; 60s means even a CI
+    // box under load passes while an O(segments) analysis blowup
+    // (10^4 unions was minutes at 120 segments' scale factor) fails
+    assert(planSecs < 60.0, f"planning took $planSecs%.1f s over $nSegs segments")
+
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 3L && row.getLong(1) == (17L + 2048L + 4999L))
+
+    // regex pruning still reaches the partition filter at this scale
+    val one = engine.readAll("SELECT v FROM rkv;", "^ramp-2048$")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("v2048"))
+  }
+}
