@@ -335,6 +335,90 @@ class SegmentStore(
     } finally file.close()
   }
 
+  /** Inverse migration: export a segment as a well-formed `.sqlite`
+    * database file via the pure-Scala [[SqliteWriter]] — the real
+    * `sqlite3` opens, integrity-checks, and queries the output (spec-
+    * verified), so data can move back OUT of this engine into a trough
+    * deployment with no SQLite linkage in the JVM. The rowid-alias
+    * column (INTEGER PRIMARY KEY) keys the B-tree directly; tables
+    * without one get sequential rowids (a SQLite implementation detail
+    * when unaliased). Bounded like ingest: one segment = one file of
+    * driver-side work, parallelizable across segments. Returns the
+    * exported table names. */
+  def exportSqliteSegment(segmentId: String, outPath: String): Seq[String] = {
+    require(segmentExists(segmentId), s"segment $segmentId does not exist")
+    val tbls = tables(segmentId)
+    val datas = tbls.map { t =>
+      val meta = tableMeta(segmentId, t)
+      val fields = meta.schema.fields
+      val rowidIdx = meta.autoIncrement
+        .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
+      val collected = loadTable(segmentId, t).collect().toSeq
+      val rows: Seq[(Long, IndexedSeq[Any])] = collected.zipWithIndex.map { case (r, i) =>
+        val rowid =
+          if (rowidIdx < 0) i + 1L
+          else if (r.isNullAt(rowidIdx))
+            throw new IllegalStateException(
+              s"table $t: null in rowid-alias column ${fields(rowidIdx).name}")
+          else r.getLong(rowidIdx)
+        val vals: IndexedSeq[Any] = fields.indices.map { j =>
+          if (j == rowidIdx) null // rowid alias stores NULL in the record
+          else if (r.isNullAt(j)) null
+          else fields(j).dataType match {
+            case LongType => r.getLong(j)
+            case DoubleType => r.getDouble(j)
+            case StringType => r.getString(j)
+            case BinaryType => r.getAs[Array[Byte]](j)
+            case other => throw new IllegalStateException(
+              s"table $t column ${fields(j).name}: unexpected store type $other")
+          }
+        }
+        (rowid, vals)
+      }.sortBy(_._1)
+      rows.iterator.map(_._1).foldLeft(Long.MinValue) { (prev, id) =>
+        if (id <= prev) throw new IllegalStateException(
+          s"table $t: duplicate rowid $id (alias column must be unique)")
+        id
+      }
+      // a non-rowid-alias PRIMARY KEY implies a sqlite_autoindex whose
+      // B-tree the writer must materialize (integrity_check counts it)
+      val autoIdxCols =
+        if (meta.autoIncrement.isEmpty && meta.primaryKey.nonEmpty)
+          meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
+            .filter(_ >= 0)
+        else Nil
+      SqliteWriter.TableData(t,
+        SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey, meta.autoIncrement),
+        rows, autoIdxCols)
+    }
+    SqliteWriter.write(Paths.get(outPath), datas)
+    tbls
+  }
+
+  /** Bulk migration: ingest many `.sqlite` segment files with bounded
+    * parallelism and per-file error isolation — one corrupt file
+    * reports its error without failing the batch (the shape of the
+    * reference's parallel HDFS sync pulls, sync.py:941-1047, and of
+    * [[TroughEngine.fanout]]'s isolation contract). Per-segment commits
+    * are independent (distinct swap locks), so files ingest fully
+    * concurrently; each file is bounded work (segments are small by
+    * design), making total migration time files/parallelism × per-file
+    * cost. Returns per-segment `Try`s of the ingested table names. */
+  def ingestSqliteSegments(
+      files: Map[String, String], // segmentId -> path
+      parallelism: Int = 8): Map[String, scala.util.Try[Seq[String]]] = {
+    require(parallelism > 0, "parallelism must be positive")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = files.toSeq.map { case (seg, path) =>
+        val task = java.util.concurrent.CompletableFuture.supplyAsync(
+          () => scala.util.Try(ingestSqliteSegment(path, seg)), pool)
+        seg -> task
+      }
+      futures.map { case (seg, f) => seg -> f.join() }.toMap
+    } finally pool.shutdown()
+  }
+
   /** SQLite storage-class value → the column's declared Spark type.
     * Lossless coercions only (SQLite's own affinity conversions); a
     * value that can't convert is a clean error with full context. */

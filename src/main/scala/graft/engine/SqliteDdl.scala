@@ -85,6 +85,35 @@ object SqliteDdl {
     TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists)
   }
 
+  /** Inverse of [[parseCreateTable]] for export: render a store meta
+    * back to SQLite DDL. The rowid-alias column renders as
+    * `INTEGER PRIMARY KEY` (no AUTOINCREMENT — the keyword's only
+    * effect is the `sqlite_sequence` bookkeeping table, which an
+    * exported file deliberately omits; plain INTEGER PRIMARY KEY
+    * auto-assigns identically for the reference's insert patterns),
+    * other primary keys as a table constraint. */
+  def renderCreateTable(
+      table: String, schema: StructType,
+      primaryKey: Seq[String], autoIncrement: Option[String]): String = {
+    def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    val cols = schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "INTEGER"
+        case DoubleType => "REAL"
+        case StringType => "TEXT"
+        case BinaryType => "BLOB"
+        case _ => "TEXT"
+      }
+      val pkInline = if (autoIncrement.contains(f.name)) " PRIMARY KEY" else ""
+      s"${q(f.name)} $t$pkInline"
+    }
+    val tableConstraint =
+      if (primaryKey.nonEmpty && autoIncrement.isEmpty)
+        Seq(s"PRIMARY KEY (${primaryKey.map(q).mkString(", ")})")
+      else Nil
+    s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})"
+  }
+
   /** Tokenize a column definition, keeping parenthesized type args (e.g.
     * `varchar(100)`) attached to their type token. */
   private def tokenizeColumnDef(defn: String): Seq[String] = {

@@ -152,6 +152,28 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("bulk ingest: parallel over files, per-file error isolation") {
+    val dbs = (1 to 6).map { i =>
+      f"bulk-$i%02d" -> makeDb(s"bulk$i",
+        s"CREATE TABLE m (id INTEGER PRIMARY KEY, v INTEGER); " +
+          s"INSERT INTO m VALUES (1, ${i * 100});").toString
+    }.toMap
+    // one deliberately-corrupt file in the batch
+    val badDir = Files.createTempDirectory("sqlite-bad")
+    val bad = badDir.resolve("bad.sqlite")
+    Files.write(bad, "not a sqlite file at all".getBytes)
+    val results = engine.store.ingestSqliteSegments(
+      dbs + ("bulk-bad" -> bad.toString), parallelism = 4)
+    assert(results("bulk-bad").isFailure)
+    dbs.keys.foreach(seg => assert(results(seg) == scala.util.Success(Seq("m")), seg))
+    // all six good segments landed and scan as one relation
+    val sum = engine.readAll("SELECT sum(v) AS s FROM m;", "^bulk-")
+      .collect()(0).getLong(0)
+    assert(sum == (1 to 6).map(_ * 100).sum.toLong)
+    assert(!engine.store.segmentExists("bulk-bad") ||
+      engine.store.tables("bulk-bad").isEmpty) // the bad file committed nothing
+  }
+
   test("ingested segment is a first-class citizen: readAll, promote, write all work") {
     val db = makeDb("firstclass",
       "CREATE TABLE ev (id INTEGER PRIMARY KEY, x INTEGER);" +
