@@ -813,6 +813,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The inverse migration, oracle-pinned: documents land in a segment,
+    // export writes a REAL SQLite database (pure-Scala writer: B-tree
+    // bulk load, overflow chains for long texts, record encoding),
+    // ingest reads it back, and the result must hash-match the raw
+    // parquet — if any byte of the writer→reader round trip lied, the
+    // oracle catches it. Complements q53 (which pins the reader against
+    // sqlite3-written bytes; here the writer's bytes are the middle).
+    "q55_sqlite_export_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q55")
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
+      val eng = new graft.engine.TroughEngine(s, store, new graft.engine.SchemaRegistry)
+      store.provision("q55src",
+        "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);")
+      store.replaceTableData("q55src", "docs",
+        t(s, dir, "documents").select($"doc_id", $"text"))
+      val db = tmp.resolve("export.sqlite")
+      store.exportSqliteSegment("q55src", db.toString)
+      store.ingestSqliteSegment(db.toString, "q55back")
+      eng.read("q55back", "SELECT doc_id, text FROM docs;")
+        .select($"doc_id", length($"text").cast("long").as("n_chars"), $"text")
+        .orderBy($"doc_id")
+    }),
+
     // Real multimodal decode: deterministic PNGs generated per doc_id
     // (width/height/shade arithmetic in the id), decoded with
     // javax.imageio inside the per-partition batch contract. Every 97th
@@ -1332,6 +1356,11 @@ object SparkEntry {
     // the pure-Scala ingest; a hash match against the raw parquet
     // proves the round trip lossless
     "q53_sqlite_ingest" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+      FROM documents ORDER BY doc_id""",
+    // the writer→reader sqlite round trip must be lossless against the
+    // raw parquet (same oracle shape as q53)
+    "q55_sqlite_export_roundtrip" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
       FROM documents ORDER BY doc_id""",
     // every output column of the real ImageIO decode is arithmetic in

@@ -121,6 +121,74 @@ class SqliteExportSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzz: random tables round-trip writer → reader and writer → sqlite3") {
+    val rnd = new scala.util.Random(0x517e)
+    // serial-width boundary ints are the values most likely to expose an
+    // off-by-one in the record encoder
+    val edgeInts = Seq(0L, 1L, -1L, 127L, 128L, -128L, -129L, 32767L, 32768L,
+      -32768L, -32769L, (1L << 23) - 1, 1L << 23, -(1L << 23), -(1L << 23) - 1,
+      Int.MaxValue.toLong, Int.MaxValue + 1L, Int.MinValue.toLong, Int.MinValue - 1L,
+      (1L << 47) - 1, 1L << 47, -(1L << 47), -(1L << 47) - 1, Long.MaxValue, Long.MinValue)
+    def randValue(tpe: Int): Any = tpe match {
+      case 0 => if (rnd.nextBoolean()) edgeInts(rnd.nextInt(edgeInts.length))
+        else rnd.nextLong()
+      case 1 => rnd.nextInt(5) match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case 2 => rnd.nextDouble() * 1e18
+        case _ => rnd.nextGaussian()
+      }
+      case 2 =>
+        val len = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(8) // short
+          case 1 => rnd.nextInt(200)
+          case 2 => 1500 + rnd.nextInt(500) // near page boundary
+          case _ => 5000 + rnd.nextInt(8000) // forces overflow
+        }
+        val chars = "aé日\n'\"\\x ~ÿ"
+        (0 until len).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      case _ => Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+    }
+    for (trial <- 1 to 5) {
+      val nCols = 2 + rnd.nextInt(4)
+      val colTypes = Seq.fill(nCols)(rnd.nextInt(4))
+      val nRows = rnd.nextInt(250)
+      val rows = (1 to nRows).map { i =>
+        (i.toLong, colTypes.map(t =>
+          if (rnd.nextInt(8) == 0) null else randValue(t)).toIndexedSeq)
+      }
+      val colDefs = colTypes.zipWithIndex.map { case (t, j) =>
+        val ty = Seq("INTEGER", "REAL", "TEXT", "BLOB")(t)
+        s""""c$j" $ty"""
+      }.mkString(", ")
+      val db = exportDir().resolve(s"fuzz$trial.sqlite")
+      SqliteWriter.write(db,
+        Seq(SqliteWriter.TableData("fz", s"""CREATE TABLE "fz" ($colDefs)""", rows)))
+
+      // the real sqlite3 validates structure and row count
+      assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"), s"trial $trial")
+      assert(sqlite3(db, "SELECT count(*) FROM fz;") == Seq(nRows.toString), s"trial $trial")
+
+      // our reader must recover every value exactly
+      val f = SqliteFile.open(db)
+      try {
+        val m = f.userTables.head
+        val got = f.rows(m.rootPage).toSeq
+        assert(got.length == nRows, s"trial $trial row count")
+        got.zip(rows).foreach { case ((gRowid, gVals), (eRowid, eVals)) =>
+          assert(gRowid == eRowid)
+          gVals.zip(eVals).foreach {
+            case (g: Array[Byte], e: Array[Byte]) => assert(g.sameElements(e), s"trial $trial blob")
+            case (g: Double, e: Double) =>
+              assert(java.lang.Double.doubleToLongBits(g) ==
+                java.lang.Double.doubleToLongBits(e), s"trial $trial double")
+            case (g, e) => assert(g == e, s"trial $trial: $g != $e")
+          }
+        }
+      } finally f.close()
+    }
+  }
+
   test("empty tables and tables without a rowid alias export validly") {
     engine.schemas.put("exp-empty",
       "CREATE TABLE empty_t (id INTEGER PRIMARY KEY, v TEXT); " +
