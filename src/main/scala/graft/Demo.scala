@@ -51,6 +51,14 @@ object Demo {
     engine.deleteSegment("crawl-2024-02")
     println("remaining segments: " + engine.store.listSegments().mkString(", "))
 
+    println("== export to a real .sqlite file and ingest it back ==")
+    val sqliteFile = java.nio.file.Paths.get(durable, "crawl-2024-01.sqlite")
+    engine.store.exportSqliteSegment("crawl-2024-01", sqliteFile.toString)
+    println(s"exported ${java.nio.file.Files.size(sqliteFile)} bytes of SQLite")
+    engine.store.ingestSqliteSegment(sqliteFile.toString, "crawl-2024-01-restored")
+    print(engine.resultJson(engine.read("crawl-2024-01-restored",
+      "SELECT id, url FROM pages ORDER BY id;")))
+
     spark.stop()
   }
 }
