@@ -305,13 +305,33 @@ class SegmentStore(
       val root = tierRoot(segmentId)
       masters.map { m =>
         val td = SqliteDdl.parseCreateTable(m.sql)
-        val meta = TableMeta(td.schema, td.primaryKey, td.autoIncrement)
+        // an INTEGER PRIMARY KEY is only a rowid alias in rowid tables;
+        // in WITHOUT ROWID storage it is an ordinary key column
+        val withoutRowid = SqliteFile.isWithoutRowid(m.sql)
+        val meta = TableMeta(td.schema, td.primaryKey,
+          if (withoutRowid) None else td.autoIncrement)
         SegmentStore.requireNoReservedColumns(meta)
         val fields = td.schema.fields
         val rowidIdx = meta.autoIncrement
           .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
+        val rowIter: Iterator[(Long, IndexedSeq[Any])] =
+          if (withoutRowid) {
+            // index-tree records put PRIMARY KEY columns first (in PK
+            // declaration order), then the rest in declared order —
+            // reorder back to the declared schema; no rowid exists
+            val pkIdx = meta.primaryKey
+              .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).filter(_ >= 0)
+            val order = pkIdx ++ fields.indices.filterNot(pkIdx.contains)
+            file.indexRows(m.rootPage).iterator.map { rec =>
+              val out = new Array[Any](fields.length)
+              order.zipWithIndex.foreach { case (declIdx, recPos) =>
+                out(declIdx) = if (recPos < rec.length) rec(recPos) else null
+              }
+              (0L, out.toIndexedSeq)
+            }
+          } else file.rows(m.rootPage)
         val rows = new java.util.ArrayList[Row]()
-        file.rows(m.rootPage).foreach { case (rowid, vals) =>
+        rowIter.foreach { case (rowid, vals) =>
           val out = new Array[Any](fields.length)
           var i = 0
           while (i < fields.length) {

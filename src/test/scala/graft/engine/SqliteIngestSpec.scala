@@ -137,13 +137,36 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(rows(1).getString(1) == "new" && rows(1).getLong(2) == 42L)
   }
 
-  test("WITHOUT ROWID tables and WAL sidecars are clean errors") {
+  test("WITHOUT ROWID tables ingest via the index-tree walk (pk-first record order)") {
+    // pk declared LAST and out of insert order: the index B-tree sorts
+    // by key and stores records pk-first — ingest must reorder back
     val db = makeDb("worid",
-      "CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID;" +
-        "INSERT INTO w VALUES ('a', 1);")
-    intercept[UnsupportedOperationException](
-      engine.store.ingestSqliteSegment(db.toString, "worid"))
+      "CREATE TABLE w (v INTEGER, note TEXT, k TEXT PRIMARY KEY) WITHOUT ROWID;" +
+        "INSERT INTO w VALUES (3, 'see', 'c'), (1, 'ay', 'a'), (2, 'bee', 'b');")
+    assert(engine.store.ingestSqliteSegment(db.toString, "worid") == Seq("w"))
+    val rows = engine.read("worid", "SELECT k, v, note FROM w ORDER BY k;").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("a", 1L, "ay"), ("b", 2L, "bee"), ("c", 3L, "see")))
+  }
 
+  test("WITHOUT ROWID at interior-page scale: divider entries are real rows") {
+    // small pages force a multi-level index B-tree, where some entries
+    // live in INTERIOR cells — an in-order walk must emit them too
+    // (a leaves-only walk would silently drop one row per leaf split)
+    val db = makeDb("woridBig",
+      "PRAGMA page_size=512;" +
+        "CREATE TABLE wb (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID;" +
+        "BEGIN;" +
+        (1 to 2000).map(i => f"INSERT INTO wb VALUES ('k$i%05d', $i);").mkString("") +
+        "COMMIT;")
+    engine.store.ingestSqliteSegment(db.toString, "worid-big")
+    val row = engine.read("worid-big",
+      "SELECT count(*) AS n, sum(v) AS s FROM wb;").collect()(0)
+    assert(row.getLong(0) == 2000L)
+    assert(row.getLong(1) == 2000L * 2001 / 2)
+  }
+
+  test("WAL sidecars are clean errors") {
     val db2 = makeDb("waldb", "CREATE TABLE t (id INTEGER PRIMARY KEY);")
     Files.write(db2.resolveSibling(db2.getFileName.toString + "-wal"),
       "frames".getBytes)
