@@ -166,6 +166,32 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(row.getLong(1) == 2000L * 2001 / 2)
   }
 
+  test("real-world page layouts: freelist pages (deletes) and auto_vacuum ptrmap pages") {
+    // deletes leave freelist pages the tree walk must simply never
+    // visit; the b-tree still holds exactly the surviving rows
+    val db = makeDb("freelist",
+      "PRAGMA page_size=512;" +
+        "CREATE TABLE f (id INTEGER PRIMARY KEY, pad TEXT);" +
+        "BEGIN;" +
+        (1 to 800).map(i => s"INSERT INTO f VALUES ($i, '${"x" * 120}');").mkString("") +
+        "COMMIT;" +
+        "DELETE FROM f WHERE id % 3 != 0;")
+    engine.store.ingestSqliteSegment(db.toString, "freelist")
+    val r = engine.read("freelist", "SELECT count(*) AS n, min(id) AS lo FROM f;").collect()(0)
+    assert(r.getLong(0) == 266L && r.getLong(1) == 3L)
+
+    // auto_vacuum interleaves pointer-map pages into the page numbering;
+    // tree pointers already account for them, so the walk is unaffected
+    val db2 = makeDb("autovac",
+      "PRAGMA auto_vacuum=FULL;" +
+        "CREATE TABLE av (id INTEGER PRIMARY KEY, v TEXT);" +
+        "INSERT INTO av VALUES (1, 'one'), (2, '" + ("y" * 9000) + "');")
+    engine.store.ingestSqliteSegment(db2.toString, "autovac")
+    val rows = engine.read("autovac", "SELECT id, length(v) AS n FROM av ORDER BY id;")
+      .collect()
+    assert(rows.map(r0 => (r0.getLong(0), r0.getInt(1))).toSeq == Seq((1L, 3), (2L, 9000)))
+  }
+
   test("WAL sidecars are clean errors") {
     val db2 = makeDb("waldb", "CREATE TABLE t (id INTEGER PRIMARY KEY);")
     Files.write(db2.resolveSibling(db2.getFileName.toString + "-wal"),
