@@ -190,11 +190,15 @@ class SegmentStore(
         // invalidate only tables this segment actually contributed a
         // slice to (meta present): a blanket cache clear would force
         // every cached table to replan — O(segments) meta re-reads each
-        // — after ANY segment delete, needlessly quadratic under churn
-        if (Files.isRegularFile(metaPath(root, segmentId, t))) tablePlanCache.remove(t)
+        // — after ANY segment delete, needlessly quadratic under churn.
+        // Invalidated AFTER the files are gone, not before: a read
+        // racing the delete could otherwise re-cache a plan listing the
+        // half-deleted segment, and nothing would ever evict it.
+        val contributed = Files.isRegularFile(metaPath(root, segmentId, t))
         Seq(liveDir(root, segmentId, t), tmpDir(root, segmentId, t),
           oldDir(root, segmentId, t)).foreach(deleteRecursively)
         Files.deleteIfExists(metaPath(root, segmentId, t))
+        if (contributed) tablePlanCache.remove(t)
       } finally stream.close()
     }
     Files.deleteIfExists(marker(segmentId))
@@ -395,10 +399,12 @@ class SegmentStore(
         }
         (rowid, vals)
       }.sortBy(_._1)
-      rows.iterator.map(_._1).foldLeft(Long.MinValue) { (prev, id) =>
-        if (id <= prev) throw new IllegalStateException(
-          s"table $t: duplicate rowid $id (alias column must be unique)")
-        id
+      // adjacent compare after the sort — no sentinel (a seed of
+      // Long.MinValue would falsely flag a legitimate minimal rowid)
+      rows.iterator.map(_._1).sliding(2).foreach { pair =>
+        if (pair.length == 2 && pair(0) >= pair(1))
+          throw new IllegalStateException(
+            s"table $t: duplicate rowid ${pair(1)} (alias column must be unique)")
       }
       // a non-rowid-alias PRIMARY KEY implies a sqlite_autoindex whose
       // B-tree the writer must materialize (integrity_check counts it)
@@ -440,8 +446,14 @@ class SegmentStore(
   }
 
   /** SQLite storage-class value → the column's declared Spark type.
-    * Lossless coercions only (SQLite's own affinity conversions); a
-    * value that can't convert is a clean error with full context. */
+    * Value-lossless coercions only; anything else is a clean error
+    * with full context. One DOCUMENTED deviation from "SQLite's own
+    * affinity rules": text stored in a BLOB-affinity column (legal —
+    * BLOB affinity converts nothing) ingests as its UTF-8 bytes,
+    * because the store's BinaryType column has no second storage
+    * class. Byte content is preserved and the JSON boundary decodes
+    * it back to the same string; only the typeof() class flips on an
+    * export round trip. */
   private def coerceCell(
       v: Any, target: DataType, table: String, rowid: Long, col: String): Any = {
     def fail(): Nothing = throw new IllegalArgumentException(
@@ -457,7 +469,12 @@ class SegmentStore(
       }
       case d: Double => target match {
         case DoubleType => d
-        case LongType => if (d == d.toLong.toDouble) d.toLong else fail()
+        case LongType =>
+          // range guard first: at ±2^63 the toLong saturation round-trips
+          // through toDouble and would pass the equality check off by one
+          if (d >= -9.223372036854776E18 && d < 9.223372036854776E18 &&
+              d == d.toLong.toDouble) d.toLong
+          else fail()
         case StringType => d.toString
         case _ => fail()
       }

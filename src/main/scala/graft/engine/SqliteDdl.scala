@@ -49,12 +49,20 @@ object SqliteDdl {
     var pk = Vector.empty[String]
     var autoInc: Option[String] = None
     val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+    val declaredTypes = scala.collection.mutable.Map[String, String]()
+    var pkFromTableConstraint = false
 
     SqlScript.splitTopLevel(body).foreach { defn =>
       val upper = defn.toUpperCase
       if (upper.startsWith("PRIMARY KEY")) {
         val cols = defn.substring(defn.indexOf('(') + 1, defn.lastIndexOf(')'))
-        pk = SqlScript.splitTopLevel(cols).map(SqlScript.unquoteIdent).toVector
+        pk = SqlScript.splitTopLevel(cols).map(c =>
+          // strip per-column collation/direction (PRIMARY KEY (x DESC))
+          SqlScript.unquoteIdent(c.trim.split("\\s+").head)).toVector
+        pkFromTableConstraint = true
+        // SQLite quirk: PRIMARY KEY (x DESC) in the table-constraint
+        // form is NOT a rowid alias even for an INTEGER column
+        if (upper.matches("(?s).*\\bDESC\\b.*")) pkFromTableConstraint = false
       } else if (upper.startsWith("UNIQUE") || upper.startsWith("CHECK") ||
           upper.startsWith("FOREIGN KEY") || upper.startsWith("CONSTRAINT")) {
         // constraints don't shape the schema; single-writer-per-segment
@@ -80,8 +88,19 @@ object SqliteDdl {
             autoInc = Some(colName)
         }
         fields += StructField(colName, affinity(declared), nullable = true)
+        declaredTypes(colName.toLowerCase) = declared.toUpperCase
       }
     }
+    // SQLite's rowid-alias rule covers BOTH spellings: a column-level
+    // `INTEGER PRIMARY KEY` (handled above) and a table-constraint
+    // `PRIMARY KEY(x)` naming a single column whose declared type is
+    // exactly INTEGER (lang_createtable.html#rowid; the DESC quirk is
+    // excluded when the constraint is parsed). The alias means the
+    // record stores NULL in that slot and the value IS the rowid —
+    // missing this silently nulls the key column on ingest.
+    if (autoInc.isEmpty && pkFromTableConstraint && pk.size == 1 &&
+        declaredTypes.get(pk.head.toLowerCase).contains("INTEGER"))
+      autoInc = Some(pk.head)
     TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists)
   }
 
@@ -96,9 +115,23 @@ object SqliteDdl {
       table: String, schema: StructType,
       primaryKey: Seq[String], autoIncrement: Option[String]): String = {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    // A single-column table-constraint PRIMARY KEY over a column typed
+    // exactly INTEGER would make real SQLite alias it to the rowid
+    // (both PK spellings alias, lang_createtable.html#rowid) — but the
+    // exported records carry the column's real values with their own
+    // sequential rowids, so an accidental alias would serve rowids
+    // instead of the data. Render the column as INT (same affinity,
+    // never an alias) when the meta says it is NOT the rowid alias.
+    val nonAliasIntPk: Option[String] =
+      if (autoIncrement.isEmpty && primaryKey.size == 1 &&
+          schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(primaryKey.head) && f.dataType == LongType))
+        Some(primaryKey.head)
+      else None
     val cols = schema.fields.map { f =>
       val t = f.dataType match {
-        case LongType => "INTEGER"
+        case LongType =>
+          if (nonAliasIntPk.exists(f.name.equalsIgnoreCase)) "INT" else "INTEGER"
         case DoubleType => "REAL"
         case StringType => "TEXT"
         case BinaryType => "BLOB"

@@ -280,9 +280,9 @@ class TroughEngine(
       maxRowsPerSegment: Int = TroughEngine.DefaultFanoutRowCap,
       timeoutSeconds: Long = 600L): FanoutResult = {
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val futures = segmentIds.map { seg =>
-      Future {
-        seg -> Try {
+    val futures: Seq[(String, Future[Try[Seq[Row]]])] = segmentIds.map { seg =>
+      seg -> Future {
+        Try {
           val rows = read(seg, sql).toLocalIterator()
           val out = Seq.newBuilder[Row]
           var n = 0
@@ -295,7 +295,17 @@ class TroughEngine(
         }
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration(timeoutSeconds, "s"))
+    // per-segment isolation extends to the timeout: when the deadline
+    // passes, segments that finished keep their results and only the
+    // stragglers report a TimeoutException — a global Await.result
+    // would discard 99 good results because one segment hung
+    try Await.ready(Future.sequence(futures.map(_._2)), Duration(timeoutSeconds, "s"))
+    catch { case _: java.util.concurrent.TimeoutException => () }
+    val results = futures.map { case (seg, f) =>
+      seg -> f.value.map(_.flatten).getOrElse(
+        scala.util.Failure(new java.util.concurrent.TimeoutException(
+          s"segment '$seg' did not answer within $timeoutSeconds s")))
+    }
     FanoutResult(results, results.map(_._2.map(_.size).getOrElse(0)).map(_.toLong).sum)
   }
 }

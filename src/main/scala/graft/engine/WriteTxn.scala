@@ -76,11 +76,21 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   def execute(stmt: String): Unit = SqlScript.firstWord(stmt) match {
     case "BEGIN" | "COMMIT" | "END" => ()
     // the reference write path runs whatever SQLite accepts (write.py:40)
-    // and real-world scripts commonly carry PRAGMA lines (journal_mode,
-    // synchronous, page cache). All of them tune SQLite's physical layer,
-    // which has no analog over immutable parquet — accept as a no-op,
-    // same treatment as CREATE INDEX.
-    case "PRAGMA" => ()
+    // and real-world scripts commonly carry PRAGMA lines. Only pragmas
+    // that tune SQLite's PHYSICAL layer (no analog over immutable
+    // parquet) are no-ops, same treatment as CREATE INDEX; pragmas that
+    // change QUERY SEMANTICS (case_sensitive_like would flip LIKE
+    // matching under this engine's SQLite-default emulation) must error
+    // loudly rather than silently diverge, as must unknown ones.
+    case "PRAGMA" =>
+      val name = stmt.trim.stripPrefix("PRAGMA").stripPrefix("pragma")
+        .trim.takeWhile(c => c != '=' && c != '(' && c != ';' && !c.isWhitespace)
+        .toLowerCase
+      if (!WriteTxn.physicalPragmas.contains(name))
+        throw new UnsupportedOperationException(
+          s"PRAGMA $name is not supported: only physical-layer pragmas " +
+            "(journal_mode, synchronous, ...) are accepted as no-ops; " +
+            "semantics-changing pragmas would silently diverge from SQLite")
     case "CREATE" =>
       val upper = stmt.toUpperCase
       if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) ()
@@ -389,4 +399,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
 private[engine] object WriteTxn {
   val selectMutex = new Object
+
+  /** Pragmas safe to no-op: they tune storage/journaling/caching, none
+    * of which exists over parquet. `foreign_keys` is included because
+    * this engine never enforces FK constraints anyway (SqliteDdl drops
+    * them, documented) — the pragma is moot rather than divergent. */
+  val physicalPragmas: Set[String] = Set(
+    "journal_mode", "synchronous", "page_size", "cache_size", "temp_store",
+    "mmap_size", "wal_autocheckpoint", "wal_checkpoint", "busy_timeout",
+    "locking_mode", "secure_delete", "auto_vacuum", "incremental_vacuum",
+    "optimize", "analysis_limit", "shrink_memory", "threads",
+    "journal_size_limit", "checkpoint_fullfsync", "fullfsync",
+    "user_version", "application_id", "foreign_keys")
 }

@@ -684,6 +684,10 @@ class EngineSpec extends SparkSpecBase {
     // unknown statements still error (PRAGMA is not a wildcard)
     intercept[UnsupportedOperationException](
       engine.write("seg-pragma", "VACUUM;"))
+    // semantics-changing pragmas error loudly instead of silently
+    // diverging (case_sensitive_like would flip LIKE matching)
+    intercept[UnsupportedOperationException](
+      engine.write("seg-pragma", "PRAGMA case_sensitive_like = ON;"))
   }
 
   test("fanout row cap: oversized segment reports a clean per-segment error") {

@@ -189,6 +189,29 @@ class SqliteExportSpec extends SparkSpecBase {
     }
   }
 
+  test("non-alias integer PK exports without accidentally becoming a rowid alias") {
+    // 'id INT PRIMARY KEY' is NOT a rowid alias in SQLite (the alias
+    // needs the exact type name INTEGER) — the export must not render
+    // DDL that real SQLite would alias, or SELECT id would return
+    // sequential rowids instead of the stored values
+    engine.schemas.put("exp-intpk",
+      "CREATE TABLE ip (id INT PRIMARY KEY, v TEXT);")
+    engine.provisionWritable("exp-e", "exp-intpk")
+    engine.write("exp-e",
+      "INSERT INTO ip (id, v) VALUES (500, 'five hundred'), (42, 'answer');")
+    val db = exportDir().resolve("expE.sqlite")
+    engine.store.exportSqliteSegment("exp-e", db.toString)
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    // the stored values, not rowids — and the PK index works for seeks
+    assert(sqlite3(db, "SELECT id, v FROM ip ORDER BY id;") ==
+      Seq("42|answer", "500|five hundred"))
+    assert(sqlite3(db, "SELECT v FROM ip WHERE id = 500;") == Seq("five hundred"))
+    // re-ingesting our own export keeps the values too
+    engine.store.ingestSqliteSegment(db.toString, "exp-e2")
+    val back = engine.read("exp-e2", "SELECT id FROM ip ORDER BY id;").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(42L, 500L))
+  }
+
   test("empty tables and tables without a rowid alias export validly") {
     engine.schemas.put("exp-empty",
       "CREATE TABLE empty_t (id INTEGER PRIMARY KEY, v TEXT); " +

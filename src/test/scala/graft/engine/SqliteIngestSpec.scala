@@ -125,6 +125,25 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(rows(1).getString(0) == "späß — 日本語")
   }
 
+  test("table-constraint rowid alias: PRIMARY KEY(x) over an INTEGER column materializes x") {
+    // both alias spellings store NULL in the record slot; missing the
+    // table-constraint form would silently ingest the key column as
+    // all NULLs. 'INT PRIMARY KEY' (inexact type name) is NOT an alias
+    // and keeps its record values.
+    val db = makeDb("aliasforms",
+      "CREATE TABLE tc (x INTEGER, v TEXT, PRIMARY KEY (x));" +
+        "INSERT INTO tc VALUES (10, 'ten'), (20, 'twenty');" +
+        "CREATE TABLE nonalias (y INT PRIMARY KEY, v TEXT);" +
+        "INSERT INTO nonalias VALUES (77, 'a'), (3, 'b');")
+    engine.store.ingestSqliteSegment(db.toString, "aliasforms")
+    val tc = engine.read("aliasforms", "SELECT x, v FROM tc ORDER BY x;").collect()
+    assert(tc.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "ten"), (20L, "twenty")))
+    val na = engine.read("aliasforms", "SELECT y, v FROM nonalias ORDER BY y;").collect()
+    assert(na.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "b"), (77L, "a")))
+  }
+
   test("rows predating ALTER TABLE ADD COLUMN read the missing slot as null") {
     val db = makeDb("altered",
       "CREATE TABLE t (id INTEGER PRIMARY KEY, a TEXT);" +
