@@ -342,6 +342,41 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark differential property: within-horizon streaming == batch distinct " +
+      "under random arrival order and micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(0xdedb)
+    for (trial <- 1 to 6) {
+      // small key pool forces collisions; event span (≤200s) stays far
+      // inside the 1000s horizon, where streaming dedup must agree with
+      // batch distinct exactly — each key emitted exactly once
+      val n = 10 + rnd.nextInt(40)
+      val events = Seq.fill(n)(
+        (rnd.nextInt(12).toLong, (1 + rnd.nextInt(200)) * 1000L))
+      val distinctKeys = events.map(_._1).toSet
+
+      val shuffled = rnd.shuffle(events)
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = shuffled.grouped(
+        math.max(1, (shuffled.size + nBatches - 1) / nBatches)).toSeq
+      val mem = MemoryStream[(Long, Long)]
+      val ds = mem.toDF().toDF("content_hash", "ms")
+        .select(col("content_hash"), timestamp_millis(col("ms")).as("ts"))
+      val sink = s"dd_prop_$trial"
+      val query = EventStreams.dedupWithinWatermark(ds, Seq("content_hash"), "1000 seconds")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+        val out = spark.sql(s"SELECT content_hash FROM $sink").as[Long].collect().toSeq
+        assert(out.toSet == distinctKeys,
+          s"trial $trial: key sets diverged\n events=$events\n batches=$batches")
+        assert(out.size == distinctKeys.size,
+          s"trial $trial: duplicate emission — ${out.size} rows for ${distinctKeys.size} keys")
+      } finally query.stop()
+    }
+  }
+
   test("flushToParquet: foreachBatch lands micro-batches durably (promoter analog)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
