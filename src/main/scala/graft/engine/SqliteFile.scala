@@ -128,6 +128,10 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
 
   override def close(): Unit = channel.close()
 
+  /** Pages in the file (by size — header page-count fields may be stale
+    * in legacy files; size is the hard bound the walks guard against). */
+  private val pageCount: Long = channel.size() / pageSize
+
   /** Read page `n` (1-based). One allocation per call — the walk holds
     * at most one tree page plus overflow pages of the current cell. */
   private def page(n: Int): ByteBuffer = {
@@ -147,9 +151,18 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
     // few levels, but the iterator must be resumable between next() calls
     private final case class Frame(pg: ByteBuffer, base: Int, cells: Int, var next: Int,
         rightMost: Int, leaf: Boolean)
+    // corruption guard: a cyclic child pointer in a damaged file must be
+    // a clean error, not an infinite walk — a valid tree visits each
+    // page at most once, so the frame count is bounded by the page count
+    private var framesOpened = 0
     private var stack: List[Frame] = List(frame(root))
 
     private def frame(pageNo: Int): Frame = {
+      framesOpened += 1
+      if (framesOpened > pageCount + 1)
+        throw new IllegalArgumentException(
+          s"B-tree walk visited more pages than the file holds ($pageCount): " +
+            "cyclic child pointers (corrupt database)")
       val pg = page(pageNo)
       // page 1 carries the 100-byte file header before its b-tree header
       val base = if (pageNo == 1) 100 else 0
@@ -219,7 +232,13 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
     * small by the same argument as every other segment). */
   def indexRows(root: Int): Seq[IndexedSeq[Any]] = {
     val out = scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]]()
+    var visited = 0 // cycle guard, same bound as the table walk
     def walk(pageNo: Int): Unit = {
+      visited += 1
+      if (visited > pageCount + 1)
+        throw new IllegalArgumentException(
+          s"index walk visited more pages than the file holds ($pageCount): " +
+            "cyclic child pointers (corrupt database)")
       val pg = page(pageNo)
       val base = if (pageNo == 1) 100 else 0
       val tpe = pg.get(base) & 0xFF

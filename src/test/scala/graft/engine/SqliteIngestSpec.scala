@@ -211,6 +211,30 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(rows.map(r0 => (r0.getLong(0), r0.getInt(1))).toSeq == Seq((1L, 3), (2L, 9000)))
   }
 
+  test("corrupt file with cyclic child pointers is a clean error, not an infinite walk") {
+    val db = makeDb("cyclic",
+      "PRAGMA page_size=512;" +
+        "CREATE TABLE c (id INTEGER PRIMARY KEY, v TEXT);" +
+        "BEGIN;" +
+        (1 to 1500).map(i => s"INSERT INTO c VALUES ($i, 'v$i');").mkString("") +
+        "COMMIT;")
+    // find the table's interior root, then patch its right-most child
+    // pointer to point back at itself — the classic corruption loop
+    val (rootPage, pageSize) = {
+      val f = SqliteFile.open(db)
+      try (f.userTables.head.rootPage, f.pageSize) finally f.close()
+    }
+    val bytes = Files.readAllBytes(db)
+    val base = (rootPage - 1) * pageSize
+    assert((bytes(base) & 0xFF) == 5, "fixture must have an interior root")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(base + 8, rootPage) // right-most pointer -> self
+    Files.write(db, bytes)
+    val e = intercept[IllegalArgumentException](
+      engine.store.ingestSqliteSegment(db.toString, "cyclic"))
+    assert(e.getMessage.contains("cyclic"), e.getMessage)
+  }
+
   test("WAL sidecars are clean errors") {
     val db2 = makeDb("waldb", "CREATE TABLE t (id INTEGER PRIMARY KEY);")
     Files.write(db2.resolveSibling(db2.getFileName.toString + "-wal"),
