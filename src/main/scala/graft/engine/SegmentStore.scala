@@ -300,9 +300,13 @@ class SegmentStore(
     require(SegmentStore.SegmentIdPattern.matches(segmentId),
       s"segment id '$segmentId' must match ${SegmentStore.SegmentIdPattern}")
     val file = SqliteFile.open(Paths.get(sqlitePath))
+    // if THIS call registered the segment and then fails before any
+    // table commits, unregister it again — a mid-walk corruption error
+    // must not leave a phantom segment (registered, zero tables) behind
+    val registeredHere = !segmentExists(segmentId)
     try {
       val masters = file.userTables
-      if (!segmentExists(segmentId)) {
+      if (registeredHere) {
         Files.createDirectories(marker(segmentId).getParent)
         Files.writeString(marker(segmentId), "")
       }
@@ -356,6 +360,11 @@ class SegmentStore(
         swapPreparedData(segmentId, td.name, Some(meta))
         td.name
       }
+    } catch {
+      case e: Throwable =>
+        if (registeredHere && tables(segmentId).isEmpty)
+          Files.deleteIfExists(marker(segmentId))
+        throw e
     } finally file.close()
   }
 

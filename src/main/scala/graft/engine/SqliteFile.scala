@@ -109,10 +109,15 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
     require(java.util.Arrays.equals(magic, Magic),
       s"$path is not a SQLite database (bad magic)")
   }
-  /** Page size: u16 at offset 16; the value 1 encodes 65536. */
+  /** Page size: u16 at offset 16; the value 1 encodes 65536. Validated
+    * here so a corrupt header is a descriptive error, not a divide-by-
+    * zero downstream. */
   val pageSize: Int = {
     val raw = header.getShort(16) & 0xFFFF
-    if (raw == 1) 65536 else raw
+    val size = if (raw == 1) 65536 else raw
+    require(size >= 512 && size <= 65536 && Integer.bitCount(size) == 1,
+      s"$path: invalid page size $size in header (corrupt database)")
+    size
   }
   private val reservedBytes: Int = header.get(20) & 0xFF
   /** Bytes of each page usable for cell content (§1.3.2). */
@@ -131,6 +136,26 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
   /** Pages in the file (by size — header page-count fields may be stale
     * in legacy files; size is the hard bound the walks guard against). */
   private val pageCount: Long = channel.size() / pageSize
+
+  /** Corruption guards shared by both walks. Depth first: a cycle only
+    * ever DEEPENS these walks (they descend on every page transition),
+    * so a depth bound fails in O(1) time and memory — before a cyclic
+    * multi-GB file can OOM the frame stack or overflow the JVM stack.
+    * A valid SQLite B-tree is a few levels deep (fan-out ≥ 4 even on
+    * 512-byte pages ⇒ depth ≤ ~16 at the 2^48-page format limit); 64
+    * is comfortably past any legal file. The visited bound catches
+    * non-deepening corruption (many cells aimed at the same subtree). */
+  private val MaxTreeDepth = 64
+  private def checkWalkBounds(depth: Int, visited: Long): Unit = {
+    if (depth > MaxTreeDepth)
+      throw new IllegalArgumentException(
+        s"B-tree deeper than $MaxTreeDepth levels: cyclic child pointers " +
+          "(corrupt database)")
+    if (visited > pageCount + 1)
+      throw new IllegalArgumentException(
+        s"B-tree walk visited more pages than the file holds ($pageCount): " +
+          "duplicated child pointers (corrupt database)")
+  }
 
   /** Read page `n` (1-based). One allocation per call — the walk holds
     * at most one tree page plus overflow pages of the current cell. */
@@ -151,18 +176,15 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
     // few levels, but the iterator must be resumable between next() calls
     private final case class Frame(pg: ByteBuffer, base: Int, cells: Int, var next: Int,
         rightMost: Int, leaf: Boolean)
-    // corruption guard: a cyclic child pointer in a damaged file must be
-    // a clean error, not an infinite walk — a valid tree visits each
-    // page at most once, so the frame count is bounded by the page count
-    private var framesOpened = 0
-    private var stack: List[Frame] = List(frame(root))
+    // corruption guards — see checkWalkBounds: the stack depth (one
+    // Frame + page buffer per level) is what a cycle grows, so it is
+    // checked against the O(1) depth bound at every push
+    private var framesOpened = 0L
+    private var stack: List[Frame] = List(frame(root, 1))
 
-    private def frame(pageNo: Int): Frame = {
+    private def frame(pageNo: Int, depth: Int): Frame = {
       framesOpened += 1
-      if (framesOpened > pageCount + 1)
-        throw new IllegalArgumentException(
-          s"B-tree walk visited more pages than the file holds ($pageCount): " +
-            "cyclic child pointers (corrupt database)")
+      checkWalkBounds(depth, framesOpened)
       val pg = page(pageNo)
       // page 1 carries the 100-byte file header before its b-tree header
       val base = if (pageNo == 1) 100 else 0
@@ -199,10 +221,10 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
             // interior table cell: 4-byte left-child page, then key varint
             val child = f.pg.getInt(cellPointer(f, f.next))
             f.next += 1
-            stack = frame(child) :: f :: rest
+            stack = frame(child, rest.length + 2) :: f :: rest
           } else if (f.next == f.cells) {
             f.next += 1
-            stack = frame(f.rightMost) :: f :: rest
+            stack = frame(f.rightMost, rest.length + 2) :: f :: rest
           } else stack = rest
       }
     }
@@ -232,13 +254,12 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
     * small by the same argument as every other segment). */
   def indexRows(root: Int): Seq[IndexedSeq[Any]] = {
     val out = scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]]()
-    var visited = 0 // cycle guard, same bound as the table walk
-    def walk(pageNo: Int): Unit = {
+    var visited = 0L
+    // depth rides the recursion (checkWalkBounds trips long before the
+    // JVM stack would — a cycle deepens every call)
+    def walk(pageNo: Int, depth: Int): Unit = {
       visited += 1
-      if (visited > pageCount + 1)
-        throw new IllegalArgumentException(
-          s"index walk visited more pages than the file holds ($pageCount): " +
-            "cyclic child pointers (corrupt database)")
+      checkWalkBounds(depth, visited)
       val pg = page(pageNo)
       val base = if (pageNo == 1) 100 else 0
       val tpe = pg.get(base) & 0xFF
@@ -255,11 +276,11 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
         case 2 =>
           (0 until cells).foreach { i =>
             val at = cellAt(i)
-            walk(pg.getInt(at)) // left child first (in-order)
+            walk(pg.getInt(at), depth + 1) // left child first (in-order)
             val (len, n) = varint(pg, at + 4)
             out += decodeRecord(readPayload(pg, at + 4 + n, len, indexThreshold))
           }
-          walk(pg.getInt(base + 8)) // right-most child
+          walk(pg.getInt(base + 8), depth + 1) // right-most child
         case 5 | 13 =>
           throw new IllegalArgumentException(
             "table B-tree page encountered where an index was expected")
@@ -267,7 +288,7 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
           throw new IllegalArgumentException(s"unknown B-tree page type $other")
       }
     }
-    walk(root)
+    walk(root, 1)
     out.toSeq
   }
 

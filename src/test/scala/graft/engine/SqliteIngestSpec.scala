@@ -232,7 +232,13 @@ class SqliteIngestSpec extends SparkSpecBase {
     Files.write(db, bytes)
     val e = intercept[IllegalArgumentException](
       engine.store.ingestSqliteSegment(db.toString, "cyclic"))
-    assert(e.getMessage.contains("cyclic"), e.getMessage)
+    // either guard may trip first (visited bound on small files, depth
+    // bound on large ones) — both name the corruption
+    assert(e.getMessage.contains("corrupt database"), e.getMessage)
+    // the failed ingest must not leave a phantom segment behind
+    // (registered, zero tables — reads would then say "no such table"
+    // instead of "no such segment")
+    assert(!engine.store.segmentExists("cyclic"))
   }
 
   test("WAL sidecars are clean errors") {
