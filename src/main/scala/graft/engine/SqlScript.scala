@@ -64,9 +64,12 @@ object SqlScript {
   /** Strip SQLite identifier quoting: `x`, "x", [x]. */
   def unquoteIdent(s: String): String = {
     val t = s.trim
+    // single quotes included: SQLite's documented keyword quirk accepts
+    // a 'string' in identifier position as an identifier, and its own
+    // shadow-table DDL uses that form (CREATE TABLE 'ft_data'(...))
     if (t.length >= 2 && (
       (t.head == '"' && t.last == '"') || (t.head == '`' && t.last == '`') ||
-      (t.head == '[' && t.last == ']')))
+      (t.head == '\'' && t.last == '\'') || (t.head == '[' && t.last == ']')))
       t.substring(1, t.length - 1)
     else t
   }

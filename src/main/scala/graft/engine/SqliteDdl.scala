@@ -34,8 +34,10 @@ object SqliteDdl {
     else DoubleType // NUMERIC affinity
   }
 
+  // table options after the closing paren are a comma-separated list in
+  // either order: WITHOUT ROWID, STRICT (lang_createtable.html §table-options)
   private val createRe =
-    """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)\s*(?:WITHOUT\s+ROWID\s*)?$""".r
+    """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)\s*(?:(?:WITHOUT\s+ROWID|STRICT)\s*(?:,\s*(?:WITHOUT\s+ROWID|STRICT)\s*)*)?$""".r
 
   /** Parse a SQLite CREATE TABLE statement. Throws on anything that isn't
     * one (callers dispatch on the first keyword before calling). */

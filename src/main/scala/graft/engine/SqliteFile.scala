@@ -71,10 +71,20 @@ object SqliteFile {
   }
 
   /** WITHOUT ROWID tables are stored as index B-trees keyed on the
-    * PRIMARY KEY; only the DDL text says which shape a table uses. */
+    * PRIMARY KEY; only the DDL text says which shape a table uses.
+    * Table options after the closing paren form a comma-separated list
+    * in EITHER order ("WITHOUT ROWID, STRICT" / "STRICT, WITHOUT
+    * ROWID"), so the token is matched anywhere in that list, not only
+    * as a suffix. */
   def isWithoutRowid(sql: String): Boolean =
-    sql != null &&
-      sql.toUpperCase.replaceAll("\\s+", " ").trim.endsWith("WITHOUT ROWID")
+    sql != null && {
+      val tail = sql.lastIndexOf(')') match {
+        case -1 => "" // no column list ⇒ no option list (CREATE TABLE t AS …)
+        case i => sql.substring(i + 1)
+      }
+      tail.toUpperCase.split(',')
+        .exists(_.replaceAll("\\s+", " ").trim == "WITHOUT ROWID")
+    }
 
   /** Byte length of a record value for a serial type (§"Record Format"). */
   private[engine] def serialLen(t: Long): Int = t match {
@@ -390,7 +400,12 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
   /** User tables: type='table', not SQLite-internal (`sqlite_sequence`
     * et al.). Both storage shapes are readable: rowid tables via
     * [[rows]], WITHOUT ROWID tables (see [[SqliteFile.isWithoutRowid]])
-    * via [[indexRows]]. */
+    * via [[indexRows]]. Virtual tables (CREATE VIRTUAL TABLE — FTS,
+    * rtree, …) are cataloged with type='table' but carry NO storage of
+    * their own (rootpage 0); they are excluded so the storage-carrying
+    * tables of such a file — including a vtab's shadow tables — still
+    * ingest instead of the whole file aborting on a bad page number. */
   def userTables: Seq[MasterRow] =
-    master.filter(m => m.tpe == "table" && !m.name.startsWith("sqlite_"))
+    master.filter(m => m.tpe == "table" && !m.name.startsWith("sqlite_") &&
+      m.rootPage >= 2)
 }

@@ -343,7 +343,13 @@ final class SqliteWriter(pageSize: Int) {
     val cells = rows.map { case (rowid, vals) => leafCell(rowid, encodeRecord(vals)) }
     val keys = rows.map(_._1)
     val leafGroups = packPages(cells, rootBase, 8)
-    if (leafGroups.length == 1) {
+    // packPages admits a first cell unconditionally, so a single group
+    // can still exceed a PINNED root's budget (page 1 loses 100 header
+    // bytes a fresh page has — one near-threshold sqlite_master cell,
+    // e.g. an ~8 KB DDL whose local part lands near U−35, overflows it)
+    val rootFits = leafGroups.length == 1 &&
+      rootBase + 8 + leafGroups.head.map(_.length + 2).sum <= usable
+    if (rootFits) {
       val root = rootAt.getOrElse(alloc())
       writePage(root, if (root == 1) 100 else 0, 13, leafGroups.head)
       root
@@ -356,6 +362,14 @@ final class SqliteWriter(pageSize: Int) {
         writePage(pg, 0, 13, g)
         keyIdx += g.length
         (pg, keys(keyIdx - 1))
+      }
+      if (level.length == 1) {
+        // one leaf that cannot live on the pinned root: a cell-less
+        // interior root pointing at it right-most — the shape SQLite's
+        // own balance_deeper() produces for an overfull root page
+        val root = rootAt.getOrElse(alloc())
+        writePage(root, if (root == 1) 100 else 0, 5, Nil, rightMost = level.head._1)
+        return root
       }
       while (level.length > 1) {
         // interior cell: 4-byte child + varint(max rowid of child);
@@ -403,41 +417,53 @@ final class SqliteWriter(pageSize: Int) {
       writePage(pg, 0, 10, Nil)
       return pg
     }
-    // leaf level with promotion
-    val leafPages = ArrayBuffer[Int]()
-    val promoted = ArrayBuffer[Array[Byte]]() // raw payloads between leaves
+    // Leaf level planned by SIZE first, cells built after: building a
+    // cell allocates its overflow chain, so constructing cells for
+    // entries that end up promoted would orphan pages. The structural
+    // invariant is dividers == leaves − 1 (a promoted entry divides the
+    // flushed leaf from the one that FOLLOWS it), which the split-on-
+    // final-entry below preserves where plain promotion could not.
     val budget = usable - 8
-    var cur = ArrayBuffer[Array[Byte]]()
+    val ranges = ArrayBuffer[(Int, Int)]() // payload [from, until) per leaf
+    val promotedIdx = ArrayBuffer[Int]() // divider payload after each leaf
+    var start = 0
     var used = 0
     var i = 0
     while (i < payloads.length) {
-      val cellLen = indexCellLen(0, payloads(i).length)
-      if (cur.nonEmpty && used + cellLen + 2 > budget) {
-        val pg = alloc()
-        writePage(pg, 0, 10, cur.toSeq)
-        leafPages += pg
-        promoted += payloads(i) // this entry moves UP, not into a leaf
-        cur = ArrayBuffer[Array[Byte]](); used = 0
-      } else {
-        cur += indexCell(Array.emptyByteArray, payloads(i))
-        used += cellLen + 2
-      }
+      val cellLen = indexCellLen(0, payloads(i).length) + 2
+      if (i > start && used + cellLen > budget) {
+        ranges += ((start, i)); promotedIdx += i
+        start = i + 1; used = 0
+      } else used += cellLen
       i += 1
     }
-    if (cur.isEmpty) {
-      // the final entry was promoted with nothing after it: demote it
-      // back so the right-most leaf is never empty
-      cur += indexCell(Array.emptyByteArray, promoted.remove(promoted.length - 1))
+    if (start < payloads.length) ranges += ((start, payloads.length))
+    else {
+      // the FINAL entry was promoted with nothing after it — a divider
+      // with no following leaf leaves the tree with one divider too few
+      // (f+1 children over f−1 dividers). Split the last leaf instead:
+      // its final entry becomes the divider, the promoted entry becomes
+      // the right-most leaf, restoring dividers == leaves − 1.
+      val p = promotedIdx.remove(promotedIdx.length - 1)
+      val (s, e) = ranges.remove(ranges.length - 1)
+      require(e - s >= 2, "index leaf underflow (cell larger than half a page?)")
+      ranges += ((s, e - 1))
+      promotedIdx += (e - 1)
+      ranges += ((p, payloads.length))
     }
-    val lastLeaf = alloc()
-    writePage(lastLeaf, 0, 10, cur.toSeq)
-    leafPages += lastLeaf
+    val leafPages: Seq[Int] = ranges.toSeq.map { case (s, e) =>
+      val pg = alloc()
+      writePage(pg, 0, 10,
+        (s until e).map(j => indexCell(Array.emptyByteArray, payloads(j))))
+      pg
+    }
+    val promoted: Seq[Array[Byte]] = promotedIdx.toSeq.map(payloads(_))
 
     // interior levels: children c_0..c_n with dividers d_i between c_i
     // and c_{i+1}; a page over [a..b] stores cells (c_i, d_i) for
     // i<b, right-most c_b, and promotes d_b to the level above
-    var children: Seq[Int] = leafPages.toSeq
-    var divs: Seq[Array[Byte]] = promoted.toSeq
+    var children: Seq[Int] = leafPages
+    var divs: Seq[Array[Byte]] = promoted
     while (children.length > 1) {
       val ibudget = usable - 12
       // group children into ranges first so the trailing range can be

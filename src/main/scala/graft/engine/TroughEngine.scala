@@ -280,9 +280,19 @@ class TroughEngine(
       maxRowsPerSegment: Int = TroughEngine.DefaultFanoutRowCap,
       timeoutSeconds: Long = 600L): FanoutResult = {
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // every per-segment job runs under one Spark job group so that a
+    // blown deadline CANCELS the stragglers' jobs — without it the
+    // futures keep computing on the shared pool after the timeout, and
+    // repeated fanouts against a hung segment accumulate blocked
+    // threads and running Spark jobs (setJobGroup is thread-local, so
+    // it is set inside each future and cleared before the pooled
+    // thread is returned)
+    val jobGroup = s"graft-fanout-${java.util.UUID.randomUUID()}"
     val futures: Seq[(String, Future[Try[Seq[Row]]])] = segmentIds.map { seg =>
       seg -> Future {
-        Try {
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"fanout over ${segmentIds.length} segments", interruptOnCancel = true)
+        try Try {
           val rows = read(seg, sql).toLocalIterator()
           val out = Seq.newBuilder[Row]
           var n = 0
@@ -292,7 +302,7 @@ class TroughEngine(
               s"fanout result for segment '$seg' exceeds $maxRowsPerSegment rows; " +
                 "raise maxRowsPerSegment or use readAll for unbounded results")
           out.result()
-        }
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
     // per-segment isolation extends to the timeout: when the deadline
@@ -300,7 +310,10 @@ class TroughEngine(
     // stragglers report a TimeoutException — a global Await.result
     // would discard 99 good results because one segment hung
     try Await.ready(Future.sequence(futures.map(_._2)), Duration(timeoutSeconds, "s"))
-    catch { case _: java.util.concurrent.TimeoutException => () }
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+    }
     val results = futures.map { case (seg, f) =>
       seg -> f.value.map(_.flatten).getOrElse(
         scala.util.Failure(new java.util.concurrent.TimeoutException(

@@ -709,6 +709,32 @@ class EngineSpec extends SparkSpecBase {
     assert(ok.perSegment.head._2.get.size == 20)
   }
 
+  test("fanout timeout cancels the stragglers' Spark jobs, not just the wait") {
+    engine.schemas.put("s1", testDdl)
+    engine.provisionWritable("hangA", "s1")
+    (1 to 2000).grouped(500).foreach { chunk =>
+      engine.write("hangA", "INSERT INTO test (test) VALUES " +
+        chunk.map(i => s"('r$i')").mkString(", ") + ";")
+    }
+    // a 2000³ self-cross-join (8e9 tuples) runs for minutes if left
+    // alone — the deadline must not only stop the WAIT but cancel the
+    // job group, or the work keeps burning executor threads behind
+    // every later fanout against a hung segment
+    val res = engine.fanout(Seq("hangA"),
+      "SELECT count(*) AS n FROM test a, test b, test c;", timeoutSeconds = 2L)
+    assert(res.perSegment.head._2.isFailure)
+    assert(res.perSegment.head._2.failed.get.isInstanceOf[java.util.concurrent.TimeoutException])
+    // the cancellation must actually reach the scheduler: active jobs
+    // drain within a few seconds instead of the cross-join's minutes
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var active = spark.sparkContext.statusTracker.getActiveJobIds()
+    while (active.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      active = spark.sparkContext.statusTracker.getActiveJobIds()
+    }
+    assert(active.isEmpty, s"jobs still running ${active.mkString(",")} — cancel didn't land")
+  }
+
   test("deleteSegment invalidates only the deleted segment's tables in the plan cache") {
     engine.schemas.put("pc-a", "CREATE TABLE pca (k INTEGER PRIMARY KEY, v TEXT);")
     engine.schemas.put("pc-b", "CREATE TABLE pcb (k INTEGER PRIMARY KEY, v TEXT);")

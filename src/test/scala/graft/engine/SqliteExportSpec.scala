@@ -189,6 +189,77 @@ class SqliteExportSpec extends SparkSpecBase {
     }
   }
 
+  test("autoindex divider promotion at the final key keeps the tree valid") {
+    // 6 uniform ~90-byte keys at 512-byte pages land the LAST key
+    // exactly on a leaf flush — the regression shape where promoting it
+    // (with no leaf following) left f+1 leaves over f−1 dividers and
+    // the interior build indexed dividers out of bounds
+    def key(i: Int) = "k" * 88 + f"$i%02d"
+    val rows = (1 to 6).map(i => (i.toLong, IndexedSeq[Any](key(i), i.toLong)))
+    val db = exportDir().resolve("lastpromote.sqlite")
+    SqliteWriter.write(db, Seq(SqliteWriter.TableData(
+      "t", "CREATE TABLE t (a TEXT, v INTEGER, PRIMARY KEY (a))", rows, Seq(0))),
+      pageSize = 512)
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    assert(sqlite3(db, "SELECT count(*) FROM t;") == Seq("6"))
+    // the autoindex answers point lookups for every key, incl. the
+    // split-off last one
+    (1 to 6).foreach { i =>
+      assert(sqlite3(db, s"SELECT v FROM t WHERE a = '${key(i)}';") == Seq(i.toString))
+    }
+  }
+
+  test("fuzz: autoindex trees round-trip through sqlite3 across page sizes") {
+    val rnd = new scala.util.Random(0xA11C)
+    for (trial <- 1 to 9) {
+      val pageSize = Seq(512, 1024, 4096)(trial % 3)
+      val n = 1 + rnd.nextInt(300)
+      val keys = (1 to n).map { i =>
+        val len = rnd.nextInt(4) match {
+          case 0 => 1 + rnd.nextInt(10)
+          case 1 => 40 + rnd.nextInt(120)
+          case 2 => 200 + rnd.nextInt(400)
+          case _ => 2000 + rnd.nextInt(3000) // spills at small pages
+        }
+        f"$i%06d-" + ("x" * len) // unique ordered prefix
+      }
+      val rows = keys.zipWithIndex.map { case (k, i) =>
+        ((i + 1).toLong, IndexedSeq[Any](k, i.toLong * 7))
+      }
+      val db = exportDir().resolve(s"fuzzidx$trial.sqlite")
+      SqliteWriter.write(db, Seq(SqliteWriter.TableData(
+        "fz", "CREATE TABLE fz (a TEXT, v INTEGER, PRIMARY KEY (a))", rows, Seq(0))),
+        pageSize)
+      assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"),
+        s"trial $trial (page $pageSize, n=$n)")
+      assert(sqlite3(db, "SELECT count(*) FROM fz;") == Seq(n.toString), s"trial $trial")
+      val probe = rnd.nextInt(n)
+      assert(sqlite3(db, s"SELECT v FROM fz WHERE a = '${keys(probe)}';") ==
+        Seq((probe * 7L).toString), s"trial $trial probe")
+    }
+  }
+
+  test("near-threshold sqlite_master cells push the schema root below page 1") {
+    // DDL sizes swept across the window where the master cell's local
+    // payload (K near U−35) no longer fits page 1's 100-byte-header
+    // budget. Real SQLite answers with a cell-less interior root
+    // (balance_deeper) — verified against sqlite 3.51: pads 8040–8100
+    // give page-1 type 5 with 0 cells — and so does the writer.
+    for (pad <- 7950 to 8150 by 25) {
+      val ddl = s"CREATE TABLE t (a TEXT DEFAULT '${"x" * pad}')"
+      val db = exportDir().resolve(s"bigddl$pad.sqlite")
+      SqliteWriter.write(db, Seq(SqliteWriter.TableData(
+        "t", ddl, Seq((1L, IndexedSeq[Any]("row1"))))))
+      assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"), s"pad $pad")
+      assert(sqlite3(db, "SELECT a FROM t;") == Seq("row1"), s"pad $pad")
+      assert(sqlite3(db, "SELECT length(sql) FROM sqlite_master;") ==
+        Seq(ddl.length.toString), s"pad $pad")
+      // our own reader walks the deepened master tree too
+      val f = SqliteFile.open(db)
+      try assert(f.userTables.map(_.name) == Seq("t"), s"pad $pad") finally f.close()
+    }
+  }
+
   test("non-alias integer PK exports without accidentally becoming a rowid alias") {
     // 'id INT PRIMARY KEY' is NOT a rowid alias in SQLite (the alias
     // needs the exact type name INTEGER) — the export must not render

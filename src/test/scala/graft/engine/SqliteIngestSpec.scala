@@ -185,6 +185,29 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(row.getLong(1) == 2000L * 2001 / 2)
   }
 
+  test("table options in either order: WITHOUT ROWID, STRICT / STRICT, WITHOUT ROWID") {
+    // the option list after the closing paren is comma-separated and
+    // unordered (lang_createtable.html §table-options) — 'WITHOUT
+    // ROWID, STRICT' does not END with WITHOUT ROWID, and misreading it
+    // as a rowid table fails the walk with an index-page-type error
+    val db = makeDb("wropts",
+      """CREATE TABLE wr1 (a TEXT, b INTEGER, PRIMARY KEY(a)) WITHOUT ROWID, STRICT;
+        |INSERT INTO wr1 VALUES ('k1', 5), ('k2', 7);
+        |CREATE TABLE wr2 (a TEXT, b INTEGER, PRIMARY KEY(a)) STRICT, WITHOUT ROWID;
+        |INSERT INTO wr2 VALUES ('m', 1);
+        |CREATE TABLE plain_strict (id INTEGER PRIMARY KEY, t TEXT) STRICT;
+        |INSERT INTO plain_strict VALUES (3, 'x');""".stripMargin)
+    val tables = engine.store.ingestSqliteSegment(db.toString, "wr-opts")
+    assert(tables.sorted == Seq("plain_strict", "wr1", "wr2"))
+    val r1 = engine.read("wr-opts", "SELECT a, b FROM wr1 ORDER BY a;").collect()
+    assert(r1.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k1", 5L), ("k2", 7L)))
+    assert(engine.read("wr-opts", "SELECT b FROM wr2;").collect()(0).getLong(0) == 1L)
+    // STRICT alone must NOT flip a rowid table to the index-tree walk,
+    // and its rowid alias still materializes
+    val r3 = engine.read("wr-opts", "SELECT id, t FROM plain_strict;").collect()(0)
+    assert(r3.getLong(0) == 3L && r3.getString(1) == "x")
+  }
+
   test("real-world page layouts: freelist pages (deletes) and auto_vacuum ptrmap pages") {
     // deletes leave freelist pages the tree walk must simply never
     // visit; the b-tree still holds exactly the surviving rows
