@@ -290,10 +290,18 @@ class SegmentStore(
     * Scale shape: one segment = one file = one bounded unit (segments
     * are small by design, reference README.rst:23-25) decoded
     * page-at-a-time on the driver. A bulk migration of tens of
-    * thousands of segments parallelizes trivially across FILES —
-    * each call is independent — which is the same unit of parallelism
-    * the reference's HDFS sync used (sync.py:941-1047). */
-  def ingestSqliteSegment(sqlitePath: String, segmentId: String): Seq[String] = {
+    * thousands of segments parallelizes across FILES — each call is
+    * independent — and the cluster-scale form of that is
+    * [[ingestSqliteSegmentsDistributed]], which runs the same
+    * [[SqliteIngest]] kernel inside executor tasks.
+    *
+    * `widen = true` opts into mixed-affinity tolerance: instead of the
+    * per-cell error, column types widen to fit the storage classes
+    * actually present (see [[SqliteIngest]] — trough's write path runs
+    * arbitrary scripts, so real segments can hold e.g. TEXT in an
+    * INTEGER column). */
+  def ingestSqliteSegment(
+      sqlitePath: String, segmentId: String, widen: Boolean = false): Seq[String] = {
     if (isCold(segmentId))
       throw new IllegalStateException(
         s"cannot ingest into segment $segmentId: cold storage is read-only")
@@ -312,53 +320,16 @@ class SegmentStore(
       }
       val root = tierRoot(segmentId)
       masters.map { m =>
-        val td = SqliteDdl.parseCreateTable(m.sql)
-        // an INTEGER PRIMARY KEY is only a rowid alias in rowid tables;
-        // in WITHOUT ROWID storage it is an ordinary key column
-        val withoutRowid = SqliteFile.isWithoutRowid(m.sql)
-        val meta = TableMeta(td.schema, td.primaryKey,
-          if (withoutRowid) None else td.autoIncrement)
+        val spec = SqliteIngest.tableSpec(file, m, widen)
+        val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement)
         SegmentStore.requireNoReservedColumns(meta)
-        val fields = td.schema.fields
-        val rowidIdx = meta.autoIncrement
-          .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
-        val rowIter: Iterator[(Long, IndexedSeq[Any])] =
-          if (withoutRowid) {
-            // index-tree records put PRIMARY KEY columns first (in PK
-            // declaration order), then the rest in declared order —
-            // reorder back to the declared schema; no rowid exists
-            val pkIdx = meta.primaryKey
-              .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).filter(_ >= 0)
-            val order = pkIdx ++ fields.indices.filterNot(pkIdx.contains)
-            file.indexRows(m.rootPage).iterator.map { rec =>
-              val out = new Array[Any](fields.length)
-              order.zipWithIndex.foreach { case (declIdx, recPos) =>
-                out(declIdx) = if (recPos < rec.length) rec(recPos) else null
-              }
-              (0L, out.toIndexedSeq)
-            }
-          } else file.rows(m.rootPage)
         val rows = new java.util.ArrayList[Row]()
-        rowIter.foreach { case (rowid, vals) =>
-          val out = new Array[Any](fields.length)
-          var i = 0
-          while (i < fields.length) {
-            // records may be shorter than the schema (rows written
-            // before an ALTER TABLE ADD COLUMN): missing slots read as
-            // null, matching SQLite's behavior for a NULL-default column
-            val raw = if (i < vals.length) vals(i) else null
-            out(i) =
-              if (i == rowidIdx) rowid // rowid alias: record slot is NULL
-              else coerceCell(raw, fields(i).dataType, m.name, rowid, fields(i).name)
-            i += 1
-          }
-          rows.add(Row.fromSeq(out.toIndexedSeq))
-        }
-        val df = spark.createDataFrame(rows, td.schema)
-        Files.createDirectories(tableRoot(root, td.name))
-        prepareTableData(segmentId, td.name, df)
-        swapPreparedData(segmentId, td.name, Some(meta))
-        td.name
+        SqliteIngest.decodedRows(file, spec).foreach(rows.add)
+        val df = spark.createDataFrame(rows, spec.schema)
+        Files.createDirectories(tableRoot(root, spec.name))
+        prepareTableData(segmentId, spec.name, df)
+        swapPreparedData(segmentId, spec.name, Some(meta))
+        spec.name
       }
     } catch {
       case e: Throwable =>
@@ -441,65 +412,18 @@ class SegmentStore(
     * cost. Returns per-segment `Try`s of the ingested table names. */
   def ingestSqliteSegments(
       files: Map[String, String], // segmentId -> path
-      parallelism: Int = 8): Map[String, scala.util.Try[Seq[String]]] = {
+      parallelism: Int = 8,
+      widen: Boolean = false): Map[String, scala.util.Try[Seq[String]]] = {
     require(parallelism > 0, "parallelism must be positive")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
       val futures = files.toSeq.map { case (seg, path) =>
         val task = java.util.concurrent.CompletableFuture.supplyAsync(
-          () => scala.util.Try(ingestSqliteSegment(path, seg)), pool)
+          () => scala.util.Try(ingestSqliteSegment(path, seg, widen)), pool)
         seg -> task
       }
       futures.map { case (seg, f) => seg -> f.join() }.toMap
     } finally pool.shutdown()
-  }
-
-  /** SQLite storage-class value → the column's declared Spark type.
-    * Value-lossless coercions only; anything else is a clean error
-    * with full context. One DOCUMENTED deviation from "SQLite's own
-    * affinity rules": text stored in a BLOB-affinity column (legal —
-    * BLOB affinity converts nothing) ingests as its UTF-8 bytes,
-    * because the store's BinaryType column has no second storage
-    * class. Byte content is preserved and the JSON boundary decodes
-    * it back to the same string; only the typeof() class flips on an
-    * export round trip. */
-  private def coerceCell(
-      v: Any, target: DataType, table: String, rowid: Long, col: String): Any = {
-    def fail(): Nothing = throw new IllegalArgumentException(
-      s"cannot coerce ${v.getClass.getSimpleName} value to $target " +
-        s"(table $table, rowid $rowid, column $col)")
-    v match {
-      case null => null
-      case l: Long => target match {
-        case LongType => l
-        case DoubleType => l.toDouble
-        case StringType => l.toString
-        case _ => fail()
-      }
-      case d: Double => target match {
-        case DoubleType => d
-        case LongType =>
-          // range guard first: at ±2^63 the toLong saturation round-trips
-          // through toDouble and would pass the equality check off by one
-          if (d >= -9.223372036854776E18 && d < 9.223372036854776E18 &&
-              d == d.toLong.toDouble) d.toLong
-          else fail()
-        case StringType => d.toString
-        case _ => fail()
-      }
-      case s: String => target match {
-        case StringType => s
-        case LongType => try s.trim.toLong catch { case _: NumberFormatException => fail() }
-        case DoubleType => try s.trim.toDouble catch { case _: NumberFormatException => fail() }
-        case BinaryType => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        case _ => fail()
-      }
-      case b: Array[Byte] => target match {
-        case BinaryType => b
-        case _ => fail()
-      }
-      case _ => fail()
-    }
   }
 
   // ----------------------------------------------------------------- tables

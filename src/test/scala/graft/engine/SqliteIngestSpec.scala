@@ -208,6 +208,73 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(r3.getLong(0) == 3L && r3.getString(1) == "x")
   }
 
+  test("mixed storage classes in one column: error by default, widened on opt-in") {
+    // trough's write path runs arbitrary scripts (write.py:28-40), and
+    // SQLite's INTEGER affinity keeps unconvertible text as TEXT class
+    // — so a real segment can hold 1, 2.5 and 'abc' in one INTEGER
+    // column
+    val sql =
+      """CREATE TABLE m (id INTEGER PRIMARY KEY, x INTEGER);
+        |INSERT INTO m VALUES (1, 1), (2, 2.5), (3, 'abc'), (4, NULL);""".stripMargin
+    val db = makeDb("mixed", sql)
+    // default: clean per-cell error naming table/rowid/column
+    val e = intercept[IllegalArgumentException] {
+      engine.store.ingestSqliteSegment(db.toString, "mixed-strict")
+    }
+    assert(e.getMessage.contains("table m") && e.getMessage.contains("column x"))
+    assert(!engine.store.segmentExists("mixed-strict")) // no phantom segment
+    // opt-in: the column widens to STRING (int+real+text lattice) and
+    // every value is preserved as its text rendering
+    assert(engine.store.ingestSqliteSegment(db.toString, "mixed-widen", widen = true)
+      == Seq("m"))
+    val meta = engine.store.tableMeta("mixed-widen", "m")
+    assert(meta.schema("x").dataType == org.apache.spark.sql.types.StringType)
+    val rows = engine.read("mixed-widen", "SELECT id, x FROM m ORDER BY id;").collect()
+    assert(rows.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq ==
+      Seq("1", "2.5", "abc", null))
+    // the JSON boundary serves the same bytes sqlite3 would print
+    assert(engine.resultJson(engine.read("mixed-widen",
+      "SELECT x FROM m WHERE id = 3;")).contains("\"abc\""))
+  }
+
+  test("widen mode: numeric-only mixes widen numerically, not to text") {
+    val db = makeDb("numwide",
+      """CREATE TABLE n (id INTEGER PRIMARY KEY, v INTEGER, r REAL);
+        |INSERT INTO n VALUES (1, 10, 1), (2, 2.5, 2.5);""".stripMargin)
+    engine.store.ingestSqliteSegment(db.toString, "num-widen", widen = true)
+    val meta = engine.store.tableMeta("num-widen", "n")
+    // v saw {int, real} → DOUBLE; r is declared REAL and stays DOUBLE
+    // even though SQLite stored its lossless cells with integer class
+    assert(meta.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(meta.schema("r").dataType == org.apache.spark.sql.types.DoubleType)
+    val rows = engine.read("num-widen", "SELECT v, r FROM n ORDER BY id;").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(10.0, 2.5))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 2.5))
+  }
+
+  test("virtual tables are skipped; the file's storage-carrying tables still ingest") {
+    // an FTS5 table catalogs as type='table' with rootpage 0 and no
+    // storage of its own — it must not abort the file; its shadow
+    // tables (real B-trees, typeless columns) load under widen mode
+    val db = makeDb("vtab",
+      """CREATE VIRTUAL TABLE ft USING fts5(content);
+        |INSERT INTO ft VALUES ('hello world'), ('goodbye world');
+        |CREATE TABLE real_t (id INTEGER PRIMARY KEY, v TEXT);
+        |INSERT INTO real_t VALUES (1, 'x'), (2, 'y');""".stripMargin)
+    val tables = engine.store.ingestSqliteSegment(db.toString, "vtab-seg", widen = true)
+    assert(!tables.contains("ft"))
+    assert(tables.contains("real_t"))
+    assert(tables.contains("ft_content")) // fts5 shadow table, real storage
+    val rows = engine.read("vtab-seg", "SELECT v FROM real_t ORDER BY id;").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x", "y"))
+    // typeless shadow columns took their types from observed classes:
+    // ft_idx.segid holds only integers and reads back LONG, not bytes
+    val idxMeta = engine.store.tableMeta("vtab-seg", "ft_idx")
+    assert(idxMeta.schema("segid").dataType == org.apache.spark.sql.types.LongType)
+    assert(engine.read("vtab-seg", "SELECT count(*) AS n FROM ft_content;")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("real-world page layouts: freelist pages (deletes) and auto_vacuum ptrmap pages") {
     // deletes leave freelist pages the tree walk must simply never
     // visit; the b-tree still holds exactly the surviving rows
