@@ -426,6 +426,149 @@ class SegmentStore(
     } finally pool.shutdown()
   }
 
+  /** Cluster-scale bulk migration: the same [[SqliteIngest]] kernel as
+    * [[ingestSqliteSegment]], but with BOTH passes — catalog (+ widen
+    * scan) and row decode — running inside EXECUTOR tasks over a path
+    * RDD, so a hundred-terabyte migration of tens of thousands of
+    * segment files (the reference's universe: HDFS listings of
+    * `*.sqlite`, sync.py:365-369, pulled per-node in parallel,
+    * sync.py:941-1047) is bounded by the cluster, not a driver thread
+    * pool. Paths must be visible from the executors (shared or
+    * distributed filesystem). [[ingestSqliteSegments]] remains the
+    * driver-local variant for small batches.
+    *
+    * Shape: one job catalogs every file, collecting only per-table
+    * [[SqliteIngest.TableSpec]] metadata (KBs) to the driver; segments
+    * then group by (table, schema) and each group decodes and writes
+    * as ONE `partitionBy(segment_id)` job straight into the
+    * table-major layout's staging area — so the write side is the
+    * same hive-partitioned parquet the scans want, produced with full
+    * cluster parallelism. Commit is a per-segment metadata operation
+    * on the driver (directory renames + meta files, through the same
+    * staged-swap path as every other write).
+    *
+    * Per-file error isolation, strengthened to per-SEGMENT atomicity:
+    * a file that fails catalog or decode reports its error (via an
+    * accumulator) and its segment commits NOTHING — decoded rows of
+    * its other tables are discarded, never half-committed. One corrupt
+    * file cannot fail the batch. */
+  def ingestSqliteSegmentsDistributed(
+      files: Map[String, String], // segmentId -> path
+      widen: Boolean = false): Map[String, scala.util.Try[Seq[String]]] = {
+    import scala.util.{Failure, Success, Try}
+    if (files.isEmpty) return Map.empty
+    val sc = spark.sparkContext
+    // refusals that never reach a task (cold tier, layout-hostile ids)
+    val (refused, candidates) = files.partition { case (seg, _) =>
+      isCold(seg) || !SegmentStore.SegmentIdPattern.matches(seg)
+    }
+    val refusedResults: Map[String, Try[Seq[String]]] = refused.map { case (seg, _) =>
+      seg -> Failure(new IllegalStateException(
+        if (isCold(seg)) s"cannot ingest into segment $seg: cold storage is read-only"
+        else s"segment id '$seg' must match ${SegmentStore.SegmentIdPattern}"))
+    }
+    if (candidates.isEmpty) return refusedResults
+    // each task catalogs/decodes a bounded run of files; scale slices
+    // with the batch so a million-file migration doesn't serialize
+    // into a handful of giant tasks
+    def slicesFor(n: Int): Int =
+      math.max(1, math.min(n, math.max(sc.defaultParallelism * 2, n / 32)))
+
+    // ---- pass 1 (distributed): catalog every file ----
+    // the TaskContext requirement is the executor-side guarantee the
+    // specs lean on: this closure CANNOT run outside a Spark task
+    val cataloged: Map[String, Try[Seq[SqliteIngest.TableSpec]]] =
+      sc.parallelize(candidates.toSeq, slicesFor(candidates.size)).map { case (seg, path) =>
+        seg -> Try {
+          require(org.apache.spark.TaskContext.get() != null,
+            "bulk-ingest catalog must run inside an executor task")
+          val f = SqliteFile.open(Paths.get(path))
+          try {
+            val specs = f.userTables.map(m => SqliteIngest.tableSpec(f, m, widen))
+            specs.foreach(s => SegmentStore.requireNoReservedColumns(
+              SegmentStore.TableMeta(s.schema, s.primaryKey, s.autoIncrement)))
+            specs
+          } finally f.close()
+        }
+      }.collect().toMap
+    val okSpecs: Seq[(String, SqliteIngest.TableSpec)] = cataloged.toSeq.flatMap {
+      case (seg, Success(specs)) => specs.map(seg -> _)
+      case _ => Nil
+    }
+
+    // ---- pass 2 (distributed): one decode+write job per (table, schema) ----
+    val stagingRoot =
+      Paths.get(dataRoot).resolve(s"._bulk_${java.util.UUID.randomUUID().toString.take(8)}")
+    val decodeErrors =
+      sc.collectionAccumulator[(String, String)]("graft.bulkIngest.decodeErrors")
+    try {
+      val part = StructField("segment_id", StringType, nullable = false)
+      val staged: Map[(String, StructType), Path] =
+        okSpecs.groupBy { case (_, sp) => (sp.name, sp.schema) }.toSeq
+          .sortBy(_._1._1).zipWithIndex.map { case (((table, schema), members), gi) =>
+            val dir = stagingRoot.resolve(s"g$gi")
+            val memberList = members.map { case (seg, sp) => (seg, candidates(seg), sp) }
+            val rows = sc.parallelize(memberList, slicesFor(memberList.size))
+              .flatMap { case (seg, path, sp) =>
+                require(org.apache.spark.TaskContext.get() != null,
+                  "bulk-ingest decode must run inside an executor task")
+                try {
+                  val f = SqliteFile.open(Paths.get(path))
+                  // buffer this table of this file fully BEFORE
+                  // emitting: isolation means a mid-walk error must
+                  // contribute ZERO rows, not a prefix
+                  try {
+                    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+                    SqliteIngest.decodedRows(f, sp)
+                      .foreach(r => buf += Row.fromSeq(r.toSeq :+ seg))
+                    buf
+                  } finally f.close()
+                } catch {
+                  case scala.util.control.NonFatal(e) =>
+                    decodeErrors.add(seg -> s"${e.getClass.getName}: ${e.getMessage}")
+                    Nil
+                }
+              }
+            spark.createDataFrame(rows, StructType(schema.fields :+ part))
+              .write.mode("overwrite").partitionBy("segment_id").parquet(dir.toString)
+            (table, schema) -> dir
+          }.toMap
+
+      // ---- commit (driver): per-segment metadata ops, all-or-nothing ----
+      val decodeErrsBySeg: Map[String, Seq[String]] = decodeErrors.value.asScala.toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val results: Map[String, Try[Seq[String]]] = cataloged.map {
+        case (seg, Failure(e)) => seg -> Failure[Seq[String]](e)
+        case (seg, Success(_)) if decodeErrsBySeg.contains(seg) =>
+          seg -> Failure[Seq[String]](new IllegalStateException(
+            decodeErrsBySeg(seg).mkString("; ")))
+        case (seg, Success(specs)) => seg -> Try {
+          if (!segmentExists(seg)) {
+            Files.createDirectories(marker(seg).getParent)
+            Files.writeString(marker(seg), "")
+          }
+          val root = tierRoot(seg)
+          specs.map { sp =>
+            val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement)
+            Files.createDirectories(tableRoot(root, sp.name))
+            val tmp = tmpDir(root, seg, sp.name)
+            if (Files.exists(tmp)) deleteRecursively(tmp)
+            val stagedDir = staged((sp.name, sp.schema)).resolve(s"segment_id=$seg")
+            if (Files.isDirectory(stagedDir))
+              Files.move(stagedDir, tmp, StandardCopyOption.ATOMIC_MOVE)
+            else // zero-row table: partitionBy wrote no partition dir
+              spark.createDataFrame(
+                java.util.Collections.emptyList[Row](), sp.schema)
+                .write.mode("overwrite").parquet(tmp.toString)
+            swapPreparedData(seg, sp.name, Some(meta))
+            sp.name
+          }
+        }
+      }
+      refusedResults ++ results
+    } finally deleteRecursively(stagingRoot)
+  }
+
   // ----------------------------------------------------------------- tables
 
   /** Visible tables of a segment. Visibility is keyed on the meta file,
