@@ -18,19 +18,25 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * this build — so the stable, documented on-disk format is parsed
   * directly. Scope is exactly what ingest needs: rowid table B-trees
   * ([[rows]]) and the index-B-tree storage of WITHOUT ROWID tables
-  * ([[indexRows]]). The freelist, secondary-index trees, pointer-map
-  * pages and WAL frames carry no row data (or, for WAL, uncheckpointed
-  * data refused below) and are skipped.
+  * ([[indexRows]]). The freelist, secondary-index trees, and pointer-map
+  * pages carry no row data and are skipped.
   *
-  * Deliberate limit (a clean error, not silent): a database with a
-  * non-empty `-wal` sidecar is rejected — frames in the WAL supersede
-  * main-file pages, so reading only the main file would serve stale or
-  * torn data. Checkpoint before ingest.
+  * A non-empty `-wal` sidecar (fileformat2.html §WAL) is applied as a
+  * PAGE OVERLAY: committed frames supersede main-file pages, exactly
+  * as SQLite's own reader recovers an uncheckpointed database — a
+  * trough write node can crash with every recent transaction only in
+  * the WAL (the main file may not even contain the schema yet), and
+  * ingest must see what `sqlite3` would see. Frames after the last
+  * valid commit (torn tail, stale post-checkpoint frames with old
+  * salts, checksum breaks) are ignored per the recovery algorithm; a
+  * malformed WAL HEADER is a clean error.
   *
   * Memory shape: pages are read on demand through a [[FileChannel]] —
   * one page resident per walk step plus the overflow chain of the
   * current cell — so a segment file never needs to fit in driver
-  * memory. The row walk is a lazy iterator for the same reason.
+  * memory (the WAL overlay keeps only a page→offset map, one entry per
+  * distinct committed page). The row walk is a lazy iterator for the
+  * same reason.
   */
 object SqliteFile {
 
@@ -46,12 +52,6 @@ object SqliteFile {
 
   def open(path: Path): SqliteFile = {
     require(Files.isRegularFile(path), s"no such file: $path")
-    // reject a pending WAL: its frames supersede main-file pages
-    val wal = path.resolveSibling(path.getFileName.toString + "-wal")
-    if (Files.isRegularFile(wal) && Files.size(wal) > 0)
-      throw new IllegalStateException(
-        s"$path has a non-empty WAL sidecar ($wal); checkpoint the database " +
-          "before ingest (uncheckpointed frames supersede main-file pages)")
     new SqliteFile(path)
   }
 
@@ -107,6 +107,11 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
   private val channel = FileChannel.open(path, StandardOpenOption.READ)
 
   // ---- 100-byte header (fileformat2.html §1.3) ----
+  // Creation-time invariants (magic, page size, reserved bytes) come
+  // from the MAIN file's header: SQLite forbids changing page geometry
+  // in WAL mode, so these never live only in the WAL. Mutable header
+  // state (text encoding) is re-read through the overlay below — page 1
+  // itself can be superseded by a WAL frame.
   private val header: ByteBuffer = {
     val b = ByteBuffer.allocate(100)
     if (channel.read(b, 0L) < 100)
@@ -132,20 +137,22 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
   private val reservedBytes: Int = header.get(20) & 0xFF
   /** Bytes of each page usable for cell content (§1.3.2). */
   private val usableSize: Int = pageSize - reservedBytes
-  /** Text encoding: u32 at 56 — 1 UTF-8, 2 UTF-16le, 3 UTF-16be (§1.3.7).
-    * 0 appears in zero-table databases that never stored text. */
-  private val charset: java.nio.charset.Charset = header.getInt(56) match {
-    case 0 | 1 => StandardCharsets.UTF_8
-    case 2 => StandardCharsets.UTF_16LE
-    case 3 => StandardCharsets.UTF_16BE
-    case other => throw new IllegalArgumentException(s"unknown text encoding $other")
+
+  /** Committed-frame overlay from a `-wal` sidecar, if one is present
+    * with at least one committed transaction (§WAL). */
+  private val wal: Option[WalOverlay] = WalOverlay.open(path, pageSize)
+
+  override def close(): Unit = {
+    channel.close()
+    wal.foreach(_.close())
   }
 
-  override def close(): Unit = channel.close()
-
-  /** Pages in the file (by size — header page-count fields may be stale
-    * in legacy files; size is the hard bound the walks guard against). */
-  private val pageCount: Long = channel.size() / pageSize
+  /** Pages in the database: after the last WAL commit the authoritative
+    * size is that commit's db-size field (the main file can be SHORTER
+    * — pages past its end exist only as WAL frames); otherwise by main
+    * file size (header page-count fields may be stale in legacy files). */
+  private val pageCount: Long =
+    wal.map(_.dbSize.toLong).getOrElse(channel.size() / pageSize)
 
   /** Corruption guards shared by both walks. Depth first: a cycle only
     * ever DEEPENS these walks (they descend on every page transition),
@@ -167,14 +174,32 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
           "duplicated child pointers (corrupt database)")
   }
 
-  /** Read page `n` (1-based). One allocation per call — the walk holds
-    * at most one tree page plus overflow pages of the current cell. */
+  /** Read page `n` (1-based), preferring the WAL overlay: the latest
+    * committed frame for a page supersedes the main file. One
+    * allocation per call — the walk holds at most one tree page plus
+    * overflow pages of the current cell. */
   private def page(n: Int): ByteBuffer = {
     require(n >= 1, s"bad page number $n")
     val b = ByteBuffer.allocate(pageSize)
-    val read = channel.read(b, (n.toLong - 1) * pageSize)
+    val read = wal.flatMap(_.frameOffset(n)) match {
+      case Some(off) => wal.get.read(b, off)
+      case None => channel.read(b, (n.toLong - 1) * pageSize)
+    }
     require(read == pageSize, s"truncated read of page $n (got $read of $pageSize bytes)")
     b.flip(); b
+  }
+
+  /** Text encoding: u32 at 56 — 1 UTF-8, 2 UTF-16le, 3 UTF-16be
+    * (§1.3.7). 0 appears in zero-table databases that never stored
+    * text. Read through the overlay: the encoding is set when the
+    * FIRST table is created, which may have happened entirely inside
+    * the WAL (a freshly-created WAL-mode database's main file is one
+    * encoding-0 header page). */
+  private val charset: java.nio.charset.Charset = page(1).getInt(56) match {
+    case 0 | 1 => StandardCharsets.UTF_8
+    case 2 => StandardCharsets.UTF_16LE
+    case 3 => StandardCharsets.UTF_16BE
+    case other => throw new IllegalArgumentException(s"unknown text encoding $other")
   }
 
   // ------------------------------------------------------------ B-tree walk
@@ -408,4 +433,135 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
   def userTables: Seq[MasterRow] =
     master.filter(m => m.tpe == "table" && !m.name.startsWith("sqlite_") &&
       m.rootPage >= 2)
+}
+
+private[engine] object WalOverlay {
+  /** Open the `-wal` sidecar of `dbPath` if it exists with at least one
+    * COMMITTED frame; `None` for absent, empty, or checkpointed-and-
+    * reset WALs (header only / no valid commit — nothing supersedes the
+    * main file then). A malformed header or geometry mismatch throws. */
+  def open(dbPath: Path, pageSize: Int): Option[WalOverlay] = {
+    val walPath = dbPath.resolveSibling(dbPath.getFileName.toString + "-wal")
+    if (!Files.isRegularFile(walPath) || Files.size(walPath) < 32) None
+    else {
+      val o = new WalOverlay(walPath, pageSize)
+      if (o.frames.isEmpty) { o.close(); None } else Some(o)
+    }
+  }
+}
+
+/** Write-ahead-log reader (fileformat2.html §WAL): 32-byte header, then
+  * frames of 24-byte header + one page image. Recovery semantics match
+  * SQLite's own: frames are valid while their salts equal the header
+  * salts and the CUMULATIVE checksum (seeded by the header checksum)
+  * holds; the scan stops at the first invalid frame, and only frames up
+  * to the last valid COMMIT record (non-zero db-size field) overlay the
+  * database — a torn tail or an uncommitted trailing transaction is
+  * invisible, exactly as it is to `sqlite3`. */
+private[engine] final class WalOverlay(walPath: Path, pageSize: Int) extends AutoCloseable {
+  private val ch = FileChannel.open(walPath, StandardOpenOption.READ)
+
+  private def be32(b: Array[Byte], at: Int): Long =
+    ((b(at) & 0xFFL) << 24) | ((b(at + 1) & 0xFFL) << 16) |
+      ((b(at + 2) & 0xFFL) << 8) | (b(at + 3) & 0xFFL)
+
+  /** The WAL checksum (§WAL "Checksum Algorithm"): a running pair over
+    * 32-bit words — s0 += x(i) + s1; s1 += x(i+1) + s0 — with the WORD
+    * byte order chosen by the magic's low bit. Stored checksum VALUES
+    * are always big-endian. `len` must be a multiple of 8. */
+  private def checksum(
+      b: Array[Byte], off: Int, len: Int, in0: Long, in1: Long,
+      bigEndianWords: Boolean): (Long, Long) = {
+    def word(at: Int): Long =
+      if (bigEndianWords) be32(b, at)
+      else ((b(at + 3) & 0xFFL) << 24) | ((b(at + 2) & 0xFFL) << 16) |
+        ((b(at + 1) & 0xFFL) << 8) | (b(at) & 0xFFL)
+    var s0 = in0
+    var s1 = in1
+    var i = off
+    val end = off + len
+    while (i < end) {
+      s0 = (s0 + word(i) + s1) & 0xFFFFFFFFL
+      s1 = (s1 + word(i + 4) + s0) & 0xFFFFFFFFL
+      i += 8
+    }
+    (s0, s1)
+  }
+
+  private def readFully(buf: Array[Byte], at: Long): Unit = {
+    val bb = ByteBuffer.wrap(buf)
+    var off = at
+    while (bb.hasRemaining) {
+      val n = ch.read(bb, off)
+      require(n > 0, s"$walPath: truncated read at offset $off")
+      off += n
+    }
+  }
+
+  /** page number → file offset of the LATEST committed frame's page
+    * image, plus the database size (in pages) after the last commit. */
+  val (frames: Map[Int, Long], dbSize: Int) = {
+    val hdr = new Array[Byte](32)
+    readFully(hdr, 0L)
+    val magic = be32(hdr, 0)
+    if (magic != 0x377F0682L && magic != 0x377F0683L)
+      throw new IllegalArgumentException(
+        s"$walPath: bad WAL magic 0x${magic.toHexString} (corrupt WAL header)")
+    val bigEndianWords = magic == 0x377F0683L
+    val version = be32(hdr, 4)
+    if (version != 3007000L)
+      throw new IllegalArgumentException(
+        s"$walPath: unsupported WAL format version $version")
+    val walPageSize = be32(hdr, 8)
+    if (walPageSize != pageSize)
+      throw new IllegalArgumentException(
+        s"$walPath: WAL page size $walPageSize != database page size $pageSize")
+    val salt1 = be32(hdr, 16)
+    val salt2 = be32(hdr, 20)
+    var (s0, s1) = checksum(hdr, 0, 24, 0L, 0L, bigEndianWords)
+    if (s0 != be32(hdr, 24) || s1 != be32(hdr, 28))
+      throw new IllegalArgumentException(
+        s"$walPath: WAL header checksum mismatch (corrupt WAL header)")
+
+    val frameSize = 24L + pageSize
+    val total = ch.size()
+    val committed = scala.collection.mutable.Map[Int, Long]()
+    val pending = scala.collection.mutable.Map[Int, Long]()
+    var size = 0
+    var off = 32L
+    val f = new Array[Byte](24 + pageSize)
+    var valid = true
+    while (valid && off + frameSize <= total) {
+      readFully(f, off)
+      // stale frames (post-checkpoint reuse) carry old salts; a torn
+      // write breaks the cumulative checksum — either ends the scan
+      if (be32(f, 8) != salt1 || be32(f, 12) != salt2) valid = false
+      else {
+        val (t0, t1) = checksum(f, 0, 8, s0, s1, bigEndianWords)
+        val (u0, u1) = checksum(f, 24, pageSize, t0, t1, bigEndianWords)
+        if (u0 != be32(f, 16) || u1 != be32(f, 20)) valid = false
+        else {
+          s0 = u0; s1 = u1
+          val pgno = be32(f, 0)
+          require(pgno >= 1 && pgno <= Int.MaxValue.toLong,
+            s"$walPath: bad page number $pgno in WAL frame")
+          pending.put(pgno.toInt, off + 24)
+          val commitSize = be32(f, 4)
+          if (commitSize != 0) { // commit record: publish the transaction
+            committed ++= pending
+            pending.clear()
+            size = commitSize.toInt
+          }
+          off += frameSize
+        }
+      }
+    }
+    (committed.toMap, size)
+  }
+
+  def frameOffset(pgno: Int): Option[Long] = frames.get(pgno)
+
+  def read(dst: ByteBuffer, at: Long): Int = ch.read(dst, at)
+
+  override def close(): Unit = ch.close()
 }

@@ -331,13 +331,110 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(!engine.store.segmentExists("cyclic"))
   }
 
-  test("WAL sidecars are clean errors") {
-    val db2 = makeDb("waldb", "CREATE TABLE t (id INTEGER PRIMARY KEY);")
-    Files.write(db2.resolveSibling(db2.getFileName.toString + "-wal"),
-      "frames".getBytes)
-    val e = intercept[IllegalStateException](
-      engine.store.ingestSqliteSegment(db2.toString, "waldb"))
-    assert(e.getMessage.contains("checkpoint"))
+  /** Capture an UNCHECKPOINTED db+wal pair: `.shell cp` runs while the
+    * sqlite3 session is still open, before the close-time checkpoint —
+    * the copy's main file may not even contain the schema yet. */
+  private def makeWalDb(name: String, sql: String): Path = {
+    val dir = Files.createTempDirectory("sqlite-wal-fixture")
+    val live = dir.resolve("live.sqlite")
+    val snap = dir.resolve(s"$name.sqlite")
+    val script =
+      s"""PRAGMA journal_mode=WAL;
+         |$sql
+         |.shell cp "$live" "$snap"
+         |.shell cp "$live-wal" "$snap-wal"
+         |""".stripMargin
+    val in = new java.io.ByteArrayInputStream(
+      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rc = (Seq("sqlite3", live.toString) #< in).!
+    assert(rc == 0, s"sqlite3 exited $rc")
+    assert(Files.size(snap.resolveSibling(s"$name.sqlite-wal")) > 32, "WAL empty — fixture broken")
+    snap
+  }
+
+  /** What the real sqlite3 reads from this db+wal pair — run on a COPY,
+    * because opening recovers + checkpoints (mutating the files). */
+  private def sqlite3Reads(db: Path, query: String): Seq[String] = {
+    val dir = Files.createTempDirectory("sqlite-wal-check")
+    val cp = dir.resolve("check.sqlite")
+    Files.copy(db, cp)
+    val wal = db.resolveSibling(db.getFileName.toString + "-wal")
+    if (Files.isRegularFile(wal)) Files.copy(wal, dir.resolve("check.sqlite-wal"))
+    val out = Files.createTempFile("sqlite-wal-out", ".txt")
+    val rc = (Seq("sqlite3", cp.toString, query) #> out.toFile).!
+    assert(rc == 0)
+    new String(Files.readAllBytes(out), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  test("uncheckpointed WAL: committed frames overlay the main file") {
+    // the snapshot's MAIN file predates even the CREATE TABLE — schema
+    // and rows exist only as WAL frames, the shape a crashed trough
+    // write node leaves behind
+    val db = makeWalDb("walbasic",
+      """CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);
+        |INSERT INTO t VALUES (1,'a'),(2,'b');
+        |UPDATE t SET v='B' WHERE id=2;
+        |INSERT INTO t VALUES (3,'c');
+        |DELETE FROM t WHERE id=1;""".stripMargin)
+    assert(engine.store.ingestSqliteSegment(db.toString, "wal-basic") == Seq("t"))
+    val got = engine.read("wal-basic", "SELECT id, v FROM t ORDER BY id;").collect()
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}").toSeq
+    assert(got == sqlite3Reads(db, "SELECT id, v FROM t ORDER BY id;"))
+    assert(got == Seq("2|B", "3|c")) // latest frame per page won
+  }
+
+  test("WAL growing past the main file: db size comes from the commit record") {
+    // enough rows that the B-tree spans pages that exist ONLY in the
+    // WAL (the main file stays one page long)
+    val db = makeWalDb("walbig",
+      "CREATE TABLE big (id INTEGER PRIMARY KEY, s TEXT);\n" +
+        "BEGIN;\n" +
+        (1 to 3000).map(i => s"INSERT INTO big VALUES ($i, 'row-$i-${"pad" * 10}');")
+          .mkString("\n") + "\nCOMMIT;")
+    assert(Files.size(db) <= 4096L, "fixture: main file should be a single page")
+    engine.store.ingestSqliteSegment(db.toString, "wal-big")
+    val r = engine.read("wal-big",
+      "SELECT count(*) AS n, sum(id) AS s FROM big;").collect()(0)
+    assert(r.getLong(0) == 3000L && r.getLong(1) == 3000L * 3001 / 2)
+  }
+
+  test("torn WAL tail: ingest matches sqlite3's own recovery, not the torn bytes") {
+    val db = makeWalDb("waltorn",
+      """CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);
+        |INSERT INTO t VALUES (1,'committed');
+        |INSERT INTO t VALUES (2,'also committed');""".stripMargin)
+    // tear mid-frame: drop the last 100 bytes of the WAL
+    val wal = db.resolveSibling(db.getFileName.toString + "-wal")
+    val bytes = Files.readAllBytes(wal)
+    Files.write(wal, bytes.take(bytes.length - 100))
+    engine.store.ingestSqliteSegment(db.toString, "wal-torn")
+    val ours = engine.read("wal-torn", "SELECT id, v FROM t ORDER BY id;").collect()
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}").toSeq
+    assert(ours == sqlite3Reads(db, "SELECT id, v FROM t ORDER BY id;"))
+    assert(ours == Seq("1|committed")) // the torn transaction vanished
+  }
+
+  test("corrupt WAL header is a clean error naming the sidecar") {
+    val db = makeDb("walhdr", "CREATE TABLE t (id INTEGER PRIMARY KEY); INSERT INTO t VALUES (1);")
+    val wal = db.resolveSibling(db.getFileName.toString + "-wal")
+    Files.write(wal, Array.fill[Byte](4120)(0x42)) // 32-byte header + noise, bad magic
+    val e = intercept[IllegalArgumentException](
+      engine.store.ingestSqliteSegment(db.toString, "wal-hdr"))
+    assert(e.getMessage.contains("WAL") && e.getMessage.contains(wal.getFileName.toString))
+    // a checkpointed-then-reset WAL (valid header, zero frames) is NOT
+    // an error: nothing supersedes the main file
+    Files.write(wal, bytesOfResetWal())
+    assert(engine.store.ingestSqliteSegment(db.toString, "wal-reset") == Seq("t"))
+    assert(engine.read("wal-reset", "SELECT id FROM t;").collect()(0).getLong(0) == 1L)
+  }
+
+  /** A header-only WAL as `PRAGMA wal_checkpoint(RESTART)` leaves it:
+    * produced by checkpointing a real one and truncating to 32 bytes. */
+  private def bytesOfResetWal(): Array[Byte] = {
+    val db = makeWalDb("walreset", "CREATE TABLE r (id INTEGER PRIMARY KEY);")
+    val wal = db.resolveSibling(db.getFileName.toString + "-wal")
+    Files.readAllBytes(wal).take(32)
   }
 
   test("bulk ingest: parallel over files, per-file error isolation") {
