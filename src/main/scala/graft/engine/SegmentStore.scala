@@ -39,8 +39,14 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * (sync.py:452-456) / cold read-only tier (sync.py:218-224, 693-697).
   */
 object SegmentStore {
+  /** `indexes`: plain secondary indexes recorded from CREATE INDEX DDL
+    * (provision scripts, write scripts, or ingested files). Catalyst
+    * needs no physical indexes over parquet — they are carried so a
+    * `.sqlite` EXPORT can materialize the trees a trough deployment's
+    * own queries rely on. */
   final case class TableMeta(
-      schema: StructType, primaryKey: Seq[String], autoIncrement: Option[String])
+      schema: StructType, primaryKey: Seq[String], autoIncrement: Option[String],
+      indexes: Seq[SqliteDdl.IndexDef] = Nil)
 
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
@@ -165,7 +171,10 @@ class SegmentStore(
       SqlScript.split(schemaSql).foreach { stmt =>
         SqlScript.firstWord(stmt) match {
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*") =>
-            () // indexes are physical hints; parquet+Catalyst has its own
+            // no physical structure (parquet+Catalyst needs none), but
+            // the definition is recorded so exports can materialize the
+            // index trees a trough deployment's queries rely on
+            recordIndex(segmentId, stmt)
           case "CREATE" =>
             val td = SqliteDdl.parseCreateTable(stmt)
             createTable(segmentId, td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement),
@@ -313,15 +322,14 @@ class SegmentStore(
     // must not leave a phantom segment (registered, zero tables) behind
     val registeredHere = !segmentExists(segmentId)
     try {
-      val masters = file.userTables
+      val masters = SqliteIngest.tableSpecs(file, widen)
       if (registeredHere) {
         Files.createDirectories(marker(segmentId).getParent)
         Files.writeString(marker(segmentId), "")
       }
       val root = tierRoot(segmentId)
-      masters.map { m =>
-        val spec = SqliteIngest.tableSpec(file, m, widen)
-        val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement)
+      masters.map { spec =>
+        val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement, spec.indexes)
         SegmentStore.requireNoReservedColumns(meta)
         val rows = new java.util.ArrayList[Row]()
         SqliteIngest.decodedRows(file, spec).foreach(rows.add)
@@ -346,58 +354,130 @@ class SegmentStore(
     * deployment with no SQLite linkage in the JVM. The rowid-alias
     * column (INTEGER PRIMARY KEY) keys the B-tree directly; tables
     * without one get sequential rowids (a SQLite implementation detail
-    * when unaliased). Bounded like ingest: one segment = one file of
-    * driver-side work, parallelizable across segments. Returns the
-    * exported table names. */
+    * when unaliased). Recorded secondary indexes (CREATE INDEX) and
+    * the autoindex implied by a non-alias PRIMARY KEY are materialized
+    * as real index B-trees, so the export's own SQLite query plans can
+    * use them.
+    *
+    * Memory shape: each pass is a Spark `orderBy` consumed through
+    * `toLocalIterator` into the streaming writer — the driver holds
+    * one result partition plus one page of cells, never a table.
+    * Spark's sort IS the writer's required key order (UTF8 memcmp
+    * strings, unsigned-lexicographic binary, numeric otherwise — all
+    * equal to SQLite BINARY within a single storage class, and a
+    * stored column has exactly one Spark type). The exception is a
+    * table with indexes but NO rowid alias: its rowids are positional,
+    * so index keys are collected during the single row pass (O(index
+    * keys) memory) and sorted in-process. Bounded like ingest: one
+    * segment = one file of driver-side work, parallelizable across
+    * segments. Returns the exported table names. */
   def exportSqliteSegment(segmentId: String, outPath: String): Seq[String] = {
     require(segmentExists(segmentId), s"segment $segmentId does not exist")
     val tbls = tables(segmentId)
-    val datas = tbls.map { t =>
+    val streamed = tbls.map { t =>
       val meta = tableMeta(segmentId, t)
       val fields = meta.schema.fields
       val rowidIdx = meta.autoIncrement
         .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
-      val collected = loadTable(segmentId, t).collect().toSeq
-      val rows: Seq[(Long, IndexedSeq[Any])] = collected.zipWithIndex.map { case (r, i) =>
-        val rowid =
-          if (rowidIdx < 0) i + 1L
-          else if (r.isNullAt(rowidIdx))
-            throw new IllegalStateException(
-              s"table $t: null in rowid-alias column ${fields(rowidIdx).name}")
-          else r.getLong(rowidIdx)
-        val vals: IndexedSeq[Any] = fields.indices.map { j =>
-          if (j == rowidIdx) null // rowid alias stores NULL in the record
-          else if (r.isNullAt(j)) null
-          else fields(j).dataType match {
-            case LongType => r.getLong(j)
-            case DoubleType => r.getDouble(j)
-            case StringType => r.getString(j)
-            case BinaryType => r.getAs[Array[Byte]](j)
-            case other => throw new IllegalStateException(
-              s"table $t column ${fields(j).name}: unexpected store type $other")
-          }
+      def cellValue(r: Row, j: Int): Any =
+        if (r.isNullAt(j)) null
+        else fields(j).dataType match {
+          case LongType => r.getLong(j)
+          case DoubleType => r.getDouble(j)
+          case StringType => r.getString(j)
+          case BinaryType => r.getAs[Array[Byte]](j)
+          case other => throw new IllegalStateException(
+            s"table $t column ${fields(j).name}: unexpected store type $other")
         }
-        (rowid, vals)
-      }.sortBy(_._1)
-      // adjacent compare after the sort — no sentinel (a seed of
-      // Long.MinValue would falsely flag a legitimate minimal rowid)
-      rows.iterator.map(_._1).sliding(2).foreach { pair =>
-        if (pair.length == 2 && pair(0) >= pair(1))
-          throw new IllegalStateException(
-            s"table $t: duplicate rowid ${pair(1)} (alias column must be unique)")
-      }
+      def recordValues(r: Row): IndexedSeq[Any] =
+        // the rowid alias stores NULL in the record
+        fields.indices.map(j => if (j == rowidIdx) null else cellValue(r, j))
       // a non-rowid-alias PRIMARY KEY implies a sqlite_autoindex whose
       // B-tree the writer must materialize (integrity_check counts it)
-      val autoIdxCols =
+      val autoIdxCols: Seq[Int] =
         if (meta.autoIncrement.isEmpty && meta.primaryKey.nonEmpty)
           meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
             .filter(_ >= 0)
         else Nil
-      SqliteWriter.TableData(t,
-        SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey, meta.autoIncrement),
-        rows, autoIdxCols)
+      // recorded secondary indexes; ones referencing since-dropped
+      // columns are skipped rather than failing the export
+      val secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])] = meta.indexes.flatMap { ix =>
+        val cols = ix.columns.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
+        if (cols.nonEmpty && cols.forall(_ >= 0)) Some(ix -> cols) else None
+      }
+      val ddl = SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey, meta.autoIncrement)
+
+      if (rowidIdx >= 0) {
+        val rowidCol = fields(rowidIdx).name
+        def tableRows(): Iterator[(Long, IndexedSeq[Any])] = {
+          val it = loadTable(segmentId, t)
+            .orderBy(functions.col(rowidCol)).toLocalIterator().asScala
+          var prev = 0L
+          var any = false
+          it.map { r =>
+            if (r.isNullAt(rowidIdx))
+              throw new IllegalStateException(
+                s"table $t: null in rowid-alias column $rowidCol")
+            val rowid = r.getLong(rowidIdx)
+            // adjacent compare on the sorted stream — no sentinel (a
+            // seed would falsely flag a legitimate minimal rowid)
+            if (any && rowid <= prev)
+              throw new IllegalStateException(
+                s"table $t: duplicate rowid $rowid (alias column must be unique)")
+            any = true; prev = rowid
+            (rowid, recordValues(r))
+          }
+        }
+        def indexKeys(cols: Seq[Int]): () => Iterator[IndexedSeq[Any]] = () => {
+          val sortCols = cols.map(j => functions.col(fields(j).name)) :+
+            functions.col(rowidCol)
+          loadTable(segmentId, t).orderBy(sortCols: _*).toLocalIterator().asScala
+            .map(r => (cols.map(j => cellValue(r, j)) :+ r.getLong(rowidIdx)).toIndexedSeq)
+        }
+        val indexes =
+          (if (autoIdxCols.isEmpty) Nil
+           else Seq(SqliteWriter.StreamedIndex(
+             SqliteWriter.autoIndexName(t), null, indexKeys(autoIdxCols)))) ++
+            secondary.map { case (ix, cols) =>
+              SqliteWriter.StreamedIndex(ix.name, ix.sql, indexKeys(cols))
+            }
+        SqliteWriter.StreamedTable(t, ddl, tableRows _, indexes)
+      } else {
+        // positional rowids: assigned in PK order when one exists (a
+        // deterministic total order), else natural order. Index key
+        // tuples need each row's ASSIGNED rowid, so they're collected
+        // during the row pass — the one export shape that buffers
+        // (keys only), documented above.
+        val sortCols = meta.primaryKey
+          .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).filter(_ >= 0)
+          .map(j => functions.col(fields(j).name))
+        val keyBufs: Seq[(String, String, Seq[Int], scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]])] =
+          (if (autoIdxCols.isEmpty) Nil
+           else Seq((SqliteWriter.autoIndexName(t), null: String, autoIdxCols))) ++
+            secondary.map { case (ix, cols) => (ix.name, ix.sql, cols) } map {
+            case (n, sql, cols) =>
+              (n, sql, cols, scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]]())
+          }
+        def tableRows(): Iterator[(Long, IndexedSeq[Any])] = {
+          val base = loadTable(segmentId, t)
+          val it = (if (sortCols.nonEmpty) base.orderBy(sortCols: _*) else base)
+            .toLocalIterator().asScala
+          it.zipWithIndex.map { case (r, i) =>
+            val rowid = i + 1L
+            keyBufs.foreach { case (_, _, cols, buf) =>
+              buf += (cols.map(j => cellValue(r, j)) :+ rowid).toIndexedSeq
+            }
+            (rowid, recordValues(r))
+          }
+        }
+        val indexes = keyBufs.map { case (n, sql, _, buf) =>
+          SqliteWriter.StreamedIndex(n, sql,
+            () => buf.sorted(SqliteWriter.keyOrdering).iterator)
+        }
+        SqliteWriter.StreamedTable(t, ddl, tableRows _, indexes)
+      }
     }
-    SqliteWriter.write(Paths.get(outPath), datas)
+    SqliteWriter.writeStreamed(Paths.get(outPath), streamed)
     tbls
   }
 
@@ -484,7 +564,7 @@ class SegmentStore(
             "bulk-ingest catalog must run inside an executor task")
           val f = SqliteFile.open(Paths.get(path))
           try {
-            val specs = f.userTables.map(m => SqliteIngest.tableSpec(f, m, widen))
+            val specs = SqliteIngest.tableSpecs(f, widen)
             specs.foreach(s => SegmentStore.requireNoReservedColumns(
               SegmentStore.TableMeta(s.schema, s.primaryKey, s.autoIncrement)))
             specs
@@ -549,7 +629,7 @@ class SegmentStore(
           }
           val root = tierRoot(seg)
           specs.map { sp =>
-            val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement)
+            val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement, sp.indexes)
             Files.createDirectories(tableRoot(root, sp.name))
             val tmp = tmpDir(root, seg, sp.name)
             if (Files.exists(tmp)) deleteRecursively(tmp)
@@ -625,11 +705,41 @@ class SegmentStore(
 
   private def readMeta(p: Path): TableMeta = {
     val node = mapper.readTree(Files.readString(p))
+    val indexes =
+      if (!node.has("indexes")) Nil // metas predating index recording
+      else (0 until node.get("indexes").size()).map { i =>
+        val ix = node.get("indexes").get(i)
+        SqliteDdl.IndexDef(
+          ix.get("name").asText(),
+          ix.get("table").asText(),
+          (0 until ix.get("columns").size()).map(ix.get("columns").get(_).asText()),
+          unique = ix.get("unique").asBoolean(),
+          ifNotExists = false,
+          sql = ix.get("sql").asText())
+      }
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
-      if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None)
+      if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None,
+      indexes)
   }
+
+  /** Record a plain CREATE INDEX in its table's meta. Non-plain shapes
+    * (expression/DESC columns, partial indexes) stay accepted as no-op
+    * hints — [[SqliteDdl.parseCreateIndex]] returns None for them. */
+  def recordIndex(segmentId: String, stmt: String): Unit =
+    SqliteDdl.parseCreateIndex(stmt).foreach { ix =>
+      if (!tableExists(segmentId, ix.table))
+        throw new IllegalArgumentException(s"no such table for index: ${ix.table}")
+      val meta = tableMeta(segmentId, ix.table)
+      if (meta.indexes.exists(_.name.equalsIgnoreCase(ix.name))) {
+        if (!ix.ifNotExists)
+          throw new IllegalStateException(s"index ${ix.name} already exists")
+      } else if (ix.columns.forall(c => meta.schema.fieldNames.exists(_.equalsIgnoreCase(c))))
+        writeMeta(segmentId, ix.table, meta.copy(indexes = meta.indexes :+ ix))
+      else throw new IllegalArgumentException(
+        s"index ${ix.name} references columns not in table ${ix.table}")
+    }
 
   def createTable(
       segmentId: String, table: String, meta: TableMeta, failIfExists: Boolean): Unit = {
@@ -655,6 +765,18 @@ class SegmentStore(
     meta.autoIncrement match {
       case Some(c) => root.put("autoIncrement", c)
       case None => root.putNull("autoIncrement")
+    }
+    if (meta.indexes.nonEmpty) {
+      val arr = root.putArray("indexes")
+      meta.indexes.foreach { ix =>
+        val o = arr.addObject()
+        o.put("name", ix.name)
+        o.put("table", ix.table)
+        val cols = o.putArray("columns")
+        ix.columns.foreach(cols.add)
+        o.put("unique", ix.unique)
+        o.put("sql", ix.sql)
+      }
     }
     val p = metaPath(tierRoot(segmentId), segmentId, table)
     Files.createDirectories(p.getParent)

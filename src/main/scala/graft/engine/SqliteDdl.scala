@@ -149,6 +149,40 @@ object SqliteDdl {
     s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})"
   }
 
+  /** A parsed plain CREATE INDEX: named columns only, ascending, no
+    * WHERE — the shape the store can record in table meta and the
+    * export can materialize as a real index B-tree. */
+  final case class IndexDef(
+      name: String, table: String, columns: Seq[String],
+      unique: Boolean, ifNotExists: Boolean, sql: String)
+
+  // \)\s*$ excludes partial indexes (…(cols) WHERE …) by construction
+  private val createIndexRe =
+    """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s+ON\s+(.+?)\s*\((.*)\)\s*$""".r
+
+  /** Parse a CREATE INDEX statement into a recordable definition.
+    * Returns None for the shapes the store accepts only as no-op hints
+    * (expression/DESC/COLLATE columns, partial indexes) — exporting
+    * those with plain-ascending key order would hand SQLite a
+    * misordered tree. */
+  def parseCreateIndex(stmt: String): Option[IndexDef] =
+    createIndexRe.findFirstMatchIn(stmt).flatMap { m =>
+      val cols = SqlScript.splitTopLevel(m.group(5)).map(_.trim)
+      val plain = cols.nonEmpty && cols.forall { c =>
+        // a single bare/quoted identifier token: no expressions, no
+        // DESC/COLLATE qualifiers
+        !c.contains("(") && c.split("\\s+").length == 1
+      }
+      if (!plain) None
+      else Some(IndexDef(
+        SqlScript.unquoteIdent(m.group(3)),
+        SqlScript.unquoteIdent(m.group(4)),
+        cols.map(SqlScript.unquoteIdent),
+        unique = m.group(1) != null,
+        ifNotExists = m.group(2) != null,
+        sql = stmt.trim))
+    }
+
   /** Tokenize a column definition, keeping parenthesized type args (e.g.
     * `varchar(100)`) attached to their type token. */
   private def tokenizeColumnDef(defn: String): Seq[String] = {

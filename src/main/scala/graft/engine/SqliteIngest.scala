@@ -41,7 +41,29 @@ object SqliteIngest {
       autoIncrement: Option[String],
       rootPage: Int,
       withoutRowid: Boolean,
-      rowidIdx: Int)
+      rowidIdx: Int,
+      indexes: Seq[SqliteDdl.IndexDef] = Nil)
+
+  /** Plain secondary-index definitions per table, from master rows of
+    * type 'index' with non-null sql (autoindexes catalog with null sql
+    * and are implied by the PRIMARY KEY instead). Recorded into table
+    * meta so a later EXPORT materializes the same index trees the
+    * source deployment's queries relied on; non-plain shapes
+    * (expression/DESC/partial) are dropped, as everywhere else. */
+  def indexDefs(file: SqliteFile): Map[String, Seq[SqliteDdl.IndexDef]] =
+    file.master.filter(m => m.tpe == "index" && m.sql != null)
+      .flatMap(m => SqliteDdl.parseCreateIndex(m.sql))
+      .groupBy(_.table)
+
+  /** [[tableSpec]] for every user table of the file, with secondary
+    * indexes attached. */
+  def tableSpecs(file: SqliteFile, widen: Boolean): Seq[TableSpec] = {
+    val ixs = indexDefs(file)
+    file.userTables.map { m =>
+      val s = tableSpec(file, m, widen)
+      s.copy(indexes = ixs.getOrElse(s.name, Nil))
+    }
+  }
 
   /** Resolve a `sqlite_master` row into a [[TableSpec]]. With
     * `widen = true` this makes one full pass over the table's rows to

@@ -1,8 +1,9 @@
 package graft.engine
 
 import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
+import java.nio.file.{Path, StandardOpenOption}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -14,6 +15,12 @@ import scala.collection.mutable.ArrayBuffer
   * exactly that), so a trough deployment can move data back out of
   * this engine without any SQLite linkage in the JVM.
   *
+  * Memory shape: pages stream to the target [[FileChannel]] as they
+  * fill — the writer holds one page of cells in flight plus O(#leaves)
+  * bookkeeping per tree ((page, max-key) pairs and promoted index
+  * dividers), never the table. Fed from `orderBy(...).toLocalIterator`
+  * the whole export is O(tree depth + one page) in driver memory.
+  *
   * Scope mirrors the reader plus what a valid schema REQUIRES: rowid
   * table B-trees built bottom-up (packed leaves, interior levels over
   * (child, max-rowid) pairs, root pinned — the `sqlite_master` root
@@ -21,43 +28,78 @@ import scala.collection.mutable.ArrayBuffer
   * minimally, overflow chains for payloads past the spill thresholds,
   * UTF-8 text, no freelist/WAL. A non-rowid-alias PRIMARY KEY in the
   * DDL implies a `sqlite_autoindex_<t>_1` UNIQUE index whose B-tree
-  * must physically exist (`integrity_check` counts its entries), so
-  * index B-trees are written too: key-record leaf cells with divider
-  * entries PROMOTED into interior levels (an index entry lives exactly
-  * once in the whole tree, unlike table interior keys), keys ordered
-  * by SQLite's BINARY semantics (storage class rank, numeric value,
-  * UTF-8 memcmp, blob memcmp, rowid tiebreak).
+  * must physically exist (`integrity_check` counts its entries), and
+  * recorded secondary indexes (CREATE INDEX) are materialized the same
+  * way: key-record leaf cells with divider entries PROMOTED into
+  * interior levels (an index entry lives exactly once in the whole
+  * tree, unlike table interior keys), keys ordered by SQLite's BINARY
+  * semantics (storage class rank, numeric value, UTF-8 memcmp, blob
+  * memcmp, rowid tiebreak).
   */
 object SqliteWriter {
 
-  /** One table to write: `rows` must be sorted by rowid, ascending and
-    * unique (the B-tree key); the rowid-alias column, if any, should
-    * hold null in `values` (SQLite stores it as NULL in the record).
-    * `autoIndexCols`: value indices of a non-rowid-alias PRIMARY KEY —
-    * the implied `sqlite_autoindex` B-tree is built over them. */
+  /** One index to materialize: `keys()` must yield key tuples (last
+    * element = rowid tiebreak) ALREADY sorted by [[valueOrdering]]
+    * semantics — e.g. a Spark `orderBy` over the key columns then the
+    * rowid (Spark's string ordering is UTF8 memcmp and its binary
+    * ordering unsigned lexicographic, both matching SQLite BINARY).
+    * `sql` is the CREATE INDEX text for `sqlite_master` (null for the
+    * implied autoindex). */
+  final case class StreamedIndex(
+      name: String, sql: String, keys: () => Iterator[IndexedSeq[Any]])
+
+  /** One table to write: `rows()` must yield (rowid, record values)
+    * sorted by rowid, strictly ascending (the B-tree key); the
+    * rowid-alias column, if any, should hold null in the values
+    * (SQLite stores it as NULL in the record). `rows()` is consumed
+    * exactly once, BEFORE any of the table's `indexes` — index key
+    * iterators may therefore be built as side effects of the row
+    * pass. */
+  final case class StreamedTable(
+      name: String, ddl: String,
+      rows: () => Iterator[(Long, IndexedSeq[Any])],
+      indexes: Seq[StreamedIndex] = Nil)
+
+  /** Buffered convenience form (specs, small tables): rows in memory,
+    * `autoIndexCols` = value indices of a non-rowid-alias PRIMARY KEY,
+    * whose implied `sqlite_autoindex` B-tree is built over them. */
   final case class TableData(
       name: String, ddl: String, rows: Seq[(Long, IndexedSeq[Any])],
       autoIndexCols: Seq[Int] = Nil)
 
-  def write(path: Path, tables: Seq[TableData], pageSize: Int = 4096): Unit = {
-    val w = new SqliteWriter(pageSize)
-    // sqlite_master (§2.6): (type, name, tbl_name, rootpage, sql) with
-    // the root pinned at page 1; a table's auto-index row follows its
-    // table row with sql NULL, as SQLite itself catalogs them
-    val masterRows = ArrayBuffer[IndexedSeq[Any]]()
-    tables.foreach { t =>
-      val root = w.buildTableTree(t.rows)
-      masterRows += IndexedSeq[Any]("table", t.name, t.name, root.toLong, t.ddl)
-      if (t.autoIndexCols.nonEmpty) {
-        val ixRoot = w.buildIndexTree(t.rows.map { case (rowid, vals) =>
-          (t.autoIndexCols.map(vals(_)) :+ rowid).toIndexedSeq
-        })
-        masterRows += IndexedSeq[Any](
-          "index", s"sqlite_autoindex_${t.name}_1", t.name, ixRoot.toLong, null)
+  def write(path: Path, tables: Seq[TableData], pageSize: Int = 4096): Unit =
+    writeStreamed(path, tables.map { t =>
+      StreamedTable(t.name, t.ddl, () => t.rows.iterator,
+        if (t.autoIndexCols.isEmpty) Nil
+        else Seq(StreamedIndex(autoIndexName(t.name), null,
+          () => t.rows.map { case (rowid, vals) =>
+            (t.autoIndexCols.map(vals(_)) :+ rowid).toIndexedSeq
+          }.sorted(keyOrdering).iterator)))
+    }, pageSize)
+
+  def autoIndexName(table: String): String = s"sqlite_autoindex_${table}_1"
+
+  /** Stream tables (and their pre-sorted index keys) into a database
+    * file. sqlite_master rows (§2.6): (type, name, tbl_name, rootpage,
+    * sql) with the root pinned at page 1; a table's index rows follow
+    * its table row, as SQLite itself catalogs them. */
+  def writeStreamed(path: Path, tables: Seq[StreamedTable], pageSize: Int = 4096): Unit = {
+    val ch = FileChannel.open(path, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val w = new SqliteWriter(pageSize, ch)
+      val masterRows = ArrayBuffer[IndexedSeq[Any]]()
+      tables.foreach { t =>
+        val root = w.buildTableTree(t.rows())
+        masterRows += IndexedSeq[Any]("table", t.name, t.name, root.toLong, t.ddl)
+        t.indexes.foreach { ix =>
+          val ixRoot = w.buildIndexTreeSorted(ix.keys())
+          masterRows += IndexedSeq[Any]("index", ix.name, t.name, ixRoot.toLong, ix.sql)
+        }
       }
-    }
-    w.buildMasterTree(masterRows.toSeq.zipWithIndex.map { case (r, i) => (i + 1L, r) })
-    Files.write(path, w.render())
+      w.buildMasterTree(masterRows.toSeq.zipWithIndex.map { case (r, i) => (i + 1L, r) })
+      w.finalizeHeader()
+    } finally ch.close()
   }
 
   /** SQLite BINARY ordering over storage values (§ "Sort Order"):
@@ -118,14 +160,22 @@ object SqliteWriter {
     }
 }
 
-final class SqliteWriter(pageSize: Int) {
+final class SqliteWriter(pageSize: Int, channel: FileChannel) {
   require(pageSize >= 512 && pageSize <= 65536 && Integer.bitCount(pageSize) == 1,
     s"page size must be a power of two in [512, 65536], got $pageSize")
   private val usable = pageSize // reserved bytes = 0
 
-  // page store, 1-indexed; page 1 reserved up front for the master root
-  private val pages = ArrayBuffer[Array[Byte]](new Array[Byte](pageSize))
-  private def alloc(): Int = { pages += new Array[Byte](pageSize); pages.length }
+  // 1-indexed page allocator; page 1 reserved up front for the master
+  // root. Every allocated page is written exactly once (leaves,
+  // interior nodes, overflow chains), streamed straight to the channel.
+  private var pageCounter = 1
+  private def alloc(): Int = { pageCounter += 1; pageCounter }
+
+  private def putPage(pageNo: Int, buf: Array[Byte]): Unit = {
+    val bb = ByteBuffer.wrap(buf)
+    var off = (pageNo.toLong - 1) * pageSize
+    while (bb.hasRemaining) off += channel.write(bb, off)
+  }
 
   // ------------------------------------------------------------- primitives
 
@@ -223,11 +273,12 @@ final class SqliteWriter(pageSize: Int) {
     val chain = (0 until nPages).map(_ => alloc())
     var off = local
     chain.zipWithIndex.foreach { case (pg, i) =>
-      val buf = pages(pg - 1)
+      val buf = new Array[Byte](pageSize)
       ByteBuffer.wrap(buf).putInt(0, if (i == nPages - 1) 0 else chain(i + 1))
       val n = math.min(perPage, payload.length - off)
       System.arraycopy(payload, off, buf, 4, n)
       off += n
+      putPage(pg, buf)
     }
     chain.head
   }
@@ -286,7 +337,7 @@ final class SqliteWriter(pageSize: Int) {
     val headerLen = if (interior) 12 else 8 // leaves (10, 13): no right-most field
     require(base + headerLen + 2 * cells.length + cells.map(_.length).sum <= usable,
       s"page $pageNo overfull: ${cells.length} cells of ${cells.map(_.length).sum} bytes")
-    val buf = pages(pageNo - 1)
+    val buf = new Array[Byte](pageSize)
     val bb = ByteBuffer.wrap(buf)
     bb.put(base, pageType.toByte)
     bb.putShort(base + 1, 0.toShort) // first freeblock
@@ -301,11 +352,12 @@ final class SqliteWriter(pageSize: Int) {
     }
     // content offset 0 encodes 65536 on a cell-less 64 KiB page
     bb.putShort(base + 5, (if (content == 65536) 0 else content).toShort)
+    putPage(pageNo, buf)
   }
 
   /** Greedy pack: max cells per page under the pointer-array + content
-    * budget. Every cell fits alone by construction (local payload is
-    * capped below usable−35). */
+    * budget. Used for INTERIOR levels, whose (child, key) cell lists
+    * are O(#children of the level) — leaf levels stream instead. */
   private def packPages(cells: Seq[Array[Byte]], base0: Int, headerLen: Int)
       : Seq[Seq[Array[Byte]]] = {
     val budget = usable - base0 - headerLen
@@ -336,41 +388,62 @@ final class SqliteWriter(pageSize: Int) {
   }
 
   /** Build a table B-tree from (rowid, record-values) rows sorted by
-    * rowid; returns the root page number. `rootAt` pins the root (page
-    * 1 for sqlite_master). */
-  private def buildTree(rows: Seq[(Long, IndexedSeq[Any])], rootAt: Option[Int]): Int = {
+    * rowid (checked inline, strictly ascending); returns the root page
+    * number. `rootAt` pins the root (page 1 for sqlite_master). Leaves
+    * stream to the channel as they fill — only the current page's
+    * cells and an O(#leaves) (page, max-rowid) list stay in memory. */
+  private def buildTree(rows: Iterator[(Long, IndexedSeq[Any])], rootAt: Option[Int]): Int = {
     val rootBase = if (rootAt.contains(1)) 100 else 0
-    val cells = rows.map { case (rowid, vals) => leafCell(rowid, encodeRecord(vals)) }
-    val keys = rows.map(_._1)
-    val leafGroups = packPages(cells, rootBase, 8)
-    // packPages admits a first cell unconditionally, so a single group
-    // can still exceed a PINNED root's budget (page 1 loses 100 header
-    // bytes a fresh page has — one near-threshold sqlite_master cell,
-    // e.g. an ~8 KB DDL whose local part lands near U−35, overflows it)
-    val rootFits = leafGroups.length == 1 &&
-      rootBase + 8 + leafGroups.head.map(_.length + 2).sum <= usable
-    if (rootFits) {
-      val root = rootAt.getOrElse(alloc())
-      writePage(root, if (root == 1) 100 else 0, 13, leafGroups.head)
-      root
-    } else {
-      // multi-level: leaves on fresh pages, then interior levels over
-      // (childPage, maxKeyInChild) until one node remains
-      var keyIdx = 0
-      var level: Seq[(Int, Long)] = leafGroups.map { g =>
+    // conservative budget incl. the root base, so a single-group result
+    // stays valid wherever the root lands (same rule as packPages)
+    val budget = usable - rootBase - 8
+    val leaves = ArrayBuffer[(Int, Long)]() // (page, max rowid)
+    var cur = ArrayBuffer[Array[Byte]]() // built cells: table cells never promote
+    var used = 0
+    var maxKey = 0L
+    var prevRowid = Long.MinValue
+    var any = false
+    rows.foreach { case (rowid, vals) =>
+      require(!any || rowid > prevRowid,
+        s"rows must be sorted by rowid, strictly ascending (got $rowid after $prevRowid)")
+      any = true; prevRowid = rowid
+      val cell = leafCell(rowid, encodeRecord(vals))
+      val cost = cell.length + 2
+      if (cur.nonEmpty && used + cost > budget) {
         val pg = alloc()
-        writePage(pg, 0, 13, g)
-        keyIdx += g.length
-        (pg, keys(keyIdx - 1))
+        writePage(pg, 0, 13, cur.toSeq)
+        leaves += ((pg, maxKey))
+        cur = ArrayBuffer[Array[Byte]](); used = 0
       }
-      if (level.length == 1) {
-        // one leaf that cannot live on the pinned root: a cell-less
-        // interior root pointing at it right-most — the shape SQLite's
-        // own balance_deeper() produces for an overfull root page
+      cur += cell; used += cost; maxKey = rowid
+    }
+    if (leaves.isEmpty) {
+      // single group: it IS the tree — on the pinned root if its
+      // tighter budget holds. packPages admits a first cell
+      // unconditionally and so does the stream above, so one
+      // near-threshold cell (an ~8 KB DDL whose local payload lands
+      // near U−35) can still exceed page 1's 100-byte-header budget:
+      // real SQLite answers with a cell-less interior root
+      // (balance_deeper), and so does this.
+      val fits = rootBase + 8 + used <= usable
+      if (fits) {
         val root = rootAt.getOrElse(alloc())
-        writePage(root, if (root == 1) 100 else 0, 5, Nil, rightMost = level.head._1)
-        return root
+        writePage(root, if (root == 1) 100 else 0, 13, cur.toSeq)
+        root
+      } else {
+        val leaf = alloc()
+        writePage(leaf, 0, 13, cur.toSeq)
+        val root = rootAt.getOrElse(return leaf) // unpinned always fits; for safety
+        writePage(root, if (root == 1) 100 else 0, 5, Nil, rightMost = leaf)
+        root
       }
+    } else {
+      val pg = alloc()
+      writePage(pg, 0, 13, cur.toSeq)
+      leaves += ((pg, maxKey))
+      // interior levels over (childPage, maxKeyInChild) until one node
+      // remains; cell lists here are O(#children), kept in memory
+      var level: Seq[(Int, Long)] = leaves.toSeq
       while (level.length > 1) {
         // interior cell: 4-byte child + varint(max rowid of child);
         // the group's LAST child becomes the right-most pointer
@@ -396,74 +469,64 @@ final class SqliteWriter(pageSize: Int) {
     }
   }
 
-  private[engine] def buildTableTree(rows: Seq[(Long, IndexedSeq[Any])]): Int = {
-    require(rows.iterator.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
-      "rows must be sorted by rowid, strictly ascending")
+  private[engine] def buildTableTree(rows: Iterator[(Long, IndexedSeq[Any])]): Int =
     buildTree(rows, rootAt = None)
-  }
 
   private[engine] def buildMasterTree(rows: Seq[(Long, IndexedSeq[Any])]): Unit =
-    buildTree(rows, rootAt = Some(1))
+    buildTree(rows.iterator, rootAt = Some(1))
 
-  /** Build an index B-tree over key tuples (last element = rowid
-    * tiebreak). Unlike table trees, every entry lives exactly ONCE in
-    * the whole tree: when a leaf fills, the next entry is PROMOTED to
-    * become the divider cell in the parent level — and likewise
-    * between interior pages, recursively. Returns the root page. */
-  private[engine] def buildIndexTree(keys: Seq[IndexedSeq[Any]]): Int = {
-    val payloads = keys.sorted(SqliteWriter.keyOrdering).map(encodeRecord)
-    if (payloads.isEmpty) {
-      val pg = alloc()
-      writePage(pg, 0, 10, Nil)
-      return pg
-    }
-    // Leaf level planned by SIZE first, cells built after: building a
-    // cell allocates its overflow chain, so constructing cells for
-    // entries that end up promoted would orphan pages. The structural
-    // invariant is dividers == leaves − 1 (a promoted entry divides the
-    // flushed leaf from the one that FOLLOWS it), which the split-on-
-    // final-entry below preserves where plain promotion could not.
+  /** Build an index B-tree over PRE-SORTED key tuples (last element =
+    * rowid tiebreak, [[SqliteWriter.keyOrdering]] order). Unlike table
+    * trees, every entry lives exactly ONCE in the whole tree: when a
+    * leaf fills, the next entry is PROMOTED to become the divider cell
+    * in the parent level — and likewise between interior pages,
+    * recursively. Returns the root page.
+    *
+    * The current leaf buffers RAW payloads, not built cells: building
+    * a cell allocates its overflow chain, and a buffered payload can
+    * still become a divider (the split-at-final-entry below), which
+    * would orphan the chain. The structural invariant is dividers ==
+    * leaves − 1 — a promoted entry divides the flushed leaf from the
+    * one that FOLLOWS it, so a flush triggered by the FINAL entry must
+    * split the current leaf instead (promoting it would leave f+1
+    * leaves over f−1 dividers). */
+  private[engine] def buildIndexTreeSorted(sorted: Iterator[IndexedSeq[Any]]): Int = {
     val budget = usable - 8
-    val ranges = ArrayBuffer[(Int, Int)]() // payload [from, until) per leaf
-    val promotedIdx = ArrayBuffer[Int]() // divider payload after each leaf
-    var start = 0
+    val leafPages = ArrayBuffer[Int]()
+    val divPayloads = ArrayBuffer[Array[Byte]]()
+    var cur = ArrayBuffer[Array[Byte]]() // raw payloads of the current leaf
     var used = 0
-    var i = 0
-    while (i < payloads.length) {
-      val cellLen = indexCellLen(0, payloads(i).length) + 2
-      if (i > start && used + cellLen > budget) {
-        ranges += ((start, i)); promotedIdx += i
-        start = i + 1; used = 0
-      } else used += cellLen
-      i += 1
-    }
-    if (start < payloads.length) ranges += ((start, payloads.length))
-    else {
-      // the FINAL entry was promoted with nothing after it — a divider
-      // with no following leaf leaves the tree with one divider too few
-      // (f+1 children over f−1 dividers). Split the last leaf instead:
-      // its final entry becomes the divider, the promoted entry becomes
-      // the right-most leaf, restoring dividers == leaves − 1.
-      val p = promotedIdx.remove(promotedIdx.length - 1)
-      val (s, e) = ranges.remove(ranges.length - 1)
-      require(e - s >= 2, "index leaf underflow (cell larger than half a page?)")
-      ranges += ((s, e - 1))
-      promotedIdx += (e - 1)
-      ranges += ((p, payloads.length))
-    }
-    val leafPages: Seq[Int] = ranges.toSeq.map { case (s, e) =>
+    def writeLeaf(payloads: Seq[Array[Byte]]): Unit = {
       val pg = alloc()
-      writePage(pg, 0, 10,
-        (s until e).map(j => indexCell(Array.emptyByteArray, payloads(j))))
-      pg
+      writePage(pg, 0, 10, payloads.map(p => indexCell(Array.emptyByteArray, p)))
+      leafPages += pg
     }
-    val promoted: Seq[Array[Byte]] = promotedIdx.toSeq.map(payloads(_))
+    while (sorted.hasNext) {
+      val payload = encodeRecord(sorted.next())
+      val cellLen = indexCellLen(0, payload.length) + 2
+      if (cur.nonEmpty && used + cellLen > budget) {
+        if (sorted.hasNext) { // normal promotion: entries follow
+          writeLeaf(cur.toSeq)
+          divPayloads += payload
+          cur = ArrayBuffer[Array[Byte]](); used = 0
+        } else {
+          // split: cur's last entry becomes the divider, the final
+          // entry the right-most leaf — keeps dividers == leaves − 1
+          require(cur.length >= 2, "index leaf underflow (cell larger than half a page?)")
+          val divider = cur.remove(cur.length - 1)
+          writeLeaf(cur.toSeq)
+          divPayloads += divider
+          cur = ArrayBuffer[Array[Byte]](payload); used = cellLen
+        }
+      } else { cur += payload; used += cellLen }
+    }
+    writeLeaf(cur.toSeq) // trailing leaf; Nil for the empty tree
 
     // interior levels: children c_0..c_n with dividers d_i between c_i
     // and c_{i+1}; a page over [a..b] stores cells (c_i, d_i) for
     // i<b, right-most c_b, and promotes d_b to the level above
-    var children: Seq[Int] = leafPages
-    var divs: Seq[Array[Byte]] = promoted
+    var children: Seq[Int] = leafPages.toSeq
+    var divs: Seq[Array[Byte]] = divPayloads.toSeq
     while (children.length > 1) {
       val ibudget = usable - 12
       // group children into ranges first so the trailing range can be
@@ -503,12 +566,16 @@ final class SqliteWriter(pageSize: Int) {
     children.head
   }
 
+  /** Buffered form: sorts in memory, then streams. */
+  private[engine] def buildIndexTree(keys: Seq[IndexedSeq[Any]]): Int =
+    buildIndexTreeSorted(keys.sorted(SqliteWriter.keyOrdering).iterator)
+
   // ---------------------------------------------------------------- render
 
-  /** Assemble the file: 100-byte header (§1.3) into page 1, then all
-    * pages in order. */
-  private[engine] def render(): Array[Byte] = {
-    val h = ByteBuffer.wrap(pages(0))
+  /** Stamp the 100-byte header (§1.3) over the front of page 1 (whose
+    * b-tree content was written with a 100-byte base offset). */
+  private[engine] def finalizeHeader(): Unit = {
+    val h = ByteBuffer.allocate(100)
     h.put(0, "SQLite format 3".getBytes(StandardCharsets.ISO_8859_1) :+ 0.toByte)
     h.putShort(16, (if (pageSize == 65536) 1 else pageSize).toShort)
     h.put(18, 1.toByte) // write version: legacy journal
@@ -518,7 +585,7 @@ final class SqliteWriter(pageSize: Int) {
     h.put(22, 32.toByte) // min embedded payload fraction (must be 32)
     h.put(23, 32.toByte) // leaf payload fraction (must be 32)
     h.putInt(24, 1) // file change counter
-    h.putInt(28, pages.length) // database size in pages
+    h.putInt(28, pageCounter) // database size in pages
     h.putInt(32, 0) // freelist trunk
     h.putInt(36, 0) // freelist count
     h.putInt(40, 1) // schema cookie
@@ -531,10 +598,10 @@ final class SqliteWriter(pageSize: Int) {
     h.putInt(68, 0) // application id
     h.putInt(92, 1) // version-valid-for (= change counter)
     h.putInt(96, 3040001) // sqlite version number stamp
-    val out = new Array[Byte](pages.length * pageSize)
-    pages.zipWithIndex.foreach { case (p, i) =>
-      System.arraycopy(p, 0, out, i * pageSize, pageSize)
-    }
-    out
+    var off = 0L
+    while (h.hasRemaining) off += channel.write(h, off)
+    require(channel.size() == pageCounter.toLong * pageSize,
+      s"file size ${channel.size()} != $pageCounter pages of $pageSize bytes " +
+        "(an allocated page was never written)")
   }
 }

@@ -93,7 +93,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             "semantics-changing pragmas would silently diverge from SQLite")
     case "CREATE" =>
       val upper = stmt.toUpperCase
-      if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) ()
+      if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) createIndex(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?TRIGGER.*"))
         throw new UnsupportedOperationException("TRIGGERs are not supported")
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*"))
@@ -151,6 +151,22 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     created += td.name
     stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement), empty)
   }
+
+  /** Plain CREATE INDEX is recorded in the table's meta inside the
+    * transaction (committed with it); non-plain shapes stay no-op
+    * hints, same as provision ([[SegmentStore.recordIndex]] semantics
+    * against the txn's working set instead of storage). */
+  private def createIndex(stmt: String): Unit =
+    SqliteDdl.parseCreateIndex(stmt).foreach { ix =>
+      val (meta, df) = load(ix.table) // throws "no such table" like SQLite
+      if (meta.indexes.exists(_.name.equalsIgnoreCase(ix.name))) {
+        if (!ix.ifNotExists)
+          throw new IllegalStateException(s"index ${ix.name} already exists")
+      } else if (ix.columns.forall(c => meta.schema.fieldNames.exists(_.equalsIgnoreCase(c))))
+        stage(ix.table, meta.copy(indexes = meta.indexes :+ ix), df)
+      else throw new IllegalArgumentException(
+        s"index ${ix.name} references columns not in table ${ix.table}")
+    }
 
   private val dropRe = "(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*$".r
   private def dropTable(stmt: String): Unit = {

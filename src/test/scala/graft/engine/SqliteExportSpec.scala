@@ -283,6 +283,84 @@ class SqliteExportSpec extends SparkSpecBase {
     assert(back.map(_.getLong(0)).toSeq == Seq(42L, 500L))
   }
 
+  test("recorded CREATE INDEX materializes on export and sqlite3's planner uses it") {
+    engine.schemas.put("exp-ix",
+      "CREATE TABLE ev (id INTEGER PRIMARY KEY, host TEXT, status INTEGER); " +
+        "CREATE INDEX ix_ev_host ON ev (host); " +
+        "CREATE UNIQUE INDEX ix_ev_hs ON ev (host, status);")
+    engine.provisionWritable("exp-ix", "exp-ix")
+    (1 to 1200).grouped(400).foreach { chunk =>
+      engine.write("exp-ix", "INSERT INTO ev (host, status) VALUES " +
+        chunk.map(i => s"('host-${i % 97}.example', ${200 + i})").mkString(", ") + ";")
+    }
+    val db = exportDir().resolve("expIx.sqlite")
+    engine.store.exportSqliteSegment("exp-ix", db.toString)
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    // both indexes exist in the catalog with their original DDL
+    assert(sqlite3(db,
+      "SELECT name FROM sqlite_master WHERE type='index' ORDER BY name;") ==
+      Seq("ix_ev_host", "ix_ev_hs"))
+    // the planner SEEKS through the exported tree (and gets right answers)
+    val plan = sqlite3(db,
+      "EXPLAIN QUERY PLAN SELECT count(*) FROM ev WHERE host = 'host-13.example';")
+    assert(plan.exists(_.contains("USING")) && plan.exists(_.contains("ix_ev_h")),
+      s"planner ignored the index: $plan")
+    assert(sqlite3(db,
+      "SELECT count(*) FROM ev WHERE host = 'host-13.example';") ==
+      Seq((1 to 1200).count(_ % 97 == 13).toString))
+    assert(sqlite3(db,
+      "SELECT status FROM ev WHERE host = 'host-13.example' AND status = 213;") ==
+      Seq("213"))
+  }
+
+  test("CREATE INDEX in a write script records and round-trips through export → ingest") {
+    engine.schemas.put("exp-ix2",
+      "CREATE TABLE doc (id INTEGER PRIMARY KEY, tag TEXT);")
+    engine.provisionWritable("exp-ix2", "exp-ix2")
+    engine.write("exp-ix2",
+      "INSERT INTO doc (tag) VALUES ('a'), ('b'), ('a'); " +
+        "CREATE INDEX ix_doc_tag ON doc (tag); " +
+        // non-plain shapes stay accepted as no-op hints
+        "CREATE INDEX ix_doc_desc ON doc (tag DESC); " +
+        "CREATE INDEX ix_doc_part ON doc (tag) WHERE tag = 'a';")
+    val db = exportDir().resolve("expIx2.sqlite")
+    engine.store.exportSqliteSegment("exp-ix2", db.toString)
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    assert(sqlite3(db, "SELECT name FROM sqlite_master WHERE type='index';") ==
+      Seq("ix_doc_tag"))
+    // ingest of our own export keeps the definition for the NEXT export
+    engine.store.ingestSqliteSegment(db.toString, "exp-ix2-back")
+    val meta = engine.store.tableMeta("exp-ix2-back", "doc")
+    assert(meta.indexes.map(_.name) == Seq("ix_doc_tag"))
+    val db2 = exportDir().resolve("expIx2b.sqlite")
+    engine.store.exportSqliteSegment("exp-ix2-back", db2.toString)
+    assert(sqlite3(db2, "SELECT name FROM sqlite_master WHERE type='index';") ==
+      Seq("ix_doc_tag"))
+    assert(sqlite3(db2, "PRAGMA integrity_check;") == Seq("ok"))
+    // duplicate index name errors like SQLite unless IF NOT EXISTS
+    val e = intercept[Exception](engine.write("exp-ix2",
+      "CREATE INDEX ix_doc_tag ON doc (tag);"))
+    assert(e.getMessage.contains("already exists"))
+    engine.write("exp-ix2", "CREATE INDEX IF NOT EXISTS ix_doc_tag ON doc (tag);")
+  }
+
+  test("secondary index on a table WITHOUT a rowid alias (positional rowids)") {
+    engine.schemas.put("exp-ix3",
+      "CREATE TABLE na (name TEXT, score REAL, PRIMARY KEY (name)); " +
+        "CREATE INDEX ix_na_score ON na (score);")
+    engine.provisionWritable("exp-ix3", "exp-ix3")
+    engine.write("exp-ix3",
+      "INSERT INTO na (name, score) VALUES ('c', 3.0), ('a', 1.0), ('b', 2.0);")
+    val db = exportDir().resolve("expIx3.sqlite")
+    engine.store.exportSqliteSegment("exp-ix3", db.toString)
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    // autoindex (PK) and the secondary both answer
+    assert(sqlite3(db, "SELECT score FROM na WHERE name = 'b';") == Seq("2.0"))
+    assert(sqlite3(db, "SELECT name FROM na WHERE score = 3.0;") == Seq("c"))
+    assert(sqlite3(db,
+      "SELECT count(*) FROM sqlite_master WHERE type='index';") == Seq("2"))
+  }
+
   test("empty tables and tables without a rowid alias export validly") {
     engine.schemas.put("exp-empty",
       "CREATE TABLE empty_t (id INTEGER PRIMARY KEY, v TEXT); " +
