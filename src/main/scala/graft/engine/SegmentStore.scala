@@ -695,6 +695,24 @@ class SegmentStore(
     }
   }
 
+  /** Bytes on disk across the segment's live table slices — the analog
+    * of the reference's `os.path.getsize(segment.local_path())`
+    * reported by the provision API (wsgi/segment_manager.py result
+    * dict). */
+  def segmentSizeBytes(segmentId: String): Long = {
+    val root = tierRoot(segmentId)
+    tables(segmentId).map { t =>
+      val live = liveDir(root, segmentId, t)
+      if (!Files.isDirectory(live)) 0L
+      else {
+        val stream = Files.walk(live)
+        try stream.iterator.asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally stream.close()
+      }
+    }.sum
+  }
+
   /** meta-keyed, like [[tables]] — a half-prepared staging dir is not a
     * table. */
   def tableExists(segmentId: String, table: String): Boolean =
