@@ -628,9 +628,15 @@ object SparkEntry {
     // cosine verify — bucketing, probing, and scoring all hard-checked.
     "q41_embed_lsh" -> ((s, dir) => {
       import s.implicits._
-      Similarity.lshBucketed(t(s, dir, "embeddings"), threshold = 0.2,
-          numPlanes = 8, dim = 64, multiProbe = 2,
-          planesOverride = Similarity.md5RademacherPlanes(8, 64))
+      val emb = t(s, dir, "embeddings")
+      // adaptive width: bucket occupancy stays ~8 as N grows (the sf1
+      // checkpoint measured fixed-width SRP at 75× for 10× data); the
+      // oracle recomputes the same GREATEST(8, CEIL(LOG2(...))) from
+      // count(*), so both engines pick identical planes at any SF
+      val planes = Similarity.srpPlanesFor(emb.count())
+      Similarity.lshBucketed(emb, threshold = 0.2,
+          numPlanes = planes, dim = 64, multiProbe = 2,
+          planesOverride = Similarity.md5RademacherPlanes(planes, 64))
         .select($"id_a", $"id_b", round($"score", 6).as("score"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -699,8 +705,11 @@ object SparkEntry {
     "q43_embed_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
+      // stride ≈ √N keeps nlist ≈ √N (a FIXED stride makes nlist grow
+      // linearly and the assignment pass quadratic); the oracle derives
+      // the same GREATEST(25, CEIL(SQRT(count(*)))) stride
       Similarity.ivfKnn(emb, emb.filter($"vec_id" < 10), k = 5,
-          centroidStride = 25L, nprobe = 2)
+          centroidStride = Similarity.ivfStrideFor(emb.count()), nprobe = 2)
         .select($"query_id", $"neighbor_id", $"rnk", round($"score", 6).as("score"))
         .orderBy($"query_id", $"rnk")
     }),
@@ -1224,23 +1233,26 @@ object SparkEntry {
     // plane index like Spark's struct array_sort), then replays the
     // probe join + exact cosine >= 0.2 verify.
     "q41_embed_lsh" -> """
-      WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      WITH np AS (SELECT GREATEST(8, CAST(ceil(log2(ceil(count(*) / 8.0))) AS INT)) AS planes
+                  FROM embeddings),
+      v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v0
             WHERE sqrt(list_dot_product(v, v)) > 0),
       m AS (SELECT id, v, nrm,
-          list_transform(range(0, 8), j ->
+          list_transform(range(0, (SELECT planes FROM np)), j ->
             list_reduce(list_transform(range(1, 65), d ->
               CASE WHEN (strpos('0123456789abcdef',
                            substring(md5('srp:' || j || ':' || (d-1)), 1, 1)) - 1) % 2 = 1
                 THEN v[d] ELSE -v[d] END), (a, x) -> a + x)) AS marg
         FROM n),
       b AS (SELECT id, v, nrm, marg,
-          list_sum(list_transform(range(0, 8), j ->
+          list_sum(list_transform(range(0, (SELECT planes FROM np)), j ->
             CASE WHEN marg[j+1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
         FROM m),
       p AS (SELECT id, v, nrm, bucket,
           [bucket] || list_transform(
-            list_sort(list_transform(range(0, 8), j -> {'m': abs(marg[j+1]), 'j': j}))[1:2],
+            list_sort(list_transform(range(0, (SELECT planes FROM np)),
+              j -> {'m': abs(marg[j+1]), 'j': j}))[1:2],
             s -> xor(bucket, 1::BIGINT << s.j)) AS probes
         FROM b)
       SELECT a.id AS id_a, b2.id AS id_b,
@@ -1281,9 +1293,12 @@ object SparkEntry {
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q43_embed_ivf" -> """
-      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      WITH st AS (SELECT GREATEST(25, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS s
+                  FROM embeddings),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),
-      c AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+      c AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn
+            WHERE vec_id % (SELECT s FROM st) = 0),
       a0 AS (SELECT vn.vec_id, vn.e, vn.n, c.cid,
                row_number() OVER (PARTITION BY vn.vec_id
                  ORDER BY list_dot_product(vn.e, c.ce) / (vn.n * c.cn) DESC, c.cid) AS arnk

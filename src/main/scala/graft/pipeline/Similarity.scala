@@ -252,6 +252,29 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** Adaptive SRP width: enough hyperplanes that EXPECTED bucket
+    * occupancy stays ~`targetPerBucket` as the corpus grows. A fixed
+    * width keeps the bucket COUNT constant, so occupancy grows O(N)
+    * and within-bucket candidate pairs O(N²) — measured as a 75×
+    * wall-clock blowup at a 10× scale-up (SCALE.md sf1 checkpoint)
+    * before this scaled. Pure integer arithmetic (no log2 ulp at
+    * power-of-two boundaries), reproducible in oracle SQL as
+    * GREATEST(floor, CEIL(LOG2(CEIL(n / target)))). */
+  def srpPlanesFor(n: Long, targetPerBucket: Int = 8, floor: Int = 8): Int = {
+    val buckets = math.max(1L, (n + targetPerBucket - 1) / targetPerBucket)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.max(floor, bits)
+  }
+
+  /** Adaptive IVF quantizer stride ≈ √N, so nlist ≈ √N and both the
+    * assignment pass (N × nlist dots) and per-list candidate volume
+    * scale O(N√N) rather than the O(N²) a FIXED stride gives (nlist =
+    * N/stride ⇒ assignment N²/stride). The floor keeps small scales —
+    * and the sf0.01 correctness oracle — on their original
+    * parameters. */
+  def ivfStrideFor(n: Long, floor: Long = 25L): Long =
+    math.max(floor, math.ceil(math.sqrt(n.toDouble)).toLong)
+
   /** Per-plane signed projections (margins) as array<double> — one
     * native dot product per plane. Bucket bits are the margin signs;
     * |margin| measures how close the vector sits to each boundary
