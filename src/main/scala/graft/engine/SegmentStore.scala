@@ -747,6 +747,9 @@ class SegmentStore(
     * hints — [[SqliteDdl.parseCreateIndex]] returns None for them. */
   def recordIndex(segmentId: String, stmt: String): Unit =
     SqliteDdl.parseCreateIndex(stmt).foreach { ix =>
+      if (ix.name.toLowerCase.startsWith("sqlite_")) // SQLite's own refusal
+        throw new IllegalArgumentException(
+          s"object name reserved for internal use: ${ix.name}")
       if (!tableExists(segmentId, ix.table))
         throw new IllegalArgumentException(s"no such table for index: ${ix.table}")
       val meta = tableMeta(segmentId, ix.table)

@@ -183,6 +183,17 @@ object SqliteDdl {
         sql = stmt.trim))
     }
 
+  /** Point an index definition at a (renamed) table, regenerating its
+    * CREATE INDEX text — SQLite rewrites the catalog sql on
+    * `ALTER TABLE … RENAME TO`, and an exported sqlite_master row
+    * saying `ON oldname` is a malformed schema to real SQLite. */
+  def retargetIndex(ix: IndexDef, table: String): IndexDef = {
+    def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    ix.copy(table = table,
+      sql = s"CREATE ${if (ix.unique) "UNIQUE " else ""}INDEX ${q(ix.name)} " +
+        s"ON ${q(table)} (${ix.columns.map(q).mkString(", ")})")
+  }
+
   /** Tokenize a column definition, keeping parenthesized type args (e.g.
     * `varchar(100)`) attached to their type token. */
   private def tokenizeColumnDef(defn: String): Seq[String] = {

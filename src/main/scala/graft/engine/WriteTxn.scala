@@ -158,6 +158,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * against the txn's working set instead of storage). */
   private def createIndex(stmt: String): Unit =
     SqliteDdl.parseCreateIndex(stmt).foreach { ix =>
+      // SQLite: "object name reserved for internal use" — an exported
+      // sqlite_autoindex_* collision would corrupt the catalog
+      if (ix.name.toLowerCase.startsWith("sqlite_"))
+        throw new IllegalArgumentException(
+          s"object name reserved for internal use: ${ix.name}")
       val (meta, df) = load(ix.table) // throws "no such table" like SQLite
       if (meta.indexes.exists(_.name.equalsIgnoreCase(ix.name))) {
         if (!ix.ifNotExists)
@@ -193,7 +198,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       dirty -= SqlScript.unquoteIdent(from)
       dropped += SqlScript.unquoteIdent(from)
       created += target
-      stage(target, meta, df)
+      // recorded indexes follow the table — SQLite itself rewrites
+      // their sqlite_master sql on RENAME; stale `ON oldname` text
+      // would make an exported schema malformed to real SQLite
+      stage(target, meta.copy(
+        indexes = meta.indexes.map(SqliteDdl.retargetIndex(_, target))), df)
     case alterAddRe(table, _, colDef) =>
       val name = SqlScript.unquoteIdent(table)
       val (meta, df) = load(name)
@@ -210,8 +219,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         case _ => lit(null).cast(colType)
       }
       val newSchema = meta.schema.add(StructField(colName, colType, nullable = true))
-      stage(name, TableMeta(newSchema, meta.primaryKey, meta.autoIncrement),
-        df.withColumn(colName, backfill))
+      // copy, not re-construct: a fresh TableMeta would silently drop
+      // the recorded indexes
+      stage(name, meta.copy(schema = newSchema), df.withColumn(colName, backfill))
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER statement: $stmt")
   }
 

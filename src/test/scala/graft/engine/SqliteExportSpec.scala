@@ -344,6 +344,33 @@ class SqliteExportSpec extends SparkSpecBase {
     engine.write("exp-ix2", "CREATE INDEX IF NOT EXISTS ix_doc_tag ON doc (tag);")
   }
 
+  test("indexes survive ALTER TABLE: RENAME retargets the DDL, ADD COLUMN keeps them") {
+    engine.schemas.put("exp-ix4",
+      "CREATE TABLE t0 (id INTEGER PRIMARY KEY, host TEXT); " +
+        "CREATE INDEX ix_t_host ON t0 (host);")
+    engine.provisionWritable("exp-ix4", "exp-ix4")
+    engine.write("exp-ix4",
+      "INSERT INTO t0 (host) VALUES ('a'), ('b'); " +
+        "ALTER TABLE t0 ADD COLUMN note TEXT DEFAULT 'n'; " + // must not drop the index
+        "ALTER TABLE t0 RENAME TO t1;")
+    val meta = engine.store.tableMeta("exp-ix4", "t1")
+    assert(meta.indexes.map(_.name) == Seq("ix_t_host"))
+    assert(meta.indexes.head.table == "t1")
+    val db = exportDir().resolve("expIx4.sqlite")
+    engine.store.exportSqliteSegment("exp-ix4", db.toString)
+    // a stale `ON t0` in the index sql would be a malformed schema here
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    assert(sqlite3(db,
+      "SELECT tbl_name FROM sqlite_master WHERE name='ix_t_host';") == Seq("t1"))
+    assert(sqlite3(db, "SELECT note FROM t1 WHERE host = 'b';") == Seq("n"))
+    val plan = sqlite3(db, "EXPLAIN QUERY PLAN SELECT id FROM t1 WHERE host = 'a';")
+    assert(plan.exists(_.contains("ix_t_host")), s"planner ignored the index: $plan")
+    // sqlite's reserved-prefix refusal applies in both recording paths
+    val e = intercept[Exception](engine.write("exp-ix4",
+      "CREATE INDEX sqlite_autoindex_t1_1 ON t1 (host);"))
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("secondary index on a table WITHOUT a rowid alias (positional rowids)") {
     engine.schemas.put("exp-ix3",
       "CREATE TABLE na (name TEXT, score REAL, PRIMARY KEY (name)); " +
