@@ -75,8 +75,29 @@ class BulkIngestSpec extends SparkSpecBase {
       (t2Root.toLong - 1) * 4096)
     finally ch.close()
 
+    // a crashed-writer segment: schema + rows live only in the WAL
+    // sidecar — the overlay must work inside executor tasks too
+    val walDb = {
+      val wdir = Files.createTempDirectory("bulk-wal")
+      val live = wdir.resolve("live.sqlite")
+      val snap = wdir.resolve("walseg.sqlite")
+      val script =
+        s"""PRAGMA journal_mode=WAL;
+           |CREATE TABLE crawl (id INTEGER PRIMARY KEY, url TEXT, status INTEGER);
+           |INSERT INTO crawl (url, status) VALUES ('http://wal.example/', 200);
+           |CREATE TABLE empty_t (k INTEGER PRIMARY KEY, note TEXT);
+           |.shell cp "$live" "$snap"
+           |.shell cp "$live-wal" "$snap-wal"
+           |""".stripMargin
+      val in = new java.io.ByteArrayInputStream(
+        script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert((Seq("sqlite3", live.toString) #< in).! == 0)
+      snap
+    }
+
     val files = (familyA ++ familyB).toMap +
-      ("bulk-garbage" -> garbage.toString) + ("bulk-partial" -> partial.toString)
+      ("bulk-garbage" -> garbage.toString) + ("bulk-partial" -> partial.toString) +
+      ("bulk-wal" -> walDb.toString)
 
     val tasksEnded = new AtomicInteger
     val listener = new SparkListener {
@@ -91,9 +112,13 @@ class BulkIngestSpec extends SparkSpecBase {
     // would have thrown on any driver-side decode)
     assert(tasksEnded.get() >= 3, s"only ${tasksEnded.get()} tasks ended")
 
-    assert(results.size == 222)
+    assert(results.size == 223)
     val failures = results.collect { case (seg, f) if f.isFailure => seg }.toSet
     assert(failures == Set("bulk-garbage", "bulk-partial"))
+    // the WAL-only segment decoded through the overlay in a task
+    assert(results("bulk-wal").get.sorted == Seq("crawl", "empty_t"))
+    val wr = engine.read("bulk-wal", "SELECT url, status FROM crawl;").collect()(0)
+    assert(wr.getString(0) == "http://wal.example/" && wr.getLong(1) == 200L)
     assert(results("bulk-garbage").failed.get.getMessage.contains("not a SQLite database"))
     // all-or-nothing per segment: no marker, no tables, not even t1
     assert(!engine.store.segmentExists("bulk-partial"))
