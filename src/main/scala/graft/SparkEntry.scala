@@ -846,6 +846,54 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Cluster-scale migration end-to-end: documents shard into 16 real
+    // .sqlite files by doc_id (one shard left CRASH-SHAPED — its schema
+    // and rows exist only in an uncheckpointed WAL sidecar), ingest runs
+    // through the executor-distributed path (catalog + decode in Spark
+    // tasks, per-segment commits), and readAll reads the whole fleet
+    // back as ONE hive-partitioned scan. Lossless against the raw
+    // parquet, so the oracle is a plain projection of documents.
+    "q56_sqlite_ingest_distributed" -> ((s, dir) => {
+      import s.implicits._
+      import scala.sys.process._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text").collect()
+      val shards = 16
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q56")
+      val files: Map[String, String] = (0 until shards).map { k =>
+        val snap = tmp.resolve(s"part$k.sqlite")
+        val walShard = k == 3
+        val live = if (walShard) tmp.resolve(s"live$k.sqlite") else snap
+        val script = new StringBuilder
+        if (walShard) script.append("PRAGMA journal_mode=WAL;\n")
+        script.append(
+          "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\nBEGIN;\n")
+        docs.foreach { r =>
+          if (((r.getLong(0) % shards) + shards) % shards == k) {
+            val lit =
+              if (r.isNullAt(1)) "NULL" else "'" + r.getString(1).replace("'", "''") + "'"
+            script.append(s"INSERT INTO docs VALUES (${r.getLong(0)}, $lit);\n")
+          }
+        }
+        script.append("COMMIT;\n")
+        if (walShard) // copy BEFORE close: the close-time checkpoint never ran
+          script.append(s".shell cp \"$live\" \"$snap\"\n")
+            .append(s".shell cp \"$live-wal\" \"$snap-wal\"\n")
+        val in = new java.io.ByteArrayInputStream(
+          script.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val rc = (Seq("sqlite3", live.toString) #< in).!
+        require(rc == 0, s"sqlite3 exited $rc for shard $k")
+        s"q56seg$k" -> snap.toString
+      }.toMap
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
+      val eng = new graft.engine.TroughEngine(s, store, new graft.engine.SchemaRegistry)
+      val res = store.ingestSqliteSegmentsDistributed(files)
+      val failed = res.collect { case (seg, t) if t.isFailure => seg -> t.failed.get.getMessage }
+      require(failed.isEmpty, s"distributed ingest failures: $failed")
+      eng.readAll("SELECT doc_id, text FROM docs;", "q56seg.*")
+        .select($"doc_id", length($"text").cast("long").as("n_chars"), $"text")
+        .orderBy($"doc_id")
+    }),
+
     // Real multimodal decode: deterministic PNGs generated per doc_id
     // (width/height/shade arithmetic in the id), decoded with
     // javax.imageio inside the per-partition batch contract. Every 97th
@@ -1376,6 +1424,11 @@ object SparkEntry {
     // the writer→reader sqlite round trip must be lossless against the
     // raw parquet (same oracle shape as q53)
     "q55_sqlite_export_roundtrip" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+      FROM documents ORDER BY doc_id""",
+    // the 16-shard distributed migration (incl. the WAL-only shard) must
+    // also be lossless against the raw parquet
+    "q56_sqlite_ingest_distributed" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
       FROM documents ORDER BY doc_id""",
     // every output column of the real ImageIO decode is arithmetic in
