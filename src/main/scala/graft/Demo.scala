@@ -59,6 +59,26 @@ object Demo {
     print(engine.resultJson(engine.read("crawl-2024-01-restored",
       "SELECT id, url FROM pages ORDER BY id;")))
 
+    println("== bulk migration through executor tasks ==")
+    val migrated = engine.store.ingestSqliteSegmentsDistributed(
+      Map("bulk-a" -> sqliteFile.toString, "bulk-b" -> sqliteFile.toString))
+    println("distributed ingest: " + migrated.map { case (s, r) =>
+      s"$s -> ${r.map(_.mkString("+")).getOrElse("FAILED")}" }.toSeq.sorted.mkString(", "))
+
+    println("== the reference's HTTP wire contract ==")
+    val facade = new graft.engine.TroughHttpFacade(engine, "localhost")
+    val readPort = facade.startRead(0)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$readPort/?segment=crawl-2024-01"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "SELECT url FROM pages WHERE status = 200;")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      print(s"POST :$readPort/?segment=crawl-2024-01 -> ${resp.statusCode()} ${resp.body()}")
+    } finally facade.close()
+
     spark.stop()
   }
 }

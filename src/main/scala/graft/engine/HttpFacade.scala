@@ -90,9 +90,13 @@ final class TroughHttpFacade(
       contentType: String = "text/plain"): Unit =
     respond(ex, status, contentType, text.getBytes(UTF_8))
 
-  /** `'500 Server Error: %s\n' % str(e)` — read.py:96-98/write.py:63-65. */
+  /** `'500 Server Error: %s\n' % str(e)` — read.py:96-98/write.py:63-65.
+    * Defensive: if the 200 and part of a stream already went out (a
+    * failure in `os.close()` after a truncated stream), the headers
+    * can't be resent — swallow rather than kill the handler thread. */
   private def error500(ex: HttpExchange, e: Throwable): Unit =
-    respondText(ex, 500, s"500 Server Error: ${e.getMessage}\n")
+    try respondText(ex, 500, s"500 Server Error: ${e.getMessage}\n")
+    catch { case NonFatal(_) => () }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
