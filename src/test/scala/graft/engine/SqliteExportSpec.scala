@@ -371,6 +371,25 @@ class SqliteExportSpec extends SparkSpecBase {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("secondary index over NULLs and duplicates keeps integrity and seeks") {
+    // SQLite stores index entries for NULL keys (rank 0, before all
+    // values) and duplicates disambiguate by the rowid tiebreak — both
+    // must survive export or integrity_check counts a mismatch
+    engine.schemas.put("exp-ix5",
+      "CREATE TABLE n5 (id INTEGER PRIMARY KEY, tag TEXT); " +
+        "CREATE INDEX ix_n5_tag ON n5 (tag);")
+    engine.provisionWritable("exp-ix5", "exp-ix5")
+    engine.write("exp-ix5",
+      "INSERT INTO n5 (tag) VALUES ('b'), (NULL), ('a'), ('b'), (NULL), ('a'), ('b');")
+    val db = exportDir().resolve("expIx5.sqlite")
+    engine.store.exportSqliteSegment("exp-ix5", db.toString)
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    assert(sqlite3(db, "SELECT count(*) FROM n5 WHERE tag = 'b';") == Seq("3"))
+    assert(sqlite3(db, "SELECT count(*) FROM n5 WHERE tag IS NULL;") == Seq("2"))
+    val plan = sqlite3(db, "EXPLAIN QUERY PLAN SELECT id FROM n5 WHERE tag = 'a';")
+    assert(plan.exists(_.contains("ix_n5_tag")), s"planner ignored the index: $plan")
+  }
+
   test("secondary index on a table WITHOUT a rowid alias (positional rowids)") {
     engine.schemas.put("exp-ix3",
       "CREATE TABLE na (name TEXT, score REAL, PRIMARY KEY (name)); " +
