@@ -334,12 +334,15 @@ class SqliteIngestSpec extends SparkSpecBase {
   /** Capture an UNCHECKPOINTED db+wal pair: `.shell cp` runs while the
     * sqlite3 session is still open, before the close-time checkpoint —
     * the copy's main file may not even contain the schema yet. */
-  private def makeWalDb(name: String, sql: String): Path = {
+  private def makeWalDb(name: String, sql: String, prelude: String = ""): Path = {
     val dir = Files.createTempDirectory("sqlite-wal-fixture")
     val live = dir.resolve("live.sqlite")
     val snap = dir.resolve(s"$name.sqlite")
+    // prelude runs BEFORE entering WAL mode (page_size is frozen once
+    // the journal mode flips)
     val script =
-      s"""PRAGMA journal_mode=WAL;
+      s"""$prelude
+         |PRAGMA journal_mode=WAL;
          |$sql
          |.shell cp "$live" "$snap"
          |.shell cp "$live-wal" "$snap-wal"
@@ -413,6 +416,32 @@ class SqliteIngestSpec extends SparkSpecBase {
       .map(r => s"${r.getLong(0)}|${r.getString(1)}").toSeq
     assert(ours == sqlite3Reads(db, "SELECT id, v FROM t ORDER BY id;"))
     assert(ours == Seq("1|committed")) // the torn transaction vanished
+  }
+
+  test("WAL across page sizes and churn: latest committed frame per page wins") {
+    // non-default page sizes change the frame geometry (24 + page), and
+    // update/delete churn makes the SAME page appear in many frames —
+    // the overlay must serve the LATEST committed image of each
+    for (pageSize <- Seq(512, 1024, 8192)) {
+      val db = makeWalDb(s"walps$pageSize",
+        s"""CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);
+           |BEGIN;
+           |${(1 to 200).map(i => s"INSERT INTO t VALUES ($i, 'v$i');").mkString("\n")}
+           |COMMIT;
+           |UPDATE t SET v = 'updated' WHERE id % 7 = 0;
+           |DELETE FROM t WHERE id % 11 = 0;
+           |UPDATE t SET v = 'twice' WHERE id % 14 = 0;""".stripMargin,
+        prelude = s"PRAGMA page_size=$pageSize;")
+      engine.store.ingestSqliteSegment(db.toString, s"wal-ps$pageSize")
+      val got = engine.read(s"wal-ps$pageSize",
+        "SELECT count(*) AS n, sum(CASE WHEN v='updated' THEN 1 ELSE 0 END) AS u, " +
+          "sum(CASE WHEN v='twice' THEN 1 ELSE 0 END) AS w FROM t;").collect()(0)
+      val expect = sqlite3Reads(db,
+        "SELECT count(*) || '|' || sum(CASE WHEN v='updated' THEN 1 ELSE 0 END) " +
+          "|| '|' || sum(CASE WHEN v='twice' THEN 1 ELSE 0 END) FROM t;").head
+      assert(s"${got.getLong(0)}|${got.getLong(1)}|${got.getLong(2)}" == expect,
+        s"page size $pageSize diverged from sqlite3's own recovery")
+    }
   }
 
   test("corrupt WAL header is a clean error naming the sidecar") {
