@@ -506,6 +506,29 @@ class SegmentStore(
     } finally pool.shutdown()
   }
 
+  /** Bulk inverse migration: export many segments as `.sqlite` files
+    * with bounded parallelism and per-segment error isolation — the
+    * outbound mirror of [[ingestSqliteSegments]]. Each export is
+    * already a bounded unit of driver+cluster work (streamed passes,
+    * see [[exportSqliteSegment]]); the pool overlaps the Spark sort
+    * jobs of independent segments. Returns per-segment `Try`s of the
+    * written file path. */
+  def exportSqliteSegments(
+      segmentIds: Seq[String], outDir: String,
+      parallelism: Int = 4): Map[String, scala.util.Try[String]] = {
+    require(parallelism > 0, "parallelism must be positive")
+    Files.createDirectories(Paths.get(outDir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = segmentIds.map { seg =>
+        val out = Paths.get(outDir, s"$seg.sqlite").toString
+        seg -> java.util.concurrent.CompletableFuture.supplyAsync(
+          () => scala.util.Try { exportSqliteSegment(seg, out); out }, pool)
+      }
+      futures.map { case (seg, f) => seg -> f.join() }.toMap
+    } finally pool.shutdown()
+  }
+
   /** Cluster-scale bulk migration: the same [[SqliteIngest]] kernel as
     * [[ingestSqliteSegment]], but with BOTH passes — catalog (+ widen
     * scan) and row decode — running inside EXECUTOR tasks over a path

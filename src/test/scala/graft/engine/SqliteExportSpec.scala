@@ -407,6 +407,25 @@ class SqliteExportSpec extends SparkSpecBase {
       "SELECT count(*) FROM sqlite_master WHERE type='index';") == Seq("2"))
   }
 
+  test("bulk export: parallel over segments, per-segment error isolation") {
+    engine.schemas.put("exp-bulk",
+      "CREATE TABLE b (id INTEGER PRIMARY KEY, v TEXT);")
+    (1 to 6).foreach { i =>
+      engine.provisionWritable(s"exp-bulk-$i", "exp-bulk")
+      engine.write(s"exp-bulk-$i", s"INSERT INTO b (v) VALUES ('seg$i');")
+    }
+    val out = exportDir()
+    val res = engine.store.exportSqliteSegments(
+      (1 to 6).map(i => s"exp-bulk-$i") :+ "exp-bulk-missing", out.toString)
+    assert(res("exp-bulk-missing").isFailure)
+    assert(res("exp-bulk-missing").failed.get.getMessage.contains("does not exist"))
+    (1 to 6).foreach { i =>
+      val db = Path.of(res(s"exp-bulk-$i").get)
+      assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+      assert(sqlite3(db, "SELECT v FROM b;") == Seq(s"seg$i"))
+    }
+  }
+
   test("empty tables and tables without a rowid alias export validly") {
     engine.schemas.put("exp-empty",
       "CREATE TABLE empty_t (id INTEGER PRIMARY KEY, v TEXT); " +
