@@ -248,7 +248,17 @@ object ShingleHashes {
     var i = 0
     while (i <= len) {
       if (i == len || bytes(i) == ' ') {
-        ring(tokIdx % n) = h
+        // finalize each TOKEN hash with fmix64 before the polynomial
+        // combine. Raw FNV-1a deltas are affine in a substituted byte
+        // (Δ = p^k·((x⊕a)−(x⊕b))), so two adjacent tokens carrying the
+        // SAME structured substitution can satisfy Δt·p + Δt′ ≡ 0
+        // (mod 2⁶⁴) and collide EVERY window containing the pair — the
+        // sf1 scale checkpoint caught exactly that on its perturbed
+        // corpus ('value2 custome2r' ≡ 'value9 custome9r', two
+        // phantom intersections per doc pair). The per-token avalanche
+        // destroys the affine structure; the window-level fmix64 alone
+        // cannot (identical combined W is identical after mixing).
+        ring(tokIdx % n) = MinHashSignature.fmix64(h)
         tokIdx += 1
         if (tokIdx >= n) {
           // polynomial combine of the window's token hashes, oldest first

@@ -73,6 +73,30 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(row.getInt(0) == row.getInt(1))
   }
 
+  test("structured substitutions don't cancel in the window combine") {
+    // the sf1 checkpoint's collision shape: 'e'→'e2' vs 'e'→'e9'
+    // rewrites of one corpus text made raw-FNV token deltas satisfy
+    // Δt·p + Δt′ ≡ 0 (mod 2⁶⁴) for an adjacent substituted pair
+    // ("value2 custome2r" ≡ "value9 custome9r"), colliding EVERY
+    // window containing the pair and inflating q32's intersection by 2
+    // — fixed by the per-token fmix64 before the polynomial combine
+    val base = "a merge hash sort fast row value customer hash group fast " +
+      "sort join slow agg vector customer small a spark line"
+    val a = base.replace("e", "e2")
+    val b = base.replace("e", "e9")
+    def strShingles(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      (0 to tk.length - 3).map(i => tk.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val ha = graft.functions.ShingleHashes.compute(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8), 3).toSet
+    val hb = graft.functions.ShingleHashes.compute(
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8), 3).toSet
+    assert(ha.size == strShingles(a).size && hb.size == strShingles(b).size)
+    assert(ha.intersect(hb).size == strShingles(a).intersect(strShingles(b)).size,
+      "hash-set intersection diverged from string-shingle ground truth")
+  }
+
   test("minhash_signature: length k, permutation-min invariants") {
     val df = Seq(
       (Seq(1L, 2L, 3L, 4L, 5L), "a"),
