@@ -637,37 +637,52 @@ class SegmentStore(
             (table, schema) -> dir
           }.toMap
 
-      // ---- commit (driver): per-segment metadata ops, all-or-nothing ----
+      // ---- commit (driver): per-segment metadata ops, all-or-nothing.
+      // Independent per segment (distinct swap locks, distinct dirs),
+      // so they run on a bounded pool — a serial loop over 10⁵–10⁶
+      // segments would make directory-rename latency the migration's
+      // last bottleneck after the decode went distributed. ----
       val decodeErrsBySeg: Map[String, Seq[String]] = decodeErrors.value.asScala.toSeq
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-      val results: Map[String, Try[Seq[String]]] = cataloged.map {
-        case (seg, Failure(e)) => seg -> Failure[Seq[String]](e)
-        case (seg, Success(_)) if decodeErrsBySeg.contains(seg) =>
-          seg -> Failure[Seq[String]](new IllegalStateException(
-            decodeErrsBySeg(seg).mkString("; ")))
-        case (seg, Success(specs)) => seg -> Try {
-          if (!segmentExists(seg)) {
-            Files.createDirectories(marker(seg).getParent)
-            Files.writeString(marker(seg), "")
-          }
-          val root = tierRoot(seg)
-          specs.map { sp =>
-            val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement, sp.indexes)
-            Files.createDirectories(tableRoot(root, sp.name))
-            val tmp = tmpDir(root, seg, sp.name)
-            if (Files.exists(tmp)) deleteRecursively(tmp)
-            val stagedDir = staged((sp.name, sp.schema)).resolve(s"segment_id=$seg")
-            if (Files.isDirectory(stagedDir))
-              Files.move(stagedDir, tmp, StandardCopyOption.ATOMIC_MOVE)
-            else // zero-row table: partitionBy wrote no partition dir
-              spark.createDataFrame(
-                java.util.Collections.emptyList[Row](), sp.schema)
-                .write.mode("overwrite").parquet(tmp.toString)
-            swapPreparedData(seg, sp.name, Some(meta))
-            sp.name
-          }
+      def commitSegment(seg: String, specs: Seq[SqliteIngest.TableSpec]): Seq[String] = {
+        if (!segmentExists(seg)) {
+          Files.createDirectories(marker(seg).getParent)
+          Files.writeString(marker(seg), "")
+        }
+        val root = tierRoot(seg)
+        specs.map { sp =>
+          val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement, sp.indexes)
+          Files.createDirectories(tableRoot(root, sp.name))
+          val tmp = tmpDir(root, seg, sp.name)
+          if (Files.exists(tmp)) deleteRecursively(tmp)
+          val stagedDir = staged((sp.name, sp.schema)).resolve(s"segment_id=$seg")
+          if (Files.isDirectory(stagedDir))
+            Files.move(stagedDir, tmp, StandardCopyOption.ATOMIC_MOVE)
+          else // zero-row table: partitionBy wrote no partition dir
+            spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), sp.schema)
+              .write.mode("overwrite").parquet(tmp.toString)
+          swapPreparedData(seg, sp.name, Some(meta))
+          sp.name
         }
       }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val results: Map[String, Try[Seq[String]]] =
+        try {
+          val futures = cataloged.toSeq.map {
+            case (seg, Failure(e)) =>
+              seg -> java.util.concurrent.CompletableFuture
+                .completedFuture(Failure[Seq[String]](e))
+            case (seg, Success(_)) if decodeErrsBySeg.contains(seg) =>
+              seg -> java.util.concurrent.CompletableFuture
+                .completedFuture(Failure[Seq[String]](new IllegalStateException(
+                  decodeErrsBySeg(seg).mkString("; "))))
+            case (seg, Success(specs)) =>
+              seg -> java.util.concurrent.CompletableFuture.supplyAsync(
+                () => Try(commitSegment(seg, specs)), pool)
+          }
+          futures.map { case (seg, f) => seg -> f.join() }.toMap
+        } finally pool.shutdown()
       refusedResults ++ results
     } finally deleteRecursively(stagingRoot)
   }
