@@ -407,6 +407,28 @@ class SqliteExportSpec extends SparkSpecBase {
       "SELECT count(*) FROM sqlite_master WHERE type='index';") == Seq("2"))
   }
 
+  test("writer streams pages while consuming the row iterator, not after") {
+    // the O(tree-depth + one page) memory claim, pinned structurally: by
+    // the time HALF the rows have been pulled from the iterator, a
+    // proportional share of the file must already be on disk — a writer
+    // that buffers the table (the old shape) writes everything at the
+    // end and fails this by construction
+    val n = 20000
+    val db = exportDir().resolve("streamy.sqlite")
+    var sizeAtHalf = -1L
+    def rows(): Iterator[(Long, IndexedSeq[Any])] = (1 to n).iterator.map { i =>
+      if (i == n / 2) sizeAtHalf = Files.size(db)
+      (i.toLong, IndexedSeq[Any]("x" * 100 + i))
+    }
+    SqliteWriter.writeStreamed(db, Seq(
+      SqliteWriter.StreamedTable("t", "CREATE TABLE t (a TEXT)", rows _)))
+    val total = Files.size(db)
+    assert(sizeAtHalf > total / 3,
+      s"only $sizeAtHalf of $total bytes on disk at half-consumption — buffering")
+    assert(sqlite3(db, "PRAGMA integrity_check;") == Seq("ok"))
+    assert(sqlite3(db, "SELECT count(*) FROM t;") == Seq(n.toString))
+  }
+
   test("bulk export: parallel over segments, per-segment error isolation") {
     engine.schemas.put("exp-bulk",
       "CREATE TABLE b (id INTEGER PRIMARY KEY, v TEXT);")
