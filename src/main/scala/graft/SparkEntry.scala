@@ -894,6 +894,35 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // SQL views end to end: a write script CREATES the view (stored as
+    // TEXT, SQLite's own contract — lang_createview.html), the segment
+    // round-trips through a real .sqlite file (the view rides
+    // sqlite_master with rootpage=0), and the re-ingested view answers
+    // the query. The oracle inlines the view body over raw parquet —
+    // if the definition was lost, mangled, or mis-resolved anywhere in
+    // write→export→ingest→read, the hash diverges.
+    "q57_view_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q57")
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
+      val schemas = new graft.engine.SchemaRegistry
+      val eng = new graft.engine.TroughEngine(s, store, schemas)
+      schemas.put("q57schema",
+        "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);")
+      eng.provisionWritable("q57src", "q57schema")
+      store.replaceTableData("q57src", "docs",
+        t(s, dir, "documents").select($"doc_id", $"text"))
+      eng.write("q57src",
+        "CREATE VIEW third_docs AS SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0;")
+      val db = tmp.resolve("export.sqlite")
+      store.exportSqliteSegment("q57src", db.toString)
+      store.ingestSqliteSegment(db.toString, "q57back")
+      eng.read("q57back",
+        "SELECT doc_id, length(text) AS n_chars FROM third_docs;")
+        .select($"doc_id", $"n_chars".cast("long").as("n_chars"))
+        .orderBy($"doc_id")
+    }),
+
     // Real multimodal decode: deterministic PNGs generated per doc_id
     // (width/height/shade arithmetic in the id), decoded with
     // javax.imageio inside the per-partition batch contract. Every 97th
@@ -1431,6 +1460,11 @@ object SparkEntry {
     "q56_sqlite_ingest_distributed" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
       FROM documents ORDER BY doc_id""",
+    // the Spark side answers through a VIEW that survived write-script
+    // creation and a .sqlite round trip; the oracle inlines the body
+    "q57_view_roundtrip" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
     // every output column of the real ImageIO decode is arithmetic in
     // doc_id (deterministic PNG fixtures; corrupt every 97th id)
     "q54_image_decode" -> """

@@ -26,6 +26,8 @@ class SchemaRegistry {
       SqlScript.split(sql).foreach { stmt =>
         SqlScript.firstWord(stmt) match {
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*") => ()
+          case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*") =>
+            SqliteDdl.parseCreateView(stmt) // throws if unparseable
           case "CREATE" => SqliteDdl.parseCreateTable(stmt) // throws if unparseable
           case other =>
             throw ValidationError(s"schema sql must contain only DDL statements, got: $other")

@@ -122,6 +122,8 @@ class SegmentStore(
     tableRoot(root, table).resolve(s"._old_$segmentId")
   private def metaPath(root: Path, segmentId: String, table: String): Path =
     tableRoot(root, table).resolve("_meta").resolve(s"$segmentId.json")
+  private def viewsPath(root: Path, segmentId: String): Path =
+    root.resolve("_views").resolve(s"$segmentId.json")
 
   private def isTableDir(p: Path): Boolean = {
     val n = p.getFileName.toString
@@ -175,6 +177,8 @@ class SegmentStore(
             // the definition is recorded so exports can materialize the
             // index trees a trough deployment's queries rely on
             recordIndex(segmentId, stmt)
+          case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*") =>
+            recordView(segmentId, SqliteDdl.parseCreateView(stmt))
           case "CREATE" =>
             val td = SqliteDdl.parseCreateTable(stmt)
             createTable(segmentId, td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement),
@@ -210,6 +214,7 @@ class SegmentStore(
         if (contributed) tablePlanCache.remove(t)
       } finally stream.close()
     }
+    Files.deleteIfExists(viewsPath(root, segmentId))
     Files.deleteIfExists(marker(segmentId))
     // drop the segment's swap monitor with it — long-lived stores cycling
     // many segments would otherwise grow this map without bound (the
@@ -235,6 +240,11 @@ class SegmentStore(
       Files.copy(metaPath(root, segmentId, t), tDst.resolve("meta.json"),
         StandardCopyOption.REPLACE_EXISTING)
       copyRecursively(liveDir(root, segmentId, t), tDst.resolve("data"))
+    }
+    val vp = viewsPath(root, segmentId)
+    if (Files.isRegularFile(vp)) {
+      Files.createDirectories(dstTmp)
+      Files.copy(vp, dstTmp.resolve("views.json"), StandardCopyOption.REPLACE_EXISTING)
     }
     if (Files.exists(dstFinal)) deleteRecursively(dstFinal)
     Files.move(dstTmp, dstFinal, StandardCopyOption.ATOMIC_MOVE)
@@ -274,6 +284,14 @@ class SegmentStore(
       if (Files.exists(tmp)) deleteRecursively(tmp)
       copyRecursively(td.resolve("data"), tmp)
       swapPreparedData(segmentId, table, Some(meta))
+    }
+    // views travel with the segment; an export without the file clears
+    // none (tables absent from the export are left untouched — same rule)
+    val vSrc = src.resolve("views.json")
+    if (Files.isRegularFile(vSrc)) {
+      val vp = viewsPath(root, segmentId)
+      Files.createDirectories(vp.getParent)
+      Files.copy(vSrc, vp, StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -328,7 +346,7 @@ class SegmentStore(
         Files.writeString(marker(segmentId), "")
       }
       val root = tierRoot(segmentId)
-      masters.map { spec =>
+      val names = masters.map { spec =>
         val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement, spec.indexes)
         SegmentStore.requireNoReservedColumns(meta)
         val rows = new java.util.ArrayList[Row]()
@@ -339,6 +357,17 @@ class SegmentStore(
         swapPreparedData(segmentId, spec.name, Some(meta))
         spec.name
       }
+      // views travel in sqlite_master too (type='view', rootpage=0).
+      // Import semantics mirror tables: same-named views are replaced,
+      // others kept; a pre-existing view now shadowed by an ingested
+      // TABLE is dropped (tables win the namespace, as in SQLite).
+      val fileViews = SqliteIngest.viewDefs(file)
+      val existing = views(segmentId)
+      val merged = existing.filterNot(v =>
+        fileViews.exists(_.name.equalsIgnoreCase(v.name)) ||
+          names.exists(_.equalsIgnoreCase(v.name))) ++ fileViews
+      if (merged != existing) putViews(segmentId, merged)
+      names
     } catch {
       case e: Throwable =>
         if (registeredHere && tables(segmentId).isEmpty)
@@ -477,7 +506,8 @@ class SegmentStore(
         SqliteWriter.StreamedTable(t, ddl, tableRows _, indexes)
       }
     }
-    SqliteWriter.writeStreamed(Paths.get(outPath), streamed)
+    SqliteWriter.writeStreamed(Paths.get(outPath), streamed,
+      views = views(segmentId).map(v => (v.name, v.sql)))
     tbls
   }
 
@@ -580,7 +610,7 @@ class SegmentStore(
     // ---- pass 1 (distributed): catalog every file ----
     // the TaskContext requirement is the executor-side guarantee the
     // specs lean on: this closure CANNOT run outside a Spark task
-    val cataloged: Map[String, Try[Seq[SqliteIngest.TableSpec]]] =
+    val cataloged: Map[String, Try[(Seq[SqliteIngest.TableSpec], Seq[String])]] =
       sc.parallelize(candidates.toSeq, slicesFor(candidates.size)).map { case (seg, path) =>
         seg -> Try {
           require(org.apache.spark.TaskContext.get() != null,
@@ -590,12 +620,14 @@ class SegmentStore(
             val specs = SqliteIngest.tableSpecs(f, widen)
             specs.foreach(s => SegmentStore.requireNoReservedColumns(
               SegmentStore.TableMeta(s.schema, s.primaryKey, s.autoIncrement)))
-            specs
+            // views ship as their DDL text (the registry's own storage
+            // shape) — catalog-only, no decode pass needed
+            (specs, SqliteIngest.viewDefs(f).map(_.sql))
           } finally f.close()
         }
       }.collect().toMap
     val okSpecs: Seq[(String, SqliteIngest.TableSpec)] = cataloged.toSeq.flatMap {
-      case (seg, Success(specs)) => specs.map(seg -> _)
+      case (seg, Success((specs, _))) => specs.map(seg -> _)
       case _ => Nil
     }
 
@@ -644,7 +676,8 @@ class SegmentStore(
       // last bottleneck after the decode went distributed. ----
       val decodeErrsBySeg: Map[String, Seq[String]] = decodeErrors.value.asScala.toSeq
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-      def commitSegment(seg: String, specs: Seq[SqliteIngest.TableSpec]): Seq[String] = {
+      def commitSegment(seg: String, specs: Seq[SqliteIngest.TableSpec],
+          viewSqls: Seq[String]): Seq[String] = {
         if (!segmentExists(seg)) {
           Files.createDirectories(marker(seg).getParent)
           Files.writeString(marker(seg), "")
@@ -666,6 +699,17 @@ class SegmentStore(
           sp.name
         }
       }
+      def commitViews(seg: String, names: Seq[String], viewSqls: Seq[String]): Unit = {
+        // same merge as single-file ingest: file views replace
+        // same-named ones; views shadowed by an ingested table drop
+        val fileViews = viewSqls.flatMap(
+          sql => scala.util.Try(SqliteDdl.parseCreateView(sql)).toOption)
+        val existing = views(seg)
+        val merged = existing.filterNot(v =>
+          fileViews.exists(_.name.equalsIgnoreCase(v.name)) ||
+            names.exists(_.equalsIgnoreCase(v.name))) ++ fileViews
+        if (merged != existing) putViews(seg, merged)
+      }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       val results: Map[String, Try[Seq[String]]] =
         try {
@@ -677,9 +721,13 @@ class SegmentStore(
               seg -> java.util.concurrent.CompletableFuture
                 .completedFuture(Failure[Seq[String]](new IllegalStateException(
                   decodeErrsBySeg(seg).mkString("; "))))
-            case (seg, Success(specs)) =>
+            case (seg, Success((specs, viewSqls))) =>
               seg -> java.util.concurrent.CompletableFuture.supplyAsync(
-                () => Try(commitSegment(seg, specs)), pool)
+                () => Try {
+                  val names = commitSegment(seg, specs, viewSqls)
+                  commitViews(seg, names, viewSqls)
+                  names
+                }, pool)
           }
           futures.map { case (seg, f) => seg -> f.join() }.toMap
         } finally pool.shutdown()
@@ -811,6 +859,13 @@ class SegmentStore(
         throw new IllegalStateException(s"table $table already exists")
       return
     }
+    if (viewExists(segmentId, table)) {
+      // IF NOT EXISTS suppresses the error for ANY same-named object
+      // (SQLite semantics), but never silently shadows the view
+      if (failIfExists)
+        throw new IllegalStateException(s"view $table already exists")
+      return
+    }
     SegmentStore.requireNoReservedColumns(meta)
     Files.createDirectories(liveDir(tierRoot(segmentId), segmentId, table))
     writeMeta(segmentId, table, meta)
@@ -841,6 +896,77 @@ class SegmentStore(
     Files.createDirectories(p.getParent)
     Files.writeString(p, root.toString)
     tablePlanCache.remove(table) // schema may have widened
+  }
+
+  // ------------------------------------------------------------- views
+
+  /** A segment's views, in creation order (view-on-view resolves by
+    * registering earlier definitions first). Stored as one small JSON
+    * file per segment under `_views/` — absent file = no views, so
+    * view support costs view-less segments nothing. SQLite stores view
+    * text (not a plan) in `sqlite_master` and resolves it at query
+    * time; this registry is the same contract. */
+  def views(segmentId: String): Seq[SqliteDdl.ViewDef] = {
+    val p = viewsPath(tierRoot(segmentId), segmentId)
+    if (!Files.isRegularFile(p)) Nil
+    else {
+      val node = mapper.readTree(Files.readString(p))
+      (0 until node.size()).map { i =>
+        SqliteDdl.parseCreateView(node.get(i).get("sql").asText())
+      }
+    }
+  }
+
+  def viewExists(segmentId: String, name: String): Boolean =
+    views(segmentId).exists(_.name.equalsIgnoreCase(name))
+
+  /** Views of every segment that HAS any, keyed by segment id —
+    * one `_views/` directory listing per tier, so a store with no
+    * views (or a readAll over view-less segments) pays a single empty
+    * listing, never O(segments) file probes. */
+  def allViews(): Map[String, Seq[SqliteDdl.ViewDef]] = {
+    tierRoots.flatMap { root =>
+      val dir = root.resolve("_views")
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val stream = Files.list(dir)
+        try stream.iterator.asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json"))
+          .map(p => p.getFileName.toString.stripSuffix(".json"))
+          .toSeq
+        finally stream.close()
+      }
+    }.distinct.map(seg => seg -> views(seg)).filter(_._2.nonEmpty).toMap
+  }
+
+  /** Replace the segment's whole view registry (WriteTxn commits its
+    * staged set through here; empty clears the file). */
+  def putViews(segmentId: String, defs: Seq[SqliteDdl.ViewDef]): Unit = {
+    val p = viewsPath(tierRoot(segmentId), segmentId)
+    if (defs.isEmpty) { Files.deleteIfExists(p); () }
+    else {
+      val arr = mapper.createArrayNode()
+      defs.foreach(v => arr.addObject().put("sql", v.sql))
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, arr.toString)
+    }
+  }
+
+  /** Record one CREATE VIEW (provision / ingest paths — write scripts
+    * stage through [[WriteTxn]] instead). Same-name semantics as
+    * SQLite: error unless IF NOT EXISTS; a view may not shadow a
+    * table. */
+  def recordView(segmentId: String, v: SqliteDdl.ViewDef): Unit = {
+    if (v.name.toLowerCase.startsWith("sqlite_"))
+      throw new IllegalArgumentException(
+        s"object name reserved for internal use: ${v.name}")
+    if (tableExists(segmentId, v.name))
+      throw new IllegalStateException(s"table ${v.name} already exists")
+    val existing = views(segmentId)
+    if (existing.exists(_.name.equalsIgnoreCase(v.name))) {
+      if (!v.ifNotExists)
+        throw new IllegalStateException(s"view ${v.name} already exists")
+    } else putViews(segmentId, existing :+ v)
   }
 
   /** Read one segment's slice of a table; explicit schema from the meta

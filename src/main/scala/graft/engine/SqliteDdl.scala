@@ -149,6 +149,47 @@ object SqliteDdl {
     s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})"
   }
 
+  /** A parsed CREATE VIEW. `select` is the body text (still SQLite
+    * dialect — callers run it through [[SqliteDialect]] like any read);
+    * `columns` is the optional rename list (`CREATE VIEW v(a,b) AS …`);
+    * `sql` is the original DDL text, carried for `sqlite_master` export
+    * the same way [[IndexDef.sql]] is. */
+  final case class ViewDef(
+      name: String, columns: Seq[String], select: String,
+      ifNotExists: Boolean, sql: String) {
+    /** The body as a Spark-runnable SELECT (dialect preparation still
+      * the caller's job): the rename list becomes a derived-table
+      * column alias, Spark's equivalent of SQLite's view column list. */
+    def sparkSelect: String =
+      if (columns.isEmpty) select
+      else {
+        def q(id: String) = "`" + id.replace("`", "``") + "`"
+        s"SELECT * FROM ($select) AS ${q(name)}(${columns.map(q).mkString(", ")})"
+      }
+  }
+
+  // name section is non-greedy up to the first top-level AS; the body is
+  // everything after (SELECT / VALUES / WITH … — validated by the reader)
+  private val createViewRe =
+    """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s+AS\s+(.+?)\s*;?\s*$""".r
+
+  /** Parse a SQLite CREATE VIEW statement. Throws on anything that
+    * isn't one (callers dispatch on the leading keywords first). */
+  def parseCreateView(stmt: String): ViewDef = {
+    val m = createViewRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse CREATE VIEW statement: $stmt"))
+    val nameSection = m.group(2).trim
+    val (name, cols) =
+      if (nameSection.endsWith(")") && nameSection.contains("(")) {
+        val p = nameSection.indexOf('(')
+        (nameSection.substring(0, p).trim,
+          SqlScript.splitTopLevel(nameSection.substring(p + 1, nameSection.length - 1))
+            .map(c => SqlScript.unquoteIdent(c.trim)))
+      } else (nameSection, Seq.empty[String])
+    ViewDef(SqlScript.unquoteIdent(name), cols, m.group(3).trim,
+      ifNotExists = m.group(1) != null, sql = stmt.trim.stripSuffix(";").trim)
+  }
+
   /** A parsed plain CREATE INDEX: named columns only, ascending, no
     * WHERE — the shape the store can record in table meta and the
     * export can materialize as a real index B-tree. */

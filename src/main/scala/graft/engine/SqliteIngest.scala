@@ -55,6 +55,15 @@ object SqliteIngest {
       .flatMap(m => SqliteDdl.parseCreateIndex(m.sql))
       .groupBy(_.table)
 
+  /** View definitions from master rows of type 'view' (rootpage=0, sql
+    * = the CREATE VIEW text). SQLite stores view TEXT and resolves at
+    * query time; ingest carries the text into the segment's view
+    * registry the same way. Unparseable text is skipped rather than
+    * failing the file — the tables still load. */
+  def viewDefs(file: SqliteFile): Seq[SqliteDdl.ViewDef] =
+    file.master.filter(m => m.tpe == "view" && m.sql != null)
+      .flatMap(m => scala.util.Try(SqliteDdl.parseCreateView(m.sql)).toOption)
+
   /** [[tableSpec]] for every user table of the file, with secondary
     * indexes attached. */
   def tableSpecs(file: SqliteFile, widen: Boolean): Seq[TableSpec] = {

@@ -83,7 +83,8 @@ object SqliteWriter {
     * file. sqlite_master rows (§2.6): (type, name, tbl_name, rootpage,
     * sql) with the root pinned at page 1; a table's index rows follow
     * its table row, as SQLite itself catalogs them. */
-  def writeStreamed(path: Path, tables: Seq[StreamedTable], pageSize: Int = 4096): Unit = {
+  def writeStreamed(path: Path, tables: Seq[StreamedTable],
+      pageSize: Int = 4096, views: Seq[(String, String)] = Nil): Unit = {
     val ch = FileChannel.open(path, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
@@ -96,6 +97,11 @@ object SqliteWriter {
           val ixRoot = w.buildIndexTreeSorted(ix.keys())
           masterRows += IndexedSeq[Any]("index", ix.name, t.name, ixRoot.toLong, ix.sql)
         }
+      }
+      // views are catalog-only: (type='view', rootpage=0, sql = the
+      // CREATE VIEW text) — SQLite resolves the text at query time
+      views.foreach { case (name, sql) =>
+        masterRows += IndexedSeq[Any]("view", name, name, 0L, sql)
       }
       w.buildMasterTree(masterRows.toSeq.zipWithIndex.map { case (r, i) => (i + 1L, r) })
       w.finalizeHeader()

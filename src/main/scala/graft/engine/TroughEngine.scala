@@ -2,6 +2,7 @@ package graft.engine
 
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.collection.mutable
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import scala.util.Try
@@ -122,7 +123,34 @@ class TroughEngine(
     store.tables(segmentId).foreach { t =>
       store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
     }
+    registerViews(sess, store.views(segmentId), stmt)
     SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
+  }
+
+  /** Register a segment's views over the already-registered tables, in
+    * creation order (view-on-view). SQLite stores view TEXT and
+    * resolves it at use time: a view whose base table was dropped is
+    * legal to hold and errors only when a query references it — so a
+    * broken view is skipped unless `stmt` names it, in which case its
+    * resolution error surfaces. */
+  private def registerViews(sess: SparkSession,
+      defs: Seq[SqliteDdl.ViewDef], stmt: String): Unit = {
+    if (defs.isEmpty) return
+    val broken = mutable.Map[String, Throwable]()
+    defs.foreach { v =>
+      // tables win the namespace (SQLite forbids the collision at
+      // create time; a stale registry entry must not shadow a table)
+      if (!sess.catalog.tableExists(v.name))
+        try SqliteDialect.sql(sess, v.sparkSelect).createOrReplaceTempView(v.name)
+        catch { case scala.util.control.NonFatal(e) => broken(v.name.toLowerCase) = e }
+    }
+    if (broken.nonEmpty) {
+      val refs = referencedTables(stmt, sess)
+      broken.keys.find(refs.contains).foreach { name =>
+        throw new IllegalArgumentException(
+          s"view $name: ${broken(name).getMessage}", broken(name))
+      }
+    }
   }
 
   /** One query over *all* segments (or a regex subset): the fan-out A6
@@ -139,13 +167,38 @@ class TroughEngine(
   def readAll(sql: String, segmentRegex: String = ".*"): DataFrame = {
     val sess = readSession()
     val stmt = validateRead(sql, sess)
-    require(store.listSegments(segmentRegex).nonEmpty,
-      s"no segments match regex: $segmentRegex")
+    val matched = store.listSegments(segmentRegex)
+    require(matched.nonEmpty, s"no segments match regex: $segmentRegex")
+    // cross-segment view resolution: a view name is usable when every
+    // matched segment defining it agrees on the text — then its body
+    // over the unioned tables ≡ the union of per-segment view results
+    // (each row of a view body's FROM comes from one segment). A name
+    // with CONFLICTING definitions errors only if the query names it.
+    val matchedSet = matched.toSet
+    val defsByName: Map[String, Seq[SqliteDdl.ViewDef]] =
+      store.allViews().filter { case (seg, _) => matchedSet(seg) }
+        .values.flatten.toSeq.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+    val (consistent, conflicting) = defsByName.partition {
+      case (_, ds) => ds.map(_.sparkSelect).distinct.size == 1
+    }
     // register only the tables the query references: registering the
     // whole catalog would cost O(tables × segments) driver-side meta
     // I/O per query, and a schema problem in an unrelated table would
-    // fail queries that never touch it
-    val referenced = referencedTables(stmt, sess)
+    // fail queries that never touch it. View bodies pull in their own
+    // table references transitively (bounded by the view count).
+    val viewByName = consistent.view.mapValues(_.head).toMap
+    val referenced = mutable.Set.empty[String] ++ referencedTables(stmt, sess)
+    val expanded = mutable.Set.empty[String]
+    var grew = true
+    while (grew) {
+      grew = false
+      viewByName.keys.filter(n => referenced(n) && !expanded(n)).foreach { n =>
+        expanded += n
+        referenced ++= referencedTables(
+          SqliteDialect.prepareText(viewByName(n).sparkSelect), sess)
+        grew = true
+      }
+    }
     store.allTables()
       .filter(t => referenced.contains(t.toLowerCase(java.util.Locale.ROOT)))
       .foreach { t =>
@@ -154,6 +207,26 @@ class TroughEngine(
           else all.where(col("segment_id").rlike(segmentRegex))
         scoped.createOrReplaceTempView(t)
       }
+    // referenced views register over those unioned tables; iterate so a
+    // view-on-view resolves regardless of name order (≤ V passes)
+    val toRegister = mutable.LinkedHashMap.empty[String, SqliteDdl.ViewDef] ++
+      viewByName.filter { case (n, _) => expanded(n) }
+    var progress = true
+    while (progress && toRegister.nonEmpty) {
+      progress = false
+      toRegister.toSeq.foreach { case (name, v) =>
+        if (!sess.catalog.tableExists(v.name)) {
+          try {
+            SqliteDialect.sql(sess, v.sparkSelect).createOrReplaceTempView(v.name)
+            toRegister.remove(name); progress = true
+          } catch { case scala.util.control.NonFatal(_) => () }
+        } else { toRegister.remove(name); progress = true }
+      }
+    }
+    conflicting.keys.find(referencedTables(stmt, sess).contains).foreach { name =>
+      throw new IllegalArgumentException(
+        s"view $name has conflicting definitions across matched segments")
+    }
     SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
   }
 

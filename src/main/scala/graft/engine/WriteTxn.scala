@@ -49,13 +49,30 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private val created = mutable.LinkedHashSet[String]()
   private val dropped = mutable.LinkedHashSet[String]()
 
+  // staged view registry: loaded lazily, mutated by CREATE/DROP VIEW,
+  // persisted at commit — same all-or-nothing contract as table state
+  private val stagedViews = mutable.LinkedHashMap[String, SqliteDdl.ViewDef]()
+  private var viewsLoaded = false
+  private var viewsDirty = false
+  private def ensureViews(): Unit = if (!viewsLoaded) {
+    store.views(segmentId).foreach(v => stagedViews(v.name.toLowerCase) = v)
+    viewsLoaded = true
+  }
+  private def isView(name: String): Boolean = {
+    ensureViews(); stagedViews.contains(name.toLowerCase)
+  }
+
   private def tableNames: Seq[String] =
     (store.tables(segmentId).filterNot(dropped.contains) ++ created).distinct
 
   private def load(table: String): (TableMeta, DataFrame) =
     working.getOrElseUpdate(table, {
-      if (dropped.contains(table) || !store.tableExists(segmentId, table))
+      if (dropped.contains(table) || !store.tableExists(segmentId, table)) {
+        if (isView(table))
+          throw new IllegalArgumentException(
+            s"cannot modify $table because it is a view")
         throw new IllegalArgumentException(s"no such table: $table")
+      }
       val meta = store.tableMeta(segmentId, table)
       // bound into the write session: expressions referencing SQLite
       // function names must resolve where SqliteCompat is registered
@@ -97,9 +114,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?TRIGGER.*"))
         throw new UnsupportedOperationException("TRIGGERs are not supported")
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*"))
-        throw new UnsupportedOperationException("VIEWs are not supported in write scripts")
+        createView(stmt)
       else createTable(stmt)
-    case "DROP" => dropTable(stmt)
+    case "DROP" =>
+      if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+VIEW.*")) dropView(stmt)
+      else dropTable(stmt)
     case "INSERT" | "REPLACE" => insert(stmt)
     case "UPDATE" => update(stmt)
     case "DELETE" => delete(stmt)
@@ -136,6 +155,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     dropped.filterNot(created.contains).foreach { t =>
       if (store.tableExists(segmentId, t)) store.dropTable(segmentId, t)
     }
+    // view registry last among the healable effects' tail: one cheap
+    // file write holding the txn's whole staged set
+    if (viewsDirty) store.putViews(segmentId, stagedViews.values.toSeq)
   }
 
   // ----------------------------------------------------------------- DDL
@@ -145,6 +167,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     if (tableNames.contains(td.name)) {
       if (td.ifNotExists) return
       throw new IllegalStateException(s"table ${td.name} already exists")
+    }
+    if (isView(td.name)) {
+      // IF NOT EXISTS suppresses the error for ANY same-named object
+      // (SQLite semantics) but never silently shadows the view
+      if (td.ifNotExists) return
+      throw new IllegalStateException(s"view ${td.name} already exists")
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema)
@@ -163,6 +191,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (ix.name.toLowerCase.startsWith("sqlite_"))
         throw new IllegalArgumentException(
           s"object name reserved for internal use: ${ix.name}")
+      if (isView(ix.table)) // SQLite's exact refusal
+        throw new IllegalArgumentException("views may not be indexed")
       val (meta, df) = load(ix.table) // throws "no such table" like SQLite
       if (meta.indexes.exists(_.name.equalsIgnoreCase(ix.name))) {
         if (!ix.ifNotExists)
@@ -173,12 +203,49 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         s"index ${ix.name} references columns not in table ${ix.table}")
     }
 
+  /** CREATE VIEW stores the statement TEXT (SQLite's own contract:
+    * views resolve at query time, so a view over a not-yet-created or
+    * since-dropped table is legal to create and errors only when
+    * used). Staged like every other DDL effect — a failed script
+    * leaves no view behind. */
+  private def createView(stmt: String): Unit = {
+    val v = SqliteDdl.parseCreateView(stmt)
+    if (v.name.toLowerCase.startsWith("sqlite_"))
+      throw new IllegalArgumentException(
+        s"object name reserved for internal use: ${v.name}")
+    if (tableNames.exists(_.equalsIgnoreCase(v.name)))
+      throw new IllegalStateException(s"table ${v.name} already exists")
+    ensureViews()
+    if (stagedViews.contains(v.name.toLowerCase)) {
+      if (!v.ifNotExists)
+        throw new IllegalStateException(s"view ${v.name} already exists")
+    } else {
+      stagedViews(v.name.toLowerCase) = v
+      viewsDirty = true
+    }
+  }
+
+  private val dropViewRe = "(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*$".r
+  private def dropView(stmt: String): Unit = {
+    val m = dropViewRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse: $stmt"))
+    val name = SqlScript.unquoteIdent(m.group(2))
+    ensureViews()
+    if (stagedViews.remove(name.toLowerCase).isDefined) viewsDirty = true
+    else if (tableNames.exists(_.equalsIgnoreCase(name)))
+      throw new IllegalArgumentException(s"use DROP TABLE to delete table $name")
+    else if (m.group(1) == null)
+      throw new IllegalArgumentException(s"no such view: $name")
+  }
+
   private val dropRe = "(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*$".r
   private def dropTable(stmt: String): Unit = {
     val m = dropRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse: $stmt"))
     val name = SqlScript.unquoteIdent(m.group(2))
     if (!tableNames.contains(name)) {
+      if (isView(name))
+        throw new IllegalArgumentException(s"use DROP VIEW to delete view $name")
       if (m.group(1) != null) return
       throw new IllegalArgumentException(s"no such table: $name")
     }
@@ -413,13 +480,28 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * can be dropped again before the mutex is released. */
   private def runSelect(select: String): DataFrame = WriteTxn.selectMutex.synchronized {
     val names = tableNames
+    ensureViews()
+    val registeredViews = mutable.ArrayBuffer[String]()
     try {
       names.foreach { t =>
         val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t, spark))
         df.createOrReplaceTempView(t)
       }
+      // the txn's views resolve over that table state, in creation
+      // order (view-on-view). A dangling view (since-dropped base
+      // table) registers nothing and errors only if the SELECT then
+      // references it — SQLite's use-time resolution contract.
+      stagedViews.values.foreach { v =>
+        try {
+          SqliteDialect.sql(spark, v.sparkSelect).createOrReplaceTempView(v.name)
+          registeredViews += v.name
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
       SqliteDialect.sql(spark, select)
-    } finally names.foreach(t => spark.catalog.dropTempView(t))
+    } finally {
+      registeredViews.foreach(spark.catalog.dropTempView(_))
+      names.foreach(t => spark.catalog.dropTempView(t))
+    }
   }
 }
 
