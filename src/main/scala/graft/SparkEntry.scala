@@ -847,12 +847,14 @@ object SparkEntry {
     }),
 
     // Cluster-scale migration end-to-end: documents shard into 16 real
-    // .sqlite files by doc_id (one shard left CRASH-SHAPED — its schema
-    // and rows exist only in an uncheckpointed WAL sidecar), ingest runs
-    // through the executor-distributed path (catalog + decode in Spark
-    // tasks, per-segment commits), and readAll reads the whole fleet
-    // back as ONE hive-partitioned scan. Lossless against the raw
-    // parquet, so the oracle is a plain projection of documents.
+    // .sqlite files by doc_id, with TWO crash-shaped shards — one whose
+    // schema and rows exist only in an uncheckpointed WAL sidecar, and
+    // one copied mid-transaction in rollback-journal mode (the hot
+    // -journal's pre-images + truncation must restore the committed
+    // rows). Ingest runs through the executor-distributed path (catalog
+    // + decode in Spark tasks, per-segment commits), and readAll reads
+    // the whole fleet back as ONE hive-partitioned scan. Lossless
+    // against the raw parquet, so the oracle is a plain projection.
     "q56_sqlite_ingest_distributed" -> ((s, dir) => {
       import s.implicits._
       import scala.sys.process._
@@ -862,9 +864,11 @@ object SparkEntry {
       val files: Map[String, String] = (0 until shards).map { k =>
         val snap = tmp.resolve(s"part$k.sqlite")
         val walShard = k == 3
-        val live = if (walShard) tmp.resolve(s"live$k.sqlite") else snap
+        val jrnShard = k == 7
+        val live = if (walShard || jrnShard) tmp.resolve(s"live$k.sqlite") else snap
         val script = new StringBuilder
         if (walShard) script.append("PRAGMA journal_mode=WAL;\n")
+        if (jrnShard) script.append("PRAGMA journal_mode=DELETE;\nPRAGMA cache_size=2;\n")
         script.append(
           "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\nBEGIN;\n")
         docs.foreach { r =>
@@ -878,6 +882,12 @@ object SparkEntry {
         if (walShard) // copy BEFORE close: the close-time checkpoint never ran
           script.append(s".shell cp \"$live\" \"$snap\"\n")
             .append(s".shell cp \"$live-wal\" \"$snap-wal\"\n")
+        if (jrnShard) // crash mid-UPDATE: the tiny cache spilled mutated
+          script.append("BEGIN;\nUPDATE docs SET text = 'CORRUPT-' || doc_id;\n")
+            // pages into the main file; only the hot journal undoes them
+            .append(s".shell cp \"$live\" \"$snap\"\n")
+            .append(s".shell cp \"$live-journal\" \"$snap-journal\"\n")
+            .append("ROLLBACK;\n")
         val in = new java.io.ByteArrayInputStream(
           script.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val rc = (Seq("sqlite3", live.toString) #< in).!

@@ -142,17 +142,38 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
     * with at least one committed transaction (§WAL). */
   private val wal: Option[WalOverlay] = WalOverlay.open(path, pageSize)
 
+  /** Pre-image overlay from a HOT `-journal` sidecar (§The Rollback
+    * Journal): the database crashed mid-transaction in rollback mode,
+    * and the journaled originals + truncation restore the last
+    * committed state — what `sqlite3` itself would recover on open. */
+  private val journal: Option[JournalOverlay] = JournalOverlay.open(path, pageSize)
+  if (wal.nonEmpty && journal.nonEmpty)
+    throw new IllegalArgumentException(
+      s"$path has BOTH a committed WAL and a hot rollback journal — " +
+        "a database is in one journal mode at a time (corrupt sidecars)")
+  journal.filter(_.dbSize == 0).foreach { _ =>
+    throw new IllegalArgumentException(
+      s"$path: hot journal rolls back to an EMPTY database (the crash " +
+        "interrupted initial creation); nothing to ingest")
+  }
+
   override def close(): Unit = {
     channel.close()
     wal.foreach(_.close())
+    journal.foreach(_.close())
   }
 
   /** Pages in the database: after the last WAL commit the authoritative
     * size is that commit's db-size field (the main file can be SHORTER
-    * — pages past its end exist only as WAL frames); otherwise by main
-    * file size (header page-count fields may be stale in legacy files). */
+    * — pages past its end exist only as WAL frames); under a hot
+    * rollback journal it is the FIRST journal header's pre-transaction
+    * size (pages appended by the interrupted transaction don't exist —
+    * rollback truncates them); otherwise by main file size (header
+    * page-count fields may be stale in legacy files). */
   private val pageCount: Long =
-    wal.map(_.dbSize.toLong).getOrElse(channel.size() / pageSize)
+    wal.map(_.dbSize.toLong)
+      .orElse(journal.map(_.dbSize.toLong))
+      .getOrElse(channel.size() / pageSize)
 
   /** Corruption guards shared by both walks. Depth first: a cycle only
     * ever DEEPENS these walks (they descend on every page transition),
@@ -180,10 +201,17 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
     * overflow pages of the current cell. */
   private def page(n: Int): ByteBuffer = {
     require(n >= 1, s"bad page number $n")
+    require(n <= pageCount,
+      s"bad page number $n: past the end of the ${pageCount}-page database")
     val b = ByteBuffer.allocate(pageSize)
     val read = wal.flatMap(_.frameOffset(n)) match {
       case Some(off) => wal.get.read(b, off)
-      case None => channel.read(b, (n.toLong - 1) * pageSize)
+      case None => journal.flatMap(_.preImageOffset(n)) match {
+        // the journaled ORIGINAL supersedes whatever the interrupted
+        // transaction left in the main file
+        case Some(off) => journal.get.read(b, off)
+        case None => channel.read(b, (n.toLong - 1) * pageSize)
+      }
     }
     require(read == pageSize, s"truncated read of page $n (got $read of $pageSize bytes)")
     b.flip(); b
@@ -560,6 +588,125 @@ private[engine] final class WalOverlay(walPath: Path, pageSize: Int) extends Aut
   }
 
   def frameOffset(pgno: Int): Option[Long] = frames.get(pgno)
+
+  def read(dst: ByteBuffer, at: Long): Int = ch.read(dst, at)
+
+  override def close(): Unit = ch.close()
+}
+
+private[engine] object JournalOverlay {
+  // d9 d5 05 f9 20 a1 63 d7 (fileformat2.html §The Rollback Journal)
+  private val Magic =
+    Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7).map(_.toByte)
+
+  /** Open the `-journal` sidecar of `dbPath` if it is HOT: present,
+    * and its first header carries the journal magic. A journal left
+    * behind by `journal_mode=PERSIST` after a clean commit has its
+    * header zeroed and is correctly ignored (`None`), as is an empty
+    * or truncated-below-header file. */
+  def open(dbPath: Path, pageSize: Int): Option[JournalOverlay] = {
+    val jp = dbPath.resolveSibling(dbPath.getFileName.toString + "-journal")
+    if (!Files.isRegularFile(jp) || Files.size(jp) < 28) None
+    else {
+      val ch = FileChannel.open(jp, StandardOpenOption.READ)
+      val head = ByteBuffer.allocate(8)
+      val ok = ch.read(head, 0L) == 8 &&
+        java.util.Arrays.equals(head.array(), Magic)
+      if (!ok) { ch.close(); None }
+      else Some(new JournalOverlay(jp, ch, pageSize))
+    }
+  }
+}
+
+/** Hot rollback-journal reader (fileformat2.html §The Rollback Journal):
+  * the journal holds PRE-IMAGES of every page about to be modified, so
+  * recovering a database that crashed mid-transaction means (a) serving
+  * each journaled page's ORIGINAL content over the main file and (b)
+  * truncating to the pre-transaction page count from the first header
+  * (pages appended during the transaction have no pre-image — undoing
+  * the append IS the truncation). This matches SQLite's own playback:
+  * segments of `sector-size`-aligned headers (magic, record count,
+  * checksum nonce, initial db size, sector size, page size) each
+  * followed by records of (page#, page image, checksum); playback walks
+  * records while checksums hold and stops at the first invalid header
+  * or record, exactly as `sqlite3` treats a torn journal tail. A record
+  * count of 0xFFFFFFFF means read-to-EOF (written under
+  * `synchronous=OFF`). The FIRST pre-image of a page wins — within one
+  * transaction SQLite journals a page once, but a later segment's
+  * re-journaled copy must never override the original. */
+private[engine] final class JournalOverlay(
+    path: Path, ch: FileChannel, pageSize: Int) extends AutoCloseable {
+
+  private def readFully(buf: Array[Byte], at: Long): Boolean = {
+    val bb = ByteBuffer.wrap(buf)
+    var off = at
+    while (bb.hasRemaining) {
+      val n = ch.read(bb, off)
+      if (n <= 0) return false
+      off += n
+    }
+    true
+  }
+
+  /** page number → journal-file offset of its pre-image, plus the
+    * database size in pages BEFORE the interrupted transaction. */
+  val (preImages: Map[Int, Long], dbSize: Int) = {
+    val total = ch.size()
+    val found = scala.collection.mutable.Map[Int, Long]()
+    var initialDbSize = -1
+    val hdr = new Array[Byte](28)
+    val rec = new Array[Byte](4 + pageSize + 4)
+    var off = 0L
+    var live = true
+    while (live && off + 28 <= total && readFully(hdr, off)) {
+      val bb = ByteBuffer.wrap(hdr)
+      val magicOk = (0 until 8).forall(i => hdr(i) == JournalOverlay.Magic(i))
+      if (!magicOk) live = false // zero-padding or garbage: end of journal
+      else {
+        val nRec = bb.getInt(8) // -1 (0xFFFFFFFF) = read to EOF
+        val cksumInit = bb.getInt(12)
+        val hdrDbSize = bb.getInt(16)
+        val sectorSize = bb.getInt(20)
+        val hdrPageSize = bb.getInt(24)
+        // geometry sanity — SQLite stops playback on a header it cannot
+        // trust rather than guessing at record boundaries
+        if (sectorSize < 32 || sectorSize > 65536 ||
+            Integer.bitCount(sectorSize) != 1 ||
+            (hdrPageSize != pageSize && hdrPageSize != 0)) live = false
+        else {
+          if (initialDbSize < 0) initialDbSize = hdrDbSize
+          var recOff = off + sectorSize // the header owns a full sector
+          var i = 0
+          var segmentLive = true
+          while (segmentLive && (nRec == -1 || i < nRec)) {
+            if (recOff + rec.length > total || !readFully(rec, recOff)) {
+              segmentLive = false; live = false // torn tail
+            } else {
+              val rb = ByteBuffer.wrap(rec)
+              val pgno = rb.getInt(0)
+              // pager_cksum: nonce + every 200th byte from the tail
+              var ck = cksumInit
+              var j = pageSize - 200
+              while (j > 0) { ck += rec(4 + j) & 0xFF; j -= 200 }
+              if (pgno < 1 || ck != rb.getInt(4 + pageSize)) {
+                segmentLive = false; live = false // invalid record
+              } else {
+                if (!found.contains(pgno)) found(pgno) = recOff + 4
+                recOff += rec.length
+                i += 1
+              }
+            }
+          }
+          // next segment header sits at the next sector boundary
+          if (live)
+            off = ((recOff + sectorSize - 1) / sectorSize) * sectorSize
+        }
+      }
+    }
+    (found.toMap, math.max(initialDbSize, 0))
+  }
+
+  def preImageOffset(pgno: Int): Option[Long] = preImages.get(pgno)
 
   def read(dst: ByteBuffer, at: Long): Int = ch.read(dst, at)
 

@@ -363,6 +363,8 @@ class SqliteIngestSpec extends SparkSpecBase {
     Files.copy(db, cp)
     val wal = db.resolveSibling(db.getFileName.toString + "-wal")
     if (Files.isRegularFile(wal)) Files.copy(wal, dir.resolve("check.sqlite-wal"))
+    val jrn = db.resolveSibling(db.getFileName.toString + "-journal")
+    if (Files.isRegularFile(jrn)) Files.copy(jrn, dir.resolve("check.sqlite-journal"))
     val out = Files.createTempFile("sqlite-wal-out", ".txt")
     val rc = (Seq("sqlite3", cp.toString, query) #> out.toFile).!
     assert(rc == 0)
@@ -464,6 +466,127 @@ class SqliteIngestSpec extends SparkSpecBase {
     val db = makeWalDb("walreset", "CREATE TABLE r (id INTEGER PRIMARY KEY);")
     val wal = db.resolveSibling(db.getFileName.toString + "-wal")
     Files.readAllBytes(wal).take(32)
+  }
+
+  /** Capture a db + HOT `-journal` pair: committed state first, then a
+    * transaction interrupted by `.shell cp` mid-flight (a tiny page
+    * cache forces dirty pages to spill into the main file, so the
+    * snapshot's db really does hold uncommitted content that only the
+    * journal's pre-images can undo — the shape a crashed rollback-mode
+    * trough write node leaves behind). */
+  private def makeHotJournalDb(name: String, committed: String,
+      interrupted: String, prelude: String = ""): Path = {
+    val dir = Files.createTempDirectory("sqlite-journal-fixture")
+    val live = dir.resolve("live.sqlite")
+    val snap = dir.resolve(s"$name.sqlite")
+    val script =
+      s"""$prelude
+         |PRAGMA journal_mode=DELETE;
+         |PRAGMA cache_size=2;
+         |$committed
+         |BEGIN;
+         |$interrupted
+         |.shell cp "$live" "$snap"
+         |.shell cp "$live-journal" "$snap-journal"
+         |ROLLBACK;
+         |""".stripMargin
+    val in = new java.io.ByteArrayInputStream(
+      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rc = (Seq("sqlite3", live.toString) #< in).!
+    assert(rc == 0, s"sqlite3 exited $rc")
+    assert(Files.size(snap.resolveSibling(s"$name.sqlite-journal")) >= 28,
+      "journal empty — fixture broken")
+    snap
+  }
+
+  test("hot rollback journal: pre-images + truncation restore the last commit") {
+    val db = makeHotJournalDb("hotj",
+      committed = "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);\nBEGIN;\n" +
+        (1 to 2000).map(i => s"INSERT INTO t VALUES ($i, 'orig-$i');").mkString("\n") +
+        "\nCOMMIT;",
+      // the UPDATE dirties every page; with cache_size=2 most spill into
+      // the main file before the snapshot — and the snapshot is LARGER
+      // than the pre-txn db, so rollback must also truncate
+      interrupted = "UPDATE t SET v = 'mutated-' || id;")
+    val ours = engine.store.ingestSqliteSegment(db.toString, "hot-journal")
+    assert(ours == Seq("t"))
+    val got = engine.read("hot-journal",
+      "SELECT count(*) AS n, sum(CASE WHEN v LIKE 'orig-%' THEN 1 ELSE 0 END) AS o, " +
+        "sum(CASE WHEN v LIKE 'mutated-%' THEN 1 ELSE 0 END) AS m FROM t;").collect()(0)
+    // every row rolled back to its committed content — none of the
+    // interrupted transaction's spilled pages leaked through
+    assert(got.getLong(0) == 2000L && got.getLong(1) == 2000L && got.getLong(2) == 0L)
+    val expect = sqlite3Reads(db,
+      "SELECT count(*) || '|' || sum(v LIKE 'orig-%') || '|' || sum(v LIKE 'mutated-%') FROM t;")
+    assert(s"${got.getLong(0)}|${got.getLong(1)}|${got.getLong(2)}" == expect.head,
+      "diverged from sqlite3's own hot-journal recovery")
+  }
+
+  test("hot journal under synchronous=OFF: nRec=-1 headers read to EOF") {
+    val db = makeHotJournalDb("hotjoff",
+      committed = "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);\nBEGIN;\n" +
+        (1 to 500).map(i => s"INSERT INTO t VALUES ($i, 'keep-$i');").mkString("\n") +
+        "\nCOMMIT;",
+      interrupted = "DELETE FROM t WHERE id % 2 = 0;",
+      prelude = "PRAGMA synchronous=OFF;")
+    engine.store.ingestSqliteSegment(db.toString, "hot-journal-off")
+    val got = engine.read("hot-journal-off",
+      "SELECT count(*) AS n FROM t;").collect()(0).getLong(0)
+    assert(got == 500L, s"expected full rollback of the DELETE, got $got rows")
+    assert(got.toString == sqlite3Reads(db, "SELECT count(*) FROM t;").head)
+  }
+
+  test("PERSIST-mode leftover journal (zeroed header) is cold: ignored") {
+    val dir = Files.createTempDirectory("sqlite-persist-fixture")
+    val live = dir.resolve("persist.sqlite")
+    val script =
+      s"""PRAGMA journal_mode=PERSIST;
+         |CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);
+         |INSERT INTO t VALUES (1, 'committed'), (2, 'also');
+         |""".stripMargin
+    val in = new java.io.ByteArrayInputStream(
+      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert((Seq("sqlite3", live.toString) #< in).! == 0)
+    val jrn = dir.resolve("persist.sqlite-journal")
+    assert(Files.isRegularFile(jrn), "fixture: PERSIST should leave the journal file")
+    assert(Files.readAllBytes(jrn).take(8).forall(_ == 0),
+      "fixture: a committed PERSIST journal has a zeroed header")
+    engine.store.ingestSqliteSegment(live.toString, "persist-cold")
+    assert(engine.read("persist-cold", "SELECT count(*) AS n FROM t;")
+      .collect()(0).getLong(0) == 2L)
+  }
+
+  test("journal rolling back to an empty database is a clean error") {
+    // the crash interrupted the FIRST transaction ever: pre-txn size 0.
+    // Real spill order leaves the main file without a valid header
+    // (page 1 may never have been written), so ingest fails the header
+    // check — a clean per-file error either way, with no phantom state
+    val db = makeHotJournalDb("hotjempty",
+      committed = "",
+      interrupted = "CREATE TABLE t (id INTEGER PRIMARY KEY, pad TEXT);\n" +
+        (1 to 2000).map(i => s"INSERT INTO t VALUES ($i, '${"x" * 80}');").mkString("\n"))
+    intercept[IllegalArgumentException](
+      engine.store.ingestSqliteSegment(db.toString, "hot-journal-empty"))
+    assert(!engine.store.segmentExists("hot-journal-empty"))
+
+    // when page 1 DID spill (valid header) the journal's dbSize=0 is
+    // the only witness that the whole file is uncommitted — pin the
+    // explicit EMPTY-database refusal with a synthetic journal
+    val db2 = makeDb("hotjempty2",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY); INSERT INTO t VALUES (1);")
+    val jrn = db2.resolveSibling(db2.getFileName.toString + "-journal")
+    val hdr = java.nio.ByteBuffer.allocate(512)
+    hdr.put(Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7).map(_.toByte))
+    hdr.putInt(8, 0)    // nRec
+    hdr.putInt(12, 0)   // nonce
+    hdr.putInt(16, 0)   // initial db size: EMPTY
+    hdr.putInt(20, 512) // sector size
+    hdr.putInt(24, 4096)
+    Files.write(jrn, hdr.array())
+    val e = intercept[IllegalArgumentException](
+      engine.store.ingestSqliteSegment(db2.toString, "hot-journal-empty2"))
+    assert(e.getMessage.contains("EMPTY database"))
+    assert(!engine.store.segmentExists("hot-journal-empty2"))
   }
 
   test("bulk ingest: parallel over files, per-file error isolation") {
