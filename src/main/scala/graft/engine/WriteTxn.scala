@@ -298,9 +298,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     ("(?is)^\\s*(?:INSERT(?:\\s+OR\\s+(REPLACE|IGNORE))?|(REPLACE))\\s+INTO\\s+" +
       "([^\\s(]+)\\s*(?:\\(([^)]*)\\))?\\s*(VALUES\\s*(.*)|SELECT\\b.*)$").r
 
-  private def insert(stmt: String): Unit = {
+  private def insert(stmt0: String): Unit = {
+    val (stmt, upsertClause) = splitOnConflict(stmt0)
     val m = insertRe.findFirstMatchIn(stmt).getOrElse(
-      throw new IllegalArgumentException(s"cannot parse INSERT statement: $stmt"))
+      throw new IllegalArgumentException(s"cannot parse INSERT statement: $stmt0"))
     val conflict = Option(m.group(1)).map(_.toUpperCase)
       .orElse(Option(m.group(2)).map(_ => "REPLACE"))
     val table = SqlScript.unquoteIdent(m.group(3))
@@ -350,29 +351,184 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     val aligned0 = full.select(meta.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    // intra-statement duplicate PKs: SQLite's OR REPLACE keeps the LAST
-    // occurrence, OR IGNORE the FIRST — arrival order tracked with a
-    // monotonic id (union order for VALUES tuples)
-    def dedupByArrival(df: DataFrame, keepLast: Boolean): DataFrame = {
-      val ord = if (keepLast) col("__seq").desc else col("__seq").asc
-      val w = Window.partitionBy(meta.primaryKey.map(col): _*).orderBy(ord)
-      df.withColumn("__seq", monotonically_increasing_id())
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__seq", "__rn")
-    }
-    val merged = conflict match {
-      case Some("REPLACE") if meta.primaryKey.nonEmpty =>
-        val aligned = dedupByArrival(aligned0, keepLast = true)
+    val merged = (conflict, upsertClause) match {
+      case (Some(_), Some(_)) =>
+        // SQLite's grammar rejects the combination too
+        throw new IllegalArgumentException(
+          s"cannot combine INSERT OR ... with an ON CONFLICT clause: $stmt0")
+      case (_, Some(clause)) => applyUpsert(meta, existing, aligned0, clause)
+      case (Some("REPLACE"), None) if meta.primaryKey.nonEmpty =>
+        val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = true)
         existing.join(aligned.select(meta.primaryKey.map(col): _*),
           meta.primaryKey.toSeq, "left_anti").unionByName(aligned)
-      case Some("IGNORE") if meta.primaryKey.nonEmpty =>
-        val aligned = dedupByArrival(aligned0, keepLast = false)
+      case (Some("IGNORE"), None) if meta.primaryKey.nonEmpty =>
+        val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = false)
         existing.unionByName(
           aligned.join(existing.select(meta.primaryKey.map(col): _*),
             meta.primaryKey.toSeq, "left_anti"))
       case _ => existing.unionByName(aligned0)
     }
     stage(table, meta, merged)
+  }
+
+  /** Intra-statement duplicate keys: SQLite's OR REPLACE keeps the LAST
+    * occurrence, OR IGNORE (and DO NOTHING) the FIRST — arrival order
+    * tracked with a monotonic id (union order for VALUES tuples). */
+  private def dedupByArrival(df: DataFrame, keys: Seq[String], keepLast: Boolean): DataFrame = {
+    val ord = if (keepLast) col("__seq").desc else col("__seq").asc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    df.withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__seq", "__rn")
+  }
+
+  /** Find the last top-level `ON CONFLICT` (outside quotes/parens) and
+    * split the statement there. Returns (insert-part, Some(clause)). */
+  private def splitOnConflict(s: String): (String, Option[String]) = {
+    var depth = 0; var quote: Char = 0; var i = 0; var at = -1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'o' | 'O' if depth == 0 &&
+            (i == 0 || { val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
+            s.regionMatches(true, i, "ON", 0, 2) =>
+          var j = i + 2
+          if (j < s.length && s.charAt(j).isWhitespace) {
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            if (s.regionMatches(true, j, "CONFLICT", 0, 8) &&
+                (j + 8 == s.length ||
+                  { val n = s.charAt(j + 8); !n.isLetterOrDigit && n != '_' }))
+              at = i
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    if (at < 0) (s, None) else (s.substring(0, at), Some(s.substring(at)))
+  }
+
+  private val onConflictRe =
+    """(?is)^ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+(.+))\s*$""".r
+
+  /** The SQLite 3.24 upsert (lang_upsert.html): `ON CONFLICT [(cols)]
+    * DO NOTHING | DO UPDATE SET ... [WHERE ...]`. The conflict target
+    * must name the PRIMARY KEY or a recorded UNIQUE index (SQLite's own
+    * rule, with SQLite's own error text); DO UPDATE's SET/WHERE see the
+    * EXISTING row as bare columns and the incoming row as `excluded.*`,
+    * evaluated against pre-statement state like UPDATE. Deviation: a
+    * statement whose rows conflict with EACH OTHER under DO UPDATE is
+    * refused (SQLite folds them one at a time — a batch engine would
+    * silently compute something else for accumulator patterns like
+    * `SET n = n + excluded.n`). */
+  private def applyUpsert(meta: TableMeta, existing: DataFrame,
+      aligned0: DataFrame, clause: String): DataFrame = {
+    val m = onConflictRe.findFirstMatchIn(clause.trim).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse ON CONFLICT clause: $clause"))
+    val target = Option(m.group(1)).map(SqlScript.splitTopLevel(_).map(c =>
+      // strip per-column COLLATE/direction, as in index/pk parsing
+      SqlScript.unquoteIdent(c.trim.split("\\s+").head)))
+    val keyCols: Seq[String] = target match {
+      case None => meta.primaryKey
+      case Some(cols) =>
+        val lc = cols.map(_.toLowerCase).toSet
+        if (meta.primaryKey.nonEmpty && meta.primaryKey.map(_.toLowerCase).toSet == lc)
+          meta.primaryKey
+        else meta.indexes.find(ix => ix.unique &&
+            ix.columns.map(_.toLowerCase).toSet == lc).map(_.columns)
+          .getOrElse(throw new IllegalArgumentException(
+            "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"))
+    }
+    val doNothing = m.group(2).equalsIgnoreCase("NOTHING")
+    if (doNothing) {
+      if (keyCols.isEmpty) existing.unionByName(aligned0) // nothing can conflict
+      else {
+        val aligned = dedupByArrival(aligned0, keyCols, keepLast = false)
+        existing.unionByName(
+          aligned.join(existing.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti"))
+      }
+    } else {
+      if (keyCols.isEmpty)
+        throw new IllegalArgumentException(
+          "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint")
+      val dups = aligned0.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      if (dups > 0)
+        throw new UnsupportedOperationException(
+          "ON CONFLICT DO UPDATE with rows that conflict with each other in " +
+            "one statement is not supported (SQLite folds them one at a time); " +
+            "pre-aggregate the inserted rows instead")
+      val setBody = m.group(3)
+      val whereAt = topLevelWhere(setBody)
+      val (setPart, predPart) =
+        if (whereAt < 0) (setBody, None)
+        else (setBody.substring(0, whereAt), Some(setBody.substring(whereAt + 5)))
+      val assignments: Map[String, Column] =
+        SqlScript.splitTopLevel(setPart).map { assignment =>
+          val eq = topLevelEq(assignment)
+          val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
+          val rhs = dexpr(rewriteExcluded(assignment.substring(eq + 1).trim))
+          val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $colName"))
+          field.name -> rhs.cast(field.dataType)
+        }.toMap
+      val pred = predPart.map(p => dexpr(rewriteExcluded(p))).getOrElse(lit(true))
+      // incoming side renamed __exc_* so bare names stay the EXISTING row
+      val exc = aligned0.select(
+        (aligned0.columns.map(c => col(c).as(s"__exc_$c")) :+
+          lit(true).as("__exc_match")).toSeq: _*)
+      val joinCond = keyCols.map(k => col(k) === col(s"__exc_$k")).reduce(_ && _)
+      val joined = existing.join(exc, joinCond, "left")
+      val hit = col("__exc_match").isNotNull &&
+        coalesce(pred.cast("boolean"), lit(false))
+      val updatedExisting = joined.select(meta.schema.fields.map { f =>
+        assignments.get(f.name)
+          .map(v => when(hit, v).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+      val inserts = aligned0.join(
+        existing.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
+      updatedExisting.unionByName(inserts)
+    }
+  }
+
+  /** Rewrite `excluded.<ident>` references (any SQLite ident quoting) to
+    * the join's `__exc_<ident>` columns — quote-aware so text literals
+    * mentioning "excluded." survive untouched. */
+  private def rewriteExcluded(s: String): String = {
+    val out = new StringBuilder
+    var i = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; out.append(c); i += 1 }
+      else if ((c == 'e' || c == 'E') && s.regionMatches(true, i, "excluded", 0, 8) &&
+          (i == 0 || { val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '.' })) {
+        var j = i + 8
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '.') {
+          j += 1
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          val (name, end) =
+            if (j >= s.length) (null, j)
+            else s.charAt(j) match {
+              case '`' => val e = s.indexOf('`', j + 1); (s.substring(j + 1, e), e + 1)
+              case '[' => val e = s.indexOf(']', j + 1); (s.substring(j + 1, e), e + 1)
+              case ch if ch.isLetter || ch == '_' =>
+                var e = j
+                while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+                (s.substring(j, e), e)
+              case _ => (null, j)
+            }
+          if (name == null) { out.append(c); i += 1 }
+          else { out.append('`').append("__exc_").append(name).append('`'); i = end }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** Index of the last top-level occurrence of ` WHERE ` (case-

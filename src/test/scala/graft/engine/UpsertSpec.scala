@@ -1,0 +1,125 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** The SQLite 3.24 upsert (`INSERT ... ON CONFLICT ...`,
+  * sqlite.org/lang_upsert.html) through the write path — semantics and
+  * error texts checked against the real sqlite3's behavior (probed with
+  * the sandbox CLI; accumulator arithmetic asserted by value). */
+class UpsertSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-upsert").toString
+  private lazy val engine = {
+    val store = new SegmentStore(spark, root)
+    new TroughEngine(spark, store, new SchemaRegistry)
+  }
+
+  private var n = 0
+  /** Fresh segment with `t(k INTEGER PRIMARY KEY, v TEXT, n INTEGER)`
+    * and a UNIQUE index on `v`, seeded with (1,'a',1). */
+  private def seg(): String = {
+    n += 1
+    val id = s"ups-$n"
+    engine.schemas.put("upsert-schema",
+      "CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT, n INTEGER); " +
+        "CREATE UNIQUE INDEX uv ON t (v);")
+    engine.provisionWritable(id, "upsert-schema")
+    engine.write(id, "INSERT INTO t VALUES (1, 'a', 1);")
+    id
+  }
+
+  private def dump(id: String): Seq[String] =
+    engine.read(id, "SELECT k, v, n FROM t ORDER BY k;").collect()
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}|${r.getLong(2)}").toSeq
+
+  test("DO UPDATE: existing row updated, SET sees existing + excluded") {
+    val id = seg()
+    // sqlite3: 1|b|6 (n = 1 + 5) and a fresh insert for k=2
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 'b', 5), (2, 'c', 7) " +
+        "ON CONFLICT(k) DO UPDATE SET v = excluded.v, n = n + excluded.n;")
+    assert(dump(id) == Seq("1|b|6", "2|c|7"))
+  }
+
+  test("DO UPDATE WHERE guard: a false predicate leaves the row untouched") {
+    val id = seg()
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 'z', 100) " +
+        "ON CONFLICT(k) DO UPDATE SET v = excluded.v WHERE n > 50;")
+    assert(dump(id) == Seq("1|a|1")) // n=1 fails the guard; no insert either
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 'z', 100) " +
+        "ON CONFLICT(k) DO UPDATE SET v = excluded.v WHERE n <= 50;")
+    assert(dump(id) == Seq("1|z|1"))
+  }
+
+  test("omitted conflict target defaults to the PRIMARY KEY") {
+    val id = seg()
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 'q', 9) ON CONFLICT DO UPDATE SET n = excluded.n;")
+    assert(dump(id) == Seq("1|a|9"))
+  }
+
+  test("DO NOTHING: conflicting rows skipped, fresh rows inserted") {
+    val id = seg()
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 'dup', 99), (3, 'new', 3) ON CONFLICT DO NOTHING;")
+    assert(dump(id) == Seq("1|a|1", "3|new|3"))
+    // intra-statement duplicates: first occurrence wins (OR IGNORE rule)
+    engine.write(id,
+      "INSERT INTO t VALUES (4, 'x', 1), (4, 'y', 2) ON CONFLICT(k) DO NOTHING;")
+    assert(dump(id).contains("4|x|1"))
+  }
+
+  test("conflict target may name a recorded UNIQUE index") {
+    val id = seg()
+    engine.write(id,
+      "INSERT INTO t VALUES (8, 'a', 50) " +
+        "ON CONFLICT(v) DO UPDATE SET n = n + excluded.n;")
+    // conflicted on v='a', so the EXISTING row (k=1) accumulated
+    assert(dump(id) == Seq("1|a|51"))
+  }
+
+  test("target not matching any PK or UNIQUE index: SQLite's error text") {
+    val id = seg()
+    val e = intercept[Exception](engine.write(id,
+      "INSERT INTO t VALUES (1, 'b', 2) ON CONFLICT(n) DO UPDATE SET v = 'x';"))
+    assert(e.getMessage.contains(
+      "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"))
+  }
+
+  test("rows conflicting with EACH OTHER under DO UPDATE: clean refusal") {
+    val id = seg()
+    val e = intercept[Exception](engine.write(id,
+      "INSERT INTO t VALUES (5, 'p', 1), (5, 'q', 2) " +
+        "ON CONFLICT(k) DO UPDATE SET n = n + excluded.n;"))
+    assert(e.getMessage.contains("one at a time"))
+    assert(dump(id) == Seq("1|a|1")) // atomicity: nothing landed
+  }
+
+  test("INSERT OR REPLACE cannot carry an ON CONFLICT clause") {
+    val id = seg()
+    intercept[Exception](engine.write(id,
+      "INSERT OR REPLACE INTO t VALUES (1, 'b', 2) ON CONFLICT(k) DO NOTHING;"))
+  }
+
+  test("'excluded.' inside a string literal survives untouched") {
+    val id = seg()
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 'b', 2) " +
+        "ON CONFLICT(k) DO UPDATE SET v = 'see excluded.v docs';")
+    assert(dump(id) == Seq("1|see excluded.v docs|1"))
+  }
+
+  test("upsert with a SELECT source and within-transaction visibility") {
+    val id = seg()
+    engine.write(id,
+      """CREATE TABLE staging (k INTEGER, v TEXT, n INTEGER);
+        |INSERT INTO staging VALUES (1, 'from-staging', 10), (6, 'six', 6);
+        |INSERT INTO t SELECT k, v, n FROM staging
+        |  ON CONFLICT(k) DO UPDATE SET v = excluded.v, n = n + excluded.n;""".stripMargin)
+    assert(dump(id) == Seq("1|from-staging|11", "6|six|6"))
+  }
+}
