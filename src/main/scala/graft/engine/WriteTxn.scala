@@ -62,6 +62,30 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     ensureViews(); stagedViews.contains(name.toLowerCase)
   }
 
+  /** Nested-transaction points (SQLite SAVEPOINT, lang_savepoint.html):
+    * every element of staged state is an immutable value or a
+    * DataFrame (itself immutable), so a savepoint is a cheap shallow
+    * copy of the collections and rollback is a swap-back. The stack
+    * allows repeated names; RELEASE and ROLLBACK TO address the most
+    * recent match, exactly as SQLite does. */
+  private final case class TxnSnapshot(
+      working: Seq[(String, (TableMeta, DataFrame))],
+      dirty: Seq[String], created: Seq[String], dropped: Seq[String],
+      viewsLoaded: Boolean, stagedViews: Seq[(String, SqliteDdl.ViewDef)],
+      viewsDirty: Boolean)
+  private var savepoints = List.empty[(String, TxnSnapshot)]
+  private def snapshot(): TxnSnapshot = TxnSnapshot(
+    working.toSeq, dirty.toSeq, created.toSeq, dropped.toSeq,
+    viewsLoaded, stagedViews.toSeq, viewsDirty)
+  private def restore(t: TxnSnapshot): Unit = {
+    working.clear(); working ++= t.working
+    dirty.clear(); dirty ++= t.dirty
+    created.clear(); created ++= t.created
+    dropped.clear(); dropped ++= t.dropped
+    viewsLoaded = t.viewsLoaded; viewsDirty = t.viewsDirty
+    stagedViews.clear(); stagedViews ++= t.stagedViews
+  }
+
   private def tableNames: Seq[String] =
     (store.tables(segmentId).filterNot(dropped.contains) ++ created).distinct
 
@@ -90,8 +114,42 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
   // ------------------------------------------------------------- dispatch
 
+  private val savepointRe = "(?is)^\\s*SAVEPOINT\\s+(.+?)\\s*;?\\s*$".r
+  private val releaseRe = "(?is)^\\s*RELEASE\\s+(?:SAVEPOINT\\s+)?(.+?)\\s*;?\\s*$".r
+  private val rollbackToRe =
+    "(?is)^\\s*ROLLBACK\\s+(?:TRANSACTION\\s+)?TO\\s+(?:SAVEPOINT\\s+)?(.+?)\\s*;?\\s*$".r
+
   def execute(stmt: String): Unit = SqlScript.firstWord(stmt) match {
     case "BEGIN" | "COMMIT" | "END" => ()
+    case "SAVEPOINT" =>
+      val name = SqlScript.unquoteIdent(
+        savepointRe.findFirstMatchIn(stmt).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse: $stmt")).group(1))
+      savepoints ::= (name.toLowerCase, snapshot())
+    case "RELEASE" =>
+      val name = SqlScript.unquoteIdent(
+        releaseRe.findFirstMatchIn(stmt).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse: $stmt")).group(1))
+      val at = savepoints.indexWhere(_._1 == name.toLowerCase)
+      if (at < 0) // SQLite's exact refusal
+        throw new IllegalArgumentException(s"no such savepoint: $name")
+      savepoints = savepoints.drop(at + 1) // changes since it are KEPT
+    case "ROLLBACK" =>
+      rollbackToRe.findFirstMatchIn(stmt) match {
+        case Some(m) =>
+          val name = SqlScript.unquoteIdent(m.group(1))
+          val at = savepoints.indexWhere(_._1 == name.toLowerCase)
+          if (at < 0)
+            throw new IllegalArgumentException(s"no such savepoint: $name")
+          restore(savepoints(at)._2)
+          savepoints = savepoints.drop(at) // the savepoint itself survives
+        case None =>
+          // plain ROLLBACK: discard everything staged so far; later
+          // statements run against storage state as a fresh transaction
+          restore(TxnSnapshot(Nil, Nil, Nil, Nil,
+            viewsLoaded = false, Nil, viewsDirty = false))
+          savepoints = Nil
+      }
     // the reference write path runs whatever SQLite accepts (write.py:40)
     // and real-world scripts commonly carry PRAGMA lines. Only pragmas
     // that tune SQLite's PHYSICAL layer (no analog over immutable
