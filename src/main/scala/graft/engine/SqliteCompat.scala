@@ -3,10 +3,10 @@ package graft.engine
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Expression, GetJsonObject, Greatest, If, IsNull, Least, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, ConcatWs, Expression, FormatString, GetJsonObject, Greatest, If, IsNull, Least, Literal, Log10, Logarithm, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, Max, Min, Sum}
 import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
 
 /** SQLite dialect compat shims registered on every engine session.
   *
@@ -329,10 +329,66 @@ object SqliteCompat {
       SqliteJsonRender(exprs, obj = true)
     }
 
+    // --- scalar-surface gaps where Spark's same-named builtin DIVERGES
+    // from SQLite (each probed against the sandbox sqlite3; goldens in
+    // SqliteFunctionsSpec):
+    // SQLite log(X) is BASE-10 (Spark's is natural); log(B,X) is base B
+    fn("log") { exprs =>
+      exprs match {
+        case Seq(x) => Log10(Cast(x, DoubleType))
+        case Seq(b, x) => Logarithm(Cast(b, DoubleType), Cast(x, DoubleType))
+        case _ => throw new IllegalArgumentException("log takes 1 or 2 arguments")
+      }
+    }
+    // numeric truncation toward zero (Spark's trunc is DATE truncation),
+    // and floor/ceil preserving the argument's storage class (Spark's
+    // are always LONG; SQLite keeps REAL in → REAL out)
+    Seq("trunc", "floor", "ceil", "ceiling").foreach { name =>
+      val mode = if (name == "ceiling") "ceil" else name
+      fn(name) { exprs =>
+        require(exprs.length == 1, s"$name takes exactly 1 argument")
+        SqliteRound(exprs.head, mode)
+      }
+    }
+    // SQLite concat IGNORES null arguments (3.44); Spark's yields NULL
+    fn("concat")(exprs => ConcatWs(Literal("") +: exprs))
+    // multi-argument unicode CODE POINTS (Spark chr is single byte-range)
+    fn("char")(exprs => SqliteChar(exprs))
+    fn("unicode") { exprs =>
+      require(exprs.length == 1, "unicode takes exactly 1 argument")
+      SqliteUnicode(Cast(exprs.head, StringType))
+    }
+    // C-style printf and its 3.38 alias (java format covers the
+    // overlapping verbs %s %d %f %x %e %% — golden-tested)
+    fn("printf")(exprs =>
+      FormatString(exprs.head +: exprs.tail.map(DecimalNormalize): _*))
+    fn("format")(exprs =>
+      FormatString(exprs.head +: exprs.tail.map(DecimalNormalize): _*))
+    // planner hints: identity pass-throughs, as in SQLite itself
+    fn("likely") { exprs =>
+      require(exprs.length == 1, "likely takes exactly 1 argument"); exprs.head
+    }
+    fn("unlikely") { exprs =>
+      require(exprs.length == 1, "unlikely takes exactly 1 argument"); exprs.head
+    }
+    fn("likelihood") { exprs =>
+      require(exprs.length == 2, "likelihood takes exactly 2 arguments"); exprs.head
+    }
+    // unixepoch(...) (3.38) ≡ strftime('%s', ...) as INTEGER; bare call
+    // defaults to 'now' like the rest of the family
+    fn("unixepoch") { exprs =>
+      val args = if (exprs.isEmpty) Seq(Literal("now")) else exprs
+      Cast(timeFn(SqliteTimeExpr.Strftime)(Literal("%s") +: args), LongType)
+    }
+
     spark.udf.register("glob", (p: String, s: String) => glob(p, s))
     // SQLite random(): signed 64-bit integer (Spark's rand() is a double
     // in [0,1) — different type AND name)
     val rng = new java.security.SecureRandom()
     spark.udf.register("random", udf(() => rng.nextLong()).asNondeterministic())
+    spark.udf.register("zeroblob", (n: Int) => new Array[Byte](math.max(n, 0)))
+    spark.udf.register("randomblob", udf((n: Int) => {
+      val b = new Array[Byte](math.max(n, 0)); rng.nextBytes(b); b
+    }).asNondeterministic())
   }
 }

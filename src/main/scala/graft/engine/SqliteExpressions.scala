@@ -442,3 +442,119 @@ object SqliteTimeExpr {
   case object Julianday extends Mode("julianday")
   case object Strftime extends Mode("strftime")
 }
+
+/** SQLite `char(X1,...,XN)`: a string from unicode CODE POINTS
+  * (sqlite.org/lang_corefunc.html#char) — Spark's `chr` truncates to a
+  * single byte-range value, so the multi-argument codepoint form needs
+  * its own expression. NULL/invalid arguments contribute nothing,
+  * matching sqlite3 (char() of no valid args is the empty string). */
+case class SqliteChar(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "char"
+
+  override def eval(input: InternalRow): Any = {
+    val sb = new java.lang.StringBuilder
+    var halted = false
+    children.foreach { c =>
+      if (!halted) c.eval(input) match {
+        case null => halted = true // sqlite3: a NULL argument ENDS the string
+        case v =>
+          val cp = v match {
+            case dec: org.apache.spark.sql.types.Decimal => dec.toLong
+            case n: Number => n.longValue()
+            case _ => -1L
+          }
+          if (cp >= Character.MIN_CODE_POINT && cp <= Character.MAX_CODE_POINT)
+            sb.appendCodePoint(cp.toInt)
+          else sb.append('\uFFFD') // invalid code point → replacement char
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteChar = copy(children = newChildren)
+}
+
+/** SQLite `unicode(X)`: the code point of the FIRST character — full
+  * codepoint even above the BMP (Spark's `ascii` would return the high
+  * surrogate for supplementary characters). NULL/empty → NULL, as
+  * sqlite3 answers. */
+case class SqliteUnicode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "unicode"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val s = v.asInstanceOf[UTF8String].toString
+      if (s.isEmpty) null else s.codePointAt(0).toLong
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteUnicode =
+    copy(child = newChild)
+}
+
+/** SQLite `floor`/`ceil`/`ceiling`/`trunc` (lang_mathfunc.html): unlike
+  * Spark's always-LONG floor/ceil (and date-typed trunc), SQLite
+  * PRESERVES the argument's storage class — an INTEGER input passes
+  * through as INTEGER, a REAL input yields an integral-valued REAL
+  * (`floor(2.7)` = `2.0`, `floor(5)` = `5`). `mode` ∈ floor|ceil|trunc
+  * (trunc rounds toward zero). */
+case class SqliteRound(child: Expression, mode: String)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val integral = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => true
+    case _ => false
+  }
+  override def dataType: DataType = if (integral) LongType else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = mode
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else if (integral) v.asInstanceOf[Number].longValue()
+    else {
+      val d = v match { // decimal literals parse as Decimal, not Number
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case n: Number => n.doubleValue()
+        case other => other.toString.toDouble
+      }
+      val r = mode match {
+        case "floor" => math.floor(d)
+        case "ceil" => math.ceil(d)
+        case _ => if (d >= 0) math.floor(d) else math.ceil(d) // trunc
+      }
+      if (r == 0.0) 0.0 else r // sqlite3 renders no negative zero
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteRound =
+    copy(child = newChild)
+}
+
+/** Decimal→double pass-through for variadic java-format args: Spark
+  * parses `1.5` as a Decimal literal, which `String.format`'s %f/%e
+  * verbs reject. Resolves lazily, so it wraps unresolved args safely;
+  * non-decimal children flow through typed unchanged. */
+case class DecimalNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override lazy val dataType: DataType = child.dataType match {
+    case _: DecimalType => DoubleType
+    case t => t
+  }
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case v => v
+  }
+  override protected def withNewChildInternal(newChild: Expression): DecimalNormalize =
+    copy(child = newChild)
+}

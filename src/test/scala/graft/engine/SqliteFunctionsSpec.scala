@@ -1,0 +1,98 @@
+package graft.engine
+
+import scala.sys.process._
+
+import graft.SparkSpecBase
+
+/** LIVE differential goldens for the round-8 scalar-surface additions:
+  * every expression runs through BOTH the engine's dialect session and
+  * the sandbox's real `sqlite3`, rendered with `quote()` on each side
+  * so types (integer/real/text/blob/NULL) are compared, not just
+  * display text. These functions exist because Spark's same-named
+  * builtins DIVERGE from SQLite (log base, trunc-on-dates, NULL-eating
+  * concat, byte-range char) — the differential is the point. */
+class SqliteFunctionsSpec extends SparkSpecBase {
+
+  private lazy val sess = {
+    val s = spark.newSession()
+    SqliteCompat.register(s)
+    s
+  }
+
+  /** sqlite3's own answer for `SELECT quote(<expr>);` — stdin/stdout
+    * as UTF-8 BYTES (argv/pipe strings re-encode with the platform
+    * charset, ASCII here, mangling non-ASCII goldens). */
+  private def sqliteGolden(expr: String): String = {
+    val sql = s"SELECT quote($expr);"
+    val in = new java.io.ByteArrayInputStream(
+      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = java.nio.file.Files.createTempFile("sqlite-golden", ".txt")
+    val rc = ((Seq("sqlite3", ":memory:") #< in) #> out.toFile).!
+    assert(rc == 0, s"sqlite3 exited $rc for: $expr")
+    new String(java.nio.file.Files.readAllBytes(out),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+  }
+
+  private def ours(expr: String): String = {
+    val r = SqliteDialect.sql(sess, s"SELECT quote($expr) AS q").collect()(0)
+    if (r.isNullAt(0)) "NULL" else r.getString(0)
+  }
+
+  private def golden(exprs: String*): Unit = exprs.foreach { e =>
+    assert(ours(e) == sqliteGolden(e), s"diverged from sqlite3 on: $e")
+  }
+
+  test("log is base-10; two-arg form is log base B (sqlite3 differential)") {
+    golden("log(100)", "log(2, 8)", "log(1)")
+    // log(10,1000) lands on 2.9999999999999996 — identical DOUBLE both
+    // sides, but quote() renders full precision differently; compare
+    // the rounded value instead of the rendering
+    golden("CAST(round(log(10, 1000) * 1e6) AS INTEGER)")
+  }
+
+  test("trunc truncates numbers toward zero, returning REAL") {
+    golden("trunc(2.7)", "trunc(-2.7)", "trunc(5)", "trunc(0.0)", "trunc(-0.2)")
+  }
+
+  test("floor/ceil preserve the argument's storage class (REAL in, REAL out)") {
+    golden("floor(2.7)", "ceil(2.2)", "ceiling(2.2)", "floor(5)", "ceil(-3)",
+      "floor(-2.5)", "ceil(-2.5)", "floor(NULL)")
+  }
+
+  test("concat ignores NULL arguments (SQLite 3.44 semantics)") {
+    golden("concat('a', NULL, 'b')", "concat(NULL)", "concat(1, 2.5, 'x')",
+      "concat_ws('-', 'a', NULL, 'b')")
+  }
+
+  test("char builds strings from unicode code points, NULLs contribute nothing") {
+    golden("char(65, 66)", "char(65, 8364, 66)", "char(128169)",
+      // a NULL argument ENDS the string; invalid code points render U+FFFD
+      "char(NULL, 65)", "char(65, NULL, 66)", "char(-5, 65)")
+  }
+
+  test("unicode returns the first character's code point") {
+    golden("unicode('A')", "unicode('€')", "unicode('')", "unicode(NULL)")
+  }
+
+  test("printf / format: the overlapping C verbs") {
+    golden("printf('%d-%s', 42, 'x')", "printf('%.2f', 1.5)", "printf('%x', 255)",
+      "printf('%05d', 42)", "format('%s=%d', 'n', 7)")
+  }
+
+  test("planner hints are identity pass-throughs") {
+    golden("likely(7)", "unlikely(0)", "likelihood(5, 0.5)", "likely('txt')")
+  }
+
+  test("unixepoch: INTEGER epoch seconds, family modifiers apply") {
+    golden("unixepoch('2024-01-01 00:00:00')", "unixepoch('1970-01-01')",
+      "unixepoch('2024-01-01', '+1 day')", "unixepoch('not a date')")
+  }
+
+  test("zeroblob / randomblob") {
+    golden("hex(zeroblob(3))", "hex(zeroblob(0))")
+    val r = SqliteDialect.sql(sess,
+      "SELECT length(randomblob(16)) AS n, randomblob(4) = randomblob(4) AS eq")
+      .collect()(0)
+    assert(r.get(0).toString.toLong == 16L)
+  }
+}
