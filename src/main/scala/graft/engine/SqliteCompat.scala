@@ -323,6 +323,16 @@ object SqliteCompat {
         "json_extract supports (json, path); multi-path form is not supported")
       GetJsonObject(exprs(0), exprs(1))
     }
+    // the -> / ->> operators arrive as these calls via the dialect's
+    // textual rewrite (SqliteDialect.rewriteJsonArrows)
+    fn("json_arrow") { exprs =>
+      require(exprs.length == 2, "json_arrow takes (json, path)")
+      SqliteJsonArrow(Cast(exprs(0), StringType), exprs(1), sqlValue = false)
+    }
+    fn("json_arrow_text") { exprs =>
+      require(exprs.length == 2, "json_arrow_text takes (json, path)")
+      SqliteJsonArrow(Cast(exprs(0), StringType), exprs(1), sqlValue = true)
+    }
     fn("json_array")(exprs => SqliteJsonRender(exprs, obj = false))
     fn("json_object") { exprs =>
       require(exprs.length % 2 == 0, "json_object requires label/value pairs")

@@ -79,15 +79,41 @@ object SqliteDialect {
     * re-quote string literals into Spark's escape convention LAST. The
     * output is what the parser sees — expression Origins index into it. */
   def prepareText(stmt: String): String =
-    rewriteStringLiterals(rewriteGlob(rewriteCollate(stmt)))
+    rewriteStringLiterals(rewriteCastTypes(rewriteJsonArrows(rewriteGlob(rewriteCollate(stmt)))))
 
   // ------------------------------------------------------ plan rewrite
 
   def rewriteParsed(plan: LogicalPlan, sqlText: Option[String] = None): LogicalPlan =
-    plan transformAllExpressions rewriteRule(sqlText)
+    (plan transformAllExpressions castRule) transformAllExpressions rewriteRule(sqlText)
 
   def rewriteExpr(e: Expression, sqlText: Option[String] = None): Expression =
-    e transform rewriteRule(sqlText)
+    (e transform castRule) transform rewriteRule(sqlText)
+
+  /** SQLite CAST semantics for every cast the USER wrote. Runs as a
+    * separate pass BEFORE [[rewriteRule]]: at that point the parsed
+    * tree contains only user-written casts, while rewriteRule itself
+    * introduces text-affinity Casts (the nocase-LIKE wrap and its
+    * pushable prefilter) that must stay native Spark casts — a
+    * CodegenFallback SqliteCast there would break the parquet pushdown
+    * PlanSpec pins. Only affinity-expressible targets rewrite;
+    * Spark-only targets (maps, arrays) keep Spark behavior. */
+  private def castRule: PartialFunction[Expression, Expression] = {
+    case c: Cast if castAffinity(c.dataType).isDefined =>
+      SqliteCast(c.child transform castRule, castAffinity(c.dataType).get)
+    case s: SubqueryExpression =>
+      s.withNewPlan(s.plan transformAllExpressions castRule)
+  }
+
+  private def castAffinity(dt: org.apache.spark.sql.types.DataType): Option[String] = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.BooleanType => Some("integer")
+    case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+         _: org.apache.spark.sql.types.DecimalType => Some("real")
+    case StringType => Some("text")
+    case org.apache.spark.sql.types.BinaryType => Some("blob")
+    case _ => None
+  }
 
   /** SQLite LIKE without an ESCAPE clause has NO escape character — a
     * backslash in the pattern is a literal backslash, where Spark's
@@ -454,5 +480,188 @@ object SqliteDialect {
           sql.substring(toks(rhsEnd - 1).end)
         rewriteGlob(rewritten) // handle further GLOBs
     }
+  }
+
+  // --------------------------------------------- CAST type-name rewrite
+
+  /** SQLite accepts ANY type name in CAST and derives an affinity from
+    * it by the column-declaration rules (datatype3.html §3.1) — `CAST(x
+    * AS TEXT)`, `AS VARCHAR(4)`, `AS UNSIGNED BIG INT` are all valid
+    * where Spark's parser rejects most of them (and parses `INT` as
+    * 32-bit where SQLite's INTEGER is 64). The type-name span inside
+    * each CAST rewrites to the canonical Spark name of its affinity;
+    * [[castRule]] then swaps the parsed Cast for SQLite semantics. */
+  def rewriteCastTypes(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i + 1 < toks.length) {
+      if (toks(i).lower == "cast" && toks(i + 1).text == "(") {
+        val close = matchParen(toks, i + 1)
+        if (close > 0) {
+          // last top-level AS inside this cast's parens
+          var depth = 0
+          var asIdx = -1
+          var j = i + 2
+          while (j < close) {
+            toks(j).text match {
+              case "(" => depth += 1
+              case ")" => depth -= 1
+              case _ if depth == 0 && toks(j).lower == "as" => asIdx = j
+              case _ => ()
+            }
+            j += 1
+          }
+          if (asIdx > 0 && asIdx + 1 < close) {
+            val typeText = sql.substring(toks(asIdx + 1).start, toks(close - 1).end)
+            // already-canonical names terminate the recursion: STRING and
+            // BINARY are Spark-only names the affinity rules don't know
+            // (STRING would read as NUMERIC affinity and loop to DOUBLE)
+            val canonicalSet = Set("BIGINT", "DOUBLE", "BINARY", "STRING")
+            val canonical =
+              if (canonicalSet.contains(typeText.toUpperCase(Locale.ROOT))) typeText
+              else SqliteDdl.affinity(typeText) match {
+                case org.apache.spark.sql.types.LongType => "BIGINT"
+                case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+                case org.apache.spark.sql.types.BinaryType => "BINARY"
+                case _ => "STRING"
+              }
+            if (!typeText.equalsIgnoreCase(canonical)) {
+              val rewritten = sql.substring(0, toks(asIdx + 1).start) + canonical +
+                sql.substring(toks(close - 1).end)
+              return rewriteCastTypes(rewritten)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  // --------------------------------------------- JSON -> / ->> rewrite
+
+  /** SQLite's json1 member operators (`j -> path` = JSON form, `j ->>
+    * path` = SQL value; sqlite.org/json1.html §operators). Spark's
+    * parser has no such operators (its `->` exists only as lambda
+    * syntax inside higher-order builtins, which the SQLite surface
+    * never produces), so they rewrite textually to the registered
+    * `json_arrow` / `json_arrow_text` functions. Unlike GLOB's
+    * equality-tier scan, operands here are ONE primary expression per
+    * side — the arrows bind at SQLite's tightest binary tier, so
+    * `j ->> 'a' + 1` must become `json_arrow_text(j,'a') + 1`, not
+    * swallow the arithmetic. Left-assoc chains resolve by recursion:
+    * the leftmost arrow rewrites first and becomes the next one's
+    * call-form LHS. */
+  def rewriteJsonArrows(sql: String): String = {
+    val toks = tokenize(sql)
+    var found = -1
+    var isText = false
+    var i = 0
+    while (found < 0 && i + 1 < toks.length) {
+      if (toks(i).text == "-" && toks(i + 1).text == ">" &&
+          toks(i).end == toks(i + 1).start && i > 0 && operandEnd(toks(i - 1))) {
+        found = i
+        isText = i + 2 < toks.length && toks(i + 2).text == ">" &&
+          toks(i + 1).end == toks(i + 2).start
+      }
+      i += 1
+    }
+    if (found < 0) return sql
+    val opEndTok = found + (if (isText) 3 else 2)
+    val rhsEnd = primaryEndAfter(toks, opEndTok)
+    val lhsStart = primaryStartBefore(toks, found)
+    // unlocatable operands: leave the text alone — the parser's own
+    // error beats corrupting the statement (same contract as GLOB)
+    if (lhsStart < 0 || rhsEnd < 0) return sql
+    val lhs = sql.substring(toks(lhsStart).start, toks(found - 1).end)
+    val rhs = sql.substring(toks(opEndTok).start, toks(rhsEnd).end)
+    val fn = if (isText) "json_arrow_text" else "json_arrow"
+    val rewritten = sql.substring(0, toks(lhsStart).start) + s"$fn($lhs, $rhs)" +
+      sql.substring(toks(rhsEnd).end)
+    rewriteJsonArrows(rewritten)
+  }
+
+  /** Index of the LAST token of the primary expression starting at
+    * `start`: a literal / signed number, a (dot-qualified) column, a
+    * function call, or a parenthesized group. -1 when nothing usable
+    * starts there. */
+  private def primaryEndAfter(toks: Vector[Tok], start: Int): Int = {
+    if (start >= toks.length) return -1
+    var j = start
+    val t = toks(j)
+    val c = t.text.charAt(0)
+    if (t.text == "+" || t.text == "-") {
+      return if (j + 1 < toks.length && toks(j + 1).text.head.isDigit) j + 1 else -1
+    }
+    if (c == '\'' || c == '"' || c == '`' || c.isDigit) return j
+    if (c == '(') return matchParen(toks, j)
+    if ((c.isLetter || c == '_') && !boundaryWords.contains(t.lower)) {
+      while (j + 2 < toks.length && toks(j + 1).text == "." && {
+        val n = toks(j + 2).text.charAt(0)
+        n.isLetter || n == '_' || n == '`' || n == '"'
+      }) j += 2
+      if (j + 1 < toks.length && toks(j + 1).text == "(") return matchParen(toks, j + 1)
+      return j
+    }
+    -1
+  }
+
+  /** Index of the FIRST token of the primary expression whose last token
+    * is `end - 1`; -1 when nothing usable ends there. */
+  private def primaryStartBefore(toks: Vector[Tok], end: Int): Int = {
+    val last = end - 1
+    if (last < 0) return -1
+    val t = toks(last)
+    val c = t.text.charAt(0)
+    if (c == ')') {
+      val open = matchParenBack(toks, last)
+      if (open < 0) return -1
+      var k = open
+      // call form: (possibly dot-qualified) name right before '('
+      if (k > 0 && { val p = toks(k - 1).text.charAt(0); p.isLetter || p == '_' } &&
+          !boundaryWords.contains(toks(k - 1).lower)) {
+        k -= 1
+        while (k > 1 && toks(k - 1).text == "." && {
+          val p = toks(k - 2).text.charAt(0); p.isLetter || p == '_'
+        }) k -= 2
+      }
+      return k
+    }
+    if (c == '\'' || c == '"' || c == '`' || c.isDigit ||
+        ((c.isLetter || c == '_') && !boundaryWords.contains(t.lower))) {
+      var k = last
+      while (k > 1 && toks(k - 1).text == "." && {
+        val p = toks(k - 2).text.charAt(0)
+        p.isLetter || p == '_' || p == '`' || p == '"'
+      }) k -= 2
+      return k
+    }
+    -1
+  }
+
+  private def matchParen(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0; var j = open
+    while (j < toks.length) {
+      toks(j).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1; if (depth == 0) return j
+        case _ => ()
+      }
+      j += 1
+    }
+    -1
+  }
+
+  private def matchParenBack(toks: Vector[Tok], close: Int): Int = {
+    var depth = 0; var j = close
+    while (j >= 0) {
+      toks(j).text match {
+        case ")" => depth += 1
+        case "(" => depth -= 1; if (depth == 0) return j
+        case _ => ()
+      }
+      j -= 1
+    }
+    -1
   }
 }

@@ -558,3 +558,207 @@ case class DecimalNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): DecimalNormalize =
     copy(child = newChild)
 }
+
+/** SQLite's json1 member operators (sqlite.org/json1.html §operators):
+  * `j -> path` answers the JSON representation of the selected node
+  * (strings stay quoted, JSON null is the text 'null'); `j ->> path`
+  * answers the SQL value (strings unquoted, true/false as 1/0, JSON
+  * null as SQL NULL; objects/arrays stay JSON text). Paths accept the
+  * full `$`-form (`$.a."quoted key"[2]`) plus the operator shorthands —
+  * a bare key or a bare array index. Documented deviations, matching
+  * the engine-wide `json_extract` contract: scalars come back with
+  * TEXT affinity (SQLite types them), and malformed JSON answers NULL
+  * where SQLite raises. */
+case class SqliteJsonArrow(json: Expression, path: Expression, sqlValue: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = json
+  override def right: Expression = path
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (sqlValue) "json_arrow_text" else "json_arrow"
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def eval(input: InternalRow): Any = {
+    val j = json.eval(input)
+    val p = path.eval(input)
+    if (j == null || p == null) return null
+    val node =
+      try mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => return null }
+    val steps = SqliteJsonArrow.parsePath(p match {
+      case s: UTF8String => s.toString
+      case n: Number => n.longValue().toString
+      case other => other.toString
+    })
+    if (steps == null) return null
+    var cur = node
+    steps.foreach {
+      case Left(key) =>
+        if (cur == null || !cur.isObject) return null
+        cur = cur.get(key) // null when absent
+      case Right(idx) =>
+        if (cur == null || !cur.isArray || idx < 0 || idx >= cur.size()) return null
+        cur = cur.get(idx)
+    }
+    if (cur == null) return null
+    if (!sqlValue) UTF8String.fromString(mapper.writeValueAsString(cur))
+    else if (cur.isNull) null
+    else if (cur.isTextual) UTF8String.fromString(cur.asText())
+    else if (cur.isBoolean) UTF8String.fromString(if (cur.asBoolean()) "1" else "0")
+    else if (cur.isNumber) UTF8String.fromString(cur.numberValue().toString)
+    else UTF8String.fromString(mapper.writeValueAsString(cur))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqliteJsonArrow =
+    copy(json = newLeft, path = newRight)
+}
+
+object SqliteJsonArrow {
+  /** `$`-path → object-key / array-index steps; the operator shorthands
+    * (bare key, bare integer index) normalize first. `null` = bad path. */
+  private[engine] def parsePath(raw: String): Seq[Either[String, Int]] = {
+    val p = raw.trim
+    val full =
+      if (p.startsWith("$")) p
+      else if (p.matches("[-+]?\\d+")) s"$$[$p]" // bare index shorthand
+      else s"$$.$p" // bare key shorthand
+    val steps = Seq.newBuilder[Either[String, Int]]
+    var i = 1 // past '$'
+    while (i < full.length) {
+      full.charAt(i) match {
+        case '.' =>
+          i += 1
+          if (i >= full.length) return null
+          if (full.charAt(i) == '"') {
+            val close = full.indexOf('"', i + 1)
+            if (close < 0) return null
+            steps += Left(full.substring(i + 1, close))
+            i = close + 1
+          } else {
+            val start = i
+            while (i < full.length && full.charAt(i) != '.' && full.charAt(i) != '[') i += 1
+            if (i == start) return null
+            steps += Left(full.substring(start, i))
+          }
+        case '[' =>
+          val close = full.indexOf(']', i)
+          if (close < 0) return null
+          val idx = full.substring(i + 1, close).trim
+          if (!idx.matches("\\d+")) return null // [#-n] from-end form unsupported
+          steps += Right(idx.toInt)
+          i = close + 1
+        case _ => return null
+      }
+    }
+    steps.result()
+  }
+}
+
+/** SQLite CAST semantics (datatype3.html §4 "CAST expressions"): the
+  * target is an AFFINITY, and text→numeric conversion parses the
+  * LONGEST NUMERIC PREFIX, defaulting to 0 — `CAST('12abc' AS
+  * INTEGER)` is 12 and `CAST('abc' AS INTEGER)` is 0 where Spark's
+  * cast answers NULL. INTEGER is 64-bit with out-of-range reals
+  * CLAMPED to ±2^63-1 (Spark's INT is 32-bit and overflow is
+  * NULL/error); reals truncate toward zero. NUMERIC maps to real here
+  * (static typing can't express SQLite's integer-when-lossless rule —
+  * documented deviation, `CAST('5' AS NUMERIC)` is 5.0 not 5). */
+case class SqliteCast(child: Expression, affinity: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = affinity match {
+    case "integer" => LongType
+    case "real" => DoubleType
+    case "blob" => BinaryType
+    case _ => StringType
+  }
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = s"sqlite_cast_$affinity"
+
+  private def asText(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case b: Boolean => if (b) "1" else "0"
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble.toString
+    case other => other.toString
+  }
+
+  // date/timestamp children arrive as Spark's INTERNAL encodings (days /
+  // micros since epoch); SQLite knows only their TEXT form, so they
+  // normalize to it before any affinity rule applies
+  private lazy val childIsDate = child.dataType == DateType
+  private lazy val childIsTimestamp = child.dataType == TimestampType ||
+    child.dataType == TimestampNTZType
+  private def temporalText(v: Any): String =
+    if (childIsDate)
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString
+    else {
+      val micros = v.asInstanceOf[Number].longValue()
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+        f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      if (ldt.getNano == 0) base
+      else base + "." + f"${ldt.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+    }
+
+  private val intPrefixRe = "^\\s*([-+]?\\d+)".r
+  private val realPrefixRe = "^\\s*([-+]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][-+]?\\d+)?)".r
+
+  private def clampToLong(d: Double): Long =
+    if (d.isNaN) 0L
+    else if (d >= Long.MaxValue.toDouble) Long.MaxValue
+    else if (d <= Long.MinValue.toDouble) Long.MinValue
+    else d.toLong // truncates toward zero
+
+  private def textToLong(s: String): Long =
+    intPrefixRe.findFirstMatchIn(s).map { m =>
+      val digits = m.group(1)
+      try digits.toLong
+      catch { // out-of-range integer literal clamps like a real would
+        case _: NumberFormatException =>
+          if (digits.trim.startsWith("-")) Long.MinValue else Long.MaxValue
+      }
+    }.getOrElse(0L)
+
+  private def textToDouble(s: String): Double =
+    realPrefixRe.findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(0.0)
+
+  override def eval(input: InternalRow): Any = {
+    val v0 = child.eval(input)
+    if (v0 == null) return null
+    val v: Any =
+      if (childIsDate || childIsTimestamp) UTF8String.fromString(temporalText(v0))
+      else v0
+    affinity match {
+      case "integer" => v match {
+        case n: java.lang.Long => n.longValue()
+        case n: java.lang.Integer => n.longValue()
+        case n: java.lang.Short => n.longValue()
+        case n: java.lang.Byte => n.longValue()
+        case b: java.lang.Boolean => if (b) 1L else 0L
+        case d: java.lang.Double => clampToLong(d)
+        case f: java.lang.Float => clampToLong(f.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => clampToLong(d.toDouble)
+        case other => textToLong(asText(other))
+      }
+      case "real" => v match {
+        case n: Number => n.doubleValue()
+        case b: java.lang.Boolean => if (b) 1.0 else 0.0
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => textToDouble(asText(other))
+      }
+      case "blob" => v match {
+        case b: Array[Byte] => b
+        case other => asText(other).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      case _ => UTF8String.fromString(asText(v))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteCast =
+    copy(child = newChild)
+}

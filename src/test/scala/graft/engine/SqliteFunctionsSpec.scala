@@ -88,6 +88,63 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       "unixepoch('2024-01-01', '+1 day')", "unixepoch('not a date')")
   }
 
+  test("json -> operator: JSON representation of the node (sqlite3 differential)") {
+    golden(
+      """'{"a":"x"}' -> '$.a'""", // strings stay JSON-quoted
+      """'{"a":"x"}' -> 'a'""", // bare-key shorthand
+      """'{"z":null}' -> '$.z'""", // JSON null is the TEXT 'null'
+      """'{"a":1}' -> '$.missing'""", // absent → SQL NULL
+      """'[10,20]' -> 1""", // bare-index shorthand
+      """'[10,20]' -> 5""", // out of range → SQL NULL
+      """'{"o":{"k":1}}' -> '$.o'""", // objects stay JSON
+      """'{"a":"x"}' -> '$.a' ->> '$'""") // left-assoc chain
+  }
+
+  test("json ->> operator: SQL value of the node (sqlite3 differential)") {
+    // scalar results carry TEXT affinity here (the engine-wide
+    // json_extract deviation) while sqlite3 types them — CAST both
+    // sides to TEXT so the VALUES are compared
+    def goldenText(exprs: String*): Unit =
+      exprs.foreach(e => golden(s"CAST(($e) AS TEXT)"))
+    goldenText(
+      """'{"a":"x"}' ->> '$.a'""", // unquoted text
+      """'{"n":5}' ->> '$.n'""",
+      """'{"f":2.5}' ->> '$.f'""",
+      """'{"b":true}' ->> '$.b'""", // 1
+      """'{"o":{"k":1}}' ->> '$.o'""", // objects stay JSON text
+      """'[10,20]' ->> 1""",
+      """'{"a":{"b":[1,2,{"c":9}]}}' ->> '$.a.b[2].c'""", // deep path
+      """'{"with space":3}' ->> '$."with space"'""")
+    // JSON null and absent keys are SQL NULL (typed compare is safe)
+    golden("""'{"z":null}' ->> '$.z'""", """'{"a":1}' ->> '$.nope'""")
+  }
+
+  test("arrows bind tighter than arithmetic and comparisons") {
+    // '$.n' extracts 5; +1 must apply OUTSIDE the arrow
+    val r = SqliteDialect.sql(sess,
+      """SELECT '{"n":5}' ->> '$.n' + 1 AS a, ('{"n":5}' ->> 'n') = 5 AS b""")
+      .collect()(0)
+    assert(r.get(0).toString.toDouble == 6.0)
+    assert(r.getBoolean(1))
+  }
+
+  test("CAST carries SQLite affinity semantics (sqlite3 differential)") {
+    golden(
+      // text → integer parses the longest integer prefix, default 0
+      "CAST('12abc' AS INTEGER)", "CAST('abc' AS INTEGER)",
+      "CAST('12.9' AS INTEGER)", "CAST('1e2' AS INTEGER)", "CAST(' -7x' AS INT)",
+      // real → integer truncates toward zero; out of range CLAMPS
+      "CAST(2.9 AS INTEGER)", "CAST(-2.9 AS INTEGER)", "CAST(1e99 AS INTEGER)",
+      "CAST('9223372036854775808' AS INTEGER)",
+      // text → real parses the longest real prefix, default 0.0
+      "CAST('2.5x' AS REAL)", "CAST('abc' AS REAL)", "CAST('1e2' AS REAL)",
+      // renders and blob round trips
+      "CAST(5 AS TEXT)", "CAST(2.5 AS TEXT)", "CAST(2.0 AS TEXT)",
+      "CAST('ab' AS BLOB)", "CAST(5 AS BLOB)",
+      // arbitrary type names derive affinity like column declarations
+      "CAST('4x' AS VARCHAR(2))", "CAST('12abc' AS UNSIGNED BIG INT)")
+  }
+
   test("zeroblob / randomblob") {
     golden("hex(zeroblob(3))", "hex(zeroblob(0))")
     val r = SqliteDialect.sql(sess,
