@@ -809,10 +809,7 @@ object SparkEntry {
       script.append("COMMIT;\n")
       val tmp = java.nio.file.Files.createTempDirectory("graft-q53")
       val db = tmp.resolve("docs.sqlite")
-      val in = new java.io.ByteArrayInputStream(
-        script.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      import scala.sys.process._
-      val rc = (Seq("sqlite3", db.toString) #< in).!
+      val rc = graft.engine.SqliteCli.run(db.toString, script.toString)
       require(rc == 0, s"sqlite3 exited $rc")
       val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
       val eng = new graft.engine.TroughEngine(s, store, new graft.engine.SchemaRegistry)
@@ -888,9 +885,7 @@ object SparkEntry {
             .append(s".shell cp \"$live\" \"$snap\"\n")
             .append(s".shell cp \"$live-journal\" \"$snap-journal\"\n")
             .append("ROLLBACK;\n")
-        val in = new java.io.ByteArrayInputStream(
-          script.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val rc = (Seq("sqlite3", live.toString) #< in).!
+        val rc = graft.engine.SqliteCli.run(live.toString, script.toString)
         require(rc == 0, s"sqlite3 exited $rc for shard $k")
         s"q56seg$k" -> snap.toString
       }.toMap

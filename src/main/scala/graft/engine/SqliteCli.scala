@@ -1,0 +1,49 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.sys.process._
+
+/** Runs the sandbox `sqlite3` CLI with both ends of the pipe going
+  * through temp FILES, for two reasons learned the hard way:
+  *
+  *  - **argv / ProcessLogger re-encode with the platform charset**
+  *    (ASCII in this container), silently mangling non-ASCII SQL or
+  *    output before SQLite ever sees it;
+  *  - **a stream `#<` pumps stdin on a daemon thread that `.!` does
+  *    not reliably join**, so under load sqlite3 can observe early
+  *    EOF and exit 0 having executed nothing (observed flake). File
+  *    redirects are native `ProcessBuilder` redirects — no pump
+  *    thread, no charset hop.
+  *
+  * Test fixtures and the q53/q56 fixture builders share this so the
+  * race is fixed in one place.
+  */
+object SqliteCli {
+
+  /** Execute `sql` against `db` (a path, or ":memory:"); returns the
+    * exit code. stdout is discarded unless `stdout` is given. */
+  def run(db: String, sql: String, stdout: Option[Path] = None): Int = {
+    val in = Files.createTempFile("sqlite-cli-in", ".sql")
+    try {
+      Files.write(in, sql.getBytes(StandardCharsets.UTF_8))
+      val base = Seq("sqlite3", db) #< in.toFile
+      stdout match {
+        case Some(out) => (base #> out.toFile).!
+        case None => (base #> new java.io.ByteArrayOutputStream()).!
+      }
+    } finally Files.deleteIfExists(in)
+  }
+
+  /** Execute `sql` against `db` and return trimmed stdout decoded as
+    * UTF-8; asserts exit code 0. */
+  def query(db: String, sql: String): String = {
+    val out = Files.createTempFile("sqlite-cli-out", ".txt")
+    try {
+      val rc = run(db, sql, Some(out))
+      require(rc == 0, s"sqlite3 exited $rc for: $sql")
+      new String(Files.readAllBytes(out), StandardCharsets.UTF_8).trim
+    } finally Files.deleteIfExists(out)
+  }
+}

@@ -3,7 +3,7 @@ package graft.engine
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, ConcatWs, Expression, FormatString, GetJsonObject, Greatest, If, IsNull, Least, Literal, Log10, Logarithm, Or}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Concat, ConcatWs, Expression, FormatString, GetJsonObject, Greatest, If, IsNull, Least, Literal, Log10, Logarithm, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, Max, Min, Sum}
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
@@ -332,6 +332,56 @@ object SqliteCompat {
     fn("json_arrow_text") { exprs =>
       require(exprs.length == 2, "json_arrow_text takes (json, path)")
       SqliteJsonArrow(Cast(exprs(0), StringType), exprs(1), sqlValue = true)
+    }
+    // json1 modification + interrogation family (Jackson-backed; every
+    // behavior sqlite3-differential golden-tested in SqliteFunctionsSpec)
+    Seq("set", "insert", "replace").foreach { m =>
+      fn(s"json_$m") { exprs =>
+        require(exprs.length >= 3 && exprs.length % 2 == 1,
+          s"json_$m takes (json, path, value, ...)")
+        SqliteJsonModify(Cast(exprs.head, StringType) +: exprs.tail, m)
+      }
+    }
+    fn("json_remove") { exprs =>
+      require(exprs.length >= 2, "json_remove takes (json, path, ...)")
+      SqliteJsonModify(Cast(exprs.head, StringType) +: exprs.tail, "remove")
+    }
+    fn("json_type") { exprs =>
+      require(exprs.length == 1 || exprs.length == 2, "json_type takes (json[, path])")
+      SqliteJsonInfo(Cast(exprs.head, StringType) +: exprs.tail, "type")
+    }
+    fn("json_valid") { exprs =>
+      require(exprs.length == 1, "json_valid takes exactly 1 argument")
+      SqliteJsonInfo(Seq(Cast(exprs.head, StringType)), "valid")
+    }
+    fn("json_array_length") { exprs =>
+      require(exprs.length == 1 || exprs.length == 2,
+        "json_array_length takes (json[, path])")
+      SqliteJsonInfo(Cast(exprs.head, StringType) +: exprs.tail, "array_length")
+    }
+    fn("json_quote") { exprs =>
+      require(exprs.length == 1, "json_quote takes exactly 1 argument")
+      SqliteJsonQuote(exprs.head)
+    }
+    // aggregates: build on json_quote's null-safety ('null' TEXT, never
+    // SQL NULL — CollectList silently drops SQL NULLs, json1 keeps them)
+    fn("json_group_array") { exprs =>
+      require(exprs.length == 1, "json_group_array takes exactly 1 argument")
+      Concat(Seq(Literal("["),
+        org.apache.spark.sql.catalyst.expressions.ArrayJoin(
+          CollectList(SqliteJsonQuote(exprs.head)).toAggregateExpression(),
+          Literal(","), None),
+        Literal("]")))
+    }
+    fn("json_group_object") { exprs =>
+      require(exprs.length == 2, "json_group_object takes (name, value)")
+      val pair = Concat(Seq(
+        SqliteJsonQuote(Cast(exprs.head, StringType)), Literal(":"),
+        SqliteJsonQuote(exprs(1))))
+      Concat(Seq(Literal("{"),
+        org.apache.spark.sql.catalyst.expressions.ArrayJoin(
+          CollectList(pair).toAggregateExpression(), Literal(","), None),
+        Literal("}")))
     }
     fn("json_array")(exprs => SqliteJsonRender(exprs, obj = false))
     fn("json_object") { exprs =>

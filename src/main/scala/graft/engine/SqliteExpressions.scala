@@ -762,3 +762,202 @@ case class SqliteCast(child: Expression, affinity: String)
   override protected def withNewChildInternal(newChild: Expression): SqliteCast =
     copy(child = newChild)
 }
+
+/** Shared helpers for the json1 function family: SQL value → JSON node
+  * encoding and the `$`-path step machinery (reusing the arrow
+  * operators' parser). */
+private[engine] object SqliteJsonOps {
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Encode an evaluated SQL value as a JSON node — numbers stay
+    * numbers, strings become JSON strings (json1's rule: pass text
+    * through json() to splice JSON). */
+  def toNode(v: Any): JsonNode = v match {
+    case null => mapper.nullNode()
+    case u: UTF8String => mapper.getNodeFactory.textNode(u.toString)
+    case b: java.lang.Boolean => mapper.getNodeFactory.booleanNode(b)
+    case l: java.lang.Long => mapper.getNodeFactory.numberNode(l.longValue())
+    case i: java.lang.Integer => mapper.getNodeFactory.numberNode(i.longValue())
+    case s: java.lang.Short => mapper.getNodeFactory.numberNode(s.longValue())
+    case b: java.lang.Byte => mapper.getNodeFactory.numberNode(b.longValue())
+    case d: java.lang.Double => mapper.getNodeFactory.numberNode(d.doubleValue())
+    case f: java.lang.Float => mapper.getNodeFactory.numberNode(f.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal =>
+      mapper.getNodeFactory.numberNode(d.toDouble)
+    case other => mapper.getNodeFactory.textNode(other.toString)
+  }
+
+  /** Apply one set/insert/replace/remove at `steps` inside `root`,
+    * mutating in place. SQLite rules (json1.html): set/insert CREATE
+    * missing intermediates (object for a key step, array for an index
+    * step) and may APPEND at an array's exact end; indexes past the
+    * end and unnavigable shapes are silent no-ops. */
+  def modify(root: JsonNode, steps: Seq[Either[String, Int]],
+      value: Option[JsonNode], mode: String): Unit = {
+    if (steps.isEmpty) return // '$' itself: whole-doc ops unsupported no-op
+    var cur: JsonNode = root
+    steps.init.zipWithIndex.foreach { case (step, i) =>
+      val next: JsonNode = (step, cur) match {
+        case (Left(key), o: ObjectNode) =>
+          var c = o.get(key)
+          if (c == null || c.isNull) {
+            if (mode == "replace" || mode == "remove") return
+            c = steps(i + 1) match {
+              case Left(_) => mapper.createObjectNode()
+              case Right(_) => mapper.createArrayNode()
+            }
+            o.set[com.fasterxml.jackson.databind.JsonNode](key, c)
+          }
+          c
+        case (Right(idx), a: ArrayNode) if idx >= 0 && idx < a.size() => a.get(idx)
+        case _ => return // unnavigable: silent no-op, as sqlite3
+      }
+      cur = next
+    }
+    (steps.last, cur) match {
+      case (Left(key), o: ObjectNode) => mode match {
+        case "set" =>
+          value.foreach(o.set[com.fasterxml.jackson.databind.JsonNode](key, _))
+        case "insert" => if (!o.has(key))
+          value.foreach(o.set[com.fasterxml.jackson.databind.JsonNode](key, _))
+        case "replace" => if (o.has(key))
+          value.foreach(o.set[com.fasterxml.jackson.databind.JsonNode](key, _))
+        case "remove" => o.remove(key)
+      }
+      case (Right(idx), a: ArrayNode) => mode match {
+        case "set" =>
+          if (idx >= 0 && idx < a.size()) value.foreach(a.set(idx, _))
+          else if (idx == a.size()) value.foreach(a.add) // append at end
+        case "insert" =>
+          if (idx == a.size()) value.foreach(a.add)
+        case "replace" =>
+          if (idx >= 0 && idx < a.size()) value.foreach(a.set(idx, _))
+        case "remove" =>
+          if (idx >= 0 && idx < a.size()) a.remove(idx)
+      }
+      case _ => ()
+    }
+  }
+}
+
+/** json1's `json_set` / `json_insert` / `json_replace` / `json_remove`
+  * (sqlite.org/json1.html): variadic (json, path[, value]…) — set
+  * overwrites or creates, insert only creates, replace only
+  * overwrites; remove takes paths only. Missing intermediates are
+  * created by set/insert (object or array per the next step), silent
+  * no-ops otherwise — all sqlite3-differential golden-tested.
+  * Malformed JSON answers NULL (engine-wide deviation; SQLite
+  * raises). */
+case class SqliteJsonModify(children: Seq[Expression], mode: String)
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"json_$mode"
+
+  override def eval(input: InternalRow): Any = {
+    val j = children.head.eval(input)
+    if (j == null) return null
+    val root =
+      try SqliteJsonOps.mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => return null }
+    val args = children.tail
+    val step = if (mode == "remove") 1 else 2
+    var i = 0
+    while (i < args.length) {
+      val p = args(i).eval(input)
+      if (p == null) return null
+      val steps = SqliteJsonArrow.parsePath(p match {
+        case s: UTF8String => s.toString
+        case other => other.toString
+      })
+      if (steps == null) return null
+      val value =
+        if (mode == "remove") None
+        else Some(SqliteJsonOps.toNode(args(i + 1).eval(input)))
+      SqliteJsonOps.modify(root, steps, value, mode)
+      i += step
+    }
+    UTF8String.fromString(SqliteJsonOps.mapper.writeValueAsString(root))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteJsonModify =
+    copy(children = newChildren)
+}
+
+/** json1's interrogation scalars: `json_type([, path])` (the node's
+  * JSON type name — 'true'/'false' are their own types), `json_valid`,
+  * `json_array_length([, path])` (0 for non-arrays, NULL for a missing
+  * path). */
+case class SqliteJsonInfo(children: Seq[Expression], mode: String)
+    extends Expression with CodegenFallback {
+  override def dataType: DataType =
+    if (mode == "type") StringType else LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"json_$mode"
+
+  override def eval(input: InternalRow): Any = {
+    val j = children.head.eval(input)
+    if (j == null) return null
+    val parsed =
+      try Some(SqliteJsonOps.mapper.readTree(j.asInstanceOf[UTF8String].toString))
+      catch { case _: Exception => None }
+    if (mode == "valid") return if (parsed.isDefined) 1L else 0L
+    val root = parsed.getOrElse(return null)
+    val node =
+      if (children.length == 1) root
+      else {
+        val p = children(1).eval(input)
+        if (p == null) return null
+        val steps = SqliteJsonArrow.parsePath(p.toString)
+        if (steps == null) return null
+        var cur: com.fasterxml.jackson.databind.JsonNode = root
+        steps.foreach {
+          case Left(key) =>
+            if (cur == null || !cur.isObject) return null
+            cur = cur.get(key)
+          case Right(idx) =>
+            if (cur == null || !cur.isArray || idx < 0 || idx >= cur.size()) return null
+            cur = cur.get(idx)
+        }
+        if (cur == null) return null
+        cur
+      }
+    mode match {
+      case "type" => UTF8String.fromString(
+        if (node.isNull) "null"
+        else if (node.isBoolean) { if (node.asBoolean()) "true" else "false" }
+        else if (node.isIntegralNumber) "integer"
+        else if (node.isNumber) "real"
+        else if (node.isTextual) "text"
+        else if (node.isArray) "array"
+        else "object")
+      case _ => if (node.isArray) node.size().toLong else 0L // array_length
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteJsonInfo =
+    copy(children = newChildren)
+}
+
+/** json1's `json_quote`: the JSON text form of an SQL value — numbers
+  * pass through, strings JSON-escape, NULL is the text 'null' (never
+  * SQL NULL, which makes this the null-safe kernel the
+  * `json_group_array`/`json_group_object` aggregates build on:
+  * CollectList drops SQL NULLs, 'null' text survives). */
+case class SqliteJsonQuote(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_quote"
+
+  override def eval(input: InternalRow): Any = UTF8String.fromString(
+    SqliteJsonOps.mapper.writeValueAsString(SqliteJsonOps.toNode(child.eval(input))))
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteJsonQuote =
+    copy(child = newChild)
+}

@@ -25,9 +25,7 @@ class BulkIngestSpec extends SparkSpecBase {
 
   private def makeDb(dir: Path, name: String, sql: String): Path = {
     val db = dir.resolve(s"$name.sqlite")
-    val in = new java.io.ByteArrayInputStream(
-      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val rc = (Seq("sqlite3", db.toString) #< in).!
+    val rc = SqliteCli.run(db.toString, sql)
     assert(rc == 0, s"sqlite3 exited $rc for $name")
     db
   }
@@ -89,9 +87,7 @@ class BulkIngestSpec extends SparkSpecBase {
            |.shell cp "$live" "$snap"
            |.shell cp "$live-wal" "$snap-wal"
            |""".stripMargin
-      val in = new java.io.ByteArrayInputStream(
-        script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      assert((Seq("sqlite3", live.toString) #< in).! == 0)
+      assert(SqliteCli.run(live.toString, script) == 0)
       snap
     }
 

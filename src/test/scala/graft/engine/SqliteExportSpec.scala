@@ -25,10 +25,10 @@ class SqliteExportSpec extends SparkSpecBase {
     * non-ASCII values. */
   private def sqlite3(db: Path, sql: String): Seq[String] = {
     val outF = Files.createTempFile("sqlite-out", ".txt")
-    val in = new java.io.ByteArrayInputStream(
-      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val inF = Files.createTempFile("sqlite-in", ".sql")
+    Files.write(inF, sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val err = new StringBuilder
-    val rc = ((Seq("sqlite3", db.toString) #< in) #> outF.toFile)
+    val rc = ((Seq("sqlite3", db.toString) #< inF.toFile) #> outF.toFile)
       .!(ProcessLogger(_ => (), l => { err ++= l; err += '\n' }))
     assert(rc == 0 && err.isEmpty, s"sqlite3 rc=$rc stderr=$err")
     new String(Files.readAllBytes(outF), java.nio.charset.StandardCharsets.UTF_8)

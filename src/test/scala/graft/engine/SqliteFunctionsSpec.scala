@@ -22,16 +22,8 @@ class SqliteFunctionsSpec extends SparkSpecBase {
   /** sqlite3's own answer for `SELECT quote(<expr>);` — stdin/stdout
     * as UTF-8 BYTES (argv/pipe strings re-encode with the platform
     * charset, ASCII here, mangling non-ASCII goldens). */
-  private def sqliteGolden(expr: String): String = {
-    val sql = s"SELECT quote($expr);"
-    val in = new java.io.ByteArrayInputStream(
-      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = java.nio.file.Files.createTempFile("sqlite-golden", ".txt")
-    val rc = ((Seq("sqlite3", ":memory:") #< in) #> out.toFile).!
-    assert(rc == 0, s"sqlite3 exited $rc for: $expr")
-    new String(java.nio.file.Files.readAllBytes(out),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-  }
+  private def sqliteGolden(expr: String): String =
+    SqliteCli.query(":memory:", s"SELECT quote($expr);")
 
   private def ours(expr: String): String = {
     val r = SqliteDialect.sql(sess, s"SELECT quote($expr) AS q").collect()(0)
@@ -143,6 +135,59 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       "CAST('ab' AS BLOB)", "CAST(5 AS BLOB)",
       // arbitrary type names derive affinity like column declarations
       "CAST('4x' AS VARCHAR(2))", "CAST('12abc' AS UNSIGNED BIG INT)")
+  }
+
+  test("json_type / json_valid / json_array_length (sqlite3 differential)") {
+    golden(
+      """json_type('{"a":[1,2]}')""", """json_type('{"a":[1,2]}', '$.a')""",
+      """json_type('{"a":1.5}', '$.a')""", """json_type('{"a":true}', '$.a')""",
+      """json_type('{"a":false}', '$.a')""", """json_type('{"a":null}', '$.a')""",
+      """json_type('{"a":"t"}', '$.a')""", """json_type('5', '$')""",
+      """json_type('{"a":1}', '$.x')""", // missing → NULL
+      "json_valid('{\"a\":1}')", "json_valid('{bad')",
+      "json_array_length('[1,2,3]')", """json_array_length('{"a":[1,2]}', '$.a')""",
+      """json_array_length('{"a":1}', '$.a')""")
+  }
+
+  test("json_quote (sqlite3 differential)") {
+    golden("json_quote(5)", "json_quote(2.5)", "json_quote(NULL)",
+      """json_quote('x"y')""", "json_quote('plain')")
+  }
+
+  test("json_set / json_insert / json_replace / json_remove (sqlite3 differential)") {
+    golden(
+      """json_set('{"a":1}', '$.b', 5)""", // create
+      """json_set('{"a":1}', '$.a', 'txt')""", // overwrite, string value
+      """json_set('{"a":1}', '$.b.c', 5)""", // intermediate created
+      """json_set('[1,2]', '$[2]', 9)""", // append at exact end
+      """json_set('[1,2]', '$[7]', 9)""", // past end: no-op
+      """json_set('[1,2]', '$[0]', 9)""",
+      """json_insert('{"a":1}', '$.a', 9, '$.c', 3)""", // only-if-absent, 2 pairs
+      """json_replace('{"a":1}', '$.a', 9, '$.x', 3)""", // only-if-present
+      """json_remove('{"a":1,"b":2}', '$.a')""",
+      """json_remove('[1,2,3]', '$[1]')""", // shifts
+      """json_set('{"a":{"b":1}}', '$.a.b', 2)""")
+  }
+
+  test("json_group_array / json_group_object aggregates (sqlite3 differential)") {
+    val sqliteOut = SqliteCli.query(":memory:",
+      """CREATE TABLE t(k,v);
+        INSERT INTO t VALUES('a',1),('b',NULL),('c','x');
+        SELECT json_group_array(v) || '|' || json_group_object(k,v) FROM t;""")
+    val df = SqliteDialect.sql(sess,
+      """SELECT json_group_array(v) || '|' || json_group_object(k, v) AS r
+        |FROM VALUES ('a', 1), ('b', NULL), ('c', NULL) AS t(k, v)""".stripMargin)
+    // VALUES can't mix 1 and 'x' in one Spark column; cover the
+    // null-keeping contract (the divergence risk) against sqlite3's
+    // shape with homogeneous values
+    val ours2 = SqliteDialect.sql(sess,
+      """SELECT json_group_array(v) AS a, json_group_object(k, v) AS o
+        |FROM VALUES ('a', 1), ('b', NULL), ('c', 3) AS t(k, v)""".stripMargin)
+      .collect()(0)
+    assert(ours2.getString(0) == "[1,null,3]")
+    assert(ours2.getString(1) == """{"a":1,"b":null,"c":3}""")
+    assert(sqliteOut == """[1,null,"x"]|{"a":1,"b":null,"c":"x"}""")
+    df.collect() // exercises the mixed-null plan end to end
   }
 
   test("zeroblob / randomblob") {

@@ -25,9 +25,7 @@ class SqliteIngestSpec extends SparkSpecBase {
   private def makeDb(name: String, sql: String): Path = {
     val dir = Files.createTempDirectory("sqlite-fixture")
     val db = dir.resolve(s"$name.sqlite")
-    val in = new java.io.ByteArrayInputStream(
-      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val rc = (Seq("sqlite3", db.toString) #< in).!
+    val rc = SqliteCli.run(db.toString, sql)
     assert(rc == 0, s"sqlite3 exited $rc")
     db
   }
@@ -347,9 +345,7 @@ class SqliteIngestSpec extends SparkSpecBase {
          |.shell cp "$live" "$snap"
          |.shell cp "$live-wal" "$snap-wal"
          |""".stripMargin
-    val in = new java.io.ByteArrayInputStream(
-      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val rc = (Seq("sqlite3", live.toString) #< in).!
+    val rc = SqliteCli.run(live.toString, script)
     assert(rc == 0, s"sqlite3 exited $rc")
     assert(Files.size(snap.resolveSibling(s"$name.sqlite-wal")) > 32, "WAL empty — fixture broken")
     snap
@@ -490,9 +486,7 @@ class SqliteIngestSpec extends SparkSpecBase {
          |.shell cp "$live-journal" "$snap-journal"
          |ROLLBACK;
          |""".stripMargin
-    val in = new java.io.ByteArrayInputStream(
-      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val rc = (Seq("sqlite3", live.toString) #< in).!
+    val rc = SqliteCli.run(live.toString, script)
     assert(rc == 0, s"sqlite3 exited $rc")
     assert(Files.size(snap.resolveSibling(s"$name.sqlite-journal")) >= 28,
       "journal empty — fixture broken")
@@ -544,9 +538,7 @@ class SqliteIngestSpec extends SparkSpecBase {
          |CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);
          |INSERT INTO t VALUES (1, 'committed'), (2, 'also');
          |""".stripMargin
-    val in = new java.io.ByteArrayInputStream(
-      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    assert((Seq("sqlite3", live.toString) #< in).! == 0)
+    assert(SqliteCli.run(live.toString, script) == 0)
     val jrn = dir.resolve("persist.sqlite-journal")
     assert(Files.isRegularFile(jrn), "fixture: PERSIST should leave the journal file")
     assert(Files.readAllBytes(jrn).take(8).forall(_ == 0),

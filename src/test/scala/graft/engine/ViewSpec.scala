@@ -183,9 +183,7 @@ class ViewSpec extends SparkSpecBase {
   private def makeDb(name: String, sql: String): Path = {
     val dir = Files.createTempDirectory("sqlite-view-fixture")
     val db = dir.resolve(s"$name.sqlite")
-    val in = new java.io.ByteArrayInputStream(
-      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val rc = (Seq("sqlite3", db.toString) #< in).!
+    val rc = SqliteCli.run(db.toString, sql)
     assert(rc == 0, s"sqlite3 exited $rc")
     db
   }
