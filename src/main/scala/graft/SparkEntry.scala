@@ -928,6 +928,47 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The reference wire contract end-to-end over REAL HTTP: documents
+    // load into a provisioned segment, a SELECT goes to the read
+    // server's port as a trough client would send it, and the streamed
+    // JSON array (read.py:33-52 byte shape) parses back into rows. A
+    // hash match against the raw parquet proves the serving path —
+    // gate, segment resolution, query, JSON value rules — lossless.
+    "q58_http_read" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q58")
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
+      val eng = new graft.engine.TroughEngine(s, store, new graft.engine.SchemaRegistry)
+      store.provision("q58seg",
+        "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);")
+      store.replaceTableData("q58seg", "docs",
+        t(s, dir, "documents").select($"doc_id", $"text"))
+      val facade = new graft.server.HttpFacade(eng,
+        readPort = 0, writePort = 0, syncPort = 0).start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://localhost:${facade.boundReadPort}/?segment=q58seg"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              "SELECT doc_id, text FROM docs;"))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString(
+            java.nio.charset.StandardCharsets.UTF_8))
+        require(resp.statusCode() == 200, s"read server answered ${resp.statusCode()}")
+        val body = resp.body()
+        require(body.startsWith("[") && body.endsWith("]\n"), "not the wire shape")
+        // rows join with ",\n" and literal newlines never occur inside
+        // a JSON string (escaped), so the split is exact
+        val rows = body.stripPrefix("[").stripSuffix("]\n").split(",\n").toIndexedSeq
+          .filter(_.nonEmpty)
+        s.read
+          .schema("doc_id LONG, text STRING")
+          .json(s.createDataset(rows))
+          .orderBy($"doc_id")
+      } finally facade.stop()
+    }),
+
     // Real multimodal decode: deterministic PNGs generated per doc_id
     // (width/height/shade arithmetic in the id), decoded with
     // javax.imageio inside the per-partition batch contract. Every 97th
@@ -1465,6 +1506,10 @@ object SparkEntry {
     "q56_sqlite_ingest_distributed" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
       FROM documents ORDER BY doc_id""",
+    // the Spark side fetched its rows over real HTTP from the read
+    // server; a hash match against raw parquet proves the wire lossless
+    "q58_http_read" -> """
+      SELECT doc_id, text FROM documents ORDER BY doc_id""",
     // the Spark side answers through a VIEW that survived write-script
     // creation and a .sqlite round trip; the oracle inlines the body
     "q57_view_roundtrip" -> """
