@@ -383,6 +383,13 @@ object SqliteCompat {
           CollectList(pair).toAggregateExpression(), Literal(","), None),
         Literal("}")))
     }
+    // kernel behind the dialect's json_each FROM-clause rewrite
+    // (SqliteDialect.rewriteJsonEach); also callable directly
+    fn("json_each_entries") { exprs =>
+      require(exprs.length == 1 || exprs.length == 2,
+        "json_each takes (json[, path])")
+      SqliteJsonEachEntries(Cast(exprs.head, StringType) +: exprs.tail)
+    }
     fn("json_array")(exprs => SqliteJsonRender(exprs, obj = false))
     fn("json_object") { exprs =>
       require(exprs.length % 2 == 0, "json_object requires label/value pairs")

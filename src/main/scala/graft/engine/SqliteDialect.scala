@@ -79,7 +79,8 @@ object SqliteDialect {
     * re-quote string literals into Spark's escape convention LAST. The
     * output is what the parser sees — expression Origins index into it. */
   def prepareText(stmt: String): String =
-    rewriteStringLiterals(rewriteCastTypes(rewriteJsonArrows(rewriteGlob(rewriteCollate(stmt)))))
+    rewriteStringLiterals(rewriteCastTypes(rewriteJsonArrows(rewriteGlob(
+      rewriteCollate(rewriteJsonEach(stmt))))))
 
   // ------------------------------------------------------ plan rewrite
 
@@ -552,6 +553,66 @@ object SqliteDialect {
     * swallow the arithmetic. Left-assoc chains resolve by recursion:
     * the leftmost arrow rewrites first and becomes the next one's
     * call-form LHS. */
+  /** json1's `json_each` table-valued function in FROM clauses
+    * (sqlite.org/json1.html §4.13), re-expressed as Spark generators:
+    *
+    *  - `FROM t, json_each(E) [AS] a` → `FROM t LATERAL VIEW
+    *    inline(json_each_entries(E)) a` — the lateral view correlates
+    *    over the preceding relations exactly like SQLite's implicit
+    *    lateral join, and a NULL/empty entries array drops the row the
+    *    way the (non-outer) join does;
+    *  - `FROM json_each(E) [AS] a` (leading, necessarily uncorrelated)
+    *    → `FROM (SELECT inline(json_each_entries(E))) AS a` — subquery
+    *    form, so following comma-joined sources stay valid.
+    *
+    * The default alias is `json_each`, SQLite's own table name for the
+    * call. A comma-form rewrite whose item is followed by ANOTHER
+    * comma-joined source that is not itself a json_each call is left
+    * untouched (LATERAL VIEW cannot precede a comma) — the parser's
+    * error beats corrupting the statement, same contract as GLOB. */
+  def rewriteJsonEach(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 1
+    while (i + 1 < toks.length) {
+      val prev = toks(i - 1)
+      if (toks(i).lower == "json_each" && toks(i + 1).text == "(" &&
+          (prev.lower == "from" || prev.text == ",")) {
+        val close = matchParen(toks, i + 1)
+        if (close > 0) {
+          // optional [AS] alias after the call
+          var j = close + 1
+          if (j < toks.length && toks(j).lower == "as") j += 1
+          val alias =
+            if (j < toks.length && isAliasTok(toks(j))) Some(toks(j)) else None
+          val aliasEnd = alias.map(_ => j).getOrElse(close)
+          val aliasName = alias.map(_.text).getOrElse("json_each")
+          val args = sql.substring(toks(i + 1).end, toks(close).start)
+          def tail = sql.substring(toks(aliasEnd).end)
+          if (prev.text == ",") {
+            val next = if (aliasEnd + 1 < toks.length) Some(toks(aliasEnd + 1)) else None
+            val tailOk = !next.exists(_.text == ",") ||
+              (aliasEnd + 2 < toks.length && toks(aliasEnd + 2).lower == "json_each")
+            if (tailOk)
+              return rewriteJsonEach(sql.substring(0, prev.start) +
+                s" LATERAL VIEW inline(json_each_entries($args)) $aliasName" + tail)
+          } else {
+            return rewriteJsonEach(sql.substring(0, toks(i).start) +
+              s"(SELECT inline(json_each_entries($args))) AS $aliasName" + tail)
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Whether a token can be a table alias: an identifier-shaped or
+    * quoted word that isn't a clause keyword. */
+  private def isAliasTok(t: Tok): Boolean = {
+    val c = t.text.charAt(0)
+    (c == '`' || c == '"' || c.isLetter || c == '_') && !boundaryWords.contains(t.lower)
+  }
+
   def rewriteJsonArrows(sql: String): String = {
     val toks = tokenize(sql)
     var found = -1

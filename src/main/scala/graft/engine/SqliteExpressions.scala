@@ -790,6 +790,27 @@ private[engine] object SqliteJsonOps {
     case other => mapper.getNodeFactory.textNode(other.toString)
   }
 
+  /** json1's type names: booleans are their own types ('true'/'false'),
+    * integral vs real split as storage classes. */
+  def typeName(node: JsonNode): String =
+    if (node.isNull) "null"
+    else if (node.isBoolean) { if (node.asBoolean()) "true" else "false" }
+    else if (node.isIntegralNumber) "integer"
+    else if (node.isNumber) "real"
+    else if (node.isTextual) "text"
+    else if (node.isArray) "array"
+    else "object"
+
+  /** The SQL-value text of a node (the `->>` / json_each `value`
+    * rendering): JSON null → SQL NULL, booleans → 1/0, numbers and
+    * text raw, containers as minified JSON text. */
+  def sqlValueText(node: JsonNode): String =
+    if (node.isNull) null
+    else if (node.isTextual) node.asText()
+    else if (node.isBoolean) { if (node.asBoolean()) "1" else "0" }
+    else if (node.isNumber) node.numberValue().toString
+    else mapper.writeValueAsString(node)
+
   /** Apply one set/insert/replace/remove at `steps` inside `root`,
     * mutating in place. SQLite rules (json1.html): set/insert CREATE
     * missing intermediates (object for a key step, array for an index
@@ -841,6 +862,125 @@ private[engine] object SqliteJsonOps {
       case _ => ()
     }
   }
+}
+
+/** Kernel of json1's `json_each` table-valued function
+  * (sqlite.org/json1.html §4.13): one array-of-structs per input, which
+  * the dialect's FROM-clause rewrite feeds to Spark's `inline`
+  * generator — `FROM t, json_each(t.j)` becomes
+  * `FROM t LATERAL VIEW inline(json_each_entries(t.j))`, the same
+  * iteration Spark-shaped. Columns and their sqlite3-differential
+  * semantics (key/value/type/atom/fullkey/path golden-tested):
+  * object → one row per field (key = name), array → one row per
+  * element (key = index text), scalar → one row (key NULL); `value` is
+  * the SQL-value rendering (booleans 1/0, containers as JSON text),
+  * `atom` NULL for containers. Deviations: every column is STRING
+  * (SQLite's key/value are dynamically typed — comparisons still
+  * coerce), and `id` is the 1-based ordinal (SQLite documents id as
+  * carrying no guaranteed meaning); `parent` is NULL as in
+  * non-recursive json_each. Unresolvable paths yield zero rows,
+  * malformed JSON answers NULL (engine-wide deviation; SQLite
+  * raises). */
+case class SqliteJsonEachEntries(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  import SqliteJsonEachEntries.{fieldCount, quoteKey}
+
+  override def dataType: DataType =
+    ArrayType(SqliteJsonEachEntries.rowSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_each_entries"
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def row(ordinal: Int, key: String, node: com.fasterxml.jackson.databind.JsonNode,
+      fullkey: String, basePath: String): InternalRow = {
+    val container = node.isContainerNode
+    val value = SqliteJsonOps.sqlValueText(node)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fieldCount)
+    r.update(0, if (key == null) null else str(key))
+    r.update(1, if (value == null) null else str(value))
+    r.update(2, str(SqliteJsonOps.typeName(node)))
+    r.update(3, if (container || value == null) null else str(value))
+    r.update(4, ordinal.toLong)
+    r.update(5, null) // parent: NULL for non-recursive json_each
+    r.update(6, str(fullkey))
+    r.update(7, str(basePath))
+    r
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val j = children.head.eval(input)
+    if (j == null) return null
+    val root =
+      try SqliteJsonOps.mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => return null }
+    var base = "$"
+    var target: com.fasterxml.jackson.databind.JsonNode = root
+    if (children.length == 2) {
+      val p = children(1).eval(input)
+      if (p == null) return null
+      val steps = SqliteJsonArrow.parsePath(p.toString)
+      if (steps == null) return null
+      val sb = new StringBuilder("$")
+      val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+      steps.foreach {
+        case Left(key) =>
+          if (target == null || !target.isObject) return empty
+          target = target.get(key)
+          sb.append(quoteKey(key))
+        case Right(idx) =>
+          if (target == null || !target.isArray || idx >= target.size()) return empty
+          target = target.get(idx)
+          sb.append('[').append(idx).append(']')
+      }
+      if (target == null) return empty
+      base = sb.toString
+    }
+    val rows = Seq.newBuilder[InternalRow]
+    var ord = 0
+    if (target.isObject) {
+      val it = target.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        ord += 1
+        rows += row(ord, e.getKey, e.getValue, base + quoteKey(e.getKey), base)
+      }
+    } else if (target.isArray) {
+      var i = 0
+      while (i < target.size()) {
+        ord += 1
+        rows += row(ord, i.toString, target.get(i), s"$base[$i]", base)
+        i += 1
+      }
+    } else {
+      rows += row(1, null, target, base, base)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.result().toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteJsonEachEntries =
+    copy(children = newChildren)
+}
+
+object SqliteJsonEachEntries {
+  val rowSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", StringType),
+      org.apache.spark.sql.types.StructField("value", StringType),
+      org.apache.spark.sql.types.StructField("type", StringType),
+      org.apache.spark.sql.types.StructField("atom", StringType),
+      org.apache.spark.sql.types.StructField("id", LongType),
+      org.apache.spark.sql.types.StructField("parent", LongType),
+      org.apache.spark.sql.types.StructField("fullkey", StringType),
+      org.apache.spark.sql.types.StructField("path", StringType)))
+  val fieldCount: Int = rowSchema.length
+
+  /** Path-step rendering for fullkey/path, SQLite's normalized form:
+    * bare `.key` for identifier-shaped keys, `."quoted"` otherwise. */
+  def quoteKey(key: String): String =
+    if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) s".$key" else s""".\"$key\""""
 }
 
 /** json1's `json_set` / `json_insert` / `json_replace` / `json_remove`
@@ -927,14 +1067,7 @@ case class SqliteJsonInfo(children: Seq[Expression], mode: String)
         cur
       }
     mode match {
-      case "type" => UTF8String.fromString(
-        if (node.isNull) "null"
-        else if (node.isBoolean) { if (node.asBoolean()) "true" else "false" }
-        else if (node.isIntegralNumber) "integer"
-        else if (node.isNumber) "real"
-        else if (node.isTextual) "text"
-        else if (node.isArray) "array"
-        else "object")
+      case "type" => UTF8String.fromString(SqliteJsonOps.typeName(node))
       case _ => if (node.isArray) node.size().toLong else 0L // array_length
     }
   }

@@ -190,6 +190,48 @@ class SqliteFunctionsSpec extends SparkSpecBase {
     df.collect() // exercises the mixed-null plan end to end
   }
 
+  /** Both engines run `query` (a json_each SELECT) and render rows as
+    * `|`-joined lines, NULL as empty — sqlite3's `.mode list`. */
+  private def jsonEachGolden(query: String): Unit = {
+    val theirs = SqliteCli.query(":memory:", query)
+    val ours = SqliteDialect.sql(sess, query).collect().map { r =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "" else String.valueOf(r.get(i))).mkString("|")
+    }.mkString("\n")
+    assert(ours == theirs, s"diverged from sqlite3 on: $query")
+  }
+
+  test("json_each: object/array/scalar iteration (sqlite3 differential)") {
+    jsonEachGolden("""SELECT key, value, type, atom, fullkey, path
+      FROM json_each('{"a":1,"b":[2,3],"c":"t","d":null,"e":true,"f":2.5}')""")
+    jsonEachGolden("""SELECT key, value, type, atom, fullkey, path
+      FROM json_each('[1,2.5,"x",true,false,null,{"k":1},[7]]')""")
+    jsonEachGolden(
+      "SELECT key, value, type, atom, fullkey, path FROM json_each('7')")
+    jsonEachGolden(
+      "SELECT key, value, type, atom, fullkey, path FROM json_each('\"txt\"')")
+  }
+
+  test("json_each: second-arg path, missing path, alias forms (sqlite3 differential)") {
+    jsonEachGolden("""SELECT je.key, je.value, je.fullkey, je.path
+      FROM json_each('{"a":[1,2],"b":1}', '$.a') AS je""")
+    jsonEachGolden(
+      """SELECT count(*) AS n FROM json_each('{"a":1}', '$.nope')""")
+    jsonEachGolden("""SELECT json_each.key, json_each.value
+      FROM json_each('{"x":9}')""") // default table name, as SQLite
+  }
+
+  test("json_each: correlated comma join over a table (sqlite3 differential)") {
+    jsonEachGolden("""SELECT t.n, je.key, je.value
+      FROM (SELECT 1 AS n, '{"a":1,"b":2}' AS j
+            UNION ALL SELECT 2, '[5,6]') t, json_each(t.j) je
+      ORDER BY t.n, je.fullkey""")
+    // empty/malformed json drops the row like the non-outer join does
+    jsonEachGolden("""SELECT t.n, je.key
+      FROM (SELECT 1 AS n, '[7]' AS j UNION ALL SELECT 2, '[]') t,
+           json_each(t.j) je""")
+  }
+
   test("zeroblob / randomblob") {
     golden("hex(zeroblob(3))", "hex(zeroblob(0))")
     val r = SqliteDialect.sql(sess,
