@@ -390,6 +390,12 @@ object SqliteCompat {
         "json_each takes (json[, path])")
       SqliteJsonEachEntries(Cast(exprs.head, StringType) +: exprs.tail)
     }
+    fn("json_tree_entries") { exprs =>
+      require(exprs.length == 1 || exprs.length == 2,
+        "json_tree takes (json[, path])")
+      SqliteJsonEachEntries(Cast(exprs.head, StringType) +: exprs.tail,
+        recursive = true)
+    }
     fn("json_array")(exprs => SqliteJsonRender(exprs, obj = false))
     fn("json_object") { exprs =>
       require(exprs.length % 2 == 0, "json_object requires label/value pairs")

@@ -553,8 +553,10 @@ object SqliteDialect {
     * swallow the arithmetic. Left-assoc chains resolve by recursion:
     * the leftmost arrow rewrites first and becomes the next one's
     * call-form LHS. */
-  /** json1's `json_each` table-valued function in FROM clauses
-    * (sqlite.org/json1.html §4.13), re-expressed as Spark generators:
+  /** json1's `json_each` / `json_tree` table-valued functions in FROM
+    * clauses (sqlite.org/json1.html §4.13), re-expressed as Spark
+    * generators (shown for json_each; json_tree maps identically onto
+    * its recursive kernel):
     *
     *  - `FROM t, json_each(E) [AS] a` → `FROM t LATERAL VIEW
     *    inline(json_each_entries(E)) a` — the lateral view correlates
@@ -572,11 +574,13 @@ object SqliteDialect {
     * error beats corrupting the statement, same contract as GLOB. */
   def rewriteJsonEach(sql: String): String = {
     val toks = tokenize(sql)
+    val tvfs = Set("json_each", "json_tree")
     var i = 1
     while (i + 1 < toks.length) {
       val prev = toks(i - 1)
-      if (toks(i).lower == "json_each" && toks(i + 1).text == "(" &&
-          (prev.lower == "from" || prev.text == ",")) {
+      if (tvfs.contains(toks(i).lower) && toks(i + 1).text == "(" &&
+          (prev.lower == "from" || prev.lower == "join" || prev.text == ",")) {
+        val kernel = toks(i).lower + "_entries"
         val close = matchParen(toks, i + 1)
         if (close > 0) {
           // optional [AS] alias after the call
@@ -585,19 +589,22 @@ object SqliteDialect {
           val alias =
             if (j < toks.length && isAliasTok(toks(j))) Some(toks(j)) else None
           val aliasEnd = alias.map(_ => j).getOrElse(close)
-          val aliasName = alias.map(_.text).getOrElse("json_each")
+          val aliasName = alias.map(_.text).getOrElse(toks(i).lower)
           val args = sql.substring(toks(i + 1).end, toks(close).start)
           def tail = sql.substring(toks(aliasEnd).end)
           if (prev.text == ",") {
             val next = if (aliasEnd + 1 < toks.length) Some(toks(aliasEnd + 1)) else None
             val tailOk = !next.exists(_.text == ",") ||
-              (aliasEnd + 2 < toks.length && toks(aliasEnd + 2).lower == "json_each")
+              (aliasEnd + 2 < toks.length && tvfs.contains(toks(aliasEnd + 2).lower))
             if (tailOk)
               return rewriteJsonEach(sql.substring(0, prev.start) +
-                s" LATERAL VIEW inline(json_each_entries($args)) $aliasName" + tail)
+                s" LATERAL VIEW inline($kernel($args)) $aliasName" + tail)
           } else {
+            // FROM-first (necessarily uncorrelated) and explicit JOIN
+            // (correlated args fail analysis, as they would in any
+            // non-lateral join): subquery form
             return rewriteJsonEach(sql.substring(0, toks(i).start) +
-              s"(SELECT inline(json_each_entries($args))) AS $aliasName" + tail)
+              s"(SELECT inline($kernel($args))) AS $aliasName" + tail)
           }
         }
       }

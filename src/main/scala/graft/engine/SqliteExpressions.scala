@@ -876,23 +876,27 @@ private[engine] object SqliteJsonOps {
   * the SQL-value rendering (booleans 1/0, containers as JSON text),
   * `atom` NULL for containers. Deviations: every column is STRING
   * (SQLite's key/value are dynamically typed — comparisons still
-  * coerce), and `id` is the 1-based ordinal (SQLite documents id as
-  * carrying no guaranteed meaning); `parent` is NULL as in
-  * non-recursive json_each. Unresolvable paths yield zero rows,
-  * malformed JSON answers NULL (engine-wide deviation; SQLite
-  * raises). */
-case class SqliteJsonEachEntries(children: Seq[Expression])
+  * coerce), and `id` is the 1-based visit ordinal (SQLite documents id
+  * as carrying no guaranteed meaning). With `recursive` set this is
+  * `json_tree`: a pre-order walk emitting the target itself first
+  * (keyed as it sits in its parent), `parent` = the containing row's
+  * ordinal. Unresolvable paths yield zero rows, malformed JSON answers
+  * NULL (engine-wide deviation; SQLite raises). */
+case class SqliteJsonEachEntries(children: Seq[Expression],
+    recursive: Boolean = false)
     extends Expression with CodegenFallback {
   import SqliteJsonEachEntries.{fieldCount, quoteKey}
 
   override def dataType: DataType =
     ArrayType(SqliteJsonEachEntries.rowSchema, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "json_each_entries"
+  override def prettyName: String =
+    if (recursive) "json_tree_entries" else "json_each_entries"
 
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
-  private def row(ordinal: Int, key: String, node: com.fasterxml.jackson.databind.JsonNode,
+  private def row(ordinal: Int, parent: Option[Long], key: String,
+      node: com.fasterxml.jackson.databind.JsonNode,
       fullkey: String, basePath: String): InternalRow = {
     val container = node.isContainerNode
     val value = SqliteJsonOps.sqlValueText(node)
@@ -902,7 +906,7 @@ case class SqliteJsonEachEntries(children: Seq[Expression])
     r.update(2, str(SqliteJsonOps.typeName(node)))
     r.update(3, if (container || value == null) null else str(value))
     r.update(4, ordinal.toLong)
-    r.update(5, null) // parent: NULL for non-recursive json_each
+    r.update(5, parent.map(Long.box).orNull)
     r.update(6, str(fullkey))
     r.update(7, str(basePath))
     r
@@ -914,7 +918,12 @@ case class SqliteJsonEachEntries(children: Seq[Expression])
     val root =
       try SqliteJsonOps.mapper.readTree(j.asInstanceOf[UTF8String].toString)
       catch { case _: Exception => return null }
-    var base = "$"
+    // navigate the optional path arg, remembering the target's own key
+    // and fullkey: json_tree's first row is the TARGET ITSELF, keyed as
+    // it is in its parent, with `path` = its container's path
+    var fullkey = "$"
+    var parentPath = "$" // the target's container's path
+    var targetKey: String = null
     var target: com.fasterxml.jackson.databind.JsonNode = root
     if (children.length == 2) {
       val p = children(1).eval(input)
@@ -928,34 +937,56 @@ case class SqliteJsonEachEntries(children: Seq[Expression])
         case Left(key) =>
           if (target == null || !target.isObject) return empty
           target = target.get(key)
+          parentPath = sb.toString
           sb.append(quoteKey(key))
+          targetKey = key
         case Right(idx) =>
           if (target == null || !target.isArray || idx >= target.size()) return empty
           target = target.get(idx)
+          parentPath = sb.toString
           sb.append('[').append(idx).append(']')
+          targetKey = idx.toString
       }
       if (target == null) return empty
-      base = sb.toString
+      fullkey = sb.toString
     }
     val rows = Seq.newBuilder[InternalRow]
     var ord = 0
-    if (target.isObject) {
-      val it = target.fields()
-      while (it.hasNext) {
-        val e = it.next()
-        ord += 1
-        rows += row(ord, e.getKey, e.getValue, base + quoteKey(e.getKey), base)
+
+    def emitChildren(node: com.fasterxml.jackson.databind.JsonNode,
+        base: String, parentOrd: Option[Long]): Unit = {
+      if (node.isObject) {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          emitNode(e.getValue, e.getKey, base + quoteKey(e.getKey), base, parentOrd)
+        }
+      } else if (node.isArray) {
+        var i = 0
+        while (i < node.size()) {
+          emitNode(node.get(i), i.toString, s"$base[$i]", base, parentOrd)
+          i += 1
+        }
       }
-    } else if (target.isArray) {
-      var i = 0
-      while (i < target.size()) {
-        ord += 1
-        rows += row(ord, i.toString, target.get(i), s"$base[$i]", base)
-        i += 1
-      }
-    } else {
-      rows += row(1, null, target, base, base)
     }
+
+    def emitNode(node: com.fasterxml.jackson.databind.JsonNode, key: String,
+        fk: String, containerPath: String, parentOrd: Option[Long]): Unit = {
+      ord += 1
+      val self = ord.toLong
+      rows += row(ord, parentOrd, key, node, fk, containerPath)
+      if (recursive) emitChildren(node, fk, Some(self))
+    }
+
+    if (recursive)
+      // pre-order: the target itself first, then descendants
+      emitNode(target, targetKey, fullkey, parentPath, None)
+    else if (target.isContainerNode)
+      emitChildren(target, fullkey, None)
+    else
+      // json_each's scalar row: key NULL and path = the target's own
+      // path (json_tree's differs: target's key + container path)
+      rows += row(1, None, null, target, fullkey, fullkey)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.result().toArray[Any])
   }
 

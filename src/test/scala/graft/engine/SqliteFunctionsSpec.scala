@@ -221,6 +221,30 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       FROM json_each('{"x":9}')""") // default table name, as SQLite
   }
 
+  test("json_each: path to a scalar keeps the target's key (sqlite3 differential)") {
+    jsonEachGolden("""SELECT key, value, type, atom, fullkey, path
+      FROM json_each('{"a":1,"b":[5]}', '$.a')""")
+    jsonEachGolden("""SELECT key, value, fullkey, path
+      FROM json_each('{"a":[1,2]}', '$.a[1]')""")
+  }
+
+  test("json_tree: pre-order walk with parent links (sqlite3 differential)") {
+    // id is our ordinal (SQLite documents no meaning), so compare the
+    // stable columns plus the parent STRUCTURE via self-join on id
+    jsonEachGolden("""SELECT key, value, type, atom, fullkey, path
+      FROM json_tree('{"a":1,"b":[2,{"c":3}]}')""")
+    jsonEachGolden("""SELECT key, value, type, atom, fullkey, path
+      FROM json_tree('7')""")
+    jsonEachGolden("""SELECT key, value, type, atom, fullkey, path
+      FROM json_tree('{"a":[1,2]}', '$.a')""")
+    // parent linkage: each child row's parent id must resolve to the
+    // row whose fullkey is its container — on both engines
+    jsonEachGolden("""SELECT c.fullkey, p.fullkey
+      FROM json_tree('{"a":{"b":[1]}}') c
+      JOIN json_tree('{"a":{"b":[1]}}') p ON c.parent = p.id
+      ORDER BY c.fullkey""")
+  }
+
   test("json_each: correlated comma join over a table (sqlite3 differential)") {
     jsonEachGolden("""SELECT t.n, je.key, je.value
       FROM (SELECT 1 AS n, '{"a":1,"b":2}' AS j
