@@ -192,6 +192,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val (meta, df) = working(t)
       (t, meta, df.localCheckpoint(eager = true))
     }
+    // constraint gate BEFORE any storage effect: SQLite raises the
+    // moment a duplicate key lands and the whole wrapped script rolls
+    // back (write.py:36-40); checking each dirty table's final state
+    // once here gives the same observable outcome — the script 500s,
+    // nothing commits — at one job per table instead of one per
+    // statement. (Deviation: a script that creates and then deletes a
+    // duplicate passes here where SQLite errored mid-script.)
+    materialized.foreach { case (t, meta, df) => enforceUnique(t, meta, df) }
     // Two-phase across ALL storage effects: phase 1 writes EVERY dirty
     // table's parquet to its data_tmp dir (any failure — disk full,
     // codec error — aborts with no visible change, including scripts
@@ -216,6 +224,34 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // view registry last among the healable effects' tail: one cheap
     // file write holding the txn's whole staged set
     if (viewsDirty) store.putViews(segmentId, stagedViews.values.toSeq)
+  }
+
+  /** The PRIMARY KEY and every recorded UNIQUE index must hold over the
+    * table's post-script state, with SQLite's exact failure text
+    * (`UNIQUE constraint failed: t.a, t.b`). Rows with a NULL in any
+    * key column never conflict — SQLite's historical PRIMARY-KEY-
+    * allows-NULL rule treats each NULL as distinct. Indexes whose
+    * columns no longer all exist (dropped/renamed mid-script) are
+    * skipped: they can't be evaluated, and export already prunes
+    * them. */
+  private def enforceUnique(table: String, meta: TableMeta, df: DataFrame): Unit = {
+    val fields = meta.schema.fieldNames
+    def resolve(cols: Seq[String]): Option[Seq[String]] = {
+      val rs = cols.map(c => fields.find(_.equalsIgnoreCase(c)))
+      if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+    }
+    val keySets =
+      (if (meta.primaryKey.nonEmpty) Seq(meta.primaryKey.toSeq) else Nil) ++
+        meta.indexes.filter(_.unique).map(_.columns)
+    keySets.distinct.foreach { keys0 =>
+      resolve(keys0).foreach { keys =>
+        val nonNull = keys.foldLeft(df)((d, k) => d.where(col(k).isNotNull))
+        val dup = nonNull.groupBy(keys.map(col): _*).count()
+          .where(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalArgumentException(
+          s"UNIQUE constraint failed: ${keys.map(k => s"$table.$k").mkString(", ")}")
+      }
+    }
   }
 
   // ----------------------------------------------------------------- DDL

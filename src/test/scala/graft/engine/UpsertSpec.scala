@@ -122,4 +122,41 @@ class UpsertSpec extends SparkSpecBase {
         |  ON CONFLICT(k) DO UPDATE SET v = excluded.v, n = n + excluded.n;""".stripMargin)
     assert(dump(id) == Seq("1|from-staging|11", "6|six|6"))
   }
+
+  // --------------------------------------------- plain-INSERT constraints
+
+  test("plain INSERT violating the PRIMARY KEY: SQLite's text, nothing commits") {
+    val id = seg()
+    // sqlite3: Error: UNIQUE constraint failed: t.k — and the wrapped
+    // script transaction rolls back wholesale (write.py:36-40)
+    val e = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (7, 'seven', 7); INSERT INTO t VALUES (1, 'dup', 9);"))
+    assert(e.getMessage == "UNIQUE constraint failed: t.k")
+    assert(dump(id) == Seq("1|a|1")) // the k=7 insert rolled back too
+  }
+
+  test("plain INSERT violating a recorded UNIQUE index: per-index column text") {
+    val id = seg()
+    val e = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (2, 'a', 2);")) // v='a' exists under uv
+    assert(e.getMessage == "UNIQUE constraint failed: t.v")
+    assert(dump(id) == Seq("1|a|1"))
+  }
+
+  test("UPDATE creating a duplicate key fails the same gate") {
+    val id = seg()
+    engine.write(id, "INSERT INTO t VALUES (2, 'b', 2);")
+    val e = intercept[IllegalArgumentException](engine.write(id,
+      "UPDATE t SET v = 'a' WHERE k = 2;"))
+    assert(e.getMessage == "UNIQUE constraint failed: t.v")
+    assert(dump(id) == Seq("1|a|1", "2|b|2"))
+  }
+
+  test("NULL keys never conflict (SQLite's distinct-NULLs rule)") {
+    val id = seg()
+    // sqlite3 accepts two NULLs under a UNIQUE index
+    engine.write(id,
+      "INSERT INTO t VALUES (2, NULL, 2); INSERT INTO t VALUES (3, NULL, 3);")
+    assert(engine.read(id, "SELECT count(*) AS n FROM t;").collect()(0).getLong(0) == 3L)
+  }
 }
