@@ -46,7 +46,9 @@ object SegmentStore {
     * own queries rely on. */
   final case class TableMeta(
       schema: StructType, primaryKey: Seq[String], autoIncrement: Option[String],
-      indexes: Seq[SqliteDdl.IndexDef] = Nil)
+      indexes: Seq[SqliteDdl.IndexDef] = Nil,
+      notNull: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty)
 
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
@@ -181,7 +183,9 @@ class SegmentStore(
             recordView(segmentId, SqliteDdl.parseCreateView(stmt))
           case "CREATE" =>
             val td = SqliteDdl.parseCreateTable(stmt)
-            createTable(segmentId, td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement),
+            createTable(segmentId, td.name,
+              TableMeta(td.schema, td.primaryKey, td.autoIncrement,
+                notNull = td.notNull, defaults = td.defaults),
               failIfExists = !td.ifNotExists)
           case "" => ()
           case other =>
@@ -347,7 +351,8 @@ class SegmentStore(
       }
       val root = tierRoot(segmentId)
       val names = masters.map { spec =>
-        val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement, spec.indexes)
+        val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement,
+          spec.indexes, spec.notNull, spec.defaults)
         SegmentStore.requireNoReservedColumns(meta)
         val rows = new java.util.ArrayList[Row]()
         SqliteIngest.decodedRows(file, spec).foreach(rows.add)
@@ -434,7 +439,8 @@ class SegmentStore(
         val cols = ix.columns.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
         if (cols.nonEmpty && cols.forall(_ >= 0)) Some(ix -> cols) else None
       }
-      val ddl = SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey, meta.autoIncrement)
+      val ddl = SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
+        meta.autoIncrement, meta.notNull, meta.defaults)
 
       if (rowidIdx >= 0) {
         val rowidCol = fields(rowidIdx).name
@@ -684,7 +690,8 @@ class SegmentStore(
         }
         val root = tierRoot(seg)
         specs.map { sp =>
-          val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement, sp.indexes)
+          val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement,
+            sp.indexes, sp.notNull, sp.defaults)
           Files.createDirectories(tableRoot(root, sp.name))
           val tmp = tmpDir(root, seg, sp.name)
           if (Files.exists(tmp)) deleteRecursively(tmp)
@@ -821,11 +828,23 @@ class SegmentStore(
           ifNotExists = false,
           sql = ix.get("sql").asText())
       }
+    val notNull =
+      if (!node.has("notNull")) Nil // metas predating constraint recording
+      else (0 until node.get("notNull").size()).map(node.get("notNull").get(_).asText())
+    val defaults =
+      if (!node.has("defaults")) Map.empty[String, String]
+      else {
+        val o = node.get("defaults")
+        val it = o.fieldNames()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val k = it.next(); b += k -> o.get(k).asText() }
+        b.result()
+      }
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
       if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None,
-      indexes)
+      indexes, notNull, defaults)
   }
 
   /** Record a plain CREATE INDEX in its table's meta. Non-plain shapes
@@ -891,6 +910,14 @@ class SegmentStore(
         o.put("unique", ix.unique)
         o.put("sql", ix.sql)
       }
+    }
+    if (meta.notNull.nonEmpty) {
+      val arr = root.putArray("notNull")
+      meta.notNull.foreach(arr.add)
+    }
+    if (meta.defaults.nonEmpty) {
+      val o = root.putObject("defaults")
+      meta.defaults.foreach { case (k, v) => o.put(k, v) }
     }
     val p = metaPath(tierRoot(segmentId), segmentId, table)
     Files.createDirectories(p.getParent)

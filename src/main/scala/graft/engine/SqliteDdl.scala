@@ -14,12 +14,18 @@ import org.apache.spark.sql.types._
   */
 object SqliteDdl {
 
+  /** `notNull`: columns declared NOT NULL (enforced at write commit);
+    * `defaults`: column → raw SQLite default-value text (literal,
+    * `CURRENT_*` keyword, or parenthesized expression), kept verbatim
+    * so exports re-render the user's own clause. */
   final case class TableDef(
       name: String,
       schema: StructType,
       primaryKey: Seq[String],
       autoIncrement: Option[String],
-      ifNotExists: Boolean)
+      ifNotExists: Boolean,
+      notNull: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty)
 
   /** SQLite type-affinity rules (https://sqlite.org/datatype3.html §3.1),
     * mapped to Spark types. */
@@ -53,6 +59,8 @@ object SqliteDdl {
     val fields = scala.collection.mutable.ArrayBuffer[StructField]()
     val declaredTypes = scala.collection.mutable.Map[String, String]()
     var pkFromTableConstraint = false
+    var notNull = Vector.empty[String]
+    var defaults = Map.empty[String, String]
 
     SqlScript.splitTopLevel(body).foreach { defn =>
       val upper = defn.toUpperCase
@@ -91,6 +99,8 @@ object SqliteDdl {
         }
         fields += StructField(colName, affinity(declared), nullable = true)
         declaredTypes(colName.toLowerCase) = declared.toUpperCase
+        if (hasNotNull(defn)) notNull :+= colName
+        defaultClause(defn).foreach(d => defaults += colName -> d)
       }
     }
     // SQLite's rowid-alias rule covers BOTH spellings: a column-level
@@ -103,7 +113,80 @@ object SqliteDdl {
     if (autoInc.isEmpty && pkFromTableConstraint && pk.size == 1 &&
         declaredTypes.get(pk.head.toLowerCase).contains("INTEGER"))
       autoInc = Some(pk.head)
-    TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists)
+    TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists,
+      notNull, defaults)
+  }
+
+  /** Whether a column definition carries NOT NULL, scanned with string
+    * literals blanked so a default like `'NOT NULL'` can't trip it. */
+  private[engine] def hasNotNull(defn: String): Boolean =
+    blankLiterals(defn).toUpperCase.matches("(?s).*\\bNOT\\s+NULL\\b.*")
+
+  private def blankLiterals(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var q: Char = 0
+    s.foreach { c =>
+      if (q != 0) { if (c == q) q = 0; b.append(' ') }
+      else if (c == '\'' || c == '"' || c == '`') { q = c; b.append(' ') }
+      else b.append(c)
+    }
+    b.toString
+  }
+
+  /** Extract the raw DEFAULT value text from a column definition:
+    * a parenthesized expression, a (possibly doubled-quote) string
+    * literal, or a single bare token (number with optional sign, NULL,
+    * `CURRENT_*`). Quote-aware so DEFAULT inside a string can't match. */
+  private[engine] def defaultClause(defn: String): Option[String] = {
+    val n = defn.length
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    var i = 0
+    while (i < n) {
+      val c = defn.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        i += 1
+        while (i < n && defn.charAt(i) != c) i += 1
+        i += 1 // past close (doubled quotes re-enter literal scan; fine)
+      } else if (defn.regionMatches(true, i, "DEFAULT", 0, 7) &&
+          (i == 0 || !isIdent(defn.charAt(i - 1))) &&
+          (i + 7 >= n || !isIdent(defn.charAt(i + 7)))) {
+        var j = i + 7
+        while (j < n && defn.charAt(j).isWhitespace) j += 1
+        if (j >= n) return None
+        val start = j
+        defn.charAt(j) match {
+          case '(' =>
+            var depth = 0; var q: Char = 0
+            while (j < n) {
+              val ch = defn.charAt(j)
+              if (q != 0) { if (ch == q) q = 0 }
+              else if (ch == '\'' || ch == '"') q = ch
+              else if (ch == '(') depth += 1
+              else if (ch == ')') {
+                depth -= 1
+                if (depth == 0) return Some(defn.substring(start, j + 1))
+              }
+              j += 1
+            }
+            return None
+          case q @ ('\'' | '"') =>
+            j += 1
+            while (j < n) {
+              if (defn.charAt(j) == q) {
+                if (j + 1 < n && defn.charAt(j + 1) == q) j += 2
+                else return Some(defn.substring(start, j + 1))
+              } else j += 1
+            }
+            return None
+          case _ =>
+            if (defn.charAt(j) == '+' || defn.charAt(j) == '-') j += 1
+            while (j < n && !defn.charAt(j).isWhitespace &&
+              defn.charAt(j) != ',' && defn.charAt(j) != ')') j += 1
+            return Some(defn.substring(start, j))
+        }
+      } else i += 1
+    }
+    None
   }
 
   /** Inverse of [[parseCreateTable]] for export: render a store meta
@@ -115,7 +198,9 @@ object SqliteDdl {
     * other primary keys as a table constraint. */
   def renderCreateTable(
       table: String, schema: StructType,
-      primaryKey: Seq[String], autoIncrement: Option[String]): String = {
+      primaryKey: Seq[String], autoIncrement: Option[String],
+      notNull: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty): String = {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
     // A single-column table-constraint PRIMARY KEY over a column typed
     // exactly INTEGER would make real SQLite alias it to the rowid
@@ -140,7 +225,11 @@ object SqliteDdl {
         case _ => "TEXT"
       }
       val pkInline = if (autoIncrement.contains(f.name)) " PRIMARY KEY" else ""
-      s"${q(f.name)} $t$pkInline"
+      val nn = if (notNull.exists(_.equalsIgnoreCase(f.name))) " NOT NULL" else ""
+      val dflt = defaults.collectFirst {
+        case (c, d) if c.equalsIgnoreCase(f.name) => s" DEFAULT $d"
+      }.getOrElse("")
+      s"${q(f.name)} $t$pkInline$nn$dflt"
     }
     val tableConstraint =
       if (primaryKey.nonEmpty && autoIncrement.isEmpty)

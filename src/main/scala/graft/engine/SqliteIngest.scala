@@ -42,7 +42,9 @@ object SqliteIngest {
       rootPage: Int,
       withoutRowid: Boolean,
       rowidIdx: Int,
-      indexes: Seq[SqliteDdl.IndexDef] = Nil)
+      indexes: Seq[SqliteDdl.IndexDef] = Nil,
+      notNull: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty)
 
   /** Plain secondary-index definitions per table, from master rows of
     * type 'index' with non-null sql (autoindexes catalog with null sql
@@ -88,7 +90,8 @@ object SqliteIngest {
     val rowidIdx = autoIncrement
       .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
     val base = TableSpec(td.name, td.schema, td.primaryKey, autoIncrement,
-      m.rootPage, withoutRowid, rowidIdx)
+      m.rootPage, withoutRowid, rowidIdx,
+      notNull = td.notNull, defaults = td.defaults)
     if (!widen) base
     else base.copy(schema = widenedSchema(td.schema, rowidIdx, rawRows(file, base)))
   }

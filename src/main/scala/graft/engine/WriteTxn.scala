@@ -240,6 +240,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val rs = cols.map(c => fields.find(_.equalsIgnoreCase(c)))
       if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
     }
+    // NOT NULL first (SQLite reports it before uniqueness for a row
+    // violating both), all declared columns in one aggregate job
+    val nn = meta.notNull.flatMap(c => fields.find(_.equalsIgnoreCase(c)))
+    if (nn.nonEmpty) {
+      val counts = df.select(nn.map(c =>
+        count(when(col(c).isNull, 1)).as(c)): _*).head()
+      nn.zipWithIndex.foreach { case (c, i) =>
+        if (counts.getLong(i) > 0) throw new IllegalArgumentException(
+          s"NOT NULL constraint failed: $table.$c")
+      }
+    }
     val keySets =
       (if (meta.primaryKey.nonEmpty) Seq(meta.primaryKey.toSeq) else Nil) ++
         meta.indexes.filter(_.unique).map(_.columns)
@@ -271,7 +282,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema)
     created += td.name
-    stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement), empty)
+    stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement,
+      notNull = td.notNull, defaults = td.defaults), empty)
   }
 
   /** Plain CREATE INDEX is recorded in the table's meta inside the
@@ -374,15 +386,24 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // SQLite backfills existing rows with the declared DEFAULT (or
       // NULL when absent) — dropping it would silently NULL-fill rows
       // that queries then expect to hold the default
-      val defaultRe = "(?is).*\\bDEFAULT\\s+((?:'[^']*')|(?:[-+]?[\\d.]+)|NULL|\\S+).*".r
-      val backfill = tail match {
-        case defaultRe(literal) => dexpr(literal).cast(colType)
-        case _ => lit(null).cast(colType)
+      val dflt = SqliteDdl.defaultClause(colDef)
+      val nn = SqliteDdl.hasNotNull(tail)
+      // SQLite's refusal, which since 3.35 applies only when rows exist
+      // to backfill (an empty table takes the constraint fine)
+      if (nn && dflt.forall(_.equalsIgnoreCase("NULL")) && df.limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          "Cannot add a NOT NULL column with default value NULL")
+      val backfill = dflt match {
+        case Some(literal) => dexpr(literal).cast(colType)
+        case None => lit(null).cast(colType)
       }
       val newSchema = meta.schema.add(StructField(colName, colType, nullable = true))
       // copy, not re-construct: a fresh TableMeta would silently drop
-      // the recorded indexes
-      stage(name, meta.copy(schema = newSchema), df.withColumn(colName, backfill))
+      // the recorded indexes (and now the constraint/default records)
+      stage(name, meta.copy(schema = newSchema,
+        notNull = if (nn) meta.notNull :+ colName else meta.notNull,
+        defaults = meta.defaults ++ dflt.map(colName -> _)),
+        df.withColumn(colName, backfill))
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER statement: $stmt")
   }
 
@@ -390,7 +411,20 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
   private val insertRe =
     ("(?is)^\\s*(?:INSERT(?:\\s+OR\\s+(REPLACE|IGNORE))?|(REPLACE))\\s+INTO\\s+" +
-      "([^\\s(]+)\\s*(?:\\(([^)]*)\\))?\\s*(VALUES\\s*(.*)|SELECT\\b.*)$").r
+      "([^\\s(]+)\\s*(?:\\(([^)]*)\\))?\\s*(VALUES\\s*(.*)|SELECT\\b.*|DEFAULT\\s+VALUES\\s*;?\\s*)$").r
+
+  /** A column's DEFAULT as an evaluable dialect expression; the
+    * `CURRENT_*` keywords map to their SQLite datetime renderings
+    * (lang_createtable.html §3.2 — text in UTC, second precision). */
+  private def defaultExpr(meta: TableMeta, field: String): Option[String] =
+    meta.defaults.collectFirst { case (c, d) if c.equalsIgnoreCase(field) =>
+      d.toUpperCase match {
+        case "CURRENT_TIMESTAMP" => "datetime('now')"
+        case "CURRENT_DATE" => "date('now')"
+        case "CURRENT_TIME" => "time('now')"
+        case _ => d
+      }
+    }
 
   private def insert(stmt0: String): Unit = {
     val (stmt, upsertClause) = splitOnConflict(stmt0)
@@ -399,13 +433,26 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val conflict = Option(m.group(1)).map(_.toUpperCase)
       .orElse(Option(m.group(2)).map(_ => "REPLACE"))
     val table = SqlScript.unquoteIdent(m.group(3))
-    val colList = Option(m.group(4)).map(
+    var colList = Option(m.group(4)).map(
       s => SqlScript.splitTopLevel(s).map(SqlScript.unquoteIdent))
     val (meta, existing) = load(table)
 
     val body = m.group(5)
     val incoming: DataFrame =
-      if (body.toUpperCase.startsWith("VALUES")) {
+      if (body.toUpperCase.matches("(?s)DEFAULT\\s+VALUES\\s*;?\\s*")) {
+        // INSERT INTO t DEFAULT VALUES: one row, every column its
+        // default (the rowid alias auto-assigns through the
+        // omitted-column completion below)
+        require(colList.isEmpty,
+          s"cannot combine a column list with DEFAULT VALUES: $stmt0")
+        val cols = meta.schema.fieldNames.toSeq
+          .filterNot(f => meta.autoIncrement.exists(_.equalsIgnoreCase(f)))
+        colList = Some(cols)
+        if (cols.isEmpty) // rowid-alias-only table: a bare one-row frame
+          runSelect("SELECT NULL AS __dv").drop("__dv")
+        else runSelect("SELECT " + cols.map(c =>
+          s"${defaultExpr(meta, c).getOrElse("NULL")} AS `$c`").mkString(", "))
+      } else if (body.toUpperCase.startsWith("VALUES")) {
         // Evaluate each tuple as a SELECT so arbitrary expressions work
         // (incl. the client's datetime('<iso>') literals, which are UDF
         // calls and therefore not allowed in Spark inline VALUES tables).
@@ -428,12 +475,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         df.toDF(targetCols: _*)
       }
 
-    // complete missing columns (nulls), then auto-assign the rowid-style
-    // column if it was omitted (safe: single writer per segment)
+    // complete missing columns (declared DEFAULT, else NULL — SQLite's
+    // omitted-column rule), then auto-assign the rowid-style column if
+    // it was omitted (safe: single writer per segment)
     var full = incoming
     meta.schema.fieldNames
       .filterNot(f => full.columns.exists(_.equalsIgnoreCase(f)))
-      .foreach { missing0 => full = full.withColumn(missing0, lit(null)) }
+      .foreach { missing0 =>
+        full = full.withColumn(missing0,
+          defaultExpr(meta, missing0).map(dexpr).getOrElse(lit(null)))
+      }
     meta.autoIncrement.foreach { ai =>
       val aiMissing = colList.exists(cl => !cl.exists(_.equalsIgnoreCase(ai)))
       if (aiMissing) {

@@ -1,0 +1,118 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** Column constraints and defaults through the write path: NOT NULL
+  * enforcement with SQLite's exact failure texts, DEFAULT clauses
+  * (literals, expressions, CURRENT_* keywords) filled on omitted
+  * columns and `DEFAULT VALUES`, ALTER TABLE ADD COLUMN recording, and
+  * the `.sqlite` export round trip re-rendering the clauses so real
+  * sqlite3 enforces them. Behaviors probed against the sandbox CLI. */
+class ConstraintSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-constraint").toString
+  private lazy val engine = {
+    val store = new SegmentStore(spark, root)
+    new TroughEngine(spark, store, new SchemaRegistry)
+  }
+
+  private var n = 0
+  private def seg(schema: String): String = {
+    n += 1
+    val id = s"cons-$n"
+    engine.schemas.put(s"cons-schema-$n", schema)
+    engine.provisionWritable(id, s"cons-schema-$n")
+    id
+  }
+
+  test("INSERT of NULL into a NOT NULL column: SQLite's text, nothing commits") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT NOT NULL);")
+    // sqlite3: Error: NOT NULL constraint failed: t.v
+    val e = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (1, 'ok'); INSERT INTO t VALUES (2, NULL);"))
+    assert(e.getMessage == "NOT NULL constraint failed: t.v")
+    assert(engine.read(id, "SELECT count(*) AS n FROM t;").collect()(0).getLong(0) == 0L)
+  }
+
+  test("omitting a NOT NULL column without a default fails the same way") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT NOT NULL);")
+    val e = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t (k) VALUES (1);"))
+    assert(e.getMessage == "NOT NULL constraint failed: t.v")
+  }
+
+  test("DEFAULT literals and expressions fill omitted columns (sqlite3-checked shapes)") {
+    // sqlite3: INSERT INTO t (a) VALUES (5) → 5|hello world|3
+    val id = seg("CREATE TABLE t (a INTEGER, b TEXT DEFAULT 'hello world', " +
+      "n INTEGER DEFAULT (1+2));")
+    engine.write(id, "INSERT INTO t (a) VALUES (5);")
+    val r = engine.read(id, "SELECT a, b, n FROM t;").collect()(0)
+    assert((r.getLong(0), r.getString(1), r.getLong(2)) == ((5L, "hello world", 3L)))
+  }
+
+  test("NOT NULL plus DEFAULT: the default satisfies the constraint") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, " +
+      "status TEXT NOT NULL DEFAULT 'new');")
+    engine.write(id, "INSERT INTO t (k) VALUES (1);")
+    assert(engine.read(id, "SELECT status FROM t;").collect()(0).getString(0) == "new")
+  }
+
+  test("INSERT ... DEFAULT VALUES, incl. the rowid-alias auto-assign") {
+    val id = seg("CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, " +
+      "v TEXT DEFAULT 'd', n INTEGER DEFAULT -7);")
+    engine.write(id, "INSERT INTO t DEFAULT VALUES; INSERT INTO t DEFAULT VALUES;")
+    val rows = engine.read(id, "SELECT id, v, n FROM t ORDER BY id;").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "d", -7L), (2L, "d", -7L)))
+  }
+
+  test("DEFAULT CURRENT_TIMESTAMP fills SQLite's text shape") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, " +
+      "at TEXT DEFAULT CURRENT_TIMESTAMP);")
+    engine.write(id, "INSERT INTO t (k) VALUES (1);")
+    val at = engine.read(id, "SELECT at FROM t;").collect()(0).getString(0)
+    assert(at.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"), at)
+  }
+
+  test("ALTER ADD COLUMN: default backfills AND applies to later inserts; " +
+      "NOT-NULL-no-default refused only when rows exist") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY);")
+    engine.write(id, "INSERT INTO t VALUES (1);" +
+      "ALTER TABLE t ADD COLUMN v TEXT DEFAULT 'filled';" +
+      "INSERT INTO t (k) VALUES (2);")
+    assert(engine.read(id, "SELECT k, v FROM t ORDER BY k;").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "filled"), (2L, "filled")))
+    // sqlite3 (3.35+): refused with rows present, fine on empty tables
+    val e = intercept[IllegalArgumentException](engine.write(id,
+      "ALTER TABLE t ADD COLUMN w TEXT NOT NULL;"))
+    assert(e.getMessage == "Cannot add a NOT NULL column with default value NULL")
+    engine.write(id, "CREATE TABLE empty_t (k INTEGER);" +
+      "ALTER TABLE empty_t ADD COLUMN w TEXT NOT NULL;")
+    val e2 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO empty_t (k) VALUES (1);"))
+    assert(e2.getMessage == "NOT NULL constraint failed: empty_t.w")
+  }
+
+  test("export re-renders NOT NULL and DEFAULT so real sqlite3 enforces them") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, " +
+      "v TEXT NOT NULL DEFAULT 'dflt', n INTEGER DEFAULT (2*3));")
+    engine.write(id, "INSERT INTO t (k) VALUES (1);")
+    val db = Files.createTempDirectory("cons-export").resolve("out.sqlite")
+    engine.store.exportSqliteSegment(id, db.toString)
+    // the exported DDL carries the clauses, and sqlite3 itself applies
+    // them: defaults on insert-with-omission, refusal on NULL
+    assert(SqliteCli.query(db.toString,
+      "INSERT INTO t (k) VALUES (9); SELECT v, n FROM t WHERE k = 9;") == "dflt|6")
+    val rc = SqliteCli.run(db.toString, "INSERT INTO t (k, v) VALUES (10, NULL);")
+    assert(rc != 0, "sqlite3 should refuse NULL into the exported NOT NULL column")
+    // and a re-ingest of the exported file recovers the constraint records
+    engine.store.ingestSqliteSegment(db.toString, s"cons-back-$n")
+    val meta = engine.store.tableMeta(s"cons-back-$n", "t")
+    assert(meta.notNull.map(_.toLowerCase) == Seq("v"))
+    assert(meta.defaults.map { case (k, v) => k.toLowerCase -> v } ==
+      Map("v" -> "'dflt'", "n" -> "(2*3)"))
+  }
+}
