@@ -48,7 +48,8 @@ object SegmentStore {
       schema: StructType, primaryKey: Seq[String], autoIncrement: Option[String],
       indexes: Seq[SqliteDdl.IndexDef] = Nil,
       notNull: Seq[String] = Nil,
-      defaults: Map[String, String] = Map.empty)
+      defaults: Map[String, String] = Map.empty,
+      uniques: Seq[Seq[String]] = Nil)
 
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
@@ -185,7 +186,8 @@ class SegmentStore(
             val td = SqliteDdl.parseCreateTable(stmt)
             createTable(segmentId, td.name,
               TableMeta(td.schema, td.primaryKey, td.autoIncrement,
-                notNull = td.notNull, defaults = td.defaults),
+                notNull = td.notNull, defaults = td.defaults,
+                uniques = td.uniques),
               failIfExists = !td.ifNotExists)
           case "" => ()
           case other =>
@@ -352,7 +354,7 @@ class SegmentStore(
       val root = tierRoot(segmentId)
       val names = masters.map { spec =>
         val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement,
-          spec.indexes, spec.notNull, spec.defaults)
+          spec.indexes, spec.notNull, spec.defaults, spec.uniques)
         SegmentStore.requireNoReservedColumns(meta)
         val rows = new java.util.ArrayList[Row]()
         SqliteIngest.decodedRows(file, spec).foreach(rows.add)
@@ -426,13 +428,25 @@ class SegmentStore(
       def recordValues(r: Row): IndexedSeq[Any] =
         // the rowid alias stores NULL in the record
         fields.indices.map(j => if (j == rowidIdx) null else cellValue(r, j))
-      // a non-rowid-alias PRIMARY KEY implies a sqlite_autoindex whose
-      // B-tree the writer must materialize (integrity_check counts it)
-      val autoIdxCols: Seq[Int] =
+      // a non-rowid-alias PRIMARY KEY and every UNIQUE constraint imply
+      // sqlite_autoindex trees the writer must materialize
+      // (integrity_check counts them), numbered in the rendered DDL's
+      // constraint order: PK first, then uniques
+      val pkAutoIdx: Seq[Seq[Int]] =
         if (meta.autoIncrement.isEmpty && meta.primaryKey.nonEmpty)
-          meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
-            .filter(_ >= 0)
+          Seq(meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
+            .filter(_ >= 0))
         else Nil
+      // only uniques whose columns all resolve export — and the DDL
+      // below renders exactly the same set, so the constraints real
+      // SQLite parses and the trees in the file always agree
+      val exportUniques: Seq[(Seq[String], Seq[Int])] = meta.uniques
+        .map(u => u -> u.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))))
+        .filter { case (_, cs) => cs.nonEmpty && cs.forall(_ >= 0) }
+      val autoIdxSets: Seq[(String, Seq[Int])] =
+        (pkAutoIdx ++ exportUniques.map(_._2)).zipWithIndex.map {
+          case (cols, i) => (SqliteWriter.autoIndexName(t, i + 1), cols)
+        }
       // recorded secondary indexes; ones referencing since-dropped
       // columns are skipped rather than failing the export
       val secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])] = meta.indexes.flatMap { ix =>
@@ -440,7 +454,8 @@ class SegmentStore(
         if (cols.nonEmpty && cols.forall(_ >= 0)) Some(ix -> cols) else None
       }
       val ddl = SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
-        meta.autoIncrement, meta.notNull, meta.defaults)
+        meta.autoIncrement, meta.notNull, meta.defaults,
+        exportUniques.map(_._1))
 
       if (rowidIdx >= 0) {
         val rowidCol = fields(rowidIdx).name
@@ -470,9 +485,9 @@ class SegmentStore(
             .map(r => (cols.map(j => cellValue(r, j)) :+ r.getLong(rowidIdx)).toIndexedSeq)
         }
         val indexes =
-          (if (autoIdxCols.isEmpty) Nil
-           else Seq(SqliteWriter.StreamedIndex(
-             SqliteWriter.autoIndexName(t), null, indexKeys(autoIdxCols)))) ++
+          autoIdxSets.map { case (name, cols) =>
+            SqliteWriter.StreamedIndex(name, null, indexKeys(cols))
+          } ++
             secondary.map { case (ix, cols) =>
               SqliteWriter.StreamedIndex(ix.name, ix.sql, indexKeys(cols))
             }
@@ -487,8 +502,7 @@ class SegmentStore(
           .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).filter(_ >= 0)
           .map(j => functions.col(fields(j).name))
         val keyBufs: Seq[(String, String, Seq[Int], scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]])] =
-          (if (autoIdxCols.isEmpty) Nil
-           else Seq((SqliteWriter.autoIndexName(t), null: String, autoIdxCols))) ++
+          autoIdxSets.map { case (n, cols) => (n, null: String, cols) } ++
             secondary.map { case (ix, cols) => (ix.name, ix.sql, cols) } map {
             case (n, sql, cols) =>
               (n, sql, cols, scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]]())
@@ -691,7 +705,7 @@ class SegmentStore(
         val root = tierRoot(seg)
         specs.map { sp =>
           val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement,
-            sp.indexes, sp.notNull, sp.defaults)
+            sp.indexes, sp.notNull, sp.defaults, sp.uniques)
           Files.createDirectories(tableRoot(root, sp.name))
           val tmp = tmpDir(root, seg, sp.name)
           if (Files.exists(tmp)) deleteRecursively(tmp)
@@ -840,11 +854,17 @@ class SegmentStore(
         while (it.hasNext) { val k = it.next(); b += k -> o.get(k).asText() }
         b.result()
       }
+    val uniques =
+      if (!node.has("uniques")) Nil
+      else (0 until node.get("uniques").size()).map { i =>
+        val u = node.get("uniques").get(i)
+        (0 until u.size()).map(u.get(_).asText()): Seq[String]
+      }
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
       if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None,
-      indexes, notNull, defaults)
+      indexes, notNull, defaults, uniques)
   }
 
   /** Record a plain CREATE INDEX in its table's meta. Non-plain shapes
@@ -918,6 +938,13 @@ class SegmentStore(
     if (meta.defaults.nonEmpty) {
       val o = root.putObject("defaults")
       meta.defaults.foreach { case (k, v) => o.put(k, v) }
+    }
+    if (meta.uniques.nonEmpty) {
+      val arr = root.putArray("uniques")
+      meta.uniques.foreach { u =>
+        val a = arr.addArray()
+        u.foreach(a.add)
+      }
     }
     val p = metaPath(tierRoot(segmentId), segmentId, table)
     Files.createDirectories(p.getParent)

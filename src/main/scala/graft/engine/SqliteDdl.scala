@@ -18,6 +18,11 @@ object SqliteDdl {
     * `defaults`: column → raw SQLite default-value text (literal,
     * `CURRENT_*` keyword, or parenthesized expression), kept verbatim
     * so exports re-render the user's own clause. */
+  /** `uniques`: UNIQUE constraints (column-level and table-level) as
+    * ordered column lists, deduplicated the way SQLite does — a list
+    * identical to the PRIMARY KEY or an earlier UNIQUE creates no
+    * second index (probed: `PRIMARY KEY(a), UNIQUE(a), UNIQUE(b),
+    * UNIQUE(b)` catalogs exactly two autoindexes). */
   final case class TableDef(
       name: String,
       schema: StructType,
@@ -25,7 +30,8 @@ object SqliteDdl {
       autoIncrement: Option[String],
       ifNotExists: Boolean,
       notNull: Seq[String] = Nil,
-      defaults: Map[String, String] = Map.empty)
+      defaults: Map[String, String] = Map.empty,
+      uniques: Seq[Seq[String]] = Nil)
 
   /** SQLite type-affinity rules (https://sqlite.org/datatype3.html §3.1),
     * mapped to Spark types. */
@@ -61,6 +67,7 @@ object SqliteDdl {
     var pkFromTableConstraint = false
     var notNull = Vector.empty[String]
     var defaults = Map.empty[String, String]
+    var uniques = Vector.empty[Seq[String]]
 
     SqlScript.splitTopLevel(body).foreach { defn =>
       val upper = defn.toUpperCase
@@ -73,11 +80,16 @@ object SqliteDdl {
         // SQLite quirk: PRIMARY KEY (x DESC) in the table-constraint
         // form is NOT a rowid alias even for an INTEGER column
         if (upper.matches("(?s).*\\bDESC\\b.*")) pkFromTableConstraint = false
-      } else if (upper.startsWith("UNIQUE") || upper.startsWith("CHECK") ||
+      } else if (upper.startsWith("UNIQUE")) {
+        // table-level UNIQUE (cols): recorded for the commit-time gate
+        // and the export's autoindex trees
+        val cols = defn.substring(defn.indexOf('(') + 1, defn.lastIndexOf(')'))
+        uniques :+= SqlScript.splitTopLevel(cols).map(c =>
+          SqlScript.unquoteIdent(c.trim.split("\\s+").head))
+      } else if (upper.startsWith("CHECK") ||
           upper.startsWith("FOREIGN KEY") || upper.startsWith("CONSTRAINT")) {
-        // constraints don't shape the schema; single-writer-per-segment
-        // makes uniqueness the writer's problem, FK/CHECK are unused in
-        // the reference's schemas
+        // FK/CHECK don't shape the schema and are unused in the
+        // reference's schemas (named CONSTRAINT forms stay hints)
       } else {
         // column-def: name [type-name] [constraints...]
         val tokens = tokenizeColumnDef(defn)
@@ -101,6 +113,10 @@ object SqliteDdl {
         declaredTypes(colName.toLowerCase) = declared.toUpperCase
         if (hasNotNull(defn)) notNull :+= colName
         defaultClause(defn).foreach(d => defaults += colName -> d)
+        // column-level UNIQUE (the keyword never appears in PRIMARY KEY
+        // or other constraint spellings at column level)
+        if (blankLiterals(defn).toUpperCase.matches("(?s).*\\bUNIQUE\\b.*"))
+          uniques :+= Seq(colName)
       }
     }
     // SQLite's rowid-alias rule covers BOTH spellings: a column-level
@@ -113,8 +129,15 @@ object SqliteDdl {
     if (autoInc.isEmpty && pkFromTableConstraint && pk.size == 1 &&
         declaredTypes.get(pk.head.toLowerCase).contains("INTEGER"))
       autoInc = Some(pk.head)
+    // SQLite's autoindex dedup: drop a UNIQUE equal (same columns, same
+    // order, case-insensitive) to the PRIMARY KEY or an earlier UNIQUE
+    val seen = scala.collection.mutable.Set[Seq[String]](
+      pk.map(_.toLowerCase))
+    val dedupedUniques = uniques.filter { u =>
+      val k = u.map(_.toLowerCase); seen.add(k)
+    }
     TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists,
-      notNull, defaults)
+      notNull, defaults, dedupedUniques)
   }
 
   /** Whether a column definition carries NOT NULL, scanned with string
@@ -122,7 +145,7 @@ object SqliteDdl {
   private[engine] def hasNotNull(defn: String): Boolean =
     blankLiterals(defn).toUpperCase.matches("(?s).*\\bNOT\\s+NULL\\b.*")
 
-  private def blankLiterals(s: String): String = {
+  private[engine] def blankLiterals(s: String): String = {
     val b = new StringBuilder(s.length)
     var q: Char = 0
     s.foreach { c =>
@@ -200,7 +223,8 @@ object SqliteDdl {
       table: String, schema: StructType,
       primaryKey: Seq[String], autoIncrement: Option[String],
       notNull: Seq[String] = Nil,
-      defaults: Map[String, String] = Map.empty): String = {
+      defaults: Map[String, String] = Map.empty,
+      uniques: Seq[Seq[String]] = Nil): String = {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
     // A single-column table-constraint PRIMARY KEY over a column typed
     // exactly INTEGER would make real SQLite alias it to the rowid
@@ -231,10 +255,14 @@ object SqliteDdl {
       }.getOrElse("")
       s"${q(f.name)} $t$pkInline$nn$dflt"
     }
+    // constraint ORDER matters downstream: real SQLite numbers the
+    // implied sqlite_autoindex trees in declaration order, and the
+    // export emits trees in exactly this order (PK first, then uniques)
     val tableConstraint =
-      if (primaryKey.nonEmpty && autoIncrement.isEmpty)
+      (if (primaryKey.nonEmpty && autoIncrement.isEmpty)
         Seq(s"PRIMARY KEY (${primaryKey.map(q).mkString(", ")})")
-      else Nil
+      else Nil) ++
+        uniques.map(u => s"UNIQUE (${u.map(q).mkString(", ")})")
     s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})"
   }
 

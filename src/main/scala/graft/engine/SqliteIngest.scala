@@ -44,7 +44,8 @@ object SqliteIngest {
       rowidIdx: Int,
       indexes: Seq[SqliteDdl.IndexDef] = Nil,
       notNull: Seq[String] = Nil,
-      defaults: Map[String, String] = Map.empty)
+      defaults: Map[String, String] = Map.empty,
+      uniques: Seq[Seq[String]] = Nil)
 
   /** Plain secondary-index definitions per table, from master rows of
     * type 'index' with non-null sql (autoindexes catalog with null sql
@@ -91,7 +92,7 @@ object SqliteIngest {
       .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
     val base = TableSpec(td.name, td.schema, td.primaryKey, autoIncrement,
       m.rootPage, withoutRowid, rowidIdx,
-      notNull = td.notNull, defaults = td.defaults)
+      notNull = td.notNull, defaults = td.defaults, uniques = td.uniques)
     if (!widen) base
     else base.copy(schema = widenedSchema(td.schema, rowidIdx, rawRows(file, base)))
   }

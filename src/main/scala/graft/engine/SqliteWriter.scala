@@ -77,7 +77,8 @@ object SqliteWriter {
           }.sorted(keyOrdering).iterator)))
     }, pageSize)
 
-  def autoIndexName(table: String): String = s"sqlite_autoindex_${table}_1"
+  def autoIndexName(table: String, n: Int = 1): String =
+    s"sqlite_autoindex_${table}_$n"
 
   /** Stream tables (and their pre-sorted index keys) into a database
     * file. sqlite_master rows (§2.6): (type, name, tbl_name, rootpage,

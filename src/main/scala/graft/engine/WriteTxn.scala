@@ -253,6 +253,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     val keySets =
       (if (meta.primaryKey.nonEmpty) Seq(meta.primaryKey.toSeq) else Nil) ++
+        meta.uniques ++
         meta.indexes.filter(_.unique).map(_.columns)
     keySets.distinct.foreach { keys0 =>
       resolve(keys0).foreach { keys =>
@@ -283,7 +284,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema)
     created += td.name
     stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement,
-      notNull = td.notNull, defaults = td.defaults), empty)
+      notNull = td.notNull, defaults = td.defaults, uniques = td.uniques),
+      empty)
   }
 
   /** Plain CREATE INDEX is recorded in the table's meta inside the
@@ -386,6 +388,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // SQLite backfills existing rows with the declared DEFAULT (or
       // NULL when absent) — dropping it would silently NULL-fill rows
       // that queries then expect to hold the default
+      val upperTail = SqliteDdl.blankLiterals(tail).toUpperCase
+      // SQLite's own prepare-time refusals for un-backfillable shapes
+      if (upperTail.matches("(?s).*\\bUNIQUE\\b.*"))
+        throw new IllegalArgumentException("Cannot add a UNIQUE column")
+      if (upperTail.matches("(?s).*\\bPRIMARY\\s+KEY\\b.*"))
+        throw new IllegalArgumentException("Cannot add a PRIMARY KEY column")
       val dflt = SqliteDdl.defaultClause(colDef)
       val nn = SqliteDdl.hasNotNull(tail)
       // SQLite's refusal, which since 3.35 applies only when rows exist

@@ -96,6 +96,66 @@ class ConstraintSpec extends SparkSpecBase {
     assert(e2.getMessage == "NOT NULL constraint failed: empty_t.w")
   }
 
+  test("inline and table-level UNIQUE constraints enforced with SQLite's text") {
+    val id = seg("CREATE TABLE z (id INTEGER PRIMARY KEY, v TEXT UNIQUE, " +
+      "a INTEGER, b INTEGER, UNIQUE (a, b));")
+    engine.write(id, "INSERT INTO z VALUES (1, 'a', 1, 1);")
+    // sqlite3: Error: UNIQUE constraint failed: z.v
+    val e1 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO z VALUES (2, 'a', 2, 2);"))
+    assert(e1.getMessage == "UNIQUE constraint failed: z.v")
+    val e2 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO z VALUES (2, 'b', 1, 1);"))
+    assert(e2.getMessage == "UNIQUE constraint failed: z.a, z.b")
+    // distinct-NULLs rule and non-conflicting rows pass
+    engine.write(id,
+      "INSERT INTO z VALUES (2, NULL, 1, 2); INSERT INTO z VALUES (3, NULL, 2, 1);")
+    assert(engine.read(id, "SELECT count(*) AS n FROM z;").collect()(0).getLong(0) == 3L)
+  }
+
+  test("UNIQUE dedup mirrors SQLite: a list equal to the PK or an earlier UNIQUE is dropped") {
+    // probed: PRIMARY KEY(a), UNIQUE(a), UNIQUE(b), UNIQUE(b) catalogs
+    // exactly two autoindexes (the PK's and one for b)
+    val td = SqliteDdl.parseCreateTable(
+      "CREATE TABLE x (a TEXT, b INT, PRIMARY KEY(a), UNIQUE(a), UNIQUE(b), UNIQUE(b))")
+    assert(td.uniques == Seq(Seq("b")))
+  }
+
+  test("ALTER ADD COLUMN refuses UNIQUE and PRIMARY KEY like SQLite") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY);")
+    val e1 = intercept[IllegalArgumentException](engine.write(id,
+      "ALTER TABLE t ADD COLUMN u INT UNIQUE;"))
+    assert(e1.getMessage == "Cannot add a UNIQUE column")
+    val e2 = intercept[IllegalArgumentException](engine.write(id,
+      "ALTER TABLE t ADD COLUMN p INT PRIMARY KEY;"))
+    assert(e2.getMessage == "Cannot add a PRIMARY KEY column")
+  }
+
+  test("export materializes UNIQUE autoindex trees real sqlite3 verifies and uses") {
+    val id = seg("CREATE TABLE z (id INTEGER PRIMARY KEY, v TEXT UNIQUE, " +
+      "a INTEGER, b INTEGER, UNIQUE (a, b));")
+    engine.write(id, "INSERT INTO z VALUES (1, 'x', 1, 10), (2, 'y', 2, 20), " +
+      "(3, NULL, 3, 30);")
+    val db = Files.createTempDirectory("cons-uexport").resolve("u.sqlite")
+    engine.store.exportSqliteSegment(id, db.toString)
+    assert(SqliteCli.query(db.toString, "PRAGMA integrity_check;") == "ok")
+    // both constraint trees cataloged, numbered in declaration order
+    assert(SqliteCli.query(db.toString,
+      "SELECT name FROM sqlite_master WHERE type='index' ORDER BY name;") ==
+      "sqlite_autoindex_z_1\nsqlite_autoindex_z_2")
+    // sqlite3's planner answers a point lookup THROUGH the v autoindex
+    assert(SqliteCli.query(db.toString,
+      "EXPLAIN QUERY PLAN SELECT id FROM z WHERE v = 'y';")
+      .contains("sqlite_autoindex_z_1"))
+    assert(SqliteCli.query(db.toString, "SELECT id FROM z WHERE v = 'y';") == "2")
+    // and sqlite3 itself enforces the exported constraint
+    assert(SqliteCli.run(db.toString, "INSERT INTO z VALUES (9, 'x', 9, 9);") != 0)
+    // re-ingest recovers the records for our own gate
+    engine.store.ingestSqliteSegment(db.toString, s"cons-uback-$n")
+    assert(engine.store.tableMeta(s"cons-uback-$n", "z").uniques
+      .map(_.map(_.toLowerCase)) == Seq(Seq("v"), Seq("a", "b")))
+  }
+
   test("export re-renders NOT NULL and DEFAULT so real sqlite3 enforces them") {
     val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, " +
       "v TEXT NOT NULL DEFAULT 'dflt', n INTEGER DEFAULT (2*3));")
