@@ -49,7 +49,8 @@ object SegmentStore {
       indexes: Seq[SqliteDdl.IndexDef] = Nil,
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
-      uniques: Seq[Seq[String]] = Nil)
+      uniques: Seq[Seq[String]] = Nil,
+      checks: Seq[SqliteDdl.CheckDef] = Nil)
 
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
@@ -187,7 +188,7 @@ class SegmentStore(
             createTable(segmentId, td.name,
               TableMeta(td.schema, td.primaryKey, td.autoIncrement,
                 notNull = td.notNull, defaults = td.defaults,
-                uniques = td.uniques),
+                uniques = td.uniques, checks = td.checks),
               failIfExists = !td.ifNotExists)
           case "" => ()
           case other =>
@@ -354,7 +355,7 @@ class SegmentStore(
       val root = tierRoot(segmentId)
       val names = masters.map { spec =>
         val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement,
-          spec.indexes, spec.notNull, spec.defaults, spec.uniques)
+          spec.indexes, spec.notNull, spec.defaults, spec.uniques, spec.checks)
         SegmentStore.requireNoReservedColumns(meta)
         val rows = new java.util.ArrayList[Row]()
         SqliteIngest.decodedRows(file, spec).foreach(rows.add)
@@ -455,7 +456,7 @@ class SegmentStore(
       }
       val ddl = SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
         meta.autoIncrement, meta.notNull, meta.defaults,
-        exportUniques.map(_._1))
+        exportUniques.map(_._1), meta.checks)
 
       if (rowidIdx >= 0) {
         val rowidCol = fields(rowidIdx).name
@@ -705,7 +706,7 @@ class SegmentStore(
         val root = tierRoot(seg)
         specs.map { sp =>
           val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement,
-            sp.indexes, sp.notNull, sp.defaults, sp.uniques)
+            sp.indexes, sp.notNull, sp.defaults, sp.uniques, sp.checks)
           Files.createDirectories(tableRoot(root, sp.name))
           val tmp = tmpDir(root, seg, sp.name)
           if (Files.exists(tmp)) deleteRecursively(tmp)
@@ -860,11 +861,17 @@ class SegmentStore(
         val u = node.get("uniques").get(i)
         (0 until u.size()).map(u.get(_).asText()): Seq[String]
       }
+    val checks =
+      if (!node.has("checks")) Nil
+      else (0 until node.get("checks").size()).map { i =>
+        val c = node.get("checks").get(i)
+        SqliteDdl.CheckDef(c.get("label").asText(), c.get("expr").asText())
+      }
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
       if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None,
-      indexes, notNull, defaults, uniques)
+      indexes, notNull, defaults, uniques, checks)
   }
 
   /** Record a plain CREATE INDEX in its table's meta. Non-plain shapes
@@ -944,6 +951,14 @@ class SegmentStore(
       meta.uniques.foreach { u =>
         val a = arr.addArray()
         u.foreach(a.add)
+      }
+    }
+    if (meta.checks.nonEmpty) {
+      val arr = root.putArray("checks")
+      meta.checks.foreach { c =>
+        val o = arr.addObject()
+        o.put("label", c.label)
+        o.put("expr", c.expr)
       }
     }
     val p = metaPath(tierRoot(segmentId), segmentId, table)

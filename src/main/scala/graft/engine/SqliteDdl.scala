@@ -23,6 +23,12 @@ object SqliteDdl {
     * identical to the PRIMARY KEY or an earlier UNIQUE creates no
     * second index (probed: `PRIMARY KEY(a), UNIQUE(a), UNIQUE(b),
     * UNIQUE(b)` catalogs exactly two autoindexes). */
+  /** A CHECK constraint: `expr` is the raw SQLite expression text;
+    * `label` is what the failure message names — the CONSTRAINT name
+    * when one was given, else the expression text itself (sqlite3's
+    * own convention: `CHECK constraint failed: a > 0` / `: bpos`). */
+  final case class CheckDef(label: String, expr: String)
+
   final case class TableDef(
       name: String,
       schema: StructType,
@@ -31,7 +37,8 @@ object SqliteDdl {
       ifNotExists: Boolean,
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
-      uniques: Seq[Seq[String]] = Nil)
+      uniques: Seq[Seq[String]] = Nil,
+      checks: Seq[CheckDef] = Nil)
 
   /** SQLite type-affinity rules (https://sqlite.org/datatype3.html §3.1),
     * mapped to Spark types. */
@@ -68,6 +75,33 @@ object SqliteDdl {
     var notNull = Vector.empty[String]
     var defaults = Map.empty[String, String]
     var uniques = Vector.empty[Seq[String]]
+    var checks = Vector.empty[CheckDef]
+
+    /** The parenthesized expression after the first CHECK keyword in
+      * `s` (quote/paren aware), as its inner text. */
+    def checkExpr(s: String): Option[String] = {
+      val blanked = blankLiterals(s).toUpperCase
+      val at = "\\bCHECK\\b".r.findFirstMatchIn(blanked).map(_.start)
+      at.flatMap { i =>
+        val open = s.indexOf('(', i)
+        if (open < 0) None
+        else {
+          var depth = 0; var q: Char = 0; var j = open
+          while (j < s.length) {
+            val ch = s.charAt(j)
+            if (q != 0) { if (ch == q) q = 0 }
+            else if (ch == '\'' || ch == '"') q = ch
+            else if (ch == '(') depth += 1
+            else if (ch == ')') {
+              depth -= 1
+              if (depth == 0) return Some(s.substring(open + 1, j).trim)
+            }
+            j += 1
+          }
+          None
+        }
+      }
+    }
 
     SqlScript.splitTopLevel(body).foreach { defn =>
       val upper = defn.toUpperCase
@@ -86,10 +120,20 @@ object SqliteDdl {
         val cols = defn.substring(defn.indexOf('(') + 1, defn.lastIndexOf(')'))
         uniques :+= SqlScript.splitTopLevel(cols).map(c =>
           SqlScript.unquoteIdent(c.trim.split("\\s+").head))
-      } else if (upper.startsWith("CHECK") ||
-          upper.startsWith("FOREIGN KEY") || upper.startsWith("CONSTRAINT")) {
-        // FK/CHECK don't shape the schema and are unused in the
-        // reference's schemas (named CONSTRAINT forms stay hints)
+      } else if (upper.startsWith("CHECK")) {
+        // unnamed table-level CHECK: labeled by its own expression text
+        checkExpr(defn).foreach(e => checks :+= CheckDef(e, e))
+      } else if (upper.startsWith("CONSTRAINT")) {
+        // CONSTRAINT <name> CHECK (...) keeps the name as the failure
+        // label; other named forms (UNIQUE/PK/FK) stay hints
+        val m = "(?is)^\\s*CONSTRAINT\\s+(\\S+)\\s+CHECK\\b.*".r
+          .findFirstMatchIn(defn)
+        m.foreach { g =>
+          checkExpr(defn).foreach(e =>
+            checks :+= CheckDef(SqlScript.unquoteIdent(g.group(1)), e))
+        }
+      } else if (upper.startsWith("FOREIGN KEY")) {
+        // FKs don't shape the schema and are unused in the reference
       } else {
         // column-def: name [type-name] [constraints...]
         val tokens = tokenizeColumnDef(defn)
@@ -117,6 +161,7 @@ object SqliteDdl {
         // or other constraint spellings at column level)
         if (blankLiterals(defn).toUpperCase.matches("(?s).*\\bUNIQUE\\b.*"))
           uniques :+= Seq(colName)
+        checkExpr(defn).foreach(e => checks :+= CheckDef(e, e))
       }
     }
     // SQLite's rowid-alias rule covers BOTH spellings: a column-level
@@ -137,7 +182,7 @@ object SqliteDdl {
       val k = u.map(_.toLowerCase); seen.add(k)
     }
     TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists,
-      notNull, defaults, dedupedUniques)
+      notNull, defaults, dedupedUniques, checks)
   }
 
   /** Whether a column definition carries NOT NULL, scanned with string
@@ -224,7 +269,8 @@ object SqliteDdl {
       primaryKey: Seq[String], autoIncrement: Option[String],
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
-      uniques: Seq[Seq[String]] = Nil): String = {
+      uniques: Seq[Seq[String]] = Nil,
+      checks: Seq[CheckDef] = Nil): String = {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
     // A single-column table-constraint PRIMARY KEY over a column typed
     // exactly INTEGER would make real SQLite alias it to the rowid
@@ -262,7 +308,10 @@ object SqliteDdl {
       (if (primaryKey.nonEmpty && autoIncrement.isEmpty)
         Seq(s"PRIMARY KEY (${primaryKey.map(q).mkString(", ")})")
       else Nil) ++
-        uniques.map(u => s"UNIQUE (${u.map(q).mkString(", ")})")
+        uniques.map(u => s"UNIQUE (${u.map(q).mkString(", ")})") ++
+        checks.map(c =>
+          if (c.label == c.expr) s"CHECK (${c.expr})"
+          else s"CONSTRAINT ${q(c.label)} CHECK (${c.expr})")
     s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})"
   }
 

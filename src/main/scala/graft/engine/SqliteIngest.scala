@@ -45,7 +45,8 @@ object SqliteIngest {
       indexes: Seq[SqliteDdl.IndexDef] = Nil,
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
-      uniques: Seq[Seq[String]] = Nil)
+      uniques: Seq[Seq[String]] = Nil,
+      checks: Seq[SqliteDdl.CheckDef] = Nil)
 
   /** Plain secondary-index definitions per table, from master rows of
     * type 'index' with non-null sql (autoindexes catalog with null sql
@@ -92,7 +93,8 @@ object SqliteIngest {
       .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).getOrElse(-1)
     val base = TableSpec(td.name, td.schema, td.primaryKey, autoIncrement,
       m.rootPage, withoutRowid, rowidIdx,
-      notNull = td.notNull, defaults = td.defaults, uniques = td.uniques)
+      notNull = td.notNull, defaults = td.defaults, uniques = td.uniques,
+      checks = td.checks)
     if (!widen) base
     else base.copy(schema = widenedSchema(td.schema, rowidIdx, rawRows(file, base)))
   }

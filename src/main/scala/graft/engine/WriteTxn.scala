@@ -251,6 +251,20 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           s"NOT NULL constraint failed: $table.$c")
       }
     }
+    // CHECK constraints: a row violates only when the expression
+    // evaluates to FALSE — NULL passes (SQLite's rule); all checks in
+    // one aggregate job, failure labeled as sqlite3 labels it
+    if (meta.checks.nonEmpty) {
+      val counts = df.select(meta.checks.zipWithIndex.map { case (c, i) =>
+        count(when(!coalesce(
+          dexpr(c.expr).cast(org.apache.spark.sql.types.BooleanType),
+          lit(true)), 1)).as(s"c$i")
+      }: _*).head()
+      meta.checks.zipWithIndex.foreach { case (c, i) =>
+        if (counts.getLong(i) > 0) throw new IllegalArgumentException(
+          s"CHECK constraint failed: ${c.label}")
+      }
+    }
     val keySets =
       (if (meta.primaryKey.nonEmpty) Seq(meta.primaryKey.toSeq) else Nil) ++
         meta.uniques ++
@@ -284,8 +298,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema)
     created += td.name
     stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement,
-      notNull = td.notNull, defaults = td.defaults, uniques = td.uniques),
-      empty)
+      notNull = td.notNull, defaults = td.defaults, uniques = td.uniques,
+      checks = td.checks), empty)
   }
 
   /** Plain CREATE INDEX is recorded in the table's meta inside the

@@ -156,6 +156,45 @@ class ConstraintSpec extends SparkSpecBase {
       .map(_.map(_.toLowerCase)) == Seq(Seq("v"), Seq("a", "b")))
   }
 
+  test("CHECK constraints: sqlite3's labels, NULL passes, column + table + named forms") {
+    val id = seg("CREATE TABLE t (a INTEGER CHECK (a > 0), b INTEGER, " +
+      "CONSTRAINT bpos CHECK (b > a), CHECK (b < 100));")
+    // sqlite3: CHECK constraint failed: a > 0
+    val e1 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (-1, 5);"))
+    assert(e1.getMessage == "CHECK constraint failed: a > 0")
+    // sqlite3: CHECK constraint failed: bpos (the named form)
+    val e2 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (2, 1);"))
+    assert(e2.getMessage == "CHECK constraint failed: bpos")
+    val e3 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (1, 500);"))
+    assert(e3.getMessage == "CHECK constraint failed: b < 100")
+    // a NULL operand makes the check pass (probed: sqlite3 accepts)
+    engine.write(id, "INSERT INTO t VALUES (NULL, 5);")
+    assert(engine.read(id, "SELECT count(*) AS n FROM t;").collect()(0).getLong(0) == 1L)
+    // UPDATEs that break a check fail the same gate
+    engine.write(id, "INSERT INTO t VALUES (3, 7);")
+    val e4 = intercept[IllegalArgumentException](engine.write(id,
+      "UPDATE t SET a = -3 WHERE a = 3;"))
+    assert(e4.getMessage == "CHECK constraint failed: a > 0")
+  }
+
+  test("export re-renders CHECK constraints so real sqlite3 enforces them") {
+    val id = seg("CREATE TABLE t (a INTEGER CHECK (a > 0), " +
+      "CONSTRAINT cap CHECK (a < 1000));")
+    engine.write(id, "INSERT INTO t VALUES (5);")
+    val db = Files.createTempDirectory("cons-cexport").resolve("c.sqlite")
+    engine.store.exportSqliteSegment(id, db.toString)
+    assert(SqliteCli.query(db.toString, "PRAGMA integrity_check;") == "ok")
+    assert(SqliteCli.run(db.toString, "INSERT INTO t VALUES (-2);") != 0)
+    assert(SqliteCli.run(db.toString, "INSERT INTO t VALUES (5000);") != 0)
+    assert(SqliteCli.run(db.toString, "INSERT INTO t VALUES (6);") == 0)
+    engine.store.ingestSqliteSegment(db.toString, s"cons-cback-$n")
+    assert(engine.store.tableMeta(s"cons-cback-$n", "t").checks ==
+      Seq(SqliteDdl.CheckDef("a > 0", "a > 0"), SqliteDdl.CheckDef("cap", "a < 1000")))
+  }
+
   test("export re-renders NOT NULL and DEFAULT so real sqlite3 enforces them") {
     val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, " +
       "v TEXT NOT NULL DEFAULT 'dflt', n INTEGER DEFAULT (2*3));")
