@@ -319,9 +319,14 @@ object SqliteCompat {
     // --- json1 names (semantics already proven via q22; these register
     // the reference-compatible NAMES for raw reads)
     fn("json_extract") { exprs =>
-      require(exprs.length == 2,
-        "json_extract supports (json, path); multi-path form is not supported")
-      GetJsonObject(exprs(0), exprs(1))
+      require(exprs.length >= 2, "json_extract takes (json, path, ...)")
+      if (exprs.length == 2) GetJsonObject(exprs(0), exprs(1))
+      // multi-path form answers a JSON array of the selected nodes
+      else SqliteJsonExtractMulti(Cast(exprs.head, StringType) +: exprs.tail)
+    }
+    fn("json_patch") { exprs =>
+      require(exprs.length == 2, "json_patch takes (target, patch)")
+      SqliteJsonPatch(Cast(exprs(0), StringType), Cast(exprs(1), StringType))
     }
     // the -> / ->> operators arrive as these calls via the dialect's
     // textual rewrite (SqliteDialect.rewriteJsonArrows)

@@ -1059,6 +1059,99 @@ case class SqliteJsonModify(children: Seq[Expression], mode: String)
     copy(children = newChildren)
 }
 
+/** json1's MULTI-path `json_extract(json, p1, p2, …)`: with two or
+  * more paths the answer is a JSON array holding each selected node's
+  * JSON representation — strings stay quoted, a missing path
+  * contributes a JSON null (probed: sqlite3 `json_extract('{"a":1}',
+  * '$.a', '$.nope')` → `[1,null]`). The single-path form stays on
+  * Spark's codegen'd GetJsonObject (SqliteCompat registration).
+  * Malformed JSON answers NULL (engine-wide documented deviation;
+  * SQLite raises). */
+case class SqliteJsonExtractMulti(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_extract"
+
+  override def eval(input: InternalRow): Any = {
+    val j = children.head.eval(input)
+    if (j == null) return null
+    val root =
+      try SqliteJsonOps.mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => return null }
+    val parts = children.tail.map { pe =>
+      val p = pe.eval(input)
+      if (p == null) return null
+      val steps = SqliteJsonArrow.parsePath(p.toString)
+      if (steps == null) return null
+      var cur: com.fasterxml.jackson.databind.JsonNode = root
+      steps.foreach {
+        case Left(key) =>
+          cur = if (cur != null && cur.isObject) cur.get(key) else null
+        case Right(idx) =>
+          cur = if (cur != null && cur.isArray && idx >= 0 && idx < cur.size())
+            cur.get(idx) else null
+      }
+      if (cur == null) "null" else SqliteJsonOps.mapper.writeValueAsString(cur)
+    }
+    UTF8String.fromString(parts.mkString("[", ",", "]"))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteJsonExtractMulti =
+    copy(children = newChildren)
+}
+
+/** json1's `json_patch` — RFC 7396 MergePatch (sqlite.org/json1.html):
+  * a non-object patch replaces the target wholesale; object patches
+  * merge per key recursively, null patch values DELETING target keys
+  * (so a patch can never install a JSON null). Target key order is
+  * preserved, new keys append — matching sqlite3's rendering. SQL NULL
+  * in → SQL NULL out; malformed JSON answers NULL (engine-wide
+  * documented deviation; SQLite raises). */
+case class SqliteJsonPatch(target: Expression, patch: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node.ObjectNode
+
+  override def left: Expression = target
+  override def right: Expression = patch
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_patch"
+
+  private def merge(t: JsonNode, p: JsonNode): JsonNode =
+    if (!p.isObject) p
+    else {
+      val out: ObjectNode =
+        if (t != null && t.isObject) t.asInstanceOf[ObjectNode]
+        else SqliteJsonOps.mapper.createObjectNode()
+      val it = p.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNull) out.remove(e.getKey)
+        else out.set[JsonNode](e.getKey, merge(out.get(e.getKey), e.getValue))
+      }
+      out
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val t = target.eval(input)
+    val p = patch.eval(input)
+    if (t == null || p == null) return null
+    val nodes =
+      try (SqliteJsonOps.mapper.readTree(t.asInstanceOf[UTF8String].toString),
+        SqliteJsonOps.mapper.readTree(p.asInstanceOf[UTF8String].toString))
+      catch { case _: Exception => return null }
+    UTF8String.fromString(
+      SqliteJsonOps.mapper.writeValueAsString(merge(nodes._1, nodes._2)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqliteJsonPatch =
+    copy(target = newLeft, patch = newRight)
+}
+
 /** json1's interrogation scalars: `json_type([, path])` (the node's
   * JSON type name — 'true'/'false' are their own types), `json_valid`,
   * `json_array_length([, path])` (0 for non-arrays, NULL for a missing

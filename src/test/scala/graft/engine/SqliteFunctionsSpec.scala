@@ -149,6 +149,32 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       """json_array_length('{"a":1}', '$.a')""")
   }
 
+  test("multi-path json_extract answers a JSON array (sqlite3 differential)") {
+    golden(
+      """json_extract('{"a":1,"b":"x"}', '$.a', '$.b')""",
+      """json_extract('{"a":1}', '$.a', '$.missing')""", // missing → JSON null
+      """json_extract('{"a":1}', '$.missing', '$.missing')""",
+      """json_extract('{"a":{"b":1}}', '$.a', '$.a.b')""", // containers stay JSON
+      """json_extract('[0,1,2]', '$[1]', '$[2]')""",
+      """json_extract('{"a":1.5,"b":true,"c":null}', '$.a', '$.b', '$.c')""",
+      """json_extract('{"a":"x\"y"}', '$.a', '$.a')""", // strings stay quoted
+      "json_extract(NULL, '$.a', '$.b')",
+      """typeof(json_extract('{"a":1,"b":2}', '$.a', '$.b'))""")
+  }
+
+  test("json_patch merges RFC-7396 style (sqlite3 differential)") {
+    golden(
+      // null patch values delete; nested merge; new keys append
+      """json_patch('{"a":1,"b":{"c":2}}', '{"b":{"c":null,"d":4},"e":5}')""",
+      """json_patch('{"a":[1,2]}', '{"a":{"x":1}}')""", // non-object target leaf
+      """json_patch('3', '{"a":1}')""", // non-object target root
+      """json_patch('{"a":1}', '7')""", // non-object patch replaces wholesale
+      """json_patch('{"a":1}', 'null')""", // the text 'null', not SQL NULL
+      """json_patch('{}', '{"a":{"b":{"c":3}}}')""", // deep create
+      """typeof(json_patch('{}', '{}'))""",
+      "json_patch(NULL, '{}')", "json_patch('{}', NULL)")
+  }
+
   test("json_quote (sqlite3 differential)") {
     golden("json_quote(5)", "json_quote(2.5)", "json_quote(NULL)",
       """json_quote('x"y')""", "json_quote('plain')")
