@@ -328,6 +328,19 @@ object SqliteCompat {
       require(exprs.length == 2, "json_patch takes (target, patch)")
       SqliteJsonPatch(Cast(exprs(0), StringType), Cast(exprs(1), StringType))
     }
+    fn("json") { exprs =>
+      require(exprs.length == 1, "json takes exactly 1 argument")
+      SqliteJsonFormat(Seq(Cast(exprs.head, StringType)), "json")
+    }
+    fn("json_pretty") { exprs =>
+      require(exprs.length == 1 || exprs.length == 2,
+        "json_pretty takes (json[, indent])")
+      SqliteJsonFormat(Cast(exprs.head, StringType) +: exprs.tail, "pretty")
+    }
+    fn("json_error_position") { exprs =>
+      require(exprs.length == 1, "json_error_position takes exactly 1 argument")
+      SqliteJsonFormat(Seq(Cast(exprs.head, StringType)), "error_position")
+    }
     // the -> / ->> operators arrive as these calls via the dialect's
     // textual rewrite (SqliteDialect.rewriteJsonArrows)
     fn("json_arrow") { exprs =>

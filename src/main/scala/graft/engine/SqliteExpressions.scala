@@ -1152,6 +1152,98 @@ case class SqliteJsonPatch(target: Expression, patch: Expression)
     copy(target = newLeft, patch = newRight)
 }
 
+/** json1's canonicalizer/renderer trio: `json(X)` (minified
+  * re-render), `json_pretty(X[, indent])` (4-space default, `": "`
+  * separators, empty containers inline — probed against sqlite3), and
+  * `json_error_position(X)` (0 when valid, else the 1-based character
+  * position of the first parse error). Documented deviations: SQLite's
+  * parser accepts JSON5 (trailing commas, comments) and preserves
+  * `\\u` escapes verbatim; this Jackson-backed path is strict-JSON and
+  * re-renders escapes — identical on the strict-JSON/ASCII domain the
+  * goldens pin. Malformed JSON answers NULL from `json`/`json_pretty`
+  * (engine-wide deviation; SQLite raises). */
+case class SqliteJsonFormat(children: Seq[Expression], mode: String)
+    extends Expression with CodegenFallback {
+  override def dataType: DataType =
+    if (mode == "error_position") LongType else StringType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (mode == "json") "json" else s"json_$mode"
+
+  private def pretty(node: com.fasterxml.jackson.databind.JsonNode,
+      indent: String, depth: Int, sb: java.lang.StringBuilder): Unit = {
+    def pad(d: Int): Unit = { var i = 0; while (i < d) { sb.append(indent); i += 1 } }
+    if (node.isObject && node.size() > 0) {
+      sb.append("{\n")
+      val it = node.fields()
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) sb.append(",\n")
+        first = false
+        pad(depth + 1)
+        sb.append(SqliteJsonOps.mapper.writeValueAsString(
+          SqliteJsonOps.mapper.getNodeFactory.textNode(e.getKey)))
+        sb.append(": ")
+        pretty(e.getValue, indent, depth + 1, sb)
+      }
+      sb.append("\n"); pad(depth); sb.append("}")
+    } else if (node.isArray && node.size() > 0) {
+      sb.append("[\n")
+      var i = 0
+      while (i < node.size()) {
+        if (i > 0) sb.append(",\n")
+        pad(depth + 1)
+        pretty(node.get(i), indent, depth + 1, sb)
+        i += 1
+      }
+      sb.append("\n"); pad(depth); sb.append("]")
+    } else sb.append(SqliteJsonOps.mapper.writeValueAsString(node))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val j = children.head.eval(input)
+    if (j == null) return null
+    val text = j.asInstanceOf[UTF8String].toString
+    val parsed =
+      try {
+        val node = SqliteJsonOps.mapper.readTree(text)
+        // blank input parses to a MissingNode, not an exception
+        if (node == null || node.isMissingNode) Left(1L) else Right(node)
+      } catch {
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          Left(math.max(1L, e.getLocation.getColumnNr.toLong))
+        case _: Exception => Left(1L)
+      }
+    mode match {
+      case "error_position" =>
+        parsed.fold(identity[Long], _ => 0L)
+      case "json" => parsed match {
+        case Right(node) =>
+          UTF8String.fromString(SqliteJsonOps.mapper.writeValueAsString(node))
+        case Left(_) => null
+      }
+      case _ => parsed match { // pretty
+        case Right(node) =>
+          val indent = children.lift(1).map(_.eval(input)) match {
+            case Some(null) => return null
+            case Some(u: UTF8String) => u.toString
+            case Some(other) => other.toString
+            case None => "    "
+          }
+          val sb = new java.lang.StringBuilder()
+          pretty(node, indent, 0, sb)
+          UTF8String.fromString(sb.toString)
+        case Left(_) => null
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteJsonFormat =
+    copy(children = newChildren)
+}
+
 /** json1's interrogation scalars: `json_type([, path])` (the node's
   * JSON type name — 'true'/'false' are their own types), `json_valid`,
   * `json_array_length([, path])` (0 for non-arrays, NULL for a missing

@@ -175,6 +175,19 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       "json_patch(NULL, '{}')", "json_patch('{}', NULL)")
   }
 
+  test("json() minifies, json_pretty renders, json_error_position locates (sqlite3 differential)") {
+    golden(
+      """json(' { "a" : [ 1 , 2 ] } ')""", "json('[1,  2]')",
+      "typeof(json('5'))", "json(NULL)",
+      """json_pretty('{"a":[1,{"b":2}]}')""", "json_pretty('[]')",
+      "json_pretty('5')", """json_pretty('{"a":1}', '-')""",
+      """json_pretty('{"a":{}}')""", """json_pretty('{"a":[]}')""",
+      "json_pretty(NULL)",
+      "json_error_position('{\"a\":1}')", // 0: valid
+      "json_error_position('')",
+      "json_error_position(NULL)")
+  }
+
   test("json_quote (sqlite3 differential)") {
     golden("json_quote(5)", "json_quote(2.5)", "json_quote(NULL)",
       """json_quote('x"y')""", "json_quote('plain')")
