@@ -3,7 +3,7 @@ package graft.engine
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Concat, ConcatWs, Expression, FormatString, GetJsonObject, Greatest, If, IsNull, Least, Literal, Log10, Logarithm, Or}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Concat, ConcatWs, EqualTo, Expression, FormatString, GetJsonObject, Greatest, If, IsNull, Least, Literal, Log10, Logarithm, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, Max, Min, Sum}
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
@@ -314,6 +314,36 @@ object SqliteCompat {
     fn("quote") { exprs =>
       require(exprs.length == 1, "quote takes exactly 1 argument")
       SqliteQuote(exprs.head)
+    }
+    // SQLite's substr edge rules (Y=0/negative, NEGATIVE length) — the
+    // substring alias arrived in SQLite 3.34
+    Seq("substr", "substring").foreach { name =>
+      fn(name) { exprs =>
+        require(exprs.length == 2 || exprs.length == 3,
+          s"$name takes (X, Y[, Z])")
+        SqliteSubstr(Cast(exprs.head, StringType) +:
+          exprs.tail.map(e => Cast(e, LongType): Expression))
+      }
+    }
+    // sign answers INTEGER (Spark's signum: DOUBLE) and NULL for text
+    fn("sign") { exprs =>
+      require(exprs.length == 1, "sign takes exactly 1 argument")
+      SqliteSign(exprs.head)
+    }
+    // hex renders non-blobs to TEXT first and maps NULL to ''
+    fn("hex") { exprs =>
+      require(exprs.length == 1, "hex takes exactly 1 argument")
+      SqliteHex(exprs.head)
+    }
+    // replace('x', '', anything) answers 'x' BEFORE the replacement
+    // argument's NULL can poison it (probed); otherwise Spark's
+    // codegen'd StringReplace has SQLite's semantics
+    fn("replace") { exprs =>
+      require(exprs.length == 3, "replace takes exactly 3 arguments")
+      val Seq(x, y, z) =
+        exprs.map(e => Cast(e, StringType): Expression).toSeq
+      If(EqualTo(y, Literal("")), x,
+        org.apache.spark.sql.catalyst.expressions.StringReplace(x, y, z))
     }
 
     // --- json1 names (semantics already proven via q22; these register

@@ -75,8 +75,11 @@ case class SqliteDiv(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   private def isIntegral(dt: DataType): Boolean = dt match {
-    // SQLite stores booleans as the integers 0/1 — integer affinity
-    case ByteType | ShortType | IntegerType | LongType | BooleanType => true
+    // SQLite stores booleans as the integers 0/1 — integer affinity;
+    // a NULL literal divides as whatever the other operand is (the
+    // answer is NULL either way, but the STORAGE CLASS of the overall
+    // expression must not widen to REAL through e.g. coalesce)
+    case ByteType | ShortType | IntegerType | LongType | BooleanType | NullType => true
     case _ => false
   }
   private lazy val integral = isIntegral(left.dataType) && isIntegral(right.dataType)
@@ -108,11 +111,13 @@ case class SqliteDiv(left: Expression, right: Expression)
     case _: DecimalType => s"$value.toDouble()"
     case StringType => s"graft.engine.SqliteDiv.strToDouble($value.toString())"
     case BooleanType => s"($value ? 1.0 : 0.0)"
+    case NullType => "0.0" // dead code behind the isNull guard
     case _ => s"(double)($value)"
   }
 
   private def javaLong(value: String, dt: DataType): String = dt match {
     case BooleanType => s"($value ? 1L : 0L)"
+    case NullType => "0L" // dead code behind the isNull guard
     case _ => s"(long)($value)"
   }
 
@@ -331,6 +336,117 @@ case class SqliteQuote(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SqliteQuote =
+    copy(child = newChild)
+}
+
+/** SQLite `substr(X, Y[, Z])` (lang_corefunc.html): 1-based Y, with
+  * negative Y counting from the end, Y=0 sitting one before the first
+  * character (consuming one of Z), and NEGATIVE Z meaning "the |Z|
+  * characters PRECEDING position Y" — `substr('abc', 0, 2)` is 'a',
+  * `substr('abc', -1)` is 'c', and an out-of-range start with negative
+  * length can reach back over the whole string. Spark's `substring`
+  * answers '' for every negative length. Follows the public substrFunc
+  * clamping order (sqlite/src/func.c), fuzz-verified differentially. */
+case class SqliteSubstr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "substr"
+
+  override def eval(input: InternalRow): Any = {
+    val sv = children(0).eval(input)
+    if (sv == null) return null
+    val yv = children(1).eval(input)
+    if (yv == null) return null
+    val s = sv.asInstanceOf[UTF8String].toString
+    val len = s.length.toLong
+    var p1 = yv.asInstanceOf[Number].longValue()
+    var p2 =
+      if (children.length < 3) len + 1
+      else {
+        val zv = children(2).eval(input)
+        if (zv == null) return null
+        zv.asInstanceOf[Number].longValue()
+      }
+    if (p1 < 0) {
+      p1 += len
+      if (p1 < 0) {
+        p2 += p1
+        if (p2 < 0) p2 = 0
+        p1 = 0
+      }
+    } else if (p1 > 0) p1 -= 1
+    else if (p2 > 0) p2 -= 1
+    if (p2 < 0) {
+      if (p2 < -p1) p2 = p1 else p2 = -p2
+      p1 -= p2
+    }
+    val start = math.min(p1, len).toInt
+    val end = math.min(p1 + math.max(p2, 0L), len).toInt
+    UTF8String.fromString(if (start >= end) "" else s.substring(start, end))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqliteSubstr =
+    copy(children = newChildren)
+}
+
+/** SQLite `sign(X)` (lang_corefunc.html): -1/0/+1 as an INTEGER for
+  * numeric arguments; NULL for NULL and for every non-numeric storage
+  * class — even numeric-looking TEXT (`sign('3x')` and `sign('5')` are
+  * both NULL; probed). Spark's `signum` returns DOUBLE and coerces
+  * text, so both the storage class and the domain diverge. */
+case class SqliteSign(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign"
+
+  override def eval(input: InternalRow): Any = child.dataType match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      val v = child.eval(input)
+      if (v == null) null
+      else {
+        val d = v match {
+          case n: Number => n.doubleValue()
+          case d: Decimal => d.toDouble
+        }
+        if (d > 0) 1L else if (d < 0) -1L else 0L
+      }
+    case BooleanType =>
+      val v = child.eval(input)
+      if (v == null) null else if (v.asInstanceOf[Boolean]) 1L else 0L
+    case _ => null // TEXT/BLOB/NULL storage classes
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteSign =
+    copy(child = newChild)
+}
+
+/** SQLite `hex(X)` (lang_corefunc.html): the argument is interpreted
+  * as a BLOB — non-blob values render to their TEXT form first — and
+  * the answer is its uppercase hex, with NULL mapping to the EMPTY
+  * string (`hex(NULL)` = '', `hex(123)` = '313233'; probed). Spark's
+  * `hex` instead hexes the numeric VALUE and answers NULL for NULL. */
+case class SqliteHex(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hex"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val bytes: Array[Byte] = v match {
+      case null => Array.emptyByteArray
+      case b: Array[Byte] => b
+      case u: UTF8String => u.getBytes
+      case b: java.lang.Boolean => (if (b) "1" else "0").getBytes("UTF-8")
+      case other => other.toString.getBytes("UTF-8")
+    }
+    UTF8String.fromString(bytes.map(x => f"${x & 0xff}%02X").mkString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteHex =
     copy(child = newChild)
 }
 
