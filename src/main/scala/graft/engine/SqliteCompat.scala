@@ -325,6 +325,12 @@ object SqliteCompat {
           exprs.tail.map(e => Cast(e, LongType): Expression))
       }
     }
+    // abs dispatches on storage class (INTEGER stays INTEGER, NULL stays
+    // integral-typed so enclosing integral exprs don't widen to REAL)
+    fn("abs") { exprs =>
+      require(exprs.length == 1, "abs takes exactly 1 argument")
+      SqliteAbs(exprs.head)
+    }
     // sign answers INTEGER (Spark's signum: DOUBLE) and NULL for text
     fn("sign") { exprs =>
       require(exprs.length == 1, "sign takes exactly 1 argument")

@@ -361,8 +361,12 @@ case class SqliteSubstr(children: Seq[Expression])
     val s = sv.asInstanceOf[UTF8String].toString
     val len = s.length.toLong
     var p1 = yv.asInstanceOf[Number].longValue()
+    // 2-arg substr defaults the length to SQLITE_LIMIT_LENGTH (a huge
+    // constant), NOT len+1: after the negative-start adjustment below the
+    // default must survive `p2 += p1` so substr('Xa#', -522) clamps to the
+    // start and yields the whole string (sqlite substrFunc, lang_corefunc).
     var p2 =
-      if (children.length < 3) len + 1
+      if (children.length < 3) Int.MaxValue.toLong
       else {
         val zv = children(2).eval(input)
         if (zv == null) return null
@@ -382,13 +386,49 @@ case class SqliteSubstr(children: Seq[Expression])
       p1 -= p2
     }
     val start = math.min(p1, len).toInt
-    val end = math.min(p1 + math.max(p2, 0L), len).toInt
+    // clamp p2 to len before adding so the huge 2-arg default can't overflow
+    val end = math.min(start + math.min(math.max(p2, 0L), len), len).toInt
     UTF8String.fromString(if (start >= end) "" else s.substring(start, end))
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SqliteSubstr =
     copy(children = newChildren)
+}
+
+/** SQLite `abs(X)` (lang_corefunc.html, absFunc in func.c): dispatches
+  * on the argument's STORAGE CLASS — INTEGER stays INTEGER, NULL stays
+  * NULL, and everything else (REAL, TEXT, BLOB) converts to REAL
+  * (`abs('5')` is 5.0, `abs('abc')` is 0.0; probed). Spark's `Abs`
+  * instead lets type coercion cast a NullType operand to DOUBLE, which
+  * widens the storage class of every enclosing integral expression
+  * (`coalesce(abs(NULL) % x, 387)` must render 387, not 387.0) — so the
+  * static type here treats NullType as integral, mirroring [[SqliteDiv]].
+  * Deviation: SQLite raises "integer overflow" on abs(-2^63); we return
+  * the two's-complement value. */
+case class SqliteAbs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private def integral = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType | NullType => true
+    case _ => false
+  }
+  override def dataType: DataType = if (integral) LongType else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abs"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else if (integral) math.abs(SqliteDiv.anyToLong(v))
+    else v match {
+      case d: Decimal => math.abs(d.toDouble)
+      case n: Number => math.abs(n.doubleValue())
+      case other => math.abs(SqliteDiv.strToDouble(other.toString))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqliteAbs =
+    copy(child = newChild)
 }
 
 /** SQLite `sign(X)` (lang_corefunc.html): -1/0/+1 as an INTEGER for

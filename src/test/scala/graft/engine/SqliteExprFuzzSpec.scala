@@ -25,8 +25,10 @@ class SqliteExprFuzzSpec extends SparkSpecBase {
     s
   }
 
-  private val COUNT = 400
-  private val rng = new scala.util.Random(20260813L)
+  // -Dgraft.fuzz.count=2000 -Dgraft.fuzz.seed=... for a local deep sweep
+  private val COUNT = sys.props.get("graft.fuzz.count").map(_.toInt).getOrElse(400)
+  private val SEED = sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(20260813L)
+  private val rng = new scala.util.Random(SEED)
 
   private def intLit: String = {
     val v = rng.nextInt(2001) - 1000
@@ -121,7 +123,7 @@ class SqliteExprFuzzSpec extends SparkSpecBase {
     exprs.indices.map(i => if (row.isNullAt(i)) "NULL" else row.getString(i))
   }
 
-  test(s"$COUNT random typed scalar expressions agree with sqlite3") {
+  test(s"$COUNT random typed scalar expressions agree with sqlite3 (seed $SEED)") {
     val exprs = Seq.fill(COUNT)(anyExpr())
     val theirs = exprs.grouped(50).flatMap(sqliteBatch).toSeq
     val ours = exprs.grouped(50).flatMap(oursBatch).toSeq
