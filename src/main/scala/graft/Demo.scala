@@ -66,8 +66,9 @@ object Demo {
       s"$s -> ${r.map(_.mkString("+")).getOrElse("FAILED")}" }.toSeq.sorted.mkString(", "))
 
     println("== the reference's HTTP wire contract ==")
-    val facade = new graft.engine.TroughHttpFacade(engine, "localhost")
-    val readPort = facade.startRead(0)
+    val facade = new graft.server.HttpFacade(
+      engine, readPort = 0, writePort = 0, syncPort = 0).start()
+    val readPort = facade.boundReadPort
     try {
       val client = java.net.http.HttpClient.newHttpClient()
       val resp = client.send(
@@ -77,7 +78,7 @@ object Demo {
             "SELECT url FROM pages WHERE status = 200;")).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       print(s"POST :$readPort/?segment=crawl-2024-01 -> ${resp.statusCode()} ${resp.body()}")
-    } finally facade.close()
+    } finally facade.stop()
 
     spark.stop()
   }

@@ -39,7 +39,9 @@ import graft.functions.TroughFunctions
 class TroughEngine(
     val spark: SparkSession,
     val store: SegmentStore,
-    val schemas: SchemaRegistry) {
+    val schemas: SchemaRegistry,
+    /** node name reported in lock errors (reference: settings['HOSTNAME']) */
+    val nodeName: String = "local") {
 
   TroughFunctions.register(spark)
 
@@ -59,9 +61,6 @@ class TroughEngine(
     SqliteCompat.register(s)
     s
   }
-
-  /** node name reported in lock errors (reference: settings['HOSTNAME']) */
-  val nodeName: String = "local"
 
   private val writeLocks = new ConcurrentHashMap[String, String]() // segment -> node
   private val scriptLocks = new ConcurrentHashMap[String, Object]()
@@ -297,10 +296,12 @@ class TroughEngine(
       throw new IllegalArgumentException("No query provided.")
     val lock = writeLocks.get(segmentId)
     if (lock == null || lock != nodeName)
+      // write.py:57 byte-for-byte, Python {!r} reprs included: the node
+      // name and segment id render single-quoted, an absent lock is None
       throw new IllegalStateException(
-        s"This node ($nodeName) cannot write to segment '$segmentId'. There is no " +
-        s"write lock set, or the write lock authorizes another node. Write lock: " +
-        s"${Option(lock).getOrElse("None")}")
+        s"This node (settings['HOSTNAME']='$nodeName') cannot write to segment " +
+        s"'$segmentId'. There is no write lock set, or the write lock authorizes " +
+        s"another node. Write lock: ${if (lock == null) "None" else s"'$lock'"}")
     if (store.isCold(segmentId))
       throw new IllegalStateException(s"segment $segmentId is in cold storage (read-only)")
     val mutex = scriptLocks.computeIfAbsent(segmentId, _ => new Object)

@@ -187,6 +187,11 @@ class HttpFacade(
 
       case ("DELETE", SegmentPath(id)) => deleteSegment(ex, id)
 
+      // known routes with the wrong verb are the reference's 405s
+      // (flask method routing, segment_manager.py:12-52)
+      case (_, "/") | (_, "/provision") | (_, "/promote") =>
+        respond(ex, 405, "text/plain", "405 Method Not Allowed\n")
+
       case _ => respond(ex, 404, "text/plain", "404 Not Found\n")
     }
   }
@@ -211,9 +216,13 @@ class HttpFacade(
         "size" -> engine.store.segmentSizeBytes(segmentId),
         "schema" -> schemaId))
     } catch {
-      // the engine's cold-storage refusal is the reference's
-      // ClientError → 400 path (sync.py:1050-1068)
+      // client-caused refusals — the cold-storage range (sync.py:
+      // 1050-1068) and a hostile segment id — are the reference's
+      // ClientError → 400 {'error': msg}; an unknown schema id is a
+      // plain Exception there → falls through to the 500 handler
       case e: IllegalStateException =>
+        respond(ex, 400, "application/json", json("error" -> e.getMessage))
+      case e: IllegalArgumentException if !e.getMessage.contains("no such schema") =>
         respond(ex, 400, "application/json", json("error" -> e.getMessage))
     }
   }
@@ -230,7 +239,11 @@ class HttpFacade(
     val root = durableRoot.getOrElse(
       throw new IllegalStateException("no durable root configured"))
     val remote = engine.promote(segmentId, root)
-    respond(ex, 200, "application/json", json("remote_path" -> remote))
+    // the reference's result dict documents the path AND the segment
+    // size on disk (segment_manager.py:42-45)
+    respond(ex, 200, "application/json", json(
+      "remote_path" -> remote,
+      "size" -> engine.store.segmentSizeBytes(segmentId)))
   }
 
   /** GET/PUT /schema/<id> (segment_manager.py:60-103): JSON document
@@ -267,7 +280,7 @@ class HttpFacade(
           return respond(ex, 400, "text/plain",
             s"id in json '${node.get("id").asText()}' does not match id in url '$id'")
         putSchema(ex, id, node.get("sql").asText())
-      case _ => respond(ex, 404, "text/plain", "404 Not Found\n")
+      case _ => respond(ex, 405, "text/plain", "405 Method Not Allowed\n")
     }
 
   /** GET/PUT /schema/<id>/sql (segment_manager.py:68-75, 105-115): raw
@@ -280,7 +293,7 @@ class HttpFacade(
           case None => respond(ex, 404, "text/plain", "404 Not Found\n")
         }
       case "PUT" => putSchema(ex, id, body(ex))
-      case _ => respond(ex, 404, "text/plain", "404 Not Found\n")
+      case _ => respond(ex, 405, "text/plain", "405 Method Not Allowed\n")
     }
 
   /** Shared create-or-update: 400 with the reference's validation text,

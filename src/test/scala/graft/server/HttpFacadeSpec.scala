@@ -17,10 +17,12 @@ class HttpFacadeSpec extends SparkSpecBase
 
   private lazy val root = Files.createTempDirectory("graft-http").toString
   private lazy val durable = Files.createTempDirectory("graft-http-durable").toString
+  // nodeName 'test01' matches the reference test fixture's
+  // settings['HOSTNAME'] so the byte-exact lock message ports verbatim
   private lazy val engine = {
     val store = new SegmentStore(spark, root,
       coldPredicate = _.startsWith("cold"))
-    new TroughEngine(spark, store, new SchemaRegistry)
+    new TroughEngine(spark, store, new SchemaRegistry, nodeName = "test01")
   }
   private lazy val facade =
     new HttpFacade(engine, readPort = 0, writePort = 0, syncPort = 0,
@@ -215,5 +217,109 @@ class HttpFacadeSpec extends SparkSpecBase
 
   test("unknown manager routes answer 404") {
     assert(send(req(facade.boundSyncPort, "/nope").GET().build()).statusCode() == 404)
+  }
+
+  // ------------------- assertions folded in from the r7 engine-facade spec
+
+  test("read: empty result is [] (test_read.py:17-36)") {
+    post(facade.boundSyncPort, "/provision", """{"segment": "http-empty"}""")
+    post(facade.boundWritePort, "/?segment=http-empty",
+      "CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, test varchar(4));")
+    val r = post(facade.boundReadPort, "/?segment=http-empty",
+      "SELECT * FROM \"test\";")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+    assert(r.body() == "[]\n")
+  }
+
+  test("write: empty script is the reference error (test_write.py:14-23)") {
+    val r = post(facade.boundWritePort, "/?segment=http2", "")
+    assert(r.statusCode() == 500)
+    assert(r.body() == "500 Server Error: No query provided.\n")
+  }
+
+  test("write: SELECT in a write script is a clean 500 (test_write.py:24-36)") {
+    val r = post(facade.boundWritePort, "/?segment=http2", "SELECT * FROM \"t\";")
+    assert(r.statusCode() == 500)
+    assert(r.body().startsWith("500 Server Error:"))
+    assert(r.body().contains("unsupported write statement: SELECT"))
+  }
+
+  test("write refusal without a lock is the reference's exact bytes (test_write.py:50-65)") {
+    // segment id from the Host header, like the reference test's
+    // HTTP_HOST='TEST.host' env. The JDK HttpClient refuses to spoof
+    // Host, so this one goes over a raw socket.
+    val payload = "INSERT INTO test (test) VALUES (\"test\")"
+    val sock = new java.net.Socket("localhost", facade.boundWritePort)
+    try {
+      val out = sock.getOutputStream
+      out.write(
+        ("POST / HTTP/1.1\r\nHost: TEST.host\r\n" +
+          s"Content-Length: ${payload.length}\r\nConnection: close\r\n\r\n" + payload)
+          .getBytes(UTF_8))
+      out.flush()
+      val raw = new String(sock.getInputStream.readAllBytes(), UTF_8)
+      assert(raw.startsWith("HTTP/1.1 500 "))
+      val bodyStart = raw.indexOf("\r\n\r\n") + 4
+      assert(raw.substring(bodyStart) ==
+        "500 Server Error: This node (settings['HOSTNAME']='test01') cannot write " +
+          "to segment 'TEST'. There is no write lock set, or the write lock " +
+          "authorizes another node. Write lock: None\n")
+    } finally sock.close()
+  }
+
+  test("manager: wrong verbs answer 405 (flask method routing)") {
+    assert(send(req(facade.boundSyncPort, "/").GET().build()).statusCode() == 405)
+    assert(send(req(facade.boundSyncPort, "/provision").GET().build()).statusCode() == 405)
+    assert(send(req(facade.boundSyncPort, "/promote").GET().build()).statusCode() == 405)
+    assert(post(facade.boundSyncPort, "/schema/default", "{}").statusCode() == 405)
+    assert(post(facade.boundSyncPort, "/schema/default/sql", "").statusCode() == 405)
+  }
+
+  test("provision is idempotent, JSON and deprecated text forms (test_segment_manager.py:24-62)") {
+    for (_ <- 1 to 2) {
+      val r = post(facade.boundSyncPort, "/provision", """{"segment": "http-idem"}""")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(node.get("result").asText() == "success")
+      assert(node.get("schema").asText() == "default")
+      assert(node.get("write_url").asText()
+        .endsWith(s":${facade.boundWritePort}/?segment=http-idem"))
+    }
+    for (_ <- 1 to 2) {
+      val r = post(facade.boundSyncPort, "/", "http-idem-txt")
+      assert(r.statusCode() == 200)
+      assert(r.body().endsWith(s":${facade.boundWritePort}/?segment=http-idem-txt"))
+    }
+  }
+
+  test("provision with a schema incl. index, then write/read round trip (test_segment_manager.py:64-101)") {
+    val schema = "CREATE TABLE test (id INTEGER PRIMARY KEY AUTOINCREMENT, " +
+      "test varchar(4));\nCREATE INDEX ix_test ON test (test);"
+    val put = send(req(facade.boundSyncPort, "/schema/test1/sql")
+      .PUT(HttpRequest.BodyPublishers.ofString(schema, UTF_8)).build())
+    assert(put.statusCode() == 201)
+    val prov = post(facade.boundSyncPort, "/provision",
+      """{"segment":"http-sch1", "schema":"test1"}""")
+    assert(prov.statusCode() == 200)
+    val w = post(facade.boundWritePort, "/?segment=http-sch1",
+      "INSERT INTO test (test) VALUES (\"test\");")
+    assert(w.body() == "OK\n")
+    val rd = post(facade.boundReadPort, "/?segment=http-sch1", "SELECT * FROM test;")
+    assert(rd.statusCode() == 200)
+    assert(rd.body() == "[{\"id\":1,\"test\":\"test\"}]\n")
+  }
+
+  test("provision refusals: hostile id is 400 {'error'}, unknown schema is 500") {
+    val bad = post(facade.boundSyncPort, "/provision", """{"segment": "_nope"}""")
+    assert(bad.statusCode() == 400)
+    assert(bad.body().startsWith("{\"error\":"))
+    assert(bad.body().contains("must match"))
+    // unknown schema id is the reference's plain Exception → 500
+    val noSchema = post(facade.boundSyncPort, "/provision",
+      """{"segment": "ok-seg", "schema": "nope"}""")
+    assert(noSchema.statusCode() == 500)
+    assert(noSchema.body().contains("no such schema"))
   }
 }
