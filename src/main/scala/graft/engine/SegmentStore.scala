@@ -341,7 +341,7 @@ class SegmentStore(
         s"cannot ingest into segment $segmentId: cold storage is read-only")
     require(SegmentStore.SegmentIdPattern.matches(segmentId),
       s"segment id '$segmentId' must match ${SegmentStore.SegmentIdPattern}")
-    val file = SqliteFile.open(Paths.get(sqlitePath))
+    val file = SqliteFile.open(sqlitePath, spark.sparkContext.hadoopConfiguration)
     // if THIS call registered the segment and then fails before any
     // table commits, unregister it again — a mid-walk corruption error
     // must not leave a phantom segment (registered, zero tables) behind
@@ -627,6 +627,10 @@ class SegmentStore(
     // into a handful of giant tasks
     def slicesFor(n: Int): Int =
       math.max(1, math.min(n, math.max(sc.defaultParallelism * 2, n / 32)))
+    // Hadoop conf rides to the tasks once, broadcast — scheme-qualified
+    // paths (hdfs://, s3a://) open through it; bare paths stay on NIO
+    val hadoopConf = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
 
     // ---- pass 1 (distributed): catalog every file ----
     // the TaskContext requirement is the executor-side guarantee the
@@ -636,7 +640,7 @@ class SegmentStore(
         seg -> Try {
           require(org.apache.spark.TaskContext.get() != null,
             "bulk-ingest catalog must run inside an executor task")
-          val f = SqliteFile.open(Paths.get(path))
+          val f = SqliteFile.open(path, hadoopConf.value.value)
           try {
             val specs = SqliteIngest.tableSpecs(f, widen)
             specs.foreach(s => SegmentStore.requireNoReservedColumns(
@@ -669,7 +673,7 @@ class SegmentStore(
                 require(org.apache.spark.TaskContext.get() != null,
                   "bulk-ingest decode must run inside an executor task")
                 try {
-                  val f = SqliteFile.open(Paths.get(path))
+                  val f = SqliteFile.open(path, hadoopConf.value.value)
                   // buffer this table of this file fully BEFORE
                   // emitting: isolation means a mid-walk error must
                   // contribute ZERO rows, not a prefix

@@ -1,9 +1,8 @@
 package graft.engine
 
 import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, StandardOpenOption}
+import java.nio.file.Path
 
 /** Read-only parser of the public SQLite database file format
   * (https://www.sqlite.org/fileformat2.html) — header page, table B-tree
@@ -31,7 +30,10 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * salts, checksum breaks) are ignored per the recovery algorithm; a
   * malformed WAL HEADER is a clean error.
   *
-  * Memory shape: pages are read on demand through a [[FileChannel]] —
+  * Memory shape: pages are read on demand through a [[PageSource]] —
+  * a positioned-read seam over either a local NIO channel or any Hadoop
+  * filesystem (hdfs://, s3a://, file:// — how executor tasks reach the
+  * reference's HDFS migration universe) —
   * one page resident per walk step plus the overflow chain of the
   * current cell — so a segment file never needs to fit in driver
   * memory (the WAL overlay keeps only a page→offset map, one entry per
@@ -50,10 +52,16 @@ object SqliteFile {
   private val Magic =
     "SQLite format 3".getBytes(StandardCharsets.ISO_8859_1) :+ 0.toByte
 
-  def open(path: Path): SqliteFile = {
-    require(Files.isRegularFile(path), s"no such file: $path")
-    new SqliteFile(path)
-  }
+  def open(path: Path): SqliteFile =
+    new SqliteFile(SqlitePageStore.Local(path))
+
+  /** Scheme-aware open: a bare POSIX path reads through NIO; a
+    * scheme-qualified URI (`hdfs://`, `s3a://`, `file://`) reads through
+    * the Hadoop FileSystem API with `conf` — the form executor tasks use
+    * for the reference's HDFS migration universe (sync.py:365-369).
+    * Sidecars resolve through the same access path as the main file. */
+  def open(path: String, conf: org.apache.hadoop.conf.Configuration): SqliteFile =
+    new SqliteFile(SqlitePageStore.forPath(path, conf))
 
   /** Decode a big-endian varint (fileformat2.html §"Variable-length
     * integers"): 1–8 bytes of 7 value bits each, a 9th byte contributing
@@ -101,10 +109,11 @@ object SqliteFile {
   }
 }
 
-final class SqliteFile private (path: Path) extends AutoCloseable {
+final class SqliteFile private (store: SqlitePageStore) extends AutoCloseable {
   import SqliteFile._
 
-  private val channel = FileChannel.open(path, StandardOpenOption.READ)
+  private val path: String = store.describe
+  private val channel: PageSource = store.openMain()
 
   // ---- 100-byte header (fileformat2.html §1.3) ----
   // Creation-time invariants (magic, page size, reserved bytes) come
@@ -140,13 +149,13 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
 
   /** Committed-frame overlay from a `-wal` sidecar, if one is present
     * with at least one committed transaction (§WAL). */
-  private val wal: Option[WalOverlay] = WalOverlay.open(path, pageSize)
+  private val wal: Option[WalOverlay] = WalOverlay.open(store, pageSize)
 
   /** Pre-image overlay from a HOT `-journal` sidecar (§The Rollback
     * Journal): the database crashed mid-transaction in rollback mode,
     * and the journaled originals + truncation restore the last
     * committed state — what `sqlite3` itself would recover on open. */
-  private val journal: Option[JournalOverlay] = JournalOverlay.open(path, pageSize)
+  private val journal: Option[JournalOverlay] = JournalOverlay.open(store, pageSize)
   if (wal.nonEmpty && journal.nonEmpty)
     throw new IllegalArgumentException(
       s"$path has BOTH a committed WAL and a hot rollback journal — " +
@@ -173,7 +182,7 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
   private val pageCount: Long =
     wal.map(_.dbSize.toLong)
       .orElse(journal.map(_.dbSize.toLong))
-      .getOrElse(channel.size() / pageSize)
+      .getOrElse(channel.size / pageSize)
 
   /** Corruption guards shared by both walks. Depth first: a cycle only
     * ever DEEPENS these walks (they descend on every page transition),
@@ -464,18 +473,16 @@ final class SqliteFile private (path: Path) extends AutoCloseable {
 }
 
 private[engine] object WalOverlay {
-  /** Open the `-wal` sidecar of `dbPath` if it exists with at least one
-    * COMMITTED frame; `None` for absent, empty, or checkpointed-and-
-    * reset WALs (header only / no valid commit — nothing supersedes the
-    * main file then). A malformed header or geometry mismatch throws. */
-  def open(dbPath: Path, pageSize: Int): Option[WalOverlay] = {
-    val walPath = dbPath.resolveSibling(dbPath.getFileName.toString + "-wal")
-    if (!Files.isRegularFile(walPath) || Files.size(walPath) < 32) None
-    else {
-      val o = new WalOverlay(walPath, pageSize)
+  /** Open the `-wal` sidecar of the store's database if it exists with
+    * at least one COMMITTED frame; `None` for absent, empty, or
+    * checkpointed-and-reset WALs (header only / no valid commit —
+    * nothing supersedes the main file then). A malformed header or
+    * geometry mismatch throws. */
+  def open(store: SqlitePageStore, pageSize: Int): Option[WalOverlay] =
+    store.openSidecar("-wal", minBytes = 32).flatMap { src =>
+      val o = new WalOverlay(src, store.sidecarName("-wal"), pageSize)
       if (o.frames.isEmpty) { o.close(); None } else Some(o)
     }
-  }
 }
 
 /** Write-ahead-log reader (fileformat2.html §WAL): 32-byte header, then
@@ -486,8 +493,8 @@ private[engine] object WalOverlay {
   * to the last valid COMMIT record (non-zero db-size field) overlay the
   * database — a torn tail or an uncommitted trailing transaction is
   * invisible, exactly as it is to `sqlite3`. */
-private[engine] final class WalOverlay(walPath: Path, pageSize: Int) extends AutoCloseable {
-  private val ch = FileChannel.open(walPath, StandardOpenOption.READ)
+private[engine] final class WalOverlay(
+    ch: PageSource, walPath: String, pageSize: Int) extends AutoCloseable {
 
   private def be32(b: Array[Byte], at: Int): Long =
     ((b(at) & 0xFFL) << 24) | ((b(at + 1) & 0xFFL) << 16) |
@@ -552,7 +559,7 @@ private[engine] final class WalOverlay(walPath: Path, pageSize: Int) extends Aut
         s"$walPath: WAL header checksum mismatch (corrupt WAL header)")
 
     val frameSize = 24L + pageSize
-    val total = ch.size()
+    val total = ch.size
     val committed = scala.collection.mutable.Map[Int, Long]()
     val pending = scala.collection.mutable.Map[Int, Long]()
     var size = 0
@@ -604,18 +611,14 @@ private[engine] object JournalOverlay {
     * behind by `journal_mode=PERSIST` after a clean commit has its
     * header zeroed and is correctly ignored (`None`), as is an empty
     * or truncated-below-header file. */
-  def open(dbPath: Path, pageSize: Int): Option[JournalOverlay] = {
-    val jp = dbPath.resolveSibling(dbPath.getFileName.toString + "-journal")
-    if (!Files.isRegularFile(jp) || Files.size(jp) < 28) None
-    else {
-      val ch = FileChannel.open(jp, StandardOpenOption.READ)
+  def open(store: SqlitePageStore, pageSize: Int): Option[JournalOverlay] =
+    store.openSidecar("-journal", minBytes = 28).flatMap { ch =>
       val head = ByteBuffer.allocate(8)
       val ok = ch.read(head, 0L) == 8 &&
         java.util.Arrays.equals(head.array(), Magic)
       if (!ok) { ch.close(); None }
-      else Some(new JournalOverlay(jp, ch, pageSize))
+      else Some(new JournalOverlay(store.sidecarName("-journal"), ch, pageSize))
     }
-  }
 }
 
 /** Hot rollback-journal reader (fileformat2.html §The Rollback Journal):
@@ -635,7 +638,7 @@ private[engine] object JournalOverlay {
   * transaction SQLite journals a page once, but a later segment's
   * re-journaled copy must never override the original. */
 private[engine] final class JournalOverlay(
-    path: Path, ch: FileChannel, pageSize: Int) extends AutoCloseable {
+    path: String, ch: PageSource, pageSize: Int) extends AutoCloseable {
 
   private def readFully(buf: Array[Byte], at: Long): Boolean = {
     val bb = ByteBuffer.wrap(buf)
@@ -651,7 +654,7 @@ private[engine] final class JournalOverlay(
   /** page number → journal-file offset of its pre-image, plus the
     * database size in pages BEFORE the interrupted transaction. */
   val (preImages: Map[Int, Long], dbSize: Int) = {
-    val total = ch.size()
+    val total = ch.size
     val found = scala.collection.mutable.Map[Int, Long]()
     var initialDbSize = -1
     val hdr = new Array[Byte](28)

@@ -163,6 +163,77 @@ class BulkIngestSpec extends SparkSpecBase {
     assert(rows.map(_.getString(0)).toSeq == Seq("42", "not-a-number"))
   }
 
+  test("scheme-qualified file:// URIs ingest through the Hadoop access path inside tasks") {
+    // the reference's migration universe is HDFS listings of *.sqlite
+    // (sync.py:365-369) — URIs java.nio can't open. file:// exercises
+    // the same SqlitePageStore.OnHadoop + FSDataInputStream path the
+    // executors would use for hdfs:// or s3a://, sidecars included.
+    val dir = Files.createTempDirectory("bulk-scheme")
+    val plain = makeDb(dir, "h1",
+      """CREATE TABLE crawl (id INTEGER PRIMARY KEY, url TEXT, status INTEGER);
+        |INSERT INTO crawl (url, status) VALUES ('http://hadoop.example/', 200);""".stripMargin)
+
+    // a crashed WAL-mode writer: schema + rows live only in the sidecar
+    val walDb = {
+      val live = dir.resolve("hwal-live.sqlite")
+      val snap = dir.resolve("hwal.sqlite")
+      val script =
+        s"""PRAGMA journal_mode=WAL;
+           |CREATE TABLE crawl (id INTEGER PRIMARY KEY, url TEXT, status INTEGER);
+           |INSERT INTO crawl (url, status) VALUES ('http://hadoop-wal.example/', 301);
+           |.shell cp "$live" "$snap"
+           |.shell cp "$live-wal" "$snap-wal"
+           |""".stripMargin
+      assert(SqliteCli.run(live.toString, script) == 0)
+      snap
+    }
+
+    // a crashed rollback-mode writer: the hot journal's pre-images must
+    // undo the interrupted transaction's spilled pages
+    val journalDb = {
+      val live = dir.resolve("hj-live.sqlite")
+      val snap = dir.resolve("hj.sqlite")
+      val committed = (1 to 400).map(i =>
+        s"INSERT INTO t VALUES ($i, 'keep-$i');").mkString("\n")
+      val script =
+        s"""PRAGMA journal_mode=DELETE;
+           |PRAGMA cache_size=2;
+           |CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);
+           |BEGIN;
+           |$committed
+           |COMMIT;
+           |BEGIN;
+           |UPDATE t SET v = 'doomed';
+           |.shell cp "$live" "$snap"
+           |.shell cp "$live-journal" "$snap-journal"
+           |ROLLBACK;
+           |""".stripMargin
+      assert(SqliteCli.run(live.toString, script) == 0)
+      assert(Files.size(dir.resolve("hj.sqlite-journal")) >= 28,
+        "journal empty — fixture broken")
+      snap
+    }
+
+    def uri(p: Path): String = p.toUri.toString
+    assert(uri(plain).startsWith("file:///")) // really scheme-qualified
+
+    val results = engine.store.ingestSqliteSegmentsDistributed(Map(
+      "sch-plain" -> uri(plain),
+      "sch-wal" -> uri(walDb),
+      "sch-journal" -> uri(journalDb)))
+    assert(results.values.forall(_.isSuccess),
+      s"failures: ${results.collect { case (s, scala.util.Failure(e)) => s -> e.getMessage }}")
+
+    val p = engine.read("sch-plain", "SELECT url, status FROM crawl;").collect()(0)
+    assert(p.getString(0) == "http://hadoop.example/" && p.getLong(1) == 200L)
+    val w = engine.read("sch-wal", "SELECT url, status FROM crawl;").collect()(0)
+    assert(w.getString(0) == "http://hadoop-wal.example/" && w.getLong(1) == 301L)
+    // journal recovery: all 400 committed rows, none of the doomed update
+    val j = engine.read("sch-journal",
+      "SELECT count(*) AS n, sum(v LIKE 'keep-%') AS keeps FROM t;").collect()(0)
+    assert(j.getLong(0) == 400L && j.getLong(1) == 400L)
+  }
+
   test("distributed ingest refuses cold segments and hostile ids without running a job") {
     val coldStore = new SegmentStore(spark, root,
       coldRoot = Some(Files.createTempDirectory("bulk-cold").toString),
