@@ -3,10 +3,11 @@ package graft.engine
 import java.util.Locale
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Divide, Expression, GreaterThanOrEqual, LessThan, Like, Literal, Or, Remainder, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedHaving}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Between, BinaryComparison, CaseWhen, Cast, Divide, EqualTo, Exists, Expression, GreaterThanOrEqual, If, In, InSubquery, IsNotNull, IsNull, LessThan, Like, ListQuery, Literal, NamedExpression, Not, Or, RLike, Remainder, SortOrder, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.graft.SqlInternals
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQLite *operator* dialect, applied as a parse-tree rewrite.
@@ -66,12 +67,26 @@ object SqliteDialect {
       sess.sessionState.sqlParser.parsePlan(text), sqlText = Some(text)))
   }
 
-  /** Parse one SQLite-dialect scalar expression (write-path predicates,
-    * SET clauses, VALUES tuples) with the same operator rewrites. */
+  /** Parse one SQLite-dialect scalar expression in a VALUE position
+    * (SET clauses, VALUES tuples, DEFAULTs) with the same operator
+    * rewrites. */
   def expr(sess: SparkSession, exprSql: String): Column = withActive(sess) {
     val text = prepareText(exprSql)
     SqlInternals.column(rewriteExpr(
       sess.sessionState.sqlParser.parseExpression(text), sqlText = Some(text)))
+  }
+
+  /** Parse one SQLite-dialect expression for a PREDICATE position
+    * (UPDATE / DELETE / upsert WHERE, CHECK constraints): a predicate
+    * root stays boolean, a value root gets SQLite truthiness —
+    * numeric-nonzero, NULL propagating — so `WHERE 1` and
+    * `WHERE '0.5x'` behave as they do under `cursor.execute`. */
+  def predicate(sess: SparkSession, exprSql: String): Column = withActive(sess) {
+    val text = prepareText(exprSql)
+    SqlInternals.column(
+      new BoolNormalizer(Some(text)).asPredicate(
+        sess.sessionState.sqlParser.parseExpression(text) transform castRule
+      ) transform rewriteRule(Some(text)))
   }
 
   /** The full textual pre-parse pipeline: COLLATE and infix-GLOB to
@@ -85,10 +100,175 @@ object SqliteDialect {
   // ------------------------------------------------------ plan rewrite
 
   def rewriteParsed(plan: LogicalPlan, sqlText: Option[String] = None): LogicalPlan =
-    (plan transformAllExpressions castRule) transformAllExpressions rewriteRule(sqlText)
+    new BoolNormalizer(sqlText).normalize(
+      plan transformAllExpressions castRule) transformAllExpressions rewriteRule(sqlText)
 
   def rewriteExpr(e: Expression, sqlText: Option[String] = None): Expression =
-    (e transform castRule) transform rewriteRule(sqlText)
+    new BoolNormalizer(sqlText).asValue(
+      e transform castRule) transform rewriteRule(sqlText)
+
+  // ------------------------------------------- boolean-as-integer pass
+
+  /** SQLite has NO boolean type (datatype3.html §2.1): a comparison
+    * yields the INTEGER 0 or 1 and is usable anywhere a value is —
+    * `sum(x LIKE 'a%')`, `(a < b) + 1`, `SELECT 1 < 2` all answer
+    * integers through `cursor.execute` in the reference — and
+    * conversely ANY value is usable where the grammar wants a truth,
+    * "true" meaning nonzero after NUMERIC coercion (`WHERE 5`,
+    * `iif('0.5x', …)`; lang_expr.html §Boolean Expressions). Spark is
+    * strictly typed in exactly the opposite direction, so this pass
+    * erases booleans at the boundary between the two sub-grammars of
+    * the parsed (still unresolved) tree:
+    *
+    *  - a predicate-shaped expression in a VALUE position is cast to
+    *    BIGINT (0/1/NULL — a native codegen'd Cast that constant-folds
+    *    for literals);
+    *  - a value-shaped expression in a PREDICATE position (WHERE /
+    *    HAVING / ON / CASE-WHEN / AND / OR / NOT operands) becomes
+    *    `sqlite_cast(v AS REAL) <> 0.0` — SQLite's numeric-prefix
+    *    truthiness. NULL propagates, and a NULL condition is not true,
+    *    exactly SQLite's rule.
+    *
+    * Classification is purely syntactic — the tree has no types yet —
+    * which mirrors SQLite's own semantics: boolean-ness is a property
+    * of the operator that produced a value, never of a stored type.
+    * A plain comparison in WHERE is left untouched, so parquet filter
+    * pushdown is unaffected (PlanSpec pins it).
+    *
+    * Naming: when the pass rewrites the root of an unaliased result
+    * column, it aliases the column to the expression's source text
+    * (via the parser's Origin span) — sqlite3's own naming rule for
+    * expression columns — instead of leaking the rewrite
+    * (`CAST(… AS BIGINT)`, or the nocase-LIKE machinery) into the
+    * result schema. */
+  private final class BoolNormalizer(sqlText: Option[String]) {
+
+    /** Function-call forms that answer a Spark BOOLEAN: the reference's
+      * REGEXP UDF, the GLOB rewrite target, and `between` — the name
+      * Spark's parser gives a BETWEEN predicate. */
+    private val boolFunctions = Set("glob", "regexp", "between")
+
+    private def isPredShaped(e: Expression): Boolean = e match {
+      case _: BinaryComparison | _: Between | _: Like | _: RLike |
+           _: In | _: InSubquery | _: Exists |
+           _: IsNull | _: IsNotNull | _: And | _: Or | _: Not => true
+      case Literal(_, BooleanType) => true // TRUE/FALSE keywords = 1/0
+      case f: UnresolvedFunction =>
+        boolFunctions(f.nameParts.last.toLowerCase(Locale.ROOT))
+      case _ => false
+    }
+
+    def normalize(plan: LogicalPlan): LogicalPlan = plan transformUp {
+      case f: Filter => f.copy(condition = asPredicate(f.condition))
+      case j: Join => j.copy(condition = j.condition.map(asPredicate))
+      case h: UnresolvedHaving =>
+        h.copy(havingCondition = asPredicate(h.havingCondition))
+      case p: Project =>
+        p.copy(projectList = mapPreserve(p.projectList, projectItem))
+      case a: Aggregate => a.copy(
+        groupingExpressions = mapPreserve(a.groupingExpressions, asValue),
+        aggregateExpressions = mapPreserve(a.aggregateExpressions, projectItem))
+      case other => other.mapExpressions(asValue)
+    }
+
+    /** A result column: value context, but a rewritten root gets its
+      * sqlite3 name (the source text) instead of Spark's rendering of
+      * the rewritten tree. */
+    private def projectItem(e: NamedExpression): NamedExpression = e match {
+      case ua @ UnresolvedAlias(child, _) =>
+        val nc = asValue(child)
+        if (nc eq child) ua
+        else srcText(child).map(Alias(nc, _)()).getOrElse(ua.copy(child = nc))
+      case other => asValue(other).asInstanceOf[NamedExpression]
+    }
+
+    /** The expression's source text. The root's own Origin span can
+      * start at its operator token (a Like's span omits the left
+      * operand), so take the min/max span over the whole subtree; a
+      * span that stops mid-word (keyword literals like TRUE record a
+      * 1-char stop) is extended through the word. */
+    private def srcText(e: Expression): Option[String] = sqlText.flatMap { sql =>
+      val starts = e.collect {
+        case x if x.origin.startIndex.isDefined => x.origin.startIndex.get
+      }
+      val stops = e.collect {
+        case x if x.origin.stopIndex.isDefined => x.origin.stopIndex.get
+      }
+      if (starts.isEmpty || stops.isEmpty) None
+      else {
+        val si = starts.min
+        var ei = stops.max
+        if (si < 0 || si > ei || ei >= sql.length) None
+        else {
+          while (ei + 1 < sql.length && sql.charAt(ei).isLetterOrDigit &&
+            sql.charAt(ei + 1).isLetterOrDigit) ei += 1
+          Some(sql.substring(si, ei + 1).trim)
+        }
+      }
+    }
+
+    private def mapPreserve[A <: Expression](es: Seq[A], f: A => A): Seq[A] = {
+      val ns = es.map(f)
+      if (ns.lazyZip(es).forall(_ eq _)) es else ns
+    }
+
+    def asValue(e: Expression): Expression = e match {
+      case a: Alias => a.withNewChildren(Seq(asValue(a.child)))
+      case ua: UnresolvedAlias => ua.copy(child = asValue(ua.child))
+      case p if isPredShaped(p) => Cast(asPredicate(p), LongType)
+      case i @ If(c, t, fv) =>
+        val (nc, nt, nf) = (asPredicate(c), asValue(t), asValue(fv))
+        if ((nc eq c) && (nt eq t) && (nf eq fv)) i else If(nc, nt, nf)
+      case cw: CaseWhen =>
+        val nb = cw.branches.map { case (c, v) => (asPredicate(c), asValue(v)) }
+        val ne = cw.elseValue.map(asValue)
+        val same = nb.lazyZip(cw.branches).forall { case ((nc, nv), (c, v)) =>
+          (nc eq c) && (nv eq v)
+        } && ne.zip(cw.elseValue).forall { case (a, b) => a eq b }
+        if (same) cw else CaseWhen(nb, ne)
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("iif") && f.arguments.length == 3 =>
+        // iif's first argument is SQLite-truthy, not a value
+        f.copy(arguments = asPredicate(f.arguments.head) +: f.arguments.tail.map(asValue),
+          filter = f.filter.map(asPredicate))
+      case f: UnresolvedFunction =>
+        val na = mapPreserve(f.arguments, asValue)
+        val nf = f.filter.map(asPredicate) // FILTER (WHERE …) is a predicate
+        if ((na eq f.arguments) &&
+            nf.zip(f.filter).forall { case (a, b) => a eq b }) f
+        else f.copy(arguments = na, filter = nf)
+      case s: SubqueryExpression => s.withNewPlan(normalize(s.plan))
+      case so: SortOrder =>
+        val nc = asValue(so.child)
+        if (nc eq so.child) so else so.copy(child = nc)
+      case other => other.mapChildren(asValue)
+    }
+
+    def asPredicate(e: Expression): Expression = e match {
+      case a @ And(l, r) =>
+        val (nl, nr) = (asPredicate(l), asPredicate(r))
+        if ((nl eq l) && (nr eq r)) a else And(nl, nr)
+      case o @ Or(l, r) =>
+        val (nl, nr) = (asPredicate(l), asPredicate(r))
+        if ((nl eq l) && (nr eq r)) o else Or(nl, nr)
+      case n @ Not(c) =>
+        val nc = asPredicate(c)
+        if (nc eq c) n else Not(nc)
+      case ex: Exists => ex.withNewPlan(normalize(ex.plan))
+      case in: InSubquery =>
+        val nv = mapPreserve(in.values, asValue)
+        val nq = in.query.withNewPlan(normalize(in.query.plan)).asInstanceOf[ListQuery]
+        if ((nv eq in.values) && (nq eq in.query)) in else InSubquery(nv, nq)
+      case Literal(_, BooleanType) => e // TRUE / FALSE keywords
+      case p if isPredShaped(p) => p.mapChildren(asValue)
+      case v => truthy(asValue(v))
+    }
+
+    /** SQLite truthiness: coerce to NUMERIC, true iff nonzero
+      * (lang_expr.html §Boolean Expressions). NULL stays NULL. */
+    private def truthy(v: Expression): Expression =
+      Not(EqualTo(SqliteCast(v, "real"), Literal(0.0d)))
+  }
 
   /** SQLite CAST semantics for every cast the USER wrote. Runs as a
     * separate pass BEFORE [[rewriteRule]]: at that point the parsed
@@ -173,7 +353,11 @@ object SqliteDialect {
     // SQLite %: both operands cast to INTEGER, NULL on mod-by-zero —
     // Spark's Remainder keeps fractional operands and (ANSI) throws
     case Remainder(l, r, _) => SqliteMod(l, r)
-    case s: SubqueryExpression => s.withNewPlan(rewriteParsed(s.plan, sqlText))
+    // castRule and BoolNormalizer each recurse into subquery plans
+    // themselves — re-running the full rewriteParsed here would
+    // re-normalize (double-wrapping value-position predicates)
+    case s: SubqueryExpression =>
+      s.withNewPlan(s.plan transformAllExpressions rewriteRule(sqlText))
   }
 
   /** Pushable companion predicate for the nocase LIKE rewrite: rows

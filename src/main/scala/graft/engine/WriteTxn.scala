@@ -43,6 +43,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * (ASCII-nocase LIKE, integer `/`, infix GLOB) — write predicates and
     * SET clauses go through the same SQLite contract as reads. */
   private def dexpr(s: String): Column = SqliteDialect.expr(spark, s)
+  /** WHERE/CHECK positions: boolean-typed, SQLite truthiness for
+    * value-shaped conditions (`WHERE 1`). */
+  private def dpred(s: String): Column = SqliteDialect.predicate(spark, s)
 
   private val working = mutable.LinkedHashMap[String, (TableMeta, DataFrame)]()
   private val dirty = mutable.LinkedHashSet[String]()
@@ -256,9 +259,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // one aggregate job, failure labeled as sqlite3 labels it
     if (meta.checks.nonEmpty) {
       val counts = df.select(meta.checks.zipWithIndex.map { case (c, i) =>
-        count(when(!coalesce(
-          dexpr(c.expr).cast(org.apache.spark.sql.types.BooleanType),
-          lit(true)), 1)).as(s"c$i")
+        count(when(!coalesce(dpred(c.expr), lit(true)), 1)).as(s"c$i")
       }: _*).head()
       meta.checks.zipWithIndex.foreach { case (c, i) =>
         if (counts.getLong(i) > 0) throw new IllegalArgumentException(
@@ -642,15 +643,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             throw new IllegalArgumentException(s"no such column: $colName"))
           field.name -> rhs.cast(field.dataType)
         }.toMap
-      val pred = predPart.map(p => dexpr(rewriteExcluded(p))).getOrElse(lit(true))
+      val pred = predPart.map(p => dpred(rewriteExcluded(p))).getOrElse(lit(true))
       // incoming side renamed __exc_* so bare names stay the EXISTING row
       val exc = aligned0.select(
         (aligned0.columns.map(c => col(c).as(s"__exc_$c")) :+
           lit(true).as("__exc_match")).toSeq: _*)
       val joinCond = keyCols.map(k => col(k) === col(s"__exc_$k")).reduce(_ && _)
       val joined = existing.join(exc, joinCond, "left")
-      val hit = col("__exc_match").isNotNull &&
-        coalesce(pred.cast("boolean"), lit(false))
+      val hit = col("__exc_match").isNotNull && coalesce(pred, lit(false))
       val updatedExisting = joined.select(meta.schema.fields.map { f =>
         assignments.get(f.name)
           .map(v => when(hit, v).otherwise(col(f.name)).as(f.name))
@@ -735,7 +735,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val (setPart, predPart) =
       if (whereAt < 0) (body, None)
       else (body.substring(0, whereAt), Some(body.substring(whereAt + 5)))
-    val pred = predPart.map(dexpr).getOrElse(lit(true))
+    val pred = predPart.map(dpred).getOrElse(lit(true))
     val assignments: Map[String, Column] =
       SqlScript.splitTopLevel(setPart).map { assignment =>
         val eq = topLevelEq(assignment)
@@ -791,7 +791,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       else {
         require(rest.length > 5 && rest.substring(0, 5).equalsIgnoreCase("where") &&
           rest.charAt(5).isWhitespace, s"cannot parse DELETE statement: $stmt")
-        df.where(!coalesce(dexpr(rest.substring(6)).cast("boolean"), lit(false)))
+        df.where(!coalesce(dpred(rest.substring(6)), lit(false)))
       }
     stage(table, meta, out)
   }

@@ -245,7 +245,7 @@ class EngineSpec extends SparkSpecBase {
     val row = engine.read("seg-misc",
       """SELECT datetime('2024-03-15') AS d, glob('[^\\]', 'x') AS g FROM t;""").collect()(0)
     assert(row.getString(0) == "2024-03-15 00:00:00") // SQLite: midnight, not an error
-    assert(row.getBoolean(1)) // [^\] = any char except backslash
+    assert((row.getLong(1) == 1L)) // [^\] = any char except backslash
   }
 
   test("autoincrement assigns sequential rowids across requests") {

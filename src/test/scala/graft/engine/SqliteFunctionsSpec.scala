@@ -117,7 +117,7 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       """SELECT '{"n":5}' ->> '$.n' + 1 AS a, ('{"n":5}' ->> 'n') = 5 AS b""")
       .collect()(0)
     assert(r.get(0).toString.toDouble == 6.0)
-    assert(r.getBoolean(1))
+    assert((r.getLong(1) == 1L))
   }
 
   test("CAST carries SQLite affinity semantics (sqlite3 differential)") {
