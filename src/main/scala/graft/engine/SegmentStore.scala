@@ -408,6 +408,80 @@ class SegmentStore(
     * keys) memory) and sorted in-process. Bounded like ingest: one
     * segment = one file of driver-side work, parallelizable across
     * segments. Returns the exported table names. */
+  /** One table's `sqlite_master` material, shared by the `.sqlite`
+    * export and [[masterCatalog]] so the file a trough deployment
+    * receives and the relation the read path answers can never drift:
+    * the rendered CREATE TABLE text, the implied `sqlite_autoindex`
+    * trees (non-rowid-alias PRIMARY KEY first, then UNIQUEs — the
+    * rendered DDL's constraint order, which is also how real SQLite
+    * numbers them), and the recorded secondary indexes. */
+  private final case class MasterParts(
+      ddl: String,
+      autoIdxSets: Seq[(String, Seq[Int])],
+      secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])])
+
+  private def masterParts(t: String, meta: TableMeta): MasterParts = {
+    val fields = meta.schema.fields
+    // a non-rowid-alias PRIMARY KEY and every UNIQUE constraint imply
+    // sqlite_autoindex trees (integrity_check counts them)
+    val pkAutoIdx: Seq[Seq[Int]] =
+      if (meta.autoIncrement.isEmpty && meta.primaryKey.nonEmpty)
+        Seq(meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
+          .filter(_ >= 0))
+      else Nil
+    // only uniques whose columns all resolve — and the DDL renders
+    // exactly the same set, so the constraints real SQLite parses and
+    // the trees in an exported file always agree
+    val exportUniques: Seq[(Seq[String], Seq[Int])] = meta.uniques
+      .map(u => u -> u.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))))
+      .filter { case (_, cs) => cs.nonEmpty && cs.forall(_ >= 0) }
+    val autoIdxSets: Seq[(String, Seq[Int])] =
+      (pkAutoIdx ++ exportUniques.map(_._2)).zipWithIndex.map {
+        case (cols, i) => (SqliteWriter.autoIndexName(t, i + 1), cols)
+      }
+    // recorded secondary indexes; ones referencing since-dropped
+    // columns are skipped rather than failing
+    val secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])] = meta.indexes.flatMap { ix =>
+      val cols = ix.columns.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
+      if (cols.nonEmpty && cols.forall(_ >= 0)) Some(ix -> cols) else None
+    }
+    MasterParts(SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
+      meta.autoIncrement, meta.notNull, meta.defaults,
+      exportUniques.map(_._1), meta.checks), autoIdxSets, secondary)
+  }
+
+  /** The segment's `sqlite_master` rows — (type, name, tbl_name,
+    * rootpage, sql) exactly as an export of this segment would catalog
+    * them (same DDL text, same autoindex names and numbering, same row
+    * order: each table followed by its indexes, views last), so the
+    * reference shell's introspection queries (`SELECT name FROM
+    * sqlite_master WHERE type='table'`, SHOW CREATE TABLE —
+    * /root/reference/trough/shell/__init__.py:149-154) answer over the
+    * ordinary read path. `rootpage` is synthetic (sequential in catalog
+    * order, 0 for views as in real SQLite) — a physical page number
+    * only exists in an actual file; autoindex rows carry NULL `sql`,
+    * like SQLite's own. */
+  def masterCatalog(segmentId: String): Seq[(String, String, String, Long, String)] = {
+    require(segmentExists(segmentId), s"segment $segmentId does not exist")
+    val rows = Seq.newBuilder[(String, String, String, Long, String)]
+    var page = 1L // page 1 is sqlite_master itself
+    tables(segmentId).foreach { t =>
+      val parts = masterParts(t, tableMeta(segmentId, t))
+      page += 1
+      rows += (("table", t, t, page, parts.ddl))
+      parts.autoIdxSets.foreach { case (name, _) =>
+        page += 1
+        rows += (("index", name, t, page, null))
+      }
+      parts.secondary.foreach { case (ix, _) =>
+        page += 1
+        rows += (("index", ix.name, t, page, ix.sql))
+      }
+    }
+    views(segmentId).foreach(v => rows += (("view", v.name, v.name, 0L, v.sql)))
+    rows.result()
+  }
+
   def exportSqliteSegment(segmentId: String, outPath: String): Seq[String] = {
     require(segmentExists(segmentId), s"segment $segmentId does not exist")
     val tbls = tables(segmentId)
@@ -429,34 +503,10 @@ class SegmentStore(
       def recordValues(r: Row): IndexedSeq[Any] =
         // the rowid alias stores NULL in the record
         fields.indices.map(j => if (j == rowidIdx) null else cellValue(r, j))
-      // a non-rowid-alias PRIMARY KEY and every UNIQUE constraint imply
-      // sqlite_autoindex trees the writer must materialize
-      // (integrity_check counts them), numbered in the rendered DDL's
-      // constraint order: PK first, then uniques
-      val pkAutoIdx: Seq[Seq[Int]] =
-        if (meta.autoIncrement.isEmpty && meta.primaryKey.nonEmpty)
-          Seq(meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
-            .filter(_ >= 0))
-        else Nil
-      // only uniques whose columns all resolve export — and the DDL
-      // below renders exactly the same set, so the constraints real
-      // SQLite parses and the trees in the file always agree
-      val exportUniques: Seq[(Seq[String], Seq[Int])] = meta.uniques
-        .map(u => u -> u.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))))
-        .filter { case (_, cs) => cs.nonEmpty && cs.forall(_ >= 0) }
-      val autoIdxSets: Seq[(String, Seq[Int])] =
-        (pkAutoIdx ++ exportUniques.map(_._2)).zipWithIndex.map {
-          case (cols, i) => (SqliteWriter.autoIndexName(t, i + 1), cols)
-        }
-      // recorded secondary indexes; ones referencing since-dropped
-      // columns are skipped rather than failing the export
-      val secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])] = meta.indexes.flatMap { ix =>
-        val cols = ix.columns.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
-        if (cols.nonEmpty && cols.forall(_ >= 0)) Some(ix -> cols) else None
-      }
-      val ddl = SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
-        meta.autoIncrement, meta.notNull, meta.defaults,
-        exportUniques.map(_._1), meta.checks)
+      val parts = masterParts(t, meta)
+      val autoIdxSets = parts.autoIdxSets
+      val secondary = parts.secondary
+      val ddl = parts.ddl
 
       if (rowidIdx >= 0) {
         val rowidCol = fields(rowidIdx).name

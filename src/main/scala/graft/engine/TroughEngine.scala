@@ -123,7 +123,44 @@ class TroughEngine(
       store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
     }
     registerViews(sess, store.views(segmentId), stmt)
+    if (mentionsMaster(stmt))
+      registerMaster(sess, store.masterCatalog(segmentId).map {
+        case (t, n, tb, rp, sq) => Row(t, n, tb, rp, sq)
+      }, withSegmentId = false)
     SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
+  }
+
+  /** `sqlite_master` (and its 3.33 alias `sqlite_schema`) as a
+    * queryable relation: the reference shell introspects segments by
+    * SELECTing from sqlite_master *through the ordinary read path*
+    * (shell/__init__.py:149-154 — SHOW TABLES / SHOW CREATE TABLE are
+    * client-side rewrites to exactly these queries), so any existing
+    * trough client or script may send one over HTTP. Rows come from
+    * [[SegmentStore.masterCatalog]] — the same rendering an export
+    * writes into a real file. Registered only when the statement names
+    * it: catalog assembly reads every table's meta, which the hot read
+    * path must not pay. Registration happens after the data tables, so
+    * the name always resolves to the catalog — as in SQLite, where
+    * `sqlite_*` names are reserved. */
+  private def mentionsMaster(stmt: String): Boolean = {
+    val low = stmt.toLowerCase(java.util.Locale.ROOT)
+    low.contains("sqlite_master") || low.contains("sqlite_schema")
+  }
+
+  private val masterSchema = StructType(Seq(
+    StructField("type", StringType), StructField("name", StringType),
+    StructField("tbl_name", StringType), StructField("rootpage", LongType),
+    StructField("sql", StringType)))
+
+  private def registerMaster(
+      sess: SparkSession, rows: Seq[Row], withSegmentId: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema =
+      if (withSegmentId) masterSchema.add(StructField("segment_id", StringType))
+      else masterSchema
+    val df = sess.createDataFrame(rows.asJava, schema)
+    df.createOrReplaceTempView("sqlite_master")
+    df.createOrReplaceTempView("sqlite_schema")
   }
 
   /** Register a segment's views over the already-registered tables, in
@@ -226,6 +263,14 @@ class TroughEngine(
       throw new IllegalArgumentException(
         s"view $name has conflicting definitions across matched segments")
     }
+    // cross-segment introspection: each segment's catalog rows tagged
+    // with segment_id (last, like the partition column on data scans).
+    // Driver-side meta I/O is O(tables × matched segments) — paid only
+    // when the query names the catalog, same gate as [[read]].
+    if (mentionsMaster(stmt))
+      registerMaster(sess, matched.flatMap(seg => store.masterCatalog(seg).map {
+        case (t, n, tb, rp, sq) => Row(t, n, tb, rp, sq, seg)
+      }), withSegmentId = true)
     SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
   }
 
