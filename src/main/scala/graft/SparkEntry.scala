@@ -797,19 +797,26 @@ object SparkEntry {
     // so a hash match proves the whole ingest pipeline is lossless.
     "q53_sqlite_ingest" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select($"doc_id", $"text").collect()
-      val script = new StringBuilder(
-        "PRAGMA page_size=512;\nCREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\n" +
-          "BEGIN;\n") // one txn: per-INSERT autocommit would fsync 5000×
-      docs.foreach { r =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q53")
+      // fixture streams driver-side (sqlite3 writes a local file), but
+      // bounded: sorted toLocalIterator holds one result partition, and
+      // the script goes straight to disk — never the corpus in memory
+      val script = tmp.resolve("build.sql")
+      val w = java.nio.file.Files.newBufferedWriter(script)
+      w.write("PRAGMA page_size=512;\nCREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\n" +
+        "BEGIN;\n") // one txn: per-INSERT autocommit would fsync 5000×
+      val it = t(s, dir, "documents").select($"doc_id", $"text")
+        .orderBy($"doc_id").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
         val lit =
           if (r.isNullAt(1)) "NULL" else "'" + r.getString(1).replace("'", "''") + "'"
-        script.append(s"INSERT INTO docs VALUES (${r.getLong(0)}, $lit);\n")
+        w.write(s"INSERT INTO docs VALUES (${r.getLong(0)}, $lit);\n")
       }
-      script.append("COMMIT;\n")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q53")
+      w.write("COMMIT;\n")
+      w.close()
       val db = tmp.resolve("docs.sqlite")
-      val rc = graft.engine.SqliteCli.run(db.toString, script.toString)
+      val rc = graft.engine.SqliteCli.runFile(db.toString, script)
       require(rc == 0, s"sqlite3 exited $rc")
       val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
       val eng = new graft.engine.TroughEngine(s, store, new graft.engine.SchemaRegistry)
@@ -854,38 +861,42 @@ object SparkEntry {
     // against the raw parquet, so the oracle is a plain projection.
     "q56_sqlite_ingest_distributed" -> ((s, dir) => {
       import s.implicits._
-      import scala.sys.process._
-      val docs = t(s, dir, "documents").select($"doc_id", $"text").collect()
       val shards = 16
       val tmp = java.nio.file.Files.createTempDirectory("graft-q56")
+      // one sorted pass, streamed: rows arrive grouped by shard via
+      // toLocalIterator (one result partition resident), and each
+      // shard's build script goes straight to disk — the driver never
+      // holds the corpus, so the fixture reports honestly at any SF
+      val it = t(s, dir, "documents").select($"doc_id", $"text")
+        .withColumn("shard", pmod($"doc_id", lit(shards.toLong)).cast("int"))
+        .orderBy($"shard", $"doc_id").toLocalIterator()
+      var pending: org.apache.spark.sql.Row = if (it.hasNext) it.next() else null
       val files: Map[String, String] = (0 until shards).map { k =>
         val snap = tmp.resolve(s"part$k.sqlite")
         val walShard = k == 3
         val jrnShard = k == 7
         val live = if (walShard || jrnShard) tmp.resolve(s"live$k.sqlite") else snap
-        val script = new StringBuilder
-        if (walShard) script.append("PRAGMA journal_mode=WAL;\n")
-        if (jrnShard) script.append("PRAGMA journal_mode=DELETE;\nPRAGMA cache_size=2;\n")
-        script.append(
-          "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\nBEGIN;\n")
-        docs.foreach { r =>
-          if (((r.getLong(0) % shards) + shards) % shards == k) {
-            val lit =
-              if (r.isNullAt(1)) "NULL" else "'" + r.getString(1).replace("'", "''") + "'"
-            script.append(s"INSERT INTO docs VALUES (${r.getLong(0)}, $lit);\n")
-          }
+        val script = tmp.resolve(s"build$k.sql")
+        val w = java.nio.file.Files.newBufferedWriter(script)
+        if (walShard) w.write("PRAGMA journal_mode=WAL;\n")
+        if (jrnShard) w.write("PRAGMA journal_mode=DELETE;\nPRAGMA cache_size=2;\n")
+        w.write("CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\nBEGIN;\n")
+        while (pending != null && pending.getInt(2) == k) {
+          val lit = if (pending.isNullAt(1)) "NULL"
+            else "'" + pending.getString(1).replace("'", "''") + "'"
+          w.write(s"INSERT INTO docs VALUES (${pending.getLong(0)}, $lit);\n")
+          pending = if (it.hasNext) it.next() else null
         }
-        script.append("COMMIT;\n")
+        w.write("COMMIT;\n")
         if (walShard) // copy BEFORE close: the close-time checkpoint never ran
-          script.append(s".shell cp \"$live\" \"$snap\"\n")
-            .append(s".shell cp \"$live-wal\" \"$snap-wal\"\n")
+          w.write(s".shell cp \"$live\" \"$snap\"\n.shell cp \"$live-wal\" \"$snap-wal\"\n")
         if (jrnShard) // crash mid-UPDATE: the tiny cache spilled mutated
-          script.append("BEGIN;\nUPDATE docs SET text = 'CORRUPT-' || doc_id;\n")
-            // pages into the main file; only the hot journal undoes them
-            .append(s".shell cp \"$live\" \"$snap\"\n")
-            .append(s".shell cp \"$live-journal\" \"$snap-journal\"\n")
-            .append("ROLLBACK;\n")
-        val rc = graft.engine.SqliteCli.run(live.toString, script.toString)
+          // pages into the main file; only the hot journal undoes them
+          w.write("BEGIN;\nUPDATE docs SET text = 'CORRUPT-' || doc_id;\n" +
+            s".shell cp \"$live\" \"$snap\"\n.shell cp \"$live-journal\" \"$snap-journal\"\n" +
+            "ROLLBACK;\n")
+        w.close()
+        val rc = graft.engine.SqliteCli.runFile(live.toString, script)
         require(rc == 0, s"sqlite3 exited $rc for shard $k")
         s"q56seg$k" -> snap.toString
       }.toMap

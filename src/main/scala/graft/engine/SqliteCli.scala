@@ -28,12 +28,18 @@ object SqliteCli {
     val in = Files.createTempFile("sqlite-cli-in", ".sql")
     try {
       Files.write(in, sql.getBytes(StandardCharsets.UTF_8))
-      val base = Seq("sqlite3", db) #< in.toFile
-      stdout match {
-        case Some(out) => (base #> out.toFile).!
-        case None => (base #> new java.io.ByteArrayOutputStream()).!
-      }
+      runFile(db, in, stdout)
     } finally Files.deleteIfExists(in)
+  }
+
+  /** Execute an ON-DISK script — for streamed fixture builders whose
+    * SQL is bigger than the driver should buffer. */
+  def runFile(db: String, script: Path, stdout: Option[Path] = None): Int = {
+    val base = Seq("sqlite3", db) #< script.toFile
+    stdout match {
+      case Some(out) => (base #> out.toFile).!
+      case None => (base #> new java.io.ByteArrayOutputStream()).!
+    }
   }
 
   /** Execute `sql` against `db` and return trimmed stdout decoded as
