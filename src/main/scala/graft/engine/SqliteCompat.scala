@@ -29,9 +29,14 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType
   * Documented deviations (each golden-tested for the supported side):
   *  - invalid calendar dates (`'2023-02-29'`) are NULL here; SQLite
   *    accepts and echoes them without validation.
-  *  - `json_extract` returns TEXT for scalar matches (Spark's
-  *    `get_json_object` contract); SQLite returns the SQL-typed value.
-  *    Cast at the call site when the type matters.
+  *  - `json_extract` (single scalar path) and `->>` return TEXT for
+  *    scalar matches; SQLite returns the SQL-typed value. Cast at the
+  *    call site when the type matters. Same root cause: a Spark column
+  *    has ONE static type, SQLite values carry a per-value storage
+  *    class.
+  *  - `CAST(text AS NUMERIC)` renders REAL here; SQLite folds to
+  *    INTEGER when the REAL→INT conversion is lossless (lang_expr
+  *    §CAST) — the same static-vs-dynamic typing boundary.
   *  - `upper`/`lower` are Spark's Unicode versions; SQLite's are
   *    ASCII-only.
   */

@@ -1190,6 +1190,7 @@ case class SqliteJsonModify(children: Seq[Expression], mode: String)
     val root =
       try SqliteJsonOps.mapper.readTree(j.asInstanceOf[UTF8String].toString)
       catch { case _: Exception => return null }
+    if (root.isMissingNode) return null // empty input parses to MissingNode
     val args = children.tail
     val step = if (mode == "remove") 1 else 2
     var i = 0
@@ -1201,6 +1202,8 @@ case class SqliteJsonModify(children: Seq[Expression], mode: String)
         case other => other.toString
       })
       if (steps == null) return null
+      // json1: json_remove(X, '$') removes the root — the result is NULL
+      if (mode == "remove" && steps.isEmpty) return null
       val value =
         if (mode == "remove") None
         else Some(SqliteJsonOps.toNode(args(i + 1).eval(input)))
@@ -1417,8 +1420,11 @@ case class SqliteJsonInfo(children: Seq[Expression], mode: String)
     val parsed =
       try Some(SqliteJsonOps.mapper.readTree(j.asInstanceOf[UTF8String].toString))
       catch { case _: Exception => None }
-    if (mode == "valid") return if (parsed.isDefined) 1L else 0L
-    val root = parsed.getOrElse(return null)
+    // Jackson answers MissingNode (not an error) for empty input —
+    // sqlite3: json_valid('') = 0
+    if (mode == "valid")
+      return if (parsed.exists(!_.isMissingNode)) 1L else 0L
+    val root = parsed.filter(!_.isMissingNode).getOrElse(return null)
     val node =
       if (children.length == 1) root
       else {

@@ -78,29 +78,143 @@ class SqliteExprFuzzSpec extends SparkSpecBase {
       case 11 => s"iif(${boolExpr(d - 1)}, ${strExpr(d - 1)}, ${strExpr(d - 1)})"
     }
 
-  /** A boolean-valued expression (same-type comparisons only). */
+  /** A boolean-valued expression (same-type comparisons only). In
+    * SQLite these are INTEGER 0/1 values, so [[anyExpr]] also emits
+    * them in VALUE positions — the BoolNormalizer surface. */
   private def boolExpr(d: Int): String = {
     val cmp = Seq("=", "<>", "<", "<=", ">", ">=")(rng.nextInt(6))
-    rng.nextInt(6) match {
+    rng.nextInt(10) match {
       case 0 => s"(${intExpr(math.max(d - 1, 0))} $cmp ${intExpr(math.max(d - 1, 0))})"
       case 1 => s"(${strExpr(math.max(d - 1, 0))} $cmp ${strExpr(math.max(d - 1, 0))})"
       case 2 => s"(${strExpr(0)} LIKE ${strLit})"
       case 3 => s"(${strExpr(0)} GLOB ${strLit})"
       case 4 if d > 0 => s"(${boolExpr(d - 1)} AND ${boolExpr(d - 1)})"
-      case 5 if d > 0 => s"(NOT ${boolExpr(d - 1)})"
-      case _ => s"(${intExpr(0)} IS NULL)"
+      case 5 if d > 0 => s"(${boolExpr(d - 1)} OR ${boolExpr(d - 1)})"
+      case 6 if d > 0 => s"(NOT ${boolExpr(d - 1)})"
+      case 7 => s"(${intExpr(0)} BETWEEN ${intExpr(0)} AND ${intExpr(0)})"
+      case 8 => s"(${intExpr(0)} IN (${intExpr(0)}, ${intExpr(0)}, ${intExpr(0)}))"
+      case _ => s"(${intExpr(0)} IS ${if (rng.nextBoolean()) "" else "NOT "}NULL)"
     }
+  }
+
+  // ---- blobs: literals, text→blob casts, hex/quote/length over them
+
+  private def blobLit: String =
+    "X'" + Seq.fill(rng.nextInt(5))(f"${rng.nextInt(256)}%02X").mkString + "'"
+
+  private def blobExpr(d: Int): String =
+    if (d <= 0) blobLit
+    else rng.nextInt(3) match {
+      case 0 => blobLit
+      case 1 => s"CAST(${strExpr(d - 1)} AS BLOB)"
+      case 2 => s"iif(${boolExpr(d - 1)}, ${blobExpr(d - 1)}, ${blobExpr(d - 1)})"
+    }
+
+  // ---- CAST through SQLite's type-name→affinity rules (§3.1)
+
+  private def castExpr(d: Int): String = {
+    val src = rng.nextInt(3) match {
+      case 0 => intExpr(d)
+      case 1 => strExpr(d)
+      case 2 => s"'${rng.nextInt(2000) - 1000}${Seq("", ".5", "e2", "x", " ")(rng.nextInt(5))}'"
+    }
+    // NUMERIC-affinity targets fold text to INTEGER when the REAL→INT
+    // conversion is lossless — a per-VALUE storage class one static
+    // Spark column type can't express (documented deviation in
+    // SqliteCompat: NUMERIC renders REAL here), so the generator keeps
+    // to the affinities with exact parity
+    val ty = Seq("INTEGER", "REAL", "TEXT", "BLOB",
+      "VARCHAR(4)", "UNSIGNED BIG INT", "FLOATING POINT")(rng.nextInt(7))
+    s"CAST($src AS $ty)"
+  }
+
+  // ---- date/time family with modifiers (valid calendar dates only:
+  // SQLite accepts '2023-02-29' unvalidated, a documented deviation)
+
+  private def dateLit: String =
+    f"${1990 + rng.nextInt(40)}%04d-${1 + rng.nextInt(12)}%02d-${1 + rng.nextInt(28)}%02d"
+  private def timeLit: String =
+    f"${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:${rng.nextInt(60)}%02d"
+
+  private def dtModifier: String = rng.nextInt(8) match {
+    case 0 => s"'${rng.nextInt(200) - 100} days'"
+    case 1 => s"'${rng.nextInt(48) - 24} hours'"
+    case 2 => s"'${rng.nextInt(120) - 60} minutes'"
+    case 3 => s"'${rng.nextInt(25) - 12} months'"
+    case 4 => s"'${rng.nextInt(10) - 5} years'"
+    case 5 => "'start of day'"
+    case 6 => "'start of month'"
+    case 7 => s"'weekday ${rng.nextInt(7)}'"
+  }
+
+  private def dtExpr(): String = {
+    val base = rng.nextInt(3) match {
+      case 0 => s"'$dateLit'"
+      case 1 => s"'$dateLit $timeLit'"
+      case 2 => s"'$timeLit'"
+    }
+    val mods = Seq.fill(rng.nextInt(3))(dtModifier)
+    rng.nextInt(4) match {
+      case 0 => (base +: mods).mkString("datetime(", ", ", ")")
+      case 1 => (base +: mods).mkString("date(", ", ", ")")
+      case 2 => (base +: mods).mkString("time(", ", ", ")")
+      case 3 =>
+        val fmt = Seq.fill(1 + rng.nextInt(3))(
+          Seq("%Y", "%m", "%d", "%H", "%M", "%S", "%j", "%s", "%w", "%W", "%%")(
+            rng.nextInt(11))).mkString(" ")
+        (s"'$fmt'" +: base +: mods).mkString("strftime(", ", ", ")")
+    }
+  }
+
+  // ---- json1 names with exact cross-engine typing (single-path
+  // scalar json_extract is the documented TEXT-typed deviation, so the
+  // generator sticks to the operators/functions with full parity)
+
+  private def jsonDoc: String = Seq(
+    """'{"a":1,"b":{"c":"x","d":[1,2,3]},"e":null}'""",
+    """'[1,"two",3.5,null,{"f":0}]'""",
+    """'{"g":[true,false],"h":"i"}'""")(rng.nextInt(3))
+
+  private def jsonPath: String = Seq("$.a", "$.b.c", "$.b.d[1]", "$[0]",
+    "$[4].f", "$.e", "$.g[1]", "$.missing", "$")(rng.nextInt(9))
+
+  /** `->>` answers the SQL-typed value in SQLite (integer 2 for
+    * `'[1,2]' ->> '$[1]'`) where this engine's static columns answer
+    * TEXT — the same documented deviation as scalar json_extract — so
+    * its paths stick to text / null / object / array targets, where
+    * the two agree byte-for-byte. `->` always answers JSON text, full
+    * parity, so it fuzzes over every path. */
+  private def arrowSafePath: String = Seq("$.b.c", "$.e", "$.missing",
+    "$.b", "$.b.d", "$", "$.h")(rng.nextInt(7))
+
+  private def jsonExpr(): String = rng.nextInt(8) match {
+    case 0 => s"($jsonDoc ->> '$arrowSafePath')"
+    case 1 => s"($jsonDoc -> '$jsonPath')"
+    case 2 => s"json_type($jsonDoc, '$jsonPath')"
+    case 3 => s"json_valid(${strExpr(0)})"
+    case 4 => s"json_quote(${if (rng.nextBoolean()) intExpr(1) else strExpr(1)})"
+    case 5 => s"json_array(${intExpr(0)}, ${strExpr(0)})"
+    case 6 => s"json_remove($jsonDoc, '$jsonPath')"
+    case 7 => s"json_insert($jsonDoc, '$$.z', ${intExpr(0)})"
   }
 
   private def anyExpr(): String = {
     val d = 1 + rng.nextInt(2)
-    rng.nextInt(10) match {
+    rng.nextInt(16) match {
       case 0 => s"coalesce(${intExpr(d)}, ${intExpr(0)})"
       case 1 => s"ifnull(${strExpr(d)}, ${strExpr(0)})"
       case 2 => s"nullif(${intExpr(d)}, ${intExpr(d)})"
       case 3 => s"typeof(${if (rng.nextBoolean()) intExpr(d) else strExpr(d)})"
       case 4 => s"CASE WHEN ${boolExpr(d)} THEN ${intExpr(d)} ELSE ${intExpr(d)} END"
       case 5 => s"CASE WHEN ${boolExpr(d)} THEN ${strExpr(d)} ELSE ${strExpr(d)} END"
+      case 6 => boolExpr(d) // predicate in a VALUE position: 0/1/NULL
+      case 7 => s"(${boolExpr(d - 1)} + ${intExpr(0)})"
+      case 8 => castExpr(d)
+      case 9 => dtExpr()
+      case 10 => jsonExpr()
+      case 11 => blobExpr(d)
+      case 12 => s"hex(${blobExpr(d - 1)})"
+      case 13 => s"length(${blobExpr(d - 1)})"
       case n if n % 2 == 0 => intExpr(d)
       case _ => strExpr(d)
     }
