@@ -644,14 +644,20 @@ object SparkEntry {
     // Batch sessionization: gap-based sessions via lag + running sum —
     // the classic composition, partition-parallel per user (the
     // streaming analog with true state lives in streaming/EventStreams).
-    // Epoch seconds on both engines (events.ts is TIMESTAMP(NANOS)
-    // parquet: Spark reads ns-long, DuckDB µs — seconds agree).
+    // Epoch seconds on both engines, schema-adaptive: the generated
+    // events.ts has shipped both as TIMESTAMP(µs) (naive, UTC session —
+    // unix_seconds) and as ns-since-epoch int64 (div 1e9); DuckDB's
+    // date_part('epoch') of the naive timestamp agrees with either.
     "q42_sessionize" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
       val gapSec = 4 * 3600L
-      t(s, dir, "events")
-        .select($"user_id", $"event_id", expr("ts div 1000000000").as("sec"), $"value")
+      val ev = t(s, dir, "events")
+      val sec = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+        case _ => unix_seconds($"ts".cast("timestamp"))
+      }
+      ev.select($"user_id", $"event_id", sec.as("sec"), $"value")
         .withColumn("is_new",
           when($"sec" - lag($"sec", 1).over(w) > gapSec || lag($"sec", 1).over(w).isNull, 1L)
             .otherwise(0L))
