@@ -986,6 +986,39 @@ object SparkEntry {
       } finally facade.stop()
     }),
 
+    // The full SQLite trigger surface live on the write path (A4/§2.B
+    // DDL-DML row; TriggerSpec holds the sqlite3 differential): a
+    // BEFORE INSERT … WHEN … RAISE(IGNORE) filter drops short docs
+    // row-by-row, an AFTER INSERT audit program fires per surviving
+    // row with NEW.* bound — then the audit table itself is the
+    // result. The oracle replays both programs declaratively, so row
+    // membership AND per-row computed values are pinned.
+    "q59_trigger_audit" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q59")
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
+      val schemas = new graft.engine.SchemaRegistry
+      val eng = new graft.engine.TroughEngine(s, store, schemas)
+      schemas.put("q59schema",
+        "CREATE TABLE staging (doc_id INTEGER PRIMARY KEY, text TEXT);\n" +
+          "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);\n" +
+          "CREATE TABLE audit (doc_id INTEGER, n_chars INTEGER, tag TEXT);")
+      eng.provisionWritable("q59seg", "q59schema")
+      store.replaceTableData("q59seg", "staging",
+        t(s, dir, "documents").select($"doc_id", $"text"))
+      eng.write("q59seg",
+        "CREATE TRIGGER filter_short BEFORE INSERT ON docs " +
+          "WHEN length(NEW.text) < 10 BEGIN SELECT RAISE(IGNORE); END;" +
+          "CREATE TRIGGER audit_ins AFTER INSERT ON docs BEGIN " +
+          "INSERT INTO audit VALUES (NEW.doc_id, length(NEW.text), " +
+          "CASE WHEN length(NEW.text) > 500 THEN 'long' ELSE 'short' END); END;" +
+          "INSERT INTO docs SELECT doc_id, text FROM staging WHERE doc_id % 23 = 0;")
+      eng.read("q59seg",
+        "SELECT doc_id, n_chars, tag FROM audit;")
+        .select($"doc_id", $"n_chars".cast("long").as("n_chars"), $"tag")
+        .orderBy($"doc_id")
+    }),
+
     // Real multimodal decode: deterministic PNGs generated per doc_id
     // (width/height/shade arithmetic in the id), decoded with
     // javax.imageio inside the per-partition batch contract. Every 97th
@@ -1527,6 +1560,14 @@ object SparkEntry {
     // server; a hash match against raw parquet proves the wire lossless
     "q58_http_read" -> """
       SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q59_trigger_audit" -> """
+      SELECT doc_id, length(text) AS n_chars,
+             CASE WHEN length(text) > 500 THEN 'long' ELSE 'short' END AS tag
+      FROM documents
+      WHERE doc_id % 23 = 0 AND length(text) >= 10
+      ORDER BY doc_id
+    """,
     // the Spark side answers through a VIEW that survived write-script
     // creation and a .sqlite round trip; the oracle inlines the body
     "q57_view_roundtrip" -> """

@@ -128,6 +128,8 @@ class SegmentStore(
     tableRoot(root, table).resolve("_meta").resolve(s"$segmentId.json")
   private def viewsPath(root: Path, segmentId: String): Path =
     root.resolve("_views").resolve(s"$segmentId.json")
+  private def triggersPath(root: Path, segmentId: String): Path =
+    root.resolve("_triggers").resolve(s"$segmentId.json")
 
   private def isTableDir(p: Path): Boolean = {
     val n = p.getFileName.toString
@@ -222,6 +224,7 @@ class SegmentStore(
       } finally stream.close()
     }
     Files.deleteIfExists(viewsPath(root, segmentId))
+    Files.deleteIfExists(triggersPath(root, segmentId))
     Files.deleteIfExists(marker(segmentId))
     // drop the segment's swap monitor with it — long-lived stores cycling
     // many segments would otherwise grow this map without bound (the
@@ -252,6 +255,11 @@ class SegmentStore(
     if (Files.isRegularFile(vp)) {
       Files.createDirectories(dstTmp)
       Files.copy(vp, dstTmp.resolve("views.json"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tp = triggersPath(root, segmentId)
+    if (Files.isRegularFile(tp)) {
+      Files.createDirectories(dstTmp)
+      Files.copy(tp, dstTmp.resolve("triggers.json"), StandardCopyOption.REPLACE_EXISTING)
     }
     if (Files.exists(dstFinal)) deleteRecursively(dstFinal)
     Files.move(dstTmp, dstFinal, StandardCopyOption.ATOMIC_MOVE)
@@ -299,6 +307,12 @@ class SegmentStore(
       val vp = viewsPath(root, segmentId)
       Files.createDirectories(vp.getParent)
       Files.copy(vSrc, vp, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tSrc = src.resolve("triggers.json")
+    if (Files.isRegularFile(tSrc)) {
+      val tp = triggersPath(root, segmentId)
+      Files.createDirectories(tp.getParent)
+      Files.copy(tSrc, tp, StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -375,6 +389,15 @@ class SegmentStore(
         fileViews.exists(_.name.equalsIgnoreCase(v.name)) ||
           names.exists(_.equalsIgnoreCase(v.name))) ++ fileViews
       if (merged != existing) putViews(segmentId, merged)
+      // triggers travel in sqlite_master too (type='trigger',
+      // rootpage=0): same replace-by-name merge as views, except
+      // triggers occupy their OWN namespace (probed: a trigger may
+      // share a table's name), so ingested tables never shadow them
+      val fileTriggers = SqliteIngest.triggerDefs(file)
+      val existingTg = triggers(segmentId)
+      val mergedTg = existingTg.filterNot(t =>
+        fileTriggers.exists(_.name.equalsIgnoreCase(t.name))) ++ fileTriggers
+      if (mergedTg != existingTg) putTriggers(segmentId, mergedTg)
       names
     } catch {
       case e: Throwable =>
@@ -479,6 +502,8 @@ class SegmentStore(
       }
     }
     views(segmentId).foreach(v => rows += (("view", v.name, v.name, 0L, v.sql)))
+    triggers(segmentId).foreach(t =>
+      rows += (("trigger", t.name, t.table, 0L, t.sql)))
     rows.result()
   }
 
@@ -578,7 +603,8 @@ class SegmentStore(
       }
     }
     SqliteWriter.writeStreamed(Paths.get(outPath), streamed,
-      views = views(segmentId).map(v => (v.name, v.sql)))
+      views = views(segmentId).map(v => (v.name, v.sql)),
+      triggers = triggers(segmentId).map(t => (t.name, t.table, t.sql)))
     tbls
   }
 
@@ -1090,6 +1116,37 @@ class SegmentStore(
       if (!v.ifNotExists)
         throw new IllegalStateException(s"view ${v.name} already exists")
     } else putViews(segmentId, existing :+ v)
+  }
+
+  // ----------------------------------------------------------- triggers
+
+  /** A segment's triggers, in creation order (WriteTxn fires them in
+    * REVERSE creation order — SQLite's observed behavior; the registry
+    * stays forward so `sqlite_master` catalogs in creation order).
+    * Same storage shape as [[views]]: one JSON file per segment under
+    * `_triggers/`, absent = none. */
+  def triggers(segmentId: String): Seq[SqliteDdl.TriggerDef] = {
+    val p = triggersPath(tierRoot(segmentId), segmentId)
+    if (!Files.isRegularFile(p)) Nil
+    else {
+      val node = mapper.readTree(Files.readString(p))
+      (0 until node.size()).map { i =>
+        SqliteDdl.parseCreateTrigger(node.get(i).get("sql").asText())
+      }
+    }
+  }
+
+  /** Replace the segment's whole trigger registry (WriteTxn commits
+    * its staged set through here; empty clears the file). */
+  def putTriggers(segmentId: String, defs: Seq[SqliteDdl.TriggerDef]): Unit = {
+    val p = triggersPath(tierRoot(segmentId), segmentId)
+    if (defs.isEmpty) { Files.deleteIfExists(p); () }
+    else {
+      val arr = mapper.createArrayNode()
+      defs.foreach(t => arr.addObject().put("sql", t.sql))
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, arr.toString)
+    }
   }
 
   /** Read one segment's slice of a table; explicit schema from the meta

@@ -15,7 +15,11 @@ object SqlScript {
   /** Split a script into trimmed, non-empty statements on top-level `;`.
     * Handles 'single-quoted' (with '' escape), "double-quoted",
     * `backtick`, [bracket] identifiers, -- line comments, and C-style
-    * block comments. */
+    * block comments. A `CREATE TRIGGER … BEGIN …; …; END` statement
+    * stays ONE statement: its body semicolons don't split until the
+    * trigger's own END (CASE…END pairs inside the body tracked, so a
+    * CASE's END can't close the trigger early — SQLite's parser rule,
+    * re-implemented as the same token scan sqlite3's `.read` does). */
   def split(script: String): Seq[String] = {
     val stmts = ArrayBuffer[String]()
     val cur = new StringBuilder
@@ -27,6 +31,7 @@ object SqlScript {
       state match {
         case 0 =>
           c match {
+            case ';' if triggerNeedsMore(cur) => cur.append(c); i += 1
             case ';' => stmts += cur.toString; cur.clear(); i += 1
             case '\'' | '"' | '`' => state = c; cur.append(c); i += 1
             case '[' => state = ']'; cur.append(c); i += 1
@@ -53,6 +58,52 @@ object SqlScript {
     }
     stmts += cur.toString
     stmts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+
+  /** Is `cur` an unfinished CREATE TRIGGER statement — i.e. its
+    * BEGIN…END body hasn't reached the trigger's own END yet? Called
+    * at each candidate split point; scripts are small (HTTP writes),
+    * so the re-scan stays cheap. Quote-aware word scan; CASE
+    * increments and END decrements a depth counter so only the
+    * depth-0 END terminates the trigger. */
+  private def triggerNeedsMore(cur: StringBuilder): Boolean = {
+    val s = cur.toString
+    val words = new ArrayBuffer[String](8)
+    var i = 0; val n = s.length
+    var quote: Char = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote || (quote == ']' && c == ']')) quote = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; i += 1
+        case '[' => quote = ']'; i += 1
+        case ch if ch.isLetter || ch == '_' =>
+          var e = i
+          while (e < n && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+          words += s.substring(i, e).toLowerCase
+          i = e
+        case _ => i += 1
+      }
+    }
+    val isTrigger = words.length >= 2 && words(0) == "create" &&
+      (words(1) == "trigger" ||
+        ((words(1) == "temp" || words(1) == "temporary") &&
+          words.length >= 3 && words(2) == "trigger"))
+    if (!isTrigger) return false
+    val beginAt = words.indexOf("begin")
+    if (beginAt < 0) return false // malformed; let the parser refuse it
+    var depth = 0
+    var k = beginAt + 1
+    while (k < words.length) {
+      words(k) match {
+        case "case" => depth += 1
+        case "end" => if (depth > 0) depth -= 1 else return false // trigger closed
+        case _ => ()
+      }
+      k += 1
+    }
+    true
   }
 
   /** First keyword of a statement, uppercased (dispatch key). */

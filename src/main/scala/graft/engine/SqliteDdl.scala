@@ -356,6 +356,78 @@ object SqliteDdl {
       ifNotExists = m.group(1) != null, sql = stmt.trim.stripSuffix(";").trim)
   }
 
+  /** A parsed CREATE TRIGGER (lang_createtrigger.html). `body` is the
+    * BEGIN…END statement list split on top-level semicolons, each
+    * still raw SQLite text (NEW./OLD. references substituted at fire
+    * time); `when` is the raw WHEN expression; `ofColumns` non-empty
+    * only for `UPDATE OF c1, c2` triggers; `temp` triggers live for
+    * one write script and are never persisted (the reference opens one
+    * sqlite3 connection per script — write.py:28-33 — so a TEMP
+    * trigger's connection lifetime IS the script). `sql` carries the
+    * original DDL for `sqlite_master`, like [[ViewDef.sql]]. */
+  final case class TriggerDef(
+      name: String, table: String, timing: String, event: String,
+      ofColumns: Seq[String], when: Option[String], body: Seq[String],
+      temp: Boolean, ifNotExists: Boolean, sql: String)
+
+  // header up to BEGIN; body = everything between BEGIN and the final END.
+  // INSTEAD OF is parsed (group 4) so the caller can refuse it with
+  // SQLite's own vocabulary rather than a generic parse error.
+  private val createTriggerRe =
+    ("""(?is)^\s*CREATE\s+(TEMP(?:ORARY)?\s+)?TRIGGER\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s+""" +
+      """(BEFORE\s+|AFTER\s+|INSTEAD\s+OF\s+)?(DELETE|INSERT|UPDATE(?:\s+OF\s+(.+?))?)\s+""" +
+      """ON\s+(\S+)\s*(FOR\s+EACH\s+ROW\s*)?(?:WHEN\s+(.+?)\s*)?""" +
+      """BEGIN\s+(.+?)\s*END\s*;?\s*$""").r
+
+  /** Parse a SQLite CREATE TRIGGER statement. Throws on anything that
+    * isn't one; `INSTEAD OF` (view triggers) is refused explicitly. */
+  def parseCreateTrigger(stmt: String): TriggerDef = {
+    val m = createTriggerRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse CREATE TRIGGER statement: $stmt"))
+    // unspecified timing = BEFORE (lang_createtrigger.html, probed)
+    val timing = Option(m.group(4)).map(_.trim.toUpperCase.replaceAll("\\s+", " "))
+      .getOrElse("BEFORE")
+    if (timing == "INSTEAD OF")
+      throw new UnsupportedOperationException(
+        "INSTEAD OF triggers are not supported (views are read-only here)")
+    val eventFull = m.group(5).trim.toUpperCase
+    val event =
+      if (eventFull.startsWith("UPDATE")) "UPDATE"
+      else if (eventFull.startsWith("INSERT")) "INSERT" else "DELETE"
+    val ofCols = Option(m.group(6)).map(
+      SqlScript.splitTopLevel(_).map(c => SqlScript.unquoteIdent(c.trim)))
+      .getOrElse(Nil)
+    TriggerDef(
+      name = SqlScript.unquoteIdent(m.group(3).trim),
+      table = SqlScript.unquoteIdent(m.group(7)),
+      timing = timing,
+      event = event,
+      ofColumns = ofCols,
+      when = Option(m.group(9)).map(_.trim),
+      body = SqlScript.split(m.group(10)),
+      temp = m.group(1) != null,
+      ifNotExists = m.group(2) != null,
+      sql = stmt.trim.stripSuffix(";").trim)
+  }
+
+  /** Point a trigger's ON clause at a renamed table, regenerating the
+    * catalog sql — the [[retargetIndex]] rule applied to triggers
+    * (SQLite ≥3.25 rewrites these on `ALTER TABLE … RENAME`).
+    * References to the old name *inside the body* are left as written,
+    * matching pre-3.25 SQLite; documented in WriteTxn. */
+  def retargetTrigger(tg: TriggerDef, table: String): TriggerDef = {
+    def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    val evt = tg.event match {
+      case "UPDATE" if tg.ofColumns.nonEmpty =>
+        s"UPDATE OF ${tg.ofColumns.map(q).mkString(", ")}"
+      case e => e
+    }
+    tg.copy(table = table,
+      sql = s"CREATE TRIGGER ${q(tg.name)} ${tg.timing} $evt ON ${q(table)}" +
+        tg.when.map(w => s" WHEN $w").getOrElse("") +
+        s" BEGIN ${tg.body.mkString("; ")}; END")
+  }
+
   /** A parsed plain CREATE INDEX: named columns only, ascending, no
     * WHERE — the shape the store can record in table meta and the
     * export can materialize as a real index B-tree. */

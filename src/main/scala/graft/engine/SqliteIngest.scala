@@ -68,6 +68,13 @@ object SqliteIngest {
     file.master.filter(m => m.tpe == "view" && m.sql != null)
       .flatMap(m => scala.util.Try(SqliteDdl.parseCreateView(m.sql)).toOption)
 
+  /** The file's triggers, parsed from their catalog DDL. Shapes this
+    * engine can't run (INSTEAD OF) are skipped, like non-plain
+    * indexes — ingest stays total over real-world files. */
+  def triggerDefs(file: SqliteFile): Seq[SqliteDdl.TriggerDef] =
+    file.master.filter(m => m.tpe == "trigger" && m.sql != null)
+      .flatMap(m => scala.util.Try(SqliteDdl.parseCreateTrigger(m.sql)).toOption)
+
   /** [[tableSpec]] for every user table of the file, with secondary
     * indexes attached. */
   def tableSpecs(file: SqliteFile, widen: Boolean): Seq[TableSpec] = {

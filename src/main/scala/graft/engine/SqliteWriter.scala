@@ -85,7 +85,8 @@ object SqliteWriter {
     * sql) with the root pinned at page 1; a table's index rows follow
     * its table row, as SQLite itself catalogs them. */
   def writeStreamed(path: Path, tables: Seq[StreamedTable],
-      pageSize: Int = 4096, views: Seq[(String, String)] = Nil): Unit = {
+      pageSize: Int = 4096, views: Seq[(String, String)] = Nil,
+      triggers: Seq[(String, String, String)] = Nil): Unit = {
     val ch = FileChannel.open(path, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
@@ -103,6 +104,12 @@ object SqliteWriter {
       // CREATE VIEW text) — SQLite resolves the text at query time
       views.foreach { case (name, sql) =>
         masterRows += IndexedSeq[Any]("view", name, name, 0L, sql)
+      }
+      // triggers are catalog-only too: (type='trigger', tbl_name = the
+      // TARGET table, rootpage=0) — real sqlite3 executes them from
+      // this row alone, so exports keep firing natively
+      triggers.foreach { case (name, table, sql) =>
+        masterRows += IndexedSeq[Any]("trigger", name, table, 0L, sql)
       }
       w.buildMasterTree(masterRows.toSeq.zipWithIndex.map { case (r, i) => (i + 1L, r) })
       w.finalizeHeader()

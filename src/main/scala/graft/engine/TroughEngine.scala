@@ -59,6 +59,11 @@ class TroughEngine(
     val s = spark.newSession()
     TroughFunctions.register(s)
     SqliteCompat.register(s)
+    // trigger-body RAISE(): rewritten by WriteTxn to this UDF so it can
+    // sit anywhere in an expression (CASE branches etc) and still carry
+    // control flow out of evaluation
+    s.udf.register("graft_trigger_raise",
+      (kind: String, msg: String) => TriggerRaise.fire(kind, msg))
     s
   }
 

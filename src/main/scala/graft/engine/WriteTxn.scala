@@ -19,10 +19,12 @@ import graft.engine.SegmentStore.TableMeta
   * the reference, without SQLite's journal.
   *
   * Statement coverage = what the reference ecosystem actually executes
-  * (SURVEY §7.4 risk 2): CREATE TABLE / CREATE INDEX / DROP / ALTER,
-  * INSERT [OR REPLACE|IGNORE] (VALUES and SELECT forms), UPDATE (incl.
-  * BUILDREDIRECTARRAY upserts), DELETE, BEGIN/COMMIT no-ops. TRIGGERs are
-  * rejected (unused in the reference's schemas/tests; SURVEY §2.B).
+  * (SURVEY §7.4 risk 2) plus the full SQLite trigger surface: CREATE
+  * TABLE / CREATE INDEX / DROP / ALTER, INSERT [OR REPLACE|IGNORE]
+  * (VALUES and SELECT forms), UPDATE (incl. BUILDREDIRECTARRAY
+  * upserts), DELETE, BEGIN/COMMIT no-ops, CREATE/DROP TRIGGER with
+  * row-at-a-time firing (BEFORE/AFTER, UPDATE OF, WHEN, NEW./OLD.,
+  * RAISE — see the trigger section below; INSTEAD OF is refused).
   *
   * Known dialect deviation: expressions here parse on the base session,
   * where double quotes are string literals (matching the reference
@@ -65,6 +67,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     ensureViews(); stagedViews.contains(name.toLowerCase)
   }
 
+  // staged trigger registry, same lifecycle as views; keyed lowercase,
+  // kept in creation order (firing reverses it — SQLite's observed
+  // order; see [[activeTriggers]])
+  private val stagedTriggers = mutable.LinkedHashMap[String, SqliteDdl.TriggerDef]()
+  private var triggersLoaded = false
+  private var triggersDirty = false
+  private def ensureTriggers(): Unit = if (!triggersLoaded) {
+    store.triggers(segmentId).foreach(t => stagedTriggers(t.name.toLowerCase) = t)
+    triggersLoaded = true
+  }
+
   /** Nested-transaction points (SQLite SAVEPOINT, lang_savepoint.html):
     * every element of staged state is an immutable value or a
     * DataFrame (itself immutable), so a savepoint is a cheap shallow
@@ -75,11 +88,15 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       working: Seq[(String, (TableMeta, DataFrame))],
       dirty: Seq[String], created: Seq[String], dropped: Seq[String],
       viewsLoaded: Boolean, stagedViews: Seq[(String, SqliteDdl.ViewDef)],
-      viewsDirty: Boolean)
+      viewsDirty: Boolean,
+      triggersLoaded: Boolean,
+      stagedTriggers: Seq[(String, SqliteDdl.TriggerDef)],
+      triggersDirty: Boolean)
   private var savepoints = List.empty[(String, TxnSnapshot)]
   private def snapshot(): TxnSnapshot = TxnSnapshot(
     working.toSeq, dirty.toSeq, created.toSeq, dropped.toSeq,
-    viewsLoaded, stagedViews.toSeq, viewsDirty)
+    viewsLoaded, stagedViews.toSeq, viewsDirty,
+    triggersLoaded, stagedTriggers.toSeq, triggersDirty)
   private def restore(t: TxnSnapshot): Unit = {
     working.clear(); working ++= t.working
     dirty.clear(); dirty ++= t.dirty
@@ -87,6 +104,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     dropped.clear(); dropped ++= t.dropped
     viewsLoaded = t.viewsLoaded; viewsDirty = t.viewsDirty
     stagedViews.clear(); stagedViews ++= t.stagedViews
+    triggersLoaded = t.triggersLoaded; triggersDirty = t.triggersDirty
+    stagedTriggers.clear(); stagedTriggers ++= t.stagedTriggers
   }
 
   private def tableNames: Seq[String] =
@@ -150,7 +169,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           // plain ROLLBACK: discard everything staged so far; later
           // statements run against storage state as a fresh transaction
           restore(TxnSnapshot(Nil, Nil, Nil, Nil,
-            viewsLoaded = false, Nil, viewsDirty = false))
+            viewsLoaded = false, Nil, viewsDirty = false,
+            triggersLoaded = false, Nil, triggersDirty = false))
           savepoints = Nil
       }
     // the reference write path runs whatever SQLite accepts (write.py:40)
@@ -173,12 +193,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val upper = stmt.toUpperCase
       if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) createIndex(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?TRIGGER.*"))
-        throw new UnsupportedOperationException("TRIGGERs are not supported")
+        createTrigger(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*"))
         createView(stmt)
       else createTable(stmt)
     case "DROP" =>
       if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+VIEW.*")) dropView(stmt)
+      else if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+TRIGGER.*")) dropTrigger(stmt)
       else dropTable(stmt)
     case "INSERT" | "REPLACE" => insert(stmt)
     case "UPDATE" => update(stmt)
@@ -227,6 +248,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // view registry last among the healable effects' tail: one cheap
     // file write holding the txn's whole staged set
     if (viewsDirty) store.putViews(segmentId, stagedViews.values.toSeq)
+    // trigger registry likewise; TEMP triggers die with the script
+    if (triggersDirty)
+      store.putTriggers(segmentId, stagedTriggers.values.filterNot(_.temp).toSeq)
   }
 
   /** The PRIMARY KEY and every recorded UNIQUE index must hold over the
@@ -348,6 +372,54 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
   }
 
+  /** CREATE TRIGGER: staged like views; the definition text is what
+    * persists (SQLite’s own contract — trigger programs re-parse from
+    * sqlite_master). Validation matches sqlite3’s prepare-time checks
+    * with its exact error texts (probed): the target table must exist,
+    * must not be a view (INSTEAD OF is refused in the parser), and the
+    * name — triggers have their OWN namespace — must be free. TEMP
+    * triggers live only for this script (the reference’s one-connection-
+    * per-script write path makes connection scope = script scope). */
+  private def createTrigger(stmt: String): Unit = {
+    val tg = SqliteDdl.parseCreateTrigger(stmt)
+    if (tg.name.toLowerCase.startsWith("sqlite_"))
+      throw new IllegalArgumentException(
+        s"object name reserved for internal use: ${tg.name}")
+    ensureTriggers()
+    if (isView(tg.table))
+      throw new IllegalArgumentException(
+        s"cannot create ${tg.timing} trigger on view: ${tg.table}")
+    if (!tableNames.exists(_.equalsIgnoreCase(tg.table)))
+      throw new IllegalArgumentException(s"no such table: main.${tg.table}")
+    if (stagedTriggers.contains(tg.name.toLowerCase)) {
+      if (!tg.ifNotExists)
+        throw new IllegalStateException(s"trigger ${tg.name} already exists")
+    } else {
+      // SQLite’s trigger-body grammar: DML and SELECT only — no DDL, no
+      // transaction control (prepare-time refusal there too)
+      tg.body.foreach { b =>
+        val w = SqlScript.firstWord(b)
+        if (!Set("INSERT", "REPLACE", "UPDATE", "DELETE", "SELECT", "WITH").contains(w))
+          throw new IllegalArgumentException(
+            s"cannot use $w in a trigger body")
+      }
+      stagedTriggers(tg.name.toLowerCase) = tg
+      triggersDirty = true
+    }
+  }
+
+  private val dropTriggerRe =
+    "(?is)^\\s*DROP\\s+TRIGGER\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*$".r
+  private def dropTrigger(stmt: String): Unit = {
+    val m = dropTriggerRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse: $stmt"))
+    val name = SqlScript.unquoteIdent(m.group(2))
+    ensureTriggers()
+    if (stagedTriggers.remove(name.toLowerCase).isDefined) triggersDirty = true
+    else if (m.group(1) == null)
+      throw new IllegalArgumentException(s"no such trigger: $name")
+  }
+
   private val dropViewRe = "(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*$".r
   private def dropView(stmt: String): Unit = {
     val m = dropViewRe.findFirstMatchIn(stmt).getOrElse(
@@ -374,6 +446,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     working.remove(name); dirty -= name; created -= name
     dropped += name
+    // SQLite drops a table’s triggers with it (lang_droptable.html);
+    // triggers on OTHER tables whose bodies mention this one survive
+    // and error at fire time, as SQLite’s do
+    ensureTriggers()
+    val orphaned = stagedTriggers.filter(_._2.table.equalsIgnoreCase(name)).keys.toSeq
+    if (orphaned.nonEmpty) { orphaned.foreach(stagedTriggers.remove); triggersDirty = true }
   }
 
   private val alterAddRe =
@@ -393,6 +471,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // would make an exported schema malformed to real SQLite
       stage(target, meta.copy(
         indexes = meta.indexes.map(SqliteDdl.retargetIndex(_, target))), df)
+      // triggers follow too (their ON clause; body text stays as
+      // written — pre-3.25 SQLite behavior, documented in retargetTrigger)
+      ensureTriggers()
+      val fromLc = SqlScript.unquoteIdent(from).toLowerCase
+      stagedTriggers.keys.toSeq.foreach { k =>
+        if (stagedTriggers(k).table.toLowerCase == fromLc) {
+          stagedTriggers(k) = SqliteDdl.retargetTrigger(stagedTriggers(k), target)
+          triggersDirty = true
+        }
+      }
     case alterAddRe(table, _, colDef) =>
       val name = SqlScript.unquoteIdent(table)
       val (meta, df) = load(name)
@@ -508,22 +596,32 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         full = full.withColumn(missing0,
           defaultExpr(meta, missing0).map(dexpr).getOrElse(lit(null)))
       }
-    meta.autoIncrement.foreach { ai =>
-      val aiMissing = colList.exists(cl => !cl.exists(_.equalsIgnoreCase(ai)))
-      if (aiMissing) {
-        val maxRow = existing.agg(max(col(ai))).head()
-        val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-        full = full.withColumn(ai,
-          lit(base) + row_number().over(Window.orderBy(monotonically_increasing_id())))
-      }
+    val aiAssigned: Option[String] = meta.autoIncrement.filter(ai =>
+      colList.exists(cl => !cl.exists(_.equalsIgnoreCase(ai))))
+    aiAssigned.foreach { ai =>
+      val maxRow = existing.agg(max(col(ai))).head()
+      val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      full = full.withColumn(ai,
+        lit(base) + row_number().over(Window.orderBy(monotonically_increasing_id())))
     }
     val aligned0 = full.select(meta.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    if (conflict.isDefined && upsertClause.isDefined)
+      // SQLite's grammar rejects the combination too
+      throw new IllegalArgumentException(
+        s"cannot combine INSERT OR ... with an ON CONFLICT clause: $stmt0")
+    // trigger path: INSERT programs, plus UPDATE programs when an
+    // upsert DO UPDATE can divert rows (probed firing shapes)
+    val insTrigs = activeTriggers(table, "INSERT")
+    val upsertDoUpdate = upsertClause.exists(c =>
+      !c.trim.toUpperCase.matches("(?s).*DO\\s+NOTHING\\s*;?\\s*$"))
+    if (insTrigs.nonEmpty ||
+        (upsertDoUpdate && activeTriggers(table, "UPDATE").nonEmpty)) {
+      insertWithTriggers(table, meta, existing, aligned0, conflict,
+        upsertClause, insTrigs, aiAssigned)
+      return
+    }
     val merged = (conflict, upsertClause) match {
-      case (Some(_), Some(_)) =>
-        // SQLite's grammar rejects the combination too
-        throw new IllegalArgumentException(
-          s"cannot combine INSERT OR ... with an ON CONFLICT clause: $stmt0")
       case (_, Some(clause)) => applyUpsert(meta, existing, aligned0, clause)
       case (Some("REPLACE"), None) if meta.primaryKey.nonEmpty =>
         val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = true)
@@ -599,18 +697,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val target = Option(m.group(1)).map(SqlScript.splitTopLevel(_).map(c =>
       // strip per-column COLLATE/direction, as in index/pk parsing
       SqlScript.unquoteIdent(c.trim.split("\\s+").head)))
-    val keyCols: Seq[String] = target match {
-      case None => meta.primaryKey
-      case Some(cols) =>
-        val lc = cols.map(_.toLowerCase).toSet
-        if (meta.primaryKey.nonEmpty && meta.primaryKey.map(_.toLowerCase).toSet == lc)
-          meta.primaryKey
-        else meta.indexes.find(ix => ix.unique &&
-            ix.columns.map(_.toLowerCase).toSet == lc).map(_.columns)
-          .getOrElse(throw new IllegalArgumentException(
-            "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"))
-    }
     val doNothing = m.group(2).equalsIgnoreCase("NOTHING")
+    val keyCols: Seq[String] =
+      upsertKeyCols(meta, target, requireMatch = !doNothing)
     if (doNothing) {
       if (keyCols.isEmpty) existing.unionByName(aligned0) // nothing can conflict
       else {
@@ -745,6 +834,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           throw new IllegalArgumentException(s"no such column: $colName"))
         field.name -> valueExpr.cast(field.dataType)
       }.toMap
+    val trigs = activeTriggers(table, "UPDATE", Some(assignments.keys.toSeq))
+    if (trigs.nonEmpty) {
+      updateWithTriggers(table, meta, df, assignments, pred, trigs)
+      return
+    }
     // single projection: WHERE and every RHS evaluate against the
     // pre-statement row state (SQLite semantics) — sequential
     // withColumn would let later assignments see earlier ones and
@@ -786,14 +880,528 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val table = SqlScript.unquoteIdent(m.group(1))
     val (meta, df) = load(table)
     val rest = m.group(2).trim
-    val out =
-      if (rest.isEmpty) df.limit(0)
+    val delPred: Column =
+      if (rest.isEmpty) lit(true)
       else {
         require(rest.length > 5 && rest.substring(0, 5).equalsIgnoreCase("where") &&
           rest.charAt(5).isWhitespace, s"cannot parse DELETE statement: $stmt")
-        df.where(!coalesce(dpred(rest.substring(6)), lit(false)))
+        coalesce(dpred(rest.substring(6)), lit(false))
+      }
+    val trigs = activeTriggers(table, "DELETE")
+    if (trigs.nonEmpty) {
+      deleteWithTriggers(table, meta, df, delPred, trigs)
+      return
+    }
+    val out = if (rest.isEmpty) df.limit(0) else df.where(!delPred)
+    stage(table, meta, out)
+  }
+
+
+  // ----------------------------------------------------------- triggers
+
+  /** Trigger programs run ROW-AT-A-TIME (SQLite's execution model); a
+    * statement that fires triggers on more rows than this refuses
+    * rather than degrade into a driver-side loop over bulk data —
+    * write scripts arrive over the reference's HTTP write path and are
+    * small by design (bulk loads go through ingest, which does not
+    * fire triggers, like sqlite3 .import). */
+  private val MaxTriggerRows = 1000
+
+  private var firingStack: List[String] = Nil
+
+  /** Triggers that would fire for `event` on `table`, in SQLite's
+    * observed firing order (REVERSE creation order — probed; the docs
+    * leave it unspecified), minus any currently executing (recursive-
+    * trigger suppression: PRAGMA recursive_triggers defaults OFF and
+    * stays off here — probed: a self-inserting trigger runs once, and
+    * cross-table cascades still fire). `setCols`: the UPDATE's
+    * assignment columns — an `UPDATE OF` trigger fires iff its column
+    * list intersects them (probed: the SET list decides, not whether
+    * the value changed). */
+  private def activeTriggers(table: String, event: String,
+      setCols: Option[Seq[String]] = None): Seq[SqliteDdl.TriggerDef] = {
+    ensureTriggers()
+    stagedTriggers.values.toSeq.reverse
+      .filter(t => t.table.equalsIgnoreCase(table) && t.event == event)
+      .filter(t => t.ofColumns.isEmpty ||
+        setCols.forall(sc => t.ofColumns.exists(oc => sc.exists(_.equalsIgnoreCase(oc)))))
+      .filterNot(t => firingStack.contains(t.name.toLowerCase))
+  }
+
+  /** Render a storage value as a SQLite literal for NEW./OLD.
+    * substitution. Double.toString always carries '.' or 'E', so the
+    * literal re-parses as REAL; non-finite doubles use out-of-range
+    * literal spellings (SQLite parses 9.0e999 as +Inf). */
+  private def sqliteLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case d: Double =>
+      if (d.isNaN) "NULL"
+      else if (d == Double.PositiveInfinity) "9.0e999"
+      else if (d == Double.NegativeInfinity) "-9.0e999"
+      else d.toString
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Array[Byte] => "X'" + b.map("%02x".format(_)).mkString + "'"
+    case other => throw new IllegalArgumentException(
+      s"cannot render trigger row value: $other (${other.getClass})")
+  }
+
+  /** SQLite truthiness of a WHEN result (CAST to NUMERIC, true iff
+    * nonzero): NULL and non-numeric text are false. */
+  private def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case l: Long => l != 0L
+    case i: Int => i != 0
+    case d: Double => d != 0.0
+    case f: Float => f != 0.0f
+    case bd: java.math.BigDecimal => bd.signum != 0
+    case s: String =>
+      WriteTxn.numericPrefixRe.findFirstIn(s.trim).exists(_.toDouble != 0.0)
+    case _ => false
+  }
+
+  private def unwrapRaise(e: Throwable): Option[TriggerRaise] = {
+    var cur = e; var depth = 0
+    while (cur != null && depth < 32) {
+      cur match {
+        case r: TriggerRaise => return Some(r)
+        case _ => cur = cur.getCause; depth += 1
+      }
+    }
+    None
+  }
+
+  /** One trigger program for one row: WHEN gate, then the body
+    * statements in order, NEW./OLD. resolved to literals via `resolve`.
+    * Returns false iff RAISE(IGNORE) ended it — the caller abandons
+    * the row's change and any remaining trigger programs for that row
+    * (lang_createtrigger.html §RAISE; a nested IGNORE is consumed by
+    * the nested statement's own firing loop, so only the innermost
+    * program is abandoned, as documented). ABORT/FAIL/ROLLBACK abort
+    * the whole script with the bare message — the reference wraps each
+    * script in one transaction (write.py:33-40), so SQLite's
+    * statement- vs transaction-rollback shades collapse to the same
+    * observable outcome. */
+  private def runTriggerProgram(tg: SqliteDdl.TriggerDef,
+      resolve: (String, String) => String): Boolean = {
+    def prep(text: String): String =
+      WriteTxn.rewriteRaise(WriteTxn.rewriteRowRefs(text, Set("new", "old"), resolve))
+    try {
+      val whenOk = tg.when.forall { w =>
+        truthy(runSelect(s"SELECT (${prep(w)}) AS __w").head().get(0))
+      }
+      if (whenOk) {
+        firingStack ::= tg.name.toLowerCase
+        try {
+          tg.body.foreach { b0 =>
+            val b = prep(b0)
+            SqlScript.firstWord(b) match {
+              // SELECT bodies run for their side effects (RAISE guards)
+              case "SELECT" | "WITH" => runSelect(b).collect()
+              case _ => execute(b)
+            }
+          }
+        } finally firingStack = firingStack.tail
+      }
+      true
+    } catch {
+      case e: Throwable => unwrapRaise(e) match {
+        case Some(r) if r.kind == "IGNORE" => false
+        case Some(r) => throw new IllegalArgumentException(r.msgText)
+        case None => throw e
+      }
+    }
+  }
+
+  private def collectCapped(df: DataFrame, what: String): Seq[org.apache.spark.sql.Row] = {
+    val rows = df.limit(MaxTriggerRows + 1).collect().toSeq
+    if (rows.length > MaxTriggerRows)
+      throw new UnsupportedOperationException(
+        s"$what fires triggers on more than $MaxTriggerRows rows in one statement; " +
+          "trigger programs are row-at-a-time (SQLite semantics) — drop the trigger " +
+          "for bulk loads or batch the write")
+    rows
+  }
+
+  /** Conservative check: does any WHEN/body text of these triggers
+    * reference `table`? Decides whether the main statement may apply
+    * set-based (bodies can't observe the target mid-statement, so
+    * batching is unobservable — firing order of body effects is
+    * preserved either way because the firing loop itself is per-row)
+    * or must apply row-at-a-time interleaved with the programs, as
+    * SQLite does (probed: an AFTER INSERT body counting the target
+    * logs 1,2,3 during a 3-row insert). String literals are blanked
+    * first; a false positive just costs the slower exact path. */
+  private def touchesTarget(trigs: Seq[SqliteDdl.TriggerDef], table: String): Boolean = {
+    val pat = ("(^|[^a-z0-9_])" +
+      java.util.regex.Pattern.quote(table.toLowerCase) + "([^a-z0-9_]|$)").r
+    trigs.exists(tg => (tg.when.toSeq ++ tg.body).exists { text =>
+      pat.findFirstIn(SqliteDdl.blankLiterals(text).toLowerCase).isDefined
+    })
+  }
+
+  private def localDf(schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[IndexedSeq[Any]]): DataFrame = {
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    rows.foreach(v => jrows.add(org.apache.spark.sql.Row.fromSeq(v)))
+    spark.createDataFrame(jrows, schema)
+  }
+
+  private def sparkTypeName(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType => "BIGINT"
+    case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+    case org.apache.spark.sql.types.StringType => "STRING"
+    case org.apache.spark.sql.types.BinaryType => "BINARY"
+    case other => other.sql
+  }
+
+  /** INSERT with trigger firing — the probed SQLite shape, per
+    * incoming row in arrival order:
+    *
+    *  1. BEFORE INSERT programs (these fire in EVERY conflict mode,
+    *     even for rows subsequently dropped by OR IGNORE / DO NOTHING
+    *     or diverted to DO UPDATE — probed);
+    *  2. the row action: insert / replace (no DELETE programs for the
+    *     displaced row — recursive_triggers off, probed) / silent drop
+    *     / upsert-update (which fires the UPDATE programs instead of
+    *     AFTER INSERT — probed);
+    *  3. AFTER programs.
+    *
+    * NEW of an omitted rowid alias reads -1 in BEFORE programs and the
+    * assigned id in AFTER (probed). Conflict classification happens
+    * against pre-statement state (one bounded semi-join) plus local
+    * tracking of this statement's own effects; a trigger body that
+    * mutates the target table via its own DML adopts into the per-row
+    * state (legal in SQLite — it just doesn't re-fire suppressed
+    * triggers). */
+  private def insertWithTriggers(table: String, meta: TableMeta,
+      existing: DataFrame, aligned0: DataFrame, conflict: Option[String],
+      upsertClause: Option[String], insTrigs: Seq[SqliteDdl.TriggerDef],
+      aiAssigned: Option[String]): Unit = {
+    val fields = meta.schema.fields
+    def fieldIdx(c: String): Int = {
+      val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
+      if (i < 0) throw new IllegalArgumentException(s"no such column: $c")
+      i
+    }
+    // the upsert clause parsed once; SET RHS / WHERE stay raw text for
+    // per-row literal evaluation
+    val upsert: Option[(Seq[String], Boolean, Seq[(Int, String)], Option[String])] =
+      upsertClause.map { clause =>
+        val m = onConflictRe.findFirstMatchIn(clause.trim).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse ON CONFLICT clause: $clause"))
+        val target = Option(m.group(1)).map(SqlScript.splitTopLevel(_).map(c =>
+          SqlScript.unquoteIdent(c.trim.split("\\s+").head)))
+        val doNothing = m.group(2).equalsIgnoreCase("NOTHING")
+        val (sets, predText) =
+          if (doNothing) (Seq.empty[(Int, String)], None)
+          else {
+            val setBody = m.group(3)
+            val whereAt = topLevelWhere(setBody)
+            val (setPart, pp) =
+              if (whereAt < 0) (setBody, None)
+              else (setBody.substring(0, whereAt), Some(setBody.substring(whereAt + 5)))
+            (SqlScript.splitTopLevel(setPart).map { a =>
+              val eq = topLevelEq(a)
+              (fieldIdx(SqlScript.unquoteIdent(a.substring(0, eq).trim)),
+                a.substring(eq + 1).trim)
+            }, pp)
+          }
+        (upsertKeyCols(meta, target, requireMatch = !doNothing), doNothing, sets, predText)
+      }
+    val keyCols: Seq[String] = upsert.map(_._1).getOrElse(
+      if (conflict.isDefined) meta.primaryKey.toSeq else Nil)
+    val keyIdx = keyCols.map(fieldIdx)
+    val updTrigs = upsert.filter(!_._2).map(u =>
+      activeTriggers(table, "UPDATE", Some(u._3.map(x => fields(x._1).name))))
+      .getOrElse(Nil)
+
+    val rows = collectCapped(aligned0, "INSERT").map(_.toSeq.toIndexedSeq)
+    // occupant: key → the row currently holding that key (pre-existing
+    // or applied earlier this statement); only incoming keys tracked
+    val occupant = mutable.LinkedHashMap[Seq[Any], IndexedSeq[Any]]()
+    if (keyIdx.nonEmpty && rows.nonEmpty) {
+      val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(fields))
+      val keys = rows.map(r => keyIdx.map(r(_)).toIndexedSeq)
+        .filter(_.forall(_ != null)).distinct
+      if (keys.nonEmpty) {
+        val keysDf = localDf(keySchema, keys)
+        existing.join(broadcast(keysDf), keyCols.toSeq, "left_semi").collect()
+          .foreach { r =>
+            val vals = r.toSeq.toIndexedSeq
+            occupant(keyIdx.map(vals(_))) = vals
+          }
+      }
+    }
+    val existedAtStart = occupant.keySet.toSet
+    val mode: String =
+      if (upsert.exists(_._2)) "NOTHING"
+      else if (upsert.isDefined) "UPDATE"
+      else conflict.getOrElse("PLAIN")
+
+    val perRow = touchesTarget(insTrigs ++ updTrigs, table)
+    val removedExisting = mutable.LinkedHashSet[Seq[Any]]()
+    val applied = mutable.ArrayBuffer[(Seq[Any], IndexedSeq[Any])]()
+    var cur = existing
+    var opCount = 0
+    def checkpointMaybe(): Unit = {
+      opCount += 1
+      if (opCount % 64 == 0) cur = cur.localCheckpoint(true)
+    }
+    // run one program with the per-row state published for its bodies,
+    // adopting any target mutation the body made (self-DML is legal)
+    def fire(t: SqliteDdl.TriggerDef, resolve: (String, String) => String): Boolean = {
+      if (perRow) { stage(table, meta, cur) }
+      val ok = runTriggerProgram(t, resolve)
+      if (perRow) cur = working(table)._2
+      ok
+    }
+    def keyEq(key: Seq[Any]): Column =
+      keyIdx.zip(key).map { case (i, v) => col(fields(i).name) === lit(v) }.reduce(_ && _)
+    def dropApplied(key: Seq[Any]): Unit = {
+      val at = applied.indexWhere(_._1 == key)
+      if (at >= 0) { applied.remove(at); () }
+    }
+    val aiIdx = aiAssigned.map(fieldIdx)
+
+    rows.foreach { row =>
+      val key: Seq[Any] =
+        if (keyIdx.nonEmpty && keyIdx.forall(row(_) != null)) keyIdx.map(row(_)) else null
+      def resolveIns(before: Boolean)(kw: String, c: String): String = kw match {
+        case "new" =>
+          val i = fieldIdx(c)
+          if (before && aiIdx.contains(i)) "-1" else sqliteLiteral(row(i))
+        case other => throw new IllegalArgumentException(s"no such column: $other.$c")
+      }
+      var ignored = false
+      insTrigs.withFilter(_.timing == "BEFORE").foreach { t =>
+        if (!ignored && !fire(t, resolveIns(before = true))) ignored = true
+      }
+      if (!ignored) {
+        def fireAfterInsert(): Unit =
+          insTrigs.withFilter(_.timing == "AFTER").foreach { t =>
+            if (!ignored && !fire(t, resolveIns(before = false))) ignored = true
+          }
+        val conflicting = key != null && occupant.contains(key)
+        if (!conflicting || mode == "PLAIN") {
+          // a PLAIN duplicate still lands here: the commit-time unique
+          // gate raises for it, exactly like the set-based fast path
+          if (perRow) { cur = cur.unionByName(localDf(meta.schema, Seq(row))); checkpointMaybe() }
+          applied += ((key, row))
+          if (key != null) occupant(key) = row
+          fireAfterInsert()
+        } else mode match {
+          case "REPLACE" =>
+            if (existedAtStart.contains(key)) removedExisting += key
+            dropApplied(key)
+            if (perRow) {
+              cur = cur.where(!coalesce(keyEq(key), lit(false)))
+                .unionByName(localDf(meta.schema, Seq(row)))
+              checkpointMaybe()
+            }
+            applied += ((key, row))
+            occupant(key) = row
+            fireAfterInsert()
+          case "IGNORE" | "NOTHING" => () // dropped silently; no AFTER (probed)
+          case "UPDATE" =>
+            val (_, _, sets, predText) = upsert.get
+            val exVals = occupant(key)
+            def rwExc(text: String): String =
+              WriteTxn.rewriteRowRefs(text, Set("excluded"),
+                (_, c) => sqliteLiteral(row(fieldIdx(c))))
+            val inner = fields.zipWithIndex.map { case (f, i) =>
+              s"${sqliteLiteral(exVals(i))} AS `${f.name}`" }.mkString(", ")
+            val outs = s"(${predText.map(rwExc).getOrElse("1")}) AS __p" +
+              sets.map { case (i, rhs) =>
+                s", CAST((${rwExc(rhs)}) AS ${sparkTypeName(fields(i).dataType)}) AS `__v$i`"
+              }.mkString
+            val r = runSelect(s"SELECT $outs FROM (SELECT $inner) __cur").head()
+            if (truthy(r.get(0))) {
+              val newVals = exVals.indices.map { i =>
+                val at = sets.indexWhere(_._1 == i)
+                if (at < 0) exVals(i) else r.get(1 + at)
+              }.toIndexedSeq
+              def resolveUpd(kw: String, c: String): String = kw match {
+                case "old" => sqliteLiteral(exVals(fieldIdx(c)))
+                case "new" => sqliteLiteral(newVals(fieldIdx(c)))
+                case other => throw new IllegalArgumentException(s"no such column: $other.$c")
+              }
+              var updIgnored = false
+              updTrigs.withFilter(_.timing == "BEFORE").foreach { t =>
+                if (!updIgnored && !fire(t, resolveUpd)) updIgnored = true
+              }
+              if (!updIgnored) {
+                if (existedAtStart.contains(key)) removedExisting += key
+                dropApplied(key)
+                val newKey: Seq[Any] =
+                  if (keyIdx.nonEmpty && keyIdx.forall(newVals(_) != null))
+                    keyIdx.map(newVals(_)) else null
+                if (perRow) {
+                  cur = cur.where(!coalesce(keyEq(key), lit(false)))
+                    .unionByName(localDf(meta.schema, Seq(newVals)))
+                  checkpointMaybe()
+                }
+                applied += ((newKey, newVals))
+                occupant.remove(key)
+                if (newKey != null) occupant(newKey) = newVals
+                updTrigs.withFilter(_.timing == "AFTER").foreach { t =>
+                  if (!updIgnored && !fire(t, resolveUpd)) updIgnored = true
+                }
+              }
+            }
+          case other =>
+            throw new IllegalStateException(s"unexpected conflict mode: $other")
+        }
+      }
+    }
+    if (perRow) stage(table, meta, cur)
+    else {
+      var base = existing
+      if (removedExisting.nonEmpty) {
+        val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(fields))
+        base = base.join(
+          broadcast(localDf(keySchema, removedExisting.toSeq.map(_.toIndexedSeq))),
+          keyCols.toSeq, "left_anti")
+      }
+      stage(table, meta, base.unionByName(localDf(meta.schema, applied.toSeq.map(_._2))))
+    }
+  }
+
+  /** UPDATE with trigger firing: the affected set (pre- AND post-images)
+    * is computed once against pre-statement state — SQLite likewise
+    * derives every NEW from the pre-update row — then per row: BEFORE
+    * programs (RAISE(IGNORE) leaves the row unchanged), the row change,
+    * AFTER programs. Row identity is a checkpointed monotonic id, so
+    * duplicate rows update independently; bodies mutating their own
+    * target mid-UPDATE are refused (SQLite documents that corner as
+    * undefined). */
+  private def updateWithTriggers(table: String, meta: TableMeta, df: DataFrame,
+      assignments: Map[String, Column], pred: Column,
+      trigs: Seq[SqliteDdl.TriggerDef]): Unit = {
+    val fields = meta.schema.fields
+    val nF = fields.length
+    val rid = "__trg_rid"
+    val ridSchema = org.apache.spark.sql.types.StructType(
+      fields :+ org.apache.spark.sql.types.StructField(
+        rid, org.apache.spark.sql.types.LongType, nullable = false))
+    val tagged = df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
+    val sel = (fields.map(f => col(f.name).as(s"__o_${f.name}")) ++
+      fields.map(f => assignments.getOrElse(f.name, col(f.name)).as(s"__n_${f.name}"))) :+
+      col(rid)
+    val rows = collectCapped(
+      tagged.where(coalesce(pred, lit(false))).select(sel.toSeq: _*), "UPDATE")
+    rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
+      val oldV = (0 until nF).map(r.get(_)).toIndexedSeq
+      val newV = (nF until 2 * nF).map(r.get(_)).toIndexedSeq
+      (r.getLong(2 * nF), oldV, Some(newV))
+    }, ridSchema)
+  }
+
+  /** DELETE with trigger firing: same loop, OLD images only. */
+  private def deleteWithTriggers(table: String, meta: TableMeta, df: DataFrame,
+      delPred: Column, trigs: Seq[SqliteDdl.TriggerDef]): Unit = {
+    val fields = meta.schema.fields
+    val nF = fields.length
+    val rid = "__trg_rid"
+    val ridSchema = org.apache.spark.sql.types.StructType(
+      fields :+ org.apache.spark.sql.types.StructField(
+        rid, org.apache.spark.sql.types.LongType, nullable = false))
+    val tagged = df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
+    val rows = collectCapped(tagged.where(delPred), "DELETE")
+    rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
+      (r.getLong(nF), (0 until nF).map(r.get(_)).toIndexedSeq, None)
+    }, ridSchema)
+  }
+
+  /** Shared per-row loop for UPDATE/DELETE firing: `changes` is
+    * (rowId, OLD image, Some(NEW image) for update / None for delete). */
+  private def rowTriggerLoop(table: String, meta: TableMeta, tagged: DataFrame,
+      rid: String, trigs: Seq[SqliteDdl.TriggerDef],
+      changes: Seq[(Long, IndexedSeq[Any], Option[IndexedSeq[Any]])],
+      ridSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val fields = meta.schema.fields
+    val perRow = touchesTarget(trigs, table)
+    var cur = tagged
+    var lastPublished: DataFrame = null
+    def fire(t: SqliteDdl.TriggerDef, resolve: (String, String) => String): Boolean = {
+      if (perRow) {
+        lastPublished = cur.drop(rid)
+        working(table) = (meta, lastPublished); dirty += table
+      }
+      val ok = runTriggerProgram(t, resolve)
+      if (perRow && (working(table)._2 ne lastPublished))
+        throw new UnsupportedOperationException(
+          "a trigger body modified its own target table during UPDATE/DELETE — " +
+            "SQLite documents that corner as undefined; unsupported here")
+      ok
+    }
+    val applied = mutable.LinkedHashMap[Long, Option[IndexedSeq[Any]]]()
+    var opCount = 0
+    changes.foreach { case (ridV, oldV, newVOpt) =>
+      def resolve(kw: String, c: String): String = {
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $kw.$c")
+        (kw, newVOpt) match {
+          case ("old", _) => sqliteLiteral(oldV(i))
+          case ("new", Some(nv)) => sqliteLiteral(nv(i))
+          case _ => throw new IllegalArgumentException(s"no such column: $kw.$c")
+        }
+      }
+      var ignored = false
+      trigs.withFilter(_.timing == "BEFORE").foreach { t =>
+        if (!ignored && !fire(t, resolve)) ignored = true
+      }
+      if (!ignored) {
+        applied(ridV) = newVOpt
+        if (perRow) {
+          cur = cur.where(col(rid) =!= ridV)
+          newVOpt.foreach(nv =>
+            cur = cur.unionByName(localDf(ridSchema, Seq(nv :+ ridV))))
+          opCount += 1
+          if (opCount % 64 == 0) cur = cur.localCheckpoint(true)
+        }
+        trigs.withFilter(_.timing == "AFTER").foreach { t =>
+          if (!ignored && !fire(t, resolve)) ignored = true
+        }
+      }
+    }
+    val out =
+      if (perRow) cur.drop(rid)
+      else if (applied.isEmpty) tagged.drop(rid)
+      else {
+        val replacements = applied.collect {
+          case (k, Some(v)) => (v :+ k): IndexedSeq[Any] }.toSeq
+        var base = tagged.where(!col(rid).isin(applied.keys.toSeq: _*))
+        if (replacements.nonEmpty)
+          base = base.unionByName(localDf(ridSchema, replacements))
+        base.drop(rid)
       }
     stage(table, meta, out)
+  }
+
+  /** Resolve an upsert conflict target to its key columns (PRIMARY KEY
+    * or a recorded UNIQUE index — SQLite's rule and error text).
+    * `requireMatch`: DO UPDATE must have real key columns; DO NOTHING
+    * with no PK degenerates to nothing-can-conflict. */
+  private def upsertKeyCols(meta: TableMeta, target: Option[Seq[String]],
+      requireMatch: Boolean): Seq[String] = {
+    val cols = target match {
+      case None => meta.primaryKey.toSeq
+      case Some(cs) =>
+        val lc = cs.map(_.toLowerCase).toSet
+        if (meta.primaryKey.nonEmpty && meta.primaryKey.map(_.toLowerCase).toSet == lc)
+          meta.primaryKey.toSeq
+        else meta.indexes.find(ix => ix.unique &&
+            ix.columns.map(_.toLowerCase).toSet == lc).map(_.columns)
+          .getOrElse(throw new IllegalArgumentException(
+            "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"))
+    }
+    if (requireMatch && cols.isEmpty)
+      throw new IllegalArgumentException(
+        "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint")
+    cols
   }
 
   /** Run a SELECT with the txn's current table state visible as views.
@@ -831,6 +1439,109 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 private[engine] object WriteTxn {
   val selectMutex = new Object
 
+  /** Rewrite `kw.<ident>` row references (NEW./OLD./excluded., any
+    * SQLite ident quoting) through `resolve` — quote-aware so string
+    * literals mentioning "new." survive untouched ([[rewriteExcluded]]'s
+    * scanner generalized over a keyword set). */
+  private[engine] def rewriteRowRefs(s: String, keywords: Set[String],
+      resolve: (String, String) => String): String = {
+    val out = new StringBuilder
+    var i = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; out.append(c); i += 1 }
+      else if ((c.isLetter || c == '_') &&
+          (i == 0 || { val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '.' })) {
+        val kw = keywords.find(k => s.regionMatches(true, i, k, 0, k.length) &&
+          (i + k.length >= s.length || {
+            val n = s.charAt(i + k.length); !n.isLetterOrDigit && n != '_' }))
+        kw match {
+          case Some(k) =>
+            var j = i + k.length
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            if (j < s.length && s.charAt(j) == '.') {
+              j += 1
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              val (name, end) =
+                if (j >= s.length) (null, j)
+                else s.charAt(j) match {
+                  case '`' => val e = s.indexOf('`', j + 1); (s.substring(j + 1, e), e + 1)
+                  case '[' => val e = s.indexOf(']', j + 1); (s.substring(j + 1, e), e + 1)
+                  case '"' => val e = s.indexOf('"', j + 1); (s.substring(j + 1, e), e + 1)
+                  case ch if ch.isLetter || ch == '_' =>
+                    var e = j
+                    while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+                    (s.substring(j, e), e)
+                  case _ => (null, j)
+                }
+              if (name == null) { out.append(c); i += 1 }
+              else { out.append(resolve(k.toLowerCase, name)); i = end }
+            } else { out.append(c); i += 1 }
+          case None =>
+            // copy the whole identifier so its interior can't match
+            var e = i
+            while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+            out.append(s.substring(i, e)); i = e
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Rewrite `RAISE(IGNORE)` / `RAISE(ABORT|FAIL|ROLLBACK, msg)` into
+    * `graft_trigger_raise(kind, msg)` UDF calls, so RAISE works
+    * anywhere in a body expression — `SELECT CASE WHEN … THEN
+    * RAISE(ABORT, '…') END` is the idiomatic SQLite guard shape. */
+  private[engine] def rewriteRaise(s: String): String = {
+    val out = new StringBuilder
+    var i = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; out.append(c); i += 1 }
+      else if ((c == 'r' || c == 'R') &&
+          (i == 0 || { val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '.' }) &&
+          s.regionMatches(true, i, "raise", 0, 5) &&
+          (i + 5 >= s.length || { val n = s.charAt(i + 5); !n.isLetterOrDigit && n != '_' })) {
+        var j = i + 5
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        var matched = false
+        if (j < s.length && s.charAt(j) == '(') {
+          var depth = 0; var k = j; var q: Char = 0; var end = -1
+          while (k < s.length && end < 0) {
+            val ch = s.charAt(k)
+            if (q != 0) { if (ch == q) q = 0 }
+            else ch match {
+              case '\'' | '"' => q = ch
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (end >= 0) {
+            val args = SqlScript.splitTopLevel(s.substring(j + 1, end))
+            val kind = args.head.trim.toUpperCase
+            require(Set("IGNORE", "ABORT", "FAIL", "ROLLBACK").contains(kind),
+              s"unknown RAISE form: ${args.head.trim}")
+            val msg = if (args.length > 1) args(1).trim else "''"
+            out.append(s"graft_trigger_raise('$kind', $msg)")
+            i = end + 1
+            matched = true
+          }
+        }
+        if (!matched) { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+
+  /** Leading-numeric prefix for SQLite text→NUMERIC truthiness. */
+  private[engine] val numericPrefixRe =
+    "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+
   /** Pragmas safe to no-op: they tune storage/journaling/caching, none
     * of which exists over parquet. `foreign_keys` is included because
     * this engine never enforces FK constraints anyway (SqliteDdl drops
@@ -842,4 +1553,18 @@ private[engine] object WriteTxn {
     "optimize", "analysis_limit", "shrink_memory", "threads",
     "journal_size_limit", "checkpoint_fullfsync", "fullfsync",
     "user_version", "application_id", "foreign_keys")
+}
+
+/** RAISE() control-flow carrier, thrown out of the
+  * `graft_trigger_raise` UDF that [[WriteTxn]]'s body rewrite turns
+  * `RAISE(...)` calls into (lang_createtrigger.html §RAISE). Unwrapped
+  * from Spark's UDF exception wrapping by the firing loop: IGNORE
+  * abandons the row, everything else aborts the script with SQLite's
+  * bare message text. */
+private[engine] final class TriggerRaise(val kind: String, val msgText: String)
+  extends RuntimeException(msgText)
+
+private[engine] object TriggerRaise {
+  def fire(kind: String, msg: String): Long =
+    throw new TriggerRaise(kind, if (msg == null) "" else msg)
 }

@@ -1,0 +1,392 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpecBase
+
+/** SQLite triggers through the write path, DIFFERENTIAL against the
+  * sandbox `sqlite3` CLI: the same script runs on both engines (the
+  * CLI side wrapped `.bail on` + BEGIN…COMMIT to mirror the
+  * reference's one-transaction-per-script contract, write.py:33-40)
+  * and the resulting tables must render identically. Covers firing
+  * order (reverse creation), per-row interleaving, BEFORE/AFTER,
+  * UPDATE OF, WHEN, NEW./OLD., RAISE(ABORT/IGNORE), conflict-mode
+  * firing shapes, cascades, recursion suppression, TEMP triggers,
+  * DROP semantics, and the export/ingest round trips
+  * (reference write surface: trough/wsgi/write.py:28-40 accepts any
+  * script sqlite3 does — triggers included). */
+class TriggerSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-trigger").toString
+  private lazy val store = new SegmentStore(spark, root)
+  private lazy val engine = new TroughEngine(spark, store, new SchemaRegistry)
+
+  private var n = 0
+  private def seg(schema: String): String = {
+    n += 1
+    val id = s"trg-$n"
+    engine.schemas.put(s"trg-schema-$n", schema)
+    engine.provisionWritable(id, s"trg-schema-$n")
+    id
+  }
+
+  private def cliDb(schema: String): Path = {
+    val db = Files.createTempFile("trg-cli", ".db")
+    Files.delete(db)
+    assert(SqliteCli.run(db.toString, schema) == 0)
+    db
+  }
+
+  /** Run `script` on both engines; both must succeed. */
+  private def runBoth(id: String, db: Path, script: String): Unit = {
+    engine.write(id, script)
+    assert(SqliteCli.run(db.toString,
+      s".bail on\nBEGIN;\n$script\nCOMMIT;\n") == 0, s"sqlite3 failed: $script")
+  }
+
+  /** Render one engine row the way the sqlite3 CLI prints it. */
+  private def render(r: org.apache.spark.sql.Row): String =
+    (0 until r.length).map { i =>
+      if (r.isNullAt(i)) ""
+      else r.get(i) match {
+        case l: Long => l.toString
+        case d: Double => d.toString
+        case s: String => s
+        case other => other.toString
+      }
+    }.mkString("|")
+
+  /** The differential assertion: `select` must render identically on
+    * the engine segment and the CLI database. */
+  private def same(id: String, db: Path, select: String): Unit = {
+    val engineSide = engine.read(id, select).collect().map(render).mkString("\n")
+    val cliSide = SqliteCli.query(db.toString, select)
+    assert(engineSide == cliSide,
+      s"\n-- engine --\n$engineSide\n-- sqlite3 --\n$cliSide\n-- for --\n$select")
+  }
+
+  private val auditSchema =
+    "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT, amt REAL);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+
+  test("AFTER INSERT audit trigger: one program per row, NEW values visible") {
+    val id = seg(auditSchema); val db = cliDb(auditSchema)
+    runBoth(id, db,
+      "CREATE TRIGGER ai AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) VALUES ('ins ' || NEW.id || ' ' || NEW.v || ' ' || NEW.amt); END;" +
+        "INSERT INTO t VALUES (1, 'a', 1.5), (2, 'b', 2.0), (3, 'c''x', 3.25);")
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+    same(id, db, "SELECT id, v, amt FROM t ORDER BY id;")
+  }
+
+  test("firing order is reverse creation order (probed SQLite behavior)") {
+    val id = seg(auditSchema); val db = cliDb(auditSchema)
+    runBoth(id, db,
+      "CREATE TRIGGER m_mid AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('m_mid'); END;" +
+        "CREATE TRIGGER a_first AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('a_first'); END;" +
+        "CREATE TRIGGER z_last AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('z_last'); END;" +
+        "INSERT INTO t VALUES (1, 'x', 0.0);")
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+  }
+
+  test("per-row interleaving: an AFTER body reading the target sees 1,2,3") {
+    val id = seg(auditSchema); val db = cliDb(auditSchema)
+    runBoth(id, db,
+      "CREATE TRIGGER tm AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) SELECT 'n=' || count(*) FROM t; END;" +
+        "INSERT INTO t VALUES (1, 'a', 0.0), (2, 'b', 0.0), (3, 'c', 0.0);")
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+  }
+
+  test("BEFORE INSERT sees defaults applied and -1 for the omitted rowid alias; AFTER sees the assigned id") {
+    val schema = "CREATE TABLE d (id INTEGER PRIMARY KEY, v TEXT DEFAULT 'dflt', n INTEGER);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER db_ BEFORE INSERT ON d BEGIN " +
+        "INSERT INTO log (msg) VALUES ('before ' || coalesce(NEW.id, 'NULL') || ' ' || NEW.v); END;" +
+        "CREATE TRIGGER da AFTER INSERT ON d BEGIN " +
+        "INSERT INTO log (msg) VALUES ('after ' || NEW.id || ' ' || NEW.v); END;" +
+        "INSERT INTO d (n) VALUES (42); INSERT INTO d (n) VALUES (43);")
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+    same(id, db, "SELECT id, v, n FROM d ORDER BY id;")
+  }
+
+  test("WHEN gates per row; RAISE(IGNORE) in BEFORE INSERT drops the row") {
+    val schema = "CREATE TABLE u (x INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER tbu BEFORE INSERT ON u WHEN NEW.x < 0 BEGIN SELECT RAISE(IGNORE); END;" +
+        "INSERT INTO u VALUES (-1), (2), (-3), (4);")
+    same(id, db, "SELECT x FROM u ORDER BY x;")
+  }
+
+  test("RAISE(ABORT, msg) aborts the whole script with the bare message; nothing commits") {
+    val schema = "CREATE TABLE t (x INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER guard BEFORE INSERT ON t WHEN NEW.x < 0 BEGIN " +
+        "SELECT RAISE(ABORT, 'no negatives'); END;")
+    val script = "INSERT INTO t VALUES (5); INSERT INTO t VALUES (-2);"
+    val e = intercept[IllegalArgumentException](engine.write(id, script))
+    assert(e.getMessage == "no negatives")
+    // CLI side: .bail aborts before COMMIT → the open txn rolls back
+    SqliteCli.run(db.toString, s".bail on\nBEGIN;\n$script\nCOMMIT;\n")
+    same(id, db, "SELECT count(*) AS n FROM t;")
+    assert(engine.read(id, "SELECT count(*) AS n FROM t;").collect()(0).getLong(0) == 0L)
+  }
+
+  test("the idiomatic CASE WHEN … THEN RAISE(ABORT) guard shape works") {
+    val schema = "CREATE TABLE t (x INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER guard BEFORE INSERT ON t BEGIN " +
+        "SELECT CASE WHEN NEW.x > 100 THEN RAISE(ABORT, 'too big') END; END;" +
+        "INSERT INTO t VALUES (7);")
+    same(id, db, "SELECT x FROM t;")
+    val e = intercept[IllegalArgumentException](
+      engine.write(id, "INSERT INTO t VALUES (101);"))
+    assert(e.getMessage == "too big")
+  }
+
+  test("UPDATE triggers: OLD/NEW images; UPDATE OF fires on the SET list, not value change") {
+    val schema = "CREATE TABLE c (x INTEGER, y INTEGER);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "INSERT INTO c VALUES (1, 10), (2, 20);" +
+        "CREATE TRIGGER tc AFTER UPDATE OF y ON c BEGIN " +
+        "INSERT INTO log (msg) VALUES ('y ' || OLD.y || '->' || NEW.y); END;" +
+        "UPDATE c SET y = 10 WHERE x = 1;" + // same value, y in SET → fires
+        "UPDATE c SET x = x + 10;") // y not in SET → silent
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+    same(id, db, "SELECT x, y FROM c ORDER BY x;")
+  }
+
+  test("RAISE(IGNORE) in BEFORE UPDATE leaves that row unchanged") {
+    val schema = "CREATE TABLE c (x INTEGER, y INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "INSERT INTO c VALUES (1, 10), (2, 20), (3, 30);" +
+        "CREATE TRIGGER freeze BEFORE UPDATE ON c WHEN OLD.x = 2 BEGIN SELECT RAISE(IGNORE); END;" +
+        "UPDATE c SET y = y + 1;")
+    same(id, db, "SELECT x, y FROM c ORDER BY x;")
+  }
+
+  test("DELETE triggers: OLD image; RAISE(IGNORE) in BEFORE DELETE keeps the row") {
+    val schema = "CREATE TABLE c (x INTEGER, y INTEGER);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "INSERT INTO c VALUES (1, 10), (2, 20), (3, 30);" +
+        "CREATE TRIGGER td AFTER DELETE ON c BEGIN " +
+        "INSERT INTO log (msg) VALUES ('del ' || OLD.x); END;" +
+        "CREATE TRIGGER keep BEFORE DELETE ON c WHEN OLD.x = 2 BEGIN SELECT RAISE(IGNORE); END;" +
+        "DELETE FROM c WHERE y >= 10;")
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+    same(id, db, "SELECT x, y FROM c ORDER BY x;")
+  }
+
+  test("cascades fire across tables; direct recursion is suppressed") {
+    val schema = "CREATE TABLE a (x INTEGER);\nCREATE TABLE b (x INTEGER);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER ta AFTER INSERT ON a BEGIN INSERT INTO b VALUES (NEW.x * 10); END;" +
+        "CREATE TRIGGER tb AFTER INSERT ON b BEGIN INSERT INTO log (msg) VALUES ('b got ' || NEW.x); END;" +
+        "CREATE TRIGGER ra AFTER INSERT ON a WHEN NEW.x < 3 BEGIN INSERT INTO a VALUES (NEW.x + 1); END;" +
+        "INSERT INTO a VALUES (0);")
+    // ra fires once (0→1) and does not re-fire for its own insert;
+    // ta cascades for both a-rows; tb cascades for both b-rows
+    same(id, db, "SELECT x FROM a ORDER BY x;")
+    same(id, db, "SELECT x FROM b ORDER BY x;")
+    same(id, db, "SELECT msg FROM log ORDER BY msg;")
+  }
+
+  test("conflict modes: OR REPLACE fires only INSERT programs; OR IGNORE fires BEFORE but not AFTER; upsert DO UPDATE diverts to UPDATE programs") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER bi BEFORE INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('bi ' || NEW.id); END;" +
+        "CREATE TRIGGER ai AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('ai ' || NEW.id); END;" +
+        "CREATE TRIGGER bu BEFORE UPDATE ON t BEGIN INSERT INTO log (msg) VALUES ('bu ' || OLD.v || '->' || NEW.v); END;" +
+        "CREATE TRIGGER au AFTER UPDATE ON t BEGIN INSERT INTO log (msg) VALUES ('au ' || NEW.v); END;" +
+        "INSERT INTO t VALUES (1, 'a');" +
+        "INSERT OR IGNORE INTO t VALUES (1, 'dup');" +
+        "INSERT OR REPLACE INTO t VALUES (1, 'rep');" +
+        "INSERT INTO t VALUES (1, 'up') ON CONFLICT(id) DO UPDATE SET v = excluded.v || '!';" +
+        "INSERT INTO t VALUES (2, 'n') ON CONFLICT(id) DO UPDATE SET v = 'never';")
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+    same(id, db, "SELECT id, v FROM t ORDER BY id;")
+  }
+
+  test("upsert DO UPDATE ... WHERE false: no update, no UPDATE programs") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT, nup INTEGER);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER au AFTER UPDATE ON t BEGIN INSERT INTO log (msg) VALUES ('au ' || NEW.id); END;" +
+        "INSERT INTO t VALUES (1, 'a', 0);" +
+        "INSERT INTO t VALUES (1, 'b', 0) ON CONFLICT(id) DO UPDATE SET v = excluded.v WHERE nup = 99;")
+    same(id, db, "SELECT msg FROM log ORDER BY lid;")
+    same(id, db, "SELECT id, v FROM t ORDER BY id;")
+  }
+
+  test("an accumulator body (UPDATE counters) runs once per affected row") {
+    val schema = "CREATE TABLE t (x INTEGER);\nCREATE TABLE counters (n INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "INSERT INTO counters VALUES (0);" +
+        "CREATE TRIGGER cnt AFTER INSERT ON t BEGIN UPDATE counters SET n = n + 1; END;" +
+        "INSERT INTO t VALUES (1), (2), (3), (4);")
+    same(id, db, "SELECT n FROM counters;")
+  }
+
+  test("TEMP triggers fire within their script and are not persisted") {
+    val id = seg(auditSchema); val db = cliDb(auditSchema)
+    engine.write(id,
+      "CREATE TEMP TRIGGER tt AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) VALUES ('temp ' || NEW.id); END;" +
+        "INSERT INTO t VALUES (1, 'a', 0.0);")
+    engine.write(id, "INSERT INTO t VALUES (2, 'b', 0.0);")
+    val msgs = engine.read(id, "SELECT msg FROM log ORDER BY lid;")
+      .collect().map(_.getString(0)).toSeq
+    assert(msgs == Seq("temp 1")) // second script: trigger gone
+    assert(store.triggers(id).isEmpty)
+    val _ = db
+  }
+
+  test("DROP TRIGGER; DROP TABLE drops its triggers; errors match sqlite3") {
+    val id = seg(auditSchema)
+    engine.write(id,
+      "CREATE TRIGGER x1 AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('x'); END;")
+    assert(store.triggers(id).map(_.name) == Seq("x1"))
+    engine.write(id, "DROP TRIGGER x1;")
+    assert(store.triggers(id).isEmpty)
+    // sqlite3: Error: no such trigger: missing
+    val e1 = intercept[IllegalArgumentException](engine.write(id, "DROP TRIGGER missing;"))
+    assert(e1.getMessage == "no such trigger: missing")
+    engine.write(id, "DROP TRIGGER IF EXISTS missing;") // silent
+    engine.write(id,
+      "CREATE TRIGGER x2 AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('x'); END;")
+    engine.write(id, "DROP TABLE t;")
+    assert(store.triggers(id).isEmpty) // trigger went with its table
+  }
+
+  test("creation errors carry sqlite3's texts; IF NOT EXISTS suppresses") {
+    val id = seg(auditSchema)
+    // sqlite3: Error: in prepare, no such table: main.nope
+    val e1 = intercept[IllegalArgumentException](engine.write(id,
+      "CREATE TRIGGER z AFTER INSERT ON nope BEGIN SELECT 1; END;"))
+    assert(e1.getMessage == "no such table: main.nope")
+    engine.write(id, "CREATE VIEW vv AS SELECT * FROM t;")
+    // sqlite3: Error: in prepare, cannot create AFTER trigger on view: vv
+    val e2 = intercept[IllegalArgumentException](engine.write(id,
+      "CREATE TRIGGER z AFTER INSERT ON vv BEGIN SELECT 1; END;"))
+    assert(e2.getMessage == "cannot create AFTER trigger on view: vv")
+    engine.write(id, "CREATE TRIGGER z AFTER INSERT ON t BEGIN SELECT 1; END;")
+    // sqlite3: Error: in prepare, trigger z already exists
+    val e3 = intercept[IllegalStateException](engine.write(id,
+      "CREATE TRIGGER z AFTER INSERT ON t BEGIN SELECT 2; END;"))
+    assert(e3.getMessage == "trigger z already exists")
+    engine.write(id, "CREATE TRIGGER IF NOT EXISTS z AFTER INSERT ON t BEGIN SELECT 2; END;")
+    val e4 = intercept[UnsupportedOperationException](engine.write(id,
+      "CREATE TRIGGER iv INSTEAD OF INSERT ON vv BEGIN SELECT 1; END;"))
+    assert(e4.getMessage.contains("INSTEAD OF"))
+  }
+
+  test("a failed script leaves no trigger behind; ROLLBACK TO discards one") {
+    val id = seg(auditSchema)
+    intercept[Exception](engine.write(id,
+      "CREATE TRIGGER r1 AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('r'); END;" +
+        "INSERT INTO nope VALUES (1);"))
+    assert(store.triggers(id).isEmpty)
+    engine.write(id,
+      "SAVEPOINT sp;" +
+        "CREATE TRIGGER r2 AFTER INSERT ON t BEGIN INSERT INTO log (msg) VALUES ('r'); END;" +
+        "ROLLBACK TO sp;" +
+        "INSERT INTO t VALUES (1, 'quiet', 0.0);")
+    assert(store.triggers(id).isEmpty)
+    assert(engine.read(id, "SELECT count(*) AS n FROM log;").collect()(0).getLong(0) == 0L)
+  }
+
+  test("sqlite_master catalogs triggers on the read path") {
+    val id = seg(auditSchema)
+    val ddl = "CREATE TRIGGER audit AFTER INSERT ON t BEGIN " +
+      "INSERT INTO log (msg) VALUES ('i'); END"
+    engine.write(id, ddl + ";")
+    val r = engine.read(id,
+      "SELECT type, name, tbl_name, sql FROM sqlite_master WHERE type = 'trigger';")
+      .collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getString(1), r(0).getString(2)) ==
+      (("trigger", "audit", "t")))
+    assert(r(0).getString(3) == ddl)
+  }
+
+  test("export round trip: real sqlite3 fires the exported trigger natively") {
+    val id = seg(auditSchema)
+    engine.write(id,
+      "CREATE TRIGGER audit AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) VALUES ('native ' || NEW.id); END;" +
+        "INSERT INTO t VALUES (1, 'a', 0.5);")
+    val out = Files.createTempDirectory("trg-export").resolve(s"$id.sqlite")
+    store.exportSqliteSegment(id, out.toString)
+    // the exported catalog row is intact…
+    assert(SqliteCli.query(out.toString,
+      "SELECT name, tbl_name FROM sqlite_master WHERE type = 'trigger';") == "audit|t")
+    // …and the trigger FIRES inside real sqlite3
+    assert(SqliteCli.run(out.toString, "INSERT INTO t VALUES (2, 'b', 1.5);") == 0)
+    assert(SqliteCli.query(out.toString, "SELECT msg FROM log ORDER BY lid;") ==
+      "native 1\nnative 2")
+  }
+
+  test("ingest round trip: a trigger authored in real sqlite3 fires in the engine") {
+    val db = cliDb(auditSchema)
+    assert(SqliteCli.run(db.toString,
+      "CREATE TRIGGER audit AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) VALUES ('eng ' || NEW.id); END;" +
+        "INSERT INTO t VALUES (1, 'a', 0.5);") == 0)
+    val id = "trg-ingested"
+    store.ingestSqliteSegment(db.toString, id)
+    assert(store.triggers(id).map(_.name) == Seq("audit"))
+    // acquire the write lock (provision is a no-op on an existing segment)
+    engine.schemas.put("trg-ing-schema", "CREATE TABLE unused_ (x INTEGER);")
+    engine.provisionWritable(id, "trg-ing-schema")
+    engine.write(id, "INSERT INTO t VALUES (2, 'b', 1.5);")
+    val msgs = engine.read(id, "SELECT msg FROM log ORDER BY lid;")
+      .collect().map(_.getString(0)).toSeq
+    assert(msgs == Seq("eng 1", "eng 2"))
+  }
+
+  test("ALTER TABLE RENAME retargets the trigger's ON clause") {
+    val id = seg(auditSchema)
+    engine.write(id,
+      "CREATE TRIGGER audit AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) VALUES ('r ' || NEW.id); END;" +
+        "ALTER TABLE t RENAME TO t2;" +
+        "INSERT INTO t2 VALUES (1, 'a', 0.0);")
+    assert(store.triggers(id).head.table == "t2")
+    assert(engine.read(id, "SELECT msg FROM log;").collect()(0).getString(0) == "r 1")
+  }
+
+  test("the per-statement row cap refuses bulk firing loudly") {
+    val schema = "CREATE TABLE big (x INTEGER);\nCREATE TABLE log2 (msg TEXT);"
+    val id = seg(schema)
+    // 32 seed rows doubled 5× = 1024 rows, built set-based (no triggers
+    // exist yet, so the bulk inserts stay on the fast path)
+    engine.write(id,
+      "INSERT INTO big VALUES " + (1 to 32).map(i => s"($i)").mkString(", ") + ";" +
+        (1 to 5).map(k =>
+          s"INSERT INTO big SELECT x + ${k * 100000} FROM big;").mkString)
+    engine.write(id,
+      "CREATE TRIGGER tb AFTER DELETE ON big BEGIN INSERT INTO log2 VALUES ('d'); END;")
+    val e = intercept[UnsupportedOperationException](
+      engine.write(id, "DELETE FROM big;")) // 1024 rows > the 1000-row cap
+    assert(e.getMessage.contains("row-at-a-time"))
+    // nothing committed: the table still holds all 1024 rows
+    assert(engine.read(id, "SELECT count(*) AS n FROM big;")
+      .collect()(0).getLong(0) == 1024L)
+  }
+}
