@@ -371,6 +371,66 @@ class TriggerSpec extends SparkSpecBase {
     assert(engine.read(id, "SELECT msg FROM log;").collect()(0).getString(0) == "r 1")
   }
 
+  test("RAISE(IGNORE)d rows consume no rowid-alias ids (contiguous allocation, both firing paths)") {
+    // probed: sqlite3 allocates 1,2 for the two survivors of a filtered
+    // 4-row insert — abandoned rows must not leave id gaps
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, x INTEGER);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    // vectorized shape: pure WHEN filter + pure appender reading NEW.id
+    // (forces the two-phase eval: ids depend on the filter verdicts)
+    val id1 = seg(schema); val db1 = cliDb(schema)
+    runBoth(id1, db1,
+      "CREATE TRIGGER f BEFORE INSERT ON t WHEN NEW.x < 0 BEGIN SELECT RAISE(IGNORE); END;" +
+        "CREATE TRIGGER a AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) VALUES ('id=' || NEW.id || ' x=' || NEW.x); END;" +
+        "INSERT INTO t (x) VALUES (-1), (2), (-3), (4);")
+    same(id1, db1, "SELECT id, x FROM t ORDER BY id;")
+    same(id1, db1, "SELECT msg FROM log ORDER BY lid;")
+    // general shape: the appender body UPDATEs a counter too — not a
+    // single-tuple INSERT, so the row-at-a-time loop runs instead
+    val schema2 = schema + "\nCREATE TABLE n (c INTEGER);"
+    val id2 = seg(schema2); val db2 = cliDb(schema2)
+    runBoth(id2, db2,
+      "INSERT INTO n VALUES (0);" +
+        "CREATE TRIGGER f BEFORE INSERT ON t WHEN NEW.x < 0 BEGIN SELECT RAISE(IGNORE); END;" +
+        "CREATE TRIGGER a AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log (msg) VALUES ('id=' || NEW.id || ' x=' || NEW.x); UPDATE n SET c = c + 1; END;" +
+        "INSERT INTO t (x) VALUES (-1), (2), (-3), (4);")
+    same(id2, db2, "SELECT id, x FROM t ORDER BY id;")
+    same(id2, db2, "SELECT msg FROM log ORDER BY lid;")
+    same(id2, db2, "SELECT c FROM n;")
+    // and both engine paths rendered the identical audit trail
+    assert(engine.read(id1, "SELECT msg FROM log ORDER BY lid;").collect().map(_.getString(0)).toSeq ==
+      engine.read(id2, "SELECT msg FROM log ORDER BY lid;").collect().map(_.getString(0)).toSeq)
+  }
+
+  test("vectorized and general UPDATE/DELETE firing agree (same scenario, forced paths)") {
+    val schema = "CREATE TABLE c (x INTEGER, y INTEGER);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);"
+    def script(generalize: Boolean): String = {
+      // the SELECT-count body statement mentions no other table but is
+      // not a single-tuple INSERT, forcing the general loop
+      val extra = if (generalize)
+        "CREATE TRIGGER g AFTER UPDATE ON c BEGIN " +
+          "INSERT INTO log (msg) SELECT 'seen ' || NEW.x; END;"
+      else
+        "CREATE TRIGGER g AFTER UPDATE ON c BEGIN " +
+          "INSERT INTO log (msg) VALUES ('seen ' || NEW.x); END;"
+      "INSERT INTO c VALUES (1, 10), (2, 20), (3, 30);" + extra +
+        "CREATE TRIGGER u AFTER UPDATE ON c WHEN NEW.y > 25 BEGIN " +
+        "INSERT INTO log (msg) VALUES (OLD.y || '->' || NEW.y); END;" +
+        "UPDATE c SET y = y + 10 WHERE x >= 2;"
+    }
+    val idV = seg(schema); val dbV = cliDb(schema)
+    runBoth(idV, dbV, script(generalize = false))
+    same(idV, dbV, "SELECT msg FROM log ORDER BY lid;")
+    same(idV, dbV, "SELECT x, y FROM c ORDER BY x;")
+    val idG = seg(schema); val dbG = cliDb(schema)
+    runBoth(idG, dbG, script(generalize = true))
+    same(idG, dbG, "SELECT msg FROM log ORDER BY lid;")
+    same(idG, dbG, "SELECT x, y FROM c ORDER BY x;")
+  }
+
   test("the per-statement row cap refuses bulk firing loudly") {
     val schema = "CREATE TABLE big (x INTEGER);\nCREATE TABLE log2 (msg TEXT);"
     val id = seg(schema)
