@@ -1062,55 +1062,54 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
   // ------------------------------------------- vectorized trigger firing
 
-  /** The audit-log trigger pattern — every program is either a
+  /** The audit-log trigger pattern — every firing program is either a
     * pure-WHEN `RAISE(IGNORE)` filter or appends single-tuple INSERTs
     * of pure NEW./OLD. expressions into OTHER, un-triggered tables —
-    * compiles to ONE Spark evaluation over the row images instead of a
-    * per-row statement loop. Local assembly then replays the exact
-    * per-row program order (BEFORE then AFTER, each reverse-creation),
-    * so observable state — row membership, append order, allocated
-    * rowid-alias ids in the appended tables — is identical to the
-    * general path; the sqlite3 differential suite exercises both
-    * paths. This is the 100 TB shape: per-row firing costs one parse +
-    * one analysis per row (the measured q59 profile), vectorized
-    * firing costs one codegen'd projection however many rows fire. */
+    * compiles to PURE DATAFRAME OPERATIONS: filters become chained
+    * skip conditions, each append body one `where(fires).select(...)`
+    * over the image frame, rowid allocation a running count, and the
+    * main change a projection/anti-join. Nothing is collected, so the
+    * general tier's per-statement row cap does not apply — an audit
+    * trigger on a billion-row INSERT…SELECT is one codegen'd
+    * projection plus one union per append target. Per-row program
+    * ORDER is preserved observably: append order materializes through
+    * the (row, program) ordering used for id allocation, and the
+    * sqlite3 differential suite pins both tiers to the same results.
+    * The general row-at-a-time tier remains for bodies that read
+    * their own target table, cascade into triggered tables, or run
+    * arbitrary DML. */
   private final case class VecBodyPlan(
-      target: String, fieldVals: IndexedSeq[Int], aiOmitted: Boolean)
+      target: String, fieldCols: IndexedSeq[Option[Column]], aiOmitted: Boolean)
   private final case class VecTrigPlan(
-      tg: SqliteDdl.TriggerDef, whenIdx: Int, ignoreFilter: Boolean,
+      tg: SqliteDdl.TriggerDef, when: Option[Column], ignoreFilter: Boolean,
       bodies: Seq[VecBodyPlan])
 
   private val vecInsertRe =
     "(?is)^INSERT\\s+INTO\\s+([^\\s(]+)\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$".r
 
   /** Pure = evaluable as a row-local expression: no subqueries, no
-    * RAISE. Blanked literals, so text mentioning the words is fine. */
+    * RAISE. Blanked literals, so text merely mentioning the words is
+    * fine. */
   private def vecPure(text: String): Boolean =
     "(^|[^a-z0-9_])(select|raise)([^a-z0-9_]|$)".r
       .findFirstIn(SqliteDdl.blankLiterals(text).toLowerCase).isEmpty
 
-  private def flagTrue(v: Any): Boolean = v match {
-    case b: Boolean => b
-    case _ => false
-  }
-
-  /** Compile the ordered firing programs to eval columns + plans, or
-    * None when any trigger falls outside the vectorizable shape (the
-    * caller then runs the general row-at-a-time loop). */
+  /** Compile the ordered firing programs against image-column names
+    * produced by `resolve` (e.g. NEW.x → `__new_x`), or None when any
+    * trigger falls outside the vectorizable shape (the caller then
+    * runs the general row-at-a-time loop). */
   private def vecCompile(trigsOrdered: Seq[SqliteDdl.TriggerDef],
       resolve: (SqliteDdl.TriggerDef, String, String) => String)
-      : Option[(Seq[VecTrigPlan], IndexedSeq[Column])] = {
-    val colBuf = mutable.ArrayBuffer[Column]()
-    def addCol(c: Column): Int = { colBuf += c; colBuf.length - 1 }
+      : Option[Seq[VecTrigPlan]] = {
     val plans = mutable.ArrayBuffer[VecTrigPlan]()
     for (tg <- trigsOrdered) {
       if (!tg.when.forall(vecPure)) return None
       def rw(text: String): String =
         WriteTxn.rewriteRowRefs(text, Set("new", "old"), (kw, c) => resolve(tg, kw, c))
-      val whenIdx = tg.when.map(w => addCol(dpred(rw(w)))).getOrElse(-1)
+      val whenCol = tg.when.map(w => dpred(rw(w)))
       val isIgnore = tg.body.length == 1 &&
         tg.body.head.trim.matches("(?is)^SELECT\\s+RAISE\\s*\\(\\s*IGNORE\\s*\\)\\s*;?$")
-      if (isIgnore) plans += VecTrigPlan(tg, whenIdx, ignoreFilter = true, Nil)
+      if (isIgnore) plans += VecTrigPlan(tg, whenCol, ignoreFilter = true, Nil)
       else {
         val bodies = mutable.ArrayBuffer[VecBodyPlan]()
         for (b <- tg.body) {
@@ -1133,16 +1132,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           if (exprs.length != colList.length) return None // general path raises the arity error
           val aiName = bMeta.autoIncrement
           val aiOmitted = aiName.exists(ai => !colList.exists(_.equalsIgnoreCase(ai)))
-          val fieldVals: IndexedSeq[Int] = bFields.map { f =>
+          val fieldCols: IndexedSeq[Option[Column]] = bFields.map { f =>
             val at = colList.indexWhere(_.equalsIgnoreCase(f.name))
-            if (at >= 0) addCol(dexpr(rw(exprs(at))).cast(f.dataType))
-            else if (aiName.exists(_.equalsIgnoreCase(f.name))) -1 // allocated at assembly
-            else addCol(defaultExpr(bMeta, f.name).map(d => dexpr(d).cast(f.dataType))
+            if (at >= 0) Some(dexpr(rw(exprs(at))).cast(f.dataType))
+            else if (aiName.exists(_.equalsIgnoreCase(f.name)) && aiOmitted)
+              None // allocated below
+            else Some(defaultExpr(bMeta, f.name).map(d => dexpr(d).cast(f.dataType))
               .getOrElse(lit(null).cast(f.dataType)))
           }.toIndexedSeq
-          bodies += VecBodyPlan(target, fieldVals, aiOmitted)
+          bodies += VecBodyPlan(target, fieldCols, aiOmitted)
         }
-        plans += VecTrigPlan(tg, whenIdx, ignoreFilter = false, bodies.toSeq)
+        plans += VecTrigPlan(tg, whenCol, ignoreFilter = false, bodies.toSeq)
       }
     }
     // mixed explicit/omitted rowid alias for one target across bodies:
@@ -1150,79 +1150,79 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val byTarget = plans.flatMap(_.bodies).groupBy(_.target.toLowerCase)
     if (byTarget.values.exists(bs => bs.exists(_.aiOmitted) && bs.exists(!_.aiOmitted)))
       return None
-    Some((plans.toSeq, colBuf.toIndexedSeq))
+    Some(plans.toSeq)
   }
 
-  /** One local evaluation of the compiled columns over the images;
-    * LocalRelation in, LocalRelation out — row order preserved. */
-  private def vecEval(evalSchema: org.apache.spark.sql.types.StructType,
-      imgRows: Seq[IndexedSeq[Any]], cols: IndexedSeq[Column])
-      : Array[org.apache.spark.sql.Row] = {
-    if (cols.isEmpty) return Array.fill(imgRows.length)(org.apache.spark.sql.Row())
-    localDf(evalSchema, imgRows)
-      .select(cols.zipWithIndex.map { case (c, i) => c.as(s"__c$i") }.toSeq: _*)
-      .collect()
-  }
-
-  /** Replay the per-row program order over the eval results; stage one
-    * batched append per body target. Returns the image indices whose
-    * MAIN change a BEFORE RAISE(IGNORE) abandoned. */
-  private def vecAssemble(plans: Seq[VecTrigPlan],
-      evalRows: Array[org.apache.spark.sql.Row], nImgs: Int): mutable.BitSet = {
-    val ignoredMain = mutable.BitSet()
-    val buffers = mutable.LinkedHashMap[String,
-      (String, mutable.ArrayBuffer[IndexedSeq[Any]], Boolean)]()
-    var i = 0
-    while (i < nImgs) {
-      var skip = false
-      plans.foreach { pl =>
-        if (!skip && (pl.whenIdx < 0 || flagTrue(evalRows(i).get(pl.whenIdx)))) {
-          if (pl.ignoreFilter) {
-            skip = true
-            if (pl.tg.timing == "BEFORE") ignoredMain += i
-          } else pl.bodies.foreach { b =>
-            val buf = buffers.getOrElseUpdate(b.target.toLowerCase,
-              (b.target, mutable.ArrayBuffer[IndexedSeq[Any]](), b.aiOmitted))._2
-            buf += b.fieldVals.map(ci => if (ci < 0) null else evalRows(i).get(ci))
-          }
-        }
+  /** The chained abandon condition: rows a BEFORE `RAISE(IGNORE)`
+    * filter drops (any prior filter having fired suppresses later
+    * programs, so filters compose with `||` over their gated WHENs). */
+  private def vecAbandonCond(plans: Seq[VecTrigPlan]): Column = {
+    var priorSkip: Column = lit(false)
+    var abandon: Column = lit(false)
+    plans.foreach { pl =>
+      val fires = pl.when.map(w => coalesce(w, lit(false))).getOrElse(lit(true)) && !priorSkip
+      if (pl.ignoreFilter) {
+        if (pl.tg.timing == "BEFORE") abandon = abandon || fires
+        priorSkip = priorSkip || fires
       }
-      i += 1
     }
-    buffers.values.foreach { case (target, buf, aiOmitted) =>
+    abandon
+  }
+
+  /** Stage every append body over the image frame: one
+    * `where(fires).select(...)` per body, one union + optional
+    * rowid-allocation window per target table. `images` must carry a
+    * `__vec_seq` statement-order column; allocation orders by
+    * (row, program index), reproducing the per-row interleave the
+    * general tier executes. */
+  private def vecApplyAppends(plans: Seq[VecTrigPlan], images: DataFrame): Unit = {
+    var priorSkip: Column = lit(false)
+    val perTarget = mutable.LinkedHashMap[String,
+      (String, mutable.ArrayBuffer[DataFrame], Boolean)]()
+    plans.zipWithIndex.foreach { case (pl, k) =>
+      val fires = pl.when.map(w => coalesce(w, lit(false))).getOrElse(lit(true)) && !priorSkip
+      if (pl.ignoreFilter) priorSkip = priorSkip || fires
+      else pl.bodies.foreach { b =>
+        val (bMeta, _) = load(b.target)
+        val sel = images.where(fires).select(
+          (b.fieldCols.zip(bMeta.schema.fields).map {
+            case (Some(c), f) => c.as(f.name)
+            case (None, f) => lit(null).cast(f.dataType).as(f.name)
+          } ++ Seq(col("__vec_seq"), lit(k).as("__vec_ord"))).toSeq: _*)
+        perTarget.getOrElseUpdate(b.target.toLowerCase,
+          (b.target, mutable.ArrayBuffer[DataFrame](), b.aiOmitted))._2 += sel
+      }
+    }
+    perTarget.values.foreach { case (target, parts, aiOmitted) =>
       val (bMeta, bExisting) = load(target)
-      var rows = buf.toSeq
-      if (aiOmitted && rows.nonEmpty) {
-        val ai = bMeta.autoIncrement.get
-        val aiAt = bMeta.schema.fieldNames.indexWhere(_.equalsIgnoreCase(ai))
+      var app = parts.reduce(_ unionByName _)
+      if (aiOmitted) {
+        val ai = bMeta.schema.fieldNames
+          .find(_.equalsIgnoreCase(bMeta.autoIncrement.get)).get
         val maxRow = bExisting.agg(max(col(ai))).head()
-        var next = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-        rows = rows.map { r => next += 1; r.updated(aiAt, next: Any) }
+        val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        app = app.withColumn(ai, lit(base) +
+          row_number().over(Window.orderBy(col("__vec_seq"), col("__vec_ord"))))
       }
-      stage(target, bMeta, bExisting.unionByName(localDf(bMeta.schema, rows)))
+      stage(target, bMeta, bExisting.unionByName(
+        app.drop("__vec_seq", "__vec_ord")))
     }
-    ignoredMain
   }
 
   /** Vectorized INSERT firing (PLAIN mode, no per-row target reads):
     * BEFORE programs see the omitted rowid alias as -1; ids allocate
-    * AFTER the BEFORE filters decide survival (SQLite's allocation
-    * point, probed: 1,2 for two survivors of a filtered 4-row insert),
-    * so when both features are present the evaluation runs twice —
-    * filter flags read only the BEFORE image, so the phases agree.
-    * Returns true when handled. */
+    * only for rows the BEFORE filters let through (SQLite's
+    * allocation point, probed: 1,2 for two survivors of a filtered
+    * 4-row insert) via a running count over the abandon condition —
+    * one plan, no phases, nothing collected. Returns true when
+    * handled (main change and all appends staged). */
   private def tryVectorizedInsertFiring(table: String, meta: TableMeta,
-      existing: DataFrame, rows: Seq[IndexedSeq[Any]],
-      insTrigs: Seq[SqliteDdl.TriggerDef], aiIdx: Option[Int],
-      aiBase: Long): Boolean = {
+      existing: DataFrame, aligned0: DataFrame,
+      insTrigs: Seq[SqliteDdl.TriggerDef], aiName: Option[String],
+      aiBase: Option[Long]): Boolean = {
     val fields = meta.schema.fields
     val ordered = insTrigs.filter(_.timing == "BEFORE") ++
       insTrigs.filter(_.timing == "AFTER")
-    val evalSchema = org.apache.spark.sql.types.StructType(
-      fields.map(f => org.apache.spark.sql.types.StructField(
-        "__nb_" + f.name, f.dataType, nullable = true)) ++
-        fields.map(f => org.apache.spark.sql.types.StructField(
-          "__new_" + f.name, f.dataType, nullable = true)))
     def resolve(tg: SqliteDdl.TriggerDef, kw: String, c: String): String = kw match {
       case "new" =>
         val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
@@ -1230,37 +1230,93 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         "`" + (if (tg.timing == "BEFORE") "__nb_" else "__new_") + fields(i).name + "`"
       case other => throw new IllegalArgumentException(s"no such column: $other.$c")
     }
-    val (plans, cols) = vecCompile(ordered, resolve).getOrElse(return false)
-    def nbImg(r: IndexedSeq[Any]): IndexedSeq[Any] =
-      aiIdx.map(ix => r.updated(ix, -1L: Any)).getOrElse(r)
-    val beforeFilters = plans.filter(p => p.ignoreFilter && p.tg.timing == "BEFORE")
-    if (aiIdx.isEmpty || beforeFilters.isEmpty) {
-      // ids (if any) are already contiguous over all rows — nothing can
-      // abandon a change before allocation
-      val evalRows = vecEval(evalSchema,
-        rows.map(r => nbImg(r) ++ r), cols)
-      val ignoredMain = vecAssemble(plans, evalRows, rows.length)
-      val kept = rows.zipWithIndex.collect { case (r, i) if !ignoredMain(i) => r }
-      stage(table, meta, existing.unionByName(localDf(meta.schema, kept)))
-    } else {
-      // phase A: only the filter verdicts (they read the BEFORE image,
-      // which id allocation can't change)
-      val evalA = vecEval(evalSchema, rows.map(r => nbImg(r) ++ r), cols)
-      val abandoned = mutable.BitSet()
-      for (i <- rows.indices; p <- beforeFilters)
-        if (p.whenIdx < 0 || flagTrue(evalA(i).get(p.whenIdx))) abandoned += i
-      // contiguous ids over the survivors, then phase B for the appends
-      var next = aiBase
-      val finalRows = rows.zipWithIndex.map { case (r, i) =>
-        if (abandoned(i)) r
-        else { next += 1; r.updated(aiIdx.get, next: Any) }
-      }
-      val evalB = vecEval(evalSchema,
-        rows.indices.map(i => nbImg(rows(i)) ++ finalRows(i)), cols)
-      val ignoredMain = vecAssemble(plans, evalB, rows.length)
-      val kept = finalRows.zipWithIndex.collect { case (r, i) if !ignoredMain(i) => r }
-      stage(table, meta, existing.unionByName(localDf(meta.schema, kept)))
+    val plans = vecCompile(ordered, resolve).getOrElse(return false)
+    val aiIdx = aiName.map(n => fields.indexWhere(_.name.equalsIgnoreCase(n)))
+    // image frame: BEFORE image (__nb_*, rowid alias -1) + AFTER image
+    // (__new_*) + statement order
+    var images = aligned0
+      .withColumn("__vec_seq", monotonically_increasing_id())
+    fields.zipWithIndex.foreach { case (f, i) =>
+      images = images.withColumn("__nb_" + f.name,
+        if (aiIdx.contains(i)) lit(-1L).cast(f.dataType) else col(f.name))
     }
+    val abandon0 = vecAbandonCond(plans)
+    // allocate ids AFTER the filters decide survival: running count of
+    // surviving rows in statement order (single-partition window — the
+    // same tradeoff as the fast path's row_number allocation)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      images = images.withColumn("__new_" + f.name,
+        if (aiIdx.contains(i))
+          when(!abandon0, lit(aiBase.getOrElse(0L)) +
+            sum(when(abandon0, 0L).otherwise(1L)).over(
+              Window.orderBy(col("__vec_seq"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .cast(f.dataType)
+        else col(f.name))
+    }
+    // the abandon condition reads only __nb_ columns, so evaluating it
+    // again inside the appends/main projections is phase-consistent
+    vecApplyAppends(plans, images)
+    val kept = images.where(!vecAbandonCond(plans))
+      .select(fields.map(f => col("__new_" + f.name).as(f.name)).toSeq: _*)
+    stage(table, meta, existing.unionByName(kept))
+    true
+  }
+
+  /** Vectorized UPDATE/DELETE firing: the same pure-DataFrame tier for
+    * row changes with pre/post images. The affected set maps to an
+    * image frame (OLD = the row, NEW = the assignment projection —
+    * SQLite also derives every NEW from the pre-update row); appends
+    * stage through [[vecApplyAppends]]; the main change applies via a
+    * row-id join (AQE broadcasts the small replacement side), so
+    * duplicate rows update independently and nothing collects.
+    * Returns true when handled. */
+  private def vecFireUpdateDelete(table: String, meta: TableMeta, df: DataFrame,
+      trigs: Seq[SqliteDdl.TriggerDef], firePred: Column,
+      newCols: Option[String => Column]): Boolean = {
+    if (touchesTarget(trigs, table)) return false
+    val fields = meta.schema.fields
+    val ordered = trigs.filter(_.timing == "BEFORE") ++
+      trigs.filter(_.timing == "AFTER")
+    val hasNew = newCols.isDefined
+    def resolve(tg: SqliteDdl.TriggerDef, kw: String, c: String): String = {
+      val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
+      if (i < 0) throw new IllegalArgumentException(s"no such column: $kw.$c")
+      kw match {
+        case "old" => "`__old_" + fields(i).name + "`"
+        case "new" if hasNew => "`__new_" + fields(i).name + "`"
+        case other => throw new IllegalArgumentException(s"no such column: $other.$c")
+      }
+    }
+    val plans = vecCompile(ordered, resolve).getOrElse(return false)
+    val rid = "__trg_rid"
+    val tagged = df.withColumn(rid, monotonically_increasing_id())
+    var images = tagged.where(firePred)
+      .withColumn("__vec_seq", col(rid))
+    fields.foreach { f =>
+      images = images.withColumn("__old_" + f.name, col(f.name))
+    }
+    newCols.foreach { nc =>
+      fields.foreach { f =>
+        images = images.withColumn("__new_" + f.name, nc(f.name))
+      }
+    }
+    vecApplyAppends(plans, images)
+    val surviving = images.where(!vecAbandonCond(plans))
+    val out = newCols match {
+      case Some(_) => // UPDATE: replace surviving rows via rid join
+        val repl = surviving.select(
+          (fields.map(f => col("__new_" + f.name).as("__r_" + f.name)) ++
+            Seq(col(rid), lit(true).as("__r_hit"))).toSeq: _*)
+        tagged.join(repl, Seq(rid), "left")
+          .select(fields.map(f =>
+            when(coalesce(col("__r_hit"), lit(false)), col("__r_" + f.name))
+              .otherwise(col(f.name)).as(f.name)).toSeq: _*)
+      case None => // DELETE: drop surviving (= actually deleted) rows
+        tagged.join(surviving.select(col(rid)), Seq(rid), "left_anti")
+          .drop(rid)
+    }
+    stage(table, meta, out)
     true
   }
 
@@ -1325,6 +1381,19 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       activeTriggers(table, "UPDATE", Some(u._3.map(x => fields(x._1).name))))
       .getOrElse(Nil)
 
+    val mode: String =
+      if (upsert.exists(_._2)) "NOTHING"
+      else if (upsert.isDefined) "UPDATE"
+      else conflict.getOrElse("PLAIN")
+    val perRow = touchesTarget(insTrigs ++ updTrigs, table)
+
+    // distributed vectorized tier first: pure DataFrame ops, no
+    // collect, no row cap (see tryVectorizedInsertFiring)
+    if (mode == "PLAIN" && !perRow && updTrigs.isEmpty &&
+        tryVectorizedInsertFiring(table, meta, existing, aligned0,
+          insTrigs, aiAssigned, aiBase))
+      return
+
     val rows = collectCapped(aligned0, "INSERT").map(_.toSeq.toIndexedSeq)
     // occupant: key → the row currently holding that key (pre-existing
     // or applied earlier this statement); only incoming keys tracked
@@ -1343,12 +1412,6 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }
     }
     val existedAtStart = occupant.keySet.toSet
-    val mode: String =
-      if (upsert.exists(_._2)) "NOTHING"
-      else if (upsert.isDefined) "UPDATE"
-      else conflict.getOrElse("PLAIN")
-
-    val perRow = touchesTarget(insTrigs ++ updTrigs, table)
     val removedExisting = mutable.LinkedHashSet[Seq[Any]]()
     val applied = mutable.ArrayBuffer[(Seq[Any], IndexedSeq[Any])]()
     var cur = existing
@@ -1377,14 +1440,6 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // SQLite allocates 1,2 for the two survivors of a filtered 4-row
     // insert, no gaps)
     var nextAi = aiBase.getOrElse(0L)
-
-    // vectorized fast path: the audit-log trigger pattern evaluates in
-    // one Spark pass instead of a per-row statement loop (see
-    // tryVectorizedInsertFiring); falls through to the general loop
-    // when any trigger doesn't fit the shape
-    if (mode == "PLAIN" && !perRow && updTrigs.isEmpty &&
-        tryVectorizedInsertFiring(table, meta, existing, rows, insTrigs, aiIdx, nextAi))
-      return
 
     rows.foreach { row0 =>
       var row = row0
@@ -1510,6 +1565,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val fields = meta.schema.fields
     val nF = fields.length
     val rid = "__trg_rid"
+    if (vecFireUpdateDelete(table, meta, df, trigs,
+        coalesce(pred, lit(false)),
+        newCols = Some(f => assignments.getOrElse(f, col(f))))) return
     val ridSchema = org.apache.spark.sql.types.StructType(
       fields :+ org.apache.spark.sql.types.StructField(
         rid, org.apache.spark.sql.types.LongType, nullable = false))
@@ -1532,6 +1590,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val fields = meta.schema.fields
     val nF = fields.length
     val rid = "__trg_rid"
+    if (vecFireUpdateDelete(table, meta, df, trigs, delPred, newCols = None)) return
     val ridSchema = org.apache.spark.sql.types.StructType(
       fields :+ org.apache.spark.sql.types.StructField(
         rid, org.apache.spark.sql.types.LongType, nullable = false))
@@ -1550,50 +1609,6 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       ridSchema: org.apache.spark.sql.types.StructType): Unit = {
     val fields = meta.schema.fields
     val perRow = touchesTarget(trigs, table)
-    // vectorized fast path (see tryVectorizedInsertFiring docs): no
-    // id-allocation phases here — UPDATE's NEW images are fixed and
-    // DELETE has none, so one evaluation always suffices
-    if (!perRow && changes.nonEmpty) {
-      val ordered = trigs.filter(_.timing == "BEFORE") ++
-        trigs.filter(_.timing == "AFTER")
-      val hasNew = changes.head._3.isDefined
-      val evalSchema = org.apache.spark.sql.types.StructType(
-        fields.map(f => org.apache.spark.sql.types.StructField(
-          "__old_" + f.name, f.dataType, nullable = true)) ++
-          (if (hasNew) fields.map(f => org.apache.spark.sql.types.StructField(
-            "__new_" + f.name, f.dataType, nullable = true)) else Array.empty[org.apache.spark.sql.types.StructField]))
-      def resolve(tg: SqliteDdl.TriggerDef, kw: String, c: String): String = {
-        val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
-        if (i < 0) throw new IllegalArgumentException(s"no such column: $kw.$c")
-        kw match {
-          case "old" => "`__old_" + fields(i).name + "`"
-          case "new" if hasNew => "`__new_" + fields(i).name + "`"
-          case other => throw new IllegalArgumentException(s"no such column: $other.$c")
-        }
-      }
-      vecCompile(ordered, resolve) match {
-        case Some((plans, cols)) =>
-          val imgs = changes.map { case (_, o, nOpt) =>
-            if (hasNew) o ++ nOpt.get else o }
-          val evalRows = vecEval(evalSchema, imgs, cols)
-          val ignored = vecAssemble(plans, evalRows, changes.length)
-          val applied2 = changes.zipWithIndex.collect {
-            case ((ridV, _, nv), i) if !ignored(i) => (ridV, nv) }
-          val out =
-            if (applied2.isEmpty) tagged.drop(rid)
-            else {
-              val replacements = applied2.collect {
-                case (k, Some(v)) => (v :+ k): IndexedSeq[Any] }
-              var base = tagged.where(!col(rid).isin(applied2.map(_._1): _*))
-              if (replacements.nonEmpty)
-                base = base.unionByName(localDf(ridSchema, replacements))
-              base.drop(rid)
-            }
-          stage(table, meta, out)
-          return
-        case None => ()
-      }
-    }
     var cur = tagged
     var lastPublished: DataFrame = null
     def fire(t: SqliteDdl.TriggerDef, resolve: (String, String) => String): Boolean = {

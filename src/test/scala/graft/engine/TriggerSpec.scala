@@ -431,22 +431,36 @@ class TriggerSpec extends SparkSpecBase {
     same(idG, dbG, "SELECT x, y FROM c ORDER BY x;")
   }
 
-  test("the per-statement row cap refuses bulk firing loudly") {
+  test("the general tier's row cap refuses bulk firing loudly; the vectorized tier has none") {
     val schema = "CREATE TABLE big (x INTEGER);\nCREATE TABLE log2 (msg TEXT);"
     val id = seg(schema)
     // 32 seed rows doubled 5× = 1024 rows, built set-based (no triggers
     // exist yet, so the bulk inserts stay on the fast path)
+    val build = "INSERT INTO big VALUES " +
+      (1 to 32).map(i => s"($i)").mkString(", ") + ";" +
+      (1 to 5).map(k =>
+        s"INSERT INTO big SELECT x + ${k * 100000} FROM big;").mkString
+    engine.write(id, build)
+    // an INSERT…SELECT body is row-local DML the vectorized tier
+    // doesn't compile — the general row-at-a-time loop must refuse
     engine.write(id,
-      "INSERT INTO big VALUES " + (1 to 32).map(i => s"($i)").mkString(", ") + ";" +
-        (1 to 5).map(k =>
-          s"INSERT INTO big SELECT x + ${k * 100000} FROM big;").mkString)
-    engine.write(id,
-      "CREATE TRIGGER tb AFTER DELETE ON big BEGIN INSERT INTO log2 VALUES ('d'); END;")
+      "CREATE TRIGGER tb AFTER DELETE ON big BEGIN INSERT INTO log2 SELECT 'd'; END;")
     val e = intercept[UnsupportedOperationException](
       engine.write(id, "DELETE FROM big;")) // 1024 rows > the 1000-row cap
     assert(e.getMessage.contains("row-at-a-time"))
     // nothing committed: the table still holds all 1024 rows
     assert(engine.read(id, "SELECT count(*) AS n FROM big;")
       .collect()(0).getLong(0) == 1024L)
+    // the same firing in vectorizable shape runs uncapped — and matches
+    // real sqlite3 over all 1024 firings
+    val db = cliDb(schema)
+    assert(SqliteCli.run(db.toString, build) == 0)
+    val vec = "CREATE TRIGGER tv AFTER DELETE ON big " +
+      "BEGIN INSERT INTO log2 VALUES ('d ' || OLD.x); END;" +
+      "DELETE FROM big WHERE x % 2 = 0;"
+    engine.write(id, "DROP TRIGGER tb;" + vec)
+    assert(SqliteCli.run(db.toString, s".bail on\nBEGIN;\n$vec\nCOMMIT;\n") == 0)
+    same(id, db, "SELECT count(*) AS n FROM big;")
+    same(id, db, "SELECT msg FROM log2 ORDER BY msg;")
   }
 }
