@@ -815,13 +815,41 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     found
   }
 
-  private val updateHeadRe = "(?is)^\\s*UPDATE\\s+(\\S+)\\s+SET\\s+(.*)$".r
+  /** Index of the FIRST top-level occurrence of keyword `kw` (not inside
+    * quotes or parens, whitespace-delimited); -1 if absent. */
+  private def firstTopLevelKw(s: String, kw: String): Int = {
+    var depth = 0; var quote: Char = 0; var i = 0
+    val n = kw.length
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && (c == kw.charAt(0) || c.toUpper == kw.charAt(0).toUpper) &&
+            i + n <= s.length && s.substring(i, i + n).equalsIgnoreCase(kw) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + n == s.length || s.charAt(i + n).isWhitespace || s.charAt(i + n) == '(') =>
+          return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val updateHeadRe =
+    "(?is)^\\s*UPDATE\\s+(\\S+)(?:\\s+AS\\s+(\\S+))?\\s+SET\\s+(.*)$".r
   private def update(stmt: String): Unit = {
     val m = updateHeadRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse UPDATE statement: $stmt"))
     val table = SqlScript.unquoteIdent(m.group(1))
+    val alias = Option(m.group(2)).map(SqlScript.unquoteIdent)
     val (meta, df) = load(table)
-    val body = m.group(2)
+    val body = m.group(3)
+    val fromAt = firstTopLevelKw(body, "FROM")
+    if (fromAt >= 0) { updateFrom(table, alias, meta, df, body, fromAt); return }
     val whereAt = topLevelWhere(body)
     val (setPart, predPart) =
       if (whereAt < 0) (body, None)
@@ -849,6 +877,94 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       assignments.get(f.name)
         .map(v => when(pred, v).otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
+    }.toSeq: _*)
+    stage(table, meta, out)
+  }
+
+  /** SQLite 3.33's `UPDATE target SET … FROM from-list WHERE join-pred`
+    * (lang_update.html §2, modeled on the Postgres form): the target is
+    * joined against the FROM relations; every target row with at least
+    * one join match is updated ONCE, taking assignment values from one
+    * matching row (SQLite leaves which unspecified when several match;
+    * here: first by join order, deterministically). Target rows with no
+    * match are untouched. SET expressions and the WHERE see the
+    * pre-statement target row plus the FROM columns.
+    *
+    * Shape at scale: one dialect-SQL join (Catalyst plans it — broadcast
+    * for small FROM sides), a per-rowid first-match window, and a rid
+    * left-join back onto the target; nothing collects except the
+    * row-at-a-time trigger path (cap-bounded, as all trigger firing). */
+  private def updateFrom(table: String, alias: Option[String], meta: TableMeta,
+      df: DataFrame, body: String, fromAt: Int): Unit = {
+    val setPart = body.substring(0, fromAt)
+    val rest = body.substring(fromAt + 4)
+    val whereAt = topLevelWhere(rest)
+    val (fromText, predText) =
+      if (whereAt < 0) (rest.trim.stripSuffix(";").trim, None)
+      else (rest.substring(0, whereAt),
+            Some(rest.substring(whereAt + 5).trim.stripSuffix(";").trim))
+    val assigns: Seq[(StructField, String)] =
+      SqlScript.splitTopLevel(setPart).map { assignment =>
+        val eq = topLevelEq(assignment)
+        val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
+        val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $colName"))
+        field -> assignment.substring(eq + 1).trim
+      }
+    val rid = "__uf_rid"
+    val tName = alias.getOrElse(table)
+    // rid-tagged pre-statement target, pinned so every later evaluation
+    // sees the same row ids
+    val tagged = df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
+    val sel = new StringBuilder("SELECT ")
+    sel ++= s"`$tName`.`$rid` AS `$rid`"
+    assigns.zipWithIndex.foreach { case ((_, rhs), i) =>
+      sel ++= s", ($rhs) AS `__uf_v$i`"
+    }
+    sel ++= s" FROM `$tName`, "
+    sel ++= fromText
+    predText.foreach(p => sel ++= s" WHERE $p")
+    val matches0 = runSelect(sel.toString, overrides = Map(tName -> tagged))
+    val firstMatch = matches0
+      .withColumn("__uf_seq", monotonically_increasing_id())
+      .withColumn("__uf_rn", row_number().over(
+        Window.partitionBy(col(rid)).orderBy(col("__uf_seq"))))
+      .where(col("__uf_rn") === 1)
+      .select((col(rid) +: assigns.zipWithIndex.map { case ((f, _), i) =>
+        col(s"__uf_v$i").cast(f.dataType).as(s"__uf_v$i")
+      }) :+ lit(true).as("__uf_hit"): _*)
+    val trigs = activeTriggers(table, "UPDATE", Some(assigns.map(_._1.name)))
+    if (trigs.nonEmpty) {
+      // per-row firing, as for plain UPDATE with triggers: OLD = the
+      // pre-statement image, NEW = assignments from the matched row
+      val fields = meta.schema.fields
+      val nF = fields.length
+      val ridSchema = org.apache.spark.sql.types.StructType(
+        fields :+ org.apache.spark.sql.types.StructField(
+          rid, org.apache.spark.sql.types.LongType, nullable = false))
+      val hit = tagged.join(firstMatch.drop("__uf_hit"), Seq(rid), "inner")
+      val imgSel = (fields.map(f => col(f.name).as(s"__o_${f.name}")) ++
+        fields.map { f =>
+          assigns.indexWhere(_._1.name == f.name) match {
+            case -1 => col(f.name).as(s"__n_${f.name}")
+            case i => col(s"__uf_v$i").as(s"__n_${f.name}")
+          }
+        }) :+ col(rid)
+      val rows = collectCapped(hit.select(imgSel.toSeq: _*), "UPDATE")
+      rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
+        val oldV = (0 until nF).map(r.get(_)).toIndexedSeq
+        val newV = (nF until 2 * nF).map(r.get(_)).toIndexedSeq
+        (r.getLong(2 * nF), oldV, Some(newV))
+      }, ridSchema)
+      return
+    }
+    val joined = tagged.join(firstMatch, Seq(rid), "left")
+    val out = joined.select(meta.schema.fields.map { f =>
+      assigns.indexWhere(_._1.name == f.name) match {
+        case -1 => col(f.name)
+        case i => when(coalesce(col("__uf_hit"), lit(false)), col(s"__uf_v$i"))
+          .otherwise(col(f.name)).as(f.name)
+      }
     }.toSeq: _*)
     stage(table, meta, out)
   }
@@ -1695,7 +1811,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * DataFrames belong to it), guarded by a global mutex; `spark.sql`
     * analyzes (and therefore resolves the views) eagerly, so the views
     * can be dropped again before the mutex is released. */
-  private def runSelect(select: String): DataFrame = WriteTxn.selectMutex.synchronized {
+  private def runSelect(select: String,
+      overrides: Map[String, DataFrame] = Map.empty): DataFrame =
+    WriteTxn.selectMutex.synchronized {
     val names = tableNames
     ensureViews()
     val registeredViews = mutable.ArrayBuffer[String]()
@@ -1714,8 +1832,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           registeredViews += v.name
         } catch { case scala.util.control.NonFatal(_) => () }
       }
+      // statement-scoped relations (UPDATE…FROM's rid-tagged target,
+      // RETURNING's affected-row image) shadow same-named tables/views
+      overrides.foreach { case (n, df) => df.createOrReplaceTempView(n) }
       SqliteDialect.sql(spark, select)
     } finally {
+      overrides.keys.foreach(n => spark.catalog.dropTempView(n))
       registeredViews.foreach(spark.catalog.dropTempView(_))
       names.foreach(t => spark.catalog.dropTempView(t))
     }
