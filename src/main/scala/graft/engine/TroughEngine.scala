@@ -363,6 +363,37 @@ class TroughEngine(
     "OK\n"
   }
 
+  /** [[write]] variant that CAPTURES each statement's `RETURNING` rows
+    * (SQLite 3.35) in script order instead of discarding them — the
+    * embedded-API analog of driving sqlite3 statement-by-statement.
+    * The wire path stays on [[write]], which discards RETURNING output
+    * exactly as the reference's `executescript` call does
+    * (trough/wsgi/write.py:40). Same locks, same one-transaction
+    * atomicity. */
+  def writeReturning(segmentId: String, script: String)
+      : Seq[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])] = {
+    if (script == null || script.trim.isEmpty)
+      throw new IllegalArgumentException("No query provided.")
+    val lock = writeLocks.get(segmentId)
+    if (lock == null || lock != nodeName)
+      throw new IllegalStateException(
+        s"This node (settings['HOSTNAME']='$nodeName') cannot write to segment " +
+        s"'$segmentId'. There is no write lock set, or the write lock authorizes " +
+        s"another node. Write lock: ${if (lock == null) "None" else s"'$lock'"}")
+    if (store.isCold(segmentId))
+      throw new IllegalStateException(s"segment $segmentId is in cold storage (read-only)")
+    val mutex = scriptLocks.computeIfAbsent(segmentId, _ => new Object)
+    mutex.synchronized {
+      val txn = new WriteTxn(this, segmentId)
+      val out = SqlScript.split(script).flatMap { stmt =>
+        txn.execute(stmt)
+        txn.takeReturning()
+      }
+      txn.commit()
+      out
+    }
+  }
+
   /** Flush a segment to the durable root (reference promotion,
     * sync.py:1112-1188). Returns the remote path, as the reference's
     * promote API does. */

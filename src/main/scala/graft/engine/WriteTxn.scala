@@ -134,6 +134,77 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     dirty += table
   }
 
+  // ----------------------------------------------------------- RETURNING
+
+  /** RETURNING output of the most recent INSERT/UPDATE/DELETE (SQLite
+    * 3.35, lang_returning.html), evaluated AT STATEMENT TIME — later
+    * statements in the script can't retroactively change it, matching
+    * SQLite's during-statement computation. The reference's wire path
+    * discards these rows exactly as sqlite3's executescript does
+    * (write.py:40); they exist for the embedded surface and specs. */
+  private var returningBuf: Option[(org.apache.spark.sql.types.StructType,
+    Seq[org.apache.spark.sql.Row])] = None
+  def lastReturning: Option[(org.apache.spark.sql.types.StructType,
+    Seq[org.apache.spark.sql.Row])] = returningBuf
+
+  /** Read-and-clear, so a caller iterating a script attributes rows to
+    * the statement that produced them (a following non-DML statement
+    * must not re-report the previous DML's output). */
+  def takeReturning(): Option[(org.apache.spark.sql.types.StructType,
+    Seq[org.apache.spark.sql.Row])] = {
+    val r = returningBuf; returningBuf = None; r
+  }
+
+  /** RETURNING rows buffer to the driver by definition; bounded so a
+    * bulk statement can't silently become a driver-memory problem. */
+  private val MaxReturningRows = 100000
+
+  /** Split a trailing top-level `RETURNING <exprs>` off a DML statement.
+    * Known parse limitation (shared with the write dialect generally): a
+    * column literally named `returning` used UNQUOTED at the top level
+    * of the statement will be taken for the clause. */
+  private def splitReturning(stmt: String): (String, Option[String]) = {
+    val at = firstTopLevelKw(stmt, "RETURNING")
+    if (at < 0) (stmt, None)
+    else (stmt.substring(0, at),
+      Some(stmt.substring(at + 9).trim.stripSuffix(";").trim))
+  }
+
+  /** Evaluate RETURNING expressions over the statement's affected-row
+    * images. Output naming follows SQLite: `AS alias` if given, the
+    * column name for a bare column, else the expression text. `*`
+    * expands to the table's columns. */
+  private def applyReturning(affected: DataFrame, meta: TableMeta,
+      text: String): Unit = {
+    val items = SqlScript.splitTopLevel(text).map(_.trim).filter(_.nonEmpty)
+    require(items.nonEmpty, s"cannot parse RETURNING clause: $text")
+    val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    val sel = items.flatMap { it =>
+      if (it == "*") meta.schema.fieldNames.toSeq.map(f => s"`$f`")
+      else if (identRe.matches(it) || firstTopLevelKw(it, "AS") >= 0) Seq(it)
+      else Seq(s"($it) AS `${it.replace("`", "")}`")
+    }
+    val view = "__graft_affected"
+    val out = runSelect("SELECT " + sel.mkString(", ") + s" FROM `$view`",
+      overrides = Map(view -> affected))
+    val rows = out.limit(MaxReturningRows + 1).collect().toSeq
+    if (rows.length > MaxReturningRows)
+      throw new UnsupportedOperationException(
+        s"RETURNING would buffer more than $MaxReturningRows rows to the driver")
+    returningBuf = Some((out.schema, rows))
+  }
+
+  /** v1 scope rule: RETURNING composes with every non-trigger path; a
+    * statement that BOTH fires triggers AND returns rows is refused
+    * loudly (the firing loop would need per-row image accounting of
+    * RAISE(IGNORE) abandonment to report truthfully). */
+  private def refuseReturningWithTriggers(retText: Option[String],
+      haveTriggers: Boolean): Unit =
+    if (retText.isDefined && haveTriggers)
+      throw new UnsupportedOperationException(
+        "RETURNING on a statement that fires triggers is not supported; " +
+          "drop the trigger or split the statement")
+
   // ------------------------------------------------------------- dispatch
 
   private val savepointRe = "(?is)^\\s*SAVEPOINT\\s+(.+?)\\s*;?\\s*$".r
@@ -201,9 +272,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+VIEW.*")) dropView(stmt)
       else if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+TRIGGER.*")) dropTrigger(stmt)
       else dropTable(stmt)
-    case "INSERT" | "REPLACE" => insert(stmt)
-    case "UPDATE" => update(stmt)
-    case "DELETE" => delete(stmt)
+    case "INSERT" | "REPLACE" => returningBuf = None; insert(stmt)
+    case "UPDATE" => returningBuf = None; update(stmt)
+    case "DELETE" => returningBuf = None; delete(stmt)
     case "ALTER" => alter(stmt)
     case other =>
       throw new UnsupportedOperationException(s"unsupported write statement: $other")
@@ -537,7 +608,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }
     }
 
-  private def insert(stmt0: String): Unit = {
+  private def insert(stmt00: String): Unit = {
+    val (stmt0, retText) = splitReturning(stmt00)
     val (stmt, upsertClause) = splitOnConflict(stmt0)
     val m = insertRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse INSERT statement: $stmt0"))
@@ -619,24 +691,30 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       !c.trim.toUpperCase.matches("(?s).*DO\\s+NOTHING\\s*;?\\s*$"))
     if (insTrigs.nonEmpty ||
         (upsertDoUpdate && activeTriggers(table, "UPDATE").nonEmpty)) {
+      refuseReturningWithTriggers(retText, haveTriggers = true)
       insertWithTriggers(table, meta, existing, aligned0, conflict,
         upsertClause, insTrigs, aiAssigned, aiBase)
       return
     }
-    val merged = (conflict, upsertClause) match {
+    // merged = the staged table state; affected = the rows RETURNING
+    // reports. OR REPLACE reports EVERY value row (each insert succeeds,
+    // later dup keys replacing earlier — probed); OR IGNORE / DO NOTHING
+    // report only the rows actually kept.
+    val (merged, affected) = (conflict, upsertClause) match {
       case (_, Some(clause)) => applyUpsert(meta, existing, aligned0, clause)
       case (Some("REPLACE"), None) if meta.primaryKey.nonEmpty =>
         val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = true)
-        existing.join(aligned.select(meta.primaryKey.map(col): _*),
-          meta.primaryKey.toSeq, "left_anti").unionByName(aligned)
+        (existing.join(aligned.select(meta.primaryKey.map(col): _*),
+          meta.primaryKey.toSeq, "left_anti").unionByName(aligned), aligned0)
       case (Some("IGNORE"), None) if meta.primaryKey.nonEmpty =>
         val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = false)
-        existing.unionByName(
-          aligned.join(existing.select(meta.primaryKey.map(col): _*),
-            meta.primaryKey.toSeq, "left_anti"))
-      case _ => existing.unionByName(aligned0)
+        val kept = aligned.join(existing.select(meta.primaryKey.map(col): _*),
+          meta.primaryKey.toSeq, "left_anti")
+        (existing.unionByName(kept), kept)
+      case _ => (existing.unionByName(aligned0), aligned0)
     }
     stage(table, meta, merged)
+    retText.foreach(t => applyReturning(affected, meta, t))
   }
 
   /** Intra-statement duplicate keys: SQLite's OR REPLACE keeps the LAST
@@ -692,8 +770,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * refused (SQLite folds them one at a time — a batch engine would
     * silently compute something else for accumulator patterns like
     * `SET n = n + excluded.n`). */
+  /** Returns (new table state, RETURNING-affected rows): DO NOTHING
+    * reports only the rows actually inserted; DO UPDATE reports the
+    * post-update image of guard-passing conflict rows plus the fresh
+    * inserts (SQLite lang_returning.html §2: new values). */
   private def applyUpsert(meta: TableMeta, existing: DataFrame,
-      aligned0: DataFrame, clause: String): DataFrame = {
+      aligned0: DataFrame, clause: String): (DataFrame, DataFrame) = {
     val m = onConflictRe.findFirstMatchIn(clause.trim).getOrElse(
       throw new IllegalArgumentException(s"cannot parse ON CONFLICT clause: $clause"))
     val target = Option(m.group(1)).map(SqlScript.splitTopLevel(_).map(c =>
@@ -703,11 +785,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val keyCols: Seq[String] =
       upsertKeyCols(meta, target, requireMatch = !doNothing)
     if (doNothing) {
-      if (keyCols.isEmpty) existing.unionByName(aligned0) // nothing can conflict
+      if (keyCols.isEmpty) // nothing can conflict
+        (existing.unionByName(aligned0), aligned0)
       else {
         val aligned = dedupByArrival(aligned0, keyCols, keepLast = false)
-        existing.unionByName(
-          aligned.join(existing.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti"))
+        val kept = aligned.join(
+          existing.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
+        (existing.unionByName(kept), kept)
       }
     } else {
       if (keyCols.isEmpty)
@@ -747,9 +831,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           .map(v => when(hit, v).otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
       }.toSeq: _*)
+      val updatedHit = joined.where(hit).select(meta.schema.fields.map { f =>
+        assignments.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+      }.toSeq: _*)
       val inserts = aligned0.join(
         existing.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
-      updatedExisting.unionByName(inserts)
+      (updatedExisting.unionByName(inserts), updatedHit.unionByName(inserts))
     }
   }
 
@@ -841,7 +928,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
   private val updateHeadRe =
     "(?is)^\\s*UPDATE\\s+(\\S+)(?:\\s+AS\\s+(\\S+))?\\s+SET\\s+(.*)$".r
-  private def update(stmt: String): Unit = {
+  private def update(stmt0: String): Unit = {
+    val (stmt, retText) = splitReturning(stmt0)
     val m = updateHeadRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse UPDATE statement: $stmt"))
     val table = SqlScript.unquoteIdent(m.group(1))
@@ -849,7 +937,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val (meta, df) = load(table)
     val body = m.group(3)
     val fromAt = firstTopLevelKw(body, "FROM")
-    if (fromAt >= 0) { updateFrom(table, alias, meta, df, body, fromAt); return }
+    if (fromAt >= 0) { updateFrom(table, alias, meta, df, body, fromAt, retText); return }
     val whereAt = topLevelWhere(body)
     val (setPart, predPart) =
       if (whereAt < 0) (body, None)
@@ -866,6 +954,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }.toMap
     val trigs = activeTriggers(table, "UPDATE", Some(assignments.keys.toSeq))
     if (trigs.nonEmpty) {
+      refuseReturningWithTriggers(retText, haveTriggers = true)
       updateWithTriggers(table, meta, df, assignments, pred, trigs)
       return
     }
@@ -879,6 +968,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         .getOrElse(col(f.name))
     }.toSeq: _*)
     stage(table, meta, out)
+    retText.foreach { t =>
+      // post-update image of the rows the predicate selected
+      val affected = df.where(coalesce(pred, lit(false)))
+        .select(meta.schema.fields.map { f =>
+          assignments.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+        }.toSeq: _*)
+      applyReturning(affected, meta, t)
+    }
   }
 
   /** SQLite 3.33's `UPDATE target SET … FROM from-list WHERE join-pred`
@@ -895,7 +992,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * left-join back onto the target; nothing collects except the
     * row-at-a-time trigger path (cap-bounded, as all trigger firing). */
   private def updateFrom(table: String, alias: Option[String], meta: TableMeta,
-      df: DataFrame, body: String, fromAt: Int): Unit = {
+      df: DataFrame, body: String, fromAt: Int,
+      retText: Option[String] = None): Unit = {
     val setPart = body.substring(0, fromAt)
     val rest = body.substring(fromAt + 4)
     val whereAt = topLevelWhere(rest)
@@ -935,6 +1033,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }) :+ lit(true).as("__uf_hit"): _*)
     val trigs = activeTriggers(table, "UPDATE", Some(assigns.map(_._1.name)))
     if (trigs.nonEmpty) {
+      refuseReturningWithTriggers(retText, haveTriggers = true)
       // per-row firing, as for plain UPDATE with triggers: OLD = the
       // pre-statement image, NEW = assignments from the matched row
       val fields = meta.schema.fields
@@ -950,7 +1049,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             case i => col(s"__uf_v$i").as(s"__n_${f.name}")
           }
         }) :+ col(rid)
+      // fire in SQLite's rowid scan order: the rowid-alias value when
+      // the table has one, else the rid (original row order — parquet
+      // file packing can reorder partitions, so a bare collect is
+      // partition-arbitrary)
+      val aiIdx = meta.autoIncrement
+        .map(ai => fields.indexWhere(_.name.equalsIgnoreCase(ai))).filter(_ >= 0)
       val rows = collectCapped(hit.select(imgSel.toSeq: _*), "UPDATE")
+        .sortBy(r => aiIdx match {
+          case Some(i) if !r.isNullAt(i) => r.getLong(i)
+          case _ => r.getLong(2 * nF)
+        })
       rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
         val oldV = (0 until nF).map(r.get(_)).toIndexedSeq
         val newV = (nF until 2 * nF).map(r.get(_)).toIndexedSeq
@@ -967,6 +1076,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }
     }.toSeq: _*)
     stage(table, meta, out)
+    retText.foreach { t =>
+      val affected = joined.where(coalesce(col("__uf_hit"), lit(false)))
+        .select(meta.schema.fields.map { f =>
+          assigns.indexWhere(_._1.name == f.name) match {
+            case -1 => col(f.name)
+            case i => col(s"__uf_v$i").as(f.name)
+          }
+        }.toSeq: _*)
+      applyReturning(affected, meta, t)
+    }
   }
 
   /** index of the first top-level '=' (not inside quotes/parens, not part
@@ -992,7 +1111,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   }
 
   private val deleteHeadRe = "(?is)^\\s*DELETE\\s+FROM\\s+(\\S+)\\s*(.*)$".r
-  private def delete(stmt: String): Unit = {
+  private def delete(stmt0: String): Unit = {
+    val (stmt, retText) = splitReturning(stmt0)
     val m = deleteHeadRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse DELETE statement: $stmt"))
     val table = SqlScript.unquoteIdent(m.group(1))
@@ -1007,11 +1127,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }
     val trigs = activeTriggers(table, "DELETE")
     if (trigs.nonEmpty) {
+      refuseReturningWithTriggers(retText, haveTriggers = true)
       deleteWithTriggers(table, meta, df, delPred, trigs)
       return
     }
     val out = if (rest.isEmpty) df.limit(0) else df.where(!delPred)
     stage(table, meta, out)
+    // RETURNING on DELETE reports the OLD image of each removed row
+    retText.foreach(t => applyReturning(df.where(delPred), meta, t))
   }
 
 
@@ -1691,8 +1814,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val sel = (fields.map(f => col(f.name).as(s"__o_${f.name}")) ++
       fields.map(f => assignments.getOrElse(f.name, col(f.name)).as(s"__n_${f.name}"))) :+
       col(rid)
+    val aiIdx = meta.autoIncrement
+      .map(ai => fields.indexWhere(_.name.equalsIgnoreCase(ai))).filter(_ >= 0)
     val rows = collectCapped(
       tagged.where(coalesce(pred, lit(false))).select(sel.toSeq: _*), "UPDATE")
+      .sortBy(r => aiIdx match { // SQLite's rowid scan order
+        case Some(i) if !r.isNullAt(i) => r.getLong(i)
+        case _ => r.getLong(2 * nF)
+      })
     rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
       val oldV = (0 until nF).map(r.get(_)).toIndexedSeq
       val newV = (nF until 2 * nF).map(r.get(_)).toIndexedSeq
@@ -1711,7 +1840,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       fields :+ org.apache.spark.sql.types.StructField(
         rid, org.apache.spark.sql.types.LongType, nullable = false))
     val tagged = df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
+    val aiIdx = meta.autoIncrement
+      .map(ai => fields.indexWhere(_.name.equalsIgnoreCase(ai))).filter(_ >= 0)
     val rows = collectCapped(tagged.where(delPred), "DELETE")
+      .sortBy(r => aiIdx match { // SQLite's rowid scan order
+        case Some(i) if !r.isNullAt(i) => r.getLong(i)
+        case _ => r.getLong(nF)
+      })
     rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
       (r.getLong(nF), (0 until nF).map(r.get(_)).toIndexedSeq, None)
     }, ridSchema)
