@@ -50,7 +50,8 @@ object SegmentStore {
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
-      checks: Seq[SqliteDdl.CheckDef] = Nil)
+      checks: Seq[SqliteDdl.CheckDef] = Nil,
+      generated: Seq[SqliteDdl.GeneratedDef] = Nil)
 
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
@@ -73,6 +74,17 @@ class SegmentStore(
   import SegmentStore.TableMeta
 
   private val mapper = new ObjectMapper()
+
+  /** Session with the SQLite function surface registered — generated-
+    * column expressions in ingested DDL may call any of it (iif,
+    * json_*, the || rewrite targets, ...). Lazy: only files that carry
+    * VIRTUAL generated columns pay for it. */
+  private lazy val sqliteExprSession: SparkSession = {
+    val s = spark.newSession()
+    graft.functions.TroughFunctions.register(s)
+    SqliteCompat.register(s)
+    s
+  }
 
   /** Per-segment monitor serializing directory swaps with the read-side
     * crash self-heal: without it the mid-swap state (live absent,
@@ -190,7 +202,8 @@ class SegmentStore(
             createTable(segmentId, td.name,
               TableMeta(td.schema, td.primaryKey, td.autoIncrement,
                 notNull = td.notNull, defaults = td.defaults,
-                uniques = td.uniques, checks = td.checks),
+                uniques = td.uniques, checks = td.checks,
+                generated = td.generated),
               failIfExists = !td.ifNotExists)
           case "" => ()
           case other =>
@@ -369,11 +382,20 @@ class SegmentStore(
       val root = tierRoot(segmentId)
       val names = masters.map { spec =>
         val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement,
-          spec.indexes, spec.notNull, spec.defaults, spec.uniques, spec.checks)
+          spec.indexes, spec.notNull, spec.defaults, spec.uniques, spec.checks,
+          spec.generated)
         SegmentStore.requireNoReservedColumns(meta)
         val rows = new java.util.ArrayList[Row]()
         SqliteIngest.decodedRows(file, spec).foreach(rows.add)
-        val df = spark.createDataFrame(rows, spec.schema)
+        // VIRTUAL generated columns come back null from the records;
+        // re-derive them from the DDL expressions (STORED values are
+        // trusted as read, like SQLite itself)
+        val virtuals = spec.generated.filterNot(_.stored).map(_.name.toLowerCase).toSet
+        val sess = if (virtuals.nonEmpty) sqliteExprSession else spark
+        val df0 = sess.createDataFrame(rows, spec.schema)
+        val df = if (virtuals.isEmpty) df0
+          else GeneratedColumns.recompute(sess, df0, spec.schema,
+            spec.generated, only = virtuals)
         Files.createDirectories(tableRoot(root, spec.name))
         prepareTableData(segmentId, spec.name, df)
         swapPreparedData(segmentId, spec.name, Some(meta))
@@ -470,7 +492,7 @@ class SegmentStore(
     }
     MasterParts(SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
       meta.autoIncrement, meta.notNull, meta.defaults,
-      exportUniques.map(_._1), meta.checks), autoIdxSets, secondary)
+      exportUniques.map(_._1), meta.checks, meta.generated), autoIdxSets, secondary)
   }
 
   /** The segment's `sqlite_master` rows — (type, name, tbl_name,
@@ -525,9 +547,16 @@ class SegmentStore(
           case other => throw new IllegalStateException(
             s"table $t column ${fields(j).name}: unexpected store type $other")
         }
+      // VIRTUAL generated columns occupy NO record slot (probed: the
+      // serial-type header skips them entirely); STORED ones carry the
+      // value. Real SQLite re-derives virtual values from the DDL.
+      val virtualIdx: Set[Int] = meta.generated.filterNot(_.stored)
+        .map(g => fields.indexWhere(_.name.equalsIgnoreCase(g.name)))
+        .filter(_ >= 0).toSet
       def recordValues(r: Row): IndexedSeq[Any] =
         // the rowid alias stores NULL in the record
-        fields.indices.map(j => if (j == rowidIdx) null else cellValue(r, j))
+        fields.indices.filterNot(virtualIdx.contains)
+          .map(j => if (j == rowidIdx) null else cellValue(r, j)).toIndexedSeq
       val parts = masterParts(t, meta)
       val autoIdxSets = parts.autoIdxSets
       val secondary = parts.secondary
@@ -739,9 +768,9 @@ class SegmentStore(
       sc.collectionAccumulator[(String, String)]("graft.bulkIngest.decodeErrors")
     try {
       val part = StructField("segment_id", StringType, nullable = false)
-      val staged: Map[(String, StructType), Path] =
-        okSpecs.groupBy { case (_, sp) => (sp.name, sp.schema) }.toSeq
-          .sortBy(_._1._1).zipWithIndex.map { case (((table, schema), members), gi) =>
+      val staged: Map[(String, StructType, Seq[SqliteDdl.GeneratedDef]), Path] =
+        okSpecs.groupBy { case (_, sp) => (sp.name, sp.schema, sp.generated) }.toSeq
+          .sortBy(_._1._1).zipWithIndex.map { case (((table, schema, gens), members), gi) =>
             val dir = stagingRoot.resolve(s"g$gi")
             val memberList = members.map { case (seg, sp) => (seg, candidates(seg), sp) }
             val rows = sc.parallelize(memberList, slicesFor(memberList.size))
@@ -765,9 +794,13 @@ class SegmentStore(
                     Nil
                 }
               }
-            spark.createDataFrame(rows, StructType(schema.fields :+ part))
-              .write.mode("overwrite").partitionBy("segment_id").parquet(dir.toString)
-            (table, schema) -> dir
+            val virtuals = gens.filterNot(_.stored).map(_.name.toLowerCase).toSet
+            val sess = if (virtuals.nonEmpty) sqliteExprSession else spark
+            val df0 = sess.createDataFrame(rows, StructType(schema.fields :+ part))
+            val df = if (virtuals.isEmpty) df0
+              else GeneratedColumns.recompute(sess, df0, schema, gens, only = virtuals)
+            df.write.mode("overwrite").partitionBy("segment_id").parquet(dir.toString)
+            (table, schema, gens) -> dir
           }.toMap
 
       // ---- commit (driver): per-segment metadata ops, all-or-nothing.
@@ -786,11 +819,13 @@ class SegmentStore(
         val root = tierRoot(seg)
         specs.map { sp =>
           val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement,
-            sp.indexes, sp.notNull, sp.defaults, sp.uniques, sp.checks)
+            sp.indexes, sp.notNull, sp.defaults, sp.uniques, sp.checks,
+            sp.generated)
           Files.createDirectories(tableRoot(root, sp.name))
           val tmp = tmpDir(root, seg, sp.name)
           if (Files.exists(tmp)) deleteRecursively(tmp)
-          val stagedDir = staged((sp.name, sp.schema)).resolve(s"segment_id=$seg")
+          val stagedDir = staged((sp.name, sp.schema, sp.generated))
+            .resolve(s"segment_id=$seg")
           if (Files.isDirectory(stagedDir))
             Files.move(stagedDir, tmp, StandardCopyOption.ATOMIC_MOVE)
           else // zero-row table: partitionBy wrote no partition dir
@@ -947,11 +982,18 @@ class SegmentStore(
         val c = node.get("checks").get(i)
         SqliteDdl.CheckDef(c.get("label").asText(), c.get("expr").asText())
       }
+    val generated =
+      if (!node.has("generated")) Nil
+      else (0 until node.get("generated").size()).map { i =>
+        val g = node.get("generated").get(i)
+        SqliteDdl.GeneratedDef(g.get("name").asText(), g.get("expr").asText(),
+          g.get("stored").asBoolean())
+      }
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
       if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None,
-      indexes, notNull, defaults, uniques, checks)
+      indexes, notNull, defaults, uniques, checks, generated)
   }
 
   /** Record a plain CREATE INDEX in its table's meta. Non-plain shapes
@@ -1039,6 +1081,15 @@ class SegmentStore(
         val o = arr.addObject()
         o.put("label", c.label)
         o.put("expr", c.expr)
+      }
+    }
+    if (meta.generated.nonEmpty) {
+      val arr = root.putArray("generated")
+      meta.generated.foreach { g =>
+        val o = arr.addObject()
+        o.put("name", g.name)
+        o.put("expr", g.expr)
+        o.put("stored", g.stored)
       }
     }
     val p = metaPath(tierRoot(segmentId), segmentId, table)

@@ -29,6 +29,12 @@ object SqliteDdl {
     * own convention: `CHECK constraint failed: a > 0` / `: bpos`). */
   final case class CheckDef(label: String, expr: String)
 
+  /** A generated column (SQLite 3.31, lang_createtable.html#gencol):
+    * `expr` is the raw SQLite expression text; `stored` picks the
+    * STORED flavor (record carries the value) over the default VIRTUAL
+    * (record omits the slot entirely — fileformat2 record layout). */
+  final case class GeneratedDef(name: String, expr: String, stored: Boolean)
+
   final case class TableDef(
       name: String,
       schema: StructType,
@@ -38,7 +44,8 @@ object SqliteDdl {
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
-      checks: Seq[CheckDef] = Nil)
+      checks: Seq[CheckDef] = Nil,
+      generated: Seq[GeneratedDef] = Nil)
 
   /** SQLite type-affinity rules (https://sqlite.org/datatype3.html §3.1),
     * mapped to Spark types. */
@@ -76,6 +83,7 @@ object SqliteDdl {
     var defaults = Map.empty[String, String]
     var uniques = Vector.empty[Seq[String]]
     var checks = Vector.empty[CheckDef]
+    var generated = Vector.empty[GeneratedDef]
 
     /** The parenthesized expression after the first CHECK keyword in
       * `s` (quote/paren aware), as its inner text. */
@@ -140,11 +148,31 @@ object SqliteDdl {
         val colName = SqlScript.unquoteIdent(tokens.head)
         val constraintStart = tokens.indexWhere(t =>
           Set("PRIMARY", "NOT", "NULL", "UNIQUE", "CHECK", "DEFAULT", "COLLATE",
-            "REFERENCES", "AUTOINCREMENT", "GENERATED").contains(t.toUpperCase))
+            "REFERENCES", "AUTOINCREMENT", "GENERATED", "AS").contains(t.toUpperCase))
         val typeTokens =
           if (constraintStart < 0) tokens.drop(1) else tokens.slice(1, constraintStart)
         val declared = typeTokens.mkString(" ")
         val upperDef = defn.toUpperCase
+        generatedClause(defn).foreach { case (gexpr, stored) =>
+          // SQLite's exact prepare-time refusals (probed, 3.51)
+          if (defaultClause(defn).isDefined)
+            throw new IllegalArgumentException(
+              "cannot use DEFAULT on a generated column")
+          if (upperDef.contains("PRIMARY KEY"))
+            throw new IllegalArgumentException(
+              "generated columns cannot be part of the PRIMARY KEY")
+          if (blankLiterals(gexpr).toUpperCase.matches("(?s).*\\bSELECT\\b.*"))
+            throw new IllegalArgumentException(
+              "subqueries prohibited in generated columns")
+          if (declared.isEmpty)
+            // engine deviation (documented): SQLite gives a typeless
+            // generated column BLOB affinity = dynamic storage class;
+            // this engine's columns are concretely typed
+            throw new UnsupportedOperationException(
+              s"generated column $colName needs a declared type " +
+                "(dynamic storage class is not supported)")
+          generated :+= GeneratedDef(colName, gexpr, stored)
+        }
         if (upperDef.contains("PRIMARY KEY")) {
           pk = pk :+ colName
           if (upperDef.contains("AUTOINCREMENT") ||
@@ -181,8 +209,56 @@ object SqliteDdl {
     val dedupedUniques = uniques.filter { u =>
       val k = u.map(_.toLowerCase); seen.add(k)
     }
+    // the table-constraint PK spelling can also name a generated column
+    if (generated.exists(g => pk.exists(_.equalsIgnoreCase(g.name))))
+      throw new IllegalArgumentException(
+        "generated columns cannot be part of the PRIMARY KEY")
     TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists,
-      notNull, defaults, dedupedUniques, checks)
+      notNull, defaults, dedupedUniques, checks, generated)
+  }
+
+  /** The `[GENERATED ALWAYS] AS ( expr ) [STORED|VIRTUAL]` clause of a
+    * column definition, as (expr text, stored?); None when the column
+    * is not generated. Quote- and paren-aware: only a top-level `AS`
+    * immediately followed by `(` counts (`CAST(x AS INT)` inside a
+    * CHECK sits at depth ≥ 1). */
+  private[engine] def generatedClause(defn: String): Option[(String, Boolean)] = {
+    val blanked = blankLiterals(defn)
+    var depth = 0; var i = 0
+    while (i < blanked.length) {
+      val c = blanked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'a' || c == 'A') && i + 2 <= blanked.length - 1 &&
+          blanked.substring(i, i + 2).equalsIgnoreCase("AS") &&
+          (i == 0 || { val p = blanked.charAt(i - 1)
+            !p.isLetterOrDigit && p != '_' }) &&
+          { val nx = blanked.charAt(i + 2); !nx.isLetterOrDigit && nx != '_' }) {
+        var j = i + 2
+        while (j < blanked.length && blanked.charAt(j).isWhitespace) j += 1
+        if (j < blanked.length && blanked.charAt(j) == '(') {
+          // matching close paren in the ORIGINAL text (expr may quote)
+          var d = 0; var k = j; var q: Char = 0
+          while (k < defn.length) {
+            val ch = defn.charAt(k)
+            if (q != 0) { if (ch == q) q = 0 }
+            else if (ch == '\'' || ch == '"' || ch == '`') q = ch
+            else if (ch == '(') d += 1
+            else if (ch == ')') {
+              d -= 1
+              if (d == 0) {
+                val expr = defn.substring(j + 1, k).trim
+                val tail = blankLiterals(defn.substring(k + 1)).toUpperCase
+                return Some((expr, tail.matches("(?s).*\\bSTORED\\b.*")))
+              }
+            }
+            k += 1
+          }
+        }
+      }
+      i += 1
+    }
+    None
   }
 
   /** Whether a column definition carries NOT NULL, scanned with string
@@ -270,7 +346,8 @@ object SqliteDdl {
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
-      checks: Seq[CheckDef] = Nil): String = {
+      checks: Seq[CheckDef] = Nil,
+      generated: Seq[GeneratedDef] = Nil): String = {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
     // A single-column table-constraint PRIMARY KEY over a column typed
     // exactly INTEGER would make real SQLite alias it to the rowid
@@ -299,7 +376,11 @@ object SqliteDdl {
       val dflt = defaults.collectFirst {
         case (c, d) if c.equalsIgnoreCase(f.name) => s" DEFAULT $d"
       }.getOrElse("")
-      s"${q(f.name)} $t$pkInline$nn$dflt"
+      val gen = generated.collectFirst {
+        case g if g.name.equalsIgnoreCase(f.name) =>
+          s" GENERATED ALWAYS AS (${g.expr})" + (if (g.stored) " STORED" else " VIRTUAL")
+      }.getOrElse("")
+      s"${q(f.name)} $t$pkInline$nn$dflt$gen"
     }
     // constraint ORDER matters downstream: real SQLite numbers the
     // implied sqlite_autoindex trees in declaration order, and the

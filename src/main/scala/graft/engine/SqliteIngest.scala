@@ -46,7 +46,15 @@ object SqliteIngest {
       notNull: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
-      checks: Seq[SqliteDdl.CheckDef] = Nil)
+      checks: Seq[SqliteDdl.CheckDef] = Nil,
+      generated: Seq[SqliteDdl.GeneratedDef] = Nil) {
+    /** Declared indices of VIRTUAL generated columns — these occupy NO
+      * slot in the file's records (probed serial-type layout); STORED
+      * ones are ordinary record slots. */
+    lazy val virtualIdx: Set[Int] = generated.filterNot(_.stored)
+      .map(g => schema.fields.indexWhere(_.name.equalsIgnoreCase(g.name)))
+      .filter(_ >= 0).toSet
+  }
 
   /** Plain secondary-index definitions per table, from master rows of
     * type 'index' with non-null sql (autoindexes catalog with null sql
@@ -101,7 +109,7 @@ object SqliteIngest {
     val base = TableSpec(td.name, td.schema, td.primaryKey, autoIncrement,
       m.rootPage, withoutRowid, rowidIdx,
       notNull = td.notNull, defaults = td.defaults, uniques = td.uniques,
-      checks = td.checks)
+      checks = td.checks, generated = td.generated)
     if (!widen) base
     else base.copy(schema = widenedSchema(td.schema, rowidIdx, rawRows(file, base)))
   }
@@ -116,7 +124,10 @@ object SqliteIngest {
     if (spec.withoutRowid) {
       val pkIdx = spec.primaryKey
         .map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))).filter(_ >= 0)
-      val order = pkIdx ++ fields.indices.filterNot(pkIdx.contains)
+      // records: PK columns first, then the remaining NON-VIRTUAL
+      // columns in declared order (virtual columns occupy no slot)
+      val order = (pkIdx ++ fields.indices.filterNot(pkIdx.contains))
+        .filterNot(spec.virtualIdx.contains)
       file.indexRows(spec.rootPage).iterator.map { rec =>
         val out = new Array[Any](fields.length)
         order.zipWithIndex.foreach { case (declIdx, recPos) =>
@@ -124,7 +135,19 @@ object SqliteIngest {
         }
         (0L, out.toIndexedSeq)
       }
-    } else file.rows(spec.rootPage)
+    } else if (spec.virtualIdx.isEmpty) file.rows(spec.rootPage)
+    else {
+      // virtual slots read back as null; the ingest caller re-derives
+      // them from the DDL expressions, as SQLite itself does on read
+      val order = fields.indices.filterNot(spec.virtualIdx.contains)
+      file.rows(spec.rootPage).map { case (rowid, rec) =>
+        val out = new Array[Any](fields.length)
+        order.zipWithIndex.foreach { case (declIdx, recPos) =>
+          out(declIdx) = if (recPos < rec.length) rec(recPos) else null
+        }
+        (rowid, out.toIndexedSeq)
+      }
+    }
   }
 
   /** Decoded, coerced rows matching `spec.schema` — the rowid alias

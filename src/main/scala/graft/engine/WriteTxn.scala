@@ -130,7 +130,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // funnels through here, and commit-phase failures are the wrong
     // place to discover a schema problem
     SegmentStore.requireNoReservedColumns(meta)
-    working(table) = (meta, df)
+    // generated columns re-derive from their expressions on every
+    // mutation (SQLite recomputes on INSERT and on UPDATE of any
+    // referenced base column — probed); recomputing unconditionally at
+    // the staging funnel is idempotent and covers every DML path
+    val df2 =
+      if (meta.generated.isEmpty) df
+      else GeneratedColumns.recompute(spark, df, meta.schema, meta.generated)
+    working(table) = (meta, df2)
     dirty += table
   }
 
@@ -170,12 +177,26 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       Some(stmt.substring(at + 9).trim.stripSuffix(";").trim))
   }
 
+  /** SQLite's prepare-time refusal for DML naming a generated column
+    * (probed: `cannot INSERT into generated column "s"` / `cannot
+    * UPDATE generated column "s"`). */
+  private def requireNotGenerated(meta: TableMeta, colName: String,
+      verb: String): Unit =
+    if (meta.generated.exists(_.name.equalsIgnoreCase(colName)))
+      throw new IllegalArgumentException(
+        s"""cannot $verb generated column "$colName"""")
+
   /** Evaluate RETURNING expressions over the statement's affected-row
     * images. Output naming follows SQLite: `AS alias` if given, the
     * column name for a bare column, else the expression text. `*`
     * expands to the table's columns. */
-  private def applyReturning(affected: DataFrame, meta: TableMeta,
+  private def applyReturning(affected0: DataFrame, meta: TableMeta,
       text: String): Unit = {
+    // generated columns re-derive on the affected image too (an UPDATE
+    // of a base column must report the NEW generated value)
+    val affected =
+      if (meta.generated.isEmpty) affected0
+      else GeneratedColumns.recompute(spark, affected0, meta.schema, meta.generated)
     val items = SqlScript.splitTopLevel(text).map(_.trim).filter(_.nonEmpty)
     require(items.nonEmpty, s"cannot parse RETURNING clause: $text")
     val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
@@ -395,7 +416,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     created += td.name
     stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement,
       notNull = td.notNull, defaults = td.defaults, uniques = td.uniques,
-      checks = td.checks), empty)
+      checks = td.checks, generated = td.generated), empty)
   }
 
   /** Plain CREATE INDEX is recorded in the table's meta inside the
@@ -557,7 +578,20 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val (meta, df) = load(name)
       val parts = colDef.trim.split("\\s+", 2)
       val colName = SqlScript.unquoteIdent(parts(0))
-      val tail = if (parts.length > 1) parts(1) else ""
+      val tail0 = if (parts.length > 1) parts(1) else ""
+      // a generated clause: VIRTUAL is addable (backfill = evaluation,
+      // which stage() performs); STORED is SQLite's own refusal, and
+      // the clause text must not leak into affinity detection
+      val genAdd = SqliteDdl.generatedClause(colDef)
+      genAdd.foreach { case (_, stored) =>
+        if (stored) throw new IllegalArgumentException("cannot add a STORED column")
+        if (SqliteDdl.defaultClause(colDef).isDefined)
+          throw new IllegalArgumentException(
+            "cannot use DEFAULT on a generated column")
+      }
+      val tail = if (genAdd.isEmpty) tail0
+        else "(?is)\\b(?:GENERATED\\s+ALWAYS\\s+)?AS\\s*\\(.*$".r
+          .replaceAllIn(tail0, "")
       val colType = SqliteDdl.affinity(tail)
       // SQLite backfills existing rows with the declared DEFAULT (or
       // NULL when absent) — dropping it would silently NULL-fill rows
@@ -584,7 +618,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // the recorded indexes (and now the constraint/default records)
       stage(name, meta.copy(schema = newSchema,
         notNull = if (nn) meta.notNull :+ colName else meta.notNull,
-        defaults = meta.defaults ++ dflt.map(colName -> _)),
+        defaults = meta.defaults ++ dflt.map(colName -> _),
+        generated = meta.generated ++ genAdd.map {
+          case (expr, stored) => SqliteDdl.GeneratedDef(colName, expr, stored) }),
         df.withColumn(colName, backfill))
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER statement: $stmt")
   }
@@ -619,6 +655,15 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     var colList = Option(m.group(4)).map(
       s => SqlScript.splitTopLevel(s).map(SqlScript.unquoteIdent))
     val (meta, existing) = load(table)
+    // SQLite's prepare-time refusal (probed); a bare VALUES list takes
+    // values for the BASE columns only ("table t has 3 columns")
+    colList.foreach(_.foreach { c =>
+      if (meta.generated.exists(_.name.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"""cannot INSERT into generated column "$c"""")
+    })
+    val baseCols: Seq[String] = meta.schema.fieldNames.toSeq
+      .filterNot(c => meta.generated.exists(_.name.equalsIgnoreCase(c)))
 
     val body = m.group(5)
     val incoming: DataFrame =
@@ -628,7 +673,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         // omitted-column completion below)
         require(colList.isEmpty,
           s"cannot combine a column list with DEFAULT VALUES: $stmt0")
-        val cols = meta.schema.fieldNames.toSeq
+        val cols = baseCols
           .filterNot(f => meta.autoIncrement.exists(_.equalsIgnoreCase(f)))
         colList = Some(cols)
         if (cols.isEmpty) // rowid-alias-only table: a bare one-row frame
@@ -640,7 +685,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         // (incl. the client's datetime('<iso>') literals, which are UDF
         // calls and therefore not allowed in Spark inline VALUES tables).
         val tuples = SqlScript.splitTopLevel(m.group(6))
-        val targetCols = colList.getOrElse(meta.schema.fieldNames.toSeq)
+        val targetCols = colList.getOrElse(baseCols)
         val selects = tuples.map { t =>
           val inner = t.trim.stripPrefix("(").stripSuffix(")")
           val exprs = SqlScript.splitTopLevel(inner)
@@ -652,7 +697,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         runSelect(selects.mkString(" UNION ALL "))
       } else {
         val df = runSelect(body)
-        val targetCols = colList.getOrElse(meta.schema.fieldNames.toSeq)
+        val targetCols = colList.getOrElse(baseCols)
         require(df.columns.length == targetCols.length,
           s"INSERT arity mismatch: ${df.columns.length} vs ${targetCols.length}")
         df.toDF(targetCols: _*)
@@ -678,6 +723,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       full = full.withColumn(ai,
         lit(aiBase.get) + row_number().over(Window.orderBy(monotonically_increasing_id())))
     }
+    // generated values derive AFTER completion and rowid assignment so
+    // their expressions can reference defaults and the rowid alias;
+    // stage() re-derives too, but trigger images and RETURNING read
+    // the pre-stage frame
+    if (meta.generated.nonEmpty)
+      full = GeneratedColumns.recompute(spark, full, meta.schema, meta.generated)
     val aligned0 = full.select(meta.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     if (conflict.isDefined && upsertClause.isDefined)
@@ -814,6 +865,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           val eq = topLevelEq(assignment)
           val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
           val rhs = dexpr(rewriteExcluded(assignment.substring(eq + 1).trim))
+          requireNotGenerated(meta, colName, "UPDATE")
           val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
             throw new IllegalArgumentException(s"no such column: $colName"))
           field.name -> rhs.cast(field.dataType)
@@ -948,6 +1000,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         val eq = topLevelEq(assignment)
         val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
         val valueExpr = dexpr(assignment.substring(eq + 1).trim)
+        requireNotGenerated(meta, colName, "UPDATE")
         val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
         field.name -> valueExpr.cast(field.dataType)
@@ -1005,6 +1058,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       SqlScript.splitTopLevel(setPart).map { assignment =>
         val eq = topLevelEq(assignment)
         val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
+        requireNotGenerated(meta, colName, "UPDATE")
         val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
         field -> assignment.substring(eq + 1).trim
