@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward fuzzer knobs into the forked test JVM
+  // (GRAFT_FUZZ_COUNT / GRAFT_FUZZ_SEED env vars → -Dgraft.fuzz.*)
+  sys.env.get("GRAFT_FUZZ_COUNT").map(c => s"-Dgraft.fuzz.count=$c").toSeq ++
+  sys.env.get("GRAFT_FUZZ_SEED").map(s => s"-Dgraft.fuzz.seed=$s").toSeq

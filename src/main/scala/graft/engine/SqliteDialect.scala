@@ -4,10 +4,10 @@ import java.util.Locale
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedHaving}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Between, BinaryComparison, CaseWhen, Cast, Divide, EqualTo, Exists, Expression, GreaterThanOrEqual, If, In, InSubquery, IsNotNull, IsNull, LessThan, Like, ListQuery, Literal, NamedExpression, Not, Or, RLike, Remainder, SortOrder, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Concat, And, Between, BinaryComparison, CaseWhen, Cast, Divide, EqualTo, Exists, Expression, GreaterThanOrEqual, If, In, InSubquery, IsNotNull, IsNull, LessThan, Like, ListQuery, Literal, Multiply, NamedExpression, Not, Or, RLike, Remainder, SortOrder, SubqueryExpression, Subtract, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.graft.SqlInternals
-import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQLite *operator* dialect, applied as a parse-tree rewrite.
@@ -353,11 +353,59 @@ object SqliteDialect {
     // SQLite %: both operands cast to INTEGER, NULL on mod-by-zero —
     // Spark's Remainder keeps fractional operands and (ANSI) throws
     case Remainder(l, r, _) => SqliteMod(l, r)
+    // SQLite: NULL propagates through +, -, * carrying NO storage
+    // class; Spark's coercion types an all-NullType arithmetic DOUBLE
+    // and widens enclosing integral branches (iif/coalesce/nullif) to
+    // REAL (fuzz-caught: iif(c, abs(310), NULL+NULL) answered 310.0).
+    // The value is NULL whatever the other operand evaluates to, so
+    // fold the whole node to an UNTYPED null and let the enclosing
+    // expression keep its own type. Matches whole null-arithmetic
+    // SUBTREES because this rule runs top-down.
+    // `||` operands render numbers SQLite-style (2.5e+15, not Java's
+    // 2.5E15); strings/blobs pass through so blob||blob stays binary
+    case c: Concat if !c.children.exists(_.isInstanceOf[SqliteTextValue]) =>
+      Concat(c.children.map(SqliteTextValue))
+    case a: Add if nullArith(a) => Literal(null, NullType)
+    case a: Subtract if nullArith(a) => Literal(null, NullType)
+    case a: Multiply if nullArith(a) => Literal(null, NullType)
+    case a: UnaryMinus if nullArith(a) => Literal(null, NullType)
+    // SQLite integers are int64 (datatype3.html §2): an all-int-literal
+    // arithmetic must not run in Spark's 32-bit lane, where ANSI mode
+    // throws on overflow at 2^31 (fuzz-caught: (-423)*691*(-96)*(-84)).
+    // Widening the literals makes the whole chain resolve as BIGINT.
+    case Add(l, r, f) if isIntLit(l) || isIntLit(r) =>
+      Add(asLongLit(l), asLongLit(r), f)
+    case Subtract(l, r, f) if isIntLit(l) || isIntLit(r) =>
+      Subtract(asLongLit(l), asLongLit(r), f)
+    case Multiply(l, r, f) if isIntLit(l) || isIntLit(r) =>
+      Multiply(asLongLit(l), asLongLit(r), f)
+    case UnaryMinus(l, f) if isIntLit(l) => UnaryMinus(asLongLit(l), f)
     // castRule and BoolNormalizer each recurse into subquery plans
     // themselves — re-running the full rewriteParsed here would
     // re-normalize (double-wrapping value-position predicates)
     case s: SubqueryExpression =>
       s.withNewPlan(s.plan transformAllExpressions rewriteRule(sqlText))
+  }
+
+  private def isIntLit(e: Expression): Boolean = e match {
+    case Literal(_, IntegerType) => true
+    case _ => false
+  }
+  private def asLongLit(e: Expression): Expression = e match {
+    case Literal(v, IntegerType) => Literal(v.asInstanceOf[Int].toLong, LongType)
+    case other => other
+  }
+
+  /** Whether `e` is a +,-,* / unary-minus tree with a NULL literal
+    * anywhere in it — i.e. an expression SQLite evaluates to NULL with
+    * no storage class. */
+  private def nullArith(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case Add(l, r, _) => nullArith(l) || nullArith(r)
+    case Subtract(l, r, _) => nullArith(l) || nullArith(r)
+    case Multiply(l, r, _) => nullArith(l) || nullArith(r)
+    case UnaryMinus(c, _) => nullArith(c)
+    case _ => false
   }
 
   /** Pushable companion predicate for the nocase LIKE rewrite: rows

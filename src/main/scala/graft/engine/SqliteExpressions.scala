@@ -313,6 +313,74 @@ case class SqliteTypeOf(child: Expression)
     copy(child = newChild)
 }
 
+/** SQLite's REAL→text rendering, shared by quote(), CAST … AS TEXT and
+  * the `||` operands: shortest round-trip digits (SQLite 3.43+ renders
+  * like Ryu, which Java's Double.toString also produces) presented
+  * C-style — fixed notation for decimal exponents in [-4, 15),
+  * otherwise `d.ddde±XX` with a signed ≥2-digit exponent and a mantissa
+  * that always shows a decimal point; zero renders `0.0` (also for
+  * -0.0, probed), infinities as SQLite's `9.0e+999` sentinel. All
+  * probed against the sandbox CLI (fuzz-caught: 2.53e15 rendered
+  * `2.530235925353035E15` Java-style instead of `…e+15`). */
+object SqliteReal {
+  def text(d: Double): String = {
+    if (d.isNaN) return "NULL" // unreachable from SQLite-sourced values
+    if (d.isInfinite) return if (d > 0) "9.0e+999" else "-9.0e+999"
+    if (d == 0.0) return "0.0"
+    val neg = d < 0
+    val bd = new java.math.BigDecimal(
+      java.lang.Double.toString(math.abs(d))).stripTrailingZeros()
+    val digits = bd.unscaledValue().abs().toString
+    val exp = bd.precision() - 1 - bd.scale()
+    val sign = if (neg) "-" else ""
+    if (exp < -4 || exp >= 15) {
+      val m =
+        if (digits.length == 1) digits + ".0"
+        else digits.substring(0, 1) + "." + digits.substring(1)
+      val es = (if (exp < 0) "-" else "+") + f"${math.abs(exp)}%02d"
+      s"$sign${m}e$es"
+    } else if (exp >= 0) {
+      if (digits.length > exp + 1)
+        s"$sign${digits.substring(0, exp + 1)}.${digits.substring(exp + 1)}"
+      else
+        sign + digits + "0" * (exp + 1 - digits.length) + ".0"
+    } else {
+      s"${sign}0." + "0" * (-exp - 1) + digits
+    }
+  }
+}
+
+/** The SQLite text rendering of a `||` operand: numbers render via
+  * [[SqliteReal]]/toString, strings and blobs pass through unchanged
+  * (blob || blob stays a blob concat). Inserted around Concat children
+  * by the dialect rewrite — Spark's implicit Cast(double → string)
+  * would render Java-style (`2.5E15` for SQLite's `2.5e+15`). */
+case class SqliteTextValue(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType match {
+    case BinaryType => BinaryType
+    case _ => StringType
+  }
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "sqlite_text_value"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    v match {
+      case null => null
+      case u: UTF8String => u
+      case b: Array[Byte] => b
+      case d: java.lang.Double => UTF8String.fromString(SqliteReal.text(d))
+      case f: java.lang.Float => UTF8String.fromString(SqliteReal.text(f.doubleValue()))
+      case d: org.apache.spark.sql.types.Decimal =>
+        UTF8String.fromString(SqliteReal.text(d.toDouble))
+      case b: java.lang.Boolean => UTF8String.fromString(if (b) "1" else "0")
+      case other => UTF8String.fromString(other.toString)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): SqliteTextValue =
+    copy(child = newChild)
+}
+
 /** SQLite `quote(x)`: render a value as an SQL literal — strings get
   * single quotes with `''` doubling, blobs render `X'HEX'`, NULL renders
   * the string 'NULL', numbers render bare. */
@@ -330,6 +398,8 @@ case class SqliteQuote(child: Expression)
       case b: Array[Byte] =>
         b.map(x => f"${x & 0xff}%02X").mkString("X'", "", "'")
       case b: Boolean => if (b) "1" else "0"
+      case d: java.lang.Double => SqliteReal.text(d)
+      case f: java.lang.Float => SqliteReal.text(f.doubleValue())
       case other => other.toString
     }
     UTF8String.fromString(s)
@@ -837,7 +907,9 @@ case class SqliteCast(child: Expression, affinity: String)
     case u: UTF8String => u.toString
     case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
     case b: Boolean => if (b) "1" else "0"
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble.toString
+    case d: java.lang.Double => SqliteReal.text(d)
+    case f: java.lang.Float => SqliteReal.text(f.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => SqliteReal.text(d.toDouble)
     case other => other.toString
   }
 
@@ -926,7 +998,11 @@ private[engine] object SqliteJsonOps {
   import com.fasterxml.jackson.databind.JsonNode
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
+  // FAIL_ON_TRAILING_TOKENS: SQLite's json parser consumes the WHOLE
+  // text — `json_valid('0 a%1')` is 0 (fuzz-caught; Jackson's default
+  // stops at the first complete value and ignores the garbage tail)
   val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    .enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
 
   /** Encode an evaluated SQL value as a JSON node — numbers stay
     * numbers, strings become JSON strings (json1's rule: pass text
