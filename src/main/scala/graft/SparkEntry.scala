@@ -1019,6 +1019,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Near-dup CLUSTER ASSIGNMENT: the step after pair generation.
+    // MinHash-LSH pairs (the q30 pipeline) feed alternating
+    // Large-Star/Small-Star connected components (Kiveris et al.,
+    // SoCC'14); each doc gets its component's min id as cluster_id, so
+    // "keep canonical" is doc_id = cluster_id. The oracle recomputes the
+    // exact pair graph in SQL and closes it with a recursive CTE — a
+    // full independent check of the distributed star iterations.
+    "q60_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.minhashCandidates(t(s, dir, "documents"),
+        thresholdNum = 6, thresholdDen = 10)
+      Dedup.connectedComponents(pairs).orderBy($"doc_id")
+    }),
+
     // Real multimodal decode: deterministic PNGs generated per doc_id
     // (width/height/shade arithmetic in the id), decoded with
     // javax.imageio inside the per-partition batch contract. Every 97th
@@ -1568,6 +1582,31 @@ object SparkEntry {
       WHERE doc_id % 23 = 0 AND length(text) >= 10
       ORDER BY doc_id
     """,
+    // replays the q30 pair pipeline, then closes the pair graph with a
+    // recursive CTE: cluster_id = min reachable id — an independent
+    // transitive-closure check of the Large-Star/Small-Star iterations
+    "q60_dedup_clusters" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
+               i -> array_to_string(tk[i+1:i+3], ' '))) AS s
+             FROM toks WHERE len(tk) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      cand AS (SELECT doc_a, doc_b
+               FROM pairs JOIN sh x ON x.doc_id = doc_a
+                          JOIN sh y ON y.doc_id = doc_b
+               WHERE 10 * inter >= 6 * (len(x.s) + len(y.s) - inter)),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      walk(u, v) AS (SELECT u, v FROM edges
+                     UNION
+                     SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u)
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM walk GROUP BY u
+      ORDER BY doc_id""",
     // the Spark side answers through a VIEW that survived write-script
     // creation and a .sqlite round trip; the oracle inlines the body
     "q57_view_roundtrip" -> """

@@ -33,13 +33,25 @@ object SqliteCli {
   }
 
   /** Execute an ON-DISK script — for streamed fixture builders whose
-    * SQL is bigger than the driver should buffer. */
+    * SQL is bigger than the driver should buffer.
+    *
+    * Uses `java.lang.ProcessBuilder` redirects directly: scala.sys
+    * .process's `#<`/`#>` still pump files through daemon threads (only
+    * the operator syntax changes, not the IO model), so the early-EOF
+    * flake documented above survived the first rewrite — a parallel
+    * test run could still observe sqlite3 exiting with partial input.
+    * `redirectInput(File)` is the JDK's native fd-level redirect: the
+    * child reads the file itself, no pump thread exists to lose. */
   def runFile(db: String, script: Path, stdout: Option[Path] = None): Int = {
-    val base = Seq("sqlite3", db) #< script.toFile
+    val pb = new java.lang.ProcessBuilder("sqlite3", db)
+    pb.redirectInput(script.toFile)
     stdout match {
-      case Some(out) => (base #> out.toFile).!
-      case None => (base #> new java.io.ByteArrayOutputStream()).!
+      case Some(out) => pb.redirectOutput(out.toFile)
+      case None =>
+        pb.redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
     }
+    pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+    pb.start().waitFor()
   }
 
   /** Execute `sql` against `db` and return trimmed stdout decoded as

@@ -252,4 +252,90 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a near-duplicate pair list: the step a real
+    * dedup pipeline needs AFTER pair generation — near-dup is not
+    * transitive, so "drop one of each pair" either under-deletes (chains
+    * A~B~C keep two of three) or over-deletes; the standard policy is to
+    * cluster the pair graph and keep one canonical document per component.
+    *
+    * Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public).
+    * Each round is two hash-shuffles on node ids; converges in
+    * O(log² n) rounds (O(log n) in practice), independent of component
+    * diameter — unlike naive label propagation, whose round count is the
+    * graph diameter (a 100 TB corpus with chained boilerplate templates
+    * can have very long near-dup chains).
+    *
+    * Scale shape: only (u, v) id pairs ever shuffle (16 B/row); per-node
+    * neighborhood minima come from a map-side-combinable `min` aggregation
+    * — neighbor lists are never materialized, so a hot node (a template
+    * duplicated a million times) costs a combiner, not a 10⁶-element
+    * array on one task. Each iteration is eagerly localCheckpoint-ed to
+    * truncate lineage (iterative DataFrame plans otherwise grow
+    * exponentially). Convergence is exact: stop when the edge set is a
+    * fixpoint of both stars (count equal + symmetric difference empty).
+    *
+    * Returns one row per node of `pairs`: (doc_id, cluster_id) where
+    * cluster_id is the component's minimum doc id (so a node IS canonical
+    * iff doc_id = cluster_id). Singleton documents never appear in `pairs`
+    * and are implicitly their own cluster.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 50): DataFrame = {
+    val init = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Large-Star: every node u links its LARGER neighbors to the minimum
+    // of its closed neighborhood. Small-Star: every node u links its
+    // smaller-or-equal neighbors (and itself) to that side's minimum.
+    // Both emit only (node, newParent) pairs via groupBy-min + re-join.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = init
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Exact fixpoint test: same cardinality and no edge in either
+      // set-difference direction (counts equal makes one direction enough).
+      val nextCount = next.count()
+      converged = nextCount == edges.count() && next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // At the fixpoint every edge is (node -> component minimum); roots
+    // appear only on the right. Emit a row for every original node.
+    val nodes = init.select(col("u")).union(init.select(col("v"))).distinct()
+    nodes
+      .join(edges.select(col("u"), col("v").as("root")), Seq("u"), "left")
+      .select(col("u").as("doc_id"),
+        coalesce(col("root"), col("u")).as("cluster_id"))
+  }
 }

@@ -60,13 +60,8 @@ class BulkIngestSpec extends SparkSpecBase {
         |INSERT INTO t1 VALUES (1, 'fine');
         |CREATE TABLE t2 (id INTEGER PRIMARY KEY, v TEXT);
         |INSERT INTO t2 VALUES (1, 'doomed');""".stripMargin)
-    val t2Root = {
-      val out = new java.io.ByteArrayOutputStream()
-      val rc = (Seq("sqlite3", partial.toString,
-        "SELECT rootpage FROM sqlite_master WHERE name='t2';") #> out).!
-      assert(rc == 0)
-      new String(out.toByteArray).trim.toInt
-    }
+    val t2Root = SqliteCli.query(partial.toString,
+      "SELECT rootpage FROM sqlite_master WHERE name='t2';").trim.toInt
     // stomp t2's root page with garbage (page 1 and t1 stay intact)
     val ch = java.nio.channels.FileChannel.open(partial, StandardOpenOption.WRITE)
     try ch.write(java.nio.ByteBuffer.wrap(Array.fill[Byte](4096)(0x7F)),

@@ -24,15 +24,9 @@ class SqliteExportSpec extends SparkSpecBase {
     * would decode it with the platform charset (ASCII here), mangling
     * non-ASCII values. */
   private def sqlite3(db: Path, sql: String): Seq[String] = {
-    val outF = Files.createTempFile("sqlite-out", ".txt")
-    val inF = Files.createTempFile("sqlite-in", ".sql")
-    Files.write(inF, sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val err = new StringBuilder
-    val rc = ((Seq("sqlite3", db.toString) #< inF.toFile) #> outF.toFile)
-      .!(ProcessLogger(_ => (), l => { err ++= l; err += '\n' }))
-    assert(rc == 0 && err.isEmpty, s"sqlite3 rc=$rc stderr=$err")
-    new String(Files.readAllBytes(outF), java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty)
+    // SqliteCli uses the JDK's native fd-level redirects — no pump
+    // threads to lose under a parallel test run (see its scaladoc)
+    SqliteCli.query(db.toString, sql).split("\n").toSeq.filter(_.nonEmpty)
   }
 
   private def exportDir(): Path = Files.createTempDirectory("sqlite-export")

@@ -361,11 +361,7 @@ class SqliteIngestSpec extends SparkSpecBase {
     if (Files.isRegularFile(wal)) Files.copy(wal, dir.resolve("check.sqlite-wal"))
     val jrn = db.resolveSibling(db.getFileName.toString + "-journal")
     if (Files.isRegularFile(jrn)) Files.copy(jrn, dir.resolve("check.sqlite-journal"))
-    val out = Files.createTempFile("sqlite-wal-out", ".txt")
-    val rc = (Seq("sqlite3", cp.toString, query) #> out.toFile).!
-    assert(rc == 0)
-    new String(Files.readAllBytes(out), java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty)
+    SqliteCli.query(cp.toString, query).split("\n").toSeq.filter(_.nonEmpty)
   }
 
   test("uncheckpointed WAL: committed frames overlay the main file") {

@@ -264,4 +264,45 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted == direct)
     assert(salted(7L) == (1L to 300L))
   }
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+  }
+
+  test("connectedComponents: differential vs union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 25
+      // sparse random edges + a long path (worst case for label
+      // propagation, which the star algorithm must still collapse fast)
+      val random = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val path = (0 until 20).map(i => (1000L + i, 1001L + i))
+      val edges = random ++ path
+      val expect = unionFind(n, edges)
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: single pair, star, and two components") {
+    import spark.implicits._
+    val edges = Seq((5L, 9L), (9L, 7L), (7L, 11L), // component min 5
+      (100L, 200L), (200L, 300L)) // component min 100
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 11L -> 5L,
+      100L -> 100L, 200L -> 100L, 300L -> 100L))
+  }
 }
