@@ -51,7 +51,9 @@ object SegmentStore {
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
       checks: Seq[SqliteDdl.CheckDef] = Nil,
-      generated: Seq[SqliteDdl.GeneratedDef] = Nil)
+      generated: Seq[SqliteDdl.GeneratedDef] = Nil,
+      strict: Boolean = false,
+      strictTypes: Map[String, String] = Map.empty)
 
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
@@ -203,7 +205,8 @@ class SegmentStore(
               TableMeta(td.schema, td.primaryKey, td.autoIncrement,
                 notNull = td.notNull, defaults = td.defaults,
                 uniques = td.uniques, checks = td.checks,
-                generated = td.generated),
+                generated = td.generated,
+                strict = td.strict, strictTypes = td.strictTypes),
               failIfExists = !td.ifNotExists)
           case "" => ()
           case other =>
@@ -383,7 +386,7 @@ class SegmentStore(
       val names = masters.map { spec =>
         val meta = TableMeta(spec.schema, spec.primaryKey, spec.autoIncrement,
           spec.indexes, spec.notNull, spec.defaults, spec.uniques, spec.checks,
-          spec.generated)
+          spec.generated, spec.strict, spec.strictTypes)
         SegmentStore.requireNoReservedColumns(meta)
         val rows = new java.util.ArrayList[Row]()
         SqliteIngest.decodedRows(file, spec).foreach(rows.add)
@@ -492,7 +495,8 @@ class SegmentStore(
     }
     MasterParts(SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
       meta.autoIncrement, meta.notNull, meta.defaults,
-      exportUniques.map(_._1), meta.checks, meta.generated), autoIdxSets, secondary)
+      exportUniques.map(_._1), meta.checks, meta.generated,
+      meta.strict, meta.strictTypes), autoIdxSets, secondary)
   }
 
   /** The segment's `sqlite_master` rows — (type, name, tbl_name,
@@ -820,7 +824,7 @@ class SegmentStore(
         specs.map { sp =>
           val meta = TableMeta(sp.schema, sp.primaryKey, sp.autoIncrement,
             sp.indexes, sp.notNull, sp.defaults, sp.uniques, sp.checks,
-            sp.generated)
+            sp.generated, sp.strict, sp.strictTypes)
           Files.createDirectories(tableRoot(root, sp.name))
           val tmp = tmpDir(root, seg, sp.name)
           if (Files.exists(tmp)) deleteRecursively(tmp)
@@ -989,11 +993,21 @@ class SegmentStore(
         SqliteDdl.GeneratedDef(g.get("name").asText(), g.get("expr").asText(),
           g.get("stored").asBoolean())
       }
+    val strictTypes =
+      if (!node.has("strictTypes")) Map.empty[String, String]
+      else {
+        val o = node.get("strictTypes")
+        val it = o.fieldNames()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val k = it.next(); b += k -> o.get(k).asText() }
+        b.result()
+      }
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
       if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None,
-      indexes, notNull, defaults, uniques, checks, generated)
+      indexes, notNull, defaults, uniques, checks, generated,
+      node.has("strict") && node.get("strict").asBoolean(), strictTypes)
   }
 
   /** Record a plain CREATE INDEX in its table's meta. Non-plain shapes
@@ -1091,6 +1105,11 @@ class SegmentStore(
         o.put("expr", g.expr)
         o.put("stored", g.stored)
       }
+    }
+    if (meta.strict) {
+      root.put("strict", true)
+      val o = root.putObject("strictTypes")
+      meta.strictTypes.foreach { case (k, v) => o.put(k, v) }
     }
     val p = metaPath(tierRoot(segmentId), segmentId, table)
     Files.createDirectories(p.getParent)

@@ -45,7 +45,9 @@ object SqliteDdl {
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
       checks: Seq[CheckDef] = Nil,
-      generated: Seq[GeneratedDef] = Nil)
+      generated: Seq[GeneratedDef] = Nil,
+      strict: Boolean = false,
+      strictTypes: Map[String, String] = Map.empty)
 
   /** SQLite type-affinity rules (https://sqlite.org/datatype3.html §3.1),
     * mapped to Spark types. */
@@ -63,7 +65,11 @@ object SqliteDdl {
   // table options after the closing paren are a comma-separated list in
   // either order: WITHOUT ROWID, STRICT (lang_createtable.html §table-options)
   private val createRe =
-    """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)\s*(?:(?:WITHOUT\s+ROWID|STRICT)\s*(?:,\s*(?:WITHOUT\s+ROWID|STRICT)\s*)*)?$""".r
+    """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)\s*((?:WITHOUT\s+ROWID|STRICT)\s*(?:,\s*(?:WITHOUT\s+ROWID|STRICT)\s*)*)?$""".r
+
+  /** The datatype names a STRICT table accepts (stricttables.html §3);
+    * ANY is in SQLite's list but refused here — see [[validateStrict]]. */
+  private val StrictTypeNames = Set("INT", "INTEGER", "REAL", "TEXT", "BLOB")
 
   /** Parse a SQLite CREATE TABLE statement. Throws on anything that isn't
     * one (callers dispatch on the first keyword before calling). */
@@ -73,6 +79,8 @@ object SqliteDdl {
     val ifNotExists = m.group(1) != null
     val name = SqlScript.unquoteIdent(m.group(2))
     val body = m.group(3)
+    val strict =
+      Option(m.group(4)).exists(_.toUpperCase.matches("(?s).*\\bSTRICT\\b.*"))
 
     var pk = Vector.empty[String]
     var autoInc: Option[String] = None
@@ -181,6 +189,7 @@ object SqliteDdl {
               declared.toUpperCase == "INTEGER")
             autoInc = Some(colName)
         }
+        if (strict) validateStrictType(name, colName, declared)
         fields += StructField(colName, affinity(declared), nullable = true)
         declaredTypes(colName.toLowerCase) = declared.toUpperCase
         if (hasNotNull(defn)) notNull :+= colName
@@ -214,7 +223,31 @@ object SqliteDdl {
       throw new IllegalArgumentException(
         "generated columns cannot be part of the PRIMARY KEY")
     TableDef(name, StructType(fields.toSeq), pk, autoInc, ifNotExists,
-      notNull, defaults, dedupedUniques, checks, generated)
+      notNull, defaults, dedupedUniques, checks, generated,
+      strict,
+      if (strict) fields.map(f => f.name -> declaredTypes(f.name.toLowerCase)).toMap
+      else Map.empty)
+  }
+
+  /** STRICT datatype validation with SQLite's exact prepare-time texts
+    * (probed, 3.51): only INT/INTEGER/REAL/TEXT/BLOB are accepted.
+    * SQLite's sixth name, ANY, keeps the value's own storage class with
+    * no conversion at all — a per-row dynamic type this engine's
+    * concretely-typed columns cannot hold; refused as a documented
+    * deviation (same stance as typeless generated columns). */
+  private[engine] def validateStrictType(
+      table: String, col: String, declared: String): Unit = {
+    val d = declared.trim
+    if (d.isEmpty)
+      throw new IllegalArgumentException(s"missing datatype for $table.$col")
+    val up = d.toUpperCase
+    if (up == "ANY")
+      throw new UnsupportedOperationException(
+        s"column type ANY is not supported in STRICT tables " +
+          "(this engine's columns are concretely typed)")
+    if (!StrictTypeNames.contains(up))
+      throw new IllegalArgumentException(
+        s"""unknown datatype for $table.$col: "$d"""")
   }
 
   /** The `[GENERATED ALWAYS] AS ( expr ) [STORED|VIRTUAL]` clause of a
@@ -347,7 +380,9 @@ object SqliteDdl {
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
       checks: Seq[CheckDef] = Nil,
-      generated: Seq[GeneratedDef] = Nil): String = {
+      generated: Seq[GeneratedDef] = Nil,
+      strict: Boolean = false,
+      strictTypes: Map[String, String] = Map.empty): String = {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
     // A single-column table-constraint PRIMARY KEY over a column typed
     // exactly INTEGER would make real SQLite alias it to the rowid
@@ -363,14 +398,21 @@ object SqliteDdl {
         Some(primaryKey.head)
       else None
     val cols = schema.fields.map { f =>
-      val t = f.dataType match {
+      // STRICT column types render from the recorded declared names (so
+      // INT stays INT — re-deriving from the Spark type would rewrite
+      // it INTEGER and, on a single-column PK, accidentally create a
+      // rowid alias); the STRICT suffix below makes real sqlite3
+      // enforce the same type rules on the exported file.
+      val t = strictTypes.collectFirst {
+        case (c, d) if c.equalsIgnoreCase(f.name) => d
+      }.getOrElse(f.dataType match {
         case LongType =>
           if (nonAliasIntPk.exists(f.name.equalsIgnoreCase)) "INT" else "INTEGER"
         case DoubleType => "REAL"
         case StringType => "TEXT"
         case BinaryType => "BLOB"
         case _ => "TEXT"
-      }
+      })
       val pkInline = if (autoIncrement.contains(f.name)) " PRIMARY KEY" else ""
       val nn = if (notNull.exists(_.equalsIgnoreCase(f.name))) " NOT NULL" else ""
       val dflt = defaults.collectFirst {
@@ -393,7 +435,8 @@ object SqliteDdl {
         checks.map(c =>
           if (c.label == c.expr) s"CHECK (${c.expr})"
           else s"CONSTRAINT ${q(c.label)} CHECK (${c.expr})")
-    s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})"
+    s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})" +
+      (if (strict) " STRICT" else "")
   }
 
   /** A parsed CREATE VIEW. `select` is the body text (still SQLite
@@ -556,6 +599,18 @@ object SqliteDdl {
 
   /** Tokenize a column definition, keeping parenthesized type args (e.g.
     * `varchar(100)`) attached to their type token. */
+  /** The declared type text of a column definition (tokens between the
+    * name and the first constraint keyword) — what STRICT validation
+    * and its error texts quote verbatim. */
+  private[engine] def declaredType(defn: String): String = {
+    val tokens = tokenizeColumnDef(defn)
+    val constraintStart = tokens.indexWhere(t =>
+      Set("PRIMARY", "NOT", "NULL", "UNIQUE", "CHECK", "DEFAULT", "COLLATE",
+        "REFERENCES", "AUTOINCREMENT", "GENERATED", "AS").contains(t.toUpperCase))
+    (if (constraintStart < 0) tokens.drop(1)
+     else tokens.slice(1, constraintStart)).mkString(" ")
+  }
+
   private def tokenizeColumnDef(defn: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder

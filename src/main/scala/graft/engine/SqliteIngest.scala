@@ -47,7 +47,9 @@ object SqliteIngest {
       defaults: Map[String, String] = Map.empty,
       uniques: Seq[Seq[String]] = Nil,
       checks: Seq[SqliteDdl.CheckDef] = Nil,
-      generated: Seq[SqliteDdl.GeneratedDef] = Nil) {
+      generated: Seq[SqliteDdl.GeneratedDef] = Nil,
+      strict: Boolean = false,
+      strictTypes: Map[String, String] = Map.empty) {
     /** Declared indices of VIRTUAL generated columns — these occupy NO
       * slot in the file's records (probed serial-type layout); STORED
       * ones are ordinary record slots. */
@@ -109,7 +111,8 @@ object SqliteIngest {
     val base = TableSpec(td.name, td.schema, td.primaryKey, autoIncrement,
       m.rootPage, withoutRowid, rowidIdx,
       notNull = td.notNull, defaults = td.defaults, uniques = td.uniques,
-      checks = td.checks, generated = td.generated)
+      checks = td.checks, generated = td.generated,
+      strict = td.strict, strictTypes = td.strictTypes)
     if (!widen) base
     else base.copy(schema = widenedSchema(td.schema, rowidIdx, rawRows(file, base)))
   }

@@ -5,7 +5,9 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.graft.SqlInternals
 
 import graft.engine.SegmentStore.TableMeta
 
@@ -579,6 +581,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val parts = colDef.trim.split("\\s+", 2)
       val colName = SqlScript.unquoteIdent(parts(0))
       val tail0 = if (parts.length > 1) parts(1) else ""
+      // STRICT tables validate the new column's datatype with SQLite's
+      // add-column error prefix (probed: "error in table t after add
+      // column: unknown datatype for t.b: \"VARCHAR\"")
+      if (meta.strict) {
+        try SqliteDdl.validateStrictType(name, colName,
+          SqliteDdl.declaredType(colDef))
+        catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"error in table $name after add column: ${e.getMessage}")
+        }
+      }
       // a generated clause: VIRTUAL is addable (backfill = evaluation,
       // which stage() performs); STORED is SQLite's own refusal, and
       // the clause text must not leak into affinity detection
@@ -620,7 +633,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         notNull = if (nn) meta.notNull :+ colName else meta.notNull,
         defaults = meta.defaults ++ dflt.map(colName -> _),
         generated = meta.generated ++ genAdd.map {
-          case (expr, stored) => SqliteDdl.GeneratedDef(colName, expr, stored) }),
+          case (expr, stored) => SqliteDdl.GeneratedDef(colName, expr, stored) },
+        strictTypes = if (!meta.strict) meta.strictTypes
+          else meta.strictTypes +
+            (colName -> SqliteDdl.declaredType(colDef).trim.toUpperCase)),
         df.withColumn(colName, backfill))
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER statement: $stmt")
   }
@@ -643,6 +659,135 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         case _ => d
       }
     }
+
+  // ------------------------------------------------------------ STRICT
+
+  /** SQLite numeric-text shape (sqlite3AtoF's whole-string parse, the
+    * conversion STRICT columns apply to TEXT values): optional sign,
+    * digits with optional point, optional exponent. `inf`/`nan`/hex
+    * text are NOT numeric to SQLite. */
+  private val NumericTextRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+
+  private def declOf(meta: TableMeta, colName: String): String =
+    meta.strictTypes.collectFirst {
+      case (c, d) if c.equalsIgnoreCase(colName) => d
+    }.getOrElse("TEXT")
+
+  /** Storage-class coercion of a value (evaluated Spark type `in`) into
+    * a STRICT column declared `declared`: (stored value, per-row
+    * violation classifier — NULL when the row is fine, else the value's
+    * SQLite type name for the error text). Probed vs sqlite3 3.51
+    * (stricttables.html §2): INTEGER/REAL accept numeric TEXT when the
+    * conversion is lossless (integer text converts EXACTLY, so a
+    * 19-digit id survives — the double round trip is only the fallback
+    * for point/exponent forms); TEXT renders numbers (REAL in SQLite's
+    * shortest-round-trip form, via [[SqliteTextValue]]); BLOB converts
+    * nothing. */
+  /** `try_cast`: NULL instead of an ANSI error — the strict gate must
+    * CLASSIFY bad values, never let Spark's cast throw first. */
+  private def tryCast(c: Column, dt: DataType): Column =
+    SqlInternals.column(org.apache.spark.sql.catalyst.expressions.Cast(
+      SqlInternals.expression(c), dt, None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+
+  private def strictCoerce(declared: String, target: DataType,
+      in: DataType, v0: Column): (Column, Option[Column]) = {
+    // a DECIMAL (Spark's type for a `12.5` literal) is a REAL to
+    // SQLite; normalize once so every branch below sees DoubleType
+    val (in1, v) = in match {
+      case _: DecimalType => (DoubleType, v0.cast(DoubleType))
+      case FloatType => (DoubleType, v0.cast(DoubleType))
+      case IntegerType | ShortType | ByteType => (LongType, v0.cast(LongType))
+      case _ => (in, v0)
+    }
+    def blobViol(t: DataType) =
+      (lit(null).cast(t), Some(when(v.isNotNull, lit("BLOB"))))
+    declared match {
+      case "INT" | "INTEGER" => in1 match {
+        case NullType => (v.cast(LongType), None)
+        case BinaryType => blobViol(LongType)
+        case DoubleType =>
+          val value = tryCast(v, LongType)
+          (value, Some(when(v.isNotNull &&
+            (isnan(v) || value.isNull ||
+              value.cast(DoubleType) =!= v), lit("REAL"))))
+        case StringType =>
+          val t = trim(v)
+          val direct = tryCast(t, LongType) // exact for pure-integer text
+          val d = tryCast(t, DoubleType)
+          val viaD = tryCast(d, LongType)
+          val viol = when(v.isNotNull && !t.rlike(NumericTextRe), lit("TEXT"))
+            .when(v.isNotNull && direct.isNull &&
+              (viaD.isNull || viaD.cast(DoubleType) =!= d), lit("REAL"))
+          (coalesce(direct, viaD), Some(viol))
+        case _ => (v.cast(LongType), None)
+      }
+      case "REAL" => in1 match {
+        case NullType => (v.cast(DoubleType), None)
+        case BinaryType => blobViol(DoubleType)
+        case StringType =>
+          (tryCast(trim(v), DoubleType),
+            Some(when(v.isNotNull && !trim(v).rlike(NumericTextRe), lit("TEXT"))))
+        case _ => (v.cast(DoubleType), None)
+      }
+      case "TEXT" => in1 match {
+        case NullType | StringType => (v.cast(StringType), None)
+        case BinaryType => blobViol(StringType)
+        case DoubleType =>
+          (SqlInternals.column(
+            SqliteTextValue(SqlInternals.expression(v))), None)
+        case _ => (v.cast(StringType), None)
+      }
+      case "BLOB" => in1 match {
+        case NullType | BinaryType => (v.cast(BinaryType), None)
+        case StringType =>
+          (lit(null).cast(BinaryType), Some(when(v.isNotNull, lit("TEXT"))))
+        case DoubleType =>
+          (lit(null).cast(BinaryType), Some(when(v.isNotNull, lit("REAL"))))
+        case _ =>
+          (lit(null).cast(BinaryType), Some(when(v.isNotNull, lit("INT"))))
+      }
+      case _ => (v.cast(target), None)
+    }
+  }
+
+  /** Raise SQLite's `cannot store X value in Y column t.c` on the first
+    * violating row of `df`, if any — one bounded job, run only when a
+    * column actually needs a per-row check. */
+  private def strictProbe(table: String, meta: TableMeta, df: DataFrame,
+      viols: Seq[(String, Column)]): Unit = {
+    if (viols.isEmpty) return
+    // synthetic output names: aliasing a classifier to its column's own
+    // name would make the where-clause re-resolve the classifier over
+    // the PROJECTED frame (where that name now holds the class string)
+    df.select(viols.zipWithIndex.map { case ((_, c), i) => c.as(s"__viol_$i") }: _*)
+      .where(viols.indices.map(i => col(s"__viol_$i").isNotNull).reduce(_ || _))
+      .limit(1).collect().headOption.foreach { r =>
+        val i = (0 until r.length).find(!r.isNullAt(_)).get
+        val colName = viols(i)._1
+        throw new IllegalArgumentException(
+          s"cannot store ${r.getString(i)} value in " +
+            s"${declOf(meta, colName)} column $table.$colName")
+      }
+  }
+
+  /** Align an incoming frame to the table schema: the plain per-column
+    * cast for ordinary tables; for STRICT tables the probed storage-
+    * class coercions with SQLite's error on a violating row. */
+  private def alignToSchema(table: String, meta: TableMeta,
+      full: DataFrame): DataFrame = {
+    if (!meta.strict)
+      return full.select(meta.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val coerced = meta.schema.fields.map { f =>
+      val in = full.schema.fields.find(_.name.equalsIgnoreCase(f.name))
+        .map(_.dataType).getOrElse(f.dataType)
+      f -> strictCoerce(declOf(meta, f.name), f.dataType, in, col(f.name))
+    }
+    strictProbe(table, meta, full,
+      coerced.collect { case (f, (_, Some(c))) => f.name -> c }.toSeq)
+    full.select(coerced.map { case (f, (value, _)) => value.as(f.name) }.toSeq: _*)
+  }
 
   private def insert(stmt00: String): Unit = {
     val (stmt0, retText) = splitReturning(stmt00)
@@ -729,8 +874,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // the pre-stage frame
     if (meta.generated.nonEmpty)
       full = GeneratedColumns.recompute(spark, full, meta.schema, meta.generated)
-    val aligned0 = full.select(meta.schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val aligned0 = alignToSchema(table, meta, full)
     if (conflict.isDefined && upsertClause.isDefined)
       // SQLite's grammar rejects the combination too
       throw new IllegalArgumentException(
@@ -752,7 +896,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // later dup keys replacing earlier — probed); OR IGNORE / DO NOTHING
     // report only the rows actually kept.
     val (merged, affected) = (conflict, upsertClause) match {
-      case (_, Some(clause)) => applyUpsert(meta, existing, aligned0, clause)
+      case (_, Some(clause)) => applyUpsert(table, meta, existing, aligned0, clause)
       case (Some("REPLACE"), None) if meta.primaryKey.nonEmpty =>
         val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = true)
         (existing.join(aligned.select(meta.primaryKey.map(col): _*),
@@ -825,7 +969,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * reports only the rows actually inserted; DO UPDATE reports the
     * post-update image of guard-passing conflict rows plus the fresh
     * inserts (SQLite lang_returning.html §2: new values). */
-  private def applyUpsert(meta: TableMeta, existing: DataFrame,
+  private def applyUpsert(table: String, meta: TableMeta, existing: DataFrame,
       aligned0: DataFrame, clause: String): (DataFrame, DataFrame) = {
     val m = onConflictRe.findFirstMatchIn(clause.trim).getOrElse(
       throw new IllegalArgumentException(s"cannot parse ON CONFLICT clause: $clause"))
@@ -860,7 +1004,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val (setPart, predPart) =
         if (whereAt < 0) (setBody, None)
         else (setBody.substring(0, whereAt), Some(setBody.substring(whereAt + 5)))
-      val assignments: Map[String, Column] =
+      val rawAssigns: Seq[(StructField, Column)] =
         SqlScript.splitTopLevel(setPart).map { assignment =>
           val eq = topLevelEq(assignment)
           val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
@@ -868,8 +1012,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           requireNotGenerated(meta, colName, "UPDATE")
           val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
             throw new IllegalArgumentException(s"no such column: $colName"))
-          field.name -> rhs.cast(field.dataType)
-        }.toMap
+          field -> rhs
+        }
       val pred = predPart.map(p => dpred(rewriteExcluded(p))).getOrElse(lit(true))
       // incoming side renamed __exc_* so bare names stay the EXISTING row
       val exc = aligned0.select(
@@ -878,6 +1022,21 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val joinCond = keyCols.map(k => col(k) === col(s"__exc_$k")).reduce(_ && _)
       val joined = existing.join(exc, joinCond, "left")
       val hit = col("__exc_match").isNotNull && coalesce(pred, lit(false))
+      // STRICT: DO UPDATE SET values go through the same storage-class
+      // gate as plain UPDATE, probed only on the diverted (hit) rows
+      val coercedUp: Seq[(StructField, (Column, Option[Column]))] =
+        rawAssigns.map { case (f, v) =>
+          if (!meta.strict) f -> (v.cast(f.dataType), None)
+          else {
+            val in = joined.select(v).schema.head.dataType
+            f -> strictCoerce(declOf(meta, f.name), f.dataType, in, v)
+          }
+        }
+      if (meta.strict)
+        strictProbe(table, meta, joined.where(hit),
+          coercedUp.collect { case (f, (_, Some(c))) => f.name -> c })
+      val assignments: Map[String, Column] =
+        coercedUp.map { case (f, (v, _)) => f.name -> v }.toMap
       val updatedExisting = joined.select(meta.schema.fields.map { f =>
         assignments.get(f.name)
           .map(v => when(hit, v).otherwise(col(f.name)).as(f.name))
@@ -995,7 +1154,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (whereAt < 0) (body, None)
       else (body.substring(0, whereAt), Some(body.substring(whereAt + 5)))
     val pred = predPart.map(dpred).getOrElse(lit(true))
-    val assignments: Map[String, Column] =
+    val rawAssigns: Seq[(StructField, Column)] =
       SqlScript.splitTopLevel(setPart).map { assignment =>
         val eq = topLevelEq(assignment)
         val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
@@ -1003,8 +1162,23 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         requireNotGenerated(meta, colName, "UPDATE")
         val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
-        field.name -> valueExpr.cast(field.dataType)
-      }.toMap
+        field -> valueExpr
+      }
+    // STRICT: coerce each SET value's storage class, probing only the
+    // rows the predicate selects (SQLite checks at the UPDATE step)
+    val coercedAssigns: Seq[(StructField, (Column, Option[Column]))] =
+      rawAssigns.map { case (f, v) =>
+        if (!meta.strict) f -> (v.cast(f.dataType), None)
+        else {
+          val in = df.select(v).schema.head.dataType
+          f -> strictCoerce(declOf(meta, f.name), f.dataType, in, v)
+        }
+      }
+    if (meta.strict)
+      strictProbe(table, meta, df.where(coalesce(pred, lit(false))),
+        coercedAssigns.collect { case (f, (_, Some(c))) => f.name -> c })
+    val assignments: Map[String, Column] =
+      coercedAssigns.map { case (f, (v, _)) => f.name -> v }.toMap
     val trigs = activeTriggers(table, "UPDATE", Some(assignments.keys.toSeq))
     if (trigs.nonEmpty) {
       refuseReturningWithTriggers(retText, haveTriggers = true)
@@ -1077,13 +1251,29 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     sel ++= fromText
     predText.foreach(p => sel ++= s" WHERE $p")
     val matches0 = runSelect(sel.toString, overrides = Map(tName -> tagged))
-    val firstMatch = matches0
+    // STRICT: probe+coerce the assignment values taken from each
+    // target row's first matching join row
+    val coerced: Seq[(Column, Option[Column])] =
+      assigns.zipWithIndex.map { case ((f, _), i) =>
+        if (!meta.strict) (col(s"__uf_v$i").cast(f.dataType), None)
+        else {
+          val in = matches0.schema.fields.find(_.name == s"__uf_v$i").get.dataType
+          strictCoerce(declOf(meta, f.name), f.dataType, in, col(s"__uf_v$i"))
+        }
+      }
+    val firstMatch0 = matches0
       .withColumn("__uf_seq", monotonically_increasing_id())
       .withColumn("__uf_rn", row_number().over(
         Window.partitionBy(col(rid)).orderBy(col("__uf_seq"))))
       .where(col("__uf_rn") === 1)
-      .select((col(rid) +: assigns.zipWithIndex.map { case ((f, _), i) =>
-        col(s"__uf_v$i").cast(f.dataType).as(s"__uf_v$i")
+    if (meta.strict)
+      strictProbe(table, meta, firstMatch0,
+        assigns.zip(coerced).collect {
+          case (((f, _)), (_, Some(c))) => f.name -> c
+        })
+    val firstMatch = firstMatch0
+      .select((col(rid) +: coerced.zipWithIndex.map { case ((v, _), i) =>
+        v.as(s"__uf_v$i")
       }) :+ lit(true).as("__uf_hit"): _*)
     val trigs = activeTriggers(table, "UPDATE", Some(assigns.map(_._1.name)))
     if (trigs.nonEmpty) {
