@@ -984,7 +984,8 @@ class SegmentStore(
       if (!node.has("checks")) Nil
       else (0 until node.get("checks").size()).map { i =>
         val c = node.get("checks").get(i)
-        SqliteDdl.CheckDef(c.get("label").asText(), c.get("expr").asText())
+        SqliteDdl.CheckDef(c.get("label").asText(), c.get("expr").asText(),
+          if (c.has("owner")) c.get("owner").asText() else "")
       }
     val generated =
       if (!node.has("generated")) Nil
@@ -1095,6 +1096,7 @@ class SegmentStore(
         val o = arr.addObject()
         o.put("label", c.label)
         o.put("expr", c.expr)
+        if (c.ownerCol.nonEmpty) o.put("owner", c.ownerCol)
       }
     }
     if (meta.generated.nonEmpty) {

@@ -27,7 +27,13 @@ object SqliteDdl {
     * `label` is what the failure message names — the CONSTRAINT name
     * when one was given, else the expression text itself (sqlite3's
     * own convention: `CHECK constraint failed: a > 0` / `: bpos`). */
-  final case class CheckDef(label: String, expr: String)
+  /** `ownerCol` records WHERE the CHECK was written: non-empty = the
+    * column definition it was attached to. SQLite keeps the original
+    * DDL text, so it knows the difference; it matters for `ALTER TABLE
+    * DROP COLUMN` (a column's own CHECK drops silently with it, while a
+    * table-level CHECK referencing the column refuses the drop —
+    * probed) and for re-rendering exported DDL in the same place. */
+  final case class CheckDef(label: String, expr: String, ownerCol: String = "")
 
   /** A generated column (SQLite 3.31, lang_createtable.html#gencol):
     * `expr` is the raw SQLite expression text; `stored` picks the
@@ -198,7 +204,7 @@ object SqliteDdl {
         // or other constraint spellings at column level)
         if (blankLiterals(defn).toUpperCase.matches("(?s).*\\bUNIQUE\\b.*"))
           uniques :+= Seq(colName)
-        checkExpr(defn).foreach(e => checks :+= CheckDef(e, e))
+        checkExpr(defn).foreach(e => checks :+= CheckDef(e, e, ownerCol = colName))
       }
     }
     // SQLite's rowid-alias rule covers BOTH spellings: a column-level
@@ -422,7 +428,14 @@ object SqliteDdl {
         case g if g.name.equalsIgnoreCase(f.name) =>
           s" GENERATED ALWAYS AS (${g.expr})" + (if (g.stored) " STORED" else " VIRTUAL")
       }.getOrElse("")
-      s"${q(f.name)} $t$pkInline$nn$dflt$gen"
+      // column-attached CHECKs render back on their column: real SQLite
+      // keeps the original text, and the placement is observable — a
+      // column's own CHECK drops with DROP COLUMN, a table-level one
+      // refuses the drop
+      val chk = checks.collect {
+        case c if c.ownerCol.equalsIgnoreCase(f.name) => s" CHECK (${c.expr})"
+      }.mkString
+      s"${q(f.name)} $t$pkInline$nn$dflt$chk$gen"
     }
     // constraint ORDER matters downstream: real SQLite numbers the
     // implied sqlite_autoindex trees in declaration order, and the
@@ -432,7 +445,7 @@ object SqliteDdl {
         Seq(s"PRIMARY KEY (${primaryKey.map(q).mkString(", ")})")
       else Nil) ++
         uniques.map(u => s"UNIQUE (${u.map(q).mkString(", ")})") ++
-        checks.map(c =>
+        checks.filter(_.ownerCol.isEmpty).map(c =>
           if (c.label == c.expr) s"CHECK (${c.expr})"
           else s"CONSTRAINT ${q(c.label)} CHECK (${c.expr})")
     s"CREATE TABLE ${q(table)} (${(cols ++ tableConstraint).mkString(", ")})" +
@@ -599,6 +612,63 @@ object SqliteDdl {
 
   /** Tokenize a column definition, keeping parenthesized type args (e.g.
     * `varchar(100)`) attached to their type token. */
+  /** Does `sql` reference `ident` as a COLUMN? Token-level scan over
+    * literal-blanked text: bare identifier tokens (not function calls —
+    * a following `(` — and not qualifiers — a following `.`), plus
+    * double-quoted occurrences in the raw text. Conservative by
+    * construction; used by the ALTER DROP COLUMN reference checks. */
+  private[engine] def referencesIdent(sql: String, ident: String): Boolean = {
+    val blanked = blankLiterals(sql)
+    val re = ("(?i)(?<![A-Za-z0-9_$])" + java.util.regex.Pattern.quote(ident) +
+      "(?![A-Za-z0-9_$])(?!\\s*[.(])").r
+    re.findFirstIn(blanked).isDefined ||
+      sql.toLowerCase.contains("\"" + ident.toLowerCase + "\"")
+  }
+
+  /** Rewrite COLUMN references to `from` as `to` in a SQL fragment:
+    * bare identifier tokens (skipping string literals, function-call
+    * names, and dot-qualifiers like the table in `t.x` — but renaming
+    * the x of `NEW.x`) and double-quoted identifiers. This is SQLite's
+    * ≥3.25 RENAME COLUMN rewrite at token level — exact for the
+    * unambiguous references the engine stores (checks, generated
+    * expressions, trigger bodies, view texts). */
+  private[engine] def renameIdentIn(sql: String, from: String, to: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0; var q: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) { out.append(c); if (c == q) q = 0; i += 1 }
+      else if (c == '\'' || c == '`') { q = c; out.append(c); i += 1 }
+      else if (c == '"') {
+        // quoted identifier (with "" doubling)
+        val sb = new StringBuilder
+        var j = i + 1; var closed = false
+        while (j < sql.length && !closed) {
+          if (sql.charAt(j) == '"') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == '"') { sb += '"'; j += 2 }
+            else { closed = true; j += 1 }
+          } else { sb += sql.charAt(j); j += 1 }
+        }
+        if (closed && sb.toString.equalsIgnoreCase(from))
+          out.append("\"" + to.replace("\"", "\"\"") + "\"")
+        else out.append(sql.substring(i, j))
+        i = j
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < sql.length &&
+          (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        val tok = sql.substring(start, i)
+        var j = i
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val next = if (j < sql.length) sql.charAt(j) else ' '
+        // next '(' = function call; next '.' = qualifier (table/alias)
+        if (next != '(' && next != '.' && tok.equalsIgnoreCase(from)) out.append(to)
+        else out.append(tok)
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** The declared type text of a column definition (tokens between the
     * name and the first constraint keyword) — what STRICT validation
     * and its error texts quote verbatim. */

@@ -552,6 +552,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     "(?is)^\\s*ALTER\\s+TABLE\\s+(\\S+)\\s+ADD(\\s+COLUMN)?\\s+(.+)$".r
   private val alterRenameRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+(\\S+)\\s+RENAME\\s+TO\\s+(\\S+)\\s*$".r
+  private val alterRenameColRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\S+)\\s+RENAME\\s+(?:COLUMN\\s+)?(\\S+)\\s+TO\\s+(\\S+)\\s*;?\\s*$".r
+  private val alterDropRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\S+)\\s+DROP(?:\\s+COLUMN)?\\s+(\\S+)\\s*;?\\s*$".r
   private def alter(stmt: String): Unit = stmt match {
     case alterRenameRe(from, to) =>
       val (meta, df) = load(SqlScript.unquoteIdent(from))
@@ -575,6 +579,138 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           triggersDirty = true
         }
       }
+    // SQLite 3.25 RENAME COLUMN: the schema records rename with the
+    // reference rewrites real SQLite performs on its AST — here at
+    // identifier-token level (renameIdentIn) over checks, generated
+    // expressions, index DDL, trigger WHEN/bodies, and view texts
+    case alterRenameColRe(table0, old0, new0) =>
+      val name = SqlScript.unquoteIdent(table0)
+      val (meta, df) = load(name)
+      val oldReq = SqlScript.unquoteIdent(old0)
+      val field = meta.schema.fields.find(_.name.equalsIgnoreCase(oldReq)).getOrElse(
+        throw new IllegalArgumentException(s"""no such column: "$oldReq""""))
+      val oldName = field.name
+      val newName = SqlScript.unquoteIdent(new0)
+      if (meta.schema.fields.exists(f =>
+          !f.name.equalsIgnoreCase(oldName) && f.name.equalsIgnoreCase(newName)))
+        throw new IllegalArgumentException(
+          s"error in table $name after rename: duplicate column name: $newName")
+      def rn(txt: String) = SqliteDdl.renameIdentIn(txt, oldName, newName)
+      def rnCol(c: String) = if (c.equalsIgnoreCase(oldName)) newName else c
+      val meta2 = meta.copy(
+        schema = StructType(meta.schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f)),
+        primaryKey = meta.primaryKey.map(rnCol),
+        autoIncrement = meta.autoIncrement.map(rnCol),
+        notNull = meta.notNull.map(rnCol),
+        defaults = meta.defaults.map { case (k, v) => rnCol(k) -> v },
+        uniques = meta.uniques.map(_.map(rnCol)),
+        checks = meta.checks.map(c => c.copy(
+          label = if (c.label == c.expr) rn(c.expr) else c.label,
+          expr = rn(c.expr), ownerCol = rnCol(c.ownerCol))),
+        generated = meta.generated.map(g =>
+          g.copy(name = rnCol(g.name), expr = rn(g.expr))),
+        strictTypes = meta.strictTypes.map { case (k, v) => rnCol(k) -> v },
+        // retargetIndex regenerates the catalog sql from the renamed parts
+        indexes = meta.indexes.map { ix =>
+          if (!ix.columns.exists(_.equalsIgnoreCase(oldName))) ix
+          else SqliteDdl.retargetIndex(
+            ix.copy(columns = ix.columns.map(rnCol)), ix.table)
+        })
+      stage(name, meta2, df.withColumnRenamed(oldName, newName))
+      ensureTriggers()
+      val nameLc = name.toLowerCase
+      stagedTriggers.keys.toSeq.foreach { k =>
+        val tg = stagedTriggers(k)
+        if (tg.table.toLowerCase == nameLc) {
+          // retargetTrigger regenerates the sql from the rewritten parts
+          stagedTriggers(k) = SqliteDdl.retargetTrigger(tg.copy(
+            ofColumns = tg.ofColumns.map(rnCol),
+            when = tg.when.map(rn),
+            body = tg.body.map(rn)), tg.table)
+          triggersDirty = true
+        }
+      }
+      ensureViews()
+      stagedViews.keys.toSeq.foreach { k =>
+        val v = stagedViews(k)
+        // only views that mention BOTH the table and the column — a
+        // same-named column of another table must not rewrite
+        if (SqliteDdl.referencesIdent(v.sql, oldName) &&
+            v.sql.toLowerCase.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(nameLc)}\\b.*")) {
+          stagedViews(k) = v.copy(select = rn(v.select), sql = rn(v.sql))
+          viewsDirty = true
+        }
+      }
+
+    // SQLite 3.35 DROP COLUMN with the probed refusal matrix: PK /
+    // inline-UNIQUE members refuse at prepare; references from other
+    // checks, generated columns, indexes, views, and this table's
+    // triggers refuse with the step-time texts; the column's OWN CHECK
+    // (and its NOT NULL/DEFAULT/strict records) drop silently with it
+    case alterDropRe(table0, col0) =>
+      val name = SqlScript.unquoteIdent(table0)
+      val (meta, df) = load(name)
+      val colReq = SqlScript.unquoteIdent(col0)
+      val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colReq)).getOrElse(
+        throw new IllegalArgumentException(s"""no such column: "$colReq""""))
+      val colName = field.name
+      if (meta.schema.fields.length == 1)
+        throw new IllegalArgumentException(
+          s"""cannot drop column "$colName": no other columns exist""")
+      if (meta.primaryKey.exists(_.equalsIgnoreCase(colName)) ||
+          meta.autoIncrement.exists(_.equalsIgnoreCase(colName)))
+        throw new IllegalArgumentException(
+          s"""cannot drop PRIMARY KEY column: "$colName"""")
+      if (meta.uniques.exists(u => u.size == 1 && u.head.equalsIgnoreCase(colName)))
+        throw new IllegalArgumentException(
+          s"""cannot drop UNIQUE column: "$colName"""")
+      def tableErr(): Nothing = throw new IllegalArgumentException(
+        s"error in table $name after drop column: no such column: $colName")
+      if (meta.uniques.exists(u => u.size > 1 && u.exists(_.equalsIgnoreCase(colName))))
+        tableErr()
+      if (meta.checks.exists(c => !c.ownerCol.equalsIgnoreCase(colName) &&
+          SqliteDdl.referencesIdent(c.expr, colName)))
+        tableErr()
+      if (meta.generated.exists(g => !g.name.equalsIgnoreCase(colName) &&
+          SqliteDdl.referencesIdent(g.expr, colName)))
+        tableErr()
+      meta.indexes.find(_.columns.exists(_.equalsIgnoreCase(colName))).foreach { ix =>
+        throw new IllegalArgumentException(
+          s"error in index ${ix.name} after drop column: no such column: $colName")
+      }
+      ensureViews()
+      stagedViews.values.find(v => SqliteDdl.referencesIdent(v.sql, colName) &&
+          v.sql.toLowerCase.matches(
+            s"(?s).*\\b${java.util.regex.Pattern.quote(name.toLowerCase)}\\b.*"))
+        .foreach { v =>
+          throw new IllegalArgumentException(
+            s"error in view ${v.name} after drop column: no such column: $colName")
+        }
+      ensureTriggers()
+      stagedTriggers.values.find(tg => tg.table.equalsIgnoreCase(name) && {
+        val texts = tg.when.toSeq ++ tg.body
+        texts.exists(SqliteDdl.referencesIdent(_, colName))
+      }).foreach { tg =>
+        // echo the reference as written: qualified NEW./OLD. when the
+        // body uses it that way (probed message shape)
+        val texts = (tg.when.toSeq ++ tg.body).mkString(" ")
+        val qual = s"(?i)\\b(NEW|OLD)\\s*\\.\\s*${java.util.regex.Pattern.quote(colName)}\\b".r
+          .findFirstMatchIn(SqliteDdl.blankLiterals(texts))
+          .map(m => s"${m.group(1).toUpperCase}.$colName")
+        throw new IllegalArgumentException(
+          s"error in trigger ${tg.name} after drop column: " +
+            s"no such column: ${qual.getOrElse(colName)}")
+      }
+      stage(name, meta.copy(
+        schema = StructType(meta.schema.fields.filterNot(_.name == colName)),
+        notNull = meta.notNull.filterNot(_.equalsIgnoreCase(colName)),
+        defaults = meta.defaults.filterNot(_._1.equalsIgnoreCase(colName)),
+        checks = meta.checks.filterNot(_.ownerCol.equalsIgnoreCase(colName)),
+        generated = meta.generated.filterNot(_.name.equalsIgnoreCase(colName)),
+        strictTypes = meta.strictTypes.filterNot(_._1.equalsIgnoreCase(colName))),
+        df.drop(colName))
+
     case alterAddRe(table, _, colDef) =>
       val name = SqlScript.unquoteIdent(table)
       val (meta, df) = load(name)

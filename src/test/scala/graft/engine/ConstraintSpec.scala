@@ -191,8 +191,12 @@ class ConstraintSpec extends SparkSpecBase {
     assert(SqliteCli.run(db.toString, "INSERT INTO t VALUES (5000);") != 0)
     assert(SqliteCli.run(db.toString, "INSERT INTO t VALUES (6);") == 0)
     engine.store.ingestSqliteSegment(db.toString, s"cons-cback-$n")
+    // column-attachment survives the round trip (r9): the inline CHECK
+    // re-ingests as a's own constraint — what makes DROP COLUMN behave
+    // like sqlite3's on re-exported files
     assert(engine.store.tableMeta(s"cons-cback-$n", "t").checks ==
-      Seq(SqliteDdl.CheckDef("a > 0", "a > 0"), SqliteDdl.CheckDef("cap", "a < 1000")))
+      Seq(SqliteDdl.CheckDef("a > 0", "a > 0", ownerCol = "a"),
+        SqliteDdl.CheckDef("cap", "a < 1000")))
   }
 
   test("export re-renders NOT NULL and DEFAULT so real sqlite3 enforces them") {
