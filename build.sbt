@@ -35,4 +35,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // forward fuzzer knobs into the forked test JVM
   // (GRAFT_FUZZ_COUNT / GRAFT_FUZZ_SEED env vars → -Dgraft.fuzz.*)
   sys.env.get("GRAFT_FUZZ_COUNT").map(c => s"-Dgraft.fuzz.count=$c").toSeq ++
-  sys.env.get("GRAFT_FUZZ_SEED").map(s => s"-Dgraft.fuzz.seed=$s").toSeq
+  sys.env.get("GRAFT_FUZZ_SEED").map(s => s"-Dgraft.fuzz.seed=$s").toSeq ++
+  sys.env.get("GRAFT_WRITE_FUZZ_COUNT").map(c => s"-Dgraft.writefuzz.count=$c").toSeq ++
+  sys.env.get("GRAFT_WRITE_FUZZ_SEED").map(s => s"-Dgraft.writefuzz.seed=$s").toSeq

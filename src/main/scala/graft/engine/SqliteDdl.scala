@@ -521,12 +521,11 @@ object SqliteDdl {
   def parseCreateTrigger(stmt: String): TriggerDef = {
     val m = createTriggerRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse CREATE TRIGGER statement: $stmt"))
-    // unspecified timing = BEFORE (lang_createtrigger.html, probed)
+    // unspecified timing = BEFORE (lang_createtrigger.html, probed);
+    // INSTEAD OF parses here and is validated against its target at
+    // creation time (views only — WriteTxn.createTrigger)
     val timing = Option(m.group(4)).map(_.trim.toUpperCase.replaceAll("\\s+", " "))
       .getOrElse("BEFORE")
-    if (timing == "INSTEAD OF")
-      throw new UnsupportedOperationException(
-        "INSTEAD OF triggers are not supported (views are read-only here)")
     val eventFull = m.group(5).trim.toUpperCase
     val event =
       if (eventFull.startsWith("UPDATE")) "UPDATE"

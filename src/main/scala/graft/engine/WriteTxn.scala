@@ -480,11 +480,21 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       throw new IllegalArgumentException(
         s"object name reserved for internal use: ${tg.name}")
     ensureTriggers()
-    if (isView(tg.table))
-      throw new IllegalArgumentException(
-        s"cannot create ${tg.timing} trigger on view: ${tg.table}")
-    if (!tableNames.exists(_.equalsIgnoreCase(tg.table)))
-      throw new IllegalArgumentException(s"no such table: main.${tg.table}")
+    // probed (3.51): INSTEAD OF pairs only with views, BEFORE/AFTER
+    // only with tables
+    if (tg.timing == "INSTEAD OF") {
+      if (tableNames.exists(_.equalsIgnoreCase(tg.table)))
+        throw new IllegalArgumentException(
+          s"cannot create INSTEAD OF trigger on table: ${tg.table}")
+      if (!isView(tg.table))
+        throw new IllegalArgumentException(s"no such table: main.${tg.table}")
+    } else {
+      if (isView(tg.table))
+        throw new IllegalArgumentException(
+          s"cannot create ${tg.timing} trigger on view: ${tg.table}")
+      if (!tableNames.exists(_.equalsIgnoreCase(tg.table)))
+        throw new IllegalArgumentException(s"no such table: main.${tg.table}")
+    }
     if (stagedTriggers.contains(tg.name.toLowerCase)) {
       if (!tg.ifNotExists)
         throw new IllegalStateException(s"trigger ${tg.name} already exists")
@@ -520,7 +530,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       throw new IllegalArgumentException(s"cannot parse: $stmt"))
     val name = SqlScript.unquoteIdent(m.group(2))
     ensureViews()
-    if (stagedViews.remove(name.toLowerCase).isDefined) viewsDirty = true
+    if (stagedViews.remove(name.toLowerCase).isDefined) {
+      viewsDirty = true
+      // a view's INSTEAD OF triggers drop with it (SQLite's rule, same
+      // as a table's triggers on DROP TABLE)
+      ensureTriggers()
+      val orphaned = stagedTriggers.filter(_._2.table.equalsIgnoreCase(name)).keys.toSeq
+      if (orphaned.nonEmpty) {
+        orphaned.foreach(stagedTriggers.remove); triggersDirty = true
+      }
+    }
     else if (tableNames.exists(_.equalsIgnoreCase(name)))
       throw new IllegalArgumentException(s"use DROP TABLE to delete table $name")
     else if (m.group(1) == null)
@@ -935,6 +954,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val table = SqlScript.unquoteIdent(m.group(3))
     var colList = Option(m.group(4)).map(
       s => SqlScript.splitTopLevel(s).map(SqlScript.unquoteIdent))
+    if (isView(table)) {
+      // INSTEAD OF INSERT: the trigger programs ARE the write
+      if (conflict.isDefined || upsertClause.isDefined)
+        throw new UnsupportedOperationException(
+          "conflict clauses on a view INSERT are not supported " +
+            "(INSTEAD OF trigger programs decide conflict handling)")
+      refuseReturningWithTriggers(retText, haveTriggers = true)
+      viewInsert(table, colList, m.group(5), m.group(6))
+      return
+    }
     val (meta, existing) = load(table)
     // SQLite's prepare-time refusal (probed); a bare VALUES list takes
     // values for the BASE columns only ("table t has 3 columns")
@@ -1031,22 +1060,143 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // reports. OR REPLACE reports EVERY value row (each insert succeeds,
     // later dup keys replacing earlier — probed); OR IGNORE / DO NOTHING
     // report only the rows actually kept.
+    // Conflict resolution over ALL unique constraints (PK + declared
+    // UNIQUEs + unique indexes), with the per-mode constraint behaviors
+    // probed from sqlite3 (lang_conflict.html):
+    //  - upsert: incoming rows are NOT NULL/CHECK-checked BEFORE the
+    //    uniqueness diversion (a NULL into NOT NULL errors even when
+    //    the row would divert to DO UPDATE / DO NOTHING);
+    //  - OR IGNORE: silently drops rows failing NOT NULL, CHECK, or
+    //    conflicting on ANY unique key (existing or earlier in batch);
+    //    STRICT type errors are NOT ignored (alignToSchema ran above);
+    //  - OR REPLACE: NULL in a NOT NULL column takes the declared
+    //    DEFAULT (no default → the commit gate's error); conflicting
+    //    EXISTING rows on any unique key are deleted; batch keeps the
+    //    last arrival per key.
+    val keySets = uniqueKeySets(meta)
     val (merged, affected) = (conflict, upsertClause) match {
-      case (_, Some(clause)) => applyUpsert(table, meta, existing, aligned0, clause)
-      case (Some("REPLACE"), None) if meta.primaryKey.nonEmpty =>
-        val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = true)
-        (existing.join(aligned.select(meta.primaryKey.map(col): _*),
-          meta.primaryKey.toSeq, "left_anti").unionByName(aligned), aligned0)
-      case (Some("IGNORE"), None) if meta.primaryKey.nonEmpty =>
-        val aligned = dedupByArrival(aligned0, meta.primaryKey, keepLast = false)
-        val kept = aligned.join(existing.select(meta.primaryKey.map(col): _*),
-          meta.primaryKey.toSeq, "left_anti")
-        (existing.unionByName(kept), kept)
+      case (_, Some(clause)) =>
+        enforceIncomingConstraints(table, meta, aligned0)
+        applyUpsert(table, meta, existing, aligned0, clause)
+      case (Some("REPLACE"), None) =>
+        val defaulted = meta.notNull
+          .flatMap(c => meta.schema.fields.find(_.name.equalsIgnoreCase(c)))
+          .foldLeft(aligned0) { (d, f) =>
+            defaultExpr(meta, f.name) match {
+              case Some(e) => d.withColumn(f.name,
+                coalesce(col(f.name), dexpr(e).cast(f.dataType)))
+              case None => d
+            }
+          }
+        // still-NULL NOT NULLs (no default) and CHECK failures error at
+        // the statement, like sqlite3's REPLACE mode (probed) — the
+        // commit gate alone could be washed by a later DELETE/ALTER
+        enforceIncomingConstraints(table, meta, defaulted)
+        if (keySets.isEmpty) (existing.unionByName(defaulted), defaulted)
+        else {
+          val aligned = dedupByArrivalSets(defaulted, keySets, keepLast = true)
+          (removeConflicting(existing, aligned, keySets).unionByName(aligned),
+            defaulted)
+        }
+      case (Some("IGNORE"), None) =>
+        val passing = ignorePassFilter(meta).map(aligned0.where).getOrElse(aligned0)
+        if (keySets.isEmpty) (existing.unionByName(passing), passing)
+        else {
+          val aligned = dedupByArrivalSets(passing, keySets, keepLast = false)
+          val kept = antiConflicts(aligned, existing, keySets)
+          (existing.unionByName(kept), kept)
+        }
       case _ => (existing.unionByName(aligned0), aligned0)
     }
+    // statement-time constraint gate (SQLite's timing): a commit-only
+    // check can be WASHED by a later DELETE / UPDATE / ALTER in the
+    // same script (fuzz-caught) — plain INSERTs and upserts validate
+    // the post-statement state now; OR IGNORE / OR REPLACE states are
+    // conflict-free by construction (their violators were dropped,
+    // replaced, or errored above)
+    if (conflict.isEmpty) enforceUnique(table, meta, merged)
     stage(table, meta, merged)
     retText.foreach(t => applyReturning(affected, meta, t))
   }
+
+  /** Resolved unique key sets in SQLite's constraint order: PRIMARY
+    * KEY, declared UNIQUEs, unique indexes. */
+  private def uniqueKeySets(meta: TableMeta): Seq[Seq[String]] = {
+    val fields = meta.schema.fieldNames
+    def resolve(cols: Seq[String]): Option[Seq[String]] = {
+      val rs = cols.map(c => fields.find(_.equalsIgnoreCase(c)))
+      if (rs.nonEmpty && rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+    }
+    ((if (meta.primaryKey.nonEmpty) Seq(meta.primaryKey.toSeq) else Nil) ++
+      meta.uniques ++ meta.indexes.filter(_.unique).map(_.columns))
+      .flatMap(resolve).distinct
+  }
+
+  /** Rows passing NOT NULL + CHECK — what OR IGNORE silently keeps. */
+  private def ignorePassFilter(meta: TableMeta): Option[Column] = {
+    val fields = meta.schema.fieldNames
+    val nn = meta.notNull.flatMap(c => fields.find(_.equalsIgnoreCase(c)))
+      .map(col(_).isNotNull)
+    val cks = meta.checks.map(c => coalesce(dpred(c.expr), lit(true)))
+    (nn ++ cks).reduceOption(_ && _)
+  }
+
+  /** Statement-time NOT NULL/CHECK gate on INCOMING rows (one bounded
+    * aggregate job) — the upsert paths need it because a diverted row
+    * never reaches the commit-time gate yet still errors in SQLite. */
+  private def enforceIncomingConstraints(table: String, meta: TableMeta,
+      rows: DataFrame): Unit = {
+    val fields = meta.schema.fieldNames
+    val nn = meta.notNull.flatMap(c => fields.find(_.equalsIgnoreCase(c)))
+    if (nn.isEmpty && meta.checks.isEmpty) return
+    val aggs = nn.zipWithIndex.map { case (c, i) =>
+      count(when(col(c).isNull, 1)).as(s"__nn$i") } ++
+      meta.checks.zipWithIndex.map { case (c, i) =>
+        count(when(!coalesce(dpred(c.expr), lit(true)), 1)).as(s"__ck$i") }
+    val r = rows.select(aggs: _*).head()
+    nn.zipWithIndex.foreach { case (c, i) =>
+      if (r.getLong(i) > 0) throw new IllegalArgumentException(
+        s"NOT NULL constraint failed: $table.$c")
+    }
+    meta.checks.zipWithIndex.foreach { case (c, i) =>
+      if (r.getLong(nn.length + i) > 0) throw new IllegalArgumentException(
+        s"CHECK constraint failed: ${c.label}")
+    }
+  }
+
+  /** Batch-internal conflict resolution across every key set (first or
+    * last arrival wins; NULL-keyed rows never conflict — SQLite's
+    * distinct-NULLs rule). Sets resolve in constraint order; the
+    * cross-set resurrection corner (a multi-tuple batch row eliminated
+    * only by an already-eliminated row) resolves per-set — documented,
+    * unobservable for single-tuple statements. */
+  private def dedupByArrivalSets(df: DataFrame, keySets: Seq[Seq[String]],
+      keepLast: Boolean): DataFrame = {
+    var d = df.withColumn("__seq", monotonically_increasing_id())
+    val ord = if (keepLast) col("__seq").desc else col("__seq").asc
+    keySets.zipWithIndex.foreach { case (ks, i) =>
+      val w = Window.partitionBy(ks.map(col): _*).orderBy(ord)
+      val anyNull = ks.map(col(_).isNull).reduce(_ || _)
+      d = d.withColumn(s"__rn$i", row_number().over(w))
+        .where(anyNull || col(s"__rn$i") === 1).drop(s"__rn$i")
+    }
+    d.drop("__seq")
+  }
+
+  /** Incoming rows NOT conflicting with an existing row on any key set
+    * (equality anti-joins — NULL keys never match, hence never
+    * conflict). */
+  private def antiConflicts(incoming: DataFrame, existing: DataFrame,
+      keySets: Seq[Seq[String]]): DataFrame =
+    keySets.foldLeft(incoming)((d, ks) =>
+      d.join(existing.select(ks.map(col): _*), ks.toSeq, "left_anti"))
+
+  /** Existing rows minus those conflicting with a survivor on any key
+    * set — OR REPLACE's delete step. */
+  private def removeConflicting(existing: DataFrame, survivors: DataFrame,
+      keySets: Seq[Seq[String]]): DataFrame =
+    keySets.foldLeft(existing)((ex, ks) =>
+      ex.join(survivors.select(ks.map(col): _*), ks.toSeq, "left_anti"))
 
   /** Intra-statement duplicate keys: SQLite's OR REPLACE keeps the LAST
     * occurrence, OR IGNORE (and DO NOTHING) the FIRST — arrival order
@@ -1116,12 +1266,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val keyCols: Seq[String] =
       upsertKeyCols(meta, target, requireMatch = !doNothing)
     if (doNothing) {
-      if (keyCols.isEmpty) // nothing can conflict
+      // untargeted DO NOTHING ignores conflicts on ANY unique
+      // constraint (probed); targeted, only the named one — a conflict
+      // on another constraint then errors via the commit gate
+      val sets: Seq[Seq[String]] =
+        if (target.isEmpty) uniqueKeySets(meta)
+        else Seq(keyCols).filter(_.nonEmpty)
+      if (sets.isEmpty) // nothing can conflict
         (existing.unionByName(aligned0), aligned0)
       else {
-        val aligned = dedupByArrival(aligned0, keyCols, keepLast = false)
-        val kept = aligned.join(
-          existing.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
+        val aligned = dedupByArrivalSets(aligned0, sets, keepLast = false)
+        val kept = antiConflicts(aligned, existing, sets)
         (existing.unionByName(kept), kept)
       }
     } else {
@@ -1281,6 +1436,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       throw new IllegalArgumentException(s"cannot parse UPDATE statement: $stmt"))
     val table = SqlScript.unquoteIdent(m.group(1))
     val alias = Option(m.group(2)).map(SqlScript.unquoteIdent)
+    if (isView(table)) {
+      refuseReturningWithTriggers(retText, haveTriggers = true)
+      viewUpdate(table, m.group(3))
+      return
+    }
     val (meta, df) = load(table)
     val body = m.group(3)
     val fromAt = firstTopLevelKw(body, "FROM")
@@ -1330,6 +1490,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         .map(v => when(pred, v).otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
     }.toSeq: _*)
+    // statement-time constraint gate: SQLite errors at the UPDATE, and
+    // a commit-only check could be washed by a later statement
+    // (fuzz-caught)
+    enforceUnique(table, meta, out)
     stage(table, meta, out)
     retText.foreach { t =>
       // post-update image of the rows the predicate selected
@@ -1448,6 +1612,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       return
     }
     val joined = tagged.join(firstMatch, Seq(rid), "left")
+    // statement-time NOT NULL/CHECK on the post-image of matched rows
+    // (same rule as plain UPDATE)
+    enforceIncomingConstraints(table, meta,
+      joined.where(coalesce(col("__uf_hit"), lit(false)))
+        .select(meta.schema.fields.map { f =>
+          assigns.indexWhere(_._1.name == f.name) match {
+            case -1 => col(f.name)
+            case i => col(s"__uf_v$i").as(f.name)
+          }
+        }.toSeq: _*))
     val out = joined.select(meta.schema.fields.map { f =>
       assigns.indexWhere(_._1.name == f.name) match {
         case -1 => col(f.name)
@@ -1455,6 +1629,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           .otherwise(col(f.name)).as(f.name)
       }
     }.toSeq: _*)
+    // statement-time constraint gate, as for plain UPDATE
+    enforceUnique(table, meta, out)
     stage(table, meta, out)
     retText.foreach { t =>
       val affected = joined.where(coalesce(col("__uf_hit"), lit(false)))
@@ -1496,6 +1672,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val m = deleteHeadRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse DELETE statement: $stmt"))
     val table = SqlScript.unquoteIdent(m.group(1))
+    if (isView(table)) {
+      refuseReturningWithTriggers(retText, haveTriggers = true)
+      viewDelete(table, m.group(2).trim)
+      return
+    }
     val (meta, df) = load(table)
     val rest = m.group(2).trim
     val delPred: Column =
@@ -1517,6 +1698,135 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     retText.foreach(t => applyReturning(df.where(delPred), meta, t))
   }
 
+
+  // ------------------------------------------------ INSTEAD OF (views)
+  // DML on a view fires its INSTEAD OF trigger programs per affected
+  // row and performs NO base write — the programs ARE the write
+  // (lang_createtrigger.html §4; behaviors probed on 3.51: a view DML
+  // with no matching trigger for its event — or an UPDATE whose SET
+  // columns miss every trigger's OF filter — errors "cannot modify v
+  // because it is a view").
+
+  /** The view's column names and current frame through the txn's
+    * staged state. */
+  private def viewFrame(view: String): (Seq[String], DataFrame) = {
+    val df = runSelect(s"SELECT * FROM `$view`")
+    (df.schema.fieldNames.toSeq, df)
+  }
+
+  private def insteadOfTriggers(view: String, event: String,
+      setCols: Option[Seq[String]] = None): Seq[SqliteDdl.TriggerDef] = {
+    ensureTriggers()
+    stagedTriggers.values.toSeq.reverse
+      .filter(t => t.timing == "INSTEAD OF" &&
+        t.table.equalsIgnoreCase(view) && t.event == event)
+      .filter(t => t.ofColumns.isEmpty ||
+        setCols.forall(sc => t.ofColumns.exists(oc => sc.exists(_.equalsIgnoreCase(oc)))))
+      .filterNot(t => firingStack.contains(t.name.toLowerCase))
+  }
+
+  /** Fire programs per row with NEW./OLD. bound to VIEW columns;
+    * RAISE(IGNORE) abandons the row's remaining triggers, the same
+    * convention as the table loops. */
+  private def fireInsteadOf(trigs: Seq[SqliteDdl.TriggerDef], cols: Seq[String],
+      changes: Seq[(Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]): Unit =
+    changes.foreach { case (oldV, newV) =>
+      def resolve(kw: String, c: String): String = {
+        val i = cols.indexWhere(_.equalsIgnoreCase(c))
+        val img = if (kw == "old") oldV else newV
+        if (i < 0 || img.isEmpty)
+          throw new IllegalArgumentException(s"no such column: $kw.$c")
+        sqliteLiteral(img.get(i))
+      }
+      var ignored = false
+      trigs.foreach(t => if (!ignored && !runTriggerProgram(t, resolve)) ignored = true)
+    }
+
+  private def viewInsert(view: String, colList: Option[Seq[String]],
+      body: String, valuesTail: String): Unit = {
+    val trigs = insteadOfTriggers(view, "INSERT")
+    if (trigs.isEmpty)
+      throw new IllegalArgumentException(s"cannot modify $view because it is a view")
+    val (viewCols, _) = viewFrame(view)
+    val targetCols = colList.getOrElse(viewCols)
+    val incoming: DataFrame =
+      if (body.toUpperCase.matches("(?s)DEFAULT\\s+VALUES\\s*;?\\s*"))
+        // views have no defaults; SQLite binds all-NULL NEW values
+        runSelect("SELECT " +
+          viewCols.map(c => s"NULL AS `$c`").mkString(", "))
+      else if (body.toUpperCase.startsWith("VALUES")) {
+        val tuples = SqlScript.splitTopLevel(valuesTail)
+        val selects = tuples.map { t =>
+          val inner = t.trim.stripPrefix("(").stripSuffix(")")
+          val exprs = SqlScript.splitTopLevel(inner)
+          require(exprs.length == targetCols.length,
+            s"INSERT arity mismatch: ${exprs.length} values for ${targetCols.length} columns")
+          "SELECT " + exprs.zip(targetCols)
+            .map { case (e, c) => s"$e AS `$c`" }.mkString(", ")
+        }
+        runSelect(selects.mkString(" UNION ALL "))
+      } else {
+        val df = runSelect(body)
+        require(df.columns.length == targetCols.length,
+          s"INSERT arity mismatch: ${df.columns.length} vs ${targetCols.length}")
+        df.toDF(targetCols: _*)
+      }
+    var full = incoming
+    viewCols.filterNot(c => full.columns.exists(_.equalsIgnoreCase(c)))
+      .foreach(miss => full = full.withColumn(miss, lit(null)))
+    full = full.select(viewCols.map(c => col(s"`$c`")): _*)
+    val rows = collectCapped(full, "INSERT")
+    fireInsteadOf(trigs, viewCols, rows.map(r => (None, Some(r.toSeq.toIndexedSeq))))
+  }
+
+  private def viewUpdate(view: String, body: String): Unit = {
+    if (firstTopLevelKw(body, "FROM") >= 0)
+      throw new UnsupportedOperationException(
+        "UPDATE ... FROM on a view is not supported")
+    val whereAt = topLevelWhere(body)
+    val (setPart, predPart) =
+      if (whereAt < 0) (body, None)
+      else (body.substring(0, whereAt), Some(body.substring(whereAt + 5)))
+    val (viewCols, vdf) = viewFrame(view)
+    val assignments: Seq[(String, Column)] =
+      SqlScript.splitTopLevel(setPart).map { a =>
+        val eq = topLevelEq(a)
+        val colName = SqlScript.unquoteIdent(a.substring(0, eq).trim)
+        val c = viewCols.find(_.equalsIgnoreCase(colName)).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $colName"))
+        c -> dexpr(a.substring(eq + 1).trim)
+      }
+    val trigs = insteadOfTriggers(view, "UPDATE", Some(assignments.map(_._1)))
+    if (trigs.isEmpty)
+      throw new IllegalArgumentException(s"cannot modify $view because it is a view")
+    val pred = predPart.map(dpred).getOrElse(lit(true))
+    val img = vdf.where(coalesce(pred, lit(false))).select(
+      (viewCols.map(c => col(s"`$c`").as(s"__o_$c")) ++
+        viewCols.map(c => assignments.collectFirst { case (n, v) if n == c => v }
+          .getOrElse(col(s"`$c`")).as(s"__n_$c"))): _*)
+    val n = viewCols.length
+    val rows = collectCapped(img, "UPDATE")
+    fireInsteadOf(trigs, viewCols, rows.map { r =>
+      (Some((0 until n).map(r.get(_)).toIndexedSeq),
+        Some((n until 2 * n).map(r.get(_)).toIndexedSeq))
+    })
+  }
+
+  private def viewDelete(view: String, rest: String): Unit = {
+    val trigs = insteadOfTriggers(view, "DELETE")
+    if (trigs.isEmpty)
+      throw new IllegalArgumentException(s"cannot modify $view because it is a view")
+    val (viewCols, vdf) = viewFrame(view)
+    val pred: Column =
+      if (rest.isEmpty) lit(true)
+      else {
+        require(rest.length > 5 && rest.substring(0, 5).equalsIgnoreCase("where") &&
+          rest.charAt(5).isWhitespace, s"cannot parse DELETE statement: $rest")
+        coalesce(dpred(rest.substring(6)), lit(false))
+      }
+    val rows = collectCapped(vdf.where(pred), "DELETE")
+    fireInsteadOf(trigs, viewCols, rows.map(r => (Some(r.toSeq.toIndexedSeq), None)))
+  }
 
   // ----------------------------------------------------------- triggers
 
@@ -2310,8 +2620,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         val lc = cs.map(_.toLowerCase).toSet
         if (meta.primaryKey.nonEmpty && meta.primaryKey.map(_.toLowerCase).toSet == lc)
           meta.primaryKey.toSeq
-        else meta.indexes.find(ix => ix.unique &&
-            ix.columns.map(_.toLowerCase).toSet == lc).map(_.columns)
+        else meta.uniques.find(_.map(_.toLowerCase).toSet == lc)
+          .orElse(meta.indexes.find(ix => ix.unique &&
+            ix.columns.map(_.toLowerCase).toSet == lc).map(_.columns))
           .getOrElse(throw new IllegalArgumentException(
             "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"))
     }

@@ -1,0 +1,231 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** DIFFERENTIAL FUZZER for the WRITE path: generates random schemas
+  * (types, PK/rowid alias, NOT NULL + DEFAULT, CHECK, UNIQUE, STRICT)
+  * and random write scripts (INSERT incl. OR IGNORE / OR REPLACE /
+  * upsert, UPDATE, DELETE, ALTER ADD/DROP/RENAME COLUMN), runs each
+  * script through the engine AND through real sqlite3 — both as ONE
+  * transaction (the engine's contract; sqlite3 via `.bail on` +
+  * BEGIN…COMMIT, so an error rolls the whole script back there too) —
+  * and compares the final content of every table via `quote()` rows.
+  *
+  * This is the write-surface analog of SqliteExprFuzzSpec: the
+  * constraint gates, upsert merge logic, STRICT coercions, and ALTER
+  * machinery each have probed specs, but only a fuzzer exercises their
+  * COMBINATIONS (a CHECK failing after an OR REPLACE merge on a STRICT
+  * table, a DROP COLUMN after an ALTER ADD, …).
+  *
+  * Stays on the engine's documented domain: no double-quoted string
+  * literals, typed comparisons, explicit PK values (the engine
+  * auto-assigns only OMITTED rowid-alias columns, not explicit NULLs),
+  * no triggers/views (their own differential specs cover interleaving).
+  */
+class SqliteWriteFuzzSpec extends SparkSpecBase {
+
+  // GRAFT_WRITE_FUZZ_COUNT / GRAFT_WRITE_FUZZ_SEED env vars → -D props
+  private val COUNT =
+    sys.props.get("graft.writefuzz.count").map(_.toInt).getOrElse(30)
+  private val SEED =
+    sys.props.get("graft.writefuzz.seed").map(_.toLong).getOrElse(20260814L)
+  private val rng = new scala.util.Random(SEED)
+
+  private lazy val root = Files.createTempDirectory("graft-wfuzz").toString
+  private lazy val engine = {
+    val store = new SegmentStore(spark, root)
+    new TroughEngine(spark, store, new SchemaRegistry)
+  }
+
+  private case class Col(name: String, tpe: String)
+
+  private def intLit: String = (rng.nextInt(26) - 5).toString
+  private def textLit: String = s"'t${rng.nextInt(8)}'"
+  private def realLit: String = s"${rng.nextInt(10)}.${rng.nextInt(10) * 25 + 25}"
+  private def litFor(tpe: String, strict: Boolean): String = {
+    // in non-strict tables any value can land anywhere (dynamic typing
+    // deviations are documented) — generate type-matching values; in
+    // STRICT tables also exercise the lossless-coercion path
+    val r = rng.nextInt(10)
+    tpe match {
+      case _ if r == 0 => "NULL"
+      case "INTEGER" => if (strict && r == 1) s"'${rng.nextInt(20)}'" else intLit
+      case "REAL" => if (r % 2 == 0) realLit else intLit
+      case "TEXT" => textLit
+      case _ => intLit
+    }
+  }
+
+  /** Random table definition; returns (ddl, cols, strict). */
+  private def genTable(name: String): (String, Seq[Col], Boolean) = {
+    val strict = rng.nextInt(4) == 0
+    val nCols = 2 + rng.nextInt(3)
+    val types = Seq("INTEGER", "TEXT", "REAL")
+    val cols = Col("id", "INTEGER") +:
+      (1 to nCols).map(i => Col(s"c$i", types(rng.nextInt(types.length))))
+    val defs = cols.zipWithIndex.map { case (c, i) =>
+      if (i == 0) s"${c.name} INTEGER PRIMARY KEY"
+      else {
+        val extras = new StringBuilder
+        if (rng.nextInt(4) == 0) {
+          val d = c.tpe match {
+            case "INTEGER" => intLit
+            case "REAL" => realLit
+            case _ => textLit
+          }
+          if (rng.nextInt(3) == 0) extras ++= s" NOT NULL DEFAULT $d"
+          else extras ++= s" DEFAULT $d"
+        }
+        if (c.tpe == "INTEGER" && rng.nextInt(5) == 0)
+          extras ++= s" CHECK (${c.name} > -900)"
+        if (rng.nextInt(8) == 0) extras ++= " UNIQUE"
+        s"${c.name} ${c.tpe}$extras"
+      }
+    }
+    // occasional composite table-level UNIQUE over the first two data
+    // columns — drives the any-key conflict paths and the DROP COLUMN
+    // table-error refusal
+    val tableConstraint =
+      if (nCols >= 2 && rng.nextInt(5) == 0)
+        Seq(s"UNIQUE (${cols(1).name}, ${cols(2).name})")
+      else Nil
+    (s"CREATE TABLE $name (${(defs ++ tableConstraint).mkString(", ")})" +
+      (if (strict) " STRICT" else "") + ";", cols, strict)
+  }
+
+  private def genScript(table: String, cols0: Seq[Col], strict: Boolean): String = {
+    var cols = cols0
+    var nextId = 1
+    var added = 0
+    val stmts = (1 to (3 + rng.nextInt(6))).map { _ =>
+      rng.nextInt(12) match {
+        case 0 | 1 | 2 | 3 =>
+          val vals = cols.map {
+            case Col("id", _) =>
+              // mostly fresh ids, sometimes a deliberate collision
+              if (rng.nextInt(4) == 0 && nextId > 1) (rng.nextInt(nextId) + 1).toString
+              else { nextId += 1; nextId.toString }
+            case c => litFor(c.tpe, strict)
+          }
+          val conflict = rng.nextInt(6) match {
+            case 0 => "OR IGNORE "
+            case 1 => "OR REPLACE "
+            case _ => ""
+          }
+          s"INSERT $conflict INTO $table VALUES (${vals.mkString(", ")});"
+        case 4 =>
+          val vals = cols.map {
+            case Col("id", _) =>
+              if (nextId > 1) (rng.nextInt(nextId) + 1).toString
+              else { nextId += 1; nextId.toString }
+            case c => litFor(c.tpe, strict)
+          }
+          val tgt = cols(1 + rng.nextInt(cols.length - 1))
+          s"INSERT INTO $table VALUES (${vals.mkString(", ")}) " +
+            s"ON CONFLICT(id) DO UPDATE SET ${tgt.name} = excluded.${tgt.name};"
+        case 5 | 6 =>
+          val tgt = cols(1 + rng.nextInt(cols.length - 1))
+          val rhs =
+            if (tgt.tpe == "INTEGER" && rng.nextInt(2) == 0) s"${tgt.name} + 1"
+            else litFor(tgt.tpe, strict)
+          s"UPDATE $table SET ${tgt.name} = $rhs WHERE id % ${2 + rng.nextInt(3)} " +
+            s"= ${rng.nextInt(2)};"
+        case 7 =>
+          s"DELETE FROM $table WHERE id > ${rng.nextInt(12)};"
+        case 8 if added < 2 =>
+          added += 1
+          val tpe = Seq("INTEGER", "TEXT", "REAL")(rng.nextInt(3))
+          val d = tpe match {
+            case "INTEGER" => intLit
+            case "REAL" => realLit
+            case _ => textLit
+          }
+          cols = cols :+ Col(s"x$added", tpe)
+          s"ALTER TABLE $table ADD COLUMN x$added $tpe DEFAULT $d;"
+        case 9 if cols.length > 2 =>
+          // drop a random non-pk column — may be refused (UNIQUE/CHECK
+          // members), which is itself differential signal
+          val victim = cols(1 + rng.nextInt(cols.length - 1))
+          cols = cols.filterNot(_.name == victim.name)
+          s"ALTER TABLE $table DROP COLUMN ${victim.name};"
+        case 10 if cols.length > 2 =>
+          val victim = cols(1 + rng.nextInt(cols.length - 1))
+          val nn = victim.name + "r"
+          cols = cols.map(c => if (c.name == victim.name) c.copy(name = nn) else c)
+          s"ALTER TABLE $table RENAME COLUMN ${victim.name} TO $nn;"
+        case _ =>
+          s"DELETE FROM $table WHERE id = ${rng.nextInt(10)};"
+      }
+    }
+    stmts.mkString("\n")
+  }
+
+  /** Multiset of quote()-rendered rows of `table`, sorted — engine side. */
+  private def engineRows(seg: String, table: String): Option[Seq[String]] =
+    scala.util.Try {
+      val schema = engine.store.tableMeta(seg, table).schema
+      val sel = schema.fieldNames.map(c => s"quote(`$c`)").mkString(" || '|' || ")
+      engine.read(seg, s"SELECT $sel AS r FROM $table;")
+        .collect().map(_.getString(0)).toSeq.sorted
+    }.toOption
+
+  /** Same multiset from the sqlite3 side. */
+  private def sqliteRows(db: String, table: String): Option[Seq[String]] =
+    scala.util.Try {
+      val colsCsv = SqliteCli.query(db,
+        s"SELECT name FROM pragma_table_info('$table');")
+        .split("\n").filter(_.nonEmpty)
+      val sel = colsCsv.map(c => s"quote(\"$c\")").mkString(" || '|' || ")
+      val out = SqliteCli.query(db, s"SELECT $sel FROM $table;")
+      out.split("\n").filter(_.nonEmpty).toSeq.sorted
+    }.toOption
+
+  test(s"$COUNT random write scripts agree with sqlite3 (seed $SEED)") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    var comparedNonEmpty = 0 // harness self-check: comparisons must bite
+    var errorOutcomes = 0
+    for (i <- 1 to COUNT) {
+      val segId = s"wf-$i"
+      val (ddl, cols, strict) = genTable("t")
+      val db = Files.createTempDirectory(s"wfuzz-$i").resolve("f.sqlite")
+      // schema committed separately on both sides
+      val schemaOk = scala.util.Try {
+        engine.schemas.put(s"wf-schema-$i", ddl)
+        engine.provisionWritable(segId, s"wf-schema-$i")
+      }.isSuccess
+      if (schemaOk && SqliteCli.run(db.toString, ddl) == 0) {
+        val script = genScript("t", cols, strict)
+        val engineErr = scala.util.Try(engine.write(segId, script)).failed.toOption
+        // .bail on + one txn: an error aborts and rolls back everything,
+        // the engine's whole-script contract
+        val rc = SqliteCli.run(db.toString,
+          ".bail on\nBEGIN;\n" + script + "\nCOMMIT;")
+        val sqliteErr = rc != 0
+        if (engineErr.isDefined != sqliteErr)
+          failures += s"[$i] outcome diverged (engine=${engineErr.map(_.getMessage)} " +
+            s"sqlite3 rc=$rc)\n$ddl\n$script"
+        else {
+          if (engineErr.isDefined) errorOutcomes += 1
+          (engineRows(segId, "t"), sqliteRows(db.toString, "t")) match {
+            case (Some(a), Some(b)) =>
+              if (a != b)
+                failures += s"[$i] rows diverged\n$ddl\n$script\nengine: $a\nsqlite3: $b"
+              else if (a.nonEmpty) comparedNonEmpty += 1
+            case (a, b) =>
+              failures += s"[$i] row read failed (engine=${a.isDefined} " +
+                s"sqlite3=${b.isDefined})\n$ddl\n$script"
+          }
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/$COUNT scripts diverged:\n${failures.take(5).mkString("\n---\n")}")
+    // the sweep must have actually compared data and seen both outcome
+    // kinds — a generator or harness regression that empties the domain
+    // should fail here, not pass silently
+    assert(comparedNonEmpty > COUNT / 4,
+      s"only $comparedNonEmpty/$COUNT comparisons had rows — degenerate sweep")
+  }
+}

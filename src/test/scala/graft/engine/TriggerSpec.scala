@@ -291,9 +291,13 @@ class TriggerSpec extends SparkSpecBase {
       "CREATE TRIGGER z AFTER INSERT ON t BEGIN SELECT 2; END;"))
     assert(e3.getMessage == "trigger z already exists")
     engine.write(id, "CREATE TRIGGER IF NOT EXISTS z AFTER INSERT ON t BEGIN SELECT 2; END;")
-    val e4 = intercept[UnsupportedOperationException](engine.write(id,
-      "CREATE TRIGGER iv INSTEAD OF INSERT ON vv BEGIN SELECT 1; END;"))
-    assert(e4.getMessage.contains("INSTEAD OF"))
+    // INSTEAD OF on a view now creates (r9 — InsteadOfTriggerSpec); on
+    // a TABLE it refuses with sqlite3's text
+    engine.write(id,
+      "CREATE TRIGGER iv INSTEAD OF INSERT ON vv BEGIN SELECT 1; END;")
+    val e4 = intercept[IllegalArgumentException](engine.write(id,
+      "CREATE TRIGGER iv2 INSTEAD OF INSERT ON t BEGIN SELECT 1; END;"))
+    assert(e4.getMessage == "cannot create INSTEAD OF trigger on table: t")
   }
 
   test("a failed script leaves no trigger behind; ROLLBACK TO discards one") {

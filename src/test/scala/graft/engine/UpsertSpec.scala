@@ -159,4 +159,102 @@ class UpsertSpec extends SparkSpecBase {
       "INSERT INTO t VALUES (2, NULL, 2); INSERT INTO t VALUES (3, NULL, 3);")
     assert(engine.read(id, "SELECT count(*) AS n FROM t;").collect()(0).getLong(0) == 3L)
   }
+
+  // ---- conflict resolution over EVERY unique constraint (fuzz-caught
+  // r9: OR IGNORE / OR REPLACE resolved only PRIMARY KEY conflicts;
+  // all behaviors below probed against sqlite3 3.51) ----
+
+  test("OR IGNORE skips rows conflicting on a UNIQUE index, not just the PK") {
+    val id = seg()
+    // sqlite3: 'a' collides on uv → row silently dropped; (2,'b') lands
+    engine.write(id, "INSERT OR IGNORE INTO t VALUES (2, 'a', 9);" +
+      "INSERT OR IGNORE INTO t VALUES (2, 'b', 2);")
+    assert(dump(id) == Seq("1|a|1", "2|b|2"))
+  }
+
+  test("OR IGNORE silently drops NOT NULL and CHECK violators (probed)") {
+    n += 1
+    val id = s"ups-$n"
+    engine.schemas.put(s"ups-nncheck-$n",
+      "CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT NOT NULL, c INTEGER CHECK (c > 0));")
+    engine.provisionWritable(id, s"ups-nncheck-$n")
+    engine.write(id,
+      "INSERT OR IGNORE INTO t VALUES (1, NULL, 5);" + // NOT NULL → dropped
+        "INSERT OR IGNORE INTO t VALUES (2, 'x', -4);" + // CHECK → dropped
+        "INSERT OR IGNORE INTO t VALUES (3, 'y', 7);") // clean → kept
+    val rows = engine.read(id, "SELECT k FROM t ORDER BY k;").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("OR REPLACE deletes rows conflicting on ANY unique key (probed)") {
+    val id = seg()
+    engine.write(id, "INSERT INTO t VALUES (2, 'b', 2);")
+    // (3,'a') conflicts with row 1 on uv AND nothing on k: row 1 deleted
+    engine.write(id, "INSERT OR REPLACE INTO t VALUES (3, 'a', 9);")
+    assert(dump(id) == Seq("2|b|2", "3|a|9"))
+    // conflicting on BOTH keys deletes both victims (probed: 1 row left)
+    engine.write(id, "INSERT OR REPLACE INTO t VALUES (2, 'a', 5);")
+    assert(dump(id) == Seq("2|a|5"))
+  }
+
+  test("OR REPLACE substitutes the declared DEFAULT for a NULL NOT NULL value") {
+    n += 1
+    val id = s"ups-$n"
+    engine.schemas.put(s"ups-repl-dflt-$n",
+      "CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT NOT NULL DEFAULT 'd');")
+    engine.provisionWritable(id, s"ups-repl-dflt-$n")
+    // sqlite3: REPLACE-mode NOT NULL takes the default (lang_conflict)
+    engine.write(id, "INSERT OR REPLACE INTO t VALUES (1, NULL);")
+    assert(engine.read(id, "SELECT v FROM t;").collect()(0).getString(0) == "d")
+    // without a default the write aborts (commit gate's SQLite text)
+    engine.schemas.put(s"ups-repl-nodflt-$n",
+      "CREATE TABLE u (k INTEGER PRIMARY KEY, v TEXT NOT NULL);")
+    n += 1
+    val id2 = s"ups-$n"
+    engine.schemas.put(s"ups-repl-nodflt2-$n",
+      "CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT NOT NULL);")
+    engine.provisionWritable(id2, s"ups-repl-nodflt2-$n")
+    val e = intercept[IllegalArgumentException](engine.write(id2,
+      "INSERT OR REPLACE INTO t VALUES (1, NULL);"))
+    assert(e.getMessage == "NOT NULL constraint failed: t.v")
+  }
+
+  test("upsert checks NOT NULL/CHECK on the INCOMING row before diverting") {
+    n += 1
+    val id = s"ups-$n"
+    engine.schemas.put(s"ups-divert-$n",
+      "CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT NOT NULL, c INTEGER CHECK (c > 0));")
+    engine.provisionWritable(id, s"ups-divert-$n")
+    engine.write(id, "INSERT INTO t VALUES (1, 'a', 1);")
+    // sqlite3: NOT NULL fails even though k=1 would divert to DO UPDATE
+    val e1 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (1, NULL, 5) ON CONFLICT(k) DO UPDATE SET v = 'b';"))
+    assert(e1.getMessage == "NOT NULL constraint failed: t.v")
+    // same for a failing CHECK, and for DO NOTHING
+    val e2 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (1, 'x', -5) ON CONFLICT(k) DO UPDATE SET v = 'b';"))
+    assert(e2.getMessage == "CHECK constraint failed: c > 0")
+    val e3 = intercept[IllegalArgumentException](engine.write(id,
+      "INSERT INTO t VALUES (1, NULL, 5) ON CONFLICT(k) DO NOTHING;"))
+    assert(e3.getMessage == "NOT NULL constraint failed: t.v")
+  }
+
+  test("untargeted DO NOTHING ignores conflicts on ANY unique constraint") {
+    val id = seg()
+    // conflicts on uv (not the PK): sqlite3 keeps the table unchanged
+    engine.write(id, "INSERT INTO t VALUES (5, 'a', 9) ON CONFLICT DO NOTHING;")
+    assert(dump(id) == Seq("1|a|1"))
+  }
+
+  test("conflict target may name a declared table-level UNIQUE") {
+    n += 1
+    val id = s"ups-$n"
+    engine.schemas.put(s"ups-tuniq-$n",
+      "CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT, m INTEGER, UNIQUE (v));")
+    engine.provisionWritable(id, s"ups-tuniq-$n")
+    engine.write(id, "INSERT INTO t VALUES (1, 'a', 1);" +
+      "INSERT INTO t VALUES (2, 'a', 7) ON CONFLICT(v) DO UPDATE SET m = excluded.m;")
+    val r = engine.read(id, "SELECT k, m FROM t;").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 7L)))
+  }
 }
