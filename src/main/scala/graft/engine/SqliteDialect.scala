@@ -627,7 +627,7 @@ object SqliteDialect {
     val toks = tokenize(sql)
     val found = toks.indices.find { i =>
       toks(i).lower == "collate" && i > 0 && i + 1 < toks.length &&
-        Set("nocase", "binary").contains(toks(i + 1).lower)
+        Set("nocase", "binary", "rtrim").contains(toks(i + 1).lower)
     }
     found match {
       case None => sql
@@ -635,6 +635,10 @@ object SqliteDialect {
         if (toks(i + 1).lower == "binary")
           return rewriteCollate(
             sql.substring(0, toks(i).start) + sql.substring(toks(i + 1).end))
+        // NOCASE folds ASCII case; RTRIM ignores trailing spaces before
+        // a BINARY compare (datatype3.html §7.1) — both express as a
+        // both-sides wrap around the collation-governed comparison
+        val wrap = if (toks(i + 1).lower == "rtrim") "rtrim" else "ascii_lower"
         val yStart = operandStartBefore(toks, i)
         if (yStart >= i) return sql // no operand: the parser reports it
         val y = sql.substring(toks(yStart).start, toks(i - 1).end)
@@ -649,7 +653,7 @@ object SqliteDialect {
             val x = sql.substring(toks(xStart).start, toks(opStart - 1).end)
             val op = sql.substring(toks(opStart).start, toks(yStart - 1).end)
             return rewriteCollate(sql.substring(0, toks(xStart).start) +
-              s"ascii_lower($x) $op ascii_lower($y)" + sql.substring(toks(i + 1).end))
+              s"$wrap($x) $op $wrap($y)" + sql.substring(toks(i + 1).end))
           }
         }
         // operator run directly RIGHT of the collation — the common
@@ -665,11 +669,11 @@ object SqliteDialect {
             val op = sql.substring(toks(i + 2).start, toks(opEnd - 1).end)
             val z = sql.substring(toks(opEnd).start, toks(zEnd - 1).end)
             return rewriteCollate(sql.substring(0, toks(yStart).start) +
-              s"ascii_lower($y) $op ascii_lower($z)" + sql.substring(toks(zEnd - 1).end))
+              s"$wrap($y) $op $wrap($z)" + sql.substring(toks(zEnd - 1).end))
           }
         }
         rewriteCollate(sql.substring(0, toks(yStart).start) +
-          s"ascii_lower($y)" + sql.substring(toks(i + 1).end))
+          s"$wrap($y)" + sql.substring(toks(i + 1).end))
     }
   }
 

@@ -85,7 +85,16 @@ class SqliteExprFuzzSpec extends SparkSpecBase {
     val cmp = Seq("=", "<>", "<", "<=", ">", ">=")(rng.nextInt(6))
     rng.nextInt(10) match {
       case 0 => s"(${intExpr(math.max(d - 1, 0))} $cmp ${intExpr(math.max(d - 1, 0))})"
-      case 1 => s"(${strExpr(math.max(d - 1, 0))} $cmp ${strExpr(math.max(d - 1, 0))})"
+      case 1 =>
+        // sometimes under a collation (NOCASE folds ASCII case, RTRIM
+        // ignores trailing spaces, BINARY is explicit default)
+        val coll = rng.nextInt(4) match {
+          case 0 => " COLLATE NOCASE"
+          case 1 => " COLLATE RTRIM"
+          case 2 => " COLLATE BINARY"
+          case _ => ""
+        }
+        s"(${strExpr(math.max(d - 1, 0))} $cmp ${strExpr(math.max(d - 1, 0))}$coll)"
       case 2 => s"(${strExpr(0)} LIKE ${strLit})"
       case 3 => s"(${strExpr(0)} GLOB ${strLit})"
       case 4 if d > 0 => s"(${boolExpr(d - 1)} AND ${boolExpr(d - 1)})"
