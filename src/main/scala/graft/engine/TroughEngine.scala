@@ -128,11 +128,88 @@ class TroughEngine(
       store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
     }
     registerViews(sess, store.views(segmentId), stmt)
-    if (mentionsMaster(stmt))
+    val stmt2 = rewritePragmaTvfs(sess, segmentId, stmt)
+    if (mentionsMaster(stmt2))
       registerMaster(sess, store.masterCatalog(segmentId).map {
         case (t, n, tb, rp, sq) => Row(t, n, tb, rp, sq)
       }, withSegmentId = false)
-    SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
+    SqliteDialect.sqlPrepared(sess, stmt2) // validateRead already prepared it
+  }
+
+  /** SQLite's `pragma_table_info('t')` / `pragma_table_xinfo('t')`
+    * table-valued functions on the read path (pragma.html#pragfunc):
+    * each call site rewrites to a registered temp view carrying
+    * SQLite's exact shape — (cid, name, type, notnull, dflt_value,
+    * pk[, hidden]) — with generated columns hidden from `table_info`
+    * (cid renumbers among the shown rows) and hidden = 2 (VIRTUAL) /
+    * 3 (STORED) in `table_xinfo`; an unknown name yields zero rows;
+    * view columns report their engine types. All probed on 3.51.
+    * Declared-type text is verbatim for STRICT tables and the export's
+    * canonical rendering otherwise (the original declared text is not
+    * recorded — the same canonicalization exported DDL applies). */
+  private val pragmaTviRe =
+    """(?i)\bpragma_table_(x)?info\s*\(\s*(?:'([^']*)'|`([^`]*)`|([A-Za-z_][A-Za-z0-9_]*))\s*\)""".r
+
+  private val tableInfoSchema = StructType(Seq(
+    StructField("cid", LongType), StructField("name", StringType),
+    StructField("type", StringType), StructField("notnull", LongType),
+    StructField("dflt_value", StringType), StructField("pk", LongType)))
+
+  private def rewritePragmaTvfs(sess: SparkSession, segmentId: String,
+      stmt: String): String =
+    pragmaTviRe.replaceAllIn(stmt, m => {
+      val x = m.group(1) != null
+      val t = (2 to 4).flatMap(g => Option(m.group(g))).headOption.getOrElse("")
+      val viewName = s"__pragma_table_${if (x) "x" else ""}info__" +
+        t.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+      registerTableInfo(sess, segmentId, t, x, viewName)
+      scala.util.matching.Regex.quoteReplacement(s"`$viewName`")
+    })
+
+  private def sqliteTypeName(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case LongType => "INTEGER"
+      case org.apache.spark.sql.types.DoubleType => "REAL"
+      case org.apache.spark.sql.types.BinaryType => "BLOB"
+      case _ => "TEXT"
+    }
+
+  private def registerTableInfo(sess: SparkSession, segmentId: String,
+      table: String, xinfo: Boolean, viewName: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema =
+      if (xinfo) tableInfoSchema.add(StructField("hidden", LongType))
+      else tableInfoSchema
+    val rows: Seq[Row] =
+      if (store.tableExists(segmentId, table)) {
+        val meta = store.tableMeta(segmentId, table)
+        def genOf(n: String) = meta.generated.find(_.name.equalsIgnoreCase(n))
+        val shown =
+          if (xinfo) meta.schema.fields.toSeq
+          else meta.schema.fields.toSeq.filter(f => genOf(f.name).isEmpty)
+        shown.zipWithIndex.map { case (f, cid) =>
+          val tpe = meta.strictTypes.collectFirst {
+            case (c, d) if c.equalsIgnoreCase(f.name) => d
+          }.getOrElse(sqliteTypeName(f.dataType))
+          val nn = if (meta.notNull.exists(_.equalsIgnoreCase(f.name))) 1L else 0L
+          val dflt = meta.defaults.collectFirst {
+            case (c, d) if c.equalsIgnoreCase(f.name) => d }.orNull
+          val pk = (meta.primaryKey.indexWhere(_.equalsIgnoreCase(f.name)) + 1).toLong
+          val base = Seq(cid.toLong, f.name, tpe, nn, dflt, pk)
+          Row.fromSeq(if (!xinfo) base else base :+ (genOf(f.name) match {
+            case Some(g) if g.stored => 3L
+            case Some(_) => 2L
+            case None => 0L
+          }))
+        }
+      } else if (sess.catalog.tableExists(table)) {
+        // a registered VIEW: SQLite reports view columns too
+        sess.table(table).schema.fields.toSeq.zipWithIndex.map { case (f, cid) =>
+          val base = Seq(cid.toLong, f.name, sqliteTypeName(f.dataType), 0L, null, 0L)
+          Row.fromSeq(if (!xinfo) base else base :+ 0L)
+        }
+      } else Nil // unknown name: zero rows, like sqlite3
+    sess.createDataFrame(rows.asJava, schema).createOrReplaceTempView(viewName)
   }
 
   /** `sqlite_master` (and its 3.33 alias `sqlite_schema`) as a

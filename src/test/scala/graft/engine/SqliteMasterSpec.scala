@@ -85,4 +85,46 @@ class SqliteMasterSpec extends SparkSpecBase {
       .collect()(0).getLong(0)
     assert(n == 1L)
   }
+
+  test("pragma_table_info matches real sqlite3 over an export (r9)") {
+    val db = Files.createTempDirectory("master-tvi").resolve("m.sqlite")
+    engine.store.exportSqliteSegment(seg, db.toString)
+    // the export canonicalizes declared types, so the engine's answer
+    // and sqlite3's over the exported file must agree byte for byte
+    for (t <- Seq("crawl", "host")) {
+      val q = s"SELECT cid, name, type, `notnull`, dflt_value, pk " +
+        s"FROM pragma_table_info('$t')"
+      val theirs = SqliteCli.query(db.toString,
+        s"SELECT cid, name, type, \"notnull\", dflt_value, pk FROM pragma_table_info('$t');")
+      val ours = engine.read(seg, q).collect().map(r =>
+        (0 until 6).map(i => if (r.isNullAt(i)) "" else r.get(i).toString)
+          .mkString("|")).mkString("\n")
+      assert(ours == theirs, s"$t:\nours:\n$ours\nsqlite3:\n$theirs")
+    }
+    // unknown table: zero rows, like sqlite3
+    assert(engine.read(seg,
+      "SELECT count(*) AS n FROM pragma_table_info('nope');")
+      .collect()(0).getLong(0) == 0L)
+    // joins and WHERE over the TVF work like any relation
+    val nn = engine.read(seg,
+      "SELECT name FROM pragma_table_info('host') WHERE `notnull` = 1;")
+      .collect().map(_.getString(0)).toSeq
+    assert(nn == Seq("host"))
+  }
+
+  test("pragma_table_xinfo shows generated columns with hidden = 2/3 (r9)") {
+    engine.schemas.put("master-gen-schema",
+      "CREATE TABLE g (a INTEGER, s INTEGER AS (a + 1) STORED, " +
+        "v INTEGER AS (a + 2) VIRTUAL);")
+    engine.provisionWritable("m-gen", "master-gen-schema")
+    // table_info hides generated columns and renumbers cid (probed)
+    val info = engine.read("m-gen",
+      "SELECT cid, name FROM pragma_table_info('g');").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(info == Seq((0L, "a")))
+    val xinfo = engine.read("m-gen",
+      "SELECT cid, name, hidden FROM pragma_table_xinfo('g');").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(xinfo == Seq((0L, "a", 0L), (1L, "s", 3L), (2L, "v", 2L)))
+  }
 }
