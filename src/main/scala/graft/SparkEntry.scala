@@ -1046,6 +1046,79 @@ object SparkEntry {
           Multimodal.syntheticImages(t(s, dir, "documents")))
         .select($"media_id", $"width", $"height", $"mean_px", $"ok")
         .orderBy($"media_id")
+    }),
+
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1) over
+    // token bigrams: top-gram fraction + duplicated-gram fraction per
+    // document. Entirely higher-order functions — one sort + one
+    // aggregate pass per row, zero shuffle, so the operator is
+    // scan-bound at any corpus size.
+    "q61_repetition" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.shingles(TextOps.tokens($"text"), 2).as("grams"))
+        .select($"doc_id", size($"grams").cast("long").as("n_bigrams"),
+          TextOps.gramRepetition($"grams").as("st"))
+        .select($"doc_id", $"n_bigrams",
+          $"st.top".as("top_bigram_count"),
+          when($"n_bigrams" === 0, 0d)
+            .otherwise($"st.top".cast("double") / $"n_bigrams")
+            .as("top_bigram_frac"),
+          when($"n_bigrams" === 0, 0d)
+            .otherwise($"st.dups".cast("double") / $"n_bigrams")
+            .as("dup_bigram_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII detection + redaction. The corpus is synthetic (no natural
+    // PII), so the query first DERIVES a PII-bearing column from the
+    // data itself — same derivation in the oracle — then counts and
+    // redacts with the shared Java/RE2-subset patterns. Stateless
+    // regex work: scan-bound, codegen'd, no shuffle.
+    "q62_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val aug = concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail"), ($"doc_id" % 7).cast("string"),
+        lit(".com from 10."), ($"doc_id" % 256).cast("string"),
+        lit("."), (($"doc_id" * 7) % 256).cast("string"),
+        lit("."), ($"doc_id" % 254 + 1).cast("string"),
+        lit(" call +1-555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .select($"doc_id", aug.as("t2"))
+        .select($"doc_id",
+          regexp_count($"t2", lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+          regexp_count($"t2", lit(TextOps.Ipv4Re)).cast("long").as("n_ips"),
+          regexp_count($"t2", lit(TextOps.PhoneRe)).cast("long").as("n_phones"),
+          TextOps.redactPii($"t2").as("redacted"))
+        .orderBy($"doc_id")
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any
+    // 5-token gram with the "benchmark" slice (doc_id % 13 == 0 stands
+    // in for an external eval set). Explode is linear in corpus size;
+    // the benchmark gram set is orders of magnitude smaller than the
+    // corpus (real eval sets are MBs), so Spark/AQE broadcasts it and
+    // the corpus side never shuffles; at 100 TB the gram join key
+    // would be an 8-byte hash rather than the gram text.
+    "q63_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val grams = t(s, dir, "documents")
+        .select($"doc_id",
+          explode(TextOps.shingles(TextOps.tokens($"text"), 5)).as("gram"))
+      val bench = grams.filter($"doc_id" % 13 === 0).select($"gram").distinct()
+      val hits = grams.filter($"doc_id" % 13 =!= 0)
+        .join(bench, "gram")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gram").as("shared"))
+      t(s, dir, "documents").filter($"doc_id" % 13 =!= 0).select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"shared", lit(0L)).as("n_shared_grams"),
+          (coalesce($"shared", lit(0L)) > 0).cast("int").as("contaminated"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -1620,6 +1693,68 @@ object SparkEntry {
         CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 7 + 1 AS BIGINT) END AS height,
         CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 251 AS BIGINT) END AS mean_px,
         doc_id % 97 <> 0 AS ok
-      FROM documents ORDER BY media_id"""
+      FROM documents ORDER BY media_id""",
+    // re-derives the bigram counts relationally (unnest + group by):
+    // max count, sum of counts >= 2, total count per document
+    "q61_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(tk) >= 2
+              THEN list_transform(generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1])
+              ELSE [] END AS grams FROM t),
+      u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      c AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
+      a AS (SELECT doc_id, max(cnt) AS top,
+              coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS dups,
+              sum(cnt) AS n
+            FROM c GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(coalesce(a.n, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(a.top, 0) AS BIGINT) AS top_bigram_count,
+        CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+             ELSE CAST(a.top AS DOUBLE) / a.n END AS top_bigram_frac,
+        CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+             ELSE CAST(a.dups AS DOUBLE) / a.n END AS dup_bigram_frac
+      FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+      ORDER BY t.doc_id""",
+    // identical augmentation + identical pattern text; DuckDB needs the
+    // explicit 'g' flag where Spark's regexp_replace is global already
+    "q62_pii_redact" -> """
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+            || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+            || ' call +1-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t2,
+          '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t2,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t2, '\+1-555-\d{4}')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(t2,
+          '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\+1-555-\d{4}', '<PHONE>', 'g') AS redacted
+      FROM aug ORDER BY doc_id""",
+    "q63_decontam" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 4),
+                i -> array_to_string(tk[i:i+4], ' '))) AS gram
+            FROM t WHERE len(tk) >= 5),
+      b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+      h AS (SELECT doc_id, count(DISTINCT g.gram) AS shared
+            FROM g JOIN b USING (gram)
+            WHERE doc_id % 13 <> 0 GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(h.shared, 0) AS BIGINT) AS n_shared_grams,
+        CAST(coalesce(h.shared, 0) > 0 AS INT) AS contaminated
+      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 13 <> 0 ORDER BY d.doc_id"""
   )
 }

@@ -22,6 +22,25 @@ import scala.sys.process._
   */
 object SqliteCli {
 
+  /** Absolute path of the `sqlite3` binary. PATH lookup first, then
+    * conventional install locations — test environments don't always
+    * export the same PATH to the JVM (a bare-name ProcessBuilder spawn
+    * fails with a confusing IOException when they don't). Override
+    * with -Dgraft.sqlite3 / GRAFT_SQLITE3. */
+  lazy val binary: String = {
+    val explicit = sys.props.get("graft.sqlite3")
+      .orElse(sys.env.get("GRAFT_SQLITE3"))
+    val pathDirs = sys.env.getOrElse("PATH", "")
+      .split(java.io.File.pathSeparatorChar).toSeq
+    val fallbackDirs = Seq("/usr/bin", "/usr/local/bin", "/opt/sqlite/bin",
+      sys.props.getOrElse("user.home", "") + "/miniconda/bin",
+      sys.props.getOrElse("user.home", "") + "/.local/bin")
+    explicit.orElse {
+      (pathDirs ++ fallbackDirs).map(d => new java.io.File(d, "sqlite3"))
+        .find(f => f.isFile && f.canExecute).map(_.getAbsolutePath)
+    }.getOrElse("sqlite3") // let the spawn error name the real problem
+  }
+
   /** Execute `sql` against `db` (a path, or ":memory:"); returns the
     * exit code. stdout is discarded unless `stdout` is given. */
   def run(db: String, sql: String, stdout: Option[Path] = None): Int = {
@@ -43,7 +62,7 @@ object SqliteCli {
     * `redirectInput(File)` is the JDK's native fd-level redirect: the
     * child reads the file itself, no pump thread exists to lose. */
   def runFile(db: String, script: Path, stdout: Option[Path] = None): Int = {
-    val pb = new java.lang.ProcessBuilder("sqlite3", db)
+    val pb = new java.lang.ProcessBuilder(binary, db)
     pb.redirectInput(script.toFile)
     stdout match {
       case Some(out) => pb.redirectOutput(out.toFile)

@@ -313,33 +313,69 @@ case class SqliteTypeOf(child: Expression)
     copy(child = newChild)
 }
 
-/** SQLite's REAL→text rendering, shared by quote(), CAST … AS TEXT and
-  * the `||` operands: shortest round-trip digits (SQLite 3.43+ renders
-  * like Ryu, which Java's Double.toString also produces) presented
-  * C-style — fixed notation for decimal exponents in [-4, 15),
-  * otherwise `d.ddde±XX` with a signed ≥2-digit exponent and a mantissa
-  * that always shows a decimal point; zero renders `0.0` (also for
-  * -0.0, probed), infinities as SQLite's `9.0e+999` sentinel. All
-  * probed against the sandbox CLI (fuzz-caught: 2.53e15 rendered
-  * `2.530235925353035E15` Java-style instead of `…e+15`). */
+/** SQLite's REAL→text rendering, shared by quote(), CAST … AS TEXT,
+  * json, group_concat and the `||` operands: `%!.15g` — the EXACT
+  * binary value rounded to 15 significant digits (probed: sqlite3
+  * renders `CAST(1.0/3.0 AS TEXT)` as `0.333333333333333`, NOT the
+  * 17-digit shortest round-trip form; a query-fuzz catch — the old
+  * shortest-digits rendering diverged on every avg()), trailing zeros
+  * dropped, presented C-style — fixed notation for decimal exponents
+  * in [-4, 15), otherwise `d.ddde±XX` with a signed ≥2-digit exponent
+  * and a mantissa that always shows a decimal point; zero renders
+  * `0.0` (also for -0.0, probed), infinities as SQLite's `9.0e+999`
+  * sentinel. sqlite3FpDecode's digits are accurate far past position
+  * 15, so rounding the exact expansion matches it here (fuzz-verified);
+  * see [[quoteText]] for the one place its approximation shows. */
 object SqliteReal {
   def text(d: Double): String = {
     if (d.isNaN) return "NULL" // unreachable from SQLite-sourced values
     if (d.isInfinite) return if (d > 0) "9.0e+999" else "-9.0e+999"
     if (d == 0.0) return "0.0"
+    render(d, 15, java.math.RoundingMode.HALF_UP)
+  }
+
+  /** SQLite `quote()` of a REAL (public algorithm, sqlite/src/func.c
+    * quoteFunc): render `%!.15g`; if that text does not parse back to
+    * the identical double, re-render in scientific notation with
+    * sqlite3FpDecode's ~19 significant digits so the literal
+    * round-trips. DOCUMENTED DEVIATION: sqlite's decoder computes
+    * those digits with double-double arithmetic whose LAST digit is
+    * occasionally one off the exact expansion (probed: quote(1.0/7.0)
+    * answers …493e-01 where the exact value truncates to …492); this
+    * renders the exact expansion truncated at 19, so the final digit
+    * can differ from sqlite3 on non-round-trip values. Differential
+    * suites compare such values through CAST(… AS TEXT) (full parity)
+    * instead. */
+  def quoteText(d: Double): String = {
+    if (d.isNaN) return "NULL"
+    if (d.isInfinite) return if (d > 0) "9.0e+999" else "-9.0e+999"
+    if (d == 0.0) return "0.0"
+    val t = text(d)
+    if (java.lang.Double.parseDouble(t) == d) t
+    else {
+      val digits19 = render(d, 19, java.math.RoundingMode.DOWN)
+      // force scientific presentation regardless of exponent
+      if (digits19.contains('e')) digits19
+      else {
+        val bd = new java.math.BigDecimal(math.abs(d))
+          .round(new java.math.MathContext(19, java.math.RoundingMode.DOWN))
+          .stripTrailingZeros()
+        sci(d < 0, bd)
+      }
+    }
+  }
+
+  private def render(d: Double, sig: Int,
+      mode: java.math.RoundingMode): String = {
     val neg = d < 0
-    val bd = new java.math.BigDecimal(
-      java.lang.Double.toString(math.abs(d))).stripTrailingZeros()
+    val bd = new java.math.BigDecimal(math.abs(d))
+      .round(new java.math.MathContext(sig, mode))
+      .stripTrailingZeros()
     val digits = bd.unscaledValue().abs().toString
     val exp = bd.precision() - 1 - bd.scale()
     val sign = if (neg) "-" else ""
-    if (exp < -4 || exp >= 15) {
-      val m =
-        if (digits.length == 1) digits + ".0"
-        else digits.substring(0, 1) + "." + digits.substring(1)
-      val es = (if (exp < 0) "-" else "+") + f"${math.abs(exp)}%02d"
-      s"$sign${m}e$es"
-    } else if (exp >= 0) {
+    if (exp < -4 || exp >= 15) sci(neg, bd)
+    else if (exp >= 0) {
       if (digits.length > exp + 1)
         s"$sign${digits.substring(0, exp + 1)}.${digits.substring(exp + 1)}"
       else
@@ -347,6 +383,16 @@ object SqliteReal {
     } else {
       s"${sign}0." + "0" * (-exp - 1) + digits
     }
+  }
+
+  private def sci(neg: Boolean, bd: java.math.BigDecimal): String = {
+    val digits = bd.unscaledValue().abs().toString
+    val exp = bd.precision() - 1 - bd.scale()
+    val m =
+      if (digits.length == 1) digits + ".0"
+      else digits.substring(0, 1) + "." + digits.substring(1)
+    val es = (if (exp < 0) "-" else "+") + f"${math.abs(exp)}%02d"
+    s"${if (neg) "-" else ""}${m}e$es"
   }
 }
 
@@ -398,8 +444,8 @@ case class SqliteQuote(child: Expression)
       case b: Array[Byte] =>
         b.map(x => f"${x & 0xff}%02X").mkString("X'", "", "'")
       case b: Boolean => if (b) "1" else "0"
-      case d: java.lang.Double => SqliteReal.text(d)
-      case f: java.lang.Float => SqliteReal.text(f.doubleValue())
+      case d: java.lang.Double => SqliteReal.quoteText(d)
+      case f: java.lang.Float => SqliteReal.quoteText(f.doubleValue())
       case other => other.toString
     }
     UTF8String.fromString(s)

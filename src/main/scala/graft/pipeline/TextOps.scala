@@ -78,4 +78,60 @@ object TextOps {
       .when(de >= fr, "de")
       .otherwise("fr")
   }
+
+  /** Repetition statistics over a gram array — the Gopher-style
+    * repetition quality signals (Rae et al. 2021, "Scaling Language
+    * Models", §A1.1) re-expressed over word n-grams: returns
+    * `struct<top: long, dups: long>` where `top` is the occurrence
+    * count of the MOST FREQUENT gram and `dups` the number of gram
+    * occurrences belonging to grams that appear at least twice.
+    *
+    * One `array_sort` plus one `aggregate` pass per row (equal grams
+    * become adjacent runs; run length = occurrence count), so the
+    * operator is scan-bound with ZERO shuffle — per-document state
+    * never leaves the row, which is what survives a 100 TB corpus. */
+  def gramRepetition(grams: Column): Column = {
+    def closeRun(acc: Column): Column =
+      acc.getField("dups") +
+        when(acc.getField("run") >= 2, acc.getField("run")).otherwise(lit(0L))
+    aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("top"), lit(0L).as("dups")),
+      (acc, g) => {
+        val cont = acc.getField("run") > 0 && acc.getField("prev") === g
+        struct(
+          g.as("prev"),
+          when(cont, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(cont, acc.getField("top"))
+            .otherwise(greatest(acc.getField("top"), acc.getField("run")))
+            .as("top"),
+          when(cont, acc.getField("dups")).otherwise(closeRun(acc)).as("dups"))
+      },
+      acc => struct(
+        greatest(acc.getField("top"), acc.getField("run")).as("top"),
+        closeRun(acc).as("dups")))
+  }
+
+  // ---- PII patterns: the common Java-regex/RE2 subset, so the Spark
+  // side and the DuckDB oracle compile the IDENTICAL pattern text ----
+
+  /** Email addresses (common-subset regex; no nested quantifiers). */
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]"
+
+  /** Dotted-quad IPv4 (word-bounded so version strings don't match). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** NANP-style phone numbers in the +1-555-XXXX test shape. */
+  val PhoneRe = "\\+1-555-\\d{4}"
+
+  /** Redact PII in place. Email first, then IP, then phone — the order
+    * is part of the contract (an email's host part may contain dotted
+    * digits that would otherwise half-match the IP pattern). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

@@ -1,0 +1,273 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** DIFFERENTIAL FUZZER for the READ path at the QUERY level: the third
+  * leg after SqliteExprFuzzSpec (scalar expressions) and
+  * SqliteWriteFuzzSpec (write scripts). Generates random full SELECT
+  * statements — projections, WHERE trees, inner/left joins, GROUP BY +
+  * HAVING, DISTINCT, IN/EXISTS/scalar subqueries, LIMIT — over a
+  * seeded two-table dataset, runs each through `TroughEngine.read` and
+  * through real `sqlite3` on the same `.sqlite` file, and compares the
+  * row multisets byte-for-byte.
+  *
+  * The dataset is built once by the sandbox sqlite3 CLI and ingested
+  * through the (heavily verified) native ingest path, so both engines
+  * answer over bit-identical data. Every select item is wrapped in
+  * `quote(...)` IN BOTH ENGINES, making values storage-class-faithful
+  * strings and the comparison rendering-exact; rows are sorted on both
+  * sides so no ORDER BY is needed for determinism (LIMIT shapes order
+  * by the unique pk first, so the *chosen* rows are still checked).
+  *
+  * Domain restrictions (all documented deviations elsewhere):
+  * typed comparisons only (no `1 < 'a'` storage-class ordering),
+  * REAL column values are multiples of 0.25 so floating sums are
+  * exact under any partial-aggregation order, and group_concat is
+  * omitted (SQLite documents its concatenation order as arbitrary).
+  */
+class SqliteQueryFuzzSpec extends SparkSpecBase {
+
+  // -Dgraft.queryfuzz.count=500 -Dgraft.queryfuzz.seed=... locally
+  private val COUNT =
+    sys.props.get("graft.queryfuzz.count").map(_.toInt).getOrElse(60)
+  private val SEED =
+    sys.props.get("graft.queryfuzz.seed").map(_.toLong).getOrElse(20260814L)
+  private val rng = new scala.util.Random(SEED)
+
+  private val SEG = "qfuzzseg"
+
+  private lazy val root = Files.createTempDirectory("graft-qfuzz").toString
+  private lazy val engine = {
+    val store = new SegmentStore(spark, root)
+    new TroughEngine(spark, store, new SchemaRegistry)
+  }
+
+  // ---- seeded dataset: built by real sqlite3, ingested natively ----
+
+  private val sPool = Seq("ab", "Ab", "cd", "CD", "ef", "gh", "xyz", "x")
+  private val uPool = Seq("alpha", "Beta", "gamma", "delta", "epsilon")
+
+  private def dataScript: String = {
+    val dr = new scala.util.Random(SEED ^ 0x5eedL)
+    def orNull(v: => String): String = if (dr.nextInt(7) == 0) "NULL" else v
+    def quarter(): String = f"${(dr.nextInt(161) - 80) * 0.25}%.2f"
+    val sb = new StringBuilder
+    sb ++= "CREATE TABLE t1 (id INTEGER PRIMARY KEY, a INTEGER, " +
+      "b INTEGER, c REAL, s TEXT, u TEXT);\n"
+    sb ++= "CREATE TABLE t2 (k INTEGER PRIMARY KEY, a INTEGER, s TEXT);\n"
+    for (i <- 1 to 80) {
+      val a = orNull((dr.nextInt(10)).toString)
+      val b = orNull((dr.nextInt(101) - 50).toString)
+      val c = orNull(quarter())
+      val s = orNull(s"'${sPool(dr.nextInt(sPool.length))}'")
+      val u = orNull(s"'${uPool(dr.nextInt(uPool.length))}'")
+      sb ++= s"INSERT INTO t1 VALUES ($i, $a, $b, $c, $s, $u);\n"
+    }
+    for (i <- 1 to 20) {
+      val a = orNull((dr.nextInt(10)).toString)
+      val s = orNull(s"'${sPool(dr.nextInt(sPool.length))}'")
+      sb ++= s"INSERT INTO t2 VALUES ($i, $a, $s);\n"
+    }
+    sb.toString
+  }
+
+  private lazy val db: String = {
+    val path = Files.createTempDirectory("graft-qfuzz-db")
+      .resolve("qfuzz.sqlite").toString
+    require(SqliteCli.run(path, dataScript) == 0, "fixture build failed")
+    engine.store.ingestSqliteSegment(path, SEG)
+    path
+  }
+
+  // ---- query generator ----
+
+  /** Column universe of the FROM clause being generated. */
+  private case class Ctx(ints: Seq[String], reals: Seq[String],
+      texts: Seq[String]) {
+    def anyCol: String = pick(ints ++ reals ++ texts)
+  }
+  private val t1Ctx = Ctx(Seq("t1.id", "t1.a", "t1.b"), Seq("t1.c"),
+    Seq("t1.s", "t1.u"))
+  private val joinCtx = Ctx(Seq("t1.id", "t1.a", "t1.b", "t2.k", "t2.a"),
+    Seq("t1.c"), Seq("t1.s", "t1.u", "t2.s"))
+
+  private def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+  private def cmp: String = pick(Seq("=", "<>", "<", "<=", ">", ">="))
+  private def intLit: String = {
+    val v = rng.nextInt(41) - 20
+    if (v < 0) s"($v)" else v.toString
+  }
+  private def realLit: String = f"${(rng.nextInt(81) - 40) * 0.25}%.2f"
+  private def textLit: String = s"'${pick(sPool ++ uPool)}'"
+
+  private def intExpr(ctx: Ctx, d: Int): String =
+    if (d <= 0) { if (rng.nextInt(3) == 0) intLit else pick(ctx.ints) }
+    else rng.nextInt(7) match {
+      case 0 => s"(${intExpr(ctx, d - 1)} + ${intExpr(ctx, d - 1)})"
+      case 1 => s"(${intExpr(ctx, d - 1)} - ${intExpr(ctx, d - 1)})"
+      case 2 => s"(${intExpr(ctx, d - 1)} * $intLit)"
+      case 3 => s"(${intExpr(ctx, d - 1)} / ${intExpr(ctx, 0)})" // /0 → NULL
+      case 4 => s"(${intExpr(ctx, d - 1)} % ${intExpr(ctx, 0)})"
+      case 5 => s"abs(${intExpr(ctx, d - 1)})"
+      case 6 => s"iif(${pred(ctx, 0)}, ${intExpr(ctx, d - 1)}, ${intExpr(ctx, d - 1)})"
+    }
+
+  private def textExpr(ctx: Ctx, d: Int): String =
+    if (d <= 0) { if (rng.nextInt(4) == 0) textLit else pick(ctx.texts) }
+    else rng.nextInt(6) match {
+      case 0 => s"upper(${textExpr(ctx, d - 1)})"
+      case 1 => s"lower(${textExpr(ctx, d - 1)})"
+      case 2 => s"substr(${textExpr(ctx, d - 1)}, ${1 + rng.nextInt(3)})"
+      case 3 => s"substr(${textExpr(ctx, d - 1)}, ${1 + rng.nextInt(2)}, ${1 + rng.nextInt(3)})"
+      case 4 => s"(${textExpr(ctx, d - 1)} || ${textExpr(ctx, d - 1)})"
+      case 5 => s"replace(${textExpr(ctx, d - 1)}, 'a', 'z')"
+    }
+
+  private def pred(ctx: Ctx, d: Int): String = rng.nextInt(12) match {
+    case 0 | 1 => s"(${intExpr(ctx, 1)} $cmp ${intExpr(ctx, 1)})"
+    case 2 => s"(${pick(ctx.reals)} $cmp $realLit)"
+    case 3 => s"(${intExpr(ctx, 0)} $cmp $realLit)" // numeric cross-compare
+    case 4 =>
+      val coll = if (rng.nextInt(4) == 0) " COLLATE NOCASE" else ""
+      s"(${pick(ctx.texts)} $cmp $textLit$coll)"
+    case 5 =>
+      val pat = pick(Seq("a%", "%b%", "_d", "x%", "%e%", "%a"))
+      s"(${pick(ctx.texts)} LIKE '$pat')"
+    case 6 => s"(${ctx.anyCol} IS ${if (rng.nextBoolean()) "" else "NOT "}NULL)"
+    case 7 if d > 0 => s"(${pred(ctx, d - 1)} AND ${pred(ctx, d - 1)})"
+    case 8 if d > 0 => s"(${pred(ctx, d - 1)} OR ${pred(ctx, d - 1)})"
+    case 9 if d > 0 => s"(NOT ${pred(ctx, d - 1)})"
+    case 10 => s"(${pick(ctx.ints)} BETWEEN $intLit AND $intLit)"
+    case _ => s"(${pick(ctx.ints)} IN ($intLit, $intLit, $intLit))"
+  }
+
+  /** `forOutput = true` renders avg() through CAST(… AS TEXT): its
+    * quotient rarely round-trips at 15 digits, and quote() of such a
+    * REAL is the documented last-digit deviation (SqliteReal.quoteText)
+    * — CAST text is full `%!.15g` parity. Predicates (HAVING) compare
+    * the RAW double, which is IEEE-identical in both engines. */
+  private def aggExpr(ctx: Ctx, forOutput: Boolean): String = rng.nextInt(8) match {
+    case 0 => "count(*)"
+    case 1 => s"count(${ctx.anyCol})"
+    case 2 => s"sum(${pick(ctx.ints)})"
+    case 3 => s"sum(${pick(ctx.reals)})"
+    case 4 =>
+      val a = s"avg(${pick(ctx.ints ++ ctx.reals)})"
+      if (forOutput) s"CAST($a AS TEXT)" else a
+    // HAVING compares the aggregate against an INT literal, so min/max
+    // there must stay numeric — text-vs-int ordering is the documented
+    // storage-class deviation the generator keeps out of domain
+    case 5 => s"min(${if (forOutput) ctx.anyCol else pick(ctx.ints)})"
+    case 6 => s"max(${if (forOutput) ctx.anyCol else pick(ctx.ints)})"
+    case 7 => s"total(${pick(ctx.ints ++ ctx.reals)})"
+  }
+
+  private def selectItem(ctx: Ctx): String = rng.nextInt(4) match {
+    case 0 => ctx.anyCol
+    case 1 => intExpr(ctx, 1 + rng.nextInt(2))
+    case 2 => textExpr(ctx, 1 + rng.nextInt(2))
+    case _ => s"iif(${pred(ctx, 1)}, ${intExpr(ctx, 1)}, ${intExpr(ctx, 1)})"
+  }
+
+  /** Wrap every item in quote() so both engines answer
+    * storage-class-faithful TEXT. */
+  private def wrap(items: Seq[String]): String =
+    items.zipWithIndex.map { case (e, i) => s"quote($e) AS c$i" }.mkString(", ")
+
+  private def fromClause(): (String, Ctx) =
+    if (rng.nextBoolean()) ("t1", t1Ctx)
+    else {
+      val kind = if (rng.nextBoolean()) "JOIN" else "LEFT JOIN"
+      val on = if (rng.nextBoolean()) "t1.a = t2.a" else "t1.s = t2.s"
+      (s"t1 $kind t2 ON $on", joinCtx)
+    }
+
+  private def groupKey(ctx: Ctx): String = rng.nextInt(5) match {
+    case 0 => pick(ctx.ints.filterNot(_.endsWith(".id")) :+ "t1.a")
+    case 1 => pick(ctx.texts)
+    case 2 => s"(${pick(ctx.ints)} % ${2 + rng.nextInt(4)})"
+    case 3 => s"substr(${pick(ctx.texts)}, 1, 1)"
+    case _ => pick(ctx.reals)
+  }
+
+  private def subqueryPred(ctx: Ctx): String = rng.nextInt(4) match {
+    case 0 =>
+      s"(t1.a IN (SELECT t2.a FROM t2 WHERE t2.k > ${rng.nextInt(15)}))"
+    case 1 =>
+      s"(t1.a NOT IN (SELECT t2.a FROM t2 WHERE t2.a IS NOT NULL " +
+        s"AND t2.k < ${5 + rng.nextInt(15)}))"
+    case 2 =>
+      s"(${pick(ctx.ints)} $cmp (SELECT avg(t2.a) FROM t2))"
+    case _ =>
+      s"(EXISTS (SELECT 1 FROM t2 WHERE t2.a = t1.a AND t2.k % ${2 + rng.nextInt(3)} = 0))"
+  }
+
+  private def genQuery(): String = rng.nextInt(12) match {
+    case 0 | 1 | 2 => // plain projection, optional DISTINCT / WHERE
+      val (from, ctx) = fromClause()
+      val items = Seq.fill(1 + rng.nextInt(3))(selectItem(ctx))
+      val distinct = if (rng.nextInt(4) == 0) "DISTINCT " else ""
+      val where = if (rng.nextBoolean()) s" WHERE ${pred(ctx, 2)}" else ""
+      s"SELECT $distinct${wrap(items)} FROM $from$where;"
+    case 3 | 4 | 5 | 6 => // GROUP BY (+ HAVING)
+      val (from, ctx) = fromClause()
+      val keys = Seq.fill(1 + rng.nextInt(2))(groupKey(ctx)).distinct
+      val aggs = Seq.fill(1 + rng.nextInt(2))(aggExpr(ctx, forOutput = true))
+      val where = if (rng.nextBoolean()) s" WHERE ${pred(ctx, 1)}" else ""
+      val having =
+        if (rng.nextInt(3) == 0) s" HAVING ${aggExpr(ctx, forOutput = false)} $cmp $intLit" else ""
+      s"SELECT ${wrap(keys ++ aggs)} FROM $from$where " +
+        s"GROUP BY ${keys.mkString(", ")}$having;"
+    case 7 | 8 => // global aggregate
+      val (from, ctx) = fromClause()
+      val aggs = Seq.fill(1 + rng.nextInt(3))(aggExpr(ctx, forOutput = true))
+      val where = if (rng.nextBoolean()) s" WHERE ${pred(ctx, 1)}" else ""
+      s"SELECT ${wrap(aggs)} FROM $from$where;"
+    case 9 | 10 => // subquery in WHERE (t1-rooted so correlation binds)
+      val items = Seq.fill(1 + rng.nextInt(2))(selectItem(t1Ctx))
+      val extra = if (rng.nextBoolean()) s" AND ${pred(t1Ctx, 1)}" else ""
+      s"SELECT ${wrap(items)} FROM t1 WHERE ${subqueryPred(t1Ctx)}$extra;"
+    case _ => // ORDER BY pk + LIMIT/OFFSET: the chosen window is checked
+      val items = "t1.id" +: Seq.fill(rng.nextInt(2))(selectItem(t1Ctx))
+      val where = if (rng.nextBoolean()) s" WHERE ${pred(t1Ctx, 1)}" else ""
+      val off = if (rng.nextBoolean()) s" OFFSET ${rng.nextInt(10)}" else ""
+      s"SELECT ${wrap(items)} FROM t1$where ORDER BY t1.id " +
+        s"LIMIT ${1 + rng.nextInt(20)}$off;"
+  }
+
+  // ---- differential harness ----
+
+  /** sqlite3's sorted row multiset per query, one batch, marker-framed
+    * (the CLI continues past per-statement errors, so alignment holds
+    * and an error simply leaves that query's frame empty). */
+  private def sqliteBatch(queries: Seq[String]): Seq[Seq[String]] = {
+    val sql = queries.map(q => s"SELECT '@@';\n$q").mkString("\n")
+    val out = SqliteCli.query(db, sql)
+    val parts = out.split("@@", -1).toSeq.drop(1)
+    require(parts.length == queries.length, "sqlite3 batch misaligned")
+    parts.map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.sorted)
+  }
+
+  private def engineRows(q: String): Seq[String] =
+    engine.read(SEG, q).collect()
+      .map(r => (0 until r.length).map(r.getString).mkString("|"))
+      .toSeq.sorted
+
+  test(s"$COUNT random SELECT queries agree with sqlite3 (seed $SEED)") {
+    db // force fixture + ingest
+    val queries = Seq.fill(COUNT)(genQuery())
+    val theirs = queries.grouped(30).flatMap(sqliteBatch).toSeq
+    val ours = queries.map(q =>
+      scala.util.Try(engineRows(q)).recover {
+        case e => Seq(s"ENGINE ERROR: ${e.getMessage.linesIterator.next()}")
+      }.get)
+    val diverged = queries.indices.filter(i => ours(i) != theirs(i)).map { i =>
+      s"${queries(i)}\n  ours:    ${ours(i).take(6).mkString(" / ")}" +
+        s"\n  sqlite3: ${theirs(i).take(6).mkString(" / ")}"
+    }
+    assert(diverged.isEmpty,
+      s"${diverged.length}/$COUNT diverged:\n${diverged.take(10).mkString("\n")}")
+  }
+}

@@ -218,7 +218,7 @@ class ViewSpec extends SparkSpecBase {
       "CREATE VIEW in_stock AS SELECT name, qty FROM items WHERE qty > 0;")
     val out = Files.createTempDirectory("view-export").resolve("seg.sqlite")
     engine.store.exportSqliteSegment(seg, out.toString)
-    def q(sql: String): String = Seq("sqlite3", out.toString, sql).!!.trim
+    def q(sql: String): String = Seq(SqliteCli.binary, out.toString, sql).!!.trim
     assert(q("PRAGMA integrity_check;") == "ok")
     assert(q("SELECT type FROM sqlite_master WHERE name = 'in_stock';") == "view")
     assert(q("SELECT name FROM in_stock ORDER BY name;") == "apple\ncherry")
