@@ -115,7 +115,13 @@ object Shell {
   def table(rows: Seq[Row], schema: StructType): String = {
     require(rows.nonEmpty, "table() requires at least one row")
     val names = schema.fieldNames
-    def render(v: Any): String = if (v == null) "<null>" else v.toString
+    // reference cells render via python str() — repr shape for floats
+    def render(v: Any): String = v match {
+      case null => "<null>"
+      case d: java.lang.Double => JsonShape.pyFloat(d)
+      case f: java.lang.Float => JsonShape.pyFloat(f.doubleValue())
+      case other => other.toString
+    }
     val widths: IndexedSeq[Int] = names.indices.map { i =>
       (Seq(names(i).length) ++ rows.map(r => render(r.get(i)).length)).max
     }

@@ -591,10 +591,54 @@ object JsonShape {
     if (ldt.getNano == 0) base else f"$base.${ldt.getNano / 1000}%06d"
   }
 
+  /** python `repr(float)` / modern-ujson float rendering — the shape
+    * the reference's `ujson.dumps` puts on the wire (read.py:44;
+    * ujson ≥ 2 renders floats exactly like repr): SHORTEST round-trip
+    * digits (computed exactly by precision search — Java 17's
+    * Double.toString can emit non-minimal digits, JDK-4511638), fixed
+    * notation for decimal exponents in [-4, 16), otherwise scientific
+    * with a two-digit-minimum signed exponent and NO forced '.0'
+    * mantissa (`1e+16`, `5e-324`, `1e-05`); integral fixed values keep
+    * '.0' (`10000000.0` where Java writes `1.0E7`). */
+  def pyFloat(d: Double): String = {
+    if (d.isNaN) return "NaN" // json.dumps writes bare NaN/Infinity
+    if (d.isInfinite) return if (d > 0) "Infinity" else "-Infinity"
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val a = math.abs(d)
+    var bd: java.math.BigDecimal = null
+    var p = 1
+    while (bd == null && p <= 17) {
+      val cand = new java.math.BigDecimal(a)
+        .round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (cand.doubleValue() == a) bd = cand.stripTrailingZeros()
+      p += 1
+    }
+    if (bd == null) bd = new java.math.BigDecimal(a).stripTrailingZeros()
+    val digits = bd.unscaledValue().abs().toString
+    val exp = bd.precision() - 1 - bd.scale()
+    val sign = if (d < 0) "-" else ""
+    if (exp >= -4 && exp < 16) {
+      if (exp >= 0) {
+        if (digits.length > exp + 1)
+          s"$sign${digits.substring(0, exp + 1)}.${digits.substring(exp + 1)}"
+        else sign + digits + "0" * (exp + 1 - digits.length) + ".0"
+      } else s"${sign}0." + "0" * (-exp - 1) + digits
+    } else {
+      val m =
+        if (digits.length == 1) digits
+        else digits.substring(0, 1) + "." + digits.substring(1)
+      val es = (if (exp < 0) "-" else "+") +
+        (if (math.abs(exp) < 10) "0" else "") + math.abs(exp)
+      s"$sign${m}e$es"
+    }
+  }
+
   def value(v: Any): String = v match {
     case null => "null"
     case s: String => str(s)
     case b: Boolean => if (b) "true" else "false"
+    case d: java.lang.Double => pyFloat(d)
+    case f: java.lang.Float => pyFloat(f.doubleValue())
     // BLOB boundary (read.py:44): ujson decodes bytes as UTF-8 — valid
     // sequences serialize as their decoded string (matched here byte for
     // byte). On INVALID UTF-8 the reference's generator dies mid-stream,
