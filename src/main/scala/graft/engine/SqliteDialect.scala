@@ -4,8 +4,8 @@ import java.util.Locale
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedHaving}
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Concat, And, Between, BinaryComparison, CaseWhen, Cast, Divide, EqualTo, Exists, Expression, GreaterThanOrEqual, If, In, InSubquery, IsNotNull, IsNull, LessThan, Like, ListQuery, Literal, Multiply, NamedExpression, Not, Or, RLike, Remainder, SortOrder, SubqueryExpression, Subtract, UnaryMinus}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Concat, And, Between, BinaryComparison, CaseWhen, Cast, Divide, EqualTo, Exists, Expression, GreaterThanOrEqual, If, In, InSubquery, IsNotNull, IsNull, LessThan, Like, ListQuery, Literal, Multiply, NamedExpression, Not, Or, RLike, Remainder, RowFrame, SortOrder, SpecifiedWindowFrame, SubqueryExpression, Subtract, UnaryMinus}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, UnresolvedWith}
 import org.apache.spark.sql.graft.SqlInternals
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -99,9 +99,34 @@ object SqliteDialect {
 
   // ------------------------------------------------------ plan rewrite
 
-  def rewriteParsed(plan: LogicalPlan, sqlText: Option[String] = None): LogicalPlan =
-    new BoolNormalizer(sqlText).normalize(
-      plan transformAllExpressions castRule) transformAllExpressions rewriteRule(sqlText)
+  def rewriteParsed(plan: LogicalPlan, sqlText: Option[String] = None): LogicalPlan = {
+    // CTE definitions are INNER children of UnresolvedWith (a UnaryNode)
+    // — transform/transformAllExpressions never descend into them, so
+    // without this pre-pass every dialect rule silently skips WITH
+    // bodies (query-fuzz-caught: nocase LIKE stayed case-sensitive
+    // inside a CTE). Recurse the full pipeline into each definition.
+    val cteRewritten = plan transform {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (name, sa, maxRec) =>
+          (name, sa.copy(child = rewriteParsed(sa.child, sqlText)), maxRec)
+        })
+    }
+    val rewritten = new BoolNormalizer(sqlText).normalize(
+      cteRewritten transformAllExpressions castRule) transformAllExpressions rewriteRule(sqlText)
+    // a parsed `<n> PRECEDING/FOLLOWING` ROWS bound is UnaryMinus/plain
+    // over an int literal — the int64 widening pass turns it into
+    // BIGINT, which Spark's window frame check rejects; narrow ROWS
+    // bounds back (RANGE bounds stay wide: they must match the int64
+    // order key). Query-fuzz-caught.
+    rewritten transformAllExpressions {
+      case f @ SpecifiedWindowFrame(RowFrame, _, _) =>
+        def narrow(e: Expression): Expression = e transform {
+          case Literal(v: java.lang.Long, LongType) if v.longValue().isValidInt =>
+            Literal(v.intValue(), IntegerType)
+        }
+        f.copy(lower = narrow(f.lower), upper = narrow(f.upper))
+    }
+  }
 
   def rewriteExpr(e: Expression, sqlText: Option[String] = None): Expression =
     new BoolNormalizer(sqlText).asValue(

@@ -87,9 +87,11 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
   private case class Ctx(ints: Seq[String], reals: Seq[String],
       texts: Seq[String]) {
     def anyCol: String = pick(ints ++ reals ++ texts)
+    def real: String = if (reals.nonEmpty) pick(reals) else pick(ints)
   }
   private val t1Ctx = Ctx(Seq("t1.id", "t1.a", "t1.b"), Seq("t1.c"),
     Seq("t1.s", "t1.u"))
+  private val t2Ctx = Ctx(Seq("t2.k", "t2.a"), Seq(), Seq("t2.s"))
   private val joinCtx = Ctx(Seq("t1.id", "t1.a", "t1.b", "t2.k", "t2.a"),
     Seq("t1.c"), Seq("t1.s", "t1.u", "t2.s"))
 
@@ -127,7 +129,7 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
 
   private def pred(ctx: Ctx, d: Int): String = rng.nextInt(12) match {
     case 0 | 1 => s"(${intExpr(ctx, 1)} $cmp ${intExpr(ctx, 1)})"
-    case 2 => s"(${pick(ctx.reals)} $cmp $realLit)"
+    case 2 => s"(${ctx.real} $cmp $realLit)"
     case 3 => s"(${intExpr(ctx, 0)} $cmp $realLit)" // numeric cross-compare
     case 4 =>
       val coll = if (rng.nextInt(4) == 0) " COLLATE NOCASE" else ""
@@ -148,21 +150,27 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     * REAL is the documented last-digit deviation (SqliteReal.quoteText)
     * — CAST text is full `%!.15g` parity. Predicates (HAVING) compare
     * the RAW double, which is IEEE-identical in both engines. */
-  private def aggExpr(ctx: Ctx, forOutput: Boolean): String = rng.nextInt(8) match {
-    case 0 => "count(*)"
-    case 1 => s"count(${ctx.anyCol})"
-    case 2 => s"sum(${pick(ctx.ints)})"
-    case 3 => s"sum(${pick(ctx.reals)})"
-    case 4 =>
-      val a = s"avg(${pick(ctx.ints ++ ctx.reals)})"
-      if (forOutput) s"CAST($a AS TEXT)" else a
-    // HAVING compares the aggregate against an INT literal, so min/max
-    // there must stay numeric — text-vs-int ordering is the documented
-    // storage-class deviation the generator keeps out of domain
-    case 5 => s"min(${if (forOutput) ctx.anyCol else pick(ctx.ints)})"
-    case 6 => s"max(${if (forOutput) ctx.anyCol else pick(ctx.ints)})"
-    case 7 => s"total(${pick(ctx.ints ++ ctx.reals)})"
-  }
+  private def aggExpr(ctx: Ctx, forOutput: Boolean): String =
+    rng.nextInt(if (forOutput) 12 else 10) match {
+      case 0 => "count(*)"
+      case 1 => s"count(${ctx.anyCol})"
+      case 2 => s"sum(${pick(ctx.ints)})"
+      case 3 => s"sum(${ctx.real})"
+      case 4 =>
+        val a = s"avg(${pick(ctx.ints :+ ctx.real)})"
+        if (forOutput) s"CAST($a AS TEXT)" else a
+      // HAVING compares the aggregate against an INT literal, so min/max
+      // there must stay numeric — text-vs-int ordering is the documented
+      // storage-class deviation the generator keeps out of domain
+      case 5 => s"min(${if (forOutput) ctx.anyCol else pick(ctx.ints)})"
+      case 6 => s"max(${if (forOutput) ctx.anyCol else pick(ctx.ints)})"
+      case 7 => s"total(${pick(ctx.ints :+ ctx.real)})"
+      case 8 => s"count(DISTINCT ${ctx.anyCol})"
+      case 9 => s"sum(DISTINCT ${pick(ctx.ints)})"
+      // FILTER (SQLite 3.30) stays in output position
+      case 10 => s"count(*) FILTER (WHERE ${pred(ctx, 0)})"
+      case 11 => s"sum(${pick(ctx.ints)}) FILTER (WHERE ${pred(ctx, 0)})"
+    }
 
   private def selectItem(ctx: Ctx): String = rng.nextInt(4) match {
     case 0 => ctx.anyCol
@@ -204,14 +212,30 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       s"(EXISTS (SELECT 1 FROM t2 WHERE t2.a = t1.a AND t2.k % ${2 + rng.nextInt(3)} = 0))"
   }
 
-  private def genQuery(): String = rng.nextInt(12) match {
+  /** Window calls whose output is deterministic: ranking over the
+    * unique pk, or rank/dense_rank over non-unique keys (ties share a
+    * rank in both engines; row_number over a non-unique order would be
+    * arbitrary). NULL ordering (first ASC) and BINARY collation agree. */
+  private def windowItem(): String = rng.nextInt(7) match {
+    case 0 => "row_number() OVER (ORDER BY t1.id)"
+    case 1 => s"rank() OVER (ORDER BY ${pick(Seq("t1.a", "t1.b", "t1.s"))})"
+    case 2 => s"dense_rank() OVER (ORDER BY ${pick(Seq("t1.a", "t1.s"))})"
+    case 3 => s"lag(${pick(Seq("t1.b", "t1.s"))}) OVER (ORDER BY t1.id)"
+    case 4 => s"lead(${pick(Seq("t1.a", "t1.u"))}, ${1 + rng.nextInt(2)}) " +
+      "OVER (ORDER BY t1.id)"
+    case 5 => s"sum(t1.b) OVER (PARTITION BY t1.a ORDER BY t1.id " +
+      s"ROWS BETWEEN ${1 + rng.nextInt(3)} PRECEDING AND CURRENT ROW)"
+    case 6 => s"ntile(${2 + rng.nextInt(4)}) OVER (ORDER BY t1.id)"
+  }
+
+  private def genQuery(): String = rng.nextInt(16) match {
     case 0 | 1 | 2 => // plain projection, optional DISTINCT / WHERE
       val (from, ctx) = fromClause()
       val items = Seq.fill(1 + rng.nextInt(3))(selectItem(ctx))
       val distinct = if (rng.nextInt(4) == 0) "DISTINCT " else ""
       val where = if (rng.nextBoolean()) s" WHERE ${pred(ctx, 2)}" else ""
       s"SELECT $distinct${wrap(items)} FROM $from$where;"
-    case 3 | 4 | 5 | 6 => // GROUP BY (+ HAVING)
+    case 3 | 4 | 5 => // GROUP BY (+ HAVING)
       val (from, ctx) = fromClause()
       val keys = Seq.fill(1 + rng.nextInt(2))(groupKey(ctx)).distinct
       val aggs = Seq.fill(1 + rng.nextInt(2))(aggExpr(ctx, forOutput = true))
@@ -220,21 +244,40 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
         if (rng.nextInt(3) == 0) s" HAVING ${aggExpr(ctx, forOutput = false)} $cmp $intLit" else ""
       s"SELECT ${wrap(keys ++ aggs)} FROM $from$where " +
         s"GROUP BY ${keys.mkString(", ")}$having;"
-    case 7 | 8 => // global aggregate
+    case 6 | 7 => // global aggregate
       val (from, ctx) = fromClause()
       val aggs = Seq.fill(1 + rng.nextInt(3))(aggExpr(ctx, forOutput = true))
       val where = if (rng.nextBoolean()) s" WHERE ${pred(ctx, 1)}" else ""
       s"SELECT ${wrap(aggs)} FROM $from$where;"
-    case 9 | 10 => // subquery in WHERE (t1-rooted so correlation binds)
+    case 8 | 9 => // subquery in WHERE (t1-rooted so correlation binds)
       val items = Seq.fill(1 + rng.nextInt(2))(selectItem(t1Ctx))
       val extra = if (rng.nextBoolean()) s" AND ${pred(t1Ctx, 1)}" else ""
       s"SELECT ${wrap(items)} FROM t1 WHERE ${subqueryPred(t1Ctx)}$extra;"
-    case _ => // ORDER BY pk + LIMIT/OFFSET: the chosen window is checked
+    case 10 => // ORDER BY pk + LIMIT/OFFSET: the chosen window is checked
       val items = "t1.id" +: Seq.fill(rng.nextInt(2))(selectItem(t1Ctx))
       val where = if (rng.nextBoolean()) s" WHERE ${pred(t1Ctx, 1)}" else ""
       val off = if (rng.nextBoolean()) s" OFFSET ${rng.nextInt(10)}" else ""
       s"SELECT ${wrap(items)} FROM t1$where ORDER BY t1.id " +
         s"LIMIT ${1 + rng.nextInt(20)}$off;"
+    case 11 | 12 => // compound selects (set semantics dedup both sides)
+      val op = pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+      s"SELECT quote(t1.a) AS c0, quote(t1.s) AS c1 FROM t1 " +
+        s"WHERE ${pred(t1Ctx, 1)} $op " +
+        s"SELECT quote(t2.a), quote(t2.s) FROM t2 WHERE ${pred(t2Ctx, 1)};"
+    case 13 | 14 => // window functions
+      val items = "t1.id" +: Seq.fill(1 + rng.nextInt(2))(windowItem())
+      val where = if (rng.nextBoolean()) s" WHERE ${pred(t1Ctx, 1)}" else ""
+      s"SELECT ${wrap(items)} FROM t1$where;"
+    case _ => // CTE: aggregate over it, or join it back against t2
+      val where = s" WHERE ${pred(t1Ctx, 1)}"
+      if (rng.nextBoolean())
+        s"WITH w AS (SELECT t1.a AS wa, t1.b AS wb FROM t1$where) " +
+          "SELECT quote(wa) AS c0, quote(count(*)) AS c1, " +
+          "quote(sum(wb)) AS c2 FROM w GROUP BY wa;"
+      else
+        s"WITH w AS (SELECT t1.a AS wa, t1.s AS ws FROM t1$where) " +
+          "SELECT quote(w.wa) AS c0, quote(t2.k) AS c1 " +
+          "FROM w JOIN t2 ON w.ws = t2.s;"
   }
 
   // ---- differential harness ----
