@@ -72,8 +72,8 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val duck = duckdbTotal(sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""duckdb_total":${duck.getOrElse(-1.0)},""" +
-      s""""duckdb_queries":${duck.map(_ => SparkEntry.oracleSql.size).getOrElse(0)},""" +
+      s""""duckdb_total":${duck.map(_._1).getOrElse(-1.0)},""" +
+      s""""duckdb_queries":${duck.map(_._2).getOrElse(0)},""" +
       s""""runs_per_query":3,"aggregation":"median","sf":"$sfDir"}""")
     spark.stop()
   }
@@ -83,7 +83,7 @@ object Bench {
     * summed. Runs in the container's driver-side python (the same env
     * the correctness oracle uses); None when that env is unavailable —
     * the bench must not fail for the yardstick's sake. */
-  private def duckdbTotal(sfDir: String): Option[Double] = {
+  private def duckdbTotal(sfDir: String): Option[(Double, Int)] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val oracle = mapper.createObjectNode()
     SparkEntry.oracleSql.foreach { case (k, v) => oracle.put(k, v) }
@@ -103,10 +103,17 @@ object Bench {
         |    elif os.path.exists(p):
         |        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         |names = [n for n in sorted(qs)]
+        |# per-query budget: at larger SFs a single oracle (q60's
+        |# recursive-CTE closure) can run 20+ minutes — drop it from the
+        |# yardstick instead of losing the whole pass; the reported
+        |# count says how many queries the total covers
+        |budget = float(os.environ.get("GRAFT_DUCK_BUDGET_S", "60"))
         |ok = {}
         |for n in names:  # warm: parse+plan+IO caches
         |    try:
-        |        con.sql(qs[n]).fetchall(); ok[n] = True
+        |        t0 = time.time()
+        |        con.sql(qs[n]).fetchall()
+        |        ok[n] = (time.time() - t0) <= budget
         |    except Exception:
         |        ok[n] = False
         |total = 0.0
@@ -128,7 +135,7 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)
       if (p.waitFor() != 0) return None
       val node = mapper.readTree(out.linesIterator.toSeq.last)
-      Some(node.get("total").asDouble())
+      Some((node.get("total").asDouble(), node.get("count").asInt()))
     } catch { case _: Throwable => None }
     finally {
       java.nio.file.Files.deleteIfExists(scriptPath)
