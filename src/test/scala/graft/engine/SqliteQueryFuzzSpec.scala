@@ -172,11 +172,16 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       case 11 => s"sum(${pick(ctx.ints)}) FILTER (WHERE ${pred(ctx, 0)})"
     }
 
-  private def selectItem(ctx: Ctx): String = rng.nextInt(4) match {
+  private def selectItem(ctx: Ctx): String = rng.nextInt(5) match {
     case 0 => ctx.anyCol
     case 1 => intExpr(ctx, 1 + rng.nextInt(2))
     case 2 => textExpr(ctx, 1 + rng.nextInt(2))
-    case _ => s"iif(${pred(ctx, 1)}, ${intExpr(ctx, 1)}, ${intExpr(ctx, 1)})"
+    case 3 => s"iif(${pred(ctx, 1)}, ${intExpr(ctx, 1)}, ${intExpr(ctx, 1)})"
+    case _ => // correlated scalar subquery in the output list
+      if (rng.nextBoolean())
+        s"(SELECT count(*) FROM t2 WHERE t2.a = t1.a)"
+      else
+        s"(SELECT max(t2.k) FROM t2 WHERE t2.s = t1.s)"
   }
 
   /** Wrap every item in quote() so both engines answer
