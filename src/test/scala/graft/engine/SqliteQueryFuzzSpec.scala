@@ -53,9 +53,11 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     val dr = new scala.util.Random(SEED ^ 0x5eedL)
     def orNull(v: => String): String = if (dr.nextInt(7) == 0) "NULL" else v
     def quarter(): String = f"${(dr.nextInt(161) - 80) * 0.25}%.2f"
+    def dateLit(): String =
+      f"'${2018 + dr.nextInt(8)}%04d-${1 + dr.nextInt(12)}%02d-${1 + dr.nextInt(28)}%02d'"
     val sb = new StringBuilder
     sb ++= "CREATE TABLE t1 (id INTEGER PRIMARY KEY, a INTEGER, " +
-      "b INTEGER, c REAL, s TEXT, u TEXT);\n"
+      "b INTEGER, c REAL, s TEXT, u TEXT, d TEXT);\n"
     sb ++= "CREATE TABLE t2 (k INTEGER PRIMARY KEY, a INTEGER, s TEXT);\n"
     for (i <- 1 to 80) {
       val a = orNull((dr.nextInt(10)).toString)
@@ -63,7 +65,8 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       val c = orNull(quarter())
       val s = orNull(s"'${sPool(dr.nextInt(sPool.length))}'")
       val u = orNull(s"'${uPool(dr.nextInt(uPool.length))}'")
-      sb ++= s"INSERT INTO t1 VALUES ($i, $a, $b, $c, $s, $u);\n"
+      val d = orNull(dateLit())
+      sb ++= s"INSERT INTO t1 VALUES ($i, $a, $b, $c, $s, $u, $d);\n"
     }
     for (i <- 1 to 20) {
       val a = orNull((dr.nextInt(10)).toString)
@@ -127,7 +130,13 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       case 5 => s"replace(${textExpr(ctx, d - 1)}, 'a', 'z')"
     }
 
-  private def pred(ctx: Ctx, d: Int): String = rng.nextInt(12) match {
+  private def hasT1(ctx: Ctx): Boolean = ctx.ints.contains("t1.id")
+
+  private def pred(ctx: Ctx, d: Int): String = rng.nextInt(14) match {
+    case 12 if hasT1(ctx) =>
+      s"(t1.d $cmp '${2019 + rng.nextInt(6)}-${f"${1 + rng.nextInt(12)}%02d"}-15')"
+    case 13 if hasT1(ctx) =>
+      s"(strftime('%m', t1.d) = '${f"${1 + rng.nextInt(12)}%02d"}')"
     case 0 | 1 => s"(${intExpr(ctx, 1)} $cmp ${intExpr(ctx, 1)})"
     case 2 => s"(${ctx.real} $cmp $realLit)"
     case 3 => s"(${intExpr(ctx, 0)} $cmp $realLit)" // numeric cross-compare
@@ -172,11 +181,22 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       case 11 => s"sum(${pick(ctx.ints)}) FILTER (WHERE ${pred(ctx, 0)})"
     }
 
-  private def selectItem(ctx: Ctx): String = rng.nextInt(5) match {
+  /** date/time family over the COLUMN (the expr fuzzer covers the
+    * literal domain); TEXT-valued forms only — julianday's REAL output
+    * would hit quote()'s non-round-trip deviation. */
+  private def dateItem(): String = rng.nextInt(4) match {
+    case 0 => s"date(t1.d, '${rng.nextInt(41) - 20} days')"
+    case 1 => s"strftime('%Y-%m', t1.d)"
+    case 2 => s"datetime(t1.d, 'start of month')"
+    case _ => s"date(t1.d, '${1 + rng.nextInt(5)} months')"
+  }
+
+  private def selectItem(ctx: Ctx): String = rng.nextInt(6) match {
     case 0 => ctx.anyCol
     case 1 => intExpr(ctx, 1 + rng.nextInt(2))
     case 2 => textExpr(ctx, 1 + rng.nextInt(2))
     case 3 => s"iif(${pred(ctx, 1)}, ${intExpr(ctx, 1)}, ${intExpr(ctx, 1)})"
+    case 4 if hasT1(ctx) => dateItem()
     case _ => // correlated scalar subquery in the output list
       if (rng.nextBoolean())
         s"(SELECT count(*) FROM t2 WHERE t2.a = t1.a)"
@@ -197,12 +217,13 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       (s"t1 $kind t2 ON $on", joinCtx)
     }
 
-  private def groupKey(ctx: Ctx): String = rng.nextInt(5) match {
+  private def groupKey(ctx: Ctx): String = rng.nextInt(6) match {
     case 0 => pick(ctx.ints.filterNot(_.endsWith(".id")) :+ "t1.a")
     case 1 => pick(ctx.texts)
     case 2 => s"(${pick(ctx.ints)} % ${2 + rng.nextInt(4)})"
     case 3 => s"substr(${pick(ctx.texts)}, 1, 1)"
-    case _ => pick(ctx.reals)
+    case 4 if hasT1(ctx) => s"strftime('%Y', t1.d)"
+    case _ => ctx.real
   }
 
   private def subqueryPred(ctx: Ctx): String = rng.nextInt(4) match {
