@@ -55,9 +55,11 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     def quarter(): String = f"${(dr.nextInt(161) - 80) * 0.25}%.2f"
     def dateLit(): String =
       f"'${2018 + dr.nextInt(8)}%04d-${1 + dr.nextInt(12)}%02d-${1 + dr.nextInt(28)}%02d'"
+    def blobLit(): String =
+      "X'" + Seq.fill(1 + dr.nextInt(6))(f"${dr.nextInt(256)}%02X").mkString + "'"
     val sb = new StringBuilder
     sb ++= "CREATE TABLE t1 (id INTEGER PRIMARY KEY, a INTEGER, " +
-      "b INTEGER, c REAL, s TEXT, u TEXT, d TEXT);\n"
+      "b INTEGER, c REAL, s TEXT, u TEXT, d TEXT, bl BLOB);\n"
     sb ++= "CREATE TABLE t2 (k INTEGER PRIMARY KEY, a INTEGER, s TEXT);\n"
     for (i <- 1 to 80) {
       val a = orNull((dr.nextInt(10)).toString)
@@ -66,7 +68,8 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       val s = orNull(s"'${sPool(dr.nextInt(sPool.length))}'")
       val u = orNull(s"'${uPool(dr.nextInt(uPool.length))}'")
       val d = orNull(dateLit())
-      sb ++= s"INSERT INTO t1 VALUES ($i, $a, $b, $c, $s, $u, $d);\n"
+      val bl = orNull(blobLit())
+      sb ++= s"INSERT INTO t1 VALUES ($i, $a, $b, $c, $s, $u, $d, $bl);\n"
     }
     for (i <- 1 to 20) {
       val a = orNull((dr.nextInt(10)).toString)
@@ -191,12 +194,14 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     case _ => s"date(t1.d, '${1 + rng.nextInt(5)} months')"
   }
 
-  private def selectItem(ctx: Ctx): String = rng.nextInt(6) match {
+  private def selectItem(ctx: Ctx): String = rng.nextInt(7) match {
     case 0 => ctx.anyCol
     case 1 => intExpr(ctx, 1 + rng.nextInt(2))
     case 2 => textExpr(ctx, 1 + rng.nextInt(2))
     case 3 => s"iif(${pred(ctx, 1)}, ${intExpr(ctx, 1)}, ${intExpr(ctx, 1)})"
     case 4 if hasT1(ctx) => dateItem()
+    case 5 if hasT1(ctx) => // blob column via the ingest round trip
+      pick(Seq("t1.bl", "hex(t1.bl)", "length(t1.bl)", "typeof(t1.bl)"))
     case _ => // correlated scalar subquery in the output list
       if (rng.nextBoolean())
         s"(SELECT count(*) FROM t2 WHERE t2.a = t1.a)"
