@@ -588,7 +588,11 @@ class SegmentStore(
           }
         }
         def indexKeys(cols: Seq[Int]): () => Iterator[IndexedSeq[Any]] = () => {
-          val sortCols = cols.map(j => functions.col(fields(j).name)) :+
+          // index entries over a COLLATEd column sort by the collation
+          // real sqlite3 searches with (collation-equal keys fall to
+          // the rowid tiebreak, like sqlite's own trees)
+          val sortCols = cols.map(j =>
+            SqliteCollation.indexSortKey(fields(j), functions.col(fields(j).name))) :+
             functions.col(rowidCol)
           loadTable(segmentId, t).orderBy(sortCols: _*).toLocalIterator().asScala
             .map(r => (cols.map(j => cellValue(r, j)) :+ r.getLong(rowidIdx)).toIndexedSeq)
@@ -628,9 +632,11 @@ class SegmentStore(
             (rowid, recordValues(r))
           }
         }
-        val indexes = keyBufs.map { case (n, sql, _, buf) =>
+        val indexes = keyBufs.map { case (n, sql, cols, buf) =>
+          val colls = cols.map(j => SqliteDdl.collationOf(fields(j))
+            .filter(_ => fields(j).dataType == StringType)) :+ None
           SqliteWriter.StreamedIndex(n, sql,
-            () => buf.sorted(SqliteWriter.keyOrdering).iterator)
+            () => buf.sorted(SqliteWriter.keyOrderingWith(colls)).iterator)
         }
         SqliteWriter.StreamedTable(t, ddl, tableRows _, indexes)
       }

@@ -41,6 +41,53 @@ object SqliteDdl {
     * (record omits the slot entirely — fileformat2 record layout). */
   final case class GeneratedDef(name: String, expr: String, stored: Boolean)
 
+  /** StructField metadata key recording a column-DECLARED collation
+    * (`name TEXT COLLATE NOCASE` — datatype3.html §7.1). The value is
+    * the canonical upper-case name (NOCASE or RTRIM; BINARY is the
+    * default on both engines and is never recorded). Living in the
+    * schema's field metadata means it persists through `schema.json`
+    * round trips and flows into every scan's attribute metadata, where
+    * [[SqliteCollation]] consults it. */
+  val CollationKey = "sqlite.collation"
+
+  /** The column's declared collation (NOCASE | RTRIM), if any. */
+  def collationOf(f: StructField): Option[String] =
+    if (f.metadata.contains(CollationKey)) Some(f.metadata.getString(CollationKey))
+    else None
+
+  /** The collations SQLite ships built in (datatype3.html §7.1).
+    * Anything else is refused with SQLite's own prepare-time text. */
+  private val BuiltinCollations = Set("BINARY", "NOCASE", "RTRIM")
+
+  /** The `COLLATE <name>` clause of a column definition, scanned over
+    * literal- and paren-blanked text so a CHECK body or DEFAULT string
+    * can't trip it. Unknown names get SQLite's exact refusal. */
+  private[engine] def collateClause(defn: String): Option[String] = {
+    // blank top-level parenthesized runs (CHECK/DEFAULT expressions may
+    // legally contain their own COLLATE operators)
+    val blanked = {
+      val b = new StringBuilder(blankLiterals(defn))
+      var depth = 0
+      var i = 0
+      while (i < b.length) {
+        val c = b.charAt(i)
+        if (c == '(') { depth += 1; if (depth >= 1) b.setCharAt(i, ' ') }
+        else if (c == ')') { depth -= 1; b.setCharAt(i, ' ') }
+        else if (depth > 0) b.setCharAt(i, ' ')
+        i += 1
+      }
+      b.toString
+    }
+    val re = "(?i)\\bCOLLATE\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    re.findAllMatchIn(blanked).toSeq.lastOption.map { m =>
+      val name = m.group(1).toUpperCase
+      if (!BuiltinCollations.contains(name))
+        throw new IllegalArgumentException(
+          s"no such collation sequence: ${m.group(1)}")
+      name
+    }.filter(_ != "BINARY")
+  }
+
   final case class TableDef(
       name: String,
       schema: StructType,
@@ -196,7 +243,13 @@ object SqliteDdl {
             autoInc = Some(colName)
         }
         if (strict) validateStrictType(name, colName, declared)
-        fields += StructField(colName, affinity(declared), nullable = true)
+        val fieldMeta = collateClause(defn) match {
+          case Some(coll) =>
+            new MetadataBuilder().putString(CollationKey, coll).build()
+          case None => Metadata.empty
+        }
+        fields += StructField(colName, affinity(declared), nullable = true,
+          metadata = fieldMeta)
         declaredTypes(colName.toLowerCase) = declared.toUpperCase
         if (hasNotNull(defn)) notNull :+= colName
         defaultClause(defn).foreach(d => defaults += colName -> d)
@@ -419,6 +472,10 @@ object SqliteDdl {
         case BinaryType => "BLOB"
         case _ => "TEXT"
       })
+      // column-declared collation re-renders right after the type, so a
+      // real sqlite3 opening the exported file applies the same
+      // comparison rules the engine did (datatype3.html §7.1)
+      val coll = collationOf(f).map(c => s" COLLATE $c").getOrElse("")
       val pkInline = if (autoIncrement.contains(f.name)) " PRIMARY KEY" else ""
       val nn = if (notNull.exists(_.equalsIgnoreCase(f.name))) " NOT NULL" else ""
       val dflt = defaults.collectFirst {
@@ -435,7 +492,7 @@ object SqliteDdl {
       val chk = checks.collect {
         case c if c.ownerCol.equalsIgnoreCase(f.name) => s" CHECK (${c.expr})"
       }.mkString
-      s"${q(f.name)} $t$pkInline$nn$dflt$chk$gen"
+      s"${q(f.name)} $t$coll$pkInline$nn$dflt$chk$gen"
     }
     // constraint ORDER matters downstream: real SQLite numbers the
     // implied sqlite_autoindex trees in declaration order, and the

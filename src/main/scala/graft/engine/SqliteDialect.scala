@@ -63,8 +63,12 @@ object SqliteDialect {
     * idempotent: a second pass would double the doubled backslashes). */
   def sqlPrepared(sess: SparkSession, text: String): DataFrame = withActive(sess) {
     // origins index into `text` — the exact string the parser sees
-    SqlInternals.ofRows(sess, rewriteParsed(
+    val df = SqlInternals.ofRows(sess, rewriteParsed(
       sess.sessionState.sqlParser.parsePlan(text), sqlText = Some(text)))
+    // column-DECLARED collations resolve on the ANALYZED plan (the
+    // attribute metadata is only bound after name resolution); no-op
+    // for plans that touch no collated column
+    SqliteCollation(sess, df)
   }
 
   /** Parse one SQLite-dialect scalar expression in a VALUE position
@@ -374,6 +378,13 @@ object SqliteDialect {
       // stats exclude both case variants of the prefix.
       nocaseLikePrefilter(l, r, escape)
         .map(p => And(p, nocase)).getOrElse(nocase)
+    // explicit COLLATE BINARY: the textual rewrite's marker call-form
+    // becomes the CollateBinary expression SqliteCollation consults
+    // (and strips) on the analyzed plan
+    case f: UnresolvedFunction
+        if f.nameParts.last.equalsIgnoreCase("collate_binary") &&
+          f.arguments.length == 1 && f.filter.isEmpty =>
+      CollateBinary(f.arguments.head)
     case Divide(l, r, _) => SqliteDiv(l, r)
     // SQLite %: both operands cast to INTEGER, NULL on mod-by-zero —
     // Spark's Remainder keeps fractional operands and (ANSI) throws
@@ -578,15 +589,18 @@ object SqliteDialect {
     if (start > end) end else start
   }
 
-  /** SQLite `expr COLLATE NOCASE|BINARY` — Spark's parser has no COLLATE
-    * expression syntax, so it rewrites textually like infix GLOB. BINARY
-    * is the default collation on both engines: the clause is dropped.
-    * NOCASE folds through ascii_lower (SQLite's ASCII-only rule): a
-    * comparison to the left of the collated operand wraps BOTH sides
-    * (golden: `'ABC' = 'abc' COLLATE NOCASE` is 1, `'ÄBC' = 'äbc'` is
-    * 0); a bare operand (`ORDER BY name COLLATE NOCASE`) wraps alone.
-    * The RTRIM collation stays unsupported — the parser reports it
-    * (documented deviation; unused by the reference corpus). */
+  /** SQLite `expr COLLATE NOCASE|RTRIM|BINARY` — Spark's parser has no
+    * COLLATE expression syntax, so it rewrites textually like infix
+    * GLOB. NOCASE folds through ascii_lower (SQLite's ASCII-only
+    * rule) and RTRIM through rtrim: a comparison to the left of the
+    * collated operand wraps BOTH sides (golden: `'ABC' = 'abc' COLLATE
+    * NOCASE` is 1, `'ÄBC' = 'äbc'` is 0); a bare operand (`ORDER BY
+    * name COLLATE NOCASE`) wraps alone. BINARY — the default on both
+    * engines — wraps in the `collate_binary` marker instead of being
+    * dropped: per datatype3.html §7.1 rule 1 an EXPLICIT binary
+    * overrides a column-DECLARED collation, so [[SqliteCollation]]
+    * must still see that the user asked for it (it strips the marker
+    * after deciding). */
   /** SQLite string literals are RAW: the only escape is a doubled quote
     * (sqlite.org/lang_expr.html); a backslash is an ordinary character.
     * Spark's default lexer instead processes backslash escapes ('\n' →
@@ -657,13 +671,16 @@ object SqliteDialect {
     found match {
       case None => sql
       case Some(i) =>
-        if (toks(i + 1).lower == "binary")
-          return rewriteCollate(
-            sql.substring(0, toks(i).start) + sql.substring(toks(i + 1).end))
         // NOCASE folds ASCII case; RTRIM ignores trailing spaces before
         // a BINARY compare (datatype3.html §7.1) — both express as a
-        // both-sides wrap around the collation-governed comparison
-        val wrap = if (toks(i + 1).lower == "rtrim") "rtrim" else "ascii_lower"
+        // both-sides wrap around the collation-governed comparison.
+        // BINARY wraps in the collate_binary marker (it must override a
+        // column-declared collation, not vanish).
+        val wrap = toks(i + 1).lower match {
+          case "rtrim" => "rtrim"
+          case "binary" => "collate_binary"
+          case _ => "ascii_lower"
+        }
         val yStart = operandStartBefore(toks, i)
         if (yStart >= i) return sql // no operand: the parser reports it
         val y = sql.substring(toks(yStart).start, toks(i - 1).end)

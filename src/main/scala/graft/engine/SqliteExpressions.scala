@@ -41,6 +41,23 @@ case class AsciiLower(child: Expression)
     copy(child = newChild)
 }
 
+/** Marker for an explicit `COLLATE BINARY` operator: SQLite's rule 1
+  * (datatype3.html §7.1) lets it override a column-DECLARED collation,
+  * so the textual COLLATE rewrite can't simply drop the clause — a
+  * NOCASE column under an explicit BINARY would otherwise fold anyway.
+  * [[SqliteCollation]] treats a marked operand as collation-free and
+  * strips every marker in the same pass, so nothing survives to
+  * execution (the passthrough eval below is a safety net only). */
+case class CollateBinary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "collate_binary"
+  override def nullSafeEval(v: Any): Any = v
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): CollateBinary =
+    copy(child = newChild)
+}
+
 object AsciiLower {
   def lower(s: UTF8String): UTF8String = {
     val b = s.getBytes.clone() // getBytes may expose the internal array

@@ -172,6 +172,42 @@ object SqliteWriter {
       }
       if (r != 0) r else x.length - y.length
     }
+
+  /** [[keyOrdering]] with a per-position collation (None = BINARY):
+    * an index over a collated column must lay its entries out in the
+    * order real sqlite3 searches with (NOCASE = memcmp of ASCII-folded
+    * bytes — sqlite3StrICmp's table; RTRIM = BINARY ignoring trailing
+    * 0x20), or lookups miss and integrity_check flags the tree. Text
+    * values only; every other storage class orders as BINARY under
+    * every built-in collation. */
+  private[engine] def keyOrderingWith(
+      colls: Seq[Option[String]]): Ordering[IndexedSeq[Any]] =
+    if (colls.forall(_.isEmpty)) keyOrdering
+    else (x: IndexedSeq[Any], y: IndexedSeq[Any]) => {
+      var i = 0
+      var r = 0
+      while (r == 0 && i < math.min(x.length, y.length)) {
+        r = (if (i < colls.length) colls(i) else None) match {
+          case Some(c) => (x(i), y(i)) match {
+            case (xs: String, ys: String) =>
+              valueOrdering.compare(collKey(c, xs), collKey(c, ys))
+            case _ => valueOrdering.compare(x(i), y(i))
+          }
+          case None => valueOrdering.compare(x(i), y(i))
+        }
+        i += 1
+      }
+      if (r != 0) r else x.length - y.length
+    }
+
+  private def collKey(coll: String, s: String): String = coll match {
+    case "RTRIM" =>
+      var e = s.length
+      while (e > 0 && s.charAt(e - 1) == ' ') e -= 1
+      s.substring(0, e)
+    case _ =>
+      AsciiLower.lower(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+  }
 }
 
 final class SqliteWriter(pageSize: Int, channel: FileChannel) {

@@ -47,6 +47,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * (ASCII-nocase LIKE, integer `/`, infix GLOB) — write predicates and
     * SET clauses go through the same SQLite contract as reads. */
   private def dexpr(s: String): Column = SqliteDialect.expr(spark, s)
+
+  /** Column-declared collation pass over a write-path frame. `dexpr`/
+    * `dpred` yield unresolved Columns, so the analyzed-plan pass can't
+    * run inside them — instead it runs where frames EXECUTE (the
+    * constraint gates' aggregates) or leave the txn ([[stage]], which
+    * every DML path funnels through). A frame is lazy, so one wrap at
+    * the funnel rewrites every comparison, window partition and
+    * conflict join accumulated below it; no-op without collated
+    * columns. */
+  private def collated(df: DataFrame): DataFrame = SqliteCollation(spark, df)
   /** WHERE/CHECK positions: boolean-typed, SQLite truthiness for
     * value-shaped conditions (`WHERE 1`). */
   private def dpred(s: String): Column = SqliteDialect.predicate(spark, s)
@@ -139,7 +149,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val df2 =
       if (meta.generated.isEmpty) df
       else GeneratedColumns.recompute(spark, df, meta.schema, meta.generated)
-    working(table) = (meta, df2)
+    working(table) = (meta, collated(df2))
     dirty += table
   }
 
@@ -376,9 +386,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // evaluates to FALSE — NULL passes (SQLite's rule); all checks in
     // one aggregate job, failure labeled as sqlite3 labels it
     if (meta.checks.nonEmpty) {
-      val counts = df.select(meta.checks.zipWithIndex.map { case (c, i) =>
+      val counts = collated(df.select(meta.checks.zipWithIndex.map { case (c, i) =>
         count(when(!coalesce(dpred(c.expr), lit(true)), 1)).as(s"c$i")
-      }: _*).head()
+      }: _*)).head()
       meta.checks.zipWithIndex.foreach { case (c, i) =>
         if (counts.getLong(i) > 0) throw new IllegalArgumentException(
           s"CHECK constraint failed: ${c.label}")
@@ -391,8 +401,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     keySets.distinct.foreach { keys0 =>
       resolve(keys0).foreach { keys =>
         val nonNull = keys.foldLeft(df)((d, k) => d.where(col(k).isNotNull))
-        val dup = nonNull.groupBy(keys.map(col): _*).count()
-          .where(col("count") > 1).limit(1).count()
+        // the collation pass folds collated grouping keys, so 'abc'
+        // and 'ABC' land in one group and conflict — SQLite's NOCASE
+        // unique-index behavior
+        val dup = collated(nonNull.groupBy(keys.map(col): _*).count()
+          .where(col("count") > 1)).limit(1).count()
         if (dup > 0) throw new IllegalArgumentException(
           s"UNIQUE constraint failed: ${keys.map(k => s"$table.$k").mkString(", ")}")
       }
@@ -781,7 +794,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         case Some(literal) => dexpr(literal).cast(colType)
         case None => lit(null).cast(colType)
       }
-      val newSchema = meta.schema.add(StructField(colName, colType, nullable = true))
+      // an added column may declare its own collation, same as CREATE
+      val collMeta = SqliteDdl.collateClause(colDef) match {
+        case Some(c) => new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(SqliteDdl.CollationKey, c).build()
+        case None => org.apache.spark.sql.types.Metadata.empty
+      }
+      val newSchema = meta.schema.add(
+        StructField(colName, colType, nullable = true, metadata = collMeta))
       // copy, not re-construct: a fresh TableMeta would silently drop
       // the recorded indexes (and now the constraint/default records)
       stage(name, meta.copy(schema = newSchema,
@@ -792,7 +812,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         strictTypes = if (!meta.strict) meta.strictTypes
           else meta.strictTypes +
             (colName -> SqliteDdl.declaredType(colDef).trim.toUpperCase)),
-        df.withColumn(colName, backfill))
+        df.select(col("*"), backfill.as(colName, collMeta)))
     case _ => throw new IllegalArgumentException(s"cannot parse ALTER statement: $stmt")
   }
 
@@ -931,9 +951,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * class coercions with SQLite's error on a violating row. */
   private def alignToSchema(table: String, meta: TableMeta,
       full: DataFrame): DataFrame = {
+    // aliases re-attach the field metadata (a cast is not a
+    // NamedExpression, so the collation marker would otherwise drop off
+    // the aligned frame — and with it batch-internal nocase conflicts)
     if (!meta.strict)
       return full.select(meta.schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        col(f.name).cast(f.dataType).as(f.name, f.metadata)).toSeq: _*)
     val coerced = meta.schema.fields.map { f =>
       val in = full.schema.fields.find(_.name.equalsIgnoreCase(f.name))
         .map(_.dataType).getOrElse(f.dataType)
@@ -941,7 +964,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     strictProbe(table, meta, full,
       coerced.collect { case (f, (_, Some(c))) => f.name -> c }.toSeq)
-    full.select(coerced.map { case (f, (value, _)) => value.as(f.name) }.toSeq: _*)
+    full.select(coerced.map { case (f, (value, _)) =>
+      value.as(f.name, f.metadata) }.toSeq: _*)
   }
 
   private def insert(stmt00: String): Unit = {
@@ -1153,7 +1177,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       count(when(col(c).isNull, 1)).as(s"__nn$i") } ++
       meta.checks.zipWithIndex.map { case (c, i) =>
         count(when(!coalesce(dpred(c.expr), lit(true)), 1)).as(s"__ck$i") }
-    val r = rows.select(aggs: _*).head()
+    val r = collated(rows.select(aggs: _*)).head()
     nn.zipWithIndex.foreach { case (c, i) =>
       if (r.getLong(i) > 0) throw new IllegalArgumentException(
         s"NOT NULL constraint failed: $table.$c")
@@ -1283,8 +1307,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (keyCols.isEmpty)
         throw new IllegalArgumentException(
           "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint")
-      val dups = aligned0.groupBy(keyCols.map(col): _*).count()
-        .where(col("count") > 1).limit(1).count()
+      val dups = collated(aligned0.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > 1)).limit(1).count()
       if (dups > 0)
         throw new UnsupportedOperationException(
           "ON CONFLICT DO UPDATE with rows that conflict with each other in " +
