@@ -1055,9 +1055,13 @@ object SparkEntry {
     // scan-bound at any corpus size.
     "q61_repetition" -> ((s, dir) => {
       import s.implicits._
+      // coalesce pins the NULL-text contract to the oracle's (0-count
+      // row, not a NULL row) instead of leaning on the corpus never
+      // containing NULLs (ADVICE r9 #3)
       t(s, dir, "documents")
         .select($"doc_id",
-          TextOps.shingles(TextOps.tokens($"text"), 2).as("grams"))
+          TextOps.shingles(TextOps.tokens(coalesce($"text", lit(""))), 2)
+            .as("grams"))
         .select($"doc_id", size($"grams").cast("long").as("n_bigrams"),
           TextOps.gramRepetition($"grams").as("st"))
         .select($"doc_id", $"n_bigrams",

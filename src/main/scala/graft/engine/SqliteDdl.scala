@@ -120,9 +120,8 @@ object SqliteDdl {
   private val createRe =
     """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)\s*((?:WITHOUT\s+ROWID|STRICT)\s*(?:,\s*(?:WITHOUT\s+ROWID|STRICT)\s*)*)?$""".r
 
-  /** The datatype names a STRICT table accepts (stricttables.html §3);
-    * ANY is in SQLite's list but refused here — see [[validateStrict]]. */
-  private val StrictTypeNames = Set("INT", "INTEGER", "REAL", "TEXT", "BLOB")
+  /** The datatype names a STRICT table accepts (stricttables.html §3). */
+  private val StrictTypeNames = Set("INT", "INTEGER", "REAL", "TEXT", "BLOB", "ANY")
 
   /** Parse a SQLite CREATE TABLE statement. Throws on anything that isn't
     * one (callers dispatch on the first keyword before calling). */
@@ -243,12 +242,16 @@ object SqliteDdl {
             autoInc = Some(colName)
         }
         if (strict) validateStrictType(name, colName, declared)
+        // STRICT ANY: provisional INTEGER, adopted/widened from the
+        // classes actually written (WriteTxn.adaptAnyTypes)
+        val isStrictAny = strict && declared.toUpperCase == "ANY"
         val fieldMeta = collateClause(defn) match {
           case Some(coll) =>
             new MetadataBuilder().putString(CollationKey, coll).build()
           case None => Metadata.empty
         }
-        fields += StructField(colName, affinity(declared), nullable = true,
+        fields += StructField(colName,
+          if (isStrictAny) LongType else affinity(declared), nullable = true,
           metadata = fieldMeta)
         declaredTypes(colName.toLowerCase) = declared.toUpperCase
         if (hasNotNull(defn)) notNull :+= colName
@@ -289,22 +292,21 @@ object SqliteDdl {
   }
 
   /** STRICT datatype validation with SQLite's exact prepare-time texts
-    * (probed, 3.51): only INT/INTEGER/REAL/TEXT/BLOB are accepted.
-    * SQLite's sixth name, ANY, keeps the value's own storage class with
-    * no conversion at all — a per-row dynamic type this engine's
-    * concretely-typed columns cannot hold; refused as a documented
-    * deviation (same stance as typeless generated columns). */
+    * (probed, 3.51): INT/INTEGER/REAL/TEXT/BLOB/ANY are accepted.
+    * ANY keeps each value's own storage class with no conversion —
+    * re-expressed here as OBSERVED-CLASS typing: the column's concrete
+    * type adopts the classes actually written, widening through the
+    * cross-segment lattice (INT+REAL → REAL, +TEXT → TEXT) when a
+    * statement mixes classes (WriteTxn.adaptAnyTypes). Uniform-class
+    * columns — the overwhelmingly common use — match sqlite3 exactly,
+    * including typeof(); the mixed-class widening is the documented
+    * deviation (per-row storage classes don't exist over parquet). */
   private[engine] def validateStrictType(
       table: String, col: String, declared: String): Unit = {
     val d = declared.trim
     if (d.isEmpty)
       throw new IllegalArgumentException(s"missing datatype for $table.$col")
-    val up = d.toUpperCase
-    if (up == "ANY")
-      throw new UnsupportedOperationException(
-        s"column type ANY is not supported in STRICT tables " +
-          "(this engine's columns are concretely typed)")
-    if (!StrictTypeNames.contains(up))
+    if (!StrictTypeNames.contains(d.toUpperCase))
       throw new IllegalArgumentException(
         s"""unknown datatype for $table.$col: "$d"""")
   }

@@ -107,7 +107,16 @@ class TroughEngine(
     val plan: LogicalPlan =
       try sess.sessionState.sqlParser.parsePlan(stmt)
       catch {
-        case e: Exception => throw new IllegalArgumentException(e.getMessage, e)
+        case e: Exception =>
+          // infix MATCH is virtual-table (fts) syntax — name the actual
+          // limitation instead of surfacing a bare parse error (the
+          // write side refuses CREATE VIRTUAL TABLE the same way)
+          if ("(?is).*\\sMATCH\\s.*".r.matches(stmt))
+            throw new IllegalArgumentException(
+              "the MATCH operator is not supported: it requires a " +
+                "virtual-table module (fts5, rtree, ...), which are " +
+                "libsqlite3 extensions this engine does not embed", e)
+          throw new IllegalArgumentException(e.getMessage, e)
       } finally prev.foreach(SparkSession.setActiveSession)
     val bad = plan.isInstanceOf[Command] ||
       plan.getClass.getSimpleName.matches(".*(Insert|Create|Drop|Alter|Delete|Update|Merge).*")

@@ -295,12 +295,32 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             "semantics-changing pragmas would silently diverge from SQLite")
     case "CREATE" =>
       val upper = stmt.toUpperCase
-      if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) createIndex(stmt)
+      if (upper.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*"))
+        // crisp, named refusal (same contract as PRAGMA's): virtual
+        // tables are libsqlite3 EXTENSION MODULES (fts5, rtree, ...)
+        // whose behavior lives in C code this engine does not embed.
+        // Ingesting an existing file still preserves FTS shadow-table
+        // DATA (SqliteIngestSpec) — only module-backed query behavior
+        // is out of scope.
+        throw new UnsupportedOperationException(
+          "CREATE VIRTUAL TABLE is not supported: virtual-table modules " +
+            "(fts5, rtree, ...) are libsqlite3 extensions with no engine " +
+            "analog; ingest preserves FTS shadow-table data, but module " +
+            "behavior (MATCH) is unavailable")
+      else if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) createIndex(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?TRIGGER.*"))
         createTrigger(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*"))
         createView(stmt)
       else createTable(stmt)
+    case "ATTACH" | "DETACH" =>
+      // one write script addresses exactly ONE segment — the
+      // reference's one-connection-per-script shape (write.py:28-33);
+      // cross-segment reads go through the fan-out read path instead
+      throw new UnsupportedOperationException(
+        s"${SqlScript.firstWord(stmt)} is not supported: a write script " +
+          "addresses exactly one segment; query across segments with the " +
+          "fan-out read path instead")
     case "DROP" =>
       if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+VIEW.*")) dropView(stmt)
       else if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+TRIGGER.*")) dropTrigger(stmt)
@@ -773,7 +793,23 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val tail = if (genAdd.isEmpty) tail0
         else "(?is)\\b(?:GENERATED\\s+ALWAYS\\s+)?AS\\s*\\(.*$".r
           .replaceAllIn(tail0, "")
-      val colType = SqliteDdl.affinity(tail)
+      // STRICT ANY: adopt the DEFAULT's class when one is declared
+      // (the backfill must store verbatim), else provisional INTEGER
+      // adopted from later writes — the same observed-class typing as
+      // parseCreateTable
+      val colType =
+        if (meta.strict && SqliteDdl.declaredType(colDef).trim.equalsIgnoreCase("ANY"))
+          SqliteDdl.defaultClause(colDef) match {
+            case Some(d) => df.select(dexpr(d)).schema.head.dataType match {
+              case IntegerType | ShortType | ByteType | LongType | BooleanType => LongType
+              case _: DecimalType | FloatType | DoubleType => DoubleType
+              case BinaryType => BinaryType
+              case NullType => LongType
+              case _ => StringType
+            }
+            case None => LongType
+          }
+        else SqliteDdl.affinity(tail)
       // SQLite backfills existing rows with the declared DEFAULT (or
       // NULL when absent) — dropping it would silently NULL-fill rows
       // that queries then expect to hold the default
@@ -847,6 +883,57 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     meta.strictTypes.collectFirst {
       case (c, d) if c.equalsIgnoreCase(colName) => d
     }.getOrElse("TEXT")
+
+  /** STRICT ANY columns (stricttables.html §3): SQLite stores each
+    * value with its own class, no conversion. Over concretely-typed
+    * parquet that becomes OBSERVED-CLASS typing: the column's type
+    * adopts what's actually written — directly while the table is
+    * empty, else widening INT+REAL → REAL and any TEXT mix → TEXT
+    * (the cross-segment lattice; documented deviation: mixed-class
+    * columns report the widened typeof). BLOB never mixes — SQLite
+    * would keep the classes apart and no text rendering is faithful,
+    * so the mix is refused crisply. */
+  private def adaptAnyTypes(table: String, meta: TableMeta,
+      existing: DataFrame, incoming: DataFrame): (TableMeta, DataFrame) = {
+    val anyCols = meta.strictTypes.collect {
+      case (c, d) if d.equalsIgnoreCase("ANY") => c }.toSeq
+    if (!meta.strict || anyCols.isEmpty) return (meta, existing)
+    var schema = meta.schema
+    var ex = existing
+    lazy val isEmpty = existing.limit(1).count() == 0
+    anyCols.foreach { c =>
+      val cur = schema.fields.find(_.name.equalsIgnoreCase(c)).get
+      incoming.schema.fields.find(_.name.equalsIgnoreCase(c)).foreach { inF =>
+        val inT = inF.dataType match {
+          case IntegerType | ShortType | ByteType | LongType | BooleanType => LongType
+          case _: DecimalType | FloatType | DoubleType => DoubleType
+          case BinaryType => BinaryType
+          case NullType => cur.dataType
+          case _ => StringType
+        }
+        val adopted =
+          if (inT == cur.dataType) cur.dataType
+          else if (isEmpty) inT
+          else (cur.dataType, inT) match {
+            case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+            case (BinaryType, _) | (_, BinaryType) =>
+              throw new UnsupportedOperationException(
+                s"cannot mix BLOB and non-BLOB values in ANY column " +
+                  s"$table.${cur.name} (observed-class typing holds one " +
+                  "storage class per column)")
+            case _ => StringType
+          }
+        if (adopted != cur.dataType) {
+          schema = StructType(schema.fields.map(f =>
+            if (f.name.equalsIgnoreCase(c)) f.copy(dataType = adopted) else f))
+          ex = ex.select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name, f.metadata)).toSeq: _*)
+        }
+      }
+    }
+    if (schema eq meta.schema) (meta, existing)
+    else (meta.copy(schema = schema), ex)
+  }
 
   /** Storage-class coercion of a value (evaluated Spark type `in`) into
     * a STRICT column declared `declared`: (stored value, per-row
@@ -960,7 +1047,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val coerced = meta.schema.fields.map { f =>
       val in = full.schema.fields.find(_.name.equalsIgnoreCase(f.name))
         .map(_.dataType).getOrElse(f.dataType)
-      f -> strictCoerce(declOf(meta, f.name), f.dataType, in, col(f.name))
+      // ANY columns were already adopted/widened to fit the incoming
+      // class (adaptAnyTypes) — no storage-class coercion, no probe
+      f -> (if (declOf(meta, f.name).equalsIgnoreCase("ANY"))
+        (col(f.name).cast(f.dataType), None: Option[Column])
+      else strictCoerce(declOf(meta, f.name), f.dataType, in, col(f.name)))
     }
     strictProbe(table, meta, full,
       coerced.collect { case (f, (_, Some(c))) => f.name -> c }.toSeq)
@@ -988,16 +1079,20 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       viewInsert(table, colList, m.group(5), m.group(6))
       return
     }
-    val (meta, existing) = load(table)
+    // meta0/existing0 are PRE-adaptation: STRICT ANY columns may adopt
+    // the incoming frame's storage classes below (adaptAnyTypes), after
+    // which `meta`/`existing` carry the adapted schema for the rest of
+    // the statement
+    val (meta0, existing0) = load(table)
     // SQLite's prepare-time refusal (probed); a bare VALUES list takes
     // values for the BASE columns only ("table t has 3 columns")
     colList.foreach(_.foreach { c =>
-      if (meta.generated.exists(_.name.equalsIgnoreCase(c)))
+      if (meta0.generated.exists(_.name.equalsIgnoreCase(c)))
         throw new IllegalArgumentException(
           s"""cannot INSERT into generated column "$c"""")
     })
-    val baseCols: Seq[String] = meta.schema.fieldNames.toSeq
-      .filterNot(c => meta.generated.exists(_.name.equalsIgnoreCase(c)))
+    val baseCols: Seq[String] = meta0.schema.fieldNames.toSeq
+      .filterNot(c => meta0.generated.exists(_.name.equalsIgnoreCase(c)))
 
     val body = m.group(5)
     val incoming: DataFrame =
@@ -1008,12 +1103,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         require(colList.isEmpty,
           s"cannot combine a column list with DEFAULT VALUES: $stmt0")
         val cols = baseCols
-          .filterNot(f => meta.autoIncrement.exists(_.equalsIgnoreCase(f)))
+          .filterNot(f => meta0.autoIncrement.exists(_.equalsIgnoreCase(f)))
         colList = Some(cols)
         if (cols.isEmpty) // rowid-alias-only table: a bare one-row frame
           runSelect("SELECT NULL AS __dv").drop("__dv")
         else runSelect("SELECT " + cols.map(c =>
-          s"${defaultExpr(meta, c).getOrElse("NULL")} AS `$c`").mkString(", "))
+          s"${defaultExpr(meta0, c).getOrElse("NULL")} AS `$c`").mkString(", "))
       } else if (body.toUpperCase.startsWith("VALUES")) {
         // Evaluate each tuple as a SELECT so arbitrary expressions work
         // (incl. the client's datetime('<iso>') literals, which are UDF
@@ -1041,16 +1136,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // omitted-column rule), then auto-assign the rowid-style column if
     // it was omitted (safe: single writer per segment)
     var full = incoming
-    meta.schema.fieldNames
+    meta0.schema.fieldNames
       .filterNot(f => full.columns.exists(_.equalsIgnoreCase(f)))
       .foreach { missing0 =>
         full = full.withColumn(missing0,
-          defaultExpr(meta, missing0).map(dexpr).getOrElse(lit(null)))
+          defaultExpr(meta0, missing0).map(dexpr).getOrElse(lit(null)))
       }
-    val aiAssigned: Option[String] = meta.autoIncrement.filter(ai =>
+    val aiAssigned: Option[String] = meta0.autoIncrement.filter(ai =>
       colList.exists(cl => !cl.exists(_.equalsIgnoreCase(ai))))
     val aiBase: Option[Long] = aiAssigned.map { _ =>
-      val maxRow = existing.agg(max(col(meta.autoIncrement.get))).head()
+      val maxRow = existing0.agg(max(col(meta0.autoIncrement.get))).head()
       if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     }
     aiAssigned.foreach { ai =>
@@ -1061,8 +1156,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // their expressions can reference defaults and the rowid alias;
     // stage() re-derives too, but trigger images and RETURNING read
     // the pre-stage frame
-    if (meta.generated.nonEmpty)
-      full = GeneratedColumns.recompute(spark, full, meta.schema, meta.generated)
+    if (meta0.generated.nonEmpty)
+      full = GeneratedColumns.recompute(spark, full, meta0.schema, meta0.generated)
+    // STRICT ANY adoption: from here on the statement runs against the
+    // (possibly) class-adapted schema
+    val (meta, existing) = adaptAnyTypes(table, meta0, existing0, full)
     val aligned0 = alignToSchema(table, meta, full)
     if (conflict.isDefined && upsertClause.isDefined)
       // SQLite's grammar rejects the combination too
@@ -1465,10 +1563,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       viewUpdate(table, m.group(3))
       return
     }
-    val (meta, df) = load(table)
+    val (metaL, dfL) = load(table)
     val body = m.group(3)
     val fromAt = firstTopLevelKw(body, "FROM")
-    if (fromAt >= 0) { updateFrom(table, alias, meta, df, body, fromAt, retText); return }
+    if (fromAt >= 0) { updateFrom(table, alias, metaL, dfL, body, fromAt, retText); return }
     val whereAt = topLevelWhere(body)
     val (setPart, predPart) =
       if (whereAt < 0) (body, None)
@@ -1479,16 +1577,29 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         val eq = topLevelEq(assignment)
         val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
         val valueExpr = dexpr(assignment.substring(eq + 1).trim)
-        requireNotGenerated(meta, colName, "UPDATE")
-        val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        requireNotGenerated(metaL, colName, "UPDATE")
+        val field = metaL.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
         field -> valueExpr
       }
+    // STRICT ANY adoption for SET targets: an assigned value of a new
+    // storage class adapts the column type before coercion
+    val (meta, df) = {
+      val anyAssigns = rawAssigns.filter { case (f, _) =>
+        metaL.strict && declOf(metaL, f.name).equalsIgnoreCase("ANY") }
+      if (anyAssigns.isEmpty) (metaL, dfL)
+      else adaptAnyTypes(table, metaL, dfL,
+        dfL.select(anyAssigns.map { case (f, v) => v.as(f.name) }: _*))
+    }
     // STRICT: coerce each SET value's storage class, probing only the
     // rows the predicate selects (SQLite checks at the UPDATE step)
     val coercedAssigns: Seq[(StructField, (Column, Option[Column]))] =
-      rawAssigns.map { case (f, v) =>
+      rawAssigns.map { case (f0, v) =>
+        // re-resolve: ANY adoption may have retyped the field
+        val f = meta.schema.fields.find(_.name.equalsIgnoreCase(f0.name)).get
         if (!meta.strict) f -> (v.cast(f.dataType), None)
+        else if (declOf(meta, f.name).equalsIgnoreCase("ANY"))
+          f -> (v.cast(f.dataType), None)
         else {
           val in = df.select(v).schema.head.dataType
           f -> strictCoerce(declOf(meta, f.name), f.dataType, in, v)

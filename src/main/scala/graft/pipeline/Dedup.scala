@@ -273,8 +273,10 @@ object Dedup {
     * duplicated a million times) costs a combiner, not a 10⁶-element
     * array on one task. Each iteration is eagerly localCheckpoint-ed to
     * truncate lineage (iterative DataFrame plans otherwise grow
-    * exponentially). Convergence is exact: stop when the edge set is a
-    * fixpoint of both stars (count equal + symmetric difference empty).
+    * exponentially). Convergence is exact AND single-job: the edge set
+    * is a fixpoint of both stars iff a signed-weight union of old and
+    * new edges aggregates to all-zero groups (both are distinct sets,
+    * so this is precisely an empty symmetric difference).
     *
     * Returns one row per node of `pairs`: (doc_id, cluster_id) where
     * cluster_id is the component's minimum doc id (so a node IS canonical
@@ -321,10 +323,17 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // Exact fixpoint test: same cardinality and no edge in either
-      // set-difference direction (counts equal makes one direction enough).
-      val nextCount = next.count()
-      converged = nextCount == edges.count() && next.except(edges).isEmpty
+      // Exact fixpoint test in ONE job (was count + count + except =
+      // 3 jobs × O(log n) rounds): both sides are distinct sets, so a
+      // signed-weight union aggregates to 0 exactly on the
+      // intersection and ±1 on the symmetric difference — any nonzero
+      // group means not-yet-converged, and limit(1) stops the scan at
+      // the first one.
+      converged = next.select(col("u"), col("v"), lit(1L).as("w"))
+        .union(edges.select(col("u"), col("v"), lit(-1L).as("w")))
+        .groupBy("u", "v").agg(sum(col("w")).as("s"))
+        .where(col("s") =!= 0L)
+        .limit(1).count() == 0L
       edges = next
       iter += 1
     }

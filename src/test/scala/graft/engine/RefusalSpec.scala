@@ -1,0 +1,75 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** The engine's NAMED refusals for libsqlite3 surfaces that have no
+  * analog here — same contract as the PRAGMA gate (WriteTxn): a crisp
+  * error that names the limitation, never a generic parse failure that
+  * sends the user hunting.
+  *
+  *  - `CREATE VIRTUAL TABLE` / `MATCH`: virtual-table MODULES (fts5,
+  *    rtree, ...) are C extensions inside libsqlite3; the reference
+  *    write path would accept them (write.py:40 runs any script
+  *    sqlite3 does), so the deviation must be loud. Ingest of an
+  *    existing file still preserves FTS shadow-table DATA
+  *    (SqliteIngestSpec) — only module-backed behavior is refused.
+  *  - `ATTACH` / `DETACH`: a write script addresses exactly one
+  *    segment (the reference opens one connection per script,
+  *    write.py:28-33); cross-segment queries go through the fan-out
+  *    read path.
+  */
+class RefusalSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-refusal").toString
+  private lazy val engine = {
+    val store = new SegmentStore(spark, root)
+    new TroughEngine(spark, store, new SchemaRegistry)
+  }
+
+  private lazy val seg: String = {
+    engine.schemas.put("refusal-schema",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, body TEXT);")
+    engine.provisionWritable("refusal-1", "refusal-schema")
+    engine.write("refusal-1", "INSERT INTO t VALUES (1, 'hello world');")
+    "refusal-1"
+  }
+
+  test("CREATE VIRTUAL TABLE refuses with the module limitation named") {
+    val e = intercept[UnsupportedOperationException](engine.write(seg,
+      "CREATE VIRTUAL TABLE ft USING fts5(body);"))
+    assert(e.getMessage.contains("CREATE VIRTUAL TABLE is not supported"))
+    assert(e.getMessage.contains("fts5"))
+    assert(e.getMessage.contains("shadow-table data"))
+    // rtree spelling routes to the same refusal
+    val e2 = intercept[UnsupportedOperationException](engine.write(seg,
+      "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX);"))
+    assert(e2.getMessage.contains("CREATE VIRTUAL TABLE is not supported"))
+  }
+
+  test("MATCH on the read path refuses with the fts limitation named") {
+    val e = intercept[IllegalArgumentException](engine.read(seg,
+      "SELECT id FROM t WHERE body MATCH 'hello';"))
+    assert(e.getMessage.contains("MATCH operator is not supported"))
+    assert(e.getMessage.contains("fts5"))
+    // a column NAMED match stays usable (only the infix operator is
+    // fts syntax)
+    engine.schemas.put("refusal-schema-2",
+      "CREATE TABLE m (match TEXT);")
+    engine.provisionWritable("refusal-2", "refusal-schema-2")
+    engine.write("refusal-2", "INSERT INTO m (`match`) VALUES ('ok');")
+    assert(engine.read("refusal-2", "SELECT `match` FROM m;")
+      .collect()(0).getString(0) == "ok")
+  }
+
+  test("ATTACH / DETACH refuse with the one-segment contract named") {
+    val e = intercept[UnsupportedOperationException](engine.write(seg,
+      "ATTACH DATABASE '/tmp/other.db' AS other;"))
+    assert(e.getMessage.contains("ATTACH is not supported"))
+    assert(e.getMessage.contains("one segment"))
+    val e2 = intercept[UnsupportedOperationException](engine.write(seg,
+      "DETACH DATABASE other;"))
+    assert(e2.getMessage.contains("DETACH is not supported"))
+  }
+}

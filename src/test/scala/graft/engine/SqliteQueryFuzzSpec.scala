@@ -48,6 +48,10 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
 
   private val sPool = Seq("ab", "Ab", "cd", "CD", "ef", "gh", "xyz", "x")
   private val uPool = Seq("alpha", "Beta", "gamma", "delta", "epsilon")
+  // pools for the COLLATE-declared columns: case variants of the same
+  // words (NOCASE folding) and trailing-space variants (RTRIM)
+  private val snPool = Seq("ab", "AB", "Ab", "cd", "CD", "qq", "Zz")
+  private val rtPool = Seq("p", "p ", "p  ", "q", "q ", " q", "")
 
   private def dataScript: String = {
     val dr = new scala.util.Random(SEED ^ 0x5eedL)
@@ -59,8 +63,10 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       "X'" + Seq.fill(1 + dr.nextInt(6))(f"${dr.nextInt(256)}%02X").mkString + "'"
     val sb = new StringBuilder
     sb ++= "CREATE TABLE t1 (id INTEGER PRIMARY KEY, a INTEGER, " +
-      "b INTEGER, c REAL, s TEXT, u TEXT, d TEXT, bl BLOB);\n"
-    sb ++= "CREATE TABLE t2 (k INTEGER PRIMARY KEY, a INTEGER, s TEXT);\n"
+      "b INTEGER, c REAL, s TEXT, u TEXT, d TEXT, bl BLOB, " +
+      "sn TEXT COLLATE NOCASE, rt TEXT COLLATE RTRIM);\n"
+    sb ++= "CREATE TABLE t2 (k INTEGER PRIMARY KEY, a INTEGER, s TEXT, " +
+      "sn TEXT COLLATE NOCASE);\n"
     for (i <- 1 to 80) {
       val a = orNull((dr.nextInt(10)).toString)
       val b = orNull((dr.nextInt(101) - 50).toString)
@@ -69,17 +75,25 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       val u = orNull(s"'${uPool(dr.nextInt(uPool.length))}'")
       val d = orNull(dateLit())
       val bl = orNull(blobLit())
-      sb ++= s"INSERT INTO t1 VALUES ($i, $a, $b, $c, $s, $u, $d, $bl);\n"
+      val sn = orNull(s"'${snPool(dr.nextInt(snPool.length))}'")
+      val rt = orNull(s"'${rtPool(dr.nextInt(rtPool.length))}'")
+      sb ++= s"INSERT INTO t1 VALUES ($i, $a, $b, $c, $s, $u, $d, $bl, $sn, $rt);\n"
     }
     for (i <- 1 to 20) {
       val a = orNull((dr.nextInt(10)).toString)
       val s = orNull(s"'${sPool(dr.nextInt(sPool.length))}'")
-      sb ++= s"INSERT INTO t2 VALUES ($i, $a, $s);\n"
+      val sn = orNull(s"'${snPool(dr.nextInt(snPool.length))}'")
+      sb ++= s"INSERT INTO t2 VALUES ($i, $a, $s, $sn);\n"
     }
     sb.toString
   }
 
   private lazy val db: String = {
+    // the frame marker must never appear in a rendered value (pool
+    // edits are the realistic way that invariant breaks — fail loudly)
+    (sPool ++ uPool ++ snPool ++ rtPool).foreach(v =>
+      require(!v.contains(FrameMarker) && !v.contains("@"),
+        s"pool value '$v' could collide with the batch framing"))
     val path = Files.createTempDirectory("graft-qfuzz-db")
       .resolve("qfuzz.sqlite").toString
     require(SqliteCli.run(path, dataScript) == 0, "fixture build failed")
@@ -135,11 +149,25 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
 
   private def hasT1(ctx: Ctx): Boolean = ctx.ints.contains("t1.id")
 
-  private def pred(ctx: Ctx, d: Int): String = rng.nextInt(14) match {
+  /** Predicates over the COLLATE-declared columns: deterministic
+    * (membership, not representative choice), covering the declared
+    * NOCASE/RTRIM fold, the explicit COLLATE BINARY override, IN, and
+    * range compares under the collation. */
+  private def collatedPred(): String = rng.nextInt(6) match {
+    case 0 => s"(t1.sn $cmp '${pick(snPool)}')"
+    case 1 => s"(t1.sn = '${pick(snPool)}' COLLATE BINARY)"
+    case 2 => s"(t1.rt $cmp '${pick(rtPool)}')"
+    case 3 => s"(t1.sn IN ('${pick(snPool)}', '${pick(snPool)}'))"
+    case 4 => s"(t1.rt = '${pick(rtPool)}' COLLATE NOCASE)"
+    case _ => s"(t1.sn BETWEEN '${pick(snPool)}' AND '${pick(snPool)}')"
+  }
+
+  private def pred(ctx: Ctx, d: Int): String = rng.nextInt(16) match {
     case 12 if hasT1(ctx) =>
       s"(t1.d $cmp '${2019 + rng.nextInt(6)}-${f"${1 + rng.nextInt(12)}%02d"}-15')"
     case 13 if hasT1(ctx) =>
       s"(strftime('%m', t1.d) = '${f"${1 + rng.nextInt(12)}%02d"}')"
+    case 14 | 15 if hasT1(ctx) => collatedPred()
     case 0 | 1 => s"(${intExpr(ctx, 1)} $cmp ${intExpr(ctx, 1)})"
     case 2 => s"(${ctx.real} $cmp $realLit)"
     case 3 => s"(${intExpr(ctx, 0)} $cmp $realLit)" // numeric cross-compare
@@ -163,7 +191,12 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     * — CAST text is full `%!.15g` parity. Predicates (HAVING) compare
     * the RAW double, which is IEEE-identical in both engines. */
   private def aggExpr(ctx: Ctx, forOutput: Boolean): String =
-    rng.nextInt(if (forOutput) 12 else 10) match {
+    rng.nextInt(if (forOutput) 13 else 10) match {
+      // count(DISTINCT) over a collated column folds its classes —
+      // the count is representative-free, so it's differential-safe
+      case 12 if hasT1(ctx) =>
+        s"count(DISTINCT ${if (rng.nextBoolean()) "t1.sn" else "t1.rt"})"
+      case 12 => s"count(DISTINCT ${pick(ctx.texts)})"
       case 0 => "count(*)"
       case 1 => s"count(${ctx.anyCol})"
       case 2 => s"sum(${pick(ctx.ints)})"
@@ -218,7 +251,9 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     if (rng.nextBoolean()) ("t1", t1Ctx)
     else {
       val kind = if (rng.nextBoolean()) "JOIN" else "LEFT JOIN"
-      val on = if (rng.nextBoolean()) "t1.a = t2.a" else "t1.s = t2.s"
+      // the sn = sn option joins under the NOCASE collation (both
+      // sides declared): membership is deterministic
+      val on = pick(Seq("t1.a = t2.a", "t1.s = t2.s", "t1.sn = t2.sn"))
       (s"t1 $kind t2 ON $on", joinCtx)
     }
 
@@ -284,11 +319,14 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       val items = Seq.fill(1 + rng.nextInt(2))(selectItem(t1Ctx))
       val extra = if (rng.nextBoolean()) s" AND ${pred(t1Ctx, 1)}" else ""
       s"SELECT ${wrap(items)} FROM t1 WHERE ${subqueryPred(t1Ctx)}$extra;"
-    case 10 => // ORDER BY pk + LIMIT/OFFSET: the chosen window is checked
+    case 10 => // ORDER BY + LIMIT/OFFSET: the chosen window is checked.
+      // A collated first key orders by its declared collation; the pk
+      // tiebreak keeps the selection deterministic on both engines.
       val items = "t1.id" +: Seq.fill(rng.nextInt(2))(selectItem(t1Ctx))
       val where = if (rng.nextBoolean()) s" WHERE ${pred(t1Ctx, 1)}" else ""
       val off = if (rng.nextBoolean()) s" OFFSET ${rng.nextInt(10)}" else ""
-      s"SELECT ${wrap(items)} FROM t1$where ORDER BY t1.id " +
+      val order = pick(Seq("t1.id", "t1.sn, t1.id", "t1.rt, t1.id"))
+      s"SELECT ${wrap(items)} FROM t1$where ORDER BY $order " +
         s"LIMIT ${1 + rng.nextInt(20)}$off;"
     case 11 | 12 => // compound selects (set semantics dedup both sides)
       val op = pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
@@ -315,11 +353,14 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
 
   /** sqlite3's sorted row multiset per query, one batch, marker-framed
     * (the CLI continues past per-statement errors, so alignment holds
-    * and an error simply leaves that query's frame empty). */
+    * and an error simply leaves that query's frame empty). The marker
+    * is a sentinel no value pool or generator output can collide with
+    * (asserted against the pools at fixture build). */
+  private val FrameMarker = "GRAFT-FRAME-c19e4b72"
   private def sqliteBatch(queries: Seq[String]): Seq[Seq[String]] = {
-    val sql = queries.map(q => s"SELECT '@@';\n$q").mkString("\n")
+    val sql = queries.map(q => s"SELECT '$FrameMarker';\n$q").mkString("\n")
     val out = SqliteCli.query(db, sql)
-    val parts = out.split("@@", -1).toSeq.drop(1)
+    val parts = out.split(FrameMarker, -1).toSeq.drop(1)
     require(parts.length == queries.length, "sqlite3 batch misaligned")
     parts.map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.sorted)
   }

@@ -5,24 +5,28 @@ import java.nio.file.Files
 import graft.SparkSpecBase
 
 /** DIFFERENTIAL FUZZER for the WRITE path: generates random schemas
-  * (types, PK/rowid alias, NOT NULL + DEFAULT, CHECK, UNIQUE, STRICT)
-  * and random write scripts (INSERT incl. OR IGNORE / OR REPLACE /
-  * upsert, UPDATE, DELETE, ALTER ADD/DROP/RENAME COLUMN), runs each
-  * script through the engine AND through real sqlite3 — both as ONE
+  * (types, PK/rowid alias, NOT NULL + DEFAULT, CHECK, UNIQUE incl.
+  * UNIQUE over COLLATE NOCASE/RTRIM columns, STRICT, generated
+  * columns) and random write scripts (INSERT incl. OR IGNORE / OR
+  * REPLACE / upsert, UPDATE, DELETE, ALTER ADD/DROP/RENAME COLUMN,
+  * CREATE TRIGGER with an audit body, CREATE VIEW), runs each script
+  * through the engine AND through real sqlite3 — both as ONE
   * transaction (the engine's contract; sqlite3 via `.bail on` +
   * BEGIN…COMMIT, so an error rolls the whole script back there too) —
-  * and compares the final content of every table via `quote()` rows.
+  * and compares the final content of every table (and any created
+  * view) via `quote()` rows.
   *
   * This is the write-surface analog of SqliteExprFuzzSpec: the
-  * constraint gates, upsert merge logic, STRICT coercions, and ALTER
-  * machinery each have probed specs, but only a fuzzer exercises their
-  * COMBINATIONS (a CHECK failing after an OR REPLACE merge on a STRICT
-  * table, a DROP COLUMN after an ALTER ADD, …).
+  * constraint gates, upsert merge logic, STRICT coercions, trigger
+  * firing, and ALTER machinery each have probed specs, but only a
+  * fuzzer exercises their COMBINATIONS (a CHECK failing after an OR
+  * REPLACE merge on a STRICT table, a nocase UNIQUE collision under
+  * OR IGNORE, a DROP COLUMN refused by a trigger body, …).
   *
   * Stays on the engine's documented domain: no double-quoted string
   * literals, typed comparisons, explicit PK values (the engine
-  * auto-assigns only OMITTED rowid-alias columns, not explicit NULLs),
-  * no triggers/views (their own differential specs cover interleaving).
+  * auto-assigns only OMITTED rowid-alias columns, not explicit
+  * NULLs), and triggers never combined with same-statement RETURNING.
   */
 class SqliteWriteFuzzSpec extends SparkSpecBase {
 
@@ -42,7 +46,12 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
   private case class Col(name: String, tpe: String)
 
   private def intLit: String = (rng.nextInt(26) - 5).toString
-  private def textLit: String = s"'t${rng.nextInt(8)}'"
+  // the pool deliberately contains NOCASE case-variants and RTRIM
+  // trailing-space variants, so collated UNIQUE columns see REAL
+  // collation collisions under every conflict mode
+  private val textPool =
+    Seq("t0", "T0", "t1", "t2", "aa", "AA", "Aa", "bb", "bb ", "bb  ", "c c")
+  private def textLit: String = s"'${textPool(rng.nextInt(textPool.length))}'"
   private def realLit: String = s"${rng.nextInt(10)}.${rng.nextInt(10) * 25 + 25}"
   private def litFor(tpe: String, strict: Boolean): String = {
     // in non-strict tables any value can land anywhere (dynamic typing
@@ -58,7 +67,14 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
     }
   }
 
-  /** Random table definition; returns (ddl, cols, strict). */
+  /** Random table definition; returns (ddl, cols, strict). The DDL
+    * also carries a `log` audit table for trigger bodies. TEXT columns
+    * sometimes declare COLLATE NOCASE/RTRIM — combined with the
+    * case-variant value pool and the UNIQUE sprinkles, that drives the
+    * collation-aware conflict machinery differentially. A trailing
+    * generated column (VIRTUAL or STORED over the rowid alias) rides
+    * along sometimes; it never appears in the INSERT column lists
+    * (bare VALUES covers base columns only, SQLite's rule). */
   private def genTable(name: String): (String, Seq[Col], Boolean) = {
     val strict = rng.nextInt(4) == 0
     val nCols = 2 + rng.nextInt(3)
@@ -69,6 +85,11 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
       if (i == 0) s"${c.name} INTEGER PRIMARY KEY"
       else {
         val extras = new StringBuilder
+        if (c.tpe == "TEXT") rng.nextInt(4) match {
+          case 0 => extras ++= " COLLATE NOCASE"
+          case 1 => extras ++= " COLLATE RTRIM"
+          case _ => ()
+        }
         if (rng.nextInt(4) == 0) {
           val d = c.tpe match {
             case "INTEGER" => intLit
@@ -80,7 +101,10 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
         }
         if (c.tpe == "INTEGER" && rng.nextInt(5) == 0)
           extras ++= s" CHECK (${c.name} > -900)"
-        if (rng.nextInt(8) == 0) extras ++= " UNIQUE"
+        // collated TEXT columns get UNIQUE more often: that's where
+        // the collation-aware conflict detection lives
+        val uniqueOdds = if (extras.toString.contains("COLLATE")) 3 else 8
+        if (rng.nextInt(uniqueOdds) == 0) extras ++= " UNIQUE"
         s"${c.name} ${c.tpe}$extras"
       }
     }
@@ -91,16 +115,56 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
       if (nCols >= 2 && rng.nextInt(5) == 0)
         Seq(s"UNIQUE (${cols(1).name}, ${cols(2).name})")
       else Nil
-    (s"CREATE TABLE $name (${(defs ++ tableConstraint).mkString(", ")})" +
-      (if (strict) " STRICT" else "") + ";", cols, strict)
+    val gen =
+      if (strict || rng.nextInt(4) != 0) Nil
+      else Seq(s"g0 INTEGER GENERATED ALWAYS AS (id * 2 + 1)" +
+        (if (rng.nextBoolean()) " STORED" else " VIRTUAL"))
+    (s"CREATE TABLE $name (${(defs ++ gen ++ tableConstraint).mkString(", ")})" +
+      (if (strict) " STRICT" else "") + ";\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY AUTOINCREMENT, msg TEXT);",
+      cols, strict)
   }
+
+  /** Whether the generated script created a view `v` (compared at the
+    * end when set). */
+  private var madeView = false
 
   private def genScript(table: String, cols0: Seq[Col], strict: Boolean): String = {
     var cols = cols0
     var nextId = 1
     var added = 0
+    var triggers = 0
+    madeView = false
     val stmts = (1 to (3 + rng.nextInt(6))).map { _ =>
-      rng.nextInt(12) match {
+      rng.nextInt(15) match {
+        case 12 if triggers < 2 =>
+          triggers += 1
+          val timing = if (rng.nextBoolean()) "BEFORE" else "AFTER"
+          val (event, row) = rng.nextInt(3) match {
+            case 0 => ("INSERT", "NEW")
+            case 1 => ("DELETE", "OLD")
+            case _ => ("UPDATE", "NEW")
+          }
+          val when = if (rng.nextInt(3) == 0) s" WHEN $row.id > ${rng.nextInt(6)}" else ""
+          s"CREATE TRIGGER tg$triggers $timing $event ON $table$when BEGIN " +
+            s"INSERT INTO log (msg) VALUES ('${event.take(1)}' || $row.id); END;"
+        case 13 if !madeView && cols.length > 1 =>
+          madeView = true
+          // the view pins its column names so the end-of-script compare
+          // can query it identically on both engines even after renames
+          s"CREATE VIEW v (vid, vc) AS SELECT id, ${cols(1).name} FROM $table " +
+            s"WHERE id % ${2 + rng.nextInt(3)} = 0;"
+        case 14 if cols.exists(_.tpe == "TEXT") =>
+          // text-predicate DML: the collation (if declared) governs the
+          // comparison on the write path too
+          val tc = pickText(cols)
+          if (rng.nextBoolean())
+            s"DELETE FROM $table WHERE ${tc.name} = $textLit;"
+          else {
+            val tgt = cols(1 + rng.nextInt(cols.length - 1))
+            val rhs = litFor(tgt.tpe, strict)
+            s"UPDATE $table SET ${tgt.name} = $rhs WHERE ${tc.name} = $textLit;"
+          }
         case 0 | 1 | 2 | 3 =>
           val vals = cols.map {
             case Col("id", _) =>
@@ -162,11 +226,20 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
     stmts.mkString("\n")
   }
 
-  /** Multiset of quote()-rendered rows of `table`, sorted — engine side. */
+  private def pickText(cols: Seq[Col]): Col = {
+    val ts = cols.filter(_.tpe == "TEXT")
+    ts(rng.nextInt(ts.length))
+  }
+
+  /** Multiset of quote()-rendered rows of `table`, sorted — engine
+    * side. Generated columns are skipped to mirror the sqlite3 side's
+    * `pragma_table_info` projection (which hides them, probed 3.51). */
   private def engineRows(seg: String, table: String): Option[Seq[String]] =
     scala.util.Try {
-      val schema = engine.store.tableMeta(seg, table).schema
-      val sel = schema.fieldNames.map(c => s"quote(`$c`)").mkString(" || '|' || ")
+      val meta = engine.store.tableMeta(seg, table)
+      val sel = meta.schema.fieldNames
+        .filterNot(c => meta.generated.exists(_.name.equalsIgnoreCase(c)))
+        .map(c => s"quote(`$c`)").mkString(" || '|' || ")
       engine.read(seg, s"SELECT $sel AS r FROM $table;")
         .collect().map(_.getString(0)).toSeq.sorted
     }.toOption
@@ -203,19 +276,32 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
         val rc = SqliteCli.run(db.toString,
           ".bail on\nBEGIN;\n" + script + "\nCOMMIT;")
         val sqliteErr = rc != 0
+        val compareView = madeView && engineErr.isEmpty
         if (engineErr.isDefined != sqliteErr)
           failures += s"[$i] outcome diverged (engine=${engineErr.map(_.getMessage)} " +
             s"sqlite3 rc=$rc)\n$ddl\n$script"
         else {
           if (engineErr.isDefined) errorOutcomes += 1
-          (engineRows(segId, "t"), sqliteRows(db.toString, "t")) match {
-            case (Some(a), Some(b)) =>
-              if (a != b)
-                failures += s"[$i] rows diverged\n$ddl\n$script\nengine: $a\nsqlite3: $b"
-              else if (a.nonEmpty) comparedNonEmpty += 1
-            case (a, b) =>
-              failures += s"[$i] row read failed (engine=${a.isDefined} " +
-                s"sqlite3=${b.isDefined})\n$ddl\n$script"
+          Seq("t", "log").foreach { tbl =>
+            (engineRows(segId, tbl), sqliteRows(db.toString, tbl)) match {
+              case (Some(a), Some(b)) =>
+                if (a != b)
+                  failures += s"[$i] $tbl rows diverged\n$ddl\n$script\nengine: $a\nsqlite3: $b"
+                else if (a.nonEmpty && tbl == "t") comparedNonEmpty += 1
+              case (a, b) =>
+                failures += s"[$i] $tbl row read failed (engine=${a.isDefined} " +
+                  s"sqlite3=${b.isDefined})\n$ddl\n$script"
+            }
+          }
+          if (compareView) {
+            val vq = "SELECT quote(vid) || '|' || quote(vc) AS r FROM v;"
+            val ours = scala.util.Try(engine.read(segId, vq).collect()
+              .map(_.getString(0)).toSeq.sorted).toOption
+            val theirs = scala.util.Try(SqliteCli.query(db.toString, vq)
+              .split("\n").filter(_.nonEmpty).toSeq.sorted).toOption
+            if (ours != theirs)
+              failures += s"[$i] view rows diverged\n$ddl\n$script\n" +
+                s"engine: $ours\nsqlite3: $theirs"
           }
         }
       }

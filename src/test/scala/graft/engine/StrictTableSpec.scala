@@ -12,9 +12,12 @@ import graft.SparkSpecBase
   * ingest keeps enforcing after a round trip). Every behavior and
   * message probed against the sandbox CLI (3.51).
   *
-  * Documented deviation: column type ANY (per-row dynamic storage
-  * class) is refused — this engine's columns are concretely typed,
-  * the same stance as typeless generated columns. */
+  * Column type ANY is supported via OBSERVED-CLASS typing: a column
+  * adopts the storage classes actually written (uniform-class columns
+  * match sqlite3 exactly, incl. typeof); mixing classes widens by the
+  * cross-segment lattice (documented deviation — per-row storage
+  * classes don't exist over concretely-typed parquet), and BLOB never
+  * mixes (crisp refusal). */
 class StrictTableSpec extends SparkSpecBase {
 
   private lazy val root = Files.createTempDirectory("graft-strict").toString
@@ -43,10 +46,6 @@ class StrictTableSpec extends SparkSpecBase {
     val e2 = intercept[Exception](seg(
       "CREATE TABLE t (a) STRICT;"))
     assert(e2.getMessage.contains("missing datatype for t.a"))
-    // engine deviation: ANY refused loudly, not silently mistyped
-    val e3 = intercept[Exception](seg(
-      "CREATE TABLE t (a ANY) STRICT;"))
-    assert(e3.getMessage.contains("ANY"))
     // non-strict tables still take any declared type
     val ok = seg("CREATE TABLE t (a VARCHAR(10));")
     engine.write(ok, "INSERT INTO t VALUES ('fine');")
@@ -205,5 +204,74 @@ class StrictTableSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](engine.write("strict-back",
       "INSERT INTO t VALUES (3, 1.5, 'z');"))
     assert(e.getMessage == "cannot store REAL value in INT column t.a")
+  }
+
+  // ------------------------------------------------------------- ANY
+
+  test("ANY columns: uniform classes store verbatim, typeof matches sqlite3") {
+    // sqlite3 (probed 3.51): ANY stores each value with its own class,
+    // '12' STAYS text in a STRICT table. Per-column uniform classes are
+    // the engine's exact domain (observed-class typing).
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id,
+      "INSERT INTO t VALUES (1, '12'); INSERT INTO t VALUES (2, 'xy');" +
+        "INSERT INTO t VALUES (3, NULL);")
+    val rows = engine.read(id,
+      "SELECT k, a, typeof(a) AS ty FROM t ORDER BY k;").collect()
+    assert(rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "12", "text"), (2L, "xy", "text"), (3L, null, "null")))
+    // integer-uniform column
+    val id2 = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id2,
+      "INSERT INTO t VALUES (1, 42); INSERT INTO t VALUES (2, -7);")
+    assert(engine.read(id2, "SELECT typeof(a) AS ty FROM t;")
+      .collect().map(_.getString(0)).toSeq == Seq("integer", "integer"))
+    // pragma reports the declared ANY name verbatim
+    assert(engine.read(id2,
+      "SELECT type FROM pragma_table_info('t') WHERE name = 'a';")
+      .collect()(0).getString(0) == "ANY")
+  }
+
+  test("ANY columns: mixed classes widen by the documented lattice") {
+    // DEVIATION (documented): sqlite3 keeps per-row classes; the engine
+    // widens the column — INT+REAL → REAL, any TEXT mix → TEXT
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 5); INSERT INTO t VALUES (2, 2.5);")
+    assert(engine.read(id, "SELECT a FROM t ORDER BY k;")
+      .collect().map(_.getDouble(0)).toSeq == Seq(5.0, 2.5))
+    engine.write(id, "INSERT INTO t VALUES (3, 'mix');")
+    assert(engine.read(id, "SELECT a FROM t ORDER BY k;")
+      .collect().map(_.getString(0)).toSeq == Seq("5.0", "2.5", "mix"))
+    // BLOB never mixes: crisp refusal, nothing staged
+    val e = intercept[Exception](engine.write(id,
+      "INSERT INTO t VALUES (9, zeroblob(2));"))
+    assert(e.getMessage.contains("cannot mix BLOB"))
+    // UPDATE adoption: a SET of a new class widens too
+    val id2 = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id2, "INSERT INTO t VALUES (1, 10);" +
+      "UPDATE t SET a = 'now text' WHERE k = 1;")
+    val r = engine.read(id2, "SELECT a, typeof(a) AS ty FROM t;").collect()(0)
+    assert((r.getString(0), r.getString(1)) == ("now text", "text"))
+  }
+
+  test("ANY columns: export round trip keeps the declared type and values") {
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id,
+      "INSERT INTO t VALUES (1, 'alpha'); INSERT INTO t VALUES (2, '33');")
+    val out = Files.createTempDirectory("strict-any").resolve("t.sqlite")
+    engine.store.exportSqliteSegment(id, out.toString)
+    assert(SqliteCli.query(out.toString, "PRAGMA integrity_check;") == "ok")
+    val ddl = SqliteCli.query(out.toString,
+      "SELECT sql FROM sqlite_master WHERE name = 't';")
+    assert(ddl.contains("\"a\" ANY"), ddl)
+    assert(ddl.toUpperCase.contains("STRICT"), ddl)
+    // real sqlite3 sees the text values as text (storage-class parity:
+    // '33' was NOT coerced, exactly SQLite's ANY rule)
+    assert(SqliteCli.query(out.toString,
+      "SELECT k, a, typeof(a) FROM t ORDER BY k;") == "1|alpha|text\n2|33|text")
+    // and accepts any class on its side (ANY semantics on the file)
+    assert(SqliteCli.run(out.toString, "INSERT INTO t VALUES (3, 9.5);") == 0)
   }
 }
