@@ -608,7 +608,18 @@ object JsonShape {
     * notation for decimal exponents in [-4, 16), otherwise scientific
     * with a two-digit-minimum signed exponent and NO forced '.0'
     * mantissa (`1e+16`, `5e-324`, `1e-05`); integral fixed values keep
-    * '.0' (`10000000.0` where Java writes `1.0E7`). */
+    * '.0' (`10000000.0` where Java writes `1.0E7`).
+    *
+    * OPEN WIRE CAVEAT (documented deviation candidate): the reference
+    * pins `ujson-ia>=2.1.1` (setup.py), a 2019 IA fork cut BEFORE
+    * upstream ujson 2.0 switched to repr-exact rendering — pre-2.0
+    * encoders default to `double_precision=10` (e.g. 1/3 →
+    * 0.3333333333). The fork is unverifiable offline (not on PyPI
+    * mirrors in this sandbox), so this engine renders the modern
+    * repr shape; floats needing >10 significant digits MAY differ
+    * from a deployment running the pinned fork. Values with ≤10
+    * significant digits — every float the reference test suite
+    * serializes — are byte-identical under both encoders. */
   def pyFloat(d: Double): String = {
     if (d.isNaN) return "NaN" // json.dumps writes bare NaN/Infinity
     if (d.isInfinite) return if (d > 0) "Infinity" else "-Infinity"
