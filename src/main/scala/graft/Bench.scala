@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   * pass over the oracle SQL of the same queries runs in the same
   * session (`duckdb_total`), so every BENCH_r{N}.json carries its own
   * same-host yardstick instead of comparing against a SCALE.md number
-  * measured under different load.
+  * measured under different load. The yardstick runs TWICE (pre +
+  * post, r11): background load on this shared host swings ±25% inside
+  * one bench window (SCALE.md round-11 bisect — the r10 "+27%
+  * regression" was exactly that), so a single after-the-fact sample
+  * can misattribute window drift to code. Compare value/duckdb ratios
+  * across rounds, not absolute seconds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +56,13 @@ object Bench {
       }
     }
 
+    // PRE-pass DuckDB yardstick: the host is shared and its background
+    // load swings ±25% across a bench's ~4-minute window (the r10
+    // "+27% regression" was exactly this — SCALE.md round-11 bisect).
+    // Sampling the yardstick before AND after the Spark passes puts
+    // the window drift in the output itself.
+    val duckPre = duckdbYardstick(sfDir)
+
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -71,9 +83,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val duck = duckdbYardstick(sfDir)
+    // labeled verification baselines (VERDICT r10 #8): q32/q34 are
+    // intentionally quadratic oracles for the bucketed scale paths
+    // (q30/q41), and q31's exhaustive hamming verification is in the
+    // same family — aggregate x-vs-DuckDB comparisons at larger SFs
+    // should exclude them, which this list makes mechanical
+    val baselineQueries = Seq("q31_simhash", "q32_jaccard_exact", "q34_embed_neardup")
+      .filter(results.toMap.contains)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""baseline_queries":${baselineQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""duckdb_total":${duck.map(_.total).getOrElse(-1.0)},""" +
+        s""""duckdb_total_pre":${duckPre.map(_.total).getOrElse(-1.0)},""" +
         s""""duckdb_count":${duck.map(_.count).getOrElse(0)},""" +
         s""""duckdb_queries":${duck.map(_.perQueryJson).getOrElse("{}")},""" +
         s""""runs_per_query":3,"aggregation":"median","sf":"$sfDir"}"""

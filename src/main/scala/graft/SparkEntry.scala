@@ -633,7 +633,9 @@ object SparkEntry {
       // checkpoint measured fixed-width SRP at 75× for 10× data); the
       // oracle recomputes the same GREATEST(8, CEIL(LOG2(...))) from
       // count(*), so both engines pick identical planes at any SF
-      val planes = Similarity.srpPlanesFor(emb.count())
+      // N from parquet footers (driver-side metadata, no Spark job) —
+      // an adaptive parameter must not cost a corpus scan
+      val planes = Similarity.srpPlanesFor(Tables.fastRowCount(emb))
       Similarity.lshBucketed(emb, threshold = 0.2,
           numPlanes = planes, dim = 64, multiProbe = 2,
           planesOverride = Similarity.md5RademacherPlanes(planes, 64))
@@ -713,9 +715,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       // stride ≈ √N keeps nlist ≈ √N (a FIXED stride makes nlist grow
       // linearly and the assignment pass quadratic); the oracle derives
-      // the same GREATEST(25, CEIL(SQRT(count(*)))) stride
+      // the same GREATEST(25, CEIL(SQRT(count(*)))) stride. N comes
+      // from parquet footers — no extra count job (VERDICT r10 #4)
       Similarity.ivfKnn(emb, emb.filter($"vec_id" < 10), k = 5,
-          centroidStride = Similarity.ivfStrideFor(emb.count()), nprobe = 2)
+          centroidStride = Similarity.ivfStrideFor(Tables.fastRowCount(emb)), nprobe = 2)
         .select($"query_id", $"neighbor_id", $"rnk", round($"score", 6).as("score"))
         .orderBy($"query_id", $"rnk")
     }),

@@ -78,14 +78,41 @@ object SqliteDdl {
       }
       b.toString
     }
-    val re = "(?i)\\bCOLLATE\\s+([A-Za-z_][A-Za-z0-9_]*)".r
-    re.findAllMatchIn(blanked).toSeq.lastOption.map { m =>
-      val name = m.group(1).toUpperCase
-      if (!BuiltinCollations.contains(name))
-        throw new IllegalArgumentException(
-          s"no such collation sequence: ${m.group(1)}")
-      name
-    }.filter(_ != "BINARY")
+    // the keyword is found on the blanked text, but the NAME is read
+    // from the ORIGINAL (blanking is length-preserving): SQLite accepts
+    // any identifier quoting here — COLLATE "NOCASE", [nocase],
+    // `nocase`, 'nocase' — which the blanking erases (ADVICE r10: the
+    // bare-identifier regex silently ignored quoted forms, leaving the
+    // column BINARY)
+    val re = "(?i)\\bCOLLATE\\b".r
+    re.findAllMatchIn(blanked).toSeq.lastOption.flatMap { m =>
+      var i = m.end
+      while (i < defn.length && defn.charAt(i).isWhitespace) i += 1
+      val name: String =
+        if (i >= defn.length) null
+        else defn.charAt(i) match {
+          case q @ ('"' | '\'' | '`') =>
+            val e = defn.indexOf(q, i + 1)
+            if (e < 0) null else defn.substring(i + 1, e)
+          case '[' =>
+            val e = defn.indexOf(']', i + 1)
+            if (e < 0) null else defn.substring(i + 1, e)
+          case c if c.isLetter || c == '_' =>
+            var e = i
+            while (e < defn.length &&
+              (defn.charAt(e).isLetterOrDigit || defn.charAt(e) == '_')) e += 1
+            defn.substring(i, e)
+          case _ => null
+        }
+      if (name == null) None
+      else {
+        val up = name.toUpperCase
+        if (!BuiltinCollations.contains(up))
+          throw new IllegalArgumentException(
+            s"no such collation sequence: $name")
+        Some(up).filter(_ != "BINARY")
+      }
+    }
   }
 
   final case class TableDef(

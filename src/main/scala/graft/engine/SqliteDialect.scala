@@ -244,6 +244,15 @@ object SqliteDialect {
     def asValue(e: Expression): Expression = e match {
       case a: Alias => a.withNewChildren(Seq(asValue(a.child)))
       case ua: UnresolvedAlias => ua.copy(child = asValue(ua.child))
+      // IN (SELECT …) observed as a VALUE must keep SQL three-valued
+      // semantics: Spark plans value-position InSubquery as an
+      // ExistenceJoin whose flag is plain false for a NULL probe,
+      // where SQLite answers NULL whenever the set is non-empty (or
+      // contains NULL without a match). Only the value position can
+      // observe the difference — WHERE-position IN/NOT IN stay on
+      // Spark's (null-aware-anti-join) path untouched.
+      case in: InSubquery => Cast(nullAwareIn(in), LongType)
+      case n @ Not(in: InSubquery) => Cast(Not(nullAwareIn(in)), LongType)
       case p if isPredShaped(p) => Cast(asPredicate(p), LongType)
       case i @ If(c, t, fv) =>
         val (nc, nt, nf) = (asPredicate(c), asValue(t), asValue(fv))
@@ -297,6 +306,71 @@ object SqliteDialect {
       * (lang_expr.html §Boolean Expressions). NULL stays NULL. */
     private def truthy(v: Expression): Expression =
       Not(EqualTo(SqliteCast(v, "real"), Literal(0.0d)))
+
+    /** Aggregate function names whose presence makes a subquery's
+      * single item a 1-row SCALAR result — the null-aware expansion
+      * below would plant an aggregate inside a WHERE, so those bail
+      * to the plain (Spark) semantics. */
+    private val aggNames = Set("count", "sum", "avg", "min", "max",
+      "total", "group_concat", "string_agg")
+
+    /** The (item expression, FROM subtree) of a plain single-item
+      * SELECT subquery — unwrapping DISTINCT (membership-invariant)
+      * and alias wrappers; None for shapes whose row set this pass
+      * cannot reconstruct (LIMIT, set ops, GROUP BY, window/aggregate
+      * items). */
+    private def unwrapSubq(p: LogicalPlan): Option[(Expression, LogicalPlan)] =
+      p match {
+        case Project(Seq(item), child) =>
+          val y = item match {
+            case a: Alias => a.child
+            case ua: UnresolvedAlias => ua.child
+            case e => e
+          }
+          val hasAgg = y.exists {
+            case f: UnresolvedFunction =>
+              aggNames.contains(f.nameParts.last.toLowerCase(Locale.ROOT))
+            case _ => false
+          }
+          if (hasAgg) None else Some((y, child))
+        case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+          unwrapSubq(d.child)
+        case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          unwrapSubq(sa.child)
+        case _ => None
+      }
+
+    /** Three-valued `x IN (SELECT y FROM …)` for VALUE positions:
+      *
+      *   match found                  → 1
+      *   else set has NULL, or x NULL
+      *        and set non-empty       → NULL
+      *   else                         → 0
+      *
+      * The membership test stays Spark's existence join; the two NULL
+      * legs are EXISTS probes over the same (unresolved, so freshly
+      * re-analyzed) subquery body. Cost: up to two extra subquery
+      * scans, paid only when an IN-subquery sits in a value position —
+      * predicate positions never take this path. Shapes whose row set
+      * can't be reconstructed (LIMIT / set ops / aggregates) keep the
+      * plain semantics. */
+    private def nullAwareIn(in0: InSubquery): Expression = {
+      val in = InSubquery(mapPreserve(in0.values, asValue),
+        in0.query.withNewPlan(normalize(in0.query.plan)).asInstanceOf[ListQuery])
+      if (in.values.length != 1) return in
+      unwrapSubq(in.query.plan) match {
+        case Some((y, child)) =>
+          val one = Seq(Alias(Literal(1), "__one")())
+          val nonEmpty = Exists(Project(one, child))
+          val hasNull = Exists(Project(one, Filter(IsNull(y), child)))
+          CaseWhen(Seq(
+            (in, Literal(true)),
+            (Or(And(IsNull(in.values.head), nonEmpty), hasNull),
+              Literal(null, BooleanType))),
+            Some(Literal(false)))
+        case None => in
+      }
+    }
   }
 
   /** SQLite CAST semantics for every cast the USER wrote. Runs as a

@@ -1196,10 +1196,15 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     //    EXISTING rows on any unique key are deleted; batch keeps the
     //    last arrival per key.
     val keySets = uniqueKeySets(meta)
+    // DO UPDATE SET onto an ANY column may widen the schema mid-
+    // statement; everything downstream stages under the returned meta
+    var metaS = meta
     val (merged, affected) = (conflict, upsertClause) match {
       case (_, Some(clause)) =>
         enforceIncomingConstraints(table, meta, aligned0)
-        applyUpsert(table, meta, existing, aligned0, clause)
+        val (m2, mg, af) = applyUpsert(table, meta, existing, aligned0, clause)
+        metaS = m2
+        (mg, af)
       case (Some("REPLACE"), None) =>
         val defaulted = meta.notNull
           .flatMap(c => meta.schema.fields.find(_.name.equalsIgnoreCase(c)))
@@ -1236,9 +1241,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // the post-statement state now; OR IGNORE / OR REPLACE states are
     // conflict-free by construction (their violators were dropped,
     // replaced, or errored above)
-    if (conflict.isEmpty) enforceUnique(table, meta, merged)
-    stage(table, meta, merged)
-    retText.foreach(t => applyReturning(affected, meta, t))
+    if (conflict.isEmpty) enforceUnique(table, metaS, merged)
+    stage(table, metaS, merged)
+    retText.foreach(t => applyReturning(affected, metaS, t))
   }
 
   /** Resolved unique key sets in SQLite's constraint order: PRIMARY
@@ -1373,12 +1378,15 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * refused (SQLite folds them one at a time — a batch engine would
     * silently compute something else for accumulator patterns like
     * `SET n = n + excluded.n`). */
-  /** Returns (new table state, RETURNING-affected rows): DO NOTHING
-    * reports only the rows actually inserted; DO UPDATE reports the
-    * post-update image of guard-passing conflict rows plus the fresh
-    * inserts (SQLite lang_returning.html §2: new values). */
+  /** Returns (possibly ANY-adapted meta, new table state, RETURNING-
+    * affected rows): DO NOTHING reports only the rows actually
+    * inserted; DO UPDATE reports the post-update image of guard-passing
+    * conflict rows plus the fresh inserts (SQLite lang_returning.html
+    * §2: new values). The meta comes back because DO UPDATE SET onto a
+    * STRICT ANY column can widen its observed class — the caller must
+    * stage under the adapted schema. */
   private def applyUpsert(table: String, meta: TableMeta, existing: DataFrame,
-      aligned0: DataFrame, clause: String): (DataFrame, DataFrame) = {
+      aligned0: DataFrame, clause: String): (TableMeta, DataFrame, DataFrame) = {
     val m = onConflictRe.findFirstMatchIn(clause.trim).getOrElse(
       throw new IllegalArgumentException(s"cannot parse ON CONFLICT clause: $clause"))
     val target = Option(m.group(1)).map(SqlScript.splitTopLevel(_).map(c =>
@@ -1395,11 +1403,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         if (target.isEmpty) uniqueKeySets(meta)
         else Seq(keyCols).filter(_.nonEmpty)
       if (sets.isEmpty) // nothing can conflict
-        (existing.unionByName(aligned0), aligned0)
+        (meta, existing.unionByName(aligned0), aligned0)
       else {
         val aligned = dedupByArrivalSets(aligned0, sets, keepLast = false)
         val kept = antiConflicts(aligned, existing, sets)
-        (existing.unionByName(kept), kept)
+        (meta, existing.unionByName(kept), kept)
       }
     } else {
       if (keyCols.isEmpty)
@@ -1429,38 +1437,70 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         }
       val pred = predPart.map(p => dpred(rewriteExcluded(p))).getOrElse(lit(true))
       // incoming side renamed __exc_* so bare names stay the EXISTING row
-      val exc = aligned0.select(
-        (aligned0.columns.map(c => col(c).as(s"__exc_$c")) :+
-          lit(true).as("__exc_match")).toSeq: _*)
-      val joinCond = keyCols.map(k => col(k) === col(s"__exc_$k")).reduce(_ && _)
-      val joined = existing.join(exc, joinCond, "left")
+      def mkJoined(ex: DataFrame, al: DataFrame): DataFrame = {
+        val exc = al.select(
+          (al.columns.map(c => col(c).as(s"__exc_$c")) :+
+            lit(true).as("__exc_match")).toSeq: _*)
+        ex.join(exc, keyCols.map(k => col(k) === col(s"__exc_$k")).reduce(_ && _), "left")
+      }
       val hit = col("__exc_match").isNotNull && coalesce(pred, lit(false))
-      // STRICT: DO UPDATE SET values go through the same storage-class
-      // gate as plain UPDATE, probed only on the diverted (hit) rows
-      val coercedUp: Seq[(StructField, (Column, Option[Column]))] =
-        rawAssigns.map { case (f, v) =>
-          if (!meta.strict) f -> (v.cast(f.dataType), None)
+      // STRICT ANY adoption for DO UPDATE SET targets (ADVICE r10):
+      // a SET value of a new storage class adapts the column type
+      // before coercion — strictCoerce's ANY fallback is a plain cast,
+      // which would silently store NULL where sqlite3 stores the value
+      // verbatim. Adoption only from rows an actual conflict diverts
+      // (one bounded probe job, ANY-SET path only) — a no-hit upsert
+      // must not retype the column.
+      val (metaU, existingU, alignedU, joined) = {
+        val joined0 = mkJoined(existing, aligned0)
+        val anyAssigns = rawAssigns.filter { case (f, _) =>
+          meta.strict && declOf(meta, f.name).equalsIgnoreCase("ANY") }
+        val incoming =
+          if (anyAssigns.isEmpty) null
+          else joined0.where(hit).select(
+            anyAssigns.map { case (f, v) => v.as(f.name) }: _*)
+        if (incoming == null || incoming.limit(1).count() == 0)
+          (meta, existing, aligned0, joined0)
+        else {
+          val (m2, ex2) = adaptAnyTypes(table, meta, existing, incoming)
+          if (m2 eq meta) (meta, existing, aligned0, joined0)
           else {
-            val in = joined.select(v).schema.head.dataType
-            f -> strictCoerce(declOf(meta, f.name), f.dataType, in, v)
+            val al2 = aligned0.select(m2.schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name, f.metadata)).toSeq: _*)
+            (m2, ex2, al2, mkJoined(ex2, al2))
           }
         }
-      if (meta.strict)
-        strictProbe(table, meta, joined.where(hit),
+      }
+      // STRICT: DO UPDATE SET values go through the same storage-class
+      // gate as plain UPDATE, probed only on the diverted (hit) rows;
+      // ANY columns store the (possibly widened) adopted class directly
+      val coercedUp: Seq[(StructField, (Column, Option[Column]))] =
+        rawAssigns.map { case (f0, v) =>
+          val f = metaU.schema.fields.find(_.name.equalsIgnoreCase(f0.name)).get
+          if (!metaU.strict) f -> (v.cast(f.dataType), None)
+          else if (declOf(metaU, f.name).equalsIgnoreCase("ANY"))
+            f -> (v.cast(f.dataType), None)
+          else {
+            val in = joined.select(v).schema.head.dataType
+            f -> strictCoerce(declOf(metaU, f.name), f.dataType, in, v)
+          }
+        }
+      if (metaU.strict)
+        strictProbe(table, metaU, joined.where(hit),
           coercedUp.collect { case (f, (_, Some(c))) => f.name -> c })
       val assignments: Map[String, Column] =
         coercedUp.map { case (f, (v, _)) => f.name -> v }.toMap
-      val updatedExisting = joined.select(meta.schema.fields.map { f =>
+      val updatedExisting = joined.select(metaU.schema.fields.map { f =>
         assignments.get(f.name)
           .map(v => when(hit, v).otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
       }.toSeq: _*)
-      val updatedHit = joined.where(hit).select(meta.schema.fields.map { f =>
+      val updatedHit = joined.where(hit).select(metaU.schema.fields.map { f =>
         assignments.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
       }.toSeq: _*)
-      val inserts = aligned0.join(
-        existing.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
-      (updatedExisting.unionByName(inserts), updatedHit.unionByName(inserts))
+      val inserts = alignedU.join(
+        existingU.select(keyCols.map(col): _*), keyCols.toSeq, "left_anti")
+      (metaU, updatedExisting.unionByName(inserts), updatedHit.unionByName(inserts))
     }
   }
 
@@ -1583,11 +1623,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         field -> valueExpr
       }
     // STRICT ANY adoption for SET targets: an assigned value of a new
-    // storage class adapts the column type before coercion
+    // storage class adapts the column type before coercion — but only
+    // when the predicate actually selects a row (ADVICE r10: `UPDATE t
+    // SET a='x' WHERE 1=0` must not retype the column; sqlite3 changes
+    // nothing). One bounded limit(1) job, ANY-SET path only.
     val (meta, df) = {
       val anyAssigns = rawAssigns.filter { case (f, _) =>
         metaL.strict && declOf(metaL, f.name).equalsIgnoreCase("ANY") }
       if (anyAssigns.isEmpty) (metaL, dfL)
+      else if (dfL.where(coalesce(pred, lit(false))).limit(1).count() == 0)
+        (metaL, dfL)
       else adaptAnyTypes(table, metaL, dfL,
         dfL.select(anyAssigns.map { case (f, v) => v.as(f.name) }: _*))
     }
@@ -1653,8 +1698,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * for small FROM sides), a per-rowid first-match window, and a rid
     * left-join back onto the target; nothing collects except the
     * row-at-a-time trigger path (cap-bounded, as all trigger firing). */
-  private def updateFrom(table: String, alias: Option[String], meta: TableMeta,
-      df: DataFrame, body: String, fromAt: Int,
+  private def updateFrom(table: String, alias: Option[String], meta0: TableMeta,
+      df0: DataFrame, body: String, fromAt: Int,
       retText: Option[String] = None): Unit = {
     val setPart = body.substring(0, fromAt)
     val rest = body.substring(fromAt + 4)
@@ -1663,34 +1708,61 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (whereAt < 0) (rest.trim.stripSuffix(";").trim, None)
       else (rest.substring(0, whereAt),
             Some(rest.substring(whereAt + 5).trim.stripSuffix(";").trim))
-    val assigns: Seq[(StructField, String)] =
+    val assigns0: Seq[(StructField, String)] =
       SqlScript.splitTopLevel(setPart).map { assignment =>
         val eq = topLevelEq(assignment)
         val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
-        requireNotGenerated(meta, colName, "UPDATE")
-        val field = meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        requireNotGenerated(meta0, colName, "UPDATE")
+        val field = meta0.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
         field -> assignment.substring(eq + 1).trim
       }
     val rid = "__uf_rid"
     val tName = alias.getOrElse(table)
-    // rid-tagged pre-statement target, pinned so every later evaluation
-    // sees the same row ids
-    val tagged = df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
     val sel = new StringBuilder("SELECT ")
     sel ++= s"`$tName`.`$rid` AS `$rid`"
-    assigns.zipWithIndex.foreach { case ((_, rhs), i) =>
+    assigns0.zipWithIndex.foreach { case ((_, rhs), i) =>
       sel ++= s", ($rhs) AS `__uf_v$i`"
     }
     sel ++= s" FROM `$tName`, "
     sel ++= fromText
     predText.foreach(p => sel ++= s" WHERE $p")
+    // STRICT ANY adoption for SET targets fed from the FROM join
+    // (ADVICE r10 medium): without it, strictCoerce's ANY fallback is a
+    // plain cast that silently stores NULL for a new storage class.
+    // Probe join runs only on the ANY-SET path, and adoption only when
+    // some target row actually matches.
+    val anyIdx = assigns0.zipWithIndex.collect {
+      case ((f, _), i)
+          if meta0.strict && declOf(meta0, f.name).equalsIgnoreCase("ANY") =>
+        (f, i)
+    }
+    val (meta, df) =
+      if (anyIdx.isEmpty) (meta0, df0)
+      else {
+        val probe = runSelect(sel.toString, overrides =
+          Map(tName -> df0.withColumn(rid, monotonically_increasing_id())))
+        val incoming = probe.select(
+          anyIdx.map { case (f, i) => col(s"__uf_v$i").as(f.name) }: _*)
+        if (incoming.limit(1).count() == 0) (meta0, df0)
+        else adaptAnyTypes(table, meta0, df0, incoming)
+      }
+    // re-resolve: adoption may have retyped assigned fields
+    val assigns: Seq[(StructField, String)] = assigns0.map { case (f0, rhs) =>
+      meta.schema.fields.find(_.name.equalsIgnoreCase(f0.name)).get -> rhs
+    }
+    // rid-tagged pre-statement target, pinned so every later evaluation
+    // sees the same row ids
+    val tagged = df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
     val matches0 = runSelect(sel.toString, overrides = Map(tName -> tagged))
     // STRICT: probe+coerce the assignment values taken from each
-    // target row's first matching join row
+    // target row's first matching join row; ANY columns store the
+    // (possibly widened) adopted class directly
     val coerced: Seq[(Column, Option[Column])] =
       assigns.zipWithIndex.map { case ((f, _), i) =>
         if (!meta.strict) (col(s"__uf_v$i").cast(f.dataType), None)
+        else if (declOf(meta, f.name).equalsIgnoreCase("ANY"))
+          (col(s"__uf_v$i").cast(f.dataType), None)
         else {
           val in = matches0.schema.fields.find(_.name == s"__uf_v$i").get.dataType
           strictCoerce(declOf(meta, f.name), f.dataType, in, col(s"__uf_v$i"))

@@ -90,6 +90,44 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("adaptive ANN parameters read N from footers — zero Spark jobs (VERDICT r10)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val expected = emb.count()
+    // count only THIS thread's jobs (suites run in parallel in one
+    // session — a global job count is racy): jobs launched from this
+    // thread inherit the job group set here
+    val group = s"frc-test-${System.nanoTime()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(s.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "fastRowCount job audit")
+    try {
+      val n = Tables.fastRowCount(emb)
+      assert(n == expected, s"footer count $n != count() $expected")
+      // listener events are async but FIFO: run one sentinel job and
+      // wait for ITS event — by then any fastRowCount job events would
+      // have been delivered too. RDD count, not Dataset count: AQE
+      // splits a Dataset action into several jobs.
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"fastRowCount launched ${jobs.get() - 1} Spark jobs (want 0)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // a filtered frame is NOT count-preserving: falls back to count()
+    import org.apache.spark.sql.functions.col
+    assert(Tables.fastRowCount(emb.where(col("vec_id") < 10)) == 10L)
+  }
+
   test("no query plans an unintended CartesianProduct") {
     // cross joins are legitimate only where declared (q11 cross_join,
     // kNN/IVF probe joins are broadcast nested loops, never Cartesian)

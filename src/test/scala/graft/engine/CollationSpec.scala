@@ -105,6 +105,22 @@ class CollationSpec extends SparkSpecBase {
     assert(td2.schema.fields.flatMap(SqliteDdl.collationOf).isEmpty)
   }
 
+  test("quoted collation names apply like bare ones (ADVICE r10)") {
+    // SQLite accepts any identifier quoting (and a string literal)
+    // for the collation name; each must behave as NOCASE, not
+    // silently fall back to BINARY — differential per form
+    Seq("\"NOCASE\"", "[nocase]", "`NoCase`", "'nocase'").foreach { q =>
+      val s = s"CREATE TABLE t (id INTEGER PRIMARY KEY, a TEXT COLLATE $q);"
+      val id = seg(s); val db = cliDb(s)
+      runBoth(id, db, "INSERT INTO t VALUES (1,'abc'), (2,'ABC');")
+      same(id, db, "SELECT id FROM t WHERE a = 'aBc' ORDER BY id;")
+    }
+    // a quoted UNKNOWN name still gets SQLite's refusal text
+    val e = intercept[IllegalArgumentException](SqliteDdl.parseCreateTable(
+      "CREATE TABLE c (x TEXT COLLATE \"utf16\")"))
+    assert(e.getMessage == "no such collation sequence: utf16")
+  }
+
   test("NOCASE column governs WHERE comparisons, ASCII-only like SQLite") {
     val id = seg(schema); val db = cliDb(schema)
     runBoth(id, db, fill)
@@ -123,6 +139,32 @@ class CollationSpec extends SparkSpecBase {
     same(id, db, "SELECT id FROM t WHERE a BETWEEN 'AB' AND 'AC' ORDER BY id;")
     // comparison in a VALUE position folds too (0/1 integers)
     same(id, db, "SELECT id, (a = 'abc') AS m FROM t ORDER BY id;")
+  }
+
+  test("IN-subquery membership follows the left operand's collation (VERDICT r10 #6)") {
+    // lang_expr.html: "x IN (SELECT y ...)" uses x's collating
+    // sequence — sqlite3-differential per shape
+    val s = schema + " CREATE TABLE probe (p TEXT);"
+    val id = seg(s); val db = cliDb(s)
+    runBoth(id, db, fill +
+      "INSERT INTO probe VALUES ('aBC'), ('ZZZ'), ('ärGER');")
+    // NOCASE x: case variants in the subquery result all match
+    same(id, db,
+      "SELECT id FROM t WHERE a IN (SELECT p FROM probe) ORDER BY id;")
+    same(id, db,
+      "SELECT id FROM t WHERE a NOT IN (SELECT p FROM probe) ORDER BY id;")
+    // BINARY x against the same subquery: only exact-case matches
+    same(id, db,
+      "SELECT id FROM t WHERE b IN (SELECT p FROM probe) ORDER BY id;")
+    // explicit COLLATE on x overrides its declared collation (rule 1)
+    same(id, db,
+      "SELECT id FROM t WHERE a COLLATE BINARY IN (SELECT p FROM probe) ORDER BY id;")
+    same(id, db,
+      "SELECT id FROM t WHERE b COLLATE NOCASE IN (SELECT p FROM probe) ORDER BY id;")
+    // correlated-free EXISTS shape unaffected; membership in a VALUE
+    // position folds the same way (0/1 integers)
+    same(id, db,
+      "SELECT id, (a IN (SELECT p FROM probe)) AS m FROM t ORDER BY id;")
   }
 
   test("explicit COLLATE overrides the declared collation (rule 1)") {

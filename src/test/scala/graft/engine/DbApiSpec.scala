@@ -70,6 +70,28 @@ class DbApiSpec extends SparkSpecBase {
     assert(conn.execute("SELECT count(*) AS n FROM s;").fetchone() == Seq(2L))
   }
 
+  test("cursor pulls lazily; fetchall past the cap refuses by name (VERDICT r10)") {
+    val conn = freshConn("dbapi-cap")
+    conn.execute("CREATE TABLE big (i INTEGER PRIMARY KEY);")
+    conn.execute("INSERT INTO big (i) VALUES " +
+      (1 to 50).map(i => s"($i)").mkString(", ") + ";")
+    val cur = conn.cursor(10)
+    cur.execute("SELECT i FROM big ORDER BY i;")
+    // prefix fetches work under the cap (and only materialize the
+    // prefix — the reference streams from the SQLite cursor the same
+    // way, read.py:33-52)
+    assert(cur.fetchone() == Seq(1L))
+    assert(cur.fetchmany(3).map(_("i")) == Seq(1L, 2L, 3L))
+    // a full drain past the cap refuses crisply instead of buffering
+    // without bound on the driver
+    val e = intercept[IllegalStateException](cur.fetchall())
+    assert(e.getMessage.contains("exceeds 10 rows"), e.getMessage)
+    // an under-cap result still drains fully
+    val cur2 = conn.cursor(10)
+    cur2.execute("SELECT i FROM big WHERE i <= 10 ORDER BY i;")
+    assert(cur2.fetchall().map(_("i")) == (1L to 10L).toSeq)
+  }
+
   test("commit/close are no-ops; every write request is already atomic") {
     val conn = freshConn("dbapi-noop")
     conn.execute("CREATE TABLE z (x INTEGER);")

@@ -63,6 +63,22 @@ class RefusalSpec extends SparkSpecBase {
       .collect()(0).getString(0) == "ok")
   }
 
+  test("a parse error that merely CONTAINS 'match' keeps its real error (ADVICE r10)") {
+    // the word inside a string literal must not hijack an unrelated
+    // syntax error into the fts refusal
+    val e1 = intercept[IllegalArgumentException](engine.read(seg,
+      "SELECT 'a match b' FROMM t;"))
+    assert(!e1.getMessage.contains("MATCH operator"), e1.getMessage)
+    // nor as an AS alias in a statement that fails for another reason
+    val e2 = intercept[IllegalArgumentException](engine.read(seg,
+      "SELECT id AS match GROUPY BY id FROM t;"))
+    assert(!e2.getMessage.contains("MATCH operator"), e2.getMessage)
+    // the genuine operator still refuses by name, literal operand and all
+    val e3 = intercept[IllegalArgumentException](engine.read(seg,
+      "SELECT id FROM t WHERE body MATCH 'hello' AND;"))
+    assert(e3.getMessage.contains("MATCH operator is not supported"))
+  }
+
   test("ATTACH / DETACH refuse with the one-segment contract named") {
     val e = intercept[UnsupportedOperationException](engine.write(seg,
       "ATTACH DATABASE '/tmp/other.db' AS other;"))

@@ -50,4 +50,33 @@ class SegmentScaleSpec extends SparkSpecBase {
     val one = engine.readAll("SELECT v FROM rkv;", "^ramp-2048$")
     assert(one.collect().map(_.getString(0)).toSeq == Seq("v2048"))
   }
+
+  test("fanout: a GLOBAL row budget bounds aggregate driver memory (VERDICT r10)") {
+    val root = Files.createTempDirectory("graft-fanbudget").toString
+    val store = new SegmentStore(spark, root)
+    val engine = new TroughEngine(spark, store, new SchemaRegistry)
+    engine.schemas.put("fb-kv", "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);")
+    val segs = (0 until 3).map { i =>
+      val id = s"fb-$i"
+      engine.provisionWritable(id, "fb-kv")
+      engine.write(id, "INSERT INTO kv (k, v) VALUES " +
+        (1 to 40).map(k => s"($k, 'v$k')").mkString(", ") + ";")
+      id
+    }
+    // the per-segment cap admits every segment (40 < 50) but the
+    // AGGREGATE (120) exceeds the global budget — the per-segment cap
+    // alone admits segments x cap rows on the driver, which is the
+    // r10 scale hazard this bounds
+    val e = intercept[TroughEngine.FanoutBudgetExceeded](
+      engine.fanout(segs, "SELECT k, v FROM kv;",
+        maxRowsPerSegment = 50, maxRowsTotal = 100))
+    assert(e.getMessage.contains("global"), e.getMessage)
+    // within budget: results intact and per-segment error isolation
+    // still holds (a missing segment fails alone)
+    val res = engine.fanout(segs :+ "fb-missing", "SELECT k, v FROM kv;",
+      maxRowsPerSegment = 50, maxRowsTotal = 1000)
+    assert(res.perSegment.count(_._2.isSuccess) == 3)
+    assert(res.perSegment.find(_._1 == "fb-missing").exists(_._2.isFailure))
+    assert(res.totalRows == 120L)
+  }
 }

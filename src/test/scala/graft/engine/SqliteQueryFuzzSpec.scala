@@ -266,7 +266,7 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     case _ => ctx.real
   }
 
-  private def subqueryPred(ctx: Ctx): String = rng.nextInt(4) match {
+  private def subqueryPred(ctx: Ctx): String = rng.nextInt(7) match {
     case 0 =>
       s"(t1.a IN (SELECT t2.a FROM t2 WHERE t2.k > ${rng.nextInt(15)}))"
     case 1 =>
@@ -274,8 +274,18 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
         s"AND t2.k < ${5 + rng.nextInt(15)}))"
     case 2 =>
       s"(${pick(ctx.ints)} $cmp (SELECT avg(t2.a) FROM t2))"
-    case _ =>
+    case 3 =>
       s"(EXISTS (SELECT 1 FROM t2 WHERE t2.a = t1.a AND t2.k % ${2 + rng.nextInt(3)} = 0))"
+    // IN-subquery over collated columns (r11): the LEFT operand's
+    // collation governs membership (lang_expr.html) — NOCASE x folds
+    // case across the subquery result, while an uncollated x against
+    // the same collated-column subquery compares BINARY
+    case 4 =>
+      s"(t1.sn IN (SELECT t2.sn FROM t2 WHERE t2.k > ${rng.nextInt(10)}))"
+    case 5 =>
+      s"(t1.sn NOT IN (SELECT t2.sn FROM t2 WHERE t2.sn IS NOT NULL))"
+    case _ =>
+      s"(t1.s IN (SELECT t2.sn FROM t2 WHERE t2.sn IS NOT NULL))"
   }
 
   /** Window calls whose output is deterministic: ranking over the

@@ -256,6 +256,50 @@ class StrictTableSpec extends SparkSpecBase {
     assert((r.getString(0), r.getString(1)) == ("now text", "text"))
   }
 
+  test("ANY columns: UPDATE...FROM and upsert DO UPDATE adopt classes (ADVICE r10)") {
+    // sqlite3 stores the assigned value VERBATIM whatever its class;
+    // before this fix strictCoerce's ANY fallback cast silently stored
+    // NULL for a class the column hadn't adopted
+    val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id,
+      "CREATE TABLE src (k INTEGER PRIMARY KEY, txt TEXT);" +
+        "INSERT INTO t VALUES (1, 10); INSERT INTO t VALUES (2, 20);" +
+        "INSERT INTO src VALUES (1, 'adopted');")
+    engine.write(id, "UPDATE t SET a = src.txt FROM src WHERE t.k = src.k;")
+    val rows = engine.read(id,
+      "SELECT k, a, typeof(a) AS ty FROM t ORDER BY k;").collect()
+    // documented widening lattice: the TEXT mix retypes the column
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "adopted", "text"), (2L, "20", "text")))
+
+    // upsert DO UPDATE SET: same adoption on the diverted row
+    val id2 = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id2, "INSERT INTO t VALUES (1, 5);")
+    engine.write(id2,
+      "INSERT INTO t VALUES (1, 0) ON CONFLICT (k) DO UPDATE SET a = 'hit';")
+    val r2 = engine.read(id2, "SELECT a, typeof(a) AS ty FROM t;").collect()(0)
+    assert((r2.getString(0), r2.getString(1)) == ("hit", "text"))
+
+    // a predicate selecting NO rows must not retype (sqlite3 changes
+    // nothing on UPDATE ... WHERE 1=0)
+    val id3 = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
+    engine.write(id3, "INSERT INTO t VALUES (1, 5);")
+    engine.write(id3, "UPDATE t SET a = 'x' WHERE 1 = 0;")
+    val r3 = engine.read(id3, "SELECT a, typeof(a) AS ty FROM t;").collect()(0)
+    assert((r3.getLong(0), r3.getString(1)) == (5L, "integer"))
+    // no-conflict upsert: the DO UPDATE arm never fires, no retype
+    engine.write(id3,
+      "INSERT INTO t VALUES (2, 7) ON CONFLICT (k) DO UPDATE SET a = 'x';")
+    assert(engine.read(id3, "SELECT typeof(a) AS ty FROM t ORDER BY k;")
+      .collect().map(_.getString(0)).toSeq == Seq("integer", "integer"))
+    // UPDATE...FROM with an empty match set: same
+    engine.write(id3,
+      "CREATE TABLE empty_src (k INTEGER PRIMARY KEY, txt TEXT);" +
+        "UPDATE t SET a = empty_src.txt FROM empty_src WHERE t.k = empty_src.k;")
+    assert(engine.read(id3, "SELECT typeof(a) AS ty FROM t ORDER BY k;")
+      .collect().map(_.getString(0)).toSeq == Seq("integer", "integer"))
+  }
+
   test("ANY columns: export round trip keeps the declared type and values") {
     val id = seg("CREATE TABLE t (k INTEGER PRIMARY KEY, a ANY) STRICT;")
     engine.write(id,
