@@ -2345,6 +2345,140 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
   }
 
+  // ------------------------------ vectorized self-read aggregates (r11)
+
+  /** One extracted `(SELECT agg(x) FROM target [WHERE pred])` self-read
+    * subquery from a trigger WHEN/body: `name` is the placeholder image
+    * column its text was rewritten to. SQLite fires triggers row by
+    * row, so at firing k (statement order) the subquery sees base
+    * rows + surviving statement rows 1..k (AFTER) or 1..k-1 (BEFORE) —
+    * probed on 3.51 (count: 1,2,3 AFTER / 0,1,2 BEFORE; RAISE(IGNORE)d
+    * rows never counted). That is exactly one base-constant plus a
+    * running window aggregate over the image frame, which lifts the
+    * general tier's row cap for the commonest self-reading audit
+    * bodies (VERDICT r10 #7). */
+  private final case class SelfAggSpec(
+      name: String, agg: String, argCol: Option[String],
+      predText: Option[String], timing: String)
+
+  private val selfAggRe =
+    ("(?is)^\\(\\s*SELECT\\s+(count|sum|avg|min|max|total)\\s*\\(\\s*" +
+      "(\\*|[A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s+FROM\\s+([^\\s)]+)\\s*" +
+      "(?:WHERE\\s+(.+?))?\\s*\\)$").r
+
+  /** Whether `dt` is a type the running-window combiners handle. */
+  private def selfAggTypeOk(agg: String, dt: DataType): Boolean = agg match {
+    case "sum" | "avg" | "total" => dt == LongType || dt == DoubleType
+    case _ => dt == LongType || dt == DoubleType || dt == StringType
+  }
+
+  /** Rewrite every supported self-read aggregate subquery in `text` to
+    * a placeholder column (appending its spec to `out`); None when the
+    * text references `table` in any OTHER way — the caller then falls
+    * back to the general row-at-a-time tier. */
+  private def rewriteSelfAggs(table: String, fields: Array[StructField],
+      timing: String, text: String,
+      out: mutable.ArrayBuffer[SelfAggSpec]): Option[String] = {
+    val sb = new StringBuilder
+    val n = text.length
+    var i = 0; var quote: Char = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; sb.append(c); i += 1 }
+      else if (c == '(') {
+        // balanced span (quote-aware)
+        var j = i; var depth = 0; var q2: Char = 0; var end = -1
+        while (j < n && end < 0) {
+          val ch = text.charAt(j)
+          if (q2 != 0) { if (ch == q2) q2 = 0 }
+          else if (ch == '\'' || ch == '"' || ch == '`') q2 = ch
+          else if (ch == '(') depth += 1
+          else if (ch == ')') { depth -= 1; if (depth == 0) end = j }
+          j += 1
+        }
+        val span = if (end < 0) null else text.substring(i, end + 1)
+        val m = if (span == null) None else selfAggRe.findFirstMatchIn(span.trim)
+        m match {
+          case Some(mm)
+              if SqlScript.unquoteIdent(mm.group(3)).equalsIgnoreCase(table) =>
+            val agg = mm.group(1).toLowerCase(java.util.Locale.ROOT)
+            val arg = mm.group(2)
+            val argCol = if (arg == "*") None else Some(arg)
+            val predText = Option(mm.group(4))
+            val argField = argCol.map(a =>
+              fields.find(_.name.equalsIgnoreCase(a)))
+            val predOk = predText.forall { p =>
+              val blank = SqliteDdl.blankLiterals(p).toLowerCase(java.util.Locale.ROOT)
+              !"(^|[^a-z0-9_])(select|raise)([^a-z0-9_]|$)".r.findFirstIn(blank).isDefined &&
+                !"(^|[^a-z0-9_])(new|old)\\s*\\.".r.findFirstIn(blank).isDefined
+            }
+            val argOk =
+              (argCol.isEmpty && agg == "count") ||
+                argField.exists(_.exists(f => selfAggTypeOk(agg, f.dataType)))
+            if (!predOk || !argOk) return None // self-read, unsupported shape
+            val name = s"__selfagg_${out.length}"
+            out += SelfAggSpec(name, agg,
+              argField.map(_.get.name), predText, timing)
+            sb.append('`').append(name).append('`')
+            i = end + 1
+          case Some(_) => // subquery over ANOTHER table: copy verbatim
+            sb.append(span); i = end + 1
+          case None => // ordinary parens: consume '(' only, scan inside
+            sb.append(c); i += 1
+        }
+      }
+      else { sb.append(c); i += 1 }
+    }
+    val rewritten = sb.toString
+    val pat = ("(^|[^a-z0-9_])" +
+      java.util.regex.Pattern.quote(table.toLowerCase) + "([^a-z0-9_]|$)").r
+    if (pat.findFirstIn(SqliteDdl.blankLiterals(rewritten).toLowerCase).isDefined)
+      None // a target reference that is not a supported self-read agg
+    else Some(rewritten)
+  }
+
+  /** Extract self-read aggregates from the ordered trigger list. None
+    * ⇒ some target reference needs the general tier. */
+  private def extractSelfAggs(table: String, fields: Array[StructField],
+      trigsOrdered: Seq[SqliteDdl.TriggerDef])
+      : Option[(Seq[SqliteDdl.TriggerDef], Seq[SelfAggSpec])] = {
+    if (!touchesTarget(trigsOrdered, table)) return Some((trigsOrdered, Nil))
+    val specs = mutable.ArrayBuffer[SelfAggSpec]()
+    val rewritten = trigsOrdered.map { tg =>
+      val w2 = tg.when match {
+        case Some(w) =>
+          Some(rewriteSelfAggs(table, fields, tg.timing, w, specs)
+            .getOrElse(return None))
+        case None => None
+      }
+      val b2 = tg.body.map(b =>
+        rewriteSelfAggs(table, fields, tg.timing, b, specs)
+          .getOrElse(return None))
+      tg.copy(when = w2, body = b2)
+    }
+    Some((rewritten, specs.toSeq))
+  }
+
+  /** The WHERE text of a self-read subquery, resolved against the
+    * inserted images (`__new_*` columns). Bails (throws) on references
+    * this shape can't support — caught by the caller, which falls back
+    * to the general tier. */
+  private def selfAggPredOverImages(predText: String, table: String,
+      fields: Array[StructField]): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    SqlInternals.column(SqlInternals.expression(dpred(predText)) transform {
+      case ua: UnresolvedAttribute =>
+        val colName = ua.nameParts.last
+        val qualOk = ua.nameParts.length == 1 ||
+          (ua.nameParts.length == 2 && ua.nameParts.head.equalsIgnoreCase(table))
+        val f = fields.find(_.name.equalsIgnoreCase(colName))
+        if (!qualOk || f.isEmpty) throw new UnsupportedOperationException(
+          s"unsupported reference in self-read subquery predicate: ${ua.sql}")
+        UnresolvedAttribute(Seq("__new_" + f.get.name))
+    })
+  }
+
   /** Vectorized INSERT firing (PLAIN mode, no per-row target reads):
     * BEFORE programs see the omitted rowid alias as -1; ids allocate
     * only for rows the BEFORE filters let through (SQLite's
@@ -2357,8 +2491,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       insTrigs: Seq[SqliteDdl.TriggerDef], aiName: Option[String],
       aiBase: Option[Long]): Boolean = {
     val fields = meta.schema.fields
-    val ordered = insTrigs.filter(_.timing == "BEFORE") ++
+    val ordered0 = insTrigs.filter(_.timing == "BEFORE") ++
       insTrigs.filter(_.timing == "AFTER")
+    // self-read aggregate subqueries rewrite to placeholder image
+    // columns (running window + base constant, built below); any other
+    // target reference falls back to the general tier
+    val (ordered, selfSpecs) =
+      extractSelfAggs(table, fields, ordered0).getOrElse(return false)
     def resolve(tg: SqliteDdl.TriggerDef, kw: String, c: String): String = kw match {
       case "new" =>
         val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
@@ -2367,6 +2506,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       case other => throw new IllegalArgumentException(s"no such column: $other.$c")
     }
     val plans = vecCompile(ordered, resolve).getOrElse(return false)
+    // a BEFORE RAISE(IGNORE) filter whose WHEN reads a self-read
+    // aggregate is CIRCULAR under vectorization (survival depends on
+    // the aggregate, the aggregate on survival) — general tier
+    if (selfSpecs.nonEmpty && plans.exists(pl =>
+        pl.ignoreFilter && pl.tg.timing == "BEFORE" &&
+          pl.tg.when.exists(_.contains("__selfagg_"))))
+      return false
     val aiIdx = aiName.map(n => fields.indexWhere(_.name.equalsIgnoreCase(n)))
     // image frame: BEFORE image (__nb_*, rowid alias -1) + AFTER image
     // (__new_*) + statement order
@@ -2389,6 +2535,66 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .cast(f.dataType)
         else col(f.name))
+    }
+    // self-read aggregate columns: base constant (one bounded agg job
+    // over pre-statement state per spec) + running window over the
+    // SURVIVING inserted images in statement order — upper bound
+    // current row for AFTER firings (the row is already inserted),
+    // one before it for BEFORE (probed: count answers 1,2,3 / 0,1,2)
+    try selfSpecs.foreach { sp =>
+      val predNew: Column = sp.predText
+        .map(t => coalesce(selfAggPredOverImages(t, table, fields), lit(false)))
+        .getOrElse(lit(true))
+      val predBase: Column = sp.predText
+        .map(t => coalesce(dpred(t), lit(false))).getOrElse(lit(true))
+      val gate = !vecAbandonCond(plans) && predNew
+      val argNew: Column = sp.argCol match {
+        case Some(cn) => col("__new_" + cn)
+        case None => lit(1L)
+      }
+      val contrib = when(gate, argNew)
+      val w0 = Window.orderBy(col("__vec_seq"))
+      val w =
+        if (sp.timing == "BEFORE")
+          w0.rowsBetween(Window.unboundedPreceding, -1)
+        else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val baseDf = collated(existing.where(predBase))
+      val combined: Column = sp.agg match {
+        case "count" =>
+          val b = baseDf.agg(
+            count(sp.argCol.map(col).getOrElse(lit(1)))).head().getLong(0)
+          lit(b) + count(contrib).over(w)
+        case "sum" =>
+          val r = baseDf.agg(sum(col(sp.argCol.get))).head()
+          val run = sum(contrib).over(w)
+          if (r.isNullAt(0)) run
+          else lit(r.get(0)) + coalesce(run, lit(0))
+        case "total" =>
+          val r = baseDf.agg(sum(col(sp.argCol.get).cast("double"))).head()
+          val base = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+          lit(base) + coalesce(sum(contrib.cast("double")).over(w), lit(0.0))
+        case "min" | "max" =>
+          val isMin = sp.agg == "min"
+          val r = baseDf.agg(
+            if (isMin) min(col(sp.argCol.get)) else max(col(sp.argCol.get))).head()
+          val base: Column =
+            if (r.isNullAt(0)) lit(null) else lit(r.get(0))
+          val run = (if (isMin) min(contrib) else max(contrib)).over(w)
+          if (isMin) least(base, run) else greatest(base, run)
+        case "avg" =>
+          val r = baseDf.agg(sum(col(sp.argCol.get).cast("double")),
+            count(col(sp.argCol.get))).head()
+          val bs = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+          val bc = r.getLong(1)
+          val rs = coalesce(sum(contrib.cast("double")).over(w), lit(0.0))
+          val rc = count(contrib).over(w)
+          val totalC = lit(bc) + rc
+          when(totalC === 0L, lit(null)).otherwise((lit(bs) + rs) / totalC)
+      }
+      images = images.withColumn(sp.name, combined)
+    } catch {
+      // an unsupported reference inside a subquery WHERE: general tier
+      case _: UnsupportedOperationException => return false
     }
     // the abandon condition reads only __nb_ columns, so evaluating it
     // again inside the appends/main projections is phase-consistent
@@ -2524,8 +2730,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val perRow = touchesTarget(insTrigs ++ updTrigs, table)
 
     // distributed vectorized tier first: pure DataFrame ops, no
-    // collect, no row cap (see tryVectorizedInsertFiring)
-    if (mode == "PLAIN" && !perRow && updTrigs.isEmpty &&
+    // collect, no row cap (see tryVectorizedInsertFiring). Bodies that
+    // read their own target via supported aggregate subqueries stay on
+    // this tier (r11 — extractSelfAggs); the function itself falls
+    // back for every other target-touching shape.
+    if (mode == "PLAIN" && updTrigs.isEmpty &&
         tryVectorizedInsertFiring(table, meta, existing, aligned0,
           insTrigs, aiAssigned, aiBase))
       return

@@ -146,8 +146,18 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
             case _ => ("UPDATE", "NEW")
           }
           val when = if (rng.nextInt(3) == 0) s" WHEN $row.id > ${rng.nextInt(6)}" else ""
+          // a third of INSERT-audit bodies READ THEIR OWN TARGET via an
+          // aggregate subquery (r11 vectorized self-read tier; other
+          // events/shapes take the general row loop — both must agree
+          // with sqlite3 either way)
+          val payload =
+            if (event == "INSERT" && rng.nextInt(3) == 0) {
+              val agg = Seq("count(*)", "count(id)", "max(id)", "min(id)")(rng.nextInt(4))
+              val pred = if (rng.nextBoolean()) s" WHERE id > ${rng.nextInt(4)}" else ""
+              s"(SELECT $agg FROM $table$pred) || '@' || $row.id"
+            } else s"'${event.take(1)}' || $row.id"
           s"CREATE TRIGGER tg$triggers $timing $event ON $table$when BEGIN " +
-            s"INSERT INTO log (msg) VALUES ('${event.take(1)}' || $row.id); END;"
+            s"INSERT INTO log (msg) VALUES ($payload); END;"
         case 13 if !madeView && cols.length > 1 =>
           madeView = true
           // the view pins its column names so the end-of-script compare

@@ -467,4 +467,85 @@ class TriggerSpec extends SparkSpecBase {
     same(id, db, "SELECT count(*) AS n FROM big;")
     same(id, db, "SELECT msg FROM log2 ORDER BY msg;")
   }
+
+  test("self-read aggregate subqueries fire vectorized: count/sum/max, " +
+      "BEFORE/AFTER, WHERE, filters (VERDICT r10 #7)") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, x INTEGER);\n" +
+      "CREATE TABLE audit (n INTEGER, s INTEGER, m INTEGER, v INTEGER);"
+    // AFTER: the subquery sees the just-inserted row (probed 1,2,3)
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t), (SELECT sum(x) FROM t), " +
+        "(SELECT max(x) FROM t WHERE x < 25), NEW.x); END;" +
+        "INSERT INTO t VALUES (1,10),(2,20),(3,30);")
+    same(id, db, "SELECT n, s, m, v FROM audit ORDER BY n;")
+
+    // BEFORE: the row is not yet inserted (probed 0,1,2)
+    val id2 = seg(schema); val db2 = cliDb(schema)
+    runBoth(id2, db2,
+      "CREATE TRIGGER tb BEFORE INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t), NULL, NULL, NEW.x); END;" +
+        "INSERT INTO t VALUES (1,10),(2,20),(3,30);")
+    same(id2, db2, "SELECT n, v FROM audit ORDER BY v;")
+
+    // a RAISE(IGNORE)d row never enters the count (probed 1,2)
+    val id3 = seg(schema); val db3 = cliDb(schema)
+    runBoth(id3, db3,
+      "CREATE TRIGGER f BEFORE INSERT ON t WHEN NEW.x = 20 " +
+        "BEGIN SELECT RAISE(IGNORE); END;" +
+        "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t), NULL, NULL, NEW.x); END;" +
+        "INSERT INTO t VALUES (1,10),(2,20),(3,30);")
+    same(id3, db3, "SELECT n, v FROM audit ORDER BY n;")
+
+    // avg/min/total over a non-empty base (prior committed rows);
+    // REAL audit columns — avg/total answer REAL, and an INTEGER-
+    // affinity parquet column would truncate where sqlite3 keeps 17.5
+    val schema4 = "CREATE TABLE t (id INTEGER PRIMARY KEY, x INTEGER);\n" +
+      "CREATE TABLE audit (n INTEGER, s REAL, m REAL, v INTEGER);"
+    val id4 = seg(schema4); val db4 = cliDb(schema4)
+    runBoth(id4, db4, "INSERT INTO t VALUES (1, 7), (2, 14);")
+    runBoth(id4, db4,
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT min(x) FROM t), (SELECT total(x) FROM t), " +
+        "(SELECT avg(x) FROM t WHERE x > 7), NEW.x); END;" +
+        "INSERT INTO t VALUES (3,21),(4,2);")
+    same(id4, db4, "SELECT n, s, m, v FROM audit ORDER BY v;")
+  }
+
+  test("self-reading body past the old 1,000-row cap: 1,500 firings, " +
+      "differential vs sqlite3 (VERDICT r10 #7 done-bar)") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, x INTEGER);\n" +
+      "CREATE TABLE audit (n INTEGER, v INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    // three 500-row statements (a single 1,500-tuple VALUES trips
+    // Spark's parse-complexity guard); the trigger's running count
+    // spans statements, so the differential still covers 1,500 firings
+    val script =
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t), NEW.x); END;" +
+        (0 until 3).map { b =>
+          "INSERT INTO t (x) VALUES " +
+            (1 to 500).map(i => s"(${(b * 500 + i) % 97})").mkString(", ") + ";"
+        }.mkString
+    runBoth(id, db, script)
+    same(id, db, "SELECT count(*) AS rows_in, max(n) AS maxn FROM audit;")
+    same(id, db, "SELECT n, v FROM audit ORDER BY n LIMIT 20;")
+    same(id, db, "SELECT n, v FROM audit ORDER BY n DESC LIMIT 5;")
+  }
+
+  test("unsupported self-read shapes still take the general tier (capped, correct)") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, x INTEGER);\n" +
+      "CREATE TABLE audit (n INTEGER, v INTEGER);"
+    // correlated self-read (references NEW inside the subquery WHERE):
+    // unsupported by the window form — must still answer correctly via
+    // the general loop for small statements
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t WHERE x = NEW.x), NEW.x); END;" +
+        "INSERT INTO t VALUES (1,5),(2,5),(3,9);")
+    same(id, db, "SELECT n, v FROM audit ORDER BY v, n;")
+  }
 }
