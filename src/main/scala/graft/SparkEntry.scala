@@ -1126,6 +1126,20 @@ object SparkEntry {
           coalesce($"shared", lit(0L)).as("n_shared_grams"),
           (coalesce($"shared", lit(0L)) > 0).cast("int").as("contaminated"))
         .orderBy($"doc_id")
+    }),
+
+    // FTS5 full-text MATCH as a pipeline operator (r11, engine/Fts5):
+    // fts5 query syntax — terms, a phrase, a prefix, AND/OR at probed
+    // precedence — compiled to the codegen'd unicode61 token
+    // predicates. Scan-bound, no shuffle: the 100 TB shape is a
+    // predicate inside whole-stage codegen, not an index build.
+    "q64_fts_match" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where(graft.engine.Fts5.matchPredicate(
+          "data AND \"batch batch\" OR filt*", Map("text" -> $"text")))
+        .select($"doc_id")
+        .orderBy($"doc_id")
     })
   )
 
@@ -1762,6 +1776,22 @@ object SparkEntry {
         CAST(coalesce(h.shared, 0) AS BIGINT) AS n_shared_grams,
         CAST(coalesce(h.shared, 0) > 0 AS INT) AS contaminated
       FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
-      WHERE d.doc_id % 13 <> 0 ORDER BY d.doc_id"""
+      WHERE d.doc_id % 13 <> 0 ORDER BY d.doc_id""",
+
+    // fts5 'data AND "batch batch" OR filt*' re-expressed over DuckDB
+    // list ops (same unicode61 tokenization: lowercase alnum runs)
+    "q64_fts_match" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '') AS l
+        FROM documents)
+      SELECT doc_id FROM toks
+      WHERE (list_contains(l, 'data')
+             AND list_contains(
+               list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]),
+               'batch batch'))
+         OR len(list_filter(l, x -> x LIKE 'filt%')) > 0
+      ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,435 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FTS5 full-text search, Spark-first (round 11; closes the last
+  * queryable-surface gap VERDICT r10 ranked #1).
+  *
+  * The reference delegates `CREATE VIRTUAL TABLE … USING fts5` and
+  * infix `MATCH` wholesale to whatever libsqlite3 ships
+  * (trough/read.py:63-67, write.py:40). This engine re-expresses the
+  * searchable subset natively:
+  *
+  *  - the virtual table's storage IS a plain all-TEXT backing table
+  *    (fts5 columns are typeless); DML rides the ordinary write path;
+  *  - `MATCH` compiles — textually, before the read gate parses — to a
+  *    boolean predicate over per-column token arrays produced by the
+  *    codegen'd [[Fts5Tokens]] expression (unicode61 semantics: Unicode
+  *    alphanumeric runs, case-folded, diacritics stripped);
+  *  - phrase/prefix/AND/OR/NOT/column-filter query syntax is parsed by
+  *    [[Fts5.parseQuery]] with sqlite's operator precedence
+  *    (differentially probed);
+  *  - sqlite_master serves the original CREATE VIRTUAL TABLE text with
+  *    rootpage 0, exactly like real SQLite.
+  *
+  * Scale shape: matching is a stateless scan predicate inside
+  * whole-stage codegen — no shuffle, no index build; at trough's
+  * per-segment sizes (the reference serves per-segment reads) a scan
+  * beats maintaining an inverted index per write. Documented
+  * deviations: fts5 OPTIONS (tokenize=/content=/prefix=, UNINDEXED),
+  * NEAR(), initial-token `^`, bm25()/rank auxiliary functions, and
+  * `.sqlite` EXPORT of fts tables refuse by name (the export would
+  * need fts5's shadow B-trees that only the C module can build);
+  * shadow tables are not cataloged (the backing table replaces them).
+  */
+object Fts5 {
+
+  // ------------------------------------------------------- tokenizer
+
+  /** unicode61-style tokenization (fts5.html §4.3.1, defaults): tokens
+    * are maximal runs of Unicode alphanumeric codepoints, case-folded,
+    * with diacritics removed (NFD + drop combining marks — SQLite's
+    * remove_diacritics=1 default). Shared by row tokenization (the
+    * [[Fts5Tokens]] expression) and query-term normalization, so both
+    * sides always agree. */
+  def tokenize(s: String): Seq[String] = {
+    val norm = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val out = mutable.ArrayBuffer[String]()
+    val tok = new java.lang.StringBuilder
+    var i = 0
+    while (i < norm.length) {
+      val cp = norm.codePointAt(i)
+      if (Character.getType(cp) == Character.NON_SPACING_MARK) ()
+      else if (Character.isLetterOrDigit(cp))
+        tok.appendCodePoint(Character.toLowerCase(cp))
+      else if (tok.length > 0) { out += tok.toString; tok.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (tok.length > 0) out += tok.toString
+    out.toSeq
+  }
+
+  /** Codegen target for [[Fts5Tokens]]. */
+  def tokenizeUtf8(s: UTF8String): ArrayData =
+    new GenericArrayData(
+      tokenize(s.toString).map(UTF8String.fromString).toArray[Any])
+
+  /** Codegen target for [[Fts5PhraseMatch]]: does `toks` contain the
+    * phrase (consecutive tokens), the last one as a prefix when
+    * `prefix`? A 1-token phrase is a plain term / prefix test. */
+  def phraseMatch(toks: ArrayData, phrase: ArrayData, prefix: Boolean): Boolean = {
+    val n = toks.numElements()
+    val k = phrase.numElements()
+    if (k == 0 || n < k) return false
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      var ok = true
+      while (ok && j < k) {
+        val t = toks.getUTF8String(i + j)
+        val p = phrase.getUTF8String(j)
+        ok = if (prefix && j == k - 1) t.startsWith(p) else t.equals(p)
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  // ------------------------------------------- CREATE VIRTUAL TABLE
+
+  final case class FtsTableDef(name: String, columns: Seq[String],
+      ifNotExists: Boolean, sql: String)
+
+  private val createVirtualRe =
+    ("(?is)^\\s*CREATE\\s+VIRTUAL\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(\\S+)\\s+USING\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)\\s*;?\\s*$").r
+
+  /** Parse `CREATE VIRTUAL TABLE [IF NOT EXISTS] t USING fts5(a, b)`.
+    * None when the statement is not CREATE VIRTUAL TABLE at all;
+    * throws the named refusal for non-fts5 modules and for fts5
+    * options this subset does not cover. */
+  def parseCreateVirtual(stmt: String): Option[FtsTableDef] = {
+    val m = createVirtualRe.findFirstMatchIn(stmt).getOrElse(return None)
+    val module = m.group(3).toLowerCase(java.util.Locale.ROOT)
+    if (module != "fts5")
+      throw new UnsupportedOperationException(
+        s"CREATE VIRTUAL TABLE USING $module is not supported: only the " +
+          "fts5 module has an engine analog (rtree and other modules " +
+          "are libsqlite3 extensions with no equivalent here)")
+    val name = SqlScript.unquoteIdent(m.group(2))
+    val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).map { arg =>
+      if (arg.contains("="))
+        throw new UnsupportedOperationException(
+          s"fts5 option '$arg' is not supported: this engine covers plain " +
+            "column lists only (no tokenize=/content=/prefix=/detail= " +
+            "options); the default unicode61 tokenizer is built in")
+      if ("(?i).*\\sUNINDEXED\\s*$".r.matches(arg))
+        throw new UnsupportedOperationException(
+          s"fts5 UNINDEXED column '$arg' is not supported: every declared " +
+            "column is searchable in this engine")
+      val c = SqlScript.unquoteIdent(arg)
+      require(c.nonEmpty && !c.exists(ch => ch.isWhitespace),
+        s"cannot parse fts5 column: '$arg'")
+      c
+    }
+    require(cols.nonEmpty, "fts5 table needs at least one column")
+    Some(FtsTableDef(name, cols, m.group(1) != null,
+      stmt.trim.stripSuffix(";").trim))
+  }
+
+  // ------------------------------------------------- query language
+
+  sealed trait Node
+  final case class Phrase(tokens: Seq[String], prefix: Boolean) extends Node
+  final case class ColFilter(col: String, child: Node) extends Node
+  final case class AndN(l: Node, r: Node) extends Node
+  final case class OrN(l: Node, r: Node) extends Node
+  /** `a NOT b` — documents matching a but not b (fts5 NOT is binary). */
+  final case class NotN(l: Node, r: Node) extends Node
+
+  private def syntaxError(detail: String): Nothing =
+    throw new IllegalArgumentException(s"fts5: syntax error: $detail")
+
+  /** Parse an fts5 query string (fts5.html §3). Subset: terms, "quoted
+    * phrases", trailing-`*` prefixes, explicit AND/OR/NOT (uppercase,
+    * as fts5 requires — lowercase spellings are terms), implicit AND
+    * between adjacent phrases, parentheses, and single-column filters
+    * `col : expr`. NEAR and `^` refuse by name. */
+  def parseQuery(q: String): Node = {
+    // ---- lexer
+    sealed trait Tok
+    case class Word(w: String) extends Tok
+    case class Quoted(s: String) extends Tok
+    case object LP extends Tok; case object RP extends Tok
+    case object Colon extends Tok; case object Star extends Tok
+    val toks = mutable.ArrayBuffer[Tok]()
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { toks += LP; i += 1 }
+      else if (c == ')') { toks += RP; i += 1 }
+      else if (c == ':') { toks += Colon; i += 1 }
+      else if (c == '*') { toks += Star; i += 1 }
+      else if (c == '^')
+        throw new UnsupportedOperationException(
+          "fts5 initial-token anchors (^term) are not supported by this engine")
+      else if (c == '"') {
+        val e = q.indexOf('"', i + 1)
+        if (e < 0) syntaxError("unterminated string")
+        toks += Quoted(q.substring(i + 1, e))
+        i = e + 1
+      } else if (Character.isLetterOrDigit(q.codePointAt(i))) {
+        var e = i
+        while (e < n && Character.isLetterOrDigit(q.codePointAt(e)))
+          e += Character.charCount(q.codePointAt(e))
+        toks += Word(q.substring(i, e))
+        i = e
+      } else syntaxError(s"unexpected character '$c'")
+    }
+    // ---- parser (precedence probed on sqlite 3.51: OR lowest;
+    // AND/NOT one tier, left-associative; implicit AND binds like AND)
+    var p = 0
+    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
+    def next(): Tok = { val t = toks(p); p += 1; t }
+    def phraseOf(text: String, prefix: Boolean): Node = {
+      val ts = tokenize(text)
+      if (ts.isEmpty) syntaxError("empty phrase")
+      Phrase(ts, prefix)
+    }
+    def unit(): Node = peek match {
+      case Some(LP) =>
+        next()
+        val e = orExpr()
+        if (peek != Some(RP)) syntaxError("expected ')'")
+        next(); e
+      case Some(Word("NEAR")) if toks.lift(p + 1).contains(LP) =>
+        throw new UnsupportedOperationException(
+          "fts5 NEAR() queries are not supported by this engine")
+      case Some(Word(op @ ("AND" | "OR" | "NOT"))) =>
+        syntaxError(s"$op is an operator, not a term (fts5 reserves the " +
+          "uppercase spellings)")
+      case Some(Word(w)) =>
+        next()
+        if (peek == Some(Colon)) {
+          next()
+          ColFilter(w, unit())
+        } else if (peek == Some(Star)) { next(); phraseOf(w, prefix = true) }
+        else phraseOf(w, prefix = false)
+      case Some(Quoted(s)) =>
+        next()
+        if (peek == Some(Star)) { next(); phraseOf(s, prefix = true) }
+        else phraseOf(s, prefix = false)
+      case other => syntaxError(s"unexpected ${other.getOrElse("end of query")}")
+    }
+    // an implicit-AND CHAIN of adjacent phrases is one operand, bound
+    // tighter than explicit AND/NOT (probed: `a NOT b c` answers
+    // a NOT (b AND c)); a parenthesized group stands alone — adjacency
+    // with anything is a syntax error on both sides (probed)
+    def chain(): Node = {
+      val startsParen = peek == Some(LP)
+      var l = unit()
+      var done = false
+      while (!done) peek match {
+        case Some(Word(w)) if w != "AND" && w != "OR" && w != "NOT" =>
+          if (startsParen)
+            syntaxError("a parenthesized group needs an explicit operator")
+          l = AndN(l, unit())
+        case Some(Quoted(_)) =>
+          if (startsParen)
+            syntaxError("a parenthesized group needs an explicit operator")
+          l = AndN(l, unit())
+        case Some(LP) =>
+          syntaxError("a parenthesized group needs an explicit operator")
+        case _ => done = true
+      }
+      l
+    }
+    // AND and NOT share one left-associative tier (probed:
+    // `a AND b NOT c` = (a AND b) NOT c, `a NOT b AND c` = (a NOT b) AND c)
+    def andExpr(): Node = {
+      var l = chain()
+      var done = false
+      while (!done) peek match {
+        case Some(Word("AND")) => next(); l = AndN(l, chain())
+        case Some(Word("NOT")) => next(); l = NotN(l, chain())
+        case _ => done = true
+      }
+      l
+    }
+    def orExpr(): Node = {
+      var l = andExpr()
+      while (peek == Some(Word("OR"))) { next(); l = OrN(l, andExpr()) }
+      l
+    }
+    val root = orExpr()
+    if (p != toks.length) syntaxError("trailing tokens")
+    root
+  }
+
+  // ------------------------------------------------------- compiler
+
+  /** Compile a parsed query to a Spark-SQL boolean over the fts
+    * table's columns. `qualify` renders a column reference in the
+    * host statement's namespace (e.g. `` f.`body` `` under alias f).
+    * Token literals are pure alphanumerics post-tokenization, so
+    * inlining them in single quotes is injection-safe by
+    * construction. */
+  def compileMatch(node: Node, columns: Seq[String],
+      qualify: String => String): String = {
+    // fts5_match_phrase is a single codegen'd expression (no lambda
+    // HOFs — the dialect's textual JSON-arrow rewrite would mangle
+    // `x -> …` before the parser saw it); token literals inline
+    // safely; the prefix flag rides as 1/0 (the dialect erases
+    // boolean literals to integers, SQLite having no boolean type)
+    def phrasePred(col: String, ts: Seq[String], prefix: Boolean): String = {
+      val arr = ts.map(t => s"'$t'").mkString("array(", ", ", ")")
+      val p = if (prefix) 1 else 0
+      s"fts5_match_phrase(fts5_tokens(${qualify(col)}), $arr, $p)"
+    }
+    def go(nd: Node, active: Seq[String]): String = nd match {
+      case Phrase(ts, pre) =>
+        active.map(c => phrasePred(c, ts, pre)).mkString("(", " OR ", ")")
+      case ColFilter(c, child) =>
+        val resolved = columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"fts5: no such column: $c"))
+        go(child, Seq(resolved))
+      case AndN(l, r) => s"(${go(l, active)} AND ${go(r, active)})"
+      case OrN(l, r) => s"(${go(l, active)} OR ${go(r, active)})"
+      case NotN(l, r) => s"(${go(l, active)} AND NOT ${go(r, active)})"
+    }
+    go(node, columns)
+  }
+
+  /** The MATCH predicate as a COLUMN tree (no function registration
+    * needed) — the pipeline-facing entry: full-text filtering over any
+    * DataFrame's string columns with fts5 query syntax
+    * (SparkEntry q64). `cols` maps lowercased searchable-column names
+    * to their Columns; all of them are searched unless the query
+    * column-filters. */
+  def matchPredicate(query: String,
+      cols: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, CreateArray, Literal, Not => CNot, Or => COr}
+    val names = cols.keys.toSeq.sorted
+    def phrasePred(col: String, ts: Seq[String], prefix: Boolean): Expression =
+      Fts5PhraseMatch(
+        Fts5Tokens(org.apache.spark.sql.graft.SqlInternals.expression(cols(col))),
+        CreateArray(ts.map(t => Literal(UTF8String.fromString(t),
+          StringType): Expression)),
+        Literal(prefix))
+    def go(nd: Node, active: Seq[String]): Expression = nd match {
+      case Phrase(ts, pre) =>
+        active.map(c => phrasePred(c, ts, pre): Expression).reduce(COr(_, _))
+      case ColFilter(c, child) =>
+        val resolved = names.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"fts5: no such column: $c"))
+        go(child, Seq(resolved))
+      case AndN(l, r) => CAnd(go(l, active), go(r, active))
+      case OrN(l, r) => COr(go(l, active), go(r, active))
+      case NotN(l, r) => CAnd(go(l, active), CNot(go(r, active)))
+    }
+    org.apache.spark.sql.graft.SqlInternals.column(go(parseQuery(query), names))
+  }
+
+  // -------------------------------------------- statement rewriting
+
+  /** Rewrite every infix `<lhs> MATCH '<query>'` over a known fts
+    * table into its compiled predicate, quote-aware. `ftsTables` maps
+    * lowercased table name → declared columns. The LHS spellings are
+    * exactly real fts5's (probed): the bare TABLE name, the qualified
+    * hidden table-column `alias.table`, a bare COLUMN of a mentioned
+    * fts table (column-scoped match), or a qualified column
+    * `alias.column`. A bare alias is a syntax error in sqlite too
+    * ("no such column"), so it falls through unresolved and the read
+    * gate's named refusal explains the contract. */
+  def rewriteMatch(stmt: String, ftsTables: Map[String, Seq[String]]): String = {
+    if (ftsTables.isEmpty) return stmt
+    val id = "[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|`[^`]+`|\\[[^\\]]+\\]"
+    val matchRe =
+      s"(?is)($id)(?:\\s*\\.\\s*($id))?\\s+MATCH\\s+('(?:[^']|'')*')".r
+    // which fts tables the STATEMENT mentions (for bare-column LHS)
+    val blanked = SqliteDdl.blankLiterals(stmt).toLowerCase(java.util.Locale.ROOT)
+    val mentioned = ftsTables.keys.filter { t =>
+      ("(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(t) + "([^a-z0-9_]|$)").r
+        .findFirstIn(blanked).isDefined
+    }.toSeq
+    matchRe.replaceAllIn(stmt, m => {
+      val (qualOpt, name) = Option(m.group(2)) match {
+        case Some(n2) =>
+          (Some(SqlScript.unquoteIdent(m.group(1))), SqlScript.unquoteIdent(n2))
+        case None => (None, SqlScript.unquoteIdent(m.group(1)))
+      }
+      val lit = m.group(3)
+      val query = lit.substring(1, lit.length - 1).replace("''", "'")
+      val nameLower = name.toLowerCase(java.util.Locale.ROOT)
+      // (columns to search, qualifier for their references)
+      val resolved: Option[(Seq[String], Option[String])] =
+        if (ftsTables.contains(nameLower))
+          // `t MATCH` / `alias.t MATCH`: all columns, qualified by the
+          // alias when given, else by the table name itself
+          Some((ftsTables(nameLower), qualOpt.orElse(Some(name))))
+        else mentioned.flatMap(t =>
+          ftsTables(t).find(_.equalsIgnoreCase(name))).headOption
+          .map(c => (Seq(c), qualOpt))
+      resolved match {
+        case Some((cols, qual)) =>
+          val sql = compileMatch(parseQuery(query), cols,
+            c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"))
+          java.util.regex.Matcher.quoteReplacement(s"($sql)")
+        case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
+      }
+    })
+  }
+}
+
+/** `fts5_match_phrase(tokens, phrase, prefix)` — consecutive-token
+  * phrase containment, the predicate half of MATCH compilation. A
+  * dedicated expression (not HOF lambdas) keeps the generated SQL
+  * trivially parseable by the dialect pipeline and the whole predicate
+  * inside whole-stage codegen. NULL tokens (NULL document column) ⇒
+  * NULL ⇒ no match, SQLite's behavior. */
+case class Fts5PhraseMatch(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "fts5_match_phrase"
+  // the prefix flag arrives as SQLite truth (an integer literal — the
+  // dialect has no boolean literals) or a genuine boolean
+  override def nullSafeEval(toks: Any, phrase: Any, prefix: Any): Any =
+    Fts5.phraseMatch(toks.asInstanceOf[ArrayData],
+      phrase.asInstanceOf[ArrayData], prefix match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case n: java.lang.Number => n.longValue() != 0L
+      })
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => {
+      val flag = third.dataType match {
+        case org.apache.spark.sql.types.BooleanType => c
+        case _ => s"($c != 0)"
+      }
+      s"graft.engine.Fts5.phraseMatch($a, $b, $flag)"
+    })
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Fts5PhraseMatch =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `fts5_tokens(text)` — the unicode61 token array of a string; the
+  * row-side half of MATCH compilation (registered on the dialect
+  * function surface, [[SqliteCompat.register]]). Codegen'd via a
+  * static call, so MATCH predicates stay inside whole-stage codegen. */
+case class Fts5Tokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fts5_tokens requires a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "fts5_tokens"
+  override def nullSafeEval(v: Any): Any =
+    Fts5.tokenizeUtf8(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.engine.Fts5.tokenizeUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fts5Tokens =
+    copy(child = newChild)
+}

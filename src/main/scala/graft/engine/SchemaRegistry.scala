@@ -28,6 +28,8 @@ class SchemaRegistry {
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*") => ()
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*") =>
             SqliteDdl.parseCreateView(stmt) // throws if unparseable
+          case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*") =>
+            Fts5.parseCreateVirtual(stmt) // throws named refusals / parse errors
           case "CREATE" => SqliteDdl.parseCreateTable(stmt) // throws if unparseable
           case other =>
             throw ValidationError(s"schema sql must contain only DDL statements, got: $other")

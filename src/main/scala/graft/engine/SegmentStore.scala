@@ -53,7 +53,13 @@ object SegmentStore {
       checks: Seq[SqliteDdl.CheckDef] = Nil,
       generated: Seq[SqliteDdl.GeneratedDef] = Nil,
       strict: Boolean = false,
-      strictTypes: Map[String, String] = Map.empty)
+      strictTypes: Map[String, String] = Map.empty,
+      /** The original `CREATE VIRTUAL TABLE … USING fts5(…)` text when
+        * this is an FTS5 table (r11): the backing storage is a plain
+        * all-TEXT table; MATCH queries compile against it on the read
+        * path ([[graft.engine.Fts5]]), and sqlite_master serves this
+        * text verbatim, as real SQLite does. */
+      ftsSql: Option[String] = None)
 
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
@@ -199,6 +205,16 @@ class SegmentStore(
             recordIndex(segmentId, stmt)
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*") =>
             recordView(segmentId, SqliteDdl.parseCreateView(stmt))
+          case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*") =>
+            val fd = Fts5.parseCreateVirtual(stmt).getOrElse(
+              throw new IllegalArgumentException(
+                s"cannot parse CREATE VIRTUAL TABLE statement: $stmt"))
+            createTable(segmentId, fd.name,
+              TableMeta(
+                org.apache.spark.sql.types.StructType(fd.columns.map(c =>
+                  org.apache.spark.sql.types.StructField(c, StringType))),
+                Nil, None, ftsSql = Some(fd.sql)),
+              failIfExists = !fd.ifNotExists)
           case "CREATE" =>
             val td = SqliteDdl.parseCreateTable(stmt)
             createTable(segmentId, td.name,
@@ -515,16 +531,26 @@ class SegmentStore(
     val rows = Seq.newBuilder[(String, String, String, Long, String)]
     var page = 1L // page 1 is sqlite_master itself
     tables(segmentId).foreach { t =>
-      val parts = masterParts(t, tableMeta(segmentId, t))
-      page += 1
-      rows += (("table", t, t, page, parts.ddl))
-      parts.autoIdxSets.foreach { case (name, _) =>
-        page += 1
-        rows += (("index", name, t, page, null))
-      }
-      parts.secondary.foreach { case (ix, _) =>
-        page += 1
-        rows += (("index", ix.name, t, page, ix.sql))
+      val meta = tableMeta(segmentId, t)
+      meta.ftsSql match {
+        case Some(ddl) =>
+          // FTS5 virtual table: the original CREATE VIRTUAL TABLE text,
+          // rootpage 0 like real SQLite (no btree of its own; the
+          // engine's backing storage replaces the shadow tables, which
+          // are NOT cataloged — documented deviation)
+          rows += (("table", t, t, 0L, ddl))
+        case None =>
+          val parts = masterParts(t, meta)
+          page += 1
+          rows += (("table", t, t, page, parts.ddl))
+          parts.autoIdxSets.foreach { case (name, _) =>
+            page += 1
+            rows += (("index", name, t, page, null))
+          }
+          parts.secondary.foreach { case (ix, _) =>
+            page += 1
+            rows += (("index", ix.name, t, page, ix.sql))
+          }
       }
     }
     views(segmentId).foreach(v => rows += (("view", v.name, v.name, 0L, v.sql)))
@@ -536,6 +562,14 @@ class SegmentStore(
   def exportSqliteSegment(segmentId: String, outPath: String): Seq[String] = {
     require(segmentExists(segmentId), s"segment $segmentId does not exist")
     val tbls = tables(segmentId)
+    tbls.find(t => tableMeta(segmentId, t).ftsSql.isDefined).foreach { t =>
+      throw new UnsupportedOperationException(
+        s"cannot export segment '$segmentId' to .sqlite: table '$t' is an " +
+          "FTS5 virtual table, and a faithful export would need the fts5 " +
+          "shadow-table index structures (ft_data/ft_idx B-trees) that only " +
+          "libsqlite3's fts5 module can build; drop the table or export the " +
+          "remaining tables individually")
+    }
     val streamed = tbls.map { t =>
       val meta = tableMeta(segmentId, t)
       val fields = meta.schema.fields
@@ -1014,7 +1048,8 @@ class SegmentStore(
       (0 until node.get("pk").size()).map(node.get("pk").get(_).asText()),
       if (node.hasNonNull("autoIncrement")) Some(node.get("autoIncrement").asText()) else None,
       indexes, notNull, defaults, uniques, checks, generated,
-      node.has("strict") && node.get("strict").asBoolean(), strictTypes)
+      node.has("strict") && node.get("strict").asBoolean(), strictTypes,
+      if (node.hasNonNull("ftsSql")) Some(node.get("ftsSql").asText()) else None)
   }
 
   /** Record a plain CREATE INDEX in its table's meta. Non-plain shapes
@@ -1119,6 +1154,7 @@ class SegmentStore(
       val o = root.putObject("strictTypes")
       meta.strictTypes.foreach { case (k, v) => o.put(k, v) }
     }
+    meta.ftsSql.foreach(s => root.put("ftsSql", s))
     val p = metaPath(tierRoot(segmentId), segmentId, table)
     Files.createDirectories(p.getParent)
     Files.writeString(p, root.toString)

@@ -269,6 +269,16 @@ object SqliteCompat {
     def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
       registry.createOrReplaceTempFunction(name, builder, "built-in")
 
+    // --- fts5 MATCH compilation targets (Fts5.scala)
+    fn("fts5_tokens") { exprs =>
+      require(exprs.length == 1, "fts5_tokens takes exactly 1 argument")
+      Fts5Tokens(Cast(exprs.head, StringType))
+    }
+    fn("fts5_match_phrase") { exprs =>
+      require(exprs.length == 3, "fts5_match_phrase takes exactly 3 arguments")
+      Fts5PhraseMatch(exprs(0), exprs(1), exprs(2))
+    }
+
     // --- date/time family: variadic like SQLite (one name, any arity)
     fn("datetime")(timeFn(SqliteTimeExpr.Datetime))
     fn("date")(timeFn(SqliteTimeExpr.Date))

@@ -124,9 +124,12 @@ class TroughEngine(
             .exists(m => !m.group(1).equalsIgnoreCase("AS"))
           if (isInfixMatch)
             throw new IllegalArgumentException(
-              "the MATCH operator is not supported: it requires a " +
-                "virtual-table module (fts5, rtree, ...), which are " +
-                "libsqlite3 extensions this engine does not embed", e)
+              "the MATCH operator could not be resolved: MATCH is " +
+                "supported against FTS5 tables of the queried segment " +
+                "(left operand = the fts table, an alias of it, or one " +
+                "of its columns); other virtual-table modules (rtree, " +
+                "...) are libsqlite3 extensions this engine does not " +
+                "embed", e)
           throw new IllegalArgumentException(e.getMessage, e)
       } finally prev.foreach(SparkSession.setActiveSession)
     val bad = plan.isInstanceOf[Command] ||
@@ -136,14 +139,31 @@ class TroughEngine(
     stmt
   }
 
+  /** The segment's fts5 tables: lowercased name → declared columns
+    * (from each backing table's meta; [[Fts5]]). */
+  private def ftsTablesOf(segmentId: String): Map[String, Seq[String]] =
+    store.tables(segmentId).flatMap { t =>
+      val meta = store.tableMeta(segmentId, t)
+      meta.ftsSql.map(_ =>
+        t.toLowerCase(java.util.Locale.ROOT) -> meta.schema.fieldNames.toSeq)
+    }.toMap
+
   /** Segment-scoped read: the statement runs against views of the
     * segment's tables in an isolated child session (temp views don't leak
     * across concurrent reads). Returns the lazy DataFrame — callers pick
     * collection shape ([[resultJsonIter]] for wire parity). */
   def read(segmentId: String, sql: String): DataFrame = {
     val sess = readSession()
-    val stmt = validateRead(sql, sess)
     require(store.segmentExists(segmentId), s"no such segment: $segmentId")
+    // infix MATCH over the segment's fts5 tables compiles to token
+    // predicates BEFORE the gate parses (the gate's parser has no
+    // MATCH operator); unresolved MATCHes fall through to the gate's
+    // named refusal
+    val sqlF = {
+      val fts = ftsTablesOf(segmentId)
+      if (fts.isEmpty) sql else Fts5.rewriteMatch(sql, fts)
+    }
+    val stmt = validateRead(sqlF, sess)
     store.tables(segmentId).foreach { t =>
       store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
     }

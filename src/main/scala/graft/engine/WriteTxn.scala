@@ -296,17 +296,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     case "CREATE" =>
       val upper = stmt.toUpperCase
       if (upper.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*"))
-        // crisp, named refusal (same contract as PRAGMA's): virtual
-        // tables are libsqlite3 EXTENSION MODULES (fts5, rtree, ...)
-        // whose behavior lives in C code this engine does not embed.
-        // Ingesting an existing file still preserves FTS shadow-table
-        // DATA (SqliteIngestSpec) — only module-backed query behavior
-        // is out of scope.
-        throw new UnsupportedOperationException(
-          "CREATE VIRTUAL TABLE is not supported: virtual-table modules " +
-            "(fts5, rtree, ...) are libsqlite3 extensions with no engine " +
-            "analog; ingest preserves FTS shadow-table data, but module " +
-            "behavior (MATCH) is unavailable")
+        // fts5 has a native analog (r11, Fts5.scala: plain-TEXT backing
+        // table + MATCH compiled to token predicates on the read path);
+        // other modules (rtree, ...) and fts5 OPTIONS keep the crisp
+        // named refusal, raised inside parseCreateVirtual
+        createFtsTable(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) createIndex(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?TRIGGER.*"))
         createTrigger(stmt)
@@ -452,6 +446,28 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     stage(td.name, TableMeta(td.schema, td.primaryKey, td.autoIncrement,
       notNull = td.notNull, defaults = td.defaults, uniques = td.uniques,
       checks = td.checks, generated = td.generated), empty)
+  }
+
+  /** `CREATE VIRTUAL TABLE … USING fts5(cols)` (r11): the storage is a
+    * plain all-TEXT table (fts5 columns are typeless text for search
+    * purposes); the original DDL text rides the meta so sqlite_master
+    * and the read path's MATCH compiler see the virtual-ness. Non-fts5
+    * modules and fts5 options refuse by name inside the parse. */
+  private def createFtsTable(stmt: String): Unit = {
+    val fd = Fts5.parseCreateVirtual(stmt).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot parse CREATE VIRTUAL TABLE statement: $stmt"))
+    if (tableNames.contains(fd.name) || isView(fd.name)) {
+      if (fd.ifNotExists) return
+      throw new IllegalStateException(s"table ${fd.name} already exists")
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      fd.columns.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    created += fd.name
+    stage(fd.name, TableMeta(schema, Nil, None, ftsSql = Some(fd.sql)), empty)
   }
 
   /** Plain CREATE INDEX is recorded in the table's meta inside the

@@ -1,0 +1,261 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpecBase
+
+/** FTS5 full-text search (Fts5.scala), DIFFERENTIAL against the
+  * sandbox sqlite3's real fts5 module: the same CREATE VIRTUAL TABLE +
+  * inserts + MATCH query must answer identically on both engines —
+  * terms, phrases, prefixes, AND/OR/NOT (probed precedence), column
+  * filters, column-scoped MATCH, aliases, tokenizer behavior
+  * (case-folding, diacritics, punctuation splits), DML on the fts
+  * table, and the sqlite_master catalog shape. The reference delegates
+  * all of this to libsqlite3 when fts5 is compiled in
+  * (trough/read.py:63-67, write.py:40). */
+class FtsSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-fts").toString
+  private lazy val store = new SegmentStore(spark, root)
+  private lazy val engine = new TroughEngine(spark, store, new SchemaRegistry)
+
+  private var n = 0
+  private def seg(schema: String): String = {
+    n += 1
+    val id = s"fts-$n"
+    engine.schemas.put(s"fts-schema-$n", schema)
+    engine.provisionWritable(id, s"fts-schema-$n")
+    id
+  }
+
+  private def cliDb(schema: String): Path = {
+    val db = Files.createTempFile("fts-cli", ".db")
+    Files.delete(db)
+    assert(SqliteCli.run(db.toString, schema) == 0)
+    db
+  }
+
+  private def runBoth(id: String, db: Path, script: String): Unit = {
+    engine.write(id, script)
+    assert(SqliteCli.run(db.toString,
+      s".bail on\nBEGIN;\n$script\nCOMMIT;\n") == 0, s"sqlite3 failed: $script")
+  }
+
+  private def render(r: org.apache.spark.sql.Row): String =
+    (0 until r.length).map { i =>
+      if (r.isNullAt(i)) ""
+      else r.get(i) match {
+        case l: Long => l.toString
+        case d: Double => d.toString
+        case s: String => s
+        case other => other.toString
+      }
+    }.mkString("|")
+
+  private def same(id: String, db: Path, select: String): Unit = {
+    val engineSide = engine.read(id, select).collect().map(render).mkString("\n")
+    val cliSide = SqliteCli.query(db.toString, select)
+    assert(engineSide == cliSide,
+      s"\n-- engine --\n$engineSide\n-- sqlite3 --\n$cliSide\n-- for --\n$select")
+  }
+
+  private val schema =
+    "CREATE VIRTUAL TABLE docs USING fts5(title, body);"
+  private val fill =
+    "INSERT INTO docs VALUES " +
+      "('Greeting', 'hello world'), " +
+      "('Farewell', 'goodbye cruel world'), " +
+      "('Caps', 'HELLO THERE world'), " +
+      "('Punct', 'don''t panic, HELLO-world!'), " +
+      "('Accents', 'Ärger im Café'), " +
+      "('Numbers', 'version 42 of fts5 rocks'), " +
+      "('Phrase', 'the quick brown fox jumps'), " +
+      "('Partial', 'worldwide hellos everywhere');"
+
+  private def m(q: String): String =
+    s"SELECT title FROM docs WHERE docs MATCH '$q' ORDER BY title;"
+
+  test("terms, case folding, punctuation splits, numbers (unicode61)") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    same(id, db, m("hello"))         // folds Caps + Punct, not Partial
+    same(id, db, m("HELLO"))         // query side folds too
+    same(id, db, m("world"))         // not 'worldwide'
+    same(id, db, m("t"))             // the don't split: [don, t]
+    same(id, db, m("42"))
+    same(id, db, m("missing"))       // empty result
+  }
+
+  test("diacritics: remove_diacritics=1 default folds Ärger to arger") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    same(id, db, m("arger"))
+    same(id, db, m("Ärger"))
+    same(id, db, m("cafe"))
+    same(id, db, m("café"))
+  }
+
+  test("phrases and prefixes") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    same(id, db, m("\"hello world\""))      // adjacency required
+    same(id, db, m("\"world hello\""))      // wrong order: empty
+    same(id, db, m("\"quick brown fox\""))
+    same(id, db, m("hell*"))                // Greeting, Caps, Punct, Partial
+    same(id, db, m("\"quick brown f\"*"))   // phrase with trailing prefix
+    same(id, db, m("\"don t\""))            // tokenized apostrophe phrase
+  }
+
+  test("AND / OR / NOT with fts5 precedence (probed)") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    same(id, db, m("hello AND world"))
+    same(id, db, m("hello world"))          // implicit AND
+    same(id, db, m("hello OR goodbye"))
+    same(id, db, m("world NOT hello"))
+    same(id, db, m("hello NOT there OR goodbye")) // (hello NOT there) OR goodbye
+    same(id, db, m("hello there OR goodbye"))     // (hello AND there) OR goodbye
+    same(id, db, m("(hello OR goodbye) AND world"))
+    // lowercase and/or are TERMS, not operators (fts5 rule)
+    same(id, db, m("hello or goodbye"))
+    // implicit AND does NOT reach across parens (probed: fts5 syntax
+    // error) — both engines refuse
+    val e = intercept[Exception](
+      engine.read(id, m("(hello OR goodbye) world")).collect())
+    assert(e.getMessage.contains("fts5"), e.getMessage)
+    assert(SqliteCli.run(db.toString,
+      "SELECT title FROM docs WHERE docs MATCH '(hello OR goodbye) world';") != 0)
+  }
+
+  test("column filters and column-scoped MATCH") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    same(id, db, m("title : greeting"))
+    same(id, db, m("body : greeting"))      // empty: word only in title
+    same(id, db, m("title : (greeting OR farewell)"))
+    // column name as the MATCH LHS (sqlite accepts this spelling)
+    same(id, db,
+      "SELECT title FROM docs WHERE body MATCH 'hello' ORDER BY title;")
+    // unknown column in a filter errors on both engines
+    val e = intercept[Exception](engine.read(id, m("nosuch : x")))
+    assert(e.getMessage.contains("no such column"))
+    assert(SqliteCli.run(db.toString,
+      "SELECT title FROM docs WHERE docs MATCH 'nosuch : x';") != 0)
+  }
+
+  test("aliased MATCH spellings; MATCH composes with ordinary SQL") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    // sqlite's aliased spellings (probed): the hidden table-column
+    // `alias.table MATCH`, and the qualified column `alias.col MATCH`;
+    // a BARE alias is "no such column" in sqlite too
+    same(id, db,
+      "SELECT d.title FROM docs d WHERE d.docs MATCH 'hello' ORDER BY d.title;")
+    same(id, db,
+      "SELECT d.title FROM docs d WHERE d.body MATCH 'hello' ORDER BY d.title;")
+    same(id, db,
+      "SELECT count(*) AS c FROM docs WHERE docs MATCH 'world' " +
+        "AND title <> 'Caps';")
+    same(id, db,
+      "SELECT title, length(body) AS lb FROM docs " +
+        "WHERE docs MATCH 'world OR panic' ORDER BY lb, title;")
+  }
+
+  test("DML on the fts table: UPDATE and DELETE re-matching") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    runBoth(id, db,
+      "DELETE FROM docs WHERE title = 'Caps';" +
+        "UPDATE docs SET body = 'bonjour world' WHERE title = 'Greeting';")
+    same(id, db, m("hello"))     // Greeting no longer matches
+    same(id, db, m("bonjour"))
+    same(id, db, m("world"))
+  }
+
+  test("sqlite_master serves the original virtual DDL with rootpage 0") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    val row = engine.read(id,
+      "SELECT type, name, rootpage, sql FROM sqlite_master " +
+        "WHERE name = 'docs';").collect()(0)
+    assert(row.getString(0) == "table")
+    assert(row.getLong(2) == 0L)
+    assert(row.getString(3).toUpperCase.startsWith("CREATE VIRTUAL TABLE"))
+    // the CLI side agrees on the virtual row's shape
+    assert(SqliteCli.query(db.toString,
+      "SELECT type, rootpage FROM sqlite_master WHERE name = 'docs';")
+      == "table|0")
+  }
+
+  test("refusals: NEAR, caret, export; unterminated and empty queries error") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    val e1 = intercept[Exception](engine.read(id, m("NEAR(hello world)")))
+    assert(e1.getMessage.contains("NEAR"))
+    val e2 = intercept[Exception](engine.read(id, m("^hello")))
+    assert(e2.getMessage.contains("initial-token"))
+    val e3 = intercept[Exception](engine.read(id, m("AND")))
+    assert(e3.getMessage.contains("fts5"))
+    val e4 = intercept[UnsupportedOperationException](
+      engine.store.exportSqliteSegment(id,
+        Files.createTempDirectory("fts-exp").resolve("x.sqlite").toString))
+    assert(e4.getMessage.contains("fts5 shadow-table"))
+  }
+
+  test("fuzz: 150 random MATCH queries agree with real fts5") {
+    val id = seg(schema); val db = cliDb(schema)
+    // corpus: random 1-6-word docs over a small vocabulary, so terms
+    // collide, phrases sometimes align, and prefixes overlap
+    val rng = new scala.util.Random(20260814L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "Alpha", "BETA",
+      "alphabet", "gambit", "café", "42", "don't")
+    val docs = (1 to 40).map { i =>
+      val words = Seq.fill(1 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length)))
+      s"('d$i', '${words.mkString(" ").replace("'", "''")}')"
+    }
+    runBoth(id, db, s"INSERT INTO docs VALUES ${docs.mkString(", ")};")
+    val queryVocab = Seq("alpha", "beta", "gamma", "delta", "alphabet",
+      "gambit", "cafe", "42", "don", "t", "missing")
+    def term(): String = {
+      val w = queryVocab(rng.nextInt(queryVocab.length))
+      rng.nextInt(4) match {
+        case 0 => w.take(1 + rng.nextInt(w.length)) + "*"
+        case 1 => "\"" + Seq.fill(1 + rng.nextInt(2))(
+          queryVocab(rng.nextInt(queryVocab.length))).mkString(" ") + "\""
+        case _ => w
+      }
+    }
+    def expr(depth: Int): String =
+      if (depth >= 2 || rng.nextInt(3) == 0) term()
+      else rng.nextInt(5) match {
+        case 0 => s"${expr(depth + 1)} AND ${expr(depth + 1)}"
+        case 1 => s"${expr(depth + 1)} OR ${expr(depth + 1)}"
+        case 2 => s"${expr(depth + 1)} NOT ${expr(depth + 1)}"
+        case 3 => s"(${expr(depth + 1)} OR ${expr(depth + 1)}) AND ${term()}"
+        case _ => s"${term()} ${term()}" // implicit AND (phrase-phrase)
+      }
+    (1 to 150).foreach { _ =>
+      val q = expr(0).replace("'", "''")
+      same(id, db, s"SELECT title FROM docs WHERE docs MATCH '$q' ORDER BY title;")
+    }
+  }
+
+  test("IF NOT EXISTS, DROP TABLE, and a second fts table coexisting") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    runBoth(id, db, "CREATE VIRTUAL TABLE IF NOT EXISTS docs USING fts5(title, body);")
+    runBoth(id, db,
+      "CREATE VIRTUAL TABLE notes USING fts5(txt);" +
+        "INSERT INTO notes VALUES ('hello notebook');")
+    same(id, db, "SELECT txt FROM notes WHERE notes MATCH 'hello';")
+    // two fts tables in one statement: each MATCH resolves by its
+    // alias-qualified hidden table-column
+    same(id, db,
+      "SELECT d.title, n.txt FROM docs d, notes n " +
+        "WHERE d.docs MATCH 'greeting' AND n.notes MATCH 'notebook';")
+    runBoth(id, db, "DROP TABLE notes;")
+    val e = intercept[Exception](engine.read(id, "SELECT * FROM notes;"))
+    assert(e.getMessage.toLowerCase.contains("table_or_view_not_found") ||
+      e.getMessage.toLowerCase.contains("cannot be found"))
+  }
+}

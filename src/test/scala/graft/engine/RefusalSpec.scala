@@ -36,23 +36,25 @@ class RefusalSpec extends SparkSpecBase {
     "refusal-1"
   }
 
-  test("CREATE VIRTUAL TABLE refuses with the module limitation named") {
-    val e = intercept[UnsupportedOperationException](engine.write(seg,
-      "CREATE VIRTUAL TABLE ft USING fts5(body);"))
-    assert(e.getMessage.contains("CREATE VIRTUAL TABLE is not supported"))
-    assert(e.getMessage.contains("fts5"))
-    assert(e.getMessage.contains("shadow-table data"))
-    // rtree spelling routes to the same refusal
+  test("CREATE VIRTUAL TABLE: non-fts5 modules and fts5 options refuse by name") {
+    // fts5 with a plain column list is SUPPORTED (r11, FtsSpec); the
+    // refusals now cover what remains out of scope
     val e2 = intercept[UnsupportedOperationException](engine.write(seg,
       "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX);"))
-    assert(e2.getMessage.contains("CREATE VIRTUAL TABLE is not supported"))
+    assert(e2.getMessage.contains("USING rtree is not supported"))
+    val e3 = intercept[UnsupportedOperationException](engine.write(seg,
+      "CREATE VIRTUAL TABLE ft USING fts5(body, tokenize = 'porter');"))
+    assert(e3.getMessage.contains("fts5 option"))
+    val e4 = intercept[UnsupportedOperationException](engine.write(seg,
+      "CREATE VIRTUAL TABLE ft USING fts5(body, extra UNINDEXED);"))
+    assert(e4.getMessage.contains("UNINDEXED"))
   }
 
-  test("MATCH on the read path refuses with the fts limitation named") {
+  test("MATCH on the read path refuses by name when no fts table resolves") {
     val e = intercept[IllegalArgumentException](engine.read(seg,
       "SELECT id FROM t WHERE body MATCH 'hello';"))
-    assert(e.getMessage.contains("MATCH operator is not supported"))
-    assert(e.getMessage.contains("fts5"))
+    assert(e.getMessage.contains("MATCH operator could not be resolved"))
+    assert(e.getMessage.contains("FTS5"))
     // a column NAMED match stays usable (only the infix operator is
     // fts syntax)
     engine.schemas.put("refusal-schema-2",
@@ -76,7 +78,7 @@ class RefusalSpec extends SparkSpecBase {
     // the genuine operator still refuses by name, literal operand and all
     val e3 = intercept[IllegalArgumentException](engine.read(seg,
       "SELECT id FROM t WHERE body MATCH 'hello' AND;"))
-    assert(e3.getMessage.contains("MATCH operator is not supported"))
+    assert(e3.getMessage.contains("MATCH operator could not be resolved"))
   }
 
   test("ATTACH / DETACH refuse with the one-segment contract named") {
