@@ -32,12 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale shape: matching is a stateless scan predicate inside
   * whole-stage codegen — no shuffle, no index build; at trough's
   * per-segment sizes (the reference serves per-segment reads) a scan
-  * beats maintaining an inverted index per write. Documented
-  * deviations: fts5 OPTIONS (tokenize=/content=/prefix=, UNINDEXED),
-  * NEAR(), initial-token `^`, bm25()/rank auxiliary functions, and
-  * `.sqlite` EXPORT of fts tables refuse by name (the export would
-  * need fts5's shadow B-trees that only the C module can build);
-  * shadow tables are not cataloged (the backing table replaces them).
+  * beats maintaining an inverted index per write. r11 extensions:
+  * initial-token `^` anchors, NEAR() groups (probed instance-spread
+  * model: max chosen start − min chosen end ≤ N + 1, order-free,
+  * default N=10, single-phrase NEAR ≡ plain match), and the fts5 options whose
+  * semantics a scan reproduces exactly — tokenize='unicode61
+  * [remove_diacritics 1]' (the built-in default), prefix= (an
+  * index-layout hint; results identical), detail=full, columnsize=
+  * (feeds only bm25, which refuses). Documented deviations: other
+  * tokenizers/options (porter, trigram, content=, detail=none|column,
+  * UNINDEXED), bm25()/rank auxiliary functions, and `.sqlite` EXPORT
+  * of fts tables refuse by name (the export would need fts5's shadow
+  * B-trees that only the C module can build); shadow tables are not
+  * cataloged (the backing table replaces them).
   */
 object Fts5 {
 
@@ -71,25 +78,105 @@ object Fts5 {
     new GenericArrayData(
       tokenize(s.toString).map(UTF8String.fromString).toArray[Any])
 
+  /** Does the phrase (consecutive tokens) match at position `at`, the
+    * last token as a prefix when `prefix`? */
+  private def phraseAt(toks: ArrayData, at: Int, phrase: ArrayData,
+      prefix: Boolean): Boolean = {
+    val k = phrase.numElements()
+    var j = 0
+    var ok = true
+    while (ok && j < k) {
+      val t = toks.getUTF8String(at + j)
+      val p = phrase.getUTF8String(j)
+      ok = if (prefix && j == k - 1) t.startsWith(p) else t.equals(p)
+      j += 1
+    }
+    ok
+  }
+
   /** Codegen target for [[Fts5PhraseMatch]]: does `toks` contain the
-    * phrase (consecutive tokens), the last one as a prefix when
-    * `prefix`? A 1-token phrase is a plain term / prefix test. */
-  def phraseMatch(toks: ArrayData, phrase: ArrayData, prefix: Boolean): Boolean = {
+    * phrase (consecutive tokens)? `flags` bit 0 = trailing-`*` prefix
+    * (last token matches as a prefix), bit 1 = `^` anchor (the phrase
+    * must start at token 0). A 1-token phrase is a plain term test. */
+  def phraseMatch(toks: ArrayData, phrase: ArrayData, flags: Long): Boolean = {
+    val prefix = (flags & 1L) != 0L
+    val anchored = (flags & 2L) != 0L
     val n = toks.numElements()
     val k = phrase.numElements()
     if (k == 0 || n < k) return false
+    if (anchored) return phraseAt(toks, 0, phrase, prefix)
     var i = 0
     while (i <= n - k) {
-      var j = 0
-      var ok = true
-      while (ok && j < k) {
-        val t = toks.getUTF8String(i + j)
-        val p = phrase.getUTF8String(j)
-        ok = if (prefix && j == k - 1) t.startsWith(p) else t.equals(p)
-        j += 1
-      }
-      if (ok) return true
+      if (phraseAt(toks, i, phrase, prefix)) return true
       i += 1
+    }
+    false
+  }
+
+  /** Codegen target for [[Fts5NearMatch]] — fts5 NEAR(p1 p2 …, N)
+    * (fts5.html §3.1; rule probed on the sandbox sqlite3 over 2-, 3-
+    * and overlapping-phrase corpora): true iff there is a choice of
+    * one instance per phrase with
+    * `max(instance starts) − min(instance ends) ≤ N + 1` — i.e. the
+    * tokens strictly between the earliest chosen END and the latest
+    * chosen START number ≤ N. Order-free; contained/overlapping
+    * instances give a negative spread and always fit; phrases may
+    * carry trailing-`*` prefix flags; `^` refuses at parse (sqlite's
+    * own syntax error). Checked by anchoring the candidate min-end at
+    * each instance end E and asking every phrase for an instance with
+    * `end ≥ E && start ≤ E + N + 1` (the optimum's own min-end is
+    * among the candidates, and any accepted E certifies the bound).
+    * Per-row work is O(tokens × phrases + inst² × phrases) on tiny
+    * per-row instance lists — stateless, inside whole-stage codegen. */
+  def nearMatch(toks: ArrayData, phrases: ArrayData, flags: ArrayData,
+      n: Long): Boolean = {
+    val nt = toks.numElements()
+    val k = phrases.numElements()
+    if (k == 0) return false
+    val starts = new Array[Array[Int]](k)
+    val lens = new Array[Int](k)
+    var pi = 0
+    while (pi < k) {
+      val ph = phrases.getArray(pi)
+      val prefix = (flags.getInt(pi) & 1) != 0
+      val len = ph.numElements()
+      if (len == 0 || nt < len) return false
+      lens(pi) = len
+      val buf = mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i <= nt - len) {
+        if (phraseAt(toks, i, ph, prefix)) buf += i
+        i += 1
+      }
+      if (buf.isEmpty) return false
+      starts(pi) = buf.toArray
+      pi += 1
+    }
+    var ci = 0
+    while (ci < k) {
+      val cs = starts(ci)
+      var ii = 0
+      while (ii < cs.length) {
+        val e = cs(ii) + lens(ci) - 1 // candidate min-end
+        var p = 0
+        var ok = true
+        while (ok && p < k) {
+          val ss = starts(p)
+          val len = lens(p)
+          var found = false
+          var j = 0
+          while (!found && j < ss.length) {
+            val s = ss(j)
+            found = s + len - 1 >= e && s <= e + n + 1
+            j += 1
+          }
+          ok = found
+          p += 1
+        }
+        if (ok) return true
+        ii += 1
+      }
+      ci += 1
     }
     false
   }
@@ -116,30 +203,81 @@ object Fts5 {
           "fts5 module has an engine analog (rtree and other modules " +
           "are libsqlite3 extensions with no equivalent here)")
     val name = SqlScript.unquoteIdent(m.group(2))
-    val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).map { arg =>
-      if (arg.contains("="))
-        throw new UnsupportedOperationException(
-          s"fts5 option '$arg' is not supported: this engine covers plain " +
-            "column lists only (no tokenize=/content=/prefix=/detail= " +
-            "options); the default unicode61 tokenizer is built in")
-      if ("(?i).*\\sUNINDEXED\\s*$".r.matches(arg))
-        throw new UnsupportedOperationException(
-          s"fts5 UNINDEXED column '$arg' is not supported: every declared " +
-            "column is searchable in this engine")
-      val c = SqlScript.unquoteIdent(arg)
-      require(c.nonEmpty && !c.exists(ch => ch.isWhitespace),
-        s"cannot parse fts5 column: '$arg'")
-      c
+    val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).flatMap { arg =>
+      if (arg.contains("=")) { checkOption(arg); None }
+      else {
+        if ("(?i).*\\sUNINDEXED\\s*$".r.matches(arg))
+          throw new UnsupportedOperationException(
+            s"fts5 UNINDEXED column '$arg' is not supported: every declared " +
+              "column is searchable in this engine")
+        val c = SqlScript.unquoteIdent(arg)
+        require(c.nonEmpty && !c.exists(ch => ch.isWhitespace),
+          s"cannot parse fts5 column: '$arg'")
+        Some(c)
+      }
     }
     require(cols.nonEmpty, "fts5 table needs at least one column")
     Some(FtsTableDef(name, cols, m.group(1) != null,
       stmt.trim.stripSuffix(";").trim))
   }
 
+  /** Accept exactly the fts5 options a stateless scan reproduces
+    * (r11): `tokenize` naming the built-in default (`unicode61`, with
+    * or without `remove_diacritics 1`), `prefix=` (a prefix-INDEX
+    * layout hint — results are identical with or without it),
+    * `detail=full` (the default; none/column restrict phrase queries),
+    * and `columnsize=` (feeds only bm25, which refuses by name).
+    * Everything else keeps the named refusal. */
+  private def checkOption(arg: String): Unit = {
+    val eq = arg.indexOf('=')
+    val key = arg.substring(0, eq).trim.toLowerCase(java.util.Locale.ROOT)
+    val v0 = arg.substring(eq + 1).trim
+    val v = // strip one level of '…' / "…" quoting
+      if (v0.length >= 2 && ((v0.head == '\'' && v0.last == '\'') ||
+          (v0.head == '"' && v0.last == '"')))
+        v0.substring(1, v0.length - 1)
+      else v0
+    def refuse(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"fts5 option '$arg' is not supported: $why")
+    key match {
+      case "tokenize" =>
+        val parts = v.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").toSeq.map(p => p.stripPrefix("'").stripSuffix("'"))
+        val isDefault = parts == Seq("unicode61") ||
+          parts == Seq("unicode61", "remove_diacritics", "1")
+        if (!isDefault) refuse("only the built-in default tokenizer " +
+          "(unicode61, remove_diacritics 1) is available — porter/trigram/" +
+          "ascii and non-default unicode61 arguments have no engine analog")
+      case "prefix" =>
+        if (!v.trim.matches("[0-9 ]+"))
+          refuse("prefix= takes a list of integer prefix lengths")
+      // else: accepted — a prefix index only changes the lookup
+      // structure; this engine's scan answers identically without it
+      case "detail" =>
+        if (v.trim.toLowerCase(java.util.Locale.ROOT) != "full")
+          refuse("detail=none/column drop the position data phrase and " +
+            "NEAR queries need; only the full (default) mode is served")
+      case "columnsize" =>
+        if (v.trim != "0" && v.trim != "1")
+          refuse("columnsize= takes 0 or 1")
+      // else: accepted — the column-size table feeds only bm25(),
+      // which refuses by name in this engine
+      case _ =>
+        refuse("this engine covers plain column lists plus the " +
+          "semantics-preserving options (tokenize='unicode61', prefix=, " +
+          "detail=full, columnsize=); content=/content_rowid= external " +
+          "content and other options have no analog")
+    }
+  }
+
   // ------------------------------------------------- query language
 
   sealed trait Node
-  final case class Phrase(tokens: Seq[String], prefix: Boolean) extends Node
+  final case class Phrase(tokens: Seq[String], prefix: Boolean,
+      anchored: Boolean = false) extends Node
+  /** `NEAR(p1 p2 …, n)` — every phrase inside one `n + Σ len` window. */
+  final case class NearGroup(phrases: Seq[Phrase], n: Int) extends Node
   final case class ColFilter(col: String, child: Node) extends Node
   final case class AndN(l: Node, r: Node) extends Node
   final case class OrN(l: Node, r: Node) extends Node
@@ -149,11 +287,14 @@ object Fts5 {
   private def syntaxError(detail: String): Nothing =
     throw new IllegalArgumentException(s"fts5: syntax error: $detail")
 
-  /** Parse an fts5 query string (fts5.html §3). Subset: terms, "quoted
-    * phrases", trailing-`*` prefixes, explicit AND/OR/NOT (uppercase,
-    * as fts5 requires — lowercase spellings are terms), implicit AND
-    * between adjacent phrases, parentheses, and single-column filters
-    * `col : expr`. NEAR and `^` refuse by name. */
+  /** Parse an fts5 query string (fts5.html §3). Covers: terms, "quoted
+    * phrases", trailing-`*` prefixes, `^` initial-token anchors (r11),
+    * `NEAR(p1 p2 …, n)` groups (r11; default n=10, single-phrase NEAR
+    * ≡ plain match, `^` inside NEAR is sqlite's own syntax error —
+    * all probed), explicit AND/OR/NOT (uppercase, as fts5 requires —
+    * lowercase spellings are terms; bare `NEAR` without `(` is a term
+    * too, probed), implicit AND between adjacent phrases, parentheses,
+    * and single-column filters `col : expr`. */
   def parseQuery(q: String): Node = {
     // ---- lexer
     sealed trait Tok
@@ -161,6 +302,7 @@ object Fts5 {
     case class Quoted(s: String) extends Tok
     case object LP extends Tok; case object RP extends Tok
     case object Colon extends Tok; case object Star extends Tok
+    case object Caret extends Tok; case object Comma extends Tok
     val toks = mutable.ArrayBuffer[Tok]()
     var i = 0
     val n = q.length
@@ -171,9 +313,8 @@ object Fts5 {
       else if (c == ')') { toks += RP; i += 1 }
       else if (c == ':') { toks += Colon; i += 1 }
       else if (c == '*') { toks += Star; i += 1 }
-      else if (c == '^')
-        throw new UnsupportedOperationException(
-          "fts5 initial-token anchors (^term) are not supported by this engine")
+      else if (c == '^') { toks += Caret; i += 1 }
+      else if (c == ',') { toks += Comma; i += 1 }
       else if (c == '"') {
         val e = q.indexOf('"', i + 1)
         if (e < 0) syntaxError("unterminated string")
@@ -192,10 +333,49 @@ object Fts5 {
     var p = 0
     def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
     def next(): Tok = { val t = toks(p); p += 1; t }
-    def phraseOf(text: String, prefix: Boolean): Node = {
+    def phraseOf(text: String, prefix: Boolean,
+        anchored: Boolean = false): Phrase = {
       val ts = tokenize(text)
       if (ts.isEmpty) syntaxError("empty phrase")
-      Phrase(ts, prefix)
+      Phrase(ts, prefix, anchored)
+    }
+    // one bare phrase operand — a word or quoted string with its
+    // optional trailing `*`; `anchored` when a `^` preceded it
+    def bare(anchored: Boolean): Phrase = peek match {
+      case Some(Word(w)) =>
+        next()
+        if (peek == Some(Star)) { next(); phraseOf(w, prefix = true, anchored) }
+        else phraseOf(w, prefix = false, anchored)
+      case Some(Quoted(s)) =>
+        next()
+        if (peek == Some(Star)) { next(); phraseOf(s, prefix = true, anchored) }
+        else phraseOf(s, prefix = false, anchored)
+      case other => syntaxError(s"unexpected ${other.getOrElse("end of query")}")
+    }
+    def nearGroup(): Node = {
+      next(); next() // NEAR (
+      val phrases = mutable.ArrayBuffer[Phrase]()
+      var done = false
+      while (!done) peek match {
+        case Some(Word(_)) | Some(Quoted(_)) => phrases += bare(anchored = false)
+        case Some(Caret) => syntaxError("\"^\"") // sqlite refuses ^ in NEAR
+        case _ => done = true
+      }
+      if (phrases.isEmpty) syntaxError("NEAR() needs at least one phrase")
+      val dist = peek match {
+        case Some(Comma) =>
+          next()
+          peek match {
+            case Some(Word(d)) if d.nonEmpty && d.forall(_.isDigit) =>
+              next(); d.toInt
+            case _ => syntaxError("expected an integer after ',' in NEAR()")
+          }
+        case _ => 10 // fts5's default proximity
+      }
+      if (peek != Some(RP)) syntaxError("expected ')' in NEAR()")
+      next()
+      // probed: single-phrase NEAR answers exactly like the phrase
+      if (phrases.length == 1) phrases.head else NearGroup(phrases.toSeq, dist)
     }
     def unit(): Node = peek match {
       case Some(LP) =>
@@ -203,23 +383,15 @@ object Fts5 {
         val e = orExpr()
         if (peek != Some(RP)) syntaxError("expected ')'")
         next(); e
-      case Some(Word("NEAR")) if toks.lift(p + 1).contains(LP) =>
-        throw new UnsupportedOperationException(
-          "fts5 NEAR() queries are not supported by this engine")
+      case Some(Word("NEAR")) if toks.lift(p + 1).contains(LP) => nearGroup()
       case Some(Word(op @ ("AND" | "OR" | "NOT"))) =>
         syntaxError(s"$op is an operator, not a term (fts5 reserves the " +
           "uppercase spellings)")
-      case Some(Word(w)) =>
-        next()
-        if (peek == Some(Colon)) {
-          next()
-          ColFilter(w, unit())
-        } else if (peek == Some(Star)) { next(); phraseOf(w, prefix = true) }
-        else phraseOf(w, prefix = false)
-      case Some(Quoted(s)) =>
-        next()
-        if (peek == Some(Star)) { next(); phraseOf(s, prefix = true) }
-        else phraseOf(s, prefix = false)
+      case Some(Caret) => next(); bare(anchored = true)
+      case Some(Word(w)) if toks.lift(p + 1).contains(Colon) =>
+        next(); next()
+        ColFilter(w, unit())
+      case Some(Word(_)) | Some(Quoted(_)) => bare(anchored = false)
       case other => syntaxError(s"unexpected ${other.getOrElse("end of query")}")
     }
     // an implicit-AND CHAIN of adjacent phrases is one operand, bound
@@ -235,7 +407,7 @@ object Fts5 {
           if (startsParen)
             syntaxError("a parenthesized group needs an explicit operator")
           l = AndN(l, unit())
-        case Some(Quoted(_)) =>
+        case Some(Quoted(_)) | Some(Caret) =>
           if (startsParen)
             syntaxError("a parenthesized group needs an explicit operator")
           l = AndN(l, unit())
@@ -282,14 +454,25 @@ object Fts5 {
     // `x -> …` before the parser saw it); token literals inline
     // safely; the prefix flag rides as 1/0 (the dialect erases
     // boolean literals to integers, SQLite having no boolean type)
-    def phrasePred(col: String, ts: Seq[String], prefix: Boolean): String = {
-      val arr = ts.map(t => s"'$t'").mkString("array(", ", ", ")")
-      val p = if (prefix) 1 else 0
-      s"fts5_match_phrase(fts5_tokens(${qualify(col)}), $arr, $p)"
+    def flagsOf(prefix: Boolean, anchored: Boolean): Int =
+      (if (prefix) 1 else 0) | (if (anchored) 2 else 0)
+    def phrasePred(col: String, ph: Phrase): String = {
+      val arr = ph.tokens.map(t => s"'$t'").mkString("array(", ", ", ")")
+      s"fts5_match_phrase(fts5_tokens(${qualify(col)}), $arr, " +
+        s"${flagsOf(ph.prefix, ph.anchored)})"
+    }
+    def nearPred(col: String, g: NearGroup): String = {
+      val phrases = g.phrases.map(_.tokens.map(t => s"'$t'")
+        .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+      val flags = g.phrases.map(p => flagsOf(p.prefix, anchored = false))
+        .mkString("array(", ", ", ")")
+      s"fts5_near(fts5_tokens(${qualify(col)}), $phrases, $flags, ${g.n})"
     }
     def go(nd: Node, active: Seq[String]): String = nd match {
-      case Phrase(ts, pre) =>
-        active.map(c => phrasePred(c, ts, pre)).mkString("(", " OR ", ")")
+      case ph: Phrase =>
+        active.map(c => phrasePred(c, ph)).mkString("(", " OR ", ")")
+      case g: NearGroup =>
+        active.map(c => nearPred(c, g)).mkString("(", " OR ", ")")
       case ColFilter(c, child) =>
         val resolved = columns.find(_.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(s"fts5: no such column: $c"))
@@ -311,15 +494,27 @@ object Fts5 {
       cols: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, CreateArray, Literal, Not => CNot, Or => COr}
     val names = cols.keys.toSeq.sorted
-    def phrasePred(col: String, ts: Seq[String], prefix: Boolean): Expression =
-      Fts5PhraseMatch(
-        Fts5Tokens(org.apache.spark.sql.graft.SqlInternals.expression(cols(col))),
-        CreateArray(ts.map(t => Literal(UTF8String.fromString(t),
-          StringType): Expression)),
-        Literal(prefix))
+    def strArr(ts: Seq[String]): Expression =
+      CreateArray(ts.map(t => Literal(UTF8String.fromString(t),
+        StringType): Expression))
+    def flagsOf(prefix: Boolean, anchored: Boolean): Int =
+      (if (prefix) 1 else 0) | (if (anchored) 2 else 0)
+    def tokensOf(col: String): Expression =
+      Fts5Tokens(org.apache.spark.sql.graft.SqlInternals.expression(cols(col)))
+    def phrasePred(col: String, ph: Phrase): Expression =
+      Fts5PhraseMatch(tokensOf(col), strArr(ph.tokens),
+        Literal(flagsOf(ph.prefix, ph.anchored)))
+    def nearPred(col: String, g: NearGroup): Expression =
+      Fts5NearMatch(tokensOf(col),
+        CreateArray(g.phrases.map(p => strArr(p.tokens))),
+        CreateArray(g.phrases.map(p =>
+          Literal(flagsOf(p.prefix, anchored = false)): Expression)),
+        Literal(g.n))
     def go(nd: Node, active: Seq[String]): Expression = nd match {
-      case Phrase(ts, pre) =>
-        active.map(c => phrasePred(c, ts, pre): Expression).reduce(COr(_, _))
+      case ph: Phrase =>
+        active.map(c => phrasePred(c, ph): Expression).reduce(COr(_, _))
+      case g: NearGroup =>
+        active.map(c => nearPred(c, g): Expression).reduce(COr(_, _))
       case ColFilter(c, child) =>
         val resolved = names.find(_.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(s"fts5: no such column: $c"))
@@ -393,25 +588,51 @@ case class Fts5PhraseMatch(first: Expression, second: Expression,
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "fts5_match_phrase"
-  // the prefix flag arrives as SQLite truth (an integer literal — the
-  // dialect has no boolean literals) or a genuine boolean
-  override def nullSafeEval(toks: Any, phrase: Any, prefix: Any): Any =
+  // the flags bitmask (1 = trailing-* prefix, 2 = ^ anchor) arrives as
+  // an integer literal (the dialect has no boolean literals) or, for
+  // compatibility, a genuine boolean meaning prefix-only
+  override def nullSafeEval(toks: Any, phrase: Any, flags: Any): Any =
     Fts5.phraseMatch(toks.asInstanceOf[ArrayData],
-      phrase.asInstanceOf[ArrayData], prefix match {
-        case b: java.lang.Boolean => b.booleanValue()
-        case n: java.lang.Number => n.longValue() != 0L
+      phrase.asInstanceOf[ArrayData], flags match {
+        case b: java.lang.Boolean => if (b.booleanValue()) 1L else 0L
+        case n: java.lang.Number => n.longValue()
       })
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b, c) => {
       val flag = third.dataType match {
-        case org.apache.spark.sql.types.BooleanType => c
-        case _ => s"($c != 0)"
+        case org.apache.spark.sql.types.BooleanType => s"($c ? 1L : 0L)"
+        case _ => s"(long) ($c)"
       }
       s"graft.engine.Fts5.phraseMatch($a, $b, $flag)"
     })
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Fts5PhraseMatch =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `fts5_near(tokens, phrases, flags, n)` — the NEAR-group half of
+  * MATCH compilation (r11): `phrases` is an array of token arrays,
+  * `flags` the per-phrase prefix bitmasks, `n` the proximity. One
+  * codegen'd expression keeps the whole predicate inside whole-stage
+  * codegen, like [[Fts5PhraseMatch]]. NULL document column ⇒ NULL ⇒ no
+  * match. */
+case class Fts5NearMatch(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "fts5_near"
+  override def nullSafeEval(toks: Any, phrases: Any, flags: Any, n: Any): Any =
+    Fts5.nearMatch(toks.asInstanceOf[ArrayData],
+      phrases.asInstanceOf[ArrayData], flags.asInstanceOf[ArrayData],
+      n.asInstanceOf[java.lang.Number].longValue())
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.engine.Fts5.nearMatch($a, $b, $c, (long) ($d))")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Fts5NearMatch =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 /** `fts5_tokens(text)` — the unicode61 token array of a string; the

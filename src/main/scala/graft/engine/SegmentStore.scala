@@ -439,7 +439,28 @@ class SegmentStore(
       val mergedTg = existingTg.filterNot(t =>
         fileTriggers.exists(_.name.equalsIgnoreCase(t.name))) ++ fileTriggers
       if (mergedTg != existingTg) putTriggers(segmentId, mergedTg)
-      names
+      // fts5 virtual tables materialize from their ingested _content
+      // shadow (id, c0..cn-1 → the declared column names) so MATCH
+      // works over reference-written files (r11) — the reference
+      // merely preserved the shadow DATA; this makes it searchable.
+      // Unsupported fts definitions were skipped by ftsDefs (shadow
+      // data still loads, the pre-r11 behavior).
+      val ftsNames = SqliteIngest.ftsDefs(file).flatMap { fd =>
+        names.find(_.equalsIgnoreCase(fd.name + "_content")).map { cn =>
+          val content = loadTable(segmentId, cn)
+          val df = content.select(fd.columns.zipWithIndex.map {
+            case (c, i) =>
+              functions.col(s"c$i").cast(StringType).as(c)
+          }: _*)
+          val meta = TableMeta(StructType(fd.columns.map(c =>
+            StructField(c, StringType))), Nil, None, ftsSql = Some(fd.sql))
+          Files.createDirectories(tableRoot(root, fd.name))
+          prepareTableData(segmentId, fd.name, df)
+          swapPreparedData(segmentId, fd.name, Some(meta))
+          fd.name
+        }
+      }
+      names ++ ftsNames
     } catch {
       case e: Throwable =>
         if (registeredHere && tables(segmentId).isEmpty)

@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Between, BinaryComparison, Cast, Expression, GreaterThanOrEqual, In, InSubquery, LessThan, Literal, NamedExpression, Or, SortOrder, StringTrimRight, SubqueryExpression, UnaryPositive}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First, Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, Join, LogicalPlan, Project, Sort, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Except, Filter, Intersect, Join, LogicalPlan, Project, Sort, Window}
 import org.apache.spark.sql.graft.SqlInternals
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,12 +38,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * range prefilter the nocase-LIKE rewrite plants — at 100 TB that is
   * row-group pruning vs a full scan.
   *
-  * Scope (documented deviations, none reachable from the reference
-  * corpus): INTERSECT/EXCEPT stay BINARY on collated columns;
-  * aggregate-DISTINCT folding applies to count() only (a folded
-  * group_concat would alter output text). IN-subquery membership
-  * follows the left operand's collation (r11 — lang_expr.html's rule
-  * for `x IN (SELECT …)`).
+  * Scope (documented deviation, not reachable from the reference
+  * corpus): aggregate-DISTINCT folding applies to count() only (a
+  * folded group_concat would alter output text). IN-subquery
+  * membership follows the left operand's collation, and UNION /
+  * INTERSECT / EXCEPT compare under the LEFT select's column
+  * collations (both r11 — lang_expr.html / select.html rules).
   */
 object SqliteCollation {
 
@@ -108,7 +108,7 @@ object SqliteCollation {
     case _ => false
   }
 
-  private def wrap(e: Expression, coll: String): Expression = coll match {
+  private[engine] def wrap(e: Expression, coll: String): Expression = coll match {
     case "RTRIM" => StringTrimRight(Cast(e, StringType), None)
     case _ => AsciiLower(Cast(e, StringType))
   }
@@ -191,6 +191,22 @@ object SqliteCollation {
         collationOf(e).map(wrap(e, _)).getOrElse(rewriteExpr(e, pushable = false))),
       orderSpec = w.orderSpec.map(sortOrder))
     case a: Aggregate => rewriteAggregate(a)
+    // INTERSECT / EXCEPT under a collated LEFT column (select.html:
+    // compound comparisons use the collation determined for the LEFT
+    // select's column — probed: nocase-left matches case variants and
+    // answers LEFT-side representatives; binary-left ignores the
+    // right side's declared collation). Re-expressed as a semi/anti
+    // join on folded NULL-SAFE keys (SQLite set-op membership treats
+    // NULLs as equal — probed `SELECT NULL INTERSECT SELECT NULL`
+    // answers a row, matching Spark's own semantics) plus a
+    // collation-DISTINCT, exprIds preserved. SQLite compounds are
+    // always distinct — the ALL variants are Spark-only, untouched.
+    case Intersect(l, r, false)
+        if l.output.exists(a => collationOf(a).isDefined) =>
+      setOpJoin(l, r, semi = true)
+    case Except(l, r, false)
+        if l.output.exists(a => collationOf(a).isDefined) =>
+      setOpJoin(l, r, semi = false)
     case d @ Distinct(child)
         if child.output.exists(a => collationOf(a).isDefined) =>
       // DISTINCT under a collation keeps one representative per
@@ -209,6 +225,32 @@ object SqliteCollation {
     case other => other.mapExpressions(rewriteExpr(_, pushable = false))
   }
 
+  /** INTERSECT/EXCEPT as a folded-key semi/anti join + collation
+    * DISTINCT over the left side; the LEFT column's collation wraps
+    * BOTH sides. Null-safe keys (set-op membership treats NULLs as
+    * equal, like Spark's native operators). */
+  private def setOpJoin(l: LogicalPlan, r: LogicalPlan, semi: Boolean): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    def fold(leftAttr: Attribute, e: Expression): Expression =
+      collationOf(leftAttr).map(wrap(e, _)).getOrElse(e)
+    val cond = l.output.zip(r.output).map { case (lc, rc) =>
+      EqualNullSafe(fold(lc, lc), fold(lc, rc)): Expression
+    }.reduce(And)
+    val joined = Join(l, r, if (semi) LeftSemi else LeftAnti,
+      Some(cond), JoinHint.NONE)
+    val groupings = l.output.map(a =>
+      collationOf(a).map(wrap(a, _)).getOrElse(a: Expression))
+    val aggs: Seq[NamedExpression] = l.output.map { a =>
+      collationOf(a) match {
+        case Some(_) => firstOf(a)
+        case None => a
+      }
+    }
+    Aggregate(groupings, aggs, joined)
+  }
+
   private def sortOrder(so: SortOrder): SortOrder = {
     val c = rewriteExpr(so.child, pushable = false)
     collationOf(c) match {
@@ -219,7 +261,7 @@ object SqliteCollation {
 
   /** `first(a)` aliased back to `a`'s own name and exprId, so the
     * rewritten Aggregate's output is indistinguishable upstream. */
-  private def firstOf(a: Attribute): NamedExpression =
+  private[engine] def firstOf(a: Attribute): NamedExpression =
     Alias(First(a, ignoreNulls = false).toAggregateExpression(), a.name)(
       exprId = a.exprId, qualifier = a.qualifier,
       explicitMetadata = Some(a.metadata))

@@ -278,6 +278,10 @@ object SqliteCompat {
       require(exprs.length == 3, "fts5_match_phrase takes exactly 3 arguments")
       Fts5PhraseMatch(exprs(0), exprs(1), exprs(2))
     }
+    fn("fts5_near") { exprs =>
+      require(exprs.length == 4, "fts5_near takes exactly 4 arguments")
+      Fts5NearMatch(exprs(0), exprs(1), exprs(2), exprs(3))
+    }
 
     // --- date/time family: variadic like SQLite (one name, any arity)
     fn("datetime")(timeFn(SqliteTimeExpr.Datetime))

@@ -85,6 +85,20 @@ object SqliteIngest {
     file.master.filter(m => m.tpe == "trigger" && m.sql != null)
       .flatMap(m => scala.util.Try(SqliteDdl.parseCreateTrigger(m.sql)).toOption)
 
+  /** The file's fts5 virtual tables (type='table', rootpage < 2, sql =
+    * the CREATE VIRTUAL TABLE text): their DATA lives in the
+    * `<name>_content` shadow table (columns id, c0..cn-1), which
+    * ingests as a plain table; the caller materializes the searchable
+    * table from it. fts5 definitions this engine's subset can't serve
+    * (tokenize=/content=/… options) are skipped — the shadow data
+    * still loads, exactly the pre-r11 behavior. */
+  def ftsDefs(file: SqliteFile): Seq[graft.engine.Fts5.FtsTableDef] =
+    file.master.filter(m => m.tpe == "table" && !m.name.startsWith("sqlite_") &&
+        m.rootPage < 2 && m.sql != null)
+      .flatMap(m =>
+        scala.util.Try(graft.engine.Fts5.parseCreateVirtual(m.sql))
+          .toOption.flatten)
+
   /** [[tableSpec]] for every user table of the file, with secondary
     * indexes attached. */
   def tableSpecs(file: SqliteFile, widen: Boolean): Seq[TableSpec] = {

@@ -167,6 +167,34 @@ class CollationSpec extends SparkSpecBase {
       "SELECT id, (a IN (SELECT p FROM probe)) AS m FROM t ORDER BY id;")
   }
 
+  test("UNION / INTERSECT / EXCEPT compare under the LEFT column's collation (r11)") {
+    // select.html: compound comparisons use the collation determined
+    // for the LEFT select's column — all probed differentially
+    val s = "CREATE TABLE a (x TEXT COLLATE NOCASE); CREATE TABLE b (y TEXT);"
+    val id = seg(s); val db = cliDb(s)
+    runBoth(id, db,
+      "INSERT INTO a VALUES ('abc'), ('DEF'), ('ghi'), (NULL);" +
+        "INSERT INTO b VALUES ('ABC'), ('def'), ('zzz'), (NULL);")
+    // coalesce makes a NULL row visible (the CLI harness trims edge
+    // blank lines); set-op membership is null-safe on both engines
+    // (probed: SELECT NULL INTERSECT SELECT NULL answers a row)
+    def compound(op: String, left: String, lc: String, right: String,
+        rc: String): String =
+      s"SELECT coalesce(v, '<null>') AS v FROM " +
+        s"(SELECT $lc AS v FROM $left $op SELECT $rc FROM $right) ORDER BY 1;"
+    same(id, db, compound("INTERSECT", "a", "x", "b", "y"))
+    same(id, db, compound("EXCEPT", "a", "x", "b", "y"))
+    // binary LEFT ignores the right side's declared collation
+    same(id, db, compound("INTERSECT", "b", "y", "a", "x"))
+    same(id, db, compound("EXCEPT", "b", "y", "a", "x"))
+    // UNION dedups under the left collation (count it — the surviving
+    // representative of a folded pair is arbitrary on both engines)
+    same(id, db,
+      "SELECT count(*) AS n FROM (SELECT x FROM a UNION SELECT y FROM b);")
+    same(id, db,
+      "SELECT count(*) AS n FROM (SELECT y FROM b UNION SELECT x FROM a);")
+  }
+
   test("explicit COLLATE overrides the declared collation (rule 1)") {
     val id = seg(schema); val db = cliDb(schema)
     runBoth(id, db, fill)

@@ -187,19 +187,86 @@ class FtsSpec extends SparkSpecBase {
       == "table|0")
   }
 
-  test("refusals: NEAR, caret, export; unterminated and empty queries error") {
+  test("initial-token ^ anchors (r11, probed)") {
     val id = seg(schema); val db = cliDb(schema)
     runBoth(id, db, fill)
-    val e1 = intercept[Exception](engine.read(id, m("NEAR(hello world)")))
-    assert(e1.getMessage.contains("NEAR"))
-    val e2 = intercept[Exception](engine.read(id, m("^hello")))
-    assert(e2.getMessage.contains("initial-token"))
+    same(id, db, m("^hello"))            // Greeting only (first body token)
+    same(id, db, m("^greeting"))         // anchors check EACH column
+    same(id, db, m("^hell*"))            // anchor + prefix
+    same(id, db, m("^\"goodbye cruel\"")) // anchored phrase
+    same(id, db, m("^\"goodbye cru\"*"))
+    same(id, db, m("^cruel"))            // not at position 0: empty
+    same(id, db, m("title : ^greeting")) // anchor inside a column filter
+    same(id, db, m("body : ^greeting"))  // title-only word: empty
+    same(id, db, m("world ^hello"))      // chain position is free (probed)
+    same(id, db, m("^hello OR ^goodbye"))
+  }
+
+  test("NEAR groups (r11, probed instance-spread model)") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
+    same(id, db, m("NEAR(hello world)"))       // default N=10
+    same(id, db, m("NEAR(hello world, 0)"))    // adjacency, order-free
+    same(id, db, m("NEAR(hello world, 1)"))
+    same(id, db, m("NEAR(quick jumps, 2)"))    // 2 between: fox + brown
+    same(id, db, m("NEAR(quick jumps, 3)"))
+    same(id, db, m("NEAR(the fox brown, 1)"))  // 3 phrases, one window
+    same(id, db, m("NEAR(\"quick brown\" jumps, 1)")) // phrase member
+    same(id, db, m("NEAR(hell* world, 0)"))    // prefix member
+    same(id, db, m("NEAR(hello, 0)"))          // single phrase ≡ plain term
+    same(id, db, m("NEAR(hello panic, 5)"))
+    same(id, db, m("NEAR(hello world, 1) OR goodbye"))
+    same(id, db, m("version NEAR(42 rocks, 2)")) // implicit AND with a group
+    same(id, db, m("body : NEAR(goodbye world, 1)"))
+    // ^ inside NEAR is a syntax error on BOTH engines (probed)
+    val eNear = intercept[Exception](engine.read(id, m("NEAR(^hello world)")))
+    assert(eNear.getMessage.contains("fts5"), eNear.getMessage)
+    assert(SqliteCli.run(db.toString,
+      "SELECT title FROM docs WHERE docs MATCH 'NEAR(^hello world)';") != 0)
+    // bare NEAR without ( is an ordinary term on both engines (probed)
+    val id2 = seg("CREATE VIRTUAL TABLE t2 USING fts5(a);")
+    val db2 = cliDb("CREATE VIRTUAL TABLE t2 USING fts5(a);")
+    runBoth(id2, db2, "INSERT INTO t2 VALUES ('near miss'), ('far away');")
+    assert(engine.read(id2, "SELECT a FROM t2 WHERE t2 MATCH 'NEAR';")
+      .collect().map(_.getString(0)).toSeq == Seq("near miss"))
+    assert(SqliteCli.query(db2.toString,
+      "SELECT a FROM t2 WHERE t2 MATCH 'NEAR';") == "near miss")
+  }
+
+  test("semantics-preserving fts5 options accepted; others refuse (r11)") {
+    // tokenize default spellings, prefix= (index hint), detail=full,
+    // columnsize= change nothing a scan can observe — differential
+    val optSchema = "CREATE VIRTUAL TABLE docs USING fts5(title, body, " +
+      "tokenize = 'unicode61 remove_diacritics 1', prefix='2 3', " +
+      "detail=full, columnsize=0);"
+    val id = seg(optSchema); val db = cliDb(optSchema)
+    runBoth(id, db, fill)
+    same(id, db, m("hello"))
+    same(id, db, m("café"))
+    same(id, db, m("hell*"))
+    same(id, db, m("\"quick brown fox\""))
+    // non-default tokenizers / detail modes / external content refuse
+    for (bad <- Seq("tokenize='porter'", "tokenize='trigram'",
+        "tokenize='unicode61 remove_diacritics 2'", "detail=none",
+        "content=''", "content_rowid=id")) {
+      val e = intercept[Exception](seg(
+        s"CREATE VIRTUAL TABLE nope USING fts5(x, $bad);"))
+      assert(e.getMessage.contains("fts5 option"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("refusals: export, UNINDEXED; operator-as-term and empty queries error") {
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, fill)
     val e3 = intercept[Exception](engine.read(id, m("AND")))
     assert(e3.getMessage.contains("fts5"))
     val e4 = intercept[UnsupportedOperationException](
       engine.store.exportSqliteSegment(id,
         Files.createTempDirectory("fts-exp").resolve("x.sqlite").toString))
     assert(e4.getMessage.contains("fts5 shadow-table"))
+    val e5 = intercept[Exception](seg(
+      "CREATE VIRTUAL TABLE u USING fts5(a, b UNINDEXED);"))
+    assert(e5.getMessage.contains("UNINDEXED"))
   }
 
   test("fuzz: 150 random MATCH queries agree with real fts5") {
@@ -216,7 +283,7 @@ class FtsSpec extends SparkSpecBase {
     runBoth(id, db, s"INSERT INTO docs VALUES ${docs.mkString(", ")};")
     val queryVocab = Seq("alpha", "beta", "gamma", "delta", "alphabet",
       "gambit", "cafe", "42", "don", "t", "missing")
-    def term(): String = {
+    def bareTerm(): String = {
       val w = queryVocab(rng.nextInt(queryVocab.length))
       rng.nextInt(4) match {
         case 0 => w.take(1 + rng.nextInt(w.length)) + "*"
@@ -224,6 +291,14 @@ class FtsSpec extends SparkSpecBase {
           queryVocab(rng.nextInt(queryVocab.length))).mkString(" ") + "\""
         case _ => w
       }
+    }
+    def term(): String = rng.nextInt(8) match {
+      case 0 => "^" + bareTerm() // anchored (r11)
+      case 1 => // NEAR group (r11): 2-3 members, N 0-4 or default
+        val members = Seq.fill(2 + rng.nextInt(2))(bareTerm()).mkString(" ")
+        if (rng.nextBoolean()) s"NEAR($members, ${rng.nextInt(5)})"
+        else s"NEAR($members)"
+      case _ => bareTerm()
     }
     def expr(depth: Int): String =
       if (depth >= 2 || rng.nextInt(3) == 0) term()

@@ -250,19 +250,31 @@ class SqliteIngestSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 2.5))
   }
 
-  test("virtual tables are skipped; the file's storage-carrying tables still ingest") {
+  test("fts5 virtual tables materialize searchable; storage-carrying tables still ingest") {
     // an FTS5 table catalogs as type='table' with rootpage 0 and no
-    // storage of its own — it must not abort the file; its shadow
-    // tables (real B-trees, typeless columns) load under widen mode
+    // storage of its own — its shadow tables (real B-trees, typeless
+    // columns) load under widen mode, and (r11) the virtual table
+    // itself materializes from ft_content so MATCH works over a
+    // reference-written file
     val db = makeDb("vtab",
       """CREATE VIRTUAL TABLE ft USING fts5(content);
         |INSERT INTO ft VALUES ('hello world'), ('goodbye world');
         |CREATE TABLE real_t (id INTEGER PRIMARY KEY, v TEXT);
         |INSERT INTO real_t VALUES (1, 'x'), (2, 'y');""".stripMargin)
     val tables = engine.store.ingestSqliteSegment(db.toString, "vtab-seg", widen = true)
-    assert(!tables.contains("ft"))
+    assert(tables.contains("ft")) // materialized, searchable (r11)
     assert(tables.contains("real_t"))
     assert(tables.contains("ft_content")) // fts5 shadow table, real storage
+    // the materialized table answers both plain SELECTs and MATCH,
+    // byte-identical to real fts5 over the SAME file
+    assert(engine.read("vtab-seg",
+      "SELECT content FROM ft WHERE ft MATCH 'hello';")
+      .collect().map(_.getString(0)).toSeq == Seq("hello world"))
+    assert(SqliteCli.query(db.toString,
+      "SELECT content FROM ft WHERE ft MATCH 'hello';") == "hello world")
+    assert(engine.read("vtab-seg",
+      "SELECT count(*) AS n FROM ft WHERE ft MATCH 'world';")
+      .collect()(0).getLong(0) == 2L)
     val rows = engine.read("vtab-seg", "SELECT v FROM real_t ORDER BY id;").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("x", "y"))
     // typeless shadow columns took their types from observed classes:

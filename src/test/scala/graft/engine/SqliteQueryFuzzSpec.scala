@@ -339,10 +339,22 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
       s"SELECT ${wrap(items)} FROM t1$where ORDER BY $order " +
         s"LIMIT ${1 + rng.nextInt(20)}$off;"
     case 11 | 12 => // compound selects (set semantics dedup both sides)
-      val op = pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
-      s"SELECT quote(t1.a) AS c0, quote(t1.s) AS c1 FROM t1 " +
-        s"WHERE ${pred(t1Ctx, 1)} $op " +
-        s"SELECT quote(t2.a), quote(t2.s) FROM t2 WHERE ${pred(t2Ctx, 1)};"
+      if (rng.nextInt(3) == 0) {
+        // COLLATED compound (r11): the LEFT select's column collation
+        // governs membership/dedup — counted, since the surviving
+        // representative of a folded pair is arbitrary on both engines
+        val op = pick(Seq("UNION", "INTERSECT", "EXCEPT"))
+        val lcol = pick(Seq("t1.sn", "t1.rt", "t1.s"))
+        val rcol = pick(Seq("t2.sn", "t2.s"))
+        s"SELECT count(*) AS n FROM (SELECT $lcol FROM t1 " +
+          s"WHERE ${pred(t1Ctx, 1)} $op SELECT $rcol FROM t2 " +
+          s"WHERE ${pred(t2Ctx, 1)});"
+      } else {
+        val op = pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+        s"SELECT quote(t1.a) AS c0, quote(t1.s) AS c1 FROM t1 " +
+          s"WHERE ${pred(t1Ctx, 1)} $op " +
+          s"SELECT quote(t2.a), quote(t2.s) FROM t2 WHERE ${pred(t2Ctx, 1)};"
+      }
     case 13 | 14 => // window functions
       val items = "t1.id" +: Seq.fill(1 + rng.nextInt(2))(windowItem())
       val where = if (rng.nextBoolean()) s" WHERE ${pred(t1Ctx, 1)}" else ""
@@ -377,7 +389,11 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
 
   private def engineRows(q: String): Seq[String] =
     engine.read(SEG, q).collect()
-      .map(r => (0 until r.length).map(r.getString).mkString("|"))
+      .map(r => (0 until r.length).map { i =>
+        // most shapes quote() every output (TEXT); the collated
+        // compound shape counts (BIGINT) — render like the CLI does
+        if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+      }.mkString("|"))
       .toSeq.sorted
 
   test(s"$COUNT random SELECT queries agree with sqlite3 (seed $SEED)") {
