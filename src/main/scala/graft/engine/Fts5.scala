@@ -39,12 +39,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * semantics a scan reproduces exactly — tokenize='unicode61
   * [remove_diacritics 1]' (the built-in default), prefix= (an
   * index-layout hint; results identical), detail=full, columnsize=
-  * (feeds only bm25, which refuses). Documented deviations: other
+  * (feeds only bm25's defaults), and bm25()/rank relevance scoring —
+  * the probed BM25 formula (k1=1.2 b=0.75, idf floored at 1e-6,
+  * weights scaling tf only, NEAR-trimmed poslists, satisfied-branch
+  * gating) literal-folds corpus statistics from one aggregate job into
+  * a codegen'd [[Fts5Bm25]] expression. Documented deviations: other
   * tokenizers/options (porter, trigram, content=, detail=none|column,
-  * UNINDEXED), bm25()/rank auxiliary functions, and `.sqlite` EXPORT
-  * of fts tables refuse by name (the export would need fts5's shadow
-  * B-trees that only the C module can build); shadow tables are not
-  * cataloged (the backing table replaces them).
+  * UNINDEXED) and `.sqlite` EXPORT of fts tables refuse by name (the
+  * export would need fts5's shadow B-trees that only the C module can
+  * build); shadow tables are not cataloged (the backing table replaces
+  * them); bm25()/rank with >1 MATCH on one table refuses (plan-
+  * dependent in real fts5).
   */
 object Fts5 {
 
@@ -226,7 +231,8 @@ object Fts5 {
     * or without `remove_diacritics 1`), `prefix=` (a prefix-INDEX
     * layout hint — results are identical with or without it),
     * `detail=full` (the default; none/column restrict phrase queries),
-    * and `columnsize=` (feeds only bm25, which refuses by name).
+    * and `columnsize=` (feeds only bm25, whose defaults this engine
+    * computes from the corpus itself).
     * Everything else keeps the named refusal. */
   private def checkOption(arg: String): Unit = {
     val eq = arg.indexOf('=')
@@ -261,8 +267,8 @@ object Fts5 {
       case "columnsize" =>
         if (v.trim != "0" && v.trim != "1")
           refuse("columnsize= takes 0 or 1")
-      // else: accepted — the column-size table feeds only bm25(),
-      // which refuses by name in this engine
+      // else: accepted — the column-size table only accelerates bm25's
+      // document-length lookups; this engine recomputes them
       case _ =>
         refuse("this engine covers plain column lists plus the " +
           "semantics-preserving options (tokenize='unicode61', prefix=, " +
@@ -537,7 +543,8 @@ object Fts5 {
     * `alias.column`. A bare alias is a syntax error in sqlite too
     * ("no such column"), so it falls through unresolved and the read
     * gate's named refusal explains the contract. */
-  def rewriteMatch(stmt: String, ftsTables: Map[String, Seq[String]]): String = {
+  def rewriteMatch(stmt: String, ftsTables: Map[String, Seq[String]],
+      statsOf: (String, Seq[PhraseSpec]) => AuxStats = null): String = {
     if (ftsTables.isEmpty) return stmt
     val id = "[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|`[^`]+`|\\[[^\\]]+\\]"
     val matchRe =
@@ -548,7 +555,12 @@ object Fts5 {
       ("(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(t) + "([^a-z0-9_]|$)").r
         .findFirstIn(blanked).isDefined
     }.toSeq
-    matchRe.replaceAllIn(stmt, m => {
+    // per fts table: its MATCH clauses in this statement — the parsed
+    // node (column-LHS wrapped in its ColFilter) and the qualifier the
+    // table's columns ride under — collected for bm25()/rank scoring
+    val matchInfo =
+      mutable.Map[String, List[(Node, Option[String])]]().withDefaultValue(Nil)
+    val replaced = matchRe.replaceAllIn(stmt, m => {
       val (qualOpt, name) = Option(m.group(2)) match {
         case Some(n2) =>
           (Some(SqlScript.unquoteIdent(m.group(1))), SqlScript.unquoteIdent(n2))
@@ -557,23 +569,410 @@ object Fts5 {
       val lit = m.group(3)
       val query = lit.substring(1, lit.length - 1).replace("''", "'")
       val nameLower = name.toLowerCase(java.util.Locale.ROOT)
-      // (columns to search, qualifier for their references)
-      val resolved: Option[(Seq[String], Option[String])] =
+      // (columns to search, qualifier for their references, owning
+      //  table, node wrapper for scoring)
+      val resolved: Option[(Seq[String], Option[String], String, Node => Node)] =
         if (ftsTables.contains(nameLower))
           // `t MATCH` / `alias.t MATCH`: all columns, qualified by the
           // alias when given, else by the table name itself
-          Some((ftsTables(nameLower), qualOpt.orElse(Some(name))))
+          Some((ftsTables(nameLower), qualOpt.orElse(Some(name)), nameLower,
+            identity[Node] _))
         else mentioned.flatMap(t =>
-          ftsTables(t).find(_.equalsIgnoreCase(name))).headOption
-          .map(c => (Seq(c), qualOpt))
+          ftsTables(t).find(_.equalsIgnoreCase(name)).map(c => (t, c)))
+          .headOption.map { case (t, c) =>
+            // column-scoped match ≡ `t MATCH 'c : …'` (probed): score
+            // restricted to that column too
+            (Seq(c), qualOpt, t, (n: Node) => ColFilter(c, n))
+          }
       resolved match {
-        case Some((cols, qual)) =>
-          val sql = compileMatch(parseQuery(query), cols,
+        case Some((cols, qual, owner, wrap)) =>
+          val node = parseQuery(query)
+          matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
+          val sql = compileMatch(node, cols,
             c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"))
           java.util.regex.Matcher.quoteReplacement(s"($sql)")
         case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
     })
+    if (statsOf == null) replaced
+    else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap, statsOf)
+  }
+
+  // ------------------------------------- bm25() / rank scoring (r11)
+
+  /** One scoring unit: a phrase's tokens, its prefix/anchor flag
+    * bitmask, the bitmask of searchable columns it counts in (fts5
+    * column filters narrow it; default = all columns), and — for NEAR
+    * members — the group it clusters with (`group` indexes the query's
+    * NEAR groups, −1 standalone): probed, a NEAR member's tf counts
+    * ONLY instances participating in a valid same-column cluster
+    * (fts5 trims the poslists), while its idf df still queries the
+    * phrase independently. */
+  final case class PhraseSpec(tokens: Seq[String], flags: Int, colMask: Long,
+      group: Int = -1)
+
+  /** Corpus statistics for bm25, from ONE aggregate pass over the
+    * backing table: row count, average UNWEIGHTED total token count
+    * per row (probed: bm25's column weights scale tf only — document
+    * length and avgdl stay unweighted), and per-phrase hit counts
+    * (rows with ≥1 occurrence inside the phrase's column mask). */
+  final case class AuxStats(nRows: Long, avgdl: Double, nHits: Seq[Long])
+
+  /** The query's phrases in expression order (duplicates preserved —
+    * probed: `x x` scores the x term twice), the NEAR-group proximity
+    * list, and a prefix-encoded copy of the expression TREE (probed:
+    * only phrases inside SATISFIED branches contribute tf — a phrase
+    * present in the row but under a failed AND sibling scores 0, so
+    * the scorer must re-evaluate the tree per row, exactly like fts5's
+    * per-node poslists). Tree code: 0 ⟨phraseIdx⟩ | 1 ⟨group, from,
+    * until⟩ | 2 AND | 3 OR | 4 NOT, children following in prefix
+    * order. */
+  def collectPhrases(node: Node, columns: Seq[String])
+      : (Seq[PhraseSpec], Seq[Int], Seq[Int]) = {
+    val all = if (columns.length >= 63) ~0L else (1L << columns.length) - 1
+    val specs = mutable.ArrayBuffer[PhraseSpec]()
+    val groupNs = mutable.ArrayBuffer[Int]()
+    val code = mutable.ArrayBuffer[Int]()
+    def flagsOf(p: Phrase): Int =
+      (if (p.prefix) 1 else 0) | (if (p.anchored) 2 else 0)
+    def go(nd: Node, mask: Long): Unit = nd match {
+      case p: Phrase =>
+        code += 0 += specs.length
+        specs += PhraseSpec(p.tokens, flagsOf(p), mask)
+      case NearGroup(ps, n) =>
+        groupNs += n
+        val g = groupNs.length - 1
+        code += 1 += g += specs.length += (specs.length + ps.length)
+        ps.foreach(p => specs += PhraseSpec(p.tokens, flagsOf(p), mask, g))
+      case ColFilter(c, child) =>
+        val i = columns.indexWhere(_.equalsIgnoreCase(c))
+        if (i < 0) throw new IllegalArgumentException(s"fts5: no such column: $c")
+        go(child, 1L << i)
+      case AndN(l, r) => code += 2; go(l, mask); go(r, mask)
+      case OrN(l, r) => code += 3; go(l, mask); go(r, mask)
+      case NotN(l, r) => code += 4; go(l, mask); go(r, mask)
+    }
+    go(node, all)
+    (specs.toSeq, groupNs.toSeq, code.toSeq)
+  }
+
+  /** fts5's idf: `ln((N − nHit + 0.5) / (nHit + 0.5))`, floored at
+    * 1e-6 (probed: a term in >half the corpus scores ~1e-6·tf-part,
+    * never negative). */
+  def idfOf(nRows: Long, nHit: Long): Double = {
+    val x = math.log((nRows - nHit + 0.5) / (nHit + 0.5))
+    if (x <= 0.0) 1e-6 else x
+  }
+
+  /** Occurrences of the phrase in `toks` (match STARTS — overlapping
+    * instances all count, probed: `"w w"` in `w w w w` counts 3);
+    * flags bit 0 = prefix, bit 1 = `^` anchor (position 0 only). */
+  def phraseCount(toks: ArrayData, phrase: Array[UTF8String], flags: Int): Int = {
+    val prefix = (flags & 1) != 0
+    val n = toks.numElements()
+    val k = phrase.length
+    if (k == 0 || n < k) return 0
+    def at(i: Int): Boolean = {
+      var j = 0
+      var ok = true
+      while (ok && j < k) {
+        val t = toks.getUTF8String(i + j)
+        ok = if (prefix && j == k - 1) t.startsWith(phrase(j))
+        else t.equals(phrase(j))
+        j += 1
+      }
+      ok
+    }
+    if ((flags & 2) != 0) return if (at(0)) 1 else 0
+    var c = 0
+    var i = 0
+    while (i <= n - k) { if (at(i)) c += 1; i += 1 }
+    c
+  }
+
+  /** The per-row bm25 evaluator [[Fts5Bm25]] ships to executors: all
+    * query-level constants (phrases, flags, masks, idfs, avgdl,
+    * weights) are baked in at plan time; `score` sees only the row's
+    * per-column token arrays. k1=1.2, b=0.75 (fts5's constants,
+    * probed); the sign is negated like fts5 (smaller = better, so
+    * `ORDER BY rank` needs no direction flip). */
+  final class Bm25Scorer(phrases: Array[Array[UTF8String]], flags: Array[Int],
+      masks: Array[Long], idfs: Array[Double], avgdl: Double,
+      weights: Array[Double], groupIds: Array[Int], groupNs: Array[Long],
+      treeCode: Array[Int]) extends Serializable {
+
+    // the prefix-encoded expression tree (see collectPhrases)
+    private sealed trait SN extends Serializable
+    private case class SPhrase(i: Int) extends SN
+    private case class SNear(g: Int, from: Int, until: Int) extends SN
+    private case class SOp(op: Int, l: SN, r: SN) extends SN
+    @transient private lazy val root: SN = {
+      var p = 0
+      def parse(): SN = treeCode(p) match {
+        case 0 => p += 2; SPhrase(treeCode(p - 1))
+        case 1 => p += 4; SNear(treeCode(p - 3), treeCode(p - 2), treeCode(p - 1))
+        case op => p += 1; SOp(op, parse(), parse())
+      }
+      parse()
+    }
+
+    /** Match starts of phrase `i` in one column's tokens. */
+    private def startsOf(toks: ArrayData, i: Int): Array[Int] = {
+      val phrase = phrases(i)
+      val prefix = (flags(i) & 1) != 0
+      val n = toks.numElements()
+      val k = phrase.length
+      if (k == 0 || n < k) return Array.emptyIntArray
+      def at(p: Int): Boolean = {
+        var j = 0
+        var ok = true
+        while (ok && j < k) {
+          val t = toks.getUTF8String(p + j)
+          ok = if (prefix && j == k - 1) t.startsWith(phrase(j))
+          else t.equals(phrase(j))
+          j += 1
+        }
+        ok
+      }
+      if ((flags(i) & 2) != 0)
+        return if (at(0)) Array(0) else Array.emptyIntArray
+      val buf = mutable.ArrayBuffer[Int]()
+      var p = 0
+      while (p <= n - k) { if (at(p)) buf += p; p += 1 }
+      buf.toArray
+    }
+
+    /** Per-column participating-instance counts for one NEAR group
+      * (probed: fts5 trims each member's poslist to instances inside a
+      * valid full cluster — max chosen start − min chosen end ≤ N+1 —
+      * before bm25 counts tf). Adds weighted counts into `wcnt` and
+      * raw counts into `raw`. */
+    private def addNearCounts(toks: ArrayData, members: Array[Int], n: Long,
+        w: Double, wcnt: Array[Double], raw: Array[Int]): Unit = {
+      val starts = members.map(startsOf(toks, _))
+      if (starts.exists(_.isEmpty)) return
+      val lens = members.map(i => phrases(i).length)
+      // candidate min-ends: every instance end of every member
+      val ends = starts.indices.flatMap(mi => starts(mi).map(_ + lens(mi) - 1))
+      var mi = 0
+      while (mi < members.length) {
+        var cnt = 0
+        val ss = starts(mi)
+        val len = lens(mi)
+        var ii = 0
+        while (ii < ss.length) {
+          val s = ss(ii)
+          val e = s + len - 1
+          // participates iff some E makes a full cluster including it
+          val ok = ends.exists { eC =>
+            e >= eC && s <= eC + n + 1 && starts.indices.forall { mj =>
+              mj == mi || starts(mj).exists { s2 =>
+                s2 + lens(mj) - 1 >= eC && s2 <= eC + n + 1
+              }
+            }
+          }
+          if (ok) cnt += 1
+          ii += 1
+        }
+        if (cnt > 0) {
+          wcnt(members(mi)) += w * cnt
+          raw(members(mi)) += cnt
+        }
+        mi += 1
+      }
+    }
+
+    def score(toksPerCol: ArrayData): Double = {
+      val nCols = toksPerCol.numElements()
+      var d = 0.0
+      var c = 0
+      while (c < nCols) {
+        if (!toksPerCol.isNullAt(c)) d += toksPerCol.getArray(c).numElements()
+        c += 1
+      }
+      val k1 = 1.2
+      val b = 0.75
+      val norm = k1 * (1.0 - b + (if (avgdl > 0.0) b * d / avgdl else 0.0))
+      // per-phrase counts: weighted (tf) and raw (match gating — a
+      // 0-weighted column still MATCHES, it just scores nothing)
+      val wcnt = new Array[Double](phrases.length)
+      val raw = new Array[Int](phrases.length)
+      var i = 0
+      while (i < phrases.length) {
+        if (groupIds(i) < 0) {
+          var cc = 0
+          while (cc < nCols) {
+            if ((masks(i) & (1L << cc)) != 0 && cc < weights.length &&
+                !toksPerCol.isNullAt(cc)) {
+              val cnt = phraseCount(toksPerCol.getArray(cc), phrases(i), flags(i))
+              if (cnt > 0) {
+                wcnt(i) += weights(cc) * cnt
+                raw(i) += cnt
+              }
+            }
+            cc += 1
+          }
+        } else if (i == 0 || groupIds(i - 1) != groupIds(i)) {
+          // first member of a NEAR group: count the whole group
+          val g = groupIds(i)
+          var j = i
+          while (j < phrases.length && groupIds(j) == g) j += 1
+          val members = (i until j).toArray
+          var cc = 0
+          while (cc < nCols) {
+            if ((masks(i) & (1L << cc)) != 0 && cc < weights.length &&
+                !toksPerCol.isNullAt(cc))
+              addNearCounts(toksPerCol.getArray(cc), members, groupNs(g),
+                weights(cc), wcnt, raw)
+            cc += 1
+          }
+        }
+        i += 1
+      }
+      // probed: only phrases inside SATISFIED branches contribute —
+      // re-evaluate the tree and gate tf like fts5's per-node poslists
+      val tf = new Array[Double](phrases.length)
+      def matched(n: SN): Boolean = n match {
+        case SPhrase(i) => raw(i) > 0
+        case SNear(_, from, _) => raw(from) > 0 // a cluster fills every member
+        case SOp(2, l, r) => matched(l) && matched(r)
+        case SOp(3, l, r) => matched(l) || matched(r)
+        case SOp(_, l, r) => matched(l) && !matched(r)
+      }
+      def contribute(n: SN): Unit = n match {
+        case SPhrase(i) => tf(i) = wcnt(i)
+        case SNear(_, from, until) =>
+          var i = from
+          while (i < until) { tf(i) = wcnt(i); i += 1 }
+        case SOp(2, l, r) => contribute(l); contribute(r)
+        case SOp(3, l, r) =>
+          if (matched(l)) contribute(l)
+          if (matched(r)) contribute(r)
+        case SOp(_, l, _) => contribute(l)
+      }
+      if (matched(root)) contribute(root)
+      var score = 0.0
+      i = 0
+      while (i < phrases.length) {
+        if (tf(i) > 0.0)
+          score += idfs(i) * (tf(i) * (k1 + 1.0)) / (tf(i) + norm)
+        i += 1
+      }
+      -score
+    }
+  }
+
+  /** Rewrite `bm25(t [, w…])` calls and `rank` references (bare or
+    * table-qualified, case-insensitive — probed) over the statement's
+    * fts tables into literal-folded [[Fts5Bm25]] calls. Corpus
+    * statistics come from `statsOf` (one aggregate job per table per
+    * statement). Probed edges: without a MATCH clause bm25() answers
+    * 0.0 and rank NULL for every row; with MORE than one MATCH clause
+    * on the table real fts5's score depends on which branch drove each
+    * row (query-plan dependent) — refused by name here. */
+  private def rewriteAux(stmt: String, ftsTables: Map[String, Seq[String]],
+      mentioned: Seq[String], matches: Map[String, List[(Node, Option[String])]],
+      statsOf: (String, Seq[PhraseSpec]) => AuxStats): String = {
+    val blanked = SqliteDdl.blankLiterals(stmt)
+    val lower = blanked.toLowerCase(java.util.Locale.ROOT)
+    if (!lower.contains("bm25") && !"(?i)\\brank\\b".r.findFirstIn(blanked).isDefined)
+      return stmt
+    val exprCache = mutable.Map[(String, Seq[Double]), String]()
+    def scoreExpr(tLower: String, weights: Seq[Double], forRank: Boolean): String = {
+      matches.getOrElse(tLower, Nil) match {
+        case Nil => if (forRank) "NULL" else "0.0" // probed: no MATCH
+        case List((node, qual)) =>
+          exprCache.getOrElseUpdate((tLower, weights), {
+            val cols = ftsTables(tLower)
+            if (cols.length > 63)
+              throw new UnsupportedOperationException(
+                "bm25()/rank over fts5 tables with more than 63 columns is " +
+                  "not supported by this engine (column-mask width)")
+            val (phrases, groupNs, treeCode) = collectPhrases(node, cols)
+            val st = statsOf(tLower, phrases)
+            val idfs = phrases.zip(st.nHits).map { case (_, h) => idfOf(st.nRows, h) }
+            // weights: positional like fts5 — missing default 1.0,
+            // extras ignored (probed)
+            val w = cols.indices.map(i => weights.lift(i).getOrElse(1.0))
+            def qc(c: String) =
+              qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
+            val toksArr = cols.map(c => s"fts5_tokens(${qc(c)})")
+              .mkString("array(", ", ", ")")
+            val phArr = phrases.map(_.tokens.map(t => s"'$t'")
+              .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+            val flArr = phrases.map(_.flags).mkString("array(", ", ", ")")
+            val mkArr = phrases.map(_.colMask).mkString("array(", ", ", ")")
+            val idfArr = idfs.map(_.toString).mkString("array(", ", ", ")")
+            val wArr = w.map(_.toString).mkString("array(", ", ", ")")
+            val gidArr = phrases.map(_.group).mkString("array(", ", ", ")")
+            val gnArr =
+              if (groupNs.isEmpty) "array(-1)" // never indexed; array() won't type
+              else groupNs.mkString("array(", ", ", ")")
+            val treeArr = treeCode.mkString("array(", ", ", ")")
+            s"fts5_bm25($toksArr, $phArr, $flArr, $mkArr, $idfArr, " +
+              s"${st.avgdl}, $wArr, $gidArr, $gnArr, $treeArr)"
+          })
+        case _ =>
+          throw new UnsupportedOperationException(
+            "bm25()/rank with more than one MATCH clause on the same fts " +
+              "table is not supported: real fts5's score depends on which " +
+              "MATCH branch the query plan drove a row through; issue one " +
+              "MATCH (combine with AND/OR/NOT inside the query string)")
+      }
+    }
+    final case class Repl(start: Int, end: Int, text: String)
+    val repls = mutable.ArrayBuffer[Repl]()
+    val bm25Re = "(?i)\\bbm25\\s*\\(([^()]*)\\)".r
+    for (m <- bm25Re.findAllMatchIn(blanked)) {
+      val argsOrig = stmt.substring(m.start(1), m.end(1))
+      val parts = SqlScript.splitTopLevel(argsOrig).map(_.trim)
+      if (parts.nonEmpty && parts.head.nonEmpty) {
+        val tLower = SqlScript.unquoteIdent(parts.head)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (ftsTables.contains(tLower)) {
+          val weights = parts.tail.map(a => a.toDoubleOption.getOrElse(
+            throw new UnsupportedOperationException(
+              s"bm25() weights must be numeric literals, got: $a")))
+          repls += Repl(m.start, m.end, scoreExpr(tLower, weights.toVector,
+            forRank = false))
+        } // else: not an fts table — leave, the gate reports it
+      }
+    }
+    val id = "[A-Za-z_][A-Za-z0-9_]*"
+    val rankRe = s"(?i)(?:($id)\\s*\\.\\s*)?\\brank\\b".r
+    for (m <- rankRe.findAllMatchIn(blanked)) {
+      val after = blanked.substring(m.end).dropWhile(_.isWhitespace)
+      val beforeWords = blanked.substring(0, m.start).trim
+      val prevWord = beforeWords.split("\\s+").lastOption.getOrElse("")
+      // skip rank(...) (the window function), alias definitions
+      // (`AS rank`), and identifiers touching quoting the blanking hid
+      val isCall = after.startsWith("(")
+      val isAlias = prevWord.equalsIgnoreCase("as")
+      val touchesQuote = (m.start > 0 && stmt.charAt(m.start - 1) == '"') ||
+        (m.end < stmt.length && stmt.charAt(m.end) == '"')
+      if (!isCall && !isAlias && !touchesQuote) {
+        val qual = Option(m.group(1)).map(_.toLowerCase(java.util.Locale.ROOT))
+        val target = qual match {
+          case Some(q) =>
+            if (ftsTables.contains(q)) Some(q)
+            // qualifier = the alias a MATCH clause rode under
+            else matches.collectFirst {
+              case (t, ms) if ms.exists(_._2.exists(_.equalsIgnoreCase(q))) => t
+            }
+          case None =>
+            // bare rank: the statement's single fts table (probed:
+            // sqlite resolves it against the matched vtab)
+            if (mentioned.length == 1) Some(mentioned.head) else None
+        }
+        target.foreach { t =>
+          repls += Repl(m.start, m.end, "(" + scoreExpr(t, Vector(), forRank = true) + ")")
+        }
+      }
+    }
+    if (repls.isEmpty) return stmt
+    val sb = new StringBuilder(stmt)
+    repls.sortBy(-_.start).foreach(r => sb.replace(r.start, r.end, r.text))
+    sb.toString
   }
 }
 
@@ -588,23 +987,42 @@ case class Fts5PhraseMatch(first: Expression, second: Expression,
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "fts5_match_phrase"
+  // a NULL document column has no tokens ⇒ FALSE, not NULL — fts5
+  // keeps `x NOT q` rows whose q-searched column is NULL (r11; the
+  // three-valued NULL would wrongly drop them through NOT)
+  override def nullable: Boolean = false
   // the flags bitmask (1 = trailing-* prefix, 2 = ^ anchor) arrives as
   // an integer literal (the dialect has no boolean literals) or, for
   // compatibility, a genuine boolean meaning prefix-only
-  override def nullSafeEval(toks: Any, phrase: Any, flags: Any): Any =
-    Fts5.phraseMatch(toks.asInstanceOf[ArrayData],
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = first.eval(input)
+    val phrase = second.eval(input)
+    val flags = third.eval(input)
+    if (toks == null || phrase == null || flags == null) false
+    else Fts5.phraseMatch(toks.asInstanceOf[ArrayData],
       phrase.asInstanceOf[ArrayData], flags match {
         case b: java.lang.Boolean => if (b.booleanValue()) 1L else 0L
         case n: java.lang.Number => n.longValue()
       })
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c) => {
-      val flag = third.dataType match {
-        case org.apache.spark.sql.types.BooleanType => s"($c ? 1L : 0L)"
-        case _ => s"(long) ($c)"
-      }
-      s"graft.engine.Fts5.phraseMatch($a, $b, $flag)"
-    })
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val a = first.genCode(ctx)
+    val b = second.genCode(ctx)
+    val c = third.genCode(ctx)
+    val flag = third.dataType match {
+      case org.apache.spark.sql.types.BooleanType => s"(${c.value} ? 1L : 0L)"
+      case _ => s"(long) (${c.value})"
+    }
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      ${c.code}
+      boolean ${ev.value} = (${a.isNull} || ${b.isNull} || ${c.isNull})
+        ? false : graft.engine.Fts5.phraseMatch(${a.value}, ${b.value}, $flag);
+    """, isNull = FalseLiteral)
+  }
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Fts5PhraseMatch =
     copy(first = newFirst, second = newSecond, third = newThird)
@@ -621,18 +1039,95 @@ case class Fts5NearMatch(first: Expression, second: Expression,
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "fts5_near"
-  override def nullSafeEval(toks: Any, phrases: Any, flags: Any, n: Any): Any =
-    Fts5.nearMatch(toks.asInstanceOf[ArrayData],
-      phrases.asInstanceOf[ArrayData], flags.asInstanceOf[ArrayData],
-      n.asInstanceOf[java.lang.Number].longValue())
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c, d) =>
-      s"graft.engine.Fts5.nearMatch($a, $b, $c, (long) ($d))")
+  // NULL document column ⇒ FALSE, not NULL (see [[Fts5PhraseMatch]])
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = first.eval(input)
+    if (toks == null) false
+    else Fts5.nearMatch(toks.asInstanceOf[ArrayData],
+      second.eval(input).asInstanceOf[ArrayData],
+      third.eval(input).asInstanceOf[ArrayData],
+      fourth.eval(input).asInstanceOf[java.lang.Number].longValue())
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val a = first.genCode(ctx)
+    val b = second.genCode(ctx)
+    val c = third.genCode(ctx)
+    val d = fourth.genCode(ctx)
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      ${c.code}
+      ${d.code}
+      boolean ${ev.value} = ${a.isNull} ? false :
+        graft.engine.Fts5.nearMatch(${a.value}, ${b.value}, ${c.value},
+          (long) (${d.value}));
+    """, isNull = FalseLiteral)
+  }
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,
       newFourth: Expression): Fts5NearMatch =
     copy(first = newFirst, second = newSecond, third = newThird,
       fourth = newFourth)
+}
+
+/** `fts5_bm25(toksPerCol, phrases, flags, masks, idfs, avgdl,
+  * weights)` — the per-row half of bm25()/rank scoring (r11). Children
+  * 1–6 are query-level CONSTANTS the rewrite literal-folds (phrase
+  * token arrays, flag bitmasks, column masks, precomputed idfs, corpus
+  * avgdl, column weights); they are evaluated ONCE at plan time into a
+  * [[Fts5.Bm25Scorer]] shipped as a codegen reference object, so the
+  * generated code per row is a single virtual call on the row's token
+  * arrays — whole-stage codegen keeps the scan tight. */
+case class Fts5Bm25(children: Seq[Expression]) extends Expression {
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "fts5_bm25"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length != 10)
+      TypeCheckResult.TypeCheckFailure("fts5_bm25 takes exactly 10 arguments")
+    else if (!children.tail.forall(_.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "fts5_bm25 arguments 2-10 must be constants")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val scorer: Fts5.Bm25Scorer = {
+    def arr(i: Int): ArrayData = children(i).eval(null).asInstanceOf[ArrayData]
+    val phrases = {
+      val a = arr(1)
+      Array.tabulate(a.numElements()) { i =>
+        val p = a.getArray(i)
+        Array.tabulate(p.numElements())(j => p.getUTF8String(j).clone())
+      }
+    }
+    new Fts5.Bm25Scorer(phrases, arr(2).toIntArray(), arr(3).toLongArray(),
+      arr(4).toDoubleArray(),
+      children(5).eval(null).asInstanceOf[java.lang.Number].doubleValue(),
+      arr(6).toDoubleArray(), arr(7).toIntArray(), arr(8).toLongArray(),
+      arr(9).toIntArray())
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = children.head.eval(input)
+    if (toks == null) 0.0 else scorer.score(toks.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("bm25Scorer", scorer,
+      classOf[Fts5.Bm25Scorer].getName)
+    val c0 = children.head.genCode(ctx)
+    ev.copy(code = code"""
+      ${c0.code}
+      double ${ev.value} = ${c0.isNull} ? 0.0 : $ref.score(${c0.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Fts5Bm25 = copy(children = newChildren)
 }
 
 /** `fts5_tokens(text)` — the unicode61 token array of a string; the

@@ -282,6 +282,24 @@ object SqliteCompat {
       require(exprs.length == 4, "fts5_near takes exactly 4 arguments")
       Fts5NearMatch(exprs(0), exprs(1), exprs(2), exprs(3))
     }
+    fn("fts5_bm25") { exprs =>
+      require(exprs.length == 10, "fts5_bm25 takes exactly 10 arguments")
+      // normalize the literal-folded constant children so the scorer
+      // unpacks fixed primitive shapes regardless of how the dialect
+      // typed the literals (ints may arrive as int or long)
+      import org.apache.spark.sql.types.{ArrayType, IntegerType}
+      Fts5Bm25(Seq(
+        exprs(0),
+        Cast(exprs(1), ArrayType(ArrayType(StringType))),
+        Cast(exprs(2), ArrayType(IntegerType)),
+        Cast(exprs(3), ArrayType(LongType)),
+        Cast(exprs(4), ArrayType(DoubleType)),
+        Cast(exprs(5), DoubleType),
+        Cast(exprs(6), ArrayType(DoubleType)),
+        Cast(exprs(7), ArrayType(IntegerType)),
+        Cast(exprs(8), ArrayType(LongType)),
+        Cast(exprs(9), ArrayType(IntegerType))))
+    }
 
     // --- date/time family: variadic like SQLite (one name, any arity)
     fn("datetime")(timeFn(SqliteTimeExpr.Datetime))

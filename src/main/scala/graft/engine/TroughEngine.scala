@@ -148,6 +148,48 @@ class TroughEngine(
         t.toLowerCase(java.util.Locale.ROOT) -> meta.schema.fieldNames.toSeq)
     }.toMap
 
+  /** bm25 corpus statistics for one fts table (r11): ONE aggregate job
+    * over the backing table computes N, Σ row token counts (avgdl),
+    * and each phrase's hit count. Scale shape: a map-side-combined
+    * aggregate, no shuffle of row data — at the reference's per-segment
+    * sizes this is a sub-second scan; the constants then literal-fold
+    * into the scoring expression so the main query stays one pass. */
+  private def ftsAuxStats(segmentId: String, sess: SparkSession,
+      tLower: String, phrases: Seq[Fts5.PhraseSpec]): Fts5.AuxStats = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.SqlInternals
+    import org.apache.spark.unsafe.types.UTF8String
+    val real = store.tables(segmentId)
+      .find(_.toLowerCase(java.util.Locale.ROOT) == tLower)
+      .getOrElse(throw new IllegalStateException(s"no such fts table: $tLower"))
+    val df = store.loadTable(segmentId, real, sess)
+    val cols = store.tableMeta(segmentId, real).schema.fieldNames.toSeq
+    def toks(c: String): Column =
+      SqlInternals.column(Fts5Tokens(SqlInternals.expression(df(c))))
+    val dRow = cols.map(c => coalesce(size(toks(c)).cast("long"), lit(0L)))
+      .reduce(_ + _)
+    def hitPred(p: Fts5.PhraseSpec): Column = cols.zipWithIndex.collect {
+      case (c, i) if (p.colMask & (1L << i)) != 0 =>
+        SqlInternals.column(Fts5PhraseMatch(
+          SqlInternals.expression(toks(c)),
+          CreateArray(p.tokens.map(t =>
+            Literal(UTF8String.fromString(t), org.apache.spark.sql.types.StringType)
+              : org.apache.spark.sql.catalyst.expressions.Expression)),
+          Literal(p.flags)))
+    }.reduce(_ || _)
+    val aggCols = Seq(count(lit(1)).as("n"), sum(dRow).as("tot")) ++
+      phrases.zipWithIndex.map { case (p, i) =>
+        sum(when(hitPred(p), 1L).otherwise(0L)).as(s"h$i")
+      }
+    val r = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = r.getLong(0)
+    val tot = if (r.isNullAt(1)) 0L else r.getLong(1)
+    Fts5.AuxStats(n, if (n > 0) tot.toDouble / n else 0.0,
+      phrases.indices.map(i => if (r.isNullAt(2 + i)) 0L else r.getLong(2 + i)))
+  }
+
   /** Segment-scoped read: the statement runs against views of the
     * segment's tables in an isolated child session (temp views don't leak
     * across concurrent reads). Returns the lazy DataFrame — callers pick
@@ -161,7 +203,9 @@ class TroughEngine(
     // named refusal
     val sqlF = {
       val fts = ftsTablesOf(segmentId)
-      if (fts.isEmpty) sql else Fts5.rewriteMatch(sql, fts)
+      if (fts.isEmpty) sql
+      else Fts5.rewriteMatch(sql, fts,
+        (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases))
     }
     val stmt = validateRead(sqlF, sess)
     store.tables(segmentId).foreach { t =>

@@ -255,6 +255,47 @@ class FtsSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25() and rank score like real fts5 (r11, probed formula)") {
+    // the corpus the formula was pinned on: k1=1.2 b=0.75, idf
+    // ln((N-h+.5)/(h+.5)) floored at 1e-6, weights scale tf only
+    // (D and avgdl stay unweighted), overlapping occurrences count,
+    // column filters narrow df AND tf, duplicates score twice
+    val s = "CREATE VIRTUAL TABLE t USING fts5(a, b);"
+    val id = seg(s); val db = cliDb(s)
+    runBoth(id, db,
+      "INSERT INTO t VALUES ('x y z', 'p q'), ('x x y', 'x p'), " +
+        "('m n o q r', 's t u v'), ('x', NULL), ('w w w w', 'w w');")
+    def bq(q: String, fn: String = "bm25(t)") =
+      s"SELECT a, printf('%.6f', $fn) FROM t WHERE t MATCH '$q' ORDER BY a;"
+    for (q <- Seq("x", "x y", "\"x y\"", "x OR q", "b : x", "x*", "w",
+        "\"w w\"", "x NOT q", "NEAR(x y, 2)", "x x", "^x y"))
+      same(id, db, bq(q))
+    same(id, db, bq("x", "bm25(t, 2.0, 0.5)")) // weighted tf
+    same(id, db, bq("y", "bm25(t, 2.0)"))      // missing weight -> 1.0
+    same(id, db, bq("y", "bm25(t, 1.0, 9.0)")) // D/avgdl unweighted
+    same(id, db, bq("y", "bm25(t, 1.0, 1.0, 3.0)")) // extras ignored
+    // rank: the hidden column, case-insensitive; ORDER BY rank/bm25
+    same(id, db, "SELECT a, printf('%.6f', rank) FROM t " +
+      "WHERE t MATCH 'x y' ORDER BY a;")
+    same(id, db, "SELECT a, printf('%.6f', RANK) FROM t " +
+      "WHERE t MATCH 'y' ORDER BY a;")
+    same(id, db, "SELECT a FROM t WHERE t MATCH 'x' ORDER BY rank, a;")
+    same(id, db, "SELECT a FROM t WHERE t MATCH 'x' ORDER BY bm25(t), a;")
+    // without a MATCH clause: bm25() is 0.0, rank is NULL (probed)
+    same(id, db, "SELECT a, bm25(t), coalesce(rank, -99) FROM t ORDER BY a;")
+    // column-scoped MATCH restricts df and tf to that column
+    same(id, db, "SELECT a, printf('%.6f', bm25(t)) FROM t " +
+      "WHERE b MATCH 'x' ORDER BY a;")
+    // window rank() and an AS rank alias are untouched by the rewrite
+    same(id, db, "SELECT a, count(*) AS rank FROM t " +
+      "WHERE t MATCH 'x' GROUP BY a ORDER BY a;")
+    // >1 MATCH on one table: fts5's score depends on which branch the
+    // plan drove a row through (probed) — named refusal
+    val e = intercept[UnsupportedOperationException](engine.read(id,
+      "SELECT rank FROM t WHERE t MATCH 'x' OR t MATCH 'q';").collect())
+    assert(e.getMessage.contains("more than one MATCH"), e.getMessage)
+  }
+
   test("refusals: export, UNINDEXED; operator-as-term and empty queries error") {
     val id = seg(schema); val db = cliDb(schema)
     runBoth(id, db, fill)
@@ -309,9 +350,14 @@ class FtsSpec extends SparkSpecBase {
         case 3 => s"(${expr(depth + 1)} OR ${expr(depth + 1)}) AND ${term()}"
         case _ => s"${term()} ${term()}" // implicit AND (phrase-phrase)
       }
-    (1 to 150).foreach { _ =>
+    (1 to 150).foreach { i =>
       val q = expr(0).replace("'", "''")
-      same(id, db, s"SELECT title FROM docs WHERE docs MATCH '$q' ORDER BY title;")
+      // every third query also differentially scores bm25 (r11) —
+      // %.4f bounds float-noise from differing accumulation order
+      val proj =
+        if (i % 3 == 0) "title, printf('%.4f', bm25(docs))" else "title"
+      same(id, db,
+        s"SELECT $proj FROM docs WHERE docs MATCH '$q' ORDER BY title;")
     }
   }
 
