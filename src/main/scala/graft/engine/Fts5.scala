@@ -83,6 +83,61 @@ object Fts5 {
     new GenericArrayData(
       tokenize(s.toString).map(UTF8String.fromString).toArray[Any])
 
+  /** [[tokenize]] plus each token's char span in the ORIGINAL string —
+    * highlight()/snippet() insert markers into the raw text, so the
+    * offsets must address it, not the folded form. A token is a
+    * maximal run of alphanumerics (combining marks neither start nor
+    * break one — unicode61's behavior); its folded text comes from
+    * [[tokenize]] on the run so both walks always agree. */
+  def tokenizeWithOffsets(s: String): (Array[String], Array[Int], Array[Int]) = {
+    val toks = mutable.ArrayBuffer[String]()
+    val starts = mutable.ArrayBuffer[Int]()
+    val ends = mutable.ArrayBuffer[Int]()
+    var runStart = -1
+    var i = 0
+    def close(endAt: Int): Unit = if (runStart >= 0) {
+      tokenize(s.substring(runStart, endAt)).headOption.foreach { t =>
+        toks += t
+        starts += runStart
+        ends += endAt
+      }
+      runStart = -1
+    }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (Character.isLetterOrDigit(cp)) { if (runStart < 0) runStart = i }
+      else if (Character.getType(cp) == Character.NON_SPACING_MARK && runStart >= 0) ()
+      else close(i)
+      i += w
+    }
+    close(s.length)
+    (toks.toArray, starts.toArray, ends.toArray)
+  }
+
+  /** Per-member PARTICIPATING instance starts of one NEAR group in one
+    * column: an instance survives iff it is part of SOME full cluster
+    * (max chosen start − min chosen end ≤ n+1) — fts5's poslist
+    * trimming, which both bm25 tf and highlight/snippet see. Empty
+    * arrays when any member is absent. */
+  def nearParticipants(starts: Array[Array[Int]], lens: Array[Int],
+      n: Long): Array[Array[Int]] = {
+    if (starts.exists(_.isEmpty))
+      return starts.map(_ => Array.emptyIntArray)
+    val ends = starts.indices.flatMap(mi => starts(mi).map(_ + lens(mi) - 1))
+    starts.indices.map { mi =>
+      starts(mi).filter { s =>
+        val e = s + lens(mi) - 1
+        ends.exists { eC =>
+          e >= eC && s <= eC + n + 1 && starts.indices.forall { mj =>
+            mj == mi || starts(mj).exists(s2 =>
+              s2 + lens(mj) - 1 >= eC && s2 <= eC + n + 1)
+          }
+        }
+      }
+    }.toArray
+  }
+
   /** Does the phrase (consecutive tokens) match at position `at`, the
     * last token as a prefix when `prefix`? */
   private def phraseAt(toks: ArrayData, at: Int, phrase: ArrayData,
@@ -626,7 +681,17 @@ object Fts5 {
     * the scorer must re-evaluate the tree per row, exactly like fts5's
     * per-node poslists). Tree code: 0 ⟨phraseIdx⟩ | 1 ⟨group, from,
     * until⟩ | 2 AND | 3 OR | 4 NOT, children following in prefix
-    * order. */
+    * order.
+    *
+    * Known deviation (bm25/rank/highlight/snippet alike): real fts5
+    * additionally LEAKS a phrase's instances on the one row where its
+    * expression iterator happens to rest while the enclosing branch
+    * is failed/dead — e.g. for `NEAR(x missing) NOT g OR a`, `g`
+    * scores on the FIRST g-containing row only (probed; g's iterator
+    * was initialized and never advanced because its parent went EOF).
+    * That exposure is a cross-row artifact of fts5_expr's lazy
+    * iterator protocol, not a function of the scored row; this engine
+    * gates by satisfied branches consistently on every row. */
   def collectPhrases(node: Node, columns: Seq[String])
       : (Seq[PhraseSpec], Seq[Int], Seq[Int]) = {
     val all = if (columns.length >= 63) ~0L else (1L << columns.length) - 1
@@ -750,30 +815,11 @@ object Fts5 {
     private def addNearCounts(toks: ArrayData, members: Array[Int], n: Long,
         w: Double, wcnt: Array[Double], raw: Array[Int]): Unit = {
       val starts = members.map(startsOf(toks, _))
-      if (starts.exists(_.isEmpty)) return
       val lens = members.map(i => phrases(i).length)
-      // candidate min-ends: every instance end of every member
-      val ends = starts.indices.flatMap(mi => starts(mi).map(_ + lens(mi) - 1))
+      val kept = Fts5.nearParticipants(starts, lens, n)
       var mi = 0
       while (mi < members.length) {
-        var cnt = 0
-        val ss = starts(mi)
-        val len = lens(mi)
-        var ii = 0
-        while (ii < ss.length) {
-          val s = ss(ii)
-          val e = s + len - 1
-          // participates iff some E makes a full cluster including it
-          val ok = ends.exists { eC =>
-            e >= eC && s <= eC + n + 1 && starts.indices.forall { mj =>
-              mj == mi || starts(mj).exists { s2 =>
-                s2 + lens(mj) - 1 >= eC && s2 <= eC + n + 1
-              }
-            }
-          }
-          if (ok) cnt += 1
-          ii += 1
-        }
+        val cnt = kept(mi).length
         if (cnt > 0) {
           wcnt(members(mi)) += w * cnt
           raw(members(mi)) += cnt
@@ -862,20 +908,374 @@ object Fts5 {
     }
   }
 
-  /** Rewrite `bm25(t [, w…])` calls and `rank` references (bare or
-    * table-qualified, case-insensitive — probed) over the statement's
-    * fts tables into literal-folded [[Fts5Bm25]] calls. Corpus
+  /** The per-row evaluator behind highlight()/snippet() (r11): all
+    * query-level constants baked in; `render` sees the row's raw
+    * column texts. The algorithm was pinned by probing the sandbox
+    * fts5 AND disassembling its fts5SnippetFunction/fts5SnippetScore
+    * (the reference serves these through whatever libsqlite3 ships,
+    * trough/read.py:63-67). Contract: instances come from the same
+    * satisfied-branch-gated, NEAR-trimmed poslists bm25 counts;
+    * highlight wraps each instance's original-text span, merging
+    * strictly-OVERLAPPING ranges (adjacent stay apart). snippet, per
+    * column, scores two candidates per instance offset `io`:
+    *  - BASIC: 1000 per first-seen phrase + 1 per repeat over starts
+    *    in [io, io+n) (seen-set fresh per candidate); rendered
+    *    re-centered at `iAdj = iFirst − (n − (iLast − iFirst))/2`
+    *    (iFirst = START of the first counted instance, iLast = END of
+    *    the last), clamped to [0, docsize−n];
+    *  - SENTENCE: at `b` = the LARGEST sentence boundary ≤ io (token
+    *    0, or a token preceded — skipping spaces/tabs/CR/LF — by '.'
+    *    or ':'), only when b < io strictly and docsize > n; scored
+    *    over [b, b+n) plus a bonus of 120 when b == 0 else 100;
+    *    rendered AT b, no re-centering.
+    * Strictly-better wins, so the earliest candidate takes ties. The
+    * rendered span stretches to the raw string's edges when the
+    * window touches token 0 / the last token (tail rule:
+    * iRangeEnd ≥ bestDocsize−1) and takes the ellipsis otherwise;
+    * instances starting before the window are dropped whole, ones
+    * crossing its end clip there. Probed edges: nToken is NOT clamped
+    * (n=70 honored beyond the documented 64); nToken ≤ 0 yields
+    * fts5's emergent disabled/empty-window shapes (reproduced by the
+    * same code path); highlight answers NULL for an out-of-range
+    * column while snippet errors "column index out of range"; with no
+    * MATCH clause (zero phrases) highlight echoes the text and
+    * snippet windows [0, n); a NULL column text answers NULL. */
+  final class AuxTextEval(phrases: Array[Array[String]], flags: Array[Int],
+      masks: Array[Long], groupIds: Array[Int], groupNs: Array[Long],
+      treeCode: Array[Int], snippetMode: Boolean, colIdx: Int,
+      open: String, close: String, ellipsis: String, nTokenRaw: Int)
+      extends Serializable {
+
+    private sealed trait SN extends Serializable
+    private case class SPhrase(i: Int) extends SN
+    private case class SNear(g: Int, from: Int, until: Int) extends SN
+    private case class SOp(op: Int, l: SN, r: SN) extends SN
+    @transient private lazy val root: SN = {
+      var p = 0
+      def parse(): SN = treeCode(p) match {
+        case 0 => p += 2; SPhrase(treeCode(p - 1))
+        case 1 => p += 4; SNear(treeCode(p - 3), treeCode(p - 2), treeCode(p - 1))
+        case op => p += 1; SOp(op, parse(), parse())
+      }
+      parse()
+    }
+
+    private def startsOf(toks: Array[String], i: Int): Array[Int] = {
+      val ph = phrases(i)
+      val prefix = (flags(i) & 1) != 0
+      val n = toks.length
+      val k = ph.length
+      if (k == 0 || n < k) return Array.emptyIntArray
+      def at(p: Int): Boolean = {
+        var j = 0
+        var ok = true
+        while (ok && j < k) {
+          ok = if (prefix && j == k - 1) toks(p + j).startsWith(ph(j))
+          else toks(p + j) == ph(j)
+          j += 1
+        }
+        ok
+      }
+      if ((flags(i) & 2) != 0)
+        return if (at(0)) Array(0) else Array.emptyIntArray
+      (0 to n - k).filter(at).toArray
+    }
+
+    def render(colTexts: ArrayData): UTF8String = {
+      val nCols = colTexts.numElements()
+      val texts = Array.tabulate(nCols)(c =>
+        if (colTexts.isNullAt(c)) null else colTexts.getUTF8String(c).toString)
+      val toks = texts.map(t =>
+        if (t == null) null else Fts5.tokenizeWithOffsets(t))
+      // gated, NEAR-trimmed instance starts per phrase per column
+      val inst = Array.fill(phrases.length, nCols)(Array.emptyIntArray)
+      var i = 0
+      while (i < phrases.length) {
+        if (groupIds(i) < 0) {
+          var c = 0
+          while (c < nCols) {
+            if ((masks(i) & (1L << c)) != 0 && toks(c) != null)
+              inst(i)(c) = startsOf(toks(c)._1, i)
+            c += 1
+          }
+          i += 1
+        } else {
+          val g = groupIds(i)
+          var j = i
+          while (j < phrases.length && groupIds(j) == g) j += 1
+          val members = (i until j).toArray
+          val lens = members.map(m => phrases(m).length)
+          var c = 0
+          while (c < nCols) {
+            if ((masks(i) & (1L << c)) != 0 && toks(c) != null) {
+              val kept = Fts5.nearParticipants(
+                members.map(m => startsOf(toks(c)._1, m)), lens, groupNs(g))
+              members.indices.foreach(mi => inst(members(mi))(c) = kept(mi))
+            }
+            c += 1
+          }
+          i = j
+        }
+      }
+      val present = phrases.indices.map(p => inst(p).exists(_.nonEmpty)).toArray
+      def matched(n: SN): Boolean = n match {
+        case SPhrase(i) => present(i)
+        case SNear(_, from, _) => present(from)
+        case SOp(2, l, r) => matched(l) && matched(r)
+        case SOp(3, l, r) => matched(l) || matched(r)
+        case SOp(_, l, r) => matched(l) && !matched(r)
+      }
+      val active = new Array[Boolean](phrases.length)
+      def contribute(n: SN): Unit = n match {
+        case SPhrase(i) => active(i) = true
+        case SNear(_, from, until) =>
+          var i = from
+          while (i < until) { active(i) = true; i += 1 }
+        case SOp(2, l, r) => contribute(l); contribute(r)
+        case SOp(3, l, r) =>
+          if (matched(l)) contribute(l)
+          if (matched(r)) contribute(r)
+        case SOp(_, l, _) => contribute(l)
+      }
+      // zero phrases = statement has no MATCH clause on this table
+      // (probed: highlight echoes, snippet windows [0, n) unwrapped)
+      if (phrases.nonEmpty && matched(root)) contribute(root)
+
+      // all active instances of one column as (startTok, phraseIdx)
+      def colInstances(c: Int): Array[(Int, Int)] =
+        phrases.indices.iterator.filter(active(_))
+          .flatMap(p => inst(p)(c).iterator.map(off => (off, p)))
+          .toArray.sortBy(identity)
+
+      def renderWindow(c: Int, winStart: Int, winEnd: Int): UTF8String = {
+        val text = texts(c)
+        if (text == null) return null
+        val (tks, cs, ce) = toks(c)
+        val docsize = tks.length
+        // instance token ranges inside the window, clipped at its edge
+        val ranges = colInstances(c).iterator
+          .filter { case (off, _) => off >= winStart && off < winEnd }
+          .map { case (off, p) =>
+            (off, math.min(off + phrases(p).length, winEnd))
+          }.toSeq
+        val merged = mutable.ArrayBuffer[(Int, Int)]()
+        ranges.foreach { case (s0, e0) =>
+          if (merged.nonEmpty && s0 < merged.last._2)
+            merged(merged.length - 1) =
+              (merged.last._1, math.max(merged.last._2, e0))
+          else merged += ((s0, e0))
+        }
+        val from = if (winStart == 0) 0 else cs(winStart)
+        val to = if (winEnd >= docsize) text.length else ce(winEnd - 1)
+        // java.lang.StringBuilder: the 3-arg append is the
+        // (CharSequence, from, to) overload (scala's would auto-tuple)
+        val sb = new java.lang.StringBuilder
+        if (winStart > 0) sb.append(ellipsis)
+        var pos = from
+        merged.foreach { case (s0, e0) =>
+          val a = cs(s0)
+          val b = ce(e0 - 1)
+          sb.append(text, pos, a).append(open).append(text, a, b).append(close)
+          pos = b
+        }
+        sb.append(text, pos, to)
+        if (winEnd < docsize) sb.append(ellipsis)
+        UTF8String.fromString(sb.toString)
+      }
+
+      // the disassembled render: range [winStart, winStart+n-1]
+      // INCLUSIVE, disabled when the end is negative (n ≤ 0 at
+      // winStart 0 — prints through the last instance); leading
+      // ellipsis iff winStart > 0; raw tail iff the range end reaches
+      // nColSize−1, else trailing ellipsis
+      def renderSnippet(c: Int, winStart: Int, n: Int,
+          nColSize: Int): UTF8String = {
+        val text = texts(c)
+        val (tks, cs, ce) = toks(c)
+        val docsize = tks.length
+        val rangeEnd = winStart.toLong + n - 1 // inclusive
+        val disabled = rangeEnd < 0
+        val inWin = colInstances(c).iterator.filter { case (off, _) =>
+          disabled || (off >= winStart && off <= rangeEnd)
+        }.map { case (off, p) =>
+          val e = off + phrases(p).length
+          (off, if (disabled) e else math.min(e.toLong, rangeEnd + 1).toInt)
+        }
+        val merged = mutable.ArrayBuffer[(Int, Int)]()
+        inWin.foreach { case (s0, e0) =>
+          if (merged.nonEmpty && s0 < merged.last._2)
+            merged(merged.length - 1) =
+              (merged.last._1, math.max(merged.last._2, e0))
+          else merged += ((s0, e0))
+        }
+        val sb = new java.lang.StringBuilder
+        if (winStart > 0) sb.append(ellipsis)
+        var pos = if (winStart == 0 || winStart >= docsize) 0 else cs(winStart)
+        merged.foreach { case (s0, e0) =>
+          val a = cs(s0)
+          val b = ce(e0 - 1)
+          sb.append(text, pos, a).append(open).append(text, a, b).append(close)
+          pos = b
+        }
+        if (!disabled && rangeEnd <= docsize - 1 && rangeEnd >= winStart) {
+          val to = ce(rangeEnd.toInt)
+          if (pos < to) sb.append(text, pos, to)
+          pos = math.max(pos, to)
+        }
+        if (rangeEnd >= nColSize - 1) {
+          if (pos < text.length) sb.append(text, pos, text.length)
+        } else sb.append(ellipsis)
+        UTF8String.fromString(sb.toString)
+      }
+
+      if (!snippetMode) {
+        // probed (quote()): out-of-range column ⇒ EMPTY string, NULL
+        // text ⇒ NULL (snippet errors on out-of-range instead)
+        if (colIdx < 0 || colIdx >= nCols) return UTF8String.EMPTY_UTF8
+        if (texts(colIdx) == null) return null
+        // full-text window: no ellipses, no clipping
+        renderWindow(colIdx, 0, toks(colIdx)._1.length)
+      } else {
+        val n = nTokenRaw
+        var nBestScore = 0
+        var bestCol = if (colIdx >= 0) colIdx else 0
+        var bestStart = 0
+        var nColSize = 0
+        val cols =
+          if (colIdx >= 0) (if (colIdx < nCols) Seq(colIdx) else Nil)
+          else 0 until nCols
+        cols.foreach { c =>
+          if (toks(c) != null) {
+            val insts = colInstances(c)
+            if (insts.nonEmpty) {
+              val (tks, cs, _) = toks(c)
+              val docsize = tks.length
+              val bounds = sentenceStarts(texts(c), cs)
+              def windowScore(from: Int): Int = {
+                var score = 0
+                val seen = new Array[Boolean](phrases.length)
+                insts.foreach { case (off, p) =>
+                  if (off >= from && off.toLong < from.toLong + n) {
+                    score += (if (seen(p)) 1 else 1000)
+                    seen(p) = true
+                  }
+                }
+                score
+              }
+              insts.foreach { case (io, _) =>
+                // BASIC candidate: scored at [io, io+n), rendered at
+                // the re-centered, clamped iAdj
+                var score = 0
+                val seen = new Array[Boolean](phrases.length)
+                var iFirst = -1
+                var iLast = 0
+                insts.foreach { case (off, p) =>
+                  if (off >= io && off.toLong < io.toLong + n) {
+                    score += (if (seen(p)) 1 else 1000)
+                    seen(p) = true
+                    if (iFirst < 0) iFirst = off
+                    iLast = off + phrases(p).length
+                  }
+                }
+                if (score > nBestScore) {
+                  var iAdj = iFirst.toLong - (n - (iLast - iFirst)) / 2
+                  if (iAdj + n > docsize) iAdj = docsize.toLong - n
+                  if (iAdj < 0) iAdj = 0
+                  nBestScore = score; bestCol = c
+                  bestStart = iAdj.toInt; nColSize = docsize
+                }
+                // SENTENCE candidate: the largest boundary STRICTLY
+                // below io, rendered there, +120 (b=0) / +100 bonus
+                if (docsize > n) {
+                  var jj = 0
+                  while (jj + 1 < bounds.length && bounds(jj + 1) <= io)
+                    jj += 1
+                  val b = bounds(jj)
+                  if (b < io) {
+                    val s2 = windowScore(b) + (if (b == 0) 120 else 100)
+                    if (s2 > nBestScore) {
+                      nBestScore = s2; bestCol = c
+                      bestStart = b; nColSize = docsize
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+        if (colIdx >= nCols) // probed: real fts5's named runtime error
+          throw new IllegalArgumentException("column index out of range")
+        if (texts(bestCol) == null) return null
+        if (nColSize == 0) nColSize = toks(bestCol)._1.length
+        renderSnippet(bestCol, bestStart, n, nColSize)
+      }
+    }
+
+    /** fts5SentenceFinderCb: token positions that begin a "sentence" —
+      * token 0, plus tokens whose nearest preceding non-[ \t\n\r]
+      * character is '.' or ':'. */
+    private def sentenceStarts(text: String, cs: Array[Int]): Array[Int] = {
+      val buf = mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < cs.length) {
+        if (i == 0) buf += 0
+        else {
+          var j = cs(i) - 1
+          var ch = ' '
+          while (j >= 0 && {
+            ch = text.charAt(j)
+            ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r'
+          }) j -= 1
+          if (j >= 0 && (ch == '.' || ch == ':')) buf += i
+        }
+        i += 1
+      }
+      buf.toArray
+    }
+  }
+
+  /** The six literal-folded array arguments shared by [[Fts5Bm25]] and
+    * [[Fts5AuxText]]: phrase token arrays, flag bitmasks, column
+    * masks, NEAR-group ids, NEAR-group proximities (sentinel
+    * `array(-1)` when none — a bare `array()` won't type), and the
+    * prefix-encoded expression tree. */
+  private def nodeArraySql(cols: Seq[String], node: Node)
+      : (Seq[PhraseSpec], Seq[String]) = {
+    val (phrases, groupNs, treeCode) = collectPhrases(node, cols)
+    val phArr = phrases.map(_.tokens.map(t => s"'$t'")
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val flArr = phrases.map(_.flags).mkString("array(", ", ", ")")
+    val mkArr = phrases.map(_.colMask).mkString("array(", ", ", ")")
+    val gidArr = phrases.map(_.group).mkString("array(", ", ", ")")
+    val gnArr =
+      if (groupNs.isEmpty) "array(-1)" // never indexed; array() won't type
+      else groupNs.mkString("array(", ", ", ")")
+    val treeArr = treeCode.mkString("array(", ", ", ")")
+    (phrases, Seq(phArr, flArr, mkArr, gidArr, gnArr, treeArr))
+  }
+
+  /** Rewrite `bm25(t [, w…])` calls, `rank` references (bare or
+    * table-qualified, case-insensitive — probed), and
+    * `highlight(t, col, open, close)` / `snippet(t, col, open, close,
+    * ellipsis, n)` calls over the statement's fts tables into
+    * literal-folded [[Fts5Bm25]] / [[Fts5AuxText]] calls. Corpus
     * statistics come from `statsOf` (one aggregate job per table per
-    * statement). Probed edges: without a MATCH clause bm25() answers
-    * 0.0 and rank NULL for every row; with MORE than one MATCH clause
-    * on the table real fts5's score depends on which branch drove each
-    * row (query-plan dependent) — refused by name here. */
+    * statement; highlight/snippet need none). Probed edges: without a
+    * MATCH clause bm25() answers 0.0 and rank NULL for every row,
+    * highlight echoes the raw column, and snippet windows [0, n)
+    * unwrapped; with MORE than one MATCH clause on the table real
+    * fts5's output depends on which branch drove each row
+    * (query-plan dependent) — refused by name here. Deviation:
+    * highlight/snippet arguments after the table must be literals
+    * (real fts5 evaluates them per row) — refused by name. */
   private def rewriteAux(stmt: String, ftsTables: Map[String, Seq[String]],
       mentioned: Seq[String], matches: Map[String, List[(Node, Option[String])]],
       statsOf: (String, Seq[PhraseSpec]) => AuxStats): String = {
     val blanked = SqliteDdl.blankLiterals(stmt)
     val lower = blanked.toLowerCase(java.util.Locale.ROOT)
-    if (!lower.contains("bm25") && !"(?i)\\brank\\b".r.findFirstIn(blanked).isDefined)
+    if (!lower.contains("bm25") && !lower.contains("highlight") &&
+      !lower.contains("snippet") &&
+      !"(?i)\\brank\\b".r.findFirstIn(blanked).isDefined)
       return stmt
     val exprCache = mutable.Map[(String, Seq[Double]), String]()
     def scoreExpr(tLower: String, weights: Seq[Double], forRank: Boolean): String = {
@@ -888,7 +1288,8 @@ object Fts5 {
               throw new UnsupportedOperationException(
                 "bm25()/rank over fts5 tables with more than 63 columns is " +
                   "not supported by this engine (column-mask width)")
-            val (phrases, groupNs, treeCode) = collectPhrases(node, cols)
+            val (phrases, Seq(phArr, flArr, mkArr, gidArr, gnArr, treeArr)) =
+              nodeArraySql(cols, node)
             val st = statsOf(tLower, phrases)
             val idfs = phrases.zip(st.nHits).map { case (_, h) => idfOf(st.nRows, h) }
             // weights: positional like fts5 — missing default 1.0,
@@ -898,17 +1299,8 @@ object Fts5 {
               qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
             val toksArr = cols.map(c => s"fts5_tokens(${qc(c)})")
               .mkString("array(", ", ", ")")
-            val phArr = phrases.map(_.tokens.map(t => s"'$t'")
-              .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-            val flArr = phrases.map(_.flags).mkString("array(", ", ", ")")
-            val mkArr = phrases.map(_.colMask).mkString("array(", ", ", ")")
             val idfArr = idfs.map(_.toString).mkString("array(", ", ", ")")
             val wArr = w.map(_.toString).mkString("array(", ", ", ")")
-            val gidArr = phrases.map(_.group).mkString("array(", ", ", ")")
-            val gnArr =
-              if (groupNs.isEmpty) "array(-1)" // never indexed; array() won't type
-              else groupNs.mkString("array(", ", ", ")")
-            val treeArr = treeCode.mkString("array(", ", ", ")")
             s"fts5_bm25($toksArr, $phArr, $flArr, $mkArr, $idfArr, " +
               s"${st.avgdl}, $wArr, $gidArr, $gnArr, $treeArr)"
           })
@@ -936,6 +1328,75 @@ object Fts5 {
           repls += Repl(m.start, m.end, scoreExpr(tLower, weights.toVector,
             forRank = false))
         } // else: not an fts table — leave, the gate reports it
+      }
+    }
+    // highlight(t, col, open, close) / snippet(t, col, open, close,
+    // ellipsis, nToken): literal-fold the query constants into one
+    // fts5_aux_text over the row's RAW column texts
+    def auxTextExpr(tLower: String, fn: String, snippetMode: Boolean,
+        colIdx: Int, openLit: String, closeLit: String,
+        ellipsisLit: String, nTok: Int): String = {
+      val cols = ftsTables(tLower)
+      if (cols.length > 63)
+        throw new UnsupportedOperationException(
+          s"$fn() over fts5 tables with more than 63 columns is not " +
+            "supported by this engine (column-mask width)")
+      val (nodeOpt, qual) = matches.getOrElse(tLower, Nil) match {
+        case Nil => (None, Some(tLower)) // no MATCH: cols ride the table name
+        case List((node, q)) => (Some(node), q)
+        case _ => throw new UnsupportedOperationException(
+          s"$fn() with more than one MATCH clause on the same fts table " +
+            "is not supported: real fts5's output depends on which MATCH " +
+            "branch the query plan drove a row through; issue one MATCH " +
+            "(combine with AND/OR/NOT inside the query string)")
+      }
+      def qc(c: String) = qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
+      // probed: highlight without a MATCH echoes the raw column (the
+      // EMPTY string when the index is out of range — quote()-probed)
+      if (nodeOpt.isEmpty && !snippetMode)
+        return if (colIdx < 0 || colIdx >= cols.length) "''"
+        else qc(cols(colIdx))
+      val arrs = nodeOpt match {
+        case Some(node) => nodeArraySql(cols, node)._2
+        // sentinel single empty-token phrase, mask 0: zero instances
+        // everywhere, never matched — exactly the no-MATCH behavior
+        case None => Seq("array(array(''))", "array(0)", "array(0)",
+          "array(-1)", "array(-1)", "array(0, 0)")
+      }
+      val colsArr = cols.map(qc).mkString("array(", ", ", ")")
+      (s"fts5_aux_text($colsArr, ${arrs.mkString(", ")}, " +
+        s"${if (snippetMode) 1 else 0}, $colIdx, $openLit, $closeLit, " +
+        s"$ellipsisLit, $nTok)")
+    }
+    val auxRe = "(?i)\\b(highlight|snippet)\\s*\\(([^()]*)\\)".r
+    for (m <- auxRe.findAllMatchIn(blanked)) {
+      val fn = m.group(1).toLowerCase(java.util.Locale.ROOT)
+      val argsOrig = stmt.substring(m.start(2), m.end(2))
+      val parts = SqlScript.splitTopLevel(argsOrig).map(_.trim)
+      if (parts.nonEmpty && parts.head.nonEmpty) {
+        val tLower = SqlScript.unquoteIdent(parts.head)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (ftsTables.contains(tLower)) { // else: the gate reports it
+          val snippetMode = fn == "snippet"
+          if (parts.length != (if (snippetMode) 6 else 4))
+            throw new IllegalArgumentException( // real fts5's message
+              s"wrong number of arguments to function $fn()")
+          def intLit(a: String): Int = a.toIntOption.getOrElse(
+            throw new UnsupportedOperationException(
+              s"$fn() integer arguments must be integer literals in this " +
+                s"engine (real fts5 evaluates them per row), got: $a"))
+          def strLit(a: String): String =
+            if (a.length >= 2 && a.head == '\'' && a.last == '\'') a
+            else throw new UnsupportedOperationException(
+              s"$fn() string arguments must be string literals in this " +
+                s"engine (real fts5 evaluates them per row), got: $a")
+          val colIdx = intLit(parts(1))
+          val (openLit, closeLit) = (strLit(parts(2)), strLit(parts(3)))
+          val (ellipsisLit, nTok) =
+            if (snippetMode) (strLit(parts(4)), intLit(parts(5))) else ("''", 0)
+          repls += Repl(m.start, m.end, auxTextExpr(tLower, fn, snippetMode,
+            colIdx, openLit, closeLit, ellipsisLit, nTok))
+        }
       }
     }
     val id = "[A-Za-z_][A-Za-z0-9_]*"
@@ -1128,6 +1589,68 @@ case class Fts5Bm25(children: Seq[Expression]) extends Expression {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Fts5Bm25 = copy(children = newChildren)
+}
+
+/** `fts5_aux_text(colTexts, phrases, flags, masks, groupIds, groupNs,
+  * treeCode, snippetMode, colIdx, open, close, ellipsis, nToken)` —
+  * the per-row half of highlight()/snippet() (r11). Child 0 is the
+  * row's RAW column texts (the markers splice into the original
+  * string, not the folded tokens); children 1–12 are query-level
+  * CONSTANTS the rewrite literal-folds, evaluated ONCE at plan time
+  * into a [[Fts5.AuxTextEval]] shipped as a codegen reference object —
+  * the generated code per row is a single virtual call, keeping the
+  * projection inside whole-stage codegen like [[Fts5Bm25]]. */
+case class Fts5AuxText(children: Seq[Expression]) extends Expression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fts5_aux_text"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length != 13)
+      TypeCheckResult.TypeCheckFailure("fts5_aux_text takes exactly 13 arguments")
+    else if (!children.tail.forall(_.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "fts5_aux_text arguments 2-13 must be constants")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val renderer: Fts5.AuxTextEval = {
+    def arr(i: Int): ArrayData = children(i).eval(null).asInstanceOf[ArrayData]
+    def int(i: Int): Int =
+      children(i).eval(null).asInstanceOf[java.lang.Number].intValue()
+    def str(i: Int): String =
+      children(i).eval(null).asInstanceOf[UTF8String].toString
+    val phrases = {
+      val a = arr(1)
+      Array.tabulate(a.numElements()) { i =>
+        val p = a.getArray(i)
+        Array.tabulate(p.numElements())(j => p.getUTF8String(j).toString)
+      }
+    }
+    new Fts5.AuxTextEval(phrases, arr(2).toIntArray(), arr(3).toLongArray(),
+      arr(4).toIntArray(), arr(5).toLongArray(), arr(6).toIntArray(),
+      int(7) != 0, int(8), str(9), str(10), str(11), int(12))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val texts = children.head.eval(input)
+    if (texts == null) null
+    else renderer.render(texts.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("auxTextRenderer", renderer,
+      classOf[Fts5.AuxTextEval].getName)
+    val c0 = children.head.genCode(ctx)
+    ev.copy(code = code"""
+      ${c0.code}
+      UTF8String ${ev.value} = ${c0.isNull} ? null : $ref.render(${c0.value});
+      boolean ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Fts5AuxText =
+    copy(children = newChildren)
 }
 
 /** `fts5_tokens(text)` — the unicode61 token array of a string; the

@@ -300,6 +300,24 @@ object SqliteCompat {
         Cast(exprs(8), ArrayType(LongType)),
         Cast(exprs(9), ArrayType(IntegerType))))
     }
+    fn("fts5_aux_text") { exprs =>
+      require(exprs.length == 13, "fts5_aux_text takes exactly 13 arguments")
+      import org.apache.spark.sql.types.{ArrayType, IntegerType}
+      Fts5AuxText(Seq(
+        Cast(exprs(0), ArrayType(StringType)),
+        Cast(exprs(1), ArrayType(ArrayType(StringType))),
+        Cast(exprs(2), ArrayType(IntegerType)),
+        Cast(exprs(3), ArrayType(LongType)),
+        Cast(exprs(4), ArrayType(IntegerType)),
+        Cast(exprs(5), ArrayType(LongType)),
+        Cast(exprs(6), ArrayType(IntegerType)),
+        Cast(exprs(7), IntegerType),
+        Cast(exprs(8), IntegerType),
+        Cast(exprs(9), StringType),
+        Cast(exprs(10), StringType),
+        Cast(exprs(11), StringType),
+        Cast(exprs(12), IntegerType)))
+    }
 
     // --- date/time family: variadic like SQLite (one name, any arity)
     fn("datetime")(timeFn(SqliteTimeExpr.Datetime))

@@ -296,6 +296,107 @@ class FtsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("more than one MATCH"), e.getMessage)
   }
 
+  test("highlight() wraps instances like real fts5 (r11, probed)") {
+    val s = "CREATE VIRTUAL TABLE t USING fts5(a, b);"
+    val id = seg(s); val db = cliDb(s)
+    runBoth(id, db,
+      "INSERT INTO t VALUES " +
+        "('the quick brown fox jumps', 'lazy dog sleeps'), " +
+        "('quick start guide', NULL), " +
+        "('w w w w', 'alpha beta'), " +
+        "('  padded HELLO-world! tail  ', 'don''t panic');")
+    // '<'||…||'>' markers: raw leading/trailing whitespace is part of
+    // the rendered span (probed) but the CLI capture trims it
+    def hq(q: String, col: Int = 0) =
+      s"SELECT '<' || highlight(t, $col, '[', ']') || '>' FROM t " +
+        s"WHERE t MATCH '$q' ORDER BY a;"
+    same(id, db, hq("quick"))
+    // instances in the other column; coalesce: a NULL leading row
+    // renders as an empty line the CLI helper would trim
+    same(id, db, "SELECT coalesce(highlight(t, 1, '[', ']'), 'isnull') " +
+      "FROM t WHERE t MATCH 'quick OR dog' ORDER BY a;")
+    same(id, db, hq("\"quick brown\""))        // multi-token span
+    same(id, db, hq("\"w w\""))                // overlapping instances merge
+    same(id, db, hq("w w"))                    // duplicate phrase, same spans
+    same(id, db, hq("hello"))                  // raw-text span: HELLO kept
+    same(id, db, hq("qu*"))                    // prefix instance
+    same(id, db, hq("^the"))                   // anchored
+    same(id, db, hq("NEAR(quick jumps, 5)"))   // NEAR-trimmed poslists
+    same(id, db, hq("quick OR missing"))       // unmatched OR branch inert
+    same(id, db, hq("t OR panic", 1))          // tokenized apostrophe spans
+    // out-of-range / negative column: NULL (probed; snippet errors)
+    same(id, db, "SELECT quote(highlight(t, 7, '[', ']')), " +
+      "quote(highlight(t, -1, '[', ']')) " +
+      "FROM t WHERE t MATCH 'quick' ORDER BY a;")
+    // no MATCH clause: echoes the raw column (probed)
+    same(id, db,
+      "SELECT '<' || highlight(t, 0, '[', ']') || '>' FROM t ORDER BY a;")
+    same(id, db, "SELECT quote(highlight(t, 9, '[', ']')) FROM t ORDER BY a;")
+    // marker strings are arbitrary text, spliced verbatim
+    same(id, db, "SELECT highlight(t, 0, '<b class=\"x\">', '</b>') " +
+      "FROM t WHERE t MATCH 'quick' ORDER BY a;")
+  }
+
+  test("snippet() windows and centers like real fts5 (r11, probed)") {
+    val s = "CREATE VIRTUAL TABLE t USING fts5(a, b);"
+    val id = seg(s); val db = cliDb(s)
+    val longDoc = (0 until 70).map(i => s"w$i").mkString(" ") +
+      " target " + (0 until 10).map(i => s"v$i").mkString(" ")
+    runBoth(id, db,
+      "INSERT INTO t VALUES " +
+        "('the quick brown fox jumps', 'lazy dog sleeps'), " +
+        "('quick start guide', NULL), " +
+        "('one two three two five six seven two nine', 'quick quick'), " +
+        s"('$longDoc', 'x');")
+    def sq(q: String, col: Int = 0, n: Int = 3) =
+      s"SELECT snippet(t, $col, '[', ']', '...', $n) FROM t " +
+        s"WHERE t MATCH '$q' ORDER BY a;"
+    same(id, db, sq("quick"))            // centering + edge stretch
+    same(id, db, sq("fox"))              // mid-document window
+    same(id, db, sq("jumps"))            // end-of-document clamp
+    same(id, db, sq("two"))              // repeats: densest window wins
+    same(id, db, sq("two OR five"))      // 1000-per-phrase beats repeats
+    same(id, db, sq("quick", col = -1))  // best-column mode
+    same(id, db, sq("dog", col = -1))
+    same(id, db, sq("quick OR dog", col = -1)) // tie -> earliest column
+    same(id, db, sq("dog"))              // no instance in col: [0, n)
+    same(id, db, sq("quick", col = 1))   // NULL column text -> NULL
+    same(id, db, sq("fox", n = 1))
+    same(id, db, sq("fox", n = 2))
+    same(id, db, sq("\"quick brown\"", n = 2)) // instance clips at edge
+    same(id, db, sq("target", n = 70))   // beyond the documented 64: honored
+    same(id, db, sq("target", n = 64))
+    same(id, db, sq("NEAR(one nine, 10)", n = 4)) // NEAR spans in window
+    for (n <- Seq(0, -1, -4)) {          // n<=0: disabled-window path
+      same(id, db, sq("quick", n = n))
+      same(id, db, sq("two", n = n))     // through the LAST instance
+      same(id, db, sq("jumps", n = n))
+      same(id, db, sq("dog", n = n))     // no instance: bare ellipsis
+      same(id, db, sq("quick", col = -1, n = n))
+    }
+    // no MATCH clause: [0, n) window, nothing wrapped (probed)
+    same(id, db, "SELECT snippet(t, 0, '[', ']', '...', 3) FROM t ORDER BY a;")
+    same(id, db, "SELECT snippet(t, -1, '[', ']', '...', 2) FROM t ORDER BY a;")
+    // out-of-range column: real fts5's named runtime error (probed —
+    // asymmetric with highlight's NULL)
+    val e = intercept[Exception](
+      engine.read(id, sq("quick", col = 7)).collect())
+    assert(e.getMessage.contains("column index out of range"), e.getMessage)
+    assert(SqliteCli.run(db.toString,
+      "SELECT snippet(t, 7, '[', ']', '...', 3) FROM t WHERE t MATCH 'quick';") != 0)
+    // arity and literal-only refusals
+    val e2 = intercept[Exception](engine.read(id,
+      "SELECT snippet(t, 0, '[', ']', '...') FROM t WHERE t MATCH 'quick';").collect())
+    assert(e2.getMessage.contains("wrong number of arguments"), e2.getMessage)
+    val e3 = intercept[Exception](engine.read(id,
+      "SELECT highlight(t, 0, a, ']') FROM t WHERE t MATCH 'quick';").collect())
+    assert(e3.getMessage.contains("string literals"), e3.getMessage)
+    val e4 = intercept[Exception](engine.read(id,
+      "SELECT snippet(t, 0, '[', ']', '...', 3) FROM t " +
+        "WHERE t MATCH 'quick' OR t MATCH 'dog';").collect())
+    assert(e4.getMessage.contains("more than one MATCH"), e4.getMessage)
+  }
+
   test("refusals: export, UNINDEXED; operator-as-term and empty queries error") {
     val id = seg(schema); val db = cliDb(schema)
     runBoth(id, db, fill)
@@ -315,10 +416,12 @@ class FtsSpec extends SparkSpecBase {
     // corpus: random 1-6-word docs over a small vocabulary, so terms
     // collide, phrases sometimes align, and prefixes overlap
     val rng = new scala.util.Random(20260814L)
+    // trailing '.'/':' forms seed mid-document SENTENCE boundaries,
+    // which steer snippet()'s window placement (r11)
     val vocab = Seq("alpha", "beta", "gamma", "delta", "Alpha", "BETA",
-      "alphabet", "gambit", "café", "42", "don't")
+      "alphabet", "gambit", "café", "42", "don't", "beta.", "gamma:")
     val docs = (1 to 40).map { i =>
-      val words = Seq.fill(1 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length)))
+      val words = Seq.fill(1 + rng.nextInt(9))(vocab(rng.nextInt(vocab.length)))
       s"('d$i', '${words.mkString(" ").replace("'", "''")}')"
     }
     runBoth(id, db, s"INSERT INTO docs VALUES ${docs.mkString(", ")};")
@@ -350,12 +453,37 @@ class FtsSpec extends SparkSpecBase {
         case 3 => s"(${expr(depth + 1)} OR ${expr(depth + 1)}) AND ${term()}"
         case _ => s"${term()} ${term()}" // implicit AND (phrase-phrase)
       }
+    // leak-free shapes for SCORED projections: real fts5 leaks a
+    // dead composite OR-branch phrase's tf on the single row its lazy
+    // expression iterator rests on (fts5_expr artifact, found via
+    // `NEAR(x missing) NOT gamma OR alpha` — gamma scored on the
+    // FIRST gamma row only); this engine gates by satisfied branches
+    // consistently (documented deviation), so OR/NOT operands here
+    // stay leaves where exposure equals satisfied-branch gating
+    def safeExpr(depth: Int): String =
+      if (depth >= 2 || rng.nextInt(3) == 0) term()
+      else rng.nextInt(5) match {
+        case 0 => s"${safeExpr(depth + 1)} AND ${safeExpr(depth + 1)}"
+        case 1 => s"${term()} OR ${term()}"
+        case 2 => s"${safeExpr(depth + 1)} NOT ${bareTerm()}"
+        case 3 => s"(${term()} OR ${term()}) AND ${term()}"
+        case _ => s"${term()} ${term()}"
+      }
     (1 to 150).foreach { i =>
-      val q = expr(0).replace("'", "''")
-      // every third query also differentially scores bm25 (r11) —
-      // %.4f bounds float-noise from differing accumulation order
-      val proj =
-        if (i % 3 == 0) "title, printf('%.4f', bm25(docs))" else "title"
+      val q = (if (i % 3 == 2) expr(0) else safeExpr(0)).replace("'", "''")
+      // rotate projections: bm25 scoring (%.4f bounds float-noise from
+      // differing accumulation order), highlight+snippet rendering
+      // (r11; '<'||…||'>' guards edge whitespace from CLI trimming),
+      // and plain MATCH
+      val proj = i % 3 match {
+        case 0 => "title, printf('%.4f', bm25(docs))"
+        case 1 =>
+          val n = Seq(0, 1, 2, 3, 4, 7, 64)(rng.nextInt(7))
+          val sc = Seq(-1, 0, 1)(rng.nextInt(3))
+          s"title, '<'||highlight(docs, ${rng.nextInt(2)}, '[', ']')||'>', " +
+            s"'<'||snippet(docs, $sc, '[', ']', '…', $n)||'>'"
+        case _ => "title"
+      }
       same(id, db,
         s"SELECT $proj FROM docs WHERE docs MATCH '$q' ORDER BY title;")
     }
