@@ -583,15 +583,11 @@ class SegmentStore(
   def exportSqliteSegment(segmentId: String, outPath: String): Seq[String] = {
     require(segmentExists(segmentId), s"segment $segmentId does not exist")
     val tbls = tables(segmentId)
-    tbls.find(t => tableMeta(segmentId, t).ftsSql.isDefined).foreach { t =>
-      throw new UnsupportedOperationException(
-        s"cannot export segment '$segmentId' to .sqlite: table '$t' is an " +
-          "FTS5 virtual table, and a faithful export would need the fts5 " +
-          "shadow-table index structures (ft_data/ft_idx B-trees) that only " +
-          "libsqlite3's fts5 module can build; drop the table or export the " +
-          "remaining tables individually")
-    }
-    val streamed = tbls.map { t =>
+    val (ftsTbls, plainTbls) =
+      tbls.partition(t => tableMeta(segmentId, t).ftsSql.isDefined)
+    val ftsStreamed = ftsTbls.flatMap(t =>
+      ftsExportTables(segmentId, t, tableMeta(segmentId, t).ftsSql.get))
+    val streamed = plainTbls.map { t =>
       val meta = tableMeta(segmentId, t)
       val fields = meta.schema.fields
       val rowidIdx = meta.autoIncrement
@@ -696,10 +692,140 @@ class SegmentStore(
         SqliteWriter.StreamedTable(t, ddl, tableRows _, indexes)
       }
     }
-    SqliteWriter.writeStreamed(Paths.get(outPath), streamed,
+    SqliteWriter.writeStreamed(Paths.get(outPath), streamed ++ ftsStreamed,
       views = views(segmentId).map(v => (v.name, v.sql)),
-      triggers = triggers(segmentId).map(t => (t.name, t.table, t.sql)))
+      triggers = triggers(segmentId).map(t => (t.name, t.table, t.sql)),
+      virtualTables = ftsTbls.map(t =>
+        (t, tableMeta(segmentId, t).ftsSql.get)))
     tbls
+  }
+
+  /** The five PHYSICAL shadow tables behind one exported fts5 virtual
+    * table — `%_content`, `%_docsize`, `%_config` (WITHOUT ROWID),
+    * `%_data` (the inverted index, [[Fts5IndexBuilder]]) and `%_idx`
+    * (WITHOUT ROWID) — so real libsqlite3 serves MATCH/bm25/
+    * highlight/snippet over the exported file; files pass fts5's own
+    * integrity-check (Fts5ExportSpec). The engine's backing storage
+    * has no rowids, so ids are assigned 1..N by `row_number()` over
+    * all columns — deterministic across the two passes (ties are
+    * byte-identical rows, interchangeable). Pass 1 streams content
+    * rows (buffering only the tiny per-row docsize blobs: id + one
+    * varint per column); pass 2 runs ONE distributed
+    * tokenize+posexplode+sort job and streams the sorted postings
+    * into the builder, whose pages spill to driver disk — driver
+    * memory stays O(page), the export contract. Options with no
+    * faithful on-disk analog refuse by name: prefix= (real fts5 would
+    * expect '1'+-prefixed prefix-index segments) and columnsize=0
+    * (that config creates no %_docsize shadow at all). */
+  private def ftsExportTables(segmentId: String, t: String,
+      ddl: String): Seq[SqliteWriter.StreamedTable] = {
+    if ("(?is).*\\bprefix\\s*=.*".r.matches(SqliteDdl.blankLiterals(ddl)) ||
+      "(?is).*\\bprefix\\s*=.*".r.matches(ddl))
+      throw new UnsupportedOperationException(
+        s"cannot export fts5 table '$t': it declares prefix= indexes, " +
+          "which real fts5 expects as extra index segments this engine " +
+          "does not build; recreate the table without prefix= to export")
+    if ("(?is).*\\bcolumnsize\\s*=\\s*['\"]?\\s*0.*".r.matches(ddl))
+      throw new UnsupportedOperationException(
+        s"cannot export fts5 table '$t': columnsize=0 tables have no " +
+          "%_docsize shadow in real fts5; recreate without columnsize=0")
+    val meta = tableMeta(segmentId, t)
+    val cols = meta.schema.fields.map(_.name).toSeq
+    val nCols = cols.length
+    import org.apache.spark.sql.expressions.Window
+    val rid = functions.row_number()
+      .over(Window.orderBy(cols.map(functions.col): _*)).cast(LongType)
+    def withRid = loadTable(segmentId, t).withColumn("__rid", rid)
+    // pass-1 side effects, consumed by later tables in write order
+    val docsizes = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    val colTotals = new Array[Long](nCols)
+    var nRow = 0L
+    def contentRows(): Iterator[(Long, IndexedSeq[Any])] =
+      withRid.orderBy(functions.col("__rid")).toLocalIterator().asScala
+        .map { r =>
+          val rowid = r.getLong(nCols)
+          val values = (0 until nCols).map(j =>
+            if (r.isNullAt(j)) null else r.getString(j))
+          val sz = new scala.collection.mutable.ArrayBuffer[Byte](nCols)
+          values.zipWithIndex.foreach { case (v, j) =>
+            val n = if (v == null) 0 else Fts5.tokenize(v).length
+            colTotals(j) += n
+            Fts5IndexBuilder.putVarint(sz, n.toLong)
+          }
+          docsizes += ((rowid, sz.toArray))
+          nRow += 1
+          (rowid, (null +: values).toIndexedSeq)
+        }
+    val builder = new Fts5IndexBuilder()
+    var idxKeys: Seq[IndexedSeq[Any]] = Nil
+    def dataRows(): Iterator[(Long, IndexedSeq[Any])] = {
+      // one distributed job: per-column token posexplode, then a
+      // cluster sort by (term bytes, rowid, col, pos); the driver
+      // only folds consecutive (term, rowid) runs into poslists
+      val base = withRid
+      val tokens = cols.zipWithIndex.map { case (c, i) =>
+        base.select(
+          functions.col("__rid").as("rid"),
+          functions.lit(i).as("col"),
+          functions.posexplode(org.apache.spark.sql.graft.SqlInternals
+            .column(Fts5Tokens(org.apache.spark.sql.graft.SqlInternals
+              .expression(functions.col(c))))).as(Seq("pos", "term")))
+      }.reduce(_ unionAll _)
+      val it = tokens.orderBy("term", "rid", "col", "pos")
+        .toLocalIterator().asScala
+      var curTerm: String = null
+      var curRid = -1L
+      val entries = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      def emit(): Unit = if (curTerm != null && entries.nonEmpty) {
+        builder.add(curTerm.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          curRid, Fts5IndexBuilder.poslist(entries.toSeq))
+        entries.clear()
+      }
+      it.foreach { r =>
+        val (ridV, colV, posV, termV) =
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+        if (termV != curTerm || ridV != curRid) {
+          emit()
+          curTerm = termV
+          curRid = ridV
+        }
+        entries += ((colV, posV))
+      }
+      emit()
+      val res = builder.finish(nRow, colTotals.toSeq)
+      idxKeys = res.idxRows
+      res.dataRows.map { case (id, bytes) =>
+        (id, IndexedSeq[Any](null, bytes))
+      }
+    }
+    def q(n: String) = s"'$n'"
+    Seq(
+      SqliteWriter.StreamedTable(s"${t}_content",
+        s"CREATE TABLE ${q(s"${t}_content")}(id INTEGER PRIMARY KEY" +
+          (0 until nCols).map(i => s", c$i").mkString + ")",
+        contentRows _),
+      SqliteWriter.StreamedTable(s"${t}_docsize",
+        s"CREATE TABLE ${q(s"${t}_docsize")}(id INTEGER PRIMARY KEY, sz BLOB)",
+        () => docsizes.iterator.map { case (id, sz) =>
+          (id, IndexedSeq[Any](null, sz))
+        }),
+      SqliteWriter.StreamedTable(s"${t}_config",
+        s"CREATE TABLE ${q(s"${t}_config")}(k PRIMARY KEY, v) WITHOUT ROWID",
+        () => Iterator.empty,
+        withoutRowidKeys = Some(() =>
+          Iterator(IndexedSeq[Any]("version", 4L)))),
+      SqliteWriter.StreamedTable(s"${t}_data",
+        s"CREATE TABLE ${q(s"${t}_data")}(id INTEGER PRIMARY KEY, block BLOB)",
+        dataRows _),
+      SqliteWriter.StreamedTable(s"${t}_idx",
+        s"CREATE TABLE ${q(s"${t}_idx")}(segid, term, pgno, " +
+          "PRIMARY KEY(segid, term)) WITHOUT ROWID",
+        () => Iterator.empty,
+        withoutRowidKeys = Some { () =>
+          // the spill file has been fully drained by the _data pass
+          builder.close()
+          idxKeys.iterator
+        }))
   }
 
   /** Bulk migration: ingest many `.sqlite` segment files with bounded

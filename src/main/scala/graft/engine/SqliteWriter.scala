@@ -54,11 +54,16 @@ object SqliteWriter {
     * (SQLite stores it as NULL in the record). `rows()` is consumed
     * exactly once, BEFORE any of the table's `indexes` — index key
     * iterators may therefore be built as side effects of the row
-    * pass. */
+    * pass. A WITHOUT ROWID table instead supplies
+    * `withoutRowidKeys` (full records, PRIMARY-KEY-prefix column
+    * order, pre-sorted): its storage is an index B-tree whose master
+    * row still reads type='table' (fileformat2.html §2.2); `rows` is
+    * then ignored. */
   final case class StreamedTable(
       name: String, ddl: String,
       rows: () => Iterator[(Long, IndexedSeq[Any])],
-      indexes: Seq[StreamedIndex] = Nil)
+      indexes: Seq[StreamedIndex] = Nil,
+      withoutRowidKeys: Option[() => Iterator[IndexedSeq[Any]]] = None)
 
   /** Buffered convenience form (specs, small tables): rows in memory,
     * `autoIndexCols` = value indices of a non-rowid-alias PRIMARY KEY,
@@ -86,14 +91,24 @@ object SqliteWriter {
     * its table row, as SQLite itself catalogs them. */
   def writeStreamed(path: Path, tables: Seq[StreamedTable],
       pageSize: Int = 4096, views: Seq[(String, String)] = Nil,
-      triggers: Seq[(String, String, String)] = Nil): Unit = {
+      triggers: Seq[(String, String, String)] = Nil,
+      virtualTables: Seq[(String, String)] = Nil): Unit = {
     val ch = FileChannel.open(path, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
       val w = new SqliteWriter(pageSize, ch)
       val masterRows = ArrayBuffer[IndexedSeq[Any]]()
+      // virtual tables are catalog-only like views: (type='table',
+      // rootpage=0, sql = the CREATE VIRTUAL TABLE text); the module
+      // reads its shadow tables, which `tables` carries physically
+      virtualTables.foreach { case (name, sql) =>
+        masterRows += IndexedSeq[Any]("table", name, name, 0L, sql)
+      }
       tables.foreach { t =>
-        val root = w.buildTableTree(t.rows())
+        val root = t.withoutRowidKeys match {
+          case Some(keys) => w.buildIndexTreeSorted(keys())
+          case None => w.buildTableTree(t.rows())
+        }
         masterRows += IndexedSeq[Any]("table", t.name, t.name, root.toLong, t.ddl)
         t.indexes.foreach { ix =>
           val ixRoot = w.buildIndexTreeSorted(ix.keys())

@@ -397,15 +397,18 @@ class FtsSpec extends SparkSpecBase {
     assert(e4.getMessage.contains("more than one MATCH"), e4.getMessage)
   }
 
-  test("refusals: export, UNINDEXED; operator-as-term and empty queries error") {
+  test("refusals: prefix= export, UNINDEXED; operator-as-term errors") {
     val id = seg(schema); val db = cliDb(schema)
     runBoth(id, db, fill)
     val e3 = intercept[Exception](engine.read(id, m("AND")))
     assert(e3.getMessage.contains("fts5"))
+    // export now builds the real fts5 index (Fts5ExportSpec) — only
+    // prefix= tables refuse (they would need prefix-index segments)
+    val id2 = seg("CREATE VIRTUAL TABLE p USING fts5(a, prefix=2);")
     val e4 = intercept[UnsupportedOperationException](
-      engine.store.exportSqliteSegment(id,
+      engine.store.exportSqliteSegment(id2,
         Files.createTempDirectory("fts-exp").resolve("x.sqlite").toString))
-    assert(e4.getMessage.contains("fts5 shadow-table"))
+    assert(e4.getMessage.contains("prefix="), e4.getMessage)
     val e5 = intercept[Exception](seg(
       "CREATE VIRTUAL TABLE u USING fts5(a, b UNINDEXED);"))
     assert(e5.getMessage.contains("UNINDEXED"))
