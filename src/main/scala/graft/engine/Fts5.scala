@@ -313,8 +313,12 @@ object Fts5 {
       case "prefix" =>
         if (!v.trim.matches("[0-9 ]+"))
           refuse("prefix= takes a list of integer prefix lengths")
+        if (v.trim.split("\\s+").exists(p => p.toInt < 1 || p.toInt > 999))
+          throw new IllegalArgumentException( // real fts5's message
+            "prefix length out of range (max 999)")
       // else: accepted — a prefix index only changes the lookup
       // structure; this engine's scan answers identically without it
+      // (and exports build the declared prefix segments)
       case "detail" =>
         if (v.trim.toLowerCase(java.util.Locale.ROOT) != "full")
           refuse("detail=none/column drop the position data phrase and " +

@@ -31,8 +31,12 @@ import scala.collection.mutable.ArrayBuffer
   *    term offsets, first absolute then deltas. The first term on a
   *    page is stored whole (varint nByte + bytes); subsequent terms
   *    prefix-compress against the previous term (varint nPrefix,
-  *    varint nSuffix, suffix bytes). Terms carry the index-id prefix
-  *    byte '0' (the main term index; prefix indexes would use '1'…).
+  *    varint nSuffix, suffix bytes). Terms carry an index-id prefix
+  *    byte — '0' for the main term index, '1'… for declared prefix=
+  *    indexes in declaration order (each holding the first-L-CHARS
+  *    prefixes of tokens at least L characters long, doclist
+  *    positions merged per row; probed) — which the CALLER prepends
+  *    so all indexes interleave one byte-ordered term stream.
   *    A doclist is rowid (absolute at doclist start AND at each
   *    page's first-rowid position, delta otherwise), varint
   *    2*len(poslist), poslist bytes. Poslists encode positions as
@@ -105,7 +109,9 @@ final class Fts5IndexBuilder(pgsz: Int = 4000) extends AutoCloseable {
 
   private def appendVarint(v: Long): Unit = putVarint(page, v)
 
-  /** One (term, rowid, poslist) entry; poslist from
+  /** One (term, rowid, poslist) entry; `term` carries its index-id
+    * prefix byte already ('0' = the main term index, '1'… = declared
+    * prefix indexes in declaration order); poslist from
     * [[Fts5IndexBuilder.poslist]]. */
   def add(term: Array[Byte], rowid: Long, poslist: Array[Byte]): Unit = {
     require(!finished, "builder already finished")
@@ -116,25 +122,19 @@ final class Fts5IndexBuilder(pgsz: Int = 4000) extends AutoCloseable {
         require(java.util.Arrays.compareUnsigned(prevTerm, term) < 0,
           "fts5 index terms must arrive in ascending byte order")
       if (page.length >= pgsz) flushPage()
-      val prefixed = new Array[Byte](term.length + 1)
-      prefixed(0) = '0' // main term index
-      System.arraycopy(term, 0, prefixed, 0 + 1, term.length)
       val off = page.length
       if (!prevTermOnPage) {
-        appendVarint(prefixed.length.toLong)
-        page ++= prefixed
-        if (pageFirstTerm == null) pageFirstTerm = prefixed
+        appendVarint(term.length.toLong)
+        page ++= term
+        if (pageFirstTerm == null) pageFirstTerm = term
       } else {
-        val prevPrefixed = new Array[Byte](prevTerm.length + 1)
-        prevPrefixed(0) = '0'
-        System.arraycopy(prevTerm, 0, prevPrefixed, 1, prevTerm.length)
         var np = 0
-        val max = math.min(prevPrefixed.length, prefixed.length)
-        while (np < max && prevPrefixed(np) == prefixed(np)) np += 1
+        val max = math.min(prevTerm.length, term.length)
+        while (np < max && prevTerm(np) == term(np)) np += 1
         appendVarint(np.toLong)
-        appendVarint((prefixed.length - np).toLong)
+        appendVarint((term.length - np).toLong)
         var i = np
-        while (i < prefixed.length) { page += prefixed(i); i += 1 }
+        while (i < term.length) { page += term(i); i += 1 }
       }
       putVarint(footer, (off - lastTermOff).toLong) // first abs, then deltas
       lastTermOff = off

@@ -713,18 +713,22 @@ class SegmentStore(
     * varint per column); pass 2 runs ONE distributed
     * tokenize+posexplode+sort job and streams the sorted postings
     * into the builder, whose pages spill to driver disk — driver
-    * memory stays O(page), the export contract. Options with no
-    * faithful on-disk analog refuse by name: prefix= (real fts5 would
-    * expect '1'+-prefixed prefix-index segments) and columnsize=0
-    * (that config creates no %_docsize shadow at all). */
+    * memory stays O(page), the export contract. Declared prefix=
+    * indexes are built too ('1'…-prefixed first-L-CHARS terms in
+    * declaration order, per-row merged position lists — probed
+    * shapes); columnsize=0 refuses by name (that config creates no
+    * %_docsize shadow at all). */
   private def ftsExportTables(segmentId: String, t: String,
       ddl: String): Seq[SqliteWriter.StreamedTable] = {
-    if ("(?is).*\\bprefix\\s*=.*".r.matches(SqliteDdl.blankLiterals(ddl)) ||
-      "(?is).*\\bprefix\\s*=.*".r.matches(ddl))
-      throw new UnsupportedOperationException(
-        s"cannot export fts5 table '$t': it declares prefix= indexes, " +
-          "which real fts5 expects as extra index segments this engine " +
-          "does not build; recreate the table without prefix= to export")
+    // prefix= occurrences in declaration order define index ids 1…;
+    // quoted lists hold several lengths, duplicates kept (probed)
+    val prefixLens: Seq[Int] =
+      "(?i)\\bprefix\\s*=\\s*(?:'([0-9 ]*)'|\"([0-9 ]*)\"|([0-9]+))".r
+        .findAllMatchIn(ddl).flatMap { m =>
+          Option(m.group(1)).orElse(Option(m.group(2)))
+            .orElse(Option(m.group(3))).get.trim.split("\\s+")
+            .filter(_.nonEmpty).map(_.toInt)
+        }.toSeq
     if ("(?is).*\\bcolumnsize\\s*=\\s*['\"]?\\s*0.*".r.matches(ddl))
       throw new UnsupportedOperationException(
         s"cannot export fts5 table '$t': columnsize=0 tables have no " +
@@ -759,11 +763,13 @@ class SegmentStore(
     val builder = new Fts5IndexBuilder()
     var idxKeys: Seq[IndexedSeq[Any]] = Nil
     def dataRows(): Iterator[(Long, IndexedSeq[Any])] = {
-      // one distributed job: per-column token posexplode, then a
-      // cluster sort by (term bytes, rowid, col, pos); the driver
-      // only folds consecutive (term, rowid) runs into poslists
+      // one distributed job: per-column token posexplode (plus one
+      // branch per declared prefix index: first-L-CHARS terms), then
+      // a cluster sort by (id-prefixed term bytes, rowid, col, pos);
+      // the driver only folds consecutive (term, rowid) runs into
+      // poslists
       val base = withRid
-      val tokens = cols.zipWithIndex.map { case (c, i) =>
+      val rawTokens = cols.zipWithIndex.map { case (c, i) =>
         base.select(
           functions.col("__rid").as("rid"),
           functions.lit(i).as("col"),
@@ -771,6 +777,20 @@ class SegmentStore(
             .column(Fts5Tokens(org.apache.spark.sql.graft.SqlInternals
               .expression(functions.col(c))))).as(Seq("pos", "term")))
       }.reduce(_ unionAll _)
+      def branch(idByte: Char, termCol: org.apache.spark.sql.Column) =
+        rawTokens.select(functions.col("rid"), functions.col("col"),
+          functions.col("pos"),
+          functions.concat(functions.lit(idByte.toString), termCol)
+            .as("term"))
+      val tokens = (branch('0', functions.col("term")) +:
+        prefixLens.zipWithIndex.map { case (len, pi) =>
+          // tokens shorter than the prefix stay out (probed): after
+          // substring the branched term is id byte + min(len, tokLen)
+          // chars, so a full-length prefix means length == len + 1
+          branch(('1' + pi).toChar, functions.substring(
+            functions.col("term"), 1, len))
+            .where(functions.length(functions.col("term")) === len + 1)
+        }).reduce(_ unionAll _)
       val it = tokens.orderBy("term", "rid", "col", "pos")
         .toLocalIterator().asScala
       var curTerm: String = null

@@ -109,6 +109,22 @@ class Fts5ExportSpec extends SparkSpecBase {
     same(id, db, "SELECT a FROM d WHERE d MATCH 'NEAR(alpha xi, 1)' ORDER BY a;")
   }
 
+  test("prefix= indexes export and real sqlite3 seeks them") {
+    val id = seg("CREATE VIRTUAL TABLE d USING fts5(a, b, prefix='2 3');")
+    engine.write(id, "INSERT INTO d VALUES " +
+      "('abc abd xe café ab x', 'zzz'), " +
+      "('привет пока мир', NULL), " +
+      "('abc abc прекрасно', 'abacus')," +
+      "('unrelated words here', 'more filler');")
+    val db = export(id)
+    checkIntegrity(db, "d") // fts5 checksums prefix indexes too
+    for (q <- Seq("ab*", "пр*", "caf*", "a*", "x*", "abc", "пок*", "zz*"))
+      same(id, db, "SELECT count(*) AS c FROM d WHERE d MATCH " +
+        s"'${q.replace("'", "''")}';")
+    same(id, db, "SELECT a, printf('%.6f', bm25(d)) FROM d " +
+      "WHERE d MATCH 'ab*' ORDER BY a;")
+  }
+
   test("empty fts table and ingest round trip") {
     val id = seg("CREATE VIRTUAL TABLE d USING fts5(a, b);")
     val db0 = export(id)

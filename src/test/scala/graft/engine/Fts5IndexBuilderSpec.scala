@@ -27,10 +27,13 @@ class Fts5IndexBuilderSpec extends AnyFunSuite {
   private def sqlEscape(s: String) = s.replace("'", "''")
 
   /** Build the index for `rows` (seq of column values, null allowed)
-    * with the engine tokenizer and return the shadow-rewrite SQL. */
+    * with the engine tokenizer and return the shadow-rewrite SQL.
+    * `prefixes` = declared prefix= lengths in declaration order
+    * (index ids '1'…), matching what the table was created with. */
   private def rebuildSql(table: String, nCols: Int,
-      rows: Seq[Seq[String]], pgsz: Int): String = {
-    // (term -> rowid -> positions) via the engine tokenizer
+      rows: Seq[Seq[String]], pgsz: Int,
+      prefixes: Seq[Int] = Nil): String = {
+    // (id-prefixed term -> rowid -> positions) via the engine tokenizer
     val inverted = mutable.TreeMap[String, mutable.TreeMap[Long, mutable.ArrayBuffer[(Int, Int)]]]()
     val colTotals = Array.fill(nCols)(0L)
     rows.zipWithIndex.foreach { case (r, i) =>
@@ -40,8 +43,15 @@ class Fts5IndexBuilderSpec extends AnyFunSuite {
           val toks = Fts5.tokenize(text)
           colTotals(c) += toks.length
           toks.zipWithIndex.foreach { case (t, pos) =>
-            inverted.getOrElseUpdate(t, mutable.TreeMap())
-              .getOrElseUpdate(rowid, mutable.ArrayBuffer()) += ((c, pos))
+            def put(term: String): Unit =
+              inverted.getOrElseUpdate(term, mutable.TreeMap())
+                .getOrElseUpdate(rowid, mutable.ArrayBuffer()) += ((c, pos))
+            put("0" + t)
+            prefixes.zipWithIndex.foreach { case (len, pi) =>
+              if (t.codePointCount(0, t.length) >= len)
+                put(('1' + pi).toChar.toString +
+                  t.substring(0, t.offsetByCodePoints(0, len)))
+            }
           }
         }
       }
@@ -55,7 +65,8 @@ class Fts5IndexBuilderSpec extends AnyFunSuite {
         .sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
       termsSorted.foreach { case (bytes, t) =>
         inverted(t).foreach { case (rowid, entries) =>
-          b.add(bytes, rowid, Fts5IndexBuilder.poslist(entries.toSeq.sorted))
+          b.add(bytes, rowid,
+            Fts5IndexBuilder.poslist(entries.toSeq.sorted.distinct))
         }
       }
       val res = b.finish(rows.length.toLong, colTotals.toSeq)
@@ -77,8 +88,10 @@ class Fts5IndexBuilderSpec extends AnyFunSuite {
   /** Create twin dbs, replace the index in one, and compare `queries`
     * plus integrity-check. */
   private def check(nCols: Int, rows: Seq[Seq[String]], queries: Seq[String],
-      pgsz: Int = 4000): Unit = {
-    val cols = (0 until nCols).map(i => s"c$i").mkString(", ")
+      pgsz: Int = 4000, prefixes: Seq[Int] = Nil): Unit = {
+    val cols = (0 until nCols).map(i => s"c$i").mkString(", ") +
+      (if (prefixes.isEmpty) ""
+      else s", prefix='${prefixes.mkString(" ")}'")
     val inserts = rows.map(r => r.map(v =>
       if (v == null) "NULL" else s"'${sqlEscape(v)}'").mkString("(", ", ", ")"))
     val fill =
@@ -89,7 +102,7 @@ class Fts5IndexBuilderSpec extends AnyFunSuite {
       s"CREATE VIRTUAL TABLE t USING fts5($cols);\n$fill") == 0)
     assert(SqliteCli.run(rebuilt.toString,
       s"CREATE VIRTUAL TABLE t USING fts5($cols);\n$fill") == 0)
-    val rewrite = rebuildSql("t", nCols, rows, pgsz)
+    val rewrite = rebuildSql("t", nCols, rows, pgsz, prefixes)
     assert(SqliteCli.run(rebuilt.toString,
       s".dbconfig defensive off\n$rewrite") == 0, "shadow rewrite failed")
     // fts5's own consistency check over OUR index bytes
@@ -165,6 +178,22 @@ class Fts5IndexBuilderSpec extends AnyFunSuite {
       "SELECT rowid, printf('%.6f', bm25(t)) FROM t WHERE t MATCH 'same' ORDER BY rowid;",
       "SELECT rowid FROM t WHERE t MATCH 'other' ORDER BY rowid;"),
       pgsz = 64)
+  }
+
+  test("prefix= indexes: chars not bytes, merged doclists, decl order") {
+    val rows = Seq(
+      Seq("abc abd xe café ab x"),
+      Seq("привет пока мир"),
+      Seq("abc abc abc прекрасно"),
+      Seq(null))
+    val queries = Seq("ab*", "пр*", "caf*", "a*", "x*", "abc", "пок*")
+      .map(q => s"SELECT rowid FROM t WHERE t MATCH '$q' ORDER BY rowid;") ++ Seq(
+      "SELECT rowid, printf('%.6f', bm25(t)) FROM t WHERE t MATCH 'ab*' ORDER BY rowid;",
+      "SELECT highlight(t, 0, '[', ']') FROM t WHERE t MATCH 'пр*' ORDER BY rowid;")
+    // declaration order defines index ids; '3 2' exercises unsorted
+    check(1, rows, queries, prefixes = Seq(2))
+    check(1, rows, queries, prefixes = Seq(3, 2))
+    check(1, rows, queries, pgsz = 64, prefixes = Seq(2, 3))
   }
 
   test("fuzz: 200-row corpus, index answers every query like fts5's own") {

@@ -402,13 +402,19 @@ class FtsSpec extends SparkSpecBase {
     runBoth(id, db, fill)
     val e3 = intercept[Exception](engine.read(id, m("AND")))
     assert(e3.getMessage.contains("fts5"))
-    // export now builds the real fts5 index (Fts5ExportSpec) — only
-    // prefix= tables refuse (they would need prefix-index segments)
-    val id2 = seg("CREATE VIRTUAL TABLE p USING fts5(a, prefix=2);")
+    // export builds the real fts5 index incl. prefix= segments
+    // (Fts5ExportSpec) — only columnsize=0 refuses (that config has
+    // no %_docsize shadow in real fts5)
+    val id2 = seg("CREATE VIRTUAL TABLE p USING fts5(a, columnsize=0);")
     val e4 = intercept[UnsupportedOperationException](
       engine.store.exportSqliteSegment(id2,
         Files.createTempDirectory("fts-exp").resolve("x.sqlite").toString))
-    assert(e4.getMessage.contains("prefix="), e4.getMessage)
+    assert(e4.getMessage.contains("columnsize=0"), e4.getMessage)
+    // prefix=0 mirrors real fts5's named range error (wrapped by the
+    // schema validation path)
+    val e4b = intercept[Exception](seg(
+      "CREATE VIRTUAL TABLE p0 USING fts5(a, prefix=0);"))
+    assert(e4b.getMessage.contains("prefix length out of range"), e4b.getMessage)
     val e5 = intercept[Exception](seg(
       "CREATE VIRTUAL TABLE u USING fts5(a, b UNINDEXED);"))
     assert(e5.getMessage.contains("UNINDEXED"))
