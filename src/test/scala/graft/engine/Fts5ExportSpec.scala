@@ -125,6 +125,62 @@ class Fts5ExportSpec extends SparkSpecBase {
       "WHERE d MATCH 'ab*' ORDER BY a;")
   }
 
+  test("fuzz: random schemas, DML and unicode corpora export verified") {
+    val rng = new scala.util.Random(20260814L)
+    // deliberately hostile pool: case variants, diacritics (folded),
+    // CJK (alphanumeric in unicode61), emoji + punctuation
+    // (separators), digits, apostrophes, empty-ish strings
+    val words = Seq("alpha", "Alpha", "ALPHA", "beta", "beta42", "42",
+      "don't", "café", "Ärger", "naïve", "中文字", "汉字", "🚀🎉", "--!!--",
+      "x", "xyzzy", "word.word", "a:b", "ünïcödé")
+    def text(): String =
+      if (rng.nextInt(12) == 0) ""
+      else Seq.fill(1 + rng.nextInt(7))(words(rng.nextInt(words.length)))
+        .mkString(" ")
+    def lit(): String =
+      if (rng.nextInt(10) == 0) "NULL"
+      else s"'${text().replace("'", "''")}'"
+    val matchPool = Seq("alpha", "beta", "42", "don", "t", "cafe", "arger",
+      "naive", "中文字", "xyzzy", "word", "b", "unicode")
+    for (i <- 1 to 8) {
+      val nCols = 1 + rng.nextInt(2)
+      val prefix =
+        if (rng.nextInt(3) == 0) s", prefix='${1 + rng.nextInt(3)}'" else ""
+      val colNames = (0 until nCols).map(j => s"c$j")
+      val id = seg(s"CREATE VIRTUAL TABLE f USING " +
+        s"fts5(${colNames.mkString(", ")}$prefix);")
+      val script = new StringBuilder
+      script ++= (1 to 6 + rng.nextInt(10)).map(_ =>
+        s"INSERT INTO f VALUES (${colNames.map(_ => lit()).mkString(", ")});")
+        .mkString
+      if (rng.nextBoolean())
+        script ++= s"UPDATE f SET c0 = ${lit()} WHERE c0 LIKE '%a%';"
+      if (rng.nextBoolean())
+        script ++= "DELETE FROM f WHERE c0 LIKE '%42%';"
+      engine.write(id, script.toString)
+      val db = export(id)
+      checkIntegrity(db, "f")
+      for (_ <- 1 to 6) {
+        val w = matchPool(rng.nextInt(matchPool.length))
+        val q = rng.nextInt(4) match {
+          case 0 => s"${w.take(1 + rng.nextInt(w.length))}*"
+          case 1 => s"$w OR ${matchPool(rng.nextInt(matchPool.length))}"
+          case _ => w
+        }
+        try same(id, db, s"SELECT c0, printf('%.6f', bm25(f)) FROM f " +
+          s"WHERE f MATCH '${q.replace("'", "''")}' ORDER BY 1, 2;")
+        catch {
+          case e: Throwable =>
+            val content = SqliteCli.query(db.toString,
+              "SELECT id, quote(c0)" +
+                (if (nCols > 1) ", quote(c1)" else "") + " FROM f_content;")
+            throw new AssertionError(
+              s"[iter $i] corpus:\n$content\nscript: $script\n${e.getMessage}", e)
+        }
+      }
+    }
+  }
+
   test("empty fts table and ingest round trip") {
     val id = seg("CREATE VIRTUAL TABLE d USING fts5(a, b);")
     val db0 = export(id)
