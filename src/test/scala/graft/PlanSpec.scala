@@ -128,6 +128,23 @@ class PlanSpec extends SparkSpecBase {
     assert(Tables.fastRowCount(emb.where(col("vec_id") < 10)) == 10L)
   }
 
+  test("q64 fts MATCH: codegen'd predicate on the scan, no shuffle before sort") {
+    val p = plan("q64_fts_match")
+    // the token predicates are native expressions (codegen'd via
+    // doGenCode) sitting directly in the scan's Filter — no UDF/
+    // BatchEvalPython/mapPartitions stage (AQE's pre-execution plan
+    // string hides WholeStageCodegen spans, so assert the shape)
+    assert(p.contains("fts5_match_phrase"), p)
+    assert(!p.contains("BatchEval"), p)
+    // scan-bound: one exchange total (the global sort's range partition)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected no pre-sort shuffles:\n$p")
+    // column pruning reaches parquet: only doc_id + text read
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("url"), read)
+  }
+
   test("no query plans an unintended CartesianProduct") {
     // cross joins are legitimate only where declared (q11 cross_join,
     // kNN/IVF probe joins are broadcast nested loops, never Cartesian)
