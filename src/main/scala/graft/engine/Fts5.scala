@@ -244,7 +244,21 @@ object Fts5 {
   // ------------------------------------------- CREATE VIRTUAL TABLE
 
   final case class FtsTableDef(name: String, columns: Seq[String],
-      ifNotExists: Boolean, sql: String)
+      ifNotExists: Boolean, sql: String,
+      unindexed: Set[String] = Set.empty) {
+    /** Bitmask of searchable columns (UNINDEXED ones excluded —
+      * probed: they store and render but never match, count in no
+      * doc length, and column filters over them silently match
+      * nothing). */
+    def indexedMask: Long = Fts5.indexedMaskOf(columns, unindexed)
+  }
+
+  /** Bitmask of indexed columns given the declared order. */
+  def indexedMaskOf(columns: Seq[String], unindexed: Set[String]): Long =
+    columns.zipWithIndex.foldLeft(0L) { case (m, (c, i)) =>
+      if (unindexed.contains(c.toLowerCase(java.util.Locale.ROOT))) m
+      else m | (1L << i)
+    }
 
   private val createVirtualRe =
     ("(?is)^\\s*CREATE\\s+VIRTUAL\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
@@ -263,22 +277,26 @@ object Fts5 {
           "fts5 module has an engine analog (rtree and other modules " +
           "are libsqlite3 extensions with no equivalent here)")
     val name = SqlScript.unquoteIdent(m.group(2))
+    val unindexed = Set.newBuilder[String]
     val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).flatMap { arg =>
       if (arg.contains("=")) { checkOption(arg); None }
       else {
-        if ("(?i).*\\sUNINDEXED\\s*$".r.matches(arg))
-          throw new UnsupportedOperationException(
-            s"fts5 UNINDEXED column '$arg' is not supported: every declared " +
-              "column is searchable in this engine")
-        val c = SqlScript.unquoteIdent(arg)
+        // `col UNINDEXED` (r11): stored and rendered but never
+        // searched — probed: MATCH and `col :` filters over it match
+        // nothing (no error), its tokens count in no document length
+        val bare = "(?i)\\sUNINDEXED\\s*$".r
+          .replaceFirstIn(arg, "") match { case b => b.trim }
+        val c = SqlScript.unquoteIdent(bare)
         require(c.nonEmpty && !c.exists(ch => ch.isWhitespace),
           s"cannot parse fts5 column: '$arg'")
+        if (bare != arg.trim)
+          unindexed += c.toLowerCase(java.util.Locale.ROOT)
         Some(c)
       }
     }
     require(cols.nonEmpty, "fts5 table needs at least one column")
     Some(FtsTableDef(name, cols, m.group(1) != null,
-      stmt.trim.stripSuffix(";").trim))
+      stmt.trim.stripSuffix(";").trim, unindexed.result()))
   }
 
   /** Accept exactly the fts5 options a stateless scan reproduces
@@ -513,7 +531,8 @@ object Fts5 {
     * inlining them in single quotes is injection-safe by
     * construction. */
   def compileMatch(node: Node, columns: Seq[String],
-      qualify: String => String): String = {
+      qualify: String => String,
+      unindexed: Set[String] = Set.empty): String = {
     // fts5_match_phrase is a single codegen'd expression (no lambda
     // HOFs — the dialect's textual JSON-arrow rewrite would mangle
     // `x -> …` before the parser saw it); token literals inline
@@ -534,6 +553,8 @@ object Fts5 {
       s"fts5_near(fts5_tokens(${qualify(col)}), $phrases, $flags, ${g.n})"
     }
     def go(nd: Node, active: Seq[String]): String = nd match {
+      case _: Phrase | _: NearGroup if active.isEmpty =>
+        "(1 = 0)" // filter narrowed to an UNINDEXED column (probed)
       case ph: Phrase =>
         active.map(c => phrasePred(c, ph)).mkString("(", " OR ", ")")
       case g: NearGroup =>
@@ -541,12 +562,14 @@ object Fts5 {
       case ColFilter(c, child) =>
         val resolved = columns.find(_.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(s"fts5: no such column: $c"))
-        go(child, Seq(resolved))
+        go(child, Seq(resolved).filterNot(r =>
+          unindexed.contains(r.toLowerCase(java.util.Locale.ROOT))))
       case AndN(l, r) => s"(${go(l, active)} AND ${go(r, active)})"
       case OrN(l, r) => s"(${go(l, active)} OR ${go(r, active)})"
       case NotN(l, r) => s"(${go(l, active)} AND NOT ${go(r, active)})"
     }
-    go(node, columns)
+    go(node, columns.filterNot(c =>
+      unindexed.contains(c.toLowerCase(java.util.Locale.ROOT))))
   }
 
   /** The MATCH predicate as a COLUMN tree (no function registration
@@ -556,7 +579,8 @@ object Fts5 {
     * to their Columns; all of them are searched unless the query
     * column-filters. */
   def matchPredicate(query: String,
-      cols: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+      cols: Map[String, org.apache.spark.sql.Column],
+      unindexed: Set[String] = Set.empty): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, CreateArray, Literal, Not => CNot, Or => COr}
     val names = cols.keys.toSeq.sorted
     def strArr(ts: Seq[String]): Expression =
@@ -576,6 +600,8 @@ object Fts5 {
           Literal(flagsOf(p.prefix, anchored = false)): Expression)),
         Literal(g.n))
     def go(nd: Node, active: Seq[String]): Expression = nd match {
+      case _: Phrase | _: NearGroup if active.isEmpty =>
+        Literal(false) // filter narrowed to an UNINDEXED column
       case ph: Phrase =>
         active.map(c => phrasePred(c, ph): Expression).reduce(COr(_, _))
       case g: NearGroup =>
@@ -583,12 +609,15 @@ object Fts5 {
       case ColFilter(c, child) =>
         val resolved = names.find(_.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(s"fts5: no such column: $c"))
-        go(child, Seq(resolved))
+        go(child, Seq(resolved).filterNot(r =>
+          unindexed.contains(r.toLowerCase(java.util.Locale.ROOT))))
       case AndN(l, r) => CAnd(go(l, active), go(r, active))
       case OrN(l, r) => COr(go(l, active), go(r, active))
       case NotN(l, r) => CAnd(go(l, active), CNot(go(r, active)))
     }
-    org.apache.spark.sql.graft.SqlInternals.column(go(parseQuery(query), names))
+    org.apache.spark.sql.graft.SqlInternals.column(go(parseQuery(query),
+      names.filterNot(c =>
+        unindexed.contains(c.toLowerCase(java.util.Locale.ROOT)))))
   }
 
   // -------------------------------------------- statement rewriting
@@ -603,8 +632,11 @@ object Fts5 {
     * ("no such column"), so it falls through unresolved and the read
     * gate's named refusal explains the contract. */
   def rewriteMatch(stmt: String, ftsTables: Map[String, Seq[String]],
-      statsOf: (String, Seq[PhraseSpec]) => AuxStats = null): String = {
+      statsOf: (String, Seq[PhraseSpec]) => AuxStats = null,
+      unindexedOf: Map[String, Set[String]] = Map.empty): String = {
     if (ftsTables.isEmpty) return stmt
+    def unidx(tLower: String): Set[String] =
+      unindexedOf.getOrElse(tLower, Set.empty)
     val id = "[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|`[^`]+`|\\[[^\\]]+\\]"
     val matchRe =
       s"(?is)($id)(?:\\s*\\.\\s*($id))?\\s+MATCH\\s+('(?:[^']|'')*')".r
@@ -648,13 +680,15 @@ object Fts5 {
           val node = parseQuery(query)
           matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
           val sql = compileMatch(node, cols,
-            c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"))
+            c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"),
+            unidx(owner))
           java.util.regex.Matcher.quoteReplacement(s"($sql)")
         case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
     })
     if (statsOf == null) replaced
-    else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap, statsOf)
+    else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap, statsOf,
+      unindexedOf)
   }
 
   // ------------------------------------- bm25() / rank scoring (r11)
@@ -696,9 +730,11 @@ object Fts5 {
     * That exposure is a cross-row artifact of fts5_expr's lazy
     * iterator protocol, not a function of the scored row; this engine
     * gates by satisfied branches consistently on every row. */
-  def collectPhrases(node: Node, columns: Seq[String])
+  def collectPhrases(node: Node, columns: Seq[String],
+      indexedMask: Long = -1L)
       : (Seq[PhraseSpec], Seq[Int], Seq[Int]) = {
-    val all = if (columns.length >= 63) ~0L else (1L << columns.length) - 1
+    val all = (if (columns.length >= 63) ~0L
+    else (1L << columns.length) - 1) & indexedMask
     val specs = mutable.ArrayBuffer[PhraseSpec]()
     val groupNs = mutable.ArrayBuffer[Int]()
     val code = mutable.ArrayBuffer[Int]()
@@ -716,7 +752,7 @@ object Fts5 {
       case ColFilter(c, child) =>
         val i = columns.indexWhere(_.equalsIgnoreCase(c))
         if (i < 0) throw new IllegalArgumentException(s"fts5: no such column: $c")
-        go(child, 1L << i)
+        go(child, (1L << i) & indexedMask) // UNINDEXED filter → mask 0
       case AndN(l, r) => code += 2; go(l, mask); go(r, mask)
       case OrN(l, r) => code += 3; go(l, mask); go(r, mask)
       case NotN(l, r) => code += 4; go(l, mask); go(r, mask)
@@ -1243,9 +1279,9 @@ object Fts5 {
     * masks, NEAR-group ids, NEAR-group proximities (sentinel
     * `array(-1)` when none — a bare `array()` won't type), and the
     * prefix-encoded expression tree. */
-  private def nodeArraySql(cols: Seq[String], node: Node)
-      : (Seq[PhraseSpec], Seq[String]) = {
-    val (phrases, groupNs, treeCode) = collectPhrases(node, cols)
+  private def nodeArraySql(cols: Seq[String], node: Node,
+      indexedMask: Long = -1L): (Seq[PhraseSpec], Seq[String]) = {
+    val (phrases, groupNs, treeCode) = collectPhrases(node, cols, indexedMask)
     val phArr = phrases.map(_.tokens.map(t => s"'$t'")
       .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
     val flArr = phrases.map(_.flags).mkString("array(", ", ", ")")
@@ -1274,7 +1310,10 @@ object Fts5 {
     * (real fts5 evaluates them per row) — refused by name. */
   private def rewriteAux(stmt: String, ftsTables: Map[String, Seq[String]],
       mentioned: Seq[String], matches: Map[String, List[(Node, Option[String])]],
-      statsOf: (String, Seq[PhraseSpec]) => AuxStats): String = {
+      statsOf: (String, Seq[PhraseSpec]) => AuxStats,
+      unindexedOf: Map[String, Set[String]] = Map.empty): String = {
+    def maskOf(tLower: String): Long = indexedMaskOf(ftsTables(tLower),
+      unindexedOf.getOrElse(tLower, Set.empty))
     val blanked = SqliteDdl.blankLiterals(stmt)
     val lower = blanked.toLowerCase(java.util.Locale.ROOT)
     if (!lower.contains("bm25") && !lower.contains("highlight") &&
@@ -1293,7 +1332,7 @@ object Fts5 {
                 "bm25()/rank over fts5 tables with more than 63 columns is " +
                   "not supported by this engine (column-mask width)")
             val (phrases, Seq(phArr, flArr, mkArr, gidArr, gnArr, treeArr)) =
-              nodeArraySql(cols, node)
+              nodeArraySql(cols, node, maskOf(tLower))
             val st = statsOf(tLower, phrases)
             val idfs = phrases.zip(st.nHits).map { case (_, h) => idfOf(st.nRows, h) }
             // weights: positional like fts5 — missing default 1.0,
@@ -1301,8 +1340,13 @@ object Fts5 {
             val w = cols.indices.map(i => weights.lift(i).getOrElse(1.0))
             def qc(c: String) =
               qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
-            val toksArr = cols.map(c => s"fts5_tokens(${qc(c)})")
-              .mkString("array(", ", ", ")")
+            // UNINDEXED columns contribute no tokens to the per-row
+            // document length (probed) — feed them empty
+            val tmask = maskOf(tLower)
+            val toksArr = cols.zipWithIndex.map { case (c, i) =>
+              if ((tmask & (1L << i)) == 0) "fts5_tokens('')"
+              else s"fts5_tokens(${qc(c)})"
+            }.mkString("array(", ", ", ")")
             val idfArr = idfs.map(_.toString).mkString("array(", ", ", ")")
             val wArr = w.map(_.toString).mkString("array(", ", ", ")")
             s"fts5_bm25($toksArr, $phArr, $flArr, $mkArr, $idfArr, " +
@@ -1361,7 +1405,7 @@ object Fts5 {
         return if (colIdx < 0 || colIdx >= cols.length) "''"
         else qc(cols(colIdx))
       val arrs = nodeOpt match {
-        case Some(node) => nodeArraySql(cols, node)._2
+        case Some(node) => nodeArraySql(cols, node, maskOf(tLower))._2
         // sentinel single empty-token phrase, mask 0: zero instances
         // everywhere, never matched — exactly the no-MATCH behavior
         case None => Seq("array(array(''))", "array(0)", "array(0)",

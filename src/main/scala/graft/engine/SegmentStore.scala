@@ -736,6 +736,12 @@ class SegmentStore(
     val meta = tableMeta(segmentId, t)
     val cols = meta.schema.fields.map(_.name).toSeq
     val nCols = cols.length
+    // UNINDEXED columns store and render but contribute no postings,
+    // no docsize counts and no totals (probed: sz = 0 entries)
+    val unidx: Set[Int] = Fts5.parseCreateVirtual(ddl)
+      .map(fd => cols.indices.filter(i => fd.unindexed
+        .contains(cols(i).toLowerCase(java.util.Locale.ROOT))).toSet)
+      .getOrElse(Set.empty)
     import org.apache.spark.sql.expressions.Window
     val rid = functions.row_number()
       .over(Window.orderBy(cols.map(functions.col): _*)).cast(LongType)
@@ -752,7 +758,8 @@ class SegmentStore(
             if (r.isNullAt(j)) null else r.getString(j))
           val sz = new scala.collection.mutable.ArrayBuffer[Byte](nCols)
           values.zipWithIndex.foreach { case (v, j) =>
-            val n = if (v == null) 0 else Fts5.tokenize(v).length
+            val n = if (v == null || unidx.contains(j)) 0
+            else Fts5.tokenize(v).length
             colTotals(j) += n
             Fts5IndexBuilder.putVarint(sz, n.toLong)
           }
@@ -769,14 +776,24 @@ class SegmentStore(
       // the driver only folds consecutive (term, rowid) runs into
       // poslists
       val base = withRid
-      val rawTokens = cols.zipWithIndex.map { case (c, i) =>
-        base.select(
-          functions.col("__rid").as("rid"),
-          functions.lit(i).as("col"),
-          functions.posexplode(org.apache.spark.sql.graft.SqlInternals
-            .column(Fts5Tokens(org.apache.spark.sql.graft.SqlInternals
-              .expression(functions.col(c))))).as(Seq("pos", "term")))
-      }.reduce(_ unionAll _)
+      val tokenBranches = cols.zipWithIndex
+        .filterNot { case (_, i) => unidx.contains(i) }
+        .map { case (c, i) =>
+          base.select(
+            functions.col("__rid").as("rid"),
+            functions.lit(i).as("col"),
+            functions.posexplode(org.apache.spark.sql.graft.SqlInternals
+              .column(Fts5Tokens(org.apache.spark.sql.graft.SqlInternals
+                .expression(functions.col(c))))).as(Seq("pos", "term")))
+        }
+      if (tokenBranches.isEmpty) { // every column UNINDEXED
+        val res = builder.finish(nRow, colTotals.toSeq)
+        idxKeys = res.idxRows
+        return res.dataRows.map { case (id, bytes) =>
+          (id, IndexedSeq[Any](null, bytes))
+        }
+      }
+      val rawTokens = tokenBranches.reduce(_ unionAll _)
       def branch(idByte: Char, termCol: org.apache.spark.sql.Column) =
         rawTokens.select(functions.col("rid"), functions.col("col"),
           functions.col("pos"),

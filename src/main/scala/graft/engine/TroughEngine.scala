@@ -148,6 +148,16 @@ class TroughEngine(
         t.toLowerCase(java.util.Locale.ROOT) -> meta.schema.fieldNames.toSeq)
     }.toMap
 
+  /** Lowercased UNINDEXED column names per fts table, re-parsed from
+    * each stored CREATE VIRTUAL TABLE text ([[Fts5.parseCreateVirtual]]
+    * — the declaration travels with the DDL, not the schema). */
+  private def ftsUnindexedOf(segmentId: String): Map[String, Set[String]] =
+    store.tables(segmentId).flatMap { t =>
+      store.tableMeta(segmentId, t).ftsSql
+        .flatMap(Fts5.parseCreateVirtual)
+        .map(fd => t.toLowerCase(java.util.Locale.ROOT) -> fd.unindexed)
+    }.toMap
+
   /** bm25 corpus statistics for one fts table (r11): ONE aggregate job
     * over the backing table computes N, Σ row token counts (avgdl),
     * and each phrase's hit count. Scale shape: a map-side-combined
@@ -168,8 +178,12 @@ class TroughEngine(
     val cols = store.tableMeta(segmentId, real).schema.fieldNames.toSeq
     def toks(c: String): Column =
       SqlInternals.column(Fts5Tokens(SqlInternals.expression(df(c))))
-    val dRow = cols.map(c => coalesce(size(toks(c)).cast("long"), lit(0L)))
-      .reduce(_ + _)
+    // UNINDEXED columns count in no document length (probed)
+    val unidx = ftsUnindexedOf(segmentId).getOrElse(tLower, Set.empty)
+    val dRow = cols
+      .filterNot(c => unidx.contains(c.toLowerCase(java.util.Locale.ROOT)))
+      .map(c => coalesce(size(toks(c)).cast("long"), lit(0L)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
     def hitPred(p: Fts5.PhraseSpec): Column = cols.zipWithIndex.collect {
       case (c, i) if (p.colMask & (1L << i)) != 0 =>
         SqlInternals.column(Fts5PhraseMatch(
@@ -205,7 +219,8 @@ class TroughEngine(
       val fts = ftsTablesOf(segmentId)
       if (fts.isEmpty) sql
       else Fts5.rewriteMatch(sql, fts,
-        (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases))
+        (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases),
+        ftsUnindexedOf(segmentId))
     }
     val stmt = validateRead(sqlF, sess)
     store.tables(segmentId).foreach { t =>

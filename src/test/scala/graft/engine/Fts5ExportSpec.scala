@@ -109,6 +109,20 @@ class Fts5ExportSpec extends SparkSpecBase {
     same(id, db, "SELECT a FROM d WHERE d MATCH 'NEAR(alpha xi, 1)' ORDER BY a;")
   }
 
+  test("UNINDEXED columns export: stored content, zero docsize, no postings") {
+    val id = seg("CREATE VIRTUAL TABLE u USING fts5(a, m UNINDEXED);")
+    engine.write(id, "INSERT INTO u VALUES " +
+      "('hello world', 'meta data here'), ('second row', NULL);")
+    val db = export(id)
+    checkIntegrity(db, "u") // fts5 recomputes excluding unindexed cols
+    same(id, db, "SELECT a, m FROM u WHERE u MATCH 'hello' ORDER BY a;")
+    same(id, db, "SELECT a FROM u WHERE u MATCH 'meta' ORDER BY a;")
+    same(id, db, "SELECT a, printf('%.6f', bm25(u)) FROM u " +
+      "WHERE u MATCH 'hello OR second' ORDER BY a;")
+    assert(SqliteCli.query(db.toString,
+      "SELECT group_concat(hex(sz), ',') FROM u_docsize;") == "0200,0200")
+  }
+
   test("prefix= indexes export and real sqlite3 seeks them") {
     val id = seg("CREATE VIRTUAL TABLE d USING fts5(a, b, prefix='2 3');")
     engine.write(id, "INSERT INTO d VALUES " +

@@ -415,9 +415,38 @@ class FtsSpec extends SparkSpecBase {
     val e4b = intercept[Exception](seg(
       "CREATE VIRTUAL TABLE p0 USING fts5(a, prefix=0);"))
     assert(e4b.getMessage.contains("prefix length out of range"), e4b.getMessage)
-    val e5 = intercept[Exception](seg(
-      "CREATE VIRTUAL TABLE u USING fts5(a, b UNINDEXED);"))
-    assert(e5.getMessage.contains("UNINDEXED"))
+  }
+
+  test("UNINDEXED columns: stored, rendered, never searched (r11, probed)") {
+    val s = "CREATE VIRTUAL TABLE u USING fts5(a, b UNINDEXED, c);"
+    val id = seg(s); val db = cliDb(s)
+    runBoth(id, db, "INSERT INTO u VALUES " +
+      "('hello world', 'hello meta', 'other hello'), " +
+      "('plain text', 'only here', NULL), " +
+      "('', 'meta only', 'world data');")
+    def q(m: String) = "SELECT a, b FROM u WHERE u MATCH " +
+      s"'${m.replace("'", "''")}' ORDER BY a;"
+    same(id, db, q("hello"))       // b's hello never matches
+    same(id, db, q("meta"))        // only-in-b terms match nothing
+    same(id, db, q("only"))
+    same(id, db, q("b : hello"))   // filter on unindexed: empty, no error
+    same(id, db, q("c : hello"))
+    same(id, db, q("hello OR world"))
+    // bm25's document length and idf exclude the unindexed column
+    same(id, db, "SELECT a, printf('%.6f', bm25(u)) FROM u " +
+      "WHERE u MATCH 'hello OR world' ORDER BY a;")
+    same(id, db, "SELECT a, printf('%.6f', bm25(u, 1.0, 9.0, 2.0)) FROM u " +
+      "WHERE u MATCH 'hello' ORDER BY a;")
+    // highlight over the unindexed column: raw text, no instances
+    same(id, db, "SELECT highlight(u, 1, '[', ']') FROM u " +
+      "WHERE u MATCH 'hello' ORDER BY a;")
+    same(id, db, "SELECT snippet(u, -1, '[', ']', '...', 3) FROM u " +
+      "WHERE u MATCH 'world' ORDER BY a;")
+    // DML keeps working through the ordinary write path
+    runBoth(id, db, "UPDATE u SET b = 'rewritten' WHERE a = 'plain text';" +
+      "DELETE FROM u WHERE a = '';")
+    same(id, db, q("plain"))
+    same(id, db, q("data"))
   }
 
   test("fuzz: 150 random MATCH queries agree with real fts5") {
