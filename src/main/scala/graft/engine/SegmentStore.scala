@@ -709,8 +709,8 @@ class SegmentStore(
     * has no rowids, so ids are assigned 1..N by `row_number()` over
     * all columns — deterministic across the two passes (ties are
     * byte-identical rows, interchangeable). Pass 1 streams content
-    * rows (buffering only the tiny per-row docsize blobs: id + one
-    * varint per column); pass 2 runs ONE distributed
+    * rows (docsize blobs spill to driver disk as they stream); pass
+    * 2 runs ONE distributed
     * tokenize+posexplode+sort job and streams the sorted postings
     * into the builder, whose pages spill to driver disk — driver
     * memory stays O(page), the export contract. Declared prefix=
@@ -746,8 +746,12 @@ class SegmentStore(
     val rid = functions.row_number()
       .over(Window.orderBy(cols.map(functions.col): _*)).cast(LongType)
     def withRid = loadTable(segmentId, t).withColumn("__rid", rid)
-    // pass-1 side effects, consumed by later tables in write order
-    val docsizes = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    // pass-1 side effects, consumed by later tables in write order;
+    // docsize blobs spill to driver disk like the index pages do, so
+    // no export structure is heap-proportional to the segment
+    val docsizeSpill = Files.createTempFile("graft-fts5-docsize", ".spill")
+    val docsizeOut = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(Files.newOutputStream(docsizeSpill)))
     val colTotals = new Array[Long](nCols)
     var nRow = 0L
     def contentRows(): Iterator[(Long, IndexedSeq[Any])] =
@@ -763,10 +767,32 @@ class SegmentStore(
             colTotals(j) += n
             Fts5IndexBuilder.putVarint(sz, n.toLong)
           }
-          docsizes += ((rowid, sz.toArray))
+          docsizeOut.writeLong(rowid)
+          docsizeOut.writeInt(sz.length)
+          docsizeOut.write(sz.toArray)
           nRow += 1
           (rowid, (null +: values).toIndexedSeq)
         }
+    def docsizeRows(): Iterator[(Long, IndexedSeq[Any])] = {
+      docsizeOut.flush(); docsizeOut.close()
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(docsizeSpill)))
+      var i = 0L
+      new Iterator[(Long, IndexedSeq[Any])] {
+        def hasNext: Boolean = {
+          val more = i < nRow
+          if (!more) { in.close(); Files.deleteIfExists(docsizeSpill) }
+          more
+        }
+        def next(): (Long, IndexedSeq[Any]) = {
+          i += 1
+          val rowid = in.readLong()
+          val sz = new Array[Byte](in.readInt())
+          in.readFully(sz)
+          (rowid, IndexedSeq[Any](null, sz))
+        }
+      }
+    }
     val builder = new Fts5IndexBuilder()
     var idxKeys: Seq[IndexedSeq[Any]] = Nil
     def dataRows(): Iterator[(Long, IndexedSeq[Any])] = {
@@ -843,9 +869,7 @@ class SegmentStore(
         contentRows _),
       SqliteWriter.StreamedTable(s"${t}_docsize",
         s"CREATE TABLE ${q(s"${t}_docsize")}(id INTEGER PRIMARY KEY, sz BLOB)",
-        () => docsizes.iterator.map { case (id, sz) =>
-          (id, IndexedSeq[Any](null, sz))
-        }),
+        docsizeRows _),
       SqliteWriter.StreamedTable(s"${t}_config",
         s"CREATE TABLE ${q(s"${t}_config")}(k PRIMARY KEY, v) WITHOUT ROWID",
         () => Iterator.empty,
