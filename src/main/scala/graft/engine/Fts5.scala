@@ -61,27 +61,32 @@ object Fts5 {
     * remove_diacritics=1 default). Shared by row tokenization (the
     * [[Fts5Tokens]] expression) and query-term normalization, so both
     * sides always agree. */
-  def tokenize(s: String): Seq[String] = {
+  def tokenize(s: String, stem: Boolean = false): Seq[String] = {
     val norm = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val out = mutable.ArrayBuffer[String]()
     val tok = new java.lang.StringBuilder
+    def emit(): Unit = if (tok.length > 0) {
+      out += (if (stem) Porter.stem(tok.toString) else tok.toString)
+      tok.setLength(0)
+    }
     var i = 0
     while (i < norm.length) {
       val cp = norm.codePointAt(i)
       if (Character.getType(cp) == Character.NON_SPACING_MARK) ()
       else if (Character.isLetterOrDigit(cp))
         tok.appendCodePoint(Character.toLowerCase(cp))
-      else if (tok.length > 0) { out += tok.toString; tok.setLength(0) }
+      else emit()
       i += Character.charCount(cp)
     }
-    if (tok.length > 0) out += tok.toString
+    emit()
     out.toSeq
   }
 
-  /** Codegen target for [[Fts5Tokens]]. */
-  def tokenizeUtf8(s: UTF8String): ArrayData =
+  /** Codegen targets for [[Fts5Tokens]]. */
+  def tokenizeUtf8(s: UTF8String): ArrayData = tokenizeUtf8(s, false)
+  def tokenizeUtf8(s: UTF8String, stem: Boolean): ArrayData =
     new GenericArrayData(
-      tokenize(s.toString).map(UTF8String.fromString).toArray[Any])
+      tokenize(s.toString, stem).map(UTF8String.fromString).toArray[Any])
 
   /** [[tokenize]] plus each token's char span in the ORIGINAL string —
     * highlight()/snippet() insert markers into the raw text, so the
@@ -89,14 +94,15 @@ object Fts5 {
     * maximal run of alphanumerics (combining marks neither start nor
     * break one — unicode61's behavior); its folded text comes from
     * [[tokenize]] on the run so both walks always agree. */
-  def tokenizeWithOffsets(s: String): (Array[String], Array[Int], Array[Int]) = {
+  def tokenizeWithOffsets(s: String, stem: Boolean = false)
+      : (Array[String], Array[Int], Array[Int]) = {
     val toks = mutable.ArrayBuffer[String]()
     val starts = mutable.ArrayBuffer[Int]()
     val ends = mutable.ArrayBuffer[Int]()
     var runStart = -1
     var i = 0
     def close(endAt: Int): Unit = if (runStart >= 0) {
-      tokenize(s.substring(runStart, endAt)).headOption.foreach { t =>
+      tokenize(s.substring(runStart, endAt), stem).headOption.foreach { t =>
         toks += t
         starts += runStart
         ends += endAt
@@ -245,7 +251,8 @@ object Fts5 {
 
   final case class FtsTableDef(name: String, columns: Seq[String],
       ifNotExists: Boolean, sql: String,
-      unindexed: Set[String] = Set.empty) {
+      unindexed: Set[String] = Set.empty,
+      porter: Boolean = false) {
     /** Bitmask of searchable columns (UNINDEXED ones excluded —
       * probed: they store and render but never match, count in no
       * doc length, and column filters over them silently match
@@ -278,8 +285,9 @@ object Fts5 {
           "are libsqlite3 extensions with no equivalent here)")
     val name = SqlScript.unquoteIdent(m.group(2))
     val unindexed = Set.newBuilder[String]
+    var porter = false
     val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).flatMap { arg =>
-      if (arg.contains("=")) { checkOption(arg); None }
+      if (arg.contains("=")) { if (checkOption(arg)) porter = true; None }
       else {
         // `col UNINDEXED` (r11): stored and rendered but never
         // searched — probed: MATCH and `col :` filters over it match
@@ -296,7 +304,23 @@ object Fts5 {
     }
     require(cols.nonEmpty, "fts5 table needs at least one column")
     Some(FtsTableDef(name, cols, m.group(1) != null,
-      stmt.trim.stripSuffix(";").trim, unindexed.result()))
+      stmt.trim.stripSuffix(";").trim, unindexed.result(), porter))
+  }
+
+  /** Stem every phrase token of a parsed query with [[Porter]] —
+    * porter tables stem BOTH sides, including the kept portion of
+    * trailing-`*` prefixes (probed: `runn*` misses `running`, `run*`
+    * hits). */
+  def stemNode(n: Node): Node = n match {
+    case Phrase(ts, prefix, anchored) =>
+      Phrase(ts.map(Porter.stem), prefix, anchored)
+    case NearGroup(ps, nn) =>
+      NearGroup(ps.map(p => Phrase(p.tokens.map(Porter.stem), p.prefix,
+        p.anchored)), nn)
+    case ColFilter(c, child) => ColFilter(c, stemNode(child))
+    case AndN(l, r) => AndN(stemNode(l), stemNode(r))
+    case OrN(l, r) => OrN(stemNode(l), stemNode(r))
+    case NotN(l, r) => NotN(stemNode(l), stemNode(r))
   }
 
   /** Accept exactly the fts5 options a stateless scan reproduces
@@ -307,7 +331,9 @@ object Fts5 {
     * and `columnsize=` (feeds only bm25, whose defaults this engine
     * computes from the corpus itself).
     * Everything else keeps the named refusal. */
-  private def checkOption(arg: String): Unit = {
+  /** Validate one `key=value` option; true when it selects the porter
+    * tokenizer. */
+  private def checkOption(arg: String): Boolean = {
     val eq = arg.indexOf('=')
     val key = arg.substring(0, eq).trim.toLowerCase(java.util.Locale.ROOT)
     val v0 = arg.substring(eq + 1).trim
@@ -325,9 +351,17 @@ object Fts5 {
           .split("\\s+").toSeq.map(p => p.stripPrefix("'").stripSuffix("'"))
         val isDefault = parts == Seq("unicode61") ||
           parts == Seq("unicode61", "remove_diacritics", "1")
-        if (!isDefault) refuse("only the built-in default tokenizer " +
-          "(unicode61, remove_diacritics 1) is available — porter/trigram/" +
-          "ascii and non-default unicode61 arguments have no engine analog")
+        // porter over the default unicode61 parent (r11): the classic
+        // Porter algorithm as porter.c applies it ([[Porter]])
+        val isPorter = parts == Seq("porter") ||
+          parts == Seq("porter", "unicode61") ||
+          parts == Seq("porter", "unicode61", "remove_diacritics", "1")
+        if (!isDefault && !isPorter) refuse(
+          "only the built-in default tokenizer (unicode61, " +
+            "remove_diacritics 1) and porter over it are available — " +
+            "trigram/ascii and non-default unicode61 arguments have no " +
+            "engine analog")
+        return isPorter
       case "prefix" =>
         if (!v.trim.matches("[0-9 ]+"))
           refuse("prefix= takes a list of integer prefix lengths")
@@ -348,10 +382,11 @@ object Fts5 {
       // document-length lookups; this engine recomputes them
       case _ =>
         refuse("this engine covers plain column lists plus the " +
-          "semantics-preserving options (tokenize='unicode61', prefix=, " +
-          "detail=full, columnsize=); content=/content_rowid= external " +
-          "content and other options have no analog")
+          "semantics-preserving options (tokenize='unicode61'/'porter', " +
+          "prefix=, detail=full, columnsize=); content=/content_rowid= " +
+          "external content and other options have no analog")
     }
+    false
   }
 
   // ------------------------------------------------- query language
@@ -532,7 +567,11 @@ object Fts5 {
     * construction. */
   def compileMatch(node: Node, columns: Seq[String],
       qualify: String => String,
-      unindexed: Set[String] = Set.empty): String = {
+      unindexed: Set[String] = Set.empty,
+      stem: Boolean = false): String = {
+    def toksOf(col: String): String =
+      if (stem) s"fts5_tokens(${qualify(col)}, 1)"
+      else s"fts5_tokens(${qualify(col)})"
     // fts5_match_phrase is a single codegen'd expression (no lambda
     // HOFs — the dialect's textual JSON-arrow rewrite would mangle
     // `x -> …` before the parser saw it); token literals inline
@@ -542,7 +581,7 @@ object Fts5 {
       (if (prefix) 1 else 0) | (if (anchored) 2 else 0)
     def phrasePred(col: String, ph: Phrase): String = {
       val arr = ph.tokens.map(t => s"'$t'").mkString("array(", ", ", ")")
-      s"fts5_match_phrase(fts5_tokens(${qualify(col)}), $arr, " +
+      s"fts5_match_phrase(${toksOf(col)}, $arr, " +
         s"${flagsOf(ph.prefix, ph.anchored)})"
     }
     def nearPred(col: String, g: NearGroup): String = {
@@ -550,7 +589,7 @@ object Fts5 {
         .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
       val flags = g.phrases.map(p => flagsOf(p.prefix, anchored = false))
         .mkString("array(", ", ", ")")
-      s"fts5_near(fts5_tokens(${qualify(col)}), $phrases, $flags, ${g.n})"
+      s"fts5_near(${toksOf(col)}, $phrases, $flags, ${g.n})"
     }
     def go(nd: Node, active: Seq[String]): String = nd match {
       case _: Phrase | _: NearGroup if active.isEmpty =>
@@ -580,7 +619,8 @@ object Fts5 {
     * column-filters. */
   def matchPredicate(query: String,
       cols: Map[String, org.apache.spark.sql.Column],
-      unindexed: Set[String] = Set.empty): org.apache.spark.sql.Column = {
+      unindexed: Set[String] = Set.empty,
+      stem: Boolean = false): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, CreateArray, Literal, Not => CNot, Or => COr}
     val names = cols.keys.toSeq.sorted
     def strArr(ts: Seq[String]): Expression =
@@ -589,7 +629,8 @@ object Fts5 {
     def flagsOf(prefix: Boolean, anchored: Boolean): Int =
       (if (prefix) 1 else 0) | (if (anchored) 2 else 0)
     def tokensOf(col: String): Expression =
-      Fts5Tokens(org.apache.spark.sql.graft.SqlInternals.expression(cols(col)))
+      Fts5Tokens(org.apache.spark.sql.graft.SqlInternals.expression(cols(col)),
+        stem)
     def phrasePred(col: String, ph: Phrase): Expression =
       Fts5PhraseMatch(tokensOf(col), strArr(ph.tokens),
         Literal(flagsOf(ph.prefix, ph.anchored)))
@@ -615,7 +656,9 @@ object Fts5 {
       case OrN(l, r) => COr(go(l, active), go(r, active))
       case NotN(l, r) => CAnd(go(l, active), CNot(go(r, active)))
     }
-    org.apache.spark.sql.graft.SqlInternals.column(go(parseQuery(query),
+    val node0 = parseQuery(query)
+    val node = if (stem) stemNode(node0) else node0
+    org.apache.spark.sql.graft.SqlInternals.column(go(node,
       names.filterNot(c =>
         unindexed.contains(c.toLowerCase(java.util.Locale.ROOT)))))
   }
@@ -631,12 +674,9 @@ object Fts5 {
     * `alias.column`. A bare alias is a syntax error in sqlite too
     * ("no such column"), so it falls through unresolved and the read
     * gate's named refusal explains the contract. */
-  def rewriteMatch(stmt: String, ftsTables: Map[String, Seq[String]],
-      statsOf: (String, Seq[PhraseSpec]) => AuxStats = null,
-      unindexedOf: Map[String, Set[String]] = Map.empty): String = {
+  def rewriteMatch(stmt: String, ftsTables: Map[String, FtsTableDef],
+      statsOf: (String, Seq[PhraseSpec]) => AuxStats = null): String = {
     if (ftsTables.isEmpty) return stmt
-    def unidx(tLower: String): Set[String] =
-      unindexedOf.getOrElse(tLower, Set.empty)
     val id = "[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|`[^`]+`|\\[[^\\]]+\\]"
     val matchRe =
       s"(?is)($id)(?:\\s*\\.\\s*($id))?\\s+MATCH\\s+('(?:[^']|'')*')".r
@@ -666,10 +706,10 @@ object Fts5 {
         if (ftsTables.contains(nameLower))
           // `t MATCH` / `alias.t MATCH`: all columns, qualified by the
           // alias when given, else by the table name itself
-          Some((ftsTables(nameLower), qualOpt.orElse(Some(name)), nameLower,
-            identity[Node] _))
+          Some((ftsTables(nameLower).columns, qualOpt.orElse(Some(name)),
+            nameLower, identity[Node] _))
         else mentioned.flatMap(t =>
-          ftsTables(t).find(_.equalsIgnoreCase(name)).map(c => (t, c)))
+          ftsTables(t).columns.find(_.equalsIgnoreCase(name)).map(c => (t, c)))
           .headOption.map { case (t, c) =>
             // column-scoped match ≡ `t MATCH 'c : …'` (probed): score
             // restricted to that column too
@@ -677,11 +717,14 @@ object Fts5 {
           }
       resolved match {
         case Some((cols, qual, owner, wrap)) =>
-          val node = parseQuery(query)
+          val fd = ftsTables(owner)
+          val node0 = parseQuery(query)
+          // porter tables stem the query side too
+          val node = if (fd.porter) stemNode(node0) else node0
           matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
           val sql = compileMatch(node, cols,
             c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"),
-            unidx(owner))
+            fd.unindexed, fd.porter)
           java.util.regex.Matcher.quoteReplacement(s"($sql)")
         case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
@@ -1308,12 +1351,10 @@ object Fts5 {
     * (query-plan dependent) — refused by name here. Deviation:
     * highlight/snippet arguments after the table must be literals
     * (real fts5 evaluates them per row) — refused by name. */
-  private def rewriteAux(stmt: String, ftsTables: Map[String, Seq[String]],
+  private def rewriteAux(stmt: String, ftsTables: Map[String, FtsTableDef],
       mentioned: Seq[String], matches: Map[String, List[(Node, Option[String])]],
-      statsOf: (String, Seq[PhraseSpec]) => AuxStats,
-      unindexedOf: Map[String, Set[String]] = Map.empty): String = {
-    def maskOf(tLower: String): Long = indexedMaskOf(ftsTables(tLower),
-      unindexedOf.getOrElse(tLower, Set.empty))
+      statsOf: (String, Seq[PhraseSpec]) => AuxStats): String = {
+    def maskOf(tLower: String): Long = ftsTables(tLower).indexedMask
     val blanked = SqliteDdl.blankLiterals(stmt)
     val lower = blanked.toLowerCase(java.util.Locale.ROOT)
     if (!lower.contains("bm25") && !lower.contains("highlight") &&
@@ -1326,7 +1367,7 @@ object Fts5 {
         case Nil => if (forRank) "NULL" else "0.0" // probed: no MATCH
         case List((node, qual)) =>
           exprCache.getOrElseUpdate((tLower, weights), {
-            val cols = ftsTables(tLower)
+            val cols = ftsTables(tLower).columns
             if (cols.length > 63)
               throw new UnsupportedOperationException(
                 "bm25()/rank over fts5 tables with more than 63 columns is " +
@@ -1343,9 +1384,10 @@ object Fts5 {
             // UNINDEXED columns contribute no tokens to the per-row
             // document length (probed) — feed them empty
             val tmask = maskOf(tLower)
+            val stemArg = if (ftsTables(tLower).porter) ", 1" else ""
             val toksArr = cols.zipWithIndex.map { case (c, i) =>
               if ((tmask & (1L << i)) == 0) "fts5_tokens('')"
-              else s"fts5_tokens(${qc(c)})"
+              else s"fts5_tokens(${qc(c)}$stemArg)"
             }.mkString("array(", ", ", ")")
             val idfArr = idfs.map(_.toString).mkString("array(", ", ", ")")
             val wArr = w.map(_.toString).mkString("array(", ", ", ")")
@@ -1384,7 +1426,7 @@ object Fts5 {
     def auxTextExpr(tLower: String, fn: String, snippetMode: Boolean,
         colIdx: Int, openLit: String, closeLit: String,
         ellipsisLit: String, nTok: Int): String = {
-      val cols = ftsTables(tLower)
+      val cols = ftsTables(tLower).columns
       if (cols.length > 63)
         throw new UnsupportedOperationException(
           s"$fn() over fts5 tables with more than 63 columns is not " +
@@ -1414,7 +1456,7 @@ object Fts5 {
       val colsArr = cols.map(qc).mkString("array(", ", ", ")")
       (s"fts5_aux_text($colsArr, ${arrs.mkString(", ")}, " +
         s"${if (snippetMode) 1 else 0}, $colIdx, $openLit, $closeLit, " +
-        s"$ellipsisLit, $nTok)")
+        s"$ellipsisLit, $nTok, ${if (ftsTables(tLower).porter) 1 else 0})")
     }
     val auxRe = "(?i)\\b(highlight|snippet)\\s*\\(([^()]*)\\)".r
     for (m <- auxRe.findAllMatchIn(blanked)) {
