@@ -730,8 +730,7 @@ object Fts5 {
       }
     })
     if (statsOf == null) replaced
-    else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap, statsOf,
-      unindexedOf)
+    else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap, statsOf)
   }
 
   // ------------------------------------- bm25() / rank scoring (r11)
@@ -1026,7 +1025,8 @@ object Fts5 {
   final class AuxTextEval(phrases: Array[Array[String]], flags: Array[Int],
       masks: Array[Long], groupIds: Array[Int], groupNs: Array[Long],
       treeCode: Array[Int], snippetMode: Boolean, colIdx: Int,
-      open: String, close: String, ellipsis: String, nTokenRaw: Int)
+      open: String, close: String, ellipsis: String, nTokenRaw: Int,
+      stem: Boolean = false)
       extends Serializable {
 
     private sealed trait SN extends Serializable
@@ -1069,7 +1069,7 @@ object Fts5 {
       val texts = Array.tabulate(nCols)(c =>
         if (colTexts.isNullAt(c)) null else colTexts.getUTF8String(c).toString)
       val toks = texts.map(t =>
-        if (t == null) null else Fts5.tokenizeWithOffsets(t))
+        if (t == null) null else Fts5.tokenizeWithOffsets(t, stem))
       // gated, NEAR-trimmed instance starts per phrase per column
       val inst = Array.fill(phrases.length, nCols)(Array.emptyIntArray)
       var i = 0
@@ -1695,11 +1695,12 @@ case class Fts5AuxText(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = StringType
   override def prettyName: String = "fts5_aux_text"
   override def checkInputDataTypes(): TypeCheckResult =
-    if (children.length != 13)
-      TypeCheckResult.TypeCheckFailure("fts5_aux_text takes exactly 13 arguments")
+    if (children.length != 13 && children.length != 14)
+      TypeCheckResult.TypeCheckFailure(
+        "fts5_aux_text takes 13 or 14 arguments")
     else if (!children.tail.forall(_.foldable))
       TypeCheckResult.TypeCheckFailure(
-        "fts5_aux_text arguments 2-13 must be constants")
+        "fts5_aux_text arguments 2-14 must be constants")
     else TypeCheckResult.TypeCheckSuccess
 
   @transient private lazy val renderer: Fts5.AuxTextEval = {
@@ -1717,7 +1718,8 @@ case class Fts5AuxText(children: Seq[Expression]) extends Expression {
     }
     new Fts5.AuxTextEval(phrases, arr(2).toIntArray(), arr(3).toLongArray(),
       arr(4).toIntArray(), arr(5).toLongArray(), arr(6).toIntArray(),
-      int(7) != 0, int(8), str(9), str(10), str(11), int(12))
+      int(7) != 0, int(8), str(9), str(10), str(11), int(12),
+      stem = children.length > 13 && int(13) != 0)
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -1743,11 +1745,14 @@ case class Fts5AuxText(children: Seq[Expression]) extends Expression {
     copy(children = newChildren)
 }
 
-/** `fts5_tokens(text)` — the unicode61 token array of a string; the
-  * row-side half of MATCH compilation (registered on the dialect
-  * function surface, [[SqliteCompat.register]]). Codegen'd via a
-  * static call, so MATCH predicates stay inside whole-stage codegen. */
-case class Fts5Tokens(child: Expression) extends UnaryExpression {
+/** `fts5_tokens(text[, stem])` — the unicode61 token array of a
+  * string, optionally Porter-stemmed (`tokenize='porter'` tables —
+  * r12); the row-side half of MATCH compilation (registered on the
+  * dialect function surface, [[SqliteCompat.register]]). Codegen'd
+  * via a static call, so MATCH predicates stay inside whole-stage
+  * codegen. */
+case class Fts5Tokens(child: Expression, stem: Boolean = false)
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -1756,9 +1761,9 @@ case class Fts5Tokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "fts5_tokens"
   override def nullSafeEval(v: Any): Any =
-    Fts5.tokenizeUtf8(v.asInstanceOf[UTF8String])
+    Fts5.tokenizeUtf8(v.asInstanceOf[UTF8String], stem)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.engine.Fts5.tokenizeUtf8($c)")
+    defineCodeGen(ctx, ev, c => s"graft.engine.Fts5.tokenizeUtf8($c, $stem)")
   override protected def withNewChildInternal(newChild: Expression): Fts5Tokens =
     copy(child = newChild)
 }

@@ -738,10 +738,14 @@ class SegmentStore(
     val nCols = cols.length
     // UNINDEXED columns store and render but contribute no postings,
     // no docsize counts and no totals (probed: sz = 0 entries)
-    val unidx: Set[Int] = Fts5.parseCreateVirtual(ddl)
+    val fdOpt = Fts5.parseCreateVirtual(ddl)
+    val unidx: Set[Int] = fdOpt
       .map(fd => cols.indices.filter(i => fd.unindexed
         .contains(cols(i).toLowerCase(java.util.Locale.ROOT))).toSet)
       .getOrElse(Set.empty)
+    // porter tables index STEMMED terms so real sqlite3's porter
+    // query-side stemming agrees on the exported file (r12)
+    val porter = fdOpt.exists(_.porter)
     import org.apache.spark.sql.expressions.Window
     val rid = functions.row_number()
       .over(Window.orderBy(cols.map(functions.col): _*)).cast(LongType)
@@ -810,7 +814,7 @@ class SegmentStore(
             functions.lit(i).as("col"),
             functions.posexplode(org.apache.spark.sql.graft.SqlInternals
               .column(Fts5Tokens(org.apache.spark.sql.graft.SqlInternals
-                .expression(functions.col(c))))).as(Seq("pos", "term")))
+                .expression(functions.col(c)), porter))).as(Seq("pos", "term")))
         }
       if (tokenBranches.isEmpty) { // every column UNINDEXED
         val res = builder.finish(nRow, colTotals.toSeq)

@@ -271,8 +271,16 @@ object SqliteCompat {
 
     // --- fts5 MATCH compilation targets (Fts5.scala)
     fn("fts5_tokens") { exprs =>
-      require(exprs.length == 1, "fts5_tokens takes exactly 1 argument")
-      Fts5Tokens(Cast(exprs.head, StringType))
+      require(exprs.length == 1 || exprs.length == 2,
+        "fts5_tokens takes 1 or 2 arguments")
+      // optional second literal = porter-stem flag (tokenize='porter'
+      // tables — the MATCH/bm25 compilers emit fts5_tokens(col, 1))
+      val stem = exprs.lift(1).exists {
+        case Literal(v, _) => v != null && v.toString != "0"
+        case other => throw new IllegalArgumentException(
+          s"fts5_tokens stem flag must be a literal, got $other")
+      }
+      Fts5Tokens(Cast(exprs.head, StringType), stem)
     }
     fn("fts5_match_phrase") { exprs =>
       require(exprs.length == 3, "fts5_match_phrase takes exactly 3 arguments")
@@ -301,7 +309,9 @@ object SqliteCompat {
         Cast(exprs(9), ArrayType(IntegerType))))
     }
     fn("fts5_aux_text") { exprs =>
-      require(exprs.length == 13, "fts5_aux_text takes exactly 13 arguments")
+      // optional 14th argument = porter-stem flag (r12)
+      require(exprs.length == 13 || exprs.length == 14,
+        "fts5_aux_text takes 13 or 14 arguments")
       import org.apache.spark.sql.types.{ArrayType, IntegerType}
       Fts5AuxText(Seq(
         Cast(exprs(0), ArrayType(StringType)),
@@ -316,7 +326,8 @@ object SqliteCompat {
         Cast(exprs(9), StringType),
         Cast(exprs(10), StringType),
         Cast(exprs(11), StringType),
-        Cast(exprs(12), IntegerType)))
+        Cast(exprs(12), IntegerType)) ++
+        exprs.lift(13).map(Cast(_, IntegerType)))
     }
 
     // --- date/time family: variadic like SQLite (one name, any arity)

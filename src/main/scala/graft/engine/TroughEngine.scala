@@ -139,23 +139,17 @@ class TroughEngine(
     stmt
   }
 
-  /** The segment's fts5 tables: lowercased name → declared columns
-    * (from each backing table's meta; [[Fts5]]). */
-  private def ftsTablesOf(segmentId: String): Map[String, Seq[String]] =
+  /** The segment's fts5 tables: lowercased name → full declaration
+    * (columns, UNINDEXED set, porter flag), re-parsed from each stored
+    * CREATE VIRTUAL TABLE text ([[Fts5.parseCreateVirtual]] — the
+    * declaration travels with the DDL, not the schema). Columns come
+    * from the backing table's meta so casing always matches storage. */
+  private def ftsTablesOf(segmentId: String): Map[String, Fts5.FtsTableDef] =
     store.tables(segmentId).flatMap { t =>
       val meta = store.tableMeta(segmentId, t)
-      meta.ftsSql.map(_ =>
-        t.toLowerCase(java.util.Locale.ROOT) -> meta.schema.fieldNames.toSeq)
-    }.toMap
-
-  /** Lowercased UNINDEXED column names per fts table, re-parsed from
-    * each stored CREATE VIRTUAL TABLE text ([[Fts5.parseCreateVirtual]]
-    * — the declaration travels with the DDL, not the schema). */
-  private def ftsUnindexedOf(segmentId: String): Map[String, Set[String]] =
-    store.tables(segmentId).flatMap { t =>
-      store.tableMeta(segmentId, t).ftsSql
-        .flatMap(Fts5.parseCreateVirtual)
-        .map(fd => t.toLowerCase(java.util.Locale.ROOT) -> fd.unindexed)
+      meta.ftsSql.flatMap(Fts5.parseCreateVirtual).map(fd =>
+        t.toLowerCase(java.util.Locale.ROOT) ->
+          fd.copy(columns = meta.schema.fieldNames.toSeq))
     }.toMap
 
   /** bm25 corpus statistics for one fts table (r11): ONE aggregate job
@@ -175,15 +169,20 @@ class TroughEngine(
       .find(_.toLowerCase(java.util.Locale.ROOT) == tLower)
       .getOrElse(throw new IllegalStateException(s"no such fts table: $tLower"))
     val df = store.loadTable(segmentId, real, sess)
-    val cols = store.tableMeta(segmentId, real).schema.fieldNames.toSeq
+    val fd = ftsTablesOf(segmentId)(tLower)
+    val cols = fd.columns
+    // porter tables stem the row side so tf counting matches the
+    // already-stemmed query phrases (r12)
     def toks(c: String): Column =
-      SqlInternals.column(Fts5Tokens(SqlInternals.expression(df(c))))
+      SqlInternals.column(Fts5Tokens(SqlInternals.expression(df(c)), fd.porter))
     // UNINDEXED columns count in no document length (probed)
-    val unidx = ftsUnindexedOf(segmentId).getOrElse(tLower, Set.empty)
+    val unidx = fd.unindexed
     val dRow = cols
       .filterNot(c => unidx.contains(c.toLowerCase(java.util.Locale.ROOT)))
       .map(c => coalesce(size(toks(c)).cast("long"), lit(0L)))
       .reduceOption(_ + _).getOrElse(lit(0L))
+    // a phrase whose colMask is 0 (narrowed to an UNINDEXED column)
+    // scores as absent — zero hits, never a crash
     def hitPred(p: Fts5.PhraseSpec): Column = cols.zipWithIndex.collect {
       case (c, i) if (p.colMask & (1L << i)) != 0 =>
         SqlInternals.column(Fts5PhraseMatch(
@@ -192,7 +191,7 @@ class TroughEngine(
             Literal(UTF8String.fromString(t), org.apache.spark.sql.types.StringType)
               : org.apache.spark.sql.catalyst.expressions.Expression)),
           Literal(p.flags)))
-    }.reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val aggCols = Seq(count(lit(1)).as("n"), sum(dRow).as("tot")) ++
       phrases.zipWithIndex.map { case (p, i) =>
         sum(when(hitPred(p), 1L).otherwise(0L)).as(s"h$i")
@@ -219,8 +218,7 @@ class TroughEngine(
       val fts = ftsTablesOf(segmentId)
       if (fts.isEmpty) sql
       else Fts5.rewriteMatch(sql, fts,
-        (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases),
-        ftsUnindexedOf(segmentId))
+        (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases))
     }
     val stmt = validateRead(sqlF, sess)
     store.tables(segmentId).foreach { t =>

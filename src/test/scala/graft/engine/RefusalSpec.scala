@@ -42,12 +42,16 @@ class RefusalSpec extends SparkSpecBase {
     val e2 = intercept[UnsupportedOperationException](engine.write(seg,
       "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX);"))
     assert(e2.getMessage.contains("USING rtree is not supported"))
+    // porter and UNINDEXED are SUPPORTED since r11/r12 (FtsSpec);
+    // remove_diacritics 2 stays out of scope
     val e3 = intercept[UnsupportedOperationException](engine.write(seg,
-      "CREATE VIRTUAL TABLE ft USING fts5(body, tokenize = 'porter');"))
+      "CREATE VIRTUAL TABLE ft USING fts5(body, " +
+        "tokenize = 'unicode61 remove_diacritics 2');"))
     assert(e3.getMessage.contains("fts5 option"))
-    val e4 = intercept[UnsupportedOperationException](engine.write(seg,
-      "CREATE VIRTUAL TABLE ft USING fts5(body, extra UNINDEXED);"))
-    assert(e4.getMessage.contains("UNINDEXED"))
+    engine.write(seg,
+      "CREATE VIRTUAL TABLE ft_ok USING fts5(body, tokenize = 'porter');")
+    engine.write(seg,
+      "CREATE VIRTUAL TABLE ft_ok2 USING fts5(body, extra UNINDEXED);")
   }
 
   test("MATCH on the read path refuses by name when no fts table resolves") {
