@@ -37,7 +37,17 @@ object Bench {
     // x 3 passes would pollute the output the driver parses
     spark.sparkContext.setLogLevel("ERROR")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // GRAFT_BENCH_ONLY=q32_jaccard_exact,q30_minhash_lsh — iterate on a
+    // subset without paying for the whole suite (r12)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      sys.env.get("GRAFT_BENCH_ONLY") match {
+        case Some(f) if f.nonEmpty =>
+          val want = f.split(",").map(_.trim).toSet
+          all.filter(want)
+        case _ => all
+      }
+    }
     val warmDir = {
       val d = new java.io.File("/root/testdata/sf0.001")
       if (d.isDirectory) Some(d.getPath) else None

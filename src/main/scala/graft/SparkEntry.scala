@@ -505,12 +505,16 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // Exact 3-gram-shingle Jaccard similarity join (inverted index,
-    // hashed-postings count-join; prefix-filter variant available).
+    // Exact 3-gram-shingle Jaccard similarity join. Default = PPJoin
+    // prefix filtering (r12): only each doc's rarest n-ceil(tn)+1
+    // shingles enter the index, so hot shingles never join
+    // quadratically — the count-join variant (prefixFilter=false)
+    // remains as the dense-vocabulary option.
     "q32_jaccard_exact" -> ((s, dir) => {
       import s.implicits._
       Dedup.jaccardJoinExact(t(s, dir, "documents"),
-          thresholdNum = 3, thresholdDen = 10, shingleLen = 3)
+          thresholdNum = 3, thresholdDen = 10, shingleLen = 3,
+          prefixFilter = true)
         .orderBy($"doc_a", $"doc_b")
     }),
 

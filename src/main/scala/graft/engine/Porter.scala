@@ -83,7 +83,10 @@ object Porter {
     var len = in.length
     if (len < 3) return in // porter.c: words of length 1-2 unchanged
 
-    def ends(s: String): Boolean = endsWith(w, len, s)
+    // porter.c requires every suffix to be PROPER (at least one stem
+    // byte precedes it — probed: bare 'eed'→'e' via the ed rule,
+    // 'ies'→'ie' and 'sses'→'sse' via the s rule)
+    def ends(s: String): Boolean = len > s.length && endsWith(w, len, s)
     def setTo(drop: Int, add: String): Unit = {
       len -= drop
       var i = 0
@@ -161,6 +164,13 @@ object Porter {
     if (len >= 2 && w(len - 1) == 'l' && doubleCons(w, len) &&
       measure(w, len) > 1) len -= 1
 
-    if (len == in.length) in else java.util.Arrays.copyOf(w, len)
+    // step 1c edits y→i IN PLACE without changing the length, so a
+    // same-length result can still differ from the input (pony→poni,
+    // happy→happi) — compare content, not just length
+    if (len == in.length) {
+      var i = 0
+      while (i < len && w(i) == in(i)) i += 1
+      if (i == len) in else java.util.Arrays.copyOf(w, len)
+    } else java.util.Arrays.copyOf(w, len)
   }
 }
