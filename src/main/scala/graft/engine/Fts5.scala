@@ -43,17 +43,109 @@ import org.apache.spark.unsafe.types.UTF8String
   * the probed BM25 formula (k1=1.2 b=0.75, idf floored at 1e-6,
   * weights scaling tf only, NEAR-trimmed poslists, satisfied-branch
   * gating) literal-folds corpus statistics from one aggregate job into
-  * a codegen'd [[Fts5Bm25]] expression. Documented deviations: other
-  * tokenizers/options (porter, trigram, content=, detail=none|column,
-  * UNINDEXED) and `.sqlite` EXPORT of fts tables refuse by name (the
-  * export would need fts5's shadow B-trees that only the C module can
-  * build); shadow tables are not cataloged (the backing table replaces
+  * a codegen'd [[Fts5Bm25]] expression. Tokenizers: unicode61 (the
+  * default), porter over it (r12, [[Porter]]), and trigram with
+  * case_sensitive/remove_diacritics (r13 — substring-match semantics,
+  * every 3-codepoint window a token). Documented deviations:
+  * content=/detail=none|column and the ascii tokenizer refuse by
+  * name; shadow tables are not cataloged (the backing table replaces
   * them); bm25()/rank with >1 MATCH on one table refuses (plan-
   * dependent in real fts5).
   */
 object Fts5 {
 
   // ------------------------------------------------------- tokenizer
+
+  /** Tokenizer modes, threaded as one int so the codegen'd expressions
+    * ([[Fts5Tokens]], [[Fts5AuxText]]) ship a primitive constant:
+    * 0 = unicode61 (the default), 1 = porter over unicode61 (r12),
+    * 2 = trigram, 3 = trigram case_sensitive 1, 4 = trigram
+    * remove_diacritics 1|2 (probed identical for trigram). */
+  val TokUnicode61 = 0
+  val TokPorter = 1
+  val TokTrigram = 2
+  val TokTrigramCs = 3
+  val TokTrigramRd = 4
+  @inline def isTrigram(tok: Int): Boolean = tok >= TokTrigram
+
+  /** Mode-dispatching tokenization: unicode61/porter word tokens or
+    * trigram codepoint windows. */
+  def tokenize(s: String, tok: Int): Seq[String] =
+    if (isTrigram(tok)) trigramWithOffsets(s, tok)._1.toSeq
+    else tokenize(s, tok == TokPorter)
+
+  /** Mode-dispatching [[tokenizeWithOffsets]]. */
+  def tokenizeWithOffsets(s: String, tok: Int)
+      : (Array[String], Array[Int], Array[Int]) =
+    if (isTrigram(tok)) trigramWithOffsets(s, tok)
+    else tokenizeWithOffsets(s, tok == TokPorter)
+
+  /** fts5's simple case fold for the trigram tokenizer, one codepoint
+    * in, one out (fts5_unicode2.c sqlite3Fts5UnicodeFold): Java's
+    * codepoint lowercase with the probed divergences pinned — U+0130
+    * 'İ' stays itself (simple folding has no mapping; Java lowers it
+    * to 'i') and final sigma ς folds to σ (Java keeps it). */
+  private def triFoldCp(cp: Int): Int =
+    if (cp == 0x130) cp
+    else if (cp == 0x3C2) 0x3C3
+    else Character.toLowerCase(cp)
+
+  /** One codepoint under `remove_diacritics 1|2` (probed identical for
+    * trigram): combining marks vanish from the stream entirely (−1),
+    * precomposed letters fold to their base. */
+  private def triRdCp(cp: Int): Int =
+    if (Character.getType(cp) == Character.NON_SPACING_MARK) -1
+    else {
+      val f = triFoldCp(cp)
+      if (f < 0x80) f
+      else {
+        val d = java.text.Normalizer.normalize(
+          new String(Character.toChars(f)), java.text.Normalizer.Form.NFD)
+        d.codePointAt(0)
+      }
+    }
+
+  /** trigram tokenization (fts5.html §4.3.4, probed): every contiguous
+    * 3-CODEPOINT window of the text — spaces and punctuation included —
+    * case-folded unless `case_sensitive 1`. Texts under 3 codepoints
+    * yield no tokens (and query terms under 3 yield the never-matching
+    * empty phrase). Offsets address the ORIGINAL string: a token spans
+    * from its first codepoint's char index to the char index of the
+    * codepoint after its third (so skipped combining marks ride inside
+    * the preceding token's span — probed highlight `c[afé] x` over
+    * decomposed text under remove_diacritics). */
+  def trigramWithOffsets(s: String, tok: Int)
+      : (Array[String], Array[Int], Array[Int]) = {
+    val cps = new mutable.ArrayBuffer[Int](s.length)
+    val offs = new mutable.ArrayBuffer[Int](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val f =
+        if (tok == TokTrigramCs) cp
+        else if (tok == TokTrigramRd) triRdCp(cp)
+        else triFoldCp(cp)
+      if (f >= 0) { cps += f; offs += i }
+      i += Character.charCount(cp)
+    }
+    val m = cps.length
+    if (m < 3)
+      return (Array.empty[String], Array.emptyIntArray, Array.emptyIntArray)
+    val toks = new Array[String](m - 2)
+    val starts = new Array[Int](m - 2)
+    val ends = new Array[Int](m - 2)
+    var k = 0
+    while (k < m - 2) {
+      val sb = new java.lang.StringBuilder(6)
+      sb.appendCodePoint(cps(k)).appendCodePoint(cps(k + 1))
+        .appendCodePoint(cps(k + 2))
+      toks(k) = sb.toString
+      starts(k) = offs(k)
+      ends(k) = if (k + 3 < m) offs(k + 3) else s.length
+      k += 1
+    }
+    (toks, starts, ends)
+  }
 
   /** unicode61-style tokenization (fts5.html §4.3.1, defaults): tokens
     * are maximal runs of Unicode alphanumeric codepoints, case-folded,
@@ -83,10 +175,10 @@ object Fts5 {
   }
 
   /** Codegen targets for [[Fts5Tokens]]. */
-  def tokenizeUtf8(s: UTF8String): ArrayData = tokenizeUtf8(s, false)
-  def tokenizeUtf8(s: UTF8String, stem: Boolean): ArrayData =
+  def tokenizeUtf8(s: UTF8String): ArrayData = tokenizeUtf8(s, 0)
+  def tokenizeUtf8(s: UTF8String, tok: Int): ArrayData =
     new GenericArrayData(
-      tokenize(s.toString, stem).map(UTF8String.fromString).toArray[Any])
+      tokenize(s.toString, tok).map(UTF8String.fromString).toArray[Any])
 
   /** [[tokenize]] plus each token's char span in the ORIGINAL string —
     * highlight()/snippet() insert markers into the raw text, so the
@@ -252,7 +344,8 @@ object Fts5 {
   final case class FtsTableDef(name: String, columns: Seq[String],
       ifNotExists: Boolean, sql: String,
       unindexed: Set[String] = Set.empty,
-      porter: Boolean = false) {
+      tok: Int = TokUnicode61) {
+    def porter: Boolean = tok == TokPorter
     /** Bitmask of searchable columns (UNINDEXED ones excluded —
       * probed: they store and render but never match, count in no
       * doc length, and column filters over them silently match
@@ -285,9 +378,13 @@ object Fts5 {
           "are libsqlite3 extensions with no equivalent here)")
     val name = SqlScript.unquoteIdent(m.group(2))
     val unindexed = Set.newBuilder[String]
-    var porter = false
+    var tok = TokUnicode61
     val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).flatMap { arg =>
-      if (arg.contains("=")) { if (checkOption(arg)) porter = true; None }
+      if (arg.contains("=")) {
+        val t = checkOption(arg)
+        if (t != TokUnicode61) tok = t
+        None
+      }
       else {
         // `col UNINDEXED` (r11): stored and rendered but never
         // searched — probed: MATCH and `col :` filters over it match
@@ -304,23 +401,7 @@ object Fts5 {
     }
     require(cols.nonEmpty, "fts5 table needs at least one column")
     Some(FtsTableDef(name, cols, m.group(1) != null,
-      stmt.trim.stripSuffix(";").trim, unindexed.result(), porter))
-  }
-
-  /** Stem every phrase token of a parsed query with [[Porter]] —
-    * porter tables stem BOTH sides, including the kept portion of
-    * trailing-`*` prefixes (probed: `runn*` misses `running`, `run*`
-    * hits). */
-  def stemNode(n: Node): Node = n match {
-    case Phrase(ts, prefix, anchored) =>
-      Phrase(ts.map(Porter.stem), prefix, anchored)
-    case NearGroup(ps, nn) =>
-      NearGroup(ps.map(p => Phrase(p.tokens.map(Porter.stem), p.prefix,
-        p.anchored)), nn)
-    case ColFilter(c, child) => ColFilter(c, stemNode(child))
-    case AndN(l, r) => AndN(stemNode(l), stemNode(r))
-    case OrN(l, r) => OrN(stemNode(l), stemNode(r))
-    case NotN(l, r) => NotN(stemNode(l), stemNode(r))
+      stmt.trim.stripSuffix(";").trim, unindexed.result(), tok))
   }
 
   /** Accept exactly the fts5 options a stateless scan reproduces
@@ -331,9 +412,9 @@ object Fts5 {
     * and `columnsize=` (feeds only bm25, whose defaults this engine
     * computes from the corpus itself).
     * Everything else keeps the named refusal. */
-  /** Validate one `key=value` option; true when it selects the porter
-    * tokenizer. */
-  private def checkOption(arg: String): Boolean = {
+  /** Validate one `key=value` option; returns the tokenizer mode it
+    * selects ([[TokUnicode61]] when it is not a tokenize= option). */
+  private def checkOption(arg: String): Int = {
     val eq = arg.indexOf('=')
     val key = arg.substring(0, eq).trim.toLowerCase(java.util.Locale.ROOT)
     val v0 = arg.substring(eq + 1).trim
@@ -356,12 +437,36 @@ object Fts5 {
         val isPorter = parts == Seq("porter") ||
           parts == Seq("porter", "unicode61") ||
           parts == Seq("porter", "unicode61", "remove_diacritics", "1")
-        if (!isDefault && !isPorter) refuse(
+        if (isDefault) return TokUnicode61
+        if (isPorter) return TokPorter
+        // trigram (r13): options are name-value pairs after 'trigram';
+        // probed: case_sensitive ∈ {0,1}, remove_diacritics ∈ {0,1,2}
+        // (1 and 2 behave identically for trigram), and case_sensitive 1
+        // with remove_diacritics ≥ 1 is real fts5's tokenizer-
+        // constructor error
+        if (parts.headOption.contains("trigram")) {
+          var cs = 0
+          var rd = 0
+          parts.tail.grouped(2).foreach {
+            case Seq("case_sensitive", x) if x == "0" || x == "1" =>
+              cs = x.toInt
+            case Seq("remove_diacritics", x)
+                if x == "0" || x == "1" || x == "2" =>
+              rd = x.toInt
+            case _ => throw new IllegalArgumentException(
+              "error in tokenizer constructor") // real fts5's message
+          }
+          if (cs == 1 && rd >= 1) throw new IllegalArgumentException(
+            "error in tokenizer constructor") // probed: incompatible
+          return if (cs == 1) TokTrigramCs
+          else if (rd >= 1) TokTrigramRd
+          else TokTrigram
+        }
+        refuse(
           "only the built-in default tokenizer (unicode61, " +
-            "remove_diacritics 1) and porter over it are available — " +
-            "trigram/ascii and non-default unicode61 arguments have no " +
-            "engine analog")
-        return isPorter
+            "remove_diacritics 1), porter over it, and trigram are " +
+            "available — ascii and non-default unicode61 arguments " +
+            "have no engine analog")
       case "prefix" =>
         if (!v.trim.matches("[0-9 ]+"))
           refuse("prefix= takes a list of integer prefix lengths")
@@ -382,11 +487,12 @@ object Fts5 {
       // document-length lookups; this engine recomputes them
       case _ =>
         refuse("this engine covers plain column lists plus the " +
-          "semantics-preserving options (tokenize='unicode61'/'porter', " +
-          "prefix=, detail=full, columnsize=); content=/content_rowid= " +
-          "external content and other options have no analog")
+          "semantics-preserving options (tokenize='unicode61'/'porter'/" +
+          "'trigram', prefix=, detail=full, columnsize=); " +
+          "content=/content_rowid= external content and other options " +
+          "have no analog")
     }
-    false
+    TokUnicode61
   }
 
   // ------------------------------------------------- query language
@@ -413,7 +519,7 @@ object Fts5 {
     * lowercase spellings are terms; bare `NEAR` without `(` is a term
     * too, probed), implicit AND between adjacent phrases, parentheses,
     * and single-column filters `col : expr`. */
-  def parseQuery(q: String): Node = {
+  def parseQuery(q: String, tok: Int = TokUnicode61): Node = {
     // ---- lexer
     sealed trait Tok
     case class Word(w: String) extends Tok
@@ -453,8 +559,11 @@ object Fts5 {
     def next(): Tok = { val t = toks(p); p += 1; t }
     def phraseOf(text: String, prefix: Boolean,
         anchored: Boolean = false): Phrase = {
-      val ts = tokenize(text)
-      if (ts.isEmpty) syntaxError("empty phrase")
+      val ts = tokenize(text, tok)
+      // trigram: a term under 3 codepoints has no tokens and matches
+      // NOTHING (probed: no error — `ab` answers zero rows, `ab OR x`
+      // answers x's rows); unicode61/porter keep the syntax error
+      if (ts.isEmpty && !isTrigram(tok)) syntaxError("empty phrase")
       Phrase(ts, prefix, anchored)
     }
     // one bare phrase operand — a word or quoted string with its
@@ -492,8 +601,14 @@ object Fts5 {
       }
       if (peek != Some(RP)) syntaxError("expected ')' in NEAR()")
       next()
+      // trigram: empty-token members are IGNORED by the group (probed:
+      // `NEAR(ab abc, 3)` answers like plain abc); all-empty = the
+      // never-matching empty phrase
+      val kept = phrases.filter(_.tokens.nonEmpty).toSeq
+      if (kept.isEmpty) Phrase(Nil, prefix = false)
       // probed: single-phrase NEAR answers exactly like the phrase
-      if (phrases.length == 1) phrases.head else NearGroup(phrases.toSeq, dist)
+      else if (kept.length == 1) kept.head
+      else NearGroup(kept, dist)
     }
     def unit(): Node = peek match {
       case Some(LP) =>
@@ -516,24 +631,37 @@ object Fts5 {
     // tighter than explicit AND/NOT (probed: `a NOT b c` answers
     // a NOT (b AND c)); a parenthesized group stands alone — adjacency
     // with anything is a syntax error on both sides (probed)
+    //
+    // trigram: a chain IGNORES empty-phrase members — `xyz ab` answers
+    // like plain xyz while `xyz AND ab` answers nothing (probed; the
+    // rule covers `^ab` and `col : ab` members too); an all-empty
+    // chain is the never-matching empty phrase
+    def isVacuous(nd: Node): Boolean = nd match {
+      case Phrase(ts, _, _) => ts.isEmpty
+      case ColFilter(_, c) => isVacuous(c)
+      case _ => false
+    }
     def chain(): Node = {
       val startsParen = peek == Some(LP)
-      var l = unit()
+      val units = mutable.ArrayBuffer[Node](unit())
       var done = false
       while (!done) peek match {
         case Some(Word(w)) if w != "AND" && w != "OR" && w != "NOT" =>
           if (startsParen)
             syntaxError("a parenthesized group needs an explicit operator")
-          l = AndN(l, unit())
+          units += unit()
         case Some(Quoted(_)) | Some(Caret) =>
           if (startsParen)
             syntaxError("a parenthesized group needs an explicit operator")
-          l = AndN(l, unit())
+          units += unit()
         case Some(LP) =>
           syntaxError("a parenthesized group needs an explicit operator")
         case _ => done = true
       }
-      l
+      val kept =
+        if (units.length > 1) units.filterNot(isVacuous) else units
+      if (kept.isEmpty) Phrase(Nil, prefix = false)
+      else kept.reduceLeft(AndN(_, _))
     }
     // AND and NOT share one left-associative tier (probed:
     // `a AND b NOT c` = (a AND b) NOT c, `a NOT b AND c` = (a NOT b) AND c)
@@ -568,9 +696,9 @@ object Fts5 {
   def compileMatch(node: Node, columns: Seq[String],
       qualify: String => String,
       unindexed: Set[String] = Set.empty,
-      stem: Boolean = false): String = {
+      tok: Int = TokUnicode61): String = {
     def toksOf(col: String): String =
-      if (stem) s"fts5_tokens(${qualify(col)}, 1)"
+      if (tok != TokUnicode61) s"fts5_tokens(${qualify(col)}, $tok)"
       else s"fts5_tokens(${qualify(col)})"
     // fts5_match_phrase is a single codegen'd expression (no lambda
     // HOFs — the dialect's textual JSON-arrow rewrite would mangle
@@ -594,6 +722,8 @@ object Fts5 {
     def go(nd: Node, active: Seq[String]): String = nd match {
       case _: Phrase | _: NearGroup if active.isEmpty =>
         "(1 = 0)" // filter narrowed to an UNINDEXED column (probed)
+      case Phrase(ts, _, _) if ts.isEmpty =>
+        "(1 = 0)" // trigram term under 3 codepoints (probed: no rows)
       case ph: Phrase =>
         active.map(c => phrasePred(c, ph)).mkString("(", " OR ", ")")
       case g: NearGroup =>
@@ -620,7 +750,7 @@ object Fts5 {
   def matchPredicate(query: String,
       cols: Map[String, org.apache.spark.sql.Column],
       unindexed: Set[String] = Set.empty,
-      stem: Boolean = false): org.apache.spark.sql.Column = {
+      tok: Int = TokUnicode61): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, CreateArray, Literal, Not => CNot, Or => COr}
     val names = cols.keys.toSeq.sorted
     def strArr(ts: Seq[String]): Expression =
@@ -630,7 +760,7 @@ object Fts5 {
       (if (prefix) 1 else 0) | (if (anchored) 2 else 0)
     def tokensOf(col: String): Expression =
       Fts5Tokens(org.apache.spark.sql.graft.SqlInternals.expression(cols(col)),
-        stem)
+        tok)
     def phrasePred(col: String, ph: Phrase): Expression =
       Fts5PhraseMatch(tokensOf(col), strArr(ph.tokens),
         Literal(flagsOf(ph.prefix, ph.anchored)))
@@ -643,6 +773,8 @@ object Fts5 {
     def go(nd: Node, active: Seq[String]): Expression = nd match {
       case _: Phrase | _: NearGroup if active.isEmpty =>
         Literal(false) // filter narrowed to an UNINDEXED column
+      case Phrase(ts, _, _) if ts.isEmpty =>
+        Literal(false) // trigram term under 3 codepoints
       case ph: Phrase =>
         active.map(c => phrasePred(c, ph): Expression).reduce(COr(_, _))
       case g: NearGroup =>
@@ -656,8 +788,7 @@ object Fts5 {
       case OrN(l, r) => COr(go(l, active), go(r, active))
       case NotN(l, r) => CAnd(go(l, active), CNot(go(r, active)))
     }
-    val node0 = parseQuery(query)
-    val node = if (stem) stemNode(node0) else node0
+    val node = parseQuery(query, tok)
     org.apache.spark.sql.graft.SqlInternals.column(go(node,
       names.filterNot(c =>
         unindexed.contains(c.toLowerCase(java.util.Locale.ROOT)))))
@@ -718,13 +849,13 @@ object Fts5 {
       resolved match {
         case Some((cols, qual, owner, wrap)) =>
           val fd = ftsTables(owner)
-          val node0 = parseQuery(query)
-          // porter tables stem the query side too
-          val node = if (fd.porter) stemNode(node0) else node0
+          // the table's tokenizer normalizes the query side too
+          // (porter stems, trigram windows)
+          val node = parseQuery(query, fd.tok)
           matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
           val sql = compileMatch(node, cols,
             c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"),
-            fd.unindexed, fd.porter)
+            fd.unindexed, fd.tok)
           java.util.regex.Matcher.quoteReplacement(s"($sql)")
         case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
@@ -1026,7 +1157,7 @@ object Fts5 {
       masks: Array[Long], groupIds: Array[Int], groupNs: Array[Long],
       treeCode: Array[Int], snippetMode: Boolean, colIdx: Int,
       open: String, close: String, ellipsis: String, nTokenRaw: Int,
-      stem: Boolean = false)
+      tok: Int = 0)
       extends Serializable {
 
     private sealed trait SN extends Serializable
@@ -1069,7 +1200,7 @@ object Fts5 {
       val texts = Array.tabulate(nCols)(c =>
         if (colTexts.isNullAt(c)) null else colTexts.getUTF8String(c).toString)
       val toks = texts.map(t =>
-        if (t == null) null else Fts5.tokenizeWithOffsets(t, stem))
+        if (t == null) null else Fts5.tokenizeWithOffsets(t, tok))
       // gated, NEAR-trimmed instance starts per phrase per column
       val inst = Array.fill(phrases.length, nCols)(Array.emptyIntArray)
       var i = 0
@@ -1135,15 +1266,21 @@ object Fts5 {
         if (text == null) return null
         val (tks, cs, ce) = toks(c)
         val docsize = tks.length
-        // instance token ranges inside the window, clipped at its edge
+        // instance token ranges inside the window, clipped at its
+        // edge, as ORIGINAL-text char spans; merging happens in char
+        // space (probed: trigram merges instances whose spans touch —
+        // `abcabc` MATCH abc renders [abcabc] — while unicode61 spans
+        // always have a separator between tokens, so char-space
+        // merging reproduces its token-space behavior exactly)
         val ranges = colInstances(c).iterator
           .filter { case (off, _) => off >= winStart && off < winEnd }
           .map { case (off, p) =>
-            (off, math.min(off + phrases(p).length, winEnd))
+            val e0 = math.min(off + phrases(p).length, winEnd)
+            (cs(off), ce(e0 - 1))
           }.toSeq
         val merged = mutable.ArrayBuffer[(Int, Int)]()
         ranges.foreach { case (s0, e0) =>
-          if (merged.nonEmpty && s0 < merged.last._2)
+          if (merged.nonEmpty && s0 <= merged.last._2)
             merged(merged.length - 1) =
               (merged.last._1, math.max(merged.last._2, e0))
           else merged += ((s0, e0))
@@ -1155,9 +1292,7 @@ object Fts5 {
         val sb = new java.lang.StringBuilder
         if (winStart > 0) sb.append(ellipsis)
         var pos = from
-        merged.foreach { case (s0, e0) =>
-          val a = cs(s0)
-          val b = ce(e0 - 1)
+        merged.foreach { case (a, b) =>
           sb.append(text, pos, a).append(open).append(text, a, b).append(close)
           pos = b
         }
@@ -1182,11 +1317,12 @@ object Fts5 {
           disabled || (off >= winStart && off <= rangeEnd)
         }.map { case (off, p) =>
           val e = off + phrases(p).length
-          (off, if (disabled) e else math.min(e.toLong, rangeEnd + 1).toInt)
+          val e0 = if (disabled) e else math.min(e.toLong, rangeEnd + 1).toInt
+          (cs(off), ce(e0 - 1)) // char spans; merge in char space
         }
         val merged = mutable.ArrayBuffer[(Int, Int)]()
         inWin.foreach { case (s0, e0) =>
-          if (merged.nonEmpty && s0 < merged.last._2)
+          if (merged.nonEmpty && s0 <= merged.last._2)
             merged(merged.length - 1) =
               (merged.last._1, math.max(merged.last._2, e0))
           else merged += ((s0, e0))
@@ -1194,9 +1330,7 @@ object Fts5 {
         val sb = new java.lang.StringBuilder
         if (winStart > 0) sb.append(ellipsis)
         var pos = if (winStart == 0 || winStart >= docsize) 0 else cs(winStart)
-        merged.foreach { case (s0, e0) =>
-          val a = cs(s0)
-          val b = ce(e0 - 1)
+        merged.foreach { case (a, b) =>
           sb.append(text, pos, a).append(open).append(text, a, b).append(close)
           pos = b
         }
@@ -1384,10 +1518,13 @@ object Fts5 {
             // UNINDEXED columns contribute no tokens to the per-row
             // document length (probed) — feed them empty
             val tmask = maskOf(tLower)
-            val stemArg = if (ftsTables(tLower).porter) ", 1" else ""
+            val tokArg =
+              if (ftsTables(tLower).tok != TokUnicode61)
+                s", ${ftsTables(tLower).tok}"
+              else ""
             val toksArr = cols.zipWithIndex.map { case (c, i) =>
               if ((tmask & (1L << i)) == 0) "fts5_tokens('')"
-              else s"fts5_tokens(${qc(c)}$stemArg)"
+              else s"fts5_tokens(${qc(c)}$tokArg)"
             }.mkString("array(", ", ", ")")
             val idfArr = idfs.map(_.toString).mkString("array(", ", ", ")")
             val wArr = w.map(_.toString).mkString("array(", ", ", ")")
@@ -1456,7 +1593,7 @@ object Fts5 {
       val colsArr = cols.map(qc).mkString("array(", ", ", ")")
       (s"fts5_aux_text($colsArr, ${arrs.mkString(", ")}, " +
         s"${if (snippetMode) 1 else 0}, $colIdx, $openLit, $closeLit, " +
-        s"$ellipsisLit, $nTok, ${if (ftsTables(tLower).porter) 1 else 0})")
+        s"$ellipsisLit, $nTok, ${ftsTables(tLower).tok})")
     }
     val auxRe = "(?i)\\b(highlight|snippet)\\s*\\(([^()]*)\\)".r
     for (m <- auxRe.findAllMatchIn(blanked)) {
@@ -1719,7 +1856,7 @@ case class Fts5AuxText(children: Seq[Expression]) extends Expression {
     new Fts5.AuxTextEval(phrases, arr(2).toIntArray(), arr(3).toLongArray(),
       arr(4).toIntArray(), arr(5).toLongArray(), arr(6).toIntArray(),
       int(7) != 0, int(8), str(9), str(10), str(11), int(12),
-      stem = children.length > 13 && int(13) != 0)
+      tok = if (children.length > 13) int(13) else 0)
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -1745,13 +1882,13 @@ case class Fts5AuxText(children: Seq[Expression]) extends Expression {
     copy(children = newChildren)
 }
 
-/** `fts5_tokens(text[, stem])` — the unicode61 token array of a
-  * string, optionally Porter-stemmed (`tokenize='porter'` tables —
-  * r12); the row-side half of MATCH compilation (registered on the
-  * dialect function surface, [[SqliteCompat.register]]). Codegen'd
-  * via a static call, so MATCH predicates stay inside whole-stage
-  * codegen. */
-case class Fts5Tokens(child: Expression, stem: Boolean = false)
+/** `fts5_tokens(text[, mode])` — the token array of a string under
+  * tokenizer mode `mode` (0 unicode61, 1 porter, 2–4 trigram variants
+  * — [[Fts5.TokUnicode61]] family); the row-side half of MATCH
+  * compilation (registered on the dialect function surface,
+  * [[SqliteCompat.register]]). Codegen'd via a static call, so MATCH
+  * predicates stay inside whole-stage codegen. */
+case class Fts5Tokens(child: Expression, tok: Int = 0)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -1761,9 +1898,9 @@ case class Fts5Tokens(child: Expression, stem: Boolean = false)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "fts5_tokens"
   override def nullSafeEval(v: Any): Any =
-    Fts5.tokenizeUtf8(v.asInstanceOf[UTF8String], stem)
+    Fts5.tokenizeUtf8(v.asInstanceOf[UTF8String], tok)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.engine.Fts5.tokenizeUtf8($c, $stem)")
+    defineCodeGen(ctx, ev, c => s"graft.engine.Fts5.tokenizeUtf8($c, $tok)")
   override protected def withNewChildInternal(newChild: Expression): Fts5Tokens =
     copy(child = newChild)
 }

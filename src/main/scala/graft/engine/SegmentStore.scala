@@ -743,9 +743,10 @@ class SegmentStore(
       .map(fd => cols.indices.filter(i => fd.unindexed
         .contains(cols(i).toLowerCase(java.util.Locale.ROOT))).toSet)
       .getOrElse(Set.empty)
-    // porter tables index STEMMED terms so real sqlite3's porter
-    // query-side stemming agrees on the exported file (r12)
-    val porter = fdOpt.exists(_.porter)
+    // the table's tokenizer shapes the exported index terms so real
+    // sqlite3's query-side tokenization agrees on the exported file
+    // (porter stems r12, trigram windows r13)
+    val exportTok = fdOpt.map(_.tok).getOrElse(Fts5.TokUnicode61)
     import org.apache.spark.sql.expressions.Window
     val rid = functions.row_number()
       .over(Window.orderBy(cols.map(functions.col): _*)).cast(LongType)
@@ -767,7 +768,7 @@ class SegmentStore(
           val sz = new scala.collection.mutable.ArrayBuffer[Byte](nCols)
           values.zipWithIndex.foreach { case (v, j) =>
             val n = if (v == null || unidx.contains(j)) 0
-            else Fts5.tokenize(v).length
+            else Fts5.tokenize(v, exportTok).length
             colTotals(j) += n
             Fts5IndexBuilder.putVarint(sz, n.toLong)
           }
@@ -814,7 +815,8 @@ class SegmentStore(
             functions.lit(i).as("col"),
             functions.posexplode(org.apache.spark.sql.graft.SqlInternals
               .column(Fts5Tokens(org.apache.spark.sql.graft.SqlInternals
-                .expression(functions.col(c)), porter))).as(Seq("pos", "term")))
+                .expression(functions.col(c)), exportTok)))
+              .as(Seq("pos", "term")))
         }
       if (tokenBranches.isEmpty) { // every column UNINDEXED
         val res = builder.finish(nRow, colTotals.toSeq)

@@ -273,14 +273,15 @@ object SqliteCompat {
     fn("fts5_tokens") { exprs =>
       require(exprs.length == 1 || exprs.length == 2,
         "fts5_tokens takes 1 or 2 arguments")
-      // optional second literal = porter-stem flag (tokenize='porter'
-      // tables — the MATCH/bm25 compilers emit fts5_tokens(col, 1))
-      val stem = exprs.lift(1).exists {
-        case Literal(v, _) => v != null && v.toString != "0"
+      // optional second literal = tokenizer mode (0 unicode61,
+      // 1 porter, 2-4 trigram variants — the MATCH/bm25 compilers
+      // emit fts5_tokens(col, mode) for non-default tables)
+      val tok = exprs.lift(1).map {
+        case Literal(v, _) if v != null => v.toString.toInt
         case other => throw new IllegalArgumentException(
-          s"fts5_tokens stem flag must be a literal, got $other")
-      }
-      Fts5Tokens(Cast(exprs.head, StringType), stem)
+          s"fts5_tokens mode must be an integer literal, got $other")
+      }.getOrElse(0)
+      Fts5Tokens(Cast(exprs.head, StringType), tok)
     }
     fn("fts5_match_phrase") { exprs =>
       require(exprs.length == 3, "fts5_match_phrase takes exactly 3 arguments")
@@ -309,7 +310,7 @@ object SqliteCompat {
         Cast(exprs(9), ArrayType(IntegerType))))
     }
     fn("fts5_aux_text") { exprs =>
-      // optional 14th argument = porter-stem flag (r12)
+      // optional 14th argument = tokenizer mode (r12/r13)
       require(exprs.length == 13 || exprs.length == 14,
         "fts5_aux_text takes 13 or 14 arguments")
       import org.apache.spark.sql.types.{ArrayType, IntegerType}

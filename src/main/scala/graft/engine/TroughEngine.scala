@@ -171,10 +171,11 @@ class TroughEngine(
     val df = store.loadTable(segmentId, real, sess)
     val fd = ftsTablesOf(segmentId)(tLower)
     val cols = fd.columns
-    // porter tables stem the row side so tf counting matches the
-    // already-stemmed query phrases (r12)
+    // the table's tokenizer shapes the row side so tf counting matches
+    // the already-normalized query phrases (porter stems r12, trigram
+    // windows r13)
     def toks(c: String): Column =
-      SqlInternals.column(Fts5Tokens(SqlInternals.expression(df(c)), fd.porter))
+      SqlInternals.column(Fts5Tokens(SqlInternals.expression(df(c)), fd.tok))
     // UNINDEXED columns count in no document length (probed)
     val unidx = fd.unindexed
     val dRow = cols

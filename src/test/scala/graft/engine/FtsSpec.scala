@@ -246,13 +246,24 @@ class FtsSpec extends SparkSpecBase {
     same(id, db, m("hell*"))
     same(id, db, m("\"quick brown fox\""))
     // non-default tokenizers / detail modes / external content refuse
-    // (porter is supported since r12 — PorterFtsSpec)
-    for (bad <- Seq("tokenize='trigram'",
+    // (porter is supported since r12 — PorterFtsSpec; trigram since
+    // r13 — TrigramFtsSpec)
+    for (bad <- Seq("tokenize='ascii'",
         "tokenize='unicode61 remove_diacritics 2'", "detail=none",
         "content=''", "content_rowid=id")) {
       val e = intercept[Exception](seg(
         s"CREATE VIRTUAL TABLE nope USING fts5(x, $bad);"))
       assert(e.getMessage.contains("fts5 option"), s"$bad: ${e.getMessage}")
+    }
+    // trigram's own invalid-argument shapes keep real fts5's message
+    for (bad <- Seq("tokenize='trigram case_sensitive 2'",
+        "tokenize='trigram remove_diacritics 3'",
+        "tokenize='trigram case_sensitive 1 remove_diacritics 1'",
+        "tokenize='trigram bogus 1'")) {
+      val e = intercept[Exception](seg(
+        s"CREATE VIRTUAL TABLE nope USING fts5(x, $bad);"))
+      assert(e.getMessage.contains("error in tokenizer constructor"),
+        s"$bad: ${e.getMessage}")
     }
   }
 
