@@ -344,7 +344,8 @@ object Fts5 {
   final case class FtsTableDef(name: String, columns: Seq[String],
       ifNotExists: Boolean, sql: String,
       unindexed: Set[String] = Set.empty,
-      tok: Int = TokUnicode61) {
+      tok: Int = TokUnicode61,
+      detail: String = "full") {
     def porter: Boolean = tok == TokPorter
     /** Bitmask of searchable columns (UNINDEXED ones excluded —
       * probed: they store and render but never match, count in no
@@ -379,10 +380,14 @@ object Fts5 {
     val name = SqlScript.unquoteIdent(m.group(2))
     val unindexed = Set.newBuilder[String]
     var tok = TokUnicode61
+    var detail = "full"
     val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).flatMap { arg =>
       if (arg.contains("=")) {
-        val t = checkOption(arg)
-        if (t != TokUnicode61) tok = t
+        checkOption(arg) match {
+          case TokOpt(t) => tok = t
+          case DetailOpt(d) => detail = d
+          case NeutralOpt => ()
+        }
         None
       }
       else {
@@ -401,7 +406,7 @@ object Fts5 {
     }
     require(cols.nonEmpty, "fts5 table needs at least one column")
     Some(FtsTableDef(name, cols, m.group(1) != null,
-      stmt.trim.stripSuffix(";").trim, unindexed.result(), tok))
+      stmt.trim.stripSuffix(";").trim, unindexed.result(), tok, detail))
   }
 
   /** Accept exactly the fts5 options a stateless scan reproduces
@@ -412,9 +417,14 @@ object Fts5 {
     * and `columnsize=` (feeds only bm25, whose defaults this engine
     * computes from the corpus itself).
     * Everything else keeps the named refusal. */
-  /** Validate one `key=value` option; returns the tokenizer mode it
-    * selects ([[TokUnicode61]] when it is not a tokenize= option). */
-  private def checkOption(arg: String): Int = {
+  private sealed trait FtsOpt
+  private final case class TokOpt(tok: Int) extends FtsOpt
+  private final case class DetailOpt(detail: String) extends FtsOpt
+  private case object NeutralOpt extends FtsOpt
+
+  /** Validate one `key=value` option; returns the table property it
+    * selects (tokenizer mode, detail mode, or nothing observable). */
+  private def checkOption(arg: String): FtsOpt = {
     val eq = arg.indexOf('=')
     val key = arg.substring(0, eq).trim.toLowerCase(java.util.Locale.ROOT)
     val v0 = arg.substring(eq + 1).trim
@@ -437,8 +447,8 @@ object Fts5 {
         val isPorter = parts == Seq("porter") ||
           parts == Seq("porter", "unicode61") ||
           parts == Seq("porter", "unicode61", "remove_diacritics", "1")
-        if (isDefault) return TokUnicode61
-        if (isPorter) return TokPorter
+        if (isDefault) return TokOpt(TokUnicode61)
+        if (isPorter) return TokOpt(TokPorter)
         // trigram (r13): options are name-value pairs after 'trigram';
         // probed: case_sensitive ∈ {0,1}, remove_diacritics ∈ {0,1,2}
         // (1 and 2 behave identically for trigram), and case_sensitive 1
@@ -458,9 +468,9 @@ object Fts5 {
           }
           if (cs == 1 && rd >= 1) throw new IllegalArgumentException(
             "error in tokenizer constructor") // probed: incompatible
-          return if (cs == 1) TokTrigramCs
+          return TokOpt(if (cs == 1) TokTrigramCs
           else if (rd >= 1) TokTrigramRd
-          else TokTrigram
+          else TokTrigram)
         }
         refuse(
           "only the built-in default tokenizer (unicode61, " +
@@ -477,9 +487,16 @@ object Fts5 {
       // structure; this engine's scan answers identically without it
       // (and exports build the declared prefix segments)
       case "detail" =>
-        if (v.trim.toLowerCase(java.util.Locale.ROOT) != "full")
-          refuse("detail=none/column drop the position data phrase and " +
-            "NEAR queries need; only the full (default) mode is served")
+        // full (default), column, none all accepted (r13): the scan
+        // recomputes positions from content, so only the QUERY-SHAPE
+        // restrictions are observable — phrase/NEAR/column queries
+        // raise real fts5's named errors ([[checkDetail]]); bm25 and
+        // highlight/snippet re-derive instances and score identically
+        // to detail=full (probed)
+        val d = v.trim.toLowerCase(java.util.Locale.ROOT)
+        if (d != "full" && d != "column" && d != "none")
+          refuse("detail= takes full, column, or none")
+        return DetailOpt(d)
       case "columnsize" =>
         if (v.trim != "0" && v.trim != "1")
           refuse("columnsize= takes 0 or 1")
@@ -492,7 +509,33 @@ object Fts5 {
           "content=/content_rowid= external content and other options " +
           "have no analog")
     }
-    TokUnicode61
+    NeutralOpt
+  }
+
+  /** Raise real fts5's query-shape errors for detail=none|column
+    * tables (probed, raised at query time by real fts5; at compile
+    * here): multi-token and `^`-anchored phrases and NEAR need
+    * positions; column filters (`col :` or a column-LHS MATCH) need
+    * per-column postings that detail=none drops. */
+  def checkDetail(node: Node, detail: String): Unit = {
+    if (detail == "full") return
+    def err(msg: String): Nothing =
+      throw new UnsupportedOperationException(s"fts5: $msg")
+    def go(n: Node): Unit = n match {
+      case Phrase(ts, _, anchored) =>
+        if (ts.length > 1 || anchored)
+          err("phrase queries are not supported (detail!=full)")
+      case _: NearGroup =>
+        err("NEAR queries are not supported (detail!=full)")
+      case ColFilter(_, c) =>
+        if (detail == "none")
+          err("column queries are not supported (detail=none)")
+        go(c)
+      case AndN(l, r) => go(l); go(r)
+      case OrN(l, r) => go(l); go(r)
+      case NotN(l, r) => go(l); go(r)
+    }
+    go(node)
   }
 
   // ------------------------------------------------- query language
@@ -852,6 +895,9 @@ object Fts5 {
           // the table's tokenizer normalizes the query side too
           // (porter stems, trigram windows)
           val node = parseQuery(query, fd.tok)
+          // detail=none|column restrict the query shapes (the wrap
+          // covers column-LHS MATCH, a column query on detail=none)
+          checkDetail(wrap(node), fd.detail)
           matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
           val sql = compileMatch(node, cols,
             c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"),

@@ -733,6 +733,11 @@ class SegmentStore(
       throw new UnsupportedOperationException(
         s"cannot export fts5 table '$t': columnsize=0 tables have no " +
           "%_docsize shadow in real fts5; recreate without columnsize=0")
+    if (Fts5.parseCreateVirtual(ddl).exists(_.detail != "full"))
+      throw new UnsupportedOperationException(
+        s"cannot export fts5 table '$t': detail=none/column tables use " +
+          "position-less doclist encodings this exporter does not build; " +
+          "recreate with detail=full")
     val meta = tableMeta(segmentId, t)
     val cols = meta.schema.fields.map(_.name).toSeq
     val nCols = cols.length

@@ -245,11 +245,11 @@ class FtsSpec extends SparkSpecBase {
     same(id, db, m("café"))
     same(id, db, m("hell*"))
     same(id, db, m("\"quick brown fox\""))
-    // non-default tokenizers / detail modes / external content refuse
-    // (porter is supported since r12 — PorterFtsSpec; trigram since
-    // r13 — TrigramFtsSpec)
+    // non-default tokenizers / external content refuse (porter is
+    // supported since r12 — PorterFtsSpec; trigram and detail=
+    // none|column since r13 — TrigramFtsSpec, DetailFtsSpec)
     for (bad <- Seq("tokenize='ascii'",
-        "tokenize='unicode61 remove_diacritics 2'", "detail=none",
+        "tokenize='unicode61 remove_diacritics 2'", "detail=bogus",
         "content=''", "content_rowid=id")) {
       val e = intercept[Exception](seg(
         s"CREATE VIRTUAL TABLE nope USING fts5(x, $bad);"))
