@@ -505,16 +505,18 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // Exact 3-gram-shingle Jaccard similarity join. Default = PPJoin
-    // prefix filtering (r12): only each doc's rarest n-ceil(tn)+1
-    // shingles enter the index, so hot shingles never join
-    // quadratically — the count-join variant (prefixFilter=false)
-    // remains as the dense-vocabulary option.
+    // Exact 3-gram-shingle Jaccard similarity join. Default = count-join
+    // (r14, chosen by measurement): on this corpus the PPJoin prefix
+    // filter costs more than it saves — sf0.1: 2.2 s vs 3.5 s, sf1:
+    // 6.9 s vs 11.5 s (GRAFT_BENCH_ONLY=q32_jaccard_exact, median-of-3)
+    // — because the extra global-df job + window sort outweigh the
+    // candidate reduction on a dense synthetic vocabulary. PPJoin
+    // (prefixFilter=true) remains the option for Zipfian vocabularies.
     "q32_jaccard_exact" -> ((s, dir) => {
       import s.implicits._
       Dedup.jaccardJoinExact(t(s, dir, "documents"),
           thresholdNum = 3, thresholdDen = 10, shingleLen = 3,
-          prefixFilter = true)
+          prefixFilter = false)
         .orderBy($"doc_a", $"doc_b")
     }),
 

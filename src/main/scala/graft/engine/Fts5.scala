@@ -56,54 +56,242 @@ object Fts5 {
 
   // ------------------------------------------------------- tokenizer
 
-  /** Tokenizer modes, threaded as one int so the codegen'd expressions
-    * ([[Fts5Tokens]], [[Fts5AuxText]]) ship a primitive constant:
-    * 0 = unicode61 (the default), 1 = porter over unicode61 (r12),
-    * 2 = trigram, 3 = trigram case_sensitive 1, 4 = trigram
-    * remove_diacritics 1|2 (probed identical for trigram). */
-  val TokUnicode61 = 0
-  val TokPorter = 1
-  val TokTrigram = 2
-  val TokTrigramCs = 3
-  val TokTrigramRd = 4
-  @inline def isTrigram(tok: Int): Boolean = tok >= TokTrigram
+  /** Full tokenizer configuration (r14 — replaces the packed int of
+    * r11-r13 so `tokenchars`/`separators`/`categories` arguments and
+    * the `ascii` tokenizer fit). Threaded into the codegen'd
+    * expressions ([[Fts5Tokens]], [[Fts5AuxText]]) as a reference
+    * object; serialized into compiled SQL fragments via [[Tok.spec]]
+    * (a compact hex-escaped literal, parsed back by [[Tok.parse]]).
+    *
+    *  - `base`: 0 = unicode61, 1 = ascii, 2 = trigram
+    *  - `stem`: porter stemming over the base tokenizer's output
+    *    (probed: `porter`, `porter ascii`, `porter trigram` all legal)
+    *  - `rd`: remove_diacritics 0|1|2 (unicode61 default 1, trigram
+    *    default 0; 1 and 2 probed identical on this engine's surface;
+    *    meaningless for ascii — a constructor error there)
+    *  - `cs`: trigram case_sensitive
+    *  - `tokenchars`/`separators`: extra token/separator codepoints,
+    *    checked on the RAW codepoint before folding (probed:
+    *    `separators 'Q'` does not split `q`); separators win when a
+    *    char is listed in both (probed)
+    *  - `catMask`: unicode61 token-char Unicode categories as a bitmask
+    *    over `Character.getType` values (default L* N* Co — probed:
+    *    `²`(No) and `Ⅳ`(Nl) are token chars, Mn/Mc/S*/P*/Cf are
+    *    separators) */
+  final case class Tok(base: Int, stem: Boolean = false, rd: Int = 1,
+      cs: Boolean = false, tokenchars: String = "", separators: String = "",
+      catMask: Int = Tok.DefaultCats) {
+    def isTrigram: Boolean = base == Tok.BaseTrigram
+    /** Compact SQL-literal-safe encoding ([a-z0-9;=+*] only). */
+    def spec: String = {
+      val b = new StringBuilder(base match {
+        case Tok.BaseU61 => "u61"
+        case Tok.BaseAscii => "ascii"
+        case _ => "tri"
+      })
+      if (stem) b.append("+stem")
+      val rdDefault = if (isTrigram) 0 else 1
+      if (rd != rdDefault) b.append(";rd=").append(rd)
+      if (cs) b.append(";cs=1")
+      if (tokenchars.nonEmpty) b.append(";tc=").append(Tok.hex(tokenchars))
+      if (separators.nonEmpty) b.append(";sep=").append(Tok.hex(separators))
+      if (catMask != Tok.DefaultCats) b.append(";cat=").append(catMask)
+      b.toString
+    }
+  }
 
-  /** Mode-dispatching tokenization: unicode61/porter word tokens or
-    * trigram codepoint windows. */
-  def tokenize(s: String, tok: Int): Seq[String] =
-    if (isTrigram(tok)) trigramWithOffsets(s, tok)._1.toSeq
-    else tokenize(s, tok == TokPorter)
+  object Tok {
+    val BaseU61 = 0
+    val BaseAscii = 1
+    val BaseTrigram = 2
+    /** L* N* Co as a Character.getType bitmask (fts5's unicode61
+      * default token categories). */
+    val DefaultCats: Int =
+      (1 << Character.UPPERCASE_LETTER) | (1 << Character.LOWERCASE_LETTER) |
+      (1 << Character.TITLECASE_LETTER) | (1 << Character.MODIFIER_LETTER) |
+      (1 << Character.OTHER_LETTER) | (1 << Character.DECIMAL_DIGIT_NUMBER) |
+      (1 << Character.LETTER_NUMBER) | (1 << Character.OTHER_NUMBER) |
+      (1 << Character.PRIVATE_USE)
+    /** The default tokenizer: unicode61 remove_diacritics 1. */
+    val u61: Tok = Tok(BaseU61)
+    /** Map one Unicode general-category name to its Character.getType
+      * value; -1 when unknown. */
+    def catOf(name: String): Int = name match {
+      case "Lu" => Character.UPPERCASE_LETTER
+      case "Ll" => Character.LOWERCASE_LETTER
+      case "Lt" => Character.TITLECASE_LETTER
+      case "Lm" => Character.MODIFIER_LETTER
+      case "Lo" => Character.OTHER_LETTER
+      case "Mn" => Character.NON_SPACING_MARK
+      case "Mc" => Character.COMBINING_SPACING_MARK
+      case "Me" => Character.ENCLOSING_MARK
+      case "Nd" => Character.DECIMAL_DIGIT_NUMBER
+      case "Nl" => Character.LETTER_NUMBER
+      case "No" => Character.OTHER_NUMBER
+      case "Pc" => Character.CONNECTOR_PUNCTUATION
+      case "Pd" => Character.DASH_PUNCTUATION
+      case "Ps" => Character.START_PUNCTUATION
+      case "Pe" => Character.END_PUNCTUATION
+      case "Pi" => Character.INITIAL_QUOTE_PUNCTUATION
+      case "Pf" => Character.FINAL_QUOTE_PUNCTUATION
+      case "Po" => Character.OTHER_PUNCTUATION
+      case "Sm" => Character.MATH_SYMBOL
+      case "Sc" => Character.CURRENCY_SYMBOL
+      case "Sk" => Character.MODIFIER_SYMBOL
+      case "So" => Character.OTHER_SYMBOL
+      case "Zs" => Character.SPACE_SEPARATOR
+      case "Zl" => Character.LINE_SEPARATOR
+      case "Zp" => Character.PARAGRAPH_SEPARATOR
+      case "Cc" => Character.CONTROL
+      case "Cf" => Character.FORMAT
+      case "Co" => Character.PRIVATE_USE
+      case "Cs" => Character.SURROGATE
+      case "Cn" => Character.UNASSIGNED
+      case _ => -1
+    }
+    private val allCatNames = Seq("Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Mc",
+      "Me", "Nd", "Nl", "No", "Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po",
+      "Sm", "Sc", "Sk", "So", "Zs", "Zl", "Zp", "Cc", "Cf", "Co", "Cs", "Cn")
+    /** Parse a unicode61 `categories` value ("L* N* Co") to a mask;
+      * real fts5's constructor error on anything unknown. */
+    def catMaskOf(v: String): Int =
+      v.trim.split("\\s+").filter(_.nonEmpty).foldLeft(0) { (m, item) =>
+        val cats =
+          if (item.length == 2 && item(1) == '*')
+            allCatNames.filter(_.startsWith(item.take(1)))
+          else if (catOf(item) >= 0) Seq(item)
+          else Seq.empty
+        if (cats.isEmpty) throw new IllegalArgumentException(
+          "error in tokenizer constructor") // real fts5's message
+        cats.foldLeft(m)((mm, c) => mm | (1 << catOf(c)))
+      }
+    private[engine] def hex(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    private def unhex(h: String): String =
+      new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        "UTF-8")
+    /** The r11-r13 packed-int modes, kept for the SQL surface's
+      * backward compatibility (fts5_tokens(col, 0-4)). */
+    def fromLegacy(i: Int): Tok = i match {
+      case 0 => u61
+      case 1 => Tok(BaseU61, stem = true)
+      case 2 => Tok(BaseTrigram, rd = 0)
+      case 3 => Tok(BaseTrigram, rd = 0, cs = true)
+      case 4 => Tok(BaseTrigram, rd = 1)
+      case _ => throw new IllegalArgumentException(
+        s"fts5_tokens mode must be 0 (unicode61), 1 (porter), 2 (trigram), " +
+          s"3 (trigram case_sensitive), 4 (trigram remove_diacritics) or a " +
+          s"tokenizer spec string, got $i")
+    }
+    /** Inverse of [[Tok.spec]]. */
+    def parse(spec: String): Tok = {
+      val parts = spec.split(";")
+      val (baseStr, stem) = parts.head.split("\\+") match {
+        case Array(b) => (b, false)
+        case Array(b, "stem") => (b, true)
+        case _ => throw new IllegalArgumentException(
+          s"bad tokenizer spec: $spec")
+      }
+      val base = baseStr match {
+        case "u61" => BaseU61
+        case "ascii" => BaseAscii
+        case "tri" => BaseTrigram
+        case _ => throw new IllegalArgumentException(
+          s"bad tokenizer spec: $spec")
+      }
+      var t = Tok(base, stem = stem, rd = if (base == BaseTrigram) 0 else 1)
+      parts.tail.foreach { kv =>
+        kv.split("=", 2) match {
+          case Array("rd", v) => t = t.copy(rd = v.toInt)
+          case Array("cs", v) => t = t.copy(cs = v == "1")
+          case Array("tc", v) => t = t.copy(tokenchars = unhex(v))
+          case Array("sep", v) => t = t.copy(separators = unhex(v))
+          case Array("cat", v) => t = t.copy(catMask = v.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"bad tokenizer spec: $spec")
+        }
+      }
+      t
+    }
+  }
+
+  /** Mode-dispatching tokenization: word tokens (unicode61/ascii,
+    * optional porter) or trigram codepoint windows. */
+  def tokenize(s: String, tok: Tok): Seq[String] =
+    tokenizeWithOffsets(s, tok)._1.toSeq
 
   /** Mode-dispatching [[tokenizeWithOffsets]]. */
-  def tokenizeWithOffsets(s: String, tok: Int)
+  def tokenizeWithOffsets(s: String, tok: Tok)
       : (Array[String], Array[Int], Array[Int]) =
-    if (isTrigram(tok)) trigramWithOffsets(s, tok)
-    else tokenizeWithOffsets(s, tok == TokPorter)
+    if (tok.isTrigram) trigramWithOffsets(s, tok)
+    else wordWithOffsets(s, tok)
 
-  /** fts5's simple case fold for the trigram tokenizer, one codepoint
-    * in, one out (fts5_unicode2.c sqlite3Fts5UnicodeFold): Java's
-    * codepoint lowercase with the probed divergences pinned — U+0130
-    * 'İ' stays itself (simple folding has no mapping; Java lowers it
-    * to 'i') and final sigma ς folds to σ (Java keeps it). */
-  private def triFoldCp(cp: Int): Int =
-    if (cp == 0x130) cp
+  /** fts5's diacritic combining marks (fts5_unicode2.c
+    * sqlite3Fts5UnicodeIsdiacritic, re-probed exhaustively over
+    * U+0300–U+036F on the sandbox sqlite3 3.51: marks outside this set
+    * — Hebrew points, Thai tone marks, Arabic hamza, even U+0305
+    * COMBINING OVERLINE — are NOT removed by remove_diacritics). */
+  private val DiaMask0 = 0x08029FDF // U+0300-U+031F
+  private val DiaMask1 = 0x000361F8 // U+0320-U+033F
+  @inline def isDiaMark(cp: Int): Boolean =
+    if (cp < 0x300 || cp > 0x33F) false
+    else if (cp < 0x320) (DiaMask0 & (1 << (cp - 0x300))) != 0
+    else (DiaMask1 & (1 << (cp - 0x320))) != 0
+
+  /** fts5's simple case fold, one codepoint in, one out
+    * (sqlite3Fts5UnicodeFold): Java's codepoint lowercase with the
+    * probed divergences pinned — ſ (long s) folds to s (Java keeps
+    * it; probed for unicode61 'ſtraße'→'straße' AND trigram at
+    * remove_diacritics 0) and final sigma ς folds to σ. The trigram
+    * tokenizer additionally keeps U+0130 'İ' itself (probed: trigram
+    * 'İxyz' does NOT match 'ixyz') while unicode61 folds it to i
+    * (probed: 'İstanbul'→'istanbul'). */
+  private def foldCp(cp: Int): Int =
+    if (cp == 0x17F) 's'
     else if (cp == 0x3C2) 0x3C3
     else Character.toLowerCase(cp)
 
-  /** One codepoint under `remove_diacritics 1|2` (probed identical for
-    * trigram): combining marks vanish from the stream entirely (−1),
-    * precomposed letters fold to their base. */
-  private def triRdCp(cp: Int): Int =
-    if (Character.getType(cp) == Character.NON_SPACING_MARK) -1
-    else {
-      val f = triFoldCp(cp)
-      if (f < 0x80) f
-      else {
-        val d = java.text.Normalizer.normalize(
-          new String(Character.toChars(f)), java.text.Normalizer.Form.NFD)
-        d.codePointAt(0)
-      }
+  private def triFoldCp(cp: Int): Int =
+    if (cp == 0x130) cp else foldCp(cp)
+
+  /** Fold one ALREADY-case-folded codepoint under remove_diacritics:
+    * precomposed LATIN letters decompose to their ASCII base when every
+    * combining mark of the decomposition is in fts5's diacritic set
+    * (probed exhaustively over U+0080–U+2100 + U+212B: Greek ά/ἀ and
+    * Cyrillic ё/й do NOT fold — fts5's table covers Latin only — and
+    * ǡ (U+01E1, a + dot above + macron) is real fts5's one skipped
+    * Latin form). BMP table built once per JVM; supplementary planes
+    * have no foldings. */
+  private lazy val rdTable: Array[Int] = {
+    val t = new Array[Int](0x10000)
+    var cp = 0
+    while (cp < 0x10000) {
+      t(cp) =
+        if (cp < 0x80 || cp == 0x1E1 ||
+          (cp >= 0xD800 && cp <= 0xDFFF)) cp
+        else {
+          val s = new String(Character.toChars(cp))
+          val nfd = java.text.Normalizer.normalize(
+            s, java.text.Normalizer.Form.NFD)
+          if (nfd == s) cp
+          else {
+            val base = foldCp(nfd.codePointAt(0))
+            var i = Character.charCount(nfd.codePointAt(0))
+            var allDia = true
+            while (allDia && i < nfd.length) {
+              val m = nfd.codePointAt(i)
+              allDia = isDiaMark(m)
+              i += Character.charCount(m)
+            }
+            if (allDia && base >= 'a' && base <= 'z') base else cp
+          }
+        }
+      cp += 1
     }
+    t
+  }
+  @inline private def rmDiacriticCp(cp: Int): Int =
+    if (cp < 0x10000) rdTable(cp) else cp
 
   /** trigram tokenization (fts5.html §4.3.4, probed): every contiguous
     * 3-CODEPOINT window of the text — spaces and punctuation included —
@@ -114,7 +302,7 @@ object Fts5 {
     * codepoint after its third (so skipped combining marks ride inside
     * the preceding token's span — probed highlight `c[afé] x` over
     * decomposed text under remove_diacritics). */
-  def trigramWithOffsets(s: String, tok: Int)
+  def trigramWithOffsets(s: String, tok: Tok)
       : (Array[String], Array[Int], Array[Int]) = {
     val cps = new mutable.ArrayBuffer[Int](s.length)
     val offs = new mutable.ArrayBuffer[Int](s.length)
@@ -122,9 +310,13 @@ object Fts5 {
     while (i < s.length) {
       val cp = s.codePointAt(i)
       val f =
-        if (tok == TokTrigramCs) cp
-        else if (tok == TokTrigramRd) triRdCp(cp)
-        else triFoldCp(cp)
+        if (tok.cs) cp
+        else if (tok.rd >= 1) {
+          // remove_diacritics (probed identical for 1|2): marks in
+          // fts5's diacritic set vanish from the stream; other
+          // combining marks stay (Hebrew/Thai/Arabic — ADVICE r13)
+          if (isDiaMark(cp)) -1 else rmDiacriticCp(triFoldCp(cp))
+        } else triFoldCp(cp)
       if (f >= 0) { cps += f; offs += i }
       i += Character.charCount(cp)
     }
@@ -139,7 +331,7 @@ object Fts5 {
       val sb = new java.lang.StringBuilder(6)
       sb.appendCodePoint(cps(k)).appendCodePoint(cps(k + 1))
         .appendCodePoint(cps(k + 2))
-      toks(k) = sb.toString
+      toks(k) = if (tok.stem) Porter.stem(sb.toString) else sb.toString
       starts(k) = offs(k)
       ends(k) = if (k + 3 < m) offs(k + 3) else s.length
       k += 1
@@ -147,36 +339,90 @@ object Fts5 {
     (toks, starts, ends)
   }
 
-  /** unicode61-style tokenization (fts5.html §4.3.1, defaults): tokens
-    * are maximal runs of Unicode alphanumeric codepoints, case-folded,
-    * with diacritics removed (NFD + drop combining marks — SQLite's
-    * remove_diacritics=1 default). Shared by row tokenization (the
-    * [[Fts5Tokens]] expression) and query-term normalization, so both
-    * sides always agree. */
-  def tokenize(s: String, stem: Boolean = false): Seq[String] = {
-    val norm = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-    val out = mutable.ArrayBuffer[String]()
-    val tok = new java.lang.StringBuilder
-    def emit(): Unit = if (tok.length > 0) {
-      out += (if (stem) Porter.stem(tok.toString) else tok.toString)
-      tok.setLength(0)
+  /** Word tokenization — unicode61 (fts5.html §4.3.1) and ascii
+    * (§4.3.2), plus each token's char span in the ORIGINAL string
+    * (highlight()/snippet() insert markers into the raw text, so the
+    * offsets must address it, not the folded form). Shared by row
+    * tokenization (the [[Fts5Tokens]] expression) and query-term
+    * normalization, so both sides always agree.
+    *
+    * Probed semantics (sandbox sqlite3 3.51 via fts5vocab):
+    *  - classification happens on the RAW codepoint: `separators`
+    *    first, then `tokenchars`, then — unicode61 — the category
+    *    mask (default L* N* Co), with fts5's diacritic combining
+    *    marks special-cased: they CONTINUE a run (kept in the token
+    *    at remove_diacritics 0, dropped at 1|2) but never start one,
+    *    regardless of `categories`; non-diacritic marks (Hebrew
+    *    points, Thai tone marks) are plain separators unless Mn/Mc is
+    *    in `categories`. ascii: every cp > 127 is a token char, ASCII
+    *    alphanumerics too, everything else a separator.
+    *  - folding: unicode61 = simple case fold (+ ſ→s, ς→σ, İ→i) then
+    *    remove_diacritics on precomposed Latin; ascii folds A-Z only
+    *    and never removes diacritics ('Héllo'→'héllo' probed).
+    *  - porter stems each finished token. */
+  def wordWithOffsets(s: String, t: Tok)
+      : (Array[String], Array[Int], Array[Int]) = {
+    val toks = mutable.ArrayBuffer[String]()
+    val starts = mutable.ArrayBuffer[Int]()
+    val ends = mutable.ArrayBuffer[Int]()
+    val sb = new java.lang.StringBuilder
+    var runStart = -1
+    val ascii = t.base == Tok.BaseAscii
+    def close(endAt: Int): Unit = if (runStart >= 0) {
+      val text = if (t.stem) Porter.stem(sb.toString) else sb.toString
+      toks += text
+      starts += runStart
+      ends += endAt
+      sb.setLength(0)
+      runStart = -1
     }
     var i = 0
-    while (i < norm.length) {
-      val cp = norm.codePointAt(i)
-      if (Character.getType(cp) == Character.NON_SPACING_MARK) ()
-      else if (Character.isLetterOrDigit(cp))
-        tok.appendCodePoint(Character.toLowerCase(cp))
-      else emit()
-      i += Character.charCount(cp)
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val tokenChar =
+        if (t.separators.nonEmpty && t.separators.indexOf(cp) >= 0) false
+        else if (t.tokenchars.nonEmpty && t.tokenchars.indexOf(cp) >= 0) true
+        else if (ascii) cp > 127 || (cp < 128 && (
+          (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+          (cp >= '0' && cp <= '9')))
+        else if (isDiaMark(cp)) {
+          // diacritic marks continue a run but never start one
+          if (runStart >= 0 && t.rd == 0) sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+          // `continue` via placeholder: skip the shared append/close
+          // below by looping from the top
+          cp == -1 // never true; value unused past this branch
+        } else (t.catMask & (1 << Character.getType(cp))) != 0
+      if (!ascii && isDiaMark(cp) &&
+        !(t.separators.nonEmpty && t.separators.indexOf(cp) >= 0) &&
+        !(t.tokenchars.nonEmpty && t.tokenchars.indexOf(cp) >= 0)) {
+        // handled above (run continuation); nothing more to do
+      } else if (tokenChar) {
+        if (runStart < 0) runStart = i
+        val folded =
+          if (ascii) { if (cp >= 'A' && cp <= 'Z') cp + 32 else cp }
+          else {
+            val f = foldCp(cp)
+            if (t.rd >= 1) rmDiacriticCp(f) else f
+          }
+        sb.appendCodePoint(folded)
+        i += Character.charCount(cp)
+      } else {
+        close(i)
+        i += Character.charCount(cp)
+      }
     }
-    emit()
-    out.toSeq
+    close(s.length)
+    (toks.toArray, starts.toArray, ends.toArray)
   }
 
+  /** unicode61-default tokenization (the common case — SegmentStore
+    * ingest, tests). */
+  def tokenize(s: String): Seq[String] = tokenize(s, Tok.u61)
+
   /** Codegen targets for [[Fts5Tokens]]. */
-  def tokenizeUtf8(s: UTF8String): ArrayData = tokenizeUtf8(s, 0)
-  def tokenizeUtf8(s: UTF8String, tok: Int): ArrayData =
+  def tokenizeUtf8(s: UTF8String): ArrayData = tokenizeUtf8(s, Tok.u61)
+  def tokenizeUtf8(s: UTF8String, tok: Tok): ArrayData =
     new GenericArrayData(
       tokenize(s.toString, tok).map(UTF8String.fromString).toArray[Any])
 
