@@ -505,18 +505,17 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // Exact 3-gram-shingle Jaccard similarity join. Default = count-join
-    // (r14, chosen by measurement): on this corpus the PPJoin prefix
-    // filter costs more than it saves — sf0.1: 2.2 s vs 3.5 s, sf1:
-    // 6.9 s vs 11.5 s (GRAFT_BENCH_ONLY=q32_jaccard_exact, median-of-3)
-    // — because the extra global-df job + window sort outweigh the
-    // candidate reduction on a dense synthetic vocabulary. PPJoin
-    // (prefixFilter=true) remains the option for Zipfian vocabularies.
+    // Exact 3-gram-shingle Jaccard similarity join. Strategy is
+    // AUTO-SELECTED by a sampled skew probe (r15): count-join on dense
+    // vocabularies (this corpus: 546 est. pairs/doc → 2.2 s, vs
+    // PPJoin 3.5 s), PPJoin prefix filtering on Zipfian ones (probed
+    // Zipf(1.05) 60 k-doc corpus: 76 652 pairs/doc → 8.5 s vs
+    // count-join 31.7 s) — hot shingles make the plain inverted-index
+    // join quadratic at 100×, so the default must not assume density.
     "q32_jaccard_exact" -> ((s, dir) => {
       import s.implicits._
       Dedup.jaccardJoinExact(t(s, dir, "documents"),
-          thresholdNum = 3, thresholdDen = 10, shingleLen = 3,
-          prefixFilter = false)
+          thresholdNum = 3, thresholdDen = 10, shingleLen = 3)
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -1145,6 +1144,26 @@ object SparkEntry {
         .where(graft.engine.Fts5.matchPredicate(
           "data AND \"batch batch\" OR filt*", Map("text" -> $"text")))
         .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // FTS5 configured tokenizers end to end (r15, Fts5.Tok): the same
+    // codegen'd token expressions under a non-default tokenize= —
+    // here `unicode61 separators 'a'` (every raw 'a' splits a run) —
+    // driving both a MATCH predicate and per-doc token counts. Still
+    // scan-bound, zero shuffle.
+    "q65_fts_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.engine.{Fts5, Fts5Tokens}
+      import org.apache.spark.sql.graft.SqlInternals
+      val tok = Fts5.parseTokenize("unicode61 separators 'a'")
+      val toks = SqlInternals.column(
+        Fts5Tokens(SqlInternals.expression($"text"), tok))
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(toks).cast("long").as("n_tok"),
+          Fts5.matchPredicate("d AND b*", Map("text" -> $"text"),
+            tok = tok).cast("int").as("hit"))
         .orderBy($"doc_id")
     })
   )
@@ -1798,6 +1817,20 @@ object SparkEntry {
                list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]),
                'batch batch'))
          OR len(list_filter(l, x -> x LIKE 'filt%')) > 0
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // `unicode61 separators 'a'`: tokens split on non-alnum AND on
+    // every raw 'a' (corpus text is lowercase ASCII, so lower() and
+    // the raw-codepoint check agree)
+    "q65_fts_tokenize" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '([^a-z0-9]|a)+'),
+            x -> x <> '') AS l
+        FROM documents)
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+        CAST(list_contains(l, 'd')
+             AND len(list_filter(l, x -> x LIKE 'b%')) > 0 AS INT) AS hit
+      FROM toks ORDER BY doc_id"""
   )
 }

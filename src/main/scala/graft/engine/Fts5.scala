@@ -76,7 +76,7 @@ object Fts5 {
     *    char is listed in both (probed)
     *  - `catMask`: unicode61 token-char Unicode categories as a bitmask
     *    over `Character.getType` values (default L* N* Co — probed:
-    *    `²`(No) and `Ⅳ`(Nl) are token chars, Mn/Mc/S*/P*/Cf are
+    *    `²`(No) and `Ⅳ`(Nl) are token chars; Mn, Mc, S, P, Cf are
     *    separators) */
   final case class Tok(base: Int, stem: Boolean = false, rd: Int = 1,
       cs: Boolean = false, tokenchars: String = "", separators: String = "",
@@ -183,6 +183,12 @@ object Fts5 {
           s"3 (trigram case_sensitive), 4 (trigram remove_diacritics) or a " +
           s"tokenizer spec string, got $i")
     }
+    private val specCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Tok]()
+    /** Memoized [[parse]] — the per-row codegen path
+      * (`Fts5.tokenizeUtf8(s, spec)`). */
+    def cached(spec: String): Tok =
+      specCache.computeIfAbsent(spec, parse(_))
     /** Inverse of [[Tok.spec]]. */
     def parse(spec: String): Tok = {
       val parts = spec.split(";")
@@ -425,39 +431,11 @@ object Fts5 {
   def tokenizeUtf8(s: UTF8String, tok: Tok): ArrayData =
     new GenericArrayData(
       tokenize(s.toString, tok).map(UTF8String.fromString).toArray[Any])
-
-  /** [[tokenize]] plus each token's char span in the ORIGINAL string —
-    * highlight()/snippet() insert markers into the raw text, so the
-    * offsets must address it, not the folded form. A token is a
-    * maximal run of alphanumerics (combining marks neither start nor
-    * break one — unicode61's behavior); its folded text comes from
-    * [[tokenize]] on the run so both walks always agree. */
-  def tokenizeWithOffsets(s: String, stem: Boolean = false)
-      : (Array[String], Array[Int], Array[Int]) = {
-    val toks = mutable.ArrayBuffer[String]()
-    val starts = mutable.ArrayBuffer[Int]()
-    val ends = mutable.ArrayBuffer[Int]()
-    var runStart = -1
-    var i = 0
-    def close(endAt: Int): Unit = if (runStart >= 0) {
-      tokenize(s.substring(runStart, endAt), stem).headOption.foreach { t =>
-        toks += t
-        starts += runStart
-        ends += endAt
-      }
-      runStart = -1
-    }
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      val w = Character.charCount(cp)
-      if (Character.isLetterOrDigit(cp)) { if (runStart < 0) runStart = i }
-      else if (Character.getType(cp) == Character.NON_SPACING_MARK && runStart >= 0) ()
-      else close(i)
-      i += w
-    }
-    close(s.length)
-    (toks.toArray, starts.toArray, ends.toArray)
-  }
+  /** Codegen entry taking the spec string literal ([[Fts5Tokens]]'s
+    * doGenCode) — parse memoized, so the per-row cost stays one map
+    * lookup. */
+  def tokenizeUtf8(s: UTF8String, spec: String): ArrayData =
+    tokenizeUtf8(s, Tok.cached(spec))
 
   /** Per-member PARTICIPATING instance starts of one NEAR group in one
     * column: an instance survives iff it is part of SOME full cluster
@@ -590,15 +568,44 @@ object Fts5 {
   final case class FtsTableDef(name: String, columns: Seq[String],
       ifNotExists: Boolean, sql: String,
       unindexed: Set[String] = Set.empty,
-      tok: Int = TokUnicode61,
-      detail: String = "full") {
-    def porter: Boolean = tok == TokPorter
+      tok: Tok = Tok.u61,
+      detail: String = "full",
+      content: Option[String] = None,
+      contentRowid: String = "rowid",
+      columnsize: Boolean = true) {
+    def porter: Boolean = tok.stem
+    /** content='': index only, column reads answer NULL (r15). */
+    def contentless: Boolean = content.contains("")
+    /** content='other': values live in the named table, looked up by
+      * [[contentRowid]]; the fts table stores only the index (r15). */
+    def externalContent: Boolean = content.exists(_.nonEmpty)
+    /** The fts table stores rowids explicitly (the `__rowid` backing
+      * column) — any content= table. */
+    def hasRowids: Boolean = content.isDefined
     /** Bitmask of searchable columns (UNINDEXED ones excluded —
       * probed: they store and render but never match, count in no
       * doc length, and column filters over them silently match
       * nothing). */
     def indexedMask: Long = Fts5.indexedMaskOf(columns, unindexed)
   }
+
+  /** The hidden rowid column of content= fts backing tables (r15):
+    * real fts5's sync commands and external-content lookups address
+    * rows by rowid, so the index state must carry one. */
+  val RowidCol = "__rowid"
+
+  /** Hidden read-view columns of content= fts tables (r15). The `#`
+    * keeps them out of any identifier a SQLite statement can spell, so
+    * only the MATCH/bm25 compilers reach them; the read path drops any
+    * that leak through `SELECT *`. */
+  def idxCol(c: String): String = s"$c#idx"
+  /** Hidden backing view of a content= fts table — a plain identifier
+    * (Spark refuses `#` in VIEW names, unlike column names). */
+  def idxView(table: String): String =
+    s"__fts_idx_${table.toLowerCase(java.util.Locale.ROOT)}"
+  def ridCol(tableLower: String): String = s"__rid#$tableLower"
+  def isHiddenCol(c: String): Boolean =
+    c.endsWith("#idx") || c.startsWith("__rid#")
 
   /** Bitmask of indexed columns given the declared order. */
   def indexedMaskOf(columns: Seq[String], unindexed: Set[String]): Long =
@@ -625,13 +632,19 @@ object Fts5 {
           "are libsqlite3 extensions with no equivalent here)")
     val name = SqlScript.unquoteIdent(m.group(2))
     val unindexed = Set.newBuilder[String]
-    var tok = TokUnicode61
+    var tok = Tok.u61
     var detail = "full"
+    var content: Option[String] = None
+    var contentRowid = "rowid"
+    var columnsize = true
     val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).flatMap { arg =>
       if (arg.contains("=")) {
         checkOption(arg) match {
           case TokOpt(t) => tok = t
           case DetailOpt(d) => detail = d
+          case ContentOpt(c) => content = Some(c)
+          case ContentRowidOpt(c) => contentRowid = c
+          case ColumnsizeOpt(e) => columnsize = e
           case NeutralOpt => ()
         }
         None
@@ -652,7 +665,8 @@ object Fts5 {
     }
     require(cols.nonEmpty, "fts5 table needs at least one column")
     Some(FtsTableDef(name, cols, m.group(1) != null,
-      stmt.trim.stripSuffix(";").trim, unindexed.result(), tok, detail))
+      stmt.trim.stripSuffix(";").trim, unindexed.result(), tok, detail,
+      content, contentRowid, columnsize))
   }
 
   /** Accept exactly the fts5 options a stateless scan reproduces
@@ -664,8 +678,11 @@ object Fts5 {
     * computes from the corpus itself).
     * Everything else keeps the named refusal. */
   private sealed trait FtsOpt
-  private final case class TokOpt(tok: Int) extends FtsOpt
+  private final case class TokOpt(tok: Tok) extends FtsOpt
   private final case class DetailOpt(detail: String) extends FtsOpt
+  private final case class ContentOpt(table: String) extends FtsOpt
+  private final case class ContentRowidOpt(col: String) extends FtsOpt
+  private final case class ColumnsizeOpt(enabled: Boolean) extends FtsOpt
   private case object NeutralOpt extends FtsOpt
 
   /** Validate one `key=value` option; returns the table property it
@@ -674,55 +691,18 @@ object Fts5 {
     val eq = arg.indexOf('=')
     val key = arg.substring(0, eq).trim.toLowerCase(java.util.Locale.ROOT)
     val v0 = arg.substring(eq + 1).trim
-    val v = // strip one level of '…' / "…" quoting
-      if (v0.length >= 2 && ((v0.head == '\'' && v0.last == '\'') ||
-          (v0.head == '"' && v0.last == '"')))
-        v0.substring(1, v0.length - 1)
+    val v = // strip one level of '…' / "…" quoting (with its escapes)
+      if (v0.length >= 2 && v0.head == '\'' && v0.last == '\'')
+        v0.substring(1, v0.length - 1).replace("''", "'")
+      else if (v0.length >= 2 && v0.head == '"' && v0.last == '"')
+        v0.substring(1, v0.length - 1).replace("\"\"", "\"")
       else v0
     def refuse(why: String): Nothing =
       throw new UnsupportedOperationException(
         s"fts5 option '$arg' is not supported: $why")
     key match {
       case "tokenize" =>
-        val parts = v.trim.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").toSeq.map(p => p.stripPrefix("'").stripSuffix("'"))
-        val isDefault = parts == Seq("unicode61") ||
-          parts == Seq("unicode61", "remove_diacritics", "1")
-        // porter over the default unicode61 parent (r11): the classic
-        // Porter algorithm as porter.c applies it ([[Porter]])
-        val isPorter = parts == Seq("porter") ||
-          parts == Seq("porter", "unicode61") ||
-          parts == Seq("porter", "unicode61", "remove_diacritics", "1")
-        if (isDefault) return TokOpt(TokUnicode61)
-        if (isPorter) return TokOpt(TokPorter)
-        // trigram (r13): options are name-value pairs after 'trigram';
-        // probed: case_sensitive ∈ {0,1}, remove_diacritics ∈ {0,1,2}
-        // (1 and 2 behave identically for trigram), and case_sensitive 1
-        // with remove_diacritics ≥ 1 is real fts5's tokenizer-
-        // constructor error
-        if (parts.headOption.contains("trigram")) {
-          var cs = 0
-          var rd = 0
-          parts.tail.grouped(2).foreach {
-            case Seq("case_sensitive", x) if x == "0" || x == "1" =>
-              cs = x.toInt
-            case Seq("remove_diacritics", x)
-                if x == "0" || x == "1" || x == "2" =>
-              rd = x.toInt
-            case _ => throw new IllegalArgumentException(
-              "error in tokenizer constructor") // real fts5's message
-          }
-          if (cs == 1 && rd >= 1) throw new IllegalArgumentException(
-            "error in tokenizer constructor") // probed: incompatible
-          return TokOpt(if (cs == 1) TokTrigramCs
-          else if (rd >= 1) TokTrigramRd
-          else TokTrigram)
-        }
-        refuse(
-          "only the built-in default tokenizer (unicode61, " +
-            "remove_diacritics 1), porter over it, and trigram are " +
-            "available — ascii and non-default unicode61 arguments " +
-            "have no engine analog")
+        return TokOpt(parseTokenize(v))
       case "prefix" =>
         if (!v.trim.matches("[0-9 ]+"))
           refuse("prefix= takes a list of integer prefix lengths")
@@ -746,16 +726,110 @@ object Fts5 {
       case "columnsize" =>
         if (v.trim != "0" && v.trim != "1")
           refuse("columnsize= takes 0 or 1")
-      // else: accepted — the column-size table only accelerates bm25's
-      // document-length lookups; this engine recomputes them
+        // accepted — the column-size table only accelerates bm25's
+        // document-length lookups; this engine recomputes them. The
+        // flag still shapes EXPORT: columnsize=0 files carry no
+        // %_docsize shadow (probed — r15)
+        return ColumnsizeOpt(v.trim == "1")
+      case "content" =>
+        // content='' (contentless) and content='other' (external
+        // content) — r15. The content table is resolved at READ time
+        // like real fts5 (it may be created after the fts table).
+        return ContentOpt(v.trim)
+      case "content_rowid" =>
+        val c = SqlScript.unquoteIdent(v.trim)
+        if (c.isEmpty) refuse("content_rowid= needs a column name")
+        return ContentRowidOpt(c)
       case _ =>
         refuse("this engine covers plain column lists plus the " +
-          "semantics-preserving options (tokenize='unicode61'/'porter'/" +
-          "'trigram', prefix=, detail=full, columnsize=); " +
-          "content=/content_rowid= external content and other options " +
-          "have no analog")
+          "semantics-preserving options (tokenize='unicode61'/'ascii'/" +
+          "'porter'/'trigram', prefix=, detail=, columnsize=) and " +
+          "content=/content_rowid= (r15); other options " +
+          "(contentless_delete=, ...) have no analog")
     }
     NeutralOpt
+  }
+
+  /** Parse a `tokenize=` option value into a [[Tok]]. Components are
+    * whitespace-separated, each optionally SQL-quoted (`''` escapes) —
+    * real fts5's config splitting. Covers unicode61
+    * (remove_diacritics / categories / tokenchars / separators), ascii
+    * (tokenchars / separators), trigram (case_sensitive /
+    * remove_diacritics) and porter over any of them; anything else
+    * raises real fts5's constructor error. */
+  def parseTokenize(v: String): Tok = {
+    def ctorError(): Nothing =
+      throw new IllegalArgumentException("error in tokenizer constructor")
+    val parts = mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      val c = v.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new java.lang.StringBuilder
+        i += 1
+        var closed = false
+        while (!closed) {
+          if (i >= n) ctorError()
+          val ch = v.charAt(i)
+          if (ch == '\'') {
+            if (i + 1 < n && v.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else { i += 1; closed = true }
+          } else { sb.append(ch); i += 1 }
+        }
+        parts += sb.toString
+      } else {
+        var e = i
+        while (e < n && !v.charAt(e).isWhitespace) e += 1
+        parts += v.substring(i, e)
+        i = e
+      }
+    }
+    if (parts.isEmpty) return Tok.u61
+    def build(name: String, args: Seq[String], stem: Boolean): Tok = name match {
+      case "porter" =>
+        // porter wraps a parent tokenizer (default unicode61); the
+        // remaining components name the parent and ITS arguments.
+        // `porter porter` is legal in real fts5 (probed); a repeated
+        // stem collapses to one — porter is a fixpoint on all but
+        // pathological tokens.
+        if (args.isEmpty) Tok(Tok.BaseU61, stem = true)
+        else build(args.head, args.tail, stem = true)
+      case "unicode61" | "ascii" | "trigram" =>
+        if (args.length % 2 != 0) ctorError()
+        var t = name match {
+          case "unicode61" => Tok(Tok.BaseU61, stem = stem)
+          case "ascii" => Tok(Tok.BaseAscii, stem = stem)
+          case _ => Tok(Tok.BaseTrigram, stem = stem, rd = 0)
+        }
+        args.grouped(2).foreach { case Seq(k, x) =>
+          (name, k) match {
+            case ("unicode61" | "trigram", "remove_diacritics")
+                if x == "0" || x == "1" || x == "2" =>
+              t = t.copy(rd = x.toInt)
+            case ("trigram", "case_sensitive") if x == "0" || x == "1" =>
+              t = t.copy(cs = x == "1")
+            // tokenchars/separators accumulate across repeats (fts5
+            // honors every occurrence); checked on the RAW codepoint
+            case ("unicode61" | "ascii", "tokenchars") =>
+              t = t.copy(tokenchars = t.tokenchars + x)
+            case ("unicode61" | "ascii", "separators") =>
+              t = t.copy(separators = t.separators + x)
+            // categories REPLACES the default L* N* Co mask
+            case ("unicode61", "categories") =>
+              t = t.copy(catMask = Tok.catMaskOf(x))
+            case _ => ctorError()
+          }
+        }
+        // probed: trigram case_sensitive 1 with remove_diacritics ≥ 1
+        // is real fts5's constructor error
+        if (t.isTrigram && t.cs && t.rd >= 1) ctorError()
+        t
+      case other =>
+        throw new IllegalArgumentException(s"no such tokenizer: $other")
+    }
+    build(parts.head, parts.tail.toSeq, stem = false)
   }
 
   /** Raise real fts5's query-shape errors for detail=none|column
@@ -800,6 +874,15 @@ object Fts5 {
   private def syntaxError(detail: String): Nothing =
     throw new IllegalArgumentException(s"fts5: syntax error: $detail")
 
+  /** fts5's bareword characters (fts5_expr.c sqlite3Fts5IsBareword):
+    * ASCII alphanumerics, `_`, the U+001A substitute char, and EVERY
+    * codepoint ≥ 0x80 — the TOKENIZER then decides what the bareword's
+    * text means (a multi-token bareword is a phrase). */
+  private def isBarewordCp(cp: Int): Boolean =
+    cp == '_' || cp == 0x1a || cp >= 0x80 ||
+      (cp >= '0' && cp <= '9') || (cp >= 'a' && cp <= 'z') ||
+      (cp >= 'A' && cp <= 'Z')
+
   /** Parse an fts5 query string (fts5.html §3). Covers: terms, "quoted
     * phrases", trailing-`*` prefixes, `^` initial-token anchors (r11),
     * `NEAR(p1 p2 …, n)` groups (r11; default n=10, single-phrase NEAR
@@ -808,15 +891,15 @@ object Fts5 {
     * lowercase spellings are terms; bare `NEAR` without `(` is a term
     * too, probed), implicit AND between adjacent phrases, parentheses,
     * and single-column filters `col : expr`. */
-  def parseQuery(q: String, tok: Int = TokUnicode61): Node = {
+  def parseQuery(q: String, tok: Tok = Tok.u61): Node = {
     // ---- lexer
-    sealed trait Tok
-    case class Word(w: String) extends Tok
-    case class Quoted(s: String) extends Tok
-    case object LP extends Tok; case object RP extends Tok
-    case object Colon extends Tok; case object Star extends Tok
-    case object Caret extends Tok; case object Comma extends Tok
-    val toks = mutable.ArrayBuffer[Tok]()
+    sealed trait QTok
+    case class Word(w: String) extends QTok
+    case class Quoted(s: String) extends QTok
+    case object LP extends QTok; case object RP extends QTok
+    case object Colon extends QTok; case object Star extends QTok
+    case object Caret extends QTok; case object Comma extends QTok
+    val toks = mutable.ArrayBuffer[QTok]()
     var i = 0
     val n = q.length
     while (i < n) {
@@ -833,9 +916,9 @@ object Fts5 {
         if (e < 0) syntaxError("unterminated string")
         toks += Quoted(q.substring(i + 1, e))
         i = e + 1
-      } else if (Character.isLetterOrDigit(q.codePointAt(i))) {
+      } else if (isBarewordCp(q.codePointAt(i))) {
         var e = i
-        while (e < n && Character.isLetterOrDigit(q.codePointAt(e)))
+        while (e < n && isBarewordCp(q.codePointAt(e)))
           e += Character.charCount(q.codePointAt(e))
         toks += Word(q.substring(i, e))
         i = e
@@ -844,15 +927,15 @@ object Fts5 {
     // ---- parser (precedence probed on sqlite 3.51: OR lowest;
     // AND/NOT one tier, left-associative; implicit AND binds like AND)
     var p = 0
-    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
-    def next(): Tok = { val t = toks(p); p += 1; t }
+    def peek: Option[QTok] = if (p < toks.length) Some(toks(p)) else None
+    def next(): QTok = { val t = toks(p); p += 1; t }
     def phraseOf(text: String, prefix: Boolean,
         anchored: Boolean = false): Phrase = {
       val ts = tokenize(text, tok)
       // trigram: a term under 3 codepoints has no tokens and matches
       // NOTHING (probed: no error — `ab` answers zero rows, `ab OR x`
       // answers x's rows); unicode61/porter keep the syntax error
-      if (ts.isEmpty && !isTrigram(tok)) syntaxError("empty phrase")
+      if (ts.isEmpty && !tok.isTrigram) syntaxError("empty phrase")
       Phrase(ts, prefix, anchored)
     }
     // one bare phrase operand — a word or quoted string with its
@@ -985,9 +1068,11 @@ object Fts5 {
   def compileMatch(node: Node, columns: Seq[String],
       qualify: String => String,
       unindexed: Set[String] = Set.empty,
-      tok: Int = TokUnicode61): String = {
+      tok: Tok = Tok.u61): String = {
+    // Tok.spec is [a-z0-9;=+*] only, so the single-quoted literal is
+    // injection-safe by construction
     def toksOf(col: String): String =
-      if (tok != TokUnicode61) s"fts5_tokens(${qualify(col)}, $tok)"
+      if (tok != Tok.u61) s"fts5_tokens(${qualify(col)}, '${tok.spec}')"
       else s"fts5_tokens(${qualify(col)})"
     // fts5_match_phrase is a single codegen'd expression (no lambda
     // HOFs — the dialect's textual JSON-arrow rewrite would mangle
@@ -1039,7 +1124,7 @@ object Fts5 {
   def matchPredicate(query: String,
       cols: Map[String, org.apache.spark.sql.Column],
       unindexed: Set[String] = Set.empty,
-      tok: Int = TokUnicode61): org.apache.spark.sql.Column = {
+      tok: Tok = Tok.u61): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, CreateArray, Literal, Not => CNot, Or => COr}
     val names = cols.keys.toSeq.sorted
     def strArr(ts: Seq[String]): Expression =
@@ -1145,10 +1230,27 @@ object Fts5 {
           // covers column-LHS MATCH, a column query on detail=none)
           checkDetail(wrap(node), fd.detail)
           matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
-          val sql = compileMatch(node, cols,
-            c => qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`"),
-            fd.unindexed, fd.tok)
-          java.util.regex.Matcher.quoteReplacement(s"($sql)")
+          // contentless tables match over the hidden index-text
+          // columns (declared columns read NULL — r15)
+          val qn = (c: String) => {
+            val cc = if (fd.contentless) idxCol(c) else c
+            qual.map(q => s"`$q`.`$cc`").getOrElse(s"`$cc`")
+          }
+          // external content: MATCH answers from the INDEX — token
+          // predicates evaluate over the hidden backing view's text
+          // (probed: updating the fts table re-matches without
+          // touching the content table) and the row gates on rowid
+          // membership. Catalyst plans the IN as a semi-join over the
+          // pre-filtered index — scale shape: index rows ≪ corpus.
+          val sql =
+            if (fd.externalContent) {
+              val inner = compileMatch(node, cols, c => s"`$c`",
+                fd.unindexed, fd.tok)
+              s"(${qn(ridCol(owner))} IN (SELECT `$RowidCol` FROM " +
+                s"`${idxView(owner)}` WHERE $inner))"
+            } else
+              s"(${compileMatch(node, cols, qn, fd.unindexed, fd.tok)})"
+          java.util.regex.Matcher.quoteReplacement(sql)
         case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
     })
@@ -1449,7 +1551,7 @@ object Fts5 {
       masks: Array[Long], groupIds: Array[Int], groupNs: Array[Long],
       treeCode: Array[Int], snippetMode: Boolean, colIdx: Int,
       open: String, close: String, ellipsis: String, nTokenRaw: Int,
-      tok: Int = 0)
+      tok: Tok = Tok.u61)
       extends Serializable {
 
     private sealed trait SN extends Serializable
@@ -1553,6 +1655,25 @@ object Fts5 {
           .flatMap(p => inst(p)(c).iterator.map(off => (off, p)))
           .toArray.sortBy(identity)
 
+      // CInstIter-style coalescing (real fts5's instance iterator):
+      // instances of ANY phrase that OVERLAP IN TOKEN SPACE merge into
+      // one (startTok, endTokIncl) — windowing then drops/clips the
+      // MERGED instance. Probed (trigram): NEAR(حَبً مَرْحَبًا*) — the
+      // inner phrase rides inside the longer one's token span, so a
+      // snippet window past the merged start renders unmarked; while
+      // 'abcabc' MATCH abc keeps TWO instances (tokens 0 and 3 don't
+      // overlap) and a 3-token window renders [abc]ab.
+      def mergedInstances(c: Int): Array[(Int, Int)] = {
+        val out = mutable.ArrayBuffer[(Int, Int)]()
+        colInstances(c).foreach { case (off, p) =>
+          val end = off + phrases(p).length - 1
+          if (out.nonEmpty && off <= out.last._2)
+            out(out.length - 1) = (out.last._1, math.max(out.last._2, end))
+          else out += ((off, end))
+        }
+        out.toArray
+      }
+
       def renderWindow(c: Int, winStart: Int, winEnd: Int): UTF8String = {
         val text = texts(c)
         if (text == null) return null
@@ -1564,11 +1685,10 @@ object Fts5 {
         // `abcabc` MATCH abc renders [abcabc] — while unicode61 spans
         // always have a separator between tokens, so char-space
         // merging reproduces its token-space behavior exactly)
-        val ranges = colInstances(c).iterator
+        val ranges = mergedInstances(c).iterator
           .filter { case (off, _) => off >= winStart && off < winEnd }
-          .map { case (off, p) =>
-            val e0 = math.min(off + phrases(p).length, winEnd)
-            (cs(off), ce(e0 - 1))
+          .map { case (off, end) =>
+            (cs(off), ce(math.min(end, winEnd - 1)))
           }.toSeq
         val merged = mutable.ArrayBuffer[(Int, Int)]()
         ranges.foreach { case (s0, e0) =>
@@ -1601,16 +1721,18 @@ object Fts5 {
       def renderSnippet(c: Int, winStart: Int, n: Int,
           nColSize: Int): UTF8String = {
         val text = texts(c)
+        // NULL column text answers NULL (probed — incl. contentless
+        // tables, whose declared columns are always NULL)
+        if (text == null) return null
         val (tks, cs, ce) = toks(c)
         val docsize = tks.length
         val rangeEnd = winStart.toLong + n - 1 // inclusive
         val disabled = rangeEnd < 0
-        val inWin = colInstances(c).iterator.filter { case (off, _) =>
+        val inWin = mergedInstances(c).iterator.filter { case (off, _) =>
           disabled || (off >= winStart && off <= rangeEnd)
-        }.map { case (off, p) =>
-          val e = off + phrases(p).length
-          val e0 = if (disabled) e else math.min(e.toLong, rangeEnd + 1).toInt
-          (cs(off), ce(e0 - 1)) // char spans; merge in char space
+        }.map { case (off, end) =>
+          val e0 = if (disabled) end else math.min(end.toLong, rangeEnd).toInt
+          (cs(off), ce(e0)) // char spans; touching spans merge below
         }
         val merged = mutable.ArrayBuffer[(Int, Int)]()
         inWin.foreach { case (s0, e0) =>
@@ -1805,14 +1927,19 @@ object Fts5 {
             // weights: positional like fts5 — missing default 1.0,
             // extras ignored (probed)
             val w = cols.indices.map(i => weights.lift(i).getOrElse(1.0))
-            def qc(c: String) =
-              qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
+            // contentless: tf counts read the hidden index text (the
+            // declared columns are NULL — r15); real fts5 scores from
+            // the index too
+            def qc(c: String) = {
+              val cc = if (ftsTables(tLower).contentless) idxCol(c) else c
+              qual.map(q => s"`$q`.`$cc`").getOrElse(s"`$cc`")
+            }
             // UNINDEXED columns contribute no tokens to the per-row
             // document length (probed) — feed them empty
             val tmask = maskOf(tLower)
             val tokArg =
-              if (ftsTables(tLower).tok != TokUnicode61)
-                s", ${ftsTables(tLower).tok}"
+              if (ftsTables(tLower).tok != Tok.u61)
+                s", '${ftsTables(tLower).tok.spec}'"
               else ""
             val toksArr = cols.zipWithIndex.map { case (c, i) =>
               if ((tmask & (1L << i)) == 0) "fts5_tokens('')"
@@ -1885,7 +2012,7 @@ object Fts5 {
       val colsArr = cols.map(qc).mkString("array(", ", ", ")")
       (s"fts5_aux_text($colsArr, ${arrs.mkString(", ")}, " +
         s"${if (snippetMode) 1 else 0}, $colIdx, $openLit, $closeLit, " +
-        s"$ellipsisLit, $nTok, ${ftsTables(tLower).tok})")
+        s"$ellipsisLit, $nTok, '${ftsTables(tLower).tok.spec}')")
     }
     val auxRe = "(?i)\\b(highlight|snippet)\\s*\\(([^()]*)\\)".r
     for (m <- auxRe.findAllMatchIn(blanked)) {
@@ -2148,7 +2275,7 @@ case class Fts5AuxText(children: Seq[Expression]) extends Expression {
     new Fts5.AuxTextEval(phrases, arr(2).toIntArray(), arr(3).toLongArray(),
       arr(4).toIntArray(), arr(5).toLongArray(), arr(6).toIntArray(),
       int(7) != 0, int(8), str(9), str(10), str(11), int(12),
-      tok = if (children.length > 13) int(13) else 0)
+      tok = if (children.length > 13) Fts5.Tok.parse(str(13)) else Fts5.Tok.u61)
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -2174,13 +2301,15 @@ case class Fts5AuxText(children: Seq[Expression]) extends Expression {
     copy(children = newChildren)
 }
 
-/** `fts5_tokens(text[, mode])` — the token array of a string under
-  * tokenizer mode `mode` (0 unicode61, 1 porter, 2–4 trigram variants
-  * — [[Fts5.TokUnicode61]] family); the row-side half of MATCH
-  * compilation (registered on the dialect function surface,
-  * [[SqliteCompat.register]]). Codegen'd via a static call, so MATCH
+/** `fts5_tokens(text[, spec])` — the token array of a string under
+  * tokenizer config `spec` (a [[Fts5.Tok.spec]] string; the SQL
+  * surface also accepts the r11-r13 packed-int modes via
+  * [[Fts5.Tok.fromLegacy]]); the row-side half of MATCH compilation
+  * (registered on the dialect function surface,
+  * [[SqliteCompat.register]]). Codegen'd via a static call taking the
+  * spec literal (parse memoized in [[Fts5.Tok.cached]]), so MATCH
   * predicates stay inside whole-stage codegen. */
-case class Fts5Tokens(child: Expression, tok: Int = 0)
+case class Fts5Tokens(child: Expression, tok: Fts5.Tok = Fts5.Tok.u61)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -2192,7 +2321,9 @@ case class Fts5Tokens(child: Expression, tok: Int = 0)
   override def nullSafeEval(v: Any): Any =
     Fts5.tokenizeUtf8(v.asInstanceOf[UTF8String], tok)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.engine.Fts5.tokenizeUtf8($c, $tok)")
+    // Tok.spec is [a-z0-9;=+*] only — safe inside a Java string literal
+    defineCodeGen(ctx, ev,
+      c => s"""graft.engine.Fts5.tokenizeUtf8($c, "${tok.spec}")""")
   override protected def withNewChildInternal(newChild: Expression): Fts5Tokens =
     copy(child = newChild)
 }

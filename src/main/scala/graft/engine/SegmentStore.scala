@@ -188,8 +188,10 @@ class SegmentStore(
     * reference Segment.provision_local_segment, sync.py:243-251). */
   def provision(segmentId: String, schemaSql: String): Unit = {
     if (isCold(segmentId))
+      // the reference's ClientError text, verbatim (sync.py:693-697)
       throw new IllegalStateException(
-        s"cannot provision segment $segmentId: cold storage is read-only")
+        s"cannot provision segment $segmentId for writing because that " +
+          "segment id is in the read-only cold storage range")
     require(SegmentStore.SegmentIdPattern.matches(segmentId),
       s"segment id '$segmentId' must match ${SegmentStore.SegmentIdPattern} " +
         "(it becomes a hive partition value and a file name)")
@@ -209,11 +211,21 @@ class SegmentStore(
             val fd = Fts5.parseCreateVirtual(stmt).getOrElse(
               throw new IllegalArgumentException(
                 s"cannot parse CREATE VIRTUAL TABLE statement: $stmt"))
+            // content= backings carry explicit rowids (r15) — same
+            // shape as WriteTxn.createFtsTable
+            val ridField =
+              if (fd.content.isDefined)
+                Seq(org.apache.spark.sql.types.StructField(
+                  Fts5.RowidCol, LongType))
+              else Nil
+            val ftsSchema = org.apache.spark.sql.types.StructType(
+              ridField ++ fd.columns.map(c =>
+                org.apache.spark.sql.types.StructField(c, StringType)))
             createTable(segmentId, fd.name,
-              TableMeta(
-                org.apache.spark.sql.types.StructType(fd.columns.map(c =>
-                  org.apache.spark.sql.types.StructField(c, StringType))),
-                Nil, None, ftsSql = Some(fd.sql)),
+              if (fd.content.isDefined)
+                TableMeta(ftsSchema, Seq(Fts5.RowidCol), Some(Fts5.RowidCol),
+                  ftsSql = Some(fd.sql))
+              else TableMeta(ftsSchema, Nil, None, ftsSql = Some(fd.sql)),
               failIfExists = !fd.ifNotExists)
           case "CREATE" =>
             val td = SqliteDdl.parseCreateTable(stmt)
@@ -236,6 +248,9 @@ class SegmentStore(
     * slice of every table, then the registry marker. The caller (engine)
     * enforces refuse-while-write-locked. */
   def deleteSegment(segmentId: String): Unit = {
+    if (isCold(segmentId))
+      throw new IllegalStateException(
+        s"cannot delete segment $segmentId: cold storage is read-only")
     val root = tierRoot(segmentId)
     if (Files.isDirectory(root)) {
       val stream = Files.list(root)
@@ -271,6 +286,11 @@ class SegmentStore(
     * (`<seg>/<table>/{meta.json,data/}`) — the natural interchange shape
     * for one segment. Returns the remote segment path. */
   def promote(segmentId: String, durableRoot: String): String = {
+    if (isCold(segmentId))
+      // the reference requires a write lock, which a cold-range
+      // segment can never hold (sync.py:727-733, 693-697)
+      throw new IllegalStateException(
+        s"segment $segmentId is not currently writable")
     require(segmentExists(segmentId), s"segment $segmentId does not exist")
     val root = tierRoot(segmentId)
     val dstFinal = Paths.get(durableRoot, segmentId)
@@ -446,18 +466,52 @@ class SegmentStore(
       // Unsupported fts definitions were skipped by ftsDefs (shadow
       // data still loads, the pre-r11 behavior).
       val ftsNames = SqliteIngest.ftsDefs(file).flatMap { fd =>
-        names.find(_.equalsIgnoreCase(fd.name + "_content")).map { cn =>
-          val content = loadTable(segmentId, cn)
-          val df = content.select(fd.columns.zipWithIndex.map {
-            case (c, i) =>
-              functions.col(s"c$i").cast(StringType).as(c)
-          }: _*)
-          val meta = TableMeta(StructType(fd.columns.map(c =>
-            StructField(c, StringType))), Nil, None, ftsSql = Some(fd.sql))
+        def materialize(df: DataFrame, withRowid: Boolean): String = {
+          val fields =
+            (if (withRowid) Seq(StructField(Fts5.RowidCol, LongType))
+             else Nil) ++ fd.columns.map(c => StructField(c, StringType))
+          val meta =
+            if (withRowid) TableMeta(StructType(fields),
+              Seq(Fts5.RowidCol), Some(Fts5.RowidCol), ftsSql = Some(fd.sql))
+            else TableMeta(StructType(fields), Nil, None, ftsSql = Some(fd.sql))
           Files.createDirectories(tableRoot(root, fd.name))
           prepareTableData(segmentId, fd.name, df)
           swapPreparedData(segmentId, fd.name, Some(meta))
           fd.name
+        }
+        if (fd.externalContent) {
+          // external content (r15): the file carries only the token
+          // index — rebuild the index state from the ingested content
+          // table (the supported deployment keeps them synced; real
+          // fts5's own results are undefined otherwise). Unresolvable
+          // rowid linkage skips the fts table like unsupported defs.
+          names.find(_.equalsIgnoreCase(fd.content.get)).flatMap { src =>
+            val srcMeta = tableMeta(segmentId, src)
+            val ridCol =
+              if (Set("rowid", "_rowid_", "oid").contains(
+                  fd.contentRowid.toLowerCase(java.util.Locale.ROOT)))
+                srcMeta.autoIncrement
+              else srcMeta.schema.fieldNames
+                .find(_.equalsIgnoreCase(fd.contentRowid))
+            ridCol.map { rc =>
+              val content = loadTable(segmentId, src)
+              materialize(content.select(
+                functions.col(rc).cast(LongType).as(Fts5.RowidCol) +:
+                  fd.columns.map(c => functions.col(c).cast(StringType)
+                    .as(c)): _*), withRowid = true)
+            }
+          }
+        } else if (fd.contentless) {
+          // contentless: the text is unrecoverable from the file's
+          // doclists without an index decoder — skipped like
+          // unsupported defs (shadow data still loads)
+          None
+        } else names.find(_.equalsIgnoreCase(fd.name + "_content")).map { cn =>
+          val content = loadTable(segmentId, cn)
+          materialize(content.select(fd.columns.zipWithIndex.map {
+            case (c, i) =>
+              functions.col(s"c$i").cast(StringType).as(c)
+          }: _*), withRowid = false)
         }
       }
       names ++ ftsNames
@@ -729,21 +783,23 @@ class SegmentStore(
             .orElse(Option(m.group(3))).get.trim.split("\\s+")
             .filter(_.nonEmpty).map(_.toInt)
         }.toSeq
-    if ("(?is).*\\bcolumnsize\\s*=\\s*['\"]?\\s*0.*".r.matches(ddl))
-      throw new UnsupportedOperationException(
-        s"cannot export fts5 table '$t': columnsize=0 tables have no " +
-          "%_docsize shadow in real fts5; recreate without columnsize=0")
     if (Fts5.parseCreateVirtual(ddl).exists(_.detail != "full"))
       throw new UnsupportedOperationException(
         s"cannot export fts5 table '$t': detail=none/column tables use " +
           "position-less doclist encodings this exporter does not build; " +
           "recreate with detail=full")
     val meta = tableMeta(segmentId, t)
-    val cols = meta.schema.fields.map(_.name).toSeq
-    val nCols = cols.length
     // UNINDEXED columns store and render but contribute no postings,
     // no docsize counts and no totals (probed: sz = 0 entries)
     val fdOpt = Fts5.parseCreateVirtual(ddl)
+    // content= tables (r15): the backing's hidden __rowid carries the
+    // REAL rowids (the exported index must agree with the content
+    // table real sqlite3 will read values from); no %_content shadow
+    // is written — real fts5 creates none for them
+    val isContent = fdOpt.exists(_.content.isDefined)
+    val cols = meta.schema.fields.map(_.name).toSeq
+      .filterNot(c => isContent && c == Fts5.RowidCol)
+    val nCols = cols.length
     val unidx: Set[Int] = fdOpt
       .map(fd => cols.indices.filter(i => fd.unindexed
         .contains(cols(i).toLowerCase(java.util.Locale.ROOT))).toSet)
@@ -751,11 +807,15 @@ class SegmentStore(
     // the table's tokenizer shapes the exported index terms so real
     // sqlite3's query-side tokenization agrees on the exported file
     // (porter stems r12, trigram windows r13)
-    val exportTok = fdOpt.map(_.tok).getOrElse(Fts5.TokUnicode61)
+    val exportTok = fdOpt.map(_.tok).getOrElse(Fts5.Tok.u61)
     import org.apache.spark.sql.expressions.Window
     val rid = functions.row_number()
       .over(Window.orderBy(cols.map(functions.col): _*)).cast(LongType)
-    def withRid = loadTable(segmentId, t).withColumn("__rid", rid)
+    def withRid =
+      if (isContent) loadTable(segmentId, t).select(
+        cols.map(functions.col) :+
+          functions.col(Fts5.RowidCol).cast(LongType).as("__rid"): _*)
+      else loadTable(segmentId, t).withColumn("__rid", rid)
     // pass-1 side effects, consumed by later tables in write order;
     // docsize blobs spill to driver disk like the index pages do, so
     // no export structure is heap-proportional to the segment
@@ -764,7 +824,15 @@ class SegmentStore(
       new java.io.BufferedOutputStream(Files.newOutputStream(docsizeSpill)))
     val colTotals = new Array[Long](nCols)
     var nRow = 0L
-    def contentRows(): Iterator[(Long, IndexedSeq[Any])] =
+    // pass 1 (docsize spill + column totals) normally drains through
+    // the %_content write; tables that emit no %_content (content=)
+    // or no %_docsize (columnsize=0) drain it explicitly before the
+    // first consumer that needs the side effects
+    var pass1Drained = false
+    def drainPass1(): Unit =
+      if (!pass1Drained) contentRows().foreach(_ => ())
+    def contentRows(): Iterator[(Long, IndexedSeq[Any])] = {
+      pass1Drained = true
       withRid.orderBy(functions.col("__rid")).toLocalIterator().asScala
         .map { r =>
           val rowid = r.getLong(nCols)
@@ -783,7 +851,9 @@ class SegmentStore(
           nRow += 1
           (rowid, (null +: values).toIndexedSeq)
         }
+    }
     def docsizeRows(): Iterator[(Long, IndexedSeq[Any])] = {
+      drainPass1() // content= tables emit no %_content
       docsizeOut.flush(); docsizeOut.close()
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         Files.newInputStream(docsizeSpill)))
@@ -806,6 +876,10 @@ class SegmentStore(
     val builder = new Fts5IndexBuilder()
     var idxKeys: Seq[IndexedSeq[Any]] = Nil
     def dataRows(): Iterator[(Long, IndexedSeq[Any])] = {
+      drainPass1() // columnsize=0 content= tables reach here undrained
+      if (fdOpt.exists(!_.columnsize)) { // no %_docsize consumed it
+        docsizeOut.close(); Files.deleteIfExists(docsizeSpill)
+      }
       // one distributed job: per-column token posexplode (plus one
       // branch per declared prefix index: first-L-CHARS terms), then
       // a cluster sort by (id-prefixed term bytes, rowid, col, pos);
@@ -873,14 +947,19 @@ class SegmentStore(
       }
     }
     def q(n: String) = s"'$n'"
-    Seq(
-      SqliteWriter.StreamedTable(s"${t}_content",
+    val contentTable =
+      if (isContent) Nil // real fts5 creates no %_content for content=
+      else Seq(SqliteWriter.StreamedTable(s"${t}_content",
         s"CREATE TABLE ${q(s"${t}_content")}(id INTEGER PRIMARY KEY" +
           (0 until nCols).map(i => s", c$i").mkString + ")",
-        contentRows _),
-      SqliteWriter.StreamedTable(s"${t}_docsize",
+        contentRows _))
+    // columnsize=0 files carry no %_docsize shadow (probed — r15)
+    val docsizeTable =
+      if (fdOpt.exists(!_.columnsize)) Nil
+      else Seq(SqliteWriter.StreamedTable(s"${t}_docsize",
         s"CREATE TABLE ${q(s"${t}_docsize")}(id INTEGER PRIMARY KEY, sz BLOB)",
-        docsizeRows _),
+        docsizeRows _))
+    contentTable ++ docsizeTable ++ Seq(
       SqliteWriter.StreamedTable(s"${t}_config",
         s"CREATE TABLE ${q(s"${t}_config")}(k PRIMARY KEY, v) WITHOUT ROWID",
         () => Iterator.empty,

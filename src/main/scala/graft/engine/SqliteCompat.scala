@@ -273,14 +273,21 @@ object SqliteCompat {
     fn("fts5_tokens") { exprs =>
       require(exprs.length == 1 || exprs.length == 2,
         "fts5_tokens takes 1 or 2 arguments")
-      // optional second literal = tokenizer mode (0 unicode61,
-      // 1 porter, 2-4 trigram variants — the MATCH/bm25 compilers
-      // emit fts5_tokens(col, mode) for non-default tables)
+      // optional second literal = tokenizer config: a Tok.spec string
+      // (the MATCH/bm25 compilers emit fts5_tokens(col, 'spec') for
+      // non-default tables) or the r11-r13 packed-int modes
+      // (0 unicode61, 1 porter, 2-4 trigram variants), kept for the
+      // SQL surface's backward compatibility
       val tok = exprs.lift(1).map {
-        case Literal(v, _) if v != null => v.toString.toInt
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)
+            if v != null =>
+          Fts5.Tok.parse(v.toString)
+        case Literal(v, _) if v != null && v.toString.matches("-?[0-9]+") =>
+          Fts5.Tok.fromLegacy(v.toString.toInt)
         case other => throw new IllegalArgumentException(
-          s"fts5_tokens mode must be an integer literal, got $other")
-      }.getOrElse(0)
+          "fts5_tokens tokenizer must be a spec-string or integer-mode " +
+            s"literal, got $other")
+      }.getOrElse(Fts5.Tok.u61)
       Fts5Tokens(Cast(exprs.head, StringType), tok)
     }
     fn("fts5_match_phrase") { exprs =>
@@ -310,7 +317,7 @@ object SqliteCompat {
         Cast(exprs(9), ArrayType(IntegerType))))
     }
     fn("fts5_aux_text") { exprs =>
-      // optional 14th argument = tokenizer mode (r12/r13)
+      // optional 14th argument = tokenizer spec string ([[Fts5.Tok.spec]])
       require(exprs.length == 13 || exprs.length == 14,
         "fts5_aux_text takes 13 or 14 arguments")
       import org.apache.spark.sql.types.{ArrayType, IntegerType}
@@ -328,7 +335,7 @@ object SqliteCompat {
         Cast(exprs(10), StringType),
         Cast(exprs(11), StringType),
         Cast(exprs(12), IntegerType)) ++
-        exprs.lift(13).map(Cast(_, IntegerType)))
+        exprs.lift(13).map(Cast(_, StringType)))
     }
 
     // --- date/time family: variadic like SQLite (one name, any arity)

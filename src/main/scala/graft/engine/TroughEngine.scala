@@ -149,8 +149,63 @@ class TroughEngine(
       val meta = store.tableMeta(segmentId, t)
       meta.ftsSql.flatMap(Fts5.parseCreateVirtual).map(fd =>
         t.toLowerCase(java.util.Locale.ROOT) ->
-          fd.copy(columns = meta.schema.fieldNames.toSeq))
+          // content= backings carry the hidden __rowid first — the
+          // DECLARED columns are everything after it
+          fd.copy(columns = meta.schema.fieldNames.toSeq
+            .filterNot(_ == Fts5.RowidCol)))
     }.toMap
+
+  /** Register the read-side view of a content= fts table (r15).
+    *
+    * Contentless (`content=''`): declared columns read NULL (probed);
+    * the index text rides hidden `col#idx` columns the MATCH/bm25
+    * compilers address; rows = index rows.
+    *
+    * External content (`content='src'`): rows and values come from the
+    * CONTENT table (probed: count(*) counts content rows, including
+    * ones never indexed); MATCH additionally gates on index membership
+    * through the hidden backing view `t#idx` and the content table's
+    * rowid column riding as `__rid#t`. A missing content table
+    * registers the contentless shape (real fts5 errors lazily at value
+    * access; a whole-segment registration cannot). */
+  private def registerContentFts(segmentId: String, sess: SparkSession,
+      t: String, fd: Fts5.FtsTableDef, backing: DataFrame): Unit = {
+    val tLower = t.toLowerCase(java.util.Locale.ROOT)
+    backing.createOrReplaceTempView(Fts5.idxView(t))
+    def contentlessShape(): Unit =
+      backing.select(
+        fd.columns.map(c => lit(null).cast("string").as(c)) ++
+          fd.columns.map(c => backing(c).as(Fts5.idxCol(c))): _*)
+        .createOrReplaceTempView(t)
+    if (fd.contentless) { contentlessShape(); return }
+    val srcName = store.tables(segmentId)
+      .find(_.equalsIgnoreCase(fd.content.get))
+    srcName match {
+      case None => contentlessShape()
+      case Some(src) =>
+        val srcMeta = store.tableMeta(segmentId, src)
+        val ridCol =
+          if (Set("rowid", "_rowid_", "oid")
+              .contains(fd.contentRowid.toLowerCase(java.util.Locale.ROOT)))
+            srcMeta.autoIncrement.getOrElse {
+              contentlessShape(); return
+            }
+          else srcMeta.schema.fieldNames
+            .find(_.equalsIgnoreCase(fd.contentRowid)).getOrElse {
+              contentlessShape(); return
+            }
+        val srcDf = store.loadTable(segmentId, src, sess)
+        val vals = fd.columns.map { c =>
+          srcMeta.schema.fieldNames.find(_.equalsIgnoreCase(c)) match {
+            case Some(f) => srcDf(f).cast("string").as(c)
+            case None => lit(null).cast("string").as(c)
+          }
+        }
+        srcDf.select(vals :+
+            srcDf(ridCol).cast("long").as(Fts5.ridCol(tLower)): _*)
+          .createOrReplaceTempView(t)
+    }
+  }
 
   /** bm25 corpus statistics for one fts table (r11): ONE aggregate job
     * over the backing table computes N, Σ row token counts (avgdl),
@@ -222,8 +277,14 @@ class TroughEngine(
         (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases))
     }
     val stmt = validateRead(sqlF, sess)
+    val ftsDefs = ftsTablesOf(segmentId)
     store.tables(segmentId).foreach { t =>
-      store.loadTable(segmentId, t, sess).createOrReplaceTempView(t)
+      val df = store.loadTable(segmentId, t, sess)
+      ftsDefs.get(t.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(fd) if fd.content.isDefined =>
+          registerContentFts(segmentId, sess, t, fd, df)
+        case _ => df.createOrReplaceTempView(t)
+      }
     }
     registerViews(sess, store.views(segmentId), stmt)
     val stmt2 = rewritePragmaTvfs(sess, segmentId, stmt)
@@ -231,7 +292,11 @@ class TroughEngine(
       registerMaster(sess, store.masterCatalog(segmentId).map {
         case (t, n, tb, rp, sq) => Row(t, n, tb, rp, sq)
       }, withSegmentId = false)
-    SqliteDialect.sqlPrepared(sess, stmt2) // validateRead already prepared it
+    val out = SqliteDialect.sqlPrepared(sess, stmt2) // validateRead already prepared it
+    // `SELECT *` over a content= fts view would leak its hidden
+    // columns — real fts5 shows only the declared ones (r15)
+    val leaked = out.columns.filter(Fts5.isHiddenCol)
+    if (leaked.isEmpty) out else out.drop(leaked.toIndexedSeq: _*)
   }
 
   /** SQLite's `pragma_table_info('t')` / `pragma_table_xinfo('t')`
@@ -283,8 +348,10 @@ class TroughEngine(
         val meta = store.tableMeta(segmentId, table)
         def genOf(n: String) = meta.generated.find(_.name.equalsIgnoreCase(n))
         val shown =
-          if (xinfo) meta.schema.fields.toSeq
-          else meta.schema.fields.toSeq.filter(f => genOf(f.name).isEmpty)
+          (if (xinfo) meta.schema.fields.toSeq
+           else meta.schema.fields.toSeq.filter(f => genOf(f.name).isEmpty))
+            // content= fts backing rowid is engine-internal (r15)
+            .filterNot(f => meta.ftsSql.isDefined && f.name == Fts5.RowidCol)
         shown.zipWithIndex.map { case (f, cid) =>
           val tpe = meta.strictTypes.collectFirst {
             case (c, d) if c.equalsIgnoreCase(f.name) => d

@@ -123,6 +123,39 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private def tableNames: Seq[String] =
     (store.tables(segmentId).filterNot(dropped.contains) ++ created).distinct
 
+  /** The fts5 declaration of `table` when it is an fts table in the
+    * txn's working state (created tables included). */
+  private def ftsDefOf(table: String): Option[Fts5.FtsTableDef] = {
+    val real = tableNames.find(_.equalsIgnoreCase(table)).getOrElse(return None)
+    val meta = working.get(real).map(_._1)
+      .orElse(if (store.tableExists(segmentId, real))
+        Some(store.tableMeta(segmentId, real)) else None)
+    meta.flatMap(_.ftsSql).flatMap(Fts5.parseCreateVirtual)
+  }
+
+  private def isRowidAlias(c: String): Boolean = {
+    val l = c.toLowerCase(java.util.Locale.ROOT)
+    l == "rowid" || l == "_rowid_" || l == "oid"
+  }
+
+  /** Rewrite standalone rowid aliases (rowid / _rowid_ / oid, unquoted,
+    * any case) to the content-fts backing column — UPDATE/DELETE on a
+    * content= fts table address rows by rowid in real fts5. Matches
+    * are found on literal-blanked text so strings survive. */
+  private def rewriteFtsRowids(text: String): String = {
+    val blanked = SqliteDdl.blankLiterals(text)
+    val re = "(?i)(?<![A-Za-z0-9_$])(rowid|_rowid_|oid)(?![A-Za-z0-9_$])".r
+    // java.lang.StringBuilder: the 3-arg append is the (CharSequence,
+    // from, to) overload (scala's would auto-tuple)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    for (mm <- re.findAllMatchIn(blanked)) {
+      sb.append(text, last, mm.start).append(Fts5.RowidCol)
+      last = mm.end
+    }
+    sb.append(text, last, text.length).toString
+  }
+
   private def load(table: String): (TableMeta, DataFrame) =
     working.getOrElseUpdate(table, {
       if (dropped.contains(table) || !store.tableExists(segmentId, table)) {
@@ -461,13 +494,27 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (fd.ifNotExists) return
       throw new IllegalStateException(s"table ${fd.name} already exists")
     }
+    // content= tables (external content / contentless, r15) keep the
+    // INDEX state: explicit rowids (real fts5's sync commands address
+    // rows by rowid) plus the indexed text as inserted. Plain fts
+    // tables stay rowid-less — their content IS the index source.
+    val rowidField =
+      if (fd.content.isDefined)
+        Seq(org.apache.spark.sql.types.StructField(
+          Fts5.RowidCol, org.apache.spark.sql.types.LongType))
+      else Nil
     val schema = org.apache.spark.sql.types.StructType(
-      fd.columns.map(c => org.apache.spark.sql.types.StructField(
+      rowidField ++ fd.columns.map(c => org.apache.spark.sql.types.StructField(
         c, org.apache.spark.sql.types.StringType)))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     created += fd.name
-    stage(fd.name, TableMeta(schema, Nil, None, ftsSql = Some(fd.sql)), empty)
+    val meta =
+      if (fd.content.isDefined)
+        TableMeta(schema, Seq(Fts5.RowidCol), Some(Fts5.RowidCol),
+          ftsSql = Some(fd.sql))
+      else TableMeta(schema, Nil, None, ftsSql = Some(fd.sql))
+    stage(fd.name, meta, empty)
   }
 
   /** Plain CREATE INDEX is recorded in the table's meta inside the
@@ -1095,6 +1142,26 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       viewInsert(table, colList, m.group(5), m.group(6))
       return
     }
+    // fts5 command surface (r15): INSERT INTO t(t[, rowid, cols…])
+    // VALUES('delete'|'delete-all'|'rebuild'|'optimize'|…) — the
+    // hidden column named after the table routes to the command
+    // handler, never to storage (fts5.html §7/§4.4.3)
+    val ftsDef = ftsDefOf(table)
+    if (ftsDef.isDefined &&
+        colList.exists(_.exists(_.equalsIgnoreCase(table)))) {
+      if (conflict.isDefined || upsertClause.isDefined || retText.isDefined)
+        throw new UnsupportedOperationException(
+          "conflict clauses and RETURNING do not apply to fts5 commands")
+      ftsCommand(table, ftsDef.get, colList.get, m.group(5), m.group(6))
+      return
+    }
+    // content= fts tables (r15): the rowid aliases address the hidden
+    // __rowid backing column; a bare VALUES list addresses the
+    // DECLARED columns only (the rowid auto-assigns, probed)
+    if (ftsDef.exists(_.hasRowids))
+      colList = colList
+        .map(_.map(c => if (isRowidAlias(c)) Fts5.RowidCol else c))
+        .orElse(Some(ftsDef.get.columns))
     // meta0/existing0 are PRE-adaptation: STRICT ANY columns may adopt
     // the incoming frame's storage classes below (adaptAnyTypes), after
     // which `meta`/`existing` carry the adapted schema for the rest of
@@ -1261,6 +1328,115 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     stage(table, metaS, merged)
     retText.foreach(t => applyReturning(affected, metaS, t))
   }
+
+  /** fts5 special INSERT commands (fts5.html §4.4.3/§7): 'delete'
+    * (remove one rowid from a content= index), 'delete-all',
+    * 'rebuild' (re-derive an external-content index from its content
+    * table), and the maintenance/config commands this engine accepts
+    * as no-ops. Error texts are real fts5's (probed on the sandbox
+    * sqlite3 3.51). */
+  private def ftsCommand(table: String, fd: Fts5.FtsTableDef,
+      cols: Seq[String], body: String, tuples0: String): Unit = {
+    val targetCols = cols.map(c => if (isRowidAlias(c)) Fts5.RowidCol else c)
+    val frames: Seq[DataFrame] =
+      if (body.toUpperCase.startsWith("VALUES")) {
+        SqlScript.splitTopLevel(tuples0).map { t =>
+          val inner = t.trim.stripPrefix("(").stripSuffix(")")
+          val exprs = SqlScript.splitTopLevel(inner)
+          require(exprs.length == targetCols.length,
+            s"INSERT arity mismatch: ${exprs.length} values for " +
+              s"${targetCols.length} columns")
+          runSelect("SELECT " + exprs.zip(targetCols)
+            .map { case (e, c) => s"$e AS `$c`" }.mkString(", "))
+        }
+      } else {
+        val df = runSelect(body)
+        require(df.columns.length == targetCols.length,
+          s"INSERT arity mismatch: ${df.columns.length} vs ${targetCols.length}")
+        Seq(df.toDF(targetCols: _*))
+      }
+    val cmdIdx = targetCols.indexWhere(_.equalsIgnoreCase(table))
+    frames.foreach { f =>
+      val rows = f.limit(MaxTriggerRows + 1).collect()
+      require(rows.length <= MaxTriggerRows,
+        s"more than $MaxTriggerRows fts5 command rows in one statement")
+      rows.foreach { row =>
+        val cmd =
+          if (row.isNullAt(cmdIdx)) "" else row.get(cmdIdx).toString
+        applyFtsCommand(table, fd, cmd, targetCols, row)
+      }
+    }
+  }
+
+  private def applyFtsCommand(table: String, fd: Fts5.FtsTableDef,
+      cmd: String, cols: Seq[String], row: org.apache.spark.sql.Row): Unit = {
+    // real fts5's catch-all for malformed commands (probed: 'delete'
+    // on a plain content table, unknown command names)
+    def logicError(): Nothing =
+      throw new IllegalArgumentException("SQL logic error")
+    val (meta, df) = load(table)
+    cmd match {
+      case "delete" =>
+        if (!fd.hasRowids) logicError()
+        val ridIdx = cols.indexWhere(_.equalsIgnoreCase(Fts5.RowidCol))
+        if (ridIdx < 0 || row.isNullAt(ridIdx)) logicError()
+        val rid = row.get(ridIdx) match {
+          case l: java.lang.Number => l.longValue()
+          case s: String =>
+            try s.trim.toLong catch { case _: Exception => logicError() }
+          case _ => logicError()
+        }
+        // real fts5 takes the OLD column values to unindex; removal
+        // here is exact by rowid, so they are accepted and unused
+        stage(table, meta, df.where(!(col(Fts5.RowidCol) === rid)))
+      case "delete-all" =>
+        if (!fd.hasRowids)
+          throw new IllegalArgumentException(
+            "'delete-all' may only be used with a contentless or external " +
+              "content fts5 table")
+        stage(table, meta, df.limit(0))
+      case "rebuild" =>
+        if (fd.contentless)
+          throw new IllegalArgumentException(
+            "'rebuild' may not be used with a contentless fts5 table")
+        else if (fd.externalContent) {
+          val src = tableNames.find(_.equalsIgnoreCase(fd.content.get))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no such table: ${fd.content.get}"))
+          val (srcMeta, srcDf) = load(src)
+          val ridCol = resolveContentRowid(fd, src, srcMeta)
+          val vals = fd.columns.map { c =>
+            val f = srcMeta.schema.fieldNames
+              .find(_.equalsIgnoreCase(c)).getOrElse(
+                throw new IllegalArgumentException(s"no such column: $c"))
+            srcDf(f).cast("string").as(c)
+          }
+          stage(table, meta, srcDf.select(
+            srcDf(ridCol).cast("long").as(Fts5.RowidCol) +: vals: _*))
+        } // plain content table: the content IS the index — no-op
+      case "optimize" | "merge" | "automerge" | "usermerge" | "crisismerge"
+          | "pgsz" | "flush" | "integrity-check" | "rank"
+          | "secure-delete" => () // maintenance/config no-ops here
+      case _ => logicError()
+    }
+  }
+
+  /** Resolve an fts5 `content_rowid=` against the content table: a
+    * named column, or the table's INTEGER PRIMARY KEY rowid alias for
+    * the default `rowid`. */
+  private def resolveContentRowid(fd: Fts5.FtsTableDef, src: String,
+      srcMeta: TableMeta): String =
+    if (isRowidAlias(fd.contentRowid))
+      srcMeta.autoIncrement.getOrElse(
+        throw new UnsupportedOperationException(
+          s"fts5 content table $src has no INTEGER PRIMARY KEY rowid " +
+            "alias: this engine addresses external content by a visible " +
+            "column — declare content_rowid=<column> or give the content " +
+            "table an INTEGER PRIMARY KEY"))
+    else srcMeta.schema.fieldNames
+      .find(_.equalsIgnoreCase(fd.contentRowid)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such column: ${fd.contentRowid}"))
 
   /** Resolved unique key sets in SQLite's constraint order: PRIMARY
     * KEY, declared UNIQUEs, unique indexes. */
@@ -1619,8 +1795,19 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       viewUpdate(table, m.group(3))
       return
     }
+    // content= fts tables (r15): contentless refuses like real fts5;
+    // external content updates the INDEX state (backing), rowid
+    // aliases addressing the hidden __rowid column — real fts5's
+    // UPDATE-on-synced-table semantics (the content table is NOT
+    // touched there either)
+    val ftsDefU = ftsDefOf(table)
+    if (ftsDefU.exists(_.contentless))
+      throw new IllegalArgumentException(
+        s"cannot UPDATE contentless fts5 table: $table")
     val (metaL, dfL) = load(table)
-    val body = m.group(3)
+    val body =
+      if (ftsDefU.exists(_.hasRowids)) rewriteFtsRowids(m.group(3))
+      else m.group(3)
     val fromAt = firstTopLevelKw(body, "FROM")
     if (fromAt >= 0) { updateFrom(table, alias, metaL, dfL, body, fromAt, retText); return }
     val whereAt = topLevelWhere(body)
@@ -1900,8 +2087,15 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       viewDelete(table, m.group(2).trim)
       return
     }
+    // content= fts tables (r15): see update()'s note
+    val ftsDefD = ftsDefOf(table)
+    if (ftsDefD.exists(_.contentless))
+      throw new IllegalArgumentException(
+        s"cannot DELETE from contentless fts5 table: $table")
     val (meta, df) = load(table)
-    val rest = m.group(2).trim
+    val rest =
+      if (ftsDefD.exists(_.hasRowids)) rewriteFtsRowids(m.group(2).trim)
+      else m.group(2).trim
     val delPred: Column =
       if (rest.isEmpty) lit(true)
       else {
@@ -2277,6 +2471,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             return None // the general path raises SQLite's own error
           // cascading triggers on the body target need per-row firing
           if (activeTriggers(target, "INSERT").nonEmpty) return None
+          // content= fts targets and fts command inserts carry rowid/
+          // command column mappings only insert() knows — general path
+          // (r15; the canonical external-content sync-trigger shape)
+          if (ftsDefOf(target).exists(fd => fd.content.isDefined) ||
+              Option(m.group(2)).exists(g => SqlScript.splitTopLevel(g)
+                .map(SqlScript.unquoteIdent)
+                .exists(c => c.equalsIgnoreCase(target) || isRowidAlias(c))))
+            return None
           val (bMeta, _) = load(target)
           val bFields = bMeta.schema.fields
           val colList = Option(m.group(2)).map(SqlScript.splitTopLevel(_)

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** [[jaccardJoinExact]] auto-strategy threshold: estimated
+    * candidate pairs per document above which PPJoin's prefix filter
+    * beats the plain count-join. Measured crossover sits between 546
+    * (dense, count-join 1.6× faster) and 76 652 (Zipfian, PPJoin 3.7×
+    * faster) — set an order of magnitude above the dense point. */
+  val AutoPrefixPairsPerDoc = 4096.0
+
   /** Exact dedup: group by normalized text, keep the lowest doc id as the
     * canonical representative. `count` is the cluster size. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -105,11 +112,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity join via inverted index, with two
     * lossless candidate-generation strategies:
-    *  - count-join (default): postings on 64-bit shingle hashes, pair
+    *  - count-join: postings on 64-bit shingle hashes, pair
     *    intersection counted by a map-side-combinable aggregation.
-    *  - prefixFilter=true: PPJoin prefix filtering (Xiao et al., WWW'08
-    *    — public algorithm) — index only each doc's rarest
-    *    `n - ceil(t*n) + 1` shingles; better on Zipfian vocabularies.
+    *    Wins on dense vocabularies (no hot keys).
+    *  - PPJoin prefix filtering (Xiao et al., WWW'08 — public
+    *    algorithm): index only each doc's rarest `n - ceil(t*n) + 1`
+    *    shingles; wins on Zipfian vocabularies, where hot shingles
+    *    make the plain inverted-index join quadratic.
+    *  - `prefixFilter = None` (default) picks BY MEASUREMENT: one
+    *    sampled-keys aggregate estimates the count-join's pair volume
+    *    Σ df² and switches to PPJoin past [[AutoPrefixPairsPerDoc]]
+    *    candidate pairs per document. Measured (r15, 60 k docs ×
+    *    ~100 tokens): Zipf(1.05) corpus — 76 652 pairs/doc, PPJoin
+    *    8.5 s vs count-join 31.7 s; dense synthetic corpus — 546
+    *    pairs/doc, count-join 2.2 s vs PPJoin 3.5 s. The probe costs
+    *    0.3-2 s and reads the already-checkpointed shingle sets.
     * Same exact-integer threshold contract as [[minhashCandidates]];
     * returns (doc_a, doc_b, inter, un). */
   def jaccardJoinExact(
@@ -119,7 +136,7 @@ object Dedup {
       thresholdNum: Int = 1,
       thresholdDen: Int = 2,
       shingleLen: Int = 1,
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Option[Boolean] = None): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     // sh = sorted-distinct 64-bit shingle hashes (see ShingleHashes);
     // works for shingleLen == 1 too (distinct token hashes).
@@ -128,7 +145,22 @@ object Dedup {
         call_function("shingle_hashes", col(textCol), lit(shingleLen)).as("sh"))
       .where(size(col("sh")) > 0).localCheckpoint(true) // multiply referenced
 
-    if (prefixFilter) {
+    val usePrefix = prefixFilter.getOrElse {
+      // 1-in-97 sample of shingle KEYS (hash-mod, deterministic), each
+      // with its FULL posting list — an unbiased per-key df, so
+      // Σ df² × 97 estimates the count-join's join-output volume
+      val r = sets.select(explode(col("sh")).as("h"))
+        .where(pmod(col("h"), lit(97)) === 0)
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * col("df")).as("sumdf2"),
+          count(lit(1)).as("nkeys"))
+        .head()
+      val estPairs = if (r.isNullAt(0)) 0.0 else r.getLong(0) * 97.0
+      val nDocs = sets.count().max(1L)
+      estPairs / nDocs > AutoPrefixPairsPerDoc
+    }
+
+    if (usePrefix) {
       // PPJoin-style candidate generation: order each doc's shingles by
       // global document frequency (rarest first), index only the prefix
       // of length n - ceil(t*n) + 1. Lossless for Jaccard >= t; wins on

@@ -467,7 +467,12 @@ class EngineSpec extends SparkSpecBase {
   }
 
   test("cold-tier segments are read-only (sync.py:693-697, 1050-1067)") {
-    intercept[IllegalStateException](engine.provisionWritable("cold-seg1"))
+    val e = intercept[IllegalStateException](
+      engine.provisionWritable("cold-seg1"))
+    // the reference's ClientError text, verbatim (sync.py:693-697)
+    assert(e.getMessage ==
+      "cannot provision segment cold-seg1 for writing because that " +
+        "segment id is in the read-only cold storage range", e.getMessage)
   }
 
   test("cold tier: per-segment reads route to it; readAll unions hot+cold tiers") {
@@ -492,6 +497,16 @@ class EngineSpec extends SparkSpecBase {
     intercept[IllegalStateException](eng.provisionWritable("cold-2019"))
     intercept[IllegalStateException](
       eng.write("cold-2019", "INSERT INTO ev (x) VALUES (9);"))
+    // every mutating surface refuses the cold range: promote, delete,
+    // ingest (sync.py:218-224 — cold segments have no local write copy)
+    intercept[Exception](eng.promote("cold-2019",
+      Files.createTempDirectory("graft-cold-durable").toString))
+    intercept[Exception](eng.store.deleteSegment("cold-2019"))
+    intercept[Exception](
+      eng.store.ingestSqliteSegment("/nonexistent.sqlite", "cold-2019"))
+    // ...and the cold data is untouched by the refusals
+    assert(eng.resultJson(eng.read("cold-2019", "SELECT x FROM ev;")) ==
+      "[{\"x\":1}]\n")
   }
 
   // ---------------------------------------------------- fan-out + discovery

@@ -245,21 +245,22 @@ class FtsSpec extends SparkSpecBase {
     same(id, db, m("café"))
     same(id, db, m("hell*"))
     same(id, db, m("\"quick brown fox\""))
-    // non-default tokenizers / external content refuse (porter is
-    // supported since r12 — PorterFtsSpec; trigram and detail=
-    // none|column since r13 — TrigramFtsSpec, DetailFtsSpec)
-    for (bad <- Seq("tokenize='ascii'",
-        "tokenize='unicode61 remove_diacritics 2'", "detail=bogus",
-        "content=''", "content_rowid=id")) {
+    // porter supported since r12 (PorterFtsSpec); trigram and
+    // detail=none|column since r13 (TrigramFtsSpec, DetailFtsSpec);
+    // ascii + tokenizer arguments and content=/content_rowid= since
+    // r15 (TokenizerFtsSpec, ContentFtsSpec) — what remains refuses
+    for (bad <- Seq("detail=bogus", "contentless_delete=1")) {
       val e = intercept[Exception](seg(
         s"CREATE VIRTUAL TABLE nope USING fts5(x, $bad);"))
       assert(e.getMessage.contains("fts5 option"), s"$bad: ${e.getMessage}")
     }
-    // trigram's own invalid-argument shapes keep real fts5's message
+    // tokenizer invalid-argument shapes keep real fts5's message
     for (bad <- Seq("tokenize='trigram case_sensitive 2'",
         "tokenize='trigram remove_diacritics 3'",
         "tokenize='trigram case_sensitive 1 remove_diacritics 1'",
-        "tokenize='trigram bogus 1'")) {
+        "tokenize='trigram bogus 1'",
+        "tokenize='unicode61 remove_diacritics 3'",
+        "tokenize='ascii remove_diacritics 1'")) {
       val e = intercept[Exception](seg(
         s"CREATE VIRTUAL TABLE nope USING fts5(x, $bad);"))
       assert(e.getMessage.contains("error in tokenizer constructor"),
@@ -415,13 +416,21 @@ class FtsSpec extends SparkSpecBase {
     val e3 = intercept[Exception](engine.read(id, m("AND")))
     assert(e3.getMessage.contains("fts5"))
     // export builds the real fts5 index incl. prefix= segments
-    // (Fts5ExportSpec) — only columnsize=0 refuses (that config has
-    // no %_docsize shadow in real fts5)
+    // (Fts5ExportSpec); columnsize=0 exports the docsize-less layout
+    // (r15 — probed: real files carry no %_docsize then)
     val id2 = seg("CREATE VIRTUAL TABLE p USING fts5(a, columnsize=0);")
-    val e4 = intercept[UnsupportedOperationException](
-      engine.store.exportSqliteSegment(id2,
-        Files.createTempDirectory("fts-exp").resolve("x.sqlite").toString))
-    assert(e4.getMessage.contains("columnsize=0"), e4.getMessage)
+    engine.write(id2, "INSERT INTO p VALUES ('hello world'), ('goodbye');")
+    val out2 = Files.createTempDirectory("fts-exp").resolve("x.sqlite")
+    engine.store.exportSqliteSegment(id2, out2.toString)
+    assert(SqliteCli.query(out2.toString, "PRAGMA integrity_check;") == "ok")
+    assert(SqliteCli.query(out2.toString,
+      "SELECT name FROM sqlite_master WHERE name LIKE 'p_%' ORDER BY name;")
+      == "p_config\np_content\np_data\np_idx")
+    assert(SqliteCli.query(out2.toString,
+      "SELECT a FROM p WHERE p MATCH 'hello';") == "hello world")
+    assert(SqliteCli.query(out2.toString,
+      "SELECT a, printf('%.4f', bm25(p)) FROM p WHERE p MATCH 'hello';")
+      == "hello world|-0.0000")
     // prefix=0 mirrors real fts5's named range error (wrapped by the
     // schema validation path)
     val e4b = intercept[Exception](seg(

@@ -42,11 +42,12 @@ class RefusalSpec extends SparkSpecBase {
     val e2 = intercept[UnsupportedOperationException](engine.write(seg,
       "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX);"))
     assert(e2.getMessage.contains("USING rtree is not supported"))
-    // porter and UNINDEXED are SUPPORTED since r11/r12 (FtsSpec);
-    // remove_diacritics 2 stays out of scope
+    // porter, UNINDEXED, the full tokenizer-argument surface and
+    // content= are SUPPORTED since r11/r12/r15 (FtsSpec,
+    // TokenizerFtsSpec, ContentFtsSpec); contentless_delete= stays out
     val e3 = intercept[UnsupportedOperationException](engine.write(seg,
-      "CREATE VIRTUAL TABLE ft USING fts5(body, " +
-        "tokenize = 'unicode61 remove_diacritics 2');"))
+      "CREATE VIRTUAL TABLE ft USING fts5(body, content='', " +
+        "contentless_delete=1);"))
     assert(e3.getMessage.contains("fts5 option"))
     engine.write(seg,
       "CREATE VIRTUAL TABLE ft_ok USING fts5(body, tokenize = 'porter');")

@@ -220,9 +220,12 @@ class TrigramFtsSpec extends SparkSpecBase {
     test(s"fuzz: 150 random trigram queries agree with real fts5 (seed $seed)") {
       val id = seg(schema); val db = cliDb(schema)
       val rng = new scala.util.Random(seed)
+      // Hebrew points, Thai tone marks and Arabic harakat are
+      // NON-diacritic combining marks: trigram remove_diacritics must
+      // keep them (ADVICE r13 — only fts5's diacritic set strips)
       val vocab = Seq("alpha", "beta", "gamma", "Alpha", "BETA", "alphabet",
         "gambit", "café", "42x", "ab", "aaaa", "abcabc", "betamax.",
-        "gamma:", "x")
+        "gamma:", "x", "שָׁלוֹם", "שלום", "ที่นั่น", "ทนน", "مَرْحَبًا", "مرحبا")
       val docs = (1 to 40).map { i =>
         val words = Seq.fill(1 + rng.nextInt(9))(vocab(rng.nextInt(vocab.length)))
         s"('d$i', '${words.mkString(" ").replace("'", "''")}')"
@@ -230,7 +233,8 @@ class TrigramFtsSpec extends SparkSpecBase {
       runBoth(id, db, s"INSERT INTO docs VALUES ${docs.mkString(", ")};")
       val queryVocab = Seq("alpha", "beta", "gamma", "alphabet", "gambit",
         "café", "cafe", "42x", "ab", "aaa", "abc", "bet", "amm", "missing",
-        "pha", "max")
+        "pha", "max", "שָׁלוֹם", "שלום", "לוֹם", "ที่นั่น", "ทนน", "นั่น",
+        "مَرْحَبًا", "مرحبا", "حَبً")
       def bareTerm(): String = {
         val w = queryVocab(rng.nextInt(queryVocab.length))
         rng.nextInt(5) match {

@@ -42,6 +42,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(0).getAs[Long]("inter") == 36L)
   }
 
+  test("jaccardJoinExact: count-join, PPJoin and auto agree exactly") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    // a Zipf-ish hot token shared by every doc exercises the prefix
+    // filter's df ordering without changing the qualifying pair
+    val corpus = docs((1L, s"the $base"), (2L, s"the $nearDup"),
+      (3L, s"the $other"))
+    def run(pf: Option[Boolean]) =
+      Dedup.jaccardJoinExact(corpus, thresholdNum = 1, thresholdDen = 2,
+          shingleLen = 3, prefixFilter = pf)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
+          r.getAs[Long]("un"))).toSeq
+    val count = run(Some(false))
+    assert(count.nonEmpty && count.forall { case (a, b, _, _) => a < b })
+    assert(run(Some(true)) == count, "PPJoin diverged from count-join")
+    assert(run(None) == count, "auto strategy diverged")
+  }
+
   test("simhash64: deterministic, order-insensitive for multisets") {
     val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
     val b = Dedup.simhash64(Seq("gamma", "alpha", "beta"))
