@@ -625,11 +625,15 @@ object Fts5 {
   def parseCreateVirtual(stmt: String): Option[FtsTableDef] = {
     val m = createVirtualRe.findFirstMatchIn(stmt).getOrElse(return None)
     val module = m.group(3).toLowerCase(java.util.Locale.ROOT)
+    // rtree/rtree_i32 have their own engine analog ([[Rtree]], r15) —
+    // hand them back for the caller's dispatch
+    if (module == "rtree" || module == "rtree_i32") return None
     if (module != "fts5")
       throw new UnsupportedOperationException(
         s"CREATE VIRTUAL TABLE USING $module is not supported: only the " +
-          "fts5 module has an engine analog (rtree and other modules " +
-          "are libsqlite3 extensions with no equivalent here)")
+          "fts5 and rtree modules have an engine analog (geopoly and " +
+          "other modules are libsqlite3 extensions with no equivalent " +
+          "here)")
     val name = SqlScript.unquoteIdent(m.group(2))
     val unindexed = Set.newBuilder[String]
     var tok = Tok.u61

@@ -29,7 +29,12 @@ class SchemaRegistry {
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*") =>
             SqliteDdl.parseCreateView(stmt) // throws if unparseable
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*") =>
-            Fts5.parseCreateVirtual(stmt) // throws named refusals / parse errors
+            // throws named refusals / parse errors; fts5 returns Some,
+            // rtree/rtree_i32 return None and validate via Rtree (r15)
+            if (Fts5.parseCreateVirtual(stmt).isEmpty)
+              Rtree.parseCreateVirtual(stmt).getOrElse(
+                throw ValidationError(
+                  s"cannot parse CREATE VIRTUAL TABLE statement: $stmt"))
           case "CREATE" => SqliteDdl.parseCreateTable(stmt) // throws if unparseable
           case other =>
             throw ValidationError(s"schema sql must contain only DDL statements, got: $other")

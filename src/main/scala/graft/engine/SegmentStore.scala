@@ -207,6 +207,11 @@ class SegmentStore(
             recordIndex(segmentId, stmt)
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*") =>
             recordView(segmentId, SqliteDdl.parseCreateView(stmt))
+          case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*")
+              && Rtree.parseCreateVirtual(stmt).isDefined =>
+            val rd = Rtree.parseCreateVirtual(stmt).get
+            createTable(segmentId, rd.name, Rtree.metaOf(rd),
+              failIfExists = !rd.ifNotExists)
           case "CREATE" if stmt.toUpperCase.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*") =>
             val fd = Fts5.parseCreateVirtual(stmt).getOrElse(
               throw new IllegalArgumentException(
@@ -774,6 +779,11 @@ class SegmentStore(
     * %_docsize shadow at all). */
   private def ftsExportTables(segmentId: String, t: String,
       ddl: String): Seq[SqliteWriter.StreamedTable] = {
+    if (Rtree.parseCreateVirtual(ddl).isDefined)
+      throw new UnsupportedOperationException(
+        s"cannot export rtree virtual table '$t': the %_node R-tree " +
+          "blob format is not built by this exporter; copy the rows " +
+          "into a plain table to move them out")
     // prefix= occurrences in declaration order define index ids 1…;
     // quoted lists hold several lengths, duplicates kept (probed)
     val prefixLens: Seq[Int] =

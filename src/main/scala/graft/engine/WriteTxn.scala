@@ -182,7 +182,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val df2 =
       if (meta.generated.isEmpty) df
       else GeneratedColumns.recompute(spark, df, meta.schema, meta.generated)
-    working(table) = (meta, collated(df2))
+    // rtree backings coerce every mutation at the funnel (float32/int32
+    // outward rounding + the module's min≤max constraint), so INSERT,
+    // UPDATE, upserts and trigger bodies stay uniform (r15)
+    val df3 = meta.ftsSql.flatMap(Rtree.parseCreateVirtual) match {
+      case Some(rd) => Rtree.coerceAndCheck(rd, df2)
+      case None => df2
+    }
+    working(table) = (meta, collated(df3))
     dirty += table
   }
 
@@ -329,11 +336,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     case "CREATE" =>
       val upper = stmt.toUpperCase
       if (upper.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*"))
-        // fts5 has a native analog (r11, Fts5.scala: plain-TEXT backing
-        // table + MATCH compiled to token predicates on the read path);
-        // other modules (rtree, ...) and fts5 OPTIONS keep the crisp
-        // named refusal, raised inside parseCreateVirtual
-        createFtsTable(stmt)
+        // fts5 (r11, Fts5.scala: plain-TEXT backing table + MATCH
+        // compiled to token predicates on the read path) and
+        // rtree/rtree_i32 (r15, Rtree.scala: coerced plain backing)
+        // have native analogs; other modules keep the crisp named
+        // refusal, raised inside Fts5.parseCreateVirtual
+        createVirtualTable(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX.*")) createIndex(stmt)
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?TRIGGER.*"))
         createTrigger(stmt)
@@ -486,10 +494,32 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * purposes); the original DDL text rides the meta so sqlite_master
     * and the read path's MATCH compiler see the virtual-ness. Non-fts5
     * modules and fts5 options refuse by name inside the parse. */
-  private def createFtsTable(stmt: String): Unit = {
-    val fd = Fts5.parseCreateVirtual(stmt).getOrElse(
-      throw new IllegalArgumentException(
-        s"cannot parse CREATE VIRTUAL TABLE statement: $stmt"))
+  private def createVirtualTable(stmt: String): Unit =
+    Fts5.parseCreateVirtual(stmt) match {
+      case Some(fd) => createFtsTable(fd)
+      case None => Rtree.parseCreateVirtual(stmt) match {
+        case Some(rd) => createRtreeTable(rd)
+        case None => throw new IllegalArgumentException(
+          s"cannot parse CREATE VIRTUAL TABLE statement: $stmt")
+      }
+    }
+
+  /** `CREATE VIRTUAL TABLE … USING rtree|rtree_i32` (r15): a plain
+    * coerced backing table ([[Rtree]] — the staging funnel applies the
+    * module's float32/int32 outward coercions and min≤max checks). */
+  private def createRtreeTable(rd: Rtree.RtreeDef): Unit = {
+    if (tableNames.contains(rd.name) || isView(rd.name)) {
+      if (rd.ifNotExists) return
+      throw new IllegalStateException(s"table ${rd.name} already exists")
+    }
+    val schema = Rtree.schemaOf(rd)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    created += rd.name
+    stage(rd.name, Rtree.metaOf(rd), empty)
+  }
+
+  private def createFtsTable(fd: Fts5.FtsTableDef): Unit = {
     if (tableNames.contains(fd.name) || isView(fd.name)) {
       if (fd.ifNotExists) return
       throw new IllegalStateException(s"table ${fd.name} already exists")

@@ -39,9 +39,11 @@ class RefusalSpec extends SparkSpecBase {
   test("CREATE VIRTUAL TABLE: non-fts5 modules and fts5 options refuse by name") {
     // fts5 with a plain column list is SUPPORTED (r11, FtsSpec); the
     // refusals now cover what remains out of scope
+    // rtree is SUPPORTED since r15 (RtreeSpec); geopoly and other
+    // modules keep the named refusal
     val e2 = intercept[UnsupportedOperationException](engine.write(seg,
-      "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX);"))
-    assert(e2.getMessage.contains("USING rtree is not supported"))
+      "CREATE VIRTUAL TABLE idx USING geopoly(a);"))
+    assert(e2.getMessage.contains("USING geopoly is not supported"))
     // porter, UNINDEXED, the full tokenizer-argument surface and
     // content= are SUPPORTED since r11/r12/r15 (FtsSpec,
     // TokenizerFtsSpec, ContentFtsSpec); contentless_delete= stays out

@@ -1,0 +1,156 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpecBase
+
+/** SQLite `rtree` / `rtree_i32` virtual tables (r15, Rtree.scala),
+  * DIFFERENTIAL against the sandbox sqlite3: the same CREATE VIRTUAL
+  * TABLE + DML + range queries must answer identically — float32
+  * OUTWARD coordinate rounding (min toward −∞, max toward +∞), int32
+  * truncation for rtree_i32, the module's min≤max and unique-id
+  * constraints with its probed error texts, UPDATE/DELETE, and module
+  * arity errors. The reference reaches rtree only through libsqlite3
+  * (trough/write.py:40) — the same delegation as fts5. */
+class RtreeSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-rtree").toString
+  private lazy val store = new SegmentStore(spark, root)
+  private lazy val engine = new TroughEngine(spark, store, new SchemaRegistry)
+
+  private var n = 0
+  private def seg(schema: String): String = {
+    n += 1
+    val id = s"rt-$n"
+    engine.schemas.put(s"rt-schema-$n", schema)
+    engine.provisionWritable(id, s"rt-schema-$n")
+    id
+  }
+
+  private def cliDb(schema: String): Path = {
+    val db = Files.createTempFile("rtree-cli", ".db")
+    Files.delete(db)
+    assert(SqliteCli.run(db.toString, schema) == 0)
+    db
+  }
+
+  private def runBoth(id: String, db: Path, script: String): Unit = {
+    engine.write(id, script)
+    assert(SqliteCli.run(db.toString,
+      s".bail on\nBEGIN;\n$script\nCOMMIT;\n") == 0, s"sqlite3 failed: $script")
+  }
+
+  private def same(id: String, db: Path, select: String): Unit = {
+    val engineSide = engine.read(id, select).collect().map { r =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "" else r.get(i).toString).mkString("|")
+    }.mkString("\n")
+    val cliSide = SqliteCli.query(db.toString, select)
+    assert(engineSide == cliSide,
+      s"\n-- engine --\n$engineSide\n-- sqlite3 --\n$cliSide\n-- for --\n$select")
+  }
+
+  private val schema2d =
+    "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX, minY, maxY);"
+
+  test("float32 outward rounding and range queries match real rtree") {
+    val id = seg(schema2d); val db = cliDb(schema2d)
+    runBoth(id, db,
+      "INSERT INTO idx VALUES (1, 1.1, 2.2, 3.3, 4.4);\n" +
+        "INSERT INTO idx VALUES (2, -0.1, 0.1, -1e9, 1e9);\n" +
+        "INSERT INTO idx(id, minX, maxX, minY, maxY) " +
+        "VALUES (3, 0.1000000001, 0.1000000002, 0, 0);")
+    // printf pins the float32-coerced doubles digit for digit
+    same(id, db, "SELECT id, printf('%.12e|%.12e|%.12e|%.12e', " +
+      "minX, maxX, minY, maxY) FROM idx ORDER BY id;")
+    same(id, db, "SELECT id FROM idx WHERE minX <= 1.5 AND maxX >= 1.5 " +
+      "ORDER BY id;")
+    same(id, db, "SELECT id FROM idx WHERE minY <= 0 AND maxY >= 0 " +
+      "ORDER BY id;")
+    // boxes only touch at the coerced float32 bound
+    same(id, db, "SELECT id FROM idx WHERE maxX >= 0.1 ORDER BY id;")
+  }
+
+  test("UPDATE/DELETE re-coerce; constraints raise the probed texts") {
+    val id = seg(schema2d); val db = cliDb(schema2d)
+    runBoth(id, db, "INSERT INTO idx VALUES (1, 0, 1, 0, 1), " +
+      "(2, 5, 6, 5, 6);")
+    runBoth(id, db, "UPDATE idx SET maxX = 9.9 WHERE id = 1;")
+    runBoth(id, db, "DELETE FROM idx WHERE id = 2;")
+    same(id, db, "SELECT id, printf('%.12e', maxX) FROM idx ORDER BY id;")
+    // min > max: the module's named pair error
+    val e1 = intercept[Exception](engine.write(id,
+      "INSERT INTO idx VALUES (7, 5, 3, 0, 0);"))
+    assert(e1.getMessage.contains("rtree constraint failed: idx.(minX<=maxX)"),
+      e1.getMessage)
+    val e1b = intercept[Exception](engine.write(id,
+      "UPDATE idx SET maxY = -1 WHERE id = 1;"))
+    assert(e1b.getMessage.contains("rtree constraint failed: idx.(minY<=maxY)"),
+      e1b.getMessage)
+    // duplicate id
+    val e2 = intercept[Exception](engine.write(id,
+      "INSERT INTO idx VALUES (1, 0, 0, 0, 0);"))
+    assert(e2.getMessage.contains("UNIQUE constraint failed: idx.id"),
+      e2.getMessage)
+    // the failed statements changed nothing
+    same(id, db, "SELECT count(*) FROM idx;")
+  }
+
+  test("rtree_i32 truncates toward zero to int32") {
+    val s = "CREATE VIRTUAL TABLE i32 USING rtree_i32(id, a, b);"
+    val id = seg(s); val db = cliDb(s)
+    runBoth(id, db,
+      "INSERT INTO i32 VALUES (7, 2.9, 3.2), (8, -2.9, -1.1);")
+    same(id, db, "SELECT id, a, b FROM i32 ORDER BY id;")
+    same(id, db, "SELECT id FROM i32 WHERE a <= 2 AND b >= 2 ORDER BY id;")
+  }
+
+  test("module arity errors and sqlite_master DDL") {
+    for ((bad, msg) <- Seq(
+      ("CREATE VIRTUAL TABLE b1 USING rtree(id, minX);",
+        "Too few columns"),
+      ("CREATE VIRTUAL TABLE b2 USING rtree(id, a, b, c);",
+        "Wrong number of columns"),
+      ("CREATE VIRTUAL TABLE b3 USING rtree(id, a, b, c, d, e, f, g, " +
+        "h, i, j, k);", "Too many columns"))) {
+      val e = intercept[Exception](seg(bad))
+      assert(e.getMessage.contains(msg), s"$bad: ${e.getMessage}")
+    }
+    val id = seg(schema2d); val db = cliDb(schema2d)
+    same(id, db, "SELECT sql FROM sqlite_master WHERE name = 'idx';")
+    // export refuses by name (the packed %_node format is out of scope)
+    engine.write(id, "INSERT INTO idx VALUES (1, 0, 1, 0, 1);")
+    val e = intercept[UnsupportedOperationException](
+      store.exportSqliteSegment(id,
+        Files.createTempDirectory("rt-exp").resolve("x.sqlite").toString))
+    assert(e.getMessage.contains("rtree"), e.getMessage)
+  }
+
+  test("fuzz: 120 random boxes + 40 range queries agree with real rtree") {
+    val id = seg(schema2d); val db = cliDb(schema2d)
+    val rng = new scala.util.Random(20260815L)
+    def coord(): Double = rng.nextInt(5) match {
+      case 0 => rng.nextInt(200) - 100
+      case 1 => (rng.nextInt(2000) - 1000) / 10.0
+      case 2 => rng.nextDouble() * 2e9 - 1e9
+      case 3 => rng.nextDouble() * 1e-3
+      case _ => rng.nextDouble() * 20 - 10
+    }
+    val rows = (1 to 120).map { i =>
+      val (x1, x2) = { val a = coord(); val b = coord()
+        (math.min(a, b), math.max(a, b)) }
+      val (y1, y2) = { val a = coord(); val b = coord()
+        (math.min(a, b), math.max(a, b)) }
+      s"($i, $x1, $x2, $y1, $y2)"
+    }
+    runBoth(id, db, s"INSERT INTO idx VALUES ${rows.mkString(", ")};")
+    same(id, db, "SELECT id, printf('%.12e|%.12e|%.12e|%.12e', " +
+      "minX, maxX, minY, maxY) FROM idx ORDER BY id;")
+    (1 to 40).foreach { _ =>
+      val q1 = coord(); val q2 = coord()
+      val (lo, hi) = (math.min(q1, q2), math.max(q1, q2))
+      same(id, db, s"SELECT id FROM idx WHERE minX <= $hi AND maxX >= $lo " +
+        "ORDER BY id;")
+    }
+  }
+}
