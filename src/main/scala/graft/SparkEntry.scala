@@ -1147,6 +1147,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Benchmark decontamination, BLOOM-PREFILTER variant (r15,
+    // TextOps.bloomDecontaminate): one bounded Bloom filter over the
+    // benchmark grams inlined as a codegen'd literal predicate, exact
+    // residual join on the few survivors — the 100 TB shape when the
+    // eval-set gram table is too big to broadcast exactly. The result
+    // is EXACT (the filter only prunes), so the DuckDB oracle
+    // hash-matches it.
+    "q66_decontam_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TextOps.bloomDecontaminate(
+          docs.filter($"doc_id" % 11 =!= 0),
+          docs.filter($"doc_id" % 11 === 0),
+          gramLen = 5)
+        .orderBy($"doc_id")
+    }),
+
     // FTS5 configured tokenizers end to end (r15, Fts5.Tok): the same
     // codegen'd token expressions under a non-default tokenize= —
     // here `unicode61 separators 'a'` (every raw 'a' splits a run) —
@@ -1818,6 +1835,24 @@ object SparkEntry {
                'batch batch'))
          OR len(list_filter(l, x -> x LIKE 'filt%')) > 0
       ORDER BY doc_id""",
+
+    // bloom prefilter is exact end to end, so the oracle is the plain
+    // exact decontamination over the % 11 split
+    "q66_decontam_bloom" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 4),
+                i -> array_to_string(tk[i:i+4], ' '))) AS gram
+            FROM t WHERE len(tk) >= 5),
+      b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+      h AS (SELECT doc_id, count(DISTINCT g.gram) AS shared
+            FROM g JOIN b USING (gram)
+            WHERE doc_id % 11 <> 0 GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(h.shared, 0) AS BIGINT) AS n_shared_grams,
+        CAST(coalesce(h.shared, 0) > 0 AS INT) AS contaminated
+      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 11 <> 0 ORDER BY d.doc_id""",
 
     // `unicode61 separators 'a'`: tokens split on non-alnum AND on
     // every raw 'a' (corpus text is lowercase ASCII, so lower() and

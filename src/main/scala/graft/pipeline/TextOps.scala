@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives for the training-data pipeline operators.
@@ -134,4 +134,57 @@ object TextOps {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** Benchmark decontamination with a BLOOM PREFILTER — the 100 TB
+    * shape when the eval-set gram table is too large to broadcast as
+    * an exact set: build one Bloom filter over the benchmark's 64-bit
+    * gram hashes (a BOUNDED artifact — `numBits/8` bytes regardless of
+    * corpus size; 16 bits/gram ≈ 0.05 % fp), inline it as a literal so
+    * the corpus-side membership test stays inside whole-stage codegen
+    * with ZERO shuffle, and exact-join only the surviving ~0.05 % of
+    * corpus grams. The result is EXACT — the filter only prunes; false
+    * positives are removed by the residual join — and the corpus never
+    * shuffles more than its (rare) candidate grams.
+    *
+    * Returns (doc_id, n_shared_grams, contaminated) over every corpus
+    * row, like the exact-broadcast variant (SparkEntry q63). */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      gramLen: Int = 5, expectedGrams: Long = 4_000_000L,
+      bitsPerGram: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.SqlInternals
+    import org.apache.spark.sql.types.BinaryType
+    def gramsOf(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(shingles(tokens(col(textCol)), gramLen)).as("gram"))
+    val bGrams = gramsOf(bench).select(col("gram")).distinct()
+    def hash64(c: Column) =
+      SqlInternals.column(new XxHash64(Seq(SqlInternals.expression(c))))
+    // one aggregate job builds the filter; its bytes are bounded by
+    // construction (bits/8), so the driver collect is a broadcast of a
+    // fixed-size artifact — the same shape as IVF's centroid collect
+    val bfRow = bGrams.agg(SqlInternals.column(
+      new BloomFilterAggregate(
+        SqlInternals.expression(hash64(col("gram"))),
+        Literal(expectedGrams), Literal(expectedGrams * bitsPerGram))
+        .toAggregateExpression()).as("bf")).head()
+    val candidates =
+      if (bfRow.isNullAt(0)) gramsOf(corpus).limit(0) // empty benchmark
+      else {
+        val bf = Literal(bfRow.getAs[Array[Byte]](0), BinaryType)
+        gramsOf(corpus).where(SqlInternals.column(
+          BloomFilterMightContain(bf,
+            SqlInternals.expression(hash64(col("gram"))))))
+      }
+    val hits = candidates
+      .join(bGrams, "gram") // residual exact join: kills fp survivors
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("shared"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
 }

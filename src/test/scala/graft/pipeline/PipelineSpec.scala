@@ -42,6 +42,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(0).getAs[Long]("inter") == 36L)
   }
 
+  test("bloomDecontaminate: exact despite the probabilistic prefilter") {
+    val corpus = docs(
+      (1L, "a b c d e f g"),       // shares the a..e gram with bench
+      (2L, "z y x w v u t"),       // nothing shared
+      (3L, "a b c d e z z z z"),   // shares one gram
+      (4L, "short doc"))           // under gramLen: zero grams
+    val bench = docs((100L, "a b c d e q r s"))
+    val out = TextOps.bloomDecontaminate(corpus, bench, gramLen = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_shared_grams"),
+        r.getAs[Int]("contaminated"))).toSeq
+    assert(out == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 1L, 1), (4L, 0L, 0)),
+      out.toString)
+    // empty benchmark: nothing is contaminated, nothing crashes
+    val empty = TextOps.bloomDecontaminate(corpus, bench.limit(0), gramLen = 5)
+      .orderBy("doc_id").collect().map(_.getAs[Int]("contaminated")).toSeq
+    assert(empty == Seq(0, 0, 0, 0))
+  }
+
   test("jaccardJoinExact: count-join, PPJoin and auto agree exactly") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
