@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** [[jaccardJoinExact]] auto-strategy threshold: estimated
-    * candidate pairs per document above which PPJoin's prefix filter
-    * beats the plain count-join. Measured crossover sits between 546
-    * (dense, count-join 1.6× faster) and 76 652 (Zipfian, PPJoin 3.7×
-    * faster) — set an order of magnitude above the dense point. */
+  /** [[jaccardJoinExact]] auto-strategy thresholds: PPJoin needs BOTH
+    * a large estimated candidate volume (pairs per document — measured
+    * crossover between 546 dense and 76 652 Zipfian) AND hot-key skew
+    * (sampled max document frequency as a share of the corpus —
+    * 0.4 % dense vs 11 % Zipfian); see the probe's comment for the
+    * sf0.1/sf1 measurements behind both constants. */
   val AutoPrefixPairsPerDoc = 4096.0
+  val AutoPrefixHotKeyShare = 0.02
 
   /** Exact dedup: group by normalized text, keep the lowest doc id as the
     * canonical representative. `count` is the cluster size. */
@@ -147,17 +149,27 @@ object Dedup {
 
     val usePrefix = prefixFilter.getOrElse {
       // 1-in-97 sample of shingle KEYS (hash-mod, deterministic), each
-      // with its FULL posting list — an unbiased per-key df, so
-      // Σ df² × 97 estimates the count-join's join-output volume
+      // with its FULL posting list — an unbiased per-key df. Two
+      // signals: Σ df² × 97 estimates the count-join's join-output
+      // volume, and max df / nDocs measures HOT-KEY SKEW — the thing
+      // PPJoin's prefix filter actually removes. Volume alone
+      // mispicks on dense vocabularies at scale (df grows with the
+      // corpus uniformly, pairs/doc crosses any constant, yet
+      // count-join stays faster — measured sf1-dense: 6.9 s vs
+      // PPJoin 11.5 s at 5.5 k pairs/doc, 0.4 % max-df); skew is
+      // scale-invariant for a fixed distribution (Zipf corpus: 11 %
+      // max-df → PPJoin 8.5 s vs 31.7 s).
       val r = sets.select(explode(col("sh")).as("h"))
         .where(pmod(col("h"), lit(97)) === 0)
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .agg(sum(col("df") * col("df")).as("sumdf2"),
-          count(lit(1)).as("nkeys"))
+          max(col("df")).as("maxdf"))
         .head()
       val estPairs = if (r.isNullAt(0)) 0.0 else r.getLong(0) * 97.0
+      val maxDf = if (r.isNullAt(1)) 0L else r.getLong(1)
       val nDocs = sets.count().max(1L)
-      estPairs / nDocs > AutoPrefixPairsPerDoc
+      estPairs / nDocs > AutoPrefixPairsPerDoc &&
+        maxDf.toDouble / nDocs > AutoPrefixHotKeyShare
     }
 
     if (usePrefix) {

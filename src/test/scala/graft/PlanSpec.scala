@@ -145,6 +145,24 @@ class PlanSpec extends SparkSpecBase {
       !read.contains("url"), read)
   }
 
+  test("q66 bloom decontam: literal filter on the scan, no corpus shuffle pre-join") {
+    val p = plan("q66_decontam_bloom")
+    // the bloom membership test is a codegen'd literal predicate in
+    // the corpus scan's Filter — no exchange produces its input
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("BatchEval"), p)
+    // the corpus side reaches its first join already bloom-pruned: no
+    // Exchange between the might_contain Filter and its parquet scan
+    // (the subtree BELOW the filter in the printed tree) — the plan's
+    // only exchanges serve the residual join/agg of the survivors and
+    // the final sort
+    val below = p.linesIterator.dropWhile(!_.contains("might_contain"))
+      .drop(1).takeWhile(l => !l.contains("Scan parquet") &&
+        !l.contains("FileScan"))
+    assert(!below.exists(_.contains("Exchange")),
+      s"corpus shuffled below the bloom filter:\n$p")
+  }
+
   test("no query plans an unintended CartesianProduct") {
     // cross joins are legitimate only where declared (q11 cross_join,
     // kNN/IVF probe joins are broadcast nested loops, never Cartesian)
