@@ -210,6 +210,53 @@ class ContentFtsSpec extends SparkSpecBase {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("fuzz: 60 random sync-command sequences agree with real fts5") {
+    val id = seg(extSchema); val db = cliDb(extSchema)
+    val rng = new scala.util.Random(20260815L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "hello", "world")
+    var nextId = 1L
+    val live = scala.collection.mutable.ArrayBuffer[Long]()
+    def words() =
+      Seq.fill(2 + rng.nextInt(4))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    (1 to 60).foreach { i =>
+      val op = rng.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // content insert + index sync (the contract)
+          val rid = nextId; nextId += 1; live += rid
+          val (t1, b1) = (words(), words())
+          s"INSERT INTO src VALUES ($rid, '$t1', '$b1');\n" +
+            s"INSERT INTO t(rowid, title, body) VALUES ($rid, '$t1', '$b1');"
+        case 4 | 5 if live.nonEmpty => // the 'delete' sync command
+          val rid = live.remove(rng.nextInt(live.length))
+          s"INSERT INTO t(t, rowid, title, body) " +
+            s"SELECT 'delete', id, title, body FROM src WHERE id = $rid;\n" +
+            s"DELETE FROM src WHERE id = $rid;"
+        case 6 if live.nonEmpty => // rowid-addressed index delete + resync
+          val rid = live(rng.nextInt(live.length))
+          s"DELETE FROM t WHERE rowid = $rid;\n" +
+            "INSERT INTO t(t) VALUES('rebuild');"
+        case 7 => "INSERT INTO t(t) VALUES('rebuild');"
+        case 8 => "INSERT INTO t(t) VALUES('optimize');"
+        case _ if live.nonEmpty => // content update + delete/insert resync
+          val rid = live(rng.nextInt(live.length))
+          val (t2, b2) = (words(), words())
+          s"INSERT INTO t(t, rowid, title, body) " +
+            s"SELECT 'delete', id, title, body FROM src WHERE id = $rid;\n" +
+            s"UPDATE src SET title = '$t2', body = '$b2' WHERE id = $rid;\n" +
+            s"INSERT INTO t(rowid, title, body) VALUES ($rid, '$t2', '$b2');"
+        case _ => "INSERT INTO t(t) VALUES('optimize');"
+      }
+      runBoth(id, db, op)
+      if (i % 5 == 0) {
+        val w = vocab(rng.nextInt(vocab.length))
+        same(id, db, s"SELECT title, body FROM t " +
+          s"WHERE t MATCH '$w' ORDER BY title, body;")
+        same(id, db, "SELECT count(*) FROM t;")
+        same(id, db, s"SELECT title, printf('%.4f', bm25(t)) FROM t " +
+          s"WHERE t MATCH '$w OR hello' ORDER BY title, 2;")
+      }
+    }
+  }
+
   // --------------------------------------------- export round trip
 
   test("export: external-content index + content table read back in sqlite3") {
