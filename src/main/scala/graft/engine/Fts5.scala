@@ -1262,6 +1262,57 @@ object Fts5 {
     else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap, statsOf)
   }
 
+  /** Rewrite rowid references over content= fts tables to their
+    * hidden view column (r15): `t.rowid` / `alias.rowid` (aliases
+    * resolved from FROM/JOIN text) and — when exactly one content-fts
+    * table is mentioned — bare `rowid`/`_rowid_`/`oid`. Real fts5's
+    * rowid is the join-back key of the external-content idiom
+    * (`SELECT rowid FROM t WHERE t MATCH …`), so the read surface must
+    * serve it. Matches are found on literal-blanked text. */
+  def rewriteRowidRefs(stmt: String, contentFts: Set[String]): String = {
+    if (contentFts.isEmpty) return stmt
+    val blanked = SqliteDdl.blankLiterals(stmt)
+    val blankedLower = blanked.toLowerCase(java.util.Locale.ROOT)
+    val mentioned = contentFts.filter { t =>
+      ("(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(t) + "([^a-z0-9_]|$)").r
+        .findFirstIn(blankedLower).isDefined
+    }
+    if (mentioned.isEmpty) return stmt
+    // aliases of mentioned fts tables, from FROM/JOIN clauses
+    val kw = Set("where", "on", "group", "order", "limit", "left", "right",
+      "inner", "outer", "cross", "join", "union", "intersect", "except",
+      "having", "using", "natural", "as", "match")
+    val aliasOf = mutable.Map[String, String]() // lowercased alias → table
+    mentioned.foreach(t => aliasOf(t) = t)
+    val fromRe = ("(?i)\\b(?:from|join)\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s+(?:as\\s+)?([A-Za-z_][A-Za-z0-9_]*)").r
+    fromRe.findAllMatchIn(blanked).foreach { m =>
+      val tab = m.group(1).toLowerCase(java.util.Locale.ROOT)
+      val al = m.group(2).toLowerCase(java.util.Locale.ROOT)
+      if (mentioned.contains(tab) && !kw.contains(al)) aliasOf(al) = tab
+    }
+    val ridRe = ("(?i)(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?" +
+      "(?<![A-Za-z0-9_$])(rowid|_rowid_|oid)(?![A-Za-z0-9_$])").r
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    for (m <- ridRe.findAllMatchIn(blanked)) {
+      val qual = Option(m.group(1)).map(_.toLowerCase(java.util.Locale.ROOT))
+      val repl = qual match {
+        case Some(q) if aliasOf.contains(q) =>
+          Some(s"`${m.group(1)}`.`${ridCol(aliasOf(q))}`")
+        case Some(_) => None // someone else's qualified rowid
+        case None if mentioned.size == 1 =>
+          Some(s"`${ridCol(mentioned.head)}`")
+        case None => None // ambiguous bare rowid: leave for the gate
+      }
+      repl.foreach { r =>
+        sb.append(stmt, last, m.start).append(r)
+        last = m.end
+      }
+    }
+    sb.append(stmt, last, stmt.length).toString
+  }
+
   // ------------------------------------- bm25() / rank scoring (r11)
 
   /** One scoring unit: a phrase's tokens, its prefix/anchor flag

@@ -175,7 +175,8 @@ class TroughEngine(
     def contentlessShape(): Unit =
       backing.select(
         fd.columns.map(c => lit(null).cast("string").as(c)) ++
-          fd.columns.map(c => backing(c).as(Fts5.idxCol(c))): _*)
+          fd.columns.map(c => backing(c).as(Fts5.idxCol(c))) :+
+          backing(Fts5.RowidCol).as(Fts5.ridCol(tLower)): _*)
         .createOrReplaceTempView(t)
     if (fd.contentless) { contentlessShape(); return }
     val srcName = store.tables(segmentId)
@@ -273,8 +274,14 @@ class TroughEngine(
     val sqlF = {
       val fts = ftsTablesOf(segmentId)
       if (fts.isEmpty) sql
-      else Fts5.rewriteMatch(sql, fts,
-        (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases))
+      else {
+        val matched = Fts5.rewriteMatch(sql, fts,
+          (tLower, phrases) => ftsAuxStats(segmentId, sess, tLower, phrases))
+        // rowid over content= fts tables resolves to the hidden view
+        // column (r15) — the external-content join-back idiom
+        Fts5.rewriteRowidRefs(matched,
+          fts.collect { case (n, fd) if fd.content.isDefined => n }.toSet)
+      }
     }
     val stmt = validateRead(sqlF, sess)
     val ftsDefs = ftsTablesOf(segmentId)
@@ -292,11 +299,21 @@ class TroughEngine(
       registerMaster(sess, store.masterCatalog(segmentId).map {
         case (t, n, tb, rp, sq) => Row(t, n, tb, rp, sq)
       }, withSegmentId = false)
-    val out = SqliteDialect.sqlPrepared(sess, stmt2) // validateRead already prepared it
+    var out = SqliteDialect.sqlPrepared(sess, stmt2) // validateRead already prepared it
     // `SELECT *` over a content= fts view would leak its hidden
-    // columns — real fts5 shows only the declared ones (r15)
-    val leaked = out.columns.filter(Fts5.isHiddenCol)
-    if (leaked.isEmpty) out else out.drop(leaked.toIndexedSeq: _*)
+    // columns — real fts5 shows only the declared ones (r15). An
+    // EXPLICIT rowid projection (rewritten to the hidden `__rid#t`)
+    // surfaces under real SQLite's column name instead.
+    val mentionsRowid =
+      "(?i)(?<![A-Za-z0-9_$])(rowid|_rowid_|oid)(?![A-Za-z0-9_$])".r
+        .findFirstIn(SqliteDdl.blankLiterals(sql)).isDefined
+    out.columns.filter(Fts5.isHiddenCol).foreach { c =>
+      out =
+        if (c.startsWith("__rid#") && mentionsRowid)
+          out.withColumnRenamed(c, "rowid")
+        else out.drop(out.col(s"`$c`"))
+    }
+    out
   }
 
   /** SQLite's `pragma_table_info('t')` / `pragma_table_xinfo('t')`

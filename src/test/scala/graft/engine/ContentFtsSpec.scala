@@ -80,6 +80,15 @@ class ContentFtsSpec extends SparkSpecBase {
       "WHERE t MATCH 'hello' ORDER BY title;")
     same(id, db, "SELECT snippet(t, 1, '[', ']', '…', 3) FROM t " +
       "WHERE t MATCH 'hello' ORDER BY title;")
+    // rowid reads: the external-content join-back idiom (r15)
+    same(id, db, "SELECT rowid, title FROM t WHERE t MATCH 'hello' " +
+      "ORDER BY rowid;")
+    same(id, db, "SELECT t.rowid FROM t WHERE t MATCH 'world' " +
+      "ORDER BY t.rowid;")
+    same(id, db, "SELECT x.rowid, x.title FROM t AS x " +
+      "WHERE x.t MATCH 'hello' ORDER BY x.rowid;")
+    same(id, db, "SELECT s.title FROM src s JOIN t ON s.id = t.rowid " +
+      "WHERE t MATCH 'hello' ORDER BY s.title;")
   }
 
   test("external content: out-of-sync rows — content scan vs index MATCH") {
@@ -155,6 +164,8 @@ class ContentFtsSpec extends SparkSpecBase {
       "(10,'hello world','x'), (20,'goodbye world','y');")
     same(id, db, "SELECT count(*) FROM t;")
     same(id, db, "SELECT a, b FROM t;")
+    same(id, db, "SELECT rowid FROM t ORDER BY rowid;")
+    same(id, db, "SELECT rowid FROM t WHERE t MATCH 'hello' ORDER BY rowid;")
     same(id, db, "SELECT coalesce(a, 'NULL') FROM t WHERE t MATCH 'hello';")
     same(id, db, "SELECT count(*) FROM t WHERE t MATCH 'world';")
     same(id, db, "SELECT printf('%.4f', bm25(t)) FROM t WHERE t MATCH 'hello';")
