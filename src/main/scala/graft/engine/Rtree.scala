@@ -88,6 +88,34 @@ object Rtree {
     SegmentStore.TableMeta(schemaOf(rd), Seq(rd.idCol), Some(rd.idCol),
       ftsSql = Some(rd.sql))
 
+  /** Decode the LEAF cells of one rtree `%_node` blob — probed format:
+    * 2-byte tree height (big-endian), 2-byte cell count, then per cell
+    * an 8-byte big-endian rowid and 2·dims big-endian float32 (int32
+    * for rtree_i32) coordinates. Inner nodes (height > 0) carry child
+    * page numbers instead of rowids — skipped; every row lives in
+    * exactly one leaf. Ingest rebuilds the queryable rows from these
+    * ([[SegmentStore.ingestSqliteSegment]]). */
+  def decodeLeafCells(rd: RtreeDef, data: Array[Byte]): Seq[Seq[Any]] = {
+    if (data == null || data.length < 4) return Nil
+    val bb = java.nio.ByteBuffer.wrap(data)
+    if ((bb.getShort(0) & 0xffff) != 0) return Nil // inner node
+    val nCell = bb.getShort(2) & 0xffff
+    val dims = rd.coordCols.length
+    val cellBytes = 8 + dims * 4
+    (0 until nCell).flatMap { i =>
+      val off = 4 + i * cellBytes
+      if (off + cellBytes > data.length) None
+      else {
+        val rowid = bb.getLong(off)
+        val coords: Seq[Any] = (0 until dims).map { j =>
+          if (rd.i32) bb.getInt(off + 8 + j * 4).toLong
+          else bb.getFloat(off + 8 + j * 4).toDouble
+        }
+        Some(rowid +: coords)
+      }
+    }
+  }
+
   /** The staging-funnel coercion + constraint gate: every DML path
     * (INSERT, UPDATE, upsert, trigger bodies) funnels through
     * [[graft.engine]]'s stage(), so applying the module semantics here

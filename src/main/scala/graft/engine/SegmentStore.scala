@@ -519,7 +519,26 @@ class SegmentStore(
           }: _*), withRowid = false)
         }
       }
-      names ++ ftsNames
+      // rtree virtual tables rebuild their queryable rows from the
+      // ingested %_node leaf blobs (r15 — probed cell layout,
+      // [[Rtree.decodeLeafCells]]); the decode is per-blob imperative
+      // work, a genuine RDD case
+      val rtreeNames = SqliteIngest.rtreeDefs(file).flatMap { rd0 =>
+        names.find(_.equalsIgnoreCase(rd0.name + "_node")).map { nn =>
+          val rd = rd0
+          val rows = loadTable(segmentId, nn)
+            .select(functions.col("data"))
+            .where(functions.col("data").isNotNull)
+            .rdd.flatMap(r => Rtree.decodeLeafCells(rd,
+              r.getAs[Array[Byte]](0)).map(Row.fromSeq))
+          val df = spark.createDataFrame(rows, Rtree.schemaOf(rd))
+          Files.createDirectories(tableRoot(root, rd.name))
+          prepareTableData(segmentId, rd.name, df)
+          swapPreparedData(segmentId, rd.name, Some(Rtree.metaOf(rd)))
+          rd.name
+        }
+      }
+      names ++ ftsNames ++ rtreeNames
     } catch {
       case e: Throwable =>
         if (registeredHere && tables(segmentId).isEmpty)

@@ -99,6 +99,15 @@ object SqliteIngest {
         scala.util.Try(graft.engine.Fts5.parseCreateVirtual(m.sql))
           .toOption.flatten)
 
+  /** rtree/rtree_i32 virtual tables of the file (r15), same shape as
+    * [[ftsDefs]]. */
+  def rtreeDefs(file: SqliteFile): Seq[graft.engine.Rtree.RtreeDef] =
+    file.master.filter(m => m.tpe == "table" && !m.name.startsWith("sqlite_") &&
+        m.rootPage < 2 && m.sql != null)
+      .flatMap(m =>
+        scala.util.Try(graft.engine.Rtree.parseCreateVirtual(m.sql))
+          .toOption.flatten)
+
   /** [[tableSpec]] for every user table of the file, with secondary
     * indexes attached. */
   def tableSpecs(file: SqliteFile, widen: Boolean): Seq[TableSpec] = {

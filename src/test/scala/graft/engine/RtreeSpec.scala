@@ -126,6 +126,45 @@ class RtreeSpec extends SparkSpecBase {
     assert(e.getMessage.contains("rtree"), e.getMessage)
   }
 
+  test("ingest: a real sqlite3-written rtree rebuilds from %_node leaves") {
+    val db = Files.createTempFile("rtree-ing", ".db")
+    Files.delete(db)
+    val rng = new scala.util.Random(7L)
+    val rows = (1 to 300).map { i =>
+      val a = rng.nextDouble() * 200 - 100; val b = a + rng.nextDouble() * 10
+      val c = rng.nextDouble() * 1e6; val d = c + rng.nextDouble()
+      s"($i, $a, $b, $c, $d)"
+    }
+    assert(SqliteCli.run(db.toString,
+      "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX, minY, maxY);\n" +
+        s"INSERT INTO idx VALUES ${rows.mkString(", ")};\n" +
+        "DELETE FROM idx WHERE id % 7 = 0;") == 0)
+    val segId = "rt-ingest-1"
+    store.ingestSqliteSegment(db.toString, segId)
+    def sameIngested(select: String): Unit = {
+      val engineSide = engine.read(segId, select).collect().map { r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "" else r.get(i).toString).mkString("|")
+      }.mkString("\n")
+      val cliSide = SqliteCli.query(db.toString, select)
+      assert(engineSide == cliSide, s"\n-- engine --\n$engineSide\n" +
+        s"-- sqlite3 --\n$cliSide\n-- for --\n$select")
+    }
+    sameIngested("SELECT count(*) FROM idx;")
+    sameIngested("SELECT id, printf('%.12e|%.12e|%.12e|%.12e', " +
+      "minX, maxX, minY, maxY) FROM idx ORDER BY id;")
+    sameIngested("SELECT id FROM idx WHERE minX <= 0 AND maxX >= 0 " +
+      "ORDER BY id;")
+    // the rebuilt table keeps the module's DML semantics (provision
+    // acquires the write lock on the already-ingested segment)
+    engine.provisionWritable(segId)
+    engine.write(segId, "INSERT INTO idx VALUES (9999, 1.1, 2.2, 0, 0);")
+    val got = engine.read(segId,
+      "SELECT printf('%.12e', minX) FROM idx WHERE id = 9999;")
+      .collect()(0).getString(0)
+    assert(got == "1.099999904633e+00", got)
+  }
+
   test("fuzz: 120 random boxes + 40 range queries agree with real rtree") {
     val id = seg(schema2d); val db = cliDb(schema2d)
     val rng = new scala.util.Random(20260815L)
