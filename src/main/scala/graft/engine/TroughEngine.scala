@@ -127,9 +127,9 @@ class TroughEngine(
               "the MATCH operator could not be resolved: MATCH is " +
                 "supported against FTS5 tables of the queried segment " +
                 "(left operand = the fts table, an alias of it, or one " +
-                "of its columns); other virtual-table modules (rtree, " +
-                "...) are libsqlite3 extensions this engine does not " +
-                "embed", e)
+                "of its columns); rtree tables answer plain range " +
+                "predicates (no MATCH); geopoly and other modules are " +
+                "libsqlite3 extensions this engine does not embed", e)
           throw new IllegalArgumentException(e.getMessage, e)
       } finally prev.foreach(SparkSession.setActiveSession)
     val bad = plan.isInstanceOf[Command] ||
