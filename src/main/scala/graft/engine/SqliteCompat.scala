@@ -559,12 +559,16 @@ object SqliteCompat {
       require(exprs.length == 1, "unicode takes exactly 1 argument")
       SqliteUnicode(Cast(exprs.head, StringType))
     }
-    // C-style printf and its 3.38 alias (java format covers the
-    // overlapping verbs %s %d %f %x %e %% — golden-tested)
+    // SQLite printf and its 3.38 alias — verb-by-verb evaluation
+    // ([[SqlitePrintf]], r15): C-style %g zero-stripping, NULL/missing
+    // arguments as 0/'', text-prefix numeric coercions, %u unsigned,
+    // %c first-char, and the %q/%Q/%w SQL-escape verbs; the plain
+    // %s %d %f %x %e %% behaviors delegate to Java per-verb and stay
+    // golden-identical
     fn("printf")(exprs =>
-      FormatString(exprs.head +: exprs.tail.map(DecimalNormalize): _*))
+      SqlitePrintf(exprs.head +: exprs.tail.map(DecimalNormalize)))
     fn("format")(exprs =>
-      FormatString(exprs.head +: exprs.tail.map(DecimalNormalize): _*))
+      SqlitePrintf(exprs.head +: exprs.tail.map(DecimalNormalize)))
     // planner hints: identity pass-throughs, as in SQLite itself
     fn("likely") { exprs =>
       require(exprs.length == 1, "likely takes exactly 1 argument"); exprs.head

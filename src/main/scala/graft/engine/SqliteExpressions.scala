@@ -1611,3 +1611,194 @@ case class SqliteJsonQuote(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SqliteJsonQuote =
     copy(child = newChild)
 }
+
+/** SQLite `printf()` / `format()` (printf.html), evaluated verb by
+  * verb with the probed coercions the combined Java `String.format`
+  * cannot reproduce: `%g` strips trailing zeros like C (Java pads —
+  * `%.12g` of 0.10000000149… must render `0.10000000149`), NULL and
+  * MISSING arguments read as 0 / '' (`printf('%d %s')` → `0 `),
+  * numeric verbs truncate doubles and parse text prefixes
+  * (`%d` of 3.9 → 3, `%g` of '2.5e1' → 25, of 'abc' → 0), `%u` is
+  * unsigned 64-bit, `%c` takes the FIRST CHAR of the argument's text
+  * form (65 → '6'), and the SQL-escape verbs `%q`/`%Q`/`%w` double
+  * quotes (`%Q` renders NULL as `NULL`). Non-g verbs delegate each
+  * popped argument to Java's formatter with the same spec, so the
+  * golden-tested `%s %d %f %x %e %%` behaviors are unchanged. */
+case class SqlitePrintf(children: Seq[Expression]) extends Expression
+    with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "printf"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.isEmpty)
+      TypeCheckResult.TypeCheckFailure("printf takes at least 1 argument")
+    else TypeCheckResult.TypeCheckSuccess
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fmt = children.head.eval(input)
+    if (fmt == null) return null
+    UTF8String.fromString(SqlitePrintf.format(fmt.toString,
+      children.tail.map(_.eval(input))))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqlitePrintf =
+    copy(children = newChildren)
+}
+
+object SqlitePrintf {
+  private val NumPrefix =
+    "^[+-]?(?:[0-9]+\\.?[0-9]*(?:[eE][+-]?[0-9]+)?|\\.[0-9]+(?:[eE][+-]?[0-9]+)?)".r
+
+  private def text(a: Any): String = a match {
+    case null => ""
+    case s: UTF8String => s.toString
+    case other => other.toString
+  }
+  private def asDouble(a: Any): Double = a match {
+    case null => 0.0
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case d: Double => d
+    case f: Float => f.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => // SQLite CAST-to-REAL: longest numeric prefix, else 0
+      NumPrefix.findFirstIn(other.toString.trim)
+        .map(_.toDouble).getOrElse(0.0)
+  }
+  private def asLong(a: Any): Long = a match {
+    case null => 0L
+    case l: Long => l
+    case i: Int => i.toLong
+    case d: Double => d.toLong
+    case f: Float => f.toLong
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case other => asDouble(other).toLong
+  }
+
+  /** C/SQLite `%g`: pick %e vs %f by exponent, then strip trailing
+    * zeros (and a bare trailing '.') unless the `#` flag is given. */
+  private def gFormat(v: Double, flags: String, width: Int,
+      prec0: Int, upper: Boolean): String = {
+    if (v.isNaN) return pad("NaN", flags, width)
+    if (v.isInfinite) return pad(if (v > 0) "Inf" else "-Inf", flags, width)
+    val p = math.max(1, if (prec0 < 0) 6 else prec0)
+    val alt = flags.contains('#')
+    val signFlag =
+      if (flags.contains('+')) "+" else if (flags.contains(' ')) " " else ""
+    val sci = String.format(s"%$signFlag.${p - 1}e", Double.box(v))
+    val exp = sci.substring(sci.indexOf('e') + 1).toInt
+    var out =
+      if (exp < -4 || exp >= p) {
+        val (mant, e) = sci.splitAt(sci.indexOf('e'))
+        (if (alt) mant else stripZeros(mant)) + e
+      } else {
+        val fixed = String.format(s"%$signFlag.${p - 1 - exp}f", Double.box(v))
+        if (alt) fixed else stripZeros(fixed)
+      }
+    if (upper) out = out.toUpperCase(java.util.Locale.ROOT)
+    pad(out, flags, width)
+  }
+  private def stripZeros(s: String): String =
+    if (!s.contains('.')) s
+    else {
+      var e = s.length
+      while (e > 0 && s.charAt(e - 1) == '0') e -= 1
+      if (e > 0 && s.charAt(e - 1) == '.') e -= 1
+      s.substring(0, e)
+    }
+  private def pad(s: String, flags: String, width: Int): String =
+    if (width <= s.length) s
+    else if (flags.contains('-')) s + " " * (width - s.length)
+    else if (flags.contains('0') && s.exists(c => c.isDigit)) {
+      val signLen = if (s.startsWith("-") || s.startsWith("+")) 1 else 0
+      s.substring(0, signLen) + "0" * (width - s.length) + s.substring(signLen)
+    } else " " * (width - s.length) + s
+
+  def format(fmt: String, args: Seq[Any]): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var ai = 0
+    def nextArg(): Any = {
+      val a = if (ai < args.length) args(ai) else null
+      ai += 1
+      a
+    }
+    val n = fmt.length
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c != '%') { sb.append(c); i += 1 }
+      else {
+        i += 1
+        val flags = new java.lang.StringBuilder
+        while (i < n && "-+ 0#,!".indexOf(fmt.charAt(i)) >= 0) {
+          flags.append(fmt.charAt(i)); i += 1
+        }
+        var width = -1
+        if (i < n && fmt.charAt(i) == '*') { width = asLong(nextArg()).toInt; i += 1 }
+        else while (i < n && fmt.charAt(i).isDigit) {
+          width = math.max(0, width) * 10 + (fmt.charAt(i) - '0'); i += 1
+        }
+        var prec = -1
+        if (i < n && fmt.charAt(i) == '.') {
+          i += 1
+          if (i < n && fmt.charAt(i) == '*') { prec = asLong(nextArg()).toInt; i += 1 }
+          else {
+            prec = 0
+            while (i < n && fmt.charAt(i).isDigit) {
+              prec = prec * 10 + (fmt.charAt(i) - '0'); i += 1
+            }
+          }
+        }
+        if (i >= n) return sb.toString // dangling '%'
+        val conv = fmt.charAt(i)
+        i += 1
+        val f = flags.toString
+        def jflags = f.filter("-+ 0#,".contains(_)) // '!' has no Java analog
+        def wSpec = if (width >= 0) width.toString else ""
+        def pSpec = if (prec >= 0) s".$prec" else ""
+        conv match {
+          case '%' => sb.append('%')
+          case 'g' => sb.append(gFormat(asDouble(nextArg()), f, math.max(0, width), prec, upper = false))
+          case 'G' => sb.append(gFormat(asDouble(nextArg()), f, math.max(0, width), prec, upper = true))
+          case 'd' | 'i' =>
+            // precision on %d zero-pads the digits (C semantics)
+            val v = asLong(nextArg())
+            val digits =
+              if (prec >= 0) {
+                val raw = math.abs(v).toString
+                val padded = "0" * math.max(0, prec - raw.length) + raw
+                (if (v < 0) "-" else if (f.contains('+')) "+"
+                 else if (f.contains(' ')) " " else "") + padded
+              } else String.format(s"%$jflags${wSpec}d", Long.box(v))
+            if (prec >= 0) sb.append(pad(digits, f, math.max(0, width)))
+            else sb.append(digits)
+          case 'u' =>
+            sb.append(pad(java.lang.Long.toUnsignedString(asLong(nextArg())),
+              f, math.max(0, width)))
+          case 'x' | 'X' | 'o' =>
+            sb.append(String.format(s"%$jflags$wSpec$conv", Long.box(asLong(nextArg()))))
+          case 'f' | 'e' | 'E' =>
+            sb.append(String.format(s"%$jflags$wSpec$pSpec$conv",
+              Double.box(asDouble(nextArg()))))
+          case 's' | 'z' => // %z = %s on the SQL surface
+            sb.append(String.format(s"%${f.filter("-".contains(_))}$wSpec${pSpec}s",
+              text(nextArg())))
+          case 'c' => // first char of the TEXT form (probed: 65 → '6')
+            val t = text(nextArg())
+            sb.append(pad(if (t.isEmpty) "" else t.substring(0, 1), f,
+              math.max(0, width)))
+          case 'q' => // double single quotes
+            sb.append(text(nextArg()).replace("'", "''"))
+          case 'Q' => // quote + escape; NULL renders as the keyword
+            nextArg() match {
+              case null => sb.append("NULL")
+              case a => sb.append("'").append(text(a).replace("'", "''")).append("'")
+            }
+          case 'w' => // double double-quotes (identifier escape)
+            sb.append(text(nextArg()).replace("\"", "\"\""))
+          case _ => () // unknown verb: nothing (sqlite renders empty)
+        }
+      }
+    }
+    sb.toString
+  }
+}

@@ -71,6 +71,31 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       "printf('%05d', 42)", "format('%s=%d', 'n', 7)")
   }
 
+  test("printf: the full SQLite verb surface (r15, SqlitePrintf)") {
+    // %g strips trailing zeros like C; style picked by exponent
+    golden("printf('%g', 0.1)", "printf('%g', 100000.0)",
+      "printf('%g', 1234567.0)", "printf('%g', 0.00001234)",
+      "printf('%g', 1e20)", "printf('%.3g', 1234.5678)",
+      "printf('%.12g', 0.100000001490116)", "printf('%g', 0.0)",
+      "printf('%10.3g|%-10.3g|%+g', 1234.5678, 1234.5678, 3.5)",
+      "printf('%G', 1.5e-7)", "printf('%#g', 1.5)",
+      "printf('%08.3g', 1234.5678)")
+    // NULL / missing arguments, numeric coercions, %u, %c
+    golden("printf('[%d][%s][%f][%g]', NULL, NULL, NULL, NULL)",
+      "printf('[%d][%s]')", "printf('[%d][%x]', 3.9, 255.2)",
+      "printf('[%d]', 'abc')", "printf('[%g]', '2.5e1')",
+      "printf('[%s]', 42)", "printf('[%u]', -1)",
+      "printf('[%c][%c]', 65, 'hello')")
+    // width / precision / flags on d, s, f, e
+    golden("printf('[%.5d]', 42)", "printf('[%,d]', 1234567)",
+      "printf('[%.3s][%10s][%-10s]', 'abcdef', 'ab', 'ab')",
+      "printf('[%05.1f][%+e]', 3.14159, 31415.9)")
+    // the SQL-escape verbs
+    golden("printf('[%q]', 'it''s')", "printf('[%Q]', 'it''s')",
+      "printf('[%Q]', NULL)", "printf('[%w]', 'sa\"y')",
+      "printf('[%%][%q]', 'a')")
+  }
+
   test("planner hints are identity pass-throughs") {
     golden("likely(7)", "unlikely(0)", "likelihood(5, 0.5)", "likely('txt')")
   }
