@@ -89,12 +89,18 @@ object Rtree {
       ftsSql = Some(rd.sql))
 
   /** Decode the LEAF cells of one rtree `%_node` blob — probed format:
-    * 2-byte tree height (big-endian), 2-byte cell count, then per cell
-    * an 8-byte big-endian rowid and 2·dims big-endian float32 (int32
-    * for rtree_i32) coordinates. Inner nodes (height > 0) carry child
-    * page numbers instead of rowids — skipped; every row lives in
-    * exactly one leaf. Ingest rebuilds the queryable rows from these
-    * ([[SegmentStore.ingestSqliteSegment]]). */
+    * 2-byte header (big-endian), 2-byte cell count, then per cell an
+    * 8-byte big-endian rowid and 2·dims big-endian float32 (int32 for
+    * rtree_i32) coordinates. The header carries the tree depth ONLY in
+    * the ROOT node (node 1) — every NON-root node, leaf or inner,
+    * stores zero there (probed on 3.51: a 120k-row tree has 4,489
+    * zero-header non-root nodes of which 134 are inner), so the header
+    * check below only guards against a deep tree's root; CALLERS MUST
+    * pre-filter to true leaves structurally — a node is a leaf iff it
+    * is nobody's parent in the `%_parent` shadow table
+    * ([[SegmentStore.ingestSqliteSegment]] anti-joins on it). Inner
+    * cells carry child node numbers in the rowid slot and decode as
+    * garbage rows otherwise. */
   def decodeLeafCells(rd: RtreeDef, data: Array[Byte]): Seq[Seq[Any]] = {
     if (data == null || data.length < 4) return Nil
     val bb = java.nio.ByteBuffer.wrap(data)
@@ -123,29 +129,50 @@ object Rtree {
     * identity), like the generated-column recompute it sits beside. */
   def coerceAndCheck(rd: RtreeDef, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.SqlInternals
-    def coerce(c: String, up: Boolean): Column =
+    // NULL coordinates coerce to 0 BEFORE the min≤max gate — probed:
+    // INSERT (1, NULL, 5) stores 0.0, and (2, 5, NULL) fails the
+    // constraint because the NULL max became 0 (< the 5 min)
+    def coerce(c: String, up: Boolean): Column = {
+      val v = coalesce(df(c), lit(0))
       if (rd.i32)
         // int32 truncation toward zero (probed: 2.9→2, -2.9→-2)
-        greatest(least(df(c).cast("long"), lit(Int.MaxValue.toLong)),
+        greatest(least(v.cast("long"), lit(Int.MaxValue.toLong)),
           lit(Int.MinValue.toLong))
       else SqlInternals.column(RtreeCoord(
-        SqlInternals.expression(df(c).cast("double")), up))
+        SqlInternals.expression(v.cast("double")), up))
+    }
     val out = df.select(df(rd.idCol).cast("long").as(rd.idCol) +:
       rd.pairs.flatMap { case (lo, hi) =>
         Seq(coerce(lo, up = false).as(lo), coerce(hi, up = true).as(hi))
       }: _*)
-    // min ≤ max per pair AFTER coercion — real rtree's named error; one
-    // bounded job finds the first violating pair in declared order
+    // min ≤ max per pair AFTER coercion — real rtree's named error —
+    // plus max(id)/null-id detection, all in ONE bounded job
     val flags = rd.pairs.map { case (lo, hi) =>
       max(when(col(lo) > col(hi), lit(1)).otherwise(lit(0)))
-    }
+    } ++ Seq(max(col(rd.idCol)),
+      sum(when(col(rd.idCol).isNull, lit(1)).otherwise(lit(0))))
     val r = out.agg(flags.head, flags.tail: _*).head()
     rd.pairs.zipWithIndex.foreach { case ((lo, hi), i) =>
       if (!r.isNullAt(i) && r.getInt(i) == 1)
         throw new IllegalArgumentException(
           s"rtree constraint failed: ${rd.name}.($lo<=$hi)")
     }
-    out
+    // NULL ids auto-assign max+1, max+2, … (probed: INSERT (NULL,…)
+    // after id 200001 stores 200002) — same rule as the rowid alias it
+    // is. Window job only when a NULL id is actually present.
+    val nNull = if (r.isNullAt(rd.pairs.length + 1)) 0L
+      else r.getLong(rd.pairs.length + 1)
+    if (nNull == 0) out
+    else {
+      val base = if (r.isNullAt(rd.pairs.length)) 0L
+        else r.getLong(rd.pairs.length)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(monotonically_increasing_id())
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      out.withColumn(rd.idCol, when(col(rd.idCol).isNull,
+        lit(base) + sum(when(col(rd.idCol).isNull, lit(1)).otherwise(lit(0))).over(w))
+        .otherwise(col(rd.idCol)))
+    }
   }
 }
 

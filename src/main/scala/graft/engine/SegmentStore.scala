@@ -522,13 +522,33 @@ class SegmentStore(
       // rtree virtual tables rebuild their queryable rows from the
       // ingested %_node leaf blobs (r15 — probed cell layout,
       // [[Rtree.decodeLeafCells]]); the decode is per-blob imperative
-      // work, a genuine RDD case
+      // work, a genuine RDD case. Leaves are found STRUCTURALLY (r16):
+      // only the ROOT node's header is nonzero (the tree depth), so a
+      // zero header cannot distinguish a non-root inner node from a
+      // leaf — a node is a leaf iff it is nobody's parent in the
+      // %_parent shadow table (anti-join; empty table = 1-node tree,
+      // whose root IS the sole leaf).
       val rtreeNames = SqliteIngest.rtreeDefs(file).flatMap { rd0 =>
         names.find(_.equalsIgnoreCase(rd0.name + "_node")).map { nn =>
           val rd = rd0
-          val rows = loadTable(segmentId, nn)
-            .select(functions.col("data"))
+          val nodes = loadTable(segmentId, nn)
             .where(functions.col("data").isNotNull)
+          val leaves =
+            names.find(_.equalsIgnoreCase(rd0.name + "_parent")) match {
+              case Some(pn) =>
+                // parentnode is UNTYPED in the shadow DDL, so it may
+                // ingest as the widened binary class (UTF-8 decimal
+                // text) — cast through string to cover both storages
+                val parents = loadTable(segmentId, pn)
+                  .select(functions.col("parentnode")
+                    .cast(org.apache.spark.sql.types.StringType)
+                    .cast(LongType).as("nodeno")).distinct()
+                nodes.join(functions.broadcast(parents), Seq("nodeno"),
+                  "left_anti")
+              case None => nodes
+            }
+          val rows = leaves
+            .select(functions.col("data"))
             .rdd.flatMap(r => Rtree.decodeLeafCells(rd,
               r.getAs[Array[Byte]](0)).map(Row.fromSeq))
           val df = spark.createDataFrame(rows, Rtree.schemaOf(rd))

@@ -165,6 +165,66 @@ class RtreeSpec extends SparkSpecBase {
     assert(got == "1.099999904633e+00", got)
   }
 
+  test("NULL coordinates coerce to 0; NULL ids auto-assign max+1") {
+    val id = seg(schema2d); val db = cliDb(schema2d)
+    // NULL min stores 0.0 (probed); NULL ids take max+1, max+2, …
+    runBoth(id, db,
+      "INSERT INTO idx VALUES (41, NULL, 5, 1, 2);\n" +
+        "INSERT INTO idx VALUES (NULL, 1, 2, 3, 4);\n" +
+        "INSERT INTO idx VALUES (NULL, -1, 0, NULL, NULL);")
+    same(id, db, "SELECT id, printf('%.12e|%.12e|%.12e|%.12e', " +
+      "minX, maxX, minY, maxY) FROM idx ORDER BY id;")
+    // NULL max coerces to 0 FIRST, then fails min≤max against a
+    // positive min — the module's named constraint
+    val e = intercept[Exception](engine.write(id,
+      "INSERT INTO idx VALUES (50, 5, NULL, 1, 2);"))
+    assert(e.getMessage.contains("rtree constraint failed: idx.(minX<=maxX)"),
+      e.getMessage)
+    // UPDATE id = NULL re-assigns like delete+insert (probed: max of
+    // the REMAINING rows + 1)
+    runBoth(id, db, "UPDATE idx SET id = NULL WHERE id = 41;")
+    same(id, db, "SELECT id, printf('%.12e', minX) FROM idx ORDER BY id;")
+    // rtree_i32: NULL → 0 too
+    val s32 = "CREATE VIRTUAL TABLE z USING rtree_i32(id, a, b);"
+    val id32 = seg(s32); val db32 = cliDb(s32)
+    runBoth(id32, db32, "INSERT INTO z VALUES (1, NULL, 5), (NULL, 2, 3);")
+    same(id32, db32, "SELECT id, a, b FROM z ORDER BY id;")
+  }
+
+  test("ingest: a DEEP rtree (inner nodes) keeps only true leaf cells") {
+    // 30k rows force depth ≥ 2: non-root INNER nodes carry zero
+    // headers exactly like leaves (only the root stores the depth), so
+    // leaf detection must come from %_parent, not the header — the
+    // old header heuristic decoded child node numbers as rowids here
+    val db = Files.createTempFile("rtree-deep", ".db")
+    Files.delete(db)
+    assert(SqliteCli.run(db.toString,
+      "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX, minY, maxY);\n" +
+        "WITH RECURSIVE c(i) AS (SELECT 1 UNION ALL SELECT i+1 FROM c " +
+        "WHERE i < 30000)\n" +
+        "INSERT INTO idx SELECT i, i % 997, i % 997 + 1.5, " +
+        "(i / 50) % 613, (i / 50) % 613 + 2.5 FROM c;") == 0)
+    // sanity: the tree really is deep (non-root inner nodes exist)
+    assert(SqliteCli.query(db.toString,
+      "SELECT count(DISTINCT parentnode) FROM idx_parent;").trim.toInt > 1)
+    val segId = "rt-ingest-deep"
+    store.ingestSqliteSegment(db.toString, segId)
+    def sameIngested(select: String): Unit = {
+      val engineSide = engine.read(segId, select).collect().map { r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "" else r.get(i).toString).mkString("|")
+      }.mkString("\n")
+      val cliSide = SqliteCli.query(db.toString, select)
+      assert(engineSide == cliSide, s"\n-- engine --\n$engineSide\n" +
+        s"-- sqlite3 --\n$cliSide\n-- for --\n$select")
+    }
+    sameIngested("SELECT count(*), min(id), max(id), sum(id) FROM idx;")
+    sameIngested("SELECT id, printf('%.12e|%.12e', minX, maxY) FROM idx " +
+      "WHERE id % 977 = 3 ORDER BY id;")
+    sameIngested("SELECT count(*) FROM idx WHERE minX <= 500 AND " +
+      "maxX >= 500;")
+  }
+
   test("fuzz: 120 random boxes + 40 range queries agree with real rtree") {
     val id = seg(schema2d); val db = cliDb(schema2d)
     val rng = new scala.util.Random(20260815L)
