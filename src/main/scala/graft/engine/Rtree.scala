@@ -28,8 +28,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
   * staging funnel (so INSERT, UPDATE, upserts and trigger bodies all
   * agree); reads are ordinary SQL. The reference reaches rtree only
   * through libsqlite3 (trough/write.py:40), same delegation as fts5.
-  * Export/ingest of the packed %_node blob format is out of scope
-  * (named refusal — the data ingests through its shadow tables). */
+  * The packed `%_node` blob format round-trips: ingest decodes real
+  * files' leaf cells, export bulk-loads a fresh tree
+  * ([[RtreeTreeBuilder]]) that real sqlite3 queries and
+  * integrity-checks. */
 object Rtree {
 
   final case class RtreeDef(name: String, idCol: String,
@@ -87,6 +89,43 @@ object Rtree {
   def metaOf(rd: RtreeDef): SegmentStore.TableMeta =
     SegmentStore.TableMeta(schemaOf(rd), Seq(rd.idCol), Some(rd.idCol),
       ftsSql = Some(rd.sql))
+
+  /** Stored coordinate → double (Long for rtree_i32, Double otherwise;
+    * int32 values are exact in a double). */
+  private[engine] def num(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case i: Int => i.toDouble
+    case other => throw new IllegalStateException(
+      s"rtree coordinate of unexpected class: $other")
+  }
+
+  /** The three PHYSICAL shadow tables behind one exported rtree
+    * virtual table — `%_rowid`, `%_node`, `%_parent`, in real rtree's
+    * own catalog order and with its probed DDL texts — built lazily on
+    * first row pull so `feed` (the caller's row pass, a Spark sorted
+    * stream on the driver path, an in-task buffer in the distributed
+    * one) runs exactly once, when the writer reaches the first shadow
+    * table. */
+  def exportTables(rd: RtreeDef, pageSize: Int = 4096)(
+      feed: RtreeTreeBuilder => Unit): Seq[SqliteWriter.StreamedTable] = {
+    lazy val built = {
+      val b = new RtreeTreeBuilder(rd, pageSize)
+      feed(b)
+      b.finish()
+    }
+    def one(v: Any): IndexedSeq[Any] = IndexedSeq[Any](null, v)
+    Seq(
+      SqliteWriter.StreamedTable(s"${rd.name}_rowid",
+        s"""CREATE TABLE "${rd.name}_rowid"(rowid INTEGER PRIMARY KEY,nodeno)""",
+        () => built.rowidRows.map { case (r, n) => (r, one(n)) }),
+      SqliteWriter.StreamedTable(s"${rd.name}_node",
+        s"""CREATE TABLE "${rd.name}_node"(nodeno INTEGER PRIMARY KEY,data)""",
+        () => built.nodeRows.map { case (n, b) => (n, one(b)) }),
+      SqliteWriter.StreamedTable(s"${rd.name}_parent",
+        s"""CREATE TABLE "${rd.name}_parent"(nodeno INTEGER PRIMARY KEY,parentnode)""",
+        () => built.parentRows.map { case (n, p) => (n, one(p)) }))
+  }
 
   /** Decode the LEAF cells of one rtree `%_node` blob — probed format:
     * 2-byte header (big-endian), 2-byte cell count, then per cell an
@@ -174,6 +213,174 @@ object Rtree {
         .otherwise(col(rd.idCol)))
     }
   }
+}
+
+/** Bulk-loads a packed rtree `%_node` tree — the export inverse of
+  * [[Rtree.decodeLeafCells]] — so spatial segments survive outbound
+  * migration into real SQLite (the reference's promotion universe,
+  * sync.py:1112-1188). Probed format (sqlite 3.51, rtree.c public
+  * source): every node blob is exactly `nodeSize` bytes = min(page
+  * size − 64, 4 + 51·cellBytes) — RTREE_MAXCELLS is 51 and the opener
+  * re-derives the size from the ROOT blob's length; bytes 0-1 hold the
+  * tree depth in the root and zero elsewhere, bytes 2-3 the cell
+  * count; leaf cells are 8-byte BE rowid + 2·dims BE float32 (int32
+  * for rtree_i32), inner cells an 8-byte BE child nodeno + the
+  * child's bounding box. The shadow rows the module's own queries and
+  * integrity check need ride along: `%_rowid` (rowid → leaf nodeno)
+  * and `%_parent` (non-root nodeno → parent nodeno).
+  *
+  * Packing is STR-lite bulk load: the caller feeds cells pre-sorted by
+  * first-dimension center (any order is VALID — parent boxes are
+  * computed as exact componentwise min/max of children, so containment
+  * holds by construction — the sort only buys query locality). Leaves
+  * fill to capacity; node blobs spill to a local temp file in emission
+  * order (leaves first, then each upper level, root last but numbered
+  * 1) so heap stays O(nodeSize × depth) plus the (rowid, nodeno) pair
+  * buffer — 16 bytes per row, the same documented bound as the
+  * no-rowid-alias index export. */
+final class RtreeTreeBuilder(rd: Rtree.RtreeDef, pageSize: Int = 4096) {
+  // `dims` counts COLUMNS (min and max both), i.e. 2 × dimension pairs
+  private val dims = rd.coordCols.length
+  private val cellBytes = 8 + dims * 4
+  val nodeSize: Int = math.min(pageSize - 64, 4 + 51 * cellBytes)
+  private val capacity = (nodeSize - 4) / cellBytes
+
+  // one pending leaf node's cells: (rowid, coords as doubles)
+  private val pending =
+    scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+  // node blobs spill in EMISSION order: all leaves, then each upper
+  // level in turn, the root last — so every child's emission index is
+  // assigned before its parent's cell is written, and the final node
+  // numbering is a pure function of the index (root = last = 1, other
+  // index i = i + 2)
+  private val spill =
+    java.nio.file.Files.createTempFile("graft-rtree-node", ".spill")
+  private val spillCh = java.nio.channels.FileChannel.open(spill,
+    java.nio.file.StandardOpenOption.WRITE)
+  private var spilled = 0
+  // (emission idx, bbox) of the level being packed; leaves while adding
+  private var level = scala.collection.mutable.ArrayBuffer[(Int, Array[Double])]()
+  private val rowidPairs = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+  private val parentPairs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+  private var finished = false
+
+  private def blob(header: Int, cells: Seq[(Long, Array[Double])]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(nodeSize)
+    bb.putShort(header.toShort)
+    bb.putShort(cells.length.toShort)
+    cells.foreach { case (id, cs) =>
+      bb.putLong(id)
+      cs.foreach(v =>
+        if (rd.i32) bb.putInt(v.toInt) else bb.putFloat(v.toFloat))
+    }
+    bb.array()
+  }
+
+  private def emit(header: Int, cells: Seq[(Long, Array[Double])]): Int = {
+    spillCh.write(java.nio.ByteBuffer.wrap(blob(header, cells)),
+      spilled.toLong * nodeSize)
+    spilled += 1
+    spilled - 1
+  }
+
+  // a box has the same (min1, max1, min2, max2, …) layout as a cell
+  private def boxAround(boxes: Seq[Array[Double]]): Array[Double] = {
+    val box = new Array[Double](dims)
+    for (p <- 0 until dims / 2) {
+      box(2 * p) = boxes.map(_(2 * p)).min
+      box(2 * p + 1) = boxes.map(_(2 * p + 1)).max
+    }
+    box
+  }
+
+  private def flushLeaf(): Unit = if (pending.nonEmpty) {
+    val cells = pending.toSeq
+    val ei = emit(0, cells)
+    level += ((ei, boxAround(cells.map(_._2))))
+    cells.foreach { case (id, _) => rowidPairs += ((id, ei)) }
+    pending.clear()
+  }
+
+  /** Feed one row — (rowid, coords in declared column order), values
+    * already module-coerced ([[Rtree.coerceAndCheck]] shapes: Long for
+    * rtree_i32, float32-exact Double otherwise). Callers supply rows
+    * pre-sorted by first-dimension center for locality; ANY order
+    * yields a valid tree (containment is by construction). */
+  def add(rowid: Long, coords: IndexedSeq[Any]): Unit = {
+    pending += ((rowid, coords.map(Rtree.num).toArray))
+    if (pending.length == capacity) flushLeaf()
+  }
+
+  final case class Built(depth: Int, nodeCount: Int,
+      nodeRows: Iterator[(Long, Array[Byte])],
+      rowidRows: Iterator[(Long, Long)],
+      parentRows: Iterator[(Long, Long)])
+
+  /** Pack the upper levels and stream the numbered nodes back out of
+    * the spill: node number 1 is the root (the LAST emission, its
+    * header = depth), every other emission i is node i + 2 — so
+    * `%_node` rows stream in INTEGER PRIMARY KEY order with one
+    * positioned read for the root plus one sequential pass. */
+  def finish(): Built = {
+    require(!finished, "finish() already called"); finished = true
+    flushLeaf()
+    if (spilled == 0) { // empty table: a single empty root leaf
+      spillCh.close()
+      java.nio.file.Files.deleteIfExists(spill)
+      return Built(0, 1, Iterator((1L, blob(0, Nil))),
+        Iterator.empty, Iterator.empty)
+    }
+    def nodenoOf(ei: Int): Long = if (ei == spilled - 1) 1L else ei + 2L
+    var depth = 0
+    while (level.length > 1) {
+      depth += 1
+      val isRootLevel = level.length <= capacity
+      val up = scala.collection.mutable.ArrayBuffer[(Int, Array[Double])]()
+      level.grouped(capacity).foreach { grp =>
+        // children can never be the root, so their numbers are final
+        val ei = emit(if (isRootLevel) depth else 0,
+          grp.map { case (ci, box) => (ci + 2L, box) }.toSeq)
+        grp.foreach { case (ci, _) => parentPairs += ((ci, ei)) }
+        up += ((ei, boxAround(grp.map(_._2).toSeq)))
+      }
+      level = up
+    }
+    spillCh.close()
+    require(depth <= 40, s"rtree depth $depth exceeds the module's maximum")
+    val rootEi = spilled - 1
+    val readCh = java.nio.channels.FileChannel.open(spill,
+      java.nio.file.StandardOpenOption.READ)
+    def readAt(ei: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(nodeSize)
+      var off = 0
+      while (off < nodeSize) {
+        val n = readCh.read(buf, ei.toLong * nodeSize + off)
+        require(n > 0, "rtree spill truncated")
+        off += n
+      }
+      buf.array()
+    }
+    val nTotal = spilled
+    // root (node 1) first, then emissions 0..spilled-2 = nodes 2..N
+    val nodeRows = Iterator(1L -> readAt(rootEi)) ++
+      (0 until spilled - 1).iterator.map(ei => (ei + 2L, readAt(ei))) ++
+      closeOnEnd(readCh)
+    val ridRows = rowidPairs.sortInPlaceBy(_._1).iterator
+      .map { case (rid, ei) => (rid, nodenoOf(ei)) }
+    val parRows = parentPairs.map { case (ci, pe) =>
+      (nodenoOf(ci), nodenoOf(pe))
+    }.sortInPlaceBy(_._1).iterator
+    Built(depth, nTotal, nodeRows, ridRows, parRows)
+  }
+
+  // an empty iterator that closes the spill channel when drained
+  private def closeOnEnd(ch: java.nio.channels.FileChannel): Iterator[(Long, Array[Byte])] =
+    new Iterator[(Long, Array[Byte])] {
+      def hasNext: Boolean = {
+        ch.close(); java.nio.file.Files.deleteIfExists(spill); false
+      }
+      def next(): (Long, Array[Byte]) = throw new NoSuchElementException
+    }
 }
 
 /** One rtree float32 coordinate coercion: round the double to the

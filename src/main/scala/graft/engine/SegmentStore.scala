@@ -681,8 +681,22 @@ class SegmentStore(
   def exportSqliteSegment(segmentId: String, outPath: String): Seq[String] = {
     require(segmentExists(segmentId), s"segment $segmentId does not exist")
     val tbls = tables(segmentId)
-    val (ftsTbls, plainTbls) =
+    val (ftsTbls, plainTbls0) =
       tbls.partition(t => tableMeta(segmentId, t).ftsSql.isDefined)
+    // shadow tables ingested alongside a virtual table (they stay
+    // queryable in the engine by design, SqliteIngestSpec) are REBUILT
+    // by the virtual-table export — writing the ingested plain copies
+    // too would duplicate schema names (malformed file) and contradict
+    // any post-ingest DML the rebuild reflects
+    val shadowNames: Set[String] = ftsTbls.flatMap { t =>
+      val sfx =
+        if (Rtree.parseCreateVirtual(tableMeta(segmentId, t).ftsSql.get).isDefined)
+          Seq("_node", "_rowid", "_parent")
+        else Seq("_content", "_docsize", "_config", "_data", "_idx")
+      sfx.map(s => (t + s).toLowerCase(java.util.Locale.ROOT))
+    }.toSet
+    val plainTbls = plainTbls0.filterNot(t =>
+      shadowNames.contains(t.toLowerCase(java.util.Locale.ROOT)))
     val ftsStreamed = ftsTbls.flatMap(t =>
       ftsExportTables(segmentId, t, tableMeta(segmentId, t).ftsSql.get))
     val streamed = plainTbls.map { t =>
@@ -818,11 +832,25 @@ class SegmentStore(
     * %_docsize shadow at all). */
   private def ftsExportTables(segmentId: String, t: String,
       ddl: String): Seq[SqliteWriter.StreamedTable] = {
-    if (Rtree.parseCreateVirtual(ddl).isDefined)
-      throw new UnsupportedOperationException(
-        s"cannot export rtree virtual table '$t': the %_node R-tree " +
-          "blob format is not built by this exporter; copy the rows " +
-          "into a plain table to move them out")
+    Rtree.parseCreateVirtual(ddl).foreach { rd =>
+      // rtree (r16): bulk-load a packed %_node tree from the backing
+      // rows, pre-sorted by first-dimension center (STR-lite — any
+      // order is valid, the sort buys query locality). One Spark sort
+      // job streamed through the driver like every other export pass;
+      // the builder spills node blobs to local disk.
+      return Rtree.exportTables(rd) { b =>
+        val df = loadTable(segmentId, t)
+        val sorted = df.orderBy(
+          (functions.col(rd.coordCols.head) +
+            functions.col(rd.coordCols(1))).asc,
+          functions.col(rd.idCol))
+        sorted.toLocalIterator().asScala.foreach { r =>
+          require(!r.isNullAt(0), s"rtree table $t: null id")
+          b.add(r.getLong(0),
+            (1 to rd.coordCols.length).map(r.get(_)).toIndexedSeq)
+        }
+      }
+    }
     // prefix= occurrences in declaration order define index ids 1…;
     // quoted lists hold several lengths, duplicates kept (probed)
     val prefixLens: Seq[Int] =

@@ -220,5 +220,19 @@ class Fts5ExportSpec extends SparkSpecBase {
       "SELECT a FROM d WHERE d MATCH 'round' ORDER BY a;")
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("round trip"))
+    // …and an INGESTED fts segment re-exports without duplicating its
+    // shadow tables as plain copies (r16: the export rebuilds %_content
+    // etc. — the stale ingested plain tables must be skipped, else
+    // sqlite3 sees a malformed schema)
+    engine.provisionWritable(back)
+    engine.write(back, "DELETE FROM d WHERE a = 'second';")
+    val db2 = Files.createTempFile("fts-reexp", ".db")
+    Files.delete(db2)
+    store.exportSqliteSegment(back, db2.toString)
+    checkIntegrity(db2, "d")
+    assert(SqliteCli.query(db2.toString,
+      "SELECT count(*) FROM d;") == "2")
+    assert(SqliteCli.query(db2.toString,
+      "SELECT a FROM d WHERE d MATCH 'round';") == "round trip")
   }
 }

@@ -118,12 +118,65 @@ class RtreeSpec extends SparkSpecBase {
     }
     val id = seg(schema2d); val db = cliDb(schema2d)
     same(id, db, "SELECT sql FROM sqlite_master WHERE name = 'idx';")
-    // export refuses by name (the packed %_node format is out of scope)
-    engine.write(id, "INSERT INTO idx VALUES (1, 0, 1, 0, 1);")
-    val e = intercept[UnsupportedOperationException](
-      store.exportSqliteSegment(id,
-        Files.createTempDirectory("rt-exp").resolve("x.sqlite").toString))
-    assert(e.getMessage.contains("rtree"), e.getMessage)
+  }
+
+  test("export: real sqlite3 queries and integrity-checks a DEEP exported rtree") {
+    // 8k rows force depth 2 (≥ 157 leaves at 51 cells/node), so the
+    // export exercises inner-node cells, %_parent and the root header.
+    // The segment arrives via ingest (export reads only the backing
+    // parquet — the write path feeds it identically) plus one engine
+    // DML to prove a mutated segment exports too.
+    val src = Files.createTempFile("rtree-exp-src", ".db")
+    Files.delete(src)
+    assert(SqliteCli.run(src.toString,
+      "CREATE VIRTUAL TABLE idx USING rtree(id, minX, maxX, minY, maxY);\n" +
+        "WITH RECURSIVE c(i) AS (SELECT 1 UNION ALL SELECT i+1 FROM c " +
+        "WHERE i < 8000)\n" +
+        "INSERT INTO idx SELECT i, (i % 89) + 0.25, (i % 89) + 0.75, " +
+        "((i / 89) % 97) + 0.5, ((i / 89) % 97) + 2.5 FROM c;") == 0)
+    val id = "rt-export-deep"
+    store.ingestSqliteSegment(src.toString, id)
+    engine.provisionWritable(id)
+    engine.write(id, "DELETE FROM idx WHERE id % 13 = 0;")
+    val out = Files.createTempDirectory("rt-exp").resolve("x.sqlite")
+    store.exportSqliteSegment(id, out.toString)
+    // the module's own structural check plus the file-level one
+    assert(SqliteCli.query(out.toString, "SELECT rtreecheck('idx');") == "ok")
+    assert(SqliteCli.query(out.toString, "PRAGMA integrity_check;") == "ok")
+    def sameExported(select: String): Unit = {
+      val engineSide = engine.read(id, select).collect().map { r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "" else r.get(i).toString).mkString("|")
+      }.mkString("\n")
+      val cliSide = SqliteCli.query(out.toString, select)
+      assert(engineSide == cliSide, s"\n-- engine --\n$engineSide\n" +
+        s"-- sqlite3 --\n$cliSide\n-- for --\n$select")
+    }
+    sameExported("SELECT count(*), min(id), max(id), sum(id) FROM idx;")
+    sameExported("SELECT id FROM idx WHERE minX <= 5.3 AND maxX >= 5.3 " +
+      "AND minY <= 50 AND maxY >= 50 ORDER BY id;")
+    sameExported("SELECT id, printf('%.12e|%.12e', minX, maxY) FROM idx " +
+      "WHERE id % 971 = 1 ORDER BY id;")
+    // full round trip: the exported file re-ingests to identical rows
+    val seg2 = "rt-roundtrip-1"
+    store.ingestSqliteSegment(out.toString, seg2)
+    val back = engine.read(seg2,
+      "SELECT count(*), sum(id), sum(minX), sum(maxY) FROM idx;")
+      .collect()(0).toString
+    val orig = engine.read(id,
+      "SELECT count(*), sum(id), sum(minX), sum(maxY) FROM idx;")
+      .collect()(0).toString
+    assert(back == orig, s"round trip: $back != $orig")
+    // rtree_i32 exports too
+    val s32 = "CREATE VIRTUAL TABLE z32 USING rtree_i32(id, a, b);"
+    val id32 = seg(s32)
+    engine.write(id32, "INSERT INTO z32 VALUES (1, -5, 5), (2, 3, 9);")
+    val out32 = Files.createTempDirectory("rt-exp32").resolve("y.sqlite")
+    store.exportSqliteSegment(id32, out32.toString)
+    assert(SqliteCli.query(out32.toString, "SELECT rtreecheck('z32');") == "ok")
+    assert(SqliteCli.query(out32.toString,
+      "SELECT id, a, b FROM z32 WHERE a <= 4 AND b >= 4 ORDER BY id;") ==
+      "1|-5|5\n2|3|9")
   }
 
   test("ingest: a real sqlite3-written rtree rebuilds from %_node leaves") {
