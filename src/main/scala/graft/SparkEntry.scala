@@ -1182,6 +1182,44 @@ object SparkEntry {
           Fts5.matchPredicate("d AND b*", Map("text" -> $"text"),
             tok = tok).cast("int").as("hit"))
         .orderBy($"doc_id")
+    }),
+
+    // Cluster-scale OUTBOUND migration end-to-end (r16, the mirror of
+    // q56): documents shard into 12 store segments, each segment's
+    // .sqlite file is built INSIDE an executor task
+    // (SqliteExportKernel — parquet read, in-task sorts, streamed
+    // writer, Hadoop-FS push), then the fleet re-ingests through the
+    // executor-distributed ingest and reads back as ONE scan. Lossless
+    // against raw parquet, so the oracle is a plain projection; any
+    // drift in the parquet→B-tree→parquet double conversion breaks the
+    // hash.
+    "q67_sqlite_export_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val shards = 12
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q67")
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("out-store").toString)
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      (0 until shards).foreach { k =>
+        store.provision(s"q67seg$k",
+          "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);")
+        store.replaceTableData(s"q67seg$k", "docs",
+          docs.where(pmod($"doc_id", lit(shards.toLong)) === k))
+      }
+      val res = store.exportSqliteSegmentsDistributed(
+        (0 until shards).map(k => s"q67seg$k"), tmp.resolve("files").toString)
+      val failed = res.collect { case (seg, t) if t.isFailure =>
+        seg -> t.failed.get.getMessage }
+      require(failed.isEmpty, s"distributed export failures: $failed")
+      val store2 = new graft.engine.SegmentStore(s, tmp.resolve("back-store").toString)
+      val eng2 = new graft.engine.TroughEngine(s, store2, new graft.engine.SchemaRegistry)
+      val back = store2.ingestSqliteSegmentsDistributed(
+        res.map { case (seg, t) => seg -> t.get })
+      val failedBack = back.collect { case (seg, t) if t.isFailure =>
+        seg -> t.failed.get.getMessage }
+      require(failedBack.isEmpty, s"round-trip ingest failures: $failedBack")
+      eng2.readAll("SELECT doc_id, text FROM docs;", "q67seg.*")
+        .select($"doc_id", length($"text").cast("long").as("n_chars"), $"text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -1704,6 +1742,11 @@ object SparkEntry {
     // the 16-shard distributed migration (incl. the WAL-only shard) must
     // also be lossless against the raw parquet
     "q56_sqlite_ingest_distributed" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+      FROM documents ORDER BY doc_id""",
+    // the 12-shard distributed OUTBOUND migration (executor-built
+    // .sqlite files) round-trips lossless against the raw parquet
+    "q67_sqlite_export_distributed" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
       FROM documents ORDER BY doc_id""",
     // the Spark side fetched its rows over real HTTP from the read

@@ -226,6 +226,18 @@ object Fts5 {
   def tokenize(s: String, tok: Tok): Seq[String] =
     tokenizeWithOffsets(s, tok)._1.toSeq
 
+  /** `prefix=` occurrences of a CREATE VIRTUAL TABLE text, in
+    * declaration order (they define exported prefix-index ids 1…);
+    * quoted lists hold several lengths, duplicates kept (probed).
+    * Shared by the driver-streamed and distributed export paths. */
+  private[engine] def prefixLensOf(ddl: String): Seq[Int] =
+    "(?i)\\bprefix\\s*=\\s*(?:'([0-9 ]*)'|\"([0-9 ]*)\"|([0-9]+))".r
+      .findAllMatchIn(ddl).flatMap { m =>
+        Option(m.group(1)).orElse(Option(m.group(2)))
+          .orElse(Option(m.group(3))).get.trim.split("\\s+")
+          .filter(_.nonEmpty).map(_.toInt)
+      }.toSeq
+
   /** Mode-dispatching [[tokenizeWithOffsets]]. */
   def tokenizeWithOffsets(s: String, tok: Tok)
       : (Array[String], Array[Int], Array[Int]) =

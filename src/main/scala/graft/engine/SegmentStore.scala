@@ -61,6 +61,43 @@ object SegmentStore {
         * text verbatim, as real SQLite does. */
       ftsSql: Option[String] = None)
 
+  private[engine] final case class MasterParts(
+      ddl: String,
+      autoIdxSets: Seq[(String, Seq[Int])],
+      secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])])
+
+  private[engine] def masterParts(t: String, meta: TableMeta): MasterParts = {
+    val fields = meta.schema.fields
+    // a non-rowid-alias PRIMARY KEY and every UNIQUE constraint imply
+    // sqlite_autoindex trees (integrity_check counts them)
+    val pkAutoIdx: Seq[Seq[Int]] =
+      if (meta.autoIncrement.isEmpty && meta.primaryKey.nonEmpty)
+        Seq(meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
+          .filter(_ >= 0))
+      else Nil
+    // only uniques whose columns all resolve — and the DDL renders
+    // exactly the same set, so the constraints real SQLite parses and
+    // the trees in an exported file always agree
+    val exportUniques: Seq[(Seq[String], Seq[Int])] = meta.uniques
+      .map(u => u -> u.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))))
+      .filter { case (_, cs) => cs.nonEmpty && cs.forall(_ >= 0) }
+    val autoIdxSets: Seq[(String, Seq[Int])] =
+      (pkAutoIdx ++ exportUniques.map(_._2)).zipWithIndex.map {
+        case (cols, i) => (SqliteWriter.autoIndexName(t, i + 1), cols)
+      }
+    // recorded secondary indexes; ones referencing since-dropped
+    // columns are skipped rather than failing
+    val secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])] = meta.indexes.flatMap { ix =>
+      val cols = ix.columns.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
+      if (cols.nonEmpty && cols.forall(_ >= 0)) Some(ix -> cols) else None
+    }
+    MasterParts(SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
+      meta.autoIncrement, meta.notNull, meta.defaults,
+      exportUniques.map(_._1), meta.checks, meta.generated,
+      meta.strict, meta.strictTypes), autoIdxSets, secondary)
+  }
+
+
   /** Chars that survive verbatim as a hive partition value and a file
     * name; leading `_`/`.` would make the partition invisible to scans. */
   private[engine] val SegmentIdPattern = "[A-Za-z0-9][A-Za-z0-9._-]*".r
@@ -598,41 +635,8 @@ class SegmentStore(
     * trees (non-rowid-alias PRIMARY KEY first, then UNIQUEs — the
     * rendered DDL's constraint order, which is also how real SQLite
     * numbers them), and the recorded secondary indexes. */
-  private final case class MasterParts(
-      ddl: String,
-      autoIdxSets: Seq[(String, Seq[Int])],
-      secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])])
-
-  private def masterParts(t: String, meta: TableMeta): MasterParts = {
-    val fields = meta.schema.fields
-    // a non-rowid-alias PRIMARY KEY and every UNIQUE constraint imply
-    // sqlite_autoindex trees (integrity_check counts them)
-    val pkAutoIdx: Seq[Seq[Int]] =
-      if (meta.autoIncrement.isEmpty && meta.primaryKey.nonEmpty)
-        Seq(meta.primaryKey.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
-          .filter(_ >= 0))
-      else Nil
-    // only uniques whose columns all resolve — and the DDL renders
-    // exactly the same set, so the constraints real SQLite parses and
-    // the trees in an exported file always agree
-    val exportUniques: Seq[(Seq[String], Seq[Int])] = meta.uniques
-      .map(u => u -> u.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c))))
-      .filter { case (_, cs) => cs.nonEmpty && cs.forall(_ >= 0) }
-    val autoIdxSets: Seq[(String, Seq[Int])] =
-      (pkAutoIdx ++ exportUniques.map(_._2)).zipWithIndex.map {
-        case (cols, i) => (SqliteWriter.autoIndexName(t, i + 1), cols)
-      }
-    // recorded secondary indexes; ones referencing since-dropped
-    // columns are skipped rather than failing
-    val secondary: Seq[(SqliteDdl.IndexDef, Seq[Int])] = meta.indexes.flatMap { ix =>
-      val cols = ix.columns.map(c => fields.indexWhere(_.name.equalsIgnoreCase(c)))
-      if (cols.nonEmpty && cols.forall(_ >= 0)) Some(ix -> cols) else None
-    }
-    MasterParts(SqliteDdl.renderCreateTable(t, meta.schema, meta.primaryKey,
-      meta.autoIncrement, meta.notNull, meta.defaults,
-      exportUniques.map(_._1), meta.checks, meta.generated,
-      meta.strict, meta.strictTypes), autoIdxSets, secondary)
-  }
+  private def masterParts(t: String, meta: TableMeta): SegmentStore.MasterParts =
+    SegmentStore.masterParts(t, meta)
 
   /** The segment's `sqlite_master` rows — (type, name, tbl_name,
     * rootpage, sql) exactly as an export of this segment would catalog
@@ -851,15 +855,7 @@ class SegmentStore(
         }
       }
     }
-    // prefix= occurrences in declaration order define index ids 1…;
-    // quoted lists hold several lengths, duplicates kept (probed)
-    val prefixLens: Seq[Int] =
-      "(?i)\\bprefix\\s*=\\s*(?:'([0-9 ]*)'|\"([0-9 ]*)\"|([0-9]+))".r
-        .findAllMatchIn(ddl).flatMap { m =>
-          Option(m.group(1)).orElse(Option(m.group(2)))
-            .orElse(Option(m.group(3))).get.trim.split("\\s+")
-            .filter(_.nonEmpty).map(_.toInt)
-        }.toSeq
+    val prefixLens: Seq[Int] = Fts5.prefixLensOf(ddl)
     if (Fts5.parseCreateVirtual(ddl).exists(_.detail != "full"))
       throw new UnsupportedOperationException(
         s"cannot export fts5 table '$t': detail=none/column tables use " +
@@ -1102,6 +1098,98 @@ class SegmentStore(
       }
       futures.map { case (seg, f) => seg -> f.join() }.toMap
     } finally pool.shutdown()
+  }
+
+  /** Cluster-scale bulk inverse migration — the outbound mirror of
+    * [[ingestSqliteSegmentsDistributed]] and the true analog of the
+    * reference's parallel HDFS promotion (sync.py:1112-1188, per-node
+    * parallel sync sync.py:941-1047): each segment's `.sqlite` file is
+    * built INSIDE an executor task by [[SqliteExportKernel]] (backing
+    * parquet read directly, in-task sorts, the shared streamed writer)
+    * against task-local disk, then pushed to `outDir` through the
+    * Hadoop filesystem of its scheme — so a 100 TB migration's bytes
+    * flow executor→store with full cluster parallelism, never through
+    * the driver JVM. The driver only collects per-segment METADATA
+    * (table metas, file listings, views, triggers — KBs) before the
+    * job and per-segment results after it.
+    *
+    * Per-segment error isolation, like every bulk path: a segment that
+    * fails to export reports its error; the rest of the batch lands.
+    * [[exportSqliteSegments]] remains the driver-streamed variant for
+    * small batches or single oversized segments (Spark sorts those). */
+  def exportSqliteSegmentsDistributed(segmentIds: Seq[String],
+      outDir: String): Map[String, scala.util.Try[String]] = {
+    import scala.util.{Failure, Success, Try}
+    if (segmentIds.isEmpty) return Map.empty
+    val sc = spark.sparkContext
+    val (present, missing) = segmentIds.distinct.partition(segmentExists)
+    val missingResults: Map[String, Try[String]] = missing.map(seg =>
+      seg -> Failure[String](new IllegalArgumentException(
+        s"segment $seg does not exist"))).toMap
+    if (present.isEmpty) return missingResults
+    // per-segment spec: metadata + parquet file listings (KBs), with
+    // loadTable's crash-recovery check applied before listing
+    val specs: Seq[(String, Try[SqliteExportKernel.SegmentSpec])] = present.map { seg =>
+      seg -> Try {
+        val root = tierRoot(seg)
+        val slices = tables(seg).map { t =>
+          val live = liveDir(root, seg, t)
+          if (!Files.isDirectory(live)) swapLock(seg).synchronized {
+            if (!Files.isDirectory(live) && Files.isDirectory(oldDir(root, seg, t)))
+              Files.move(oldDir(root, seg, t), live, StandardCopyOption.ATOMIC_MOVE)
+          }
+          val files =
+            if (!Files.isDirectory(live)) Nil
+            else {
+              val s = Files.list(live)
+              try s.iterator().asScala.map(_.toString)
+                .filter(_.endsWith(".parquet")).toSeq.sorted
+              finally s.close()
+            }
+          SqliteExportKernel.TableSlice(t, tableMeta(seg, t), files)
+        }
+        SqliteExportKernel.SegmentSpec(seg, slices,
+          views(seg).map(v => (v.name, v.sql)),
+          triggers(seg).map(t => (t.name, t.table, t.sql)))
+      }
+    }
+    val specErrors: Map[String, Try[String]] = specs.collect {
+      case (seg, Failure(e)) => seg -> Failure[String](e)
+    }.toMap
+    val okSpecs = specs.collect { case (_, Success(sp)) => sp }
+    if (okSpecs.isEmpty) return missingResults ++ specErrors
+    val hadoopConf = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(sc.hadoopConfiguration).mkdirs(outPath)
+    val outDirStr = outDir
+    val slices = math.max(1, math.min(okSpecs.size,
+      math.max(sc.defaultParallelism * 2, okSpecs.size / 32)))
+    val collected: Array[(String, Either[String, String])] =
+      sc.parallelize(okSpecs, slices).map { spec =>
+        spec.segmentId -> (try {
+          require(org.apache.spark.TaskContext.get() != null,
+            "bulk-export must run inside an executor task")
+          val conf = hadoopConf.value.value
+          val tmp = Files.createTempFile(s"graft-export-${spec.segmentId}", ".sqlite")
+          try {
+            SqliteExportKernel.exportSegment(spec, tmp, conf)
+            val dst = new org.apache.hadoop.fs.Path(outDirStr,
+              s"${spec.segmentId}.sqlite")
+            val fs = dst.getFileSystem(conf)
+            val out = fs.create(dst, true)
+            try Files.copy(tmp, out) finally out.close()
+            Right(dst.toString): Either[String, String]
+          } finally Files.deleteIfExists(tmp)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Left(s"${e.getClass.getName}: ${e.getMessage}"): Either[String, String]
+        })
+      }.collect()
+    missingResults ++ specErrors ++ collected.map {
+      case (seg, Right(path)) => seg -> Success(path)
+      case (seg, Left(err)) => seg -> Failure[String](new RuntimeException(err))
+    }.toMap
   }
 
   /** Cluster-scale bulk migration: the same [[SqliteIngest]] kernel as
