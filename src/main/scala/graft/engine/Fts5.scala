@@ -49,8 +49,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * every 3-codepoint window a token). Documented deviations:
   * content=/detail=none|column and the ascii tokenizer refuse by
   * name; shadow tables are not cataloged (the backing table replaces
-  * them); bm25()/rank with >1 MATCH on one table refuses (plan-
-  * dependent in real fts5).
+  * them); bm25()/rank/highlight/snippet under multiple MATCHes work
+  * when every clause is a top-level AND conjunct (≡ the AND-combined
+  * single query, probed r16) and refuse otherwise (plan-dependent in
+  * real fts5).
   */
 object Fts5 {
 
@@ -1212,6 +1214,9 @@ object Fts5 {
     // table's columns ride under — collected for bm25()/rank scoring
     val matchInfo =
       mutable.Map[String, List[(Node, Option[String])]]().withDefaultValue(Nil)
+    // start offsets of each table's MATCH clauses in the ORIGINAL text,
+    // for the top-level-conjunct analysis multi-MATCH scoring needs
+    val matchPos = mutable.Map[String, List[Int]]().withDefaultValue(Nil)
     val replaced = matchRe.replaceAllIn(stmt, m => {
       val (qualOpt, name) = Option(m.group(2)) match {
         case Some(n2) =>
@@ -1246,6 +1251,7 @@ object Fts5 {
           // covers column-LHS MATCH, a column query on detail=none)
           checkDetail(wrap(node), fd.detail)
           matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
+          matchPos(owner) = matchPos(owner) :+ m.start
           // contentless tables match over the hidden index-text
           // columns (declared columns read NULL — r15)
           val qn = (c: String) => {
@@ -1271,7 +1277,53 @@ object Fts5 {
       }
     })
     if (statsOf == null) replaced
-    else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap, statsOf)
+    else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap,
+      conjunctiveOwners(stmt, matchPos.toMap), statsOf)
+  }
+
+  /** Owners whose MULTIPLE `MATCH` clauses are provably top-level AND
+    * conjuncts of the statement's main WHERE — the shape real fts5
+    * scores exactly like the single conjunction query `(a) AND (b)`
+    * (probed: bm25 sums the branches' per-phrase contributions,
+    * highlight marks both branches' phrases). A clause under a
+    * top-level OR/NOT/CASE, inside a subquery, or outside the WHERE
+    * region disqualifies its table (those shapes are query-plan
+    * dependent in real fts5 and stay refused). */
+  private def conjunctiveOwners(stmt: String,
+      matchPos: Map[String, List[Int]]): Set[String] = {
+    val multi = matchPos.filter(_._2.length > 1)
+    if (multi.isEmpty) return Set.empty
+    val blanked = SqliteDdl.blankLiterals(stmt)
+    val n = blanked.length
+    val depthAt = new Array[Int](n)
+    var d = 0
+    var i = 0
+    while (i < n) {
+      val c = blanked.charAt(i)
+      if (c == ')') d = math.max(0, d - 1)
+      depthAt(i) = d
+      if (c == '(') d += 1
+      i += 1
+    }
+    val tokRe = ("(?i)(?<![a-z0-9_$])(where|group|order|limit|having|" +
+      "window|union|intersect|except|or|not|case)(?![a-z0-9_$])").r
+    val toks = tokRe.findAllMatchIn(blanked)
+      .filter(m => depthAt(m.start) == 0).toSeq
+    val whereStart = toks.find(_.matched.equalsIgnoreCase("where"))
+      .map(_.start).getOrElse(return Set.empty)
+    val whereEnd = toks.collectFirst {
+      case m if m.start > whereStart && Set("group", "order", "limit",
+        "having", "window", "union", "intersect", "except")
+        .contains(m.matched.toLowerCase(java.util.Locale.ROOT)) => m.start
+    }.getOrElse(n)
+    val poisoned = toks.exists(m => m.start > whereStart && m.start < whereEnd &&
+      Set("or", "not", "case")
+        .contains(m.matched.toLowerCase(java.util.Locale.ROOT)))
+    if (poisoned) return Set.empty
+    multi.collect {
+      case (owner, ps) if ps.forall(p =>
+        p > whereStart && p < whereEnd && depthAt(p) == 0) => owner
+    }.toSet
   }
 
   /** Rewrite rowid references over content= fts tables to their
@@ -1961,13 +2013,15 @@ object Fts5 {
     * statement; highlight/snippet need none). Probed edges: without a
     * MATCH clause bm25() answers 0.0 and rank NULL for every row,
     * highlight echoes the raw column, and snippet windows [0, n)
-    * unwrapped; with MORE than one MATCH clause on the table real
-    * fts5's output depends on which branch drove each row
-    * (query-plan dependent) — refused by name here. Deviation:
+    * unwrapped; MULTIPLE MATCH clauses that are all top-level AND
+    * conjuncts of the main WHERE score/render exactly like their
+    * single AND-combined query (probed, r16); other multi-MATCH
+    * shapes are query-plan dependent in real fts5 — refused by name. Deviation:
     * highlight/snippet arguments after the table must be literals
     * (real fts5 evaluates them per row) — refused by name. */
   private def rewriteAux(stmt: String, ftsTables: Map[String, FtsTableDef],
       mentioned: Seq[String], matches: Map[String, List[(Node, Option[String])]],
+      conjOwners: Set[String],
       statsOf: (String, Seq[PhraseSpec]) => AuxStats): String = {
     def maskOf(tLower: String): Long = ftsTables(tLower).indexedMask
     val blanked = SqliteDdl.blankLiterals(stmt)
@@ -1977,10 +2031,25 @@ object Fts5 {
       !"(?i)\\brank\\b".r.findFirstIn(blanked).isDefined)
       return stmt
     val exprCache = mutable.Map[(String, Seq[Double]), String]()
+    // ≥2 top-level-conjunct MATCHes score exactly like their single
+    // AND-combined query (probed, r16); other multi shapes refuse
+    def combined(tLower: String): Option[(Node, Option[String])] =
+      matches.getOrElse(tLower, Nil) match {
+        case Nil => None
+        case List(nq) => Some(nq)
+        case ms if conjOwners.contains(tLower) &&
+            ms.flatMap(_._2).distinct.length <= 1 =>
+          // column-scoped clauses carry no qualifier — any single
+          // explicit qualifier (alias or table) serves the whole set
+          Some((ms.map(_._1).reduce(AndN(_, _)),
+            ms.flatMap(_._2).distinct.headOption))
+        case _ => None
+      }
     def scoreExpr(tLower: String, weights: Seq[Double], forRank: Boolean): String = {
       matches.getOrElse(tLower, Nil) match {
         case Nil => if (forRank) "NULL" else "0.0" // probed: no MATCH
-        case List((node, qual)) =>
+        case _ if combined(tLower).isDefined =>
+          val (node, qual) = combined(tLower).get
           exprCache.getOrElseUpdate((tLower, weights), {
             val cols = ftsTables(tLower).columns
             if (cols.length > 63)
@@ -2019,10 +2088,12 @@ object Fts5 {
           })
         case _ =>
           throw new UnsupportedOperationException(
-            "bm25()/rank with more than one MATCH clause on the same fts " +
-              "table is not supported: real fts5's score depends on which " +
-              "MATCH branch the query plan drove a row through; issue one " +
-              "MATCH (combine with AND/OR/NOT inside the query string)")
+            "bm25()/rank with multiple MATCH clauses on the same fts " +
+              "table is supported only when every clause is a top-level " +
+              "AND conjunct of the main WHERE (scored as their single " +
+              "AND-combined query, like real fts5); other shapes are " +
+              "query-plan dependent there — issue one MATCH (combine " +
+              "with AND/OR/NOT inside the query string)")
       }
     }
     final case class Repl(start: Int, end: Int, text: String)
@@ -2056,12 +2127,16 @@ object Fts5 {
             "supported by this engine (column-mask width)")
       val (nodeOpt, qual) = matches.getOrElse(tLower, Nil) match {
         case Nil => (None, Some(tLower)) // no MATCH: cols ride the table name
-        case List((node, q)) => (Some(node), q)
+        case _ if combined(tLower).isDefined =>
+          val (node, q) = combined(tLower).get
+          (Some(node), q)
         case _ => throw new UnsupportedOperationException(
-          s"$fn() with more than one MATCH clause on the same fts table " +
-            "is not supported: real fts5's output depends on which MATCH " +
-            "branch the query plan drove a row through; issue one MATCH " +
-            "(combine with AND/OR/NOT inside the query string)")
+          s"$fn() with multiple MATCH clauses on the same fts table is " +
+            "supported only when every clause is a top-level AND conjunct " +
+            "of the main WHERE (rendered as their single AND-combined " +
+            "query, like real fts5); other shapes are query-plan " +
+            "dependent there — issue one MATCH (combine with AND/OR/NOT " +
+            "inside the query string)")
       }
       def qc(c: String) = qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
       // probed: highlight without a MATCH echoes the raw column (the

@@ -1760,25 +1760,73 @@ object SqlitePrintf {
           case 'g' => sb.append(gFormat(asDouble(nextArg()), f, math.max(0, width), prec, upper = false))
           case 'G' => sb.append(gFormat(asDouble(nextArg()), f, math.max(0, width), prec, upper = true))
           case 'd' | 'i' =>
-            // precision on %d zero-pads the digits (C semantics)
+            // precision on %d zero-pads the digits (C semantics);
+            // '#'/'!' have no meaning for d and would crash Java's
+            // formatter — probed: sqlite ignores them
             val v = asLong(nextArg())
+            val dflags = f.filter("-+ 0,".contains(_))
             val digits =
               if (prec >= 0) {
                 val raw = math.abs(v).toString
                 val padded = "0" * math.max(0, prec - raw.length) + raw
                 (if (v < 0) "-" else if (f.contains('+')) "+"
                  else if (f.contains(' ')) " " else "") + padded
-              } else String.format(s"%$jflags${wSpec}d", Long.box(v))
+              } else String.format(s"%$dflags${wSpec}d", Long.box(v))
             if (prec >= 0) sb.append(pad(digits, f, math.max(0, width)))
             else sb.append(digits)
           case 'u' =>
-            sb.append(pad(java.lang.Long.toUnsignedString(asLong(nextArg())),
-              f, math.max(0, width)))
+            // precision zero-pads the digits, like d/x; ',' groups
+            // thousands (probed: printf('%,u',1234567)='1,234,567')
+            var uDigits = java.lang.Long.toUnsignedString(asLong(nextArg()))
+            if (prec > uDigits.length)
+              uDigits = "0" * (prec - uDigits.length) + uDigits
+            if (f.contains(','))
+              uDigits = uDigits.reverse.grouped(3).mkString(",").reverse
+            sb.append(pad(uDigits, f, math.max(0, width)))
           case 'x' | 'X' | 'o' =>
-            sb.append(String.format(s"%$jflags$wSpec$conv", Long.box(asLong(nextArg()))))
+            // unsigned 64-bit render with sqlite's probed layout rules:
+            // precision zero-pads the DIGITS; the '0' flag zero-pads the
+            // digits to WIDTH (even alongside a precision — C would
+            // ignore it); '#' then prefixes 0x/0X/0 OUTSIDE that
+            // zero-padding (probed: printf('%#08x',255)='0x000000ff',
+            // 10 chars — the prefix overflows the width) but INSIDE
+            // space padding ('%#8x'→'    0xff'); no prefix for 0;
+            // '+'/' '/','/'!' are ignored (probed)
+            val v = asLong(nextArg())
+            var digits = conv match {
+              case 'o' => java.lang.Long.toOctalString(v)
+              case 'X' => java.lang.Long.toHexString(v)
+                .toUpperCase(java.util.Locale.ROOT)
+              case _ => java.lang.Long.toHexString(v)
+            }
+            if (prec > digits.length)
+              digits = "0" * (prec - digits.length) + digits
+            val w = math.max(0, width)
+            val zeroPad = f.contains('0') && !f.contains('-')
+            if (zeroPad && w > digits.length)
+              digits = "0" * (w - digits.length) + digits
+            val prefixed =
+              if (f.contains('#') && v != 0L)
+                (conv match {
+                  case 'x' => "0x"; case 'X' => "0X"; case _ => "0"
+                }) + digits
+              else digits
+            sb.append(
+              if (zeroPad || w <= prefixed.length) prefixed
+              else if (f.contains('-')) prefixed + " " * (w - prefixed.length)
+              else " " * (w - prefixed.length) + prefixed)
           case 'f' | 'e' | 'E' =>
-            sb.append(String.format(s"%$jflags$wSpec$pSpec$conv",
-              Double.box(asDouble(nextArg()))))
+            // Java rejects '#' for e/f and ',' for e — sqlite's '#'
+            // keeps the trailing point at precision 0 (probed:
+            // '%#.0f'→'5.', '%#.0e'→'5.e+00'); ',' groups for f only
+            val keep = if (conv == 'f') "-+ 0," else "-+ 0"
+            val base = String.format(s"%${f.filter(keep.contains(_))}$wSpec$pSpec$conv",
+              Double.box(asDouble(nextArg())))
+            sb.append(
+              if (f.contains('#') && prec == 0) {
+                val eAt = if (conv == 'f') -1 else base.indexWhere(c => c == 'e' || c == 'E')
+                if (eAt < 0) base + "." else base.substring(0, eAt) + "." + base.substring(eAt)
+              } else base)
           case 's' | 'z' => // %z = %s on the SQL surface
             sb.append(String.format(s"%${f.filter("-".contains(_))}$wSpec${pSpec}s",
               text(nextArg())))

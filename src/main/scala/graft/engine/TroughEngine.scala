@@ -303,17 +303,70 @@ class TroughEngine(
     // `SELECT *` over a content= fts view would leak its hidden
     // columns — real fts5 shows only the declared ones (r15). An
     // EXPLICIT rowid projection (rewritten to the hidden `__rid#t`)
-    // surfaces under real SQLite's column name instead.
-    val mentionsRowid =
-      "(?i)(?<![A-Za-z0-9_$])(rowid|_rowid_|oid)(?![A-Za-z0-9_$])".r
-        .findFirstIn(SqliteDdl.blankLiterals(sql)).isDefined
+    // surfaces under real SQLite's column name instead — but ONLY a
+    // projection: `SELECT * FROM t WHERE rowid = 5` must still DROP
+    // the star-leaked hidden column (r16 — the old any-token-anywhere
+    // heuristic kept it as a phantom output column).
+    val projected = rowidProjected(SqliteDdl.blankLiterals(sql))
     out.columns.filter(Fts5.isHiddenCol).foreach { c =>
       out =
-        if (c.startsWith("__rid#") && mentionsRowid)
+        if (c.startsWith("__rid#") && projected)
           out.withColumnRenamed(c, "rowid")
         else out.drop(out.col(s"`$c`"))
     }
     out
+  }
+
+  /** Is a `rowid`/`_rowid_`/`oid` token in OUTPUT-PROJECTION position —
+    * a bare token in a select list (between SELECT and FROM, at that
+    * query's own paren depth) at the statement's OUTERMOST query depth
+    * (the depth of its first SELECT — covers set-op branches and CTE
+    * bodies that feed the output, while an inner subquery's projected
+    * rowid, e.g. `WHERE rowid IN (SELECT rowid …)`, contributes no
+    * output column and must not count). Tokens in WHERE/ORDER BY/JOIN
+    * conditions or inside function calls don't count either: they
+    * resolve but the output column is named after the whole
+    * expression. Literals must already be blanked. */
+  private def rowidProjected(blanked: String): Boolean = {
+    val tok = ("(?i)[()]|(?<![A-Za-z0-9_$])" +
+      "(select|from|rowid|_rowid_|oid)(?![A-Za-z0-9_$])").r
+    val matches = tok.findAllMatchIn(blanked).toSeq
+    // pass 1: the MAIN query's depth (minimum depth of any SELECT) and
+    // the position of its first SELECT — CTE bodies sit textually
+    // before it, subqueries of the main query after it
+    var depth = 0
+    var mainDepth = Int.MaxValue
+    var mainPos = Int.MaxValue
+    matches.foreach { m =>
+      m.matched match {
+        case "(" => depth += 1
+        case ")" => depth = math.max(0, depth - 1)
+        case w if w.equalsIgnoreCase("select") =>
+          if (depth < mainDepth) { mainDepth = depth; mainPos = m.start }
+        case _ =>
+      }
+    }
+    val isWith = blanked.trim.toLowerCase(java.util.Locale.ROOT).startsWith("with")
+    // pass 2: a token counts in the main query's own select list, or
+    // (for WITH statements) at the top level of a CTE body's list —
+    // both feed output columns; deeper subqueries never do
+    depth = 0
+    val inSelectList = scala.collection.mutable.Map[Int, Boolean]()
+    matches.foreach { m =>
+      m.matched match {
+        case "(" => depth += 1
+        case ")" => inSelectList.remove(depth); depth = math.max(0, depth - 1)
+        case w => w.toLowerCase(java.util.Locale.ROOT) match {
+          case "select" => inSelectList(depth) = true
+          case "from" => inSelectList(depth) = false
+          case _ =>
+            if (inSelectList.getOrElse(depth, false) &&
+                (depth == mainDepth || (isWith && m.start < mainPos)))
+              return true
+        }
+      }
+    }
+    false
   }
 
   /** SQLite's `pragma_table_info('t')` / `pragma_table_xinfo('t')`

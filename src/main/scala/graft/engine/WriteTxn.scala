@@ -28,13 +28,15 @@ import graft.engine.SegmentStore.TableMeta
   * row-at-a-time firing (BEFORE/AFTER, UPDATE OF, WHEN, NEW./OLD.,
   * RAISE — see the trigger section below; INSTEAD OF is refused).
   *
-  * Known dialect deviation: expressions here parse on the base session,
-  * where double quotes are string literals (matching the reference
-  * test's `VALUES ("test")`); a double-quoted *identifier* in a write
-  * WHERE clause (`WHERE "a" = 'x'` — valid SQLite when column a exists)
-  * therefore compares two literals. SQLite's identifier-if-resolvable
-  * fallback is lookup-dependent and can't be emulated at parse time;
-  * use unquoted or backtick identifiers in write predicates.
+  * Double-quoted tokens follow SQLite's DQS rule as the reference runs
+  * it (python sqlite3 keeps the misfeature on): in UPDATE/DELETE tails
+  * a `"name"` resolving to a target-table column is an IDENTIFIER,
+  * anything else is a string literal ([[rewriteDqs]], r16 —
+  * catalog-aware, probed under `.dbconfig dqs_dml on`); VALUES lists
+  * have no row scope and stay literal (the reference test's
+  * `VALUES ("test")`). Residual deviation: columns of OTHER tables
+  * referenced inside a tail's subquery don't join the resolvable set —
+  * quote those with backticks or leave them bare.
   */
 private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   // the engine-owned write session: SQLite function names registered,
@@ -142,16 +144,135 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * any case) to the content-fts backing column — UPDATE/DELETE on a
     * content= fts table address rows by rowid in real fts5. Matches
     * are found on literal-blanked text so strings survive. */
-  private def rewriteFtsRowids(text: String): String = {
+  /** SQLite's double-quoted-string misfeature (quirks.html#dblquote),
+    * the rule the reference actually runs under (python's sqlite3
+    * keeps DQS enabled): a double-quoted token in EXPRESSION scope is
+    * an identifier when it resolves — here, when it names a column of
+    * the statement's target table (or the rowid aliases) — else a
+    * string literal. VALUES lists have no row scope and stay literal
+    * (probed under `.dbconfig dqs_dml on`: INSERT INTO t VALUES("a")
+    * inserts the TEXT 'a' even when column a exists). Applied to
+    * UPDATE/DELETE tails (r16), killing the silent literal-comparison
+    * hazard for `WHERE "a" = 'x'`. */
+  private def rewriteDqs(text: String, resolvable: Set[String]): String = {
+    if (text.indexOf('"') < 0) return text
+    val res = resolvable.map(_.toLowerCase(java.util.Locale.ROOT)) ++
+      Set("rowid", "_rowid_", "oid")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'') { // skip string literals ('' escapes)
+        val e = {
+          var j = i + 1
+          while (j < n && !(text.charAt(j) == '\'' &&
+            (j + 1 >= n || text.charAt(j + 1) != '\''))) {
+            j += (if (text.charAt(j) == '\'') 2 else 1)
+          }
+          math.min(n, j + 1)
+        }
+        sb.append(text, i, e); i = e
+      } else if (c == '`') { // skip backtick identifiers
+        val e = text.indexOf('`', i + 1)
+        val stop = if (e < 0) n else e + 1
+        sb.append(text, i, stop); i = stop
+      } else if (c == '"') {
+        // "ident" with "" escapes
+        var j = i + 1
+        val ident = new java.lang.StringBuilder
+        var closed = false
+        while (j < n && !closed) {
+          if (text.charAt(j) == '"') {
+            if (j + 1 < n && text.charAt(j + 1) == '"') { ident.append('"'); j += 2 }
+            else { closed = true; j += 1 }
+          } else { ident.append(text.charAt(j)); j += 1 }
+        }
+        val name = ident.toString
+        if (res.contains(name.toLowerCase(java.util.Locale.ROOT)))
+          sb.append('`').append(name.replace("`", "``")).append('`')
+        else
+          sb.append('\'').append(name.replace("'", "''")).append('\'')
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def hasSelectToken(stmt: String): Boolean =
+    "(?i)(?<![A-Za-z0-9_$])select(?![A-Za-z0-9_$])".r
+      .findFirstIn(SqliteDdl.blankLiterals(stmt)).isDefined
+
+  /** Rewrite the TARGET fts table's `rowid`/`_rowid_`/`oid` references
+    * in an UPDATE/DELETE tail to the hidden backing column. Scoped
+    * (r16): a QUALIFIED reference rewrites only when its qualifier is
+    * the target table (or its alias) — `src.rowid` stays src's — and a
+    * BARE reference inside a parenthesized subquery rewrites only when
+    * that subquery's own FROM/JOIN sources are all the target table
+    * (where SQLite binds it to the target's rowid); `(SELECT rowid
+    * FROM src)` binds to src and must stay untouched. A subquery with
+    * no FROM of its own (correlated EXISTS(SELECT 1 …)) inherits the
+    * enclosing scope's decision. */
+  private def rewriteFtsRowids(text: String, targets: Set[String]): String = {
     val blanked = SqliteDdl.blankLiterals(text)
-    val re = "(?i)(?<![A-Za-z0-9_$])(rowid|_rowid_|oid)(?![A-Za-z0-9_$])".r
+    val targetsL = targets.map(_.toLowerCase(java.util.Locale.ROOT))
+    val re = ("(?i)([()])|(?<![A-Za-z0-9_$])(select)(?![A-Za-z0-9_$])|" +
+      "(?<![A-Za-z0-9_$])(?:from|join)\\s+([A-Za-z_\"`\\[][A-Za-z0-9_\"`\\]]*)|" +
+      "(?:(?<![A-Za-z0-9_$.])([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*|" +
+      "(?<![A-Za-z0-9_$.]))(rowid|_rowid_|oid)(?![A-Za-z0-9_$])").r
+    val matches = re.findAllMatchIn(blanked).toSeq
+    // pass 1: paren regions [start, end) and each SELECT region's
+    // direct FROM/JOIN sources
+    final case class Region(start: Int, var end: Int = Int.MaxValue,
+      var isSelect: Boolean = false,
+      sources: mutable.ArrayBuffer[String] = mutable.ArrayBuffer())
+    val all = mutable.ArrayBuffer[Region]()
+    val stack = mutable.ArrayBuffer[Region]()
+    matches.foreach { mm =>
+      if (mm.group(1) != null) {
+        if (mm.group(1) == "(") {
+          val r = Region(mm.start); all += r; stack += r
+        } else if (stack.nonEmpty) {
+          stack.last.end = mm.start; stack.remove(stack.length - 1)
+        }
+      } else if (mm.group(2) != null) {
+        if (stack.nonEmpty) stack.last.isSelect = true
+      } else if (mm.group(3) != null) {
+        if (stack.nonEmpty)
+          stack.last.sources +=
+            SqlScript.unquoteIdent(mm.group(3)).toLowerCase(java.util.Locale.ROOT)
+      }
+    }
+    // pass 2: rewrite decisions — the innermost enclosing SELECT region
+    // WITH its own sources decides; source-less select regions and
+    // plain parens defer outward; top level binds to the target
+    def bareRewrites(pos: Int): Boolean =
+      all.filter(r => r.isSelect && r.start < pos && pos < r.end)
+        .sortBy(r => -r.start)
+        .find(_.sources.nonEmpty) match {
+          case Some(r) => r.sources.forall(targetsL.contains)
+          case None => true
+        }
     // java.lang.StringBuilder: the 3-arg append is the (CharSequence,
     // from, to) overload (scala's would auto-tuple)
     val sb = new java.lang.StringBuilder
     var last = 0
-    for (mm <- re.findAllMatchIn(blanked)) {
-      sb.append(text, last, mm.start).append(Fts5.RowidCol)
-      last = mm.end
+    matches.foreach { mm =>
+      if (mm.group(5) != null) {
+        val qual = Option(mm.group(4)).map(_.toLowerCase(java.util.Locale.ROOT))
+        val rewrite = qual match {
+          case Some(q) => targetsL.contains(q)
+          case None => bareRewrites(mm.start(5))
+        }
+        if (rewrite) {
+          // a target-qualified reference drops its qualifier too: the
+          // single-table predicate paths filter the unaliased frame,
+          // where `t.__rowid` would not resolve
+          val from = if (qual.isDefined) mm.start else mm.start(5)
+          sb.append(text, last, from).append(Fts5.RowidCol)
+          last = mm.end(5)
+        }
+      }
     }
     sb.append(text, last, text.length).toString
   }
@@ -361,8 +482,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       else if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+TRIGGER.*")) dropTrigger(stmt)
       else dropTable(stmt)
     case "INSERT" | "REPLACE" => returningBuf = None; insert(stmt)
-    case "UPDATE" => returningBuf = None; update(stmt)
-    case "DELETE" => returningBuf = None; delete(stmt)
+    case "UPDATE" =>
+      returningBuf = None
+      // predicates/assignments carrying subqueries (WHERE rowid IN
+      // (SELECT …)) resolve their relations eagerly under the txn's
+      // temp views (r16); statements without one skip the registration
+      if (hasSelectToken(stmt)) withRelationsVisible()(update(stmt))
+      else update(stmt)
+    case "DELETE" =>
+      returningBuf = None
+      if (hasSelectToken(stmt)) withRelationsVisible()(delete(stmt))
+      else delete(stmt)
     case "ALTER" => alter(stmt)
     case other =>
       throw new UnsupportedOperationException(s"unsupported write statement: $other")
@@ -1835,9 +1965,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       throw new IllegalArgumentException(
         s"cannot UPDATE contentless fts5 table: $table")
     val (metaL, dfL) = load(table)
+    val body0 = rewriteDqs(m.group(3),
+      metaL.schema.fieldNames.toSet + table ++ alias)
     val body =
-      if (ftsDefU.exists(_.hasRowids)) rewriteFtsRowids(m.group(3))
-      else m.group(3)
+      if (ftsDefU.exists(_.hasRowids))
+        rewriteFtsRowids(body0, Set(table) ++ alias)
+      else body0
     val fromAt = firstTopLevelKw(body, "FROM")
     if (fromAt >= 0) { updateFrom(table, alias, metaL, dfL, body, fromAt, retText); return }
     val whereAt = topLevelWhere(body)
@@ -2123,9 +2256,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       throw new IllegalArgumentException(
         s"cannot DELETE from contentless fts5 table: $table")
     val (meta, df) = load(table)
+    val rest0 = rewriteDqs(m.group(2).trim, meta.schema.fieldNames.toSet + table)
     val rest =
-      if (ftsDefD.exists(_.hasRowids)) rewriteFtsRowids(m.group(2).trim)
-      else m.group(2).trim
+      if (ftsDefD.exists(_.hasRowids))
+        rewriteFtsRowids(rest0, Set(table))
+      else rest0
     val delPred: Column =
       if (rest.isEmpty) lit(true)
       else {
@@ -3303,33 +3438,55 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * can be dropped again before the mutex is released. */
   private def runSelect(select: String,
       overrides: Map[String, DataFrame] = Map.empty): DataFrame =
+    withRelationsVisible(overrides) { SqliteDialect.sql(spark, select) }
+
+  /** Run `body` with the txn's current table state registered as temp
+    * views — Dataset creation analyzes EAGERLY, so any plan built
+    * inside (a `df.where` with an IN-subquery over another table, a
+    * compiled SELECT) resolves here and stays resolved after the views
+    * drop (temp-view resolution inlines the child plan). Re-entrant:
+    * a nested call (runSelect inside a wrapped UPDATE/DELETE) must not
+    * drop the outer block's views mid-statement. */
+  private var relationsVisible = 0
+  private def withRelationsVisible[A](
+      overrides: Map[String, DataFrame] = Map.empty)(body: => A): A =
     WriteTxn.selectMutex.synchronized {
-    val names = tableNames
-    ensureViews()
-    val registeredViews = mutable.ArrayBuffer[String]()
-    try {
-      names.foreach { t =>
-        val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t, spark))
-        df.createOrReplaceTempView(t)
-      }
-      // the txn's views resolve over that table state, in creation
-      // order (view-on-view). A dangling view (since-dropped base
-      // table) registers nothing and errors only if the SELECT then
-      // references it — SQLite's use-time resolution contract.
-      stagedViews.values.foreach { v =>
-        try {
-          SqliteDialect.sql(spark, v.sparkSelect).createOrReplaceTempView(v.name)
-          registeredViews += v.name
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
-      // statement-scoped relations (UPDATE…FROM's rid-tagged target,
-      // RETURNING's affected-row image) shadow same-named tables/views
+    if (relationsVisible > 0) {
+      // nested: base views are already up; only the statement-scoped
+      // overrides come and go
       overrides.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      SqliteDialect.sql(spark, select)
-    } finally {
-      overrides.keys.foreach(n => spark.catalog.dropTempView(n))
-      registeredViews.foreach(spark.catalog.dropTempView(_))
-      names.foreach(t => spark.catalog.dropTempView(t))
+      try body
+      finally overrides.keys.foreach(n => spark.catalog.dropTempView(n))
+    } else {
+      val names = tableNames
+      ensureViews()
+      val registeredViews = mutable.ArrayBuffer[String]()
+      relationsVisible += 1
+      try {
+        names.foreach { t =>
+          val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t, spark))
+          df.createOrReplaceTempView(t)
+        }
+        // the txn's views resolve over that table state, in creation
+        // order (view-on-view). A dangling view (since-dropped base
+        // table) registers nothing and errors only if the SELECT then
+        // references it — SQLite's use-time resolution contract.
+        stagedViews.values.foreach { v =>
+          try {
+            SqliteDialect.sql(spark, v.sparkSelect).createOrReplaceTempView(v.name)
+            registeredViews += v.name
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        // statement-scoped relations (UPDATE…FROM's rid-tagged target,
+        // RETURNING's affected-row image) shadow same-named tables/views
+        overrides.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        body
+      } finally {
+        relationsVisible -= 1
+        overrides.keys.foreach(n => spark.catalog.dropTempView(n))
+        registeredViews.foreach(spark.catalog.dropTempView(_))
+        names.foreach(t => spark.catalog.dropTempView(t))
+      }
     }
   }
 }

@@ -291,4 +291,53 @@ class ContentFtsSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).mkString(",")
     assert(got == "one,three", got)
   }
+
+  test("write-path rowid rewrite is scoped: subqueries over OTHER tables untouched") {
+    val id = seg(extSchema); val db = cliDb(extSchema)
+    runBoth(id, db, extFill)
+    // a subquery over ANOTHER table: its columns stay its own — r16,
+    // the rewrite must not reach inside the parenthesized SELECT (and
+    // the txn's tables are now visible to write-path subqueries at all)
+    runBoth(id, db, "DELETE FROM t WHERE rowid IN " +
+      "(SELECT id FROM src WHERE title = 'two');")
+    same(id, db, "SELECT rowid, title FROM t ORDER BY rowid;")
+    // qualified references: the target's rewrites, others stay theirs
+    runBoth(id, db, "DELETE FROM t WHERE t.rowid IN " +
+      "(SELECT src.id FROM src WHERE src.body LIKE 'hello a%');")
+    same(id, db, "SELECT rowid, title FROM t ORDER BY rowid;")
+    // a subquery over the TARGET fts table itself: its bare rowid DOES
+    // bind to the target and must still rewrite
+    runBoth(id, db, "INSERT INTO t(rowid, title, body) VALUES " +
+      "(2, 'two', 'goodbye world'), (3, 'three', 'hello again');")
+    runBoth(id, db, "DELETE FROM t WHERE rowid IN " +
+      "(SELECT rowid FROM t WHERE title = 'two');")
+    same(id, db, "SELECT rowid, title FROM t ORDER BY rowid;")
+    // UPDATE with a scalar subquery over another table
+    runBoth(id, db, "UPDATE t SET title = 'X' WHERE rowid = " +
+      "(SELECT max(id) FROM src WHERE id < 99);")
+    same(id, db, "SELECT rowid, title FROM t ORDER BY rowid;")
+  }
+
+  test("rowid surfaces only when PROJECTED; WHERE/ORDER BY uses never leak it") {
+    val id = seg(extSchema); val db = cliDb(extSchema)
+    runBoth(id, db, extFill)
+    // star + rowid in WHERE: real fts5 shows ONLY the declared columns
+    // (r16 — the hidden __rid#t column must drop, not rename)
+    same(id, db, "SELECT * FROM t WHERE rowid = 2;")
+    assert(engine.read(id, "SELECT * FROM t WHERE rowid = 2;")
+      .columns.toSeq == Seq("title", "body"))
+    // explicit projections still surface under SQLite's column name
+    same(id, db, "SELECT rowid, title FROM t WHERE rowid >= 2 ORDER BY rowid;")
+    same(id, db, "SELECT t.rowid FROM t WHERE t MATCH 'hello' ORDER BY 1;")
+    // ORDER BY-only use resolves but produces no column
+    same(id, db, "SELECT title FROM t ORDER BY rowid;")
+    assert(engine.read(id, "SELECT title FROM t ORDER BY rowid;")
+      .columns.toSeq == Seq("title"))
+    // a subquery's projected rowid doesn't rename the outer star leak
+    same(id, db, "SELECT * FROM t WHERE rowid IN (SELECT rowid FROM t " +
+      "WHERE title = 'two');")
+    assert(engine.read(id, "SELECT * FROM t WHERE rowid IN " +
+      "(SELECT rowid FROM t WHERE title = 'two');")
+      .columns.toSeq == Seq("title", "body"))
+  }
 }

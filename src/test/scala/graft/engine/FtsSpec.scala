@@ -302,11 +302,12 @@ class FtsSpec extends SparkSpecBase {
     // window rank() and an AS rank alias are untouched by the rewrite
     same(id, db, "SELECT a, count(*) AS rank FROM t " +
       "WHERE t MATCH 'x' GROUP BY a ORDER BY a;")
-    // >1 MATCH on one table: fts5's score depends on which branch the
-    // plan drove a row through (probed) — named refusal
+    // OR-combined MATCHes: fts5's score depends on which branch the
+    // plan drove a row through (probed) — named refusal (AND conjuncts
+    // are supported since r16, see the dedicated test)
     val e = intercept[UnsupportedOperationException](engine.read(id,
       "SELECT rank FROM t WHERE t MATCH 'x' OR t MATCH 'q';").collect())
-    assert(e.getMessage.contains("more than one MATCH"), e.getMessage)
+    assert(e.getMessage.contains("top-level AND conjunct"), e.getMessage)
   }
 
   test("highlight() wraps instances like real fts5 (r11, probed)") {
@@ -407,7 +408,7 @@ class FtsSpec extends SparkSpecBase {
     val e4 = intercept[Exception](engine.read(id,
       "SELECT snippet(t, 0, '[', ']', '...', 3) FROM t " +
         "WHERE t MATCH 'quick' OR t MATCH 'dog';").collect())
-    assert(e4.getMessage.contains("more than one MATCH"), e4.getMessage)
+    assert(e4.getMessage.contains("top-level AND conjunct"), e4.getMessage)
   }
 
   test("refusals: prefix= export, UNINDEXED; operator-as-term errors") {
@@ -565,5 +566,43 @@ class FtsSpec extends SparkSpecBase {
     val e = intercept[Exception](engine.read(id, "SELECT * FROM notes;"))
     assert(e.getMessage.toLowerCase.contains("table_or_view_not_found") ||
       e.getMessage.toLowerCase.contains("cannot be found"))
+  }
+
+  test("multiple MATCHes as top-level AND conjuncts: scored as the AND query (r16)") {
+    val s2 = "CREATE VIRTUAL TABLE f2 USING fts5(a, b);"
+    val id = seg(s2); val db = cliDb(s2)
+    runBoth(id, db,
+      "INSERT INTO f2 VALUES ('quick brown fox', 'lazy dog'), " +
+        "('quick quick fox', 'dog park'), ('slow red fox', 'happy dog'), " +
+        "('quick dog', 'fox fox den');")
+    // bm25/rank under two conjunct MATCHes = the single AND query
+    same(id, db, "SELECT a, printf('%.9e', bm25(f2)) FROM f2 " +
+      "WHERE f2 MATCH 'quick' AND f2 MATCH 'fox' ORDER BY a;")
+    same(id, db, "SELECT a, printf('%.9e', rank) FROM f2 " +
+      "WHERE f2 MATCH 'quick' AND f2 MATCH 'fox' ORDER BY rank, a;")
+    // three conjuncts, one column-scoped
+    same(id, db, "SELECT a, printf('%.9e', bm25(f2)) FROM f2 " +
+      "WHERE f2 MATCH 'fox' AND f2 MATCH 'dog' AND b MATCH 'dog' " +
+      "ORDER BY a;")
+    // highlight/snippet mark BOTH branches' phrases
+    same(id, db, "SELECT a, highlight(f2, 0, '[', ']') FROM f2 " +
+      "WHERE f2 MATCH 'quick' AND f2 MATCH 'fox' ORDER BY a;")
+    same(id, db, "SELECT a, snippet(f2, 1, '[', ']', '~', 3) FROM f2 " +
+      "WHERE f2 MATCH 'quick' AND f2 MATCH 'fox' ORDER BY a;")
+    // weights still apply to the combined query
+    same(id, db, "SELECT a, printf('%.9e', bm25(f2, 2.0, 0.5)) FROM f2 " +
+      "WHERE f2 MATCH 'fox' AND f2 MATCH 'dog' ORDER BY a;")
+    // a parenthesized AND-only extra predicate doesn't poison conjunctness
+    same(id, db, "SELECT a, printf('%.9e', bm25(f2)) FROM f2 " +
+      "WHERE f2 MATCH 'quick' AND (a >= '' AND b >= '') " +
+      "AND f2 MATCH 'fox' ORDER BY a;")
+    // OR-combined MATCHes remain refused BY NAME (plan-dependent)
+    val e = intercept[Exception](engine.read(id,
+      "SELECT a, bm25(f2) FROM f2 " +
+        "WHERE f2 MATCH 'quick' OR f2 MATCH 'fox';").collect())
+    assert(e.getMessage.contains("top-level AND conjunct"), e.getMessage)
+    // plain multi-MATCH row sets (no aux function) still answer
+    same(id, db, "SELECT a FROM f2 " +
+      "WHERE f2 MATCH 'quick' OR f2 MATCH 'fox' ORDER BY a;")
   }
 }

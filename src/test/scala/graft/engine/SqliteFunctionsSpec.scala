@@ -96,6 +96,42 @@ class SqliteFunctionsSpec extends SparkSpecBase {
       "printf('[%%][%q]', 'a')")
   }
 
+  test("printf %x/%X/%o: precision, '#' prefix layout, flag tolerance (r16)") {
+    // probed: precision zero-pads digits; '0' zero-pads digits to
+    // width even WITH a precision (C would ignore it); '#' prefixes
+    // OUTSIDE the zero padding (0x000000ff overflows width 8) but
+    // INSIDE space padding; no prefix for 0; +/space/,/! ignored
+    golden("printf('[%.8x]', 255)", "printf('[%.3o]', 8)",
+      "printf('[%#x][%#X][%#o]', 255, 255, 8)",
+      "printf('[%#x][%#o]', 0, 0)",
+      "printf('[%#08x]', 255)", "printf('[%#08o]', 8)",
+      "printf('[%#8x]', 255)", "printf('[%#9.2x]', 255)",
+      "printf('[%#-8x]', 255)", "printf('[%#4o]', 8)",
+      "printf('[%#.5x]', 255)", "printf('[%#5.3o]', 8)",
+      "printf('[%019.5x]', 255)", "printf('[%08.4x]', 255)",
+      "printf('[%-6.4x]', 255)", "printf('[%06o]', 8)",
+      "printf('[%x][%o]', -255, -8)",
+      "printf('[%+x][% x][%,x][%!x]', 255, 255, 255000, 255)",
+      "printf('[%.0x][%.0o]', 0, 0)")
+    // flags that would crash Java's formatter are filtered per verb
+    golden("printf('[%#d]', 5)", "printf('[%!d]', 5)", "printf('[% #d]', 5)",
+      "printf('[%#,d]', 1234567)", "printf('[%#u]', 5)", "printf('[%,u]', 7)",
+      "printf('[%#.0f]', 5)", "printf('[%#.0e]', 5)", "printf('[%,e]', 1234.5)",
+      "printf('[%,.2f]', 1234567.891)", "printf('[%#s]', 'ab')")
+    // 160-case differential fuzz over the integer-verb flag space
+    val rng = new scala.util.Random(160816L)
+    val flags = Seq("", "-", "0", "#", "-#", "0#", " ", "+", ",", "!")
+    (1 to 160).foreach { _ =>
+      val verb = Seq("x", "X", "o", "u").apply(rng.nextInt(4))
+      val fl = flags(rng.nextInt(flags.length))
+      val w = Seq("", rng.nextInt(14).toString).apply(rng.nextInt(2))
+      val p = Seq("", s".${rng.nextInt(10)}").apply(rng.nextInt(2))
+      val v = Seq(0L, 1L, 8L, 255L, 65535L, -1L, -255L,
+        Long.MaxValue).apply(rng.nextInt(8))
+      golden(s"printf('[%$fl$w$p$verb]', $v)")
+    }
+  }
+
   test("planner hints are identity pass-throughs") {
     golden("likely(7)", "unlikely(0)", "likelihood(5, 0.5)", "likely('txt')")
   }

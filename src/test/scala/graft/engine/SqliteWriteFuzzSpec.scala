@@ -265,6 +265,48 @@ class SqliteWriteFuzzSpec extends SparkSpecBase {
       out.split("\n").filter(_.nonEmpty).toSeq.sorted
     }.toOption
 
+  test("double-quoted tokens in UPDATE/DELETE tails follow the DQS rule") {
+    // differential vs sqlite3 with `.dbconfig dqs_dml on` — the DQS
+    // mode the reference actually runs under (python's sqlite3 keeps
+    // the misfeature enabled): resolvable "name" = identifier,
+    // unresolvable = string literal (r16, WriteTxn.rewriteDqs)
+    val segId = "wf-dqs"
+    val ddl = "CREATE TABLE d (id INTEGER PRIMARY KEY, a TEXT, b INTEGER);"
+    engine.schemas.put("wf-dqs-schema", ddl)
+    engine.provisionWritable(segId, "wf-dqs-schema")
+    val db = Files.createTempDirectory("wfuzz-dqs").resolve("f.sqlite")
+    assert(SqliteCli.run(db.toString, ddl) == 0)
+    def runBoth(script: String): Unit = {
+      engine.write(segId, script)
+      assert(SqliteCli.run(db.toString,
+        ".dbconfig dqs_dml on\n.bail on\nBEGIN;\n" + script + "\nCOMMIT;") == 0,
+        s"sqlite3 failed: $script")
+    }
+    def sameRows(): Unit = {
+      val q = "SELECT quote(id) || '|' || quote(a) || '|' || quote(b) AS r FROM d;"
+      val ours = engine.read(segId, q).collect().map(_.getString(0)).toSeq.sorted
+      val theirs = SqliteCli.query(db.toString, q)
+        .split("\n").filter(_.nonEmpty).toSeq.sorted
+      assert(ours == theirs, s"\n-- engine --\n$ours\n-- sqlite3 --\n$theirs")
+    }
+    runBoth("INSERT INTO d (a, b) VALUES ('x', 1), ('y', 2), ('zz', 3), " +
+      "('q''t', 4);")
+    // resolvable → identifier, in WHERE and in SET
+    runBoth("UPDATE d SET b = 10 WHERE \"a\" = 'x';")
+    runBoth("UPDATE d SET \"b\" = 20 WHERE \"a\" = 'y';")
+    sameRows()
+    // unresolvable → string literal (the silent-wrong-rows hazard)
+    runBoth("UPDATE d SET b = 30 WHERE a = \"notacolumn\";")
+    runBoth("DELETE FROM d WHERE \"a\" = \"zz\";")
+    sameRows()
+    // embedded quotes both ways; \"\" escapes inside the token
+    runBoth("DELETE FROM d WHERE a = \"q't\";")
+    sameRows()
+    runBoth("INSERT INTO d (a, b) VALUES ('w', 7);")
+    runBoth("UPDATE d SET b = b + 1 WHERE \"A\" = 'w';") // case-insensitive resolve
+    sameRows()
+  }
+
   test(s"$COUNT random write scripts agree with sqlite3 (seed $SEED)") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     var comparedNonEmpty = 0 // harness self-check: comparisons must bite
