@@ -586,7 +586,11 @@ object Fts5 {
       detail: String = "full",
       content: Option[String] = None,
       contentRowid: String = "rowid",
-      columnsize: Boolean = true) {
+      columnsize: Boolean = true,
+      /** `contentless_delete=1` (r16): rowid-addressed DELETE/UPDATE
+        * allowed on a contentless table; the 'delete' command refuses
+        * (probed texts). */
+      contentlessDelete: Boolean = false) {
     def porter: Boolean = tok.stem
     /** content='': index only, column reads answer NULL (r15). */
     def contentless: Boolean = content.contains("")
@@ -655,6 +659,7 @@ object Fts5 {
     var content: Option[String] = None
     var contentRowid = "rowid"
     var columnsize = true
+    var contentlessDelete = false
     val cols = SqlScript.splitTopLevel(m.group(4)).map(_.trim).flatMap { arg =>
       if (arg.contains("=")) {
         checkOption(arg) match {
@@ -663,6 +668,7 @@ object Fts5 {
           case ContentOpt(c) => content = Some(c)
           case ContentRowidOpt(c) => contentRowid = c
           case ColumnsizeOpt(e) => columnsize = e
+          case ContentlessDeleteOpt(e) => contentlessDelete = e
           case NeutralOpt => ()
         }
         None
@@ -682,9 +688,13 @@ object Fts5 {
       }
     }
     require(cols.nonEmpty, "fts5 table needs at least one column")
+    // probed: the option demands content='' (real fts5's own text)
+    if (contentlessDelete && !content.contains(""))
+      throw new IllegalArgumentException(
+        "contentless_delete=1 requires a contentless table")
     Some(FtsTableDef(name, cols, m.group(1) != null,
       stmt.trim.stripSuffix(";").trim, unindexed.result(), tok, detail,
-      content, contentRowid, columnsize))
+      content, contentRowid, columnsize, contentlessDelete))
   }
 
   /** Accept exactly the fts5 options a stateless scan reproduces
@@ -697,6 +707,7 @@ object Fts5 {
     * Everything else keeps the named refusal. */
   private sealed trait FtsOpt
   private final case class TokOpt(tok: Tok) extends FtsOpt
+  private final case class ContentlessDeleteOpt(enabled: Boolean) extends FtsOpt
   private final case class DetailOpt(detail: String) extends FtsOpt
   private final case class ContentOpt(table: String) extends FtsOpt
   private final case class ContentRowidOpt(col: String) extends FtsOpt
@@ -758,12 +769,16 @@ object Fts5 {
         val c = SqlScript.unquoteIdent(v.trim)
         if (c.isEmpty) refuse("content_rowid= needs a column name")
         return ContentRowidOpt(c)
+      case "contentless_delete" =>
+        if (v.trim != "0" && v.trim != "1")
+          refuse("contentless_delete= takes 0 or 1")
+        return ContentlessDeleteOpt(v.trim == "1")
       case _ =>
         refuse("this engine covers plain column lists plus the " +
           "semantics-preserving options (tokenize='unicode61'/'ascii'/" +
-          "'porter'/'trigram', prefix=, detail=, columnsize=) and " +
-          "content=/content_rowid= (r15); other options " +
-          "(contentless_delete=, ...) have no analog")
+          "'porter'/'trigram', prefix=, detail=, columnsize=, " +
+          "contentless_delete=) and content=/content_rowid= (r15/r16); " +
+          "other options have no analog")
     }
     NeutralOpt
   }

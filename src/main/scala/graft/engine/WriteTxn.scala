@@ -1537,6 +1537,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val (meta, df) = load(table)
     cmd match {
       case "delete" =>
+        // probed: real fts5's own refusal under contentless_delete=1
+        if (fd.contentlessDelete)
+          throw new IllegalArgumentException(
+            "'delete' may not be used with a contentless_delete=1 table")
         if (!fd.hasRowids) logicError()
         val ridIdx = cols.indexWhere(_.equalsIgnoreCase(Fts5.RowidCol))
         if (ridIdx < 0 || row.isNullAt(ridIdx)) logicError()
@@ -1961,7 +1965,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // UPDATE-on-synced-table semantics (the content table is NOT
     // touched there either)
     val ftsDefU = ftsDefOf(table)
-    if (ftsDefU.exists(_.contentless))
+    if (ftsDefU.exists(fd => fd.contentless && !fd.contentlessDelete))
       throw new IllegalArgumentException(
         s"cannot UPDATE contentless fts5 table: $table")
     val (metaL, dfL) = load(table)
@@ -2252,7 +2256,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     // content= fts tables (r15): see update()'s note
     val ftsDefD = ftsDefOf(table)
-    if (ftsDefD.exists(_.contentless))
+    if (ftsDefD.exists(fd => fd.contentless && !fd.contentlessDelete))
       throw new IllegalArgumentException(
         s"cannot DELETE from contentless fts5 table: $table")
     val (meta, df) = load(table)

@@ -199,6 +199,30 @@ class ContentFtsSpec extends SparkSpecBase {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("contentless_delete=1: rowid DELETE/UPDATE allowed, 'delete' refused (r16)") {
+    val s = "CREATE VIRTUAL TABLE c USING fts5(x, content='', " +
+      "contentless_delete=1);"
+    val id = seg(s); val db = cliDb(s)
+    runBoth(id, db, "INSERT INTO c(rowid, x) VALUES (1, 'alpha beta'), " +
+      "(2, 'beta gamma'), (3, 'alpha gamma');")
+    runBoth(id, db, "DELETE FROM c WHERE rowid = 1;")
+    same(id, db, "SELECT rowid FROM c WHERE c MATCH 'alpha';")
+    runBoth(id, db, "UPDATE c SET x = 'zeta' WHERE rowid = 2;")
+    same(id, db, "SELECT rowid FROM c WHERE c MATCH 'beta';")
+    same(id, db, "SELECT rowid FROM c WHERE c MATCH 'zeta';")
+    // the 'delete' command is the one surface the option REMOVES
+    val e = intercept[Exception](engine.write(id,
+      "INSERT INTO c(c, rowid, x) VALUES ('delete', 3, 'alpha gamma');"))
+    assert(e.getMessage.contains(
+      "'delete' may not be used with a contentless_delete=1 table"),
+      e.getMessage)
+    assert(SqliteCli.run(db.toString,
+      "INSERT INTO c(c, rowid, x) VALUES ('delete', 3, 'alpha gamma');") != 0)
+    // delete-all still works
+    runBoth(id, db, "INSERT INTO c(c) VALUES ('delete-all');")
+    same(id, db, "SELECT count(*) FROM c WHERE c MATCH 'gamma';")
+  }
+
   test("command-surface errors on plain fts tables match real fts5") {
     val plain = "CREATE VIRTUAL TABLE p USING fts5(a);"
     val id = seg(plain)

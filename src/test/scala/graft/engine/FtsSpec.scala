@@ -248,12 +248,18 @@ class FtsSpec extends SparkSpecBase {
     // porter supported since r12 (PorterFtsSpec); trigram and
     // detail=none|column since r13 (TrigramFtsSpec, DetailFtsSpec);
     // ascii + tokenizer arguments and content=/content_rowid= since
-    // r15 (TokenizerFtsSpec, ContentFtsSpec) — what remains refuses
-    for (bad <- Seq("detail=bogus", "contentless_delete=1")) {
+    // r15, contentless_delete= since r16 (TokenizerFtsSpec,
+    // ContentFtsSpec) — what remains refuses
+    for (bad <- Seq("detail=bogus", "nosuchopt=1")) {
       val e = intercept[Exception](seg(
         s"CREATE VIRTUAL TABLE nope USING fts5(x, $bad);"))
       assert(e.getMessage.contains("fts5 option"), s"$bad: ${e.getMessage}")
     }
+    // contentless_delete demands content='' — real fts5's own text
+    val eCd = intercept[Exception](seg(
+      "CREATE VIRTUAL TABLE nope USING fts5(x, contentless_delete=1);"))
+    assert(eCd.getMessage.contains(
+      "contentless_delete=1 requires a contentless table"), eCd.getMessage)
     // tokenizer invalid-argument shapes keep real fts5's message
     for (bad <- Seq("tokenize='trigram case_sensitive 2'",
         "tokenize='trigram remove_diacritics 3'",

@@ -44,12 +44,13 @@ class RefusalSpec extends SparkSpecBase {
     val e2 = intercept[UnsupportedOperationException](engine.write(seg,
       "CREATE VIRTUAL TABLE idx USING geopoly(a);"))
     assert(e2.getMessage.contains("USING geopoly is not supported"))
-    // porter, UNINDEXED, the full tokenizer-argument surface and
-    // content= are SUPPORTED since r11/r12/r15 (FtsSpec,
-    // TokenizerFtsSpec, ContentFtsSpec); contentless_delete= stays out
+    // porter, UNINDEXED, the full tokenizer-argument surface,
+    // content= and contentless_delete= are SUPPORTED since
+    // r11/r12/r15/r16 (FtsSpec, TokenizerFtsSpec, ContentFtsSpec);
+    // options with no analog keep the named refusal
     val e3 = intercept[UnsupportedOperationException](engine.write(seg,
       "CREATE VIRTUAL TABLE ft USING fts5(body, content='', " +
-        "contentless_delete=1);"))
+        "nosuchopt=1);"))
     assert(e3.getMessage.contains("fts5 option"))
     engine.write(seg,
       "CREATE VIRTUAL TABLE ft_ok USING fts5(body, tokenize = 'porter');")
