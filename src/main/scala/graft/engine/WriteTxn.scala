@@ -2746,7 +2746,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * bodies (VERDICT r10 #7). */
   private final case class SelfAggSpec(
       name: String, agg: String, argCol: Option[String],
-      predText: Option[String], timing: String)
+      predText: Option[String], timing: String,
+      /** Same-column equality correlations (`c = NEW.c`) factored out
+        * of the subquery's WHERE (r16): the aggregate partitions by
+        * these keys — base per key from one grouped job, running
+        * contribution from a key-partitioned window. `predText` then
+        * holds only the uncorrelated residual. */
+      corrCols: Seq[String] = Nil)
 
   private val selfAggRe =
     ("(?is)^\\(\\s*SELECT\\s+(count|sum|avg|min|max|total)\\s*\\(\\s*" +
@@ -2757,6 +2763,25 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private def selfAggTypeOk(agg: String, dt: DataType): Boolean = agg match {
     case "sum" | "avg" | "total" => dt == LongType || dt == DoubleType
     case _ => dt == LongType || dt == DoubleType || dt == StringType
+  }
+
+  /** Split on top-level AND keywords (paren-aware over literal-blanked
+    * text); conjuncts keep their original spelling. */
+  private def splitTopLevelAnd(text: String): Seq[String] = {
+    val blanked = SqliteDdl.blankLiterals(text)
+    val parts = mutable.ArrayBuffer[String]()
+    var depth = 0
+    var last = 0
+    val re = "(?i)[()]|(?<![A-Za-z0-9_$])and(?![A-Za-z0-9_$])".r
+    for (m <- re.findAllMatchIn(blanked)) m.matched match {
+      case "(" => depth += 1
+      case ")" => depth = math.max(0, depth - 1)
+      case _ if depth == 0 =>
+        parts += text.substring(last, m.start); last = m.end
+      case _ => ()
+    }
+    parts += text.substring(last)
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** Rewrite every supported self-read aggregate subquery in `text` to
@@ -2792,9 +2817,34 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             val agg = mm.group(1).toLowerCase(java.util.Locale.ROOT)
             val arg = mm.group(2)
             val argCol = if (arg == "*") None else Some(arg)
-            val predText = Option(mm.group(4))
+            val predText0 = Option(mm.group(4))
             val argField = argCol.map(a =>
               fields.find(_.name.equalsIgnoreCase(a)))
+            // factor same-column equality correlations (`c = NEW.c`,
+            // either side order) out of the WHERE's top-level AND
+            // conjuncts (r16); the residual must stay uncorrelated
+            val corrRe = ("(?i)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
+              "NEW\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)|" +
+              "NEW\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
+              "([A-Za-z_][A-Za-z0-9_]*))\\s*$").r
+            val corrCols = mutable.ArrayBuffer[String]()
+            val residual = mutable.ArrayBuffer[String]()
+            predText0.foreach { p =>
+              splitTopLevelAnd(p).foreach { conj =>
+                corrRe.findFirstMatchIn(conj) match {
+                  case Some(cm) =>
+                    val a = Option(cm.group(1)).getOrElse(cm.group(4))
+                    val b = Option(cm.group(2)).getOrElse(cm.group(3))
+                    val f = fields.find(_.name.equalsIgnoreCase(a))
+                    if (a.equalsIgnoreCase(b) && f.isDefined)
+                      corrCols += f.get.name
+                    else residual += conj
+                  case None => residual += conj
+                }
+              }
+            }
+            val predText =
+              if (residual.isEmpty) None else Some(residual.mkString(" AND "))
             val predOk = predText.forall { p =>
               val blank = SqliteDdl.blankLiterals(p).toLowerCase(java.util.Locale.ROOT)
               !"(^|[^a-z0-9_])(select|raise)([^a-z0-9_]|$)".r.findFirstIn(blank).isDefined &&
@@ -2806,7 +2856,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             if (!predOk || !argOk) return None // self-read, unsupported shape
             val name = s"__selfagg_${out.length}"
             out += SelfAggSpec(name, agg,
-              argField.map(_.get.name), predText, timing)
+              argField.map(_.get.name), predText, timing, corrCols.toSeq)
             sb.append('`').append(name).append('`')
             i = end + 1
           case Some(_) => // subquery over ANOTHER table: copy verbatim
@@ -2934,6 +2984,78 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         .getOrElse(lit(true))
       val predBase: Column = sp.predText
         .map(t => coalesce(dpred(t), lit(false))).getOrElse(lit(true))
+      if (sp.corrCols.nonEmpty) {
+        // CORRELATED (r16): per-key base from ONE grouped job joined in
+        // (AQE broadcasts a small side), running contribution from a
+        // key-partitioned window. SQL equality: NULL keys match nothing
+        // — contributions and base rows gate on non-null keys, and a
+        // NULL-keyed current row sees base NULL + empty running set.
+        val keyNotNullNew = sp.corrCols
+          .map(c => col("__new_" + c).isNotNull).reduce(_ && _)
+        val gate = !vecAbandonCond(plans) && predNew && keyNotNullNew
+        val argNew: Column = sp.argCol match {
+          case Some(cn) => col("__new_" + cn)
+          case None => lit(1L)
+        }
+        val contrib = when(gate, argNew)
+        val w0 = Window
+          .partitionBy(sp.corrCols.map(c => col("__new_" + c)): _*)
+          .orderBy(col("__vec_seq"))
+        val w =
+          if (sp.timing == "BEFORE")
+            w0.rowsBetween(Window.unboundedPreceding, -1)
+          else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val keyNotNullBase = sp.corrCols.map(col(_).isNotNull).reduce(_ && _)
+        val baseDf = collated(existing.where(predBase && keyNotNullBase))
+        val argBase: Column = sp.argCol.map(col).getOrElse(lit(1))
+        val bName = sp.name + "__base"
+        val b2Name = sp.name + "__base2"
+        val grouped = sp.agg match {
+          case "count" => baseDf.groupBy(sp.corrCols.map(col): _*)
+            .agg(count(argBase).as(bName))
+          case "sum" => baseDf.groupBy(sp.corrCols.map(col): _*)
+            .agg(sum(argBase).as(bName))
+          case "total" => baseDf.groupBy(sp.corrCols.map(col): _*)
+            .agg(sum(argBase.cast("double")).as(bName))
+          case "min" => baseDf.groupBy(sp.corrCols.map(col): _*)
+            .agg(min(argBase).as(bName))
+          case "max" => baseDf.groupBy(sp.corrCols.map(col): _*)
+            .agg(max(argBase).as(bName))
+          case "avg" => baseDf.groupBy(sp.corrCols.map(col): _*)
+            .agg(sum(argBase.cast("double")).as(bName), count(argBase).as(b2Name))
+        }
+        val keyPfx = sp.name + "__k_"
+        val renamed = grouped.select(
+          (sp.corrCols.map(c => col(c).as(keyPfx + c)) ++
+            Seq(col(bName)) ++
+            (if (sp.agg == "avg") Seq(col(b2Name)) else Nil)): _*)
+        val joinCond = sp.corrCols
+          .map(c => col("__new_" + c) === col(keyPfx + c)).reduce(_ && _)
+        images = images.join(renamed, joinCond, "left")
+          .drop(sp.corrCols.map(keyPfx + _): _*)
+        val base = col(bName)
+        val combined: Column = sp.agg match {
+          case "count" =>
+            coalesce(base, lit(0L)) + count(contrib).over(w)
+          case "sum" =>
+            val run = sum(contrib).over(w)
+            when(base.isNull, run)
+              .otherwise(base + coalesce(run, lit(0)))
+          case "total" =>
+            coalesce(base, lit(0.0)) +
+              coalesce(sum(contrib.cast("double")).over(w), lit(0.0))
+          case "min" => least(base, min(contrib).over(w))
+          case "max" => greatest(base, max(contrib).over(w))
+          case "avg" =>
+            val rs = coalesce(sum(contrib.cast("double")).over(w), lit(0.0))
+            val rc = count(contrib).over(w)
+            val totalC = coalesce(col(b2Name), lit(0L)) + rc
+            when(totalC === 0L, lit(null))
+              .otherwise((coalesce(base, lit(0.0)) + rs) / totalC)
+        }
+        images = images.withColumn(sp.name, combined)
+          .drop(bName, b2Name)
+      } else {
       val gate = !vecAbandonCond(plans) && predNew
       val argNew: Column = sp.argCol match {
         case Some(cn) => col("__new_" + cn)
@@ -2979,6 +3101,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           when(totalC === 0L, lit(null)).otherwise((lit(bs) + rs) / totalC)
       }
       images = images.withColumn(sp.name, combined)
+      }
     } catch {
       // an unsupported reference inside a subquery WHERE: general tier
       case _: UnsupportedOperationException => return false

@@ -535,17 +535,75 @@ class TriggerSpec extends SparkSpecBase {
     same(id, db, "SELECT n, v FROM audit ORDER BY n DESC LIMIT 5;")
   }
 
-  test("unsupported self-read shapes still take the general tier (capped, correct)") {
+  test("correlated self-read shapes answer correctly (vectorized since r16)") {
     val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, x INTEGER);\n" +
       "CREATE TABLE audit (n INTEGER, v INTEGER);"
-    // correlated self-read (references NEW inside the subquery WHERE):
-    // unsupported by the window form — must still answer correctly via
-    // the general loop for small statements
+    // `c = NEW.c` correlations vectorize via a key-partitioned window
+    // (r16); same results as the general loop had for small statements
     val id = seg(schema); val db = cliDb(schema)
     runBoth(id, db,
       "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
         "(SELECT count(*) FROM t WHERE x = NEW.x), NEW.x); END;" +
         "INSERT INTO t VALUES (1,5),(2,5),(3,9);")
     same(id, db, "SELECT n, v FROM audit ORDER BY v, n;")
+  }
+
+  test("CORRELATED self-read body past the 1,000-row cap: 1,500 firings, " +
+      "differential vs sqlite3 (VERDICT r15 #3 done-bar)") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, g INTEGER, x INTEGER);\n" +
+      "CREATE TABLE audit (n INTEGER, s INTEGER, mx INTEGER, a REAL, g INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    // per-key running count/sum/max/avg, with a residual uncorrelated
+    // conjunct beside the correlation and BOTH spellings of the
+    // equality; 3×500 rows over 23 keys → every firing past the old
+    // cap exercises the key-partitioned window
+    val script =
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t WHERE g = NEW.g), " +
+        "(SELECT sum(x) FROM t WHERE NEW.g = g AND x < 40), " +
+        "(SELECT max(x) FROM t WHERE g = NEW.g), " +
+        "(SELECT avg(x) FROM t WHERE g = NEW.g AND x % 2 = 0), " +
+        "NEW.g); END;" +
+        (0 until 3).map { b =>
+          "INSERT INTO t (g, x) VALUES " +
+            (1 to 500).map { i =>
+              val k = b * 500 + i
+              s"(${k % 23}, ${k % 97})"
+            }.mkString(", ") + ";"
+        }.mkString
+    runBoth(id, db, script)
+    same(id, db, "SELECT count(*) AS rows_in, max(n) AS maxn, " +
+      "sum(s) AS sums, max(mx) AS maxmx FROM audit;")
+    same(id, db, "SELECT n, s, mx, printf('%.9e', a), g FROM audit " +
+      "ORDER BY g, n LIMIT 40;")
+    same(id, db, "SELECT n, s, mx, g FROM audit ORDER BY g DESC, n DESC " +
+      "LIMIT 10;")
+    // a BEFORE-timing correlated count (bounds exclude the current row)
+    val id2 = seg(schema); val db2 = cliDb(schema)
+    val script2 =
+      "CREATE TRIGGER tb BEFORE INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t WHERE g = NEW.g), NULL, NULL, NULL, " +
+        "NEW.g); END;" +
+        "INSERT INTO t (g, x) VALUES " +
+        (1 to 600).map(i => s"(${i % 7}, $i)").mkString(", ") + ";"
+    runBoth(id2, db2, script2)
+    same(id2, db2, "SELECT count(*) AS c, max(n) AS mx FROM audit;")
+    same(id2, db2, "SELECT n, g FROM audit ORDER BY g, n LIMIT 30;")
+    // NULL correlation keys match nothing (SQL equality) — both sides
+    val id3 = seg(schema); val db3 = cliDb(schema)
+    runBoth(id3, db3,
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t WHERE g = NEW.g), NULL, NULL, NULL, " +
+        "NEW.g); END;" +
+        "INSERT INTO t (g, x) VALUES (NULL, 1), (5, 2), (NULL, 3), (5, 4);")
+    same(id3, db3, "SELECT n, g FROM audit ORDER BY n;")
+    // different-column correlations still take the general tier
+    val id4 = seg(schema); val db4 = cliDb(schema)
+    runBoth(id4, db4,
+      "CREATE TRIGGER tr AFTER INSERT ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT count(*) FROM t WHERE x = NEW.g), NULL, NULL, NULL, " +
+        "NEW.g); END;" +
+        "INSERT INTO t (g, x) VALUES (1, 2), (2, 1), (1, 1);")
+    same(id4, db4, "SELECT n, g FROM audit ORDER BY n, g;")
   }
 }
