@@ -2790,7 +2790,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * back to the general row-at-a-time tier. */
   private def rewriteSelfAggs(table: String, fields: Array[StructField],
       timing: String, text: String,
-      out: mutable.ArrayBuffer[SelfAggSpec]): Option[String] = {
+      out: mutable.ArrayBuffer[SelfAggSpec],
+      corrKws: Set[String]): Option[String] = {
     val sb = new StringBuilder
     val n = text.length
     var i = 0; var quote: Char = 0
@@ -2823,9 +2824,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             // factor same-column equality correlations (`c = NEW.c`,
             // either side order) out of the WHERE's top-level AND
             // conjuncts (r16); the residual must stay uncorrelated
+            val kwAlt = corrKws.map(_.toUpperCase(java.util.Locale.ROOT))
+              .mkString("(?:", "|", ")")
             val corrRe = ("(?i)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
-              "NEW\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)|" +
-              "NEW\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
+              kwAlt + "\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)|" +
+              kwAlt + "\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
               "([A-Za-z_][A-Za-z0-9_]*))\\s*$").r
             val corrCols = mutable.ArrayBuffer[String]()
             val residual = mutable.ArrayBuffer[String]()
@@ -2878,19 +2881,20 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   /** Extract self-read aggregates from the ordered trigger list. None
     * ⇒ some target reference needs the general tier. */
   private def extractSelfAggs(table: String, fields: Array[StructField],
-      trigsOrdered: Seq[SqliteDdl.TriggerDef])
+      trigsOrdered: Seq[SqliteDdl.TriggerDef],
+      corrKws: Set[String] = Set("new"))
       : Option[(Seq[SqliteDdl.TriggerDef], Seq[SelfAggSpec])] = {
     if (!touchesTarget(trigsOrdered, table)) return Some((trigsOrdered, Nil))
     val specs = mutable.ArrayBuffer[SelfAggSpec]()
     val rewritten = trigsOrdered.map { tg =>
       val w2 = tg.when match {
         case Some(w) =>
-          Some(rewriteSelfAggs(table, fields, tg.timing, w, specs)
+          Some(rewriteSelfAggs(table, fields, tg.timing, w, specs, corrKws)
             .getOrElse(return None))
         case None => None
       }
       val b2 = tg.body.map(b =>
-        rewriteSelfAggs(table, fields, tg.timing, b, specs)
+        rewriteSelfAggs(table, fields, tg.timing, b, specs, corrKws)
           .getOrElse(return None))
       tg.copy(when = w2, body = b2)
     }
@@ -2902,7 +2906,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * this shape can't support — caught by the caller, which falls back
     * to the general tier. */
   private def selfAggPredOverImages(predText: String, table: String,
-      fields: Array[StructField]): Column = {
+      fields: Array[StructField], prefix: String = "__new_"): Column = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     SqlInternals.column(SqlInternals.expression(dpred(predText)) transform {
       case ua: UnresolvedAttribute =>
@@ -2912,7 +2916,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         val f = fields.find(_.name.equalsIgnoreCase(colName))
         if (!qualOk || f.isEmpty) throw new UnsupportedOperationException(
           s"unsupported reference in self-read subquery predicate: ${ua.sql}")
-        UnresolvedAttribute(Seq("__new_" + f.get.name))
+        UnresolvedAttribute(Seq(prefix + f.get.name))
     })
   }
 
@@ -3125,12 +3129,35 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * Returns true when handled. */
   private def vecFireUpdateDelete(table: String, meta: TableMeta, df: DataFrame,
       trigs: Seq[SqliteDdl.TriggerDef], firePred: Column,
-      newCols: Option[String => Column]): Boolean = {
-    if (touchesTarget(trigs, table)) return false
+      newCols: Option[String => Column],
+      assignedCols: Set[String] = Set.empty): Boolean = {
     val fields = meta.schema.fields
-    val ordered = trigs.filter(_.timing == "BEFORE") ++
+    val ordered0 = trigs.filter(_.timing == "BEFORE") ++
       trigs.filter(_.timing == "AFTER")
     val hasNew = newCols.isDefined
+    // self-read aggregate subqueries vectorize for UPDATE/DELETE too
+    // (r16): base state + running DELTA window — each fired row
+    // contributes (new qualifies) − (old qualifies), which is exactly
+    // the statement's per-row table-state evolution (probed: AFTER
+    // sums walk 101,102,…; BEFORE lags one row). Preconditions below
+    // keep the shape exact; anything else takes the general tier.
+    val corrKws = if (hasNew) Set("new", "old") else Set("old")
+    val (ordered, selfSpecs) =
+      extractSelfAggs(table, fields, ordered0, corrKws).getOrElse(return false)
+    val aiNameOpt = meta.autoIncrement
+      .filter(n => fields.exists(_.name.equalsIgnoreCase(n)))
+    if (selfSpecs.nonEmpty) {
+      // firing order is the rowid scan order — the window needs the
+      // alias column, un-reassigned
+      if (aiNameOpt.isEmpty) return false
+      if (assignedCols.exists(_.equalsIgnoreCase(aiNameOpt.get))) return false
+      // min/max deltas are not invertible; correlation keys must be
+      // stable (unassigned) so old and new partitions coincide
+      if (selfSpecs.exists(sp => sp.agg == "min" || sp.agg == "max"))
+        return false
+      if (selfSpecs.exists(_.corrCols.exists(c =>
+        assignedCols.exists(_.equalsIgnoreCase(c))))) return false
+    }
     def resolve(tg: SqliteDdl.TriggerDef, kw: String, c: String): String = {
       val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
       if (i < 0) throw new IllegalArgumentException(s"no such column: $kw.$c")
@@ -3141,6 +3168,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }
     }
     val plans = vecCompile(ordered, resolve).getOrElse(return false)
+    // BEFORE RAISE(IGNORE) gated on a self-read aggregate is circular
+    // under vectorization, like the INSERT tier
+    if (selfSpecs.nonEmpty && plans.exists(pl =>
+        pl.ignoreFilter && pl.tg.timing == "BEFORE" &&
+          pl.tg.when.exists(_.contains("__selfagg_"))))
+      return false
     val rid = "__trg_rid"
     val tagged = df.withColumn(rid, monotonically_increasing_id())
     var images = tagged.where(firePred)
@@ -3152,6 +3185,106 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       fields.foreach { f =>
         images = images.withColumn("__new_" + f.name, nc(f.name))
       }
+    }
+    try selfSpecs.foreach { sp =>
+      val abandon = vecAbandonCond(plans)
+      def resid(prefix: String): Column = sp.predText
+        .map(t => coalesce(
+          selfAggPredOverImages(t, table, fields, prefix), lit(false)))
+        .getOrElse(lit(true))
+      def keyOk(prefix: String): Column = sp.corrCols
+        .map(c => col(prefix + c).isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      def argOf(prefix: String): Column =
+        sp.argCol.map(c => col(prefix + c)).getOrElse(lit(1L))
+      // row j qualifies in its NEW state / qualified in its OLD state
+      val qNew: Column =
+        if (hasNew) !abandon && resid("__new_") && keyOk("__new_") &&
+          (if (sp.argCol.isDefined) argOf("__new_").isNotNull else lit(true))
+        else lit(false)
+      val qOld: Column = !abandon && resid("__old_") && keyOk("__old_") &&
+        (if (sp.argCol.isDefined) argOf("__old_").isNotNull else lit(true))
+      val aiOld = col("__old_" + fields
+        .find(_.name.equalsIgnoreCase(aiNameOpt.get)).get.name)
+      val w0 =
+        if (sp.corrCols.isEmpty) Window.orderBy(aiOld)
+        else Window.partitionBy(sp.corrCols.map(c => col("__old_" + c)): _*)
+          .orderBy(aiOld)
+      val w =
+        if (sp.timing == "BEFORE")
+          w0.rowsBetween(Window.unboundedPreceding, -1)
+        else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val predBase: Column = sp.predText
+        .map(t => coalesce(dpred(t), lit(false))).getOrElse(lit(true))
+      val keyOkBase: Column = sp.corrCols.map(col(_).isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val baseDf = collated(df.where(predBase && keyOkBase))
+      val argBase: Column = sp.argCol.map(col).getOrElse(lit(1))
+      val bName = sp.name + "__base"
+      val b2Name = sp.name + "__base2"
+      // (value agg, qualifying count) per key — the count carries
+      // SQLite's sum/avg NULL-on-empty rule through the deltas
+      val groupedCols = Seq(
+        (sp.agg match {
+          case "count" => count(argBase)
+          case "total" | "avg" | "sum" if sp.agg != "sum" =>
+            sum(argBase.cast("double"))
+          case _ => sum(argBase)
+        }).as(bName),
+        count(argBase).as(b2Name))
+      val (baseVal, baseCnt): (Column, Column) =
+        if (sp.corrCols.isEmpty) {
+          val r = baseDf.agg(groupedCols.head, groupedCols.tail: _*).head()
+          (if (r.isNullAt(0)) lit(null) else lit(r.get(0)), lit(r.getLong(1)))
+        } else {
+          val keyPfx = sp.name + "__k_"
+          val renamed = baseDf.groupBy(sp.corrCols.map(col): _*)
+            .agg(groupedCols.head, groupedCols.tail: _*)
+            .select((sp.corrCols.map(c => col(c).as(keyPfx + c)) ++
+              Seq(col(bName), col(b2Name))): _*)
+          val joinCond = sp.corrCols
+            .map(c => col("__old_" + c) === col(keyPfx + c)).reduce(_ && _)
+          images = images.join(renamed, joinCond, "left")
+            .drop(sp.corrCols.map(keyPfx + _): _*)
+          (col(bName), coalesce(col(b2Name), lit(0L)))
+        }
+      // DELETE has no __new_ image columns — never reference them
+      def newTermL: Column =
+        if (hasNew) when(qNew, lit(1L)).otherwise(lit(0L)) else lit(0L)
+      def newTermV: Column =
+        if (hasNew) when(qNew, argOf("__new_")).otherwise(lit(0)) else lit(0)
+      def newTermD: Column =
+        if (hasNew) when(qNew, argOf("__new_").cast("double")).otherwise(lit(0.0))
+        else lit(0.0)
+      val cntDelta = sum(newTermL -
+        when(qOld, lit(1L)).otherwise(lit(0L))).over(w)
+      val liveCnt = baseCnt + coalesce(cntDelta, lit(0L))
+      val combined: Column = sp.agg match {
+        case "count" =>
+          coalesce(baseVal.cast("long"), lit(0L)) + coalesce(cntDelta, lit(0L))
+        case "sum" =>
+          val d = sum(newTermV -
+            when(qOld, argOf("__old_")).otherwise(lit(0))).over(w)
+          when(liveCnt === 0L, lit(null))
+            .otherwise(coalesce(baseVal, lit(0)) + coalesce(d, lit(0)))
+        case "total" =>
+          val d = sum(newTermD -
+            when(qOld, argOf("__old_").cast("double")).otherwise(lit(0.0)))
+            .over(w)
+          coalesce(baseVal, lit(0.0)) + coalesce(d, lit(0.0))
+        case "avg" =>
+          val d = sum(newTermD -
+            when(qOld, argOf("__old_").cast("double")).otherwise(lit(0.0)))
+            .over(w)
+          when(liveCnt === 0L, lit(null))
+            .otherwise((coalesce(baseVal, lit(0.0)) + coalesce(d, lit(0.0))) /
+              liveCnt)
+        case other => throw new UnsupportedOperationException(
+          s"self-read $other under UPDATE/DELETE") // unreachable (gated)
+      }
+      images = images.withColumn(sp.name, combined).drop(bName, b2Name)
+    } catch {
+      case _: UnsupportedOperationException => return false
     }
     vecApplyAppends(plans, images)
     val surviving = images.where(!vecAbandonCond(plans))
@@ -3422,7 +3555,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val rid = "__trg_rid"
     if (vecFireUpdateDelete(table, meta, df, trigs,
         coalesce(pred, lit(false)),
-        newCols = Some(f => assignments.getOrElse(f, col(f))))) return
+        newCols = Some(f => assignments.getOrElse(f, col(f))),
+        assignedCols = assignments.keySet)) return
     val ridSchema = org.apache.spark.sql.types.StructType(
       fields :+ org.apache.spark.sql.types.StructField(
         rid, org.apache.spark.sql.types.LongType, nullable = false))

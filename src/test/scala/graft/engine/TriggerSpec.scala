@@ -606,4 +606,59 @@ class TriggerSpec extends SparkSpecBase {
         "INSERT INTO t (g, x) VALUES (1, 2), (2, 1), (1, 1);")
     same(id4, db4, "SELECT n, g FROM audit ORDER BY n, g;")
   }
+
+  test("UPDATE/DELETE self-read bodies past the cap: delta windows, 1,200 firings (r16)") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, g INTEGER, x INTEGER);\n" +
+      "CREATE TABLE audit (s INTEGER, sg INTEGER, c INTEGER, a REAL, v INTEGER);"
+    def fill(id: String, db: Path): Unit =
+      (0 until 3).foreach { b =>
+        runBoth(id, db, "INSERT INTO t (g, x) VALUES " +
+          (1 to 400).map { i =>
+            val k = b * 400 + i
+            s"(${k % 19}, ${k % 83})"
+          }.mkString(", ") + ";")
+      }
+    // AFTER UPDATE: each firing sees previously-updated rows' NEW
+    // values and later rows' OLD values — the delta-window shape
+    val id = seg(schema); val db = cliDb(schema)
+    fill(id, db)
+    val upd =
+      "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT sum(x) FROM t), " +
+        "(SELECT sum(x) FROM t WHERE g = NEW.g), " +
+        "(SELECT count(*) FROM t WHERE x < 40), " +
+        "(SELECT avg(x) FROM t WHERE g = NEW.g AND x % 2 = 0), " +
+        "NEW.id); END;" +
+        "UPDATE t SET x = x + 3 WHERE x % 5 < 4;"
+    runBoth(id, db, upd)
+    same(id, db, "SELECT count(*) AS fired, sum(s) AS ss, sum(sg) AS ssg, " +
+      "max(c) AS mc FROM audit;")
+    same(id, db, "SELECT s, sg, c, printf('%.9e', a), v FROM audit " +
+      "ORDER BY v LIMIT 40;")
+    same(id, db, "SELECT s, sg, c, v FROM audit ORDER BY v DESC LIMIT 10;")
+    // BEFORE DELETE: counts shrink as the scan deletes; OLD-correlated
+    val id2 = seg(schema); val db2 = cliDb(schema)
+    fill(id2, db2)
+    val del =
+      "CREATE TRIGGER td BEFORE DELETE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT sum(x) FROM t), " +
+        "(SELECT sum(x) FROM t WHERE g = OLD.g), " +
+        "(SELECT count(*) FROM t), NULL, OLD.id); END;" +
+        "DELETE FROM t WHERE x % 3 = 0;"
+    runBoth(id2, db2, del)
+    same(id2, db2, "SELECT count(*) AS fired, min(c) AS minc, " +
+      "sum(s) AS ss, sum(sg) AS ssg FROM audit;")
+    same(id2, db2, "SELECT s, sg, c, v FROM audit ORDER BY v LIMIT 30;")
+    same(id2, db2, "SELECT count(*) AS left_n, sum(x) AS left_s FROM t;")
+    // an UPDATE that reassigns the correlation key takes the general
+    // tier (small statement — still correct)
+    val id3 = seg(schema); val db3 = cliDb(schema)
+    runBoth(id3, db3,
+      "INSERT INTO t (g, x) VALUES (1, 10), (2, 20), (1, 30);" +
+        "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "NULL, (SELECT sum(x) FROM t WHERE g = NEW.g), NULL, NULL, " +
+        "NEW.id); END;" +
+        "UPDATE t SET g = g + 1, x = x + 1;")
+    same(id3, db3, "SELECT sg, v FROM audit ORDER BY v;")
+  }
 }
