@@ -1220,6 +1220,17 @@ object SparkEntry {
       eng2.readAll("SELECT doc_id, text FROM docs;", "q67seg.*")
         .select($"doc_id", length($"text").cast("long").as("n_chars"), $"text")
         .orderBy($"doc_id")
+    }),
+
+    // Exact substring-span dedup accounting (r16, Lee et al. 2022):
+    // every 10-token span occurring in ≥2 documents, per-doc duplicated
+    // span count and the TOKEN length of their union (what an exact
+    // substring dedup pass would cut). One gram-keyed shuffle + one
+    // per-doc lead() window — no suffix array, nothing quadratic.
+    "q68_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.substringSpans(t(s, dir, "documents"), gramLen = 10)
+        .orderBy($"doc_id")
     })
   )
 
@@ -1749,6 +1760,27 @@ object SparkEntry {
     "q67_sqlite_export_distributed" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
       FROM documents ORDER BY doc_id""",
+    // cross-document duplicated 10-token spans: per-doc span count +
+    // union coverage (all spans length 10 → union = Σ min(10, gap))
+    "q68_substring_dedup" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g0 AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 9)) AS pos, tk
+             FROM t WHERE len(tk) >= 10),
+      g AS (SELECT doc_id, pos, array_to_string(tk[pos:pos+9], ' ') AS gram
+            FROM g0),
+      d AS (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+      h AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+            FROM g JOIN d USING (gram)),
+      s AS (SELECT doc_id, count(*) AS nd,
+              sum(least(coalesce(np - pos, 10), 10)) AS cov
+            FROM h GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(coalesce(s.nd, 0) AS BIGINT) AS n_dup_spans,
+        CAST(coalesce(s.cov, 0) AS BIGINT) AS covered_tokens,
+        CAST(len(t.tk) AS BIGINT) AS n_tokens
+      FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""",
     // the Spark side fetched its rows over real HTTP from the read
     // server; a hash match against raw parquet proves the wire lossless
     "q58_http_read" -> """

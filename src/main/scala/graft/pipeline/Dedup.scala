@@ -34,6 +34,62 @@ object Dedup {
   val AutoPrefixPairsPerDoc = 4096.0
   val AutoPrefixHotKeyShare = 0.02
 
+  /** Exact SUBSTRING-span dedup accounting (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" core,
+    * arXiv:2107.06499, re-expressed relationally): find every length-L
+    * token span that occurs in ≥ 2 distinct documents and report, per
+    * document, how many of its span positions are duplicated and how
+    * many TOKENS the union of those spans covers — the amount an exact
+    * substring dedup pass would cut. The suffix-array step of the
+    * paper is only a device for finding repeated spans; the relational
+    * equivalent is one shuffle on the gram key.
+    *
+    * Scale shape: tokens explode to (doc, pos, gram) once; duplicated
+    * grams come from ONE hash-partitioned aggregation with map-side
+    * partial counts; the join back is gram-partitioned; the span-union
+    * length needs NO interval merge — all spans have length L, so the
+    * union is Σ min(L, nextPos − pos) from one per-doc window (lead).
+    * Nothing is quadratic and nothing collects. At 100 TB the gram
+    * strings would ride as 64-bit hashes (`hashGrams = true`) —
+    * identical shuffle shape, 16-byte rows; the string default keeps
+    * the result exactly reproducible by the SQL oracle. */
+  def substringSpans(docs: DataFrame, gramLen: Int = 10,
+      hashGrams: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      split(col(textCol), " ").as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val gramStr = expr(
+      s"transform(sequence(1, size(tk) - ${gramLen - 1}), " +
+        s"i -> array_join(slice(tk, i, $gramLen), ' '))")
+    val grams0 = toks.where(size(col("tk")) >= gramLen)
+      .select(col(idCol), posexplode(gramStr).as(Seq("pos0", "gram")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val grams =
+      if (hashGrams) grams0.withColumn("gram", xxhash64(col("gram")))
+      else grams0
+    // duplicated = seen in ≥ 2 distinct docs (cross-document spans;
+    // within-doc repetition is q61's territory)
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2).select("gram")
+    val hits = grams.join(dup, "gram")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val perDoc = hits
+      .withColumn("cov", least(
+        coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(gramLen)),
+        lit(gramLen)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("cov")).as("covered_tokens"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("n_tokens"))
+  }
+
   /** Exact dedup: group by normalized text, keep the lowest doc id as the
     * canonical representative. `count` is the cluster size. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -22,6 +22,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(1).getSeq[String](1).isEmpty)
   }
 
+  test("substringSpans: duplicated span positions and union coverage (r16)") {
+    // docs 1 and 2 share the 3-gram "a b c" (positions 1 and 2 resp.)
+    // and "b c d"; doc 1 also shares "x y z" with doc 3. Doc 1's hits
+    // at positions 1,2 (overlapping: union = 4 tokens) and 6 (3 more).
+    val df = Dedup.substringSpans(docs(
+      (1L, "a b c d q x y z"), // grams at 1:"a b c" 2:"b c d" 6:"x y z"
+      (2L, "q a b c d"), //        2:"a b c" 3:"b c d"
+      (3L, "x y z"), //            1:"x y z"
+      (4L, "totally unrelated words here")), gramLen = 3)
+    val out = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, 3L, 7L, 8L)), out.mkString(","))
+    assert(out(1) == ((2L, 2L, 4L, 5L)), out.mkString(","))
+    assert(out(2) == ((3L, 1L, 3L, 3L)), out.mkString(","))
+    assert(out(3) == ((4L, 0L, 0L, 4L)), out.mkString(","))
+    // a within-doc-only repeat is NOT cross-document duplication
+    val within = Dedup.substringSpans(docs(
+      (1L, "p q r s p q r"), (2L, "unrelated text entirely")), gramLen = 3)
+      .orderBy("doc_id").collect()
+    assert(within(0).getLong(1) == 0L)
+    // the 64-bit-hash scale variant computes identical accounting
+    val big = (1L to 40L).map(i =>
+      i -> (s"prefix$i " + (if (i % 4 == 0) "shared run of tokens overlap"
+      else s"unique body $i with more words ${i * 7}")))
+    val a = Dedup.substringSpans(docs(big: _*), gramLen = 3)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = Dedup.substringSpans(docs(big: _*), gramLen = 3, hashGrams = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("exact dedup groups identical normalized text") {
     val df = Dedup.exact(docs((1L, "Hello World"), (2L, "hello world  "), (3L, "other")))
     val out = df.orderBy("keep_id").collect()
