@@ -1229,9 +1229,9 @@ object Fts5 {
     // table's columns ride under — collected for bm25()/rank scoring
     val matchInfo =
       mutable.Map[String, List[(Node, Option[String])]]().withDefaultValue(Nil)
-    // start offsets of each table's MATCH clauses in the ORIGINAL text,
-    // for the top-level-conjunct analysis multi-MATCH scoring needs
-    val matchPos = mutable.Map[String, List[Int]]().withDefaultValue(Nil)
+    // spans of each table's MATCH clauses in the ORIGINAL text, for
+    // the conjunct/or-chain analyses multi-MATCH scoring needs
+    val matchPos = mutable.Map[String, List[(Int, Int)]]().withDefaultValue(Nil)
     val replaced = matchRe.replaceAllIn(stmt, m => {
       val (qualOpt, name) = Option(m.group(2)) match {
         case Some(n2) =>
@@ -1266,7 +1266,7 @@ object Fts5 {
           // covers column-LHS MATCH, a column query on detail=none)
           checkDetail(wrap(node), fd.detail)
           matchInfo(owner) = matchInfo(owner) :+ ((wrap(node), qual))
-          matchPos(owner) = matchPos(owner) :+ m.start
+          matchPos(owner) = matchPos(owner) :+ ((m.start, m.end))
           // contentless tables match over the hidden index-text
           // columns (declared columns read NULL — r15)
           val qn = (c: String) => {
@@ -1293,7 +1293,86 @@ object Fts5 {
     })
     if (statsOf == null) replaced
     else rewriteAux(replaced, ftsTables, mentioned, matchInfo.toMap,
-      conjunctiveOwners(stmt, matchPos.toMap), statsOf)
+      conjunctiveOwners(stmt, matchPos.view.mapValues(_.map(_._1)).toMap),
+      orChainOwners(stmt, matchPos.toMap), statsOf)
+  }
+
+  /** Owners whose MULTIPLE `MATCH` clauses form exactly one OR chain —
+    * `M1 OR M2 [OR …]` as the whole WHERE or one parenthesized group
+    * (not NOT-negated) — the shape real fts5 serves with its OR
+    * optimization: branches scan in TEXT ORDER and a row keeps the
+    * FIRST matching branch's cursor, so bm25/rank/highlight/snippet
+    * read that branch alone (probed across orders, 3 branches, and
+    * extra AND conjuncts outside the group). Emulated as a CASE over
+    * the branch predicates. */
+  private def orChainOwners(stmt: String,
+      matchSpans: Map[String, List[(Int, Int)]]): Set[String] = {
+    val multi = matchSpans.filter(_._2.length > 1)
+    if (multi.isEmpty) return Set.empty
+    val blanked = SqliteDdl.blankLiterals(stmt)
+    val n = blanked.length
+    // paren intervals + depth per position
+    val stack = mutable.ArrayBuffer[Int]()
+    val intervals = mutable.ArrayBuffer[(Int, Int)]()
+    val depthAt = new Array[Int](n)
+    var d = 0
+    var i = 0
+    while (i < n) {
+      val c = blanked.charAt(i)
+      if (c == ')') d = math.max(0, d - 1)
+      depthAt(i) = d
+      c match {
+        case '(' =>
+          stack += i; d += 1
+        case ')' if stack.nonEmpty =>
+          intervals += ((stack.remove(stack.length - 1), i + 1))
+        case _ => ()
+      }
+      i += 1
+    }
+    // the main WHERE region at depth 0
+    val tokRe = ("(?i)(?<![a-z0-9_$])(where|group|order|limit|having|" +
+      "window|union|intersect|except|or|not)(?![a-z0-9_$])").r
+    val toks = tokRe.findAllMatchIn(blanked)
+      .filter(m => depthAt(m.start) == 0).toSeq
+    val whereStart = toks.find(_.matched.equalsIgnoreCase("where"))
+      .map(_.start).getOrElse(return Set.empty)
+    val whereEnd = toks.collectFirst {
+      case m if m.start > whereStart && Set("group", "order", "limit",
+        "having", "window", "union", "intersect", "except")
+        .contains(m.matched.toLowerCase(java.util.Locale.ROOT)) => m.start
+    }.getOrElse(n)
+    multi.collect { case (owner, spans0) if {
+      val spans = spans0.sortBy(_._1)
+      val lo = spans.head._1
+      val hi = spans.last._2
+      val inWhere = lo > whereStart && hi <= whereEnd
+      // innermost paren region containing every span; else the WHOLE
+      // WHERE must be the chain (leftovers catch anything else)
+      val region = intervals.filter(iv => iv._1 < lo && hi <= iv._2)
+        .sortBy(iv => iv._2 - iv._1).headOption
+      val (cs, ce) = region.getOrElse((whereStart + 5, whereEnd))
+      // a NOT directly before the group flips the row set; depth-0
+      // OR/NOT elsewhere in the WHERE makes branch attribution
+      // plan-shaped in ways this emulation does not model
+      val before = blanked.substring(0, math.max(0, cs)).trim
+        .toLowerCase(java.util.Locale.ROOT)
+      val notted = region.isDefined && before.endsWith("not")
+      val strayOrNot = toks.exists(m =>
+        m.start > whereStart && m.start < whereEnd &&
+          (m.start < cs || m.start >= ce) &&
+          Set("or", "not").contains(
+            m.matched.toLowerCase(java.util.Locale.ROOT)))
+      // blank the spans; the chain region's leftover must be exactly
+      // the k−1 OR keywords (plus parens/whitespace)
+      val sb = new java.lang.StringBuilder(blanked)
+      spans.foreach { case (a, b) =>
+        (a until b).foreach(j => sb.setCharAt(j, ' ')) }
+      val leftover = sb.substring(math.max(0, cs), ce)
+        .replaceAll("[()\\s]+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+      val expected = Seq.fill(spans.length - 1)("or").mkString(" ")
+      inWhere && !notted && !strayOrNot && leftover == expected
+    } => owner }.toSet
   }
 
   /** Owners whose MULTIPLE `MATCH` clauses are provably top-level AND
@@ -2036,7 +2115,7 @@ object Fts5 {
     * (real fts5 evaluates them per row) — refused by name. */
   private def rewriteAux(stmt: String, ftsTables: Map[String, FtsTableDef],
       mentioned: Seq[String], matches: Map[String, List[(Node, Option[String])]],
-      conjOwners: Set[String],
+      conjOwners: Set[String], orOwners: Set[String],
       statsOf: (String, Seq[PhraseSpec]) => AuxStats): String = {
     def maskOf(tLower: String): Long = ftsTables(tLower).indexedMask
     val blanked = SqliteDdl.blankLiterals(stmt)
@@ -2045,7 +2124,24 @@ object Fts5 {
       !lower.contains("snippet") &&
       !"(?i)\\brank\\b".r.findFirstIn(blanked).isDefined)
       return stmt
-    val exprCache = mutable.Map[(String, Seq[Double]), String]()
+    val exprCache =
+      mutable.Map[(String, Seq[Double], Node, Option[String]), String]()
+    // one MATCH branch's row predicate, recompiled exactly as the
+    // MATCH rewrite compiled it (same compileMatch, same qualifier
+    // shapes) — the CASE arms of the OR-chain emulation
+    def branchPred(tLower: String, node: Node, qual: Option[String]): String = {
+      val fd = ftsTables(tLower)
+      val cols = fd.columns
+      def qn(c: String) = {
+        val cc = if (fd.contentless) idxCol(c) else c
+        qual.map(q => s"`$q`.`$cc`").getOrElse(s"`$cc`")
+      }
+      if (fd.externalContent) {
+        val inner = compileMatch(node, cols, c => s"`$c`", fd.unindexed, fd.tok)
+        s"(${qn(ridCol(tLower))} IN (SELECT `$RowidCol` FROM " +
+          s"`${idxView(tLower)}` WHERE $inner))"
+      } else s"(${compileMatch(node, cols, qn, fd.unindexed, fd.tok)})"
+    }
     // ≥2 top-level-conjunct MATCHes score exactly like their single
     // AND-combined query (probed, r16); other multi shapes refuse
     def combined(tLower: String): Option[(Node, Option[String])] =
@@ -2061,11 +2157,8 @@ object Fts5 {
         case _ => None
       }
     def scoreExpr(tLower: String, weights: Seq[Double], forRank: Boolean): String = {
-      matches.getOrElse(tLower, Nil) match {
-        case Nil => if (forRank) "NULL" else "0.0" // probed: no MATCH
-        case _ if combined(tLower).isDefined =>
-          val (node, qual) = combined(tLower).get
-          exprCache.getOrElseUpdate((tLower, weights), {
+      def buildScore(node: Node, qual: Option[String]): String =
+          exprCache.getOrElseUpdate((tLower, weights, node, qual), {
             val cols = ftsTables(tLower).columns
             if (cols.length > 63)
               throw new UnsupportedOperationException(
@@ -2101,14 +2194,27 @@ object Fts5 {
             s"fts5_bm25($toksArr, $phArr, $flArr, $mkArr, $idfArr, " +
               s"${st.avgdl}, $wArr, $gidArr, $gnArr, $treeArr)"
           })
+      matches.getOrElse(tLower, Nil) match {
+        case Nil => if (forRank) "NULL" else "0.0" // probed: no MATCH
+        case _ if combined(tLower).isDefined =>
+          val (node, qual) = combined(tLower).get
+          buildScore(node, qual)
+        case ms if orOwners.contains(tLower) =>
+          // one OR chain: a row keeps the FIRST matching branch's
+          // score, like real fts5's OR-optimized plan (probed)
+          val fq = ms.flatMap(_._2).distinct.headOption
+          "(CASE " + ms.map { case (node, q0) =>
+            val q = q0.orElse(fq)
+            s"WHEN ${branchPred(tLower, node, q)} THEN ${buildScore(node, q)}"
+          }.mkString(" ") + " END)"
         case _ =>
           throw new UnsupportedOperationException(
             "bm25()/rank with multiple MATCH clauses on the same fts " +
-              "table is supported only when every clause is a top-level " +
-              "AND conjunct of the main WHERE (scored as their single " +
-              "AND-combined query, like real fts5); other shapes are " +
-              "query-plan dependent there — issue one MATCH (combine " +
-              "with AND/OR/NOT inside the query string)")
+              "table is supported only when the clauses are top-level " +
+              "AND conjuncts of the main WHERE (scored as the single " +
+              "AND-combined query) or one OR chain (first matching " +
+              "branch scores) — both probed against real fts5; other " +
+              "shapes are query-plan dependent there")
       }
     }
     final case class Repl(start: Int, end: Int, text: String)
@@ -2140,36 +2246,47 @@ object Fts5 {
         throw new UnsupportedOperationException(
           s"$fn() over fts5 tables with more than 63 columns is not " +
             "supported by this engine (column-mask width)")
-      val (nodeOpt, qual) = matches.getOrElse(tLower, Nil) match {
-        case Nil => (None, Some(tLower)) // no MATCH: cols ride the table name
+      def buildAux(nodeOpt: Option[Node], qual: Option[String]): String = {
+        def qc(c: String) = qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
+        // probed: highlight without a MATCH echoes the raw column (the
+        // EMPTY string when the index is out of range — quote()-probed)
+        if (nodeOpt.isEmpty && !snippetMode) {
+          if (colIdx < 0 || colIdx >= cols.length) "''"
+          else qc(cols(colIdx))
+        } else {
+          val arrs = nodeOpt match {
+            case Some(node) => nodeArraySql(cols, node, maskOf(tLower))._2
+            // sentinel single empty-token phrase, mask 0: zero instances
+            // everywhere, never matched — exactly the no-MATCH behavior
+            case None => Seq("array(array(''))", "array(0)", "array(0)",
+              "array(-1)", "array(-1)", "array(0, 0)")
+          }
+          val colsArr = cols.map(qc).mkString("array(", ", ", ")")
+          (s"fts5_aux_text($colsArr, ${arrs.mkString(", ")}, " +
+            s"${if (snippetMode) 1 else 0}, $colIdx, $openLit, $closeLit, " +
+            s"$ellipsisLit, $nTok, '${ftsTables(tLower).tok.spec}')")
+        }
+      }
+      matches.getOrElse(tLower, Nil) match {
+        case Nil => buildAux(None, Some(tLower)) // cols ride the table name
         case _ if combined(tLower).isDefined =>
           val (node, q) = combined(tLower).get
-          (Some(node), q)
+          buildAux(Some(node), q)
+        case ms if orOwners.contains(tLower) =>
+          val fq = ms.flatMap(_._2).distinct.headOption
+          "(CASE " + ms.map { case (node, q0) =>
+            val q = q0.orElse(fq)
+            s"WHEN ${branchPred(tLower, node, q)} THEN " +
+              buildAux(Some(node), q)
+          }.mkString(" ") + " END)"
         case _ => throw new UnsupportedOperationException(
           s"$fn() with multiple MATCH clauses on the same fts table is " +
-            "supported only when every clause is a top-level AND conjunct " +
-            "of the main WHERE (rendered as their single AND-combined " +
-            "query, like real fts5); other shapes are query-plan " +
-            "dependent there — issue one MATCH (combine with AND/OR/NOT " +
-            "inside the query string)")
+            "supported only when the clauses are top-level AND conjuncts " +
+            "of the main WHERE (rendered as the single AND-combined " +
+            "query) or one OR chain (first matching branch renders) — " +
+            "both probed against real fts5; other shapes are query-plan " +
+            "dependent there")
       }
-      def qc(c: String) = qual.map(q => s"`$q`.`$c`").getOrElse(s"`$c`")
-      // probed: highlight without a MATCH echoes the raw column (the
-      // EMPTY string when the index is out of range — quote()-probed)
-      if (nodeOpt.isEmpty && !snippetMode)
-        return if (colIdx < 0 || colIdx >= cols.length) "''"
-        else qc(cols(colIdx))
-      val arrs = nodeOpt match {
-        case Some(node) => nodeArraySql(cols, node, maskOf(tLower))._2
-        // sentinel single empty-token phrase, mask 0: zero instances
-        // everywhere, never matched — exactly the no-MATCH behavior
-        case None => Seq("array(array(''))", "array(0)", "array(0)",
-          "array(-1)", "array(-1)", "array(0, 0)")
-      }
-      val colsArr = cols.map(qc).mkString("array(", ", ", ")")
-      (s"fts5_aux_text($colsArr, ${arrs.mkString(", ")}, " +
-        s"${if (snippetMode) 1 else 0}, $colIdx, $openLit, $closeLit, " +
-        s"$ellipsisLit, $nTok, '${ftsTables(tLower).tok.spec}')")
     }
     val auxRe = "(?i)\\b(highlight|snippet)\\s*\\(([^()]*)\\)".r
     for (m <- auxRe.findAllMatchIn(blanked)) {

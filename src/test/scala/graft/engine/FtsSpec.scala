@@ -308,11 +308,12 @@ class FtsSpec extends SparkSpecBase {
     // window rank() and an AS rank alias are untouched by the rewrite
     same(id, db, "SELECT a, count(*) AS rank FROM t " +
       "WHERE t MATCH 'x' GROUP BY a ORDER BY a;")
-    // OR-combined MATCHes: fts5's score depends on which branch the
-    // plan drove a row through (probed) — named refusal (AND conjuncts
-    // are supported since r16, see the dedicated test)
+    // OR-combined MATCHes score per first-matching-branch (r16, see
+    // the dedicated multi-MATCH tests); a mixed shape neither conjunct
+    // nor a clean OR chain keeps the named refusal
     val e = intercept[UnsupportedOperationException](engine.read(id,
-      "SELECT rank FROM t WHERE t MATCH 'x' OR t MATCH 'q';").collect())
+      "SELECT rank FROM t WHERE t MATCH 'x' OR t MATCH 'q' AND a <> '';")
+      .collect())
     assert(e.getMessage.contains("top-level AND conjunct"), e.getMessage)
   }
 
@@ -413,7 +414,7 @@ class FtsSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("string literals"), e3.getMessage)
     val e4 = intercept[Exception](engine.read(id,
       "SELECT snippet(t, 0, '[', ']', '...', 3) FROM t " +
-        "WHERE t MATCH 'quick' OR t MATCH 'dog';").collect())
+        "WHERE NOT (t MATCH 'quick' OR t MATCH 'dog');").collect())
     assert(e4.getMessage.contains("top-level AND conjunct"), e4.getMessage)
   }
 
@@ -602,13 +603,50 @@ class FtsSpec extends SparkSpecBase {
     same(id, db, "SELECT a, printf('%.9e', bm25(f2)) FROM f2 " +
       "WHERE f2 MATCH 'quick' AND (a >= '' AND b >= '') " +
       "AND f2 MATCH 'fox' ORDER BY a;")
-    // OR-combined MATCHes remain refused BY NAME (plan-dependent)
-    val e = intercept[Exception](engine.read(id,
-      "SELECT a, bm25(f2) FROM f2 " +
-        "WHERE f2 MATCH 'quick' OR f2 MATCH 'fox';").collect())
-    assert(e.getMessage.contains("top-level AND conjunct"), e.getMessage)
     // plain multi-MATCH row sets (no aux function) still answer
     same(id, db, "SELECT a FROM f2 " +
       "WHERE f2 MATCH 'quick' OR f2 MATCH 'fox' ORDER BY a;")
+  }
+
+  test("OR-chained MATCHes: first matching branch scores/renders (r16, probed)") {
+    val s2 = "CREATE VIRTUAL TABLE f3 USING fts5(a, b);"
+    val id = seg(s2); val db = cliDb(s2)
+    runBoth(id, db,
+      "INSERT INTO f3 VALUES ('quick brown fox', 'lazy dog'), " +
+        "('quick quick fox', 'dog park'), ('slow red fox', 'happy dog'), " +
+        "('quick dog', 'fox fox den');")
+    // two branches, both orders — branch attribution is TEXT order
+    same(id, db, "SELECT a, printf('%.9e', bm25(f3)) FROM f3 " +
+      "WHERE f3 MATCH 'quick' OR f3 MATCH 'fox' ORDER BY a;")
+    same(id, db, "SELECT a, printf('%.9e', bm25(f3)) FROM f3 " +
+      "WHERE f3 MATCH 'fox' OR f3 MATCH 'quick' ORDER BY a;")
+    // three branches + rank
+    same(id, db, "SELECT a, printf('%.9e', rank) FROM f3 " +
+      "WHERE f3 MATCH 'slow' OR f3 MATCH 'park' OR f3 MATCH 'den' " +
+      "ORDER BY a;")
+    // parenthesized chain AND an ordinary predicate outside
+    same(id, db, "SELECT a, printf('%.9e', bm25(f3)) FROM f3 " +
+      "WHERE (f3 MATCH 'quick' OR f3 MATCH 'fox') AND a <> 'quick dog' " +
+      "ORDER BY a;")
+    // column-scoped branch in the chain
+    same(id, db, "SELECT a, printf('%.9e', bm25(f3)) FROM f3 " +
+      "WHERE b MATCH 'den' OR f3 MATCH 'slow' ORDER BY a;")
+    // highlight/snippet render the matching branch's phrases only
+    same(id, db, "SELECT a, highlight(f3, 0, '[', ']') FROM f3 " +
+      "WHERE f3 MATCH 'quick' OR f3 MATCH 'fox' ORDER BY a;")
+    same(id, db, "SELECT a, snippet(f3, 1, '[', ']', '~', 3) FROM f3 " +
+      "WHERE f3 MATCH 'dog' OR f3 MATCH 'den' ORDER BY a;")
+    // weights apply per branch
+    same(id, db, "SELECT a, printf('%.9e', bm25(f3, 2.0, 0.5)) FROM f3 " +
+      "WHERE f3 MATCH 'quick' OR f3 MATCH 'den' ORDER BY a;")
+    // NOT-negated chains and mixed AND/OR shapes keep the refusal
+    val e1 = intercept[Exception](engine.read(id,
+      "SELECT a, bm25(f3) FROM f3 " +
+        "WHERE NOT (f3 MATCH 'quick' OR f3 MATCH 'fox');").collect())
+    assert(e1.getMessage.contains("top-level AND conjunct"), e1.getMessage)
+    val e2 = intercept[Exception](engine.read(id,
+      "SELECT a, bm25(f3) FROM f3 " +
+        "WHERE f3 MATCH 'quick' OR f3 MATCH 'fox' AND a <> '';").collect())
+    assert(e2.getMessage.contains("top-level AND conjunct"), e2.getMessage)
   }
 }
