@@ -1128,9 +1128,13 @@ class SegmentStore(
         s"segment $seg does not exist"))).toMap
     if (present.isEmpty) return missingResults
     // per-segment spec: metadata + parquet file listings (KBs), with
-    // loadTable's crash-recovery check applied before listing
-    val specs: Seq[(String, Try[SqliteExportKernel.SegmentSpec])] = present.map { seg =>
-      seg -> Try {
+    // loadTable's crash-recovery check applied before listing. Pooled:
+    // a serial loop over 10⁵–10⁶ segments would make meta-file read
+    // latency the migration's first bottleneck (same reasoning as the
+    // distributed ingest's pooled commit phase).
+    val specPool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    def buildSpec(seg: String): Try[SqliteExportKernel.SegmentSpec] =
+      Try {
         val root = tierRoot(seg)
         val slices = tables(seg).map { t =>
           val live = liveDir(root, seg, t)
@@ -1152,7 +1156,13 @@ class SegmentStore(
           views(seg).map(v => (v.name, v.sql)),
           triggers(seg).map(t => (t.name, t.table, t.sql)))
       }
-    }
+    val specs: Seq[(String, Try[SqliteExportKernel.SegmentSpec])] =
+      try {
+        val futures = present.map(seg =>
+          seg -> java.util.concurrent.CompletableFuture.supplyAsync(
+            () => buildSpec(seg), specPool))
+        futures.map { case (seg, f) => seg -> f.join() }
+      } finally specPool.shutdown()
     val specErrors: Map[String, Try[String]] = specs.collect {
       case (seg, Failure(e)) => seg -> Failure[String](e)
     }.toMap
