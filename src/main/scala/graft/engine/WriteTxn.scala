@@ -2752,7 +2752,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         * these keys — base per key from one grouped job, running
         * contribution from a key-partitioned window. `predText` then
         * holds only the uncorrelated residual. */
-      corrCols: Seq[String] = Nil)
+      corrCols: Seq[String] = Nil,
+      /** The row-image keyword each correlation was spelled with
+        * ("new"/"old", parallel to `corrCols`). Irrelevant while the
+        * key column is un-reassigned (the images coincide); under a
+        * reassigning UPDATE (r17) it picks which image the current
+        * firing evaluates its key from. */
+      corrKwords: Seq[String] = Nil)
 
   private val selfAggRe =
     ("(?is)^\\(\\s*SELECT\\s+(count|sum|avg|min|max|total)\\s*\\(\\s*" +
@@ -2825,23 +2831,26 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             // either side order) out of the WHERE's top-level AND
             // conjuncts (r16); the residual must stay uncorrelated
             val kwAlt = corrKws.map(_.toUpperCase(java.util.Locale.ROOT))
-              .mkString("(?:", "|", ")")
+              .mkString("(", "|", ")")
             val corrRe = ("(?i)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
               kwAlt + "\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)|" +
               kwAlt + "\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
               "([A-Za-z_][A-Za-z0-9_]*))\\s*$").r
             val corrCols = mutable.ArrayBuffer[String]()
+            val corrKwords = mutable.ArrayBuffer[String]()
             val residual = mutable.ArrayBuffer[String]()
             predText0.foreach { p =>
               splitTopLevelAnd(p).foreach { conj =>
                 corrRe.findFirstMatchIn(conj) match {
                   case Some(cm) =>
-                    val a = Option(cm.group(1)).getOrElse(cm.group(4))
-                    val b = Option(cm.group(2)).getOrElse(cm.group(3))
+                    val a = Option(cm.group(1)).getOrElse(cm.group(6))
+                    val b = Option(cm.group(3)).getOrElse(cm.group(5))
+                    val kw = Option(cm.group(2)).getOrElse(cm.group(4))
                     val f = fields.find(_.name.equalsIgnoreCase(a))
-                    if (a.equalsIgnoreCase(b) && f.isDefined)
+                    if (a.equalsIgnoreCase(b) && f.isDefined) {
                       corrCols += f.get.name
-                    else residual += conj
+                      corrKwords += kw.toLowerCase(java.util.Locale.ROOT)
+                    } else residual += conj
                   case None => residual += conj
                 }
               }
@@ -2859,7 +2868,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             if (!predOk || !argOk) return None // self-read, unsupported shape
             val name = s"__selfagg_${out.length}"
             out += SelfAggSpec(name, agg,
-              argField.map(_.get.name), predText, timing, corrCols.toSeq)
+              argField.map(_.get.name), predText, timing, corrCols.toSeq,
+              corrKwords.toSeq)
             sb.append('`').append(name).append('`')
             i = end + 1
           case Some(_) => // subquery over ANOTHER table: copy verbatim
@@ -3119,6 +3129,185 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     true
   }
 
+  /** min/max self-reads under UPDATE/DELETE (r17): deltas are not
+    * invertible (removing the current minimum needs the runner-up), but
+    * the table state at firing k decomposes EXACTLY into four
+    * independent pieces — rows outside the affected set (state never
+    * changes: one bounded agg job), already-fired rows' NEW values (a
+    * prefix window in firing order), not-yet-fired rows' OLD values (a
+    * suffix window), and RAISE(IGNORE)-abandoned rows' OLD values
+    * (visible at every firing: a whole-frame window). least/greatest
+    * combine them, skipping empty (NULL) pieces like SQLite's min/max
+    * over an empty set. Correlated keys partition all three windows
+    * and group the outside job (keys must be un-reassigned — gated by
+    * the caller). */
+  private def selfAggMinMax(sp: SelfAggSpec, images0: DataFrame,
+      df: DataFrame, firePred: Column, hasNew: Boolean, abandon: Column,
+      qNew: Column, aiOld: Column, resid: String => Column,
+      keyOk: String => Column, argOf: String => Column): DataFrame = {
+    val isMin = sp.agg == "min"
+    def aggC(c: Column): Column = if (isMin) min(c) else max(c)
+    val pw0 =
+      if (sp.corrCols.isEmpty) Window.orderBy(aiOld)
+      else Window.partitionBy(sp.corrCols.map(c => col("__old_" + c)): _*)
+        .orderBy(aiOld)
+    // AFTER sees its own change applied; BEFORE does not (its own OLD
+    // row is still live, so the suffix starts at the current row)
+    val prefixW =
+      if (sp.timing == "BEFORE") pw0.rowsBetween(Window.unboundedPreceding, -1)
+      else pw0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val suffixW =
+      if (sp.timing == "BEFORE")
+        pw0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else pw0.rowsBetween(1, Window.unboundedFollowing)
+    val fullW = pw0.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // argCol is always defined for min/max (the subquery shape requires
+    // a column argument)
+    val oldQual = resid("__old_") && keyOk("__old_") &&
+      argOf("__old_").isNotNull
+    val newTerm: Column =
+      if (hasNew) aggC(when(qNew, argOf("__new_"))).over(prefixW)
+      else lit(null)
+    val suffixTerm = aggC(when(!abandon && oldQual, argOf("__old_"))).over(suffixW)
+    val abandonedTerm = aggC(when(abandon && oldQual, argOf("__old_"))).over(fullW)
+    val predBase: Column = sp.predText
+      .map(t => coalesce(dpred(t), lit(false))).getOrElse(lit(true))
+    val keyOkBase: Column = sp.corrCols.map(col(_).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val outsideDf = collated(df.where(
+      !coalesce(firePred, lit(false)) && predBase && keyOkBase))
+    val argBase = col(sp.argCol.get)
+    var images = images0
+    val outside: Column =
+      if (sp.corrCols.isEmpty) {
+        val r = outsideDf.agg(aggC(argBase)).head()
+        if (r.isNullAt(0)) lit(null) else lit(r.get(0))
+      } else {
+        val bName = sp.name + "__base"
+        val keyPfx = sp.name + "__k_"
+        val renamed = outsideDf.groupBy(sp.corrCols.map(col): _*)
+          .agg(aggC(argBase).as(bName))
+          .select((sp.corrCols.map(c => col(c).as(keyPfx + c)) :+ col(bName)): _*)
+        val joinCond = sp.corrCols
+          .map(c => col("__old_" + c) === col(keyPfx + c)).reduce(_ && _)
+        images = images.join(renamed, joinCond, "left")
+          .drop(sp.corrCols.map(keyPfx + _): _*)
+        col(bName)
+      }
+    val combined =
+      if (isMin) least(outside, newTerm, suffixTerm, abandonedTerm)
+      else greatest(outside, newTerm, suffixTerm, abandonedTerm)
+    images.withColumn(sp.name, combined).drop(sp.name + "__base")
+  }
+
+  /** Reassigned correlation keys (r17, UPDATE only): one firing can
+    * REMOVE the row's OLD contribution from one key and ADD its NEW
+    * contribution to another, so a single key-partitioned window over
+    * the firings can't see both sides. Explode each firing into ±delta
+    * EVENTS (the old-key event loses the OLD-qualifying contribution,
+    * the new-key event gains the NEW one), run one key-partitioned
+    * cumulative over the event stream in firing order (RANGE frame, so
+    * both events of one firing land together), and left-join each
+    * firing's cumulative back at its own evaluation key — the spelled
+    * NEW./OLD. image of the correlation, which now differ — and
+    * sequence. count/sum/total/avg only (min/max is not delta-shaped;
+    * the caller gates that combination to the general tier). */
+  private def selfAggReassignedKey(sp: SelfAggSpec, images0: DataFrame,
+      df: DataFrame, qNew: Column, qOld: Column, aiOld: Column,
+      argOf: String => Column): DataFrame = {
+    val e = sp.name + "__ev_"
+    val kws =
+      if (sp.corrKwords.length == sp.corrCols.length) sp.corrKwords
+      else sp.corrCols.map(_ => "new")
+    val evalKeys: Seq[Column] = sp.corrCols.zip(kws).map { case (c, kw) =>
+      col((if (kw == "old") "__old_" else "__new_") + c) }
+    val isDouble = sp.agg == "total" || sp.agg == "avg"
+    def dNew: Column =
+      if (sp.agg == "count") when(qNew, lit(1L)).otherwise(lit(0L))
+      else if (isDouble)
+        when(qNew, argOf("__new_").cast("double")).otherwise(lit(0.0))
+      else when(qNew, argOf("__new_")).otherwise(lit(0))
+    def dOld: Column =
+      if (sp.agg == "count") when(qOld, lit(-1L)).otherwise(lit(0L))
+      else if (isDouble)
+        when(qOld, -argOf("__old_").cast("double")).otherwise(lit(0.0))
+      else when(qOld, -argOf("__old_")).otherwise(lit(0))
+    def cNew: Column = when(qNew, lit(1L)).otherwise(lit(0L))
+    def cOld: Column = when(qOld, lit(-1L)).otherwise(lit(0L))
+    def ev(prefix: String, dv: Column, dc: Column): DataFrame =
+      images0.select((sp.corrCols.map(c => col(prefix + c).as(e + "k_" + c)) ++
+        Seq(aiOld.as(e + "seq"), dv.as(e + "dv"), dc.as(e + "dc"))): _*)
+    val events = ev("__old_", dOld, cOld).unionByName(ev("__new_", dNew, cNew))
+    val evW = Window.partitionBy(sp.corrCols.map(c => col(e + "k_" + c)): _*)
+      .orderBy(col(e + "seq"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // both events of one firing share a seq: the RANGE frame gives every
+    // peer the same after-this-firing cumulative, so any one row per
+    // (key, seq) carries it
+    val cum = events
+      .withColumn(e + "cv", sum(col(e + "dv")).over(evW))
+      .withColumn(e + "cc", sum(col(e + "dc")).over(evW))
+      .dropDuplicates(sp.corrCols.map(c => e + "k_" + c) :+ (e + "seq"))
+      .drop(e + "dv", e + "dc")
+    val evJoin = sp.corrCols.zip(evalKeys).map { case (c, k) =>
+      k === col(e + "k_" + c) }.reduce(_ && _) && (aiOld === col(e + "seq"))
+    var images = images0.join(cum, evJoin, "left")
+      .drop((sp.corrCols.map(c => e + "k_" + c) :+ (e + "seq")): _*)
+    // BEFORE firings haven't applied their own change yet: subtract the
+    // current row's own deltas where they land on its evaluation key
+    def hit(prefix: String): Column = sp.corrCols.zip(evalKeys).map {
+      case (c, k) => col(prefix + c) === k }.reduce(_ && _)
+    val (ccEff, cvEff) =
+      if (sp.timing == "BEFORE") {
+        val ownDc = when(coalesce(hit("__new_"), lit(false)), cNew)
+          .otherwise(lit(0L)) +
+          when(coalesce(hit("__old_"), lit(false)), cOld).otherwise(lit(0L))
+        val ownDv = when(coalesce(hit("__new_"), lit(false)), dNew)
+          .otherwise(lit(0)) +
+          when(coalesce(hit("__old_"), lit(false)), dOld).otherwise(lit(0))
+        (coalesce(col(e + "cc"), lit(0L)) - ownDc,
+          coalesce(col(e + "cv"), lit(0)) - ownDv)
+      } else
+        (coalesce(col(e + "cc"), lit(0L)), coalesce(col(e + "cv"), lit(0)))
+    val predBase: Column = sp.predText
+      .map(t => coalesce(dpred(t), lit(false))).getOrElse(lit(true))
+    val keyOkBase: Column = sp.corrCols.map(col(_).isNotNull).reduce(_ && _)
+    val baseDf = collated(df.where(predBase && keyOkBase))
+    val argBase: Column = sp.argCol.map(col).getOrElse(lit(1))
+    val bName = sp.name + "__base"
+    val b2Name = sp.name + "__base2"
+    val keyPfx = sp.name + "__k_"
+    val bAgg = (sp.agg match {
+      case "count" => count(argBase)
+      case "sum" => sum(argBase)
+      case _ => sum(argBase.cast("double"))
+    }).as(bName)
+    val renamed = baseDf.groupBy(sp.corrCols.map(col): _*)
+      .agg(bAgg, count(argBase).as(b2Name))
+      .select((sp.corrCols.map(c => col(c).as(keyPfx + c)) ++
+        Seq(col(bName), col(b2Name))): _*)
+    val bJoin = sp.corrCols.zip(evalKeys).map { case (c, k) =>
+      k === col(keyPfx + c) }.reduce(_ && _)
+    images = images.join(renamed, bJoin, "left")
+      .drop(sp.corrCols.map(keyPfx + _): _*)
+    // a NULL evaluation key joins nothing on either side: count → 0,
+    // sum/avg → NULL, total → 0.0 — SQL equality over an empty set
+    val liveCnt = coalesce(col(b2Name), lit(0L)) + ccEff
+    val combined: Column = sp.agg match {
+      case "count" => coalesce(col(bName).cast("long"), lit(0L)) + ccEff
+      case "sum" => when(liveCnt === 0L, lit(null))
+        .otherwise(coalesce(col(bName), lit(0)) + cvEff)
+      case "total" => coalesce(col(bName), lit(0.0)) + cvEff
+      case "avg" => when(liveCnt === 0L, lit(null))
+        .otherwise((coalesce(col(bName), lit(0.0)) + cvEff) / liveCnt)
+      case other => throw new UnsupportedOperationException(
+        s"self-read $other under key reassignment") // unreachable (gated)
+    }
+    images.withColumn(sp.name, combined)
+      .drop(e + "cc", e + "cv", bName, b2Name)
+  }
+
   /** Vectorized UPDATE/DELETE firing: the same pure-DataFrame tier for
     * row changes with pre/post images. The affected set maps to an
     * image frame (OLD = the row, NEW = the assignment projection —
@@ -3151,12 +3340,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // alias column, un-reassigned
       if (aiNameOpt.isEmpty) return false
       if (assignedCols.exists(_.equalsIgnoreCase(aiNameOpt.get))) return false
-      // min/max deltas are not invertible; correlation keys must be
-      // stable (unassigned) so old and new partitions coincide
-      if (selfSpecs.exists(sp => sp.agg == "min" || sp.agg == "max"))
+      // min/max (r17): exact prefix/suffix/outside decomposition rather
+      // than deltas — but not combined with a reassigned correlation
+      // key (the partitions would differ per window term)
+      if (selfSpecs.exists(sp => (sp.agg == "min" || sp.agg == "max") &&
+          sp.corrCols.exists(c => assignedCols.exists(_.equalsIgnoreCase(c)))))
         return false
-      if (selfSpecs.exists(_.corrCols.exists(c =>
-        assignedCols.exists(_.equalsIgnoreCase(c))))) return false
     }
     def resolve(tg: SqliteDdl.TriggerDef, kw: String, c: String): String = {
       val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
@@ -3175,7 +3364,21 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           pl.tg.when.exists(_.contains("__selfagg_"))))
       return false
     val rid = "__trg_rid"
-    val tagged = df.withColumn(rid, monotonically_increasing_id())
+    // a content-derived row id: monotonically_increasing_id values
+    // depend on the evaluation's partition layout, and the main-change
+    // join re-evaluates this frame under a DIFFERENT plan than the
+    // image/append staging (r17 — a layout shift left the anti-join
+    // matching only partition-initial rows). The rowid alias is unique,
+    // deterministic, and IS SQLite's firing order; without one, pin the
+    // generated ids by materializing once (executor-side, like the
+    // general tier's checkpoint).
+    val tagged = aiNameOpt match {
+      case Some(ai) =>
+        val n = fields.find(_.name.equalsIgnoreCase(ai)).get.name
+        df.withColumn(rid, col(n).cast("long"))
+      case None =>
+        df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
+    }
     var images = tagged.where(firePred)
       .withColumn("__vec_seq", col(rid))
     fields.foreach { f =>
@@ -3206,6 +3409,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         (if (sp.argCol.isDefined) argOf("__old_").isNotNull else lit(true))
       val aiOld = col("__old_" + fields
         .find(_.name.equalsIgnoreCase(aiNameOpt.get)).get.name)
+      val keyReassigned = sp.corrCols.exists(c =>
+        assignedCols.exists(_.equalsIgnoreCase(c)))
+      if (sp.agg == "min" || sp.agg == "max") {
+        images = selfAggMinMax(sp, images, df, firePred, hasNew, abandon,
+          qNew, aiOld, resid, keyOk, argOf)
+      } else if (keyReassigned) {
+        images = selfAggReassignedKey(sp, images, df, qNew, qOld, aiOld, argOf)
+      } else {
       val w0 =
         if (sp.corrCols.isEmpty) Window.orderBy(aiOld)
         else Window.partitionBy(sp.corrCols.map(c => col("__old_" + c)): _*)
@@ -3283,6 +3494,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           s"self-read $other under UPDATE/DELETE") // unreachable (gated)
       }
       images = images.withColumn(sp.name, combined).drop(bName, b2Name)
+      }
     } catch {
       case _: UnsupportedOperationException => return false
     }

@@ -661,4 +661,150 @@ class TriggerSpec extends SparkSpecBase {
         "UPDATE t SET g = g + 1, x = x + 1;")
     same(id3, db3, "SELECT sg, v FROM audit ORDER BY v;")
   }
+
+  test("min/max self-reads vectorize under UPDATE/DELETE (r17): exact decomposition") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, g INTEGER, x INTEGER);\n" +
+      "CREATE TABLE audit (mn INTEGER, mx INTEGER, mg INTEGER, v INTEGER);"
+    val seed = "INSERT INTO t (g, x) VALUES " +
+      "(1,10),(2,25),(1,30),(2,5),(1,40),(2,60),(1,22),(2,18);"
+    // AFTER UPDATE: each firing sees already-updated rows' NEW x and
+    // later rows' OLD x — the prefix/suffix decomposition
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, seed +
+      "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT min(x) FROM t), (SELECT max(x) FROM t), " +
+        "(SELECT max(x) FROM t WHERE g = NEW.g), NEW.id); END;" +
+        "UPDATE t SET x = x - 7 WHERE x > 20;")
+    same(id, db, "SELECT mn, mx, mg, v FROM audit ORDER BY v;")
+    same(id, db, "SELECT id, g, x FROM t ORDER BY id;")
+    // BEFORE DELETE: the global min moves as the scan deletes; the
+    // correlated max partitions by the (stable) OLD key
+    val id2 = seg(schema); val db2 = cliDb(schema)
+    runBoth(id2, db2, seed +
+      "CREATE TRIGGER td BEFORE DELETE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT min(x) FROM t), (SELECT max(x) FROM t WHERE g = OLD.g), " +
+        "NULL, OLD.id); END;" +
+        "DELETE FROM t WHERE x < 35;")
+    same(id2, db2, "SELECT mn, mx, v FROM audit ORDER BY v;")
+    same(id2, db2, "SELECT id, g, x FROM t ORDER BY id;")
+    // RAISE(IGNORE)-abandoned rows keep their OLD values visible at
+    // every later firing (the whole-frame window term)
+    val id3 = seg(schema); val db3 = cliDb(schema)
+    runBoth(id3, db3, seed +
+      "CREATE TRIGGER tf BEFORE UPDATE ON t WHEN NEW.x % 2 = 1 " +
+        "BEGIN SELECT RAISE(IGNORE); END;" +
+        "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT min(x) FROM t), (SELECT max(x) FROM t), NULL, NEW.id); END;" +
+        "UPDATE t SET x = x * 2 - 25;")
+    same(id3, db3, "SELECT mn, mx, v FROM audit ORDER BY v;")
+    same(id3, db3, "SELECT id, g, x FROM t ORDER BY id;")
+    // min over TEXT follows BINARY (byte) order through the same windows
+    val schemaT = "CREATE TABLE s (id INTEGER PRIMARY KEY, w TEXT);\n" +
+      "CREATE TABLE audit (mn TEXT, mx TEXT, v INTEGER);"
+    val id4 = seg(schemaT); val db4 = cliDb(schemaT)
+    runBoth(id4, db4,
+      "INSERT INTO s (w) VALUES ('pear'),('Apple'),('fig'),('date'),('kiwi');" +
+        "CREATE TRIGGER su AFTER UPDATE ON s BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT min(w) FROM s), (SELECT max(w) FROM s), NEW.id); END;" +
+        "UPDATE s SET w = upper(w) WHERE length(w) > 3;")
+    same(id4, db4, "SELECT mn, mx, v FROM audit ORDER BY v;")
+  }
+
+  test("min/max self-read bodies past the cap: 1,200 firings under UPDATE and DELETE (r17 done-bar)") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, g INTEGER, x INTEGER);\n" +
+      "CREATE TABLE audit (mn INTEGER, mxg INTEGER, v INTEGER);"
+    def fill(id: String, db: Path): Unit =
+      (0 until 3).foreach { b =>
+        runBoth(id, db, "INSERT INTO t (g, x) VALUES " +
+          (1 to 400).map { i =>
+            val k = b * 400 + i
+            s"(${k % 19}, ${k % 83})"
+          }.mkString(", ") + ";")
+      }
+    val id = seg(schema); val db = cliDb(schema)
+    fill(id, db)
+    runBoth(id, db,
+      "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT min(x) FROM t), (SELECT max(x) FROM t WHERE g = NEW.g), " +
+        "NEW.id); END;" +
+        "UPDATE t SET x = x + 5;")
+    same(id, db, "SELECT count(*) AS fired, min(mn) AS mmn, sum(mxg) AS smx " +
+      "FROM audit;")
+    same(id, db, "SELECT mn, mxg, v FROM audit ORDER BY v LIMIT 40;")
+    same(id, db, "SELECT mn, mxg, v FROM audit ORDER BY v DESC LIMIT 10;")
+    val id2 = seg(schema); val db2 = cliDb(schema)
+    fill(id2, db2)
+    runBoth(id2, db2,
+      "CREATE TRIGGER td BEFORE DELETE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT min(x) FROM t), (SELECT max(x) FROM t WHERE g = OLD.g), " +
+        "OLD.id); END;" +
+        "DELETE FROM t;")
+    same(id2, db2, "SELECT count(*) AS fired, min(mn) AS mmn, sum(mxg) AS smx " +
+      "FROM audit;")
+    same(id2, db2, "SELECT mn, mxg, v FROM audit ORDER BY v LIMIT 40;")
+    same(id2, db2, "SELECT count(*) AS left_n FROM t;")
+  }
+
+  test("reassigned-key correlated self-reads vectorize (r17): event-stream deltas") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, g INTEGER, x INTEGER);\n" +
+      "CREATE TABLE audit (sn INTEGER, so INTEGER, c INTEGER, a REAL, v INTEGER);"
+    val seed = "INSERT INTO t (g, x) VALUES " +
+      "(1,10),(2,20),(1,30),(3,40),(2,50),(1,60);"
+    // the NEW.g and OLD.g spellings now evaluate at DIFFERENT keys
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db, seed +
+      "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT sum(x) FROM t WHERE g = NEW.g), " +
+        "(SELECT sum(x) FROM t WHERE g = OLD.g), " +
+        "(SELECT count(*) FROM t WHERE g = NEW.g), " +
+        "(SELECT avg(x) FROM t WHERE g = NEW.g AND x % 2 = 0), " +
+        "NEW.id); END;" +
+        "UPDATE t SET g = g + 1, x = x + 1;")
+    same(id, db, "SELECT sn, so, c, printf('%.9e', a), v FROM audit ORDER BY v;")
+    same(id, db, "SELECT id, g, x FROM t ORDER BY id;")
+    // BEFORE timing: the firing's own key move hasn't applied yet
+    val id2 = seg(schema); val db2 = cliDb(schema)
+    runBoth(id2, db2, seed +
+      "CREATE TRIGGER tb BEFORE UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT sum(x) FROM t WHERE g = NEW.g), " +
+        "(SELECT count(*) FROM t WHERE g = OLD.g), NULL, NULL, NEW.id); END;" +
+        "UPDATE t SET g = g * 2;")
+    same(id2, db2, "SELECT sn, so, v FROM audit ORDER BY v;")
+    // a key reassigned TO NULL matches nothing; rows moving off a key
+    // stop counting there
+    val id3 = seg(schema); val db3 = cliDb(schema)
+    runBoth(id3, db3, seed +
+      "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT sum(x) FROM t WHERE g = NEW.g), " +
+        "(SELECT count(*) FROM t WHERE g = NEW.g), NULL, NULL, NEW.id); END;" +
+        "UPDATE t SET g = CASE WHEN x = 30 THEN NULL ELSE g + 1 END;")
+    same(id3, db3, "SELECT sn, c, v FROM audit ORDER BY v;")
+  }
+
+  test("reassigned-key correlated body past the cap: 1,200 firings (r17 done-bar)") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, g INTEGER, x INTEGER);\n" +
+      "CREATE TABLE audit (sn INTEGER, so INTEGER, c INTEGER, a REAL, v INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    (0 until 3).foreach { b =>
+      runBoth(id, db, "INSERT INTO t (g, x) VALUES " +
+        (1 to 400).map { i =>
+          val k = b * 400 + i
+          s"(${k % 19}, ${k % 83})"
+        }.mkString(", ") + ";")
+    }
+    runBoth(id, db,
+      "CREATE TRIGGER tu AFTER UPDATE ON t BEGIN INSERT INTO audit VALUES (" +
+        "(SELECT sum(x) FROM t WHERE g = NEW.g), " +
+        "(SELECT sum(x) FROM t WHERE g = OLD.g), " +
+        "(SELECT count(*) FROM t WHERE g = NEW.g), " +
+        "(SELECT avg(x) FROM t WHERE g = NEW.g AND x % 2 = 0), " +
+        "NEW.id); END;" +
+        "UPDATE t SET g = (g * 7 + x) % 13, x = x + 2;")
+    same(id, db, "SELECT count(*) AS fired, sum(sn) AS ssn, sum(so) AS sso, " +
+      "max(c) AS mc FROM audit;")
+    same(id, db, "SELECT sn, so, c, printf('%.9e', a), v FROM audit " +
+      "ORDER BY v LIMIT 40;")
+    same(id, db, "SELECT sn, so, c, v FROM audit ORDER BY v DESC LIMIT 10;")
+    same(id, db, "SELECT g, count(*) AS n, sum(x) AS s FROM t GROUP BY g ORDER BY g;")
+  }
 }
