@@ -75,10 +75,9 @@ class TroughEngine(
   /** Isolated child session for one read: per-call temp view scoping,
     * trough UDFs, and SQLite-style double-quoted identifiers
     * (`SELECT * FROM "test"` — used by the reference's own tests,
-    * test_read.py:29). Dialect deviation, documented: a double-quoted
-    * *string literal* inside a read query must use single quotes (SQLite
-    * itself only falls back to string semantics when the identifier
-    * doesn't resolve — a lookup-dependent ambiguity Spark won't emulate). */
+    * test_read.py:29). The string-literal half of SQLite's DQS quirk —
+    * an UNRESOLVABLE double-quoted token reads as a string — is handled
+    * lookup-dependently at analysis time ([[sqlWithDqsFallback]], r17). */
   private def readSession(): SparkSession = {
     val sess = spark.newSession()
     TroughFunctions.register(sess)
@@ -299,7 +298,7 @@ class TroughEngine(
       registerMaster(sess, store.masterCatalog(segmentId).map {
         case (t, n, tb, rp, sq) => Row(t, n, tb, rp, sq)
       }, withSegmentId = false)
-    var out = SqliteDialect.sqlPrepared(sess, stmt2) // validateRead already prepared it
+    var out = sqlWithDqsFallback(sess, stmt2) // validateRead already prepared it
     // `SELECT *` over a content= fts view would leak its hidden
     // columns — real fts5 shows only the declared ones (r15). An
     // EXPLICIT rowid projection (rewritten to the hidden `__rid#t`)
@@ -588,7 +587,98 @@ class TroughEngine(
       registerMaster(sess, matched.flatMap(seg => store.masterCatalog(seg).map {
         case (t, n, tb, rp, sq) => Row(t, n, tb, rp, sq, seg)
       }), withSegmentId = true)
-    SqliteDialect.sqlPrepared(sess, stmt) // validateRead already prepared it
+    sqlWithDqsFallback(sess, stmt) // validateRead already prepared it
+  }
+
+  /** SQLite's double-quoted-string misfeature on the READ path (r17;
+    * sqlite.org quirks.html#dblquote — the reference's python sqlite3
+    * keeps DQS enabled, so `SELECT "x" FROM t` reads the TEXT 'x' when
+    * no column x exists): the session's doubleQuotedIdentifiers flag
+    * gives the identifier half; the string-literal half re-runs
+    * analysis with exactly the token the analyzer reported unresolvable
+    * rewritten to a single-quoted literal — lookup-dependent, like
+    * SQLite's own per-token resolution, so aliases, subquery scopes and
+    * CTE columns all resolve before anything falls back. Table
+    * positions never fall back (`FROM "nosuch"` stays an error — a
+    * string cannot stand for a table in SQLite either), and qualified
+    * references (`t."x"`) stay errors too (a literal cannot carry a
+    * qualifier). */
+  private def sqlWithDqsFallback(sess: SparkSession, stmt: String): DataFrame = {
+    var cur = stmt
+    var guard = 0
+    while (true) {
+      try return SqliteDialect.sqlPrepared(sess, cur)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if guard < 32 && cur.indexOf('"') >= 0 &&
+              Option(e.getCondition).exists(_.startsWith("UNRESOLVED_COLUMN")) =>
+          val name = unresolvedSinglePartName(e).getOrElse(throw e)
+          val next = dqsLiteralize(cur, name)
+          if (next == cur) throw e
+          cur = next
+          guard += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The unresolved object name from an analyzer error, single-part
+    * only (backtick-unescaped); None for qualified names. */
+  private def unresolvedSinglePartName(
+      e: org.apache.spark.sql.AnalysisException): Option[String] = {
+    val raw = Option(e.getMessageParameters)
+      .flatMap(m => Option(m.get("objectName"))).getOrElse(return None)
+    if (!(raw.length >= 2 && raw.startsWith("`") && raw.endsWith("`"))) return None
+    val inner = raw.substring(1, raw.length - 1)
+    if (inner.contains("`.`")) None else Some(inner.replace("``", "`"))
+  }
+
+  /** Rewrite every DOUBLE-QUOTED occurrence of `name` in `text` to a
+    * single-quoted string literal (quote-aware scan; '' / "" escapes
+    * honored; backtick identifiers and single-quoted literals skipped).
+    * Exact-case occurrences rewrite when any exist, else case-insensitive
+    * ones (the analyzer reports the name as written, but resolution is
+    * case-insensitive). Returns `text` unchanged when nothing matched. */
+  private def dqsLiteralize(text: String, name: String): String = {
+    def pass(matchCase: Boolean): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        val c = text.charAt(i)
+        if (c == '\'') {
+          var j = i + 1
+          while (j < n && !(text.charAt(j) == '\'' &&
+            (j + 1 >= n || text.charAt(j + 1) != '\''))) {
+            j += (if (text.charAt(j) == '\'') 2 else 1)
+          }
+          val e = math.min(n, j + 1)
+          sb.append(text, i, e); i = e
+        } else if (c == '`') {
+          val e = text.indexOf('`', i + 1)
+          val stop = if (e < 0) n else e + 1
+          sb.append(text, i, stop); i = stop
+        } else if (c == '"') {
+          var j = i + 1
+          val ident = new java.lang.StringBuilder
+          var closed = false
+          while (j < n && !closed) {
+            if (text.charAt(j) == '"') {
+              if (j + 1 < n && text.charAt(j + 1) == '"') { ident.append('"'); j += 2 }
+              else { closed = true; j += 1 }
+            } else { ident.append(text.charAt(j)); j += 1 }
+          }
+          val tok = ident.toString
+          val hit = if (matchCase) tok == name else tok.equalsIgnoreCase(name)
+          if (hit) sb.append('\'').append(tok.replace("'", "''")).append('\'')
+          else sb.append(text, i, j)
+          i = j
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val exact = pass(matchCase = true)
+    if (exact != text) exact else pass(matchCase = false)
   }
 
   /** Table names referenced by an (already dialect-rewritten) statement,

@@ -304,7 +304,37 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     case 6 => s"ntile(${2 + rng.nextInt(4)}) OVER (ORDER BY t1.id)"
   }
 
-  private def genQuery(): String = rng.nextInt(16) match {
+  /** Double-quoted tokens under the reference's DQS-ON sqlite3 (r17):
+    * resolvable ones are identifiers, unresolvable ones fall back to
+    * string literals — in projection, concatenation, iif branches,
+    * WHERE, and GROUP BY positions. t1-only so bare names stay
+    * unambiguous; the CLI side runs `.dbconfig dqs_dml on`. */
+  private def dqsQuery(): String = {
+    val resolv = pick(Seq("a", "b", "s", "u", "c"))
+    val missing = "zz_" + rng.nextInt(5)
+    rng.nextInt(5) match {
+      case 0 =>
+        val items = Seq("\"" + resolv + "\"", "\"" + missing + "\"",
+          s"""("$missing" || '!')""")
+        s"""SELECT ${wrap(items)} FROM t1 WHERE "$resolv" IS NOT NULL;"""
+      case 1 => // unresolvable token in WHERE compares as a constant
+        val items = Seq.fill(1 + rng.nextInt(2))(selectItem(t1Ctx))
+        s"""SELECT ${wrap(items)} FROM t1 WHERE "$missing" = '$missing';"""
+      case 2 => // literal-vs-column compare; mixed-case resolution
+        val items = Seq("\"" + resolv.toUpperCase + "\"")
+        s"""SELECT ${wrap(items)} FROM t1 WHERE "${pick(sPool)}" = t1.s;"""
+      case 3 => // GROUP BY an unresolvable token groups by a constant
+        s"""SELECT quote(count(*)) AS c0, quote("$missing") AS c1 """ +
+          s"""FROM t1 GROUP BY "$missing";"""
+      case _ => // iif over a mix; a token with a space can only fall back
+        val items = Seq(
+          s"""iif("$resolv" IS NULL, "$missing", "no such col")""")
+        s"SELECT ${wrap(items)} FROM t1;"
+    }
+  }
+
+  private def genQuery(): String = rng.nextInt(18) match {
+    case 16 | 17 => dqsQuery()
     case 0 | 1 | 2 => // plain projection, optional DISTINCT / WHERE
       val (from, ctx) = fromClause()
       val items = Seq.fill(1 + rng.nextInt(3))(selectItem(ctx))
@@ -380,7 +410,9 @@ class SqliteQueryFuzzSpec extends SparkSpecBase {
     * (asserted against the pools at fixture build). */
   private val FrameMarker = "GRAFT-FRAME-c19e4b72"
   private def sqliteBatch(queries: Seq[String]): Seq[Seq[String]] = {
-    val sql = queries.map(q => s"SELECT '$FrameMarker';\n$q").mkString("\n")
+    // DQS ON, like the reference's python sqlite3 (the CLI defaults OFF)
+    val sql = ".dbconfig dqs_dml on\n" +
+      queries.map(q => s"SELECT '$FrameMarker';\n$q").mkString("\n")
     val out = SqliteCli.query(db, sql)
     val parts = out.split(FrameMarker, -1).toSeq.drop(1)
     require(parts.length == queries.length, "sqlite3 batch misaligned")
