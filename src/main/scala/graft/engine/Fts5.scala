@@ -2213,8 +2213,12 @@ object Fts5 {
               "table is supported only when the clauses are top-level " +
               "AND conjuncts of the main WHERE (scored as the single " +
               "AND-combined query) or one OR chain (first matching " +
-              "branch scores) — both probed against real fts5; other " +
-              "shapes are query-plan dependent there")
+              "branch scores) — both probed against real fts5. Mixed " +
+              "AND/OR nestings and NOT-negated MATCHes cannot execute " +
+              "in real fts5 at all ('unable to use function MATCH in " +
+              "the requested context', probed on 3.51) — there is no " +
+              "reference scoring to match; move the logic into one " +
+              "MATCH query (AND/OR/NOT are fts5 query syntax)")
       }
     }
     final case class Repl(start: Int, end: Int, text: String)
@@ -2284,8 +2288,12 @@ object Fts5 {
             "supported only when the clauses are top-level AND conjuncts " +
             "of the main WHERE (rendered as the single AND-combined " +
             "query) or one OR chain (first matching branch renders) — " +
-            "both probed against real fts5; other shapes are query-plan " +
-            "dependent there")
+            "both probed against real fts5. Mixed AND/OR nestings and " +
+            "NOT-negated MATCHes cannot execute in real fts5 at all " +
+            "('unable to use function MATCH in the requested context', " +
+            "probed on 3.51) — there is no reference rendering to match; " +
+            "move the logic into one MATCH query (AND/OR/NOT are fts5 " +
+            "query syntax)")
       }
     }
     val auxRe = "(?i)\\b(highlight|snippet)\\s*\\(([^()]*)\\)".r

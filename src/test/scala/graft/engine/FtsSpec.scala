@@ -649,4 +649,69 @@ class FtsSpec extends SparkSpecBase {
         "WHERE f3 MATCH 'quick' OR f3 MATCH 'fox' AND a <> '';").collect())
     assert(e2.getMessage.contains("top-level AND conjunct"), e2.getMessage)
   }
+
+  test("mixed AND/OR and NOT multi-MATCH (r17): real fts5 cannot execute them " +
+      "at all; engine answers the row set, aux functions refuse by name") {
+    val s4 = "CREATE VIRTUAL TABLE f4 USING fts5(a, b);"
+    val id = seg(s4); val db = cliDb(s4)
+    runBoth(id, db,
+      "INSERT INTO f4 VALUES ('apple pear', 'kiwi'), " +
+        "('apple apple', 'plum'), ('pear plum', 'apple kiwi'), " +
+        "('kiwi kiwi', 'pear'), ('plum', 'plum pear apple');")
+    // probe pin: the direct shapes ERROR in real fts5 ('unable to use
+    // function MATCH in the requested context', 3.51)
+    Seq(
+      "SELECT a FROM f4 WHERE (f4 MATCH 'apple' OR f4 MATCH 'kiwi') AND f4 MATCH 'pear';",
+      "SELECT a FROM f4 WHERE f4 MATCH 'apple' AND NOT f4 MATCH 'kiwi';",
+      "SELECT a FROM f4 WHERE NOT (f4 MATCH 'kiwi');",
+      "SELECT a FROM f4 WHERE f4 MATCH 'apple' OR NOT f4 MATCH 'pear';"
+    ).foreach { q =>
+      assert(SqliteCli.run(db.toString, s".bail on\n$q") != 0,
+        s"expected real fts5 to refuse: $q")
+    }
+    // the engine's token-predicate compilation answers them — row sets
+    // checked against sqlite3 running the SET-ALGEBRA rewrite over
+    // single-MATCH subqueries (the only way real fts5 can express them)
+    def sameAs(engineSql: String, cliSql: String): Unit = {
+      val ours = engine.read(id, engineSql).collect().map(render)
+        .mkString("\n")
+      val theirs = SqliteCli.query(db.toString, cliSql)
+      assert(ours == theirs,
+        s"\n-- engine --\n$ours\n-- sqlite3 --\n$theirs\n-- for --\n$engineSql")
+    }
+    sameAs(
+      "SELECT a FROM f4 WHERE (f4 MATCH 'apple' OR f4 MATCH 'kiwi') " +
+        "AND f4 MATCH 'pear' ORDER BY a;",
+      "SELECT a FROM f4 WHERE rowid IN (SELECT rowid FROM f4 WHERE " +
+        "f4 MATCH 'apple' UNION SELECT rowid FROM f4 WHERE f4 MATCH 'kiwi') " +
+        "AND rowid IN (SELECT rowid FROM f4 WHERE f4 MATCH 'pear') ORDER BY a;")
+    sameAs(
+      "SELECT a FROM f4 WHERE f4 MATCH 'apple' AND NOT f4 MATCH 'kiwi' " +
+        "ORDER BY a;",
+      "SELECT a FROM f4 WHERE rowid IN (SELECT rowid FROM f4 WHERE " +
+        "f4 MATCH 'apple') AND rowid NOT IN (SELECT rowid FROM f4 WHERE " +
+        "f4 MATCH 'kiwi') ORDER BY a;")
+    sameAs(
+      "SELECT a FROM f4 WHERE NOT (f4 MATCH 'kiwi') ORDER BY a;",
+      "SELECT a FROM f4 WHERE rowid NOT IN (SELECT rowid FROM f4 WHERE " +
+        "f4 MATCH 'kiwi') ORDER BY a;")
+    sameAs(
+      "SELECT a FROM f4 WHERE b MATCH 'pear' OR NOT f4 MATCH 'apple' " +
+        "ORDER BY a;",
+      "SELECT a FROM f4 WHERE rowid IN (SELECT rowid FROM f4 WHERE " +
+        "b MATCH 'pear') OR rowid NOT IN (SELECT rowid FROM f4 WHERE " +
+        "f4 MATCH 'apple') ORDER BY a;")
+    // aux functions under these shapes refuse, naming fts5's own error
+    Seq(
+      "SELECT a, bm25(f4) FROM f4 WHERE (f4 MATCH 'apple' OR " +
+        "f4 MATCH 'kiwi') AND f4 MATCH 'pear';",
+      "SELECT a, highlight(f4, 0, '[', ']') FROM f4 WHERE " +
+        "f4 MATCH 'apple' AND NOT f4 MATCH 'kiwi';",
+      "SELECT a, rank FROM f4 WHERE f4 MATCH 'apple' OR NOT f4 MATCH 'pear';"
+    ).foreach { q =>
+      val e = intercept[Exception](engine.read(id, q).collect())
+      assert(e.getMessage.contains("unable to use function MATCH"),
+        s"$q\n${e.getMessage}")
+    }
+  }
 }
