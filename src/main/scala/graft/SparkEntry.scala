@@ -1231,6 +1231,16 @@ object SparkEntry {
       import s.implicits._
       Dedup.substringSpans(t(s, dir, "documents"), gramLen = 10)
         .orderBy($"doc_id")
+    }),
+    // Substring-dedup CUT (r17): remove every duplicated 10-token span
+    // occurrence except the globally first and emit the cleaned text —
+    // the pass a trainer actually runs over the q68 accounting. Same
+    // single gram shuffle; merged spans from one per-doc window;
+    // reconstruction in per-row HOFs.
+    "q69_substring_cut" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.substringDedup(t(s, dir, "documents"), gramLen = 10)
+        .orderBy($"doc_id")
     })
   )
 
@@ -1781,6 +1791,50 @@ object SparkEntry {
         CAST(coalesce(s.cov, 0) AS BIGINT) AS covered_tokens,
         CAST(len(t.tk) AS BIGINT) AS n_tokens
       FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""",
+    // keep-first substring cut: first occurrence per duplicated gram by
+    // (doc_id, pos); overlapping cut spans merged by a running-max
+    // window; cleaned text rebuilt from the surviving token indices
+    "q69_substring_cut" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g0 AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 9)) AS pos, tk
+             FROM t WHERE len(tk) >= 10),
+      g AS (SELECT doc_id, pos, array_to_string(tk[pos:pos+9], ' ') AS gram
+            FROM g0),
+      gd AS (SELECT gram FROM g GROUP BY gram
+             HAVING count(DISTINCT doc_id) >= 2),
+      h AS (SELECT g.doc_id, g.pos,
+              row_number() OVER (PARTITION BY g.gram
+                                 ORDER BY g.doc_id, g.pos) AS rn
+            FROM g JOIN gd USING (gram)),
+      cuts AS (SELECT doc_id, pos FROM h WHERE rn > 1),
+      isl AS (SELECT doc_id, pos,
+                CASE WHEN pos >= coalesce(max(pos + 10) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -1) THEN 1 ELSE 0 END AS ni
+              FROM cuts),
+      isl2 AS (SELECT doc_id, pos,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM isl),
+      merged AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 10 AS e
+                 FROM isl2 GROUP BY 1, 2),
+      cutidx AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS i
+                 FROM merged),
+      tokidx AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+                 FROM t),
+      marked AS (SELECT k.doc_id, k.i,
+                   CASE WHEN c.i IS NULL THEN k.tk[k.i] END AS tok
+                 FROM tokidx k LEFT JOIN cutidx c
+                   ON c.doc_id = k.doc_id AND c.i = k.i),
+      agg AS (SELECT doc_id,
+                coalesce(array_to_string(
+                  list(tok ORDER BY i) FILTER (WHERE tok IS NOT NULL), ' '),
+                  '') AS text_dedup,
+                count(tok) AS kept FROM marked GROUP BY 1)
+      SELECT t.doc_id, a.text_dedup,
+        CAST(a.kept AS BIGINT) AS kept_tokens,
+        CAST(len(t.tk) AS BIGINT) AS n_tokens
+      FROM t JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
     // the Spark side fetched its rows over real HTTP from the read
     // server; a hash match against raw parquet proves the wire lossless
     "q58_http_read" -> """

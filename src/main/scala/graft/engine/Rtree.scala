@@ -36,9 +36,21 @@ object Rtree {
 
   final case class RtreeDef(name: String, idCol: String,
       coordCols: Seq[String], i32: Boolean, ifNotExists: Boolean,
-      sql: String) {
+      sql: String,
+      /** Auxiliary `+col [TYPE]` columns (r17): stored alongside the
+        * coords, excluded from the tree key, landed in the `%_rowid`
+        * shadow as `a0, a1, …` on export (probed DDL shape). Real rtree
+        * IGNORES the type decoration (aux columns have no affinity —
+        * probed: `+label TEXT` stores 77 as integer); this engine's
+        * columns are concretely typed, so the decoration maps through
+        * the ordinary affinity rules and an undecorated aux is TEXT —
+        * the same documented deviation as dynamic table columns. */
+      aux: Seq[(String, String)] = Nil) {
     def pairs: Seq[(String, String)] =
       coordCols.grouped(2).map(p => (p(0), p(1))).toSeq
+    def auxType(decl: String): DataType =
+      if (decl.trim.isEmpty) org.apache.spark.sql.types.StringType
+      else SqliteDdl.affinity(decl)
   }
 
   private val createVirtualRe =
@@ -53,19 +65,27 @@ object Rtree {
     val module = m.group(3).toLowerCase(java.util.Locale.ROOT)
     if (module != "rtree" && module != "rtree_i32") return None
     val name = SqlScript.unquoteIdent(m.group(2))
-    val cols = SqlScript.splitTopLevel(m.group(4)).map { arg =>
-      // auxiliary (+col) columns and per-column type decorations are
-      // out of this subset — refuse by name
-      val a = arg.trim
-      if (a.startsWith("+"))
-        throw new UnsupportedOperationException(
-          s"rtree auxiliary column '$a' is not supported: only the plain " +
-            "(id, min/max…) rtree shape has an engine analog")
-      val c = SqlScript.unquoteIdent(a.split("\\s+").head)
+    val args = SqlScript.splitTopLevel(m.group(4)).map(_.trim)
+    // auxiliary `+col [TYPE]` columns (r17) come after the coords —
+    // real rtree's own error text when they don't (probed)
+    val firstAux = args.indexWhere(_.startsWith("+"))
+    val (plain, auxArgs) =
+      if (firstAux < 0) (args, Seq.empty[String]) else args.splitAt(firstAux)
+    if (auxArgs.exists(a => !a.startsWith("+")))
+      throw new IllegalArgumentException("Auxiliary rtree columns must be last")
+    val cols = plain.map { arg =>
+      val c = SqlScript.unquoteIdent(arg.split("\\s+").head)
       require(c.nonEmpty, s"cannot parse rtree column: '$arg'")
       c
     }
-    // real rtree's own arity errors (probed texts)
+    val aux = auxArgs.map { arg =>
+      val body = arg.stripPrefix("+").trim
+      val c = SqlScript.unquoteIdent(body.split("\\s+").head)
+      require(c.nonEmpty, s"cannot parse rtree auxiliary column: '$arg'")
+      (c, body.split("\\s+").drop(1).mkString(" "))
+    }
+    // real rtree's own arity errors count the NON-aux columns (probed:
+    // `rtree(id, minX, +a)` is "Too few columns for an rtree table")
     if (cols.length < 3)
       throw new IllegalArgumentException("Too few columns for an rtree table")
     if (cols.length > 11)
@@ -74,16 +94,17 @@ object Rtree {
       throw new IllegalArgumentException(
         "Wrong number of columns for an rtree table")
     Some(RtreeDef(name, cols.head, cols.tail, module == "rtree_i32",
-      m.group(1) != null, stmt.trim.stripSuffix(";").trim))
+      m.group(1) != null, stmt.trim.stripSuffix(";").trim, aux))
   }
 
   /** Backing schema: integer rowid alias + float64-surfaced coords
     * (values hold the module's coerced float32/int32 results). */
   def schemaOf(rd: RtreeDef): StructType = {
     val f = org.apache.spark.sql.types.StructField
-    StructType(f(rd.idCol, LongType) +:
+    StructType((f(rd.idCol, LongType) +:
       rd.coordCols.map(c =>
-        f(c, if (rd.i32) LongType else DoubleType)))
+        f(c, if (rd.i32) LongType else DoubleType))) ++
+      rd.aux.map { case (c, decl) => f(c, rd.auxType(decl)) })
   }
 
   def metaOf(rd: RtreeDef): SegmentStore.TableMeta =
@@ -115,10 +136,13 @@ object Rtree {
       b.finish()
     }
     def one(v: Any): IndexedSeq[Any] = IndexedSeq[Any](null, v)
+    // aux columns land in %_rowid as a0, a1, … (probed shadow DDL)
+    val auxDecl = rd.aux.indices.map(i => s",a$i").mkString
     Seq(
       SqliteWriter.StreamedTable(s"${rd.name}_rowid",
-        s"""CREATE TABLE "${rd.name}_rowid"(rowid INTEGER PRIMARY KEY,nodeno)""",
-        () => built.rowidRows.map { case (r, n) => (r, one(n)) }),
+        s"""CREATE TABLE "${rd.name}_rowid"(rowid INTEGER PRIMARY KEY,nodeno$auxDecl)""",
+        () => built.rowidRows.map { case (r, n, auxVals) =>
+          (r, IndexedSeq[Any](null, n) ++ auxVals) }),
       SqliteWriter.StreamedTable(s"${rd.name}_node",
         s"""CREATE TABLE "${rd.name}_node"(nodeno INTEGER PRIMARY KEY,data)""",
         () => built.nodeRows.map { case (n, b) => (n, one(b)) }),
@@ -180,10 +204,13 @@ object Rtree {
       else SqlInternals.column(RtreeCoord(
         SqlInternals.expression(v.cast("double")), up))
     }
-    val out = df.select(df(rd.idCol).cast("long").as(rd.idCol) +:
+    val out = df.select((df(rd.idCol).cast("long").as(rd.idCol) +:
       rd.pairs.flatMap { case (lo, hi) =>
         Seq(coerce(lo, up = false).as(lo), coerce(hi, up = true).as(hi))
-      }: _*)
+      }) ++
+      // aux columns (r17): no module coercion — cast to the backing
+      // schema's concrete type (the documented dynamic-column analog)
+      rd.aux.map { case (c, decl) => df(c).cast(rd.auxType(decl)).as(c) }: _*)
     // min ≤ max per pair AFTER coercion — real rtree's named error —
     // plus max(id)/null-id detection, all in ONE bounded job
     val flags = rd.pairs.map { case (lo, hi) =>
@@ -260,7 +287,12 @@ final class RtreeTreeBuilder(rd: Rtree.RtreeDef, pageSize: Int = 4096) {
   private var spilled = 0
   // (emission idx, bbox) of the level being packed; leaves while adding
   private var level = scala.collection.mutable.ArrayBuffer[(Int, Array[Double])]()
-  private val rowidPairs = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+  // (rowid, leaf emission idx, aux values) — aux values ride in memory
+  // with the pair buffer; the documented bound grows from 16 B/row to
+  // 16 B + the row's aux payload (segments are small by the reference's
+  // own design — README.rst:23-25)
+  private val rowidPairs =
+    scala.collection.mutable.ArrayBuffer[(Long, Int, IndexedSeq[Any])]()
   private val parentPairs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
   private var finished = false
 
@@ -293,27 +325,36 @@ final class RtreeTreeBuilder(rd: Rtree.RtreeDef, pageSize: Int = 4096) {
     box
   }
 
+  // aux values of the pending leaf's rows, parallel to `pending`
+  private val pendingAux =
+    scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]]()
+
   private def flushLeaf(): Unit = if (pending.nonEmpty) {
     val cells = pending.toSeq
     val ei = emit(0, cells)
     level += ((ei, boxAround(cells.map(_._2))))
-    cells.foreach { case (id, _) => rowidPairs += ((id, ei)) }
+    cells.zip(pendingAux).foreach { case ((id, _), av) =>
+      rowidPairs += ((id, ei, av)) }
     pending.clear()
+    pendingAux.clear()
   }
 
   /** Feed one row — (rowid, coords in declared column order), values
     * already module-coerced ([[Rtree.coerceAndCheck]] shapes: Long for
-    * rtree_i32, float32-exact Double otherwise). Callers supply rows
-    * pre-sorted by first-dimension center for locality; ANY order
-    * yields a valid tree (containment is by construction). */
-  def add(rowid: Long, coords: IndexedSeq[Any]): Unit = {
+    * rtree_i32, float32-exact Double otherwise), plus any auxiliary
+    * column values (r17 — stored, never part of the tree key). Callers
+    * supply rows pre-sorted by first-dimension center for locality;
+    * ANY order yields a valid tree (containment is by construction). */
+  def add(rowid: Long, coords: IndexedSeq[Any],
+      aux: IndexedSeq[Any] = IndexedSeq.empty): Unit = {
     pending += ((rowid, coords.map(Rtree.num).toArray))
+    pendingAux += aux
     if (pending.length == capacity) flushLeaf()
   }
 
   final case class Built(depth: Int, nodeCount: Int,
       nodeRows: Iterator[(Long, Array[Byte])],
-      rowidRows: Iterator[(Long, Long)],
+      rowidRows: Iterator[(Long, Long, IndexedSeq[Any])],
       parentRows: Iterator[(Long, Long)])
 
   /** Pack the upper levels and stream the numbered nodes back out of
@@ -366,7 +407,7 @@ final class RtreeTreeBuilder(rd: Rtree.RtreeDef, pageSize: Int = 4096) {
       (0 until spilled - 1).iterator.map(ei => (ei + 2L, readAt(ei))) ++
       closeOnEnd(readCh)
     val ridRows = rowidPairs.sortInPlaceBy(_._1).iterator
-      .map { case (rid, ei) => (rid, nodenoOf(ei)) }
+      .map { case (rid, ei, av) => (rid, nodenoOf(ei), av) }
     val parRows = parentPairs.map { case (ci, pe) =>
       (nodenoOf(ci), nodenoOf(pe))
     }.sortInPlaceBy(_._1).iterator

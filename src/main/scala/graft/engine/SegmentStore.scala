@@ -588,7 +588,32 @@ class SegmentStore(
             .select(functions.col("data"))
             .rdd.flatMap(r => Rtree.decodeLeafCells(rd,
               r.getAs[Array[Byte]](0)).map(Row.fromSeq))
-          val df = spark.createDataFrame(rows, Rtree.schemaOf(rd))
+          val coordDf = spark.createDataFrame(rows,
+            Rtree.schemaOf(rd.copy(aux = Nil)))
+          // auxiliary +col values (r17) live in the %_rowid shadow as
+          // a0, a1, … — join them back by rowid; typeless shadow
+          // columns may ingest as the widened binary class, so cast
+          // through string (the parentnode pattern) to the aux type
+          val df =
+            if (rd.aux.isEmpty) coordDf
+            else names.find(_.equalsIgnoreCase(rd0.name + "_rowid")) match {
+              case Some(rn) =>
+                val auxCols = rd.aux.zipWithIndex.map { case ((c, decl), i) =>
+                  functions.col(s"a$i")
+                    .cast(org.apache.spark.sql.types.StringType)
+                    .cast(rd.auxType(decl)).as(c)
+                }
+                val ridDf = loadTable(segmentId, rn).select(
+                  functions.col("rowid").cast(LongType).as("__rt_rid") +:
+                    auxCols: _*)
+                coordDf.join(ridDf,
+                  coordDf(rd.idCol) === functions.col("__rt_rid"), "left")
+                  .drop("__rt_rid")
+              case None => // no rowid shadow in the file: aux read NULL
+                rd.aux.foldLeft(coordDf) { case (d, (c, decl)) =>
+                  d.withColumn(c, functions.lit(null).cast(rd.auxType(decl)))
+                }
+            }
           Files.createDirectories(tableRoot(root, rd.name))
           prepareTableData(segmentId, rd.name, df)
           swapPreparedData(segmentId, rd.name, Some(Rtree.metaOf(rd)))
@@ -850,8 +875,10 @@ class SegmentStore(
           functions.col(rd.idCol))
         sorted.toLocalIterator().asScala.foreach { r =>
           require(!r.isNullAt(0), s"rtree table $t: null id")
+          val nc = rd.coordCols.length
           b.add(r.getLong(0),
-            (1 to rd.coordCols.length).map(r.get(_)).toIndexedSeq)
+            (1 to nc).map(r.get(_)).toIndexedSeq,
+            (nc + 1 to nc + rd.aux.length).map(r.get(_)).toIndexedSeq)
         }
       }
     }
@@ -1564,7 +1591,12 @@ class SegmentStore(
       return
     }
     SegmentStore.requireNoReservedColumns(meta)
-    Files.createDirectories(liveDir(tierRoot(segmentId), segmentId, table))
+    // the TABLE root only — the per-segment live dir appears at first
+    // data commit. An eager empty partition dir per provisioned segment
+    // put 10⁵ empty dirs under the scan root at trough's real segment
+    // count, and listing them dominated every readAll's planning
+    // (~20 s at 100k, r17 measured); empty tables resolve from meta.
+    Files.createDirectories(tableRoot(tierRoot(segmentId), table))
     writeMeta(segmentId, table, meta)
   }
 
@@ -1756,7 +1788,13 @@ class SegmentStore(
       if (!Files.isDirectory(live) && Files.isDirectory(oldDir(root, segmentId, table)))
         Files.move(oldDir(root, segmentId, table), live, StandardCopyOption.ATOMIC_MOVE)
     }
-    session.read.schema(meta.schema).parquet(live.toString)
+    // no live dir = no data ever committed (r17: createTable no longer
+    // materializes an empty partition dir) — an empty frame of the
+    // declared schema, exactly what an empty parquet dir served
+    if (!Files.isDirectory(live))
+      session.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), meta.schema)
+    else session.read.schema(meta.schema).parquet(live.toString)
   }
 
   /** One scan over EVERY segment's slice of a table: the whole table
@@ -1793,8 +1831,25 @@ class SegmentStore(
       // CREATEd in-transaction may have a meta but no data dir yet, and
       // the swap rename pair has a momentary no-live-dir window — a
       // cached snapshot would drop that segment from every subsequent
-      // scan until unrelated DDL invalidated the plan
-      val dirs = g.paths.filter(Files.isDirectory(_))
+      // scan until unrelated DDL invalidated the plan. The uniform case
+      // checks its single root path directly; conflict groups carry
+      // per-segment paths and filter them against ONE readdir of the
+      // root — a stat per path costs ~0.2 ms on overlay filesystems,
+      // ~20 s alone at 10⁵ segments (r17, measured)
+      val dirs =
+        if (g.paths.lengthCompare(1) == 0 && g.paths.head == g.basePath)
+          g.paths.filter(Files.isDirectory(_))
+        else {
+          val existing: Set[String] =
+            if (!Files.isDirectory(g.basePath)) Set.empty
+            else {
+              val s = Files.list(g.basePath)
+              try s.iterator.asScala.map(_.getFileName.toString)
+                .filter(_.startsWith("segment_id=")).toSet
+              finally s.close()
+            }
+          g.paths.filter(p => existing(p.getFileName.toString))
+        }
       if (dirs.isEmpty) None
       else Some {
         // explicit schema: data fields + the partition column, so the
@@ -1821,13 +1876,23 @@ class SegmentStore(
     val roots = tierRoots.filter(r =>
       Files.isDirectory(tableRoot(r, table)) && metaCount(tableRoot(r, table)) > 0)
     require(roots.nonEmpty, s"no such table in any segment: $table")
-    // (tier table root, segment partition dir, declared schema) per segment
+    // (tier table root, segment partition dir, declared schema) per
+    // segment. Pooled (r17): at trough's 10⁵-segment universe a serial
+    // loop makes meta-file read latency the first query's planning
+    // bottleneck (measured 27 s at 100k; ~3 s pooled ×16) — same
+    // reasoning as the distributed export's pooled spec collection.
     val metas: Seq[(Path, Path, StructType)] = roots.flatMap { r =>
       val tr = tableRoot(r, table)
-      listMetaFiles(tr).map { m =>
-        val seg = m.getFileName.toString.stripSuffix(".json")
-        (tr, tr.resolve(s"segment_id=$seg"), readMeta(m).schema)
-      }
+      val files = listMetaFiles(tr)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      try files
+        .map(m => m -> java.util.concurrent.CompletableFuture.supplyAsync(
+          () => readMeta(m).schema, pool))
+        .map { case (m, f) =>
+          val seg = m.getFileName.toString.stripSuffix(".json")
+          (tr, tr.resolve(s"segment_id=$seg"), f.join())
+        }
+      finally pool.shutdown()
     }
     val widened = metas.map(_._3).reduce(widenSchemas)
     val conflictCols: Set[String] = widened.fieldNames.filter { n =>

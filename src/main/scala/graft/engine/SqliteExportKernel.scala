@@ -212,8 +212,10 @@ object SqliteExportKernel {
       }
       rows.foreach { r =>
         require(r(0) != null, s"rtree table ${slice.name}: null id")
+        val nc = rd.coordCols.length
         b.add(r(0).asInstanceOf[Long],
-          (1 to rd.coordCols.length).map(r(_)).toIndexedSeq)
+          (1 to nc).map(r(_)).toIndexedSeq,
+          (nc + 1 to nc + rd.aux.length).map(r(_)).toIndexedSeq)
       }
     }
 

@@ -90,6 +90,77 @@ object Dedup {
         col("n_tokens"))
   }
 
+  /** Exact substring-span dedup CUT (r17): the operator a trainer
+    * actually runs after the [[substringSpans]] accounting — remove
+    * every occurrence of a duplicated length-L span EXCEPT the globally
+    * first (lowest (doc, pos), the keep-first policy; Lee et al. 2022
+    * §2 keeps one occurrence of each duplicated substring) and emit the
+    * cleaned text.
+    *
+    * Scale shape: the gram/dup plumbing is [[substringSpans]]' (one
+    * gram-keyed shuffle with map-side partial aggregation); the first
+    * occurrence per gram is a struct-min in the SAME aggregation;
+    * overlapping cut spans merge with one per-doc running-max window
+    * (no interval list on the driver); reconstruction is per-row
+    * higher-order functions over the doc's own collect_list'ed merged
+    * spans — Σ span lengths ≤ the doc's token count, so per-row memory
+    * is bounded by the document itself. Nothing quadratic, nothing
+    * collected. `hashGrams = true` rides 8-byte gram hashes at scale
+    * (16-byte shuffle rows), identical results modulo 64-bit collisions
+    * (spec-verified equivalent on the test corpus). */
+  def substringDedup(docs: DataFrame, gramLen: Int = 10,
+      hashGrams: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val gramStr = expr(
+      s"transform(sequence(1, size(tk) - ${gramLen - 1}), " +
+        s"i -> array_join(slice(tk, i, $gramLen), ' '))")
+    val grams0 = toks.where(size(col("tk")) >= gramLen)
+      .select(col(idCol), posexplode(gramStr).as(Seq("pos0", "gram")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val grams =
+      if (hashGrams) grams0.withColumn("gram", xxhash64(col("gram")))
+      else grams0
+    // duplicated grams (≥2 distinct docs) + their first occurrence,
+    // from ONE aggregation
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"),
+        min(struct(col(idCol).as("d"), col("pos").as("p"))).as("first"))
+      .where(col("nd") >= 2)
+      .select(col("gram"), col("first.d").as("__fd"), col("first.p").as("__fp"))
+    // cut positions: every non-first occurrence of a duplicated gram
+    val cuts = grams.join(dup, "gram")
+      .where(!(col(idCol) === col("__fd") && col("pos") === col("__fp")))
+      .select(col(idCol), col("pos"))
+    // merge overlapping [pos, pos+L) spans per doc: a span starts a new
+    // island iff its start clears the running max end of its predecessors
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + gramLen)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = cuts
+      .withColumn("__ni",
+        when(prevEnd.isNull || col("pos") >= prevEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__ni"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + gramLen).as("e")) // [s, e)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("s"), col("e"))).as("cutspans"))
+    toks.join(merged, Seq(idCol), "left")
+      .withColumn("cut_idx", coalesce(
+        expr("flatten(transform(cutspans, c -> sequence(c.s, c.e - 1)))"),
+        expr("array()").cast("array<int>")))
+      .withColumn("keep_idx",
+        when(size(col("tk")) < 1, expr("array()").cast("array<int>"))
+          .otherwise(expr("array_except(sequence(1, size(tk)), cut_idx)")))
+      .select(col(idCol),
+        expr("array_join(transform(keep_idx, i -> element_at(tk, i)), ' ')")
+          .as("text_dedup"),
+        size(col("keep_idx")).cast("long").as("kept_tokens"),
+        col("n_tokens"))
+  }
+
   /** Exact dedup: group by normalized text, keep the lowest doc id as the
     * canonical representative. `count` is the cluster size. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -305,4 +305,89 @@ class RtreeSpec extends SparkSpecBase {
         "ORDER BY id;")
     }
   }
+
+  private val schemaAux = "CREATE VIRTUAL TABLE demo USING rtree(" +
+    "id, minX, maxX, minY, maxY, +label TEXT, +weight);"
+
+  test("auxiliary +col columns: DML and queries match real rtree (r17)") {
+    val id = seg(schemaAux); val db = cliDb(schemaAux)
+    runBoth(id, db,
+      "INSERT INTO demo VALUES (1, 1.1, 2.2, 0, 1, 'hello', 42);\n" +
+        "INSERT INTO demo VALUES (2, 3, 4, 1, 2, NULL, 2.5);\n" +
+        "INSERT INTO demo(id, minX, maxX, minY, maxY) VALUES (3, 0, 1, 0, 1);")
+    // values render identically (typeof is the documented concrete-
+    // typing deviation: real aux columns keep per-row storage classes)
+    same(id, db, "SELECT id, label, weight FROM demo ORDER BY id;")
+    same(id, db, "SELECT id, printf('%.12e', minX), label FROM demo " +
+      "ORDER BY id;")
+    // aux columns update and filter like ordinary columns; the coords
+    // keep their module coercions beside them
+    runBoth(id, db,
+      "UPDATE demo SET label = 'moved', weight = '43' WHERE id = 1;")
+    same(id, db, "SELECT id FROM demo WHERE label = 'moved';")
+    same(id, db, "SELECT id, label, weight FROM demo ORDER BY id;")
+    same(id, db, "SELECT sql FROM sqlite_master WHERE name = 'demo';")
+    // aux-after-coord ordering is the module's own error (probed text)
+    val e1 = intercept[Exception](
+      seg("CREATE VIRTUAL TABLE b USING rtree(id, minX, maxX, +a, minY);"))
+    assert(e1.getMessage.contains("Auxiliary rtree columns must be last"),
+      e1.getMessage)
+    // arity counts the non-aux columns (probed)
+    val e2 = intercept[Exception](
+      seg("CREATE VIRTUAL TABLE b2 USING rtree(id, minX, +a);"))
+    assert(e2.getMessage.contains("Too few columns"), e2.getMessage)
+  }
+
+  test("auxiliary +col columns: export + ingest round trip (r17)") {
+    val id = seg(schemaAux); val db = cliDb(schemaAux)
+    val rows = (1 to 500).map(i =>
+      s"($i, ${i % 89}.25, ${i % 89}.75, ${(i / 89) % 97}, " +
+        s"${(i / 89) % 97 + 2}, 'L$i', ${i * 3})")
+    runBoth(id, db, s"INSERT INTO demo VALUES ${rows.mkString(", ")};\n" +
+      "DELETE FROM demo WHERE id % 11 = 0;")
+    val out = Files.createTempDirectory("rt-aux").resolve("a.sqlite")
+    store.exportSqliteSegment(id, out.toString)
+    assert(SqliteCli.query(out.toString, "SELECT rtreecheck('demo');") == "ok")
+    assert(SqliteCli.query(out.toString, "PRAGMA integrity_check;") == "ok")
+    // aux values land in %_rowid as a0, a1 (probed shadow DDL) and real
+    // sqlite3 serves them through the virtual table
+    assert(SqliteCli.query(out.toString,
+      "SELECT sql FROM sqlite_master WHERE name = 'demo_rowid';")
+      .contains("nodeno,a0,a1"))
+    def sameExported(select: String): Unit = {
+      val engineSide = engine.read(id, select).collect().map { r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "" else r.get(i).toString).mkString("|")
+      }.mkString("\n")
+      val cliSide = SqliteCli.query(out.toString, select)
+      assert(engineSide == cliSide, s"\n-- engine --\n$engineSide\n" +
+        s"-- sqlite3 --\n$cliSide\n-- for --\n$select")
+    }
+    sameExported("SELECT count(*), min(id), max(id) FROM demo;")
+    sameExported("SELECT id, label, weight FROM demo WHERE id % 71 = 1 " +
+      "ORDER BY id;")
+    sameExported("SELECT id, label FROM demo WHERE minX <= 5.5 " +
+      "AND maxX >= 5.3 ORDER BY id;")
+    // the exported file stays WRITABLE by real sqlite3, aux included
+    assert(SqliteCli.run(out.toString,
+      "INSERT INTO demo VALUES (9001, 0, 1, 0, 1, 'w', 7);\n" +
+        "UPDATE demo SET label = 'y' WHERE id = 9001;") == 0)
+    assert(SqliteCli.query(out.toString,
+      "SELECT label, weight FROM demo WHERE id = 9001;") == "y|7")
+    // a real sqlite3-written rtree WITH aux re-ingests, aux intact
+    val seg2 = "rt-aux-ingest"
+    store.ingestSqliteSegment(db.toString, seg2)
+    def sameIngested(select: String): Unit = {
+      val engineSide = engine.read(seg2, select).collect().map { r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "" else r.get(i).toString).mkString("\n")
+      }.mkString("\n")
+      val cliSide = SqliteCli.query(db.toString, select)
+      assert(engineSide == cliSide, s"\n-- engine --\n$engineSide\n" +
+        s"-- sqlite3 --\n$cliSide\n-- for --\n$select")
+    }
+    sameIngested("SELECT count(*) FROM demo;")
+    sameIngested("SELECT label FROM demo WHERE id % 71 = 1 ORDER BY id;")
+    sameIngested("SELECT weight FROM demo WHERE id % 97 = 5 ORDER BY id;")
+  }
 }

@@ -51,6 +51,91 @@ class SegmentScaleSpec extends SparkSpecBase {
     assert(one.collect().map(_.getString(0)).toSeq == Seq("v2048"))
   }
 
+  test("100k segments: listing + regex pruning + planning bounded; " +
+      "1k-segment distributed ingest/export round trip (r17)") {
+    val root = Files.createTempDirectory("graft-ramp5").toString
+    val store = new SegmentStore(spark, root)
+    val engine = new TroughEngine(spark, store, new SchemaRegistry)
+    val ddl = "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);"
+    val nSegs = 100000
+    // trough's real universe is 10⁴–10⁵ segments (conf/settings.yml,
+    // sync.py:365-369 HDFS listings); provision through the real path,
+    // pooled like the reference's per-node parallel sync
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    try {
+      val futs = (0 until nSegs).map { i =>
+        java.util.concurrent.CompletableFuture.runAsync(
+          () => store.provision(f"ramp5-$i%06d", ddl), pool)
+      }
+      futs.foreach(_.join())
+    } finally pool.shutdown()
+    val provisionSecs = (System.nanoTime() - t0) / 1e9
+
+    // listing and regex pruning walk 10⁵ marker files
+    val tL = System.nanoTime()
+    assert(store.listSegments().size == nSegs)
+    val listSecs = (System.nanoTime() - tL) / 1e9
+    val tR = System.nanoTime()
+    assert(store.listSegments("^ramp5-0423\\d\\d$").size == 100)
+    val regexSecs = (System.nanoTime() - tR) / 1e9
+    assert(listSecs < 30.0, f"listing 100k segments took $listSecs%.1f s")
+    assert(regexSecs < 30.0, f"regex pruning took $regexSecs%.1f s")
+
+    // 1,000-segment distributed ingest: copies of one template .sqlite
+    // (the reference's migration unit), decoded in executor tasks
+    val tplDir = Files.createTempDirectory("ramp5-tpl")
+    val tpl = tplDir.resolve("tpl.sqlite")
+    assert(SqliteCli.run(tpl.toString, ddl + "\n" +
+      "INSERT INTO kv (k, v) VALUES " +
+      (1 to 40).map(k => s"($k, 'v$k')").mkString(", ") + ";") == 0)
+    val ingestIds = (0 until 1000).map(i => f"ramp5-${i * 97}%06d")
+    val files = ingestIds.map { id =>
+      val p = tplDir.resolve(s"$id.sqlite")
+      Files.copy(tpl, p)
+      id -> p.toString
+    }.toMap
+    val tI = System.nanoTime()
+    val ing = store.ingestSqliteSegmentsDistributed(files)
+    val ingestSecs = (System.nanoTime() - tI) / 1e9
+    val ingFailed = ing.collect { case (s, scala.util.Failure(e)) => s"$s: $e" }
+    assert(ingFailed.isEmpty, ingFailed.take(3).mkString("; "))
+
+    // ONE FileScan regardless of the 10⁵-segment universe; planning
+    // and the count stay bounded
+    val tP = System.nanoTime()
+    val df = engine.readAll("SELECT count(*) AS n, sum(k) AS s FROM kv;")
+    val plan = df.queryExecution.executedPlan.toString
+    val planSecs = (System.nanoTime() - tP) / 1e9
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"expected one scan over $nSegs segments:\n${plan.take(1200)}")
+    assert(planSecs < 120.0, f"planning took $planSecs%.1f s over $nSegs segments")
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 40000L && row.getLong(1) == 1000L * (1 to 40).sum)
+    // regex pruning reaches the partition filter over the full universe
+    val one = engine.readAll("SELECT count(*) AS n FROM kv;",
+      s"^${ingestIds.head}$$")
+    assert(one.collect()(0).getLong(0) == 40L)
+
+    // distributed export of the same 1,000 back to .sqlite files
+    val outDir = Files.createTempDirectory("ramp5-out").toString
+    val tE = System.nanoTime()
+    val exp = store.exportSqliteSegmentsDistributed(ingestIds, outDir)
+    val exportSecs = (System.nanoTime() - tE) / 1e9
+    val expFailed = exp.collect { case (s, scala.util.Failure(e)) => s"$s: $e" }
+    assert(expFailed.isEmpty, expFailed.take(3).mkString("; "))
+    // spot-check: real sqlite3 reads the exported files intact
+    Seq(ingestIds.head, ingestIds.last).foreach { seg =>
+      val out = exp(seg).get
+      assert(SqliteCli.query(out,
+        "PRAGMA integrity_check; SELECT count(*), sum(k) FROM kv;") ==
+        "ok\n40|820", seg)
+    }
+    info(f"[ramp5] provision=$provisionSecs%.1fs list=$listSecs%.2fs " +
+      f"regex=$regexSecs%.2fs ingest1k=$ingestSecs%.1fs " +
+      f"plan=$planSecs%.1fs export1k=$exportSecs%.1fs")
+  }
+
   test("fanout: a GLOBAL row budget bounds aggregate driver memory (VERDICT r10)") {
     val root = Files.createTempDirectory("graft-fanbudget").toString
     val store = new SegmentStore(spark, root)

@@ -53,6 +53,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("substringDedup: keep-first cut with merged overlapping spans (r17)") {
+    // duplicated 3-grams: "a b c" (d1p1, d2p2), "b c d" (d1p2, d2p3),
+    // "x y z" (d1p6, d3p1) — first occurrences all in doc 1, so doc 1
+    // survives intact; doc 2's overlapping cuts [2,5)∪[3,6) merge to
+    // [2,6); doc 3 is cut entirely
+    val out = Dedup.substringDedup(docs(
+      (1L, "a b c d q x y z"),
+      (2L, "q a b c d"),
+      (3L, "x y z"),
+      (4L, "totally unrelated words here")), gramLen = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d q x y z", 8L, 8L)), out.mkString(","))
+    assert(out(1) == ((2L, "q", 1L, 5L)), out.mkString(","))
+    assert(out(2) == ((3L, "", 0L, 3L)), out.mkString(","))
+    assert(out(3) == ((4L, "totally unrelated words here", 4L, 4L)), out.mkString(","))
+    // disjoint islands within one doc: the repeat at the tail cuts, the
+    // first occurrence survives; the other doc is cut whole
+    val out2 = Dedup.substringDedup(docs(
+      (5L, "m n o p z z z m n o p"),
+      (6L, "m n o p")), gramLen = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out2(0) == ((5L, "m n o p z z z", 7L, 11L)), out2.mkString(","))
+    assert(out2(1) == ((6L, "", 0L, 4L)), out2.mkString(","))
+    // the 64-bit-hash scale variant cuts identically
+    val big = (1L to 40L).map(i =>
+      i -> (s"prefix$i " + (if (i % 4 == 0) "shared run of tokens overlap"
+      else s"unique body $i with more words ${i * 7}")))
+    val a = Dedup.substringDedup(docs(big: _*), gramLen = 3)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = Dedup.substringDedup(docs(big: _*), gramLen = 3, hashGrams = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("exact dedup groups identical normalized text") {
     val df = Dedup.exact(docs((1L, "Hello World"), (2L, "hello world  "), (3L, "other")))
     val out = df.orderBy("keep_id").collect()
