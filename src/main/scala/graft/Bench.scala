@@ -58,9 +58,22 @@ object Bench {
     def dropCachedBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
+    // FULL evaluation, not count() (r17): Catalyst eliminates a final
+    // left join whose right side is unique-keyed and unprojected, so a
+    // count() of e.g. q68's output never ran its gram shuffle while the
+    // DuckDB yardstick fetchall()'d the real thing. Hash-summing every
+    // column forces the whole tree with one driver-side row.
+    def force(name: String, dir: String): Unit = {
+      import org.apache.spark.sql.functions.{col, hash, sum}
+      val df = SparkEntry.queries(name)(spark, dir)
+      val cs = df.columns.map(c => col(s"`$c`"))
+      if (cs.isEmpty) { df.count(); () }
+      else { df.select(sum(hash(cs.toSeq: _*).cast("long"))).first(); () }
+    }
+
     warmDir.foreach { wd =>
       names.foreach { name =>
-        try SparkEntry.queries(name)(spark, wd).count()
+        try force(name, wd)
         catch { case _: Throwable => () }
         dropCachedBlocks()
       }
@@ -75,7 +88,7 @@ object Bench {
 
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      val ok = try { force(name, sfDir); true }
         catch { case _: Throwable => false }
       dropCachedBlocks()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

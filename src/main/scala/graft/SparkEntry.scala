@@ -1065,20 +1065,23 @@ object SparkEntry {
       import s.implicits._
       // coalesce pins the NULL-text contract to the oracle's (0-count
       // row, not a NULL row) instead of leaning on the corpus never
-      // containing NULLs (ADVICE r9 #3)
+      // containing NULLs (ADVICE r9 #3). Native kernel (r17,
+      // GramRepetitionStats): one byte pass + sort + run-length pass
+      // per row — the HOF form's per-window gram strings dominated the
+      // scan; TextOps.gramRepetition remains the string-exact
+      // comparator the spec pins the kernel against.
+      graft.functions.VectorExpressions.register(s)
       t(s, dir, "documents")
         .select($"doc_id",
-          TextOps.shingles(TextOps.tokens(coalesce($"text", lit(""))), 2)
-            .as("grams"))
-        .select($"doc_id", size($"grams").cast("long").as("n_bigrams"),
-          TextOps.gramRepetition($"grams").as("st"))
-        .select($"doc_id", $"n_bigrams",
+          call_function("gram_repetition_stats",
+            coalesce($"text", lit("")), lit(2)).as("st"))
+        .select($"doc_id", $"st.n".as("n_bigrams"),
           $"st.top".as("top_bigram_count"),
-          when($"n_bigrams" === 0, 0d)
-            .otherwise($"st.top".cast("double") / $"n_bigrams")
+          when($"st.n" === 0, 0d)
+            .otherwise($"st.top".cast("double") / $"st.n")
             .as("top_bigram_frac"),
-          when($"n_bigrams" === 0, 0d)
-            .otherwise($"st.dups".cast("double") / $"n_bigrams")
+          when($"st.n" === 0, 0d)
+            .otherwise($"st.dups".cast("double") / $"st.n")
             .as("dup_bigram_frac"))
         .orderBy($"doc_id")
     }),
@@ -1117,9 +1120,13 @@ object SparkEntry {
     // would be an 8-byte hash rather than the gram text.
     "q63_decontam" -> ((s, dir) => {
       import s.implicits._
+      // native per-doc-distinct 64-bit gram hashes (ShingleHashes, r17)
+      // instead of materialized gram strings: countDistinct and the
+      // membership join are set operations, so hash identity suffices
+      graft.functions.VectorExpressions.register(s)
       val grams = t(s, dir, "documents")
         .select($"doc_id",
-          explode(TextOps.shingles(TextOps.tokens($"text"), 5)).as("gram"))
+          explode(call_function("shingle_hashes", $"text", lit(5))).as("gram"))
       val bench = grams.filter($"doc_id" % 13 === 0).select($"gram").distinct()
       val hits = grams.filter($"doc_id" % 13 =!= 0)
         .join(bench, "gram")
@@ -1227,10 +1234,14 @@ object SparkEntry {
     // span count and the TOKEN length of their union (what an exact
     // substring dedup pass would cut). One gram-keyed shuffle + one
     // per-doc lead() window — no suffix array, nothing quadratic.
+    // hashGrams = true is the 100 TB default (r17): 8-byte gram hashes
+    // instead of ~70-byte strings — measured 164.9 -> 53.0 MiB shuffle
+    // at sf1 with identical results (the DuckDB oracle re-derives over
+    // gram STRINGS and the hashes match — collision-free equivalence)
     "q68_substring_dedup" -> ((s, dir) => {
       import s.implicits._
-      Dedup.substringSpans(t(s, dir, "documents"), gramLen = 10)
-        .orderBy($"doc_id")
+      Dedup.substringSpans(t(s, dir, "documents"), gramLen = 10,
+        hashGrams = true).orderBy($"doc_id")
     }),
     // Substring-dedup CUT (r17): remove every duplicated 10-token span
     // occurrence except the globally first and emit the cleaned text —
@@ -1239,8 +1250,8 @@ object SparkEntry {
     // reconstruction in per-row HOFs.
     "q69_substring_cut" -> ((s, dir) => {
       import s.implicits._
-      Dedup.substringDedup(t(s, dir, "documents"), gramLen = 10)
-        .orderBy($"doc_id")
+      Dedup.substringDedup(t(s, dir, "documents"), gramLen = 10,
+        hashGrams = true).orderBy($"doc_id")
     })
   )
 

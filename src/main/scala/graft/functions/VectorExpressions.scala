@@ -284,6 +284,152 @@ object ShingleHashes {
     }
     if (d + 1 == out.length) out else java.util.Arrays.copyOf(out, d + 1)
   }
+
+  /** POSITIONAL variant (r17): one hash per window in TEXT ORDER, no
+    * dedup — the shape the substring-span operators need (`pos` is the
+    * window index). Same per-token avalanche + polynomial combine +
+    * fmix64 as [[compute]]. */
+  def computeSeq(bytes: Array[Byte], n: Int): Array[Long] = {
+    val len = bytes.length
+    var spaces = 0
+    var p = 0
+    while (p < len) { if (bytes(p) == ' ') spaces += 1; p += 1 }
+    val windows = spaces + 2 - n
+    if (windows <= 0) return Array.emptyLongArray
+    val ring = new Array[Long](n)
+    val out = new Array[Long](windows)
+    var tokIdx = 0
+    var outIdx = 0
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        ring(tokIdx % n) = MinHashSignature.fmix64(h)
+        tokIdx += 1
+        if (tokIdx >= n) {
+          var w = 0L
+          var j = tokIdx - n
+          while (j < tokIdx) { w = w * 0x100000001b3L + ring(j % n); j += 1 }
+          out(outIdx) = MinHashSignature.fmix64(w)
+          outIdx += 1
+        }
+        h = 0xcbf29ce484222325L
+      } else {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Word n-gram window hashes in TEXT ORDER (r17): the positional
+  * sibling of [[ShingleHashes]] — one 64-bit hash per length-n token
+  * window, window i of the single-space tokenization at output index i,
+  * duplicates preserved. Feeds the substring-span dedup operators'
+  * `hashGrams` path: `posexplode(shingle_hash_seq(text, L))` replaces
+  * the string-gram builder + xxhash64, collapsing the per-window
+  * `array_join(slice(...))` string allocations into one pass over the
+  * text bytes. Distinctness/equality over the 64-bit hashes is
+  * equivalent to gram-string equality up to ~1e-13 per-doc collision
+  * odds (see [[ShingleHashes]]). */
+case class ShingleHashSeq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.foldable && right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "shingle_hash_seq requires (string, foldable int n), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hash_seq"
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, nv: Any): Any = {
+    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      ShingleHashes.computeSeq(bytes, n))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.ShingleHashes.computeSeq($text.getBytes(), $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashSeq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Gopher-style repetition statistics straight from text bytes (r17):
+  * `struct<n, top, dups>` over the length-n token windows — window
+  * count, occurrence count of the most frequent gram, and the number
+  * of occurrences belonging to grams appearing at least twice (Rae et
+  * al. 2021 §A1.1 signals). Runs [[ShingleHashes.computeSeq]] + one
+  * sort + one run-length pass per row; replaces an `array_sort` +
+  * `aggregate` HOF over materialized gram STRINGS whose per-window
+  * string allocations dominated the scan (r17 bench: 1.8 s → scan
+  * floor at sf0.1). Gram identity rides the avalanched 64-bit window
+  * hashes (~1e-13 per-doc collision odds — [[ShingleHashes]]). */
+case class GramRepetitionStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.foldable && right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "gram_repetition_stats requires (string, foldable int n), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dups", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_repetition_stats"
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(a: Any, nv: Any): Any =
+    GramRepetitionStats.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _) =>
+      s"${ev.value} = graft.functions.GramRepetitionStats.compute(" +
+        s"$text.getBytes(), $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramRepetitionStats =
+    copy(left = newLeft, right = newRight)
+}
+
+object GramRepetitionStats {
+  def compute(bytes: Array[Byte], n: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val hs = ShingleHashes.computeSeq(bytes, n)
+    java.util.Arrays.sort(hs)
+    var top = 0L
+    var dups = 0L
+    var i = 0
+    while (i < hs.length) {
+      var j = i + 1
+      while (j < hs.length && hs(j) == hs(i)) j += 1
+      val run = (j - i).toLong
+      if (run > top) top = run
+      if (run >= 2) dups += run
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hs.length.toLong, top, dups))
+  }
 }
 
 /** Native 64-bit SimHash straight from text bytes: single-space
@@ -452,6 +598,21 @@ object VectorExpressions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "minhash_signature takes exactly 2 arguments")
         MinHashSignature(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_repetition_stats",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "gram_repetition_stats takes exactly 2 arguments")
+        GramRepetitionStats(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash_seq",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "shingle_hash_seq takes exactly 2 arguments")
+        ShingleHashSeq(exprs(0), exprs(1))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -25,6 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** (doc, pos, gram) rows for the substring-span operators: 1-based
+    * window positions over the single-space tokenization. The string
+    * path materializes each window via `array_join(slice(...))`; the
+    * hash path (r17) rides [[graft.functions.ShingleHashSeq]] — one
+    * codegen'd pass over the text bytes, positional 64-bit window
+    * hashes, no gram strings allocated. Both yield identical (doc,
+    * pos) structure; gram equality over the hashes matches string
+    * equality up to ~1e-13 per-doc collision odds (spec-pinned
+    * equivalent results on the test corpus). */
+  private def gramRows(docs: DataFrame, gramLen: Int, hashGrams: Boolean,
+      idCol: String, textCol: String): DataFrame =
+    if (hashGrams) {
+      graft.functions.VectorExpressions.register(docs.sparkSession)
+      // posexplode of an empty/null hash array emits nothing — no
+      // short-doc guard needed
+      docs.select(col(idCol),
+        posexplode(call_function("shingle_hash_seq", col(textCol),
+          lit(gramLen))).as(Seq("pos0", "gram")))
+        .withColumn("pos", col("pos0") + 1).drop("pos0")
+    } else {
+      val gramStr = expr(
+        s"transform(sequence(1, size(tk) - ${gramLen - 1}), " +
+          s"i -> array_join(slice(tk, i, $gramLen), ' '))")
+      docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+        .where(size(col("tk")) >= gramLen)
+        .select(col(idCol), posexplode(gramStr).as(Seq("pos0", "gram")))
+        .withColumn("pos", col("pos0") + 1).drop("pos0")
+    }
+
   /** [[jaccardJoinExact]] auto-strategy thresholds: PPJoin needs BOTH
     * a large estimated candidate volume (pairs per document — measured
     * crossover between 546 dense and 76 652 Zipfian) AND hot-key skew
@@ -49,25 +78,20 @@ object Dedup {
     * partial counts; the join back is gram-partitioned; the span-union
     * length needs NO interval merge — all spans have length L, so the
     * union is Σ min(L, nextPos − pos) from one per-doc window (lead).
-    * Nothing is quadratic and nothing collects. At 100 TB the gram
-    * strings would ride as 64-bit hashes (`hashGrams = true`) —
-    * identical shuffle shape, 16-byte rows; the string default keeps
-    * the result exactly reproducible by the SQL oracle. */
+    * Nothing is quadratic and nothing collects. `hashGrams = true` is
+    * the 100 TB shape: positional 64-bit window hashes straight from
+    * the text bytes (native [[graft.functions.ShingleHashSeq]] — no
+    * per-window gram strings materialized, 3.1× less shuffle measured
+    * at sf1) with identical results up to ~1e-13 per-doc collision
+    * odds; the string path keeps the result mechanically reproducible
+    * by the SQL oracle and is what the spec equivalence pins against. */
   def substringSpans(docs: DataFrame, gramLen: Int = 10,
       hashGrams: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol),
       split(col(textCol), " ").as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
-    val gramStr = expr(
-      s"transform(sequence(1, size(tk) - ${gramLen - 1}), " +
-        s"i -> array_join(slice(tk, i, $gramLen), ' '))")
-    val grams0 = toks.where(size(col("tk")) >= gramLen)
-      .select(col(idCol), posexplode(gramStr).as(Seq("pos0", "gram")))
-      .withColumn("pos", col("pos0") + 1).drop("pos0")
-    val grams =
-      if (hashGrams) grams0.withColumn("gram", xxhash64(col("gram")))
-      else grams0
+    val grams = gramRows(docs, gramLen, hashGrams, idCol, textCol)
     // duplicated = seen in ≥ 2 distinct docs (cross-document spans;
     // within-doc repetition is q61's territory)
     val dup = grams.groupBy("gram")
@@ -113,15 +137,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
-    val gramStr = expr(
-      s"transform(sequence(1, size(tk) - ${gramLen - 1}), " +
-        s"i -> array_join(slice(tk, i, $gramLen), ' '))")
-    val grams0 = toks.where(size(col("tk")) >= gramLen)
-      .select(col(idCol), posexplode(gramStr).as(Seq("pos0", "gram")))
-      .withColumn("pos", col("pos0") + 1).drop("pos0")
-    val grams =
-      if (hashGrams) grams0.withColumn("gram", xxhash64(col("gram")))
-      else grams0
+    val grams = gramRows(docs, gramLen, hashGrams, idCol, textCol)
     // duplicated grams (≥2 distinct docs) + their first occurrence,
     // from ONE aggregation
     val dup = grams.groupBy("gram")

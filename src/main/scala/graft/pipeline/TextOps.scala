@@ -147,27 +147,45 @@ object TextOps {
     * shuffles more than its (rare) candidate grams.
     *
     * Returns (doc_id, n_shared_grams, contaminated) over every corpus
-    * row, like the exact-broadcast variant (SparkEntry q63). */
+    * row, like the exact-broadcast variant (SparkEntry q63).
+    *
+    * Sizing (r17): `expectedGrams = 0` (the default) sizes the filter
+    * from the benchmark's OWN distinct-gram count — one bounded job
+    * over the small side. A fixed oversized default is not free even
+    * though the filter is "bounded": the old 4M-gram / 8 MB literal
+    * rode inside the corpus-scan plan and was serialized to every
+    * task, dominating the wall at small SFs. Pin it explicitly when
+    * the benchmark side is itself too big to pre-count. */
   def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      gramLen: Int = 5, expectedGrams: Long = 4_000_000L,
+      gramLen: Int = 5, expectedGrams: Long = 0L,
       bitsPerGram: Long = 16L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.SqlInternals
     import org.apache.spark.sql.types.BinaryType
+    // native per-doc-distinct 64-bit gram hashes (ShingleHashes, r17):
+    // membership and countDistinct are set operations, so hash identity
+    // suffices — no gram strings materialized, and the hashes feed the
+    // Bloom filter directly (already avalanched)
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     def gramsOf(df: DataFrame) = df.select(col(idCol).as("doc_id"),
-      explode(shingles(tokens(col(textCol)), gramLen)).as("gram"))
-    val bGrams = gramsOf(bench).select(col("gram")).distinct()
-    def hash64(c: Column) =
-      SqlInternals.column(new XxHash64(Seq(SqlInternals.expression(c))))
+      explode(call_function("shingle_hashes", col(textCol),
+        lit(gramLen))).as("gram"))
+    // cached: the benchmark side feeds the (optional) sizing count, the
+    // filter build, and the residual join — three passes over the SMALL
+    // side of the operator
+    val bGrams = gramsOf(bench).select(col("gram")).distinct().cache()
+    val nGrams =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(bGrams.count(), 1024L)
     // one aggregate job builds the filter; its bytes are bounded by
     // construction (bits/8), so the driver collect is a broadcast of a
     // fixed-size artifact — the same shape as IVF's centroid collect
     val bfRow = bGrams.agg(SqlInternals.column(
       new BloomFilterAggregate(
-        SqlInternals.expression(hash64(col("gram"))),
-        Literal(expectedGrams), Literal(expectedGrams * bitsPerGram))
+        SqlInternals.expression(col("gram")),
+        Literal(nGrams), Literal(nGrams * bitsPerGram))
         .toAggregateExpression()).as("bf")).head()
     val candidates =
       if (bfRow.isNullAt(0)) gramsOf(corpus).limit(0) // empty benchmark
@@ -175,7 +193,7 @@ object TextOps {
         val bf = Literal(bfRow.getAs[Array[Byte]](0), BinaryType)
         gramsOf(corpus).where(SqlInternals.column(
           BloomFilterMightContain(bf,
-            SqlInternals.expression(hash64(col("gram"))))))
+            SqlInternals.expression(col("gram")))))
       }
     val hits = candidates
       .join(bGrams, "gram") // residual exact join: kills fp survivors

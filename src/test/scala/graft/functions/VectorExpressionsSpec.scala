@@ -222,4 +222,64 @@ class VectorExpressionsSpec extends SparkSpecBase {
       .count { case (x, y) => x == y } / 256.0
     assert(math.abs(est - 900.0 / 1100.0) < 0.1)
   }
+
+  test("shingle_hash_seq: positional windows, duplicates preserved, " +
+      "set view equals shingle_hashes (r17)") {
+    val rng = new scala.util.Random(20260817L)
+    val texts = (1 to 60).map { _ =>
+      val words = Seq.fill(rng.nextInt(30))(s"w${rng.nextInt(8)}")
+      words.mkString(" ")
+    } :+ "" :+ "one" :+ "a b" :+ "a b a b a b"
+    val df = texts.toDF("text")
+    df.select(col("text"),
+      call_function("shingle_hash_seq", col("text"), lit(2)).as("seq"),
+      call_function("shingle_hashes", col("text"), lit(2)).as("set"),
+      split(col("text"), " ").as("tk")).collect().foreach { r =>
+      val text = r.getString(0)
+      val seq = r.getSeq[Long](1)
+      val set = r.getSeq[Long](2)
+      val nTok = r.getSeq[String](3).length
+      // one hash per window, in order, duplicates kept
+      assert(seq.length == math.max(nTok - 1, 0), s"'$text'")
+      assert(seq.distinct.sorted == set, s"'$text'")
+      // positionality: equal string windows <=> equal hashes
+      val strGrams = r.getSeq[String](3).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      strGrams.zipWithIndex.foreach { case (g, i) =>
+        strGrams.zipWithIndex.foreach { case (g2, j) =>
+          assert((g == g2) == (seq(i) == seq(j)), s"'$text' $i $j")
+        }
+      }
+    }
+  }
+
+  test("gram_repetition_stats equals the string-exact HOF comparator (r17)") {
+    val rng = new scala.util.Random(20260818L)
+    val texts = (1 to 80).map { _ =>
+      Seq.fill(rng.nextInt(40))(s"t${rng.nextInt(6)}").mkString(" ")
+    } :+ "" :+ "solo" :+ "x y x y x y x" :+ "r r r r"
+    val df = texts.toDF("text")
+    val rows = df.select(
+      call_function("gram_repetition_stats", col("text"), lit(2)).as("st"),
+      graft.pipeline.TextOps
+        .shingles(split(col("text"), " "), 2).as("grams")).collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      val grams = r.getSeq[String](1)
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      assert(st.getLong(0) == grams.length.toLong)
+      assert(st.getLong(1) == (if (counts.isEmpty) 0L else counts.values.max.toLong))
+      assert(st.getLong(2) == counts.values.filter(_ >= 2).sum.toLong)
+    }
+    // the HOF gramRepetition itself agrees (top, dups)
+    val both = df.select(
+      call_function("gram_repetition_stats", col("text"), lit(2)).as("st"),
+      graft.pipeline.TextOps.gramRepetition(
+        graft.pipeline.TextOps.shingles(split(col("text"), " "), 2)).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getStruct(0).getLong(1) == r.getStruct(1).getLong(0), r.toString)
+      assert(r.getStruct(0).getLong(2) == r.getStruct(1).getLong(1), r.toString)
+    }
+  }
 }
