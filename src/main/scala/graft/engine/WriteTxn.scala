@@ -2593,8 +2593,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * The general row-at-a-time tier remains for bodies that read
     * their own target table, cascade into triggered tables, or run
     * arbitrary DML. */
+  /** One flattened append in firing order. `gate` carries every
+    * condition BELOW the owning root program's `fires` — the WHEN and
+    * RAISE(IGNORE) skips of cascaded sub-triggers (r17); a direct root
+    * body has `gate = lit(true)`. `fieldTexts` keeps each column's
+    * fully-rooted SQLite expression text (rewritten down to root image
+    * columns) so deeper cascade levels can compose NEW. references
+    * textually; `None` marks an omitted rowid alias (allocated at
+    * apply time). */
   private final case class VecBodyPlan(
-      target: String, fieldCols: IndexedSeq[Option[Column]], aiOmitted: Boolean)
+      target: String, fieldCols: IndexedSeq[Option[Column]], aiOmitted: Boolean,
+      gate: Column, fieldTexts: IndexedSeq[Option[String]])
   private final case class VecTrigPlan(
       tg: SqliteDdl.TriggerDef, when: Option[Column], ignoreFilter: Boolean,
       bodies: Seq[VecBodyPlan])
@@ -2627,44 +2636,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (isIgnore) plans += VecTrigPlan(tg, whenCol, ignoreFilter = true, Nil)
       else {
         val bodies = mutable.ArrayBuffer[VecBodyPlan]()
-        for (b <- tg.body) {
-          val m = vecInsertRe.findFirstMatchIn(b.trim).getOrElse(return None)
-          if (!vecPure(m.group(3))) return None
-          val target = SqlScript.unquoteIdent(m.group(1))
-          val tuples = SqlScript.splitTopLevel(m.group(3))
-          if (tuples.length != 1) return None
-          val tup = tuples.head.trim
-          if (!(tup.startsWith("(") && tup.endsWith(")"))) return None
-          val exprs = SqlScript.splitTopLevel(tup.substring(1, tup.length - 1))
-          if (isView(target) || !tableNames.exists(_.equalsIgnoreCase(target)))
-            return None // the general path raises SQLite's own error
-          // cascading triggers on the body target need per-row firing
-          if (activeTriggers(target, "INSERT").nonEmpty) return None
-          // content= fts targets and fts command inserts carry rowid/
-          // command column mappings only insert() knows — general path
-          // (r15; the canonical external-content sync-trigger shape)
-          if (ftsDefOf(target).exists(fd => fd.content.isDefined) ||
-              Option(m.group(2)).exists(g => SqlScript.splitTopLevel(g)
-                .map(SqlScript.unquoteIdent)
-                .exists(c => c.equalsIgnoreCase(target) || isRowidAlias(c))))
-            return None
-          val (bMeta, _) = load(target)
-          val bFields = bMeta.schema.fields
-          val colList = Option(m.group(2)).map(SqlScript.splitTopLevel(_)
-            .map(SqlScript.unquoteIdent)).getOrElse(bFields.map(_.name).toSeq)
-          if (exprs.length != colList.length) return None // general path raises the arity error
-          val aiName = bMeta.autoIncrement
-          val aiOmitted = aiName.exists(ai => !colList.exists(_.equalsIgnoreCase(ai)))
-          val fieldCols: IndexedSeq[Option[Column]] = bFields.map { f =>
-            val at = colList.indexWhere(_.equalsIgnoreCase(f.name))
-            if (at >= 0) Some(dexpr(rw(exprs(at))).cast(f.dataType))
-            else if (aiName.exists(_.equalsIgnoreCase(f.name)) && aiOmitted)
-              None // allocated below
-            else Some(defaultExpr(bMeta, f.name).map(d => dexpr(d).cast(f.dataType))
-              .getOrElse(lit(null).cast(f.dataType)))
-          }.toIndexedSeq
-          bodies += VecBodyPlan(target, fieldCols, aiOmitted)
-        }
+        for (b <- tg.body)
+          bodies ++= vecCompileBody(b, rw, lit(true),
+            Set(tg.name.toLowerCase)).getOrElse(return None)
         plans += VecTrigPlan(tg, whenCol, ignoreFilter = false, bodies.toSeq)
       }
     }
@@ -2674,6 +2648,114 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     if (byTarget.values.exists(bs => bs.exists(_.aiOmitted) && bs.exists(!_.aiOmitted)))
       return None
     Some(plans.toSeq)
+  }
+
+  /** Compile one INSERT body statement PLUS, recursively, every trigger
+    * its inserted row fires (r17 — cascades into triggered tables no
+    * longer force the capped row loop). The flattening preserves
+    * SQLite's depth-first firing order (probed on 3.51: a body insert
+    * into B runs B's BEFORE programs, lands the B row, runs B's AFTER
+    * programs — all before the outer program's next statement), with
+    * chain suppression mirroring the general loop's firingStack
+    * (recursive_triggers OFF: the firing trigger itself is suppressed,
+    * sibling triggers on the same table still fire for appended rows —
+    * probed). A cascaded BEFORE RAISE(IGNORE) abandons only its own
+    * row's remaining sub-programs and append (no id consumed); the
+    * outer program resumes — probed. NEW. references in sub-trigger
+    * text compose TEXTUALLY from the parent body's column expression
+    * texts, so every level grounds out in root image columns; a
+    * sub-AFTER program reading the cascaded row's freshly ALLOCATED
+    * rowid alias cannot compose that way and falls back (general
+    * tier). `rw` rewrites this statement's own NEW./OLD. references;
+    * `gate` accumulates the conditions above this statement. */
+  private def vecCompileBody(b: String, rw: String => String,
+      gate: Column, chain: Set[String]): Option[Seq[VecBodyPlan]] = {
+    val m = vecInsertRe.findFirstMatchIn(b.trim).getOrElse(return None)
+    if (!vecPure(m.group(3))) return None
+    val target = SqlScript.unquoteIdent(m.group(1))
+    val tuples = SqlScript.splitTopLevel(m.group(3))
+    if (tuples.length != 1) return None
+    val tup = tuples.head.trim
+    if (!(tup.startsWith("(") && tup.endsWith(")"))) return None
+    val exprs = SqlScript.splitTopLevel(tup.substring(1, tup.length - 1))
+    if (isView(target) || !tableNames.exists(_.equalsIgnoreCase(target)))
+      return None // the general path raises SQLite's own error
+    // content= fts targets and fts command inserts carry rowid/
+    // command column mappings only insert() knows — general path
+    // (r15; the canonical external-content sync-trigger shape)
+    if (ftsDefOf(target).exists(fd => fd.content.isDefined) ||
+        Option(m.group(2)).exists(g => SqlScript.splitTopLevel(g)
+          .map(SqlScript.unquoteIdent)
+          .exists(c => c.equalsIgnoreCase(target) || isRowidAlias(c))))
+      return None
+    val (bMeta, _) = load(target)
+    val bFields = bMeta.schema.fields
+    val colList = Option(m.group(2)).map(SqlScript.splitTopLevel(_)
+      .map(SqlScript.unquoteIdent)).getOrElse(bFields.map(_.name).toSeq)
+    if (exprs.length != colList.length) return None // general path raises the arity error
+    val aiName = bMeta.autoIncrement
+    val aiOmitted = aiName.exists(ai => !colList.exists(_.equalsIgnoreCase(ai)))
+    val fieldTexts: IndexedSeq[Option[String]] = bFields.map { f =>
+      val at = colList.indexWhere(_.equalsIgnoreCase(f.name))
+      if (at >= 0) Some("(" + rw(exprs(at)) + ")")
+      else if (aiName.exists(_.equalsIgnoreCase(f.name)) && aiOmitted)
+        None // allocated at apply time
+      else Some("(" + defaultExpr(bMeta, f.name).getOrElse("NULL") + ")")
+    }.toIndexedSeq
+    val fieldCols: IndexedSeq[Option[Column]] =
+      fieldTexts.zip(bFields).map { case (t, f) =>
+        t.map(x => dexpr(x).cast(f.dataType))
+      }
+    val own = VecBodyPlan(target, fieldCols, aiOmitted, gate, fieldTexts)
+    val subTrigs = activeTriggers(target, "INSERT")
+      .filterNot(t => chain.contains(t.name.toLowerCase))
+    if (subTrigs.isEmpty) return Some(Seq(own))
+    // ---- cascaded sub-triggers (BEFORE run before the row lands) ----
+    def subResolve(timing: String)(kw: String, c: String): String = kw match {
+      case "new" =>
+        val i = bFields.indexWhere(_.name.equalsIgnoreCase(c))
+        if (i < 0) throw new IllegalArgumentException(s"no such column: new.$c")
+        fieldTexts(i) match {
+          case Some(t) => t
+          case None =>
+            if (timing == "BEFORE") "-1" // pre-allocation image, as at root
+            else throw new UnsupportedOperationException(
+              "cascaded AFTER program reads the allocated rowid alias")
+        }
+      case other => throw new IllegalArgumentException(s"no such column: $other.$c")
+    }
+    try {
+      val before = mutable.ArrayBuffer[VecBodyPlan]()
+      val after = mutable.ArrayBuffer[VecBodyPlan]()
+      var skip: Column = lit(false) // accumulated sub-ignore skips, this chain
+      var rowGate: Column = null // snapshot after the BEFORE programs
+      for (st <- subTrigs.filter(_.timing == "BEFORE") ++
+          subTrigs.filter(_.timing == "AFTER")) {
+        if (st.timing == "AFTER" && rowGate == null) rowGate = gate && !skip
+        def rwSub(text: String): String =
+          WriteTxn.rewriteRowRefs(text, Set("new", "old"), subResolve(st.timing))
+        if (!st.when.forall(vecPure)) return None
+        val whenCol = st.when.map(w => dpred(rwSub(w)))
+        val fires = whenCol.map(w => coalesce(w, lit(false)))
+          .getOrElse(lit(true)) && !skip
+        val isIgnore = st.body.length == 1 &&
+          st.body.head.trim.matches("(?is)^SELECT\\s+RAISE\\s*\\(\\s*IGNORE\\s*\\)\\s*;?$")
+        if (isIgnore) skip = skip || fires
+        else {
+          val sink = if (st.timing == "BEFORE") before else after
+          for (sb <- st.body)
+            sink ++= vecCompileBody(sb, rwSub, gate && fires,
+              chain + st.name.toLowerCase).getOrElse(return None)
+        }
+      }
+      // a BEFORE sub-ignore abandons the row append and its AFTER
+      // programs (an AFTER ignore only skips later programs — the row
+      // has already landed); sub-ignores consume no id — probed
+      if (rowGate == null) rowGate = gate && !skip
+      Some((before.toSeq :+ own.copy(gate = rowGate)) ++ after.toSeq)
+    } catch {
+      case _: UnsupportedOperationException => None
+    }
   }
 
   /** The chained abandon condition: rows a BEFORE `RAISE(IGNORE)`
@@ -2698,14 +2780,31 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * `__vec_seq` statement-order column; allocation orders by
     * (row, program index), reproducing the per-row interleave the
     * general tier executes. */
-  private def vecApplyAppends(plans: Seq[VecTrigPlan], images: DataFrame): Unit = {
+  /** Flatten the non-ignore plans to (body, global firing position,
+    * full firing condition) — the position numbers every body across
+    * all programs in depth-first firing order (r17: per BODY, not per
+    * plan — two bodies of one program appending to the same target
+    * allocate in body order, and cascaded appends keep their slot);
+    * the condition folds the plan's WHEN, the chained ignore skips,
+    * and the body's own cascade gate. */
+  private def vecFlatten(plans: Seq[VecTrigPlan]): Seq[(VecBodyPlan, Int, Column)] = {
     var priorSkip: Column = lit(false)
-    val perTarget = mutable.LinkedHashMap[String,
-      (String, mutable.ArrayBuffer[DataFrame], Boolean)]()
-    plans.zipWithIndex.foreach { case (pl, k) =>
+    var ord = 0
+    val out = mutable.ArrayBuffer[(VecBodyPlan, Int, Column)]()
+    plans.foreach { pl =>
       val fires = pl.when.map(w => coalesce(w, lit(false))).getOrElse(lit(true)) && !priorSkip
       if (pl.ignoreFilter) priorSkip = priorSkip || fires
-      else pl.bodies.foreach { b =>
+      else pl.bodies.foreach { b => out += ((b, ord, fires && b.gate)); ord += 1 }
+    }
+    out.toSeq
+  }
+
+  private def vecApplyAppends(plans: Seq[VecTrigPlan], images: DataFrame,
+      skipTarget: Option[String] = None): Unit = {
+    val perTarget = mutable.LinkedHashMap[String,
+      (String, mutable.ArrayBuffer[DataFrame], Boolean)]()
+    vecFlatten(plans).foreach { case (b, k, fires) =>
+      if (!skipTarget.exists(_.equalsIgnoreCase(b.target))) {
         val (bMeta, _) = load(b.target)
         val sel = images.where(fires).select(
           (b.fieldCols.zip(bMeta.schema.fields).map {
@@ -2903,9 +3002,22 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             .getOrElse(return None))
         case None => None
       }
-      val b2 = tg.body.map(b =>
-        rewriteSelfAggs(table, fields, tg.timing, b, specs, corrKws)
-          .getOrElse(return None))
+      val b2 = tg.body.map { b =>
+        vecInsertRe.findFirstMatchIn(b.trim) match {
+          case Some(m) if SqlScript.unquoteIdent(m.group(1))
+              .equalsIgnoreCase(table) =>
+            // a self-APPEND body (r17): its INSERT INTO <target>
+            // prefix is not a self-read — only the VALUES exprs need
+            // the self-agg scan (vecCompileBody vectorizes the append)
+            val rest = rewriteSelfAggs(table, fields, tg.timing,
+              m.group(3), specs, corrKws).getOrElse(return None)
+            val cols = Option(m.group(2)).map(g => s" ($g)").getOrElse("")
+            s"INSERT INTO ${m.group(1)}$cols VALUES $rest"
+          case _ =>
+            rewriteSelfAggs(table, fields, tg.timing, b, specs, corrKws)
+              .getOrElse(return None)
+        }
+      }
       tg.copy(when = w2, body = b2)
     }
     Some((rewritten, specs.toSeq))
@@ -2965,6 +3077,31 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           pl.tg.when.exists(_.contains("__selfagg_"))))
       return false
     val aiIdx = aiName.map(n => fields.indexWhere(_.name.equalsIgnoreCase(n)))
+    // ---- self-appends (r17): bodies landing in the STATEMENT'S OWN
+    // table (the firing trigger suppressed, per recursive_triggers
+    // OFF) vectorize too — they share the main insert's rowid-alias
+    // counter, so allocation becomes one unified consumption stream
+    // over (row, firing position): probed, a BEFORE self-append takes
+    // the id *before* its main row, an AFTER one the id after.
+    val flat = vecFlatten(plans)
+    val selfFlat = flat.filter(_._1.target.equalsIgnoreCase(table))
+    if (selfFlat.nonEmpty) {
+      // interplay with self-read aggregate windows is unverified, and
+      // explicit-id or explicit-alias main statements make the next-id
+      // depend on runtime maxima — general tier for those
+      if (selfSpecs.nonEmpty) return false
+      if (meta.autoIncrement.isDefined &&
+          (aiName.isEmpty || selfFlat.exists(!_._1.aiOmitted))) return false
+      // a self-append gated on the ALLOCATED alias id would make the
+      // consumption stream self-referential — general tier
+      def refsNewAi(c: Column): Boolean = aiName.exists { ai =>
+        org.apache.spark.sql.graft.SqlInternals.expression(c).collectFirst {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.name.equalsIgnoreCase("__new_" + ai) => a
+        }.isDefined
+      }
+      if (selfFlat.exists { case (_, _, f) => refsNewAi(f) }) return false
+    }
     // image frame: BEFORE image (__nb_*, rowid alias -1) + AFTER image
     // (__new_*) + statement order
     var images = aligned0
@@ -2974,18 +3111,43 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         if (aiIdx.contains(i)) lit(-1L).cast(f.dataType) else col(f.name))
     }
     val abandon0 = vecAbandonCond(plans)
+    // main row's firing position among the flattened bodies: after
+    // every BEFORE program's bodies, before every AFTER program's
+    val mainOrd = plans.filter(pl => !pl.ignoreFilter && pl.tg.timing == "BEFORE")
+      .map(_.bodies.length).sum
+    val wSeq = Window.orderBy(col("__vec_seq"))
+    // id consumed by firing position `p` of the CURRENT row =
+    //   #self-appends that fired at positions < p
+    //   (+1 for the main row itself once past its position)
+    def offsBefore(p: Int, includeMain: Boolean): Column = {
+      val selfPart = selfFlat.filter(_._2 < p)
+        .map { case (_, _, f) => when(f, 1L).otherwise(0L) }
+        .foldLeft(lit(0L))(_ + _)
+      if (includeMain && p >= mainOrd)
+        selfPart + when(abandon0, 0L).otherwise(1L)
+      else selfPart
+    }
     // allocate ids AFTER the filters decide survival: running count of
-    // surviving rows in statement order (single-partition window — the
-    // same tradeoff as the fast path's row_number allocation)
+    // ids consumed by PRIOR rows (main + fired self-appends) in
+    // statement order (single-partition window — the same tradeoff as
+    // the fast path's row_number allocation)
+    val rowConsumption: Column =
+      when(abandon0, 0L).otherwise(1L) + offsBefore(Int.MaxValue, includeMain = false)
+    val priorIds: Column = coalesce(
+      sum(rowConsumption).over(wSeq.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    // non-alias images first: the alias allocation may read them (a
+    // self-append's gate is an AFTER WHEN over __new_ columns — r17)
     fields.zipWithIndex.foreach { case (f, i) =>
-      images = images.withColumn("__new_" + f.name,
-        if (aiIdx.contains(i))
-          when(!abandon0, lit(aiBase.getOrElse(0L)) +
-            sum(when(abandon0, 0L).otherwise(1L)).over(
-              Window.orderBy(col("__vec_seq"))
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-            .cast(f.dataType)
-        else col(f.name))
+      if (!aiIdx.contains(i))
+        images = images.withColumn("__new_" + f.name, col(f.name))
+    }
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (aiIdx.contains(i))
+        images = images.withColumn("__new_" + f.name,
+          when(!abandon0, lit(aiBase.getOrElse(0L)) + priorIds +
+            offsBefore(mainOrd, includeMain = false) + 1L)
+            .cast(f.dataType))
     }
     // self-read aggregate columns: base constant (one bounded agg job
     // over pre-statement state per spec) + running window over the
@@ -3122,10 +3284,26 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     // the abandon condition reads only __nb_ columns, so evaluating it
     // again inside the appends/main projections is phase-consistent
-    vecApplyAppends(plans, images)
+    vecApplyAppends(plans, images, skipTarget = Some(table))
     val kept = images.where(!vecAbandonCond(plans))
       .select(fields.map(f => col("__new_" + f.name).as(f.name)).toSeq: _*)
-    stage(table, meta, existing.unionByName(kept))
+    // self-appends union in with their interleaved ids (r17); ids were
+    // pre-gated to the all-omitted-alias shape above. The id column
+    // must join `images` BEFORE the fires filter — a window inside a
+    // post-filter select would cumulate over the surviving rows only.
+    val selfRows = selfFlat.zipWithIndex.map { case ((b, p, fires), si) =>
+      val idCol = s"__vec_selfid_$si"
+      images.withColumn(idCol,
+        lit(aiBase.getOrElse(0L)) + priorIds +
+          offsBefore(p, includeMain = true) + 1L)
+        .where(fires).select(
+          b.fieldCols.zip(fields).zipWithIndex.map { case ((c, f), i) =>
+            (if (aiIdx.contains(i)) col(idCol).cast(f.dataType)
+            else c.getOrElse(lit(null).cast(f.dataType))).as(f.name)
+          }.toSeq: _*)
+    }
+    stage(table, meta,
+      selfRows.foldLeft(existing.unionByName(kept))(_ unionByName _))
     true
   }
 
@@ -3362,6 +3540,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     if (selfSpecs.nonEmpty && plans.exists(pl =>
         pl.ignoreFilter && pl.tg.timing == "BEFORE" &&
           pl.tg.when.exists(_.contains("__selfagg_"))))
+      return false
+    // a body inserting into the UPDATE/DELETE target mid-statement is
+    // SQLite-undefined; the general loop's refusal is the contract
+    if (vecFlatten(plans).exists(_._1.target.equalsIgnoreCase(table)))
       return false
     val rid = "__trg_rid"
     // a content-derived row id: monotonically_increasing_id values

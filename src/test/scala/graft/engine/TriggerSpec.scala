@@ -807,4 +807,98 @@ class TriggerSpec extends SparkSpecBase {
     same(id, db, "SELECT sn, so, c, v FROM audit ORDER BY v DESC LIMIT 10;")
     same(id, db, "SELECT g, count(*) AS n, sum(x) AS s FROM t GROUP BY g ORDER BY g;")
   }
+
+  test("cascades into triggered tables vectorize (r17): depth-first order, " +
+      "sub-WHEN, sub-IGNORE, 1,500 firings past the cap") {
+    val schema = "CREATE TABLE a (id INTEGER PRIMARY KEY, x INTEGER);\n" +
+      "CREATE TABLE b (id INTEGER PRIMARY KEY, ax INTEGER);\n" +
+      "CREATE TABLE c (id INTEGER PRIMARY KEY, note TEXT, v INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    // firing order on b is reverse creation: t3 (BEFORE), tb (BEFORE,
+    // the IGNORE filter), t2 (AFTER) — so 'beforeB' logs even for rows
+    // tb subsequently abandons, no b id is consumed for those, t2
+    // skips them, and t1's second body statement still runs (probed)
+    val script =
+      "CREATE TRIGGER t1 AFTER INSERT ON a BEGIN " +
+        "INSERT INTO b (ax) VALUES (NEW.x * 10); " +
+        "INSERT INTO c (note, v) VALUES ('postA', NEW.x); END;" +
+      "CREATE TRIGGER tb BEFORE INSERT ON b WHEN NEW.ax % 70 = 20 " +
+        "BEGIN SELECT RAISE(IGNORE); END;" +
+      "CREATE TRIGGER t2 AFTER INSERT ON b BEGIN " +
+        "INSERT INTO c (note, v) VALUES ('afterB', NEW.ax); END;" +
+      "CREATE TRIGGER t3 BEFORE INSERT ON b WHEN NEW.ax % 3 = 0 BEGIN " +
+        "INSERT INTO c (note, v) VALUES ('beforeB', NEW.ax); END;" +
+        (0 until 3).map { bk =>
+          "INSERT INTO a (x) VALUES " +
+            (1 to 500).map(i => s"(${(bk * 500 + i) % 97})").mkString(", ") + ";"
+        }.mkString
+    runBoth(id, db, script)
+    same(id, db, "SELECT count(*) AS n, max(id) AS mx FROM b;")
+    same(id, db, "SELECT id, ax FROM b ORDER BY id LIMIT 25;")
+    same(id, db, "SELECT count(*) AS n, max(id) AS mx FROM c;")
+    same(id, db, "SELECT id, note, v FROM c ORDER BY id LIMIT 40;")
+    same(id, db, "SELECT id, note, v FROM c ORDER BY id DESC LIMIT 10;")
+  }
+
+  test("self-appending triggers vectorize (r17): suppressed recursion, " +
+      "interleaved rowid-alias ids, sibling trigger fires for appended rows") {
+    val schema = "CREATE TABLE a (id INTEGER PRIMARY KEY, x INTEGER, src TEXT);\n" +
+      "CREATE TABLE log (lid INTEGER PRIMARY KEY, ax INTEGER, s TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    // t appends into its own target (runs once per firing row —
+    // recursive_triggers OFF); u, a sibling on the same table, fires
+    // for BOTH main and appended rows; id allocation interleaves
+    // main/append in firing order (probed: 1,2,3,4). The WHEN makes
+    // per-row id consumption vary (1 or 2), exercising the unified
+    // consumption stream past the old 1,000-row cap.
+    val script =
+      "CREATE TRIGGER t AFTER INSERT ON a WHEN NEW.x % 5 < 3 BEGIN " +
+        "INSERT INTO a (x, src) VALUES (NEW.x + 1000, 'trg'); END;" +
+      "CREATE TRIGGER u AFTER INSERT ON a BEGIN " +
+        "INSERT INTO log (ax, s) VALUES (NEW.x, NEW.src); END;" +
+        (0 until 3).map { bk =>
+          "INSERT INTO a (x, src) VALUES " +
+            (1 to 500).map(i => s"(${(bk * 500 + i) % 97}, 'main')").mkString(", ") + ";"
+        }.mkString
+    runBoth(id, db, script)
+    same(id, db, "SELECT count(*) AS n, max(id) AS mx FROM a;")
+    same(id, db, "SELECT id, x, src FROM a ORDER BY id LIMIT 30;")
+    same(id, db, "SELECT id, x, src FROM a ORDER BY id DESC LIMIT 10;")
+    same(id, db, "SELECT count(*) AS n FROM log;")
+    same(id, db, "SELECT ax, s, count(*) AS n FROM log GROUP BY ax, s " +
+      "ORDER BY ax, s LIMIT 30;")
+  }
+
+  test("BEFORE self-append takes its id before the main row (r17, probed)") {
+    val schema = "CREATE TABLE a (id INTEGER PRIMARY KEY, x INTEGER, src TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    runBoth(id, db,
+      "CREATE TRIGGER t BEFORE INSERT ON a WHEN NEW.src = 'main' BEGIN " +
+        "INSERT INTO a (x, src) VALUES (NEW.x + 100, 'trg'); END;" +
+        "INSERT INTO a (x, src) VALUES (1, 'main'), (2, 'main');")
+    same(id, db, "SELECT id, x, src FROM a ORDER BY id;")
+  }
+
+  test("cascade back into the statement target (A→B→A) vectorizes (r17)") {
+    val schema = "CREATE TABLE a (id INTEGER PRIMARY KEY, x INTEGER, src TEXT);\n" +
+      "CREATE TABLE b (id INTEGER PRIMARY KEY, ax INTEGER);"
+    val id = seg(schema); val db = cliDb(schema)
+    // the echoed A row fires neither t1 (WHEN filters it; t1 is also on
+    // the firing stack — suppressed either way) nor re-enters the
+    // cascade; ids interleave main/echo (probed: 1,2,3,4)
+    val script =
+      "CREATE TRIGGER t1 AFTER INSERT ON a WHEN NEW.src = 'main' BEGIN " +
+        "INSERT INTO b (ax) VALUES (NEW.x); END;" +
+      "CREATE TRIGGER t2 AFTER INSERT ON b BEGIN " +
+        "INSERT INTO a (x, src) VALUES (NEW.ax + 500, 'echo'); END;" +
+        (0 until 2).map { bk =>
+          "INSERT INTO a (x, src) VALUES " +
+            (1 to 400).map(i => s"(${(bk * 400 + i) % 89}, 'main')").mkString(", ") + ";"
+        }.mkString
+    runBoth(id, db, script)
+    same(id, db, "SELECT count(*) AS n, max(id) AS mx FROM a;")
+    same(id, db, "SELECT id, x, src FROM a ORDER BY id LIMIT 30;")
+    same(id, db, "SELECT count(*) AS n, max(id) AS mx FROM b;")
+    same(id, db, "SELECT id, ax FROM b ORDER BY id LIMIT 15;")
+  }
 }
