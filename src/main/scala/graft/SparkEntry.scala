@@ -780,7 +780,7 @@ object SparkEntry {
       import s.implicits._
       val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber",
         $"l_returnflag", $"l_quantity".cast("long").as("qty"), $"l_shipdate")
-      graft.functions.WindowCompat.groupsFrameAgg(li, "frame_sum", sum($"qty"),
+      graft.functions.WindowCompat.groupsFrameSum(li, "frame_sum", $"qty",
           Seq($"l_returnflag"), $"l_shipdate", 1, 1)
         .withColumn("frame_sum_excl", $"frame_sum" - $"qty")
         .where($"l_orderkey" % 211 === 0)

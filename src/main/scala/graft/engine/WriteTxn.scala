@@ -310,7 +310,22 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       case Some(rd) => Rtree.coerceAndCheck(rd, df2)
       case None => df2
     }
-    working(table) = (meta, collated(df3))
+    // declared collations travel as FIELD METADATA; the projections a
+    // DML builds (CASE WHEN … AS c) drop it, and with it every later
+    // statement's collation rewrite over this frame (r17 fuzz [749]:
+    // an UPDATE's RTRIM WHERE stopped matching after an earlier SET of
+    // the same column). Restore the declared metadata at the funnel.
+    val df4 =
+      if (meta.schema.fields.forall(f => f.metadata ==
+          org.apache.spark.sql.types.Metadata.empty)) df3
+      else if (df3.columns.length == meta.schema.fields.length &&
+          meta.schema.fields.forall(f =>
+            df3.columns.exists(_.equalsIgnoreCase(f.name))))
+        df3.select(meta.schema.fields.map(f =>
+          col(df3.columns.find(_.equalsIgnoreCase(f.name)).get)
+            .as(f.name, f.metadata)).toSeq: _*)
+      else df3
+    working(table) = (meta, collated(df4))
     dirty += table
   }
 
@@ -2826,6 +2841,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         app = app.withColumn(ai, lit(base) +
           row_number().over(Window.orderBy(col("__vec_seq"), col("__vec_ord"))))
       }
+      // appended rows face the same statement-time NOT NULL/CHECK the
+      // general tier's per-body execute() applies (r17 fuzz [724])
+      enforceIncomingConstraints(target, bMeta,
+        app.drop("__vec_seq", "__vec_ord"))
       stage(target, bMeta, bExisting.unionByName(
         app.drop("__vec_seq", "__vec_ord")))
     }
@@ -3302,6 +3321,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             else c.getOrElse(lit(null).cast(f.dataType))).as(f.name)
           }.toSeq: _*)
     }
+    // statement-time NOT NULL/CHECK over every row this statement
+    // lands (main + self-appends), as the set-based fast path
+    // enforces — r17 fuzz [724]: the vectorized tier skipped it
+    enforceIncomingConstraints(table, meta,
+      selfRows.foldLeft(kept)(_ unionByName _))
     stage(table, meta,
       selfRows.foldLeft(existing.unionByName(kept))(_ unionByName _))
     true
@@ -3682,6 +3706,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     vecApplyAppends(plans, images)
     val surviving = images.where(!vecAbandonCond(plans))
+    // post-image NOT NULL/CHECK at statement time, like the plain
+    // UPDATE path (r17 fuzz [724] class of hole)
+    newCols.foreach { _ =>
+      enforceIncomingConstraints(table, meta, surviving.select(
+        fields.map(f => col("__new_" + f.name).as(f.name)).toSeq: _*))
+    }
     val out = newCols match {
       case Some(_) => // UPDATE: replace surviving rows via rid join
         val repl = surviving.select(
@@ -3778,7 +3808,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
     val rows = collectCapped(aligned0, "INSERT").map(_.toSeq.toIndexedSeq)
     // occupant: key → the row currently holding that key (pre-existing
-    // or applied earlier this statement); only incoming keys tracked
+    // or applied earlier this statement); only incoming keys tracked.
+    // The prescan compares under declared collations (collated wrap —
+    // a NOCASE-unique PK conflict is still a conflict, r17 fuzz).
     val occupant = mutable.LinkedHashMap[Seq[Any], IndexedSeq[Any]]()
     if (keyIdx.nonEmpty && rows.nonEmpty) {
       val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(fields))
@@ -3786,14 +3818,55 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         .filter(_.forall(_ != null)).distinct
       if (keys.nonEmpty) {
         val keysDf = localDf(keySchema, keys)
-        existing.join(broadcast(keysDf), keyCols.toSeq, "left_semi").collect()
+        // explicit re-select: a USING join fronts the join columns in
+        // its output, breaking positional indexing (r17)
+        collated(existing.join(broadcast(keysDf), keyCols.toSeq, "left_semi"))
+          .select(fields.map(f => col(f.name)).toSeq: _*)
+          .collect()
           .foreach { r =>
             val vals = r.toSeq.toIndexedSeq
-            occupant(keyIdx.map(vals(_))) = vals
+            occupant(WriteTxn.normKeyOf(fields, keyIdx, vals)) = vals
           }
       }
     }
     val existedAtStart = occupant.keySet.toSet
+    // r17 (fuzz [552]/[836]): OR IGNORE / OR REPLACE conflict on ANY
+    // unique constraint — the PK machinery above plus every recorded
+    // UNIQUE — compared under declared collations (sqlite's rule;
+    // conflict-target upserts keep their single-target semantics).
+    // Occupancy per secondary set tracks collation-NORMALIZED keys;
+    // REPLACE victims are removed by their PK identity, so secondary
+    // replacement engages only when the table has a PK (without one
+    // the old loud commit-time error remains — documented residual).
+    val secSets: Seq[IndexedSeq[Int]] =
+      if ((mode == "IGNORE" || mode == "REPLACE") && rows.nonEmpty)
+        uniqueKeySets(meta).map(_.map(fieldIdx).toIndexedSeq)
+          .filterNot(s => s.sorted == keyIdx.sorted)
+      else Nil
+    def secKeyOf(set: IndexedSeq[Int], row: IndexedSeq[Any]): Seq[Any] =
+      if (set.forall(row(_) != null))
+        set.map(i => WriteTxn.collNorm(fields(i), row(i)))
+      else null
+    val secOcc: IndexedSeq[mutable.LinkedHashMap[Seq[Any], IndexedSeq[Any]]] =
+      secSets.map(_ => mutable.LinkedHashMap[Seq[Any], IndexedSeq[Any]]()).toIndexedSeq
+    val secExisted = mutable.HashSet[IndexedSeq[Any]]() // pre-existing victims (by full row)
+    secSets.zipWithIndex.foreach { case (set, si) =>
+      val setCols = set.map(i => fields(i).name)
+      val keySchema = org.apache.spark.sql.types.StructType(set.map(fields))
+      val keys = rows.map(r => set.map(r(_)).toIndexedSeq)
+        .filter(_.forall(_ != null)).distinct
+      if (keys.nonEmpty) {
+        val keysDf = localDf(keySchema, keys)
+        collated(existing.join(broadcast(keysDf), setCols.toSeq, "left_semi"))
+          .select(fields.map(f => col(f.name)).toSeq: _*)
+          .collect()
+          .foreach { r =>
+            val vals = r.toSeq.toIndexedSeq
+            secOcc(si)(secKeyOf(set, vals)) = vals
+            secExisted += vals
+          }
+      }
+    }
     val removedExisting = mutable.LinkedHashSet[Seq[Any]]()
     val applied = mutable.ArrayBuffer[(Seq[Any], IndexedSeq[Any])]()
     var cur = existing
@@ -3823,10 +3896,17 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // insert, no gaps)
     var nextAi = aiBase.getOrElse(0L)
 
+    def registerSec(r: IndexedSeq[Any]): Unit =
+      secSets.zipWithIndex.foreach { case (s, si) =>
+        val k = secKeyOf(s, r)
+        if (k != null) secOcc(si)(k) = r
+      }
     rows.foreach { row0 =>
       var row = row0
       val key: Seq[Any] =
-        if (keyIdx.nonEmpty && keyIdx.forall(row(_) != null)) keyIdx.map(row(_)) else null
+        if (keyIdx.nonEmpty && keyIdx.forall(row(_) != null))
+          WriteTxn.normKeyOf(fields, keyIdx, row) else null
+      val secKeys: Seq[Seq[Any]] = secSets.map(s => secKeyOf(s, row))
       def resolveIns(before: Boolean)(kw: String, c: String): String = kw match {
         case "new" =>
           val i = fieldIdx(c)
@@ -3846,7 +3926,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           insTrigs.withFilter(_.timing == "AFTER").foreach { t =>
             if (!ignored && !fire(t, resolveIns(before = false))) ignored = true
           }
-        val conflicting = key != null && occupant.contains(key)
+        val secHit = secKeys.zipWithIndex.exists { case (k, si) =>
+          k != null && secOcc(si).contains(k) }
+        val conflicting = (key != null && occupant.contains(key)) || secHit
         if (!conflicting || mode == "PLAIN") {
           // a PLAIN duplicate still lands here: the commit-time unique
           // gate raises for it, exactly like the set-based fast path
@@ -3854,19 +3936,42 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           if (perRow) { cur = cur.unionByName(localDf(meta.schema, Seq(row))); checkpointMaybe() }
           applied += ((key, row))
           if (key != null) occupant(key) = row
+          registerSec(row)
           fireAfterInsert()
         } else mode match {
           case "REPLACE" =>
-            if (existedAtStart.contains(key)) removedExisting += key
-            dropApplied(key)
+            // victims: the PK occupant plus every conflicting
+            // secondary-set occupant (sqlite deletes EVERY row any
+            // uniqueness violation points at); each removes by its own
+            // PK identity — r17 fuzz [552]/[836] generalization
+            val victims = mutable.LinkedHashSet[IndexedSeq[Any]]()
+            if (key != null) occupant.get(key).foreach(victims += _)
+            secKeys.zipWithIndex.foreach { case (k, si) =>
+              if (k != null) secOcc(si).get(k).foreach(victims += _) }
+            victims.foreach { v =>
+              val vKey: Seq[Any] =
+                if (keyIdx.nonEmpty && keyIdx.forall(v(_) != null))
+                  WriteTxn.normKeyOf(fields, keyIdx, v) else null
+              if (vKey != null) {
+                if (existedAtStart.contains(vKey)) removedExisting += vKey
+                dropApplied(vKey)
+                occupant.remove(vKey)
+                if (perRow)
+                  cur = cur.where(!coalesce(keyEq(vKey), lit(false)))
+              }
+              secSets.zipWithIndex.foreach { case (s, si) =>
+                val k = secKeyOf(s, v)
+                if (k != null && secOcc(si).get(k).contains(v)) secOcc(si).remove(k)
+              }
+            }
             allocAi()
             if (perRow) {
-              cur = cur.where(!coalesce(keyEq(key), lit(false)))
-                .unionByName(localDf(meta.schema, Seq(row)))
+              cur = cur.unionByName(localDf(meta.schema, Seq(row)))
               checkpointMaybe()
             }
             applied += ((key, row))
-            occupant(key) = row
+            if (key != null) occupant(key) = row
+            registerSec(row)
             fireAfterInsert()
           case "IGNORE" | "NOTHING" => () // dropped silently; no AFTER (probed)
           case "UPDATE" =>
@@ -3901,7 +4006,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
                 dropApplied(key)
                 val newKey: Seq[Any] =
                   if (keyIdx.nonEmpty && keyIdx.forall(newVals(_) != null))
-                    keyIdx.map(newVals(_)) else null
+                    WriteTxn.normKeyOf(fields, keyIdx, newVals) else null
                 if (perRow) {
                   cur = cur.where(!coalesce(keyEq(key), lit(false)))
                     .unionByName(localDf(meta.schema, Seq(newVals)))
@@ -4148,6 +4253,29 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
 private[engine] object WriteTxn {
   val selectMutex = new Object
+
+  /** Driver-side collation normalization for conflict-map keys (r17):
+    * NOCASE folds ASCII A–Z only (sqlite's rule, datatype3.html §7.1),
+    * RTRIM strips trailing 0x20 — so two values comparing equal under
+    * the declared collation normalize to the same map key. Non-string
+    * storage values pass through (dynamic typing). */
+  private[engine] def collNorm(f: org.apache.spark.sql.types.StructField,
+      v: Any): Any = v match {
+    case s: String => SqliteDdl.collationOf(f).map(_.toUpperCase) match {
+      case Some("NOCASE") =>
+        s.map(ch => if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+      case Some("RTRIM") =>
+        var e = s.length
+        while (e > 0 && s.charAt(e - 1) == ' ') e -= 1
+        s.substring(0, e)
+      case _ => s
+    }
+    case other => other
+  }
+
+  private[engine] def normKeyOf(fields: Array[StructField],
+      idxs: Seq[Int], row: IndexedSeq[Any]): Seq[Any] =
+    idxs.map(i => collNorm(fields(i), row(i)))
 
   /** Rewrite `kw.<ident>` row references (NEW./OLD./excluded., any
     * SQLite ident quoting) through `resolve` — quote-aware so string

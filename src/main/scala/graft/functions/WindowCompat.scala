@@ -45,4 +45,47 @@ object WindowCompat {
       .withColumn(out, agg.over(frameW))
       .drop(dr)
   }
+
+  /** GROUPS-frame SUM, decomposed for scale (r17): aggregate per
+    * (partition, order-key) GROUP first — a shuffle-parallel hash
+    * aggregation over every core — run the GROUPS frame as a ROWS
+    * window over the DISTINCT groups (one row per group, so ROWS ≡
+    * GROUPS), and join the per-group frame sums back. The naive
+    * single-window form ([[groupsFrameAgg]]) serializes on partition
+    * parallelism: a 3-value partition column runs 3 tasks no matter
+    * the cluster size, with every raw row passing through the sort.
+    * Here the serial window is proportional to the distinct group
+    * count and the joined-back side broadcasts. Sum-decomposable
+    * aggregates only; null order keys form their own peer group,
+    * matched with null-safe equality. */
+  def groupsFrameSum(
+      df: DataFrame,
+      out: String,
+      valueCol: Column,
+      partitionCols: Seq[Column],
+      orderCol: Column,
+      precedingGroups: Long,
+      followingGroups: Long): DataFrame = {
+    require(precedingGroups >= 0 && followingGroups >= 0,
+      "frame bounds are non-negative group offsets")
+    val pNames = partitionCols.indices.map(i => s"_gf_p$i")
+    val oName = "_gf_o"
+    val keyed = df.select(
+      (partitionCols.zip(pNames).map { case (c, n) => c.as(n) } :+
+        orderCol.as(oName) :+ valueCol.as("_gf_v")): _*)
+    val frameW = Window.partitionBy(pNames.map(col): _*).orderBy(col(oName))
+      .rowsBetween(-precedingGroups, followingGroups)
+    val frames = keyed
+      .groupBy((pNames :+ oName).map(col): _*)
+      .agg(sum(col("_gf_v")).as("_gf_gsum"))
+      .withColumn(out, sum(col("_gf_gsum")).over(frameW))
+      .drop("_gf_gsum")
+    // no broadcast hint: group count can reach raw-row cardinality
+    // when the order key is near-unique — AQE picks broadcast when the
+    // frame side is actually small
+    val cond = partitionCols.zip(pNames).map { case (c, n) => c <=> col(n) }
+      .reduceOption(_ && _).getOrElse(lit(true)) && (orderCol <=> col(oName))
+    df.join(frames, cond, "left")
+      .drop((pNames :+ oName): _*)
+  }
 }

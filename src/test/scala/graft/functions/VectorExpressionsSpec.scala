@@ -211,6 +211,34 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("fs")).toSeq == Seq(7L, 7L, 63L, 60L, 60L, 60L))
   }
 
+  test("WindowCompat.groupsFrameSum: decomposed form agrees with the " +
+      "single-window form, incl. null order keys (r17)") {
+    val df = Seq((10, 1L), (10, 2L), (20, 4L), (30, 8L), (30, 16L), (30, 32L))
+      .toDF("k", "v").withColumn("p", lit("x"))
+    val out = graft.functions.WindowCompat
+      .groupsFrameSum(df, "fs", $"v", Seq($"p"), $"k", 1, 1)
+      .orderBy($"k", $"v").collect()
+    assert(out.map(_.getAs[Long]("fs")).toSeq == Seq(7L, 7L, 63L, 60L, 60L, 60L))
+    // randomized equivalence vs groupsFrameAgg over two partitions,
+    // with a NULL order key forming its own peer group (NULLS FIRST)
+    val rng = new scala.util.Random(20260816L)
+    val rows = (1 to 300).map { i =>
+      (if (rng.nextInt(10) == 0) null.asInstanceOf[Integer]
+      else Integer.valueOf(rng.nextInt(12)),
+        rng.nextInt(100).toLong, if (rng.nextBoolean()) "a" else "b")
+    }
+    val big = rows.toDF("k", "v", "p")
+    val a = graft.functions.WindowCompat
+      .groupsFrameAgg(big, "fs", sum($"v"), Seq($"p"), $"k", 1, 1)
+      .groupBy($"p", $"k").agg(max($"fs").as("fs"), min($"fs").as("fs2"))
+      .orderBy($"p", $"k").collect()
+    val b = graft.functions.WindowCompat
+      .groupsFrameSum(big, "fs", $"v", Seq($"p"), $"k", 1, 1)
+      .groupBy($"p", $"k").agg(max($"fs").as("fs"), min($"fs").as("fs2"))
+      .orderBy($"p", $"k").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("minhash similarity estimates Jaccard for near-identical sets") {
     val base = (1L to 1000L).toSeq
     val mod = base.drop(100) ++ (2001L to 2100L) // jaccard = 900/1100 ≈ 0.818
