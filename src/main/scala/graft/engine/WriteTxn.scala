@@ -1532,10 +1532,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }
     val cmdIdx = targetCols.indexWhere(_.equalsIgnoreCase(table))
     frames.foreach { f =>
-      val rows = f.limit(MaxTriggerRows + 1).collect()
-      require(rows.length <= MaxTriggerRows,
-        s"more than $MaxTriggerRows fts5 command rows in one statement")
-      rows.foreach { row =>
+      // streamed, uncapped (r17) — bulk 'delete' maintenance over a
+      // SELECT source is a legal fts5 shape
+      streamRows(f).foreach { row =>
         val cmd =
           if (row.isNullAt(cmdIdx)) "" else row.get(cmdIdx).toString
         applyFtsCommand(table, fd, cmd, targetCols, row)
@@ -2191,11 +2190,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // partition-arbitrary)
       val aiIdx = meta.autoIncrement
         .map(ai => fields.indexWhere(_.name.equalsIgnoreCase(ai))).filter(_ >= 0)
-      val rows = collectCapped(hit.select(imgSel.toSeq: _*), "UPDATE")
-        .sortBy(r => aiIdx match {
-          case Some(i) if !r.isNullAt(i) => r.getLong(i)
-          case _ => r.getLong(2 * nF)
-        })
+      val ordKey: Column = aiIdx match {
+        case Some(i) =>
+          coalesce(col(s"__o_${fields(i).name}").cast("long"), col(rid))
+        case None => col(rid)
+      }
+      val rows = streamRows(hit.select(imgSel.toSeq: _*).orderBy(ordKey))
       rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
         val oldV = (0 until nF).map(r.get(_)).toIndexedSeq
         val newV = (nF until 2 * nF).map(r.get(_)).toIndexedSeq
@@ -2330,7 +2330,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * RAISE(IGNORE) abandons the row's remaining triggers, the same
     * convention as the table loops. */
   private def fireInsteadOf(trigs: Seq[SqliteDdl.TriggerDef], cols: Seq[String],
-      changes: Seq[(Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]): Unit =
+      changes: Iterator[(Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]): Unit =
     changes.foreach { case (oldV, newV) =>
       def resolve(kw: String, c: String): String = {
         val i = cols.indexWhere(_.equalsIgnoreCase(c))
@@ -2376,7 +2376,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     viewCols.filterNot(c => full.columns.exists(_.equalsIgnoreCase(c)))
       .foreach(miss => full = full.withColumn(miss, lit(null)))
     full = full.select(viewCols.map(c => col(s"`$c`")): _*)
-    val rows = collectCapped(full, "INSERT")
+    val rows = streamRows(full)
     fireInsteadOf(trigs, viewCols, rows.map(r => (None, Some(r.toSeq.toIndexedSeq))))
   }
 
@@ -2406,7 +2406,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         viewCols.map(c => assignments.collectFirst { case (n, v) if n == c => v }
           .getOrElse(col(s"`$c`")).as(s"__n_$c"))): _*)
     val n = viewCols.length
-    val rows = collectCapped(img, "UPDATE")
+    val rows = streamRows(img)
     fireInsteadOf(trigs, viewCols, rows.map { r =>
       (Some((0 until n).map(r.get(_)).toIndexedSeq),
         Some((n until 2 * n).map(r.get(_)).toIndexedSeq))
@@ -2425,19 +2425,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           rest.charAt(5).isWhitespace, s"cannot parse DELETE statement: $rest")
         coalesce(dpred(rest.substring(6)), lit(false))
       }
-    val rows = collectCapped(vdf.where(pred), "DELETE")
+    val rows = streamRows(vdf.where(pred))
     fireInsteadOf(trigs, viewCols, rows.map(r => (Some(r.toSeq.toIndexedSeq), None)))
   }
 
   // ----------------------------------------------------------- triggers
 
-  /** Trigger programs run ROW-AT-A-TIME (SQLite's execution model); a
-    * statement that fires triggers on more rows than this refuses
-    * rather than degrade into a driver-side loop over bulk data —
-    * write scripts arrive over the reference's HTTP write path and are
-    * small by design (bulk loads go through ingest, which does not
-    * fire triggers, like sqlite3 .import). */
-  private val MaxTriggerRows = 1000
+  /** Batch size for streamed trigger-loop processing (r17 — the loops
+    * themselves are uncapped; trigger programs still run row-at-a-time,
+    * SQLite's execution model). */
+  private val FoldBatchRows = 1000
 
   private var firingStack: List[String] = Nil
 
@@ -2547,14 +2544,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
   }
 
-  private def collectCapped(df: DataFrame, what: String): Seq[org.apache.spark.sql.Row] = {
-    val rows = df.limit(MaxTriggerRows + 1).collect().toSeq
-    if (rows.length > MaxTriggerRows)
-      throw new UnsupportedOperationException(
-        s"$what fires triggers on more than $MaxTriggerRows rows in one statement; " +
-          "trigger programs are row-at-a-time (SQLite semantics) — drop the trigger " +
-          "for bulk loads or batch the write")
-    rows
+  /** Stream a frame driver-side in arrival order WITHOUT materializing
+    * it: toLocalIterator pulls one partition at a time, so driver
+    * memory is bounded by a partition, not the statement. Since r17
+    * the general trigger tiers batch through this instead of a capped
+    * collect — SQLite has no row cap, and neither do they; the cost of
+    * the residual non-vectorizable shapes is row-at-a-time THROUGHPUT,
+    * not a refusal. */
+  private def streamRows(df: DataFrame): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
   }
 
   /** Conservative check: does any WHEN/body text of these triggers
@@ -3806,30 +3805,18 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           insTrigs, aiAssigned, aiBase))
       return
 
-    val rows = collectCapped(aligned0, "INSERT").map(_.toSeq.toIndexedSeq)
+    // UNCAPPED since r17: incoming rows STREAM in batches; per batch,
+    // occupancy prescans run against the PRE-STATEMENT state for keys
+    // not yet seen, and applied rows fold into the working frame —
+    // driver memory is bounded by a batch plus the conflict-key maps
+    // (O(distinct incoming keys), keys only for row-free modes).
+    val rowIter = streamRows(aligned0).map(_.toSeq.toIndexedSeq)
     // occupant: key → the row currently holding that key (pre-existing
     // or applied earlier this statement); only incoming keys tracked.
     // The prescan compares under declared collations (collated wrap —
     // a NOCASE-unique PK conflict is still a conflict, r17 fuzz).
     val occupant = mutable.LinkedHashMap[Seq[Any], IndexedSeq[Any]]()
-    if (keyIdx.nonEmpty && rows.nonEmpty) {
-      val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(fields))
-      val keys = rows.map(r => keyIdx.map(r(_)).toIndexedSeq)
-        .filter(_.forall(_ != null)).distinct
-      if (keys.nonEmpty) {
-        val keysDf = localDf(keySchema, keys)
-        // explicit re-select: a USING join fronts the join columns in
-        // its output, breaking positional indexing (r17)
-        collated(existing.join(broadcast(keysDf), keyCols.toSeq, "left_semi"))
-          .select(fields.map(f => col(f.name)).toSeq: _*)
-          .collect()
-          .foreach { r =>
-            val vals = r.toSeq.toIndexedSeq
-            occupant(WriteTxn.normKeyOf(fields, keyIdx, vals)) = vals
-          }
-      }
-    }
-    val existedAtStart = occupant.keySet.toSet
+    val knownPk = mutable.HashSet[Seq[Any]]() // keys already prescanned
     // r17 (fuzz [552]/[836]): OR IGNORE / OR REPLACE conflict on ANY
     // unique constraint — the PK machinery above plus every recorded
     // UNIQUE — compared under declared collations (sqlite's rule;
@@ -3839,7 +3826,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // replacement engages only when the table has a PK (without one
     // the old loud commit-time error remains — documented residual).
     val secSets: Seq[IndexedSeq[Int]] =
-      if ((mode == "IGNORE" || mode == "REPLACE") && rows.nonEmpty)
+      if (mode == "IGNORE" || mode == "REPLACE")
         uniqueKeySets(meta).map(_.map(fieldIdx).toIndexedSeq)
           .filterNot(s => s.sorted == keyIdx.sorted)
       else Nil
@@ -3849,28 +3836,59 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       else null
     val secOcc: IndexedSeq[mutable.LinkedHashMap[Seq[Any], IndexedSeq[Any]]] =
       secSets.map(_ => mutable.LinkedHashMap[Seq[Any], IndexedSeq[Any]]()).toIndexedSeq
-    val secExisted = mutable.HashSet[IndexedSeq[Any]]() // pre-existing victims (by full row)
-    secSets.zipWithIndex.foreach { case (set, si) =>
-      val setCols = set.map(i => fields(i).name)
-      val keySchema = org.apache.spark.sql.types.StructType(set.map(fields))
-      val keys = rows.map(r => set.map(r(_)).toIndexedSeq)
-        .filter(_.forall(_ != null)).distinct
-      if (keys.nonEmpty) {
-        val keysDf = localDf(keySchema, keys)
-        collated(existing.join(broadcast(keysDf), setCols.toSeq, "left_semi"))
-          .select(fields.map(f => col(f.name)).toSeq: _*)
-          .collect()
-          .foreach { r =>
-            val vals = r.toSeq.toIndexedSeq
-            secOcc(si)(secKeyOf(set, vals)) = vals
-            secExisted += vals
+    val secKnown: IndexedSeq[mutable.HashSet[Seq[Any]]] =
+      secSets.map(_ => mutable.HashSet[Seq[Any]]()).toIndexedSeq
+    /** Prescan one batch's not-yet-seen keys against the PRE-STATEMENT
+      * state. Later batches must NOT resurrect occupants the loop
+      * already removed or replaced — hence the known-key guards. */
+    def prescanBatch(batch: IndexedSeq[IndexedSeq[Any]]): Unit = {
+      if (keyIdx.nonEmpty) {
+        val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(fields))
+        val fresh = batch.map(r => keyIdx.map(r(_)).toIndexedSeq)
+          .filter(k => k.forall(_ != null) &&
+            !knownPk.contains(WriteTxn.normKeyOf(fields, keyIdx, k))).distinct
+        if (fresh.nonEmpty) {
+          val keysDf = localDf(keySchema, fresh)
+          // explicit re-select: a USING join fronts the join columns
+          // in its output, breaking positional indexing (r17)
+          collated(existing.join(broadcast(keysDf), keyCols.toSeq, "left_semi"))
+            .select(fields.map(f => col(f.name)).toSeq: _*)
+            .collect()
+            .foreach { r =>
+              val vals = r.toSeq.toIndexedSeq
+              val k = WriteTxn.normKeyOf(fields, keyIdx, vals)
+              occupant(k) = vals
+            }
+          fresh.foreach(k => knownPk += WriteTxn.normKeyOf(fields, keyIdx, k))
+        }
+      }
+      secSets.zipWithIndex.foreach { case (set, si) =>
+        val setCols = set.map(i => fields(i).name)
+        val keySchema = org.apache.spark.sql.types.StructType(set.map(fields))
+        val fresh = batch.map(r => set.map(r(_)).toIndexedSeq)
+          .filter(k => k.forall(_ != null) &&
+            !secKnown(si).contains(k.indices.map(j =>
+              WriteTxn.collNorm(fields(set(j)), k(j))))).distinct
+        if (fresh.nonEmpty) {
+          val keysDf = localDf(keySchema, fresh)
+          collated(existing.join(broadcast(keysDf), setCols.toSeq, "left_semi"))
+            .select(fields.map(f => col(f.name)).toSeq: _*)
+            .collect()
+            .foreach { r =>
+              val vals = r.toSeq.toIndexedSeq
+              val k = secKeyOf(set, vals)
+              if (!secOcc(si).contains(k)) secOcc(si)(k) = vals
+            }
+          fresh.foreach { k =>
+            secKnown(si) += k.indices.map(j =>
+              WriteTxn.collNorm(fields(set(j)), k(j)))
           }
+        }
       }
     }
-    val removedExisting = mutable.LinkedHashSet[Seq[Any]]()
-    val applied = mutable.ArrayBuffer[(Seq[Any], IndexedSeq[Any])]()
     var cur = existing
     var opCount = 0
+    var folds = 0
     def checkpointMaybe(): Unit = {
       opCount += 1
       if (opCount % 64 == 0) cur = cur.localCheckpoint(true)
@@ -3885,9 +3903,29 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }
     def keyEq(key: Seq[Any]): Column =
       keyIdx.zip(key).map { case (i, v) => col(fields(i).name) === lit(v) }.reduce(_ && _)
-    def dropApplied(key: Seq[Any]): Unit = {
-      val at = applied.indexWhere(_._1 == key)
-      if (at >= 0) { applied.remove(at); () }
+    // !perRow bookkeeping: applied rows buffer per batch, removals of
+    // already-folded or pre-existing rows buffer as key filters; one
+    // filter + one union per batch, checkpoint every 16 folds
+    val batchApplied = mutable.ArrayBuffer[(Seq[Any], IndexedSeq[Any])]()
+    val batchRemovals = mutable.ArrayBuffer[Seq[Any]]()
+    def removeApplied(key: Seq[Any]): Unit = {
+      val at = batchApplied.indexWhere(_._1 == key)
+      if (at >= 0) { batchApplied.remove(at); () }
+      else batchRemovals += key
+    }
+    def foldBatch(): Unit = {
+      if (batchRemovals.nonEmpty) {
+        val pred = batchRemovals
+          .map(k => coalesce(keyEq(k), lit(false))).reduce(_ || _)
+        cur = cur.where(!pred)
+        batchRemovals.clear()
+      }
+      if (batchApplied.nonEmpty) {
+        cur = cur.unionByName(localDf(meta.schema, batchApplied.toSeq.map(_._2)))
+        batchApplied.clear()
+      }
+      folds += 1
+      if (folds % 16 == 0) cur = cur.localCheckpoint(true)
     }
     val aiIdx = aiAssigned.map(fieldIdx)
     // rowid-alias ids are allocated at APPLY time, not pre-assigned:
@@ -3901,7 +3939,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         val k = secKeyOf(s, r)
         if (k != null) secOcc(si)(k) = r
       }
-    rows.foreach { row0 =>
+    def processRow(row0: IndexedSeq[Any]): Unit = {
       var row = row0
       val key: Seq[Any] =
         if (keyIdx.nonEmpty && keyIdx.forall(row(_) != null))
@@ -3934,7 +3972,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           // gate raises for it, exactly like the set-based fast path
           allocAi()
           if (perRow) { cur = cur.unionByName(localDf(meta.schema, Seq(row))); checkpointMaybe() }
-          applied += ((key, row))
+          else batchApplied += ((key, row))
           if (key != null) occupant(key) = row
           registerSec(row)
           fireAfterInsert()
@@ -3953,11 +3991,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
                 if (keyIdx.nonEmpty && keyIdx.forall(v(_) != null))
                   WriteTxn.normKeyOf(fields, keyIdx, v) else null
               if (vKey != null) {
-                if (existedAtStart.contains(vKey)) removedExisting += vKey
-                dropApplied(vKey)
                 occupant.remove(vKey)
                 if (perRow)
                   cur = cur.where(!coalesce(keyEq(vKey), lit(false)))
+                else removeApplied(vKey)
               }
               secSets.zipWithIndex.foreach { case (s, si) =>
                 val k = secKeyOf(s, v)
@@ -3968,8 +4005,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             if (perRow) {
               cur = cur.unionByName(localDf(meta.schema, Seq(row)))
               checkpointMaybe()
-            }
-            applied += ((key, row))
+            } else batchApplied += ((key, row))
             if (key != null) occupant(key) = row
             registerSec(row)
             fireAfterInsert()
@@ -4002,8 +4038,6 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
                 if (!updIgnored && !fire(t, resolveUpd)) updIgnored = true
               }
               if (!updIgnored) {
-                if (existedAtStart.contains(key)) removedExisting += key
-                dropApplied(key)
                 val newKey: Seq[Any] =
                   if (keyIdx.nonEmpty && keyIdx.forall(newVals(_) != null))
                     WriteTxn.normKeyOf(fields, keyIdx, newVals) else null
@@ -4011,8 +4045,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
                   cur = cur.where(!coalesce(keyEq(key), lit(false)))
                     .unionByName(localDf(meta.schema, Seq(newVals)))
                   checkpointMaybe()
+                } else {
+                  removeApplied(key)
+                  batchApplied += ((newKey, newVals))
                 }
-                applied += ((newKey, newVals))
                 occupant.remove(key)
                 if (newKey != null) occupant(newKey) = newVals
                 updTrigs.withFilter(_.timing == "AFTER").foreach { t =>
@@ -4025,17 +4061,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         }
       }
     }
-    if (perRow) stage(table, meta, cur)
-    else {
-      var base = existing
-      if (removedExisting.nonEmpty) {
-        val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(fields))
-        base = base.join(
-          broadcast(localDf(keySchema, removedExisting.toSeq.map(_.toIndexedSeq))),
-          keyCols.toSeq, "left_anti")
-      }
-      stage(table, meta, base.unionByName(localDf(meta.schema, applied.toSeq.map(_._2))))
+    rowIter.grouped(FoldBatchRows).foreach { g =>
+      val batchRows = g.toIndexedSeq
+      prescanBatch(batchRows)
+      batchRows.foreach(processRow)
+      if (!perRow) foldBatch()
     }
+    stage(table, meta, cur)
   }
 
   /** UPDATE with trigger firing: the affected set (pre- AND post-images)
@@ -4065,12 +4097,16 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       col(rid)
     val aiIdx = meta.autoIncrement
       .map(ai => fields.indexWhere(_.name.equalsIgnoreCase(ai))).filter(_ >= 0)
-    val rows = collectCapped(
-      tagged.where(coalesce(pred, lit(false))).select(sel.toSeq: _*), "UPDATE")
-      .sortBy(r => aiIdx match { // SQLite's rowid scan order
-        case Some(i) if !r.isNullAt(i) => r.getLong(i)
-        case _ => r.getLong(2 * nF)
-      })
+    // SQLite's rowid scan order, sorted SPARK-SIDE so the stream
+    // arrives ordered without a driver materialization (r17)
+    val ordKey: Column = aiIdx match {
+      case Some(i) =>
+        coalesce(col(s"__o_${fields(i).name}").cast("long"), col(rid))
+      case None => col(rid)
+    }
+    val rows = streamRows(
+      tagged.where(coalesce(pred, lit(false))).select(sel.toSeq: _*)
+        .orderBy(ordKey))
     rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
       val oldV = (0 until nF).map(r.get(_)).toIndexedSeq
       val newV = (nF until 2 * nF).map(r.get(_)).toIndexedSeq
@@ -4091,21 +4127,27 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val tagged = df.withColumn(rid, monotonically_increasing_id()).localCheckpoint(true)
     val aiIdx = meta.autoIncrement
       .map(ai => fields.indexWhere(_.name.equalsIgnoreCase(ai))).filter(_ >= 0)
-    val rows = collectCapped(tagged.where(delPred), "DELETE")
-      .sortBy(r => aiIdx match { // SQLite's rowid scan order
-        case Some(i) if !r.isNullAt(i) => r.getLong(i)
-        case _ => r.getLong(nF)
-      })
+    // SQLite's rowid scan order, sorted Spark-side; streamed (r17)
+    val ordKey: Column = aiIdx match {
+      case Some(i) => coalesce(col(fields(i).name).cast("long"), col(rid))
+      case None => col(rid)
+    }
+    val rows = streamRows(tagged.where(delPred).orderBy(ordKey))
     rowTriggerLoop(table, meta, tagged, rid, trigs, rows.map { r =>
       (r.getLong(nF), (0 until nF).map(r.get(_)).toIndexedSeq, None)
     }, ridSchema)
   }
 
   /** Shared per-row loop for UPDATE/DELETE firing: `changes` is
-    * (rowId, OLD image, Some(NEW image) for update / None for delete). */
+    * (rowId, OLD image, Some(NEW image) for update / None for delete).
+    * UNCAPPED since r17: `changes` STREAMS (one partition of driver
+    * memory at a time), and the applied rows fold into the working
+    * frame in bounded batches with periodic lineage truncation — the
+    * residual non-vectorizable shapes pay row-at-a-time throughput,
+    * never a refusal (SQLite has no cap). */
   private def rowTriggerLoop(table: String, meta: TableMeta, tagged: DataFrame,
       rid: String, trigs: Seq[SqliteDdl.TriggerDef],
-      changes: Seq[(Long, IndexedSeq[Any], Option[IndexedSeq[Any]])],
+      changes: Iterator[(Long, IndexedSeq[Any], Option[IndexedSeq[Any]])],
       ridSchema: org.apache.spark.sql.types.StructType): Unit = {
     val fields = meta.schema.fields
     val perRow = touchesTarget(trigs, table)
@@ -4123,8 +4165,23 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             "SQLite documents that corner as undefined; unsupported here")
       ok
     }
-    val applied = mutable.LinkedHashMap[Long, Option[IndexedSeq[Any]]]()
+    // !perRow: applied changes buffer per batch, then fold into `cur`
+    // (one isin-filter + one union per batch; checkpoint every 16
+    // folds bounds both lineage depth and driver memory)
+    val batch = mutable.LinkedHashMap[Long, Option[IndexedSeq[Any]]]()
+    var anyApplied = false
+    var folds = 0
     var opCount = 0
+    def foldBatch(): Unit = if (batch.nonEmpty) {
+      cur = cur.where(!col(rid).isin(batch.keys.toSeq: _*))
+      val replacements = batch.collect {
+        case (k, Some(v)) => (v :+ k): IndexedSeq[Any] }.toSeq
+      if (replacements.nonEmpty)
+        cur = cur.unionByName(localDf(ridSchema, replacements))
+      batch.clear()
+      folds += 1
+      if (folds % 16 == 0) cur = cur.localCheckpoint(true)
+    }
     changes.foreach { case (ridV, oldV, newVOpt) =>
       def resolve(kw: String, c: String): String = {
         val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
@@ -4140,30 +4197,26 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         if (!ignored && !fire(t, resolve)) ignored = true
       }
       if (!ignored) {
-        applied(ridV) = newVOpt
+        anyApplied = true
         if (perRow) {
           cur = cur.where(col(rid) =!= ridV)
           newVOpt.foreach(nv =>
             cur = cur.unionByName(localDf(ridSchema, Seq(nv :+ ridV))))
           opCount += 1
           if (opCount % 64 == 0) cur = cur.localCheckpoint(true)
+        } else {
+          batch(ridV) = newVOpt
+          if (batch.size >= FoldBatchRows) foldBatch()
         }
         trigs.withFilter(_.timing == "AFTER").foreach { t =>
           if (!ignored && !fire(t, resolve)) ignored = true
         }
       }
     }
+    foldBatch()
     val out =
-      if (perRow) cur.drop(rid)
-      else if (applied.isEmpty) tagged.drop(rid)
-      else {
-        val replacements = applied.collect {
-          case (k, Some(v)) => (v :+ k): IndexedSeq[Any] }.toSeq
-        var base = tagged.where(!col(rid).isin(applied.keys.toSeq: _*))
-        if (replacements.nonEmpty)
-          base = base.unionByName(localDf(ridSchema, replacements))
-        base.drop(rid)
-      }
+      if (!anyApplied && !perRow) tagged.drop(rid)
+      else cur.drop(rid)
     stage(table, meta, out)
   }
 

@@ -435,37 +435,35 @@ class TriggerSpec extends SparkSpecBase {
     same(idG, dbG, "SELECT x, y FROM c ORDER BY x;")
   }
 
-  test("the general tier's row cap refuses bulk firing loudly; the vectorized tier has none") {
+  test("the general row loop is UNCAPPED (r17): 1,024 non-vectorizable " +
+      "firings stream in batches, differential vs sqlite3") {
     val schema = "CREATE TABLE big (x INTEGER);\nCREATE TABLE log2 (msg TEXT);"
-    val id = seg(schema)
+    val id = seg(schema); val db = cliDb(schema)
     // 32 seed rows doubled 5× = 1024 rows, built set-based (no triggers
     // exist yet, so the bulk inserts stay on the fast path)
     val build = "INSERT INTO big VALUES " +
       (1 to 32).map(i => s"($i)").mkString(", ") + ";" +
       (1 to 5).map(k =>
         s"INSERT INTO big SELECT x + ${k * 100000} FROM big;").mkString
-    engine.write(id, build)
-    // an INSERT…SELECT body is row-local DML the vectorized tier
-    // doesn't compile — the general row-at-a-time loop must refuse
-    engine.write(id,
-      "CREATE TRIGGER tb AFTER DELETE ON big BEGIN INSERT INTO log2 SELECT 'd'; END;")
-    val e = intercept[UnsupportedOperationException](
-      engine.write(id, "DELETE FROM big;")) // 1024 rows > the 1000-row cap
-    assert(e.getMessage.contains("row-at-a-time"))
-    // nothing committed: the table still holds all 1024 rows
-    assert(engine.read(id, "SELECT count(*) AS n FROM big;")
-      .collect()(0).getLong(0) == 1024L)
-    // the same firing in vectorizable shape runs uncapped — and matches
-    // real sqlite3 over all 1024 firings
-    val db = cliDb(schema)
-    assert(SqliteCli.run(db.toString, build) == 0)
-    val vec = "CREATE TRIGGER tv AFTER DELETE ON big " +
-      "BEGIN INSERT INTO log2 VALUES ('d ' || OLD.x); END;" +
-      "DELETE FROM big WHERE x % 2 = 0;"
-    engine.write(id, "DROP TRIGGER tb;" + vec)
-    assert(SqliteCli.run(db.toString, s".bail on\nBEGIN;\n$vec\nCOMMIT;\n") == 0)
+    runBoth(id, db, build)
+    // an INSERT…SELECT body is row-local DML the vectorized tier does
+    // not compile — the general loop used to refuse past 1,000 rows;
+    // since r17 it streams uncapped (SQLite has no cap either)
+    runBoth(id, db,
+      "CREATE TRIGGER tb AFTER DELETE ON big BEGIN " +
+        "INSERT INTO log2 SELECT 'd'; END;" +
+        "DELETE FROM big;")
     same(id, db, "SELECT count(*) AS n FROM big;")
-    same(id, db, "SELECT msg FROM log2 ORDER BY msg;")
+    same(id, db, "SELECT count(*) AS n FROM log2;")
+    // the vectorizable shape runs distributed — and matches real
+    // sqlite3 over all 1024 firings
+    val id2 = seg(schema); val db2 = cliDb(schema)
+    runBoth(id2, db2, build)
+    runBoth(id2, db2, "CREATE TRIGGER tv AFTER DELETE ON big " +
+      "BEGIN INSERT INTO log2 VALUES ('d ' || OLD.x); END;" +
+      "DELETE FROM big WHERE x % 2 = 0;")
+    same(id2, db2, "SELECT count(*) AS n FROM big;")
+    same(id2, db2, "SELECT msg FROM log2 ORDER BY msg;")
   }
 
   test("self-read aggregate subqueries fire vectorized: count/sum/max, " +
@@ -877,6 +875,34 @@ class TriggerSpec extends SparkSpecBase {
         "INSERT INTO a (x, src) VALUES (NEW.x + 100, 'trg'); END;" +
         "INSERT INTO a (x, src) VALUES (1, 'main'), (2, 'main');")
     same(id, db, "SELECT id, x, src FROM a ORDER BY id;")
+  }
+
+  test("uncapped general INSERT loop (r17): OR IGNORE / OR REPLACE with a " +
+      "collated secondary UNIQUE stream past 1,000 rows, batched prescans") {
+    val schema = "CREATE TABLE t (id INTEGER PRIMARY KEY, c1 TEXT COLLATE NOCASE UNIQUE, " +
+      "x INTEGER);\nCREATE TABLE log2 (msg TEXT);"
+    val id = seg(schema); val db = cliDb(schema)
+    // conflict modes force the general loop whenever triggers are
+    // active; c1 cycles a 83-value pool with case variants, so NOCASE
+    // collisions land both inside one 1,000-row prescan batch and
+    // ACROSS batches (the incremental-prescan resurrection guard)
+    def c1(i: Int): String = { val k = i % 83; if (k % 2 == 0) s"'K$k'" else s"'k$k'" }
+    val seed = "INSERT INTO t (c1, x) VALUES " +
+      (1 to 40).map(i => s"(${c1(i)}, $i)").mkString(", ") + ";"
+    val ign = (0 until 3).map { b =>
+      "INSERT OR IGNORE INTO t (c1, x) VALUES " +
+        (1 to 370).map { i => val k = b * 370 + i + 40; s"(${c1(k)}, $k)" }
+          .mkString(", ") + ";"
+    }.mkString
+    val rep = "INSERT OR REPLACE INTO t (c1, x) VALUES " +
+      (1 to 60).map(i => s"(${c1(i * 7)}, ${9000 + i})").mkString(", ") + ";"
+    runBoth(id, db,
+      "CREATE TRIGGER tg AFTER INSERT ON t BEGIN " +
+        "INSERT INTO log2 VALUES ('I' || NEW.x); END;" + seed + ign + rep)
+    same(id, db, "SELECT count(*) AS n, max(id) AS mx FROM t;")
+    same(id, db, "SELECT c1, x FROM t ORDER BY id LIMIT 50;")
+    same(id, db, "SELECT c1, x FROM t ORDER BY id DESC LIMIT 20;")
+    same(id, db, "SELECT count(*) AS n FROM log2;")
   }
 
   test("cascade back into the statement target (A→B→A) vectorizes (r17)") {
