@@ -70,6 +70,12 @@ class TroughEngine(
   private val writeLocks = new ConcurrentHashMap[String, String]() // segment -> node
   private val scriptLocks = new ConcurrentHashMap[String, Object]()
 
+  /** The per-segment script mutex — WriteTxn.commit takes the ATTACHED
+    * segments' mutexes so a multi-db commit serializes against scripts
+    * addressing those segments directly (r17 ATTACH). */
+  private[engine] def segmentScriptLock(segmentId: String): Object =
+    scriptLocks.computeIfAbsent(segmentId, _ => new Object)
+
   // ------------------------------------------------------------------- read
 
   /** Isolated child session for one read: per-call temp view scoping,

@@ -74,7 +74,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private var viewsLoaded = false
   private var viewsDirty = false
   private def ensureViews(): Unit = if (!viewsLoaded) {
-    store.views(segmentId).foreach(v => stagedViews(v.name.toLowerCase) = v)
+    backViews.foreach(v => stagedViews(v.name.toLowerCase) = v)
     viewsLoaded = true
   }
   private def isView(name: String): Boolean = {
@@ -88,7 +88,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private var triggersLoaded = false
   private var triggersDirty = false
   private def ensureTriggers(): Unit = if (!triggersLoaded) {
-    store.triggers(segmentId).foreach(t => stagedTriggers(t.name.toLowerCase) = t)
+    backTriggers.foreach(t => stagedTriggers(t.name.toLowerCase) = t)
     triggersLoaded = true
   }
 
@@ -106,7 +106,21 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       triggersLoaded: Boolean,
       stagedTriggers: Seq[(String, SqliteDdl.TriggerDef)],
       triggersDirty: Boolean)
-  private var savepoints = List.empty[(String, TxnSnapshot)]
+  /** A savepoint spans the whole connection — EVERY db's staged state
+    * (sqlite savepoints roll back attached dbs too) — while ATTACH/
+    * DETACH themselves are not transactional (probed: an attach
+    * survives ROLLBACK TO an earlier savepoint). */
+  private final case class FullSnapshot(main: TxnSnapshot,
+      atts: Map[String, TxnSnapshot])
+  private def fullSnapshot(): FullSnapshot =
+    FullSnapshot(snapshot(), attachedDbs.map { case (k, a) => (k, a.saved) }.toMap)
+  private def restoreFull(f: FullSnapshot): Unit = {
+    restore(f.main)
+    attachedDbs.foreach { case (k, a) =>
+      a.saved = f.atts.getOrElse(k, pristineState)
+    }
+  }
+  private var savepoints = List.empty[(String, FullSnapshot)]
   private def snapshot(): TxnSnapshot = TxnSnapshot(
     working.toSeq, dirty.toSeq, created.toSeq, dropped.toSeq,
     viewsLoaded, stagedViews.toSeq, viewsDirty,
@@ -123,15 +137,124 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   }
 
   private def tableNames: Seq[String] =
-    (store.tables(segmentId).filterNot(dropped.contains) ++ created).distinct
+    (backTables.filterNot(dropped.contains) ++ created).distinct
+
+  // --------------------------------------------------- attached databases
+  //
+  // SQLite's ATTACH surface as the reference actually reaches it: modern
+  // sqlite3 permits ATTACH/DETACH inside the explicit transaction the
+  // reference wraps every script in (write.py:39, probed on the python
+  // sqlite3 the reference runs), so a write script may address several
+  // databases. Each attached db maps onto this engine's world: a file
+  // path maps to the SEGMENT named by its basename (`…/<id>.sqlite` →
+  // segment `<id>`, created at commit if absent — sqlite's
+  // create-on-attach), and `:memory:`/'' is an ephemeral db that dies
+  // with the script (the reference's one-connection-per-script shape
+  // makes connection lifetime = script lifetime, so this matches sqlite
+  // exactly). State is per-db and scope-swapped: the ACTIVE db's staged
+  // state lives in the flat fields above; inactive dbs park theirs as a
+  // [[TxnSnapshot]]. Statements are routed to their target db (qualified
+  // name, else main-first search order — probed), run under that scope,
+  // and cross-db references rewrite to per-scope relation names. Commit
+  // is atomic across all touched segments (sqlite's multi-db atomic
+  // commit), two-phased over every scope together.
+  private final class AttachedDb(
+      val name: String,                 // as declared (error texts)
+      val seg: Option[String],          // None = ephemeral (:memory:/'')
+      var saved: TxnSnapshot,           // parked state while inactive
+      var used: Boolean)                // referenced since ATTACH → DETACH locks (probed)
+  private val attachedDbs = mutable.LinkedHashMap[String, AttachedDb]() // key = lower name
+  private var activeDb: String = "main"
+  private var mainSaved: TxnSnapshot = null
+  private def pristineState: TxnSnapshot = TxnSnapshot(Nil, Nil, Nil, Nil,
+    viewsLoaded = false, Nil, viewsDirty = false,
+    triggersLoaded = false, Nil, triggersDirty = false)
+
+  /** The active db's backing segment; None while an ephemeral db is
+    * active, or when an attached segment has not been created yet. */
+  private def curSegExisting: Option[String] = {
+    val seg = if (activeDb == "main") Some(segmentId) else attachedDbs(activeDb).seg
+    seg.filter(s => activeDb == "main" || store.segmentExists(s))
+  }
+  private def backTables: Seq[String] = curSegExisting.map(store.tables).getOrElse(Nil)
+  private def backExists(t: String): Boolean = curSegExisting.exists(store.tableExists(_, t))
+  private def backMeta(t: String): TableMeta = store.tableMeta(curSegExisting.get, t)
+  private def backLoad(t: String): DataFrame = store.loadTable(curSegExisting.get, t, spark)
+  private def backViews: Seq[SqliteDdl.ViewDef] = curSegExisting.map(store.views).getOrElse(Nil)
+  private def backTriggers: Seq[SqliteDdl.TriggerDef] =
+    curSegExisting.map(store.triggers).getOrElse(Nil)
+
+  private def activeDbName: String =
+    if (activeDb == "main") "main" else attachedDbs(activeDb).name
+
+  /** Park the active db's flat state and activate `db` (lowercased key,
+    * "main" included). */
+  private def switchTo(db: String): Unit = {
+    if (db == activeDb) return
+    val snap = snapshot()
+    if (activeDb == "main") mainSaved = snap else attachedDbs(activeDb).saved = snap
+    restore(if (db == "main") mainSaved else attachedDbs(db).saved)
+    activeDb = db
+  }
+  /** Run one statement under `db`'s scope; dispatch always starts from
+    * main, and returns there, so savepoints and commit see main active. */
+  private def inDb[A](db: String)(body: => A): A =
+    if (db == activeDb) body
+    else { switchTo(db); try body finally switchTo("main") }
+
+  private def dbKeys: Seq[String] = "main" +: attachedDbs.keys.toSeq
+  private def scopeSegExisting(db: String): Option[String] = {
+    val seg = if (db == "main") Some(segmentId) else attachedDbs(db).seg
+    seg.filter(s => db == "main" || store.segmentExists(s))
+  }
+  private def scopeParked(db: String): TxnSnapshot =
+    if (db == "main") Option(mainSaved).getOrElse(pristineState)
+    else attachedDbs(db).saved
+  private def scopeTables(db: String): Seq[String] =
+    if (db == activeDb) tableNames
+    else {
+      val st = scopeParked(db)
+      val backs = scopeSegExisting(db).map(store.tables).getOrElse(Nil)
+      (backs.filterNot(st.dropped.contains) ++ st.created).distinct
+    }
+  private def scopeViews(db: String): Seq[SqliteDdl.ViewDef] =
+    if (db == activeDb) { ensureViews(); stagedViews.values.toSeq }
+    else {
+      val st = scopeParked(db)
+      if (st.viewsLoaded) st.stagedViews.map(_._2)
+      else scopeSegExisting(db).map(store.views).getOrElse(Nil)
+    }
+  private def scopeTriggerNames(db: String): Seq[String] =
+    if (db == activeDb) { ensureTriggers(); stagedTriggers.keys.toSeq }
+    else {
+      val st = scopeParked(db)
+      if (st.triggersLoaded) st.stagedTriggers.map(_._1)
+      else scopeSegExisting(db).map(store.triggers(_).map(_.name.toLowerCase)).getOrElse(Nil)
+    }
+  private def scopeHasTableOrView(db: String, name: String): Boolean =
+    scopeTables(db).exists(_.equalsIgnoreCase(name)) ||
+      scopeViews(db).exists(_.name.equalsIgnoreCase(name))
+  /** A parked scope's staged frame for `t` (working-state first, then
+    * its backing segment). Never called for the active scope. */
+  private def scopeTableDf(db: String, t: String): Option[DataFrame] = {
+    val st = scopeParked(db)
+    st.working.find(_._1.equalsIgnoreCase(t)).map(_._2._2)
+      .orElse(scopeSegExisting(db).filter(s => store.tableExists(s, t))
+        .map(s => store.loadTable(s, t, spark)))
+  }
+
+  /** Per-scope relation name a cross-db reference compiles to: a valid
+    * temp-view identifier, unique per (db, table) for sane names. */
+  private def mangle(db: String, t: String): String =
+    "__db_" + (db + "__" + t).toLowerCase(java.util.Locale.ROOT)
+      .map(c => if (c.isLetterOrDigit || c == '_') c else '_')
 
   /** The fts5 declaration of `table` when it is an fts table in the
     * txn's working state (created tables included). */
   private def ftsDefOf(table: String): Option[Fts5.FtsTableDef] = {
     val real = tableNames.find(_.equalsIgnoreCase(table)).getOrElse(return None)
     val meta = working.get(real).map(_._1)
-      .orElse(if (store.tableExists(segmentId, real))
-        Some(store.tableMeta(segmentId, real)) else None)
+      .orElse(if (backExists(real)) Some(backMeta(real)) else None)
     meta.flatMap(_.ftsSql).flatMap(Fts5.parseCreateVirtual)
   }
 
@@ -279,16 +402,19 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
   private def load(table: String): (TableMeta, DataFrame) =
     working.getOrElseUpdate(table, {
-      if (dropped.contains(table) || !store.tableExists(segmentId, table)) {
+      if (dropped.contains(table) || !backExists(table)) {
         if (isView(table))
           throw new IllegalArgumentException(
             s"cannot modify $table because it is a view")
-        throw new IllegalArgumentException(s"no such table: $table")
+        // in an attached scope sqlite prefixes the db name (probed:
+        // "no such table: a.mlog" from a trigger in db a)
+        val qual = if (activeDb == "main") "" else activeDbName + "."
+        throw new IllegalArgumentException(s"no such table: $qual$table")
       }
-      val meta = store.tableMeta(segmentId, table)
+      val meta = backMeta(table)
       // bound into the write session: expressions referencing SQLite
       // function names must resolve where SqliteCompat is registered
-      (meta, store.loadTable(segmentId, table, spark))
+      (meta, backLoad(table))
     })
 
   private def stage(table: String, meta: TableMeta, df: DataFrame): Unit = {
@@ -423,11 +549,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
   def execute(stmt: String): Unit = SqlScript.firstWord(stmt) match {
     case "BEGIN" | "COMMIT" | "END" => ()
+    case "ATTACH" => attach(stmt)
+    case "DETACH" => detach(stmt)
     case "SAVEPOINT" =>
       val name = SqlScript.unquoteIdent(
         savepointRe.findFirstMatchIn(stmt).getOrElse(
           throw new IllegalArgumentException(s"cannot parse: $stmt")).group(1))
-      savepoints ::= (name.toLowerCase, snapshot())
+      savepoints ::= (name.toLowerCase, fullSnapshot())
     case "RELEASE" =>
       val name = SqlScript.unquoteIdent(
         releaseRe.findFirstMatchIn(stmt).getOrElse(
@@ -443,14 +571,18 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           val at = savepoints.indexWhere(_._1 == name.toLowerCase)
           if (at < 0)
             throw new IllegalArgumentException(s"no such savepoint: $name")
-          restore(savepoints(at)._2)
+          restoreFull(savepoints(at)._2)
           savepoints = savepoints.drop(at) // the savepoint itself survives
         case None =>
           // plain ROLLBACK: discard everything staged so far; later
-          // statements run against storage state as a fresh transaction
-          restore(TxnSnapshot(Nil, Nil, Nil, Nil,
-            viewsLoaded = false, Nil, viewsDirty = false,
-            triggersLoaded = false, Nil, triggersDirty = false))
+          // statements run against storage state as a fresh transaction.
+          // Attached dbs stay attached (not transactional) but their
+          // staged state resets and their DETACH locks release — the
+          // transaction that was using them is over.
+          restore(pristineState)
+          attachedDbs.values.foreach { a =>
+            a.saved = pristineState; a.used = false
+          }
           savepoints = Nil
       }
     // the reference write path runs whatever SQLite accepts (write.py:40)
@@ -461,14 +593,41 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // matching under this engine's SQLite-default emulation) must error
     // loudly rather than silently diverge, as must unknown ones.
     case "PRAGMA" =>
-      val name = stmt.trim.stripPrefix("PRAGMA").stripPrefix("pragma")
-        .trim.takeWhile(c => c != '=' && c != '(' && c != ';' && !c.isWhitespace)
-        .toLowerCase
+      val name0 = stmt.trim.stripPrefix("PRAGMA").stripPrefix("pragma")
+        .trim.takeWhile(c => c != '=' && c != '(' && c != ';')
+        .toLowerCase.trim
+      // a pragma may be db-qualified (PRAGMA aux.synchronous); the db
+      // prefix routes, the pragma name decides
+      val name = name0.split("\\.", 2) match {
+        case Array(db, rest) if db == "main" || attachedDbs.contains(db) => rest
+        case _ => name0
+      }
       if (!WriteTxn.physicalPragmas.contains(name))
         throw new UnsupportedOperationException(
           s"PRAGMA $name is not supported: only physical-layer pragmas " +
             "(journal_mode, synchronous, ...) are accepted as no-ops; " +
             "semantics-changing pragmas would silently diverge from SQLite")
+    case _ =>
+      // route to the statement's target db (ATTACH, r17): an explicit
+      // qualifier is stripped and decides; unqualified object names
+      // resolve main-first then attach-order (probed). Cross-db body
+      // references rewrite to per-scope relation names. Zero rewriting
+      // when nothing is attached and no main. qualifier appears.
+      val (db, routed, targetPos) = routeStatement(stmt)
+      val mainQualified = attachedDbs.isEmpty &&
+        "(?i)(?<![A-Za-z0-9_$.])main\\s*\\.\\s*[A-Za-z_\"`\\[]".r
+          .findFirstIn(SqliteDdl.blankLiterals(routed)).isDefined
+      val rewritten =
+        if (attachedDbs.isEmpty && !mainQualified) routed
+        else SqlScript.firstWord(routed) match {
+          case "INSERT" | "REPLACE" | "UPDATE" | "DELETE" =>
+            rewriteDbRefs(routed, db, skipPos = targetPos)
+          case _ => routed
+        }
+      inDb(db) { executeCore(rewritten) }
+  }
+
+  private def executeCore(stmt: String): Unit = SqlScript.firstWord(stmt) match {
     case "CREATE" =>
       val upper = stmt.toUpperCase
       if (upper.matches("(?s)\\s*CREATE\\s+VIRTUAL\\s+TABLE.*"))
@@ -484,14 +643,6 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       else if (upper.matches("(?s)\\s*CREATE\\s+(TEMP\\w*\\s+)?VIEW.*"))
         createView(stmt)
       else createTable(stmt)
-    case "ATTACH" | "DETACH" =>
-      // one write script addresses exactly ONE segment — the
-      // reference's one-connection-per-script shape (write.py:28-33);
-      // cross-segment reads go through the fan-out read path instead
-      throw new UnsupportedOperationException(
-        s"${SqlScript.firstWord(stmt)} is not supported: a write script " +
-          "addresses exactly one segment; query across segments with the " +
-          "fan-out read path instead")
     case "DROP" =>
       if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+VIEW.*")) dropView(stmt)
       else if (stmt.toUpperCase.matches("(?s)\\s*DROP\\s+TRIGGER.*")) dropTrigger(stmt)
@@ -513,13 +664,386 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       throw new UnsupportedOperationException(s"unsupported write statement: $other")
   }
 
-  def commit(): Unit = {
-    // force evaluation of every staged plan *before* mutating storage so
-    // a bad expression can't leave a half-applied script
-    val materialized = dirty.toSeq.map { t =>
+  // ------------------------------------------------------- ATTACH / DETACH
+
+  /** `ATTACH [DATABASE] expr AS name` (lang_attach.html) as the
+    * reference reaches it: modern sqlite3 permits ATTACH inside the
+    * transaction write.py:39 wraps every script in (probed on python's
+    * sqlite3). The filename expression evaluates like sqlite's (any
+    * scalar expression); `':memory:'` and `''` attach an EPHEMERAL db
+    * that dies with the script — identical to sqlite under the
+    * reference's one-connection-per-script write path — and a file path
+    * maps to the SEGMENT named by its basename (`…/<id>.sqlite` →
+    * segment `<id>`), created at commit if absent (sqlite's
+    * create-on-attach). Limits and error texts are sqlite's, probed:
+    * max 10 attached, duplicate name `database X is already in use`,
+    * `no such database`, `cannot detach database main`, and DETACH of a
+    * db this transaction has referenced `database X is locked`. */
+  private def attach(stmt: String): Unit = {
+    val body = stmt.trim.stripSuffix(";").trim
+      .replaceFirst("(?is)^ATTACH\\s+(DATABASE\\s+)?", "")
+    val asAt = lastTopLevelKw(body, "AS")
+    if (asAt < 0) throw new IllegalArgumentException(s"cannot parse: $stmt")
+    val fileExpr = body.substring(0, asAt).trim
+    val name = SqlScript.unquoteIdent(body.substring(asAt + 2).trim)
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    if (key == "main" || key == "temp" || attachedDbs.contains(key))
+      throw new IllegalArgumentException(s"database $name is already in use")
+    if (attachedDbs.size >= 10)
+      throw new IllegalArgumentException("too many attached databases - max 10")
+    val fv = spark.range(1).select(dexpr(fileExpr).cast(StringType)).head()
+    val file = if (fv.isNullAt(0)) "" else fv.getString(0)
+    val seg = segIdOfAttachPath(file)
+    seg.foreach { s =>
+      if (!store.segmentExists(s) && !SegmentStore.SegmentIdPattern.matches(s))
+        throw new IllegalArgumentException(s"unable to open database: $file")
+    }
+    attachedDbs(key) = new AttachedDb(name, seg, pristineState, used = false)
+  }
+
+  private def detach(stmt: String): Unit = {
+    val name = SqlScript.unquoteIdent(stmt.trim.stripSuffix(";").trim
+      .replaceFirst("(?is)^DETACH\\s+(DATABASE\\s+)?", "").trim)
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    if (key == "main")
+      throw new IllegalArgumentException("cannot detach database main")
+    val a = attachedDbs.getOrElse(key,
+      throw new IllegalArgumentException(s"no such database: $name"))
+    if (a.used)
+      throw new IllegalArgumentException(s"database $name is locked")
+    attachedDbs.remove(key)
+  }
+
+  /** Map an ATTACH filename to a segment id: the basename, minus a
+    * `.sqlite` suffix — trough's own `local_path()` naming
+    * (sync.py segment files). `:memory:`, `''` and `mode=memory` URIs
+    * are ephemeral (None). */
+  private def segIdOfAttachPath(f: String): Option[String] = {
+    if (f.contains("mode=memory")) return None
+    val path = if (f.startsWith("file:"))
+      f.stripPrefix("file:").stripPrefix("//").takeWhile(_ != '?') else f
+    if (path.isEmpty || path == ":memory:") None
+    else {
+      val base = path.substring(path.lastIndexOf('/') + 1)
+      val id = if (base.toLowerCase(java.util.Locale.ROOT).endsWith(".sqlite"))
+        base.dropRight(7) else base
+      if (id.isEmpty) None else Some(id)
+    }
+  }
+
+  private def lastTopLevelKw(s: String, kw: String): Int = {
+    var depth = 0; var quote: Char = 0; var i = 0; var last = -1
+    val n = kw.length
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && c.toUpper == kw.charAt(0).toUpper &&
+            i + n <= s.length && s.substring(i, i + n).equalsIgnoreCase(kw) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + n == s.length || s.charAt(i + n).isWhitespace) =>
+          last = i
+        case _ => ()
+      }
+      i += 1
+    }
+    last
+  }
+
+  // ------------------------------------------------------- db routing
+
+  /** Mark an attached db as referenced by this transaction — sqlite
+    * locks it against DETACH from the first use, reads included
+    * (probed: `database a is locked`). */
+  private def markUsed(db: String): Unit =
+    if (db != "main") attachedDbs(db).used = true
+
+  /** Writes into a cold-tier attached segment refuse with the engine's
+    * cold-storage contract (main's check lives in TroughEngine.write). */
+  private def requireWritable(db: String): Unit =
+    if (db != "main")
+      attachedDbs(db).seg.filter(store.isCold).foreach { s =>
+        throw new IllegalStateException(
+          s"segment $s is in cold storage (read-only)")
+      }
+
+  /** Scan one identifier token at `i` (bare, `"q"`, `` `q` `` or
+    * `[q]`); returns (unquotedName, endExclusive). */
+  private def scanIdent(text: String, i: Int): Option[(String, Int)] = {
+    if (i >= text.length) return None
+    text.charAt(i) match {
+      case c @ ('"' | '`') =>
+        val sb = new java.lang.StringBuilder
+        var j = i + 1
+        while (j < text.length) {
+          val ch = text.charAt(j)
+          if (ch == c) {
+            if (j + 1 < text.length && text.charAt(j + 1) == c) { sb.append(c); j += 2 }
+            else return Some((sb.toString, j + 1))
+          } else { sb.append(ch); j += 1 }
+        }
+        None
+      case '[' =>
+        val e = text.indexOf(']', i + 1)
+        if (e < 0) None else Some((text.substring(i + 1, e), e + 1))
+      case ch if ch.isLetter || ch == '_' =>
+        var j = i + 1
+        while (j < text.length && (text.charAt(j).isLetterOrDigit ||
+          text.charAt(j) == '_' || text.charAt(j) == '$')) j += 1
+        Some((text.substring(i, j), j))
+      case _ => None
+    }
+  }
+
+  private val targetHeadRe = ("(?is)^(\\s*(?:" +
+    "INSERT\\s+(?:OR\\s+\\w+\\s+)?INTO|REPLACE\\s+INTO|" +
+    "UPDATE(?:\\s+OR\\s+\\w+)?|DELETE\\s+FROM|" +
+    "CREATE\\s+VIRTUAL\\s+TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?|" +
+    "CREATE\\s+(?:UNIQUE\\s+)?INDEX(?:\\s+IF\\s+NOT\\s+EXISTS)?|" +
+    "CREATE\\s+TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?|" +
+    "CREATE\\s+TRIGGER(?:\\s+IF\\s+NOT\\s+EXISTS)?|" +
+    "CREATE\\s+VIEW(?:\\s+IF\\s+NOT\\s+EXISTS)?|" +
+    "DROP\\s+(?:TABLE|VIEW|TRIGGER|INDEX)(?:\\s+IF\\s+EXISTS)?|" +
+    "ALTER\\s+TABLE)\\s+)").r
+
+  /** Route a statement to its target db: an explicit qualifier decides
+    * (and is stripped from the text); unqualified names resolve
+    * main-first then attach-order, sqlite's search order (probed).
+    * Returns (dbKey, text, targetNameOffset) — the offset lets the body
+    * rewriter skip the statement's own target (`DELETE FROM t`'s head
+    * FROM must not re-resolve). */
+  private def routeStatement(stmt: String): (String, String, Int) = {
+    val m = targetHeadRe.findFirstMatchIn(stmt).getOrElse(return ("main", stmt, -1))
+    val headEnd = m.end
+    val head = m.group(1).trim.toUpperCase.replaceAll("\\s+", " ")
+    val verb = head.takeWhile(!_.isWhitespace)
+    val first = scanIdent(stmt, headEnd).getOrElse(return ("main", stmt, -1))
+    var j = first._2
+    while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+    if (j < stmt.length && stmt.charAt(j) == '.') {
+      var k = j + 1
+      while (k < stmt.length && stmt.charAt(k).isWhitespace) k += 1
+      val name = scanIdent(stmt, k).getOrElse(return ("main", stmt, -1))
+      val q = first._1
+      val ql = q.toLowerCase(java.util.Locale.ROOT)
+      if (ql != "main" && !attachedDbs.contains(ql)) {
+        // sqlite's error shapes, probed: CREATE says "unknown database",
+        // everything else reports the missing object with its qualifier
+        if (verb == "CREATE")
+          throw new IllegalArgumentException(s"unknown database $q")
+        val obj =
+          if (head.startsWith("DROP TRIGGER")) "trigger"
+          else if (head.startsWith("DROP VIEW")) "view" else "table"
+        throw new IllegalArgumentException(s"no such $obj: $q.${name._1}")
+      }
+      val db = if (ql == "main") "main" else ql
+      // the qualified-DML missing-table error keeps the qualifier
+      // (probed: "no such table: a.missing")
+      if (Set("INSERT", "REPLACE", "UPDATE", "DELETE").contains(verb) &&
+          !scopeHasTableOrView(db, name._1))
+        throw new IllegalArgumentException(s"no such table: $q.${name._1}")
+      if (head.startsWith("DROP TABLE") && !scopeTables(db).exists(_.equalsIgnoreCase(name._1)) &&
+          !scopeViews(db).exists(_.name.equalsIgnoreCase(name._1)) && !head.contains("IF EXISTS"))
+        throw new IllegalArgumentException(s"no such table: $q.${name._1}")
+      markUsed(db); requireWritable(db)
+      (db, stmt.substring(0, headEnd) + stmt.substring(k), headEnd)
+    } else {
+      // unqualified: CREATE always lands in main; the rest search
+      if (verb == "CREATE" || attachedDbs.isEmpty) ("main", stmt, headEnd)
+      else {
+        val n = first._1
+        val db =
+          if (head.startsWith("DROP TRIGGER"))
+            dbKeys.find(scopeTriggerNames(_).contains(
+              n.toLowerCase(java.util.Locale.ROOT))).getOrElse("main")
+          else dbKeys.find(scopeHasTableOrView(_, n)).getOrElse("main")
+        markUsed(db); requireWritable(db)
+        (db, stmt, headEnd)
+      }
+    }
+  }
+
+  /** A trigger-body DML statement with a db-qualified target — refused
+    * by sqlite categorically (probed, `main.` included). */
+  private def hasQualifiedDmlTarget(b: String): Boolean = {
+    val m = targetHeadRe.findFirstMatchIn(b).getOrElse(return false)
+    val head = m.group(1).trim.toUpperCase
+    if (!(head.startsWith("INSERT") || head.startsWith("REPLACE") ||
+      head.startsWith("UPDATE") || head.startsWith("DELETE"))) return false
+    scanIdent(b, m.end) match {
+      case Some((_, e)) =>
+        var j = e
+        while (j < b.length && b.charAt(j).isWhitespace) j += 1
+        j < b.length && b.charAt(j) == '.'
+      case None => false
+    }
+  }
+
+  /** Keywords that end a FROM-source position — anything else after a
+    * rewritten `db.tbl` is taken for an explicit alias (so no implicit
+    * one is added). */
+  private val aliasStops = Set(
+    "WHERE", "ON", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "NATURAL", "OUTER", "GROUP", "ORDER", "LIMIT", "OFFSET", "UNION",
+    "EXCEPT", "INTERSECT", "SET", "WHEN", "THEN", "ELSE", "END", "AND",
+    "OR", "NOT", "USING", "HAVING", "WINDOW", "RETURNING", "VALUES",
+    "SELECT", "FROM", "COLLATE", "INDEXED", "ASC", "DESC", "CASE", "AS")
+
+  private val threePartRe =
+    ("(?i)(?<![A-Za-z0-9_$.\"`\\]])([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)").r
+  private val fromSourceRe =
+    ("(?i)(?<![A-Za-z0-9_$.])(FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*))?").r
+  private val shadowNameRe =
+    "(?i)(?<![A-Za-z0-9_$.])([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(".r
+
+  /** Rewrite cross-db references in a statement body (r17 ATTACH):
+    * 3-part `db.tbl.col` and FROM/JOIN `db.tbl` become per-scope
+    * relation names (bare for the statement's own scope unless
+    * `mangleOwn`); unqualified FROM/JOIN sources that resolve OUTSIDE
+    * the target scope under sqlite's main-first search order mangle
+    * too (CTE names and the routed target at `skipPos` are exempt).
+    * Scans literal-blanked text, splices the original. BARE and
+    * backtick-free identifiers only: a double-quoted qualifier
+    * (`"a"."t"`) stays untouched and resolves loudly or not at all —
+    * never silently to the wrong db. */
+  private def rewriteDbRefs(text: String, ownDb: String,
+      mangleOwn: Boolean = false, skipPos: Int = -1,
+      qualifiedOnly: Boolean = false,
+      foreignRefusal: Option[String] = None): String = {
+    val blanked = SqliteDdl.blankLiterals(text)
+    val dbSet = dbKeys.toSet
+    val shadows = shadowNameRe.findAllMatchIn(blanked)
+      .map(_.group(1).toLowerCase(java.util.Locale.ROOT)).toSet
+    // edits collected as (start, end, replacement), applied right-to-left
+    val edits = mutable.ArrayBuffer[(Int, Int, String)]()
+    val consumed = mutable.ArrayBuffer[(Int, Int)]()
+    def resolved(db: String, t: String): String = {
+      // view/trigger bodies may reference their OWN db only (sqlite's
+      // create-time check, probed error shapes)
+      foreignRefusal.filter(_ => db != ownDb).foreach { desc =>
+        val dn = if (db == "main") "main" else attachedDbs(db).name
+        throw new IllegalArgumentException(
+          s"$desc cannot reference objects in database $dn")
+      }
+      markUsed(db)
+      // bare output (the regexes only match bare identifiers): the
+      // UPDATE/DELETE self-qualifier machinery recognizes `t.col`, not
+      // a backtick-quoted qualifier
+      if (db == ownDb && !mangleOwn) t else mangle(db, t)
+    }
+    // pass 1: db.tbl.col anywhere (expression scope's only db form).
+    // The column rides on the relation's EXPOSED name — the FROM pass
+    // below re-aliases every rewritten source back to its bare table
+    // name, so `db.tbl.col` compiles to `tbl`.col regardless of scope.
+    threePartRe.findAllMatchIn(blanked).foreach { mm =>
+      val d = mm.group(1).toLowerCase(java.util.Locale.ROOT)
+      if (dbSet.contains(d)) {
+        resolved(d, mm.group(2)) // foreign-refusal + DETACH-lock effects
+        edits += ((mm.start, mm.end(2), mm.group(2)))
+        consumed += ((mm.start, mm.end))
+      }
+    }
+    // pass 2: FROM/JOIN sources, qualified and unqualified
+    fromSourceRe.findAllMatchIn(blanked).foreach { mm =>
+      val identStart = mm.start(2)
+      val inConsumed = consumed.exists { case (s, e) => identStart >= s && identStart < e }
+      val followedByParen = mm.end < blanked.length && {
+        var p = mm.end
+        while (p < blanked.length && blanked.charAt(p).isWhitespace) p += 1
+        p < blanked.length && blanked.charAt(p) == '('
+      }
+      if (!inConsumed && !followedByParen && identStart != skipPos) {
+        val a = mm.group(2)
+        val al = a.toLowerCase(java.util.Locale.ROOT)
+        val qualified = mm.group(4) != null
+        val (target, endAt): (Option[(String, String)], Int) =
+          if (qualified && dbSet.contains(al)) (Some((al, mm.group(4))), mm.end)
+          else if (!qualified && !qualifiedOnly && !shadows.contains(al)) {
+            val hit =
+              if (mangleOwn) Some(ownDb).filter(scopeHasTableOrView(_, a))
+              else dbKeys.find(scopeHasTableOrView(_, a))
+            hit match {
+              case Some(db) if db != ownDb || mangleOwn => (Some((db, a)), mm.end(2))
+              case _ => (None, 0)
+            }
+          } else (None, 0)
+        target.foreach { case (db, tbl) =>
+          // re-alias to the bare table name unless an explicit alias
+          // follows — sqlite exposes `db.tbl` as `tbl`
+          var p = endAt
+          while (p < blanked.length && blanked.charAt(p).isWhitespace) p += 1
+          val aliasFollows = scanIdent(blanked, p) match {
+            case Some((tok, _)) => !aliasStops.contains(tok.toUpperCase) ||
+              tok.equalsIgnoreCase("AS")
+            case None => false
+          }
+          val rel = resolved(db, tbl)
+          val rep = if (aliasFollows) rel else s"$rel AS $tbl"
+          edits += ((identStart, endAt, rep))
+        }
+      }
+    }
+    if (edits.isEmpty) return text
+    val sb = new java.lang.StringBuilder(text)
+    edits.sortBy(-_._1).foreach { case (s, e, r) => sb.replace(s, e, r) }
+    sb.toString
+  }
+
+  /** One db's commit-ready effects: evaluated frames, drops, registry
+    * writes — gathered per scope so the two-phase swap spans EVERY
+    * touched segment together (sqlite's atomic multi-db commit). */
+  private final case class ScopeCommit(seg: String,
+      materialized: Seq[(String, TableMeta, DataFrame)],
+      drops: Seq[String],
+      views: Option[Seq[SqliteDdl.ViewDef]],
+      triggers: Option[Seq[SqliteDdl.TriggerDef]],
+      isNew: Boolean)
+
+  /** Gather the ACTIVE scope's effects (forcing evaluation of every
+    * staged plan *before* anything mutates storage, so a bad expression
+    * can't leave a half-applied script). */
+  private def gatherScope(seg: String): ScopeCommit = ScopeCommit(
+    seg,
+    dirty.toSeq.map { t =>
       val (meta, df) = working(t)
       (t, meta, df.localCheckpoint(eager = true))
+    },
+    dropped.filterNot(created.contains).toSeq,
+    if (viewsDirty) Some(stagedViews.values.toSeq) else None,
+    if (triggersDirty) Some(stagedTriggers.values.filterNot(_.temp).toSeq) else None,
+    isNew = !store.segmentExists(seg))
+
+  def commit(): Unit = {
+    // dispatch always returns to main; commit relies on it
+    switchTo("main")
+    val plans = mutable.ArrayBuffer[ScopeCommit]()
+    plans += gatherScope(segmentId)
+    attachedDbs.foreach { case (key, a) =>
+      a.seg.foreach { seg =>
+        switchTo(key)
+        try {
+          if (dirty.nonEmpty || dropped.nonEmpty || viewsDirty || triggersDirty)
+            plans += gatherScope(seg)
+        } finally switchTo("main")
+      }
     }
+    // serialize against other scripts touching the attached segments
+    // (main's mutex is already held by TroughEngine.write); sorted
+    // acquisition keeps lock order deterministic
+    val mutexes = plans.drop(1).map(_.seg).sorted.map(engine.segmentScriptLock)
+    def locked(ms: Seq[Object])(f: => Unit): Unit = ms match {
+      case Seq() => f
+      case m +: rest => m.synchronized(locked(rest)(f))
+    }
+    locked(mutexes.toSeq)(commitPlans(plans.toSeq))
+  }
+
+  private def commitPlans(plans: Seq[ScopeCommit]): Unit = {
     // constraint gate BEFORE any storage effect: SQLite raises the
     // moment a duplicate key lands and the whole wrapped script rolls
     // back (write.py:36-40); checking each dirty table's final state
@@ -527,34 +1051,43 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // nothing commits — at one job per table instead of one per
     // statement. (Deviation: a script that creates and then deletes a
     // duplicate passes here where SQLite errored mid-script.)
-    materialized.foreach { case (t, meta, df) => enforceUnique(t, meta, df) }
-    // Two-phase across ALL storage effects: phase 1 writes EVERY dirty
-    // table's parquet to its data_tmp dir (any failure — disk full,
-    // codec error — aborts with no visible change, including scripts
-    // that DROP and recreate tables); phase 2 is only cheap renames and
-    // meta writes. A DROPped-and-reCREATEd table needs no explicit drop:
-    // the swap below replaces both its data dir and its meta. New
-    // tables need no explicit create: prepare makes the dir, and the
-    // swap degenerates to a single data_tmp→data rename + meta write.
-    materialized.foreach { case (t, _, df) => store.prepareTableData(segmentId, t, df) }
-    materialized.foreach { case (t, meta, _) =>
-      store.swapPreparedData(segmentId, t, Some(meta))
-    }
+    plans.foreach(p => p.materialized.foreach { case (t, meta, df) =>
+      enforceUnique(t, meta, df)
+    })
+    // a segment first materialized by ATTACH exists from this commit —
+    // sqlite's create-on-attach, deferred to the atomic boundary
+    plans.filter(p => p.isNew && (p.materialized.nonEmpty ||
+      p.drops.nonEmpty || p.views.isDefined || p.triggers.isDefined))
+      .foreach(p => store.provision(p.seg, ""))
+    // Two-phase across ALL storage effects of ALL touched segments:
+    // phase 1 writes EVERY dirty table's parquet to its data_tmp dir
+    // (any failure — disk full, codec error — aborts with no visible
+    // change, including scripts that DROP and recreate tables); phase 2
+    // is only cheap renames and meta writes. A DROPped-and-reCREATEd
+    // table needs no explicit drop: the swap below replaces both its
+    // data dir and its meta. New tables need no explicit create:
+    // prepare makes the dir, and the swap degenerates to a single
+    // data_tmp→data rename + meta write.
+    plans.foreach(p => p.materialized.foreach { case (t, _, df) =>
+      store.prepareTableData(p.seg, t, df)
+    })
+    plans.foreach(p => p.materialized.foreach { case (t, meta, _) =>
+      store.swapPreparedData(p.seg, t, Some(meta))
+    })
     // Explicit drops go LAST: every other phase-2 effect (the swaps) is
     // self-healing after a crash (data_old restore, re-runnable renames),
     // but a dropped table is gone irrecoverably — sequencing the
     // non-healable effect after all healable ones means a crash anywhere
     // in phase 2 leaves either a fully-consistent pre-drop state or only
     // the drops themselves unfinished (re-running just the drops heals).
-    dropped.filterNot(created.contains).foreach { t =>
-      if (store.tableExists(segmentId, t)) store.dropTable(segmentId, t)
-    }
+    plans.foreach(p => p.drops.foreach { t =>
+      if (store.tableExists(p.seg, t)) store.dropTable(p.seg, t)
+    })
     // view registry last among the healable effects' tail: one cheap
-    // file write holding the txn's whole staged set
-    if (viewsDirty) store.putViews(segmentId, stagedViews.values.toSeq)
+    // file write per touched segment holding its whole staged set
+    plans.foreach(p => p.views.foreach(vs => store.putViews(p.seg, vs)))
     // trigger registry likewise; TEMP triggers die with the script
-    if (triggersDirty)
-      store.putTriggers(segmentId, stagedTriggers.values.filterNot(_.temp).toSeq)
+    plans.foreach(p => p.triggers.foreach(ts => store.putTriggers(p.seg, ts)))
   }
 
   /** The PRIMARY KEY and every recorded UNIQUE index must hold over the
@@ -721,7 +1254,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * used). Staged like every other DDL effect — a failed script
     * leaves no view behind. */
   private def createView(stmt: String): Unit = {
-    val v = SqliteDdl.parseCreateView(stmt)
+    val v0 = SqliteDdl.parseCreateView(stmt)
+    // a view may reference its OWN db's objects only (sqlite refuses
+    // the rest at CREATE, probed: "view vv cannot reference objects in
+    // database a"); own-db qualifiers strip — the view body resolves
+    // under this db's scope at query time
+    val v =
+      v0.copy(select = rewriteDbRefs(v0.select, activeDb,
+        qualifiedOnly = true, foreignRefusal = Some(s"view ${v0.name}")))
     if (v.name.toLowerCase.startsWith("sqlite_"))
       throw new IllegalArgumentException(
         s"object name reserved for internal use: ${v.name}")
@@ -746,7 +1286,24 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * triggers live only for this script (the reference’s one-connection-
     * per-script write path makes connection scope = script scope). */
   private def createTrigger(stmt: String): Unit = {
-    val tg = SqliteDdl.parseCreateTrigger(stmt)
+    val tg0 = SqliteDdl.parseCreateTrigger(stmt)
+    // sqlite's trigger database rules (probed): a db-qualified DML
+    // target anywhere in the body refuses categorically; any other
+    // reference may qualify only the trigger's OWN db (stripped here —
+    // the body executes under this db's scope at fire time, where the
+    // bare name is the correct one)
+    tg0.body.foreach { b =>
+      if (hasQualifiedDmlTarget(b))
+        throw new IllegalArgumentException(
+          "qualified table names are not allowed on INSERT, UPDATE, " +
+            "and DELETE statements within triggers")
+    }
+    val tg =
+      tg0.copy(
+        when = tg0.when.map(rewriteDbRefs(_, activeDb, qualifiedOnly = true,
+          foreignRefusal = Some(s"trigger ${tg0.name}"))),
+        body = tg0.body.map(rewriteDbRefs(_, activeDb, qualifiedOnly = true,
+          foreignRefusal = Some(s"trigger ${tg0.name}"))))
     if (tg.name.toLowerCase.startsWith("sqlite_"))
       throw new IllegalArgumentException(
         s"object name reserved for internal use: ${tg.name}")
@@ -758,13 +1315,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         throw new IllegalArgumentException(
           s"cannot create INSTEAD OF trigger on table: ${tg.table}")
       if (!isView(tg.table))
-        throw new IllegalArgumentException(s"no such table: main.${tg.table}")
+        throw new IllegalArgumentException(s"no such table: $activeDbName.${tg.table}")
     } else {
       if (isView(tg.table))
         throw new IllegalArgumentException(
           s"cannot create ${tg.timing} trigger on view: ${tg.table}")
       if (!tableNames.exists(_.equalsIgnoreCase(tg.table)))
-        throw new IllegalArgumentException(s"no such table: main.${tg.table}")
+        throw new IllegalArgumentException(s"no such table: $activeDbName.${tg.table}")
     }
     if (stagedTriggers.contains(tg.name.toLowerCase)) {
       if (!tg.ifNotExists)
@@ -1982,7 +2539,11 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     if (ftsDefU.exists(fd => fd.contentless && !fd.contentlessDelete))
       throw new IllegalArgumentException(
         s"cannot UPDATE contentless fts5 table: $table")
-    val (metaL, dfL) = load(table)
+    val (metaL, dfL0) = load(table)
+    // expose the table (or alias) name for self-qualified references —
+    // sqlite's `UPDATE t … WHERE t.id = 1` / `a.t.id` after the db
+    // qualifier strips (r17)
+    val dfL = dfL0.alias(alias.getOrElse(table))
     val body0 = rewriteDqs(m.group(3),
       metaL.schema.fieldNames.toSet + table ++ alias)
     val body =
@@ -2274,7 +2835,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     if (ftsDefD.exists(fd => fd.contentless && !fd.contentlessDelete))
       throw new IllegalArgumentException(
         s"cannot DELETE from contentless fts5 table: $table")
-    val (meta, df) = load(table)
+    val (meta, df0) = load(table)
+    // expose the table name for self-qualified references (see update)
+    val df = df0.alias(table)
     val rest0 = rewriteDqs(m.group(2).trim, meta.schema.fieldNames.toSet + table)
     val rest =
       if (ftsDefD.exists(_.hasRowids))
@@ -4274,11 +4837,37 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val names = tableNames
       ensureViews()
       val registeredViews = mutable.ArrayBuffer[String]()
+      val foreignRegistered = mutable.ArrayBuffer[String]()
       relationsVisible += 1
       try {
         names.foreach { t =>
-          val df = working.get(t).map(_._2).getOrElse(store.loadTable(segmentId, t, spark))
+          val df = working.get(t).map(_._2).getOrElse(backLoad(t))
           df.createOrReplaceTempView(t)
+        }
+        // cross-db visibility (ATTACH, r17): every OTHER db's tables and
+        // views register under their mangled per-scope names, so a
+        // rewritten `db.tbl` reference resolves. Zero-cost when nothing
+        // is attached.
+        if (attachedDbs.nonEmpty) {
+          dbKeys.filterNot(_ == activeDb).foreach { db =>
+            scopeTables(db).foreach { t =>
+              scopeTableDf(db, t).foreach { df =>
+                val vn = mangle(db, t)
+                df.createOrReplaceTempView(vn); foreignRegistered += vn
+              }
+            }
+            // a foreign scope's views compile with ALL their references
+            // mangled into that scope (view bodies reference own-db
+            // objects only — sqlite refuses the rest at CREATE)
+            scopeViews(db).foreach { v =>
+              try {
+                val sel = rewriteDbRefs(v.sparkSelect, db, mangleOwn = true)
+                val vn = mangle(db, v.name)
+                SqliteDialect.sql(spark, sel).createOrReplaceTempView(vn)
+                foreignRegistered += vn
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }
         }
         // the txn's views resolve over that table state, in creation
         // order (view-on-view). A dangling view (since-dropped base
@@ -4299,6 +4888,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         overrides.keys.foreach(n => spark.catalog.dropTempView(n))
         registeredViews.foreach(spark.catalog.dropTempView(_))
         names.foreach(t => spark.catalog.dropTempView(t))
+        foreignRegistered.foreach(spark.catalog.dropTempView(_))
       }
     }
   }

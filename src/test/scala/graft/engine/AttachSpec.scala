@@ -1,0 +1,292 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpecBase
+
+/** ATTACH/DETACH through the write path (r17), DIFFERENTIAL against the
+  * sandbox `sqlite3` CLI. Modern sqlite3 permits ATTACH inside the
+  * transaction the reference wraps every script in (write.py:39 —
+  * probed on python's sqlite3, the exact stack the reference runs), so
+  * a write script may address several databases; this engine maps an
+  * attached file to the SEGMENT named by its basename and `:memory:`/''
+  * to an ephemeral script-lifetime db. The same script text runs on
+  * both engines: the CLI attaches the real file, the engine the
+  * same-named segment. Covers cross-db DML/SELECT/UPDATE…FROM, sqlite's
+  * main-first unqualified resolution, create-on-attach segments,
+  * per-db triggers/views/indexes, savepoint rollback across dbs,
+  * multi-db commit atomicity, and the probed error surface (locked
+  * DETACH, duplicate names, unknown dbs, cross-db trigger/view
+  * refusals, the 10-db limit). */
+class AttachSpec extends SparkSpecBase {
+
+  private lazy val root = Files.createTempDirectory("graft-attach").toString
+  private lazy val store = new SegmentStore(spark, root)
+  private lazy val engine = new TroughEngine(spark, store, new SchemaRegistry)
+  private lazy val cliDir = Files.createTempDirectory("graft-attach-cli")
+
+  private var n = 0
+  /** A fresh (engine segment, CLI db) pair sharing `schema`. */
+  private def pair(schema: String): (String, Path) = {
+    n += 1
+    val id = s"att-main-$n"
+    engine.schemas.put(s"att-schema-$n", schema)
+    engine.provisionWritable(id, s"att-schema-$n")
+    val db = cliDir.resolve(s"$id.db")
+    if (schema.nonEmpty) assert(SqliteCli.run(db.toString, schema) == 0)
+    (id, db)
+  }
+
+  /** An aux db both sides can attach BY THE SAME PATH: the engine maps
+    * the basename to the segment id, the CLI opens the file. Returns
+    * the shared path text. */
+  private def aux(schema: String, suffix: String = ""): String = {
+    val id = s"att-aux-$n$suffix"
+    val p = cliDir.resolve(s"$id.sqlite")
+    if (schema.nonEmpty) {
+      engine.schemas.put(s"att-aux-schema-$n$suffix", schema)
+      engine.provisionWritable(id, s"att-aux-schema-$n$suffix")
+      assert(SqliteCli.run(p.toString, schema) == 0)
+    }
+    p.toString
+  }
+
+  private def segOf(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    if (base.endsWith(".sqlite")) base.dropRight(7) else base
+  }
+
+  private def runBoth(id: String, db: Path, script: String): Unit = {
+    engine.write(id, script)
+    assert(SqliteCli.run(db.toString,
+      s".bail on\nBEGIN;\n$script\nCOMMIT;\n") == 0, s"sqlite3 failed: $script")
+  }
+
+  /** Both sides must REFUSE the script; returns the engine's message. */
+  private def failBoth(id: String, db: Path, script: String): String = {
+    val e = intercept[Exception](engine.write(id, script))
+    assert(SqliteCli.run(db.toString,
+      s".bail on\nBEGIN;\n$script\nCOMMIT;\n") != 0,
+      s"sqlite3 unexpectedly accepted: $script")
+    e.getMessage
+  }
+
+  private def render(r: org.apache.spark.sql.Row): String =
+    (0 until r.length).map { i =>
+      if (r.isNullAt(i)) "" else r.get(i).toString
+    }.mkString("|")
+
+  /** Engine segment vs CLI file must render identically for `select`. */
+  private def same(seg: String, db: String, select: String): Unit = {
+    val engineSide = engine.read(seg, select).collect().map(render).mkString("\n")
+    val cliSide = SqliteCli.query(db, select)
+    assert(engineSide == cliSide,
+      s"\n-- engine($seg) --\n$engineSide\n-- sqlite3($db) --\n$cliSide\n-- for --\n$select")
+  }
+
+  private val mainSchema =
+    "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);"
+
+  test("cross-db DML: create, fill and read an attached segment") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE src (k INTEGER, w TEXT);")
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "INSERT INTO a.src VALUES (1, 'x'), (2, 'y');" +
+        "CREATE TABLE a.extra (z TEXT);" +
+        "INSERT INTO a.extra SELECT w || k FROM a.src;" +
+        "INSERT INTO t SELECT k, w FROM a.src;")
+    same(id, db.toString, "SELECT id, v FROM t ORDER BY id;")
+    same(segOf(a), a, "SELECT k, w FROM src ORDER BY k;")
+    same(segOf(a), a, "SELECT z FROM extra ORDER BY z;")
+  }
+
+  test("ephemeral :memory: staging db dies with the script") {
+    val (id, db) = pair(mainSchema)
+    runBoth(id, db,
+      "ATTACH ':memory:' AS tmp;" +
+        "CREATE TABLE tmp.s (v INTEGER);" +
+        "INSERT INTO tmp.s VALUES (1), (2), (3);" +
+        "INSERT INTO t SELECT v, 'n' || v FROM tmp.s WHERE v > 1;")
+    same(id, db.toString, "SELECT id, v FROM t ORDER BY id;")
+    // a second script sees no trace of tmp
+    val e = intercept[Exception](engine.write(id,
+      "INSERT INTO t SELECT v + 10, 'x' FROM tmp.s;"))
+    assert(e.getMessage.toLowerCase.contains("tmp"))
+  }
+
+  test("attach of a nonexistent file creates the segment at commit (create-on-attach)") {
+    val (id, db) = pair(mainSchema)
+    n += 1
+    val fresh = cliDir.resolve(s"att-new-$n.sqlite").toString
+    assert(!store.segmentExists(segOf(fresh)))
+    runBoth(id, db,
+      s"ATTACH '$fresh' AS nw;" +
+        "CREATE TABLE nw.made (v TEXT);" +
+        "INSERT INTO nw.made VALUES ('hello');")
+    assert(store.segmentExists(segOf(fresh)))
+    same(segOf(fresh), fresh, "SELECT v FROM made;")
+  }
+
+  test("unqualified names resolve main-first, then attach order (probed order)") {
+    val (id, db) = pair(mainSchema + "CREATE TABLE both (v TEXT);")
+    val a = aux("CREATE TABLE both (v TEXT); CREATE TABLE only_a (v TEXT);")
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "INSERT INTO both VALUES ('main wins');" + // main shadows a.both
+        "INSERT INTO only_a VALUES ('routed to a');" + // only in a
+        "INSERT INTO t SELECT 1, v FROM only_a;")
+    same(id, db.toString, "SELECT v FROM both;")
+    same(id, db.toString, "SELECT id, v FROM t;")
+    same(segOf(a), a, "SELECT v FROM both;")
+    same(segOf(a), a, "SELECT v FROM only_a;")
+  }
+
+  test("UPDATE … FROM and 3-part column references across dbs") {
+    val (id, db) = pair(
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT);")
+    val a = aux("CREATE TABLE s (id INTEGER, v TEXT);")
+    runBoth(id, db,
+      "INSERT INTO t VALUES (1, 'old1'), (2, 'old2'), (3, 'keep');" +
+        s"ATTACH '$a' AS a;" +
+        "INSERT INTO a.s VALUES (1, 'new1'), (2, 'new2');" +
+        "UPDATE t SET v = a.s.v FROM a.s WHERE t.id = a.s.id;" +
+        "DELETE FROM a.s WHERE a.s.id = 2;")
+    same(id, db.toString, "SELECT id, v FROM t ORDER BY id;")
+    same(segOf(a), a, "SELECT id, v FROM s ORDER BY id;")
+  }
+
+  test("triggers live per-db: qualified creation, firing under the attached scope") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE evt (v INTEGER); CREATE TABLE log (msg TEXT);")
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "CREATE TRIGGER a.tr AFTER INSERT ON evt BEGIN " +
+        "INSERT INTO log VALUES ('saw ' || NEW.v); END;" +
+        "INSERT INTO a.evt VALUES (7), (8);")
+    same(segOf(a), a, "SELECT msg FROM log ORDER BY msg;")
+  }
+
+  test("views live per-db and read across the boundary") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE base (v INTEGER);")
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "INSERT INTO a.base VALUES (5), (6);" +
+        "CREATE VIEW a.doubled AS SELECT v * 2 AS d FROM base;" +
+        "INSERT INTO t SELECT d, 'from view' FROM a.doubled;")
+    same(id, db.toString, "SELECT id, v FROM t ORDER BY id;")
+    same(segOf(a), a, "SELECT d FROM doubled ORDER BY d;")
+  }
+
+  test("unique index in an attached db enforces under its scope") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE u (v INTEGER);")
+    val msg = failBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "CREATE UNIQUE INDEX a.ix ON u (v);" +
+        "INSERT INTO a.u VALUES (1);" +
+        "INSERT INTO a.u VALUES (1);")
+    assert(msg.contains("UNIQUE constraint failed: u.v"))
+  }
+
+  test("savepoint rollback spans attached dbs; the attach itself survives (probed)") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (v INTEGER);")
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "INSERT INTO a.s VALUES (1);" +
+        "SAVEPOINT sp;" +
+        "INSERT INTO a.s VALUES (2);" +
+        "INSERT INTO t VALUES (9, 'gone');" +
+        "ROLLBACK TO sp;" +
+        "INSERT INTO a.s VALUES (3);" + // attach survives; staged (1) survives
+        "INSERT INTO t VALUES (1, 'kept');")
+    same(id, db.toString, "SELECT id, v FROM t ORDER BY id;")
+    same(segOf(a), a, "SELECT v FROM s ORDER BY v;")
+  }
+
+  test("multi-db commit is atomic: a late constraint failure leaves every db untouched") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (v INTEGER);")
+    failBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "INSERT INTO a.s VALUES (42);" +
+        "INSERT INTO t VALUES (1, 'x');" +
+        "INSERT INTO t VALUES (1, 'dup pk');")
+    same(id, db.toString, "SELECT count(*) FROM t;")
+    same(segOf(a), a, "SELECT count(*) FROM s;")
+  }
+
+  test("error surface matches sqlite3's probed texts") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (v INTEGER);")
+
+    // DETACH of a db the transaction referenced: locked
+    assert(failBoth(id, db,
+      s"ATTACH '$a' AS a; INSERT INTO a.s VALUES (1); DETACH a;")
+      .contains("database a is locked"))
+    // duplicate attach name
+    assert(failBoth(id, db,
+      s"ATTACH '$a' AS a; ATTACH ':memory:' AS a;")
+      .contains("database a is already in use"))
+    assert(failBoth(id, db, s"ATTACH '$a' AS main;")
+      .contains("database main is already in use"))
+    // detach main / unknown
+    assert(failBoth(id, db, "DETACH main;")
+      .contains("cannot detach database main"))
+    assert(failBoth(id, db, "DETACH nope;")
+      .contains("no such database: nope"))
+    // unknown db qualifier
+    assert(failBoth(id, db, "CREATE TABLE nope.t2 (v);")
+      .contains("unknown database nope"))
+    assert(failBoth(id, db, s"ATTACH '$a' AS a; INSERT INTO a.missing VALUES (1);")
+      .contains("no such table: a.missing"))
+    // too many attached databases
+    val many = (0 until 11).map(i => s"ATTACH ':memory:' AS m$i;").mkString
+    assert(failBoth(id, db, many)
+      .contains("too many attached databases - max 10"))
+    // clean detach of an unreferenced db succeeds on both
+    runBoth(id, db, s"ATTACH '$a' AS fresh; DETACH fresh;")
+  }
+
+  test("cross-db trigger and view bodies refuse with sqlite's own errors") {
+    val (id, db) = pair(mainSchema + "CREATE TABLE lg (v TEXT);")
+    val a = aux("CREATE TABLE far (v INTEGER);")
+    // qualified DML target inside a trigger body: categorical refusal
+    assert(failBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "CREATE TRIGGER tr AFTER INSERT ON t BEGIN " +
+        "INSERT INTO a.far VALUES (1); END;")
+      .contains("qualified table names are not allowed on INSERT, " +
+        "UPDATE, and DELETE statements within triggers"))
+    // non-DML cross-db reference inside a trigger body
+    assert(failBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "CREATE TRIGGER tr2 AFTER INSERT ON t BEGIN " +
+        "INSERT INTO lg SELECT v FROM a.far; END;")
+      .contains("cannot reference objects in database a"))
+    // cross-db view
+    assert(failBoth(id, db,
+      s"ATTACH '$a' AS a; CREATE VIEW vv AS SELECT v FROM a.far;")
+      .contains("view vv cannot reference objects in database a"))
+    // own-db qualifiers are legal and strip (probed): main view over main.
+    runBoth(id, db,
+      "CREATE VIEW okv AS SELECT v FROM main.t;" +
+        "INSERT INTO main.t VALUES (1, 'q');" +
+        "INSERT INTO lg SELECT v FROM okv;")
+    same(id, db.toString, "SELECT v FROM lg;")
+  }
+
+  test("attach filename may be an expression; segment id comes from the basename") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (v INTEGER);")
+    val stem = a.dropRight(7) // strip .sqlite
+    runBoth(id, db,
+      s"ATTACH '$stem' || '.sqlite' AS a;" +
+        "INSERT INTO a.s VALUES (11);" +
+        "INSERT INTO t SELECT v, 'e' FROM a.s;")
+    same(id, db.toString, "SELECT id, v FROM t;")
+    same(segOf(a), a, "SELECT v FROM s;")
+  }
+}

@@ -15,10 +15,9 @@ import graft.SparkSpecBase
   *    sqlite3 does), so the deviation must be loud. Ingest of an
   *    existing file still preserves FTS shadow-table DATA
   *    (SqliteIngestSpec) — only module-backed behavior is refused.
-  *  - `ATTACH` / `DETACH`: a write script addresses exactly one
-  *    segment (the reference opens one connection per script,
-  *    write.py:28-33); cross-segment queries go through the fan-out
-  *    read path.
+  *  - `ATTACH` / `DETACH` are SUPPORTED since r17 (AttachSpec): a
+  *    script may address several segments, so only the error shapes a
+  *    real sqlite3 raises remain (no such database, locked, ...).
   */
 class RefusalSpec extends SparkSpecBase {
 
@@ -89,13 +88,13 @@ class RefusalSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("MATCH operator could not be resolved"))
   }
 
-  test("ATTACH / DETACH refuse with the one-segment contract named") {
-    val e = intercept[UnsupportedOperationException](engine.write(seg,
-      "ATTACH DATABASE '/tmp/other.db' AS other;"))
-    assert(e.getMessage.contains("ATTACH is not supported"))
-    assert(e.getMessage.contains("one segment"))
-    val e2 = intercept[UnsupportedOperationException](engine.write(seg,
+  test("ATTACH is SUPPORTED (r17); a stray DETACH errors like sqlite3") {
+    // the surface itself is differential-tested in AttachSpec; here
+    // only the refusal-to-support flip is pinned: no 'not supported'
+    engine.write(seg, "ATTACH ':memory:' AS scratch;" +
+      "CREATE TABLE scratch.x (v INTEGER); INSERT INTO scratch.x VALUES (1);")
+    val e = intercept[IllegalArgumentException](engine.write(seg,
       "DETACH DATABASE other;"))
-    assert(e2.getMessage.contains("DETACH is not supported"))
+    assert(e.getMessage.contains("no such database: other"))
   }
 }
