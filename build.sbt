@@ -39,4 +39,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   sys.env.get("GRAFT_WRITE_FUZZ_COUNT").map(c => s"-Dgraft.writefuzz.count=$c").toSeq ++
   sys.env.get("GRAFT_WRITE_FUZZ_SEED").map(s => s"-Dgraft.writefuzz.seed=$s").toSeq ++
   sys.env.get("GRAFT_QUERY_FUZZ_COUNT").map(c => s"-Dgraft.queryfuzz.count=$c").toSeq ++
-  sys.env.get("GRAFT_QUERY_FUZZ_SEED").map(s => s"-Dgraft.queryfuzz.seed=$s").toSeq
+  sys.env.get("GRAFT_QUERY_FUZZ_SEED").map(s => s"-Dgraft.queryfuzz.seed=$s").toSeq ++
+  sys.env.get("GRAFT_ATTACH_FUZZ_COUNT").map(c => s"-Dgraft.attachfuzz.count=$c").toSeq ++
+  sys.env.get("GRAFT_ATTACH_FUZZ_SEED").map(s => s"-Dgraft.attachfuzz.seed=$s").toSeq

@@ -278,6 +278,109 @@ class AttachSpec extends SparkSpecBase {
     same(id, db.toString, "SELECT v FROM lg;")
   }
 
+  // GRAFT_ATTACH_FUZZ_COUNT/SEED → -D props (round-harness sweeps)
+  private val FUZZ_COUNT =
+    sys.props.get("graft.attachfuzz.count").map(_.toInt).getOrElse(25)
+  private val FUZZ_SEED =
+    sys.props.get("graft.attachfuzz.seed").map(_.toLong).getOrElse(20260816L)
+
+  test(s"$FUZZ_COUNT random multi-db scripts agree with sqlite3 (seed $FUZZ_SEED)") {
+    val rng = new scala.util.Random(FUZZ_SEED)
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    var comparedNonEmpty = 0
+    for (i <- 1 to FUZZ_COUNT) {
+      val mainDdl =
+        "CREATE TABLE m (id INTEGER PRIMARY KEY, v TEXT);" +
+          "CREATE TABLE shared (k INTEGER, w TEXT);"
+      val auxDdl =
+        "CREATE TABLE s (k INTEGER, w TEXT);" +
+          "CREATE TABLE shared (k INTEGER, w TEXT);"
+      val (id, db) = pair(mainDdl) // bumps n — aux names stay per-iteration
+      // aux flavors: pre-existing segment+file, create-on-attach path,
+      // ephemeral :memory: (main-side compare only)
+      val flavor = rng.nextInt(3)
+      val auxPath = flavor match {
+        case 0 => aux(auxDdl, suffix = "f")
+        case 1 => cliDir.resolve(s"att-fuzz-new-$n.sqlite").toString
+        case _ => ":memory:"
+      }
+      var nextId = 100
+      var spOpen = false
+      val stmts = scala.collection.mutable.ArrayBuffer[String]()
+      stmts += s"ATTACH '$auxPath' AS a;"
+      if (flavor != 0) stmts += auxDdl.split(";").filter(_.nonEmpty)
+        .map(d => d.replaceFirst("CREATE TABLE ", "CREATE TABLE a.") + ";").mkString
+      def tl: String = s"'x${rng.nextInt(6)}'"
+      (1 to (4 + rng.nextInt(7))).foreach { _ =>
+        rng.nextInt(12) match {
+          case 0 | 1 =>
+            nextId += 1
+            stmts += s"INSERT INTO a.s VALUES ($nextId, $tl);"
+          case 2 =>
+            nextId += 1
+            // unqualified: s lives only in a → sqlite's search order
+            stmts += s"INSERT INTO s VALUES ($nextId, $tl);"
+          case 3 =>
+            nextId += 1
+            // shared exists in BOTH dbs: main must shadow
+            stmts += s"INSERT INTO shared VALUES ($nextId, $tl);"
+          case 4 =>
+            nextId += 1
+            stmts += s"INSERT INTO a.shared VALUES ($nextId, $tl);"
+          case 5 =>
+            nextId += 1
+            stmts += s"INSERT INTO m VALUES ($nextId, $tl);"
+          case 6 =>
+            stmts += s"INSERT INTO m SELECT k + ${rng.nextInt(50) + 500}, w " +
+              s"FROM a.s WHERE k % ${2 + rng.nextInt(3)} = ${rng.nextInt(2)};"
+          case 7 =>
+            stmts += s"INSERT INTO a.s SELECT id + ${rng.nextInt(50) + 900}, v " +
+              s"FROM m WHERE id % ${2 + rng.nextInt(3)} = ${rng.nextInt(2)};"
+          case 8 =>
+            stmts += s"UPDATE a.s SET w = w || '!' WHERE k % ${2 + rng.nextInt(3)} " +
+              s"= ${rng.nextInt(2)};"
+          case 9 =>
+            stmts += s"UPDATE m SET v = $tl WHERE id IN " +
+              s"(SELECT k - ${rng.nextInt(3)} FROM a.s);"
+          case 10 =>
+            stmts += s"DELETE FROM a.s WHERE k % ${3 + rng.nextInt(3)} = ${rng.nextInt(3)};"
+          case _ =>
+            if (!spOpen) { spOpen = true; stmts += "SAVEPOINT sp;" }
+            else if (rng.nextBoolean()) stmts += "ROLLBACK TO sp;"
+            else { spOpen = false; stmts += "RELEASE sp;" }
+        }
+      }
+      val script = stmts.mkString("\n")
+      val engineErr = scala.util.Try(engine.write(id, script)).failed.toOption
+      val rc = SqliteCli.run(db.toString,
+        s".bail on\nBEGIN;\n$script\nCOMMIT;\n")
+      if (engineErr.isDefined != (rc != 0))
+        failures += s"[$i] outcome diverged (engine=${engineErr.map(_.getMessage)} " +
+          s"sqlite3 rc=$rc)\n$script"
+      else if (engineErr.isEmpty) {
+        def cmp(seg: String, file: String, table: String, sel: String): Unit = {
+          val ours = scala.util.Try(engine.read(seg, sel).collect()
+            .map(render).toSeq.sorted).toOption
+          val theirs = scala.util.Try(SqliteCli.query(file, sel)
+            .split("\n").filter(_.nonEmpty).toSeq.sorted).toOption
+          if (ours != theirs)
+            failures += s"[$i] $table diverged\n$script\nengine: $ours\nsqlite3: $theirs"
+          else if (ours.exists(_.nonEmpty)) comparedNonEmpty += 1
+        }
+        cmp(id, db.toString, "m", "SELECT id, v FROM m;")
+        cmp(id, db.toString, "shared", "SELECT k, w FROM shared;")
+        if (auxPath != ":memory:") {
+          cmp(segOf(auxPath), auxPath, "a.s", "SELECT k, w FROM s;")
+          cmp(segOf(auxPath), auxPath, "a.shared", "SELECT k, w FROM shared;")
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/$FUZZ_COUNT diverged:\n${failures.take(4).mkString("\n---\n")}")
+    assert(comparedNonEmpty > FUZZ_COUNT,
+      s"only $comparedNonEmpty non-empty comparisons — degenerate sweep")
+  }
+
   test("attach filename may be an expression; segment id comes from the basename") {
     val (id, db) = pair(mainSchema)
     val a = aux("CREATE TABLE s (v INTEGER);")
