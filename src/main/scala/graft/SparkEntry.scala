@@ -1252,6 +1252,45 @@ object SparkEntry {
       import s.implicits._
       Dedup.substringDedup(t(s, dir, "documents"), gramLen = 10,
         hashGrams = true).orderBy($"doc_id")
+    }),
+
+    // ATTACH/DETACH through the write path (r17): a multi-db script
+    // stages rows in an ephemeral ':memory:' db, promotes the keepers
+    // into a SECOND segment attached by file path (created at commit —
+    // sqlite's create-on-attach), and post-processes them with cross-db
+    // qualified UPDATE/DELETE. The queried artifact is the attached
+    // segment's committed content; the oracle recomputes it relationally
+    // from the documents table. Reference reach: trough's write path
+    // runs any script sqlite3 accepts (write.py:40), and modern sqlite3
+    // permits ATTACH inside the wrapped transaction (probed).
+    "q70_attach" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q70")
+      val store = new graft.engine.SegmentStore(s, tmp.resolve("store").toString)
+      val schemas = new graft.engine.SchemaRegistry
+      val eng = new graft.engine.TroughEngine(s, store, schemas)
+      schemas.put("q70schema",
+        "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);")
+      eng.provisionWritable("q70main", "q70schema")
+      store.replaceTableData("q70main", "docs",
+        t(s, dir, "documents").select($"doc_id", $"text")
+          .where($"doc_id" % 17 === 0))
+      val archPath = tmp.resolve("q70arch.sqlite")
+      eng.write("q70main",
+        "ATTACH ':memory:' AS stage;" +
+          "CREATE TABLE stage.picked (doc_id INTEGER, n INTEGER);" +
+          "INSERT INTO stage.picked SELECT doc_id, length(text) FROM docs " +
+          "WHERE doc_id % 3 = 0;" +
+          s"ATTACH '$archPath' AS arch;" +
+          "CREATE TABLE arch.kept (doc_id INTEGER PRIMARY KEY, " +
+          "n_chars INTEGER, tag TEXT);" +
+          "INSERT INTO arch.kept SELECT doc_id, n, 'keep' FROM stage.picked " +
+          "WHERE n >= 40;" +
+          "UPDATE arch.kept SET tag = 'long' WHERE arch.kept.n_chars > 500;" +
+          "DELETE FROM arch.kept WHERE kept.doc_id % 30 = 0;")
+      eng.read("q70arch", "SELECT doc_id, n_chars, tag FROM kept;")
+        .select($"doc_id", $"n_chars".cast("long").as("n_chars"), $"tag")
+        .orderBy($"doc_id")
     })
   )
 
@@ -1846,6 +1885,16 @@ object SparkEntry {
         CAST(a.kept AS BIGINT) AS kept_tokens,
         CAST(len(t.tk) AS BIGINT) AS n_tokens
       FROM t JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
+    // the Spark side ran a multi-db ATTACH write script (ephemeral
+    // staging db + a second segment created on attach) and read the
+    // attached segment back; the oracle recomputes the promoted rows
+    "q70_attach" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CASE WHEN length(text) > 500 THEN 'long' ELSE 'keep' END AS tag
+      FROM documents
+      WHERE doc_id % 17 = 0 AND doc_id % 3 = 0
+        AND length(text) >= 40 AND doc_id % 30 <> 0
+      ORDER BY doc_id""",
     // the Spark side fetched its rows over real HTTP from the read
     // server; a hash match against raw parquet proves the wire lossless
     "q58_http_read" -> """
