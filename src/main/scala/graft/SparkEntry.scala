@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TroughFunctions
-import graft.pipeline.{Dedup, Multimodal, PipelineFunctions, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Packing, PipelineFunctions, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1291,6 +1291,32 @@ object SparkEntry {
       eng.read("q70arch", "SELECT doc_id, n_chars, tag FROM kept;")
         .select($"doc_id", $"n_chars".cast("long").as("n_chars"), $"tag")
         .orderBy($"doc_id")
+    }),
+
+    // Sequence packing, concat-and-chunk (GPT-style pretraining): each
+    // bucket's token stream cuts every 512 tokens, docs may straddle.
+    // Pure windows + one explode — no stateful pass; one shuffle on
+    // bucket at any scale. Oracle recomputes the identical window
+    // arithmetic in DuckDB.
+    "q71_pack_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      Packing.packChunks(d, capacity = 512, buckets = 8)
+        .orderBy($"bucket", $"chunk", $"doc_id", $"tok_start")
+    }),
+
+    // Sequence packing, whole-document next-fit bins: docs never split;
+    // a doc that would overflow the open bin starts the next. The
+    // reset-on-threshold recurrence runs as one O(1)-state scan per
+    // bucket after a single hash shuffle; the oracle re-derives it with
+    // a recursive CTE advancing all buckets in lockstep.
+    "q72_pack_bins" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      Packing.packBins(d, capacity = 1024, buckets = 8)
+        .orderBy($"doc_id")
     })
   )
 
@@ -1895,6 +1921,44 @@ object SparkEntry {
       WHERE doc_id % 17 = 0 AND doc_id % 3 = 0
         AND length(text) >= 40 AND doc_id % 30 <> 0
       ORDER BY doc_id""",
+    "q71_pack_chunks" -> """
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents),
+      b AS (SELECT doc_id, n, doc_id % 8 AS bucket FROM t WHERE n > 0),
+      c AS (SELECT doc_id, n, bucket,
+              sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+      s AS (SELECT doc_id, bucket, CAST(cum - n AS BIGINT) AS st,
+              CAST(cum - 1 AS BIGINT) AS en FROM c),
+      e AS (SELECT doc_id, bucket, st, en,
+              unnest(generate_series(st // 512, en // 512)) AS ck FROM s)
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        CAST(ck AS BIGINT) AS chunk,
+        CAST(greatest(ck * 512, st) - st AS BIGINT) AS tok_start,
+        CAST(least((ck + 1) * 512 - 1, en) - st + 1 AS BIGINT) AS tok_end
+      FROM e ORDER BY bucket, chunk, doc_id, tok_start""",
+    "q72_pack_bins" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               doc_id % 8 AS bucket
+        FROM documents WHERE len(string_split(text, ' ')) > 0),
+      r AS (SELECT doc_id, n, bucket,
+              row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            FROM t),
+      p AS (
+        SELECT doc_id, n, bucket, rn,
+               CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS fill_start
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.doc_id, r.n, r.bucket, r.rn,
+               CASE WHEN p.fill_start + p.n + r.n <= 1024
+                    THEN p.bin ELSE p.bin + 1 END,
+               CASE WHEN p.fill_start + p.n + r.n <= 1024
+                    THEN p.fill_start + p.n ELSE CAST(0 AS BIGINT) END
+        FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, bin, fill_start
+      FROM p ORDER BY doc_id""",
     // the Spark side fetched its rows over real HTTP from the read
     // server; a hash match against raw parquet proves the wire lossless
     "q58_http_read" -> """
