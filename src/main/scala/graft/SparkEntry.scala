@@ -1317,6 +1317,23 @@ object SparkEntry {
         size(split($"text", " ")).cast("long").as("n_tokens"))
       Packing.packBins(d, capacity = 1024, buckets = 8)
         .orderBy($"doc_id")
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): quantizer
+    // clusters (broadcast stride centroids, the q43 IVF quantizer),
+    // within-cluster cosine pairs at the threshold, Large-Star/
+    // Small-Star duplicate groups, keep-lowest-id. The synthetic
+    // embeddings carry no true near-dups, so the gate threshold sits at
+    // 0.35 (probed in-cluster max ≈ 0.47) — exactness of the plumbing
+    // is what's verified; τ is a parameter. Oracle re-derives the whole
+    // path: same stride, argmax assignment, pair graph, recursive
+    // closure.
+    "q73_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedup(emb, threshold = 0.35,
+          centroidStride = Similarity.ivfStrideFor(Tables.fastRowCount(emb)))
+        .orderBy($"vec_id")
     })
   )
 
@@ -1959,6 +1976,39 @@ object SparkEntry {
         FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
       SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, bin, fill_start
       FROM p ORDER BY doc_id""",
+    "q73_semdedup" -> """
+      WITH RECURSIVE st AS (
+        SELECT GREATEST(25, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS s
+        FROM embeddings),
+      vn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nn
+             FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce, nn AS cen FROM vn
+            WHERE vec_id % (SELECT s FROM st) = 0),
+      a0 AS (SELECT vn.vec_id, c.cid,
+               list_dot_product(vn.e, c.ce) / (vn.nn * c.cen) AS csc
+             FROM vn CROSS JOIN c),
+      a1 AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csc DESC, cid) AS rn FROM a0),
+      asg AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+      p AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+            FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            JOIN vn vx ON vx.vec_id = x.vec_id
+            JOIN vn vy ON vy.vec_id = y.vec_id
+            WHERE list_dot_product(vx.e, vy.e) / (vx.nn * vy.nn) >= 0.35),
+      edges AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+      walk(u, v) AS (SELECT u, v FROM edges
+                     UNION
+                     SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+      canon AS (SELECT u AS vec_id, least(u, min(v)) AS canon_id
+                FROM walk GROUP BY u)
+      SELECT a.vec_id, a.cid,
+        coalesce(c2.canon_id, a.vec_id) AS canon_id,
+        coalesce(c2.canon_id, a.vec_id) = a.vec_id AS keep
+      FROM asg a LEFT JOIN canon c2 ON c2.vec_id = a.vec_id
+      ORDER BY a.vec_id""",
     // the Spark side fetched its rows over real HTTP from the read
     // server; a hash match against raw parquet proves the wire lossless
     "q58_http_read" -> """

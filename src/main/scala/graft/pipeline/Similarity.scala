@@ -252,6 +252,62 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    * compare pairs ONLY within a cluster, connect pairs with cosine ≥
+    * `threshold` into duplicate groups, and keep one canonical member
+    * per group. The paper trains k-means and keeps the member farthest
+    * from its centroid; here the quantizer is the deterministic
+    * every-`centroidStride`-th-vector selection the IVF path uses
+    * (oracle-reproducible — swap in [[trainCentroids]] output in
+    * production, nothing else changes) and the keep policy is lowest id
+    * (deterministic at any parallelism).
+    *
+    * Scale shape: centroids broadcast (nlist ≈ N/stride rows); ONE
+    * corpus scan for assignment (argmax window partitioned by vector
+    * id); the pair stage shuffles by cluster id only — within-cluster
+    * pairwise is the SemDeDup design, so cluster granularity (the
+    * stride) is the knob that bounds it: nlist ≈ √N gives ~N^1.5/nlist
+    * dots total, and raising nlist tightens clusters and cost together
+    * (the paper runs 11k clusters at 100M+ points). Duplicate groups
+    * close through Large-Star/Small-Star, O(log n) rounds.
+    *
+    * Returns one row per corpus vector: (vec_id, cid, canon_id, keep) —
+    * `cid` its quantizer cluster, `canon_id` its duplicate group's
+    * keeper (itself when unique), `keep` = (vec_id = canon_id). */
+  def semanticDedup(
+      corpus: DataFrame,
+      threshold: Double,
+      centroidStride: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = withNorm(corpus, idCol, vecCol, "id", "cv", "cn")
+    val cents = broadcast(v.where(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("cv").as("ce"), col("cn").as("cen")))
+    val assignW = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
+    val assigned = v.crossJoin(cents)
+      .select(col("id"), col("cv"), col("cn"), col("cid"),
+        (ndot(col("cv"), col("ce")) / (col("cn") * col("cen"))).as("csc"))
+      .withColumn("arnk", row_number().over(assignW))
+      .where(col("arnk") === 1)
+      .select(col("id"), col("cid"), col("cv"), col("cn"))
+    val x = assigned.select(col("id").as("ia"), col("cid"),
+      col("cv").as("va"), col("cn").as("na"))
+    val y = assigned.select(col("id").as("ib"), col("cid"),
+      col("cv").as("vb"), col("cn").as("nb"))
+    val pairs = x.join(y, Seq("cid"))
+      .where(col("ia") < col("ib") &&
+        ndot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"))
+    val comp = graft.pipeline.Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id").as("canon"))
+    assigned.select(col("id"), col("cid"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        coalesce(col("canon"), col("id")).as("canon_id"),
+        (coalesce(col("canon"), col("id")) === col("id")).as("keep"))
+  }
+
   /** Adaptive SRP width: enough hyperplanes that EXPECTED bucket
     * occupancy stays ~`targetPerBucket` as the corpus grows. A fixed
     * width keeps the bucket COUNT constant, so occupancy grows O(N)

@@ -310,6 +310,41 @@ class PipelineSpec extends SparkSpecBase {
     res.foreach(r => assert(r.getDouble(2) > 0.99)) // score column
   }
 
+  test("semanticDedup: planted duplicate groups collapse to lowest id (r17)") {
+    import spark.implicits._
+    def mix(i: Int, k: Int): Double = {
+      var z = (i.toLong << 32) + k
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L; z = z ^ (z >>> 27)
+      z.toDouble / Long.MaxValue
+    }
+    // 30 base directions; ids 100+i are near-copies of direction i%5 —
+    // so {i, 100+i... } with shared direction form duplicate groups
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(k => mix(i % 5, k) + 0.001 * mix(i + 900, k)).toArray)
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, threshold = 0.999,
+      centroidStride = 7).cache()
+    assert(out.count() == 30) // one row per vector, always
+    val rows = out.as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // vectors sharing a direction AND a quantizer cluster collapse to
+    // the group's lowest id; keep flag consistent with canon
+    rows.values.foreach { case (id, _, canon, keep) =>
+      assert(canon <= id)
+      assert(keep == (canon == id))
+      // canonical member must share the direction (near-dup means same
+      // base direction here)
+      assert(canon % 5 == id % 5 || canon == id)
+    }
+    // at least one real collapse happened (directions repeat 6x)
+    assert(rows.values.count(!_._4) > 0)
+    // determinism across partitioning
+    val again = Similarity.semanticDedup(vecs.repartition(7), threshold = 0.999,
+      centroidStride = 7).orderBy($"vec_id").collect().toSeq
+    assert(out.orderBy($"vec_id").collect().toSeq == again)
+  }
+
   test("review fixes: zero-norm guard, phantom frames, parameter validation") {
     import spark.implicits._
     // zero-norm embedding must not become anyone's NaN rank-1 neighbor
