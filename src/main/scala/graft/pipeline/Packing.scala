@@ -50,9 +50,11 @@ object Packing {
       .withColumn("st", col("cum") - col("n")) // stream offset of token 0
       .withColumn("en", col("cum") - 1)        // stream offset of last token
     val cap = lit(capacity.toLong)
+    // integer `div`, not floating floor(a/b): exact at any stream length
     cum
       .withColumn("chunk",
-        explode(sequence(floor(col("st") / cap), floor(col("en") / cap))))
+        explode(sequence(expr(s"st div ${capacity.toLong}"),
+          expr(s"en div ${capacity.toLong}"))))
       .select(
         col(idCol), col("bucket"),
         col("chunk").cast(LongType).as("chunk"),

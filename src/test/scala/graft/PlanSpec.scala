@@ -163,6 +163,30 @@ class PlanSpec extends SparkSpecBase {
       s"corpus shuffled below the bloom filter:\n$p")
   }
 
+  test("q71 packChunks: one shuffle for the bucket window, then pure compute") {
+    val p = plan("q71_pack_chunks")
+    // the bucket-partitioned running sum is the only hash shuffle; the
+    // chunk explode adds no Exchange (final sort excluded — orderBy is
+    // presentation)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
+    assert(p.contains("Generate explode"), p.take(600))
+  }
+
+  test("q72 packBins: one bucket shuffle feeding the streaming scan") {
+    val p = plan("q72_pack_bins")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1200))
+    assert(p.contains("MapPartitions"), p.take(600)) // the O(1)-state scan
+  }
+
+  test("q73 semanticDedup: centroids broadcast; assignment never shuffles the corpus") {
+    val p = plan("q73_semdedup")
+    // the quantizer side rides BroadcastNestedLoopJoin (bounded nlist),
+    // never a CartesianProduct or a corpus-wide SortMergeJoin against
+    // the centroid set
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans an unintended CartesianProduct") {
     // cross joins are legitimate only where declared (q11 cross_join,
     // kNN/IVF probe joins are broadcast nested loops, never Cartesian)
