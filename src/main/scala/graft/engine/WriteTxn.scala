@@ -249,6 +249,72 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     "__db_" + (db + "__" + t).toLowerCase(java.util.Locale.ROOT)
       .map(c => if (c.isLetterOrDigit || c == '_') c else '_')
 
+  // ------------------------------------------- sqlite_master (staged)
+
+  /** Whether the current statement names sqlite_master/sqlite_schema —
+    * catalog assembly reads every table's meta, which ordinary DML must
+    * not pay (mirrors TroughEngine.mentionsMaster on the read path). */
+  private var masterWanted = false
+
+  /** A scope's `sqlite_master` rows over the TXN'S STAGED STATE — the
+    * in-transaction view real sqlite gives a script that reads the
+    * catalog after its own DDL. Rendering is shared with the export /
+    * read path ([[SegmentStore.masterParts]]) so the three can't
+    * drift; rootpage is synthetic as there (sequential; 0 for virtual
+    * tables, views, triggers). */
+  private def scopeMasterRows(db: String)
+      : Seq[org.apache.spark.sql.Row] = {
+    val active = db == activeDb
+    val names = scopeTables(db)
+    val metaOf: String => TableMeta = t =>
+      if (active) working.get(t).map(_._1).getOrElse(backMeta(t))
+      else {
+        val st = scopeParked(db)
+        st.working.find(_._1.equalsIgnoreCase(t)).map(_._2._1)
+          .getOrElse(store.tableMeta(scopeSegExisting(db).get, t))
+      }
+    val vs = scopeViews(db)
+    val tgs: Seq[SqliteDdl.TriggerDef] =
+      if (active) { ensureTriggers(); stagedTriggers.values.toSeq }
+      else {
+        val st = scopeParked(db)
+        if (st.triggersLoaded) st.stagedTriggers.map(_._2)
+        else scopeSegExisting(db).map(store.triggers).getOrElse(Nil)
+      }
+    val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+    var page = 1L
+    names.foreach { t =>
+      val meta = metaOf(t)
+      meta.ftsSql match {
+        case Some(ddl) => rows += org.apache.spark.sql.Row("table", t, t, 0L, ddl)
+        case None =>
+          val parts = SegmentStore.masterParts(t, meta)
+          page += 1
+          rows += org.apache.spark.sql.Row("table", t, t, page, parts.ddl)
+          parts.autoIdxSets.foreach { case (n, _) =>
+            page += 1
+            rows += org.apache.spark.sql.Row("index", n, t, page, null)
+          }
+          parts.secondary.foreach { case (ix, _) =>
+            page += 1
+            rows += org.apache.spark.sql.Row("index", ix.name, t, page, ix.sql)
+          }
+      }
+    }
+    vs.foreach(v => rows += org.apache.spark.sql.Row("view", v.name, v.name, 0L, v.sql))
+    tgs.foreach(t => rows += org.apache.spark.sql.Row("trigger", t.name, t.table, 0L, t.sql))
+    rows.result()
+  }
+
+  private def masterDf(db: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("name", StringType),
+      StructField("tbl_name", StringType), StructField("rootpage", LongType),
+      StructField("sql", StringType)))
+    spark.createDataFrame(scopeMasterRows(db).asJava, schema)
+  }
+
   /** The fts5 declaration of `table` when it is an fts table in the
     * txn's working state (created tables included). */
   private def ftsDefOf(table: String): Option[Fts5.FtsTableDef] = {
@@ -614,6 +680,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // references rewrite to per-scope relation names. Zero rewriting
       // when nothing is attached and no main. qualifier appears.
       val (db, routed, targetPos) = routeStatement(stmt)
+      masterWanted = {
+        val low = stmt.toLowerCase(java.util.Locale.ROOT)
+        low.contains("sqlite_master") || low.contains("sqlite_schema")
+      }
       val mainQualified = attachedDbs.isEmpty &&
         "(?i)(?<![A-Za-z0-9_$.])main\\s*\\.\\s*[A-Za-z_\"`\\[]".r
           .findFirstIn(SqliteDdl.blankLiterals(routed)).isDefined
@@ -4848,8 +4918,23 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         // views register under their mangled per-scope names, so a
         // rewritten `db.tbl` reference resolves. Zero-cost when nothing
         // is attached.
+        // staged sqlite_master (r17): a script may read the catalog
+        // mid-transaction (probed: sqlite serves the staged view);
+        // assembled only when the statement names it
+        if (masterWanted) {
+          val m = masterDf(activeDb)
+          Seq("sqlite_master", "sqlite_schema").foreach { n =>
+            m.createOrReplaceTempView(n); foreignRegistered += n
+          }
+        }
         if (attachedDbs.nonEmpty) {
           dbKeys.filterNot(_ == activeDb).foreach { db =>
+            if (masterWanted) {
+              Seq("sqlite_master", "sqlite_schema").foreach { n =>
+                val vn = mangle(db, n)
+                masterDf(db).createOrReplaceTempView(vn); foreignRegistered += vn
+              }
+            }
             scopeTables(db).foreach { t =>
               scopeTableDf(db, t).foreach { df =>
                 val vn = mangle(db, t)

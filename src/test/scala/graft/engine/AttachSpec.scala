@@ -381,6 +381,39 @@ class AttachSpec extends SparkSpecBase {
       s"only $comparedNonEmpty non-empty comparisons — degenerate sweep")
   }
 
+  test("sqlite_master reads inside a write script see the STAGED catalog, per db") {
+    val (id, db) = pair(mainSchema + "CREATE TABLE mlog (name TEXT);")
+    val a = aux("CREATE TABLE s (k INTEGER);")
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "CREATE TABLE a.x2 (v TEXT);" + // staged, not yet committed
+        "CREATE TABLE mt2 (v TEXT);" +
+        "INSERT INTO mlog SELECT 'a:' || name FROM a.sqlite_master " +
+        "WHERE type = 'table';" +
+        "INSERT INTO mlog SELECT 'm:' || name FROM sqlite_master " +
+        "WHERE type = 'table' AND name NOT LIKE 'mlog';")
+    same(id, db.toString, "SELECT name FROM mlog ORDER BY name;")
+  }
+
+  test("qualified ALTER, db-qualified PRAGMA, and detach/re-attach under a new name") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (k INTEGER);")
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "ALTER TABLE a.s ADD COLUMN w TEXT DEFAULT 'd';" +
+        "INSERT INTO a.s VALUES (1, 'x');" +
+        "PRAGMA a.cache_size = 1000;") // physical-layer no-op, db-qualified
+        // (synchronous/journal_mode refuse inside a txn in real sqlite;
+        // cache_size is txn-legal there and a no-op here)
+    same(segOf(a), a, "SELECT k, w FROM s ORDER BY k;")
+    // a fresh script re-attaches the same file under another name and
+    // keeps working against the committed state
+    runBoth(id, db,
+      s"ATTACH '$a' AS other; DETACH other; ATTACH '$a' AS b;" +
+        "UPDATE b.s SET w = w || '!' WHERE b.s.k = 1;")
+    same(segOf(a), a, "SELECT k, w FROM s ORDER BY k;")
+  }
+
   test("attach filename may be an expression; segment id comes from the basename") {
     val (id, db) = pair(mainSchema)
     val a = aux("CREATE TABLE s (v INTEGER);")
