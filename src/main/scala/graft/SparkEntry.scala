@@ -1113,30 +1113,20 @@ object SparkEntry {
 
     // Benchmark decontamination: flag corpus documents sharing any
     // 5-token gram with the "benchmark" slice (doc_id % 13 == 0 stands
-    // in for an external eval set). Explode is linear in corpus size;
-    // the benchmark gram set is orders of magnitude smaller than the
-    // corpus (real eval sets are MBs), so Spark/AQE broadcasts it and
-    // the corpus side never shuffles; at 100 TB the gram join key
-    // would be an 8-byte hash rather than the gram text.
+    // in for an external eval set). r18 shape
+    // (TextOps.exactDecontaminate): the benchmark's distinct gram
+    // hashes are a bounded collect+broadcast (eval sets are MBs), and
+    // the per-document shared count runs inside ONE codegen'd scan
+    // expression — the corpus is never exploded, joined, or shuffled
+    // (the previous explode+broadcast-join materialized every corpus
+    // gram as a row before the join could drop it).
     "q63_decontam" -> ((s, dir) => {
       import s.implicits._
-      // native per-doc-distinct 64-bit gram hashes (ShingleHashes, r17)
-      // instead of materialized gram strings: countDistinct and the
-      // membership join are set operations, so hash identity suffices
-      graft.functions.VectorExpressions.register(s)
-      val grams = t(s, dir, "documents")
-        .select($"doc_id",
-          explode(call_function("shingle_hashes", $"text", lit(5))).as("gram"))
-      val bench = grams.filter($"doc_id" % 13 === 0).select($"gram").distinct()
-      val hits = grams.filter($"doc_id" % 13 =!= 0)
-        .join(bench, "gram")
-        .groupBy($"doc_id")
-        .agg(countDistinct($"gram").as("shared"))
-      t(s, dir, "documents").filter($"doc_id" % 13 =!= 0).select($"doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"shared", lit(0L)).as("n_shared_grams"),
-          (coalesce($"shared", lit(0L)) > 0).cast("int").as("contaminated"))
+      val docs = t(s, dir, "documents")
+      TextOps.exactDecontaminate(
+          docs.filter($"doc_id" % 13 =!= 0),
+          docs.filter($"doc_id" % 13 === 0),
+          gramLen = 5)
         .orderBy($"doc_id")
     }),
 

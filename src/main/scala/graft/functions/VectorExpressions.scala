@@ -582,6 +582,129 @@ object WinnowFingerprints {
   }
 }
 
+/** Exact decontamination counter (r18): number of the row's DISTINCT
+  * length-n gram hashes present in a broadcast sorted hash set — the
+  * whole membership join collapsed into one codegen'd scan expression.
+  * The explode+broadcast-join form materialized every corpus gram as a
+  * row before the join could drop it; here non-matching documents never
+  * produce anything but a long. The set rides a Spark `Broadcast`
+  * (fetched once per executor, not serialized per task); lookups are
+  * monotone binary searches (the row's grams arrive sorted from
+  * [[ShingleHashes.compute]], so each search resumes where the last
+  * ended). The eval-set side of benchmark decontamination is MBs
+  * against a corpus of TBs — the same bounded-artifact shape as IVF's
+  * centroid collect. */
+case class ShingleSetShared(left: Expression, right: Expression,
+    hashes: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.foldable && right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "shingle_set_shared requires (string, foldable int n), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_set_shared"
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+  @transient private lazy val set: Array[Long] = hashes.value
+
+  def sharedCount(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    ShingleSetShared.count(text.getBytes, n, set)
+
+  override def nullSafeEval(a: Any, nv: Any): Any =
+    sharedCount(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSetShared", this,
+      classOf[ShingleSetShared].getName)
+    nullSafeCodeGen(ctx, ev, (text, _) =>
+      s"${ev.value} = $ref.sharedCount($text);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleSetShared =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleSetShared {
+  /** Sorted-vs-sorted intersection count: binary search per doc gram,
+    * each search bounded below by the previous hit's position. */
+  def count(bytes: Array[Byte], n: Int, set: Array[Long]): Long = {
+    val hs = ShingleHashes.compute(bytes, n) // sorted distinct
+    var c = 0L
+    var from = 0
+    var i = 0
+    while (i < hs.length && from < set.length) {
+      val p = java.util.Arrays.binarySearch(set, from, set.length, hs(i))
+      if (p >= 0) { c += 1; from = p + 1 } else from = -(p + 1)
+      i += 1
+    }
+    c
+  }
+}
+
+/** Bloom-prefiltered distinct gram hashes (r18): the row's sorted
+  * distinct length-n gram hashes that PASS a foldable Bloom filter
+  * literal — [[ShingleHashes]] and the `might_contain` predicate fused
+  * into one pass, so the corpus-side explode of a Bloom-prefilter
+  * decontamination emits only the ~fp-rate survivors instead of every
+  * gram as a row. The filter bytes are the output of Spark's
+  * `BloomFilterAggregate` (same wire format `BloomFilterMightContain`
+  * reads); deserialized once per task instance, not per row. */
+case class ShingleHashesBloom(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType &&
+        second.foldable && second.dataType == IntegerType &&
+        third.foldable &&
+        third.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "shingle_hashes_bloom requires (string, foldable int n, foldable binary bloom)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes_bloom"
+
+  private lazy val n: Int = second.eval().asInstanceOf[Int]
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = third.eval().asInstanceOf[Array[Byte]]
+    val in = new java.io.ByteArrayInputStream(bytes)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  def filtered(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val hs = ShingleHashes.compute(text.getBytes, n)
+    var d = 0
+    var i = 0
+    while (i < hs.length) {
+      if (bloom.mightContainLong(hs(i))) { hs(d) = hs(i); d += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(
+      if (d == hs.length) hs else java.util.Arrays.copyOf(hs, d))
+  }
+
+  override def nullSafeEval(a: Any, nv: Any, bv: Any): Any =
+    filtered(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashesBloom", this,
+      classOf[ShingleHashesBloom].getName)
+    nullSafeCodeGen(ctx, ev, (text, _, _) =>
+      s"${ev.value} = $ref.filtered($text);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ShingleHashesBloom =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorExpressions {
   /** Register `dot_product(array<double>, array<double>) -> double` as a
     * native function (usable from SQL and via `call_function`). */

@@ -93,11 +93,17 @@ object Dedup {
       .withColumn("n_tokens", size(col("tk")).cast("long"))
     val grams = gramRows(docs, gramLen, hashGrams, idCol, textCol)
     // duplicated = seen in ≥ 2 distinct docs (cross-document spans;
-    // within-doc repetition is q61's territory)
-    val dup = grams.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .where(col("nd") >= 2).select("gram")
-    val hits = grams.join(dup, "gram")
+    // within-doc repetition is q61's territory). ≥2 distinct ids ⟺
+    // min(id) ≠ max(id) over the gram's partition, so dup detection is
+    // ONE window over ONE gram-keyed shuffle — the groupBy(gram) +
+    // join(gram)-back form shuffled the full gram stream twice (r18;
+    // the two shuffles were the whole gap to the suffix-array oracle).
+    val wg = Window.partitionBy("gram")
+    val hits = grams
+      .withColumn("__mn", min(col(idCol)).over(wg))
+      .withColumn("__mx", max(col(idCol)).over(wg))
+      .where(col("__mn") =!= col("__mx"))
+      .select(col(idCol), col("pos"))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val perDoc = hits
       .withColumn("cov", least(
@@ -138,16 +144,20 @@ object Dedup {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
     val grams = gramRows(docs, gramLen, hashGrams, idCol, textCol)
-    // duplicated grams (≥2 distinct docs) + their first occurrence,
-    // from ONE aggregation
-    val dup = grams.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("nd"),
-        min(struct(col(idCol).as("d"), col("pos").as("p"))).as("first"))
-      .where(col("nd") >= 2)
-      .select(col("gram"), col("first.d").as("__fd"), col("first.p").as("__fp"))
-    // cut positions: every non-first occurrence of a duplicated gram
-    val cuts = grams.join(dup, "gram")
-      .where(!(col(idCol) === col("__fd") && col("pos") === col("__fp")))
+    // duplicated grams (≥2 distinct docs ⟺ min(id) ≠ max(id)) + their
+    // first occurrence (min struct(doc,pos)), all from ONE window over
+    // ONE gram-keyed shuffle — the groupBy+join-back form shuffled the
+    // full gram stream twice (r18). Cut positions: every non-first
+    // occurrence of a duplicated gram.
+    val wg = Window.partitionBy("gram")
+    val cuts = grams
+      .withColumn("__mn", min(col(idCol)).over(wg))
+      .withColumn("__mx", max(col(idCol)).over(wg))
+      .withColumn("__first",
+        min(struct(col(idCol).as("d"), col("pos").as("p"))).over(wg))
+      .where(col("__mn") =!= col("__mx"))
+      .where(!(col(idCol) === col("__first").getField("d") &&
+        col("pos") === col("__first").getField("p")))
       .select(col(idCol), col("pos"))
     // merge overlapping [pos, pos+L) spans per doc: a span starts a new
     // island iff its start clears the running max end of its predecessors

@@ -149,60 +149,107 @@ object TextOps {
     * Returns (doc_id, n_shared_grams, contaminated) over every corpus
     * row, like the exact-broadcast variant (SparkEntry q63).
     *
-    * Sizing (r17): `expectedGrams = 0` (the default) sizes the filter
-    * from the benchmark's OWN distinct-gram count — one bounded job
-    * over the small side. A fixed oversized default is not free even
-    * though the filter is "bounded": the old 4M-gram / 8 MB literal
-    * rode inside the corpus-scan plan and was serialized to every
-    * task, dominating the wall at small SFs. Pin it explicitly when
-    * the benchmark side is itself too big to pre-count. */
+    * Sizing (r18): the filter is built by [[graft.functions
+    * .BloomBuildAggregate]] — ONE aggregation job whose final merge
+    * sizes the filter from the input's true distinct count, so there is
+    * no separate sizing pass (the r17 distinct+cache+count chain cost
+    * two extra shuffle jobs that dominated the wall at small SFs) and
+    * no oversized fixed literal riding the corpus scan into every task
+    * (the r15 8 MB-literal lesson). Pin `expectedGrams` only when even
+    * the build-side distinct set must not materialize in one task. */
   def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       gramLen: Int = 5, expectedGrams: Long = 0L,
       bitsPerGram: Long = 16L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.SqlInternals
     import org.apache.spark.sql.types.BinaryType
     // native per-doc-distinct 64-bit gram hashes (ShingleHashes, r17):
-    // membership and countDistinct are set operations, so hash identity
+    // membership and the hit count are set operations, so hash identity
     // suffices — no gram strings materialized, and the hashes feed the
     // Bloom filter directly (already avalanched)
     graft.functions.VectorExpressions.register(corpus.sparkSession)
-    def gramsOf(df: DataFrame) = df.select(col(idCol).as("doc_id"),
-      explode(call_function("shingle_hashes", col(textCol),
-        lit(gramLen))).as("gram"))
-    // cached: the benchmark side feeds the (optional) sizing count, the
-    // filter build, and the residual join — three passes over the SMALL
-    // side of the operator
-    val bGrams = gramsOf(bench).select(col("gram")).distinct().cache()
-    val nGrams =
-      if (expectedGrams > 0) expectedGrams
-      else math.max(bGrams.count(), 1024L)
-    // one aggregate job builds the filter; its bytes are bounded by
-    // construction (bits/8), so the driver collect is a broadcast of a
-    // fixed-size artifact — the same shape as IVF's centroid collect
-    val bfRow = bGrams.agg(SqlInternals.column(
-      new BloomFilterAggregate(
-        SqlInternals.expression(col("gram")),
-        Literal(nGrams), Literal(nGrams * bitsPerGram))
-        .toAggregateExpression()).as("bf")).head()
-    val candidates =
-      if (bfRow.isNullAt(0)) gramsOf(corpus).limit(0) // empty benchmark
-      else {
-        val bf = Literal(bfRow.getAs[Array[Byte]](0), BinaryType)
-        gramsOf(corpus).where(SqlInternals.column(
-          BloomFilterMightContain(bf,
-            SqlInternals.expression(col("gram")))))
-      }
-    val hits = candidates
-      .join(bGrams, "gram") // residual exact join: kills fp survivors
+    val benchHashes =
+      call_function("shingle_hashes", col(textCol), lit(gramLen))
+    // one self-sizing aggregate job builds the filter; its bytes are
+    // bounded by construction (bits/8 per distinct gram), so the driver
+    // collect is a broadcast of a fixed-size artifact — the same shape
+    // as IVF's centroid collect. Empty benchmark → all-zeroes filter →
+    // nothing survives → every corpus row reports 0, no special case.
+    val bfBytes = bench
+      .select(explode(benchHashes).as("gram"))
+      .agg(SqlInternals.column(
+        graft.functions.BloomBuildAggregate(
+          SqlInternals.expression(col("gram")),
+          bitsPerItem = bitsPerGram, fixedNumItems = expectedGrams)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bf = Literal(bfBytes, BinaryType)
+    // r18: the Bloom test is FUSED into the gram kernel
+    // (ShingleHashesBloom) — the corpus scan emits only the surviving
+    // ~fp-rate gram hashes instead of exploding every gram into a row
+    // for a codegen'd-but-post-explode `might_contain` Filter to drop.
+    // A null SENTINEL is prepended to every document's survivor array
+    // so each doc emits at least one row and the old corpus-wide final
+    // left join disappears.
+    val surv = SqlInternals.column(graft.functions.ShingleHashesBloom(
+      SqlInternals.expression(col(textCol)), Literal(gramLen), bf))
+    val candidates = corpus.select(col(idCol).as("doc_id"),
+      explode(concat(
+        array(lit(null).cast("long")),
+        coalesce(surv, array().cast("array<long>")))).as("gram"))
+    // residual exact check as a LEFT SEMI join against the broadcast
+    // benchmark gram rows: false positives match nothing and drop;
+    // true hits pass exactly ONCE regardless of how many benchmark
+    // documents repeat the gram (semi-join semantics — no pre-distinct
+    // exchange on the build side, no countDistinct Expand on the agg);
+    // the null sentinel passes via a null-safe match against one
+    // injected null build row. shared = count of non-null survivors.
+    val bGrams = broadcast(
+      bench.select(explode(benchHashes).as("bgram"))
+        .unionByName(corpus.sparkSession.range(1)
+          .select(lit(null).cast("long").as("bgram"))))
+    candidates
+      .join(bGrams, candidates("gram") <=> bGrams("bgram"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("shared"))
-    corpus.select(col(idCol).as("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
+      .agg(count(col("gram")).as("shared"))
       .select(col("doc_id"),
-        coalesce(col("shared"), lit(0L)).as("n_shared_grams"),
-        (coalesce(col("shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+        col("shared").as("n_shared_grams"),
+        (col("shared") > 0).cast("int").as("contaminated"))
+  }
+
+  /** Benchmark decontamination, EXACT-broadcast variant (r18): collect
+    * the benchmark's distinct 64-bit gram hashes (the eval-set side of
+    * decontamination is MBs against a corpus of TBs — the same
+    * bounded-artifact collect as IVF centroids), broadcast them once
+    * per executor, and count each corpus document's shared grams inside
+    * ONE codegen'd scan expression ([[graft.functions.ShingleSetShared]]).
+    * The corpus is never exploded, joined, or shuffled — the previous
+    * explode+broadcast-join shape materialized every corpus gram as a
+    * row before the join could drop it, which at 100 TB is ~50 T
+    * short-lived rows for a result of one long per document.
+    *
+    * Returns (doc_id, n_shared_grams, contaminated) over every corpus
+    * row; results are identical to the explode+join form (same hash
+    * family, same distinct semantics). */
+  def exactDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      gramLen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.SqlInternals
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val benchHashes: Array[Long] = bench
+      .select(explode(call_function("shingle_hashes", col(textCol),
+        lit(gramLen))).as("g"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(benchHashes)
+    val bc = spark.sparkContext.broadcast(benchHashes)
+    val shared = SqlInternals.column(graft.functions.ShingleSetShared(
+      SqlInternals.expression(col(textCol)), Literal(gramLen), bc))
+    corpus.select(col(idCol).as("doc_id"),
+      shared.as("n_shared_grams"),
+      (shared > 0).cast("int").as("contaminated"))
   }
 }

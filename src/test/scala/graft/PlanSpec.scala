@@ -145,22 +145,47 @@ class PlanSpec extends SparkSpecBase {
       !read.contains("url"), read)
   }
 
-  test("q66 bloom decontam: literal filter on the scan, no corpus shuffle pre-join") {
+  test("q66 bloom decontam: fused kernel on the scan, no corpus shuffle pre-join") {
     val p = plan("q66_decontam_bloom")
-    // the bloom membership test is a codegen'd literal predicate in
-    // the corpus scan's Filter — no exchange produces its input
-    assert(p.contains("might_contain"), p)
-    assert(!p.contains("BatchEval"), p)
-    // the corpus side reaches its first join already bloom-pruned: no
-    // Exchange between the might_contain Filter and its parquet scan
-    // (the subtree BELOW the filter in the printed tree) — the plan's
-    // only exchanges serve the residual join/agg of the survivors and
-    // the final sort
-    val below = p.linesIterator.dropWhile(!_.contains("might_contain"))
+    // r18: the bloom membership test is FUSED into the gram kernel —
+    // the corpus scan's Generate emits only surviving gram hashes; no
+    // UDF stage, no exchange below the explode
+    assert(p.contains("shingle_hashes_bloom"), p.take(800))
+    assert(!p.contains("BatchEval"), p.take(800))
+    val below = p.linesIterator.dropWhile(!_.contains("shingle_hashes_bloom"))
       .drop(1).takeWhile(l => !l.contains("Scan parquet") &&
         !l.contains("FileScan"))
     assert(!below.exists(_.contains("Exchange")),
-      s"corpus shuffled below the bloom filter:\n$p")
+      s"corpus shuffled below the fused bloom explode:\n$p")
+    // residual check is a broadcast LEFT SEMI (build-side dupes
+    // irrelevant, no countDistinct Expand): exactly one hash exchange
+    // (the per-doc agg) plus the presentation sort's range exchange
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
+  test("q63 decontam: broadcast-set kernel — corpus never explodes or shuffles") {
+    val p = plan("q63_decontam")
+    // the per-doc shared count is ONE codegen'd scan expression over a
+    // broadcast sorted hash set: no Generate/explode of corpus grams,
+    // no join, no hash exchange at all (the only exchange is the
+    // presentation sort's range partition)
+    assert(p.contains("shingle_set_shared"), p.take(800))
+    assert(!p.contains("Generate"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
+  test("q68/q69 substring ops: ONE gram shuffle (window), no gram join-back") {
+    Seq("q68_substring_dedup", "q69_substring_cut").foreach { q =>
+      val p = plan(q)
+      // dup detection rides a single Window over the gram-partitioned
+      // stream (min≠max over doc ids); the r17 groupBy(gram) +
+      // join(gram)-back pair shuffled the full gram stream twice
+      val gramEx = "Exchange hashpartitioning\\(gram".r.findAllIn(p).length
+      assert(gramEx == 1, s"$q: want exactly 1 gram exchange, got $gramEx\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"), s"$q plans a gram join-back")
+    }
   }
 
   test("q71 packChunks: one shuffle for the bucket window, then pure compute") {
