@@ -150,13 +150,22 @@ object Similarity {
       val centDf = broadcast(centroids.toSeq.toDF("cid", "ce")
         .select(col("cid"), col("ce"),
           sqrt(call_function("dot_product", col("ce"), col("ce"))).as("cen")))
-      val aw = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
+      // argmax via max_by PARTIAL aggregation (r18): the broadcast
+      // nested-loop join emits each vector's nlist scored rows inside
+      // one partition, so the map-side partial collapses them to ONE
+      // row per vector before the exchange — the old row_number window
+      // shuffled all N×nlist rows to rank them. Tie-break toward the
+      // LOWEST cid rides inside the ordering struct (csc, -cid), which
+      // is a total order per vector, so the pick is deterministic at
+      // any parallelism.
       val updated = v.crossJoin(centDf)
         .select(col("id"), col("v"), col("cid"),
           (call_function("dot_product", col("v"), col("ce")) /
             (sqrt(call_function("dot_product", col("v"), col("v"))) * col("cen"))).as("csc"))
-        .withColumn("arnk", row_number().over(aw))
-        .where(col("arnk") === 1)
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("v")),
+          struct(col("csc"), (-col("cid")).as("nc"))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.v").as("v"))
         // per-cluster mean, computed component-wise without exploding:
         // aggregate pairwise array sums, divide by count
         .groupBy(col("cid"))
@@ -227,14 +236,22 @@ object Similarity {
   private def ivfSearch(
       v: DataFrame, q: DataFrame, cents: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val assignW = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
+    // corpus→cluster argmax via max_by partial aggregation (r18): the
+    // map-side partial collapses each vector's nlist scored rows to one
+    // before the exchange — N rows shuffle instead of N×nlist (the old
+    // row_number window ranked the full cross product). (csc, -cid) is
+    // a total order per vector → deterministic lowest-cid tie-break.
     val assigned = v.crossJoin(cents)
       .select(col("id"), col("cv"), col("cn"), col("cid"),
         (ndot(col("cv"), col("ce")) / (col("cn") * col("cen"))).as("csc"))
-      .withColumn("arnk", row_number().over(assignW))
-      .where(col("arnk") === 1)
-      .select(col("id"), col("cid"), col("cv"), col("cn"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("cv"), col("cn")),
+        struct(col("csc"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"),
+        col("best.cv").as("cv"), col("best.cn").as("cn"))
 
+    // probes keep the window: top-nprobe is a RANKING, not an argmax,
+    // and the query side is orders of magnitude smaller than the corpus
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("qsc").desc, col("cid"))
     val probes = q.crossJoin(cents)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),
@@ -284,13 +301,19 @@ object Similarity {
     val v = withNorm(corpus, idCol, vecCol, "id", "cv", "cn")
     val cents = broadcast(v.where(col("id") % centroidStride === 0)
       .select(col("id").as("cid"), col("cv").as("ce"), col("cn").as("cen")))
-    val assignW = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
+    // assignment argmax via max_by partial aggregation (r18): the
+    // map-side partial collapses each vector's nlist scored rows to one
+    // before the exchange — N rows shuffle instead of N×nlist (the old
+    // row_number window ranked the full cross product). (csc, -cid) is
+    // a total order per vector → deterministic lowest-cid tie-break.
     val assigned = v.crossJoin(cents)
       .select(col("id"), col("cv"), col("cn"), col("cid"),
         (ndot(col("cv"), col("ce")) / (col("cn") * col("cen"))).as("csc"))
-      .withColumn("arnk", row_number().over(assignW))
-      .where(col("arnk") === 1)
-      .select(col("id"), col("cid"), col("cv"), col("cn"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("cv"), col("cn")),
+        struct(col("csc"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"),
+        col("best.cv").as("cv"), col("best.cn").as("cn"))
     val x = assigned.select(col("id").as("ia"), col("cid"),
       col("cv").as("va"), col("cn").as("na"))
     val y = assigned.select(col("id").as("ib"), col("cid"),

@@ -210,6 +210,18 @@ class PlanSpec extends SparkSpecBase {
     // the centroid set
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"))
+    // r18: the argmax is a max_by partial aggregation — N rows shuffle,
+    // not N×nlist through a row_number window
+    assert(!p.contains("Window"), s"assignment stage plans a Window:\n${p.take(1500)}")
+    assert(p.contains("max_by"), p.take(1500))
+  }
+
+  test("q43 ivf: corpus→cluster argmax is a max_by partial agg, not a window") {
+    val p = plan("q43_embed_ivf")
+    // the corpus assignment must not rank the full cross product; only
+    // the query-side probe ranking and final top-k keep windows
+    assert(p.contains("max_by"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("no query plans an unintended CartesianProduct") {
