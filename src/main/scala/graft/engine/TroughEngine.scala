@@ -68,13 +68,25 @@ class TroughEngine(
   }
 
   private val writeLocks = new ConcurrentHashMap[String, String]() // segment -> node
-  private val scriptLocks = new ConcurrentHashMap[String, Object]()
+  private val scriptLocks =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
-  /** The per-segment script mutex — WriteTxn.commit takes the ATTACHED
-    * segments' mutexes so a multi-db commit serializes against scripts
-    * addressing those segments directly (r17 ATTACH). */
-  private[engine] def segmentScriptLock(segmentId: String): Object =
-    scriptLocks.computeIfAbsent(segmentId, _ => new Object)
+  /** The per-segment script mutex. A script holds its OWN segment's
+    * lock for its whole run; WriteTxn.attach() tryLock-acquires an
+    * ATTACHED segment's lock at ATTACH time and holds it through
+    * commit (r18) — so every read of the attached segment and the
+    * commit swap are one serialized unit against scripts addressing
+    * that segment directly (no window for a lost update between a
+    * mid-script read and the swap). tryLock with a bounded wait is the
+    * deadlock story: two scripts cross-attaching each other's segments
+    * cannot order their acquisitions globally (each took its own main
+    * lock at script start), so the later acquisition gives up after
+    * [[WriteTxn.attachLockTimeoutMs]] with sqlite's own busy refusal
+    * ('database is locked') instead of wedging both write paths. */
+  private[engine] def segmentScriptLock(
+      segmentId: String): java.util.concurrent.locks.ReentrantLock =
+    scriptLocks.computeIfAbsent(segmentId,
+      _ => new java.util.concurrent.locks.ReentrantLock)
 
   // ------------------------------------------------------------------- read
 
@@ -762,12 +774,15 @@ class TroughEngine(
         s"another node. Write lock: ${if (lock == null) "None" else s"'$lock'"}")
     if (store.isCold(segmentId))
       throw new IllegalStateException(s"segment $segmentId is in cold storage (read-only)")
-    val mutex = scriptLocks.computeIfAbsent(segmentId, _ => new Object)
-    mutex.synchronized {
+    val mutex = segmentScriptLock(segmentId)
+    mutex.lock()
+    try {
       val txn = new WriteTxn(this, segmentId)
-      SqlScript.split(script).foreach(txn.execute)
-      txn.commit()
-    }
+      try {
+        SqlScript.split(script).foreach(txn.execute)
+        txn.commit()
+      } finally txn.releaseAttachedLocks()
+    } finally mutex.unlock()
     "OK\n"
   }
 
@@ -790,16 +805,19 @@ class TroughEngine(
         s"another node. Write lock: ${if (lock == null) "None" else s"'$lock'"}")
     if (store.isCold(segmentId))
       throw new IllegalStateException(s"segment $segmentId is in cold storage (read-only)")
-    val mutex = scriptLocks.computeIfAbsent(segmentId, _ => new Object)
-    mutex.synchronized {
+    val mutex = segmentScriptLock(segmentId)
+    mutex.lock()
+    try {
       val txn = new WriteTxn(this, segmentId)
-      val out = SqlScript.split(script).flatMap { stmt =>
-        txn.execute(stmt)
-        txn.takeReturning()
-      }
-      txn.commit()
-      out
-    }
+      try {
+        val out = SqlScript.split(script).flatMap { stmt =>
+          txn.execute(stmt)
+          txn.takeReturning()
+        }
+        txn.commit()
+        out
+      } finally txn.releaseAttachedLocks()
+    } finally mutex.unlock()
   }
 
   /** Flush a segment to the durable root (reference promotion,

@@ -118,6 +118,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     restore(f.main)
     attachedDbs.foreach { case (k, a) =>
       a.saved = f.atts.getOrElse(k, pristineState)
+      // the DETACH lock does NOT roll back: real sqlite 3.51 still
+      // refuses `SAVEPOINT sp; INSERT INTO a.s …; ROLLBACK TO sp;
+      // DETACH a` with 'database a is locked' (probed r18 — only a
+      // FULL rollback releases it, handled in the plain-ROLLBACK arm)
     }
   }
   private var savepoints = List.empty[(String, FullSnapshot)]
@@ -649,6 +653,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           attachedDbs.values.foreach { a =>
             a.saved = pristineState; a.used = false
           }
+          segScopeUse.clear() // txn-lifetime read locks release with it
           savepoints = Nil
       }
     // the reference write path runs whatever SQLite accepts (write.py:40)
@@ -682,7 +687,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       val (db, routed, targetPos) = routeStatement(stmt)
       masterWanted = {
         val low = stmt.toLowerCase(java.util.Locale.ROOT)
-        low.contains("sqlite_master") || low.contains("sqlite_schema")
+        low.contains("sqlite_master") || low.contains("sqlite_schema") ||
+          // a DML can FIRE a trigger whose body reads the catalog even
+          // when the outer statement never mentions it (r18)
+          (SqlScript.firstWord(routed) match {
+            case "INSERT" | "REPLACE" | "UPDATE" | "DELETE" =>
+              triggerBodiesWantMaster
+            case _ => false
+          })
       }
       val mainQualified = attachedDbs.isEmpty &&
         "(?i)(?<![A-Za-z0-9_$.])main\\s*\\.\\s*[A-Za-z_\"`\\[]".r
@@ -767,8 +779,47 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     seg.foreach { s =>
       if (!store.segmentExists(s) && !SegmentStore.SegmentIdPattern.matches(s))
         throw new IllegalArgumentException(s"unable to open database: $file")
+      acquireSegLock(s)
     }
     attachedDbs(key) = new AttachedDb(name, seg, pristineState, used = false)
+  }
+
+  /** Cross-SCRIPT serialization for an attached segment, taken AT
+    * ATTACH TIME and held through commit (r18): every later read of
+    * the segment and the commit swap happen under one lock, so a
+    * concurrent script addressing that segment directly can never
+    * commit between this script's reads and its swap (lost update).
+    * tryLock with a bounded wait instead of a blocking acquire: two
+    * scripts cross-attaching each other's segments have no global
+    * acquisition order (each already holds its own main lock), so the
+    * later one refuses with sqlite's busy error after the timeout —
+    * the same 'database is locked' a busy sqlite file lock raises
+    * through python's default 5 s busy_timeout — rather than
+    * deadlocking both segments' write paths forever. Reentrant cases
+    * never reach the lock: attaching main's own segment, or one
+    * segment under a second alias, reuses the hold already in place. */
+  private val heldSegLocks =
+    mutable.ArrayBuffer[(String, java.util.concurrent.locks.ReentrantLock)]()
+  private def acquireSegLock(s: String): Unit = {
+    if (s == segmentId || heldSegLocks.exists(_._1 == s)) return
+    val l = engine.segmentScriptLock(s)
+    val ok =
+      try l.tryLock(WriteTxn.attachLockTimeoutMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); false
+      }
+    if (!ok) throw new IllegalArgumentException("database is locked")
+    heldSegLocks += ((s, l))
+  }
+
+  /** Release every attached segment's script lock — the engine's write
+    * entry points call this in a finally around the whole script, so
+    * the locks drop on commit AND on any statement error. */
+  def releaseAttachedLocks(): Unit = {
+    heldSegLocks.foreach(_._2.unlock())
+    heldSegLocks.clear()
   }
 
   private def detach(stmt: String): Unit = {
@@ -782,6 +833,18 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     if (a.used)
       throw new IllegalArgumentException(s"database $name is locked")
     attachedDbs.remove(key)
+    // release the segment's script lock unless another alias (or main)
+    // still maps to it; clear its use mark so a later re-attach under a
+    // fresh name starts unreferenced (the detached db held no staged
+    // state — DETACH refuses while used)
+    a.seg.foreach { s =>
+      segScopeUse.filterInPlace { case (_, scope) => scope != key }
+      if (s != segmentId &&
+          !attachedDbs.valuesIterator.exists(_.seg.contains(s))) {
+        val i = heldSegLocks.indexWhere(_._1 == s)
+        if (i >= 0) heldSegLocks.remove(i)._2.unlock()
+      }
+    }
   }
 
   /** Map an ATTACH filename to a segment id: the basename, minus a
@@ -828,8 +891,31 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   /** Mark an attached db as referenced by this transaction — sqlite
     * locks it against DETACH from the first use, reads included
     * (probed: `database a is locked`). */
-  private def markUsed(db: String): Unit =
+  /** First scope (db key) to touch each underlying SEGMENT this txn.
+    * Two scopes can map to one segment (sqlite 3.51 permits attaching
+    * the main file, or one file twice — probed; older releases refused
+    * with 'database is already attached'): their pagers are separate,
+    * so the moment a SECOND scope touches a segment another scope
+    * already holds a transaction-lifetime read/write lock on, real
+    * sqlite steps into 'database is locked' (probed: write-then-read,
+    * read-then-write, and write-then-write across main + a same-file
+    * alias all refuse; disjoint use of a single alias is fine). This
+    * map reproduces that refusal — and with it, no two staged scopes
+    * over one segment can ever diverge and race the commit swap. */
+  private val segScopeUse = mutable.Map[String, String]()
+
+  private def markUsed(db: String): Unit = {
     if (db != "main") attachedDbs(db).used = true
+    val seg = if (db == "main") Some(segmentId) else attachedDbs(db).seg
+    seg.foreach { g =>
+      segScopeUse.get(g) match {
+        case Some(prev) if prev != db =>
+          throw new IllegalArgumentException("database is locked")
+        case None => segScopeUse(g) = db
+        case _ => ()
+      }
+    }
+  }
 
   /** Writes into a cold-tier attached segment refuse with the engine's
     * cold-storage contract (main's check lives in TroughEngine.write). */
@@ -922,7 +1008,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       (db, stmt.substring(0, headEnd) + stmt.substring(k), headEnd)
     } else {
       // unqualified: CREATE always lands in main; the rest search
-      if (verb == "CREATE" || attachedDbs.isEmpty) ("main", stmt, headEnd)
+      if (verb == "CREATE" || attachedDbs.isEmpty) {
+        if (attachedDbs.nonEmpty) markUsed("main") // same-segment alias gate
+        ("main", stmt, headEnd)
+      }
       else {
         val n = first._1
         val db =
@@ -933,6 +1022,24 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         markUsed(db); requireWritable(db)
         (db, stmt, headEnd)
       }
+    }
+  }
+
+  /** True when any scope's triggers read the catalog — a firing
+    * trigger body resolves sqlite_master even when the outer DML never
+    * mentions it (r18), so the staged catalog views must register for
+    * such statements too. Trigger text loads lazily once per scope. */
+  private def triggerBodiesWantMaster: Boolean = dbKeys.exists { db =>
+    val defs: Iterable[SqliteDdl.TriggerDef] =
+      if (db == activeDb) { ensureTriggers(); stagedTriggers.values }
+      else {
+        val st = scopeParked(db)
+        if (st.triggersLoaded) st.stagedTriggers.map(_._2)
+        else scopeSegExisting(db).map(store.triggers).getOrElse(Nil)
+      }
+    defs.exists { t =>
+      val l = t.sql.toLowerCase(java.util.Locale.ROOT)
+      l.contains("sqlite_master") || l.contains("sqlite_schema")
     }
   }
 
@@ -1102,15 +1209,15 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         } finally switchTo("main")
       }
     }
-    // serialize against other scripts touching the attached segments
-    // (main's mutex is already held by TroughEngine.write); sorted
-    // acquisition keeps lock order deterministic
-    val mutexes = plans.drop(1).map(_.seg).sorted.map(engine.segmentScriptLock)
-    def locked(ms: Seq[Object])(f: => Unit): Unit = ms match {
-      case Seq() => f
-      case m +: rest => m.synchronized(locked(rest)(f))
-    }
-    locked(mutexes.toSeq)(commitPlans(plans.toSeq))
+    // cross-script serialization is already in place: main's lock is
+    // held by TroughEngine.write for the whole script, and every
+    // attached segment's lock has been held since its ATTACH statement
+    // (acquireSegLock) — taking them only here left a window where a
+    // concurrent script could commit between this script's reads of an
+    // attached segment and this swap (r18; the same late acquisition
+    // inside two held main locks could also deadlock cross-attaching
+    // scripts, which the ATTACH-time tryLock now refuses instead)
+    commitPlans(plans.toSeq)
   }
 
   private def commitPlans(plans: Seq[ScopeCommit]): Unit = {
@@ -4981,6 +5088,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
 
 private[engine] object WriteTxn {
   val selectMutex = new Object
+
+  /** How long ATTACH waits for a busy segment's script lock before
+    * refusing with 'database is locked' — python sqlite3's default
+    * busy_timeout (5 s), the stack the reference runs on. Tests that
+    * exercise the refusal shrink it. */
+  @volatile private[engine] var attachLockTimeoutMs: Long = 5000L
 
   /** Driver-side collation normalization for conflict-map keys (r17):
     * NOCASE folds ASCII A–Z only (sqlite's rule, datatype3.html §7.1),

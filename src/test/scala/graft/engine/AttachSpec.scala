@@ -306,13 +306,38 @@ class AttachSpec extends SparkSpecBase {
       }
       var nextId = 100
       var spOpen = false
+      var vwOpen = false
+      var trigOpen = false
       val stmts = scala.collection.mutable.ArrayBuffer[String]()
       stmts += s"ATTACH '$auxPath' AS a;"
       if (flavor != 0) stmts += auxDdl.split(";").filter(_.nonEmpty)
         .map(d => d.replaceFirst("CREATE TABLE ", "CREATE TABLE a.") + ";").mkString
       def tl: String = s"'x${rng.nextInt(6)}'"
       (1 to (4 + rng.nextInt(7))).foreach { _ =>
-        rng.nextInt(12) match {
+        rng.nextInt(15) match {
+          case 12 =>
+            // views created INSIDE the attached db's script (r18):
+            // create, read through, and drop under the a. scope
+            if (!vwOpen) {
+              vwOpen = true
+              stmts += s"CREATE VIEW a.vw AS SELECT k, w FROM s " +
+                s"WHERE k % ${2 + rng.nextInt(3)} = ${rng.nextInt(2)};"
+            } else if (rng.nextBoolean()) {
+              stmts += s"INSERT INTO m SELECT k + ${rng.nextInt(40) + 700}, w FROM a.vw;"
+            } else { vwOpen = false; stmts += "DROP VIEW a.vw;" }
+          case 13 =>
+            // triggers created inside the attached db's script (r18):
+            // a per-db audit program firing under the a. scope
+            if (!trigOpen) {
+              trigOpen = true
+              stmts += "CREATE TRIGGER a.tg AFTER INSERT ON s BEGIN " +
+                "INSERT INTO shared VALUES (NEW.k, 'tg'); END;"
+            } else { trigOpen = false; stmts += "DROP TRIGGER a.tg;" }
+          case 14 =>
+            nextId += 1
+            // cross-db copy INTO the attached shared (fires a.tg? no —
+            // the trigger is on s; exercises shadowing + trigger state)
+            stmts += s"INSERT INTO a.shared SELECT id, v FROM m WHERE id = $nextId;"
           case 0 | 1 =>
             nextId += 1
             stmts += s"INSERT INTO a.s VALUES ($nextId, $tl);"
@@ -424,5 +449,165 @@ class AttachSpec extends SparkSpecBase {
         "INSERT INTO t SELECT v, 'e' FROM a.s;")
     same(id, db.toString, "SELECT id, v FROM t;")
     same(segOf(a), a, "SELECT v FROM s;")
+  }
+
+  // ------------------------------------------------------- r18 locking
+
+  test("one file attached twice: disjoint use is fine, a second scope locks (probed 3.51)") {
+    // sqlite 3.51 permits attaching the same file under two names
+    // (older releases refused); the conflict surfaces as 'database is
+    // locked' the moment a SECOND scope over the same file is touched
+    // inside one transaction. Differential: the same script runs on the
+    // real CLI over the real file.
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (k INTEGER);")
+    // single-scope use through one of the two aliases: both engines OK
+    runBoth(id, db,
+      s"ATTACH '$a' AS a; ATTACH '$a' AS b;" +
+        "INSERT INTO a.s VALUES (7);")
+    same(segOf(a), a, "SELECT k FROM s;")
+    // touching the same file through BOTH aliases: both engines refuse
+    val msg = failBoth(id, db,
+      s"ATTACH '$a' AS a; ATTACH '$a' AS b;" +
+        "INSERT INTO a.s VALUES (8); INSERT INTO b.s VALUES (9);")
+    assert(msg.contains("database is locked"), msg)
+    // ... and nothing committed (atomicity held through the refusal)
+    same(segOf(a), a, "SELECT k FROM s;")
+  }
+
+  test("alias over MAIN's own segment locks when both scopes are used (engine contract)") {
+    // engine-only shape (the CLI pair uses a .db filename whose
+    // basename would not map to the main segment id): attach main's
+    // segment by bare name, write through the alias only → fine;
+    // write main then touch the alias → sqlite's probed busy refusal.
+    val (id, _) = pair(mainSchema)
+    def vs(): Seq[String] = engine.read(id, "SELECT v FROM t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    engine.write(id, s"ATTACH '$id' AS me; INSERT INTO me.t VALUES (1, 'x');")
+    assert(vs() == Seq("x"))
+    val e = intercept[Exception](engine.write(id,
+      s"ATTACH '$id' AS me;" +
+        "INSERT INTO t VALUES (2, 'y'); INSERT INTO me.t VALUES (3, 'z');"))
+    assert(e.getMessage.contains("database is locked"), e.getMessage)
+    assert(vs() == Seq("x")) // atomic: the refused script left nothing
+  }
+
+  test("DETACH lock survives ROLLBACK TO; only a full ROLLBACK releases it (probed)") {
+    // probed on sqlite 3.51: rolling back PAST the first reference does
+    // NOT make the db detachable again — 'database a is locked' — while
+    // a full ROLLBACK does. Both engines must agree on both halves.
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (k INTEGER);")
+    val msg = failBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "SAVEPOINT sp;" +
+        "INSERT INTO a.s VALUES (1);" + // first reference: DETACH-locks a
+        "ROLLBACK TO sp;" +
+        "DETACH a;")                    // still locked (probed)
+    assert(msg.contains("is locked"), msg)
+    // full ROLLBACK ends the transaction that was using a → detachable
+    engine.write(id,
+      s"ATTACH '$a' AS a;" +
+        "INSERT INTO a.s VALUES (1);" +
+        "ROLLBACK;" +
+        "DETACH a;" +
+        "INSERT INTO t VALUES (1, 'ok');")
+    val vs = engine.read(id, "SELECT v FROM t").collect().map(_.getString(0)).toSeq
+    assert(vs == Seq("ok"), vs.toString)
+  }
+
+  test("busy attached segment refuses with sqlite's busy error, then succeeds once freed") {
+    val (id, _) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (k INTEGER);")
+    val lock = engine.segmentScriptLock(segOf(a))
+    val prev = WriteTxn.attachLockTimeoutMs
+    WriteTxn.attachLockTimeoutMs = 100L
+    try {
+      // a concurrent holder of the attached segment's script lock
+      // (ReentrantLock releases only from its owner thread, so one
+      // latch-gated thread plays the other script): the ATTACH must
+      // give up after the busy timeout, not deadlock
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => {
+        lock.lock()
+        try { held.countDown(); release.await() } finally lock.unlock()
+      })
+      holder.start()
+      held.await()
+      val e = intercept[Exception](engine.write(id,
+        s"ATTACH '$a' AS a; INSERT INTO a.s VALUES (1);"))
+      assert(e.getMessage.contains("database is locked"), e.getMessage)
+      release.countDown()
+      holder.join()
+      engine.write(id, s"ATTACH '$a' AS a; INSERT INTO a.s VALUES (2);")
+      val ks = engine.read(segOf(a), "SELECT k FROM s ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == Seq(2L), ks.toString) // the refused script left nothing
+    } finally WriteTxn.attachLockTimeoutMs = prev
+  }
+
+  test("DETACH with a pending savepoint: unused db detaches; detach+re-attach inside one savepoint (probed)") {
+    val (id, db) = pair(mainSchema)
+    val a = aux("CREATE TABLE s (k INTEGER);")
+    // probed: an open savepoint does not block DETACH of an UNUSED db
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "SAVEPOINT sp;" +
+        "INSERT INTO t VALUES (1, 'x');" +
+        "DETACH a;" +
+        "RELEASE sp;")
+    same(id, db.toString, "SELECT id, v FROM t;")
+    // probed: detach + re-attach inside one savepoint, then use
+    runBoth(id, db,
+      s"ATTACH '$a' AS a;" +
+        "SAVEPOINT sp;" +
+        "DETACH a;" +
+        s"ATTACH '$a' AS a;" +
+        "INSERT INTO a.s VALUES (3);" +
+        "RELEASE sp;")
+    same(segOf(a), a, "SELECT k FROM s;")
+  }
+
+  test("ATTACH of a cold-tier segment: reads work, writes refuse read-only (r18)") {
+    val hotRoot = Files.createTempDirectory("graft-att-hot").toString
+    val coldRoot = Files.createTempDirectory("graft-att-cold").toString
+    // seed the cold tier through a staging store that treats it as hot
+    // (the promotion-to-cold pipeline's effect, without the pipeline)
+    val seeder = new TroughEngine(spark,
+      new SegmentStore(spark, coldRoot), new SchemaRegistry)
+    seeder.schemas.put("att-cold", "CREATE TABLE s (k INTEGER);")
+    seeder.provisionWritable("cold-att", "att-cold")
+    seeder.write("cold-att", "INSERT INTO s VALUES (1);")
+    val eng = new TroughEngine(spark,
+      new SegmentStore(spark, hotRoot, Some(coldRoot), _.startsWith("cold")),
+      new SchemaRegistry)
+    eng.schemas.put("att-main", mainSchema)
+    eng.provisionWritable("att-cold-main", "att-main")
+    // reading the cold attached segment is fine
+    eng.write("att-cold-main",
+      "ATTACH 'cold-att' AS a; INSERT INTO t SELECT k, 'c' FROM a.s;")
+    val vs = eng.read("att-cold-main", "SELECT v FROM t")
+      .collect().map(_.getString(0)).toSeq
+    assert(vs == Seq("c"), vs.toString)
+    // writing INTO it refuses with the engine's cold-storage contract
+    val e = intercept[Exception](eng.write("att-cold-main",
+      "ATTACH 'cold-att' AS a; INSERT INTO a.s VALUES (2);"))
+    assert(e.getMessage.contains("cold storage (read-only)"), e.getMessage)
+    // ...and the refused script left neither side changed (atomic)
+    assert(eng.read("cold-att", "SELECT k FROM s").collect().length == 1)
+  }
+
+  test("a trigger body reading sqlite_master resolves during a plain DML (r18)") {
+    val (id, db) = pair(mainSchema + "CREATE TABLE mlog (name TEXT);")
+    // persist the catalog-reading trigger first, in its own script
+    runBoth(id, db,
+      "CREATE TRIGGER t_cat AFTER INSERT ON t BEGIN " +
+        "INSERT INTO mlog SELECT name FROM sqlite_master " +
+        "WHERE type = 'table' AND name <> 'mlog'; END;")
+    // the outer INSERT never mentions the catalog; only the trigger does
+    runBoth(id, db, "INSERT INTO t VALUES (1, 'x');")
+    same(id, db.toString, "SELECT name FROM mlog ORDER BY name;")
+    same(id, db.toString, "SELECT id, v FROM t;")
   }
 }

@@ -2,6 +2,8 @@ package graft.engine
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{concat, lit}
+
 import graft.SparkSpecBase
 
 /** Segment-count ramp guard: the reference runs tens of thousands of
@@ -134,6 +136,88 @@ class SegmentScaleSpec extends SparkSpecBase {
     info(f"[ramp5] provision=$provisionSecs%.1fs list=$listSecs%.2fs " +
       f"regex=$regexSecs%.2fs ingest1k=$ingestSecs%.1fs " +
       f"plan=$planSecs%.1fs export1k=$exportSecs%.1fs")
+  }
+
+  test("fanout + HTTP sweep at the 10⁴-segment universe: wall and driver memory bounded (r18)") {
+    // the reference's shell fans out to EVERY connected segment
+    // (shell/__init__.py:242-262) over a 10⁴–10⁵ universe; this runs
+    // the real fanout API — per-segment isolated reads pulled through
+    // toLocalIterator under the global row budget — across 10⁴
+    // provisioned segments, then a sequential HTTP read sweep through
+    // the wire facade, and asserts both stay inside sane wall/memory
+    // envelopes. Numbers land in SCALE.md.
+    val root = Files.createTempDirectory("graft-fan10k").toString
+    val store = new SegmentStore(spark, root)
+    val engine = new TroughEngine(spark, store, new SchemaRegistry)
+    val ddl = "CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT);"
+    val nSegs = 10000
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    try {
+      val futs = (0 until nSegs).map { i =>
+        java.util.concurrent.CompletableFuture.runAsync(
+          () => store.provision(f"fan10k-$i%05d", ddl), pool)
+      }
+      futs.foreach(_.join())
+    } finally pool.shutdown()
+    // every 100th segment carries rows, so the sweep exercises the
+    // data path too, not just empty-relation planning
+    import spark.implicits._
+    (0 until nSegs by 100).foreach { i =>
+      store.replaceTableData(f"fan10k-$i%05d", "kv",
+        spark.range(1, 11).select($"id".as("k"),
+          concat(lit("v"), $"id").as("v")))
+    }
+    def usedMb(): Long = {
+      System.gc()
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
+    }
+    val memBefore = usedMb()
+    val segs = (0 until nSegs).map(i => f"fan10k-$i%05d")
+    val tF = System.nanoTime()
+    val res = engine.fanout(segs, "SELECT count(*) AS n, sum(k) AS s FROM kv;",
+      timeoutSeconds = 1200L)
+    val fanSecs = (System.nanoTime() - tF) / 1e9
+    val memAfter = usedMb()
+    assert(res.perSegment.count(_._2.isSuccess) == nSegs,
+      res.perSegment.collectFirst { case (s, scala.util.Failure(e)) => s"$s: $e" }.toString)
+    assert(res.totalRows == nSegs.toLong) // one aggregate row per segment
+    // data spot-check: a loaded segment answered with its real sum
+    val loaded = res.perSegment.toMap.apply("fan10k-00100").get.head
+    assert(loaded.getLong(0) == 10L && loaded.getLong(1) == 55L)
+    // error isolation at this scale: one bad segment fails alone
+    val iso = engine.fanout(segs.take(50) :+ "fan10k-missing",
+      "SELECT count(*) AS n FROM kv;")
+    assert(iso.perSegment.count(_._2.isSuccess) == 50)
+
+    // HTTP read sweep through the real wire facade, round-robin over
+    // the universe (sequential — the reference client reads serially)
+    val facade = new graft.server.HttpFacade(engine,
+      readPort = 0, writePort = 0, syncPort = 0).start()
+    val (httpSecs, httpN) = try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val n = 500
+      val tH = System.nanoTime()
+      (0 until n).foreach { i =>
+        val seg = f"fan10k-${(i * 20) % nSegs}%05d"
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://localhost:${facade.boundReadPort}/?segment=$seg"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              "SELECT count(*) AS n FROM kv;"))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString(
+            java.nio.charset.StandardCharsets.UTF_8))
+        assert(resp.statusCode() == 200, s"$seg -> ${resp.statusCode()}")
+      }
+      ((System.nanoTime() - tH) / 1e9, n)
+    } finally facade.stop()
+
+    info(f"[fan10k] fanout($nSegs segs)=$fanSecs%.1fs " +
+      f"(${nSegs / fanSecs}%.0f segs/s) mem $memBefore%d→$memAfter%d MB; " +
+      f"http sweep $httpN reqs=$httpSecs%.1fs (${httpN / httpSecs}%.0f req/s)")
+    assert(fanSecs < 1200.0, f"fanout took $fanSecs%.1f s")
+    assert(memAfter - memBefore < 4096,
+      s"fanout retained ${memAfter - memBefore} MB on the driver")
   }
 
   test("fanout: a GLOBAL row budget bounds aggregate driver memory (VERDICT r10)") {
