@@ -11,9 +11,13 @@ import org.apache.spark.sql.SparkSession
   * firing count and prints one JSON line for SCALE.md.
   *
   * Usage: runMain graft.ScaleTrigger [firings] [mode]
-  *   mode = selfdml  (AFTER INSERT body updates the target — general)
+  *   mode = selfdml  (AFTER INSERT body updates its own row —
+  *                    vectorized since r18's self-row UPDATE shape)
+  *        | general  (same body + a WHERE conjunct outside the
+  *                    compiled shape — pins the true row-at-a-time
+  *                    general tier)
   *        | audit    (AFTER INSERT body appends to another table —
-  *                    vectorized tier, for contrast)
+  *                    the classic vectorized tier, for contrast)
   */
 object ScaleTrigger {
   def main(args: Array[String]): Unit = {
@@ -44,10 +48,13 @@ object ScaleTrigger {
       case "audit" =>
         "CREATE TRIGGER tr AFTER INSERT ON t BEGIN " +
           "INSERT INTO audit VALUES (NEW.id, 'i'); END;"
+      case "general" =>
+        // the inert extra conjunct is outside the compiled self-row
+        // shape (exactly `id = NEW.id`) → true row-at-a-time tier
+        "CREATE TRIGGER tr AFTER INSERT ON t BEGIN " +
+          "UPDATE t SET c = c + 1 WHERE id = NEW.id AND NEW.id >= 0; END;"
       case _ =>
-        // self-DML: the body touches the trigger's own target → the
-        // conservative touchesTarget gate routes the WHOLE statement
-        // to the per-row general tier
+        // self-DML on the firing row: vectorized since r18
         "CREATE TRIGGER tr AFTER INSERT ON t BEGIN " +
           "UPDATE t SET c = c + 1 WHERE id = NEW.id; END;"
     }
@@ -60,7 +67,7 @@ object ScaleTrigger {
       "SELECT count(*) AS n, sum(c) AS s FROM t").collect()(0)
     val n = got.getLong(0)
     val s = if (got.isNullAt(1)) 0L else got.getLong(1)
-    val expectS = if (mode == "audit") 0L else firings.toLong
+    val expectS = if (mode == "audit") 0L else firings.toLong // c summed: one +1 per firing
     require(n == firings && s == expectS,
       s"wrong result: n=$n s=$s (want $firings/$expectS)")
     println(f"""{"metric":"trigger_general_tier","mode":"$mode","firings":$firings,""" +

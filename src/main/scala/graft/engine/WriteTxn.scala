@@ -1275,6 +1275,39 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * columns no longer all exist (dropped/renamed mid-script) are
     * skipped: they can't be evaluated, and export already prunes
     * them. */
+  /** Statement-time constraint gate for UPDATE, restricted to the
+    * constraints the ASSIGNED columns can actually break (r18): an
+    * UPDATE leaves every other column untouched, so NOT NULL on
+    * unassigned columns, CHECKs that reference none of the assigned
+    * columns, and unique key sets disjoint from the assignment all
+    * still hold from the pre-statement state (which the previous
+    * statement's gate validated). When nothing intersects, the gate is
+    * ZERO Spark jobs — the difference between µs and a full-table
+    * aggregation per firing for trigger bodies like
+    * `UPDATE t SET c = c + 1 WHERE id = NEW.id` (general tier:
+    * measured 3/s → see SCALE.md r18 trigger throughput). */
+  private def enforceUniqueForUpdate(table: String, meta: TableMeta,
+      df: DataFrame, assigned: Iterable[String]): Unit = {
+    val asg = assigned.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def hit(c: String): Boolean = asg.contains(c.toLowerCase(java.util.Locale.ROOT))
+    def checkMentions(expr: String): Boolean = {
+      val blanked = SqliteDdl.blankLiterals(expr).toLowerCase(java.util.Locale.ROOT)
+      asg.exists(c =>
+        ("(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(c) + "([^a-z0-9_]|$)").r
+          .findFirstIn(blanked).isDefined)
+    }
+    val narrowed = meta.copy(
+      notNull = meta.notNull.filter(hit),
+      checks = meta.checks.filter(c => checkMentions(c.expr)),
+      primaryKey = if (meta.primaryKey.exists(hit)) meta.primaryKey else Nil,
+      uniques = meta.uniques.filter(_.exists(hit)),
+      indexes = meta.indexes.filter(ix => !ix.unique || ix.columns.exists(hit)))
+    if (narrowed.notNull.nonEmpty || narrowed.checks.nonEmpty ||
+        narrowed.primaryKey.nonEmpty || narrowed.uniques.nonEmpty ||
+        narrowed.indexes.exists(_.unique))
+      enforceUnique(table, narrowed, df)
+  }
+
   private def enforceUnique(table: String, meta: TableMeta, df: DataFrame): Unit = {
     val fields = meta.schema.fieldNames
     def resolve(cols: Seq[String]): Option[Seq[String]] = {
@@ -2794,8 +2827,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     }.toSeq: _*)
     // statement-time constraint gate: SQLite errors at the UPDATE, and
     // a commit-only check could be washed by a later statement
-    // (fuzz-caught)
-    enforceUnique(table, meta, out)
+    // (fuzz-caught); restricted to constraints the assigned columns
+    // can break (r18) — zero jobs when none intersect
+    enforceUniqueForUpdate(table, meta, out, assignments.keys)
     stage(table, meta, out)
     retText.foreach { t =>
       // post-update image of the rows the predicate selected
@@ -2959,8 +2993,9 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           .otherwise(col(f.name)).as(f.name)
       }
     }.toSeq: _*)
-    // statement-time constraint gate, as for plain UPDATE
-    enforceUnique(table, meta, out)
+    // statement-time constraint gate, as for plain UPDATE — restricted
+    // to constraints the assigned columns can break (r18)
+    enforceUniqueForUpdate(table, meta, out, assigns.map(_._1.name))
     stage(table, meta, out)
     retText.foreach { t =>
       val affected = joined.where(coalesce(col("__uf_hit"), lit(false)))
@@ -3358,9 +3393,22 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   private final case class VecBodyPlan(
       target: String, fieldCols: IndexedSeq[Option[Column]], aiOmitted: Boolean,
       gate: Column, fieldTexts: IndexedSeq[Option[String]])
+  /** A SELF-ROW UPDATE body (r18): `UPDATE <target> SET … WHERE
+    * <rowid-alias> = NEW.<rowid-alias>` in an AFTER INSERT program —
+    * the firing row touching itself up. Per-row independent by
+    * construction (the alias equality can only select the firing row;
+    * a duplicated alias value makes the statement's unique gate raise,
+    * same outcome as sqlite erroring at the insert), so it vectorizes
+    * as a composed projection over the image frame instead of one
+    * driver-side UPDATE statement per firing (the general tier:
+    * measured ~10 firings/s — SCALE.md r18). `assigns` are (field
+    * index, rewritten RHS text); bare column references in an RHS read
+    * the row's CURRENT value (earlier self-updates included), NEW.x
+    * the fixed insert image — both probed sqlite semantics. */
+  private final case class VecSelfUpdate(assigns: Seq[(Int, String)])
   private final case class VecTrigPlan(
       tg: SqliteDdl.TriggerDef, when: Option[Column], ignoreFilter: Boolean,
-      bodies: Seq[VecBodyPlan])
+      bodies: Seq[VecBodyPlan], selfUps: Seq[VecSelfUpdate] = Nil)
 
   private val vecInsertRe =
     "(?is)^INSERT\\s+INTO\\s+([^\\s(]+)\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$".r
@@ -3377,7 +3425,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * trigger falls outside the vectorizable shape (the caller then
     * runs the general row-at-a-time loop). */
   private def vecCompile(trigsOrdered: Seq[SqliteDdl.TriggerDef],
-      resolve: (SqliteDdl.TriggerDef, String, String) => String)
+      resolve: (SqliteDdl.TriggerDef, String, String) => String,
+      selfUpdateTable: Option[(String, TableMeta)] = None)
       : Option[Seq[VecTrigPlan]] = {
     val plans = mutable.ArrayBuffer[VecTrigPlan]()
     for (tg <- trigsOrdered) {
@@ -3390,10 +3439,19 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (isIgnore) plans += VecTrigPlan(tg, whenCol, ignoreFilter = true, Nil)
       else {
         val bodies = mutable.ArrayBuffer[VecBodyPlan]()
-        for (b <- tg.body)
-          bodies ++= vecCompileBody(b, rw, lit(true),
-            Set(tg.name.toLowerCase)).getOrElse(return None)
-        plans += VecTrigPlan(tg, whenCol, ignoreFilter = false, bodies.toSeq)
+        val selfUps = mutable.ArrayBuffer[VecSelfUpdate]()
+        for (b <- tg.body) {
+          val asSelfUp = selfUpdateTable.filter(_ => tg.timing == "AFTER")
+            .flatMap { case (t, m) => vecCompileSelfUpdate(b, rw, t, m) }
+          asSelfUp match {
+            case Some(su) => selfUps += su
+            case None =>
+              bodies ++= vecCompileBody(b, rw, lit(true),
+                Set(tg.name.toLowerCase)).getOrElse(return None)
+          }
+        }
+        plans += VecTrigPlan(tg, whenCol, ignoreFilter = false, bodies.toSeq,
+          selfUps.toSeq)
       }
     }
     // mixed explicit/omitted rowid alias for one target across bodies:
@@ -3510,6 +3568,92 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     } catch {
       case _: UnsupportedOperationException => None
     }
+  }
+
+  private val vecSelfUpdateRe =
+    "(?is)^UPDATE\\s+([A-Za-z_\"`\\[][^\\s]*)\\s+SET\\s+(.+)$".r
+
+  /** Compile one body statement as a [[VecSelfUpdate]] when it is the
+    * self-row touch-up shape, else None (the caller then tries the
+    * append compiler / falls back to the general tier). Gates, each a
+    * soundness requirement: AFTER timing (enforced by the caller); the
+    * UPDATE targets the firing statement's own table; the WHERE is
+    * exactly `<rowid-alias> = NEW.<rowid-alias>` (the only predicate
+    * that provably selects the firing row alone — any duplicate alias
+    * value dies at the statement's unique gate either way); the table
+    * is not STRICT (strictCoerce is per-statement machinery the
+    * composed projection does not replicate); no UPDATE triggers exist
+    * on the table (the body UPDATE would fire them — general tier
+    * keeps sqlite's cascade order); assignments avoid the alias and
+    * generated columns; RHS are row-local (no subqueries/RAISE) and
+    * reference only this table's columns or NEW. images. */
+  private def vecCompileSelfUpdate(b: String, rw: String => String,
+      table: String, meta: TableMeta): Option[VecSelfUpdate] = {
+    val m = vecSelfUpdateRe.findFirstMatchIn(b.trim.stripSuffix(";"))
+      .getOrElse(return None)
+    if (!SqlScript.unquoteIdent(m.group(1)).equalsIgnoreCase(table)) return None
+    val ai = meta.autoIncrement.getOrElse(return None)
+    if (meta.strict) return None
+    if (activeTriggers(table, "UPDATE").nonEmpty) return None
+    val body = m.group(2)
+    val whereAt = topLevelWhere(body)
+    if (whereAt < 0) return None // unqualified UPDATE touches other rows
+    val setPart = body.substring(0, whereAt)
+    val predPart = body.substring(whereAt + 5).trim.stripSuffix(";").trim
+    val aiL = ai.toLowerCase(java.util.Locale.ROOT)
+    val norm = rw(predPart).replace("`", "").replaceAll("\\s+", "")
+      .toLowerCase(java.util.Locale.ROOT)
+    if (norm != s"$aiL=__new_$aiL" && norm != s"__new_$aiL=$aiL") return None
+    val fieldsL = meta.schema.fieldNames
+    val byName = fieldsL.zipWithIndex
+      .map { case (n, i) => n.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+    val assigns = SqlScript.splitTopLevel(setPart).map { a =>
+      val eqAt = topLevelEq(a)
+      if (eqAt < 0) return None
+      val colName = SqlScript.unquoteIdent(a.substring(0, eqAt).trim)
+      val i = byName.getOrElse(colName.toLowerCase(java.util.Locale.ROOT),
+        return None)
+      if (colName.equalsIgnoreCase(ai)) return None
+      if (meta.generated.exists(_.name.equalsIgnoreCase(colName))) return None
+      val rhs = a.substring(eqAt + 1).trim
+      if (!vecPure(rhs)) return None
+      val rwRhs = rw(rhs)
+      // every reference must ground out in this table's columns or the
+      // NEW. image — anything else belongs to the general tier (which
+      // raises sqlite's own 'no such column')
+      val refsOk = scala.util.Try {
+        org.apache.spark.sql.graft.SqlInternals.expression(dexpr(rwRhs))
+          .collect {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua
+          }.forall { ua =>
+            ua.nameParts.length == 1 && {
+              val n = ua.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+              n.startsWith("__new_") || n.startsWith("__nb_") || byName.contains(n)
+            }
+          }
+      }.getOrElse(false)
+      if (!refsOk) return None
+      (i, rwRhs)
+    }
+    if (assigns.isEmpty) None else Some(VecSelfUpdate(assigns))
+  }
+
+  /** Substitute bare references to `fields` in a compiled RHS with the
+    * row's CURRENT composed expression (earlier self-updates applied);
+    * `__new_*` / `__nb_*` image references pass through untouched. */
+  private def bindRowCols(c: Column,
+      fields: Array[org.apache.spark.sql.types.StructField],
+      cur: Array[Column]): Column = {
+    val byName = fields.zipWithIndex
+      .map { case (f, i) => f.name.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+    import org.apache.spark.sql.graft.SqlInternals
+    SqlInternals.column(SqlInternals.expression(c).transformUp {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 1 && byName.contains(
+            ua.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+        SqlInternals.expression(
+          cur(byName(ua.nameParts.head.toLowerCase(java.util.Locale.ROOT))))
+    })
   }
 
   /** The chained abandon condition: rows a BEFORE `RAISE(IGNORE)`
@@ -3772,8 +3916,21 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             val cols = Option(m.group(2)).map(g => s" ($g)").getOrElse("")
             s"INSERT INTO ${m.group(1)}$cols VALUES $rest"
           case _ =>
-            rewriteSelfAggs(table, fields, tg.timing, b, specs, corrKws)
-              .getOrElse(return None)
+            vecSelfUpdateRe.findFirstMatchIn(b.trim.stripSuffix(";")) match {
+              case Some(um) if SqlScript.unquoteIdent(um.group(1))
+                  .equalsIgnoreCase(table) =>
+                // a self-row UPDATE body (r18): its UPDATE <target>
+                // prefix is not a self-read — only the SET/WHERE tail
+                // needs the scan (vecCompileSelfUpdate gates the shape;
+                // an unsupported tail still lands in the general tier
+                // when vecCompile rejects it)
+                val rest = rewriteSelfAggs(table, fields, tg.timing,
+                  um.group(2), specs, corrKws).getOrElse(return None)
+                s"UPDATE ${um.group(1)} SET $rest"
+              case _ =>
+                rewriteSelfAggs(table, fields, tg.timing, b, specs, corrKws)
+                  .getOrElse(return None)
+            }
         }
       }
       tg.copy(when = w2, body = b2)
@@ -3826,7 +3983,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         "`" + (if (tg.timing == "BEFORE") "__nb_" else "__new_") + fields(i).name + "`"
       case other => throw new IllegalArgumentException(s"no such column: $other.$c")
     }
-    val plans = vecCompile(ordered, resolve).getOrElse(return false)
+    val plans = vecCompile(ordered, resolve, Some((table, meta)))
+      .getOrElse(return false)
     // a BEFORE RAISE(IGNORE) filter whose WHEN reads a self-read
     // aggregate is CIRCULAR under vectorization (survival depends on
     // the aggregate, the aggregate on survival) — general tier
@@ -3834,6 +3992,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
         pl.ignoreFilter && pl.tg.timing == "BEFORE" &&
           pl.tg.when.exists(_.contains("__selfagg_"))))
       return false
+    // self-row UPDATE bodies (r18) compose into the kept projection;
+    // their interplay with self-read aggregates (which would observe
+    // the mid-statement values) and self-appends (whose appended rows
+    // the alias equality could NOT have matched yet at firing time but
+    // whose images share the frame) is unverified — general tier
+    val hasSelfUps = plans.exists(_.selfUps.nonEmpty)
+    if (hasSelfUps && selfSpecs.nonEmpty) return false
     val aiIdx = aiName.map(n => fields.indexWhere(_.name.equalsIgnoreCase(n)))
     // ---- self-appends (r17): bodies landing in the STATEMENT'S OWN
     // table (the firing trigger suppressed, per recursive_triggers
@@ -3843,6 +4008,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // the id *before* its main row, an AFTER one the id after.
     val flat = vecFlatten(plans)
     val selfFlat = flat.filter(_._1.target.equalsIgnoreCase(table))
+    if (hasSelfUps && selfFlat.nonEmpty) return false
     if (selfFlat.nonEmpty) {
       // interplay with self-read aggregate windows is unverified, and
       // explicit-id or explicit-alias main statements make the next-id
@@ -4040,11 +4206,35 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       // an unsupported reference inside a subquery WHERE: general tier
       case _: UnsupportedOperationException => return false
     }
+    // self-row UPDATE composition (r18): starting from the fixed insert
+    // image, each firing program's self-updates rewrite the row's
+    // CURRENT expression under that program's fires condition — all of
+    // one statement's RHS read the pre-that-update values (SQLite's
+    // UPDATE rule), NEW. references stay the fixed image, and later
+    // programs' bare column reads see earlier programs' effects.
+    val rowCur: Array[Column] = fields.map(f => col("__new_" + f.name))
+    if (hasSelfUps) {
+      var priorSkip: Column = lit(false)
+      plans.foreach { pl =>
+        val fires = pl.when.map(w => coalesce(w, lit(false)))
+          .getOrElse(lit(true)) && !priorSkip
+        if (pl.ignoreFilter) priorSkip = priorSkip || fires
+        else pl.selfUps.foreach { su =>
+          val updated = su.assigns.map { case (i, rhsText) =>
+            i -> when(fires,
+              bindRowCols(dexpr(rhsText), fields, rowCur).cast(fields(i).dataType))
+              .otherwise(rowCur(i))
+          }
+          updated.foreach { case (i, v) => rowCur(i) = v }
+        }
+      }
+    }
     // the abandon condition reads only __nb_ columns, so evaluating it
     // again inside the appends/main projections is phase-consistent
     vecApplyAppends(plans, images, skipTarget = Some(table))
     val kept = images.where(!vecAbandonCond(plans))
-      .select(fields.map(f => col("__new_" + f.name).as(f.name)).toSeq: _*)
+      .select(fields.zipWithIndex.map { case (f, i) =>
+        rowCur(i).as(f.name) }.toSeq: _*)
     // self-appends union in with their interleaved ids (r17); ids were
     // pre-gated to the all-omitted-alias shape above. The id column
     // must join `images` BEFORE the fires filter — a window inside a
