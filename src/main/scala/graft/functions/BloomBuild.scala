@@ -96,9 +96,28 @@ case class BloomBuildAggregate(
 
   override def createAggregationBuffer(): LongSetBuffer = new LongSetBuffer
 
+  private lazy val arrayInput: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
   override def update(buffer: LongSetBuffer, input: InternalRow): LongSetBuffer = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Long])
+    if (v != null) {
+      if (arrayInput) {
+        // array<long> input (r18): one gram-hash array per document —
+        // the explode the row form needed just to feed the aggregate
+        // was the bloom job's main cost
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i)) buffer.add(arr.getLong(i))
+          i += 1
+        }
+      } else buffer.add(v.asInstanceOf[Long])
+    }
     buffer
   }
 

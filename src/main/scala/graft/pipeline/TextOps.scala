@@ -171,20 +171,34 @@ object TextOps {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val benchHashes =
       call_function("shingle_hashes", col(textCol), lit(gramLen))
-    // one self-sizing aggregate job builds the filter; its bytes are
+    // the residual side caches and warms CONCURRENTLY with the bloom
+    // job (both scan the small benchmark side; overlapping them hides
+    // one of q66's three fixed job costs — r18). The cached block is
+    // bounded by the benchmark's gram count and dropped by callers'
+    // normal unpersist hygiene (Bench clears per query; a one-shot
+    // pipeline leaves one small block until session end).
+    val bGrams = bench.select(explode(benchHashes).as("bgram"))
+      .unionByName(corpus.sparkSession.range(1)
+        .select(lit(null).cast("long").as("bgram")))
+      .persist()
+    val warm = scala.concurrent.Future(bGrams.count())(
+      scala.concurrent.ExecutionContext.global)
+    // one self-sizing aggregate job builds the filter, straight from
+    // the per-doc gram-hash ARRAYS (no explode — r18); its bytes are
     // bounded by construction (bits/8 per distinct gram), so the driver
     // collect is a broadcast of a fixed-size artifact — the same shape
     // as IVF's centroid collect. Empty benchmark → all-zeroes filter →
     // nothing survives → every corpus row reports 0, no special case.
     val bfBytes = bench
-      .select(explode(benchHashes).as("gram"))
       .agg(SqlInternals.column(
         graft.functions.BloomBuildAggregate(
-          SqlInternals.expression(col("gram")),
+          SqlInternals.expression(benchHashes),
           bitsPerItem = bitsPerGram, fixedNumItems = expectedGrams)
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val bf = Literal(bfBytes, BinaryType)
+    scala.concurrent.Await.ready(warm,
+      scala.concurrent.duration.Duration.Inf)
     // r18: the Bloom test is FUSED into the gram kernel
     // (ShingleHashesBloom) — the corpus scan emits only the surviving
     // ~fp-rate gram hashes instead of exploding every gram into a row
@@ -205,12 +219,9 @@ object TextOps {
     // exchange on the build side, no countDistinct Expand on the agg);
     // the null sentinel passes via a null-safe match against one
     // injected null build row. shared = count of non-null survivors.
-    val bGrams = broadcast(
-      bench.select(explode(benchHashes).as("bgram"))
-        .unionByName(corpus.sparkSession.range(1)
-          .select(lit(null).cast("long").as("bgram"))))
     candidates
-      .join(bGrams, candidates("gram") <=> bGrams("bgram"), "left_semi")
+      .join(broadcast(bGrams),
+        candidates("gram") <=> bGrams("bgram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(col("gram")).as("shared"))
       .select(col("doc_id"),
