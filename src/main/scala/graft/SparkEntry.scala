@@ -1144,13 +1144,14 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // Benchmark decontamination, BLOOM-PREFILTER variant (r15,
-    // TextOps.bloomDecontaminate): one bounded Bloom filter over the
-    // benchmark grams inlined as a codegen'd literal predicate, exact
-    // residual join on the few survivors — the 100 TB shape when the
-    // eval-set gram table is too big to broadcast exactly. The result
-    // is EXACT (the filter only prunes), so the DuckDB oracle
-    // hash-matches it.
+    // Benchmark decontamination via the AUTO-SELECTING entry (r19,
+    // TextOps.bloomDecontaminate → decontaminate): a bounded probe
+    // measures the benchmark's distinct gram set; under the broadcast
+    // threshold (always, at bench SFs) the exact broadcast-set kernel
+    // runs — above it, the Bloom prefilter + residual-join path (one
+    // bounded codegen'd literal filter, exact semi join on survivors;
+    // forced in specs via maxExactGrams = 0). The result is EXACT on
+    // both paths, so the DuckDB oracle hash-matches it.
     "q66_decontam_bloom" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")

@@ -135,32 +135,178 @@ object TextOps {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Benchmark decontamination with a BLOOM PREFILTER — the 100 TB
-    * shape when the eval-set gram table is too large to broadcast as
-    * an exact set: build one Bloom filter over the benchmark's 64-bit
-    * gram hashes (a BOUNDED artifact — `numBits/8` bytes regardless of
-    * corpus size; 16 bits/gram ≈ 0.05 % fp), inline it as a literal so
-    * the corpus-side membership test stays inside whole-stage codegen
-    * with ZERO shuffle, and exact-join only the surviving ~0.05 % of
-    * corpus grams. The result is EXACT — the filter only prunes; false
-    * positives are removed by the residual join — and the corpus never
-    * shuffles more than its (rare) candidate grams.
+  /** Default ceiling on the benchmark's distinct gram-hash count for
+    * the EXACT broadcast kernel: 4 M longs = a 32 MB sorted array per
+    * executor — the same order as a broadcast-join build side. Above
+    * it the Bloom path engages. */
+  val DefaultMaxExactGrams: Int = 4_000_000
+
+  /** Benchmark decontamination — AUTO-SELECTING entry (r19).
+    *
+    * The two historical variants converged into one decision:
+    *
+    *  - **exact-broadcast kernel** when the benchmark's distinct gram
+    *    set fits `maxExactGrams` (eval sets are MBs against corpora of
+    *    TBs, so this is the overwhelmingly common case): the sorted
+    *    hash array broadcasts once per executor and the per-document
+    *    shared count runs inside ONE codegen'd scan expression
+    *    ([[graft.functions.ShingleSetShared]]) — the corpus is never
+    *    exploded, joined, or shuffled. Two jobs total (bounded probe
+    *    collect + main scan), the same shape as q63.
+    *  - **Bloom prefilter + residual join** when it doesn't: one
+    *    self-sizing aggregation ([[graft.functions.BloomBuildAggregate]])
+    *    builds a BOUNDED filter (`bits/8` bytes per distinct gram,
+    *    16 bits/gram ≈ 0.05 % fp) inlined as a codegen'd literal, the
+    *    corpus scan emits only surviving ~fp-rate gram hashes
+    *    ([[graft.functions.ShingleHashesBloom]]), and an exact
+    *    LEFT SEMI join against the distinct benchmark grams removes
+    *    false positives. The result is EXACT either way — the filter
+    *    only prunes.
+    *
+    * The probe that makes the decision IS the exact kernel's build
+    * collect, capped with `limit(maxExactGrams + 1)` so the driver
+    * allocation is bounded even when the "benchmark" turns out to be
+    * corpus-sized (r18 advice: the unguarded collect was an unbounded
+    * driver allocation) — an oversized probe wastes one bounded job
+    * and falls through to the Bloom path.
     *
     * Returns (doc_id, n_shared_grams, contaminated) over every corpus
-    * row, like the exact-broadcast variant (SparkEntry q63).
-    *
-    * Sizing (r18): the filter is built by [[graft.functions
-    * .BloomBuildAggregate]] — ONE aggregation job whose final merge
-    * sizes the filter from the input's true distinct count, so there is
-    * no separate sizing pass (the r17 distinct+cache+count chain cost
-    * two extra shuffle jobs that dominated the wall at small SFs) and
-    * no oversized fixed literal riding the corpus scan into every task
-    * (the r15 8 MB-literal lesson). Pin `expectedGrams` only when even
-    * the build-side distinct set must not materialize in one task. */
+    * row; null-text rows report 0 (not NULL) under both kernels. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      gramLen: Int = 5, expectedGrams: Long = 0L,
+      bitsPerGram: Long = 16L,
+      maxExactGrams: Int = DefaultMaxExactGrams): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    probeBenchGrams(bench, textCol, gramLen, maxExactGrams) match {
+      case Some(hashes) =>
+        exactKernel(corpus, idCol, textCol, gramLen, hashes)
+      case None =>
+        bloomKernel(corpus, bench, idCol, textCol, gramLen,
+          expectedGrams, bitsPerGram)
+    }
+  }
+
+  /** Exact-broadcast variant. Since r19 an alias of [[decontaminate]]:
+    * it auto-falls-back to the Bloom path when the benchmark gram set
+    * exceeds `maxExactGrams` instead of collecting it unguarded. */
+  def exactDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      gramLen: Int = 5,
+      maxExactGrams: Int = DefaultMaxExactGrams): DataFrame =
+    decontaminate(corpus, bench, idCol, textCol, gramLen,
+      maxExactGrams = maxExactGrams)
+
+  /** Bloom-prefilter variant. Since r19 an alias of [[decontaminate]]:
+    * when the benchmark gram set fits the exact broadcast threshold the
+    * exact kernel wins on every corpus (VERDICT r18 — the Bloom's three
+    * sequential fixed job costs only amortize once the eval set is too
+    * big to broadcast), so the Bloom path engages exactly when exact
+    * can't. Pass `maxExactGrams = 0` to force the Bloom path (specs). */
   def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       gramLen: Int = 5, expectedGrams: Long = 0L,
-      bitsPerGram: Long = 16L): DataFrame = {
+      bitsPerGram: Long = 16L,
+      maxExactGrams: Int = DefaultMaxExactGrams): DataFrame =
+    decontaminate(corpus, bench, idCol, textCol, gramLen,
+      expectedGrams, bitsPerGram, maxExactGrams)
+
+  /** Bounded decision probe: the benchmark's distinct 64-bit gram
+    * hashes, sorted, or None when there are more than `cap` of them.
+    *
+    * Runs as ONE single-stage job over ONE coalesced partition — no
+    * exchange, no second stage (the eval-set side is small by the
+    * operator's contract, so single-threading its scan costs nothing;
+    * a distinct+limit formulation here planned 3 stages and doubled
+    * q63/q66's wall at bench SFs, where per-job overhead dominates).
+    * The fold BAILS the moment distinct count exceeds `cap`, so even a
+    * pathological corpus-sized "benchmark" does ~cap grams of work and
+    * ships one null to the driver — the allocation is bounded on both
+    * sides of the wire (r18 advice). */
+  private def probeBenchGrams(bench: DataFrame, textCol: String,
+      gramLen: Int, cap: Int): Option[Array[Long]] = {
+    if (cap <= 0) return None
+    val session = bench.sparkSession
+    import session.implicits._
+    val merged: Array[(Boolean, Array[Long])] = bench
+      .select(call_function("shingle_hashes", col(textCol),
+        lit(gramLen)).as("h"))
+      .where(col("h").isNotNull)
+      .coalesce(1)
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        val set = new java.util.HashSet[java.lang.Long]()
+        var over = false
+        while (!over && it.hasNext) {
+          val a = it.next()
+          var i = 0
+          while (!over && i < a.length) {
+            set.add(a(i))
+            if (set.size > cap) over = true
+            i += 1
+          }
+        }
+        val out = new Array[Long](if (over) 0 else set.size)
+        if (!over) {
+          val e = set.iterator(); var i = 0
+          while (e.hasNext) { out(i) = e.next(); i += 1 }
+        }
+        Iterator.single((over, out))
+      }
+      .collect()
+    val (over, hashes) = merged.headOption.getOrElse((false, Array.empty[Long]))
+    if (over) None
+    else {
+      java.util.Arrays.sort(hashes)
+      Some(hashes)
+    }
+  }
+
+  /** EXACT broadcast kernel (r18): sorted hash array broadcast once
+    * per executor, per-document shared count inside one codegen'd scan
+    * expression ([[graft.functions.ShingleSetShared]] — binary search
+    * per corpus gram). The corpus is never exploded, joined, or
+    * shuffled — the pre-r18 explode+broadcast-join shape materialized
+    * every corpus gram as a row before the join could drop it, which
+    * at 100 TB is ~50 T short-lived rows for one long per document. */
+  private def exactKernel(corpus: DataFrame, idCol: String,
+      textCol: String, gramLen: Int, hashes: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.SqlInternals
+    val bc = corpus.sparkSession.sparkContext.broadcast(hashes)
+    // coalesce: ShingleSetShared is nullIntolerant, but a null-text
+    // document HAS zero shared grams — both kernels report 0, not NULL
+    // (r18 advice: the variants silently diverged on null text)
+    val shared = coalesce(
+      SqlInternals.column(graft.functions.ShingleSetShared(
+        SqlInternals.expression(col(textCol)), Literal(gramLen), bc)),
+      lit(0))
+    corpus.select(col(idCol).as("doc_id"),
+      shared.as("n_shared_grams"),
+      (shared > 0).cast("int").as("contaminated"))
+  }
+
+  /** Bloom prefilter + exact residual (the over-threshold path).
+    *
+    * Sizing: the filter is built by [[graft.functions
+    * .BloomBuildAggregate]] — ONE aggregation job whose final merge
+    * sizes the filter from the input's true distinct count, so there
+    * is no separate sizing pass and no oversized fixed literal riding
+    * the corpus scan into every task (the r15 8 MB-literal lesson).
+    * Pin `expectedGrams` only when even the build-side distinct set
+    * must not materialize in one task.
+    *
+    * r19: the residual build side is DISTINCT (duplicate benchmark
+    * grams are redundant under semi-join semantics but inflated the
+    * join relation) and carries no persist — this path only engages
+    * when the gram set is over the exact-broadcast threshold, where
+    * the small-SF job-overlap trick (r18's persist + concurrent warm)
+    * no longer pays for its leaked block, and no broadcast hint — at
+    * this size the planner/AQE must pick the join strategy from the
+    * build side's real size. */
+  private def bloomKernel(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, gramLen: Int,
+      expectedGrams: Long, bitsPerGram: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.SqlInternals
     import org.apache.spark.sql.types.BinaryType
@@ -168,21 +314,12 @@ object TextOps {
     // membership and the hit count are set operations, so hash identity
     // suffices — no gram strings materialized, and the hashes feed the
     // Bloom filter directly (already avalanched)
-    graft.functions.VectorExpressions.register(corpus.sparkSession)
     val benchHashes =
       call_function("shingle_hashes", col(textCol), lit(gramLen))
-    // the residual side caches and warms CONCURRENTLY with the bloom
-    // job (both scan the small benchmark side; overlapping them hides
-    // one of q66's three fixed job costs — r18). The cached block is
-    // bounded by the benchmark's gram count and dropped by callers'
-    // normal unpersist hygiene (Bench clears per query; a one-shot
-    // pipeline leaves one small block until session end).
     val bGrams = bench.select(explode(benchHashes).as("bgram"))
+      .dropDuplicates("bgram")
       .unionByName(corpus.sparkSession.range(1)
         .select(lit(null).cast("long").as("bgram")))
-      .persist()
-    val warm = scala.concurrent.Future(bGrams.count())(
-      scala.concurrent.ExecutionContext.global)
     // one self-sizing aggregate job builds the filter, straight from
     // the per-doc gram-hash ARRAYS (no explode — r18); its bytes are
     // bounded by construction (bits/8 per distinct gram), so the driver
@@ -197,8 +334,6 @@ object TextOps {
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val bf = Literal(bfBytes, BinaryType)
-    scala.concurrent.Await.ready(warm,
-      scala.concurrent.duration.Duration.Inf)
     // r18: the Bloom test is FUSED into the gram kernel
     // (ShingleHashesBloom) — the corpus scan emits only the surviving
     // ~fp-rate gram hashes instead of exploding every gram into a row
@@ -212,55 +347,17 @@ object TextOps {
       explode(concat(
         array(lit(null).cast("long")),
         coalesce(surv, array().cast("array<long>")))).as("gram"))
-    // residual exact check as a LEFT SEMI join against the broadcast
+    // residual exact check as a LEFT SEMI join against the distinct
     // benchmark gram rows: false positives match nothing and drop;
-    // true hits pass exactly ONCE regardless of how many benchmark
-    // documents repeat the gram (semi-join semantics — no pre-distinct
-    // exchange on the build side, no countDistinct Expand on the agg);
-    // the null sentinel passes via a null-safe match against one
-    // injected null build row. shared = count of non-null survivors.
+    // true hits pass exactly once; the null sentinel passes via a
+    // null-safe match against one injected null build row.
+    // shared = count of non-null survivors.
     candidates
-      .join(broadcast(bGrams),
-        candidates("gram") <=> bGrams("bgram"), "left_semi")
+      .join(bGrams, candidates("gram") <=> bGrams("bgram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(col("gram")).as("shared"))
       .select(col("doc_id"),
         col("shared").as("n_shared_grams"),
         (col("shared") > 0).cast("int").as("contaminated"))
-  }
-
-  /** Benchmark decontamination, EXACT-broadcast variant (r18): collect
-    * the benchmark's distinct 64-bit gram hashes (the eval-set side of
-    * decontamination is MBs against a corpus of TBs — the same
-    * bounded-artifact collect as IVF centroids), broadcast them once
-    * per executor, and count each corpus document's shared grams inside
-    * ONE codegen'd scan expression ([[graft.functions.ShingleSetShared]]).
-    * The corpus is never exploded, joined, or shuffled — the previous
-    * explode+broadcast-join shape materialized every corpus gram as a
-    * row before the join could drop it, which at 100 TB is ~50 T
-    * short-lived rows for a result of one long per document.
-    *
-    * Returns (doc_id, n_shared_grams, contaminated) over every corpus
-    * row; results are identical to the explode+join form (same hash
-    * family, same distinct semantics). */
-  def exactDecontaminate(corpus: DataFrame, bench: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text",
-      gramLen: Int = 5): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.graft.SqlInternals
-    val spark = corpus.sparkSession
-    graft.functions.VectorExpressions.register(spark)
-    val benchHashes: Array[Long] = bench
-      .select(explode(call_function("shingle_hashes", col(textCol),
-        lit(gramLen))).as("g"))
-      .distinct()
-      .collect().map(_.getLong(0))
-    java.util.Arrays.sort(benchHashes)
-    val bc = spark.sparkContext.broadcast(benchHashes)
-    val shared = SqlInternals.column(graft.functions.ShingleSetShared(
-      SqlInternals.expression(col(textCol)), Literal(gramLen), bc))
-    corpus.select(col(idCol).as("doc_id"),
-      shared.as("n_shared_grams"),
-      (shared > 0).cast("int").as("contaminated"))
   }
 }

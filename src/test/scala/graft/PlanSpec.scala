@@ -145,11 +145,30 @@ class PlanSpec extends SparkSpecBase {
       !read.contains("url"), read)
   }
 
-  test("q66 bloom decontam: fused kernel on the scan, no corpus shuffle pre-join") {
+  test("q66 decontam: auto-select picks the exact broadcast-set kernel") {
+    // r19: the benchmark gram set at any bench SF fits the exact
+    // broadcast threshold, so the auto-selecting entry must plan the
+    // q63 shape — one codegen'd scan expression, no Generate, no join,
+    // no hash exchange (VERDICT r18: on every corpus where the bloom
+    // lost to the gate, the exact path wins)
     val p = plan("q66_decontam_bloom")
-    // r18: the bloom membership test is FUSED into the gram kernel —
-    // the corpus scan's Generate emits only surviving gram hashes; no
-    // UDF stage, no exchange below the explode
+    assert(p.contains("shingle_set_shared"), p.take(800))
+    assert(!p.contains("Generate"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
+  test("forced bloom decontam: fused kernel on the scan, no corpus shuffle pre-join") {
+    // the over-threshold path (maxExactGrams = 0 forces it): bloom
+    // membership FUSED into the gram kernel — the corpus scan's
+    // Generate emits only surviving gram hashes; no UDF stage, no
+    // exchange below the explode
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.pipeline.TextOps.bloomDecontaminate(
+      docs.filter(docs("doc_id") % 11 =!= 0),
+      docs.filter(docs("doc_id") % 11 === 0),
+      gramLen = 5, maxExactGrams = 0)
+    val p = df.queryExecution.explainString(SimpleMode)
     assert(p.contains("shingle_hashes_bloom"), p.take(800))
     assert(!p.contains("BatchEval"), p.take(800))
     val below = p.linesIterator.dropWhile(!_.contains("shingle_hashes_bloom"))
@@ -157,11 +176,12 @@ class PlanSpec extends SparkSpecBase {
         !l.contains("FileScan"))
     assert(!below.exists(_.contains("Exchange")),
       s"corpus shuffled below the fused bloom explode:\n$p")
-    // residual check is a broadcast LEFT SEMI (build-side dupes
-    // irrelevant, no countDistinct Expand): exactly one hash exchange
-    // (the per-doc agg) plus the presentation sort's range exchange
+    // residual check is a LEFT SEMI; build side is distinct (r19) so
+    // exchanges = the build-side distinct + the per-doc agg (the
+    // planner/AQE picks the join strategy from the build side's real
+    // size — no unconditional broadcast hint at this tier)
     assert(p.contains("LeftSemi"), p.take(1500))
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p.take(1500))
   }
 
   test("q63 decontam: broadcast-set kernel — corpus never explodes or shuffles") {

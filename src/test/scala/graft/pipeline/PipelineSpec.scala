@@ -116,16 +116,43 @@ class PipelineSpec extends SparkSpecBase {
       (3L, "a b c d e z z z z"),   // shares one gram
       (4L, "short doc"))           // under gramLen: zero grams
     val bench = docs((100L, "a b c d e q r s"))
-    val out = TextOps.bloomDecontaminate(corpus, bench, gramLen = 5)
+    // maxExactGrams = 0 forces the bloom path — auto-select would
+    // otherwise (correctly) take the exact kernel at this size
+    val out = TextOps.bloomDecontaminate(corpus, bench, gramLen = 5,
+        maxExactGrams = 0)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getAs[Long]("n_shared_grams"),
         r.getAs[Int]("contaminated"))).toSeq
     assert(out == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 1L, 1), (4L, 0L, 0)),
       out.toString)
     // empty benchmark: nothing is contaminated, nothing crashes
-    val empty = TextOps.bloomDecontaminate(corpus, bench.limit(0), gramLen = 5)
+    val empty = TextOps.bloomDecontaminate(corpus, bench.limit(0),
+        gramLen = 5, maxExactGrams = 0)
       .orderBy("doc_id").collect().map(_.getAs[Int]("contaminated")).toSeq
     assert(empty == Seq(0, 0, 0, 0))
+  }
+
+  test("decontaminate: kernels agree, incl. on null text (reports 0, not NULL)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("text", StringType, true)))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c d e f g"),
+        Row(2L, null),               // null text: 0 shared, both kernels
+        Row(3L, "a b c d e z z z z"))), schema)
+    val bench = docs((100L, "a b c d e q r s"))
+    def run(forceBloom: Boolean) =
+      TextOps.decontaminate(corpus, bench, gramLen = 5,
+          maxExactGrams = if (forceBloom) 0 else TextOps.DefaultMaxExactGrams)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_shared_grams"),
+          r.getAs[Int]("contaminated"))).toSeq
+    val exact = run(forceBloom = false)
+    val bloom = run(forceBloom = true)
+    assert(exact == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 1L, 1)), exact.toString)
+    assert(bloom == exact, s"kernel divergence: $bloom vs $exact")
   }
 
   test("jaccardJoinExact: count-join, PPJoin and auto agree exactly") {
