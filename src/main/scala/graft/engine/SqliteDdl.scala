@@ -217,7 +217,7 @@ object SqliteDdl {
           SqlScript.unquoteIdent(c.trim.split("\\s+").head))
       } else if (upper.startsWith("CHECK")) {
         // unnamed table-level CHECK: labeled by its own expression text
-        checkExpr(defn).foreach(e => checks :+= CheckDef(e, e))
+        checkExpr(defn).foreach(e => checks :+= CheckDef(checkLabel(e), e))
       } else if (upper.startsWith("CONSTRAINT")) {
         // CONSTRAINT <name> CHECK (...) keeps the name as the failure
         // label; other named forms (UNIQUE/PK/FK) stay hints
@@ -287,7 +287,8 @@ object SqliteDdl {
         // or other constraint spellings at column level)
         if (blankLiterals(defn).toUpperCase.matches("(?s).*\\bUNIQUE\\b.*"))
           uniques :+= Seq(colName)
-        checkExpr(defn).foreach(e => checks :+= CheckDef(e, e, ownerCol = colName))
+        checkExpr(defn).foreach(e =>
+          checks :+= CheckDef(checkLabel(e), e, ownerCol = colName))
       }
     }
     // SQLite's rowid-alias rule covers BOTH spellings: a column-level
@@ -393,6 +394,56 @@ object SqliteDdl {
     s.foreach { c =>
       if (q != 0) { if (c == q) q = 0; b.append(' ') }
       else if (c == '\'' || c == '"' || c == '`') { q = c; b.append(' ') }
+      else b.append(c)
+    }
+    b.toString
+  }
+
+  /** sqlite names an unnamed CHECK with its expression's source span,
+    * then DEQUOTES the name like an identifier — so a span STARTING
+    * with a quote char collapses to just its first quoted token
+    * (probed, 3.51.2: `CHECK("c" + id > 0)` fails as
+    * `CHECK constraint failed: c`, `CHECK('lit' <> c)` as `lit`,
+    * `CHECK([c] > 0)` as `c`; `CHECK((c) > 0)` keeps the full span).
+    * Doubled closing quotes un-escape, like identifier dequoting. */
+  private[engine] def checkLabel(e: String): String = {
+    if (e.isEmpty) return e
+    e.head match {
+      case q @ ('"' | '`' | '\'') =>
+        val b = new StringBuilder
+        var i = 1
+        var done = false
+        while (!done && i < e.length) {
+          if (e.charAt(i) == q) {
+            if (i + 1 < e.length && e.charAt(i + 1) == q) { b.append(q); i += 2 }
+            else done = true
+          } else { b.append(e.charAt(i)); i += 1 }
+        }
+        b.toString
+      case '[' => e.drop(1).takeWhile(_ != ']')
+      case _ => e
+    }
+  }
+
+  /** Blank ONLY single-quoted string literals, preserving the content
+    * of double-quoted/backtick-quoted identifiers (the quote chars
+    * themselves are replaced with spaces, leaving the identifier text
+    * word-bounded). For scans that match COLUMN references — e.g. the
+    * UPDATE constraint gate's "does this CHECK mention an assigned
+    * column" test — [[blankLiterals]] is wrong: it erases `"c"` along
+    * with `'c'`, dropping a quoted-identifier CHECK from the gate.
+    * SQLite's double-quoted-string fallback makes `"x"` a literal when
+    * no column x exists; preserving it here merely over-matches, which
+    * for a gate is the safe direction (the constraint is checked, not
+    * skipped). */
+  private[engine] def blankStringLiterals(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var q: Char = 0
+    s.foreach { c =>
+      if (q == '\'') { if (c == q) q = 0; b.append(' ') }
+      else if (q != 0) { if (c == q) { q = 0; b.append(' ') } else b.append(c) }
+      else if (c == '\'') { q = c; b.append(' ') }
+      else if (c == '"' || c == '`') { q = c; b.append(' ') }
       else b.append(c)
     }
     b.toString

@@ -62,6 +62,13 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   /** WHERE/CHECK positions: boolean-typed, SQLite truthiness for
     * value-shaped conditions (`WHERE 1`). */
   private def dpred(s: String): Column = SqliteDialect.predicate(spark, s)
+  /** A CHECK expression compiled against its table: double-quoted
+    * tokens resolve DQS-style against the table's columns first
+    * (CHECK("c" > 0) tests column c, not the string 'c' — r19; the
+    * plain [[dpred]] path read it as a literal and the check never
+    * fired). */
+  private def checkPred(meta: TableMeta, expr: String): Column =
+    dpred(rewriteDqs(expr, meta.schema.fieldNames.toSet))
 
   private val working = mutable.LinkedHashMap[String, (TableMeta, DataFrame)]()
   private val dirty = mutable.LinkedHashSet[String]()
@@ -1286,25 +1293,41 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * aggregation per firing for trigger bodies like
     * `UPDATE t SET c = c + 1 WHERE id = NEW.id` (general tier:
     * measured 3/s → see SCALE.md r18 trigger throughput). */
-  private def enforceUniqueForUpdate(table: String, meta: TableMeta,
-      df: DataFrame, assigned: Iterable[String]): Unit = {
+  /** `meta` restricted to the constraints an UPDATE of `assigned`
+    * columns can actually break (see [[enforceUniqueForUpdate]]). */
+  private def narrowedForUpdate(meta: TableMeta,
+      assigned: Iterable[String]): TableMeta = {
     val asg = assigned.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     def hit(c: String): Boolean = asg.contains(c.toLowerCase(java.util.Locale.ROOT))
     def checkMentions(expr: String): Boolean = {
-      val blanked = SqliteDdl.blankLiterals(expr).toLowerCase(java.util.Locale.ROOT)
+      // blankStringLiterals, not blankLiterals: a CHECK referencing an
+      // assigned column as a QUOTED identifier (CHECK("c" > 0)) must
+      // stay in the statement-time gate — erasing identifier quotes
+      // dropped it, deferring the violation to the commit gate where a
+      // later statement could wash it (r18 advice)
+      val blanked = SqliteDdl.blankStringLiterals(expr)
+        .toLowerCase(java.util.Locale.ROOT)
       asg.exists(c =>
         ("(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(c) + "([^a-z0-9_]|$)").r
           .findFirstIn(blanked).isDefined)
     }
-    val narrowed = meta.copy(
+    meta.copy(
       notNull = meta.notNull.filter(hit),
       checks = meta.checks.filter(c => checkMentions(c.expr)),
       primaryKey = if (meta.primaryKey.exists(hit)) meta.primaryKey else Nil,
       uniques = meta.uniques.filter(_.exists(hit)),
       indexes = meta.indexes.filter(ix => !ix.unique || ix.columns.exists(hit)))
-    if (narrowed.notNull.nonEmpty || narrowed.checks.nonEmpty ||
-        narrowed.primaryKey.nonEmpty || narrowed.uniques.nonEmpty ||
-        narrowed.indexes.exists(_.unique))
+  }
+
+  private def updateGateNeeded(narrowed: TableMeta): Boolean =
+    narrowed.notNull.nonEmpty || narrowed.checks.nonEmpty ||
+      narrowed.primaryKey.nonEmpty || narrowed.uniques.nonEmpty ||
+      narrowed.indexes.exists(_.unique)
+
+  private def enforceUniqueForUpdate(table: String, meta: TableMeta,
+      df: DataFrame, assigned: Iterable[String]): Unit = {
+    val narrowed = narrowedForUpdate(meta, assigned)
+    if (updateGateNeeded(narrowed))
       enforceUnique(table, narrowed, df)
   }
 
@@ -1330,7 +1353,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // one aggregate job, failure labeled as sqlite3 labels it
     if (meta.checks.nonEmpty) {
       val counts = collated(df.select(meta.checks.zipWithIndex.map { case (c, i) =>
-        count(when(!coalesce(dpred(c.expr), lit(true)), 1)).as(s"c$i")
+        count(when(!coalesce(checkPred(meta, c.expr), lit(true)), 1)).as(s"c$i")
       }: _*)).head()
       meta.checks.zipWithIndex.foreach { case (c, i) =>
         if (counts.getLong(i) > 0) throw new IllegalArgumentException(
@@ -2401,7 +2424,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val fields = meta.schema.fieldNames
     val nn = meta.notNull.flatMap(c => fields.find(_.equalsIgnoreCase(c)))
       .map(col(_).isNotNull)
-    val cks = meta.checks.map(c => coalesce(dpred(c.expr), lit(true)))
+    val cks = meta.checks.map(c => coalesce(checkPred(meta, c.expr), lit(true)))
     (nn ++ cks).reduceOption(_ && _)
   }
 
@@ -2416,7 +2439,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val aggs = nn.zipWithIndex.map { case (c, i) =>
       count(when(col(c).isNull, 1)).as(s"__nn$i") } ++
       meta.checks.zipWithIndex.map { case (c, i) =>
-        count(when(!coalesce(dpred(c.expr), lit(true)), 1)).as(s"__ck$i") }
+        count(when(!coalesce(checkPred(meta, c.expr), lit(true)), 1)).as(s"__ck$i") }
     val r = collated(rows.select(aggs: _*)).head()
     nn.zipWithIndex.foreach { case (c, i) =>
       if (r.getLong(i) > 0) throw new IllegalArgumentException(
@@ -2766,6 +2789,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val (setPart, predPart) =
       if (whereAt < 0) (body, None)
       else (body.substring(0, whereAt), Some(body.substring(whereAt + 5)))
+    val tParse0 = System.nanoTime()
     val pred = predPart.map(dpred).getOrElse(lit(true))
     val rawAssigns: Seq[(StructField, Column)] =
       SqlScript.splitTopLevel(setPart).map { assignment =>
@@ -2777,6 +2801,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           throw new IllegalArgumentException(s"no such column: $colName"))
         field -> valueExpr
       }
+    WriteTxn.profAdd("upd.parse", System.nanoTime() - tParse0)
     // STRICT ANY adoption for SET targets: an assigned value of a new
     // storage class adapts the column type before coercion — but only
     // when the predicate actually selects a row (ADVICE r10: `UPDATE t
@@ -2820,17 +2845,23 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     // pre-statement row state (SQLite semantics) — sequential
     // withColumn would let later assignments see earlier ones and
     // re-evaluate the predicate against already-updated columns
+    val tSel0 = System.nanoTime()
     val out = df.select(meta.schema.fields.map { f =>
       assignments.get(f.name)
         .map(v => when(pred, v).otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
     }.toSeq: _*)
+    WriteTxn.profAdd("upd.select", System.nanoTime() - tSel0)
     // statement-time constraint gate: SQLite errors at the UPDATE, and
     // a commit-only check could be washed by a later statement
     // (fuzz-caught); restricted to constraints the assigned columns
     // can break (r18) — zero jobs when none intersect
+    val tEnf0 = System.nanoTime()
     enforceUniqueForUpdate(table, meta, out, assignments.keys)
+    WriteTxn.profAdd("upd.enforce", System.nanoTime() - tEnf0)
+    val tStage0 = System.nanoTime()
     stage(table, meta, out)
+    WriteTxn.profAdd("upd.stage", System.nanoTime() - tStage0)
     retText.foreach { t =>
       // post-update image of the rows the predicate selected
       val affected = df.where(coalesce(pred, lit(false)))
@@ -3289,7 +3320,8 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     * statement- vs transaction-rollback shades collapse to the same
     * observable outcome. */
   private def runTriggerProgram(tg: SqliteDdl.TriggerDef,
-      resolve: (String, String) => String): Boolean = {
+      resolve: (String, String) => String,
+      raw: (String, String) => Any = null): Boolean = {
     def prep(text: String): String =
       WriteTxn.rewriteRaise(WriteTxn.rewriteRowRefs(text, Set("new", "old"), resolve))
     try {
@@ -3299,12 +3331,25 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (whenOk) {
         firingStack ::= tg.name.toLowerCase
         try {
-          tg.body.foreach { b0 =>
-            val b = prep(b0)
-            SqlScript.firstWord(b) match {
-              // SELECT bodies run for their side effects (RAISE guards)
-              case "SELECT" | "WITH" => runSelect(b).collect()
-              case _ => execute(b)
+          tg.body.zipWithIndex.foreach { case (b0, bi) =>
+            // compiled tier first (r19): fixed UPDATE/DELETE bodies on
+            // driver-local frames evaluate bound expressions directly —
+            // no per-firing parse/analysis/jobs. Falls through to the
+            // general prep+execute path whenever the shape or the
+            // moment doesn't fit.
+            val handled = raw != null &&
+              compileLocalBody(tg, bi, b0).exists(runCompiledBody(_, raw))
+            if (!handled) {
+              val tP0 = System.nanoTime()
+              val b = prep(b0)
+              WriteTxn.profAdd("prep", System.nanoTime() - tP0)
+              val tE0 = System.nanoTime()
+              SqlScript.firstWord(b) match {
+                // SELECT bodies run for their side effects (RAISE guards)
+                case "SELECT" | "WITH" => runSelect(b).collect()
+                case _ => execute(b)
+              }
+              WriteTxn.profAdd("exec", System.nanoTime() - tE0)
             }
           }
         } finally firingStack = firingStack.tail
@@ -3353,6 +3398,269 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val jrows = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
     rows.foreach(v => jrows.add(org.apache.spark.sql.Row.fromSeq(v)))
     spark.createDataFrame(jrows, schema)
+  }
+
+  // ---------------------------------------- driver-local working frames
+  //
+  // The row-at-a-time trigger tiers mutate the working table once per
+  // FIRING. Keeping those mutations as layered lazy plans made every
+  // 64th firing execute a 64-projection-deep union tree as a Spark job
+  // (r18: the general tier measured ~10 firings/s, ~95 ms/firing — 65%
+  // of it in those periodic localCheckpoints, the rest in analysis over
+  // the deepening tree). When the working table is SMALL — which the
+  // general tier's universe is: trough segments, not the 100 TB corpus
+  // (corpus-scale DML rides the vectorized tiers) — the frame instead
+  // rides a LocalRelation and every firing FOLDS eagerly through the
+  // optimizer: ConvertToLocalRelation evaluates the firing's
+  // projection/filter driver-side, no job, no codegen, and the plan
+  // never deepens. SQLite itself executes trigger programs eagerly
+  // row-at-a-time, so the eager fold is the closer execution model.
+
+  /** Row cap for the driver-local tier: past it the loop falls back to
+    * the layered-plan + periodic-checkpoint form (bounded memory
+    * beats per-firing speed once the table is genuinely large). */
+  private val LocalFoldMaxRows = 65536
+
+  /** Re-root `df` as a LocalRelation when its OPTIMIZED plan already
+    * folded to one (or to a union of them) within the row cap. Fresh
+    * attribute ids so a later self-read join can't alias-collide.
+    * Exceptions fold away to None — an expression that fails eager
+    * interpreted eval surfaces at the same lazy point it always did,
+    * on the layered fallback frame. */
+  private def foldToLocal(df: DataFrame, cap: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Union}
+    df.queryExecution.logical match {
+      case _: LocalRelation => return Some(df) // already local (compiled tier)
+      case _ => ()
+    }
+    try {
+      val plan = df.queryExecution.optimizedPlan
+      val rows = plan match {
+        case l: LocalRelation => Some(l.data)
+        case u: Union if u.children.forall(_.isInstanceOf[LocalRelation]) =>
+          Some(u.children.flatMap(_.asInstanceOf[LocalRelation].data))
+        case _ => None
+      }
+      rows.filter(_.length <= cap).map(data =>
+        SqlInternals.ofRows(spark,
+          LocalRelation(plan.output.map(_.newInstance()), data)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One bounded job materializing `df` into the driver-local tier, or
+    * None when it exceeds the cap (the caller keeps the distributed
+    * frame). */
+  private def materializeLocal(df: DataFrame, cap: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    try {
+      val rows = df.limit(cap + 1).queryExecution.executedPlan.executeCollect()
+      if (rows.length > cap) None
+      else Some(SqlInternals.ofRows(spark, LocalRelation(
+        df.queryExecution.analyzed.output.map(_.newInstance()), rows.toSeq)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // ------------------------------------- compiled trigger bodies (r19)
+  //
+  // The remaining general-tier cost after the local fold was Catalyst
+  // itself: every firing re-parsed (ANTLR) and re-ANALYZED the same
+  // body statement with fresh literals (~8 ms/firing of fixed driver
+  // work). Trigger bodies are FIXED SQL — so an UPDATE/DELETE body is
+  // compiled ONCE per (trigger, statement): NEW./OLD. references become
+  // extra input COLUMNS of an analysis probe, the analyzed projection/
+  // predicate binds to (table row ++ image row) ordinals, and each
+  // firing evaluates the bound expressions directly over the target's
+  // LocalRelation rows — zero parse, zero analysis, zero jobs per
+  // firing. Everything outside the compiled shape (subqueries, RAISE,
+  // cascades into triggered tables, strict/generated/fts/collated
+  // tables, constraint-gated assignments) falls back to the general
+  // row-at-a-time path unchanged, so error texts and corner semantics
+  // stay byte-identical to the uncompiled tier.
+
+  private final case class CompiledBody(
+      table: String, kind: String, // "UPDATE" | "DELETE"
+      schema: StructType,          // compiled-against schema (staleness guard)
+      assigned: Seq[String],       // UPDATE: assigned column names
+      markers: IndexedSeq[(String, String)], // (new|old, column) image order
+      converters: IndexedSeq[Any => Any],    // external -> catalyst per marker
+      pred: org.apache.spark.sql.catalyst.expressions.BasePredicate,
+      // UPDATE: all table columns in schema order (assigned -> cast RHS)
+      project: org.apache.spark.sql.catalyst.expressions.Projection)
+
+  /** compile results per (trigger, statement index); None = shape not
+    * compilable, fall back forever (per script). */
+  private val compiledBodies =
+    mutable.HashMap[(String, Int), Option[CompiledBody]]()
+
+  private def compileLocalBody(tg: SqliteDdl.TriggerDef, idx: Int,
+      template: String): Option[CompiledBody] =
+    compiledBodies.getOrElseUpdate((tg.name.toLowerCase + "#" + tg.table, idx), {
+      try {
+        val r = buildCompiledBody(template)
+        if (r.isEmpty && sys.env.contains("GRAFT_TRIG_PROF"))
+          System.err.println(s"[trig-compile] shape fallback: $template")
+        r
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (sys.env.contains("GRAFT_TRIG_PROF"))
+            System.err.println(s"[trig-compile] failed: $template -> $e")
+          None
+      }
+    })
+
+  private def buildCompiledBody(template: String): Option[CompiledBody] = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Predicate => CPredicate, SafeProjection}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+    val kind = SqlScript.firstWord(template)
+    if (kind != "UPDATE" && kind != "DELETE") return None
+    // no subqueries / RAISE anywhere in the statement
+    if (!vecPure(template)) return None
+    if (splitReturning(template)._2.isDefined) return None
+    // markers: NEW.x / OLD.x become probe columns __trg_new_x/__trg_old_x
+    val markers = mutable.LinkedHashMap[String, (String, String)]()
+    val marked = WriteTxn.rewriteRowRefs(template, Set("new", "old"), { (kw, c) =>
+      val name = s"__trg_${kw}_${c.toLowerCase(java.util.Locale.ROOT)}"
+      markers(name) = (kw, c)
+      s"`$name`"
+    })
+    val (table, body0) = kind match {
+      case "UPDATE" =>
+        val m = updateHeadRe.findFirstMatchIn(marked).getOrElse(return None)
+        if (m.group(2) != null) return None // aliased target: general path
+        (SqlScript.unquoteIdent(m.group(1)), m.group(3))
+      case _ =>
+        val m = deleteHeadRe.findFirstMatchIn(marked).getOrElse(return None)
+        (SqlScript.unquoteIdent(m.group(1)), m.group(2))
+    }
+    // ATTACH routing (db-qualified names, attach-order resolution) is
+    // execute()'s territory — compiled bodies stay main-db only
+    if (table.contains(".")) return None
+    if (isView(table) || ftsDefOf(table).isDefined) return None
+    val (meta, _) = load(table) // throws when absent -> cached None
+    if (meta.strict || meta.generated.nonEmpty || meta.ftsSql.isDefined) return None
+    if (meta.schema.fields.exists(_.metadata != Metadata.empty)) return None
+    val fields = meta.schema.fields
+    // every marker column must be a real column (rowid aliases etc.
+    // fall back, where the general path raises sqlite's exact text)
+    val markerSeq = markers.toIndexedSeq
+    val markerFields = markerSeq.map { case (name, (_, c)) =>
+      val f = fields.find(_.name.equalsIgnoreCase(c)).getOrElse(return None)
+      StructField(name, f.dataType, nullable = true)
+    }
+    val body = rewriteDqs(body0, fields.map(_.name).toSet + table)
+    if (firstTopLevelKw(body, "FROM") >= 0) return None // UPDATE..FROM
+    val whereAt = topLevelWhere(body)
+    val (setPart, predText) = kind match {
+      case "UPDATE" =>
+        if (whereAt < 0) (body, None)
+        else (body.substring(0, whereAt), Some(body.substring(whereAt + 5)))
+      case _ =>
+        val rest = body.trim
+        if (rest.isEmpty) ("", None)
+        else {
+          if (!(rest.length > 5 && rest.substring(0, 5).equalsIgnoreCase("where") &&
+              rest.charAt(5).isWhitespace)) return None
+          ("", Some(rest.substring(6)))
+        }
+    }
+    val assigns: Seq[(StructField, Column)] =
+      if (kind != "UPDATE") Nil
+      else SqlScript.splitTopLevel(setPart).map { assignment =>
+        val eq = topLevelEq(assignment)
+        if (eq < 0) return None
+        val colName = SqlScript.unquoteIdent(assignment.substring(0, eq).trim)
+        val f = fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(return None)
+        f -> dexpr(assignment.substring(eq + 1).trim)
+      }
+    // statement-time constraint gate must stay zero-work for this shape
+    if (kind == "UPDATE" &&
+        updateGateNeeded(narrowedForUpdate(meta, assigns.map(_._1.name))))
+      return None
+    val pred = predText.map(dpred).getOrElse(lit(true))
+    val assignMap = assigns.map { case (f, v) => f.name -> v }.toMap
+    // ONE analysis over a probe relation of (table columns ++ image
+    // columns); the bound expressions then serve every firing
+    val probeSchema = StructType(fields ++ markerFields)
+    val probe = SqlInternals.ofRows(spark,
+      LocalRelation(DataTypeUtils.toAttributes(probeSchema)))
+    val outCols = fields.map { f =>
+      assignMap.get(f.name).map(_.cast(f.dataType).as(f.name))
+        .getOrElse(col(s"`${f.name}`"))
+    }.toSeq :+ coalesce(pred.cast("boolean"), lit(false)).as("__trg_pred")
+    val analyzed = probe.select(outCols: _*).queryExecution.analyzed
+    val (exprs, inputAttrs) = analyzed match {
+      case Project(pl, child: LocalRelation) => (pl, child.output)
+      case _ => return None
+    }
+    val bound: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      exprs.map(e => BindReferences.bindReference(
+        e: org.apache.spark.sql.catalyst.expressions.Expression, inputAttrs))
+    Some(CompiledBody(table, kind, meta.schema,
+      assigns.map(_._1.name), markerSeq.map(_._2),
+      markerSeq.map { case (_, (_, c)) =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(
+            fields.find(_.name.equalsIgnoreCase(c)).get.dataType)
+      },
+      CPredicate.create(bound.last),
+      SafeProjection.create(bound.init)))
+  }
+
+  /** Run one compiled body against the target's driver-local rows.
+    * Returns false when this firing can't take the compiled path (the
+    * frame isn't local right now, the schema moved, or other triggers
+    * would cascade) — the caller falls back to prep + execute. */
+  private def runCompiledBody(cb: CompiledBody,
+      raw: (String, String) => Any): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val tG0 = System.nanoTime()
+    if (attachedDbs.nonEmpty || activeDb != "main") return false
+    if (!working.contains(cb.table)) return false
+    val (meta, df) = working(cb.table)
+    if (meta.schema != cb.schema) return false
+    val lr = df.queryExecution.logical match {
+      case l: LocalRelation => l
+      case _ => return false
+    }
+    // a body UPDATE/DELETE that would itself fire triggers cascades —
+    // general tier's territory (firingStack suppression applies there)
+    if (activeTriggers(cb.table, cb.kind,
+        if (cb.kind == "UPDATE") Some(cb.assigned) else None).nonEmpty)
+      return false
+    WriteTxn.profAdd("cb.gate", System.nanoTime() - tG0)
+    val tImg0 = System.nanoTime()
+    val img = new GenericInternalRow(cb.markers.indices.map { i =>
+      val (kw, c) = cb.markers(i)
+      raw(kw, c) match {
+        // literal-substitution parity: sqliteLiteral renders NaN as
+        // NULL (sqlite has no NaN storage), so the bound image must too
+        case d: java.lang.Double if d.isNaN => null
+        case v => cb.converters(i)(v)
+      }
+    }.toArray[Any])
+    WriteTxn.profAdd("cb.img", System.nanoTime() - tImg0)
+    val tEval0 = System.nanoTime()
+    val joined = new JoinedRow
+    val data = lr.data
+    val out = new mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow](data.length)
+    var i = 0
+    while (i < data.length) {
+      val r = data(i)
+      joined(r, img)
+      if (cb.pred.eval(joined)) {
+        if (cb.kind == "UPDATE") out += cb.project(joined).copy()
+        // DELETE: row dropped
+      } else out += r
+      i += 1
+    }
+    WriteTxn.profAdd("cb.eval", System.nanoTime() - tEval0)
+    val tSt0 = System.nanoTime()
+    stage(cb.table, meta, SqlInternals.ofRows(spark,
+      LocalRelation(lr.output.map(_.newInstance()), out.toSeq)))
+    WriteTxn.profAdd("cb.stage", System.nanoTime() - tSt0)
+    true
   }
 
   private def sparkTypeName(dt: org.apache.spark.sql.types.DataType): String = dt match {
@@ -4817,18 +5125,64 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       }
     }
     var cur = existing
+    // driver-local tier (r19): per-row loops fold the working frame
+    // eagerly through the optimizer instead of layering lazy plans —
+    // see the foldToLocal scaladoc. Engages only when the table fits
+    // the cap; one bounded job decides.
+    var localTier = perRow && {
+      materializeLocal(existing, LocalFoldMaxRows) match {
+        case Some(l) => cur = l; true
+        case None => false
+      }
+    }
+    // append straight into the LocalRelation (a union + optimizer fold
+    // per applied row was most of the loop's residual wall)
+    lazy val rowToInternal = {
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(meta.schema)
+      (r: IndexedSeq[Any]) =>
+        conv(org.apache.spark.sql.Row.fromSeq(r))
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    }
+    def appendLocal(row: IndexedSeq[Any]): Boolean = localTier && {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      cur.queryExecution.logical match {
+        case lr: LocalRelation if lr.data.length < LocalFoldMaxRows =>
+          cur = SqlInternals.ofRows(spark,
+            LocalRelation(lr.output, lr.data :+ rowToInternal(row)))
+          true
+        case _ => false
+      }
+    }
     var opCount = 0
     var folds = 0
-    def checkpointMaybe(): Unit = {
+    def foldOrCheckpoint(): Unit = {
+      if (localTier) {
+        foldToLocal(cur, LocalFoldMaxRows) match {
+          case Some(l) => cur = l; return
+          case None => localTier = false
+        }
+      }
       opCount += 1
-      if (opCount % 64 == 0) cur = cur.localCheckpoint(true)
+      if (opCount % 64 == 0) {
+        val t0 = System.nanoTime()
+        cur = cur.localCheckpoint(true)
+        WriteTxn.profAdd("loop.checkpoint", System.nanoTime() - t0)
+      }
     }
+    def checkpointMaybe(): Unit = foldOrCheckpoint()
     // run one program with the per-row state published for its bodies,
     // adopting any target mutation the body made (self-DML is legal)
-    def fire(t: SqliteDdl.TriggerDef, resolve: (String, String) => String): Boolean = {
+    def fire(t: SqliteDdl.TriggerDef, resolve: (String, String) => String,
+        raw: (String, String) => Any): Boolean = {
+      val t0 = System.nanoTime()
       if (perRow) { stage(table, meta, cur) }
-      val ok = runTriggerProgram(t, resolve)
-      if (perRow) cur = working(table)._2
+      val ok = runTriggerProgram(t, resolve, raw)
+      if (perRow && (working(table)._2 ne cur)) {
+        cur = working(table)._2
+        foldOrCheckpoint()
+      }
+      WriteTxn.profAdd("loop.fire", System.nanoTime() - t0)
       ok
     }
     def keyEq(key: Seq[Any]): Column =
@@ -4881,18 +5235,28 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           if (before && aiIdx.contains(i)) "-1" else sqliteLiteral(row(i))
         case other => throw new IllegalArgumentException(s"no such column: $other.$c")
       }
+      // raw (unrendered) image values for the compiled-body tier — the
+      // same resolution rules, minus the literal round trip
+      def rawIns(before: Boolean)(kw: String, c: String): Any = kw match {
+        case "new" =>
+          val i = fieldIdx(c)
+          if (before && aiIdx.contains(i)) -1L else row(i)
+        case other => throw new IllegalArgumentException(s"no such column: $other.$c")
+      }
       def allocAi(): Unit = aiIdx.foreach { i =>
         nextAi += 1
         row = row.updated(i, nextAi)
       }
       var ignored = false
       insTrigs.withFilter(_.timing == "BEFORE").foreach { t =>
-        if (!ignored && !fire(t, resolveIns(before = true))) ignored = true
+        if (!ignored && !fire(t, resolveIns(before = true),
+          rawIns(before = true))) ignored = true
       }
       if (!ignored) {
         def fireAfterInsert(): Unit =
           insTrigs.withFilter(_.timing == "AFTER").foreach { t =>
-            if (!ignored && !fire(t, resolveIns(before = false))) ignored = true
+            if (!ignored && !fire(t, resolveIns(before = false),
+              rawIns(before = false))) ignored = true
           }
         val secHit = secKeys.zipWithIndex.exists { case (k, si) =>
           k != null && secOcc(si).contains(k) }
@@ -4901,8 +5265,12 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
           // a PLAIN duplicate still lands here: the commit-time unique
           // gate raises for it, exactly like the set-based fast path
           allocAi()
-          if (perRow) { cur = cur.unionByName(localDf(meta.schema, Seq(row))); checkpointMaybe() }
-          else batchApplied += ((key, row))
+          if (perRow) {
+            if (!appendLocal(row)) {
+              cur = cur.unionByName(localDf(meta.schema, Seq(row)))
+              checkpointMaybe()
+            }
+          } else batchApplied += ((key, row))
           if (key != null) occupant(key) = row
           registerSec(row)
           fireAfterInsert()
@@ -4933,8 +5301,10 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
             }
             allocAi()
             if (perRow) {
-              cur = cur.unionByName(localDf(meta.schema, Seq(row)))
-              checkpointMaybe()
+              if (!appendLocal(row)) {
+                cur = cur.unionByName(localDf(meta.schema, Seq(row)))
+                checkpointMaybe()
+              }
             } else batchApplied += ((key, row))
             if (key != null) occupant(key) = row
             registerSec(row)
@@ -4963,9 +5333,14 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
                 case "new" => sqliteLiteral(newVals(fieldIdx(c)))
                 case other => throw new IllegalArgumentException(s"no such column: $other.$c")
               }
+              def rawUpd(kw: String, c: String): Any = kw match {
+                case "old" => exVals(fieldIdx(c))
+                case "new" => newVals(fieldIdx(c))
+                case other => throw new IllegalArgumentException(s"no such column: $other.$c")
+              }
               var updIgnored = false
               updTrigs.withFilter(_.timing == "BEFORE").foreach { t =>
-                if (!updIgnored && !fire(t, resolveUpd)) updIgnored = true
+                if (!updIgnored && !fire(t, resolveUpd, rawUpd)) updIgnored = true
               }
               if (!updIgnored) {
                 val newKey: Seq[Any] =
@@ -4982,7 +5357,7 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
                 occupant.remove(key)
                 if (newKey != null) occupant(newKey) = newVals
                 updTrigs.withFilter(_.timing == "AFTER").foreach { t =>
-                  if (!updIgnored && !fire(t, resolveUpd)) updIgnored = true
+                  if (!updIgnored && !fire(t, resolveUpd, rawUpd)) updIgnored = true
                 }
               }
             }
@@ -5082,13 +5457,47 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
     val fields = meta.schema.fields
     val perRow = touchesTarget(trigs, table)
     var cur = tagged
+    // driver-local tier (r19, see foldToLocal): the per-row loop's
+    // where + single-row-union per firing folds eagerly instead of
+    // layering 64-deep plans between checkpoints
+    var localTier = perRow && {
+      materializeLocal(tagged, LocalFoldMaxRows) match {
+        case Some(l) => cur = l; true
+        case None => false
+      }
+    }
+    // apply one change straight into the LocalRelation (rid is the
+    // last ridSchema column, non-null by construction) — a where +
+    // union + optimizer fold per change was the loop's residual wall
+    lazy val ridRowToInternal = {
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(ridSchema)
+      (r: IndexedSeq[Any]) =>
+        conv(org.apache.spark.sql.Row.fromSeq(r))
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    }
+    val ridOrd = ridSchema.fields.length - 1
+    def applyLocal(ridV: Long, newVOpt: Option[IndexedSeq[Any]]): Boolean =
+      localTier && {
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        cur.queryExecution.logical match {
+          case lr: LocalRelation if lr.data.length < LocalFoldMaxRows =>
+            var data = lr.data.filterNot(r =>
+              !r.isNullAt(ridOrd) && r.getLong(ridOrd) == ridV)
+            newVOpt.foreach(nv => data = data :+ ridRowToInternal(nv :+ ridV))
+            cur = SqlInternals.ofRows(spark, LocalRelation(lr.output, data))
+            true
+          case _ => false
+        }
+      }
     var lastPublished: DataFrame = null
-    def fire(t: SqliteDdl.TriggerDef, resolve: (String, String) => String): Boolean = {
+    def fire(t: SqliteDdl.TriggerDef, resolve: (String, String) => String,
+        raw: (String, String) => Any): Boolean = {
       if (perRow) {
         lastPublished = cur.drop(rid)
         working(table) = (meta, lastPublished); dirty += table
       }
-      val ok = runTriggerProgram(t, resolve)
+      val ok = runTriggerProgram(t, resolve, raw)
       if (perRow && (working(table)._2 ne lastPublished))
         throw new UnsupportedOperationException(
           "a trigger body modified its own target table during UPDATE/DELETE — " +
@@ -5113,33 +5522,42 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
       if (folds % 16 == 0) cur = cur.localCheckpoint(true)
     }
     changes.foreach { case (ridV, oldV, newVOpt) =>
-      def resolve(kw: String, c: String): String = {
+      def imageAt(kw: String, c: String): Any = {
         val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
         if (i < 0) throw new IllegalArgumentException(s"no such column: $kw.$c")
         (kw, newVOpt) match {
-          case ("old", _) => sqliteLiteral(oldV(i))
-          case ("new", Some(nv)) => sqliteLiteral(nv(i))
+          case ("old", _) => oldV(i)
+          case ("new", Some(nv)) => nv(i)
           case _ => throw new IllegalArgumentException(s"no such column: $kw.$c")
         }
       }
+      def resolve(kw: String, c: String): String = sqliteLiteral(imageAt(kw, c))
       var ignored = false
       trigs.withFilter(_.timing == "BEFORE").foreach { t =>
-        if (!ignored && !fire(t, resolve)) ignored = true
+        if (!ignored && !fire(t, resolve, imageAt)) ignored = true
       }
       if (!ignored) {
         anyApplied = true
         if (perRow) {
-          cur = cur.where(col(rid) =!= ridV)
-          newVOpt.foreach(nv =>
-            cur = cur.unionByName(localDf(ridSchema, Seq(nv :+ ridV))))
-          opCount += 1
-          if (opCount % 64 == 0) cur = cur.localCheckpoint(true)
+          if (!applyLocal(ridV, newVOpt)) {
+            cur = cur.where(col(rid) =!= ridV)
+            newVOpt.foreach(nv =>
+              cur = cur.unionByName(localDf(ridSchema, Seq(nv :+ ridV))))
+            if (localTier) foldToLocal(cur, LocalFoldMaxRows) match {
+              case Some(l) => cur = l
+              case None => localTier = false
+            }
+            if (!localTier) {
+              opCount += 1
+              if (opCount % 64 == 0) cur = cur.localCheckpoint(true)
+            }
+          }
         } else {
           batch(ridV) = newVOpt
           if (batch.size >= FoldBatchRows) foldBatch()
         }
         trigs.withFilter(_.timing == "AFTER").foreach { t =>
-          if (!ignored && !fire(t, resolve)) ignored = true
+          if (!ignored && !fire(t, resolve, imageAt)) ignored = true
         }
       }
     }
@@ -5276,8 +5694,22 @@ private[engine] class WriteTxn(engine: TroughEngine, segmentId: String) {
   }
 }
 
-private[engine] object WriteTxn {
+private[graft] object WriteTxn {
   val selectMutex = new Object
+
+  /** Debug-only phase profiler for the trigger tiers (GRAFT_TRIG_PROF):
+    * nanos accumulated per label, dumped by [[profDump]]. Zero-cost
+    * no-op when the env var is unset. */
+  private val profOn = sys.env.contains("GRAFT_TRIG_PROF")
+  private val prof = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[engine] def profAdd(label: String, nanos: Long): Unit =
+    if (profOn) prof.computeIfAbsent(label,
+      _ => new java.util.concurrent.atomic.AtomicLong()).addAndGet(nanos)
+  def profDump(): String = {
+    import scala.jdk.CollectionConverters._
+    prof.asScala.toSeq.sortBy(-_._2.get())
+      .map { case (k, v) => f"$k=${v.get() / 1e9}%.2fs" }.mkString(" ")
+  }
 
   /** How long ATTACH waits for a busy segment's script lock before
     * refusing with 'database is locked' — python sqlite3's default

@@ -180,6 +180,31 @@ class ConstraintSpec extends SparkSpecBase {
     assert(e4.getMessage == "CHECK constraint failed: a > 0")
   }
 
+  test("CHECK with a QUOTED-identifier column ref stays in the UPDATE statement gate") {
+    // r19 (r18 advice): the UPDATE gate is narrowed to constraints the
+    // assigned columns can break; that mention-scan must see a column
+    // referenced as "c" (quoted identifier). Pre-fix, blankLiterals
+    // erased the quoted name, the CHECK dropped out of the statement
+    // gate, and a later statement in the same script washed the commit
+    // gate — silently committing a state sqlite3 rejects mid-script.
+    val id = seg("""CREATE TABLE t (id INTEGER PRIMARY KEY, c INTEGER, CHECK("c" > 0));""")
+    engine.write(id, "INSERT INTO t VALUES (1, 5);")
+    // sqlite3 (3.51.2, probed): errors at the first UPDATE with the
+    // DEQUOTED label `c` (unnamed-CHECK names dequote like
+    // identifiers); the wash statement never runs
+    val e = intercept[IllegalArgumentException](engine.write(id,
+      "UPDATE t SET c = -1 WHERE id = 1; UPDATE t SET c = 7 WHERE id = 1;"))
+    assert(e.getMessage == "CHECK constraint failed: c")
+    assert(engine.read(id, "SELECT c FROM t;").collect()(0).getLong(0) == 5L)
+    // backtick form resolves (and labels) the same way
+    val id2 = seg("CREATE TABLE t (id INTEGER PRIMARY KEY, c INTEGER, CHECK(`c` > 0));")
+    engine.write(id2, "INSERT INTO t VALUES (1, 5);")
+    val e2 = intercept[IllegalArgumentException](engine.write(id2,
+      "UPDATE t SET c = -1 WHERE id = 1; UPDATE t SET c = 7 WHERE id = 1;"))
+    assert(e2.getMessage == "CHECK constraint failed: c")
+    assert(engine.read(id2, "SELECT c FROM t;").collect()(0).getLong(0) == 5L)
+  }
+
   test("export re-renders CHECK constraints so real sqlite3 enforces them") {
     val id = seg("CREATE TABLE t (a INTEGER CHECK (a > 0), " +
       "CONSTRAINT cap CHECK (a < 1000));")
