@@ -133,6 +133,7 @@ object Bench {
         s""""duckdb_total_pre":${duckPre.map(_.total).getOrElse(-1.0)},""" +
         s""""duckdb_count":${duck.map(_.count).getOrElse(0)},""" +
         s""""duckdb_queries":${duck.map(_.perQueryJson).getOrElse("{}")},""" +
+        s""""duckdb_timeouts":${duck.map(_.timeoutsJson).getOrElse("[]")},""" +
         s""""runs_per_query":3,"aggregation":"median","sf":"$sfDir"}"""
     // the result goes to its OWN file first: the driver's tail-capture
     // has truncated the (long) stdout line before (VERDICT r9 nit 3),
@@ -191,7 +192,8 @@ object Bench {
     } finally facade.stop()
   }
 
-  private final case class Yardstick(total: Double, count: Int, perQueryJson: String)
+  private final case class Yardstick(total: Double, count: Int, perQueryJson: String,
+      timeoutsJson: String)
 
   /** One warm DuckDB pass over the oracle SQL at the same SF: views
     * over the sf parquet, an untimed warm pass, then one timed pass,
@@ -255,8 +257,13 @@ object Bench {
         |        continue
         |    per[n] = round(d, 4)
         |    total += d
+        |# over-budget oracles are REPORTED, not silently omitted (r19):
+        |# the sf1 file's duckdb_count=69/73 hid exactly the heavy dedup
+        |# queries the 2x gate most needs to see
+        |timeouts = sorted(n for n in names if not ok[n])
         |print(json.dumps({"total": total, "count": sum(ok.values()),
-        |                  "queries": per}))
+        |                  "queries": per, "timeouts": timeouts,
+        |                  "budget_s": budget}))
         |""".stripMargin
     try {
       java.nio.file.Files.writeString(oraclePath, oracle.toString)
@@ -269,7 +276,8 @@ object Bench {
       if (p.waitFor() != 0) return None
       val node = mapper.readTree(out.linesIterator.toSeq.last)
       Some(Yardstick(node.get("total").asDouble(), node.get("count").asInt(),
-        node.get("queries").toString))
+        node.get("queries").toString,
+        Option(node.get("timeouts")).map(_.toString).getOrElse("[]")))
     } catch { case _: Throwable => None }
     finally {
       java.nio.file.Files.deleteIfExists(scriptPath)

@@ -701,14 +701,25 @@ object SparkEntry {
     // Catalyst, and exactly oracle-checkable in DuckDB.
     "q44_rollup" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
+      // Two-level rollup (r19): aggregate the fact ONCE at the finest
+      // (flag, status) grain, then ROLLUP the tiny aggregate — a plain
+      // .rollup on the fact plans Expand×3 BEFORE the partial
+      // aggregation, tripling every fact row (and its per-row decimal
+      // cast) through the hash agg; at 100 TB that's 2 extra copies of
+      // the corpus through the first shuffle for information the
+      // 6-row base grain already carries. count/sum re-aggregate
+      // losslessly (sum of counts, sum of decimal sums).
+      val base = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("__n"),
+          // exact decimal sum, DOUBLE at the boundary (see q02 note)
+          sum($"l_quantity".cast("decimal(18,2)")).as("__q"))
+      base
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(
           grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("n"),
-          // exact decimal sum, DOUBLE at the boundary (see q02 note)
-          round(sum($"l_quantity".cast("decimal(18,2)")), 2)
-            .cast("double").as("sum_qty"))
+          sum($"__n").as("n"),
+          round(sum($"__q"), 2).cast("double").as("sum_qty"))
         .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 

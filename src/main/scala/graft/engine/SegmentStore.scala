@@ -197,6 +197,33 @@ class SegmentStore(
 
   def segmentExists(segmentId: String): Boolean = Files.isRegularFile(marker(segmentId))
 
+  /** Cheap change fingerprint for a segment's READ-visible state: the
+    * nanosecond mtimes of everything a read resolves against — the
+    * marker, each table's live data dir and meta file, the view and
+    * trigger registries. Every mutation funnel lands on one of these
+    * paths (data swaps rename a fresh live dir in; DDL rewrites meta;
+    * registry puts rewrite their file), so a changed fingerprint ⟺ a
+    * changed segment. Serving caches (TroughEngine.readCtx) key on it
+    * instead of requiring every writer to remember an invalidation
+    * call. Cost: one directory listing + a few stats. */
+  def readFingerprint(segmentId: String): Long = {
+    var h = 1125899906842597L
+    def mix(v: Long): Unit = h = h * 31 + v
+    def mtime(p: Path): Long =
+      try Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: Exception => -1L }
+    val root = tierRoot(segmentId)
+    mix(mtime(marker(segmentId)))
+    mix(mtime(viewsPath(root, segmentId)))
+    mix(mtime(triggersPath(root, segmentId)))
+    tables(segmentId).foreach { t =>
+      mix(t.hashCode.toLong)
+      mix(mtime(liveDir(root, segmentId, t)))
+      mix(mtime(metaPath(root, segmentId, t)))
+    }
+    h
+  }
+
   /** All known segment ids (hot + cold tiers). */
   def listSegments(): Seq[String] = {
     def ls(root: Path): Seq[String] = {

@@ -104,6 +104,96 @@ class TroughEngine(
     sess
   }
 
+  // -------------------------------------------- cached read contexts (r19)
+  //
+  // The reference's unit of work is one HTTP read against a LOCAL
+  // sqlite file — µs of per-request overhead. A fresh isolated session
+  // + per-table view registration + parse per request cost this engine
+  // ~40 ms before the query even ran (SCALE.md r18: 12 req/s). The
+  // session, the registered views, and each successfully planned query
+  // are all pure functions of the segment's on-disk state, so they
+  // cache per segment, keyed by [[SegmentStore.readFingerprint]] —
+  // any write to the segment changes the fingerprint and rebuilds the
+  // context, preserving read-your-writes without every mutation path
+  // needing an invalidation call. Sessions also drop their shuffle
+  // parallelism to 2: a segment is a SMALL database by trough's design
+  // ("big data, small databases"), and 32-way shuffles on per-segment
+  // reads only add scheduling latency (cross-segment analytics ride
+  // readAll/fanout, not this path).
+
+  private final class ReadCtx(val sess: SparkSession, val fingerprint: Long,
+      val ftsDefs: Map[String, Fts5.FtsTableDef],
+      val brokenViews: Map[String, Throwable]) {
+    val plans: java.util.Map[String, DataFrame] =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, DataFrame]): Boolean = size > 64
+        })
+  }
+
+  private val readCtxs =
+    new java.util.LinkedHashMap[String, ReadCtx](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ReadCtx]): Boolean = size > 64
+    }
+
+  /** Row cap for serving a table as a driver-local relation. Under it,
+    * a per-segment read plans as ONE single-partition stage (no file
+    * re-scan, no exchange — a trough segment is a small database);
+    * over it, the parquet-backed view serves unchanged. */
+  private val ServeLocalMaxRows = 65536
+
+  /** Snapshot a small table into a single-partition LocalRelation for
+    * the read cache; the parquet-backed frame when it exceeds the cap.
+    * The snapshot is as consistent as the fingerprint that keys it. */
+  private def localizeForServe(sess: SparkSession, df: DataFrame): DataFrame =
+    try {
+      val rows = df.limit(ServeLocalMaxRows + 1)
+        .queryExecution.executedPlan.executeCollect()
+      if (rows.length > ServeLocalMaxRows) df
+      else {
+        import org.apache.spark.sql.graft.SqlInternals
+        SqlInternals.ofRows(sess,
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            df.queryExecution.analyzed.output.map(_.newInstance()), rows.toSeq))
+          .coalesce(1)
+      }
+    } catch { case scala.util.control.NonFatal(_) => df }
+
+  private def readCtx(segmentId: String): ReadCtx = readCtxs.synchronized {
+    val fp = store.readFingerprint(segmentId)
+    val cached = readCtxs.get(segmentId)
+    if (cached != null && cached.fingerprint == fp) return cached
+    val sess = readSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "1")
+    // AQE's stage-materialization machinery costs ~25 ms on a
+    // single-stage serving query that has nothing to re-plan; the
+    // serve path's plans are tiny and local, so re-optimization has
+    // no upside here (measured r19: 35 -> 100+ req/s)
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val ftsDefs = ftsTablesOf(segmentId)
+    store.tables(segmentId).foreach { t =>
+      val df = localizeForServe(sess, store.loadTable(segmentId, t, sess))
+      ftsDefs.get(t.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(fd) if fd.content.isDefined =>
+          registerContentFts(segmentId, sess, t, fd, df)
+        case _ => df.createOrReplaceTempView(t)
+      }
+    }
+    // register every view up front; a broken one only errors when a
+    // query actually references it (registerViews' contract)
+    val broken = mutable.Map[String, Throwable]()
+    store.views(segmentId).foreach { v =>
+      if (!sess.catalog.tableExists(v.name))
+        try SqliteDialect.sql(sess, v.sparkSelect).createOrReplaceTempView(v.name)
+        catch { case scala.util.control.NonFatal(e) => broken(v.name.toLowerCase) = e }
+    }
+    val ctx = new ReadCtx(sess, fp, ftsDefs, broken.toMap)
+    readCtxs.put(segmentId, ctx)
+    ctx
+  }
+
   /** Single-SELECT gate (trough/read.py:58-59). Parses with Catalyst and
     * rejects multi-statement bodies and anything that isn't a query, with
     * the reference's exact error message. */
@@ -282,14 +372,17 @@ class TroughEngine(
     * across concurrent reads). Returns the lazy DataFrame — callers pick
     * collection shape ([[resultJsonIter]] for wire parity). */
   def read(segmentId: String, sql: String): DataFrame = {
-    val sess = readSession()
     require(store.segmentExists(segmentId), s"no such segment: $segmentId")
+    val ctx = readCtx(segmentId)
+    val hit = ctx.plans.get(sql)
+    if (hit != null) return hit
+    val sess = ctx.sess
     // infix MATCH over the segment's fts5 tables compiles to token
     // predicates BEFORE the gate parses (the gate's parser has no
     // MATCH operator); unresolved MATCHes fall through to the gate's
     // named refusal
     val sqlF = {
-      val fts = ftsTablesOf(segmentId)
+      val fts = ctx.ftsDefs
       if (fts.isEmpty) sql
       else {
         val matched = Fts5.rewriteMatch(sql, fts,
@@ -301,16 +394,15 @@ class TroughEngine(
       }
     }
     val stmt = validateRead(sqlF, sess)
-    val ftsDefs = ftsTablesOf(segmentId)
-    store.tables(segmentId).foreach { t =>
-      val df = store.loadTable(segmentId, t, sess)
-      ftsDefs.get(t.toLowerCase(java.util.Locale.ROOT)) match {
-        case Some(fd) if fd.content.isDefined =>
-          registerContentFts(segmentId, sess, t, fd, df)
-        case _ => df.createOrReplaceTempView(t)
+    // a view that failed registration only errors when referenced
+    if (ctx.brokenViews.nonEmpty) {
+      val refs = referencedTables(stmt, sess)
+      ctx.brokenViews.keys.find(refs.contains).foreach { name =>
+        throw new IllegalArgumentException(
+          s"view $name: ${ctx.brokenViews(name).getMessage}",
+          ctx.brokenViews(name))
       }
     }
-    registerViews(sess, store.views(segmentId), stmt)
     val stmt2 = rewritePragmaTvfs(sess, segmentId, stmt)
     if (mentionsMaster(stmt2))
       registerMaster(sess, store.masterCatalog(segmentId).map {
@@ -331,6 +423,9 @@ class TroughEngine(
           out.withColumnRenamed(c, "rowid")
         else out.drop(out.col(s"`$c`"))
     }
+    // successful plans cache per query text; the cache dies with the
+    // context the moment the segment's fingerprint moves
+    ctx.plans.put(sql, out)
     out
   }
 
@@ -718,7 +813,17 @@ class TroughEngine(
     * order, nulls included, non-ASCII escaped (ujson ensure_ascii). */
   def resultJsonIter(df: DataFrame): Iterator[String] = {
     val schema = df.schema
-    val rows = df.toLocalIterator()
+    // jobless serve (r19): single-stage plans over the read cache's
+    // local relations compute on the driver thread — the local-mode
+    // job floor (~10 ms) was the read path's whole remaining latency
+    val rows: java.util.Iterator[Row] =
+      org.apache.spark.sql.graft.SqlInternals.driverLocalRows(df) match {
+        case Some(it) => new java.util.Iterator[Row] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Row = it.next()
+        }
+        case None => df.toLocalIterator()
+      }
     new Iterator[String] {
       private var state = 0 // 0 = "[", 1 = rows, 2 = "]\n", 3 = done
       private var first = true

@@ -98,6 +98,17 @@ object Dedup {
     // ONE window over ONE gram-keyed shuffle — the groupBy(gram) +
     // join(gram)-back form shuffled the full gram stream twice (r18;
     // the two shuffles were the whole gap to the suffix-array oracle).
+    // Skew tradeoff (r18 advice, deliberate): the window loses the
+    // aggregate form's map-side pre-collapse, so the hottest gram's
+    // full occurrence list sorts through one task (spilled by
+    // UnsafeExternalSorter, not held in memory). Pre-collapsing isn't
+    // available here — every (doc, pos) row IS the payload (span
+    // coverage needs positions, not per-doc counts) — and a length-L
+    // WORD gram is a far colder key than a token: the sf1 probe put
+    // the hottest 10-gram at <0.1 % of corpus rows. A corpus with
+    // boilerplate hot enough to overwhelm one task's spill budget
+    // should pre-filter those grams like the Jaccard path's
+    // AutoPrefixHotKeyShare gate.
     val wg = Window.partitionBy("gram")
     val hits = grams
       .withColumn("__mn", min(col(idCol)).over(wg))

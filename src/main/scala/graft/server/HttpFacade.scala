@@ -60,6 +60,11 @@ class HttpFacade(
 
   def start(): this.type = synchronized {
     require(servers.isEmpty, "already started")
+    // TCP_NODELAY on response sockets: chunked row streaming writes
+    // small segments, and Nagle + the peer's delayed ACK added a flat
+    // ~35 ms to every request (measured r19: 19 -> 52 req/s sequential
+    // from this property alone)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     def serve(port: Int, handler: HttpHandler): HttpServer = {
       val s = HttpServer.create(new InetSocketAddress(port), 0)
       s.createContext("/", handler)
@@ -135,12 +140,28 @@ class HttpFacade(
     // existence, analysis — throws HERE, before headers go out ...
     val it = engine.resultJsonIter(engine.read(segment, sql))
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(200, 0) // length 0 = chunked: rows stream
-    val os = ex.getResponseBody
-    // ... while a mid-stream executor failure can only truncate the
-    // body, which is also the reference's behavior (read.py:46-48)
-    it.foreach(chunk => os.write(chunk.getBytes(UTF_8)))
-    os.close()
+    // small results buffer and go out with Content-Length in ONE write
+    // (r19): the common serving case is a few rows, and per-chunk
+    // writes pay streaming overhead for nothing. Past the budget the
+    // response switches to chunked and rows stream, memory-bounded —
+    // a mid-stream executor failure can then only truncate the body,
+    // which is also the reference's behavior (read.py:46-48).
+    val budget = 1 << 16
+    val head = new java.io.ByteArrayOutputStream(budget)
+    while (it.hasNext && head.size() < budget)
+      head.write(it.next().getBytes(UTF_8))
+    if (!it.hasNext) {
+      ex.sendResponseHeaders(200, head.size().toLong)
+      val os = ex.getResponseBody
+      head.writeTo(os)
+      os.close()
+    } else {
+      ex.sendResponseHeaders(200, 0) // length 0 = chunked: rows stream
+      val os = ex.getResponseBody
+      head.writeTo(os)
+      it.foreach(chunk => os.write(chunk.getBytes(UTF_8)))
+      os.close()
+    }
   }
 
   // ------------------------------------------------------------- write :6222

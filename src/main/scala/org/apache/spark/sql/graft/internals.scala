@@ -26,4 +26,55 @@ object SqlInternals {
 
   /** The expression tree under a Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Evaluate a SINGLE-STAGE, single-partition physical plan ON THE
+    * DRIVER THREAD — no job, no task launch, no scheduler round trip.
+    *
+    * The serving path (TroughEngine.read over a per-segment cache of
+    * LocalRelation-backed views) plans tiny narrow pipelines whose only
+    * execution cost under normal `collect()` is the ~10 ms local-mode
+    * job floor — a 100× overhead against the reference's µs sqlite
+    * reads. Those pipelines need nothing from the cluster: this
+    * computes the RDD's one partition in-process under a real
+    * [[TaskContextImpl]] (with a live TaskMemoryManager, so codegen'd
+    * aggregates and sorters acquire pages normally) and converts the
+    * rows out. Returns None — caller falls back to the distributed
+    * path — when the plan shuffles, has >1 partition, or anything at
+    * all goes wrong mid-compute.
+    *
+    * Rows materialize eagerly inside the task-context window (lazy
+    * iteration after `unset` would strand memory-consumer callbacks);
+    * that matches `toLocalIterator`'s memory profile, which also holds
+    * one whole partition driver-side. */
+  def driverLocalRows(df: DataFrame): Option[Iterator[org.apache.spark.sql.Row]] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    try {
+      val plan = df.queryExecution.executedPlan
+      if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return None
+      val rdd = plan.execute()
+      if (rdd.getNumPartitions != 1) return None
+      val env = org.apache.spark.SparkEnv.get
+      if (env == null) return None
+      val tmm = new org.apache.spark.memory.TaskMemoryManager(
+        env.memoryManager, Long.MaxValue)
+      val ctx = new org.apache.spark.TaskContextImpl(0, 0, 0, -1L, 0, 1,
+        tmm, new java.util.Properties, null,
+        org.apache.spark.executor.TaskMetrics.empty, 1, Map.empty)
+      org.apache.spark.TaskContext.setTaskContext(ctx)
+      try {
+        val it = rdd.iterator(rdd.partitions(0), ctx)
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.catalyst.InternalRow]
+        while (it.hasNext) buf += it.next().copy()
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(df.schema)
+        Some(buf.iterator.map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row]))
+      } finally {
+        try ctx.markTaskCompleted(None)
+        catch { case scala.util.control.NonFatal(_) => () }
+        org.apache.spark.TaskContext.unset()
+        tmm.cleanUpAllAllocatedMemory()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }
