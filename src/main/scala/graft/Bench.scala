@@ -84,7 +84,10 @@ object Bench {
     // "+27% regression" was exactly this — SCALE.md round-11 bisect).
     // Sampling the yardstick before AND after the Spark passes puts
     // the window drift in the output itself.
-    val duckPre = duckdbYardstick(sfDir)
+    val duckOnly: Set[String] =
+      if (sys.env.get("GRAFT_BENCH_ONLY").exists(_.nonEmpty)) names.toSet
+      else Set.empty
+    val duckPre = duckdbYardstick(sfDir, duckOnly)
 
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -105,7 +108,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val duck = duckdbYardstick(sfDir)
+    val duck = duckdbYardstick(sfDir, duckOnly)
     // labeled verification baselines (VERDICT r10 #8): q32/q34 are
     // intentionally quadratic oracles for the bucketed scale paths
     // (q30/q41), and q31's exhaustive hamming verification is in the
@@ -208,10 +211,13 @@ object Bench {
     * 20-minute / 30-GB oracle (q60 at sf1) is cut off at the budget
     * instead of first running to completion (or OOM-killing the pass)
     * before being excluded (ADVICE r9 #2). */
-  private def duckdbYardstick(sfDir: String): Option[Yardstick] = {
+  private def duckdbYardstick(sfDir: String,
+      only: Set[String] = Set.empty): Option[Yardstick] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val oracle = mapper.createObjectNode()
-    SparkEntry.oracleSql.foreach { case (k, v) => oracle.put(k, v) }
+    SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
+      .foreach { case (k, v) => oracle.put(k, v) }
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-duck")
     val oraclePath = dir.resolve("oracle.json")
     val scriptPath = dir.resolve("duck.py")
