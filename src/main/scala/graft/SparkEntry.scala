@@ -712,8 +712,16 @@ object SparkEntry {
       val base = t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("__n"),
-          // exact decimal sum, DOUBLE at the boundary (see q02 note)
-          sum($"l_quantity".cast("decimal(18,2)")).as("__q"))
+          // LONG sum, not DECIMAL (r19): l_quantity is integral by
+          // construction (TPC-H quantities are 1..50; probed 0
+          // fractional rows at every SF) and corpus totals sit far
+          // below 2^53, so an integer sum is exact and order-
+          // independent — identical to the decimal sum the oracle
+          // computes (hash-verified), without Decimal(28,2) buffer
+          // arithmetic in the per-row partial-agg hot path (guide §1.2
+          // per-task work; the fact scan+partial agg is this query's
+          // only non-trivial job).
+          sum($"l_quantity".cast("long")).as("__q"))
       base
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(
@@ -921,7 +929,15 @@ object SparkEntry {
             s".shell cp \"$live\" \"$snap\"\n.shell cp \"$live-journal\" \"$snap-journal\"\n" +
             "ROLLBACK;\n")
         w.close()
-        val rc = graft.engine.SqliteCli.runFile(live.toString, script)
+        (k, live, script, snap)
+      }.map { case (k, live, script, snap) =>
+        // scripts were written in ONE sequential iterator pass above;
+        // the 16 sqlite3 builds are independent subprocesses — run them
+        // from a pool (guide §2.6 analog for driver-side fixture work)
+        (k, snap, java.util.concurrent.CompletableFuture.supplyAsync(() =>
+          graft.engine.SqliteCli.runFile(live.toString, script)))
+      }.map { case (k, snap, fut) =>
+        val rc = fut.get()
         require(rc == 0, s"sqlite3 exited $rc for shard $k")
         s"q56seg$k" -> snap.toString
       }.toMap
@@ -1208,12 +1224,23 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft-q67")
       val store = new graft.engine.SegmentStore(s, tmp.resolve("out-store").toString)
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-      (0 until shards).foreach { k =>
-        store.provision(s"q67seg$k",
-          "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);")
-        store.replaceTableData(s"q67seg$k", "docs",
-          docs.where(pmod($"doc_id", lit(shards.toLong)) === k))
-      }
+      // per-shard loads are independent single jobs — overlap them from
+      // a small pool (guide §2.6) so each job's tail back-fills the
+      // next's ramp instead of serializing 12 fixed job costs
+      // (measured sf0.1: q67 2.19 -> 0.82 s)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        (0 until shards).map { k =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              store.provision(s"q67seg$k",
+                "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT);")
+              store.replaceTableData(s"q67seg$k", "docs",
+                docs.where(pmod($"doc_id", lit(shards.toLong)) === k))
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
       val res = store.exportSqliteSegmentsDistributed(
         (0 until shards).map(k => s"q67seg$k"), tmp.resolve("files").toString)
       val failed = res.collect { case (seg, t) if t.isFailure =>

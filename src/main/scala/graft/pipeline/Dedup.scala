@@ -491,16 +491,69 @@ object Dedup {
     * iff doc_id = cluster_id). Singleton documents never appear in `pairs`
     * and are implicitly their own cluster.
     */
+  /** Edge-count gate below which [[connectedComponents]] solves the
+    * component graph driver-locally: 1M edges = a 16 MB collect — the
+    * same bounded-allocation contract as a broadcast-join build side.
+    * Near-dup pair graphs are a vanishing fraction of the corpus (the
+    * pairs are the OUTPUT of a dedup candidate pass), so even 100 TB
+    * corpora commonly land under this; the distributed star loop
+    * engages above it. */
+  val LocalEdgeCap: Long = 1L << 20
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     val init = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // r19 (guide §1.2 "the distributed algorithm" + §5 bounded-driver
+    // contract): the star loop costs ~6 tiny shuffle jobs per round
+    // plus a checkpoint and a fixpoint probe — pure fixed job cost when
+    // the edge set is small, which it almost always is (pairs are the
+    // few survivors of LSH/semantic candidate generation, not the
+    // corpus). Under the cap, collect the (already materialized,
+    // counted-for-free) edge set and run exact union-find driver-side:
+    // identical output (component-min labels, deterministic), 3 tiny
+    // jobs total instead of ~30. Measured at sf0.1 (with the q73
+    // assignment checkpoint that rides on it): q60 3.35 -> 1.59 s,
+    // q73 4.16 -> 1.13 s. Above the cap the distributed
+    // Large-Star/Small-Star loop runs unchanged.
+    val nEdges = init.count()
+    if (nEdges <= localEdgeCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = init.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { x = p; p = parent.getOrDefault(x, x) } // root
+        val root = x
+        x = x0
+        while (x != root) { val nxt = parent.get(x); parent.put(x, root); x = nxt }
+        root
+      }
+      edges.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // min root wins, so every root IS its component's min id
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new Array[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+      return spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        .toDF("doc_id", "cluster_id")
+    }
 
     // Large-Star: every node u links its LARGER neighbors to the minimum
     // of its closed neighborhood. Small-Star: every node u links its

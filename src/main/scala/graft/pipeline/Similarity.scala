@@ -233,15 +233,18 @@ object Similarity {
       cents, k, nprobe)
   }
 
-  private def ivfSearch(
-      v: DataFrame, q: DataFrame, cents: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    // corpus→cluster argmax via max_by partial aggregation (r18): the
-    // map-side partial collapses each vector's nlist scored rows to one
-    // before the exchange — N rows shuffle instead of N×nlist (the old
-    // row_number window ranked the full cross product). (csc, -cid) is
-    // a total order per vector → deterministic lowest-cid tie-break.
-    val assigned = v.crossJoin(cents)
+  /** Corpus→cluster argmax assignment via max_by PARTIAL aggregation
+    * (r18): the broadcast nested-loop join emits each vector's nlist
+    * scored rows inside one partition, and the map-side partial
+    * collapses them to ONE row per vector before the exchange — N rows
+    * shuffle instead of N×nlist (the old row_number window ranked the
+    * full cross product). (csc, -cid) is a total order per vector →
+    * deterministic lowest-cid tie-break. Shared by [[ivfSearch]] and
+    * [[semanticDedup]]; PlanSpec pins this plan's shape directly
+    * (BroadcastNestedLoopJoin + max_by, no Window, no
+    * CartesianProduct). */
+  private[graft] def assignVectors(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(cents)
       .select(col("id"), col("cv"), col("cn"), col("cid"),
         (ndot(col("cv"), col("ce")) / (col("cn") * col("cen"))).as("csc"))
       .groupBy(col("id"))
@@ -249,6 +252,11 @@ object Similarity {
         struct(col("csc"), (-col("cid")).as("nc"))).as("best"))
       .select(col("id"), col("best.cid").as("cid"),
         col("best.cv").as("cv"), col("best.cn").as("cn"))
+
+  private def ivfSearch(
+      v: DataFrame, q: DataFrame, cents: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignVectors(v, cents)
 
     // probes keep the window: top-nprobe is a RANKING, not an argmax,
     // and the query side is orders of magnitude smaller than the corpus
@@ -301,19 +309,16 @@ object Similarity {
     val v = withNorm(corpus, idCol, vecCol, "id", "cv", "cn")
     val cents = broadcast(v.where(col("id") % centroidStride === 0)
       .select(col("id").as("cid"), col("cv").as("ce"), col("cn").as("cen")))
-    // assignment argmax via max_by partial aggregation (r18): the
-    // map-side partial collapses each vector's nlist scored rows to one
-    // before the exchange — N rows shuffle instead of N×nlist (the old
-    // row_number window ranked the full cross product). (csc, -cid) is
-    // a total order per vector → deterministic lowest-cid tie-break.
-    val assigned = v.crossJoin(cents)
-      .select(col("id"), col("cv"), col("cn"), col("cid"),
-        (ndot(col("cv"), col("ce")) / (col("cn") * col("cen"))).as("csc"))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("cv"), col("cn")),
-        struct(col("csc"), (-col("cid")).as("nc"))).as("best"))
-      .select(col("id"), col("best.cid").as("cid"),
-        col("best.cv").as("cv"), col("best.cn").as("cn"))
+    // assignment argmax via max_by partial aggregation (r18) — see
+    // [[assignVectors]]. r19: eagerly checkpointed — it is consumed by
+    // the pair self-join (both sides), the CC edge materialization AND
+    // the final labeling join; without the checkpoint the final plan
+    // recomputed the whole corpus scan + broadcast-NLJ + argmax a
+    // second time (the CC construction had already executed it once).
+    // One assignment pass at any scale; PlanSpec pins the assignment
+    // shape on [[assignVectors]] itself (the checkpoint truncates it
+    // out of the end-to-end plan).
+    val assigned = assignVectors(v, cents).localCheckpoint(true)
     val x = assigned.select(col("id").as("ia"), col("cid"),
       col("cv").as("va"), col("cn").as("na"))
     val y = assigned.select(col("id").as("ib"), col("cid"),

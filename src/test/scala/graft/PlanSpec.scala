@@ -224,7 +224,26 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("q73 semanticDedup: centroids broadcast; assignment never shuffles the corpus") {
-    val p = plan("q73_semdedup")
+    // r19: semanticDedup eagerly checkpoints the assignment (it feeds
+    // the pair self-join, the CC edges AND the final labeling join — a
+    // second full corpus scan + BNLJ otherwise recomputed it), so the
+    // end-to-end plan truncates at the checkpoint. The assignment shape
+    // is pinned on the shared helper the production path runs
+    // (Similarity.assignVectors — same code object ivfSearch plans,
+    // q43 test below pins it inside the full query too).
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def withNorm(idAs: String) = emb
+      .select(col("vec_id").as(idAs),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+      .withColumn("cn", sqrt(call_function("dot_product", col("cv"), col("cv"))))
+      .where(col("cn") > 0d)
+    val v = withNorm("id")
+    val cents = broadcast(withNorm("cid").where(col("cid") % 25 === 0)
+      .select(col("cid"), col("cv").as("ce"), col("cn").as("cen")))
+    val p = graft.pipeline.Similarity.assignVectors(v, cents)
+      .queryExecution.explainString(SimpleMode)
     // the quantizer side rides BroadcastNestedLoopJoin (bounded nlist),
     // never a CartesianProduct or a corpus-wide SortMergeJoin against
     // the centroid set
@@ -234,6 +253,9 @@ class PlanSpec extends SparkSpecBase {
     // not N×nlist through a row_number window
     assert(!p.contains("Window"), s"assignment stage plans a Window:\n${p.take(1500)}")
     assert(p.contains("max_by"), p.take(1500))
+    // and the end-to-end query still plans no cartesian product
+    val full = plan("q73_semdedup")
+    assert(!full.contains("CartesianProduct"))
   }
 
   test("q43 ivf: corpus→cluster argmax is a max_by partial agg, not a window") {

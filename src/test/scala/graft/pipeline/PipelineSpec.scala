@@ -458,9 +458,17 @@ class PipelineSpec extends SparkSpecBase {
       val path = (0 until 20).map(i => (1000L + i, 1001L + i))
       val edges = random ++ path
       val expect = unionFind(n, edges)
+      // both execution paths (r19): the driver-local union-find gate
+      // (default — these graphs are far under LocalEdgeCap) and the
+      // distributed star loop (forced with localEdgeCap = 0) must agree
+      // with the reference union-find exactly
       val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expect, s"trial $trial")
+      assert(got == expect, s"trial $trial (driver-local path)")
+      val gotDist = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+          localEdgeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expect, s"trial $trial (distributed path)")
     }
   }
 
