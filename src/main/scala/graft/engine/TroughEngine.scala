@@ -96,12 +96,41 @@ class TroughEngine(
     * test_read.py:29). The string-literal half of SQLite's DQS quirk —
     * an UNRESOLVABLE double-quoted token reads as a string — is handled
     * lookup-dependently at analysis time ([[sqlWithDqsFallback]], r17). */
-  private def readSession(): SparkSession = {
+  private def buildReadSession(): SparkSession = {
     val sess = spark.newSession()
     TroughFunctions.register(sess)
     SqliteCompat.register(sess)
     sess.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    // pre-warm the lazily-initialized session machinery (SessionState,
+    // catalog's first temp-view registration, parser) — pooled builds
+    // run OFF the request path, so this moves first-touch costs out of
+    // the cold read (ServeProbe r19)
+    try {
+      import org.apache.spark.sql.functions.lit
+      sess.range(1).select(lit(1).as("x"))
+        .createOrReplaceTempView("__graft_warm")
+      sess.sessionState.sqlParser.parsePlan("SELECT x FROM __graft_warm")
+      sess.catalog.dropTempView("__graft_warm")
+    } catch { case scala.util.control.NonFatal(_) => () }
     sess
+  }
+
+  // One-ahead pool of pre-built read sessions (r19): the newSession +
+  // function-registry copy (~8 ms, ServeProbe) is segment-independent,
+  // so build the NEXT session asynchronously while the current request
+  // does its (single-threaded, driver-side) context build — the
+  // standard connection-pool shape, nothing cached depends on segment
+  // state. Falls through to a synchronous build when the pool is empty
+  // (first request, or a burst).
+  private val sessionPool =
+    new java.util.concurrent.ConcurrentLinkedQueue[SparkSession]()
+  private def readSession(): SparkSession = {
+    val pooled = sessionPool.poll()
+    java.util.concurrent.CompletableFuture.runAsync { () =>
+      try if (sessionPool.size < 2) sessionPool.add(buildReadSession())
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    if (pooled != null) pooled else buildReadSession()
   }
 
   // -------------------------------------------- cached read contexts (r19)
@@ -149,37 +178,101 @@ class TroughEngine(
     * The snapshot is as consistent as the fingerprint that keys it. */
   private def localizeForServe(sess: SparkSession, df: DataFrame): DataFrame =
     try {
-      val rows = df.limit(ServeLocalMaxRows + 1)
-        .queryExecution.executedPlan.executeCollect()
-      if (rows.length > ServeLocalMaxRows) df
-      else {
-        import org.apache.spark.sql.graft.SqlInternals
-        SqlInternals.ofRows(sess,
-          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-            df.queryExecution.analyzed.output.map(_.newInstance()), rows.toSeq))
-          .coalesce(1)
+      import org.apache.spark.sql.graft.SqlInternals
+      // r19: read the partitions driver-side under one TaskContext —
+      // no job. The snapshot collect was the cold first-touch's
+      // dominant cost (ServeProbe: 40-110 ms of ~100 ms, CollectLimit
+      // escalating one job per round over the segment's tiny part
+      // files). Falls back to the one-job limit-collect for plans the
+      // driver-local path refuses (many partitions, over-cap rows).
+      val dbg = sys.props.contains("graft.serve.debug")
+      var tD = System.nanoTime()
+      def lapD(tag: String): Unit = if (dbg) {
+        val t1 = System.nanoTime()
+        Console.err.println(f"[serve]   localize.$tag ${(t1 - tD) / 1e6}%.2f ms")
+        tD = t1
+      }
+      // driver-local only when the scan is 1-2 splits (per-file open
+      // cost is ~3 ms and sequential on the driver — many-file tables
+      // read faster as ONE parallel job, below)
+      val rowsOpt = SqlInternals
+        .driverLocalInternalRows(df, ServeLocalMaxRows, maxPartitions = 2)
+        .map { r => lapD("driverLocal"); r }
+        .orElse {
+          lapD("driverLocalRefused")
+          val r = df.limit(ServeLocalMaxRows + 1)
+            .queryExecution.executedPlan.executeCollect().toSeq
+          lapD("limitCollect")
+          if (r.length > ServeLocalMaxRows) None else Some(r)
+        }
+      rowsOpt match {
+        case Some(rows) =>
+          SqlInternals.ofRows(sess,
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+              df.queryExecution.analyzed.output.map(_.newInstance()), rows))
+            .coalesce(1)
+        case None => df
       }
     } catch { case scala.util.control.NonFatal(_) => df }
 
   private def readCtx(segmentId: String): ReadCtx = readCtxs.synchronized {
+    val dbg = sys.props.contains("graft.serve.debug")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      Console.err.println(f"[serve] $tag ${(t1 - t0) / 1e6}%.2f ms")
+      t0 = t1
+    }
     val fp = store.readFingerprint(segmentId)
+    lap("fingerprint")
     val cached = readCtxs.get(segmentId)
     if (cached != null && cached.fingerprint == fp) return cached
     val sess = readSession()
+    lap("session")
     sess.conf.set("spark.sql.shuffle.partitions", "1")
     // AQE's stage-materialization machinery costs ~25 ms on a
     // single-stage serving query that has nothing to re-plan; the
     // serve path's plans are tiny and local, so re-optimization has
     // no upside here (measured r19: 35 -> 100+ req/s)
     sess.conf.set("spark.sql.adaptive.enabled", "false")
+    // the context-build snapshot below is a `limit(cap+1)` collect, and
+    // CollectLimit's incremental escalation (1 partition, then 4×
+    // more, ...) costs one sequential JOB per round over the many tiny
+    // part files a small segment table typically has — measured 69 ms
+    // of the ~100 ms cold first-touch read (ServeProbe r19). One job
+    // over every partition at once: per-task output is still
+    // LocalLimit-bounded, so memory stays capped either way.
+    sess.conf.set("spark.sql.limit.initialNumPartitions", "10000")
+    // one FILE per scan split for the snapshot: a small segment table
+    // often holds ~32 tiny part files, and packing them into one split
+    // makes one task open them SEQUENTIALLY (~3 ms/open — the measured
+    // 70-120 ms of the cold read); per-file splits open in parallel
+    // across the one job above. Serve-session only — analytics scans
+    // keep the global packing.
+    sess.conf.set("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+    // keep the snapshot's coalesce(1) around EMPTY tables: the
+    // propagate-empty rule rewrites agg-over-empty to agg over a bare
+    // empty LocalRelation (UnknownPartitioning), which re-inserts the
+    // SinglePartition Exchange and kicks the serve off the driver-local
+    // no-job path — an empty table then cost a scheduled job per READ
+    // (~19 ms warm; ServeProbe r19). The rule only ever shortcuts
+    // already-tiny serve plans, so excluding it loses nothing here.
+    sess.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation")
+    lap("conf")
     val ftsDefs = ftsTablesOf(segmentId)
+    lap("ftsDefs")
     store.tables(segmentId).foreach { t =>
-      val df = localizeForServe(sess, store.loadTable(segmentId, t, sess))
+      val df0 = store.loadTable(segmentId, t, sess)
+      lap(s"loadTable $t")
+      val df = localizeForServe(sess, df0)
+      lap(s"localize $t")
       ftsDefs.get(t.toLowerCase(java.util.Locale.ROOT)) match {
         case Some(fd) if fd.content.isDefined =>
           registerContentFts(segmentId, sess, t, fd, df)
         case _ => df.createOrReplaceTempView(t)
       }
+      lap(s"register $t")
     }
     // register every view up front; a broken one only errors when a
     // query actually references it (registerViews' contract)

@@ -46,12 +46,71 @@ object SqlInternals {
     * iteration after `unset` would strand memory-consumer callbacks);
     * that matches `toLocalIterator`'s memory profile, which also holds
     * one whole partition driver-side. */
+  /** Compute a no-shuffle physical plan's InternalRows ON THE DRIVER,
+    * iterating its partitions sequentially under one TaskContext — no
+    * job, no task launch. For the serving path's context-build
+    * snapshot of a SMALL table (a trough segment database), the
+    * scheduler round trips dominated: a `limit(cap).executeCollect()`
+    * over the handful of tiny part files a segment table has cost
+    * 40-110 ms (CollectLimit escalation = one sequential job per
+    * round; ServeProbe r19), vs single-digit ms reading the same
+    * partitions in-process. Returns None — caller falls back to the
+    * job path — when the plan shuffles, has more than `maxPartitions`
+    * partitions, yields more than `maxRows` rows (bails mid-iteration,
+    * so an over-cap table costs at most cap+1 rows of work), or
+    * anything at all goes wrong. */
+  def driverLocalInternalRows(df: DataFrame, maxRows: Int,
+      maxPartitions: Int = 64)
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    try {
+      val plan = df.queryExecution.executedPlan
+      if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return None
+      val rdd = plan.execute()
+      val parts = rdd.partitions
+      if (parts.length == 0) return Some(Seq.empty) // empty relation
+      if (parts.length > maxPartitions) return None
+      val env = org.apache.spark.SparkEnv.get
+      if (env == null) return None
+      val tmm = new org.apache.spark.memory.TaskMemoryManager(
+        env.memoryManager, Long.MaxValue)
+      val ctx = new org.apache.spark.TaskContextImpl(0, 0, 0, -1L, 0, 1,
+        tmm, new java.util.Properties, null,
+        org.apache.spark.executor.TaskMetrics.empty, 1, Map.empty)
+      org.apache.spark.TaskContext.setTaskContext(ctx)
+      try {
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.catalyst.InternalRow]
+        var p = 0
+        while (p < parts.length) {
+          val it = rdd.iterator(parts(p), ctx)
+          while (it.hasNext) {
+            buf += it.next().copy()
+            if (buf.length > maxRows) return None
+          }
+          p += 1
+        }
+        Some(buf.toSeq)
+      } finally {
+        try ctx.markTaskCompleted(None)
+        catch { case scala.util.control.NonFatal(_) => () }
+        org.apache.spark.TaskContext.unset()
+        tmm.cleanUpAllAllocatedMemory()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def driverLocalRows(df: DataFrame): Option[Iterator[org.apache.spark.sql.Row]] = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     try {
       val plan = df.queryExecution.executedPlan
       if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return None
       val rdd = plan.execute()
+      // an empty relation's RDD has ZERO partitions (empty
+      // LocalTableScan) — that's a trivially computable empty result,
+      // not a reason to fall back to a scheduled job (r19: empty
+      // segment tables are the common case in a provisioned universe)
+      if (rdd.getNumPartitions == 0) return Some(Iterator.empty)
       if (rdd.getNumPartitions != 1) return None
       val env = org.apache.spark.SparkEnv.get
       if (env == null) return None

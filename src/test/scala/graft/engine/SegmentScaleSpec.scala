@@ -212,9 +212,46 @@ class SegmentScaleSpec extends SparkSpecBase {
       ((System.nanoTime() - tH) / 1e9, n)
     } finally facade.stop()
 
+    // warm leg (r19): steady-state serving — repeated requests against
+    // segments whose contexts are already cached (the reference's real
+    // pattern: many reads against the same live segments). The cold
+    // sweep above pays a full context build per request by design.
+    val facade2 = new graft.server.HttpFacade(engine,
+      readPort = 0, writePort = 0, syncPort = 0).start()
+    val (warmSecs, warmN) = try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val warmSegs = (0 until 40).map(i => f"fan10k-${i * 100}%05d")
+      warmSegs.foreach { seg => // populate the context cache
+        client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://localhost:${facade2.boundReadPort}/?segment=$seg"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              "SELECT count(*) AS n FROM kv;")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString(
+            java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val n = 500
+      val tW = System.nanoTime()
+      (0 until n).foreach { i =>
+        val seg = warmSegs(i % warmSegs.length)
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://localhost:${facade2.boundReadPort}/?segment=$seg"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              "SELECT count(*) AS n, sum(k) AS s FROM kv;")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString(
+            java.nio.charset.StandardCharsets.UTF_8))
+        assert(resp.statusCode() == 200, s"$seg -> ${resp.statusCode()}")
+      }
+      ((System.nanoTime() - tW) / 1e9, n)
+    } finally facade2.stop()
+
     info(f"[fan10k] fanout($nSegs segs)=$fanSecs%.1fs " +
       f"(${nSegs / fanSecs}%.0f segs/s) mem $memBefore%d→$memAfter%d MB; " +
-      f"http sweep $httpN reqs=$httpSecs%.1fs (${httpN / httpSecs}%.0f req/s)")
+      f"http sweep $httpN reqs=$httpSecs%.1fs (${httpN / httpSecs}%.0f req/s); " +
+      f"http warm $warmN reqs=$warmSecs%.1fs (${warmN / warmSecs}%.0f req/s)")
+    assert(warmN / warmSecs >= 100.0,
+      f"warm serving fell under 100 req/s: ${warmN / warmSecs}%.0f")
     assert(fanSecs < 1200.0, f"fanout took $fanSecs%.1f s")
     assert(memAfter - memBefore < 4096,
       s"fanout retained ${memAfter - memBefore} MB on the driver")
