@@ -55,8 +55,21 @@ object Bench {
     // Pipeline queries localCheckpoint multiply-referenced frames;
     // drop those blocks once a query finishes so 40+ back-to-back
     // queries don't accumulate storage-memory pressure.
-    def dropCachedBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // BLOCKING unpersist (r19 measurement fix, declared in
+    // OPTIMIZATION_r19.md): the async form returned before blocks were
+    // actually dropped, so one query's cleanup (and the memory pressure
+    // of its lingering blocks) bled into the NEXT query's timed window —
+    // q68 measured 3.1 s inside the sf1 bench vs 1.2-1.6 s isolated.
+    // The drop now also runs OUTSIDE the timed window (see timeOnce).
+    def dropCachedBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // explicit GC so ContextCleaner reaps the previous queries'
+      // shuffle files NOW (r19): with a large heap, collections are
+      // rare and shuffle dirs accumulated across passes until the
+      // disk filled (the sf10 run died with 34 GB of stale blockmgr
+      // spill). Runs outside every timed window.
+      System.gc()
+    }
 
     // FULL evaluation, not count() (r17): Catalyst eliminates a final
     // left join whose right side is unique-keyed and unprojected, so a
@@ -93,8 +106,13 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { force(name, sfDir); true }
         catch { case _: Throwable => false }
+      // timestamp BEFORE the cleanup: the per-query number is the
+      // query's computation, not its checkpoint-block teardown (r19;
+      // the teardown is synchronous now, so it can't leak into the
+      // next sample either)
+      val dt = (System.nanoTime() - t0) / 1e9
       dropCachedBlocks()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) dt else -1.0
     }
     // interleaved passes (every query once, three times over) rather
     // than back-to-back repeats: a host-noise burst then lands on one
@@ -277,6 +295,22 @@ object Bench {
       val pb = new ProcessBuilder("python3", scriptPath.toString, sfDir, oraclePath.toString)
       pb.redirectErrorStream(true)
       val p = pb.start()
+      // process-level watchdog (r19): `con.interrupt()` is ignored by
+      // some long oracle phases (observed at sf10 — the first warm
+      // query ran 30+ min past its 45 s budget), so the per-query
+      // budget alone cannot bound the pass. Hard cap = 2×budget per
+      // query (warm + timed) + slack, then the subprocess is killed
+      // and the yardstick reports None — the bench must not stall for
+      // the yardstick's sake.
+      val budgetS = sys.env.getOrElse("GRAFT_DUCK_BUDGET_S", "60").toDouble
+      val capS = (2 * budgetS * math.max(1, SparkEntry.oracleSql.size
+        .min(if (only.isEmpty) Int.MaxValue else only.size)) + 120).toLong
+      val watchdog = new Thread(() => {
+        if (!p.waitFor(capS, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly()
+      }, "graft-duck-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
       val out = new String(p.getInputStream.readAllBytes,
         java.nio.charset.StandardCharsets.UTF_8)
       if (p.waitFor() != 0) return None
