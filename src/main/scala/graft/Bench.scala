@@ -162,8 +162,18 @@ object Bench {
     val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_RESULT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Throwable => () }
+    // the JSON line is printed LAST, after spark.stop() has quiesced
+    // every internal pool: the r19 bench printed it before stop(), and
+    // the shutdown's RejectedExecutionException stack traces (promise
+    // callbacks racing pool shutdown) pushed the line out of the
+    // driver's bounded tail capture — BENCH_r19.json came back
+    // `parsed: null`. A short drain sleep lets any straggling daemon
+    // threads finish writing before the one line that must stay clean.
+    try spark.stop() catch { case _: Throwable => () }
+    try Thread.sleep(1500) catch { case _: InterruptedException => () }
+    System.out.flush(); System.err.flush()
     println(line)
-    spark.stop()
+    System.out.flush()
   }
 
   /** The wire-level rows: documents served from a provisioned segment

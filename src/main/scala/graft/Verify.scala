@@ -24,6 +24,19 @@ object Verify {
     val only = sys.env.get("GRAFT_VERIFY_ONLY").filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
+    // q44 sums l_quantity as LONG (exact only while quantities are
+    // integral — true of the TPC-H-shaped generator). Guard the
+    // assumption HERE, in the correctness harness, so a data-shape
+    // change fails loudly at verify time instead of silently diverging
+    // at the next oracle run (ADVICE r19).
+    if (wanted("q44_rollup")) {
+      import org.apache.spark.sql.functions.{col, floor, count}
+      val frac = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(col("l_quantity") =!= floor(col("l_quantity")))
+        .agg(count(org.apache.spark.sql.functions.lit(1))).first().getLong(0)
+      require(frac == 0L,
+        s"q44's LONG-sum assumption broken: $frac fractional l_quantity rows")
+    }
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

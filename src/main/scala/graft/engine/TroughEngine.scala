@@ -282,6 +282,15 @@ class TroughEngine(
         try SqliteDialect.sql(sess, v.sparkSelect).createOrReplaceTempView(v.name)
         catch { case scala.util.control.NonFatal(e) => broken(v.name.toLowerCase) = e }
     }
+    // the split-size/limit confs above exist for the context-build
+    // SNAPSHOT only; left in place they would scan every later user
+    // query of an over-cap (parquet-backed) table with many 4 MB
+    // splits and one 10k-partition first limit round (ADVICE r19).
+    // Steady-state serving keeps only shuffle.partitions=1, AQE off
+    // and the PropagateEmptyRelation exclusion — those are the
+    // deliberate per-segment-read settings.
+    sess.conf.unset("spark.sql.files.maxPartitionBytes")
+    sess.conf.unset("spark.sql.limit.initialNumPartitions")
     val ctx = new ReadCtx(sess, fp, ftsDefs, broken.toMap)
     readCtxs.put(segmentId, ctx)
     ctx

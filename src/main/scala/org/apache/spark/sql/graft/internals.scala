@@ -74,7 +74,12 @@ object SqlInternals {
       if (env == null) return None
       val tmm = new org.apache.spark.memory.TaskMemoryManager(
         env.memoryManager, Long.MaxValue)
-      val ctx = new org.apache.spark.TaskContextImpl(0, 0, 0, -1L, 0, 1,
+      // taskAttemptId MUST be BlockInfo.NON_TASK_WRITER (-1024): it is
+      // the only id BlockInfoManager pre-registers, and block-lock
+      // bookkeeping (e.g. the parquet scan's Hadoop-conf broadcast
+      // read) NPEs on any unregistered id — which silently kicked
+      // every parquet-backed snapshot off this fast path (r20).
+      val ctx = new org.apache.spark.TaskContextImpl(0, 0, 0, -1024L, 0, 1,
         tmm, new java.util.Properties, null,
         org.apache.spark.executor.TaskMetrics.empty, 1, Map.empty)
       org.apache.spark.TaskContext.setTaskContext(ctx)
@@ -116,7 +121,12 @@ object SqlInternals {
       if (env == null) return None
       val tmm = new org.apache.spark.memory.TaskMemoryManager(
         env.memoryManager, Long.MaxValue)
-      val ctx = new org.apache.spark.TaskContextImpl(0, 0, 0, -1L, 0, 1,
+      // taskAttemptId MUST be BlockInfo.NON_TASK_WRITER (-1024): it is
+      // the only id BlockInfoManager pre-registers, and block-lock
+      // bookkeeping (e.g. the parquet scan's Hadoop-conf broadcast
+      // read) NPEs on any unregistered id — which silently kicked
+      // every parquet-backed snapshot off this fast path (r20).
+      val ctx = new org.apache.spark.TaskContextImpl(0, 0, 0, -1024L, 0, 1,
         tmm, new java.util.Properties, null,
         org.apache.spark.executor.TaskMetrics.empty, 1, Map.empty)
       org.apache.spark.TaskContext.setTaskContext(ctx)
