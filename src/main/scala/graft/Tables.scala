@@ -21,8 +21,23 @@ object Tables {
     * but stay orders of magnitude below the fact tables). */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema memo (r20, guide §6): `spark.read.parquet` without
+    * an explicit schema re-reads a file footer on EVERY load — ~10-30 ms
+    * of driver-side metadata I/O per query construction, and at real
+    * scale the reason warehouses put schemas in a catalog instead of
+    * re-inferring per query. The corpus dirs are immutable (driver
+    * testdata / ScaleData output), so the schema is a pure function of
+    * the path. Only metadata (StructType) is memoized — never data,
+    * listings, or results; the scan itself re-reads parquet every run. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Register every corpus table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =

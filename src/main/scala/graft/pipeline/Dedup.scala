@@ -159,14 +159,16 @@ object Dedup {
     // first occurrence (min struct(doc,pos)), all from ONE window over
     // ONE gram-keyed shuffle — the groupBy+join-back form shuffled the
     // full gram stream twice (r18). Cut positions: every non-first
-    // occurrence of a duplicated gram.
+    // occurrence of a duplicated gram. min(id) is NOT aggregated
+    // separately: struct ordering is lexicographic, so
+    // min(struct(d,p)).d IS min(id) — two window buffers instead of
+    // three in the hottest stage (r20, guide §1.2 per-task work).
     val wg = Window.partitionBy("gram")
     val cuts = grams
-      .withColumn("__mn", min(col(idCol)).over(wg))
       .withColumn("__mx", max(col(idCol)).over(wg))
       .withColumn("__first",
         min(struct(col(idCol).as("d"), col("pos").as("p"))).over(wg))
-      .where(col("__mn") =!= col("__mx"))
+      .where(col("__first").getField("d") =!= col("__mx"))
       .where(!(col(idCol) === col("__first").getField("d") &&
         col("pos") === col("__first").getField("p")))
       .select(col(idCol), col("pos"))
