@@ -235,24 +235,31 @@ object Dedup {
         "(r=0 would make every doc collide in every band; a remainder silently drops hashes)")
     val r = numHashes / bands
     graft.functions.VectorExpressions.register(docs.sparkSession)
-    // Native text→shingle-hash kernel (ShingleHashes): one pass over the
-    // bytes, no shingle strings materialized. Eagerly checkpointed:
-    // referenced by the band join AND twice by the verification joins —
-    // lazy persist would let the three scans race to populate the cache
-    // inside one job; an eager local checkpoint computes it exactly once.
-    val sets = docs
-      .select(col(idCol).as("id"),
-        call_function("shingle_hashes", col(textCol), lit(shingleLen)).as("sh"))
-      .where(size(col("sh")) > 0).localCheckpoint(true)
+    // Shingle arrays are NEVER materialized corpus-wide (r20, guide §8
+    // "shuffle/store a lightweight proxy, move heavy bytes once"): the
+    // previous shape eagerly checkpointed every doc's hash array —
+    // ~16 KB/doc, 4× the text bytes at the reference corpus shape — only
+    // so the verification joins could later re-read a VANISHING fraction
+    // of them (measured at sf10/500k docs: the array checkpoint write
+    // alone was ~12 s and the verification semi-join re-read all of it,
+    // ~18 s). The signature pass now computes shingles inline — one text
+    // scan, arrays live only inside the stage — and verification
+    // re-derives arrays ONLY for candidate docs, below.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
     // native single-pass minhash kernel (see MinHashSignature scaladoc);
-    // staged as a bound column before banding — inlining it into the
-    // band lambda would re-evaluate all k min-hashes once per band
-    val sig = sets.select(col("id"),
-      call_function("minhash_signature", col("sh"), lit(numHashes)).as("sig"))
+    // sh/sig staged as bound columns before banding — inlining them into
+    // the band lambda would re-evaluate all k min-hashes once per band
+    val sig = base
+      .select(col("id"),
+        call_function("shingle_hashes", col("__txt"), lit(shingleLen)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"),
+        call_function("minhash_signature", col("sh"), lit(numHashes)).as("sig"))
     val keyed = sig
       .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint(true) // self-joined below; see `sets` note
+      .localCheckpoint(true) // self-joined below: lazy persist would let
+      // the two join sides race to populate the cache inside one job
     val rhs = keyed.select(col("id").as("id2"), col("band").as("band2"), col("key").as("key2"))
     val candidates = keyed
       .join(rhs, col("band") === col("band2") && col("key") === col("key2") &&
@@ -260,14 +267,21 @@ object Dedup {
       .select(col("id").as("doc_a"), col("id2").as("doc_b"))
       .distinct() // same pair may collide in several bands
       .localCheckpoint(true) // referenced 3x below (id-prune + both joins)
-    // Semi-join prune before verification: candidates are a vanishing
-    // fraction of the corpus, but without this the verification joins
-    // shuffle EVERY doc's shingle array (the dominant bytes at scale —
-    // ~16 KB/doc) twice; after the prune only candidate docs' arrays
-    // move. The prune itself ships only ids.
+    // Semi-join prune BEFORE shingling (r20): candidates are a vanishing
+    // fraction of the corpus, so the prune runs on (id, text) straight
+    // off the scan — broadcastable candidate ids prune with NO shuffle —
+    // and the arrays are recomputed for survivors only. When candidates
+    // outgrow broadcast, the semi-join shuffles exactly the rows whose
+    // arrays the verification join was about to shuffle anyway.
+    // Checkpointed: referenced by BOTH pair joins, and candidate-volume-
+    // sized (never corpus-sized).
     val candIds = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
-    val needed = sets.join(candIds, Seq("id"), "left_semi")
+    val needed = base.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        call_function("shingle_hashes", col("__txt"), lit(shingleLen)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint(true)
     candidates
       .join(needed.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(needed.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
